@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by SparkEntry / Verify / Bench / tests.
+  *
+  * Design notes (100 TB scale): all knobs are set for a real cluster first
+  * — AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  * shuffle partitions sized by the driver env, parquet vectorized reads.
+  * Local tests just shrink the numbers; the plan shapes stay identical.
+  */
+object GraftSession {
+
+  /** Shared config applied to every session the engine creates. */
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // zed is ns-native (nano.Ts — reference value.go:84); Spark timestamps
+      // are µs. Read parquet TIMESTAMP(NANOS) as long ns and convert at the
+      // edges — keeps scan pushdown on the raw column and loses nothing.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores.toString
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the driver-provided TPC-H-ish tables from an sf dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

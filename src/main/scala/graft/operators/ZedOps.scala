@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Zed pipeline operators re-expressed as idiomatic Spark DataFrame
+  * transformations (reference: brimdata/zed `runtime/sam/op`; see
+  * SURVEY.md §2.1 for file:line citations per operator).
+  *
+  * Everything here is declarative — each op emits a Catalyst plan and lets
+  * the optimizer pick the physical strategy (partial/final agg, broadcast
+  * vs shuffle join, TakeOrderedAndProject, …). Nothing collects to the
+  * driver; all ops scale horizontally with input partitions.
+  */
+object ZedOps {
+
+  /** `cut a,b:=expr` — projection by (possibly dotted) field paths.
+    * Reference: runtime/sam/expr/cutter.go. Spark: a plain Project node,
+    * so column pruning reaches the parquet scan.
+    */
+  def cut(df: DataFrame, cols: (String, Column)*): DataFrame =
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+
+  /** `put a:=expr` — add/overwrite fields; all RHS evaluated against the
+    * *input* record (simultaneous-write), matching zed putter.go semantics
+    * and Spark's `withColumns` contract exactly.
+    */
+  def put(df: DataFrame, cols: (String, Column)*): DataFrame =
+    df.withColumns(cols.toMap)
+
+  /** `drop a,b` — remove fields by path (runtime/sam/expr/dropper.go).
+    * Dotted paths drop nested struct fields via dropFields.
+    */
+  def drop(df: DataFrame, paths: String*): DataFrame = {
+    val (nested, topLevel) = paths.partition(_.contains("."))
+    val dropped = df.drop(topLevel: _*)
+    nested.foldLeft(dropped) { (d, p) =>
+      val root = p.takeWhile(_ != '.')
+      d.withColumn(root, col(root).dropFields(p.drop(root.length + 1)))
+    }
+  }
+
+  /** `rename new:=old` — move a field within the record
+    * (runtime/sam/expr/renamer.go).
+    */
+  def rename(df: DataFrame, renames: (String, String)*): DataFrame =
+    renames.foldLeft(df) { case (d, (to, from)) => d.withColumnRenamed(from, to) }
+
+  /** `sort [-r] expr,…` — total sort, nulls last by default (zed default;
+    * runtime/sam/expr/sort.go). Spark's sort is external (spills) and
+    * range-partitions first — the same external-merge strategy zed uses,
+    * but distributed.
+    */
+  def sort(df: DataFrame, keys: (Column, Boolean)*): DataFrame =
+    df.orderBy(keys.map { case (c, asc) =>
+      if (asc) c.asc_nulls_last else c.desc_nulls_last
+    }: _*)
+
+  /** `head N` (runtime/sam/op/head/head.go) — Spark limit; when preceded
+    * by a sort, Catalyst fuses into TakeOrderedAndProject (no full sort).
+    */
+  def head(df: DataFrame, n: Int = 1): DataFrame = df.limit(n)
+
+  /** `tail N` (runtime/sam/op/tail/tail.go) — last N under `order`.
+    * Implemented as reverse-order top-N (TakeOrderedAndProject, O(N)
+    * memory per partition) then re-sorted forward — no global shuffle.
+    */
+  def tail(df: DataFrame, n: Int, order: Column*): DataFrame =
+    df.orderBy(order.map(_.desc_nulls_first): _*)
+      .limit(n)
+      .orderBy(order.map(_.asc_nulls_last): _*)
+
+  /** `top N expr` — top-N by key descending (runtime/sam/op/top/top.go;
+    * max-heap, O(N) memory). Catalyst compiles sort+limit to
+    * TakeOrderedAndProject — the identical per-partition-heap + merge
+    * algorithm, distributed.
+    */
+  def top(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.orderBy(keys.map(_.desc_nulls_last): _*).limit(n)
+
+  /** `uniq` — collapse adjacent duplicates (runtime/sam/op/uniq/uniq.go).
+    * Zed's idiom is `sort | uniq`, which is exactly `distinct` in Spark
+    * (partial-agg dedup before the shuffle, so it scales).
+    */
+  def uniq(df: DataFrame): DataFrame = df.distinct()
+
+  /** `uniq -c` — adjacent dedup with counts; the post-sort idiom is a
+    * group-by count.
+    */
+  def uniqCount(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("count"))
+
+  /** Adjacent-duplicate semantics when an explicit stream order exists
+    * (true Unix-uniq): keep a row iff any column differs from its
+    * predecessor under `order`. Global window ⇒ single-partition; only
+    * for small, explicitly-ordered streams (zed's uniq is inherently
+    * order-dependent and non-parallel too).
+    */
+  def uniqAdjacent(df: DataFrame, order: Column*): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val isDup = df.columns
+      .map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduce(_ && _)
+    df.withColumn("__dup", isDup).filter(!col("__dup")).drop("__dup")
+  }
+
+  /** `summarize agg [by keys]` — hash group-by
+    * (runtime/sam/op/groupby/groupby.go). Spark natively runs the same
+    * partials-out/partials-in decomposition (partial agg before the
+    * shuffle, final after) that zed's scatter/merge rewrite builds.
+    */
+  def summarize(
+      df: DataFrame,
+      keys: Seq[(String, Column)],
+      aggs: Seq[(String, Column)]
+  ): DataFrame = {
+    val aggCols = aggs.map { case (n, c) => c.as(n) }
+    if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else
+      df.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** `summarize … every d` — time-bucketed group-by: zed's
+    * `bucket(ts, d)` (function/time.go) = truncate ts to the d-aligned
+    * bucket start. Arithmetic on the long micros keeps it inside
+    * whole-stage codegen.
+    */
+  def timeBucket(ts: Column, duration: String): Column = {
+    val us = durationMicros(duration)
+    timestamp_micros(graft.functions.Bridge.intDiv(unix_micros(ts), lit(us)) * us)
+  }
+
+  /** Same, for ns-since-epoch long columns (zed time is ns-native; parquet
+    * TIMESTAMP(NANOS) is read as long — see GraftSession). All arithmetic
+    * stays in the exact long domain; result is a µs Spark timestamp.
+    */
+  def timeBucketNs(tsNs: Column, duration: String): Column = {
+    val us = durationMicros(duration)
+    val tsUs = graft.functions.Bridge.intDiv(tsNs, lit(1000L))
+    timestamp_micros(graft.functions.Bridge.intDiv(tsUs, lit(us)) * us)
+  }
+
+  private[graft] def durationMicros(d: String): Long = {
+    val m = "([0-9]+)\\s*(ns|us|ms|s|m|h|d|w)".r
+    d.trim match {
+      case m(n, u) =>
+        val base = u match {
+          case "ns" => 1L // sub-us truncates to 0; zed is ns-native, Spark µs
+          case "us" => 1L
+          case "ms" => 1000L
+          case "s"  => 1000000L
+          case "m"  => 60L * 1000000
+          case "h"  => 3600L * 1000000
+          case "d"  => 86400L * 1000000
+          case "w"  => 7L * 86400L * 1000000
+        }
+        n.toLong * base
+      case other => throw new IllegalArgumentException(s"bad duration: $other")
+    }
+  }
+
+  /** `fork (=> … => …)` + `combine` — run branches over one input and
+    * union them (runtime/sam/op/fork, op/combine). Branch plans share the
+    * scan; caller may `.cache()` the input if it is expensive.
+    */
+  def forkCombine(df: DataFrame, branches: (DataFrame => DataFrame)*): DataFrame =
+    branches.map(_(df)).reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `switch <e> case v1 … default` — route rows to the first matching
+    * branch (runtime/sam/op/switcher). Compiled as per-branch filters with
+    * accumulated negations (first-match-wins), then combine.
+    */
+  def switchOp(
+      df: DataFrame,
+      cases: Seq[(Column, DataFrame => DataFrame)],
+      default: Option[DataFrame => DataFrame] = None
+  ): DataFrame = {
+    val guarded = cases.zipWithIndex.map { case ((pred, f), i) =>
+      val priors = cases.take(i).map(_._1)
+      val full = priors.foldLeft(pred) { (p, prior) => p && !coalesce(prior, lit(false)) }
+      (d: DataFrame) => f(d.filter(full))
+    }
+    val dflt = default.map { f =>
+      val nonePrior = cases.map(_._1).map(p => !coalesce(p, lit(false))).reduce(_ && _)
+      (d: DataFrame) => f(d.filter(nonePrior))
+    }
+    forkCombine(df, (guarded ++ dflt): _*)
+  }
+
+  /** `merge expr` — order-preserving combine of branches
+    * (runtime/sam/op/merge). Spark idiom: union then sort (the optimizer
+    * pushes sort-order requirements; no single-threaded heap merge).
+    */
+  def merge(order: Seq[(Column, Boolean)], branches: DataFrame*): DataFrame =
+    sort(branches.reduce(_.unionByName(_, allowMissingColumns = true)), order: _*)
+
+  /** `combine` — unordered union of branches (runtime/sam/op/combine). */
+  def combine(branches: DataFrame*): DataFrame =
+    branches.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `over e` (simple form) — flatten an array column: one output row per
+    * element (runtime/sam/op/traverse/over.go). `explode` keeps outer
+    * columns; zed's bare `over` yields just elements — drop the rest.
+    */
+  def over(df: DataFrame, arr: Column, as: String = "this"): DataFrame =
+    df.select(explode(arr).as(as))
+
+  /** `over e with …=> ( … )` — lateral subquery: flatten while keeping
+    * outer scope columns, then apply the body per element.
+    */
+  def overLateral(
+      df: DataFrame,
+      arr: Column,
+      as: String,
+      keep: Seq[String]
+  ): DataFrame =
+    df.select(keep.map(col) :+ explode(arr).as(as): _*)
+
+  /** `explode <expr> by <type> as <field>` — one output per embedded value
+    * of a type (runtime/sam/op/explode/explode.go): gather matching leaf
+    * fields into an array and explode.
+    */
+  def explodeBy(df: DataFrame, as: String, fields: Column*): DataFrame =
+    df.select(explode(array(fields: _*)).as(as))
+
+  /** `fuse` — unify all record types into one wide schema
+    * (runtime/sam/op/fuse/fuse.go). Across DataFrames this is
+    * unionByName(allowMissing); a single DataFrame is already fused
+    * (schema merge happens at read with parquet mergeSchema).
+    */
+  def fuse(dfs: DataFrame*): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `shape`/`sample` — one representative value per distinct shape
+    * (runtime/sam/op/shape/shaper.go; sample desugars to
+    * `val:=any(e) by typeof(e)`). With a fixed relational schema the
+    * shape key is the null-mask of the row.
+    */
+  def sampleByShape(df: DataFrame): DataFrame = {
+    val shapeKey = concat_ws(",", df.columns.map(c => col(c).isNull.cast("int")): _*)
+    df.groupBy(shapeKey.as("__shape"))
+      .agg(first(struct(df.columns.map(col): _*)).as("sample"))
+      .select("sample.*")
+  }
+
+  /** `assert <expr>` — pass rows through; rows failing the predicate get a
+    * structured error column (semantic/op.go:753 desugaring).
+    */
+  def assertOp(df: DataFrame, pred: Column, label: String): DataFrame =
+    df.withColumn(
+      "error",
+      when(pred, lit(null).cast("string")).otherwise(lit(s"assertion failed: $label"))
+    )
+
+  /** zed join (`anti|inner|left|right`) on lk=rk with right-side field
+    * grafting (runtime/sam/op/join/join.go). Zed only has sort-merge
+    * equi-join; Spark picks broadcast/shuffle-hash/SMJ per stats — a
+    * strict superset. `graft` = columns pulled from the right record.
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      style: String,
+      graft: Seq[(String, Column)]
+  ): DataFrame = {
+    val sparkStyle = style match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "right" => "right_outer"
+      case "anti"  => "left_anti"
+      case s       => s
+    }
+    val joined = left.join(right, leftKey === rightKey, sparkStyle)
+    if (style == "anti") joined
+    else {
+      val base =
+        if (style == "right") right.columns.map(right(_))
+        else left.columns.map(left(_))
+      joined.select(base ++ graft.map { case (n, c) => c.as(n) }: _*)
+    }
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query must execute and return rows on sf0.001. */
+class SmokeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(8)
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list tiny and intentional (approx/non-SQL ops only)
+    assert(noOracle.subsetOf(Set("q_dcount")), s"missing oracle: $noOracle")
+  }
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name runs and returns rows") {
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
