@@ -58,8 +58,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // also land the JSON in a file: the stdout line gets buried in sbt log
+    // tail and the driver recorded "parsed": null in r1
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }

@@ -102,7 +102,12 @@ object ZedOps {
     val isDup = df.columns
       .map(c => col(c) <=> lag(col(c), 1).over(w))
       .reduce(_ && _)
-    df.withColumn("__dup", isDup).filter(!col("__dup")).drop("__dup")
+    // row 1 is never a duplicate: lag() yields null there, and an all-null
+    // first row would otherwise match null<=>null and be dropped.
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__dup", isDup && col("__rn") > 1)
+      .filter(!col("__dup"))
+      .drop("__rn", "__dup")
   }
 
   /** `summarize agg [by keys]` — hash group-by
@@ -142,23 +147,33 @@ object ZedOps {
     timestamp_micros(graft.functions.Bridge.intDiv(tsUs, lit(us)) * us)
   }
 
-  private[graft] def durationMicros(d: String): Long = {
+  /** Parse a zed duration literal to exact nanoseconds. */
+  private[graft] def durationNanos(d: String): Long = {
     val m = "([0-9]+)\\s*(ns|us|ms|s|m|h|d|w)".r
     d.trim match {
       case m(n, u) =>
         val base = u match {
-          case "ns" => 1L // sub-us truncates to 0; zed is ns-native, Spark µs
-          case "us" => 1L
-          case "ms" => 1000L
-          case "s"  => 1000000L
-          case "m"  => 60L * 1000000
-          case "h"  => 3600L * 1000000
-          case "d"  => 86400L * 1000000
-          case "w"  => 7L * 86400L * 1000000
+          case "ns" => 1L
+          case "us" => 1000L
+          case "ms" => 1000000L
+          case "s"  => 1000000000L
+          case "m"  => 60L * 1000000000L
+          case "h"  => 3600L * 1000000000L
+          case "d"  => 86400L * 1000000000L
+          case "w"  => 7L * 86400L * 1000000000L
         }
         n.toLong * base
       case other => throw new IllegalArgumentException(s"bad duration: $other")
     }
+  }
+
+  /** Duration in whole µs; rejects sub-µs durations rather than silently
+    * bucketing 1000× too coarse (zed is ns-native, Spark timestamps µs).
+    */
+  private[graft] def durationMicros(d: String): Long = {
+    val ns = durationNanos(d)
+    require(ns % 1000L == 0, s"duration $d is finer than Spark's µs timestamps")
+    ns / 1000L
   }
 
   /** `fork (=> … => …)` + `combine` — run branches over one input and
@@ -168,9 +183,43 @@ object ZedOps {
   def forkCombine(df: DataFrame, branches: (DataFrame => DataFrame)*): DataFrame =
     branches.map(_(df)).reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** `switch <e> case v1 … default` — route rows to the first matching
-    * branch (runtime/sam/op/switcher). Compiled as per-branch filters with
+  /** `switch case <bool> … default` where every branch is a projection —
+    * the common case — compiled to ONE pass over the input: each output
+    * column is a first-match-wins CASE WHEN chain (runtime/sam/op/switcher
+    * semantics without zed's per-branch streams). N cases = 1 scan, vs
+    * `switchOp`'s N scans; at 100 TB this is the only acceptable shape.
+    * Rows matching no case and no default are dropped, as in zed.
+    */
+  def switchCase(
+      df: DataFrame,
+      cases: Seq[(Column, Seq[(String, Column)])],
+      default: Option[Seq[(String, Column)]] = None
+  ): DataFrame = {
+    val outNames = cases.head._2.map(_._1)
+    require(cases.forall(_._2.map(_._1) == outNames) &&
+      default.forall(_.map(_._1) == outNames),
+      "switchCase branches must project the same column names")
+    // null predicates count as no-match (zed boolean case semantics)
+    val preds = cases.map { case (p, _) => coalesce(p, lit(false)) }
+    val out = outNames.zipWithIndex.map { case (name, i) =>
+      val chain = cases.zip(preds).foldRight(
+        default.map(d => d(i)._2).getOrElse(lit(null))
+      ) { case (((_, outs), pred), els) => when(pred, outs(i)._2).otherwise(els) }
+      chain.as(name)
+    }
+    val matched =
+      if (default.isDefined) lit(true) else preds.reduce(_ || _)
+    df.filter(matched).select(out: _*)
+  }
+
+  /** `switch <e> case v1 … default` with arbitrary per-branch sub-pipelines
+    * (runtime/sam/op/switcher). Compiled as per-branch filters with
     * accumulated negations (first-match-wins), then combine.
+    *
+    * NOTE: each branch re-executes the input plan — N branches = N scans of
+    * the source. Use `switchCase` when branches are projections (one pass);
+    * keep this form only for genuinely different sub-pipelines, and
+    * `.cache()` the input if it is expensive.
     */
   def switchOp(
       df: DataFrame,

@@ -23,4 +23,11 @@ class SmokeSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q_switch compiles to a single scan of the source") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val df = SparkEntry.queries("q_switch")(spark, dir)
+    val scans = df.queryExecution.optimizedPlan.collect { case r: LogicalRelation => r }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+  }
 }
