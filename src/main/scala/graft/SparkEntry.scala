@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.ZedOps
+import graft.pipeline.{DedupOps, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -352,7 +353,156 @@ object SparkEntry {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
              |  CASE WHEN l_quantity > 0 THEN CAST(NULL AS VARCHAR)
              |       ELSE 'assertion failed: l_quantity > 0' END AS error
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ==== LLM-data-pipeline operators (graft.pipeline) ====
+
+    // exact dedup by normalized-content hash (pipeline/DedupOps.dedupExact)
+    ("q_dedup_exact", (s, dir) =>
+      ZedOps.sort(
+        DedupOps.dedupExact(t(s, dir, "documents"), col("doc_id"), col("text"))
+          .select(col("doc_id"), col("n_dups")),
+        col("doc_id") -> true),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+             |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // near-dup dedup: MinHash-LSH banded candidates + exact 3-gram Jaccard
+    // verify. The oracle computes ground-truth all-pairs Jaccard; LSH miss
+    // probability at the data's j>=0.8 pairs is <=2e-4, so outputs agree.
+    ("q_dedup_near", (s, dir) =>
+      ZedOps.sort(
+        DedupOps.nearDupPairs(t(s, dir, "documents"), col("doc_id"), col("text"))
+          .select(col("d1"), col("d2")),
+        col("d1") -> true, col("d2") -> true),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+             |  FROM documents
+             |), idx AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM w
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx
+             |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT d1, d2
+             |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id JOIN cnt c2 ON inter.d2 = c2.doc_id
+             |WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // SimHash near-dup (banded 16-bit chunks; hash fn differs from DuckDB's
+    // so no SQL oracle — exactness covered by PipelineSpec)
+    ("q_dedup_simhash", (s, dir) =>
+      ZedOps.sort(
+        DedupOps.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text")),
+        col("d1") -> true, col("d2") -> true),
+      None),
+
+    // exact cosine top-k over embeddings (pipeline/VectorOps.knnBruteForce)
+    ("q_knn_brute", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ZedOps.sort(
+        VectorOps.knnBruteForce(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10),
+        col("qid") -> true, col("rank") -> true)
+    },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT qid, e.vec_id AS nid, list_cosine_similarity(qe, e.embedding) AS cos
+             |  FROM q, embeddings e WHERE e.vec_id <> qid
+             |)
+             |SELECT qid, nid, rank FROM (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM scored) t WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (scale path; recall vs brute checked in PipelineSpec)
+    ("q_knn_lsh", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ZedOps.sort(
+        VectorOps.knnLsh(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64),
+        col("qid") -> true, col("rank") -> true)
+    }, None),
+
+    // text statistics: chars + whitespace tokens + BPE-ish tokens
+    ("q_text_stats", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val norm = TextOps.normalize(col("text"))
+      ZedOps.sort(
+        docs.select(
+          col("doc_id"),
+          length(norm).as("n_chars_norm"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")),
+        col("doc_id") -> true)
+    },
+      Some("""SELECT doc_id,
+             |  length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_chars_norm,
+             |  len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens,
+             |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // quality scoring: exact integer/IEEE facets + indicator score
+    ("q_text_quality", (s, dir) =>
+      ZedOps.sort(
+        TextOps.quality(t(s, dir, "documents"), col("doc_id"), col("text")),
+        col("doc_id") -> true),
+      Some("""WITH n AS (
+             |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id,
+             |    length(norm) AS n_chars,
+             |    len(string_split(norm, ' ')) AS n_tokens,
+             |    CAST(length(regexp_replace(norm, '\s', '', 'g')) AS DOUBLE)
+             |      / len(string_split(norm, ' ')) AS mean_tok_len,
+             |    CAST(length(regexp_replace(norm, '[\w\s]', '', 'g')) AS DOUBLE)
+             |      / length(norm) AS punct_ratio,
+             |    CAST(len(list_filter(string_split(norm, ' '), t -> list_contains(
+             |      ['the','and','of','to','in','is','that','it','was','for','on','with','as','are','at','this','be','by','have'], t))) AS DOUBLE)
+             |      / len(string_split(norm, ' ')) AS stop_ratio
+             |  FROM n
+             |)
+             |SELECT doc_id, n_chars, n_tokens, mean_tok_len, punct_ratio, stop_ratio,
+             |  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+             |   + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+             |   + CASE WHEN punct_ratio < 0.1 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END
+             |   + CASE WHEN stop_ratio > 0.02 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS score
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // token accounting per language slice (corpus-level budget planning)
+    ("q_token_count", (s, dir) =>
+      ZedOps.sort(
+        ZedOps.summarize(t(s, dir, "documents"),
+          Seq("lang" -> col("lang")),
+          Seq("n_docs" -> count(lit(1)),
+            "total_tokens" -> sum(TextOps.bpeTokenCount(col("text"))))),
+        col("lang") -> true),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // language-ID heuristic (predictions deterministic; accuracy is pinned
+    // on real-language fixtures in PipelineSpec, not the synthetic corpus)
+    ("q_langid", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred")),
+        col("doc_id") -> true),
+      None),
+
+    // multimodal plumbing: binary media column → frame-sampled features
+    // (decode step is a documented stub; plumbing is real — see
+    // pipeline/MultimodalOps)
+    ("q_media_features", (s, dir) =>
+      ZedOps.sort(
+        MultimodalOps.mediaFeatures(t(s, dir, "documents"), "doc_id", "text", "text")
+          .select(col("id"), col("kind"), col("n_bytes"), col("n_frames")),
+        col("id") -> true),
+      None)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -13,8 +13,15 @@ class SmokeSpec extends AnyFunSuite {
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list tiny and intentional (approx/non-SQL ops only)
-    assert(noOracle.subsetOf(Set("q_dcount")), s"missing oracle: $noOracle")
+    // keep this list tiny and intentional (approx / engine-specific-hash /
+    // non-SQL ops only; each has a dedicated spec instead)
+    assert(noOracle.subsetOf(Set(
+      "q_dcount",         // HLL estimates differ per impl
+      "q_dedup_simhash",  // xxhash64 differs from DuckDB's hash
+      "q_knn_lsh",        // approximate; recall pinned in PipelineSpec
+      "q_langid",         // heuristic; accuracy pinned on fixtures in PipelineSpec
+      "q_media_features"  // stub decoder; plumbing pinned in PipelineSpec
+    )), s"missing oracle: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
