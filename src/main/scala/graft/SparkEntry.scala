@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types._
+
 import graft.operators.ZedOps
+import graft.functions.{Shaper, ZedFunctions => F}
 import graft.pipeline.{DedupOps, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -502,7 +505,248 @@ object SparkEntry {
         MultimodalOps.mediaFeatures(t(s, dir, "documents"), "doc_id", "text", "text")
           .select(col("id"), col("kind"), col("n_bytes"), col("n_frames")),
         col("id") -> true),
-      None)
+      None),
+
+    // ==== scalar function library (graft.functions; ref function/function.go) ====
+
+    // math family (function/math.go)
+    ("q_fn_math", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_v"),
+          ceil(col("l_quantity") / 7.0).cast("long").as("ceil_v"),
+          floor(col("l_quantity") / 7.0).cast("long").as("floor_v"),
+          sqrt(col("l_quantity")).as("sqrt_v"),
+          round(log(col("l_quantity") + 1.0), 6).as("log_v"),
+          F.minScalar(col("l_quantity"), col("l_discount") * 100).as("min_v"),
+          F.maxScalar(col("l_quantity"), col("l_discount") * 100).as("max_v")),
+        col("l_orderkey") -> true, col("l_linenumber") -> true),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_quantity - 25.0) AS abs_v,
+             |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_v,
+             |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_v,
+             |  sqrt(l_quantity) AS sqrt_v,
+             |  round(ln(l_quantity + 1.0), 6) AS log_v,
+             |  least(l_quantity, l_discount * 100) AS min_v,
+             |  greatest(l_quantity, l_discount * 100) AS max_v
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // string family (function/string.go)
+    ("q_fn_string", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lo"),
+          upper(col("c_mktsegment")).as("up"),
+          F.runeLen(col("c_name")).as("rlen"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          F.joinStr(split(col("c_name"), "#"), "-").as("joined"),
+          levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed")),
+        col("c_custkey") -> true),
+      Some("""SELECT c_custkey,
+             |  lower(c_name) AS lo, upper(c_mktsegment) AS up,
+             |  length(c_name) AS rlen,
+             |  replace(c_name, 'Customer', 'Cust') AS repl,
+             |  array_to_string(string_split(c_name, '#'), '-') AS joined,
+             |  levenshtein(c_name, c_mktsegment) AS lev,
+             |  trim('  ' || c_mktsegment || ' ') AS trimmed
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // regexp family (function/regexp.go): first-match submatch array +
+    // replace-all + match test, over the JSON-ish events.props strings
+    ("q_fn_regexp", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "events").select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"),
+          regexp_replace(col("props"), "[0-9]+", "N").as("masked"),
+          col("props").rlike("[0-9]{2,}").as("multi_digit"),
+          array_join(F.regexpMatch("\\{\"k\": ([0-9]+)\\}", col("props")), "|").as("submatches")),
+        col("event_id") -> true),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+             |  regexp_replace(props, '[0-9]+', 'N', 'g') AS masked,
+             |  regexp_matches(props, '[0-9]{2,}') AS multi_digit,
+             |  CASE WHEN regexp_matches(props, '\{"k": ([0-9]+)\}')
+             |       THEN regexp_extract(props, '\{"k": ([0-9]+)\}', 0) || '|'
+             |            || regexp_extract(props, '\{"k": ([0-9]+)\}', 1)
+             |       ELSE NULL END AS submatches
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // network family (function/ip.go): cidr_match + network_of over
+    // IPs synthesized deterministically from order keys
+    ("q_fn_net", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val ip = concat_ws(".",
+        lit("10"), (col("o_custkey") % 200).cast("string"),
+        (col("o_orderkey") % 250).cast("string"),
+        ((col("o_orderkey") * 7) % 250).cast("string"))
+      ZedOps.sort(
+        o.select(
+          col("o_orderkey"), ip.as("ip"),
+          F.networkOf(ip, lit(24)).as("net24"),
+          F.networkOf(ip, lit(16)).as("net16"),
+          F.cidrMatch(lit("10.42.0.0/16"), ip).as("in_42")),
+        col("o_orderkey") -> true)
+    },
+      Some("""SELECT o_orderkey,
+             |  '10.' || (o_custkey % 200) || '.' || (o_orderkey % 250) || '.'
+             |    || ((o_orderkey * 7) % 250) AS ip,
+             |  '10.' || (o_custkey % 200) || '.' || (o_orderkey % 250) || '.0/24' AS net24,
+             |  '10.' || (o_custkey % 200) || '.0.0/16' AS net16,
+             |  (o_custkey % 200) = 42 AS in_42
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // time family (function/time.go): strftime over ns-native event times
+    ("q_fn_time", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "events").select(
+          col("event_id"),
+          F.strftimeNs("%Y-%m-%dT%H:%M:%S", col("ts")).as("iso"),
+          F.strftimeNs("%j", col("ts")).as("doy"),
+          F.strftimeNs("%F %T", col("ts")).as("full")),
+        col("event_id") -> true),
+      Some("""SELECT event_id,
+             |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+             |  strftime(ts, '%j') AS doy,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS full
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // parsing family (function/parse.go): parse_uri over synthesized URIs
+    ("q_fn_parse", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val uri = concat(
+        lit("https://host"), (col("o_custkey") % 50).cast("string"),
+        lit(".example.com:8080/orders/"), col("o_orderkey").cast("string"),
+        lit("?status="), col("o_orderstatus"), lit("#frag"))
+      val u = F.parseUri(uri)
+      ZedOps.sort(
+        o.select(
+          col("o_orderkey"),
+          u.getField("scheme").as("scheme"),
+          u.getField("host").as("host"),
+          u.getField("port").as("port"),
+          u.getField("path").as("path"),
+          u.getField("query").getItem("status").as("status"),
+          u.getField("fragment").as("fragment")),
+        col("o_orderkey") -> true)
+    },
+      Some("""SELECT o_orderkey,
+             |  'https' AS scheme,
+             |  'host' || (o_custkey % 50) || '.example.com' AS host,
+             |  8080 AS port,
+             |  '/orders/' || o_orderkey AS path,
+             |  o_orderstatus AS status,
+             |  'frag' AS fragment
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // grok (function/grok.go): structured extraction from log-ish lines
+    ("q_fn_grok", (s, dir) => {
+      val e = t(s, dir, "events")
+      val line = concat(col("event_type"), lit(" "), col("user_id").cast("string"),
+        lit(" /api/v"), (col("user_id") % 3).cast("string"))
+      val g = F.grok("%{WORD:etype} %{INT:uid} %{URIPATH:path}", line)
+      ZedOps.sort(
+        e.select(
+          col("event_id"),
+          g.getField("etype").as("etype"),
+          g.getField("uid").as("uid"),
+          g.getField("path").as("path")),
+        col("event_id") -> true)
+    },
+      Some("""SELECT event_id, event_type AS etype,
+             |  CAST(user_id AS VARCHAR) AS uid,
+             |  '/api/v' || (user_id % 3) AS path
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // bytes/encoding family (function/bytes.go)
+    ("q_fn_bytes", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "nation").select(
+          col("n_nationkey"),
+          hex(col("n_name").cast("binary")).as("hexed"),
+          base64(col("n_name").cast("binary")).as("b64"),
+          decode(unbase64(base64(col("n_name").cast("binary"))), "UTF-8").as("roundtrip")),
+        col("n_nationkey") -> true),
+      Some("""SELECT n_nationkey,
+             |  hex(encode(n_name)) AS hexed,
+             |  base64(encode(n_name)) AS b64,
+             |  n_name AS roundtrip
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // type introspection family (function/types.go) — compile-time against
+    // the schema, like zed's semantic pass folding typeof over known types
+    ("q_fn_type", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(
+        Shaper.typeof(li, "l_orderkey").as("t_orderkey"),
+        Shaper.typeof(li, "l_quantity").as("t_quantity"),
+        Shaper.typeof(li, "l_returnflag").as("t_returnflag"),
+        Shaper.kind(li, "l_orderkey").as("k_orderkey"),
+        Shaper.has(li, "l_quantity").as("has_qty"),
+        Shaper.missing(li, "no_such_field").as("missing_nope")
+      ).limit(1)
+    },
+      Some("""SELECT 'int64' AS t_orderkey, 'float64' AS t_quantity,
+             |  'string' AS t_returnflag, 'primitive' AS k_orderkey,
+             |  true AS has_qty, true AS missing_nope""".stripMargin)),
+
+    // record/structural family: flatten-to-dotted + shaper cast/crop/fill/order
+    ("q_fn_flatten", (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), struct(col("c_name"), col("c_mktsegment")).as("info"))
+      ZedOps.sort(
+        Shaper.flattenDotted(c),
+        col("c_custkey") -> true)
+    },
+      Some("""SELECT c_custkey, c_name AS "info.c_name",
+             |  c_mktsegment AS "info.c_mktsegment"
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    ("q_fn_shape", (s, dir) => {
+      val target = StructType(Seq(
+        StructField("c_name", StringType),
+        StructField("c_custkey", IntegerType),
+        StructField("c_extra", StringType)))
+      ZedOps.sort(
+        Shaper.shapeTo(t(s, dir, "customer"), target),
+        col("c_custkey") -> true)
+    },
+      Some("""SELECT c_name, CAST(c_custkey AS INT) AS c_custkey,
+             |  CAST(NULL AS VARCHAR) AS c_extra
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // grep (function/grep.go): substring search across fields
+    ("q_fn_grep", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "documents")
+          .filter(F.grep("fast", col("text"), col("source")))
+          .select(col("doc_id"), col("source")),
+        col("doc_id") -> true),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE text LIKE '%fast%' OR source LIKE '%fast%'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // misc family (coalesce.go, len.go, compare.go)
+    ("q_fn_misc", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          coalesce(lit(null).cast("string"), col("c_mktsegment")).as("co"),
+          length(col("c_name")).as("len_str"),
+          size(split(col("c_name"), "#")).as("len_arr"),
+          F.compareVals(col("c_acctbal"), lit(0.0)).as("cmp"),
+          col("c_acctbal").cast("string").cast("double").as("cast_rt")),
+        col("c_custkey") -> true),
+      Some("""SELECT c_custkey,
+             |  coalesce(CAST(NULL AS VARCHAR), c_mktsegment) AS co,
+             |  length(c_name) AS len_str,
+             |  len(string_split(c_name, '#')) AS len_arr,
+             |  CASE WHEN c_acctbal < 0 THEN -1 WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS cmp,
+             |  c_acctbal AS cast_rt
+             |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type introspection + record/structural functions + the shaper
+  * (reference: runtime/sam/expr/function/types.go, fields.go, flatten.go,
+  * unflatten.go, nestdotted.go; shaper core runtime/sam/expr/shaper.go:19-44
+  * — Cast/Crop/Fill/Order compose as a bitmask, mirrored by ShapeFlags).
+  *
+  * In a relational frame types live in the schema, so the typeof family is
+  * COMPILE-TIME: each function inspects the DataFrame's StructType and
+  * emits literals/projections — zero runtime cost, exactly how zed's
+  * semantic pass folds typeof over known types.
+  */
+object Shaper {
+
+  /** Spark DataType → zed type syntax (docs/formats/zson.md type decorators). */
+  def zedTypeOf(dt: DataType): String = dt match {
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case _: DecimalType => "decimal"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case BinaryType => "bytes"
+    case TimestampType | TimestampNTZType | DateType => "time"
+    case _: DayTimeIntervalType => "duration"
+    case NullType => "null"
+    case ArrayType(e, _) => s"[${zedTypeOf(e)}]"
+    case MapType(k, v, _) => s"|{${zedTypeOf(k)}:${zedTypeOf(v)}}|"
+    case StructType(fields) =>
+      fields.map(f => s"${f.name}:${zedTypeOf(f.dataType)}").mkString("{", ",", "}")
+    case other => other.simpleString
+  }
+
+  /** zed `typeof(this)` for a whole frame — a type-value literal. */
+  def typeofRow(df: DataFrame): Column = lit(zedTypeOf(df.schema))
+
+  /** zed `typeof(field)` — plan-time lookup. */
+  def typeof(df: DataFrame, field: String): Column =
+    lit(zedTypeOf(fieldType(df.schema, field)))
+
+  /** zed `kind(e)` — "record" | "array" | "set" | "map" | "union" |
+    * "enum" | "error" | "primitive".
+    */
+  def kind(df: DataFrame, field: String): Column = lit(fieldType(df.schema, field) match {
+    case _: StructType => "record"
+    case _: ArrayType => "array"
+    case _: MapType => "map"
+    case _ => "primitive"
+  })
+
+  /** zed `has(field)` / `missing(field)` — plan-time schema membership. */
+  def has(df: DataFrame, field: String): Column =
+    lit(resolve(df.schema, field).isDefined)
+  def missing(df: DataFrame, field: String): Column =
+    lit(resolve(df.schema, field).isEmpty)
+
+  /** zed `fields(r)` — array of field-name paths of a record type. */
+  def fieldsOf(df: DataFrame): Column = {
+    val paths = leafPaths(df.schema, Nil)
+    array(paths.map(p => array(p.map(lit): _*)): _*)
+  }
+
+  private def resolve(schema: StructType, path: String): Option[StructField] = {
+    val parts = path.split("\\.").toList
+    def go(st: StructType, ps: List[String]): Option[StructField] = ps match {
+      case Nil => None
+      case p :: Nil => st.fields.find(_.name == p)
+      case p :: rest => st.fields.find(_.name == p).flatMap(_.dataType match {
+        case s: StructType => go(s, rest)
+        case _ => None
+      })
+    }
+    go(schema, parts)
+  }
+
+  private def fieldType(schema: StructType, path: String): DataType =
+    resolve(schema, path)
+      .getOrElse(throw new IllegalArgumentException(s"no such field: $path"))
+      .dataType
+
+  private def leafPaths(st: StructType, prefix: Seq[String]): Seq[Seq[String]] =
+    st.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType => leafPaths(s, prefix :+ f.name)
+        case _ => Seq(prefix :+ f.name)
+      }
+    }
+
+  // ---- flatten / unflatten / nest_dotted ------------------------------------
+
+  /** zed `flatten(r)` — [{key:[path…],value:string}] over the record's
+    * leaves (values carried as strings since leaves may differ in type —
+    * zed uses a union; see SURVEY.md §1.4).
+    */
+  def flattenCol(df: DataFrame): Column = {
+    val entries = leafPaths(df.schema, Nil).map { p =>
+      struct(
+        array(p.map(lit): _*).as("key"),
+        col(p.mkString(".")).cast("string").as("value"))
+    }
+    array(entries: _*)
+  }
+
+  /** DataFrame-level flatten: nested structs → dotted top-level columns
+    * (the practical unnesting form; pairs with nestDotted as its inverse).
+    */
+  def flattenDotted(df: DataFrame): DataFrame = {
+    val cols = leafPaths(df.schema, Nil).map { p =>
+      col(p.mkString(".")).as(p.mkString("."))
+    }
+    df.select(cols: _*)
+  }
+
+  /** zed `nest_dotted(r)` — group dotted column names into structs:
+    * {"a.b": 1, "a.c": 2, "d": 3} → {a: {b: 1, c: 2}, d: 3}.
+    */
+  def nestDotted(df: DataFrame): DataFrame = {
+    // backtick-quote so a literal dotted column name is not parsed as a path
+    def raw(name: String): Column = col(s"`$name`")
+    def build(names: Seq[(List[String], String)]): Seq[Column] = {
+      // preserve first-appearance order of heads
+      val heads = names.map(_._1.head).distinct
+      heads.map { h =>
+        val group = names.filter(_._1.head == h)
+        if (group.length == 1 && group.head._1.tail.isEmpty)
+          raw(group.head._2).as(h)
+        else {
+          val inner = build(group.map { case (ps, orig) =>
+            (if (ps.tail.isEmpty) List(ps.head) else ps.tail, orig)
+          }.filter(_._1.nonEmpty))
+          struct(inner: _*).as(h)
+        }
+      }
+    }
+    val named = df.columns.toSeq.map(c => (c.split("\\.").toList, c))
+    df.select(build(named): _*)
+  }
+
+  // ---- the shaper: cast / crop / fill / order --------------------------------
+
+  /** Shaper primitive bitmask (reference shaper.go:19-44). */
+  final case class ShapeFlags(
+      cast: Boolean = false,
+      crop: Boolean = false,
+      fill: Boolean = false,
+      order: Boolean = false)
+
+  object ShapeFlags {
+    val shape: ShapeFlags = ShapeFlags(cast = true, crop = true, fill = true, order = true)
+  }
+
+  /** Reshape a frame toward a target record type:
+    *  - crop:  drop source fields absent from target
+    *  - fill:  add target fields absent from source as typed nulls
+    *  - order: arrange common fields in target order (extras last)
+    *  - cast:  convert primitive leaf types to the target's
+    * Composable exactly like zed's shaper ops; `shapeTo` = all four.
+    */
+  def reshape(df: DataFrame, target: StructType, flags: ShapeFlags): DataFrame =
+    df.select(reshapeStruct(None, df.schema, target, flags): _*)
+
+  def castTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags(cast = true))
+  def cropTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags(crop = true))
+  def fillTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags(fill = true))
+  def orderTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags(order = true))
+  def shapeTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags.shape)
+
+  private def reshapeStruct(
+      parent: Option[Column],
+      src: StructType,
+      target: StructType,
+      flags: ShapeFlags
+  ): Seq[Column] = {
+    def colOf(name: String): Column =
+      parent.map(_.getField(name)).getOrElse(col(name))
+    def one(sf: StructField, tf: StructField): Column = (sf.dataType, tf.dataType) match {
+      case (s: StructType, t: StructType) =>
+        struct(reshapeStruct(Some(colOf(sf.name)), s, t, flags): _*).as(sf.name)
+      case (s, t) if flags.cast && s != t => colOf(sf.name).cast(t).as(sf.name)
+      case _ => colOf(sf.name).as(sf.name)
+    }
+    val targetIdx = target.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val common = src.fields.toSeq.flatMap { sf =>
+      targetIdx.get(sf.name).map(i => (i, one(sf, target.fields(i))))
+    }
+    val extras = src.fields.toSeq
+      .filterNot(f => targetIdx.contains(f.name))
+      .map(f => colOf(f.name).as(f.name))
+    val srcNames = src.fieldNames.toSet
+    val filled =
+      if (flags.fill)
+        target.fields.toSeq.filterNot(f => srcNames(f.name))
+          .map(f => (targetIdx(f.name), lit(null).cast(f.dataType).as(f.name)))
+      else Nil
+    val keptExtras = if (flags.crop) Nil else extras
+    if (flags.order)
+      (common ++ filled).sortBy(_._1).map(_._2) ++ keptExtras
+    else
+      common.map(_._2) ++ keptExtras ++ filled.map(_._2)
+  }
+}

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The zed scalar-function surface (reference dispatch:
+  * runtime/sam/expr/function/function.go:28-169; per-family files cited on
+  * each group) re-expressed over Spark built-ins — every function here
+  * compiles to Catalyst expressions (whole-stage codegen), no UDFs.
+  *
+  * Functions whose zed result is `error("missing")` return SQL NULL here —
+  * the engine's error-value convention (SURVEY.md §1.4).
+  */
+object ZedFunctions {
+
+  // ---- math (reference function/math.go) ----------------------------------
+  // abs/ceil/floor/round/sqrt/pow/log are Spark built-ins used directly.
+  // zed min/max are SCALAR n-ary functions (not aggregates):
+  def minScalar(cols: Column*): Column = least(cols: _*)
+  def maxScalar(cols: Column*): Column = greatest(cols: _*)
+
+  // ---- string (reference function/string.go) ------------------------------
+  // lower/upper/trim/replace/split/levenshtein are built-ins.
+  /** zed `join(arr [, sep])` — array of strings to string. */
+  def joinStr(arr: Column, sep: String = ""): Column = array_join(arr, sep)
+
+  /** zed `rune_len(s)` — count of unicode code points (Spark's length on
+    * strings is already character-based, not bytes).
+    */
+  def runeLen(s: Column): Column = length(s)
+
+  // ---- regexp (reference function/regexp.go) -------------------------------
+
+  /** Count capture groups in a Java regex (unescaped `(` not followed by
+    * `?`) — lets `regexp` build its submatch array at plan time.
+    */
+  private[graft] def groupCount(re: String): Int = {
+    var n = 0; var i = 0; var inClass = false
+    while (i < re.length) {
+      re.charAt(i) match {
+        case '\\' => i += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 >= re.length || re.charAt(i + 1) != '?') n += 1
+        case _ =>
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** zed `regexp(re, s)` — array of [match, group1, …] of the FIRST match
+    * (Go FindStringSubmatch); NULL (zed: error("missing")) when no match.
+    */
+  def regexpMatch(re: String, s: Column): Column = {
+    val groups = (0 to groupCount(re)).map(i => regexp_extract(s, re, i))
+    when(s.rlike(re), array(groups: _*)).otherwise(lit(null))
+  }
+  // regexp_replace is the built-in (zed semantics match: replace all)
+
+  // ---- grep (reference function/grep.go) -----------------------------------
+
+  /** zed `grep(pattern, e…)` — substring match over the string form of the
+    * given values (zed matches over the whole nested value; pass the
+    * columns to search, or a single to_json(struct(...)) for whole-record).
+    */
+  def grep(pattern: String, in: Column*): Column =
+    in.map(c => coalesce(c.cast("string").contains(lit(pattern)), lit(false)))
+      .reduce(_ || _)
+
+  // ---- time (reference function/time.go) -----------------------------------
+  // now() = current_timestamp(); bucket/every live in ZedOps.timeBucket*.
+
+  /** C-strftime → Java DateTimeFormatter pattern (the zed strftime surface;
+    * reference function/time.go strftime). Unsupported codes throw at plan
+    * time rather than silently mis-formatting.
+    */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def quote(s: String): String = if (s.isEmpty) "" else "'" + s.replace("'", "''") + "'"
+    var literal = new StringBuilder
+    def flush(): Unit = { sb.append(quote(literal.toString)); literal = new StringBuilder }
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        flush()
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy"); case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM");   case 'd' => sb.append("dd")
+          case 'e' => sb.append("d")
+          case 'H' => sb.append("HH");   case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm");   case 'S' => sb.append("ss")
+          case 'j' => sb.append("DDD")
+          case 'b' => sb.append("MMM");  case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE");  case 'A' => sb.append("EEEE")
+          case 'p' => sb.append("a")
+          case 'Z' => sb.append("zz");   case 'z' => sb.append("xx")
+          case 'T' => sb.append("HH:mm:ss")
+          case 'D' => sb.append("MM/dd/yy")
+          case 'F' => sb.append("yyyy-MM-dd")
+          case '%' => literal.append('%')
+          case c => throw new IllegalArgumentException(s"strftime: unsupported %$c")
+        }
+        i += 2
+      } else { literal.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** zed `strftime(fmt, t)` over a Spark timestamp column. */
+  def strftime(fmt: String, t: Column): Column = date_format(t, strftimeToJava(fmt))
+
+  /** Same over the engine's ns-since-epoch long time columns. */
+  def strftimeNs(fmt: String, tsNs: Column): Column =
+    strftime(fmt, timestamp_micros(Bridge.intDiv(tsNs, lit(1000L))))
+
+  // ---- parsing (reference function/parse.go, function/grok.go) -------------
+
+  /** zed `parse_uri(s)` → record {scheme, host, port, path, query, fragment}
+    * (query as a string→string map). NULL port when absent.
+    */
+  def parseUri(s: Column): Column = {
+    val authority = parse_url(s, lit("AUTHORITY"))
+    struct(
+      parse_url(s, lit("PROTOCOL")).as("scheme"),
+      parse_url(s, lit("HOST")).as("host"),
+      regexp_extract(authority, ":([0-9]+)$", 1).cast("int").as("port"),
+      parse_url(s, lit("PATH")).as("path"),
+      str_to_map(parse_url(s, lit("QUERY")), lit("&"), lit("=")).as("query"),
+      parse_url(s, lit("REF")).as("fragment")
+    )
+  }
+
+  // grok: the classic base-pattern dictionary, enough for the common
+  // log-parsing cases (reference function/grok.go uses a full grok lib;
+  // the pattern language subset here is %{PATTERN:field} / %{PATTERN}).
+  private val grokBase: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "BASE16NUM" -> "(?:0[xX])?[0-9a-fA-F]+",
+    "IP" -> "(?:\\d{1,3}\\.){3}\\d{1,3}",
+    "IPORHOST" -> "(?:(?:\\d{1,3}\\.){3}\\d{1,3}|[A-Za-z0-9._-]+)",
+    "HOSTNAME" -> "[A-Za-z0-9._-]+",
+    "URIPATH" -> "(?:/[A-Za-z0-9_.~%!$&'()*+,;=:@-]*)+",
+    "LOGLEVEL" -> "(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL)",
+    "TIMESTAMP_ISO8601" ->
+      "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?"
+  )
+
+  /** Compile a grok pattern to (java regex, captured field names). */
+  private[graft] def grokCompile(pattern: String): (String, Seq[String]) = {
+    val ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val regex = ref.replaceAllIn(pattern, m => {
+      val base = grokBase.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"grok: unknown pattern %{${m.group(1)}}"))
+      val quoted = java.util.regex.Matcher.quoteReplacement(base)
+      Option(m.group(2)) match {
+        case Some(field) => names += field; s"($quoted)"
+        case None => s"(?:$quoted)"
+      }
+    })
+    (regex, names.toSeq)
+  }
+
+  /** zed `grok(pattern, s)` → record of captured fields (strings); NULL
+    * when the pattern does not match.
+    */
+  def grok(pattern: String, s: Column): Column = {
+    val (re, names) = grokCompile(pattern)
+    require(names.nonEmpty, "grok pattern captures no fields")
+    val rec = struct(names.zipWithIndex.map { case (n, i) =>
+      regexp_extract(s, re, i + 1).as(n)
+    }: _*)
+    when(s.rlike(re), rec).otherwise(lit(null))
+  }
+
+  // ---- bytes / encoding (reference function/bytes.go) -----------------------
+  // base64/unbase64/hex/unhex are built-ins used directly.
+
+  // ---- network (reference function/ip.go) -----------------------------------
+  // IPv4 only; ip/net travel as strings (SURVEY.md §1.4 mapping).
+
+  /** Dotted-quad string → uint32-as-long. NULL for malformed input. */
+  def ip4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    when(size(p) === 4,
+      element_at(p, 1).cast("long") * 16777216L +
+        element_at(p, 2).cast("long") * 65536L +
+        element_at(p, 3).cast("long") * 256L +
+        element_at(p, 4).cast("long"))
+      .otherwise(lit(null))
+  }
+
+  private def long4ToIp(v: Column): Column =
+    concat_ws(".",
+      shiftright(v, 24).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 16).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 8).bitwiseAND(lit(255L)).cast("string"),
+      v.bitwiseAND(lit(255L)).cast("string"))
+
+  /** Network mask for a prefix length column (2^32 − 2^(32−p)). */
+  private def maskOf(prefix: Column): Column =
+    lit(4294967296L) - pow(lit(2.0), lit(32) - prefix).cast("long")
+
+  /** zed `cidr_match(net, ip)` — is ip within the CIDR block? Both sides
+    * may be columns; net is "a.b.c.d/p".
+    */
+  def cidrMatch(net: Column, ip: Column): Column = {
+    val base = ip4ToLong(split(net, "/").getItem(0))
+    val prefix = split(net, "/").getItem(1).cast("int")
+    val m = maskOf(prefix)
+    (ip4ToLong(ip).bitwiseAND(m)) === (base.bitwiseAND(m))
+  }
+
+  /** zed `network_of(ip [, prefixlen])` → "a.b.c.0/p" network string.
+    * One-arg form uses classful defaults (A/B/C), like the reference.
+    */
+  def networkOf(ip: Column, prefix: Column): Column =
+    concat(long4ToIp(ip4ToLong(ip).bitwiseAND(maskOf(prefix))), lit("/"),
+      prefix.cast("string"))
+
+  def networkOf(ip: Column): Column = {
+    val first = element_at(split(ip, "\\."), 1).cast("int")
+    val classful = when(first < 128, 8).when(first < 192, 16).otherwise(24)
+    networkOf(ip, classful)
+  }
+
+  // ---- misc (reference coalesce.go, len.go, compare.go) ----------------------
+  // coalesce is the built-in; len: use size() for arrays/maps and length()
+  // for strings (dispatch at plan time by the column's type).
+
+  /** zed `compare(a, b)` → -1/0/1 (nulls sort last, like zed's nullsMax). */
+  def compareVals(a: Column, b: Column): Column =
+    when(a.isNull && b.isNull, 0)
+      .when(a.isNull, 1)
+      .when(b.isNull, -1)
+      .when(a < b, -1).when(a > b, 1).otherwise(0)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Shaper, ZedFunctions => F}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("strftimeToJava converts the C codes zed supports") {
+    // literals are single-quoted for DateTimeFormatter safety
+    assert(F.strftimeToJava("%Y-%m-%d") == "yyyy'-'MM'-'dd")
+    assert(F.strftimeToJava("%F %T") == "yyyy-MM-dd' 'HH:mm:ss")
+    assert(F.strftimeToJava("at %H o'clock") == "'at 'HH' o''clock'")
+    intercept[IllegalArgumentException](F.strftimeToJava("%Q"))
+  }
+
+  test("groupCount counts only capturing groups") {
+    assert(F.groupCount("(a)(b)") == 2)
+    assert(F.groupCount("(?:a)(b)") == 1)
+    assert(F.groupCount("\\((a)") == 1)
+    assert(F.groupCount("[(](a)") == 1)
+  }
+
+  test("grokCompile produces ordered named captures") {
+    val (re, names) = F.grokCompile("%{WORD:w} %{INT:n} %{GREEDYDATA}")
+    assert(names == Seq("w", "n"))
+    assert("alpha 42 rest of it".matches(re))
+    intercept[IllegalArgumentException](F.grokCompile("%{NOPE:x}"))
+  }
+
+  test("cidr_match and network_of edge cases") {
+    val df = Seq(
+      ("10.1.2.3", "10.1.0.0/16", true),
+      ("10.2.2.3", "10.1.0.0/16", false),
+      ("192.168.1.77", "192.168.1.64/26", true),
+      ("192.168.1.128", "192.168.1.64/26", false),
+      ("255.255.255.255", "0.0.0.0/0", true)
+    ).toDF("ip", "net", "want")
+    val bad = df.filter(F.cidrMatch(col("net"), col("ip")) =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+    val nets = Seq(("10.1.2.3", 24, "10.1.2.0/24"), ("10.1.2.3", 8, "10.0.0.0/8"))
+      .toDF("ip", "p", "want")
+    val badN = nets.filter(F.networkOf(col("ip"), col("p")) =!= col("want")).collect()
+    assert(badN.isEmpty, badN.mkString(", "))
+    // classful one-arg form
+    val cls = Seq(("10.1.2.3", "10.0.0.0/8"), ("128.5.6.7", "128.5.0.0/16"),
+      ("200.1.2.3", "200.1.2.0/24")).toDF("ip", "want")
+    assert(cls.filter(F.networkOf(col("ip")) =!= col("want")).collect().isEmpty)
+  }
+
+  test("regexpMatch returns submatch array or null") {
+    val df = Seq("user=42", "nope").toDF("s")
+    val got = df.select(F.regexpMatch("user=([0-9]+)", col("s")).as("m"))
+      .collect().map(r => Option(r.getSeq[String](0)))
+    assert(got(0).contains(Seq("user=42", "42")))
+    assert(got(1).isEmpty)
+  }
+
+  test("shaper flags compose like zed's cast/crop/fill/order") {
+    val df = Seq((1L, "a", 2.5)).toDF("x", "y", "z")
+    val target = StructType(Seq(
+      StructField("y", StringType),
+      StructField("x", IntegerType),
+      StructField("w", StringType)))
+    // crop only: drops z, keeps source order/types
+    assert(Shaper.cropTo(df, target).columns.toSeq == Seq("x", "y"))
+    // fill only: adds w (null), keeps z
+    assert(Shaper.fillTo(df, target).columns.toSeq == Seq("x", "y", "z", "w"))
+    // order only: target order first, extras last
+    assert(Shaper.orderTo(df, target).columns.toSeq == Seq("y", "x", "z"))
+    // cast only: x becomes int
+    assert(Shaper.castTo(df, target).schema("x").dataType == IntegerType)
+    // shape = all four
+    val shaped = Shaper.shapeTo(df, target)
+    assert(shaped.columns.toSeq == Seq("y", "x", "w"))
+    assert(shaped.schema("x").dataType == IntegerType)
+    assert(shaped.select("w").first().isNullAt(0))
+  }
+
+  test("nestDotted groups dotted names into structs") {
+    val df = Seq((1, 2, 3)).toDF("a.b", "a.c", "d")
+    val out = Shaper.nestDotted(df)
+    assert(out.columns.toSeq == Seq("a", "d"))
+    assert(out.schema("a").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("b", "c"))
+    // flattenDotted is the inverse
+    val rt = Shaper.flattenDotted(out)
+    assert(rt.columns.toSeq == Seq("a.b", "a.c", "d"))
+  }
+
+  test("typeof maps Spark types to zed syntax") {
+    val df = Seq((1L, "s", 1.0)).toDF("a", "b", "c")
+      .withColumn("arr", array(col("a")))
+      .withColumn("rec", struct(col("a"), col("b")))
+    assert(Shaper.typeof(df, "a") == lit("int64") || true) // Column equality is structural; compare rendered values instead
+    val row = df.select(
+      Shaper.typeof(df, "a"), Shaper.typeof(df, "b"), Shaper.typeof(df, "c"),
+      Shaper.typeof(df, "arr"), Shaper.typeof(df, "rec"), Shaper.typeof(df, "rec.b"))
+      .first()
+    assert(row.toSeq == Seq("int64", "string", "float64", "[int64]",
+      "{a:int64,b:string}", "string"))
+  }
+}
