@@ -749,12 +749,200 @@ object SparkEntry {
              |FROM customer ORDER BY c_custkey""".stripMargin))
   )
 
+  // ==== the Zed language frontend (graft.lang: Lexer → Parser → Compiler) ====
+  // Every q_lang_* entry runs a *query string* through the full
+  // parse → semantic → Catalyst pipeline (reference compiler/parser/parser.peg,
+  // semantic/op.go) and is held to the same DuckDB oracle as the hand-built
+  // DataFrame twin above — the frontend must reproduce the engine exactly.
+
+  private def lang(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => graft.lang.Graft.query(s, dir, q)
+
+  private val mainOracle: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  private val langRegistry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    ("q_lang_q1", lang(
+      """from lineitem
+        || where l_shipdate <= 1998-09-02
+        || summarize sum_qty:=sum(cast(l_quantity,"decimal(18,2)")),
+        |    sum_base_price:=sum(cast(l_extendedprice,"decimal(18,2)")),
+        |    sum_disc_price:=sum(cast(l_extendedprice,"decimal(18,2)")
+        |                        * (cast(1,"decimal(18,2)") - cast(l_discount,"decimal(18,2)"))),
+        |    avg_qty:=avg(l_quantity), count_order:=count()
+        |  by l_returnflag, l_linestatus
+        || put sum_qty:=cast(sum_qty,"float64"), sum_base_price:=cast(sum_base_price,"float64"),
+        |      sum_disc_price:=cast(sum_disc_price,"float64"), avg_qty:=round(avg_qty,4)
+        || sort l_returnflag, l_linestatus""".stripMargin),
+      Some(mainOracle("q1_agg"))),
+
+    ("q_lang_where", lang(
+      """from lineitem | where l_returnflag=="R" and l_quantity==30.0
+        || cut l_orderkey, l_linenumber, l_quantity | sort l_orderkey, l_linenumber""".stripMargin),
+      Some(mainOracle("q_where"))),
+
+    ("q_lang_cut", lang(
+      "from lineitem | cut l_orderkey, l_linenumber, l_shipdate | sort l_orderkey, l_linenumber"),
+      Some(mainOracle("q_cut"))),
+
+    ("q_lang_put", lang(
+      """from lineitem
+        || put revenue:=cast(cast(l_extendedprice,"decimal(18,2)")
+        |       * (cast(1,"decimal(18,2)") - cast(l_discount,"decimal(18,2)")),"float64")
+        || cut l_orderkey, l_linenumber, revenue | sort l_orderkey, l_linenumber""".stripMargin),
+      Some(mainOracle("q_put"))),
+
+    ("q_lang_drop", lang(
+      "from part | drop p_name, p_brand, p_type | sort p_partkey"),
+      Some(mainOracle("q_drop"))),
+
+    ("q_lang_rename", lang(
+      "from nation | rename name:=n_name | sort n_nationkey"),
+      Some(mainOracle("q_rename"))),
+
+    ("q_lang_sort", lang(
+      "from orders | cut o_orderkey, o_totalprice | sort o_totalprice desc, o_orderkey"),
+      Some(mainOracle("q_sort"))),
+
+    ("q_lang_head", lang(
+      "from orders | cut o_orderkey, o_totalprice | sort o_orderkey | head 10"),
+      Some(mainOracle("q_head"))),
+
+    ("q_lang_tail", lang(
+      "from orders | cut o_orderkey, o_totalprice | tail 10"),
+      Some(mainOracle("q_tail"))),
+
+    ("q_lang_top", lang(
+      "from orders | cut o_orderkey, o_totalprice | top 5 o_totalprice, o_orderkey"),
+      Some(mainOracle("q_top"))),
+
+    ("q_lang_uniq", lang(
+      "from lineitem | cut l_returnflag, l_linestatus | sort l_returnflag, l_linestatus | uniq"),
+      Some(mainOracle("q_uniq"))),
+
+    ("q_lang_uniq_count", lang(
+      "from lineitem | cut l_returnflag, l_linestatus | sort l_returnflag, l_linestatus | uniq -c"),
+      Some(mainOracle("q_uniq_count"))),
+
+    ("q_lang_count", lang("from lineitem | count()"),
+      Some(mainOracle("q_count"))),
+
+    ("q_lang_count_by", lang(
+      "from events | count() by event_type | sort event_type"),
+      Some(mainOracle("q_count_by"))),
+
+    ("q_lang_agg_stats", lang(
+      """from events
+        || summarize sum_value:=sum(value), avg_value:=avg(value),
+        |    min_value:=min(value), max_value:=max(value) by event_type
+        || put sum_value:=round(sum_value,2), avg_value:=round(avg_value,4)
+        || sort event_type""".stripMargin),
+      Some(mainOracle("q_agg_stats"))),
+
+    ("q_lang_every", lang(
+      """from events | summarize count:=count(), sum_value:=sum(value) by bucket:=every(1h)
+        || put sum_value:=round(sum_value,2) | sort bucket""".stripMargin),
+      Some(mainOracle("q_every"))),
+
+    ("q_lang_count_distinct", lang(
+      "from events | summarize dusers:=count_distinct(user_id) by event_type | sort event_type"),
+      Some(mainOracle("q_count_distinct"))),
+
+    // agg `where` clause (summarize.md: per-aggregate input filter)
+    ("q_lang_agg_where", lang(
+      """from events | summarize n_hi:=count() where value > 50.0, n:=count() by event_type
+        || sort event_type""".stripMargin),
+      Some("""SELECT event_type,
+             |  count(*) FILTER (WHERE "value" > 50.0) AS n_hi,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("q_lang_join_inner", lang(
+      """from orders | inner join (from customer) on o_custkey=c_custkey c_name, c_mktsegment
+        || cut o_orderkey, c_name, c_mktsegment | sort o_orderkey""".stripMargin),
+      Some(mainOracle("q_join_inner"))),
+
+    ("q_lang_join_left", lang(
+      """from customer | left join (from orders) on c_custkey=o_custkey o_orderkey
+        || summarize n_orders:=count(o_orderkey) by c_custkey | sort c_custkey""".stripMargin),
+      Some(mainOracle("q_join_left"))),
+
+    ("q_lang_join_anti", lang(
+      """from customer | cut c_custkey
+        || anti join (from orders | where o_orderstatus=="P") on c_custkey=o_custkey
+        || sort c_custkey""".stripMargin),
+      Some(mainOracle("q_join_anti"))),
+
+    // single-pass switch: projection-shaped branches compile to CASE chains
+    ("q_lang_switch", lang(
+      """from events
+        || switch (
+        |    case event_type=="purchase" => cut event_id, branch:="p"
+        |    case event_type=="error" => cut event_id, branch:="e"
+        |    default => cut event_id, branch:="other"
+        |  )
+        || sort event_id""".stripMargin),
+      Some(mainOracle("q_switch"))),
+
+    ("q_lang_merge", lang(
+      """from orders
+        || fork (
+        |    => where o_orderstatus=="F" | cut o_orderkey, o_orderstatus
+        |    => where o_orderstatus=="O" | cut o_orderkey, o_orderstatus
+        |  )
+        || merge o_orderkey""".stripMargin),
+      Some(mainOracle("q_merge"))),
+
+    ("q_lang_fuse", lang(
+      """from orders
+        || fork (
+        |    => cut id:=o_orderkey, amount:=o_totalprice
+        |    => from customer | cut id:=c_custkey, name:=c_name
+        |  )
+        || fuse | sort id, amount, name""".stripMargin),
+      Some(mainOracle("q_fuse"))),
+
+    ("q_lang_over", lang(
+      """from embeddings | over embedding with vec_id => ( yield {vec_id, elem:this} )
+        || sort vec_id, elem""".stripMargin),
+      Some(mainOracle("q_over"))),
+
+    // yield with record constructor + plan-time typeof (function/types.go)
+    ("q_lang_yield", lang(
+      """from events | yield {event_id, double_val:value*2.0, vtype:typeof(value)}
+        || sort event_id""".stripMargin),
+      Some("""SELECT event_id, "value"*2.0 AS double_val, 'float64' AS vtype
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    ("q_lang_assert", lang(
+      """from lineitem | cut l_orderkey, l_linenumber, l_quantity
+        || assert l_quantity > 0 | sort l_orderkey, l_linenumber""".stripMargin),
+      Some(mainOracle("q_assert"))),
+
+    ("q_lang_grep", lang(
+      """from documents | where grep("fast", text, source) | cut doc_id, source | sort doc_id""".stripMargin),
+      Some(mainOracle("q_fn_grep"))),
+
+    // scalar-function expressions through the language
+    ("q_lang_fn", lang(
+      """from customer
+        || put lo:=lower(c_name), rlen:=rune_len(c_name),
+        |      repl:=replace(c_name,"Customer","Cust"),
+        |      seg3:=upper(c_mktsegment), bal2:=round(c_acctbal*2.0,2)
+        || cut c_custkey, lo, rlen, repl, seg3, bal2 | sort c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, lower(c_name) AS lo, length(c_name) AS rlen,
+             |  replace(c_name,'Customer','Cust') AS repl,
+             |  upper(c_mktsegment) AS seg3, round(c_acctbal*2.0,2) AS bal2
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (n, fn, _) => n -> fn }.toMap
+    (registry ++ langRegistry).map { case (n, fn, _) => n -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    (registry ++ langRegistry).collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,87 @@
+package graft.lang
+
+/** AST for the Zed/SuperPipe language subset (reference grammar:
+  * compiler/parser/parser.peg; operator semantics compiler/semantic/op.go).
+  * The shapes mirror the reference's ast package conceptually but are
+  * reduced to what the Spark compiler consumes.
+  */
+sealed trait Expr
+
+object Expr {
+  final case class IntLit(v: Long) extends Expr
+  final case class FloatLit(v: Double) extends Expr
+  final case class StringLit(v: String) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  case object NullLit extends Expr
+  /** ISO date/timestamp literal; ns since epoch (zed time is ns-native). */
+  final case class TimeLit(epochNs: Long, text: String) extends Expr
+  /** Duration literal like 1h / 30m / 250ms; exact ns. */
+  final case class DurationLit(ns: Long, text: String) extends Expr
+  /** Dotted field path; empty parts = `this` (the whole value). */
+  final case class Path(parts: Seq[String]) extends Expr
+  final case class Index(e: Expr, idx: Expr) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr
+  final case class Cond(c: Expr, t: Expr, f: Expr) extends Expr
+  final case class Call(fn: String, args: Seq[Expr]) extends Expr
+  final case class RecordLit(fields: Seq[(String, Expr)]) extends Expr
+  final case class ArrayLit(items: Seq[Expr]) extends Expr
+
+  /** Default output-field name inference (semantic/op.go: field inferred
+    * from the right-hand side — `by lower(s)` names the key `lower`).
+    */
+  def inferName(e: Expr): String = e match {
+    case Path(parts) if parts.nonEmpty => parts.last
+    case Path(_) => "this"
+    case Call(fn, _) => fn
+    case Index(inner, _) => inferName(inner)
+    case _ => "value"
+  }
+}
+
+/** One aggregate call inside summarize: [field:=]agg(arg) [where expr]. */
+final case class AggCall(fn: String, arg: Option[Expr], where: Option[Expr])
+
+sealed trait Stage
+
+object Stage {
+  final case class From(table: String) extends Stage
+  final case class Where(e: Expr) extends Stage
+  final case class Cut(fields: Seq[(String, Option[Expr])]) extends Stage
+  final case class Put(assigns: Seq[(String, Expr)]) extends Stage
+  final case class Drop(paths: Seq[String]) extends Stage
+  final case class Rename(renames: Seq[(String, String)]) extends Stage
+  final case class Sort(
+      keys: Seq[(Expr, Boolean)], // (expr, ascending)
+      nullsFirst: Boolean) extends Stage
+  final case class Head(n: Int) extends Stage
+  final case class Tail(n: Int) extends Stage
+  final case class Top(n: Int, keys: Seq[Expr]) extends Stage
+  final case class Uniq(withCount: Boolean) extends Stage
+  final case class Summarize(
+      aggs: Seq[(String, AggCall)],
+      keys: Seq[(String, Expr)]) extends Stage
+  final case class Join(
+      style: String, // anti | inner | left | right
+      right: Pipeline,
+      leftKey: Expr,
+      rightKey: Expr,
+      graft: Seq[(String, Expr)]) extends Stage
+  final case class Fork(branches: Seq[Pipeline]) extends Stage
+  final case class Switch(
+      subject: Option[Expr],
+      cases: Seq[(Expr, Pipeline)],
+      default: Option[Pipeline]) extends Stage
+  final case class Merge(keys: Seq[(Expr, Boolean)]) extends Stage
+  case object Combine extends Stage
+  final case class Over(
+      exprs: Seq[Expr],
+      withVars: Seq[(String, Expr)],
+      body: Option[Pipeline]) extends Stage
+  final case class Yield(exprs: Seq[Expr]) extends Stage
+  case object Fuse extends Stage
+  case object Pass extends Stage
+  final case class Assert(e: Expr, text: String) extends Stage
+}
+
+final case class Pipeline(stages: Seq[Stage])

@@ -1,0 +1,578 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSession
+import graft.operators.ZedOps
+import graft.functions.{Bridge, Shaper, ZedFunctions => F}
+
+/** Compiles a parsed Zed pipeline into a Spark DataFrame plan.
+  *
+  * This is the analog of the reference's semantic pass + kernel builder
+  * (compiler/semantic/op.go, compiler/kernel/op.go) — except the output is
+  * a declarative Catalyst plan, so zed's own optimizer/parallelizer stages
+  * (pushdown, pruning, scatter/merge partial aggs) are inherited from
+  * Catalyst + AQE rather than reimplemented.
+  *
+  * Branch state: `fork`/`switch` yield several frames; a following `merge`
+  * sorts their union, anything else implies `combine` (semantic/op.go's
+  * auto-inserted combine).
+  */
+final class Compiler(spark: SparkSession, dir: String) {
+
+  def run(p: Pipeline): DataFrame = {
+    val frames = compilePipeline(None, p)
+    combineAll(frames)
+  }
+
+  def runOn(input: DataFrame, p: Pipeline): DataFrame =
+    combineAll(compilePipeline(Some(input), p))
+
+  private def combineAll(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  private def compilePipeline(input: Option[DataFrame], p: Pipeline): Seq[DataFrame] = {
+    var state: Seq[DataFrame] = input.toSeq
+    for (stage <- p.stages) state = compileStage(state, stage)
+    require(state.nonEmpty, "pipeline has no source (missing `from`)")
+    state
+  }
+
+  private def single(state: Seq[DataFrame]): DataFrame = {
+    require(state.nonEmpty, "operator needs an upstream source (missing `from`)")
+    combineAll(state)
+  }
+
+  private def compileStage(state: Seq[DataFrame], stage: Stage): Seq[DataFrame] =
+    stage match {
+      case Stage.From(table) =>
+        // a new source mid-pipeline replaces the stream (CLI `from` form)
+        Seq(GraftSession.table(spark, dir, table))
+
+      case Stage.Where(e) =>
+        val df = single(state)
+        Seq(df.filter(expr(df, e)))
+
+      case Stage.Cut(fields) =>
+        val df = single(state)
+        val cols = fields.map {
+          case (name, Some(e)) => expr(df, e).as(name)
+          case (name, None) => col(name).as(name.split("\\.").last)
+        }
+        Seq(df.select(cols: _*))
+
+      case Stage.Put(assigns) =>
+        val df = single(state)
+        Seq(ZedOps.put(df, assigns.map { case (n, e) => n -> expr(df, e) }: _*))
+
+      case Stage.Drop(paths) =>
+        Seq(ZedOps.drop(single(state), paths: _*))
+
+      case Stage.Rename(renames) =>
+        Seq(ZedOps.rename(single(state), renames: _*))
+
+      case Stage.Sort(keys, nullsFirst) =>
+        val df = single(state)
+        val resolved =
+          if (keys.nonEmpty) keys.map { case (e, asc) => (expr(df, e), asc) }
+          else Seq((guessSortKey(df), true))
+        val ordered = resolved.map { case (c, asc) =>
+          (asc, nullsFirst) match {
+            case (true, false) => c.asc_nulls_last
+            case (true, true) => c.asc_nulls_first
+            case (false, false) => c.desc_nulls_last
+            case (false, true) => c.desc_nulls_first
+          }
+        }
+        Seq(df.orderBy(ordered: _*))
+
+      case Stage.Head(n) => Seq(ZedOps.head(single(state), n))
+
+      case Stage.Tail(n) =>
+        val df = single(state)
+        Seq(ZedOps.tail(df, n, guessSortKey(df)))
+
+      case Stage.Top(n, keys) =>
+        val df = single(state)
+        val ks = if (keys.nonEmpty) keys.map(expr(df, _)) else Seq(guessSortKey(df))
+        Seq(ZedOps.top(df, n, ks: _*))
+
+      case Stage.Uniq(withCount) =>
+        val df = single(state)
+        Seq(if (withCount) ZedOps.uniqCount(df) else ZedOps.uniq(df))
+
+      case Stage.Summarize(aggs, keys) =>
+        val df = single(state)
+        val keyCols = keys.map { case (n, e) => n -> expr(df, e) }
+        val aggCols = aggs.map { case (n, a) => n -> aggColumn(df, a) }
+        Seq(ZedOps.summarize(df, keyCols, aggCols))
+
+      case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
+        val left = single(state)
+        val right = combineAll(compilePipeline(None, rightPipe))
+        Seq(ZedOps.join(
+          left, right,
+          expr(left, lk), expr(right, rk), style,
+          graftFields.map { case (n, e) => n -> expr(right, e) }))
+
+      case Stage.Fork(branches) =>
+        val df = single(state)
+        branches.flatMap(b => compilePipeline(Some(df), b))
+
+      case Stage.Switch(subject, cases, default) =>
+        compileSwitch(single(state), subject, cases, default)
+
+      case Stage.Merge(keys) =>
+        val df = single(state) // union of branches
+        Seq(ZedOps.sort(df, keys.map { case (e, asc) => (expr(df, e), asc) }: _*))
+
+      case Stage.Combine => Seq(single(state))
+
+      case Stage.Over(exprs, withVars, body) =>
+        val df = single(state)
+        val elem =
+          if (exprs.length == 1) expr(df, exprs.head)
+          else array(exprs.map(expr(df, _)): _*)
+        val kept = withVars.map { case (n, e) => expr(df, e).as(n) }
+        val exploded = df.select(kept :+ explode(elem).as("this"): _*)
+        body match {
+          case None => Seq(exploded)
+          case Some(p) => compilePipeline(Some(exploded), p)
+        }
+
+      case Stage.Yield(exprs) =>
+        val df = single(state)
+        exprs match {
+          case Seq(Expr.RecordLit(fields)) =>
+            Seq(df.select(fields.map { case (n, e) => expr(df, e).as(n) }: _*))
+          case Seq(e) =>
+            Seq(df.select(expr(df, e).as(Expr.inferName(e))))
+          case many =>
+            // N exprs per input value, left-to-right (yield.go:1-47)
+            Seq(df.select(explode(array(many.map(expr(df, _)): _*)).as("this")))
+        }
+
+      case Stage.Fuse => Seq(single(state)) // union already unified schema
+
+      case Stage.Pass => state
+
+      case Stage.Assert(e, text) =>
+        val df = single(state)
+        Seq(ZedOps.assertOp(df, expr(df, e), text))
+    }
+
+  /** Switch compiles to ONE scan when every branch is projection-shaped
+    * (pass/put/cut/record-yield): per-output-column first-match-wins CASE
+    * chains (ZedOps.switchCase contract). Otherwise falls back to
+    * per-branch filtered sub-plans (N scans — zed's own model).
+    */
+  private def compileSwitch(
+      df: DataFrame,
+      subject: Option[Expr],
+      cases: Seq[(Expr, Pipeline)],
+      default: Option[Pipeline]
+  ): Seq[DataFrame] = {
+    def casePred(c: Expr): Column = subject match {
+      case Some(s) => expr(df, s) === expr(df, c)
+      case None => expr(df, c)
+    }
+
+    def projectionOf(p: Pipeline): Option[Seq[(String, Column)]] = {
+      var cols: Option[Seq[(String, Column)]] = Some(df.columns.toSeq.map(c => c -> col(c)))
+      for (s <- p.stages) s match {
+        case Stage.Pass => ()
+        case Stage.Put(assigns) =>
+          cols = cols.map { cur =>
+            val m = scala.collection.mutable.LinkedHashMap(cur: _*)
+            assigns.foreach { case (n, e) => m(n) = expr(df, e) }
+            m.toSeq
+          }
+        case Stage.Cut(fields) =>
+          cols = cols.flatMap { cur =>
+            val m = cur.toMap
+            val picked = fields.map {
+              case (n, Some(e)) => n -> expr(df, e)
+              case (n, None) => n -> m.getOrElse(n, col(n))
+            }
+            Some(picked)
+          }
+        case Stage.Yield(Seq(Expr.RecordLit(fields))) =>
+          cols = Some(fields.map { case (n, e) => n -> expr(df, e) })
+        case _ => cols = None
+      }
+      cols
+    }
+
+    val branchProjs = cases.map { case (_, p) => projectionOf(p) }
+    val defaultProj = default.map(projectionOf)
+
+    if (branchProjs.forall(_.isDefined) && defaultProj.forall(_.isDefined)) {
+      // single-pass: names = union across branches, missing → typed null
+      val projs = branchProjs.map(_.get)
+      val dflt = defaultProj.map(_.get)
+      val names = (projs ++ dflt.toSeq).flatMap(_.map(_._1)).distinct
+      val preds = cases.map { case (c, _) => coalesce(casePred(c), lit(false)) }
+      val out = names.map { name =>
+        val chain = projs.zip(preds).foldRight(
+          dflt.flatMap(_.toMap.get(name)).getOrElse(lit(null))
+        ) { case ((proj, pred), els) =>
+          when(pred, proj.toMap.getOrElse(name, lit(null))).otherwise(els)
+        }
+        chain.as(name)
+      }
+      val matched = if (default.isDefined) lit(true) else preds.reduce(_ || _)
+      Seq(df.filter(matched).select(out: _*))
+    } else {
+      // general sub-pipelines: first-match-wins accumulated negation
+      val guarded = cases.zipWithIndex.flatMap { case ((c, p), i) =>
+        val priors = cases.take(i).map { case (pc, _) => casePred(pc) }
+        val full = priors.foldLeft(casePred(c)) { (acc, pr) =>
+          acc && !coalesce(pr, lit(false))
+        }
+        compilePipeline(Some(df.filter(full)), p)
+      }
+      val dflt = default.toSeq.flatMap { p =>
+        val nonePrior = cases.map { case (pc, _) => !coalesce(casePred(pc), lit(false)) }
+          .reduce(_ && _)
+        compilePipeline(Some(df.filter(nonePrior)), p)
+      }
+      guarded ++ dflt
+    }
+  }
+
+  /** sort-key heuristic (docs/language/operators/sort.md:40-60): first
+    * integer field, else first float, else first non-time field.
+    */
+  private def guessSortKey(df: DataFrame): Column = {
+    val fs = df.schema.fields
+    fs.find(f => isIntType(f.dataType))
+      .orElse(fs.find(f => f.dataType == DoubleType || f.dataType == FloatType))
+      .orElse(fs.find(f => !f.dataType.isInstanceOf[TimestampType]))
+      .map(f => col(f.name))
+      .getOrElse(col(fs.head.name))
+  }
+
+  // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------
+
+  private def aggColumn(df: DataFrame, a: AggCall): Column = {
+    val base = a.arg.map(expr(df, _))
+    // `agg(e) where w` — deliver only matching inputs (null ignored by aggs)
+    def guarded(c: Column): Column = a.where match {
+      case Some(w) => when(expr(df, w), c)
+      case None => c
+    }
+    a.fn match {
+      case "count" => count(guarded(base.getOrElse(lit(1))))
+      case "sum" => sum(guarded(base.get))
+      case "avg" => avg(guarded(base.get))
+      case "min" => min(guarded(base.get))
+      case "max" => max(guarded(base.get))
+      case "any" => first(guarded(base.get), ignoreNulls = true)
+      case "dcount" => approx_count_distinct(guarded(base.get))
+      case "count_distinct" => count_distinct(guarded(base.get))
+      case "collect" => collect_list(guarded(base.get))
+      case "union" => collect_set(guarded(base.get))
+      case "and" => bool_and(guarded(base.get))
+      case "or" => bool_or(guarded(base.get))
+      case "collect_map" =>
+        map_from_entries(flatten(collect_list(map_entries(guarded(base.get)))))
+      case "fuse" =>
+        // type-fusing agg (agg/fuse.go): with a relational frame the fused
+        // type is static — fold at plan time like zed's semantic pass
+        val t = a.arg match {
+          case Some(Expr.Path(Seq())) | None => Shaper.zedTypeOf(df.schema)
+          case Some(Expr.Path(parts)) =>
+            Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
+          case Some(other) => Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType)
+        }
+        first(lit(s"<$t>"))
+      case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+    }
+  }
+
+  // ---- expressions -----------------------------------------------------------
+
+  private def dtypeOf(df: DataFrame, e: Expr): Option[DataType] = e match {
+    case Expr.Path(Seq()) => None
+    case Expr.Path(parts) =>
+      def walk(dt: DataType, ps: Seq[String]): Option[DataType] = (dt, ps) match {
+        case (t, Seq()) => Some(t)
+        case (st: StructType, p +: rest) =>
+          st.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+      walk(df.schema, parts)
+    case Expr.IntLit(_) => Some(LongType)
+    case Expr.FloatLit(_) => Some(DoubleType)
+    case Expr.StringLit(_) => Some(StringType)
+    case Expr.BoolLit(_) => Some(BooleanType)
+    case Expr.TimeLit(_, _) => Some(TimestampType)
+    case Expr.DurationLit(_, _) => Some(LongType)
+    case Expr.Unary(_, inner) => dtypeOf(df, inner)
+    case Expr.Binary(op, l, r) if Set("+", "-", "*", "/", "%")(op) =>
+      (dtypeOf(df, l), dtypeOf(df, r)) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
+        case (a, _) => a
+      }
+    case Expr.Call(fn, _) if Set("lower", "upper", "trim", "replace", "join",
+      "strftime", "network_of", "hex", "base64", "string")(fn) => Some(StringType)
+    case _ => None
+  }
+
+  private def isIntType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def isStringy(df: DataFrame, e: Expr): Boolean =
+    dtypeOf(df, e).contains(StringType)
+
+  private def isIntegral(df: DataFrame, e: Expr): Boolean =
+    dtypeOf(df, e).exists(isIntType)
+
+  /** ns-long time columns (parquet nanosAsLong — GraftSession) compare
+    * against time literals in the exact ns domain.
+    */
+  private def timeOperand(df: DataFrame, other: Expr, t: Expr.TimeLit): Column =
+    dtypeOf(df, other) match {
+      case Some(LongType) => lit(t.epochNs)
+      case _ => lit(java.time.Instant.ofEpochSecond(
+        t.epochNs / 1000000000L, t.epochNs % 1000000000L))
+    }
+
+  def expr(df: DataFrame, e: Expr): Column = e match {
+    case Expr.IntLit(v) => lit(v)
+    case Expr.FloatLit(v) => lit(v)
+    case Expr.StringLit(v) => lit(v)
+    case Expr.BoolLit(v) => lit(v)
+    case Expr.NullLit => lit(null)
+    case t @ Expr.TimeLit(ns, _) =>
+      lit(java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L))
+    case Expr.DurationLit(ns, _) => lit(ns)
+
+    case Expr.Path(Seq()) =>
+      if (df.columns.contains("this")) col("this")
+      else struct(df.columns.map(col).toIndexedSeq: _*)
+    case Expr.Path(parts) => col(parts.mkString("."))
+
+    case Expr.Index(inner, Expr.StringLit(k)) => expr(df, inner).getItem(k)
+    case Expr.Index(inner, idx) =>
+      // zed arrays are 0-indexed; negative indexes from the end
+      val arr = expr(df, inner)
+      idx match {
+        case Expr.IntLit(i) if i >= 0 => element_at(arr, (i + 1).toInt)
+        case Expr.IntLit(i) => element_at(arr, i.toInt)
+        case other => element_at(arr, (expr(df, other) + lit(1)).cast("int"))
+      }
+
+    case Expr.Unary("-", inner) => -expr(df, inner)
+    case Expr.Unary("not", inner) => !expr(df, inner)
+    case Expr.Unary("!", inner) => !expr(df, inner)
+    case Expr.Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
+
+    case Expr.Binary(op, l, r) => binary(df, op, l, r)
+
+    case Expr.Cond(c, t, f) =>
+      when(expr(df, c), expr(df, t)).otherwise(expr(df, f))
+
+    case Expr.Call(fn, args) => call(df, fn, args)
+
+    case Expr.RecordLit(fields) =>
+      struct(fields.map { case (n, fe) => expr(df, fe).as(n) }: _*)
+
+    case Expr.ArrayLit(items) => array(items.map(expr(df, _)): _*)
+  }
+
+  private def binary(df: DataFrame, op: String, l: Expr, r: Expr): Column = {
+    // time-literal vs ns-long column: compare in the ns domain
+    val (lc, rc) = (l, r) match {
+      case (t: Expr.TimeLit, _) => (timeOperand(df, r, t), expr(df, r))
+      case (_, t: Expr.TimeLit) => (expr(df, l), timeOperand(df, l, t))
+      case _ => (expr(df, l), expr(df, r))
+    }
+    op match {
+      case "+" =>
+        if (isStringy(df, l) || isStringy(df, r)) concat(lc, rc) else lc + rc
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" =>
+        // zed int/int stays integral (expr/eval.go coercion lattice)
+        if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
+        else lc / rc
+      case "%" => lc % rc
+      case "==" => lc === rc
+      case "!=" => lc =!= rc
+      case "<" => lc < rc
+      case "<=" => lc <= rc
+      case ">" => lc > rc
+      case ">=" => lc >= rc
+      case "and" => lc && rc
+      case "or" => lc || rc
+      case "=~" =>
+        r match {
+          case Expr.StringLit(re) => lc.rlike(re)
+          case _ => throw new IllegalArgumentException("=~ needs a literal regexp")
+        }
+      case "in" => array_contains(rc, lc)
+      case other => throw new IllegalArgumentException(s"binary op $other")
+    }
+  }
+
+  /** zed type names → Spark DDL (SURVEY.md §1.4 mapping). */
+  private def zedTypeToDdl(name: String): String = name match {
+    case "int8" => "tinyint"
+    case "int16" => "smallint"
+    case "int32" => "int"
+    case "int64" => "bigint"
+    case "uint8" => "smallint"
+    case "uint16" => "int"
+    case "uint32" => "bigint"
+    case "uint64" => "decimal(20,0)"
+    case "float16" | "float32" => "float"
+    case "float64" => "double"
+    case "bool" => "boolean"
+    case "bytes" => "binary"
+    case "time" => "timestamp"
+    case "duration" => "bigint"
+    case "ip" | "net" => "string"
+    case other => other // already a Spark DDL type (decimal(18,2), string…)
+  }
+
+  private def call(df: DataFrame, fn: String, args: Seq[Expr]): Column = {
+    def a(i: Int): Column = expr(df, args(i))
+    def litStr(i: Int): String = args(i) match {
+      case Expr.StringLit(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+    fn match {
+      // math (function/math.go)
+      case "abs" => abs(a(0))
+      case "ceil" => ceil(a(0))
+      case "floor" => floor(a(0))
+      case "round" => if (args.length > 1) round(a(0), args(1).asInstanceOf[Expr.IntLit].v.toInt) else round(a(0))
+      case "pow" => pow(a(0), a(1))
+      case "sqrt" => sqrt(a(0))
+      case "log" => log(a(0))
+      case "min" => F.minScalar(args.map(expr(df, _)): _*)
+      case "max" => F.maxScalar(args.map(expr(df, _)): _*)
+
+      // string (function/string.go)
+      case "lower" => lower(a(0))
+      case "upper" => upper(a(0))
+      case "trim" => trim(a(0))
+      case "replace" => replace(a(0), a(1), a(2))
+      case "split" => split(a(0), java.util.regex.Pattern.quote(litStr(1)))
+      case "join" => F.joinStr(a(0), if (args.length > 1) litStr(1) else "")
+      case "rune_len" => F.runeLen(a(0))
+      case "levenshtein" => levenshtein(a(0), a(1))
+
+      // regexp (function/regexp.go)
+      case "regexp" => F.regexpMatch(litStr(0), a(1))
+      case "regexp_replace" => regexp_replace(a(0), litStr(1), litStr(2))
+
+      // grep (function/grep.go): no value arg → search the whole record
+      case "grep" =>
+        val targets =
+          if (args.length > 1) args.drop(1).map(expr(df, _))
+          else df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name)).toSeq
+        F.grep(litStr(0), targets: _*)
+
+      // time (function/time.go)
+      case "now" => current_timestamp()
+      case "strftime" =>
+        if (dtypeOf(df, args(1)).contains(LongType)) F.strftimeNs(litStr(0), a(1))
+        else F.strftime(litStr(0), a(1))
+      case "bucket" =>
+        val dur = args(1) match {
+          case Expr.DurationLit(_, text) => text
+          case other => throw new IllegalArgumentException(s"bucket: need duration, got $other")
+        }
+        if (dtypeOf(df, args(0)).contains(LongType)) ZedOps.timeBucketNs(a(0), dur)
+        else ZedOps.timeBucket(a(0), dur)
+      case "every" =>
+        val dur = args(0) match {
+          case Expr.DurationLit(_, text) => text
+          case other => throw new IllegalArgumentException(s"every: need duration, got $other")
+        }
+        // every(d) = bucket(ts, d) on the stream's time field (time.go)
+        if (dtypeOf(df, Expr.Path(Seq("ts"))).contains(LongType))
+          ZedOps.timeBucketNs(col("ts"), dur)
+        else ZedOps.timeBucket(col("ts"), dur)
+
+      // parsing (function/parse.go, grok.go)
+      case "parse_uri" => F.parseUri(a(0))
+      case "grok" => F.grok(litStr(0), a(1))
+
+      // bytes/encoding (function/bytes.go)
+      case "hex" => hex(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
+      case "base64" => base64(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
+
+      // network (function/ip.go)
+      case "cidr_match" => F.cidrMatch(a(0), a(1))
+      case "network_of" =>
+        if (args.length > 1) F.networkOf(a(0), a(1)) else F.networkOf(a(0))
+
+      // type introspection (function/types.go) — plan-time over the schema
+      case "typeof" => args.head match {
+        case Expr.Path(Seq()) => Shaper.typeofRow(df)
+        case Expr.Path(parts) => Shaper.typeof(df, parts.mkString("."))
+        case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
+      }
+      case "kind" => args.head match {
+        case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
+        case _ => lit("record")
+      }
+      case "has" => args.map {
+        case Expr.Path(parts) => Shaper.has(df, parts.mkString("."))
+        case _ => lit(true)
+      }.reduce(_ && _)
+      case "missing" => args.head match {
+        case Expr.Path(parts) => Shaper.missing(df, parts.mkString("."))
+        case _ => lit(false)
+      }
+      case "is_error" => lit(false) // no error values in relational frames
+      case "quiet" => a(0)
+      case "fields" => Shaper.fieldsOf(df)
+      case "flatten" => Shaper.flattenCol(df)
+
+      // misc (coalesce.go, len.go, compare.go, cast.go)
+      case "coalesce" => coalesce(args.map(expr(df, _)): _*)
+      case "len" =>
+        dtypeOf(df, args.head) match {
+          case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
+          case Some(StringType) => length(a(0))
+          case _ => length(a(0).cast("string"))
+        }
+      case "compare" => F.compareVals(a(0), a(1))
+      case "cast" => a(0).cast(zedTypeToDdl(litStr(1)))
+
+      // type-name casts (zed `<type>(expr)` constructor form)
+      case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"
+          | "uint32" | "uint64" | "float32" | "float64" | "string" | "bool") =>
+        a(0).cast(zedTypeToDdl(t))
+      case "time" =>
+        if (dtypeOf(df, args(0)).contains(LongType))
+          timestamp_micros(Bridge.intDiv(a(0), lit(1000L)))
+        else a(0).cast("timestamp")
+
+      case "__getfield" => a(0).getField(litStr(1))
+
+      case other => throw new IllegalArgumentException(s"unknown function: $other")
+    }
+  }
+}
+
+/** Public API: compile+run a Zed query string against an sf directory. */
+object Graft {
+  def query(spark: SparkSession, dir: String, zed: String): DataFrame =
+    new Compiler(spark, dir).run(Parser.parse(zed))
+
+  def queryOn(input: DataFrame, zed: String): DataFrame = {
+    val c = new Compiler(input.sparkSession, "")
+    c.runOn(input, Parser.parse(zed))
+  }
+}

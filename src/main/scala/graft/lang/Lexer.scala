@@ -1,0 +1,93 @@
+package graft.lang
+
+/** Hand-rolled lexer for the Zed language subset (reference:
+  * compiler/parser/parser.peg lexical rules). Produces a flat token list;
+  * keywords are plain IDENT tokens classified contextually by the parser
+  * (zed lets most keywords double as field names).
+  */
+object Lexer {
+
+  sealed trait Kind
+  case object ID extends Kind
+  case object INT extends Kind
+  case object FLOAT extends Kind
+  case object STR extends Kind
+  case object TIME extends Kind
+  case object DUR extends Kind
+  case object PUNCT extends Kind
+  case object EOF extends Kind
+
+  final case class Token(kind: Kind, text: String, pos: Int)
+
+  // longest-match-first punctuation/operators
+  private val puncts = Seq(
+    ":=", "==", "!=", "<=", ">=", "=>", "=~", "&&", "||",
+    "|", "(", ")", "[", "]", "{", "}", ",", ".", ":", ";",
+    "<", ">", "=", "+", "-", "*", "/", "%", "!", "?", "@")
+
+  private val timeRe =
+    """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?Z?)?""".r
+  private val durRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
+  private val numRe = """\d+(\.\d+)?([eE][+-]?\d+)?""".r
+  private val idRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  def lex(input: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
+      else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/') {
+        while (i < n && input.charAt(i) != '\n') i += 1
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = input.charAt(j)
+          if (d == '\\' && j + 1 < n) {
+            input.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
+              case q if q == quote => sb.append(q)
+              case other => sb.append('\\').append(other)
+            }
+            j += 2
+          } else if (d == quote) { closed = true; j += 1 }
+          else { sb.append(d); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(s"unterminated string at $i")
+        out += Token(STR, sb.toString, i)
+        i = j
+      } else if (c.isDigit) {
+        val rest = input.substring(i)
+        timeRe.findPrefixOf(rest) match {
+          case Some(t) if t.length >= 10 =>
+            out += Token(TIME, t, i); i += t.length
+          case _ =>
+            durRe.findPrefixMatchOf(rest) match {
+              case Some(m) =>
+                out += Token(DUR, m.matched, i); i += m.matched.length
+              case None =>
+                val num = numRe.findPrefixOf(rest).get
+                val kind = if (num.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) FLOAT else INT
+                out += Token(kind, num, i); i += num.length
+            }
+        }
+      } else if (c.isLetter || c == '_') {
+        val id = idRe.findPrefixOf(input.substring(i)).get
+        out += Token(ID, id, i); i += id.length
+      } else {
+        puncts.find(p => input.startsWith(p, i)) match {
+          case Some(p) => out += Token(PUNCT, p, i); i += p.length
+          case None =>
+            throw new IllegalArgumentException(s"unexpected character '$c' at $i")
+        }
+      }
+    }
+    out += Token(EOF, "", n)
+    out.result()
+  }
+}

@@ -1,0 +1,505 @@
+package graft.lang
+
+import Lexer._
+
+/** Recursive-descent parser for the Zed language subset (reference grammar:
+  * compiler/parser/parser.peg; desugarings compiler/semantic/op.go:417-860).
+  *
+  * Implied operators (pipeline-model.md#implied-operators) are resolved the
+  * way the reference's semantic pass does: a leading `f:=agg(...)` or bare
+  * `agg(...) by k` is summarize, `f:=e` is put, a boolean-shaped bare
+  * expression is where, and any other bare expression is yield.
+  */
+final class Parser(tokens: Vector[Token], source: String) {
+  private var pos = 0
+
+  private def peek: Token = tokens(pos)
+  private def peekAt(k: Int): Token = tokens(math.min(pos + k, tokens.length - 1))
+  private def next(): Token = { val t = tokens(pos); pos += 1; t }
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"parse error at ${peek.pos} ('${peek.text}'): $msg")
+
+  private def expect(text: String): Token = {
+    val t = next()
+    if (t.text != text) throw new IllegalArgumentException(
+      s"parse error at ${t.pos}: expected '$text', got '${t.text}'")
+    t
+  }
+  private def at(text: String): Boolean = peek.text == text && peek.kind != STR
+  private def atId(text: String): Boolean = peek.kind == ID && peek.text == text
+  private def eat(text: String): Boolean = if (at(text)) { pos += 1; true } else false
+
+  private val aggFns = Set(
+    "count", "sum", "avg", "min", "max", "any", "dcount", "count_distinct",
+    "collect", "union", "and", "or", "collect_map", "fuse")
+
+  // tokens that terminate a (sub-)pipeline
+  private def atPipelineEnd: Boolean =
+    peek.kind == EOF || at(")") || atId("case") || atId("default") || at("=>")
+
+  def parsePipeline(): Pipeline = {
+    val stages = Vector.newBuilder[Stage]
+    stages += parseStage()
+    while (eat("|")) {
+      if (!atPipelineEnd) stages += parseStage()
+    }
+    Pipeline(stages.result())
+  }
+
+  def parseQuery(): Pipeline = {
+    val p = parsePipeline()
+    if (peek.kind != EOF) fail("trailing input")
+    p
+  }
+
+  // ---- stages ---------------------------------------------------------------
+
+  private def parseStage(): Stage = {
+    if (peek.kind != ID) return parseImplied()
+    peek.text match {
+      case "from" | "file" => next(); Stage.From(next().text)
+      case "where" | "search" => next(); Stage.Where(parseExpr())
+      case "cut" => next(); Stage.Cut(parseFieldList())
+      case "put" => next(); Stage.Put(parseAssignList())
+      case "drop" => next(); Stage.Drop(parsePathList())
+      case "rename" => next(); Stage.Rename(parseRenameList())
+      case "sort" => next(); parseSort()
+      case "head" => next(); Stage.Head(parseOptionalInt(1))
+      case "tail" => next(); Stage.Tail(parseOptionalInt(1))
+      case "top" => next(); parseTop()
+      case "uniq" =>
+        next()
+        if (eat("-")) { expect("c"); Stage.Uniq(withCount = true) }
+        else Stage.Uniq(withCount = false)
+      case "summarize" => next(); parseSummarize()
+      case "anti" | "inner" | "left" | "right" if peekAt(1).text == "join" =>
+        val style = next().text; expect("join"); parseJoin(style)
+      case "join" => next(); parseJoin("inner")
+      case "fork" => next(); parseFork()
+      case "switch" => next(); parseSwitch()
+      case "merge" => next(); Stage.Merge(parseSortKeys())
+      case "combine" => next(); Stage.Combine
+      case "over" => next(); parseOver()
+      case "yield" => next(); Stage.Yield(parseExprList())
+      case "fuse" => next(); Stage.Fuse
+      case "pass" => next(); Stage.Pass
+      case "assert" =>
+        next()
+        val start = peek.pos
+        val e = parseExpr()
+        val end = peek.pos
+        Stage.Assert(e, source.substring(start, math.min(end, source.length)).trim)
+      case _ => parseImplied()
+    }
+  }
+
+  /** Implied put / summarize / where / yield — dispatch like semantic/op.go. */
+  private def parseImplied(): Stage = {
+    // assignment-led: f:=... (put or summarize)
+    if (peek.kind == ID && peekAt(1).text == ":=") {
+      val save = pos
+      val assigns = parseAssignList()
+      if (atId("by") || assigns.exists(a => isAggTop(a._2))) {
+        pos = save
+        parseSummarize()
+      } else Stage.Put(assigns)
+    } else if (peek.kind == ID && aggFns(peek.text) && peekAt(1).text == "(") {
+      parseSummarize()
+    } else {
+      val e = parseExpr()
+      if (isBooleanShaped(e)) Stage.Where(e)
+      else {
+        val exprs = Vector.newBuilder[Expr]
+        exprs += e
+        while (eat(",")) exprs += parseExpr()
+        Stage.Yield(exprs.result())
+      }
+    }
+  }
+
+  private def isAggTop(e: Expr): Boolean = e match {
+    case Expr.Call(fn, _) => aggFns(fn)
+    case _ => false
+  }
+
+  private def isBooleanShaped(e: Expr): Boolean = e match {
+    case Expr.Binary(op, _, _) =>
+      Set("==", "!=", "<", "<=", ">", ">=", "and", "or", "in", "=~")(op)
+    case Expr.Unary("not", _) | Expr.Unary("!", _) => true
+    case Expr.Call(fn, _) =>
+      Set("grep", "cidr_match", "missing", "has", "is", "is_error", "regexp_matches")(fn)
+    case Expr.BoolLit(_) => true
+    case _ => false
+  }
+
+  // cut: field[:=expr], ...
+  private def parseFieldList(): Seq[(String, Option[Expr])] = {
+    val out = Vector.newBuilder[(String, Option[Expr])]
+    do {
+      val path = parseDottedName()
+      if (eat(":=")) out += ((path, Some(parseExpr())))
+      else out += ((path, None))
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parseAssignList(): Seq[(String, Expr)] = {
+    val out = Vector.newBuilder[(String, Expr)]
+    do {
+      val path = parseDottedName()
+      expect(":=")
+      out += ((path, parseExpr()))
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parsePathList(): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    do out += parseDottedName() while (eat(","))
+    out.result()
+  }
+
+  private def parseRenameList(): Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    do {
+      val to = parseDottedName(); expect(":="); val from = parseDottedName()
+      out += ((to, from))
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parseDottedName(): String = {
+    val sb = new StringBuilder(next().text)
+    while (at(".")) { next(); sb.append('.').append(next().text) }
+    sb.toString
+  }
+
+  private def parseSort(): Stage = {
+    var reverse = false
+    var nullsFirst = false
+    while (at("-")) {
+      next()
+      next().text match {
+        case "r" => reverse = true
+        case "nulls" =>
+          next().text match {
+            case "first" => nullsFirst = true
+            case "last" => nullsFirst = false
+            case other => fail(s"bad -nulls value '$other'")
+          }
+        case other => fail(s"unknown sort flag -$other")
+      }
+    }
+    val keys =
+      if (atPipelineEnd || at("|")) Seq.empty
+      else parseSortKeys()
+    val adjusted = keys.map { case (e, asc) => (e, if (reverse) !asc else asc) }
+    Stage.Sort(adjusted, nullsFirst)
+  }
+
+  private def parseSortKeys(): Seq[(Expr, Boolean)] = {
+    val out = Vector.newBuilder[(Expr, Boolean)]
+    do {
+      val e = parseExpr()
+      val asc =
+        if (atId("asc")) { next(); true }
+        else if (atId("desc")) { next(); false }
+        else true
+      out += ((e, asc))
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parseOptionalInt(default: Int): Int =
+    if (peek.kind == INT) next().text.toInt else default
+
+  private def parseTop(): Stage = {
+    val n = parseOptionalInt(100)
+    val keys =
+      if (atPipelineEnd || at("|")) Seq.empty
+      else parseExprList()
+    Stage.Top(n, keys)
+  }
+
+  private def parseSummarize(): Stage = {
+    if (eat("summarize")) ()
+    // `by`-only form: every key, no aggs
+    if (atId("by")) { next(); return Stage.Summarize(Seq.empty, parseKeyList()) }
+    val aggs = Vector.newBuilder[(String, AggCall)]
+    var done = false
+    while (!done) {
+      val name =
+        if (peek.kind == ID && peekAt(1).text == ":=") {
+          val n = next().text; next(); Some(n)
+        } else None
+      val fn = next().text
+      if (!aggFns(fn)) fail(s"unknown aggregate function '$fn'")
+      expect("(")
+      val arg = if (at(")")) None else Some(parseExpr())
+      expect(")")
+      val where = if (atId("where")) { next(); Some(parseExpr()) } else None
+      aggs += ((name.getOrElse(fn), AggCall(fn, arg, where)))
+      done = !eat(",")
+    }
+    val keys = if (atId("by")) { next(); parseKeyList() } else Seq.empty
+    Stage.Summarize(aggs.result(), keys)
+  }
+
+  // by [field][:=expr], ... — name inferred from expr when omitted
+  private def parseKeyList(): Seq[(String, Expr)] = {
+    val out = Vector.newBuilder[(String, Expr)]
+    do {
+      if (peek.kind == ID && peekAt(1).text == ":=") {
+        val n = next().text; next()
+        out += ((n, parseExpr()))
+      } else {
+        val e = parseExpr()
+        out += ((Expr.inferName(e), e))
+      }
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parseJoin(style: String): Stage = {
+    expect("(")
+    val right = parsePipeline()
+    expect(")")
+    expect("on")
+    val cond = parseExpr()
+    val (lk, rk) = cond match {
+      case Expr.Binary("==", l, r) => (l, r)
+      case other =>
+        // `on <lk>=<rk>` with single '=': parseExpr stops before '='
+        expect("=")
+        (other, parseExpr())
+    }
+    val graft =
+      if (peek.kind == ID && (peekAt(1).text == ":=" || at("|") == false && !atPipelineEnd))
+        parseJoinGraft()
+      else Seq.empty
+    Stage.Join(style, right, lk, rk, graft)
+  }
+
+  private def parseJoinGraft(): Seq[(String, Expr)] = {
+    if (at("|") || atPipelineEnd) return Seq.empty
+    val out = Vector.newBuilder[(String, Expr)]
+    do {
+      if (peek.kind == ID && peekAt(1).text == ":=") {
+        val n = next().text; next()
+        out += ((n, parseExpr()))
+      } else {
+        val e = parseExpr()
+        out += ((Expr.inferName(e), e))
+      }
+    } while (eat(","))
+    out.result()
+  }
+
+  private def parseFork(): Stage = {
+    expect("(")
+    val branches = Vector.newBuilder[Pipeline]
+    while (eat("=>")) branches += parsePipeline()
+    expect(")")
+    Stage.Fork(branches.result())
+  }
+
+  private def parseSwitch(): Stage = {
+    // `switch x (case …` — an ID subject followed by the case block must not
+    // lex as a call `x(…)`; disambiguate with one token of lookahead
+    val subject =
+      if (at("(")) None
+      else if (peek.kind == ID && peekAt(1).text == "(" &&
+               (peekAt(2).text == "case" || peekAt(2).text == "default"))
+        Some(Expr.Path(Seq(next().text)))
+      else Some(parseExpr())
+    expect("(")
+    val cases = Vector.newBuilder[(Expr, Pipeline)]
+    var default: Option[Pipeline] = None
+    var done = false
+    while (!done) {
+      if (atId("case")) {
+        next()
+        val c = parseExpr()
+        expect("=>")
+        cases += ((c, parsePipeline()))
+      } else if (atId("default")) {
+        next(); expect("=>")
+        default = Some(parsePipeline())
+      } else done = true
+    }
+    expect(")")
+    Stage.Switch(subject, cases.result(), default)
+  }
+
+  private def parseOver(): Stage = {
+    val exprs = parseExprList()
+    val vars = Vector.newBuilder[(String, Expr)]
+    if (atId("with")) {
+      next()
+      do {
+        val n = next().text
+        if (eat("=")) vars += ((n, parseExpr()))
+        else vars += ((n, Expr.Path(Seq(n))))
+      } while (eat(","))
+    }
+    val body =
+      if (eat("=>")) { expect("("); val p = parsePipeline(); expect(")"); Some(p) }
+      else None
+    Stage.Over(exprs, vars.result(), body)
+  }
+
+  private def parseExprList(): Seq[Expr] = {
+    val out = Vector.newBuilder[Expr]
+    do out += parseExpr() while (eat(","))
+    out.result()
+  }
+
+  // ---- expressions (Pratt) --------------------------------------------------
+
+  def parseExpr(): Expr = parseTernary()
+
+  private def parseTernary(): Expr = {
+    val c = parseOr()
+    if (eat("?")) {
+      val t = parseExpr()
+      expect(":")
+      val f = parseExpr()
+      Expr.Cond(c, t, f)
+    } else c
+  }
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (atId("or") || at("||")) { next(); l = Expr.Binary("or", l, parseAnd()) }
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (atId("and") || at("&&")) { next(); l = Expr.Binary("and", l, parseNot()) }
+    l
+  }
+
+  private def parseNot(): Expr =
+    if (atId("not") || at("!")) { next(); Expr.Unary("not", parseNot()) }
+    else parseComparison()
+
+  private def parseComparison(): Expr = {
+    val l = parseAdditive()
+    val op = peek.text
+    if (peek.kind == PUNCT && Set("==", "!=", "<", "<=", ">", ">=", "=~")(op)) {
+      next(); Expr.Binary(op, l, parseAdditive())
+    } else if (atId("in")) {
+      next(); Expr.Binary("in", l, parseAdditive())
+    } else l
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    while (peek.kind == PUNCT && (at("+") || at("-"))) {
+      val op = next().text
+      l = Expr.Binary(op, l, parseMultiplicative())
+    }
+    l
+  }
+
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    while (peek.kind == PUNCT && (at("*") || at("/") || at("%"))) {
+      val op = next().text
+      l = Expr.Binary(op, l, parseUnary())
+    }
+    l
+  }
+
+  private def parseUnary(): Expr =
+    if (at("-")) { next(); Expr.Unary("-", parseUnary()) }
+    else parsePostfix()
+
+  private def parsePostfix(): Expr = {
+    var e = parsePrimary()
+    var done = false
+    while (!done) {
+      if (at("[")) {
+        next()
+        val idx = parseExpr()
+        expect("]")
+        e = Expr.Index(e, idx)
+      } else if (at(".") && peekAt(1).kind == ID) {
+        next()
+        val field = next().text
+        e = e match {
+          case Expr.Path(parts) => Expr.Path(parts :+ field)
+          case other => Expr.Call("__getfield", Seq(other, Expr.StringLit(field)))
+        }
+      } else done = true
+    }
+    e
+  }
+
+  private def parsePrimary(): Expr = {
+    val t = peek
+    t.kind match {
+      case INT => next(); Expr.IntLit(t.text.toLong)
+      case FLOAT => next(); Expr.FloatLit(t.text.toDouble)
+      case STR => next(); Expr.StringLit(t.text)
+      case TIME =>
+        next()
+        val iso = if (t.text.length == 10) t.text + "T00:00:00Z"
+                  else if (t.text.endsWith("Z")) t.text else t.text + "Z"
+        val inst = java.time.Instant.parse(iso)
+        Expr.TimeLit(inst.getEpochSecond * 1000000000L + inst.getNano, t.text)
+      case DUR =>
+        next()
+        Expr.DurationLit(graft.operators.ZedOps.durationNanos(t.text), t.text)
+      case ID =>
+        t.text match {
+          case "true" => next(); Expr.BoolLit(true)
+          case "false" => next(); Expr.BoolLit(false)
+          case "null" => next(); Expr.NullLit
+          case "this" => next(); Expr.Path(Seq.empty)
+          case name if peekAt(1).text == "(" =>
+            next(); next() // name (
+            val args = if (at(")")) Seq.empty else parseExprList()
+            expect(")")
+            Expr.Call(name, args)
+          case _ => next(); Expr.Path(Seq(t.text))
+        }
+      case PUNCT =>
+        t.text match {
+          case "(" =>
+            next()
+            val e = parseExpr()
+            expect(")")
+            e
+          case "[" =>
+            next()
+            val items = if (at("]")) Seq.empty else parseExprList()
+            expect("]")
+            Expr.ArrayLit(items)
+          case "{" =>
+            next()
+            val fields = Vector.newBuilder[(String, Expr)]
+            if (!at("}")) {
+              do {
+                val n = next().text
+                if (eat(":")) fields += ((n, parseExpr()))
+                else fields += ((n, Expr.Path(Seq(n)))) // {a} shorthand
+              } while (eat(","))
+            }
+            expect("}")
+            Expr.RecordLit(fields.result())
+          case other => fail(s"unexpected '$other' in expression")
+        }
+      case EOF => fail("unexpected end of input")
+    }
+  }
+}
+
+object Parser {
+  def parse(query: String): Pipeline =
+    new Parser(Lexer.lex(query), query).parseQuery()
+
+  def parseExpression(text: String): Expr =
+    new Parser(Lexer.lex(text), text).parseExpr()
+}

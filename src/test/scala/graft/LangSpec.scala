@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.lang._
+
+/** Parser + compiler tests for the Zed language frontend, mirroring the
+  * reference's parser ztests (compiler/parser/ztests) and desugaring rules
+  * (compiler/semantic/op.go).
+  */
+class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- parser ---------------------------------------------------------------
+
+  test("parses a full pipeline with implied operators") {
+    val p = Parser.parse(
+      "from lineitem | l_quantity > 5.0 | f:=l_orderkey*2 | count() by l_returnflag | sort l_returnflag | head 3")
+    assert(p.stages.length == 6)
+    assert(p.stages(0) == Stage.From("lineitem"))
+    assert(p.stages(1).isInstanceOf[Stage.Where]) // implied where (boolean-shaped)
+    assert(p.stages(2).isInstanceOf[Stage.Put])   // implied put (assignment)
+    assert(p.stages(3).isInstanceOf[Stage.Summarize]) // implied summarize (agg)
+    assert(p.stages(4).isInstanceOf[Stage.Sort])
+    assert(p.stages(5) == Stage.Head(3))
+  }
+
+  test("summarize: names default to the agg/key rhs (semantic/op.go inference)") {
+    val Stage.Summarize(aggs, keys) =
+      Parser.parse("from t | summarize sum(x) by lower(s), k").stages(1): @unchecked
+    assert(aggs.map(_._1) == Seq("sum"))
+    assert(keys.map(_._1) == Seq("lower", "k"))
+  }
+
+  test("time and duration literals lex correctly") {
+    val Stage.Where(e) = Parser.parse("from t | where ts <= 1998-09-02").stages(1): @unchecked
+    val Expr.Binary("<=", _, t: Expr.TimeLit) = e: @unchecked
+    assert(t.epochNs == java.time.Instant.parse("1998-09-02T00:00:00Z").getEpochSecond * 1000000000L)
+    val Stage.Summarize(_, ks) = Parser.parse("from t | count() by every(15m)").stages(1): @unchecked
+    val (_, Expr.Call("every", Seq(d: Expr.DurationLit))) = ks.head: @unchecked
+    assert(d.ns == 15L * 60 * 1000000000L)
+  }
+
+  test("operator precedence: arithmetic binds tighter than comparison than logic") {
+    val e = Parser.parseExpression("a + b * 2 > 3 and not c == 4")
+    val Expr.Binary("and", l, r) = e: @unchecked
+    val Expr.Binary(">", Expr.Binary("+", _, Expr.Binary("*", _, _)), _) = l: @unchecked
+    val Expr.Unary("not", Expr.Binary("==", _, _)) = r: @unchecked
+  }
+
+  test("switch parses subject and boolean forms with default") {
+    val Stage.Switch(Some(_), cases, Some(_)) =
+      Parser.parse("from t | switch x ( case 1 => pass case 2 => pass default => pass )")
+        .stages(1): @unchecked
+    assert(cases.length == 2)
+    val Stage.Switch(None, cases2, None) =
+      Parser.parse("from t | switch ( case a==1 => pass case a==2 => pass )").stages(1): @unchecked
+    assert(cases2.length == 2)
+  }
+
+  test("join parses style, sub-pipeline, keys and grafted fields") {
+    val Stage.Join(style, right, lk, rk, graft) =
+      Parser.parse("from a | left join (from b | where x > 1) on k=j f1, f2:=g*2").stages(1): @unchecked
+    assert(style == "left")
+    assert(right.stages.length == 2)
+    assert(lk == Expr.Path(Seq("k")) && rk == Expr.Path(Seq("j")))
+    assert(graft.map(_._1) == Seq("f1", "f2"))
+  }
+
+  test("parse errors carry position context") {
+    val e = intercept[IllegalArgumentException](Parser.parse("from t | where )"))
+    assert(e.getMessage.contains("parse error"))
+    intercept[IllegalArgumentException](Parser.parse("from t | summarize bogus(x)"))
+  }
+
+  // ---- compiler: language results == hand-built DataFrame results -----------
+
+  private def run(q: String) = Graft.query(spark, dir, q)
+
+  test("language agg matches DataFrame twin") {
+    import org.apache.spark.sql.functions._
+    val viaLang = run("from events | count() by event_type | sort event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = GraftSession.table(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("count"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaLang.sameElements(direct))
+  }
+
+  test("ns-long time filter compares in the exact ns domain") {
+    // events.ts is LongType ns (nanosAsLong); the literal must become ns
+    val n = run("from events | where ts < 2024-01-03 | count()").collect()(0).getLong(0)
+    val direct = GraftSession.table(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("ts") <
+        java.time.Instant.parse("2024-01-03T00:00:00Z").getEpochSecond * 1000000000L)
+      .count()
+    assert(n == direct && n > 0)
+  }
+
+  test("int division stays integral, float division does not") {
+    val r = run("from orders | yield {a: o_orderkey/2, b: o_totalprice/2} | head 1")
+    val schema = r.schema
+    assert(schema("a").dataType.typeName == "long")
+    assert(schema("b").dataType.typeName == "double")
+  }
+
+  test("projection-shaped switch compiles to a single scan of the source") {
+    val df = run(
+      """from events | switch (
+        |  case event_type=="purchase" => cut event_id, b:="p"
+        |  default => cut event_id, b:="o"
+        |) | sort event_id""".stripMargin)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
+    }
+    assert(scans.length == 1, s"expected single-pass switch, got ${scans.length} scans")
+  }
+
+  test("general switch branches preserve first-match-wins routing") {
+    // overlapping predicates: both cases match value>0 rows; first wins
+    val out = run(
+      """from events | switch (
+        |  case value >= 50.0 => put b:="hi" | count() by b
+        |  case value >= 0.0 => put b:="lo" | count() by b
+        |)""".stripMargin).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = GraftSession.table(spark, dir, "events").count()
+    assert(out.values.sum == total)
+    val hi = GraftSession.table(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("value") >= 50.0).count()
+    assert(out("hi") == hi)
+  }
+
+  test("over with scope vars runs the lateral body per element") {
+    val rows = run(
+      "from embeddings | over embedding with vec_id => ( summarize n:=count() by vec_id ) | sort vec_id")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 64L)) // embedding dim
+  }
+
+  test("yield with multiple expressions emits N rows per input") {
+    val n = run("from nation | yield n_nationkey, n_regionkey | count()")
+      .collect()(0).getLong(0)
+    val base = GraftSession.table(spark, dir, "nation").count()
+    assert(n == 2 * base)
+  }
+
+  test("record literals, indexing and conditionals evaluate") {
+    val r = run(
+      """from embeddings | yield {vec_id, first:embedding[0], tag: vec_id % 2 == 0 ? "even" : "odd"}
+        || sort vec_id | head 2""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(0).getString(2) == "even" && r(1).getString(2) == "odd")
+  }
+
+  test("fuse across fork branches unifies schemas with nulls") {
+    val df = run(
+      """from orders | fork (
+        |  => cut id:=o_orderkey, amount:=o_totalprice
+        |  => from customer | cut id:=c_custkey, name:=c_name
+        |) | fuse""".stripMargin)
+    assert(df.columns.toSeq == Seq("id", "amount", "name"))
+    val counts = df.count()
+    val expect = GraftSession.table(spark, dir, "orders").count() +
+      GraftSession.table(spark, dir, "customer").count()
+    assert(counts == expect)
+  }
+}
