@@ -729,6 +729,67 @@ object SparkEntry {
              |WHERE text LIKE '%fast%' OR source LIKE '%fast%'
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- remaining aggregates (agg/logical.go, agg/any.go, agg/collectmap.go) ----
+    ("q_agg_bool", (s, dir) =>
+      ZedOps.sort(
+        ZedOps.summarize(t(s, dir, "events"),
+          Seq("event_type" -> col("event_type")),
+          Seq("all_pos" -> bool_and(col("value") > 0.0),
+              "any_hi" -> bool_or(col("value") > 90.0))),
+        col("event_type") -> true),
+      Some("""SELECT event_type, bool_and("value" > 0.0) AS all_pos,
+             |  bool_or("value" > 90.0) AS any_hi
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // any(e) is deterministic when each group is a single value
+    ("q_any", (s, dir) =>
+      ZedOps.sort(
+        ZedOps.summarize(t(s, dir, "nation"),
+          Seq("n_nationkey" -> col("n_nationkey")),
+          Seq("rk" -> first(col("n_regionkey"), ignoreNulls = true))),
+        col("n_nationkey") -> true),
+      Some("""SELECT n_nationkey, n_regionkey AS rk FROM nation
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // collect_map: merge {k:v} entries into one map (agg/collectmap.go);
+    // serialized to canonical JSON for the oracle hash compare
+    ("q_collect_map", (s, dir) => {
+      val pairs = ZedOps.summarize(t(s, dir, "events"),
+        Seq("user_id" -> col("user_id"), "event_type" -> col("event_type")),
+        Seq("cnt" -> count(lit(1))))
+      ZedOps.sort(
+        ZedOps.summarize(pairs,
+          Seq("user_id" -> col("user_id")),
+          Seq("type_counts" -> to_json(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("cnt")))))))),
+        col("user_id") -> true)
+    },
+      Some("""WITH pairs AS (
+             |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+             |SELECT user_id,
+             |  '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type) || '}'
+             |    AS type_counts
+             |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- explode by type (op/explode/explode.go) ----
+    ("q_explode", (s, dir) =>
+      ZedOps.sort(
+        ZedOps.explodeBy(t(s, dir, "orders"), "v",
+          col("o_orderstatus"), col("o_orderpriority")),
+        col("v") -> true),
+      Some("""SELECT o_orderstatus AS v FROM orders
+             |UNION ALL SELECT o_orderpriority FROM orders
+             |ORDER BY v""".stripMargin)),
+
+    // ---- shape/sample (op/shape/shaper.go) — representative per shape;
+    // representative choice is arbitrary (any-semantics) ⇒ rows-only
+    ("q_shape_sample", (s, dir) =>
+      ZedOps.sampleByShape(
+        t(s, dir, "events").select(
+          col("event_id"),
+          when(col("value") > 50.0, col("value")).as("v"))),
+      None),
+
     // misc family (coalesce.go, len.go, compare.go)
     ("q_fn_misc", (s, dir) =>
       ZedOps.sort(
@@ -923,6 +984,19 @@ object SparkEntry {
     ("q_lang_grep", lang(
       """from documents | where grep("fast", text, source) | cut doc_id, source | sort doc_id""".stripMargin),
       Some(mainOracle("q_fn_grep"))),
+
+    ("q_lang_agg_bool", lang(
+      """from events
+        || summarize all_pos:=and(value > 0.0), any_hi:=or(value > 90.0) by event_type
+        || sort event_type""".stripMargin),
+      Some("""SELECT event_type, bool_and("value" > 0.0) AS all_pos,
+             |  bool_or("value" > 90.0) AS any_hi
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("q_lang_any", lang(
+      "from nation | summarize rk:=any(n_regionkey) by n_nationkey | sort n_nationkey"),
+      Some("""SELECT n_nationkey, n_regionkey AS rk FROM nation
+             |ORDER BY n_nationkey""".stripMargin)),
 
     // scalar-function expressions through the language
     ("q_lang_fn", lang(
