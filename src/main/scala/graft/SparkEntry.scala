@@ -790,6 +790,59 @@ object SparkEntry {
           when(col("value") > 50.0, col("value")).as("v"))),
       None),
 
+    // ==== sources / sinks (graft.sources; ref zio/anyio, lake/) ====
+    // Each round-trips real data through the format and re-verifies against
+    // the oracle on the ORIGINAL table — reader+writer must both be exact.
+
+    ("q_zson_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_zson_nation"
+      graft.sources.ZsonIO.write(t(s, dir, "nation"), path)
+      ZedOps.sort(
+        graft.sources.ZsonIO.read(s, path).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey")),
+        col("n_nationkey") -> true)
+    },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    ("q_csv_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_csv_region.csv"
+      graft.sources.Formats.write(t(s, dir, "region"), path, "csv")
+      ZedOps.sort(
+        graft.sources.Formats.read(s, path)
+          .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name")),
+        col("r_regionkey") -> true)
+    },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    ("q_json_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_json_supplier.json"
+      graft.sources.Formats.write(t(s, dir, "supplier"), path, "json")
+      val orig = t(s, dir, "supplier")
+      val back = graft.sources.Formats.read(s, path)
+      ZedOps.sort(
+        back.select(orig.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*),
+        col("s_suppkey") -> true)
+    },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // lake-lite: two `load` commits then a merge-on-read scan (lake/, load.go)
+    ("q_lake_scan", (s, dir) => {
+      val root = "/tmp/graft_io_lake"
+      val pool = "orders_" + System.nanoTime()
+      val orders = t(s, dir, "orders")
+      graft.sources.Lake.load(orders.filter(col("o_orderstatus") === "F"), root, pool)
+      graft.sources.Lake.load(orders.filter(col("o_orderstatus") =!= "F"), root, pool)
+      ZedOps.sort(
+        graft.sources.Lake.scan(s, root, pool)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        col("o_orderkey") -> true)
+    },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // misc family (coalesce.go, len.go, compare.go)
     ("q_fn_misc", (s, dir) =>
       ZedOps.sort(

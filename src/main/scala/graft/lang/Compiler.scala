@@ -48,8 +48,11 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def compileStage(state: Seq[DataFrame], stage: Stage): Seq[DataFrame] =
     stage match {
       case Stage.From(table) =>
-        // a new source mid-pipeline replaces the stream (CLI `from` form)
-        Seq(GraftSession.table(spark, dir, table))
+        // a new source mid-pipeline replaces the stream (CLI `from` form);
+        // a path-looking name reads any supported format (zio/anyio detect)
+        if (table.contains("/") || table.contains("."))
+          Seq(graft.sources.Formats.read(spark, table))
+        else Seq(GraftSession.table(spark, dir, table))
 
       case Stage.Where(e) =>
         val df = single(state)

@@ -57,7 +57,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def parseStage(): Stage = {
     if (peek.kind != ID) return parseImplied()
     peek.text match {
-      case "from" | "file" => next(); Stage.From(next().text)
+      case "from" | "file" | "get" => next(); Stage.From(next().text)
       case "where" | "search" => next(); Stage.Where(parseExpr())
       case "cut" => next(); Stage.Cut(parseFieldList())
       case "put" => next(); Stage.Put(parseAssignList())

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format layer (reference: zio/anyio/lookup.go readers, writer.go writers).
+  *
+  * Reads auto-detect by file extension — parquet/csv/tsv/json/zson/line —
+  * mirroring zio/anyio's reader auto-detection; Spark's built-in sources
+  * handle parquet/csv/json with distributed schema inference, ZSON goes
+  * through ZsonIO.
+  *
+  * Writers add zed's text output surface: `zson`, `text` (tab-separated
+  * values), and `table` (aligned columns, header row). Table/text
+  * formatting is expression-based (codegen) with a single width-computing
+  * aggregation pass for `table` — no driver-side row formatting.
+  */
+object Formats {
+
+  /** Read any supported file/directory, auto-detecting the format. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
+    else if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (lower.endsWith(".tsv"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .option("sep", "\t").csv(path)
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
+      spark.read.json(path)
+    else if (lower.endsWith(".zson")) ZsonIO.read(spark, path)
+    else if (lower.endsWith(".txt") || lower.endsWith(".line"))
+      spark.read.text(path) // `line` format: one string value per line
+    else spark.read.parquet(path) // default (the engine's native storage)
+  }
+
+  def write(df: DataFrame, path: String, format: String): Unit = format match {
+    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+    case "tsv" => df.write.mode("overwrite").option("header", "true")
+      .option("sep", "\t").csv(path)
+    case "json" => df.write.mode("overwrite").json(path)
+    case "zson" => ZsonIO.write(df, path)
+    case "text" => textLines(df).write.mode("overwrite").text(path)
+    case "table" => tableLines(df).write.mode("overwrite").text(path)
+    case other => throw new IllegalArgumentException(s"unknown write format: $other")
+  }
+
+  /** `text` output (zio writer `text`): tab-separated stringified values. */
+  def textLines(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import df.sparkSession.implicits._
+    val cols = df.schema.fields.toIndexedSeq.map(f =>
+      coalesce(col(f.name).cast("string"), lit("-")))
+    df.select(concat_ws("\t", cols: _*).as("value")).as[String]
+  }
+
+  /** `table` output (zio writer `table`): header + width-aligned columns.
+    * Widths come from one max-length aggregation over the data (a single
+    * extra pass, the same trade zq's table writer makes by buffering).
+    */
+  def tableLines(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import df.sparkSession.implicits._
+    val names = df.schema.fieldNames.toIndexedSeq
+    val asStr = df.select(names.map(n =>
+      coalesce(col(n).cast("string"), lit("-")).as(n)): _*)
+    val widthRow = asStr
+      .agg(max(length(col(names.head))).as(names.head),
+        names.tail.map(n => max(length(col(n))).as(n)): _*)
+      .collect()(0) // one tiny row: the per-column max widths
+    val widths = names.zipWithIndex.map { case (n, i) =>
+      math.max(n.length, Option(widthRow.get(i)).fold(1)(_.toString.toInt))
+    }
+    val header = names.zip(widths).map { case (n, w) => n.padTo(w, ' ') }.mkString(" ")
+    val body = asStr.select(concat_ws(" ",
+      names.zip(widths).map { case (n, w) => rpad(col(n), w, " ") }: _*).as("value"))
+      .as[String]
+    val one = df.sparkSession.createDataset(Seq(header))
+    one.union(body)
+  }
+}

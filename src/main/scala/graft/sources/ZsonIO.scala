@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ZSON text format read/write (reference: docs/formats/zson.md, zio/zsonio/).
+  *
+  * Writer: a schema-driven Catalyst Column — every value formats via
+  * built-in string expressions (whole-stage codegen, fully distributed; no
+  * UDFs, no driver formatting). Implied types (zson.md §2.3.1) keep output
+  * minimal: int64/float64/string/bool/time/null carry no decorator; narrower
+  * numerics get `(int32)`-style decorators.
+  *
+  * Reader: per-line ZSON → JSON text conversion in mapPartitions (text
+  * parsing is inherently row-wise — same cost class as any text source),
+  * then Spark's distributed JSON reader does schema inference/parse. Type
+  * decorators are consumed and dropped; sets and maps land as arrays and
+  * records.
+  */
+object ZsonIO {
+
+  // ---- writer ----------------------------------------------------------------
+
+  private def escape(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  /** Format one column as ZSON text (recursive over the data type). */
+  def zsonOf(c: Column, dt: DataType): Column = {
+    val formatted: Column = dt match {
+      case StringType => concat(lit("\""), escape(c), lit("\""))
+      case LongType => c.cast(StringType)
+      case IntegerType => concat(c.cast(StringType), lit(" (int32)"))
+      case ShortType => concat(c.cast(StringType), lit(" (int16)"))
+      case ByteType => concat(c.cast(StringType), lit(" (int8)"))
+      case DoubleType =>
+        // float64 is implied by a decimal point (zson.md §2.3.1): integral
+        // doubles print with a trailing dot
+        when(c === floor(c) && abs(c) < 1e15,
+          concat(c.cast(LongType).cast(StringType), lit(".")))
+          .otherwise(c.cast(StringType))
+      case FloatType =>
+        concat(when(c.cast(DoubleType) === floor(c.cast(DoubleType)) && abs(c) < 1e7,
+          concat(c.cast(LongType).cast(StringType), lit(".")))
+          .otherwise(c.cast(StringType)), lit(" (float32)"))
+      case _: DecimalType => concat(c.cast(StringType), lit(" (float64)"))
+      case BooleanType => c.cast(StringType)
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      case DateType => date_format(c, "yyyy-MM-dd'T'00:00:00'Z'")
+      case BinaryType => concat(lit("0x"), lower(hex(c)))
+      case ArrayType(et, _) =>
+        concat(lit("["),
+          array_join(transform(c, x => zsonOf(x, et)), ","),
+          lit("]"))
+      case MapType(kt, vt, _) =>
+        concat(lit("|{"),
+          array_join(transform(map_entries(c), e =>
+            concat(zsonOf(e.getField("key"), kt), lit(":"),
+              zsonOf(e.getField("value"), vt))), ","),
+          lit("}|"))
+      case st: StructType =>
+        concat(lit("{"),
+          concat_ws(",", st.fields.toIndexedSeq.map { f =>
+            concat(lit(zsonName(f.name) + ":"), zsonOf(c.getField(f.name), f.dataType))
+          }: _*),
+          lit("}"))
+      case NullType => lit("null")
+      case other => concat(lit("\""), escape(c.cast(StringType)), lit("\""))
+    }
+    when(c.isNull, lit("null")).otherwise(formatted)
+  }
+
+  private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val timeLitRe =
+    """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?""".r
+  private def zsonName(n: String): String =
+    if (identRe.matches(n)) n else "\"" + n.replace("\"", "\\\"") + "\""
+
+  /** Whole row → one ZSON record line. */
+  def toZson(df: DataFrame): Dataset[String] = {
+    val st = df.schema
+    val rec = concat(lit("{"),
+      concat_ws(",", st.fields.toIndexedSeq.map { f =>
+        concat(lit(zsonName(f.name) + ":"), zsonOf(col(f.name), f.dataType))
+      }: _*),
+      lit("}"))
+    import df.sparkSession.implicits._
+    df.select(rec.as("value")).as[String]
+  }
+
+  def write(df: DataFrame, path: String): Unit =
+    toZson(df).write.mode("overwrite").text(path)
+
+  // ---- reader ----------------------------------------------------------------
+
+  /** Convert one ZSON value text to JSON (decorators dropped, field names
+    * quoted, sets→arrays, maps→objects, time literals→strings). Throws on
+    * malformed input with position context.
+    */
+  private[graft] def zsonLineToJson(line: String): String = {
+    val sb = new StringBuilder
+    val s = line
+    var i = 0
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"zson parse at $i: $msg in: $line")
+    def ws(): Unit = {
+      var go = true
+      while (go && i < s.length) {
+        val c = s.charAt(i)
+        if (c == ' ' || c == '\t') i += 1
+        else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') i = s.length
+        else go = false
+      }
+    }
+    // skip a type decorator: balanced ( ... ), possibly repeated
+    def skipDecorators(): Unit = {
+      ws()
+      while (i < s.length && s.charAt(i) == '(') {
+        var depth = 0
+        var stop = false
+        while (!stop && i < s.length) {
+          val c = s.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) stop = true }
+          i += 1
+        }
+        ws()
+      }
+    }
+    def str(): Unit = {
+      sb.append('"'); i += 1
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(c); i += 1 }
+      }
+      if (i >= s.length) err("unterminated string")
+      sb.append('"'); i += 1
+    }
+    def name(): Unit = {
+      ws()
+      if (s.charAt(i) == '"') str()
+      else {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+        if (i == start) err("empty field name")
+        sb.append('"').append(s.substring(start, i)).append('"')
+      }
+    }
+    def scalar(): Unit = {
+      // time literals contain ':' — match them greedily first
+      val timeM = timeLitRe.findPrefixOf(s.substring(i))
+      val tok = timeM match {
+        case Some(t) if t.length >= 10 => i += t.length; t
+        case _ =>
+          val start = i
+          while (i < s.length && !",:]}() \t".contains(s.charAt(i))) i += 1
+          s.substring(start, i)
+      }
+      if (tok.isEmpty) err("empty value")
+      if (tok == "null" || tok == "true" || tok == "false") sb.append(tok)
+      else if (tok.matches("""[+-]?\d+""")) sb.append(tok)
+      else if (tok.matches("""[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""")) {
+        // float with possible trailing dot (ZSON implied float64)
+        if (tok.endsWith(".")) sb.append(tok).append('0') else sb.append(tok)
+      } else if (tok.startsWith("0x")) sb.append('"').append(tok).append('"')
+      else sb.append('"').append(tok).append('"') // time literal, ip, enum…
+    }
+    def value(): Unit = {
+      ws()
+      if (i >= s.length) err("missing value")
+      s.charAt(i) match {
+        case '"' => str()
+        case '{' => record()
+        case '[' => arr("[", "]")
+        case '|' =>
+          if (s.startsWith("|[", i)) { i += 1; arr("[", "]"); expect('|') }
+          else if (s.startsWith("|{", i)) { i += 1; mapv() }
+          else err("bad |")
+        case _ => scalar()
+      }
+      skipDecorators()
+    }
+    def expect(c: Char): Unit = {
+      if (i < s.length && s.charAt(i) == c) i += 1 else err(s"expected '$c'")
+    }
+    def record(): Unit = {
+      sb.append('{'); i += 1; ws()
+      var first = true
+      while (i < s.length && s.charAt(i) != '}') {
+        if (!first) { expect(','); sb.append(','); ws() }
+        first = false
+        name(); ws(); expect(':'); sb.append(':')
+        value(); ws()
+      }
+      expect('}'); sb.append('}')
+    }
+    def arr(open: String, close: String): Unit = {
+      sb.append('['); i += 1; ws()
+      var first = true
+      while (i < s.length && s.charAt(i) != close.charAt(0)) {
+        if (!first) { expect(','); sb.append(','); ws() }
+        first = false
+        value(); ws()
+      }
+      expect(close.charAt(0)); sb.append(']')
+    }
+    def mapv(): Unit = {
+      // |{k:v,...}| → JSON object (keys coerced to strings)
+      sb.append('{'); i += 1; ws()
+      var first = true
+      while (i < s.length && s.charAt(i) != '}') {
+        if (!first) { expect(','); sb.append(','); ws() }
+        first = false
+        ws()
+        if (s.charAt(i) == '"') str()
+        else {
+          val start = i
+          while (i < s.length && !":".contains(s.charAt(i))) i += 1
+          sb.append('"').append(s.substring(start, i).trim).append('"')
+        }
+        ws(); expect(':'); sb.append(':')
+        value(); ws()
+      }
+      expect('}'); expect('|'); sb.append('}')
+    }
+    ws()
+    value()
+    sb.toString
+  }
+
+  /** Read a ZSON text file/directory into a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("//"))
+    val json = lines.map(zsonLineToJson _)
+    spark.read.json(json)
+  }
+}

@@ -20,7 +20,8 @@ class SmokeSpec extends AnyFunSuite {
       "q_dedup_simhash",  // xxhash64 differs from DuckDB's hash
       "q_knn_lsh",        // approximate; recall pinned in PipelineSpec
       "q_langid",         // heuristic; accuracy pinned on fixtures in PipelineSpec
-      "q_media_features"  // stub decoder; plumbing pinned in PipelineSpec
+      "q_media_features", // stub decoder; plumbing pinned in PipelineSpec
+      "q_shape_sample"    // any-semantics representative; shape count pinned below
     )), s"missing oracle: $noOracle")
   }
 
@@ -29,6 +30,11 @@ class SmokeSpec extends AnyFunSuite {
       val df = SparkEntry.queries(name)(spark, dir)
       assert(df.count() > 0, s"$name returned 0 rows")
     }
+  }
+
+  test("q_shape_sample emits one representative per null-mask shape") {
+    val df = SparkEntry.queries("q_shape_sample")(spark, dir)
+    assert(df.count() == 2) // v null / v non-null
   }
 
   test("q_switch compiles to a single scan of the source") {

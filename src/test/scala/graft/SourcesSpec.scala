@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Formats, Lake, ZsonIO}
+
+/** I/O surface tests: ZSON round-trip, format auto-detect, table/text
+  * writers, lake-lite load/scan (reference: zio/, lake/).
+  */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    p.resolve("out").toString
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("zsonLineToJson handles records, arrays, sets, maps, decorators, times") {
+    assert(ZsonIO.zsonLineToJson("""{a:1,b:"x",c:true,d:null}""") ==
+      """{"a":1,"b":"x","c":true,"d":null}""")
+    assert(ZsonIO.zsonLineToJson("""{a:1 (int32),f:3.5}""") == """{"a":1,"f":3.5}""")
+    assert(ZsonIO.zsonLineToJson("""{f:123.}""") == """{"f":123.0}""")
+    assert(ZsonIO.zsonLineToJson("""{arr:[1,2,3],s:|["a","b"]|}""") ==
+      """{"arr":[1,2,3],"s":["a","b"]}""")
+    assert(ZsonIO.zsonLineToJson("""{m:|{"k":1,"j":2}|}""") == """{"m":{"k":1,"j":2}}""")
+    assert(ZsonIO.zsonLineToJson("""{ts:2024-01-01T00:00:05Z}""") ==
+      """{"ts":"2024-01-01T00:00:05Z"}""")
+    assert(ZsonIO.zsonLineToJson("""{r:{x:1,y:{z:"deep"}}}""") ==
+      """{"r":{"x":1,"y":{"z":"deep"}}}""")
+  }
+
+  test("ZSON write/read round-trips values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello \"quoted\"", 2.5, true, Seq(1.0, 2.0)),
+      (2L, "plain", 3.0, false, Seq.empty[Double])
+    ).toDF("id", "s", "d", "b", "arr")
+    val path = tmp("zson")
+    ZsonIO.write(df, path)
+    val back = ZsonIO.read(spark, path).orderBy("id")
+    val rows = back.select("id", "s", "d", "b", "arr").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "hello \"quoted\"")
+    assert(rows(0).getDouble(2) == 2.5 && rows(0).getBoolean(3))
+    assert(rows(0).getSeq[Double](4) == Seq(1.0, 2.0))
+    assert(rows(1).getDouble(2) == 3.0) // integral double survives the trailing-dot form
+  }
+
+  test("ZSON writer emits spec-shaped text") {
+    import spark.implicits._
+    val df = Seq((42L, "x", 1.0)).toDF("n", "s", "f")
+    val line = ZsonIO.toZson(df).collect()(0)
+    assert(line == """{n:42,s:"x",f:1.}""")
+  }
+
+  test("ZSON round-trips nested structs from real data") {
+    val orders = GraftSession.table(spark, dir, "orders")
+      .select(col("o_orderkey"), struct(col("o_orderstatus"), col("o_totalprice")).as("info"))
+      .limit(100)
+    val path = tmp("zson-nested")
+    ZsonIO.write(orders, path)
+    val back = ZsonIO.read(spark, path)
+    assert(back.count() == 100)
+    assert(back.select(sum(col("info.o_totalprice"))).collect()(0).getDouble(0) ==
+      orders.select(sum(col("info.o_totalprice"))).collect()(0).getDouble(0))
+  }
+
+  test("format auto-detect reads csv/json back identically") {
+    val nation = GraftSession.table(spark, dir, "nation")
+    val csvPath = tmp("csv") + ".csv"
+    val jsonPath = tmp("json") + ".json"
+    Formats.write(nation, csvPath, "csv")
+    Formats.write(nation, jsonPath, "json")
+    assert(Formats.read(spark, csvPath).count() == nation.count())
+    assert(Formats.read(spark, jsonPath).count() == nation.count())
+  }
+
+  test("table/text writers format rows") {
+    val region = GraftSession.table(spark, dir, "region").orderBy("r_regionkey")
+    val text = Formats.textLines(region).collect()
+    assert(text.exists(_.startsWith("0\tAFRICA")))
+    val table = Formats.tableLines(region).collect()
+    assert(table.head.startsWith("r_regionkey"))
+    // aligned: every line has equal length
+    assert(table.map(_.length).distinct.length == 1)
+  }
+
+  test("lake-lite: load commits and merge-on-read scan") {
+    val root = tmp("lake")
+    val orders = GraftSession.table(spark, dir, "orders")
+    val c1 = Lake.load(orders.filter(col("o_orderstatus") === "F"), root, "p", "t", "first")
+    val c2 = Lake.load(orders.filter(col("o_orderstatus") === "O"), root, "p", "t", "second")
+    val full = Lake.scan(spark, root, "p")
+    val expect = orders.filter(col("o_orderstatus").isin("F", "O")).count()
+    assert(full.count() == expect)
+    // time travel: as-of the first commit sees only the first object
+    val asOf = Lake.scan(spark, root, "p", Some(c1))
+    assert(asOf.count() == orders.filter(col("o_orderstatus") === "F").count())
+    assert(Lake.commits(root, "p").map(_.id) == Seq(c1, c2))
+  }
+
+  test("mirror passes through while feeding a second sink") {
+    val region = GraftSession.table(spark, dir, "region")
+    var mirrored = -1L
+    val out = Lake.mirror(region, d => mirrored = d.count())
+    assert(out.count() == region.count())
+    assert(mirrored == region.count())
+  }
+}
