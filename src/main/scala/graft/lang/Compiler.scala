@@ -359,7 +359,15 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Path(Seq()) =>
       if (df.columns.contains("this")) col("this")
       else struct(df.columns.map(col).toIndexedSeq: _*)
-    case Expr.Path(parts) => col(parts.mkString("."))
+    case Expr.Path(parts) =>
+      // a reference to a nonexistent field is zed's error("missing") — a
+      // VALUE, not a compile error (complex.go:28-40). The engine's
+      // missing/quiet convention maps it to SQL NULL: it propagates through
+      // arithmetic and comparisons (1 > missing → NULL ≙ error("missing"))
+      // and drops rows in filters, matching the reference's behavior for
+      // every expressions.md case that survives relational mapping.
+      if (dtypeOf(df, e).isDefined) col(parts.mkString("."))
+      else lit(null)
 
     case Expr.Index(inner, Expr.StringLit(k)) => expr(df, inner).getItem(k)
     case Expr.Index(inner, idx) =>
@@ -396,6 +404,15 @@ final class Compiler(spark: SparkSession, dir: String) {
       case (_, t: Expr.TimeLit) => (expr(df, l), timeOperand(df, l, t))
       case _ => (expr(df, l), expr(df, r))
     }
+    // zed cross-type comparison returns false, not an error
+    // (expressions.md "Comparisons": 1 > "a" → false); fold at plan time
+    def crossType: Boolean = (dtypeOf(df, l), dtypeOf(df, r)) match {
+      case (Some(a), Some(b)) =>
+        def numeric(t: DataType) = t.isInstanceOf[NumericType]
+        (numeric(a) && b == StringType) || (a == StringType && numeric(b)) ||
+          (a == BooleanType) != (b == BooleanType)
+      case _ => false
+    }
     op match {
       case "+" =>
         if (isStringy(df, l) || isStringy(df, r)) concat(lc, rc) else lc + rc
@@ -406,12 +423,12 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
         else lc / rc
       case "%" => lc % rc
-      case "==" => lc === rc
-      case "!=" => lc =!= rc
-      case "<" => lc < rc
-      case "<=" => lc <= rc
-      case ">" => lc > rc
-      case ">=" => lc >= rc
+      case "==" => if (crossType) lit(false) else lc === rc
+      case "!=" => if (crossType) lit(true) else lc =!= rc
+      case "<" => if (crossType) lit(false) else lc < rc
+      case "<=" => if (crossType) lit(false) else lc <= rc
+      case ">" => if (crossType) lit(false) else lc > rc
+      case ">=" => if (crossType) lit(false) else lc >= rc
       case "and" => lc && rc
       case "or" => lc || rc
       case "=~" =>

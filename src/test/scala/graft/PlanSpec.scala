@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.lang.Graft
+
+/** Plan-shape assertions — the 100 TB design lens. A query that is correct
+  * but scans every column, skips pushdown, or shuffles a broadcastable dim
+  * would fail here long before a benchmark shows it.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(q: String): String =
+    Graft.query(spark, dir, q).queryExecution.executedPlan.toString
+
+  test("cut prunes the parquet read schema to the projected columns") {
+    val plan = planOf("from lineitem | cut l_orderkey, l_quantity")
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"projection did not prune the scan: $readSchema")
+  }
+
+  test("where pushes the predicate into the parquet scan") {
+    val plan = planOf("""from lineitem | where l_returnflag=="R" | cut l_orderkey""")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("l_returnflag"), s"filter not pushed: $pushed")
+  }
+
+  test("time filter on ns-long column pushes down as a plain long predicate") {
+    val plan = planOf("from events | where ts < 2024-01-03 | cut event_id")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("ts"), s"ns time filter not pushed: $pushed")
+  }
+
+  test("join against a small dimension broadcasts (no shuffle of the fact side)") {
+    val plan = planOf(
+      "from orders | inner join (from customer) on o_custkey=c_custkey c_name")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "small-dim join did not broadcast")
+  }
+
+  test("sort|head compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("from orders | sort o_totalprice desc | head 5")
+    assert(plan.contains("TakeOrderedAndProject"), "sort+head did not fuse to top-N")
+  }
+
+  test("summarize runs partial then final aggregation (map-side combine)") {
+    val df = Graft.query(spark, dir, "from lineitem | sum(l_quantity) by l_returnflag")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("partial_sum|HashAggregate.*partial".r.findFirstIn(plan).isDefined,
+      "no partial aggregate before the shuffle")
+  }
+
+  test("whole-stage codegen covers the filter+project hot path") {
+    val plan = planOf("""from lineitem | where l_quantity > 10.0 | put v:=l_extendedprice*0.9 | cut l_orderkey, v""")
+    // `*(n)` prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1)"), "hot path fell out of codegen")
+  }
+
+  test("merge of pre-filtered branches stays a single stage union + sort") {
+    val df = Graft.query(spark, dir,
+      """from orders | fork ( => where o_orderstatus=="F" => where o_orderstatus=="O" ) | merge o_orderkey""")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), "fork branches did not union")
+  }
+}
