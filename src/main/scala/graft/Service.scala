@@ -1,0 +1,92 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lang.Graft
+import graft.sources.{Formats, Lake, ZsonIO}
+
+/** REST query service (reference: service/core.go:171-206 — POST /query,
+  * pool listing; responses stream ZSON lines like zed's ZNG-over-HTTP).
+  *
+  * JDK-built-in HTTP server — query compilation and execution are fully
+  * distributed Spark work; only response serialization passes the driver,
+  * capped by the `limit` parameter exactly like the reference's paged
+  * responses.
+  *
+  *   POST /query    body = the Zed query text
+  *                  ?dir=<sfDir>  ?fmt=zson|text  ?limit=N
+  *   GET  /pools?root=<lakeRoot>          pool listing
+  *   GET  /status                         liveness
+  */
+final class Service(spark: SparkSession, defaultDir: String, port: Int) {
+
+  @volatile private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", handler { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val params = query(ex)
+      val dir = params.getOrElse("dir", defaultDir)
+      val fmt = params.getOrElse("fmt", "zson")
+      val limit = params.getOrElse("limit", "1000").toInt
+      val df = Graft.query(spark, dir, body).limit(limit)
+      val lines = fmt match {
+        case "text" => Formats.textLines(df).collect()
+        case _ => ZsonIO.toZson(df).collect()
+      }
+      (200, lines.mkString("", "\n", "\n"))
+    })
+    server.createContext("/pools", handler { ex =>
+      val root = query(ex).getOrElse("root", "/tmp/graft_lake")
+      val pools = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => Lake.exists(root, f.getName))
+        .map(f => s"""{name:"${f.getName}",commits:${Lake.commits(root, f.getName).length}}""")
+      (200, pools.mkString("", "\n", "\n"))
+    })
+    server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
+    server.setExecutor(null) // serial — Spark parallelizes inside each query
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8") }
+      .toMap
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val (code, body) =
+        try f(ex)
+        catch { case e: Exception => (400, s"""{error:"${e.getMessage}"}""" + "\n") }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/x-zson")
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    }
+  }
+}
+
+object Service {
+  /** `runMain graft.Service [port] [dir]` — serve until killed. */
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(9867) // zed's default port
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val svc = new Service(spark, dir, port)
+    val actual = svc.start()
+    println(s"graft service listening on 127.0.0.1:$actual")
+    Thread.currentThread().join()
+  }
+}

@@ -91,23 +91,27 @@ object ZedOps {
   def uniqCount(df: DataFrame): DataFrame =
     df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("count"))
 
-  /** Adjacent-duplicate semantics when an explicit stream order exists
-    * (true Unix-uniq): keep a row iff any column differs from its
-    * predecessor under `order`. Global window ⇒ single-partition; only
-    * for small, explicitly-ordered streams (zed's uniq is inherently
-    * order-dependent and non-parallel too).
+  /** Adjacent-duplicate semantics under an explicit order (true Unix-uniq,
+    * runtime/sam/op/uniq/uniq.go) — DISTRIBUTED: range-partition by the
+    * order keys, then drop predecessor-equal rows per partition.
+    *
+    * Scale argument: a full-row duplicate necessarily has equal order-key
+    * values, and the range partitioner sends equal keys to one partition —
+    * so every duplicate pair is adjacent WITHIN a partition and no
+    * cross-partition fix-up is needed. N parallel windows, no
+    * single-partition Exchange (the r1 version's scale-killer).
     */
   def uniqAdjacent(df: DataFrame, order: Column*): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    val isDup = df.columns
-      .map(c => col(c) <=> lag(col(c), 1).over(w))
-      .reduce(_ && _)
-    // row 1 is never a duplicate: lag() yields null there, and an all-null
-    // first row would otherwise match null<=>null and be dropped.
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__dup", isDup && col("__rn") > 1)
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    val prev = lag(rowStruct, 1).over(w)
+    ranged
+      .withColumn("__dup", prev.isNotNull && (rowStruct <=> prev))
       .filter(!col("__dup"))
-      .drop("__rn", "__dup")
+      .drop("__pid", "__dup")
   }
 
   /** `summarize agg [by keys]` — hash group-by

@@ -64,6 +64,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1)"), "hot path fell out of codegen")
   }
 
+  test("uniqAdjacent is distributed: range partitioning, no single-partition window") {
+    import org.apache.spark.sql.functions._
+    val df = GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+    val out = graft.operators.ZedOps.uniqAdjacent(df, col("l_returnflag"), col("l_linestatus"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.toLowerCase.contains("range"), "expected range partitioning")
+    assert(!plan.contains("SinglePartition"), "single-partition window is a scale-killer")
+    // correctness: all duplicates collapse (equal keys co-locate by range)
+    assert(out.count() == df.distinct().count())
+    // first-row-of-stream with all-null columns survives (ADVICE r1 case)
+    val withNulls = spark.range(1).select(
+      lit(null).cast("string").as("l_returnflag"),
+      lit(null).cast("string").as("l_linestatus"))
+      .union(df.limit(5))
+    val kept = graft.operators.ZedOps.uniqAdjacent(withNulls,
+      col("l_returnflag"), col("l_linestatus"))
+    assert(kept.filter(col("l_returnflag").isNull).count() == 1)
+  }
+
   test("merge of pre-filtered branches stays a single stage union + sort") {
     val df = Graft.query(spark, dir,
       """from orders | fork ( => where o_orderstatus=="F" => where o_orderstatus=="O" ) | merge o_orderkey""")
