@@ -790,6 +790,21 @@ object SparkEntry {
           when(col("value") > 50.0, col("value")).as("v"))),
       None),
 
+    // ---- heterogeneity: runtime type values over a mixed stream ----
+    // (complex.go TypeUnion, type.go:479 type values; Het.fuseTagged)
+    ("q_het_typeof", (s, dir) => {
+      val mixed = graft.operators.Het.fuseTagged(
+        t(s, dir, "region"), t(s, dir, "nation"))
+      ZedOps.sort(
+        mixed.groupBy(graft.operators.Het.typeofRow(mixed).as("t"))
+          .agg(count(lit(1)).as("n")),
+        col("t") -> true)
+    },
+      Some("""SELECT '{r_regionkey:int32,r_name:string}' AS t, count(*) AS n FROM region
+             |UNION ALL
+             |SELECT '{n_nationkey:int32,n_name:string,n_regionkey:int32}', count(*) FROM nation
+             |ORDER BY t""".stripMargin)),
+
     // ==== sources / sinks (graft.sources; ref zio/anyio, lake/) ====
     // Each round-trips real data through the format and re-verifies against
     // the oracle on the ORIGINAL table — reader+writer must both be exact.

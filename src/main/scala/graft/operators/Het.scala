@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Shaper
+
+/** Heterogeneity: zed's "super-structured" stream of mixed-type values on
+  * top of relational frames (reference: complex.go TypeUnion :290,
+  * type.go:479-497 type values, type.go:396-477 CompareTypes).
+  *
+  * Two mechanisms, both Spark-first:
+  *
+  *  1. **Tagged fuse** — a mixed stream is the fused (unionByName) frame
+  *     plus a `__type` column carrying each row's ORIGINAL record type as a
+  *     zed type string. That makes `typeof(this)` a real runtime value:
+  *     `count() by typeof(this)` and `sample` (one representative per
+  *     shape) are ordinary group-bys on the tag — distributed, partial-agg
+  *     friendly, no row-level type machinery.
+  *
+  *  2. **Variant columns** — a truly mixed-type scalar column is a tagged
+  *     struct {k, n, s, b, t} (kind rank, numeric, string, bool, zed type
+  *     name). Constructors, accessors, and an orderable key implement
+  *     zed's cross-type total order: values sort by kind first
+  *     (CompareTypes' Kind compare), then within family (numbers
+  *     numerically regardless of width — the coercion lattice).
+  */
+object Het {
+
+  val typeTag = "__type"
+
+  /** Tag every row with its frame's zed record type. */
+  def tag(df: DataFrame): Column = lit(Shaper.zedTypeOf(df.schema))
+
+  /** Fuse heterogeneous frames, remembering each row's original type —
+    * the engine's representation of a mixed value sequence.
+    */
+  def fuseTagged(dfs: DataFrame*): DataFrame =
+    dfs.map(df => df.withColumn(typeTag, tag(df)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Runtime `typeof(this)`: the tag when present, else the static type. */
+  def typeofRow(df: DataFrame): Column =
+    if (df.columns.contains(typeTag)) col(typeTag)
+    else lit(Shaper.zedTypeOf(StructType(df.schema.filterNot(_.name == typeTag))))
+
+  /** zed `sample` over a mixed stream: one representative value per
+    * distinct type (shape/shaper.go; sample = `any(this) by typeof(this)`).
+    */
+  def sampleByType(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == typeTag)
+    df.groupBy(typeofRow(df).as(typeTag))
+      .agg(first(struct(dataCols.map(col).toIndexedSeq: _*)).as("sample"))
+      .select(col(typeTag), col("sample.*"))
+  }
+
+  /** `is(<type>)` — filter a mixed stream down to one shape. */
+  def isType(df: DataFrame, zedType: String): Column =
+    typeofRow(df) === lit(zedType)
+
+  // ---- variant (union-typed) scalar columns ---------------------------------
+
+  /** Kind ranks for the cross-type order; null sorts last in asc (SQL/zed
+    * default) via null handling, families follow CompareTypes' Kind order.
+    */
+  private def kindRank(dt: DataType): Int = dt match {
+    case _ if dt.isInstanceOf[NumericType] => 0
+    case TimestampType | TimestampNTZType | DateType => 1
+    case StringType => 2
+    case BooleanType => 3
+    case _ => 4
+  }
+
+  private def zedPrimName(dt: DataType): String = Shaper.zedTypeOf(dt)
+
+  /** Wrap a typed column into the variant encoding. */
+  def variant(c: Column, dt: DataType): Column = {
+    val n = if (dt.isInstanceOf[NumericType]) c.cast(DoubleType)
+            else if (dt == TimestampType || dt == TimestampNTZType) c.cast(DoubleType)
+            else lit(null).cast(DoubleType)
+    val s = if (dt == StringType) c else lit(null).cast(StringType)
+    val b = if (dt == BooleanType) c else lit(null).cast(BooleanType)
+    when(c.isNull, lit(null).cast(variantType)).otherwise(
+      struct(
+        lit(kindRank(dt)).as("k"),
+        n.as("n"),
+        s.as("s"),
+        b.as("b"),
+        lit(zedPrimName(dt)).as("t")))
+  }
+
+  val variantType: StructType = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("n", DoubleType),
+    StructField("s", StringType),
+    StructField("b", BooleanType),
+    StructField("t", StringType)))
+
+  /** Build one variant column from the first non-null of several typed
+    * alternatives (e.g. a column that is int in one branch, string in
+    * another, after a fuse).
+    */
+  def variantOf(alts: (Column, DataType)*): Column =
+    coalesce(alts.map { case (c, dt) => variant(c, dt) }: _*)
+
+  /** Orderable key implementing the cross-type total order: kind first
+    * (CompareTypes), then numeric value (coercion lattice: all number
+    * widths compare numerically), then string, then bool.
+    */
+  def compareKey(v: Column): Column =
+    // a null variant must yield a NULL key (not a struct of nulls, which
+    // would sort before every non-null struct) so nulls-last works
+    when(v.isNull, lit(null).cast(compareKeyType)).otherwise(struct(
+      v.getField("k").as("k"),
+      v.getField("n").as("n"),
+      v.getField("s").as("s"),
+      v.getField("b").cast(IntegerType).as("b")))
+
+  private val compareKeyType: StructType = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("n", DoubleType),
+    StructField("s", StringType),
+    StructField("b", IntegerType)))
+
+  /** zed `typeof` of a variant value. */
+  def variantTypeOf(v: Column): Column = v.getField("t")
+
+  /** zed `under`-style accessors (null when the member kind differs). */
+  def asNumber(v: Column): Column = v.getField("n")
+  def asString(v: Column): Column = v.getField("s")
+  def asBool(v: Column): Column = v.getField("b")
+
+  /** Render a variant value as its zed text form (for output/debug). */
+  def render(v: Column): Column =
+    when(v.isNull, lit("null"))
+      .when(v.getField("k") === 0,
+        when(v.getField("n") === floor(v.getField("n")),
+          v.getField("n").cast(LongType).cast(StringType))
+          .otherwise(v.getField("n").cast(StringType)))
+      .when(v.getField("k") === 2, concat(lit("\""), v.getField("s"), lit("\"")))
+      .when(v.getField("k") === 3, v.getField("b").cast(StringType))
+      .otherwise(v.getField("s"))
+
+  /** Cross-type min/max over a variant column (agg under the total order):
+    * min_by/max_by on the compare key.
+    */
+  def minVariant(v: Column): Column = min_by(v, compareKey(v))
+  def maxVariant(v: Column): Column = max_by(v, compareKey(v))
+
+  /** Sort a frame by a variant column under the cross-type total order. */
+  def sortByVariant(df: DataFrame, v: Column, asc: Boolean = true): DataFrame = {
+    val key = compareKey(v)
+    df.orderBy(if (asc) key.asc_nulls_last else key.desc_nulls_last)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Het
+
+/** Heterogeneity: tagged fuse (runtime type values), typeof grouping,
+  * per-type sample, and variant columns under the cross-type total order
+  * (reference complex.go:290 TypeUnion, type.go:396-477 CompareTypes).
+  */
+class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("fuseTagged keeps each row's original type as a runtime value") {
+    val a = GraftSession.table(spark, dir, "region")
+    val b = GraftSession.table(spark, dir, "nation")
+    val mixed = Het.fuseTagged(a, b)
+    val counts = mixed.groupBy(Het.typeofRow(mixed).as("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 2)
+    assert(counts.values.toSet == Set(a.count(), b.count()))
+    // the tags are real zed type syntax
+    assert(counts.keys.forall(t => t.startsWith("{") && t.endsWith("}")))
+  }
+
+  test("count() by typeof(this) — the zed shape-analysis idiom") {
+    val mixed = Het.fuseTagged(
+      GraftSession.table(spark, dir, "region"),
+      GraftSession.table(spark, dir, "nation"),
+      GraftSession.table(spark, dir, "supplier"))
+    val n = mixed.groupBy(Het.typeofRow(mixed)).count().count()
+    assert(n == 3)
+  }
+
+  test("sampleByType yields one representative per shape") {
+    val mixed = Het.fuseTagged(
+      GraftSession.table(spark, dir, "region"),
+      GraftSession.table(spark, dir, "nation"))
+    val s = Het.sampleByType(mixed)
+    assert(s.count() == 2)
+    assert(s.columns.head == Het.typeTag)
+  }
+
+  test("isType filters a mixed stream to one shape") {
+    val a = GraftSession.table(spark, dir, "region")
+    val b = GraftSession.table(spark, dir, "nation")
+    val mixed = Het.fuseTagged(a, b)
+    val onlyA = mixed.filter(Het.isType(mixed, graft.functions.Shaper.zedTypeOf(a.schema)))
+    assert(onlyA.count() == a.count())
+  }
+
+  test("variant column sorts under the cross-type total order") {
+    // mixed: numbers (any width) < strings < bools; nulls last
+    val df = Seq(
+      ("a", Some(2L), None: Option[String], None: Option[Boolean]),
+      ("b", None, Some("zzz"), None),
+      ("c", Some(10L), None, None),
+      ("d", None, None, Some(true)),
+      ("e", None, Some("aaa"), None),
+      ("f", None, None, None)
+    ).toDF("id", "i", "s", "b")
+    val v = Het.variantOf(
+      (col("i"), LongType), (col("s"), StringType), (col("b"), BooleanType))
+    val sorted = Het.sortByVariant(df.withColumn("v", v), col("v"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("a", "c", "b", "e").patch(2, Seq("e", "b"), 2) ||
+      sorted == Seq("a", "c", "e", "b", "d", "f"))
+    assert(sorted.take(2) == Seq("a", "c")) // numbers first, numeric order
+    assert(sorted(2) == "e" && sorted(3) == "b") // then strings lexically
+    assert(sorted(4) == "d") // then bools
+    assert(sorted(5) == "f") // null last
+  }
+
+  test("cross-type min/max follow the total order") {
+    val df = Seq(
+      (1L, Some(5L), None: Option[String]),
+      (2L, None, Some("x")),
+      (3L, Some(1L), None)
+    ).toDF("id", "i", "s")
+    val v = Het.variantOf((col("i"), LongType), (col("s"), StringType))
+    val r = df.agg(
+      Het.render(Het.minVariant(v)).as("mn"),
+      Het.render(Het.maxVariant(v)).as("mx")).collect()(0)
+    assert(r.getString(0) == "1")     // smallest number
+    assert(r.getString(1) == "\"x\"") // strings sort after all numbers
+  }
+
+  test("variant typeof and accessors") {
+    val df = Seq((Some(1L), None: Option[String]), (None, Some("s"))).toDF("i", "s")
+    val v = Het.variantOf((col("i"), LongType), (col("s"), StringType))
+    val rows = df.select(Het.variantTypeOf(v), Het.asNumber(v), Het.asString(v)).collect()
+    assert(rows(0).getString(0) == "int64" && rows(0).getDouble(1) == 1.0 && rows(0).isNullAt(2))
+    assert(rows(1).getString(0) == "string" && rows(1).isNullAt(1) && rows(1).getString(2) == "s")
+  }
+}
