@@ -1066,6 +1066,18 @@ object SparkEntry {
       Some("""SELECT n_nationkey, n_regionkey AS rk FROM nation
              |ORDER BY n_nationkey""".stripMargin)),
 
+    // explode by type with schema-driven leaf discovery (explode.go)
+    ("q_lang_explode", lang(
+      "from orders | explode this by string as v | sort v"),
+      Some(mainOracle("q_explode"))),
+
+    // keyword search sugar (search-expressions.md): bare string → grep
+    ("q_lang_search", lang(
+      """from documents | search "fast" | cut doc_id | sort doc_id""".stripMargin),
+      Some("""SELECT doc_id FROM documents
+             |WHERE text LIKE '%fast%' OR lang LIKE '%fast%' OR source LIKE '%fast%'
+             |ORDER BY doc_id""".stripMargin)),
+
     // scalar-function expressions through the language
     ("q_lang_fn", lang(
       """from customer

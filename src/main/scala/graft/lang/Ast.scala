@@ -79,6 +79,7 @@ object Stage {
       withVars: Seq[(String, Expr)],
       body: Option[Pipeline]) extends Stage
   final case class Yield(exprs: Seq[Expr]) extends Stage
+  final case class Explode(zedType: String, as: String) extends Stage
   case object Fuse extends Stage
   case object Pass extends Stage
   final case class Assert(e: Expr, text: String) extends Stage

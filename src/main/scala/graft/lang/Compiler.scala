@@ -56,15 +56,25 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Where(e) =>
         val df = single(state)
-        Seq(df.filter(expr(df, e)))
+        // search-expression sugar (docs/language/search-expressions.md):
+        // a bare string (or an unresolvable bare word) is a keyword search
+        // over every string field
+        val pred = e match {
+          case Expr.StringLit(s) => keywordSearch(df, s)
+          case Expr.Path(Seq(word)) if dtypeOf(df, e).isEmpty => keywordSearch(df, word)
+          case _ => expr(df, e)
+        }
+        Seq(df.filter(pred))
 
       case Stage.Cut(fields) =>
         val df = single(state)
         val cols = fields.map {
           case (name, Some(e)) => expr(df, e).as(name)
-          case (name, None) => col(name).as(name.split("\\.").last)
+          case (name, None) => col(name).as(name)
         }
-        Seq(df.select(cols: _*))
+        val flat = df.select(cols: _*)
+        // dotted paths rebuild their nested record structure (cutter.go)
+        Seq(if (fields.exists(_._1.contains("."))) Shaper.nestDotted(flat) else flat)
 
       case Stage.Put(assigns) =>
         val df = single(state)
@@ -157,6 +167,9 @@ final class Compiler(spark: SparkSession, dir: String) {
             Seq(df.select(explode(array(many.map(expr(df, _)): _*)).as("this")))
         }
 
+      case Stage.Explode(zedType, as) =>
+        Seq(ZedOps.explodeByType(single(state), zedType, as))
+
       case Stage.Fuse => Seq(single(state)) // union already unified schema
 
       case Stage.Pass => state
@@ -243,6 +256,13 @@ final class Compiler(spark: SparkSession, dir: String) {
       }
       guarded ++ dflt
     }
+  }
+
+  /** Keyword search over every string field (search-expressions.md). */
+  private def keywordSearch(df: DataFrame, word: String): Column = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name))
+    if (strCols.isEmpty) lit(false)
+    else F.grep(word, strCols.toIndexedSeq: _*)
   }
 
   /** sort-key heuristic (docs/language/operators/sort.md:40-60): first
@@ -526,6 +546,14 @@ final class Compiler(spark: SparkSession, dir: String) {
       // parsing (function/parse.go, grok.go)
       case "parse_uri" => F.parseUri(a(0))
       case "grok" => F.grok(litStr(0), a(1))
+      case "parse_zson" =>
+        // relational adaptation of parse_zson(s): the result type must be
+        // declared (zed infers it per value; a frame needs one schema).
+        // ZSON→JSON conversion is row-wise parsing, same as zed's.
+        val schema = StructType.fromDDL(litStr(1))
+        val toJson = udf((s: String) =>
+          if (s == null) null else graft.sources.ZsonIO.zsonLineToJson(s))
+        from_json(toJson(a(0)), schema)
 
       // bytes/encoding (function/bytes.go)
       case "hex" => hex(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))

@@ -81,6 +81,14 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "combine" => next(); Stage.Combine
       case "over" => next(); parseOver()
       case "yield" => next(); Stage.Yield(parseExprList())
+      case "explode" =>
+        next()
+        // `explode this by <type> as <field>` — expr form subset: `this`
+        if (atId("this")) next()
+        expect("by")
+        val t = next().text
+        expect("as")
+        Stage.Explode(t, next().text)
       case "fuse" => next(); Stage.Fuse
       case "pass" => next(); Stage.Pass
       case "assert" =>

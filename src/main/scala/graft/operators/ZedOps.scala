@@ -278,6 +278,28 @@ object ZedOps {
   def explodeBy(df: DataFrame, as: String, fields: Column*): DataFrame =
     df.select(explode(array(fields: _*)).as(as))
 
+  /** By-type leaf discovery form: walks the schema for every (possibly
+    * nested) leaf of the zed type and explodes those (explode.go's
+    * type-driven field enumeration, done at plan time against the schema).
+    */
+  def explodeByType(df: DataFrame, zedType: String, as: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def matches(dt: DataType): Boolean =
+      graft.functions.Shaper.zedTypeOf(dt) == zedType
+    def leaves(st: StructType, prefix: String): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => leaves(s, path)
+          case dt if matches(dt) => Seq(path)
+          case _ => Seq.empty
+        }
+      }
+    val paths = leaves(df.schema, "")
+    require(paths.nonEmpty, s"no leaf of type $zedType in ${df.schema.simpleString}")
+    explodeBy(df, as, paths.map(col): _*)
+  }
+
   /** `fuse` — unify all record types into one wide schema
     * (runtime/sam/op/fuse/fuse.go). Across DataFrames this is
     * unionByName(allowMissing); a single DataFrame is already fused

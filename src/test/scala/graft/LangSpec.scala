@@ -159,6 +159,30 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getString(2) == "even" && r(1).getString(2) == "odd")
   }
 
+  test("cut with dotted paths rebuilds the nested record") {
+    val df = run(
+      """from customer | put info:={name:c_name, seg:c_mktsegment}
+        || cut c_custkey, info.name | sort c_custkey | head 1""".stripMargin)
+    assert(df.columns.toSeq == Seq("c_custkey", "info"))
+    assert(df.schema("info").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(df.select("info.name").collect()(0).getString(0).startsWith("Customer#"))
+  }
+
+  test("parse_zson parses an embedded ZSON string with a declared type") {
+    val r = run(
+      """from nation | put z:=parse_zson("{a:1,b:\"x\"}", "a BIGINT, b STRING")
+        || yield {k:n_nationkey, a:z.a, b:z.b} | sort k | head 1""".stripMargin).collect()(0)
+    assert(r.getLong(1) == 1L && r.getString(2) == "x")
+  }
+
+  test("explode by type discovers nested leaves from the schema") {
+    val n = run(
+      """from customer | put info:={seg:c_mktsegment} | head 5
+        || explode this by string as v | count()""".stripMargin).collect()(0).getLong(0)
+    // 5 rows × string leaves (c_name, c_mktsegment top-level + info.seg)
+    assert(n == 15)
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (
