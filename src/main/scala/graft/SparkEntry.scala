@@ -821,6 +821,18 @@ object SparkEntry {
     },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    ("q_zng_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_zng_nation"
+      graft.sources.ZngIO.write(t(s, dir, "nation"), path)
+      ZedOps.sort(
+        graft.sources.ZngIO.read(s, path).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey")),
+        col("n_nationkey") -> true)
+    },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     ("q_csv_roundtrip", (s, dir) => {
       val path = "/tmp/graft_io_csv_region.csv"
       graft.sources.Formats.write(t(s, dir, "region"), path, "csv")

@@ -29,6 +29,7 @@ object Formats {
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       spark.read.json(path)
     else if (lower.endsWith(".zson")) ZsonIO.read(spark, path)
+    else if (lower.endsWith(".zng")) ZngIO.read(spark, path)
     else if (lower.endsWith(".txt") || lower.endsWith(".line"))
       spark.read.text(path) // `line` format: one string value per line
     else spark.read.parquet(path) // default (the engine's native storage)
@@ -41,6 +42,7 @@ object Formats {
       .option("sep", "\t").csv(path)
     case "json" => df.write.mode("overwrite").json(path)
     case "zson" => ZsonIO.write(df, path)
+    case "zng" => ZngIO.write(df, path)
     case "text" => textLines(df).write.mode("overwrite").text(path)
     case "table" => tableLines(df).write.mode("overwrite").text(path)
     case other => throw new IllegalArgumentException(s"unknown write format: $other")

@@ -1,0 +1,420 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.io.ByteArrayOutputStream
+
+/** ZNG binary format (reference: docs/formats/zng.md, zio/zngio/).
+  *
+  * Real spec-conformant encoding: typedef frames assigning stream type IDs
+  * from 30, values frames of (type-id uvarint + tag-encoded body), signed
+  * ints zigzag-encoded to minimal little-endian bytes, end-of-stream 0xff.
+  * The reader additionally handles LZ4-compressed frames (compression.md
+  * format 0) and skips control frames.
+  *
+  * Spark integration: the writer emits one independent ZNG stream per
+  * partition (streams concatenate legally per spec §2.4); the reader lists
+  * files via Spark's binaryFile source, decodes each stream DISTRIBUTED to
+  * ZSON text lines, and reuses the ZSON→JSON→DataFrame path so mixed-type
+  * streams fuse exactly like any heterogeneous input.
+  */
+object ZngIO {
+
+  // ---- low-level encoding ----------------------------------------------------
+
+  private[graft] def uvarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** zigzag + minimal little-endian (zng.md §2.2.2). */
+  private[graft] def signedBytes(n: Long): Array[Byte] = {
+    var u = (n << 1) ^ (n >> 63)
+    val buf = Array.newBuilder[Byte]
+    while (u != 0) { buf += (u & 0xff).toByte; u >>>= 8 }
+    buf.result()
+  }
+
+  private[graft] def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+  // primitive IDs (zng.md §3)
+  private val ID_INT8 = 6; private val ID_INT16 = 7
+  private val ID_INT32 = 8; private val ID_INT64 = 9
+  private val ID_DURATION = 12; private val ID_TIME = 13
+  private val ID_FLOAT32 = 15; private val ID_FLOAT64 = 16
+  private val ID_BOOL = 23; private val ID_BYTES = 24
+  private val ID_STRING = 25; private val ID_NULL = 29
+
+  private def primId(dt: DataType): Option[Int] = dt match {
+    case ByteType => Some(ID_INT8)
+    case ShortType => Some(ID_INT16)
+    case IntegerType => Some(ID_INT32)
+    case LongType => Some(ID_INT64)
+    case FloatType => Some(ID_FLOAT32)
+    case DoubleType => Some(ID_FLOAT64)
+    case BooleanType => Some(ID_BOOL)
+    case BinaryType => Some(ID_BYTES)
+    case StringType => Some(ID_STRING)
+    case TimestampType | TimestampNTZType | DateType => Some(ID_TIME)
+    case _: DayTimeIntervalType => Some(ID_DURATION)
+    case NullType => Some(ID_NULL)
+    case _ => None
+  }
+
+  /** Assign stream type IDs (from 30) for the complex types of a schema,
+    * emitting typedefs in dependency order (zng.md §2.1).
+    */
+  private final class TypeTable {
+    val defs = new ByteArrayOutputStream()
+    private var next = 30
+    private val ids = scala.collection.mutable.Map.empty[DataType, Int]
+
+    def idOf(dt: DataType): Int = primId(dt).getOrElse(ids.getOrElseUpdate(dt, define(dt)))
+
+    private def counted(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      uvarint(defs, b.length.toLong); defs.write(b, 0, b.length)
+    }
+
+    private def define(dt: DataType): Int = dt match {
+      case st: StructType =>
+        val fieldIds = st.fields.map(f => idOf(f.dataType)) // define children first
+        defs.write(0x00)
+        uvarint(defs, st.fields.length.toLong)
+        st.fields.zip(fieldIds).foreach { case (f, id) =>
+          counted(f.name); uvarint(defs, id.toLong)
+        }
+        val id = next; next += 1; id
+      case ArrayType(et, _) =>
+        val inner = idOf(et)
+        defs.write(0x01); uvarint(defs, inner.toLong)
+        val id = next; next += 1; id
+      case MapType(kt, vt, _) =>
+        val k = idOf(kt); val v = idOf(vt)
+        defs.write(0x03); uvarint(defs, k.toLong); uvarint(defs, v.toLong)
+        val id = next; next += 1; id
+      case other =>
+        throw new IllegalArgumentException(s"zng: unsupported type $other")
+    }
+  }
+
+  // tag = 0 for null, length+1 otherwise (§2.2.1)
+  private def tagged(out: ByteArrayOutputStream, body: Array[Byte]): Unit = {
+    uvarint(out, body.length + 1L); out.write(body, 0, body.length)
+  }
+  private def nullTag(out: ByteArrayOutputStream): Unit = out.write(0)
+
+  private def encodeValue(out: ByteArrayOutputStream, v: Any, dt: DataType): Unit = {
+    if (v == null) { nullTag(out); return }
+    dt match {
+      case ByteType => tagged(out, signedBytes(v.asInstanceOf[Byte].toLong))
+      case ShortType => tagged(out, signedBytes(v.asInstanceOf[Short].toLong))
+      case IntegerType => tagged(out, signedBytes(v.asInstanceOf[Int].toLong))
+      case LongType => tagged(out, signedBytes(v.asInstanceOf[Long]))
+      case FloatType =>
+        tagged(out, leBytes(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL, 4))
+      case DoubleType =>
+        tagged(out, leBytes(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8))
+      case BooleanType => tagged(out, Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case StringType => tagged(out, v.toString.getBytes("UTF-8"))
+      case BinaryType => tagged(out, v.asInstanceOf[Array[Byte]])
+      case TimestampType =>
+        val ns = v.asInstanceOf[java.sql.Timestamp].toInstant
+        tagged(out, signedBytes(ns.getEpochSecond * 1000000000L + ns.getNano))
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+        tagged(out, signedBytes(inst.getEpochSecond * 1000000000L + inst.getNano))
+      case DateType =>
+        val d = v.asInstanceOf[java.sql.Date]
+        tagged(out, signedBytes(d.toLocalDate.toEpochDay * 86400L * 1000000000L))
+      case st: StructType =>
+        val inner = new ByteArrayOutputStream()
+        val r = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          encodeValue(inner, if (r.isNullAt(i)) null else r.get(i), f.dataType)
+        }
+        tagged(out, inner.toByteArray)
+      case ArrayType(et, _) =>
+        val inner = new ByteArrayOutputStream()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(e => encodeValue(inner, e, et))
+        tagged(out, inner.toByteArray)
+      case MapType(kt, vt, _) =>
+        // normalized: entries sorted by encoded key bytes (§2.2.3)
+        val entries = v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.map { case (k, mv) =>
+          val kb = new ByteArrayOutputStream(); encodeValue(kb, k, kt)
+          val vb = new ByteArrayOutputStream(); encodeValue(vb, mv, vt)
+          (kb.toByteArray, vb.toByteArray)
+        }.sortWith((a, b) => java.util.Arrays.compare(a._1, b._1) < 0)
+        val inner = new ByteArrayOutputStream()
+        entries.foreach { case (kb, vb) =>
+          inner.write(kb, 0, kb.length); inner.write(vb, 0, vb.length)
+        }
+        tagged(out, inner.toByteArray)
+      case other => throw new IllegalArgumentException(s"zng: unsupported type $other")
+    }
+  }
+
+  private def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val len = payload.length
+    out.write((t << 4) | (len & 0xf)) // V=0, C=0, T, L
+    uvarint(out, (len >> 4).toLong)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** Encode a complete single-stream ZNG byte sequence for rows of one schema. */
+  def encodeStream(rows: Iterator[Row], schema: StructType): Array[Byte] = {
+    val table = new TypeTable
+    val topId = table.idOf(schema)
+    val out = new ByteArrayOutputStream()
+    out.write(frame(0, table.defs.toByteArray)) // types frame
+    val values = new ByteArrayOutputStream()
+    rows.foreach { r =>
+      uvarint(values, topId.toLong)
+      val body = new ByteArrayOutputStream()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        encodeValue(body, if (r.isNullAt(i)) null else r.get(i), f.dataType)
+      }
+      val b = body.toByteArray
+      uvarint(values, b.length + 1L)
+      values.write(b, 0, b.length)
+      if (values.size() > (1 << 20)) { // bounded frames, like zngio's framing
+        out.write(frame(1, values.toByteArray)); values.reset()
+      }
+    }
+    if (values.size() > 0) out.write(frame(1, values.toByteArray))
+    out.write(0xff) // end of stream
+    out.toByteArray
+  }
+
+  /** Distributed write: one ZNG stream file per partition. */
+  def write(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val bytes = encodeStream(rows, schema)
+      val f = java.nio.file.Paths.get(path, f"part-$pid%05d.zng")
+      java.nio.file.Files.write(f, bytes)
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  // ---- decoding --------------------------------------------------------------
+
+  private sealed trait ZT
+  private case class ZPrim(id: Int) extends ZT
+  private case class ZRecord(fields: Seq[(String, ZT)]) extends ZT
+  private case class ZArray(elem: ZT) extends ZT
+  private case class ZSet(elem: ZT) extends ZT
+  private case class ZMap(k: ZT, v: ZT) extends ZT
+  private case class ZUnion(alts: Seq[ZT]) extends ZT
+  private case class ZEnum(symbols: Seq[String]) extends ZT
+  private case class ZError(inner: ZT) extends ZT
+  private case class ZNamed(name: String, inner: ZT) extends ZT
+
+  private final class Cursor(val buf: Array[Byte], var pos: Int) {
+    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    def uvarint(): Long = {
+      var shift = 0; var v = 0L; var b = 0
+      do { b = u8(); v |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val r = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; r
+    }
+    def done: Boolean = pos >= buf.length
+  }
+
+  private def signedOf(b: Array[Byte]): Long = {
+    var u = 0L
+    for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
+    (u >>> 1) ^ -(u & 1L)
+  }
+  private def unsignedOf(b: Array[Byte]): Long = {
+    var u = 0L
+    for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
+    u
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+
+  /** Decode one tag-encoded value of type t to ZSON text. */
+  private def decodeValue(c: Cursor, t: ZT): String = {
+    val tag = c.uvarint()
+    if (tag == 0) return "null"
+    val n = (tag - 1).toInt
+    t match {
+      case ZNamed(_, inner) => { c.pos -= sizeOfTag(tag); decodeValue(c, inner) }
+      case ZPrim(id) =>
+        val b = c.bytes(n)
+        id match {
+          case i if i >= 0 && i <= 5 => unsignedOf(b).toString // uintN
+          case i if (i >= 6 && i <= 11) || i == 12 => signedOf(b).toString
+          case ID_TIME =>
+            val ns = signedOf(b)
+            val inst = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+              .withZone(java.time.ZoneOffset.UTC).format(inst)
+          case ID_FLOAT32 =>
+            val v = java.lang.Float.intBitsToFloat(unsignedOf(b).toInt)
+            if (v == Math.floor(v) && !v.isInfinite) s"${v.toLong}." else v.toString
+          case ID_FLOAT64 =>
+            val v = java.lang.Double.longBitsToDouble(unsignedOf(b))
+            if (v == Math.floor(v) && !v.isInfinite) s"${v.toLong}." else v.toString
+          case ID_BOOL => if (b.nonEmpty && b(0) == 1) "true" else "false"
+          case ID_BYTES => "0x" + b.map(x => f"${x & 0xff}%02x").mkString
+          case ID_STRING => "\"" + esc(new String(b, "UTF-8")) + "\""
+          case ID_NULL => "null"
+          case other => "\"<prim-" + other + ">\""
+        }
+      case ZRecord(fields) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val parts = fields.map { case (name, ft) =>
+          val quoted = if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name else "\"" + esc(name) + "\""
+          s"$quoted:${decodeValue(inner, ft)}"
+        }
+        parts.mkString("{", ",", "}")
+      case ZArray(et) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val items = Iterator.continually(())
+          .takeWhile(_ => !inner.done).map(_ => decodeValue(inner, et)).toSeq
+        items.mkString("[", ",", "]")
+      case ZSet(et) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val items = Iterator.continually(())
+          .takeWhile(_ => !inner.done).map(_ => decodeValue(inner, et)).toSeq
+        items.mkString("|[", ",", "]|")
+      case ZMap(kt, vt) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (!inner.done) {
+          val k = decodeValue(inner, kt)
+          val v = decodeValue(inner, vt)
+          entries += s"$k:$v"
+        }
+        entries.mkString("|{", ",", "}|")
+      case ZUnion(alts) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val which = {
+          val t2 = inner.uvarint(); val m = (t2 - 1).toInt
+          unsignedOf(inner.bytes(m)).toInt
+        }
+        decodeValue(inner, alts(which))
+      case ZEnum(symbols) =>
+        val idx = unsignedOf(c.bytes(n)).toInt
+        "\"" + esc(symbols(idx)) + "\""
+      case ZError(inner) =>
+        val ic = new Cursor(c.bytes(n), 0)
+        decodeValue(ic, inner)
+    }
+  }
+
+  private def sizeOfTag(tag: Long): Int = {
+    var v = tag; var n = 1
+    while ((v & ~0x7fL) != 0) { v >>>= 7; n += 1 }
+    n
+  }
+
+  /** Decode a full ZNG byte stream (possibly several concatenated streams)
+    * to ZSON text lines.
+    */
+  def decodeToZson(bytes: Array[Byte]): Iterator[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new Cursor(bytes, 0)
+    var types = scala.collection.mutable.ArrayBuffer.empty[ZT] // ids from 30
+    def typeOf(id: Int): ZT =
+      if (id < 30) ZPrim(id) else types(id - 30)
+    def readCounted(cc: Cursor): String = {
+      val n = cc.uvarint().toInt
+      new String(cc.bytes(n), "UTF-8")
+    }
+    while (!c.done) {
+      val code = c.u8()
+      if (code == 0xff) {
+        types = scala.collection.mutable.ArrayBuffer.empty[ZT] // new stream
+      } else {
+        require((code & 0x80) == 0, "zng: unsupported version bit")
+        val compressed = (code & 0x40) != 0
+        val t = (code >> 4) & 0x3
+        val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+        val raw = c.bytes(len)
+        val payload =
+          if (!compressed) raw
+          else {
+            val pc = new Cursor(raw, 0)
+            val format = pc.u8()
+            require(format == 0, s"zng: unknown compression format $format")
+            val usize = pc.uvarint().toInt
+            val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+            val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+            val buf = new Array[Byte](usize)
+            dec.decompress(comp, 0, buf, 0, usize)
+            buf
+          }
+        t match {
+          case 0 => // types frame
+            val tc = new Cursor(payload, 0)
+            while (!tc.done) {
+              tc.u8() match {
+                case 0x00 =>
+                  val nf = tc.uvarint().toInt
+                  val fields = (0 until nf).map { _ =>
+                    val name = readCounted(tc)
+                    val tid = tc.uvarint().toInt
+                    name -> typeOf(tid)
+                  }
+                  types += ZRecord(fields)
+                case 0x01 => types += ZArray(typeOf(tc.uvarint().toInt))
+                case 0x02 => types += ZSet(typeOf(tc.uvarint().toInt))
+                case 0x03 =>
+                  val k = typeOf(tc.uvarint().toInt)
+                  types += ZMap(k, typeOf(tc.uvarint().toInt))
+                case 0x04 =>
+                  val nt = tc.uvarint().toInt
+                  types += ZUnion((0 until nt).map(_ => typeOf(tc.uvarint().toInt)))
+                case 0x05 =>
+                  val ne = tc.uvarint().toInt
+                  types += ZEnum((0 until ne).map(_ => readCounted(tc)))
+                case 0x06 => types += ZError(typeOf(tc.uvarint().toInt))
+                case 0x07 =>
+                  val name = readCounted(tc)
+                  types += ZNamed(name, typeOf(tc.uvarint().toInt))
+                case other =>
+                  throw new IllegalArgumentException(s"zng: unknown typedef code $other")
+              }
+            }
+          case 1 => // values frame
+            val vc = new Cursor(payload, 0)
+            while (!vc.done) {
+              val tid = vc.uvarint().toInt
+              out += decodeValue(vc, typeOf(tid))
+            }
+          case 2 => // control frame: skip (spec allows)
+          case _ =>
+            throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+        }
+      }
+    }
+    out.iterator
+  }
+
+  /** Read a ZNG file or directory of part files into a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(
+      if (new java.io.File(path).isDirectory) s"$path/*" else path)
+    val zsonLines = files.select("content").as[Array[Byte]]
+      .flatMap(bytes => decodeToZson(bytes))
+    val json = zsonLines.map(ZsonIO.zsonLineToJson _)
+    spark.read.json(json)
+  }
+}

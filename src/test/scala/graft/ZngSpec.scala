@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.ZngIO
+
+/** ZNG binary format: spec-level encoding checks (uvarint, zigzag, frame
+  * structure, EOS) plus full write→read round-trips through Spark.
+  */
+class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    p.resolve("out").toString
+  }
+
+  test("zigzag int encoding matches the spec (shift left, sign in bit 0)") {
+    assert(ZngIO.signedBytes(0L).isEmpty)            // minimal: no bytes
+    assert(ZngIO.signedBytes(1L).toSeq == Seq(2.toByte))
+    assert(ZngIO.signedBytes(-1L).toSeq == Seq(1.toByte))
+    assert(ZngIO.signedBytes(64L).toSeq == Seq(0x80.toByte))
+  }
+
+  test("stream structure: types frame, values frame, end-of-stream") {
+    val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
+    val rows = Iterator(Row(7L, "x"))
+    val bytes = ZngIO.encodeStream(rows, schema)
+    assert((bytes(0) >> 4) == 0)            // first frame: types (T=00, V=0, C=0)
+    assert(bytes.last == 0xff.toByte)       // end of stream
+    val lines = ZngIO.decodeToZson(bytes).toSeq
+    assert(lines == Seq("""{a:7,s:"x"}"""))
+  }
+
+  test("round-trips every primitive kind") {
+    val df = Seq(
+      (1L, 42, "héllo \"q\"", 2.5, 1.0f, true, Array[Byte](1, 2, 0xff.toByte)),
+      (2L, -7, "", -0.0, -3.5f, false, Array.empty[Byte])
+    ).toDF("l", "i", "s", "d", "f", "b", "bin")
+    val path = tmp("zng-prims")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path).orderBy("l")
+    val rows = back.select("l", "i", "s", "d", "f", "b", "bin").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 42L)
+    assert(rows(0).getString(2) == "héllo \"q\"")
+    assert(rows(0).getDouble(3) == 2.5)
+    assert(rows(0).getBoolean(5))
+    assert(rows(0).getString(6) == "0x0102ff") // bytes render as 0x-hex (ZSON form)
+    assert(rows(1).getLong(1) == -7L && rows(1).getString(2) == "")
+  }
+
+  test("round-trips nested records and arrays") {
+    val df = GraftSession.table(spark, dir, "orders")
+      .limit(200)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus"), col("o_totalprice")).as("info"),
+        array(col("o_custkey"), col("o_orderkey")).as("keys"))
+    val path = tmp("zng-nested")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path)
+    assert(back.count() == 200)
+    assert(back.select(sum("info.o_totalprice")).collect()(0).getDouble(0) ==
+      df.select(sum("info.o_totalprice")).collect()(0).getDouble(0))
+    assert(back.select(sum(element_at(col("keys"), 2))).collect()(0).getLong(0) ==
+      df.select(sum("o_orderkey")).collect()(0).getLong(0))
+  }
+
+  test("round-trips timestamps in the ns domain") {
+    val df = GraftSession.table(spark, dir, "orders").limit(50)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val path = tmp("zng-time")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path).orderBy("o_orderkey")
+    val a = back.select(col("o_orderdate")).limit(1).collect()(0).getString(0)
+    val b = df.orderBy("o_orderkey").limit(1)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .collect()(0).getString(0)
+    assert(a == b)
+  }
+
+  test("multi-partition writes produce concatenable independent streams") {
+    val df = GraftSession.table(spark, dir, "nation").repartition(4)
+    val path = tmp("zng-parts")
+    ZngIO.write(df, path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".zng"))
+    assert(files.length == 4)
+    // concatenation of streams is a valid ZNG sequence (spec §2.4)
+    val all = files.sortBy(_.getName).flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    assert(ZngIO.decodeToZson(all).size == 25)
+    assert(ZngIO.read(spark, path).count() == 25)
+  }
+
+  test("decoder handles maps, sets, unions, enums, named and error types") {
+    // hand-encode a types frame exercising decoder paths the writer doesn't emit
+    import java.io.ByteArrayOutputStream
+    val defs = new ByteArrayOutputStream()
+    def uv(v: Long) = ZngIO.uvarint(defs, v)
+    // 30: set<int64>; 31: union(int64,string); 32: enum{lo,hi}; 33: named "port" int64
+    defs.write(0x02); uv(9)
+    defs.write(0x04); uv(2); uv(9); uv(25)
+    defs.write(0x05); uv(2); uv(2); defs.write('l'); defs.write('o'); uv(2); defs.write('h'); defs.write('i')
+    defs.write(0x07); uv(4); defs.write('p'); defs.write('o'); defs.write('r'); defs.write('t'); uv(9)
+    val vals = new ByteArrayOutputStream()
+    def uvv(v: Long) = ZngIO.uvarint(vals, v)
+    // set value {1,2}: two tagged zigzag ints
+    uvv(30); uvv(5); uvv(2); vals.write(2); uvv(2); vals.write(4)
+    // union value: tag 1 (string) + "ok"
+    uvv(31); uvv(6); uvv(2); vals.write(1); uvv(3); vals.write('o'); vals.write('k')
+    // enum value: index 1 → "hi"
+    uvv(32); uvv(2); vals.write(1)
+    // named value: port 80
+    uvv(33); uvv(2); vals.write(((80 << 1) & 0xff))
+    val out = new ByteArrayOutputStream()
+    def frame(t: Int, p: Array[Byte]): Unit = {
+      out.write((t << 4) | (p.length & 0xf))
+      ZngIO.uvarint(out, (p.length >> 4).toLong)
+      out.write(p, 0, p.length)
+    }
+    frame(0, defs.toByteArray); frame(1, vals.toByteArray); out.write(0xff)
+    val lines = ZngIO.decodeToZson(out.toByteArray).toSeq
+    assert(lines == Seq("|[1,2]|", "\"ok\"", "\"hi\"", "80"))
+  }
+}
