@@ -341,7 +341,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         case (a, _) => a
       }
     case Expr.Call(fn, _) if Set("lower", "upper", "trim", "replace", "join",
-      "strftime", "network_of", "hex", "base64", "string")(fn) => Some(StringType)
+      "strftime", "network_of", "hex", "base64", "string", "__concat")(fn) => Some(StringType)
+    case Expr.Call("__slice", args) => dtypeOf(df, args.head)
+    case Expr.Call("split", _) => Some(ArrayType(StringType))
     case _ => None
   }
 
@@ -608,6 +610,23 @@ final class Compiler(spark: SparkSession, dir: String) {
         else a(0).cast("timestamp")
 
       case "__getfield" => a(0).getField(litStr(1))
+
+      // f-string concatenation: every part cast to string (expressions.md)
+      case "__concat" => concat(args.map(x => expr(df, x).cast("string")): _*)
+
+      // slice `a[lo:hi]` — 0-based, end-exclusive, negative from end
+      case "__slice" =>
+        val arr = a(0)
+        val sz = size(arr)
+        def norm(e: Expr, dflt: Column): Column = e match {
+          case Expr.NullLit => dflt
+          case other =>
+            val c = expr(df, other)
+            when(c >= 0, c).otherwise(sz + c)
+        }
+        val start0 = norm(args(1), lit(0)).cast("int")
+        val end0 = norm(args(2), sz).cast("int")
+        slice(arr, start0 + 1, greatest(end0 - start0, lit(0)))
 
       case other => throw new IllegalArgumentException(s"unknown function: $other")
     }

@@ -12,6 +12,7 @@ object Lexer {
   case object INT extends Kind
   case object FLOAT extends Kind
   case object STR extends Kind
+  case object FSTR extends Kind // f-string: raw body, braces unparsed
   case object TIME extends Kind
   case object DUR extends Kind
   case object PUNCT extends Kind
@@ -76,6 +77,22 @@ object Lexer {
                 out += Token(kind, num, i); i += num.length
             }
         }
+      } else if (c == 'f' && i + 1 < n &&
+                 (input.charAt(i + 1) == '"' || input.charAt(i + 1) == '\'')) {
+        // f-string: capture the raw body; replacement fields parse later
+        val quote = input.charAt(i + 1)
+        val sb = new StringBuilder
+        var j = i + 2
+        var closed = false
+        while (j < n && !closed) {
+          val d = input.charAt(j)
+          if (d == '\\' && j + 1 < n) { sb.append(d).append(input.charAt(j + 1)); j += 2 }
+          else if (d == quote) { closed = true; j += 1 }
+          else { sb.append(d); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(s"unterminated f-string at $i")
+        out += Token(FSTR, sb.toString, i)
+        i = j
       } else if (c.isLetter || c == '_') {
         val id = idRe.findPrefixOf(input.substring(i)).get
         out += Token(ID, id, i); i += id.length

@@ -46,10 +46,101 @@ final class Parser(tokens: Vector[Token], source: String) {
     Pipeline(stages.result())
   }
 
+  // const/func symbol tables (statements.md) — macro-expanded at parse time,
+  // matching the reference's compile-time-constant contract for both.
+  private val consts = scala.collection.mutable.Map.empty[String, Expr]
+  private val funcs = scala.collection.mutable.Map.empty[String, (Seq[String], Expr)]
+
   def parseQuery(): Pipeline = {
+    parseStatements()
     val p = parsePipeline()
     if (peek.kind != EOF) fail("trailing input")
     p
+  }
+
+  /** `const <id> = <expr>` / `func <id>(<params>) : ( <expr> )` at the
+    * start of the scope (statements.md).
+    */
+  private def parseStatements(): Unit = {
+    var going = true
+    while (going) {
+      if (atId("const") && peekAt(1).kind == ID && peekAt(2).text == "=") {
+        next()
+        val name = next().text; expect("=")
+        consts(name) = parseExpr()
+      } else if (atId("func") && peekAt(1).kind == ID && peekAt(2).text == "(") {
+        next()
+        val name = next().text; expect("(")
+        val params = Vector.newBuilder[String]
+        if (!at(")")) { do params += next().text while (eat(",")) }
+        expect(")"); expect(":"); expect("(")
+        val body = parseExpr()
+        expect(")")
+        funcs(name) = (params.result(), body)
+      } else going = false
+    }
+  }
+
+  /** Substitute parameters into a function body (pure macro expansion —
+    * zed funcs cannot reference runtime state).
+    */
+  private def subst(e: Expr, env: Map[String, Expr]): Expr = e match {
+    case Expr.Path(Seq(n)) if env.contains(n) => env(n)
+    case Expr.Path(n +: rest) if env.contains(n) =>
+      rest.foldLeft(env(n))((acc, f) => Expr.Call("__getfield", Seq(acc, Expr.StringLit(f))))
+    case Expr.Index(a, i) => Expr.Index(subst(a, env), subst(i, env))
+    case Expr.Unary(op, x) => Expr.Unary(op, subst(x, env))
+    case Expr.Binary(op, l, r) => Expr.Binary(op, subst(l, env), subst(r, env))
+    case Expr.Cond(c, t, f) => Expr.Cond(subst(c, env), subst(t, env), subst(f, env))
+    case Expr.Call(fn, args) => Expr.Call(fn, args.map(subst(_, env)))
+    case Expr.RecordLit(fs) => Expr.RecordLit(fs.map { case (n, x) => (n, subst(x, env)) })
+    case Expr.ArrayLit(xs) => Expr.ArrayLit(xs.map(subst(_, env)))
+    case other => other
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** f-string body → concat of literals and `{expr}` replacements. */
+  private def parseFString(raw: String): Expr = {
+    val parts = Vector.newBuilder[Expr]
+    val lit = new StringBuilder
+    var i = 0
+    def flush(): Unit =
+      if (lit.nonEmpty) { parts += Expr.StringLit(unescape(lit.toString)); lit.clear() }
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '{') {
+        flush()
+        var depth = 1; val start = i + 1; var j = i + 1
+        while (j < raw.length && depth > 0) {
+          raw.charAt(j) match {
+            case '{' => depth += 1; case '}' => depth -= 1; case _ =>
+          }
+          if (depth > 0) j += 1
+        }
+        if (depth != 0) fail("unterminated { in f-string")
+        val inner = raw.substring(start, j)
+        parts += subst(new Parser(Lexer.lex(inner), inner).parseExpr(), consts.toMap)
+        i = j + 1
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    val ps = parts.result()
+    if (ps.isEmpty) Expr.StringLit("")
+    else Expr.Call("__concat", ps)
   }
 
   // ---- stages ---------------------------------------------------------------
@@ -430,9 +521,17 @@ final class Parser(tokens: Vector[Token], source: String) {
     while (!done) {
       if (at("[")) {
         next()
-        val idx = parseExpr()
-        expect("]")
-        e = Expr.Index(e, idx)
+        // slice `[lo:hi]` (either bound optional) vs index `[i]`
+        val lo = if (at(":")) None else Some(parseExpr())
+        if (eat(":")) {
+          val hi = if (at("]")) None else Some(parseExpr())
+          expect("]")
+          e = Expr.Call("__slice",
+            Seq(e, lo.getOrElse(Expr.NullLit), hi.getOrElse(Expr.NullLit)))
+        } else {
+          expect("]")
+          e = Expr.Index(e, lo.get)
+        }
       } else if (at(".") && peekAt(1).kind == ID) {
         next()
         val field = next().text
@@ -451,6 +550,7 @@ final class Parser(tokens: Vector[Token], source: String) {
       case INT => next(); Expr.IntLit(t.text.toLong)
       case FLOAT => next(); Expr.FloatLit(t.text.toDouble)
       case STR => next(); Expr.StringLit(t.text)
+      case FSTR => next(); parseFString(t.text)
       case TIME =>
         next()
         val iso = if (t.text.length == 10) t.text + "T00:00:00Z"
@@ -470,7 +570,14 @@ final class Parser(tokens: Vector[Token], source: String) {
             next(); next() // name (
             val args = if (at(")")) Seq.empty else parseExprList()
             expect(")")
-            Expr.Call(name, args)
+            funcs.get(name) match {
+              case Some((params, body)) => // user-defined func: expand inline
+                if (params.length != args.length)
+                  fail(s"func $name expects ${params.length} args, got ${args.length}")
+                subst(body, params.zip(args).toMap)
+              case None => Expr.Call(name, args)
+            }
+          case name if consts.contains(name) => next(); consts(name)
           case _ => next(); Expr.Path(Seq(t.text))
         }
       case PUNCT =>

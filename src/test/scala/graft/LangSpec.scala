@@ -183,6 +183,35 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 15)
   }
 
+  test("const statements bind compile-time values (statements.md)") {
+    val r = run("const K = 7 from nation | yield {v: n_nationkey + K} | sort v | head 1")
+      .collect()(0)
+    assert(r.getLong(0) == 7L)
+  }
+
+  test("func statements expand user-defined functions inline") {
+    val r = run(
+      "func twice(n): (n * 2) func hype(s): (upper(s) + \"!\") " +
+        "from nation | yield {a: twice(n_nationkey), b: hype(n_name)} | sort a | head 2")
+      .collect()
+    assert(r(0).getLong(0) == 0L && r(1).getLong(0) == 2L)
+    assert(r(0).getString(1) == "NATION_0!")
+  }
+
+  test("f-strings interpolate expressions with implicit string casts") {
+    val r = run(
+      """from nation | yield {s: f"key={n_nationkey} name={lower(n_name)}"} | sort s | head 1""")
+      .collect()(0)
+    assert(r.getString(0) == "key=0 name=nation_0")
+  }
+
+  test("array slices are 0-based end-exclusive with negative indexing") {
+    val r = run(
+      """from embeddings | yield {a: len(embedding[0:3]), b: len(embedding[60:]), c: len(embedding[:-60])}
+        || head 1""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4 && r.getInt(2) == 4)
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (
