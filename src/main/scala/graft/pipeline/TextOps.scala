@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Expression-level let-binding: evaluate `value` ONCE per row and refer
+    * to it as a lambda variable in `body`.
+    *
+    * The Column DSL has no let — a Scala `val` splices a copy of the whole
+    * subtree at every use site, and inside a higher-order-function lambda
+    * that copy re-evaluates PER ELEMENT (the r2 q_dedup_near profile showed
+    * tokenization running ~150× per document this way). Wrapping the value
+    * in a 1-element array and binding it through `transform`'s lambda
+    * variable gives true once-per-row evaluation.
+    */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   /** Lowercased, whitespace-collapsed text — the canonical form every
     * dedup/fingerprint path keys on.
     */
@@ -41,14 +54,14 @@ object TextOps {
     * window of `w` tokens, deduped. Two documents sharing a long run of
     * tokens share fingerprints even when the rest differs.
     */
-  def winnowFingerprints(text: Column, w: Int = 5): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
-        array_min(slice(hs, i, lit(w))))))
-      .otherwise(when(size(hs) > 0, array(array_min(hs)))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  def winnowFingerprints(text: Column, w: Int = 5): Column =
+    bind(transform(tokens(text), t => xxhash64(t))) { hs =>
+      when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
+          array_min(slice(hs, i, lit(w))))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<bigint>")))
+    }
 
   // --- language ID: tiny stopword profiles per language -------------------
   // The profile approach mirrors n-gram language detectors (score text
@@ -69,8 +82,7 @@ object TextOps {
     * codepoints short-circuit to "zh"; no hits → "und". Deterministic
     * tie-break = profile order (alphabetical).
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = bind(tokens(text)) { toks =>
     val scores = profiles.map { case (lang, words) =>
       val wl = array(words.map(lit): _*)
       lang -> size(filter(toks, t => array_contains(wl, t)))
@@ -92,8 +104,10 @@ object TextOps {
     *   n_chars, n_tokens, n_bpe_tokens, mean_tok_len, punct_ratio,
     *   stop_ratio, and a [0,1] `score` from four equal-weight indicators.
     */
-  def qualityFacets(text: Column): Seq[(String, Column)] = {
-    val norm = normalize(text)
+  def qualityFacets(text: Column): Seq[(String, Column)] =
+    facetsOfNorm(normalize(text))
+
+  private def facetsOfNorm(norm: Column): Seq[(String, Column)] = {
     val nChars = length(norm)
     val nToks = size(split(norm, " "))
     val alnumLen = length(regexp_replace(norm, "\\s", ""))
@@ -118,7 +132,13 @@ object TextOps {
     )
   }
 
-  /** `doc_id, facets…` over a documents frame. */
-  def quality(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id") +: qualityFacets(text).map { case (n, c) => c.as(n) }: _*)
+  /** `doc_id, facets…` over a documents frame; the normalized text is
+    * bound once per row (see `bind`) instead of once per facet.
+    */
+  def quality(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val packed = bind(normalize(text)) { norm =>
+      struct(facetsOfNorm(norm).map { case (n, c) => c.as(n) }: _*)
+    }
+    docs.select(id.as("doc_id"), packed.as("__q")).select(col("doc_id"), col("__q.*"))
+  }
 }
