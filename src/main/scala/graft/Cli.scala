@@ -21,6 +21,7 @@ object Cli {
     var format = "zson"
     var out: Option[String] = None
     var maxRows = 50
+    var explain = false
     var query: Option[String] = None
     var i = 0
     while (i < args.length) {
@@ -29,6 +30,7 @@ object Cli {
         case "-f" => format = args(i + 1); i += 2
         case "-o" => out = Some(args(i + 1)); i += 2
         case "-n" => maxRows = args(i + 1).toInt; i += 2
+        case "-explain" => explain = true; i += 1
         case q => query = Some(q); i += 1
       }
     }
@@ -40,6 +42,11 @@ object Cli {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     try {
       val df = Graft.query(spark, dir, q)
+      if (explain) {
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        return
+      }
       out match {
         case Some(path) => Formats.write(df, path, format)
         case None =>

@@ -145,11 +145,21 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Over(exprs, withVars, body) =>
         val df = single(state)
+        // over semantics (traverse/over.go): arrays → elements, maps →
+        // {key,value} records, other values → themselves
         val elem =
-          if (exprs.length == 1) expr(df, exprs.head)
-          else array(exprs.map(expr(df, _)): _*)
+          if (exprs.length == 1) {
+            val e = exprs.head
+            dtypeOf(df, e) match {
+              case Some(_: ArrayType) => explode(expr(df, e))
+              case Some(_: MapType) => explode(map_entries(expr(df, e)))
+              case _ => expr(df, e) match {
+                case c => explode(array(c))
+              }
+            }
+          } else explode(array(exprs.map(expr(df, _)): _*))
         val kept = withVars.map { case (n, e) => expr(df, e).as(n) }
-        val exploded = df.select(kept :+ explode(elem).as("this"): _*)
+        val exploded = df.select(kept :+ elem.as("this"): _*)
         body match {
           case None => Seq(exploded)
           case Some(p) => compilePipeline(Some(exploded), p)
@@ -557,9 +567,15 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (s == null) null else graft.sources.ZsonIO.zsonLineToJson(s))
         from_json(toJson(a(0)), schema)
 
-      // bytes/encoding (function/bytes.go)
+      // bytes/encoding (function/bytes.go, ksuid.go)
       case "hex" => hex(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
       case "base64" => base64(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
+      case "ksuid" =>
+        // K-sortable unique id: 32-bit seconds timestamp + 16 random bytes,
+        // base62 (reference function/ksuid.go). Row-wise id generation is
+        // inherently imperative — a UDF here matches the reference's cost.
+        val gen = udf(() => graft.functions.Ksuid.newId())
+        gen()
 
       // network (function/ip.go)
       case "cidr_match" => F.cidrMatch(a(0), a(1))

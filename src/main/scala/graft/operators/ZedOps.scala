@@ -42,10 +42,31 @@ object ZedOps {
   }
 
   /** `rename new:=old` — move a field within the record
-    * (runtime/sam/expr/renamer.go).
+    * (runtime/sam/expr/renamer.go). Dotted paths rename nested fields in
+    * place (zed requires old and new to share the same parent record).
     */
   def rename(df: DataFrame, renames: (String, String)*): DataFrame =
-    renames.foldLeft(df) { case (d, (to, from)) => d.withColumnRenamed(from, to) }
+    renames.foldLeft(df) { case (d, (to, from)) =>
+      if (!from.contains(".")) d.withColumnRenamed(from, to)
+      else {
+        val fromParts = from.split("\\.").toSeq
+        val toLeaf = to.split("\\.").last
+        require(fromParts.init == to.split("\\.").toSeq.init,
+          s"rename: old and new must share a parent record ($from vs $to)")
+        val parent = fromParts.init.mkString(".")
+        val oldLeaf = fromParts.last
+        val parentType = d.select(parent).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // rebuild the parent struct preserving field order (in-place move)
+        val rebuilt = struct(parentType.fields.toIndexedSeq.map { f =>
+          val c = col(s"$parent.${f.name}")
+          if (f.name == oldLeaf) c.as(toLeaf) else c.as(f.name)
+        }: _*)
+        d.withColumn(fromParts.head,
+          if (fromParts.length == 2) rebuilt
+          else col(fromParts.head).withField(fromParts.tail.init.mkString("."), rebuilt))
+      }
+    }
 
   /** `sort [-r] expr,…` — total sort, nulls last by default (zed default;
     * runtime/sam/expr/sort.go). Spark's sort is external (spills) and

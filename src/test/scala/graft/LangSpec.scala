@@ -212,6 +212,31 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 3 && r.getInt(1) == 4 && r.getInt(2) == 4)
   }
 
+  test("over a map traverses {key,value} records (traverse/over.go)") {
+    val r = run(
+      """from nation | head 1
+        || put m:=parse_zson("{a:1,b:2}", "a BIGINT, b BIGINT")
+        || yield {k1: m.a, k2: m.b}""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
+
+  test("ksuid() yields unique 27-char k-sortable ids") {
+    val ids = run("from nation | yield {id: ksuid()} | head 25")
+      .collect().map(_.getString(0))
+    assert(ids.length == 25 && ids.distinct.length == 25)
+    assert(ids.forall(_.length == 27))
+  }
+
+  test("rename moves a nested field in place") {
+    import org.apache.spark.sql.functions._
+    val df = GraftSession.table(spark, dir, "customer")
+      .select(col("c_custkey"), struct(col("c_name"), col("c_mktsegment")).as("info"))
+    val out = graft.operators.ZedOps.rename(df, "info.name" -> "info.c_name")
+    val it = out.schema("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(it.fieldNames.toSeq == Seq("name", "c_mktsegment")) // in place, order kept
+    assert(out.select("info.name").limit(1).collect()(0).getString(0).startsWith("Customer#"))
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (
