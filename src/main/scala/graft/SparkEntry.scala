@@ -1090,6 +1090,40 @@ object SparkEntry {
              |WHERE text LIKE '%fast%' OR lang LIKE '%fast%' OR source LIKE '%fast%'
              |ORDER BY doc_id""".stripMargin)),
 
+    // nested in-place rename (renamer.go dotted form), flattened for the oracle
+    ("q_lang_rename_nested", lang(
+      """from customer | put info:={name:c_name, seg:c_mktsegment}
+        || rename info.label:=info.name
+        || yield {c_custkey, label: info.label, seg: info.seg} | sort c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name AS label, c_mktsegment AS seg
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // slices (expressions.md: 0-based, end-exclusive, negative from end)
+    ("q_lang_slice", lang(
+      """from embeddings
+        || yield {vec_id, head3: len(embedding[0:3]), tail4: len(embedding[-4:]),
+        |        mid: round(float64(embedding[2:3][0]), 4)}
+        || sort vec_id""".stripMargin),
+      Some("""SELECT vec_id, 3 AS head3, 4 AS tail4,
+             |  round(CAST(embedding[3] AS DOUBLE), 4) AS mid
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // const + func + f-string through the oracle gate (statements.md);
+    // money math in the exact decimal domain (r1 q_put lesson)
+    ("q_lang_statements", lang(
+      """const LIM = 10
+        |func margin(p, d): (cast(p,"decimal(18,2)") * (cast(1,"decimal(18,2)") - cast(d,"decimal(18,2)")))
+        |from lineitem | where l_quantity <= LIM
+        || yield {l_orderkey, l_linenumber, m: cast(margin(l_extendedprice, l_discount), "float64"),
+        |         tag: f"q{int64(l_quantity)}"}
+        || sort l_orderkey, l_linenumber""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS m,
+             |  'q' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS tag
+             |FROM lineitem WHERE l_quantity <= 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // scalar-function expressions through the language
     ("q_lang_fn", lang(
       """from customer

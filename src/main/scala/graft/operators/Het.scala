@@ -142,6 +142,27 @@ object Het {
       .when(v.getField("k") === 3, v.getField("b").cast(StringType))
       .otherwise(v.getField("s"))
 
+  /** Fuse frames whose SHARED columns have conflicting types — zed forms a
+    * union type (complex.go:290); here the conflicted columns become
+    * variant structs while agreeing columns stay native. The fused frame
+    * still sorts/aggregates under the cross-type total order via
+    * compareKey.
+    */
+  def fuseVariant(dfs: DataFrame*): DataFrame = {
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, Set[DataType]]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      types(f.name) = types.getOrElse(f.name, Set.empty) + f.dataType
+    })
+    val conflicted = types.filter(_._2.size > 1).keySet
+    val prepared = dfs.map { df =>
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        if (conflicted(f.name)) variant(col(f.name), f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+    }
+    prepared.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Cross-type min/max over a variant column (agg under the total order):
     * min_by/max_by on the compare key.
     */

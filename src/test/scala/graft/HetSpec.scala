@@ -93,6 +93,23 @@ class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) == "\"x\"") // strings sort after all numbers
   }
 
+  test("fuseVariant forms union-typed columns for conflicting schemas") {
+    import org.apache.spark.sql.types._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")       // v: int64
+    val b = Seq((3L, "hi"), (4L, "lo")).toDF("k", "v")     // v: string
+    val fused = Het.fuseVariant(a, b)
+    assert(fused.count() == 4)
+    assert(fused.schema("v").dataType.isInstanceOf[StructType]) // variant
+    assert(fused.schema("k").dataType == LongType) // agreeing column stays native
+    // cross-type order: numbers before strings
+    val sorted = Het.sortByVariant(fused, col("v")).select("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sorted == Seq(1L, 2L, 3L, 4L)) // 10, 20, "hi", "lo"
+    val types = fused.select(Het.variantTypeOf(col("v"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("int64", "string"))
+  }
+
   test("variant typeof and accessors") {
     val df = Seq((Some(1L), None: Option[String]), (None, Some("s"))).toDF("i", "s")
     val v = Het.variantOf((col("i"), LongType), (col("s"), StringType))
