@@ -833,6 +833,18 @@ object SparkEntry {
     },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    ("q_vng_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_vng_supplier"
+      val orig = t(s, dir, "supplier")
+      graft.sources.VngIO.write(orig, path)
+      val back = graft.sources.VngIO.read(s, path)
+      ZedOps.sort(
+        back.select(orig.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*),
+        col("s_suppkey") -> true)
+    },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     ("q_csv_roundtrip", (s, dir) => {
       val path = "/tmp/graft_io_csv_region.csv"
       graft.sources.Formats.write(t(s, dir, "region"), path, "csv")

@@ -67,7 +67,7 @@ object ZngIO {
   /** Assign stream type IDs (from 30) for the complex types of a schema,
     * emitting typedefs in dependency order (zng.md §2.1).
     */
-  private final class TypeTable {
+  private[sources] final class TypeTable {
     val defs = new ByteArrayOutputStream()
     private var next = 30
     private val ids = scala.collection.mutable.Map.empty[DataType, Int]
@@ -107,7 +107,7 @@ object ZngIO {
   }
   private def nullTag(out: ByteArrayOutputStream): Unit = out.write(0)
 
-  private def encodeValue(out: ByteArrayOutputStream, v: Any, dt: DataType): Unit = {
+  private[sources] def encodeValue(out: ByteArrayOutputStream, v: Any, dt: DataType): Unit = {
     if (v == null) { nullTag(out); return }
     dt match {
       case ByteType => tagged(out, signedBytes(v.asInstanceOf[Byte].toLong))
@@ -158,7 +158,7 @@ object ZngIO {
     }
   }
 
-  private def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
+  private[sources] def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val len = payload.length
     out.write((t << 4) | (len & 0xf)) // V=0, C=0, T, L
@@ -206,18 +206,18 @@ object ZngIO {
 
   // ---- decoding --------------------------------------------------------------
 
-  private sealed trait ZT
-  private case class ZPrim(id: Int) extends ZT
-  private case class ZRecord(fields: Seq[(String, ZT)]) extends ZT
-  private case class ZArray(elem: ZT) extends ZT
-  private case class ZSet(elem: ZT) extends ZT
-  private case class ZMap(k: ZT, v: ZT) extends ZT
-  private case class ZUnion(alts: Seq[ZT]) extends ZT
-  private case class ZEnum(symbols: Seq[String]) extends ZT
-  private case class ZError(inner: ZT) extends ZT
-  private case class ZNamed(name: String, inner: ZT) extends ZT
+  private[sources] sealed trait ZT
+  private[sources] case class ZPrim(id: Int) extends ZT
+  private[sources] case class ZRecord(fields: Seq[(String, ZT)]) extends ZT
+  private[sources] case class ZArray(elem: ZT) extends ZT
+  private[sources] case class ZSet(elem: ZT) extends ZT
+  private[sources] case class ZMap(k: ZT, v: ZT) extends ZT
+  private[sources] case class ZUnion(alts: Seq[ZT]) extends ZT
+  private[sources] case class ZEnum(symbols: Seq[String]) extends ZT
+  private[sources] case class ZError(inner: ZT) extends ZT
+  private[sources] case class ZNamed(name: String, inner: ZT) extends ZT
 
-  private final class Cursor(val buf: Array[Byte], var pos: Int) {
+  private[sources] final class Cursor(val buf: Array[Byte], var pos: Int) {
     def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
     def uvarint(): Long = {
       var shift = 0; var v = 0L; var b = 0
@@ -230,12 +230,12 @@ object ZngIO {
     def done: Boolean = pos >= buf.length
   }
 
-  private def signedOf(b: Array[Byte]): Long = {
+  private[sources] def signedOf(b: Array[Byte]): Long = {
     var u = 0L
     for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
     (u >>> 1) ^ -(u & 1L)
   }
-  private def unsignedOf(b: Array[Byte]): Long = {
+  private[sources] def unsignedOf(b: Array[Byte]): Long = {
     var u = 0L
     for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
     u
@@ -246,7 +246,7 @@ object ZngIO {
       .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
 
   /** Decode one tag-encoded value of type t to ZSON text. */
-  private def decodeValue(c: Cursor, t: ZT): String = {
+  private[sources] def decodeValue(c: Cursor, t: ZT): String = {
     val tag = c.uvarint()
     if (tag == 0) return "null"
     val n = (tag - 1).toInt
@@ -318,7 +318,7 @@ object ZngIO {
     }
   }
 
-  private def sizeOfTag(tag: Long): Int = {
+  private[sources] def sizeOfTag(tag: Long): Int = {
     var v = tag; var n = 1
     while ((v & ~0x7fL) != 0) { v >>>= 7; n += 1 }
     n
@@ -405,6 +405,153 @@ object ZngIO {
       }
     }
     out.iterator
+  }
+
+  // ---- structural decode + value-level writer (shared with VngIO) ------------
+
+  /** Decode a ZNG stream to (type, value) pairs with Scala-native values:
+    * records → ListMap[String, Any], arrays → Seq[Any], ints → Long,
+    * floats → Double, strings → String, null → null. Used for metadata
+    * streams (VNG reassembly/trailer) where structure, not text, is needed.
+    */
+  private[sources] def decodeToValues(bytes: Array[Byte]): Seq[(ZT, Any)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(ZT, Any)]
+    foreachValue(bytes) { (t, cursor) => out += ((t, decodeValueAny(cursor, t))) }
+    out.toSeq
+  }
+
+  private[sources] def decodeValueAny(c: Cursor, t: ZT): Any = {
+    val tag = c.uvarint()
+    if (tag == 0) return null
+    val n = (tag - 1).toInt
+    t match {
+      case ZNamed(_, inner) => c.pos -= sizeOfTag(tag); decodeValueAny(c, inner)
+      case ZPrim(id) =>
+        val b = c.bytes(n)
+        id match {
+          case i if i >= 0 && i <= 5 => unsignedOf(b)
+          case i if (i >= 6 && i <= 11) || i == 12 || i == ID_TIME => signedOf(b)
+          case ID_FLOAT32 => java.lang.Float.intBitsToFloat(unsignedOf(b).toInt).toDouble
+          case ID_FLOAT64 => java.lang.Double.longBitsToDouble(unsignedOf(b))
+          case ID_BOOL => b.nonEmpty && b(0) == 1
+          case ID_STRING => new String(b, "UTF-8")
+          case ID_BYTES => b
+          case _ => null
+        }
+      case ZRecord(fields) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        scala.collection.immutable.ListMap(fields.map { case (name, ft) =>
+          name -> decodeValueAny(inner, ft)
+        }: _*)
+      case ZArray(et) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        Iterator.continually(())
+          .takeWhile(_ => !inner.done).map(_ => decodeValueAny(inner, et)).toSeq
+      case other =>
+        // sets/maps/unions are not used in metadata streams
+        c.bytes(n); null
+    }
+  }
+
+  /** Walk a ZNG stream calling f(type, cursor) positioned at each value. */
+  private def foreachValue(bytes: Array[Byte])(f: (ZT, Cursor) => Unit): Unit = {
+    // delegate to the frame walker in decodeToZson's shape
+    val c = new Cursor(bytes, 0)
+    var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+    def typeOf(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+    def readCounted(cc: Cursor): String = {
+      val n = cc.uvarint().toInt
+      new String(cc.bytes(n), "UTF-8")
+    }
+    while (!c.done) {
+      val code = c.u8()
+      if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+      else {
+        val compressed = (code & 0x40) != 0
+        val t = (code >> 4) & 0x3
+        val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+        val raw = c.bytes(len)
+        val payload =
+          if (!compressed) raw
+          else {
+            val pc = new Cursor(raw, 0)
+            require(pc.u8() == 0, "zng: unknown compression format")
+            val usize = pc.uvarint().toInt
+            val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+            val buf = new Array[Byte](usize)
+            net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+              .decompress(comp, 0, buf, 0, usize)
+            buf
+          }
+        t match {
+          case 0 =>
+            val tc = new Cursor(payload, 0)
+            while (!tc.done) {
+              tc.u8() match {
+                case 0x00 =>
+                  val nf = tc.uvarint().toInt
+                  types += ZRecord((0 until nf).map { _ =>
+                    val name = readCounted(tc); name -> typeOf(tc.uvarint().toInt)
+                  })
+                case 0x01 => types += ZArray(typeOf(tc.uvarint().toInt))
+                case 0x02 => types += ZSet(typeOf(tc.uvarint().toInt))
+                case 0x03 =>
+                  val k = typeOf(tc.uvarint().toInt)
+                  types += ZMap(k, typeOf(tc.uvarint().toInt))
+                case 0x04 =>
+                  val nt = tc.uvarint().toInt
+                  types += ZUnion((0 until nt).map(_ => typeOf(tc.uvarint().toInt)))
+                case 0x05 =>
+                  val ne = tc.uvarint().toInt
+                  types += ZEnum((0 until ne).map(_ => readCounted(tc)))
+                case 0x06 => types += ZError(typeOf(tc.uvarint().toInt))
+                case 0x07 =>
+                  val name = readCounted(tc)
+                  types += ZNamed(name, typeOf(tc.uvarint().toInt))
+                case other =>
+                  throw new IllegalArgumentException(s"zng: unknown typedef code $other")
+              }
+            }
+          case 1 =>
+            val vc = new Cursor(payload, 0)
+            while (!vc.done) {
+              val tid = vc.uvarint().toInt
+              f(typeOf(tid), vc)
+            }
+          case _ => // control: skip
+        }
+      }
+    }
+  }
+
+  /** Incremental ZNG stream writer with a shared type context — used for
+    * the VNG reassembly/trailer streams where values of several types
+    * interleave in one stream.
+    */
+  private[sources] final class StreamWriter {
+    private val table = new TypeTable
+    private val values = new ByteArrayOutputStream()
+
+    def write(schema: DataType, v: Any): Unit = {
+      val id = table.idOf(schema)
+      uvarint(values, id.toLong)
+      encodeValue(values, v, schema)
+    }
+
+    /** Write an explicitly-null value of the given (complex) type. */
+    def writeNull(schema: DataType): Unit = {
+      val id = table.idOf(schema)
+      uvarint(values, id.toLong)
+      values.write(0)
+    }
+
+    def finish(): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(frame(0, table.defs.toByteArray))
+      out.write(frame(1, values.toByteArray))
+      out.write(0xff)
+      out.toByteArray
+    }
   }
 
   /** Read a ZNG file or directory of part files into a DataFrame. */
