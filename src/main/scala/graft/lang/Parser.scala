@@ -50,6 +50,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   // matching the reference's compile-time-constant contract for both.
   private val consts = scala.collection.mutable.Map.empty[String, Expr]
   private val funcs = scala.collection.mutable.Map.empty[String, (Seq[String], Expr)]
+  private val typeDefs = scala.collection.mutable.Map.empty[String, String]
 
   def parseQuery(): Pipeline = {
     parseStatements()
@@ -77,6 +78,18 @@ final class Parser(tokens: Vector[Token], source: String) {
         val body = parseExpr()
         expect(")")
         funcs(name) = (params.result(), body)
+      } else if (atId("type") && peekAt(1).kind == ID && peekAt(2).text == "=") {
+        // `type <id> = <type>` (statements.md named types); the name then
+        // acts as a cast constructor like the primitive type names
+        next()
+        val name = next().text; expect("=")
+        val base = new StringBuilder(next().text)
+        if (eat("(")) {
+          base.append("(")
+          while (!at(")")) base.append(next().text)
+          expect(")"); base.append(")")
+        }
+        typeDefs(name) = base.toString
       } else going = false
     }
   }
@@ -575,6 +588,8 @@ final class Parser(tokens: Vector[Token], source: String) {
                 if (params.length != args.length)
                   fail(s"func $name expects ${params.length} args, got ${args.length}")
                 subst(body, params.zip(args).toMap)
+              case None if typeDefs.contains(name) => // named type as cast
+                Expr.Call("cast", args :+ Expr.StringLit(typeDefs(name)))
               case None => Expr.Call(name, args)
             }
           case name if consts.contains(name) => next(); consts(name)

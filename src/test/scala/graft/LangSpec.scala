@@ -198,6 +198,15 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getString(1) == "NATION_0!")
   }
 
+  test("type statements bind named types usable as cast constructors") {
+    val df = run(
+      """type money = decimal(18,2)
+        |type port = uint16
+        |from lineitem | yield {m: money(l_extendedprice), p: port(l_linenumber)} | head 1""".stripMargin)
+    assert(df.schema("m").dataType == org.apache.spark.sql.types.DecimalType(18, 2))
+    assert(df.schema("p").dataType == org.apache.spark.sql.types.IntegerType) // uint16 widens
+  }
+
   test("f-strings interpolate expressions with implicit string casts") {
     val r = run(
       """from nation | yield {s: f"key={n_nationkey} name={lower(n_name)}"} | sort s | head 1""")

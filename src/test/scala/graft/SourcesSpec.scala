@@ -91,6 +91,44 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table.map(_.length).distinct.length == 1)
   }
 
+  test("zeek TSV reader parses the reference ztest sample exactly") {
+    val sample =
+      "#separator \\x09\n" +
+        "#set_separator\t,\n" +
+        "#empty_field\t(empty)\n" +
+        "#unset_field\t-\n" +
+        "#path\ta\n" +
+        "#fields\tts\td\ttags\n" +
+        "#types\ttime\tdouble\tset[string]\n" +
+        "10.000000\t1\tx,y\n" +
+        "20.500000\t-\t(empty)\n" +
+        "#close\t2019-10-10-08-30-35\n"
+    val p = java.nio.file.Files.createTempDirectory("graft-zeek").resolve("t.zeek")
+    java.nio.file.Files.writeString(p, sample)
+    val df = graft.sources.ZeekIO.read(spark, p.toString).orderBy("ts")
+    assert(df.columns.toSeq == Seq("_path", "ts", "d", "tags"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a")
+    assert(rows(0).getTimestamp(1).toInstant.getEpochSecond == 10L)
+    assert(rows(0).getDouble(2) == 1.0)
+    assert(rows(0).getSeq[String](3) == Seq("x", "y"))
+    assert(rows(1).isNullAt(2)) // unset '-'
+    assert(rows(1).getSeq[String](3) == Seq.empty) // (empty)
+  }
+
+  test("zeek writer round-trips through the reader") {
+    val events = GraftSession.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(100)
+    val path = tmp("zeek-rt") + ".zeek"
+    graft.sources.Formats.write(events, path, "zeek")
+    val back = graft.sources.Formats.read(spark, path)
+    assert(back.count() == 100)
+    assert(back.agg(sum("value")).collect()(0).getDouble(0) ==
+      events.agg(sum("value")).collect()(0).getDouble(0))
+  }
+
   test("lake-lite: load commits and merge-on-read scan") {
     val root = tmp("lake")
     val orders = GraftSession.table(spark, dir, "orders")
