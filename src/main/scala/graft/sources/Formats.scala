@@ -32,6 +32,7 @@ object Formats {
     else if (lower.endsWith(".zng")) ZngIO.read(spark, path)
     else if (lower.endsWith(".vng")) VngIO.read(spark, path)
     else if (lower.endsWith(".zeek")) ZeekIO.read(spark, path)
+    else if (lower.endsWith(".zjson")) ZjsonIO.read(spark, path)
     else if (lower.endsWith(".txt") || lower.endsWith(".line"))
       spark.read.text(path) // `line` format: one string value per line
     else spark.read.parquet(path) // default (the engine's native storage)
@@ -47,6 +48,7 @@ object Formats {
     case "zng" => ZngIO.write(df, path)
     case "vng" => VngIO.write(df, path)
     case "zeek" => ZeekIO.write(df, path)
+    case "zjson" => ZjsonIO.write(df, path)
     case "text" => textLines(df).write.mode("overwrite").text(path)
     case "table" => tableLines(df).write.mode("overwrite").text(path)
     case other => throw new IllegalArgumentException(s"unknown write format: $other")

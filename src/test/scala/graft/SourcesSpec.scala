@@ -129,6 +129,24 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       events.agg(sum("value")).collect()(0).getDouble(0))
   }
 
+  test("zjson emits typedef-then-ref lines and round-trips") {
+    import org.apache.spark.sql.functions.{struct => fstruct}
+    val df = GraftSession.table(spark, dir, "nation")
+      .select(col("n_nationkey"), fstruct(col("n_name"), col("n_regionkey")).as("r"))
+      .coalesce(1)
+    val lines = graft.sources.ZjsonIO.toZjson(df).collect()
+    assert(lines.head.contains(""""kind":"record""""))   // first: full typedef
+    assert(lines.head.contains(""""name":"n_name""""))
+    assert(lines(1).contains(""""kind":"ref"""")) // rest: refs
+    val path = tmp("zjson")
+    graft.sources.ZjsonIO.write(df, path)
+    val back = graft.sources.ZjsonIO.read(spark, path)
+    assert(back.count() == 25)
+    assert(back.select(sum("n_nationkey")).collect()(0).getLong(0) == (0 until 25).sum)
+    assert(back.select(sum("r.n_regionkey")).collect()(0).getLong(0) ==
+      df.select(sum("r.n_regionkey")).collect()(0).getLong(0))
+  }
+
   test("lake-lite: load commits and merge-on-read scan") {
     val root = tmp("lake")
     val orders = GraftSession.table(spark, dir, "orders")
