@@ -68,7 +68,14 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Cut(fields) =>
         val df = single(state)
-        val cols = fields.map {
+        // quiet() on a missing field drops the output field entirely
+        // (cut.md: error("quiet") omits the field) — folded at plan time
+        val kept = fields.filterNot {
+          case (_, Some(Expr.Call("quiet", Seq(p: Expr.Path)))) =>
+            dtypeOf(df, p).isEmpty
+          case _ => false
+        }
+        val cols = kept.map {
           case (name, Some(e)) => expr(df, e).as(name)
           case (name, None) => col(name).as(name)
         }

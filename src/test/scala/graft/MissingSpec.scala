@@ -72,6 +72,16 @@ class MissingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
 
+  test("cut drops quiet(missing) fields instead of erroring (cut.md)") {
+    val df = Graft.query(spark, dir,
+      "from nation | cut n_nationkey, gone:=quiet(no_such_field), n_name | head 1")
+    assert(df.columns.toSeq == Seq("n_nationkey", "n_name"))
+    // quiet() on a PRESENT field keeps it
+    val df2 = Graft.query(spark, dir,
+      "from nation | cut n_nationkey, name:=quiet(n_name) | head 1")
+    assert(df2.columns.toSeq == Seq("n_nationkey", "name"))
+  }
+
   test("conditional with missing condition yields the else branch semantics") {
     // zed: error condition propagates; NULL condition selects otherwise-null
     val r = one("""from nation | yield {v: no_such_field > 1 ? "yes" : "no"} | head 1""")
