@@ -49,6 +49,20 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
         .map(f => s"""{name:"${f.getName}",commits:${Lake.commits(root, f.getName).length}}""")
       (200, pools.mkString("", "\n", "\n"))
     })
+    // POST /load?root=<lakeRoot>&pool=<name>[&author=..&message=..]
+    // body = a Zed query; the result is committed into the pool (load.go
+    // via the REST surface — service/core.go's branch-load endpoint)
+    server.createContext("/load", handler { ex =>
+      val params = query(ex)
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val root = params.getOrElse("root", "/tmp/graft_lake")
+      val pool = params.getOrElse("pool",
+        throw new IllegalArgumentException("pool parameter required"))
+      val df = Graft.query(spark, params.getOrElse("dir", defaultDir), body)
+      val id = Lake.load(df, root, pool,
+        params.getOrElse("author", "service"), params.getOrElse("message", ""))
+      (200, s"""{commit:"$id",pool:"$pool"}""" + "\n")
+    })
     server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
     server.setExecutor(null) // serial — Spark parallelizes inside each query
     server.start()

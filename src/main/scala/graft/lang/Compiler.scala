@@ -126,8 +126,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Summarize(aggs, keys) =>
         val df = single(state)
         val keyCols = keys.map { case (n, e) => n -> expr(df, e) }
-        val aggCols = aggs.map { case (n, a) => n -> aggColumn(df, a) }
-        Seq(ZedOps.summarize(df, keyCols, aggCols))
+        if (aggs.isEmpty)
+          // `summarize by k1,k2` — distinct combinations of the keys
+          Seq(df.select(keyCols.map { case (n, c) => c.as(n) }: _*).distinct())
+        else
+          Seq(ZedOps.summarize(df, keyCols,
+            aggs.map { case (n, a) => n -> aggColumn(df, a) }))
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
         val left = single(state)

@@ -198,6 +198,12 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getString(1) == "NATION_0!")
   }
 
+  test("summarize by-only form yields distinct key combinations") {
+    val n = run("from lineitem | summarize by l_returnflag, l_linestatus | count()")
+      .collect()(0).getLong(0)
+    assert(n == 6) // RF/AF/NO... the distinct flag-status pairs
+  }
+
   test("type statements bind named types usable as cast constructors") {
     val df = run(
       """type money = decimal(18,2)

@@ -58,6 +58,18 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 400 && body.contains("error"))
   }
 
+  test("POST /load commits a query result into a lake pool") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svc-lake").toString
+    val enc = java.net.URLEncoder.encode(root, "UTF-8")
+    val (code, body) = post(s"/load?root=$enc&pool=svc",
+      "from nation | where n_regionkey == 0")
+    assert(code == 200 && body.contains("commit:"))
+    val (code2, listing) = get(s"/pools?root=$enc")
+    assert(code2 == 200 && listing.contains("svc"))
+    // the loaded pool is queryable via the lake API
+    assert(graft.sources.Lake.scan(spark, root, "svc").count() == 5)
+  }
+
   test("GET /status answers") {
     val (code, body) = get("/status")
     assert(code == 200 && body.contains("ok"))
