@@ -42,7 +42,12 @@ object ZedFunctions {
         case '[' if !inClass => inClass = true
         case ']' if inClass => inClass = false
         case '(' if !inClass =>
+          // `(?` is non-capturing — except named groups `(?<name>…`, which
+          // capture (but lookbehind `(?<=` / `(?<!` does not)
           if (i + 1 >= re.length || re.charAt(i + 1) != '?') n += 1
+          else if (i + 2 < re.length && re.charAt(i + 2) == '<' &&
+                   i + 3 < re.length && re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!')
+            n += 1
         case _ =>
       }
       i += 1

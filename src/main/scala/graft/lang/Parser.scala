@@ -161,7 +161,11 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def parseStage(): Stage = {
     if (peek.kind != ID) return parseImplied()
     peek.text match {
-      case "from" | "file" | "get" => next(); Stage.From(next().text)
+      case "from" | "file" | "get" =>
+        next()
+        val t = next()
+        if (t.kind != ID && t.kind != STR) fail("expected a source name or path")
+        Stage.From(t.text)
       case "where" | "search" => next(); Stage.Where(parseExpr())
       case "cut" => next(); Stage.Cut(parseFieldList())
       case "put" => next(); Stage.Put(parseAssignList())
@@ -281,8 +285,13 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   private def parseDottedName(): String = {
+    if (peek.kind != ID) fail("expected a field name")
     val sb = new StringBuilder(next().text)
-    while (at(".")) { next(); sb.append('.').append(next().text) }
+    while (at(".")) {
+      next()
+      if (peek.kind != ID) fail("expected a field name after '.'")
+      sb.append('.').append(next().text)
+    }
     sb.toString
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.{ZngIO, ZsonIO}
+import graft.operators.ZedOps
+
+/** Property-based invariants over the codec and parser layers (SURVEY §5:
+  * ScalaCheck for lattice/round-trip properties). Uses seeded Gen sampling
+  * directly (the scalatest bridge isn't on the classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("zigzag signed bytes round-trip every long") {
+    val cases = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue)) ++
+      Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, Long.MaxValue, Long.MinValue)
+    for (n <- cases) {
+      val b = ZngIO.signedBytes(n)
+      var u = 0L
+      for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
+      val back = (u >>> 1) ^ -(u & 1L)
+      assert(back == n, s"zigzag($n)")
+    }
+  }
+
+  test("uvarint round-trips every non-negative long") {
+    val cases = samples(Gen.chooseNum(0L, Long.MaxValue)) ++ Seq(0L, 127L, 128L, 16383L, 16384L)
+    for (n <- cases) {
+      val out = new java.io.ByteArrayOutputStream()
+      ZngIO.uvarint(out, n)
+      val bytes = out.toByteArray
+      var shift = 0; var v = 0L; var i = 0; var b = 0
+      do { b = bytes(i) & 0xff; v |= (b & 0x7fL) << shift; shift += 7; i += 1 }
+      while ((b & 0x80) != 0)
+      assert(v == n && i == bytes.length, s"uvarint($n)")
+    }
+  }
+
+  test("ZSON string values round-trip through the line converter") {
+    val charGen = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(' ', '"', '\\', ':', ',', '{', '}', '[', ']', '|', '(', ')'))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for ((s, n) <- samples(strGen).zip(samples(Gen.chooseNum(Long.MinValue, Long.MaxValue)))) {
+      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val json = ZsonIO.zsonLineToJson(s"""{s:"$esc",n:$n}""")
+      val node = mapper.readTree(json)
+      assert(node.get("s").asText() == s, s"string [$s]")
+      assert(node.get("n").asLong() == n)
+    }
+  }
+
+  test("duration parsing is exact over units and counts") {
+    val units = Map("us" -> 1000L, "ms" -> 1000000L, "s" -> 1000000000L,
+      "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
+    for (n <- samples(Gen.chooseNum(1L, 100000L), 50); (u, ns) <- units)
+      assert(ZedOps.durationNanos(s"$n$u") == n * ns)
+  }
+
+  test("grok group counting matches Java's own regex compiler") {
+    import graft.functions.{ZedFunctions => F}
+    val res = Seq("(a)(b)", "a(?:x)(y)", "[(]", "\\((a)", "((a)(b))", "a",
+      "(?<name>x)(y)", "[\\](]a(b)")
+    for (re <- res) {
+      val expected = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+      assert(F.groupCount(re) == expected, re)
+    }
+  }
+
+  test("ksuid base62 output is fixed-width and order-preserving over time bytes") {
+    def bytes(ts: Int) = {
+      val arr = new Array[Byte](20)
+      arr(0) = ((ts >>> 24) & 0xff).toByte; arr(1) = ((ts >>> 16) & 0xff).toByte
+      arr(2) = ((ts >>> 8) & 0xff).toByte; arr(3) = (ts & 0xff).toByte
+      arr
+    }
+    val ts = samples(Gen.chooseNum(0, Int.MaxValue / 2), 100)
+    for (Seq(a, b) <- ts.sliding(2)) {
+      val (sa, sb) = (graft.functions.Ksuid.base62(bytes(a)), graft.functions.Ksuid.base62(bytes(b)))
+      assert(sa.length == 27 && sb.length == 27)
+      if (a != b) assert((a < b) == (sa < sb), s"$a vs $b")
+    }
+  }
+
+  test("parser never hangs or crashes the JVM on malformed inputs") {
+    val junk = Seq(
+      "from", "from |", "| where", "from t | cut", "from t | summarize by",
+      "from t | sort -", "from t ||| x", "from t | where ((((", "}{",
+      "from t | join (from u) on", "from t | switch ( case )", "f\"{unclosed",
+      "from t | yield {a:", "from t | put x:=", "const x", "1m2m3m")
+    for (q <- junk) {
+      intercept[Exception](graft.lang.Parser.parse(q))
+    }
+  }
+}
