@@ -611,6 +611,16 @@ final class Compiler(spark: SparkSession, dir: String) {
         case Expr.Path(parts) => Shaper.missing(df, parts.mkString("."))
         case _ => lit(false)
       }
+      case "is" =>
+        // is(<type>) — type test against this (or an explicit first arg)
+        val target = litStr(args.length - 1)
+        val subject = if (args.length > 1) args.head else Expr.Path(Seq.empty)
+        subject match {
+          case Expr.Path(Seq()) => graft.operators.Het.typeofRow(df) === lit(target)
+          case Expr.Path(parts) => Shaper.typeof(df, parts.mkString(".")) === lit(target)
+          case other => lit(Shaper.zedTypeOf(
+            df.select(expr(df, other)).schema.head.dataType)) === lit(target)
+        }
       case "is_error" => lit(false) // no error values in relational frames
       case "quiet" => a(0)
       case "fields" => Shaper.fieldsOf(df)

@@ -74,9 +74,11 @@ final class Parser(tokens: Vector[Token], source: String) {
         val name = next().text; expect("(")
         val params = Vector.newBuilder[String]
         if (!at(")")) { do params += next().text while (eat(",")) }
-        expect(")"); expect(":"); expect("(")
-        val body = parseExpr()
-        expect(")")
+        expect(")"); expect(":")
+        // body parens are conventional but not required in older ztests
+        val body =
+          if (eat("(")) { val b = parseExpr(); expect(")"); b }
+          else parseExpr()
         funcs(name) = (params.result(), body)
       } else if (atId("type") && peekAt(1).kind == ID && peekAt(2).text == "=") {
         // `type <id> = <type>` (statements.md named types); the name then
@@ -159,6 +161,10 @@ final class Parser(tokens: Vector[Token], source: String) {
   // ---- stages ---------------------------------------------------------------
 
   private def parseStage(): Stage = {
+    // `*` — the match-all filter (search-expressions.md): pass everything
+    if (at("*") && (peekAt(1).text == "|" || peekAt(1).kind == EOF || peekAt(1).text == ")")) {
+      next(); return Stage.Pass
+    }
     if (peek.kind != ID) return parseImplied()
     peek.text match {
       case "from" | "file" | "get" =>
@@ -606,6 +612,18 @@ final class Parser(tokens: Vector[Token], source: String) {
         }
       case PUNCT =>
         t.text match {
+          case "<" =>
+            // `<type>` literal (cast(x, <port>), is(<int64>)…): collected as
+            // the type's text, with named types resolved
+            next()
+            val sb = new StringBuilder
+            while (!at(">")) {
+              if (peek.kind == EOF) fail("unterminated <type> literal")
+              sb.append(next().text)
+            }
+            expect(">")
+            val txt = sb.toString
+            Expr.StringLit(typeDefs.getOrElse(txt, txt))
           case "(" =>
             next()
             val e = parseExpr()
