@@ -179,6 +179,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Yield(exprs) =>
         val df = single(state)
         exprs match {
+          case Seq(rec @ Expr.RecordLit(fields)) if fields.exists(_._1 == "...") =>
+            // spreads need expression-level expansion, then unpack
+            Seq(df.select(expr(df, rec).as("__r")).select(col("__r.*")))
           case Seq(Expr.RecordLit(fields)) =>
             Seq(df.select(fields.map { case (n, e) => expr(df, e).as(n) }: _*))
           case Seq(e) =>
@@ -365,6 +368,11 @@ final class Compiler(spark: SparkSession, dir: String) {
       "strftime", "network_of", "hex", "base64", "string", "__concat")(fn) => Some(StringType)
     case Expr.Call("__slice", args) => dtypeOf(df, args.head)
     case Expr.Call("split", _) => Some(ArrayType(StringType))
+    case Expr.ArrayLit(items) =>
+      Some(ArrayType(items.headOption.flatMap(dtypeOf(df, _)).getOrElse(NullType)))
+    case Expr.Call("__setlit", items) =>
+      Some(ArrayType(items.headOption.flatMap(dtypeOf(df, _)).getOrElse(NullType)))
+    case Expr.Call("__maplit", _) => Some(MapType(StringType, StringType))
     case _ => None
   }
 
@@ -435,9 +443,28 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Call(fn, args) => call(df, fn, args)
 
     case Expr.RecordLit(fields) =>
-      struct(fields.map { case (n, fe) => expr(df, fe).as(n) }: _*)
+      // `...expr` spreads a record's fields in place; later names override
+      // earlier ones at the original position (record-spread semantics)
+      val expanded = fields.flatMap {
+        case ("...", se) => dtypeOf(df, se) match {
+          case Some(st: StructType) =>
+            val base = expr(df, se)
+            st.fields.toSeq.map(f => f.name -> base.getField(f.name))
+          case _ => Seq.empty // spread of missing/non-record: contributes nothing
+        }
+        case (n, fe) => Seq(n -> expr(df, fe))
+      }
+      val ordered = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      expanded.foreach { case (n, c) => ordered(n) = c }
+      struct(ordered.toSeq.map { case (n, c) => c.as(n) }: _*)
 
-    case Expr.ArrayLit(items) => array(items.map(expr(df, _)): _*)
+    case Expr.ArrayLit(items) =>
+      if (items.exists { case Expr.Call("__spread", _) => true; case _ => false })
+        concat(items.map {
+          case Expr.Call("__spread", Seq(se)) => expr(df, se)
+          case e2 => array(expr(df, e2))
+        }: _*)
+      else array(items.map(expr(df, _)): _*)
   }
 
   private def binary(df: DataFrame, op: String, l: Expr, r: Expr): Column = {
@@ -647,6 +674,28 @@ final class Compiler(spark: SparkSession, dir: String) {
         else a(0).cast("timestamp")
 
       case "__getfield" => a(0).getField(litStr(1))
+
+      // set literal: dedup + sorted on construction (SURVEY §1.4)
+      case "__setlit" =>
+        if (args.isEmpty) array()
+        else {
+          val hasSpread = args.exists {
+            case Expr.Call("__spread", _) => true
+            case _ => false
+          }
+          val arr =
+            if (hasSpread) concat(args.map {
+              case Expr.Call("__spread", Seq(se)) => expr(df, se)
+              case e2 => array(expr(df, e2))
+            }: _*)
+            else array(args.map(expr(df, _)): _*)
+          sort_array(array_distinct(arr))
+        }
+
+      // map literal |{k:v,…}|: alternating key/value args
+      case "__maplit" =>
+        if (args.isEmpty) map_from_arrays(array(), array())
+        else map(args.map(expr(df, _)): _*)
 
       // f-string concatenation: every part cast to string (expressions.md)
       case "__concat" => concat(args.map(x => expr(df, x).cast("string")): _*)

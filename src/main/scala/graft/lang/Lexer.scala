@@ -22,12 +22,15 @@ object Lexer {
 
   // longest-match-first punctuation/operators
   private val puncts = Seq(
-    ":=", "==", "!=", "<=", ">=", "=>", "=~", "&&", "||",
+    "...", ":=", "==", "!=", "<=", ">=", "=>", "=~", "&&", "||",
+    "|[", "]|", "|{", "}|",
     "|", "(", ")", "[", "]", "{", "}", ",", ".", ":", ";",
     "<", ">", "=", "+", "-", "*", "/", "%", "!", "?", "@")
 
   private val timeRe =
     """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?Z?)?""".r
+  // IPv4 address / CIDR literals (zed ip/net primitives travel as strings)
+  private val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r
   private val durRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
   private val numRe = """\d+(\.\d+)?([eE][+-]?\d+)?""".r
   private val idRe = """[A-Za-z_][A-Za-z0-9_]*""".r
@@ -64,6 +67,10 @@ object Lexer {
         i = j
       } else if (c.isDigit) {
         val rest = input.substring(i)
+        ipRe.findPrefixOf(rest) match {
+          case Some(ip) =>
+            out += Token(STR, ip, i); i += ip.length
+          case None =>
         timeRe.findPrefixOf(rest) match {
           case Some(t) if t.length >= 10 =>
             out += Token(TIME, t, i); i += t.length
@@ -76,6 +83,7 @@ object Lexer {
                 val kind = if (num.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) FLOAT else INT
                 out += Token(kind, num, i); i += num.length
             }
+        }
         }
       } else if (c == 'f' && i + 1 < n &&
                  (input.charAt(i + 1) == '"' || input.charAt(i + 1) == '\'')) {

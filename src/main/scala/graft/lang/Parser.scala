@@ -85,11 +85,28 @@ final class Parser(tokens: Vector[Token], source: String) {
         // acts as a cast constructor like the primitive type names
         next()
         val name = next().text; expect("=")
-        val base = new StringBuilder(next().text)
-        if (eat("(")) {
-          base.append("(")
-          while (!at(")")) base.append(next().text)
-          expect(")"); base.append(")")
+        // type syntax: simple name, parameterized (decimal(18,2)), or a
+        // complex type text ({...} record, [..] array, (..) union) —
+        // consumed balanced and stored as text
+        val base = new StringBuilder
+        if (at("{") || at("[") || at("(")) {
+          var depth = 0
+          do {
+            val t = next().text
+            t match {
+              case "{" | "[" | "(" => depth += 1
+              case "}" | "]" | ")" => depth -= 1
+              case _ =>
+            }
+            base.append(t)
+          } while (depth > 0 && peek.kind != EOF)
+        } else {
+          base.append(next().text)
+          if (eat("(")) {
+            base.append("(")
+            while (!at(")")) base.append(next().text)
+            expect(")"); base.append(")")
+          }
         }
         typeDefs(name) = base.toString
       } else going = false
@@ -481,6 +498,16 @@ final class Parser(tokens: Vector[Token], source: String) {
     out.result()
   }
 
+  /** Expr list allowing `...spread` elements (array/set constructors). */
+  private def parseSpreadableList(end: String): Seq[Expr] = {
+    val out = Vector.newBuilder[Expr]
+    do {
+      if (eat("...")) out += Expr.Call("__spread", Seq(parseExpr()))
+      else out += parseExpr()
+    } while (eat(",") && !at(end))
+    out.result()
+  }
+
   // ---- expressions (Pratt) --------------------------------------------------
 
   def parseExpr(): Expr = parseTernary()
@@ -631,17 +658,39 @@ final class Parser(tokens: Vector[Token], source: String) {
             e
           case "[" =>
             next()
-            val items = if (at("]")) Seq.empty else parseExprList()
+            val items = if (at("]")) Seq.empty else parseSpreadableList("]")
             expect("]")
             Expr.ArrayLit(items)
+          case "|[" =>
+            // set literal — dedup + sort on construction (SURVEY §1.4)
+            next()
+            val items = if (at("]|")) Seq.empty else parseSpreadableList("]|")
+            expect("]|")
+            Expr.Call("__setlit", items)
+          case "|{" =>
+            // map literal |{k:v,…}|
+            next()
+            val entries = Vector.newBuilder[Expr]
+            if (!at("}|")) {
+              do {
+                entries += parseExpr()
+                expect(":")
+                entries += parseExpr()
+              } while (eat(","))
+            }
+            expect("}|")
+            Expr.Call("__maplit", entries.result())
           case "{" =>
             next()
             val fields = Vector.newBuilder[(String, Expr)]
             if (!at("}")) {
               do {
-                val n = next().text
-                if (eat(":")) fields += ((n, parseExpr()))
-                else fields += ((n, Expr.Path(Seq(n)))) // {a} shorthand
+                if (eat("...")) fields += (("...", parseExpr())) // spread
+                else {
+                  val n = next().text
+                  if (eat(":")) fields += ((n, parseExpr()))
+                  else fields += ((n, Expr.Path(Seq(n)))) // {a} shorthand
+                }
               } while (eat(","))
             }
             expect("}")

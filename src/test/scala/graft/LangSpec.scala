@@ -252,6 +252,43 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("info.name").limit(1).collect()(0).getString(0).startsWith("Customer#"))
   }
 
+  test("record spreads expand fields in place with later-wins override") {
+    val r = run(
+      """from nation | put info:={a:n_nationkey, b:n_regionkey}
+        || yield {...info, b:99, c:n_name} | sort a | head 1""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 0 && r.getLong(1) == 99L && r.getString(2).startsWith("NATION"))
+  }
+
+  test("set and map literals construct with zed semantics") {
+    val r = run(
+      """from nation | yield {s: |[3, 1, 2, 1]|, m: |{"a": 1, "b": 2}|} | head 1""")
+      .collect()(0)
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L)) // deduped + sorted
+    assert(r.getMap[String, Long](1) == Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("array spreads concatenate") {
+    val r = run(
+      """from embeddings | yield {n: len([...embedding[0:2], ...embedding[0:3]])} | head 1""")
+      .collect()(0)
+    assert(r.getInt(0) == 5)
+  }
+
+  test("ip and cidr literals parse as values") {
+    val r = run(
+      """from nation | yield {ok: cidr_match(10.0.0.0/8, 10.1.2.3),
+        |no: cidr_match(10.0.0.0/8, 11.1.2.3)} | head 1""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("complex named types store their text and resolve in <type> literals") {
+    val df = run(
+      """type conn = {src:string, dst:string}
+        |from nation | yield {t: "x" + <conn>} | head 1""".stripMargin)
+    assert(df.collect()(0).getString(0) == "x{src:string,dst:string}")
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (

@@ -44,7 +44,7 @@ class ZtestParseSpec extends AnyFunSuite {
     out.result().filter(_.nonEmpty)
   }
 
-  test("frontend parses at least 75% of the reference's ztest queries") {
+  test("frontend parses at least 80% of the reference's ztest queries") {
     val qs = extractQueries()
     assert(qs.length > 400, s"corpus extraction looks broken: ${qs.length}")
     var ok = 0
@@ -54,6 +54,6 @@ class ZtestParseSpec extends AnyFunSuite {
     }
     val rate = ok.toDouble / qs.length
     info(f"parsed $ok/${qs.length} (${rate * 100}%.1f%%) of reference ztest queries")
-    assert(rate >= 0.75, f"parse compat regressed to ${rate * 100}%.1f%%")
+    assert(rate >= 0.80, f"parse compat regressed to ${rate * 100}%.1f%%")
   }
 }
