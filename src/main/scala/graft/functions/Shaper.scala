@@ -172,6 +172,90 @@ object Shaper {
   def orderTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags(order = true))
   def shapeTo(df: DataFrame, t: StructType): DataFrame = reshape(df, t, ShapeFlags.shape)
 
+  /** Expression-level access for the language compiler (yield shape(<t>)…). */
+  private[graft] def reshapeCols(
+      parent: Option[Column],
+      src: StructType,
+      target: StructType,
+      flags: ShapeFlags
+  ): Seq[Column] = reshapeStruct(parent, src, target, flags)
+
+  /** Parse zed type syntax to a Spark DataType: records {a:t,…}, arrays
+    * [t], sets |[t]|, maps |{k:v}|, primitive names. Unions and other
+    * forms return None.
+    */
+  def parseZedType(text: String): Option[DataType] = {
+    val prims = Map(
+      "int8" -> ByteType, "int16" -> ShortType, "int32" -> IntegerType,
+      "int64" -> LongType, "uint8" -> ShortType, "uint16" -> IntegerType,
+      "uint32" -> LongType, "uint64" -> DecimalType(20, 0),
+      "float16" -> FloatType, "float32" -> FloatType, "float64" -> DoubleType,
+      "string" -> StringType, "bool" -> BooleanType, "bytes" -> BinaryType,
+      "time" -> TimestampType, "duration" -> LongType,
+      "ip" -> StringType, "net" -> StringType, "null" -> NullType)
+    var i = 0
+    val s = text.replaceAll("\\s+", "")
+    def peekCh: Char = if (i < s.length) s.charAt(i) else ' '
+    def ident(): String = {
+      val st = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      s.substring(st, i)
+    }
+    def typ(): Option[DataType] = peekCh match {
+      case '{' =>
+        i += 1
+        val fields = Vector.newBuilder[StructField]
+        var ok = true
+        while (ok && peekCh != '}') {
+          val name = ident()
+          if (peekCh != ':') ok = false
+          else {
+            i += 1
+            typ() match {
+              case Some(dt) => fields += StructField(name, dt)
+              case None => ok = false
+            }
+            if (peekCh == ',') i += 1
+          }
+        }
+        if (ok && peekCh == '}') { i += 1; Some(StructType(fields.result())) } else None
+      case '[' =>
+        i += 1
+        val inner = typ()
+        if (peekCh == ']') { i += 1; inner.map(ArrayType(_)) } else None
+      case '|' =>
+        if (s.startsWith("|[", i)) {
+          i += 2
+          val inner = typ()
+          if (s.startsWith("]|", i)) { i += 2; inner.map(ArrayType(_)) } else None
+        } else if (s.startsWith("|{", i)) {
+          i += 2
+          val k = typ()
+          if (peekCh != ':') None
+          else {
+            i += 1
+            val v = typ()
+            if (s.startsWith("}|", i)) {
+              i += 2
+              for (kt <- k; vt <- v) yield MapType(kt, vt)
+            } else None
+          }
+        } else None
+      case c if c.isLetter =>
+        val name = ident()
+        if (s.startsWith("(", i) && name == "decimal") {
+          // decimal(p,s)
+          val close = s.indexOf(')', i)
+          val ps = s.substring(i + 1, close).split(",").map(_.trim.toInt)
+          i = close + 1
+          Some(DecimalType(ps(0), ps(1)))
+        } else prims.get(name)
+      case _ => None
+    }
+    val r = typ()
+    if (i == s.length) r else None
+  }
+
   private def reshapeStruct(
       parent: Option[Column],
       src: StructType,

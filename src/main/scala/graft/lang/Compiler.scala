@@ -555,7 +555,11 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "upper" => upper(a(0))
       case "trim" => trim(a(0))
       case "replace" => replace(a(0), a(1), a(2))
-      case "split" => split(a(0), java.util.regex.Pattern.quote(litStr(1)))
+      case "split" => args(1) match {
+        case Expr.StringLit(sep) => split(a(0), java.util.regex.Pattern.quote(sep))
+        case _ => // column separator: \Q..\E-quote it dynamically
+          call_function("split", a(0), concat(lit("\\Q"), a(1), lit("\\E")))
+      }
       case "join" => F.joinStr(a(0), if (args.length > 1) litStr(1) else "")
       case "rune_len" => F.runeLen(a(0))
       case "levenshtein" => levenshtein(a(0), a(1))
@@ -653,6 +657,29 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "fields" => Shaper.fieldsOf(df)
       case "flatten" => Shaper.flattenCol(df)
 
+      // shaper functions (runtime/sam/expr/shaper.go Cast/Crop/Fill/Order)
+      case f @ ("shape" | "crop" | "fill" | "order") =>
+        val target = Shaper.parseZedType(litStr(args.length - 1)) match {
+          case Some(st: StructType) => st
+          case other => throw new IllegalArgumentException(
+            s"$f: need a record type, got $other")
+        }
+        val flags = f match {
+          case "shape" => Shaper.ShapeFlags.shape
+          case "crop" => Shaper.ShapeFlags(crop = true)
+          case "fill" => Shaper.ShapeFlags(fill = true)
+          case "order" => Shaper.ShapeFlags(order = true)
+        }
+        val (srcType, parent) =
+          if (args.length > 1) {
+            dtypeOf(df, args.head) match {
+              case Some(st: StructType) => (st, Some(expr(df, args.head)))
+              case other => throw new IllegalArgumentException(
+                s"$f: first argument must be a record, got $other")
+            }
+          } else (StructType(df.schema.filterNot(_.name == "__type")), None)
+        struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
+
       // misc (coalesce.go, len.go, compare.go, cast.go)
       case "coalesce" => coalesce(args.map(expr(df, _)): _*)
       case "len" =>
@@ -662,7 +689,12 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => length(a(0).cast("string"))
         }
       case "compare" => F.compareVals(a(0), a(1))
-      case "cast" => a(0).cast(zedTypeToDdl(litStr(1)))
+      case "cast" =>
+        val t = litStr(1)
+        Shaper.parseZedType(t) match {
+          case Some(dt) => a(0).cast(dt)
+          case None => a(0).cast(zedTypeToDdl(t))
+        }
 
       // type-name casts (zed `<type>(expr)` constructor form)
       case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"
@@ -672,6 +704,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (dtypeOf(df, args(0)).contains(LongType))
           timestamp_micros(Bridge.intDiv(a(0), lit(1000L)))
         else a(0).cast("timestamp")
+      case "duration" => a(0).cast("bigint") // ns (zed duration domain)
+      case "ip" | "net" => a(0).cast("string") // ip/net travel as strings
 
       case "__getfield" => a(0).getField(litStr(1))
 

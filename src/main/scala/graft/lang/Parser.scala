@@ -89,16 +89,22 @@ final class Parser(tokens: Vector[Token], source: String) {
         // complex type text ({...} record, [..] array, (..) union) —
         // consumed balanced and stored as text
         val base = new StringBuilder
-        if (at("{") || at("[") || at("(")) {
+        def appendTok(): Unit = {
+          val t = next()
+          // resolve previously defined names so stored texts are closed
+          base.append(
+            if (t.kind == Lexer.ID) typeDefs.getOrElse(t.text, t.text)
+            else t.text)
+        }
+        if (at("{") || at("[") || at("(") || at("|[") || at("|{")) {
           var depth = 0
           do {
-            val t = next().text
-            t match {
-              case "{" | "[" | "(" => depth += 1
-              case "}" | "]" | ")" => depth -= 1
+            peek.text match {
+              case "{" | "[" | "(" | "|[" | "|{" => depth += 1
+              case "}" | "]" | ")" | "]|" | "}|" => depth -= 1
               case _ =>
             }
-            base.append(t)
+            appendTok()
           } while (depth > 0 && peek.kind != EOF)
         } else {
           base.append(next().text)
@@ -646,11 +652,14 @@ final class Parser(tokens: Vector[Token], source: String) {
             val sb = new StringBuilder
             while (!at(">")) {
               if (peek.kind == EOF) fail("unterminated <type> literal")
-              sb.append(next().text)
+              val tok = next()
+              // resolve named types token-wise so nested names expand too
+              sb.append(
+                if (tok.kind == Lexer.ID) typeDefs.getOrElse(tok.text, tok.text)
+                else tok.text)
             }
             expect(">")
-            val txt = sb.toString
-            Expr.StringLit(typeDefs.getOrElse(txt, txt))
+            Expr.StringLit(sb.toString)
           case "(" =>
             next()
             val e = parseExpr()

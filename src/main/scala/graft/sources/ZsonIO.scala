@@ -74,6 +74,9 @@ object ZsonIO {
   private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
   private val timeLitRe =
     """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?""".r
+  // IPv6 literals contain ':' — must lex greedily before the scalar stop set
+  private val ip6Re =
+    """(([0-9a-fA-F]{1,4}:){2,7}[0-9a-fA-F:.]*|::([0-9a-fA-F]{1,4}[:.]?)+|[0-9a-fA-F]{1,4}::)(/\d{1,3})?""".r
   private def zsonName(n: String): String =
     if (identRe.matches(n)) n else "\"" + n.replace("\"", "\\\"") + "\""
 
@@ -149,10 +152,14 @@ object ZsonIO {
       }
     }
     def scalar(): Unit = {
-      // time literals contain ':' — match them greedily first
-      val timeM = timeLitRe.findPrefixOf(s.substring(i))
-      val tok = timeM match {
-        case Some(t) if t.length >= 10 => i += t.length; t
+      // time and IPv6 literals contain ':' — match them greedily first
+      val rest = s.substring(i)
+      val timeM = timeLitRe.findPrefixOf(rest)
+      val ip6M = ip6Re.findPrefixOf(rest).filter(m => m.contains("::") ||
+        m.count(_ == ':') >= 2)
+      val tok = (timeM, ip6M) match {
+        case (Some(t), _) if t.length >= 10 => i += t.length; t
+        case (_, Some(a)) => i += a.length; a
         case _ =>
           val start = i
           while (i < s.length && !",:]}() \t".contains(s.charAt(i))) i += 1
