@@ -185,7 +185,9 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Seq(Expr.RecordLit(fields)) =>
             Seq(df.select(fields.map { case (n, e) => expr(df, e).as(n) }: _*))
           case Seq(e) =>
-            Seq(df.select(expr(df, e).as(Expr.inferName(e))))
+            // a single non-record yield emits the bare VALUE (yield.go);
+            // it is carried as `this` so downstream stages address it
+            Seq(df.select(expr(df, e).as("this")))
           case many =>
             // N exprs per input value, left-to-right (yield.go:1-47)
             Seq(df.select(explode(array(many.map(expr(df, _)): _*)).as("this")))
@@ -373,6 +375,12 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Call("__setlit", items) =>
       Some(ArrayType(items.headOption.flatMap(dtypeOf(df, _)).getOrElse(NullType)))
     case Expr.Call("__maplit", _) => Some(MapType(StringType, StringType))
+    case Expr.RecordLit(fields) =>
+      Some(StructType(fields.filterNot(_._1 == "...").map { case (n, fe) =>
+        StructField(n, dtypeOf(df, fe).getOrElse(NullType))
+      } ++ fields.collect { case ("...", se) => dtypeOf(df, se) }.flatten.collect {
+        case st: StructType => st.fields.toSeq
+      }.flatten))
     case _ => None
   }
 

@@ -92,7 +92,7 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.result()
   }
 
-  test("at least 120 reference golden tests pass end-to-end") {
+  test("at least 130 reference golden tests pass end-to-end") {
     val cases = extractCases()
     assert(cases.length > 450, s"corpus extraction looks broken: ${cases.length}")
     var pass = 0
@@ -104,6 +104,6 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       } catch { case _: Exception => }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
-    assert(pass >= 120, s"golden-test pass count regressed to $pass")
+    assert(pass >= 130, s"golden-test pass count regressed to $pass")
   }
 }
