@@ -19,6 +19,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // zed NEVER throws per-row — failed casts/arithmetic yield error
+      // values (complex.go error("…")); non-ANSI evaluation maps them to
+      // NULL, the engine's error-value convention (see MissingSpec)
+      .config("spark.sql.ansi.enabled", "false")
       // zed is ns-native (nano.Ts — reference value.go:84); Spark timestamps
       // are µs. Read parquet TIMESTAMP(NANOS) as long ns and convert at the
       // edges — keeps scan pushdown on the raw column and loses nothing.

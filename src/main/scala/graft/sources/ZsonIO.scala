@@ -74,9 +74,11 @@ object ZsonIO {
   private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
   private val timeLitRe =
     """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?""".r
-  // IPv6 literals contain ':' — must lex greedily before the scalar stop set
+  // IPv6 literals contain ':' — must lex greedily before the scalar stop
+  // set. Shape: hex groups separated by ':' (empty group = '::'), needing
+  // either a '::' or a full 8-group form to qualify.
   private val ip6Re =
-    """(([0-9a-fA-F]{1,4}:){2,7}[0-9a-fA-F:.]*|::([0-9a-fA-F]{1,4}[:.]?)+|[0-9a-fA-F]{1,4}::)(/\d{1,3})?""".r
+    """[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""".r
   private def zsonName(n: String): String =
     if (identRe.matches(n)) n else "\"" + n.replace("\"", "\\\"") + "\""
 
@@ -156,7 +158,7 @@ object ZsonIO {
       val rest = s.substring(i)
       val timeM = timeLitRe.findPrefixOf(rest)
       val ip6M = ip6Re.findPrefixOf(rest).filter(m => m.contains("::") ||
-        m.count(_ == ':') >= 2)
+        m.count(_ == ':') == 7)
       val tok = (timeM, ip6M) match {
         case (Some(t), _) if t.length >= 10 => i += t.length; t
         case (_, Some(a)) => i += a.length; a
