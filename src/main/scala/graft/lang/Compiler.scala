@@ -511,7 +511,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "or" => lc || rc
       case "=~" =>
         r match {
-          case Expr.StringLit(re) => lc.rlike(re)
+          case Expr.StringLit(re) => lc.cast(StringType).rlike(re)
+          case Expr.Call("__regexsearch", Seq(Expr.StringLit(re))) =>
+            lc.cast(StringType).rlike(re)
           case _ => throw new IllegalArgumentException("=~ needs a literal regexp")
         }
       case "in" => array_contains(rc, lc)
@@ -575,6 +577,13 @@ final class Compiler(spark: SparkSession, dir: String) {
       // regexp (function/regexp.go)
       case "regexp" => F.regexpMatch(litStr(0), a(1))
       case "regexp_replace" => regexp_replace(a(0), litStr(1), litStr(2))
+
+      // bare /re/ — regexp search over every string field
+      case "__regexsearch" =>
+        val re = litStr(0)
+        val strCols = df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name))
+        if (strCols.isEmpty) lit(false)
+        else strCols.map(c => coalesce(c.rlike(re), lit(false))).reduce(_ || _)
 
       // grep (function/grep.go): no value arg → search the whole record
       case "grep" =>

@@ -13,6 +13,7 @@ object Lexer {
   case object FLOAT extends Kind
   case object STR extends Kind
   case object FSTR extends Kind // f-string: raw body, braces unparsed
+  case object REGEX extends Kind // /re/ literal, delimiters stripped
   case object TIME extends Kind
   case object DUR extends Kind
   case object PUNCT extends Kind
@@ -25,7 +26,7 @@ object Lexer {
     "...", ":=", "==", "!=", "<=", ">=", "=>", "=~", "&&", "||",
     "|[", "]|", "|{", "}|",
     "|", "(", ")", "[", "]", "{", "}", ",", ".", ":", ";",
-    "<", ">", "=", "+", "-", "*", "/", "%", "!", "?", "@")
+    "<", ">", "=", "+", "-", "*", "/", "%", "!", "?", "@", "~")
 
   private val timeRe =
     """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?Z?)?""".r
@@ -34,6 +35,18 @@ object Lexer {
   private val durRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
   private val numRe = """\d+(\.\d+)?([eE][+-]?\d+)?""".r
   private val idRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  /** A '/' can start a regex literal only where a value may begin. */
+  private def regexCanStart(sofar: Vector[Token]): Boolean =
+    sofar.lastOption match {
+      case None => true
+      case Some(t) if t.kind == PUNCT =>
+        !Set(")", "]", "}", "]|", "}|").contains(t.text)
+      case Some(t) if t.kind == ID =>
+        // keywords that precede a value-position regex
+        Set("not", "and", "or", "where", "case", "yield", "search")(t.text)
+      case _ => false
+    }
 
   def lex(input: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -104,6 +117,22 @@ object Lexer {
       } else if (c.isLetter || c == '_') {
         val id = idRe.findPrefixOf(input.substring(i)).get
         out += Token(ID, id, i); i += id.length
+      } else if (c == '/' && regexCanStart(out.result())) {
+        // JS-style contextual regex literal: '/' starts a regex only where
+        // a VALUE may begin (start, after an operator/open-paren/pipe)
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val d = input.charAt(j)
+          if (d == '\\' && j + 1 < n) { sb.append(d).append(input.charAt(j + 1)); j += 2 }
+          else if (d == '/') { closed = true; j += 1 }
+          else if (d == '\n') j = n // not a regex after all
+          else { sb.append(d); j += 1 }
+        }
+        if (!closed) throw new IllegalArgumentException(s"unterminated /regex/ at $i")
+        out += Token(REGEX, sb.toString, i)
+        i = j
       } else {
         puncts.find(p => input.startsWith(p, i)) match {
           case Some(p) => out += Token(PUNCT, p, i); i += p.length

@@ -272,7 +272,8 @@ final class Parser(tokens: Vector[Token], source: String) {
       Set("==", "!=", "<", "<=", ">", ">=", "and", "or", "in", "=~")(op)
     case Expr.Unary("not", _) | Expr.Unary("!", _) => true
     case Expr.Call(fn, _) =>
-      Set("grep", "cidr_match", "missing", "has", "is", "is_error", "regexp_matches")(fn)
+      Set("grep", "cidr_match", "missing", "has", "is", "is_error",
+        "regexp_matches", "__regexsearch")(fn)
     case Expr.BoolLit(_) => true
     case _ => false
   }
@@ -549,6 +550,9 @@ final class Parser(tokens: Vector[Token], source: String) {
     val op = peek.text
     if (peek.kind == PUNCT && Set("==", "!=", "<", "<=", ">", ">=", "=~")(op)) {
       next(); Expr.Binary(op, l, parseAdditive())
+    } else if (peek.kind == PUNCT && op == "~") {
+      // `e ~ /re/` regexp match
+      next(); Expr.Binary("=~", l, parseAdditive())
     } else if (atId("in")) {
       next(); Expr.Binary("in", l, parseAdditive())
     } else l
@@ -612,6 +616,9 @@ final class Parser(tokens: Vector[Token], source: String) {
       case FLOAT => next(); Expr.FloatLit(t.text.toDouble)
       case STR => next(); Expr.StringLit(t.text)
       case FSTR => next(); parseFString(t.text)
+      case REGEX =>
+        // bare /re/ is a regexp search over the record (search-expressions)
+        next(); Expr.Call("__regexsearch", Seq(Expr.StringLit(t.text)))
       case TIME =>
         next()
         val iso = if (t.text.length == 10) t.text + "T00:00:00Z"

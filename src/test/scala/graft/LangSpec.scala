@@ -289,6 +289,20 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect()(0).getString(0) == "x{src:string,dst:string}")
   }
 
+  test("regex literals act as search filters and ~ matches") {
+    val n = run("""from documents | /fast/ | count()""").collect()(0).getLong(0)
+    val grepN = run("""from documents | where grep("fast") | count()""").collect()(0).getLong(0)
+    assert(n >= grepN && n > 0) // regex search spans the same string fields
+    val m = run("""from nation | where n_name ~ /^NATION_1[0-9]$/ | count()""")
+      .collect()(0).getLong(0)
+    assert(m == 10)
+    val not = run("""from nation | not /NATION_1/ | count()""").collect()(0).getLong(0)
+    assert(not == 14) // 25 minus NATION_1 and NATION_10..19
+    // '/' still divides where a value precedes it
+    assert(run("from nation | yield {v: n_nationkey / 5} | sort v desc | head 1")
+      .collect()(0).getLong(0) == 4L)
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (
