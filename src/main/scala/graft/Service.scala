@@ -46,7 +46,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
       val pools = Option(new java.io.File(root).listFiles())
         .getOrElse(Array.empty)
         .filter(f => Lake.exists(root, f.getName))
-        .map(f => s"""{name:"${f.getName}",commits:${Lake.commits(root, f.getName).length}}""")
+        .map(f => s"""{name:"${Service.esc(f.getName)}",commits:${Lake.commits(root, f.getName).length}}""")
       (200, pools.mkString("", "\n", "\n"))
     })
     // POST /load?root=<lakeRoot>&pool=<name>[&author=..&message=..]
@@ -81,7 +81,8 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
     override def handle(ex: HttpExchange): Unit = {
       val (code, body) =
         try f(ex)
-        catch { case e: Exception => (400, s"""{error:"${e.getMessage}"}""" + "\n") }
+        catch { case e: Exception =>
+          (400, s"""{error:"${Service.esc(String.valueOf(e.getMessage))}"}""" + "\n") }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/x-zson")
       ex.sendResponseHeaders(code, bytes.length)
@@ -93,6 +94,11 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
 }
 
 object Service {
+  /** ZSON string-literal escaping for interpolated response text. */
+  private[graft] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+
   /** `runMain graft.Service [port] [dir]` — serve until killed. */
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(9867) // zed's default port

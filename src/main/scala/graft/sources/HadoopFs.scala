@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Executor-safe Hadoop FileSystem plumbing for the custom format writers
+  * (ZNG/VNG). The driver's Hadoop configuration is captured as a plain
+  * `Map[String, String]` (serializable), and each task rebuilds a
+  * `Configuration` from it so writes go through `FileSystem.create` — on a
+  * real cluster the part files land on the shared filesystem (HDFS, S3A,
+  * file: on NFS), not executor-local disk as `java.nio.file` would.
+  */
+object HadoopFs {
+
+  /** Serializable snapshot of the session's Hadoop configuration. */
+  def confMap(spark: SparkSession): Map[String, String] =
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+
+  private def confOf(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Driver-side: ensure the output directory exists (created fresh). */
+  def prepareDir(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p): Unit
+  }
+
+  /** Executor-side: open a part file for writing under `dir`. */
+  def create(conf: Map[String, String], dir: String, name: String): java.io.OutputStream = {
+    val p = new Path(dir, name)
+    p.getFileSystem(confOf(conf)).create(p, true)
+  }
+
+  /** Driver-side directory test that works for any Hadoop scheme. */
+  def isDirectory(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
+  }
+}

@@ -160,14 +160,19 @@ object VngIO {
     out.toByteArray
   }
 
-  /** Distributed write: one VNG object file per partition. */
+  /** Distributed write: one VNG object file per partition, through the
+    * Hadoop FileSystem API (shared filesystem on a cluster). The columnar
+    * layout requires buffering one partition's columns before the header
+    * can be written — same memory profile as the reference's writer.
+    */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    HadoopFs.prepareDir(df.sparkSession, path)
+    val confMap = HadoopFs.confMap(df.sparkSession)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val bytes = encodeObject(rows, schema)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(path, f"part-$pid%05d.vng"), bytes)
+      val out = HadoopFs.create(confMap, path, f"part-$pid%05d.vng")
+      try out.write(bytes) finally out.close()
       Iterator.empty
     }.count(): Unit
   }
@@ -225,7 +230,19 @@ object VngIO {
     val meta = java.util.Arrays.copyOfRange(bytes, 24, 24 + metaSize)
     val data = java.util.Arrays.copyOfRange(bytes, 24 + metaSize, bytes.length)
 
-    val metaRows = ZngIO.decodeToValues(meta).map(_._2.asInstanceOf[ListMap[String, Any]])
+    val metaValues = ZngIO.decodeToValues(meta)
+    val metaRows = metaValues.map(_._2).collect { case m: ListMap[_, _] =>
+      m.asInstanceOf[ListMap[String, Any]]
+    }
+    // Loud divergence check: reference-written VNG carries zson-marshaled
+    // Metadata unions (vng/metadata.go), not this writer's flat records.
+    // Without this, the matching magic/version makes reference files look
+    // like corruption instead of an unsupported layout.
+    if (metaRows.isEmpty || !metaRows.head.keySet.equals(metaSchema.fieldNames.toSet))
+      throw new IllegalArgumentException(
+        "vng: unsupported metadata layout (likely a reference-written VNG file; " +
+          "this reader supports graft's flat metadata encoding only — " +
+          "see VngIO scaladoc for the documented divergence)")
     var pos = 0
     def nextMeta(): ListMap[String, Any] = { val m = metaRows(pos); pos += 1; m }
     def seg(m: ListMap[String, Any]): Array[Byte] = {
@@ -271,7 +288,7 @@ object VngIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(
-      if (new java.io.File(path).isDirectory) s"$path/*" else path)
+      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
     val zsonLines = files.select("content").as[Array[Byte]]
       .flatMap(bytes => decodeToZson(bytes))
     val json = zsonLines.map(ZsonIO.zsonLineToJson _)

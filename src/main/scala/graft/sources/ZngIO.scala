@@ -9,7 +9,8 @@ import java.io.ByteArrayOutputStream
   *
   * Real spec-conformant encoding: typedef frames assigning stream type IDs
   * from 30, values frames of (type-id uvarint + tag-encoded body), signed
-  * ints zigzag-encoded to minimal little-endian bytes, end-of-stream 0xff.
+  * ints sign-magnitude counted-varint encoded to minimal little-endian
+  * bytes (zcode/counted.go), end-of-stream 0xff.
   * The reader additionally handles LZ4-compressed frames (compression.md
   * format 0) and skips control frames.
   *
@@ -29,9 +30,13 @@ object ZngIO {
     out.write(v.toInt)
   }
 
-  /** zigzag + minimal little-endian (zng.md §2.2.2). */
+  /** Signed counted varint (zng.md §2.2.2, zcode/counted.go:59): the
+    * magnitude is shifted left one with the sign in the low bit —
+    * NOT zigzag — then emitted as minimal little-endian bytes.
+    * -1 → 0x03; Long.MinValue overflows to the reserved encoding 0x01.
+    */
   private[graft] def signedBytes(n: Long): Array[Byte] = {
-    var u = (n << 1) ^ (n >> 63)
+    var u = if (n >= 0) n << 1 else ((-n) << 1) | 1L
     val buf = Array.newBuilder[Byte]
     while (u != 0) { buf += (u & 0xff).toByte; u >>>= 8 }
     buf.result()
@@ -47,6 +52,7 @@ object ZngIO {
   private val ID_FLOAT32 = 15; private val ID_FLOAT64 = 16
   private val ID_BOOL = 23; private val ID_BYTES = 24
   private val ID_STRING = 25; private val ID_NULL = 29
+  private val ID_IP = 26; private val ID_NET = 27
 
   private def primId(dt: DataType): Option[Int] = dt match {
     case ByteType => Some(ID_INT8)
@@ -167,13 +173,20 @@ object ZngIO {
     out.toByteArray
   }
 
-  /** Encode a complete single-stream ZNG byte sequence for rows of one schema. */
-  def encodeStream(rows: Iterator[Row], schema: StructType): Array[Byte] = {
+  /** Stream-encode rows of one schema as a ZNG stream: types frame first
+    * (fully determined by the schema), then bounded values frames as rows
+    * arrive — at most one ~1 MiB frame is buffered, never the partition.
+    */
+  def encodeStreamTo(out: java.io.OutputStream, rows: Iterator[Row], schema: StructType): Unit = {
     val table = new TypeTable
     val topId = table.idOf(schema)
-    val out = new ByteArrayOutputStream()
-    out.write(frame(0, table.defs.toByteArray)) // types frame
+    val tf = frame(0, table.defs.toByteArray) // types frame
+    out.write(tf, 0, tf.length)
     val values = new ByteArrayOutputStream()
+    def flush(): Unit = {
+      val vf = frame(1, values.toByteArray)
+      out.write(vf, 0, vf.length); values.reset()
+    }
     rows.foreach { r =>
       uvarint(values, topId.toLong)
       val body = new ByteArrayOutputStream()
@@ -183,23 +196,30 @@ object ZngIO {
       val b = body.toByteArray
       uvarint(values, b.length + 1L)
       values.write(b, 0, b.length)
-      if (values.size() > (1 << 20)) { // bounded frames, like zngio's framing
-        out.write(frame(1, values.toByteArray)); values.reset()
-      }
+      if (values.size() > (1 << 20)) flush() // bounded frames, like zngio's framing
     }
-    if (values.size() > 0) out.write(frame(1, values.toByteArray))
+    if (values.size() > 0) flush()
     out.write(0xff) // end of stream
+  }
+
+  /** Encode a complete single-stream ZNG byte sequence for rows of one schema. */
+  def encodeStream(rows: Iterator[Row], schema: StructType): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    encodeStreamTo(out, rows, schema)
     out.toByteArray
   }
 
-  /** Distributed write: one ZNG stream file per partition. */
+  /** Distributed write: one ZNG stream file per partition, through the
+    * Hadoop FileSystem API so the parts land on the shared filesystem
+    * (HDFS/S3A/file:) rather than executor-local disk.
+    */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    HadoopFs.prepareDir(df.sparkSession, path)
+    val confMap = HadoopFs.confMap(df.sparkSession)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val bytes = encodeStream(rows, schema)
-      val f = java.nio.file.Paths.get(path, f"part-$pid%05d.zng")
-      java.nio.file.Files.write(f, bytes)
+      val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
+      try encodeStreamTo(out, rows, schema) finally out.close()
       Iterator.empty
     }.count(): Unit
   }
@@ -230,15 +250,49 @@ object ZngIO {
     def done: Boolean = pos >= buf.length
   }
 
-  private[sources] def signedOf(b: Array[Byte]): Long = {
+  private[graft] def signedOf(b: Array[Byte]): Long = {
     var u = 0L
     for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
-    (u >>> 1) ^ -(u & 1L)
+    if ((u & 1L) == 0) u >>> 1
+    else { val m = u >>> 1; if (m == 0) Long.MinValue else -m }
   }
   private[sources] def unsignedOf(b: Array[Byte]): Long = {
     var u = 0L
     for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
     u
+  }
+
+  /** IPv4 dotted quad / IPv6 RFC 5952 compressed text from 4/16 raw bytes. */
+  private[sources] def ipText(b: Array[Byte]): String =
+    if (b.length == 4) b.map(_ & 0xff).mkString(".")
+    else {
+      val groups = Array.tabulate(8)(i => ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+      // find longest run of zero groups (length >= 2) for '::'
+      var bestStart = -1; var bestLen = 0; var i = 0
+      while (i < 8) {
+        if (groups(i) == 0) {
+          var j = i; while (j < 8 && groups(j) == 0) j += 1
+          if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+          i = j
+        } else i += 1
+      }
+      if (bestLen < 2) groups.map(Integer.toHexString).mkString(":")
+      else {
+        val pre = groups.take(bestStart).map(Integer.toHexString).mkString(":")
+        val post = groups.drop(bestStart + bestLen).map(Integer.toHexString).mkString(":")
+        pre + "::" + post
+      }
+    }
+
+  private[sources] def leadingOnes(mask: Array[Byte]): Int = {
+    var n = 0; var i = 0; var stop = false
+    while (i < mask.length && !stop) {
+      val b = mask(i) & 0xff
+      if (b == 0xff) n += 8
+      else { n += Integer.numberOfLeadingZeros(~(b << 24)); stop = true }
+      i += 1
+    }
+    n
   }
 
   private def esc(s: String): String =
@@ -274,7 +328,15 @@ object ZngIO {
           case ID_BYTES => "0x" + b.map(x => f"${x & 0xff}%02x").mkString
           case ID_STRING => "\"" + esc(new String(b, "UTF-8")) + "\""
           case ID_NULL => "null"
-          case other => "\"<prim-" + other + ">\""
+          case ID_IP => ipText(b)
+          case ID_NET =>
+            // addr bytes then mask bytes (primitive.go DecodeNet)
+            val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+            val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+            ipText(addr) + "/" + leadingOnes(mask)
+          case other =>
+            throw new IllegalArgumentException(
+              s"zng: primitive type id $other (float16/128/256, decimal, type) not supported")
         }
       case ZRecord(fields) =>
         val inner = new Cursor(c.bytes(n), 0)
@@ -303,10 +365,11 @@ object ZngIO {
         }
         entries.mkString("|{", ",", "}|")
       case ZUnion(alts) =>
+        // selector is a signed counted varint (complex.go BuildUnion/EncodeInt)
         val inner = new Cursor(c.bytes(n), 0)
         val which = {
           val t2 = inner.uvarint(); val m = (t2 - 1).toInt
-          unsignedOf(inner.bytes(m)).toInt
+          signedOf(inner.bytes(m)).toInt
         }
         decodeValue(inner, alts(which))
       case ZEnum(symbols) =>
@@ -558,7 +621,7 @@ object ZngIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(
-      if (new java.io.File(path).isDirectory) s"$path/*" else path)
+      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
     val zsonLines = files.select("content").as[Array[Byte]]
       .flatMap(bytes => decodeToZson(bytes))
     val json = zsonLines.map(ZsonIO.zsonLineToJson _)

@@ -16,15 +16,12 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
-  test("zigzag signed bytes round-trip every long") {
+  test("signed counted varints round-trip every long") {
     val cases = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue)) ++
       Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, Long.MaxValue, Long.MinValue)
     for (n <- cases) {
-      val b = ZngIO.signedBytes(n)
-      var u = 0L
-      for (i <- b.indices.reverse) u = (u << 8) | (b(i) & 0xffL)
-      val back = (u >>> 1) ^ -(u & 1L)
-      assert(back == n, s"zigzag($n)")
+      val back = ZngIO.signedOf(ZngIO.signedBytes(n))
+      assert(back == n, s"signed($n)")
     }
   }
 

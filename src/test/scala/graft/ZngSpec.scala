@@ -25,11 +25,16 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.resolve("out").toString
   }
 
-  test("zigzag int encoding matches the spec (shift left, sign in bit 0)") {
+  test("signed counted varint matches the reference (magnitude<<1 | sign)") {
+    // zcode/counted.go:59 EncodeCountedVarint — NOT zigzag: -1 → 0x03
     assert(ZngIO.signedBytes(0L).isEmpty)            // minimal: no bytes
     assert(ZngIO.signedBytes(1L).toSeq == Seq(2.toByte))
-    assert(ZngIO.signedBytes(-1L).toSeq == Seq(1.toByte))
+    assert(ZngIO.signedBytes(-1L).toSeq == Seq(3.toByte))
+    assert(ZngIO.signedBytes(-2L).toSeq == Seq(5.toByte))
     assert(ZngIO.signedBytes(64L).toSeq == Seq(0x80.toByte))
+    assert(ZngIO.signedBytes(Long.MinValue).toSeq == Seq(1.toByte)) // reserved
+    assert(ZngIO.signedOf(Array(1.toByte)) == Long.MinValue)
+    assert(ZngIO.signedOf(Array(3.toByte)) == -1L)
   }
 
   test("stream structure: types frame, values frame, end-of-stream") {
@@ -100,6 +105,31 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZngIO.read(spark, path).count() == 25)
   }
 
+  test("decodes ip and net primitives to address text") {
+    import java.io.ByteArrayOutputStream
+    val vals = new ByteArrayOutputStream()
+    def uvv(v: Long) = ZngIO.uvarint(vals, v)
+    // ip 192.168.1.1 (id 26): 4 addr bytes
+    uvv(26); uvv(5); vals.write(192); vals.write(168); vals.write(1); vals.write(1)
+    // net 10.0.0.0/8 (id 27): 4 addr bytes + 4 mask bytes
+    uvv(27); uvv(9)
+    vals.write(10); vals.write(0); vals.write(0); vals.write(0)
+    vals.write(0xff); vals.write(0); vals.write(0); vals.write(0)
+    // ip6 fe80::1
+    uvv(26); uvv(17)
+    vals.write(0xfe); vals.write(0x80)
+    (0 until 13).foreach(_ => vals.write(0))
+    vals.write(1)
+    val out = new ByteArrayOutputStream()
+    val p = vals.toByteArray
+    out.write((1 << 4) | (p.length & 0xf))
+    ZngIO.uvarint(out, (p.length >> 4).toLong)
+    out.write(p, 0, p.length)
+    out.write(0xff)
+    val lines = ZngIO.decodeToZson(out.toByteArray).toSeq
+    assert(lines == Seq("192.168.1.1", "10.0.0.0/8", "fe80::1"))
+  }
+
   test("decoder handles maps, sets, unions, enums, named and error types") {
     // hand-encode a types frame exercising decoder paths the writer doesn't emit
     import java.io.ByteArrayOutputStream
@@ -112,10 +142,10 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     defs.write(0x07); uv(4); defs.write('p'); defs.write('o'); defs.write('r'); defs.write('t'); uv(9)
     val vals = new ByteArrayOutputStream()
     def uvv(v: Long) = ZngIO.uvarint(vals, v)
-    // set value {1,2}: two tagged zigzag ints
+    // set value {1,2}: two tagged signed varints
     uvv(30); uvv(5); uvv(2); vals.write(2); uvv(2); vals.write(4)
-    // union value: tag 1 (string) + "ok"
-    uvv(31); uvv(6); uvv(2); vals.write(1); uvv(3); vals.write('o'); vals.write('k')
+    // union value: selector 1 (string, signed varint → 0x02) + "ok"
+    uvv(31); uvv(6); uvv(2); vals.write(2); uvv(3); vals.write('o'); vals.write('k')
     // enum value: index 1 → "hi"
     uvv(32); uvv(2); vals.write(1)
     // named value: port 80
