@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Het
+import graft.sources.{ZValue, ZsonParser, ZType}
+
+/** Row-level operations on variant (union-typed / error) values.
+  *
+  * A variant column is Het's tagged struct; for structural operations the
+  * value's ZSON text (`Het.render`) is the interchange form — the same
+  * boxing zed's own runtime pays for union values (complex.go Under).
+  * These UDFs engage ONLY on variant columns, i.e. only on genuinely
+  * heterogeneous data; homogeneous columns never leave native Catalyst.
+  */
+object ZvOps {
+
+  /** Spark-facing mirror of the variant struct (field names must match
+    * Het.variantType exactly so the UDF return type lines up).
+    */
+  case class ZV(k: Option[Int], n: Option[Double], s: Option[String],
+                b: Option[Boolean], t: Option[String], z: Option[String])
+
+  def zvOf(v: ZValue): Option[ZV] = {
+    val row = ZValue.variantRow(v)
+    if (row == null) None
+    else Some(ZV(
+      Option(row.get(0)).map(_.asInstanceOf[Int]),
+      Option(row.get(1)).map(_.asInstanceOf[Double]),
+      Option(row.get(2)).map(_.asInstanceOf[String]),
+      Option(row.get(3)).map(_.asInstanceOf[Boolean]),
+      Option(row.get(4)).map(_.asInstanceOf[String]),
+      Option(row.get(5)).map(_.asInstanceOf[String])))
+  }
+
+  val errMissing: Option[ZV] = zvOf(ZValue.errMissing)
+
+  private def parse(text: String): Option[ZValue] =
+    try Some(new ZsonParser(text).parseOne()) catch { case _: Exception => None }
+
+  /** Field access into a boxed value: a.b where a is a variant. Missing
+    * field / non-record → error("missing") (reference expr/eval.go
+    * DotExpr).
+    */
+  private val getU = udf((text: String, field: String) => {
+    if (text == null) errMissing
+    else parse(text).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VRec(fs) => fs.find(_._1 == field) match {
+        case Some((_, fv)) => zvOf(fv)
+        case None => errMissing
+      }
+      case _ => errMissing
+    }).orElse(errMissing)
+  })
+
+  def get(v: Column, field: String): Column = getU(Het.render(v), lit(field))
+
+  /** Element access into a boxed array/map value. */
+  private val indexU = udf((text: String, idx: Int) => {
+    if (text == null) errMissing
+    else parse(text).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VArr(items, _) =>
+        val i = if (idx < 0) items.length + idx else idx
+        if (i >= 0 && i < items.length) zvOf(items(i)) else errMissing
+      case _ => errMissing
+    }).orElse(errMissing)
+  })
+
+  def index(v: Column, idx: Column): Column = indexU(Het.render(v), idx)
+
+  /** zed len() over a boxed value (function/len.go): arrays/sets/maps/
+    * records by entry count, strings by bytes, bytes by size; else error.
+    */
+  private val lenU = udf((text: String) => {
+    if (text == null) None
+    else parse(text).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VArr(items, _) => zvOf(ZValue.VInt(items.length.toLong, "int64"))
+      case ZValue.VMap(es) => zvOf(ZValue.VInt(es.length.toLong, "int64"))
+      case ZValue.VRec(fs) => zvOf(ZValue.VInt(fs.length.toLong, "int64"))
+      case ZValue.VStr(s) => zvOf(ZValue.VInt(s.getBytes("UTF-8").length.toLong, "int64"))
+      case ZValue.VBytes(b) => zvOf(ZValue.VInt(b.length.toLong, "int64"))
+      case ZValue.VNull(_) => zvOf(ZValue.VInt(0L, "int64"))
+      case ZValue.VIp(_) | ZValue.VNet(_) =>
+        zvOf(ZValue.VErr(ZValue.VStr("len: bad type")))
+      case other => zvOf(ZValue.VErr(ZValue.VStr("len: bad type")))
+    })
+  })
+
+  def len(v: Column): Column = lenU(Het.render(v))
+
+  /** Unary minus over a boxed number (expr/eval.go unary '-'). */
+  private val negU = udf((text: String) => {
+    if (text == null) None
+    else parse(text).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VInt(n, t) => zvOf(ZValue.VInt(-n, if (t.startsWith("uint")) "int64" else t))
+      case ZValue.VFloat(d, t) => zvOf(ZValue.VFloat(-d, t))
+      case ZValue.VDur(ns) => zvOf(ZValue.VDur(-ns))
+      case ZValue.VNull(t) => None
+      case other => zvOf(ZValue.VErr(ZValue.VRec(Vector(
+        "message" -> ZValue.VStr("incompatible type"),
+        "on" -> other))))
+    })
+  })
+
+  def neg(v: Column): Column = negU(Het.render(v))
+
+  /** Variant → native string (zed string() cast semantics for scalars). */
+  def asText(v: Column): Column =
+    when(v.isNull, lit(null).cast(StringType))
+      .when(v.getField("k") === 2, v.getField("s"))
+      .otherwise(Het.render(v))
+
+  /** Wrap any typed column as a variant (idempotent). */
+  def box(c: Column, dt: DataType): Column = Het.variant(c, dt)
+}

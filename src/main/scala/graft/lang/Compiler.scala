@@ -76,8 +76,8 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => false
         }
         val cols = kept.map {
-          case (name, Some(e)) => expr(df, e).as(name)
-          case (name, None) => col(name).as(name)
+          case (name, Some(e)) => outExpr(df, e).as(name)
+          case (name, None) => outExpr(df, Expr.Path(name.split('.').toSeq)).as(name)
         }
         val flat = df.select(cols: _*)
         // dotted paths rebuild their nested record structure (cutter.go)
@@ -85,7 +85,7 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Put(assigns) =>
         val df = single(state)
-        Seq(ZedOps.put(df, assigns.map { case (n, e) => n -> expr(df, e) }: _*))
+        Seq(ZedOps.put(df, assigns.map { case (n, e) => n -> outExpr(df, e) }: _*))
 
       case Stage.Drop(paths) =>
         Seq(ZedOps.drop(single(state), paths: _*))
@@ -96,7 +96,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Sort(keys, nullsFirst) =>
         val df = single(state)
         val resolved =
-          if (keys.nonEmpty) keys.map { case (e, asc) => (expr(df, e), asc) }
+          if (keys.nonEmpty) keys.map { case (e, asc) =>
+            // union-typed keys sort under the cross-type total order
+            val c = expr(df, e)
+            val keyed = if (isVariantExpr(df, e)) graft.operators.Het.compareKey(c) else c
+            (keyed, asc)
+          }
           else Seq((guessSortKey(df), true))
         val ordered = resolved.map { case (c, asc) =>
           (asc, nullsFirst) match {
@@ -183,14 +188,14 @@ final class Compiler(spark: SparkSession, dir: String) {
             // spreads need expression-level expansion, then unpack
             Seq(df.select(expr(df, rec).as("__r")).select(col("__r.*")))
           case Seq(Expr.RecordLit(fields)) =>
-            Seq(df.select(fields.map { case (n, e) => expr(df, e).as(n) }: _*))
+            Seq(df.select(fields.map { case (n, e) => outExpr(df, e).as(n) }: _*))
           case Seq(e) =>
             // a single non-record yield emits the bare VALUE (yield.go);
             // it is carried as `this` so downstream stages address it
-            Seq(df.select(expr(df, e).as("this")))
+            Seq(df.select(outExpr(df, e).as("this")))
           case many =>
             // N exprs per input value, left-to-right (yield.go:1-47)
-            Seq(df.select(explode(array(many.map(expr(df, _)): _*)).as("this")))
+            Seq(df.select(explode(array(many.map(outExpr(df, _)): _*)).as("this")))
         }
 
       case Stage.Explode(zedType, as) =>
@@ -286,7 +291,9 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   /** Keyword search over every string field (search-expressions.md). */
   private def keywordSearch(df: DataFrame, word: String): Column = {
-    val strCols = df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name))
+    val strCols = df.schema.fields
+      .filterNot(_.name == graft.operators.Het.typeTag)
+      .filter(_.dataType == StringType).map(f => col(f.name))
     if (strCols.isEmpty) lit(false)
     else F.grep(word, strCols.toIndexedSeq: _*)
   }
@@ -295,7 +302,7 @@ final class Compiler(spark: SparkSession, dir: String) {
     * integer field, else first float, else first non-time field.
     */
   private def guessSortKey(df: DataFrame): Column = {
-    val fs = df.schema.fields
+    val fs = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
     fs.find(f => isIntType(f.dataType))
       .orElse(fs.find(f => f.dataType == DoubleType || f.dataType == FloatType))
       .orElse(fs.find(f => !f.dataType.isInstanceOf[TimestampType]))
@@ -343,11 +350,109 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   // ---- expressions -----------------------------------------------------------
 
+  // ---- per-row shape awareness (tagged heterogeneous frames) -----------------
+  // A frame built from a mixed ZSON stream carries each row's original zed
+  // type in the `__type` tag column, with the distinct shape list in the
+  // tag's column metadata (ZsonReader). Presence of a field per shape is a
+  // STATIC analysis over that list — the runtime check is a codegen'd
+  // tag.isin(...) — so typeof/has/missing are per-row values (zed
+  // semantics, complex.go:28-40) with no row-level type machinery.
+
+  private def isTagged(df: DataFrame): Boolean =
+    df.columns.contains(graft.operators.Het.typeTag)
+
+  /** (tagText, parsed type) for each distinct shape, empty if untagged or
+    * the metadata was lost along the way.
+    */
+  private def shapesOf(df: DataFrame): Seq[(String, graft.sources.ZType)] =
+    if (!isTagged(df)) Seq.empty
+    else {
+      val md = df.schema(graft.operators.Het.typeTag).metadata
+      if (md.contains("shapes"))
+        md.getStringArray("shapes").toSeq.flatMap { t =>
+          try Some(t -> graft.sources.ZsonParser.parseType(t))
+          catch { case _: Exception => None }
+        }
+      else Seq.empty
+    }
+
+  /** Walk a zed type along a field path (union alternatives searched). */
+  private def pathIn(t: graft.sources.ZType, parts: Seq[String]): Option[graft.sources.ZType] = {
+    import graft.sources.ZType._
+    strip(t) match {
+      case x if parts.isEmpty => Some(x)
+      case Rec(fs) => fs.find(_._1 == parts.head).flatMap(f => pathIn(f._2, parts.tail))
+      case Union(alts) => alts.flatMap(a => pathIn(a, parts)).headOption
+      case _ => None
+    }
+  }
+
+  /** Field access in an OUTPUT position (yield/put/cut): zed's missing
+    * field is the VALUE error("missing") (complex.go:28-40), not null.
+    * Shapes that have the field keep the native column; mixed presence
+    * becomes a variant column gated on the shape tag.
+    */
+  private def outExpr(df: DataFrame, e: Expr): Column = e match {
+    case Expr.Path(parts) if parts.nonEmpty => pathExpr(df, parts)
+    case _ => expr(df, e)
+  }
+
+  private def pathExpr(df: DataFrame, parts: Seq[String]): Column = {
+    val het = graft.operators.Het
+    val dt = dtypeOf(df, Expr.Path(parts))
+    // a path prefix landing on a variant column resolves row-level (boxed)
+    val boxed = dt.isEmpty && (parts.length - 1 to 1 by -1)
+      .exists(n => dtypeOf(df, Expr.Path(parts.take(n))).exists(isVariant))
+    val shapes = shapesOf(df)
+    if (shapes.isEmpty)
+      return if (dt.isDefined || boxed) expr(df, Expr.Path(parts))
+             else if (isTagged(df)) het.errMissing
+             else expr(df, Expr.Path(parts)) // untagged: keep null-mapping (relational frames)
+    val present = shapes.collect { case (t, st) if pathIn(st, parts).isDefined => t }
+    if (present.isEmpty && !boxed) het.errMissing
+    else if (present.size == shapes.size || boxed) expr(df, Expr.Path(parts))
+    else dt match {
+      case Some(d) =>
+        when(col(het.typeTag).isin(present: _*),
+          het.variant(expr(df, Expr.Path(parts)), d))
+          .otherwise(het.errMissing)
+      case None => het.errMissing
+    }
+  }
+
+  private def isVariant(dt: DataType): Boolean = graft.sources.ZsonIO.isVariantType(dt)
+
+  /** Does this expression evaluate to a variant column on df? */
+  private def isVariantExpr(df: DataFrame, e: Expr): Boolean =
+    dtypeOf(df, e).exists(isVariant) || (dtypeOf(df, e).isEmpty && {
+      try isVariant(df.select(expr(df, e)).schema.head.dataType)
+      catch { case _: Exception => false }
+    })
+
+  /** ZSON text of an arbitrary expression (for error payloads etc.). */
+  private def zsonTextOf(df: DataFrame, e: Expr): Column = {
+    val c = expr(df, e)
+    val dt = try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
+    graft.sources.ZsonIO.zsonOf(c, dt)
+  }
+
+  /** has(path): static when shapes agree, else a codegen'd tag test. */
+  private def hasPath(df: DataFrame, parts: Seq[String]): Column = {
+    val shapes = shapesOf(df)
+    if (shapes.nonEmpty) {
+      val present = shapes.collect { case (t, st) if pathIn(st, parts).isDefined => t }
+      if (present.isEmpty) lit(false)
+      else if (present.size == shapes.size) lit(true)
+      else col(graft.operators.Het.typeTag).isin(present: _*)
+    } else Shaper.has(df, parts.mkString("."))
+  }
+
   private def dtypeOf(df: DataFrame, e: Expr): Option[DataType] = e match {
     case Expr.Path(Seq()) => None
     case Expr.Path(parts) =>
       def walk(dt: DataType, ps: Seq[String]): Option[DataType] = (dt, ps) match {
         case (t, Seq()) => Some(t)
+        case (st: StructType, _) if isVariant(st) => None // boxed: ZvOps.get territory
         case (st: StructType, p +: rest) =>
           st.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
         case _ => None
@@ -416,29 +521,46 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.DurationLit(ns, _) => lit(ns)
 
     case Expr.Path(Seq()) =>
-      if (df.columns.contains("this")) col("this")
-      else struct(df.columns.map(col).toIndexedSeq: _*)
+      val dataCols = df.columns.filterNot(_ == graft.operators.Het.typeTag)
+      if (dataCols.sameElements(Array("this"))) col("this")
+      else struct(dataCols.map(n => col(s"`$n`")).toIndexedSeq: _*)
     case Expr.Path(parts) =>
       // a reference to a nonexistent field is zed's error("missing") — a
-      // VALUE, not a compile error (complex.go:28-40). The engine's
-      // missing/quiet convention maps it to SQL NULL: it propagates through
-      // arithmetic and comparisons (1 > missing → NULL ≙ error("missing"))
-      // and drops rows in filters, matching the reference's behavior for
-      // every expressions.md case that survives relational mapping.
+      // VALUE, not a compile error (complex.go:28-40). In relational
+      // (untagged) frames it maps to SQL NULL: it propagates through
+      // arithmetic and comparisons and drops rows in filters. In output
+      // positions on tagged frames, outExpr materializes the error value.
       if (dtypeOf(df, e).isDefined) col(parts.mkString("."))
-      else lit(null)
+      else {
+        // a path prefix landing on a variant column → boxed field access
+        val prefixLen = (parts.length - 1 to 1 by -1)
+          .find(n => dtypeOf(df, Expr.Path(parts.take(n))).exists(isVariant))
+        prefixLen match {
+          case Some(n) =>
+            parts.drop(n).foldLeft(col(parts.take(n).mkString("."))) {
+              (acc, f) => graft.functions.ZvOps.get(acc, f)
+            }
+          case None => lit(null)
+        }
+      }
 
-    case Expr.Index(inner, Expr.StringLit(k)) => expr(df, inner).getItem(k)
+    case Expr.Index(inner, Expr.StringLit(k)) if !isVariantExpr(df, inner) =>
+      expr(df, inner).getItem(k)
     case Expr.Index(inner, idx) =>
       // zed arrays are 0-indexed; negative indexes from the end
       val arr = expr(df, inner)
-      idx match {
+      if (isVariantExpr(df, inner)) idx match {
+        case Expr.StringLit(k) => graft.functions.ZvOps.get(arr, k)
+        case other => graft.functions.ZvOps.index(arr, expr(df, other).cast("int"))
+      } else idx match {
         case Expr.IntLit(i) if i >= 0 => element_at(arr, (i + 1).toInt)
         case Expr.IntLit(i) => element_at(arr, i.toInt)
         case other => element_at(arr, (expr(df, other) + lit(1)).cast("int"))
       }
 
-    case Expr.Unary("-", inner) => -expr(df, inner)
+    case Expr.Unary("-", inner) =>
+      if (isVariantExpr(df, inner)) graft.functions.ZvOps.neg(expr(df, inner))
+      else -expr(df, inner)
     case Expr.Unary("not", inner) => !expr(df, inner)
     case Expr.Unary("!", inner) => !expr(df, inner)
     case Expr.Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
@@ -476,6 +598,36 @@ final class Compiler(spark: SparkSession, dir: String) {
   }
 
   private def binary(df: DataFrame, op: String, l: Expr, r: Expr): Column = {
+    // variant (union-typed) operand: compare under the cross-type total
+    // order / operate numerically (complex.go Under + coercion lattice)
+    val lVar = isVariantExpr(df, l)
+    val rVar = isVariantExpr(df, r)
+    if ((lVar || rVar) && Set("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")(op)) {
+      val het = graft.operators.Het
+      def asVar(e: Expr, isVar: Boolean): Column =
+        if (isVar) expr(df, e)
+        else het.variant(expr(df, e), dtypeOf(df, e).getOrElse(StringType))
+      val (lv, rv) = (asVar(l, lVar), asVar(r, rVar))
+      val (lk, rk) = (het.compareKey(lv), het.compareKey(rv))
+      return op match {
+        case "==" => lk === rk
+        case "!=" => lk =!= rk
+        case "<" => lk < rk
+        case "<=" => lk <= rk
+        case ">" => lk > rk
+        case ">=" => lk >= rk
+        case _ =>
+          // arithmetic in the numeric domain; renders back as a number
+          val n = op match {
+            case "+" => lv.getField("n") + rv.getField("n")
+            case "-" => lv.getField("n") - rv.getField("n")
+            case "*" => lv.getField("n") * rv.getField("n")
+            case "/" => lv.getField("n") / rv.getField("n")
+            case "%" => lv.getField("n") % rv.getField("n")
+          }
+          het.variant(n, DoubleType)
+      }
+    }
     // time-literal vs ns-long column: compare in the ns domain
     val (lc, rc) = (l, r) match {
       case (t: Expr.TimeLit, _) => (timeOperand(df, r, t), expr(df, r))
@@ -497,16 +649,36 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "-" => lc - rc
       case "*" => lc * rc
       case "/" =>
+        // zed 1/0 is the VALUE error("divide by zero") (expr/eval.go)
+        if (r == Expr.IntLit(0)) graft.operators.Het.errorValue(lit("\"divide by zero\""))
         // zed int/int stays integral (expr/eval.go coercion lattice)
-        if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
+        else if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
         else lc / rc
-      case "%" => lc % rc
-      case "==" => if (crossType) lit(false) else lc === rc
-      case "!=" => if (crossType) lit(true) else lc =!= rc
-      case "<" => if (crossType) lit(false) else lc < rc
-      case "<=" => if (crossType) lit(false) else lc <= rc
-      case ">" => if (crossType) lit(false) else lc > rc
-      case ">=" => if (crossType) lit(false) else lc >= rc
+      case "%" =>
+        if (r == Expr.IntLit(0)) graft.operators.Het.errorValue(lit("\"divide by zero\""))
+        else lc % rc
+      // zed comparisons are total: a null operand compares false (and !=
+      // true), never null (expressions.md "Comparisons"). Only tagged
+      // (heterogeneous) frames pay for it — on relational frames the raw
+      // comparison stays pushdown-able into the parquet scan (a coalesce
+      // wrap would defeat PushedFilters; filters already treat null as
+      // false there).
+      case "==" =>
+        if (crossType) lit(false) else if (isTagged(df)) lc <=> rc else lc === rc
+      case "!=" =>
+        if (crossType) lit(true) else if (isTagged(df)) !(lc <=> rc) else lc =!= rc
+      case "<" =>
+        if (crossType) lit(false)
+        else if (isTagged(df)) coalesce(lc < rc, lit(false)) else lc < rc
+      case "<=" =>
+        if (crossType) lit(false)
+        else if (isTagged(df)) coalesce(lc <= rc, lit(false)) else lc <= rc
+      case ">" =>
+        if (crossType) lit(false)
+        else if (isTagged(df)) coalesce(lc > rc, lit(false)) else lc > rc
+      case ">=" =>
+        if (crossType) lit(false)
+        else if (isTagged(df)) coalesce(lc >= rc, lit(false)) else lc >= rc
       case "and" => lc && rc
       case "or" => lc || rc
       case "=~" =>
@@ -542,7 +714,16 @@ final class Compiler(spark: SparkSession, dir: String) {
   }
 
   private def call(df: DataFrame, fn: String, args: Seq[Expr]): Column = {
-    def a(i: Int): Column = expr(df, args(i))
+    // functions that understand variant (union-typed) arguments natively;
+    // everything else receives the scalar text unwrap (zed Under semantics)
+    val variantSafe = Set("len", "compare", "typeof", "kind", "is_error",
+      "quiet", "coalesce", "is", "has", "missing", "error", "under", "nameof")
+    def a(i: Int): Column = {
+      val c = expr(df, args(i))
+      if (!variantSafe(fn) && isVariantExpr(df, args(i)))
+        graft.functions.ZvOps.asText(c)
+      else c
+    }
     def litStr(i: Int): String = args(i) match {
       case Expr.StringLit(s) => s
       case other => throw new IllegalArgumentException(
@@ -641,10 +822,23 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "network_of" =>
         if (args.length > 1) F.networkOf(a(0), a(1)) else F.networkOf(a(0))
 
-      // type introspection (function/types.go) — plan-time over the schema
+      // type introspection (function/types.go) — static over the schema,
+      // per-row via the shape tag / variant t on heterogeneous frames
       case "typeof" => args.head match {
-        case Expr.Path(Seq()) => Shaper.typeofRow(df)
-        case Expr.Path(parts) => Shaper.typeof(df, parts.mkString("."))
+        case Expr.Path(Seq()) => graft.operators.Het.typeofRow(df)
+        case Expr.Path(parts) =>
+          val shapes = shapesOf(df)
+          if (dtypeOf(df, args.head).exists(isVariant))
+            graft.operators.Het.variantTypeOf(col(parts.mkString(".")))
+          else if (shapes.nonEmpty) {
+            val perShape = shapes.map { case (t, st) =>
+              t -> pathIn(st, parts).map(graft.sources.ZType.text).getOrElse("missing")
+            }
+            if (perShape.map(_._2).distinct.size == 1) lit(perShape.head._2)
+            else perShape.foldLeft(lit(null).cast(StringType)) { case (acc, (tag, ty)) =>
+              when(col(graft.operators.Het.typeTag) === tag, lit(ty)).otherwise(acc)
+            }
+          } else Shaper.typeof(df, parts.mkString("."))
         case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
       }
       case "kind" => args.head match {
@@ -652,12 +846,23 @@ final class Compiler(spark: SparkSession, dir: String) {
         case _ => lit("record")
       }
       case "has" => args.map {
-        case Expr.Path(parts) => Shaper.has(df, parts.mkString("."))
-        case _ => lit(true)
+        case Expr.Path(parts) if parts.nonEmpty => hasPath(df, parts)
+        case Expr.Path(Seq()) => lit(true)
+        case e if isVariantExpr(df, e) =>
+          // an error value propagates OUT of has() (function/has.go)
+          val het = graft.operators.Het
+          val c = expr(df, e)
+          when(het.isError(c), c).otherwise(het.variant(c.isNotNull, BooleanType))
+        case e => expr(df, e).isNotNull
       }.reduce(_ && _)
       case "missing" => args.head match {
-        case Expr.Path(parts) => Shaper.missing(df, parts.mkString("."))
-        case _ => lit(false)
+        case Expr.Path(parts) if parts.nonEmpty => !hasPath(df, parts)
+        case Expr.Path(Seq()) => lit(false)
+        case e if isVariantExpr(df, e) =>
+          val het = graft.operators.Het
+          val c = expr(df, e)
+          het.isError(c) && c.getField("z") === lit("\"missing\"")
+        case e => expr(df, e).isNull
       }
       case "is" =>
         // is(<type>) — type test against this (or an explicit first arg)
@@ -669,8 +874,30 @@ final class Compiler(spark: SparkSession, dir: String) {
           case other => lit(Shaper.zedTypeOf(
             df.select(expr(df, other)).schema.head.dataType)) === lit(target)
         }
-      case "is_error" => lit(false) // no error values in relational frames
+      case "is_error" =>
+        if (isVariantExpr(df, args.head))
+          graft.operators.Het.isError(expr(df, args.head))
+        else lit(false)
       case "quiet" => a(0)
+      case "nameof" =>
+        // name of a named type (function/nameof.go) — per-shape static
+        val shapes = shapesOf(df)
+        val het = graft.operators.Het
+        def nameOfTag(t: String): Option[String] = {
+          val eq = t.indexOf('=')
+          if (eq > 0 && t.take(eq).forall(c => c.isLetterOrDigit || c == '_')) Some(t.take(eq))
+          else None
+        }
+        if (shapes.isEmpty) het.errMissing
+        else shapes.foldLeft(het.errMissing) { case (acc, (t, _)) =>
+          nameOfTag(t) match {
+            case Some(n) =>
+              when(col(het.typeTag) === t, het.variant(lit(n), StringType)).otherwise(acc)
+            case None => acc
+          }
+        }
+      case "error" =>
+        graft.operators.Het.errorValue(zsonTextOf(df, args.head))
       case "fields" => Shaper.fieldsOf(df)
       case "flatten" => Shaper.flattenCol(df)
 
@@ -703,9 +930,21 @@ final class Compiler(spark: SparkSession, dir: String) {
         dtypeOf(df, args.head) match {
           case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
           case Some(StringType) => length(a(0))
+          case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
+          case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
+          case Some(st: StructType) => lit(st.fields.length)
           case _ => length(a(0).cast("string"))
         }
-      case "compare" => F.compareVals(a(0), a(1))
+      case "compare" =>
+        if (isVariantExpr(df, args(0)) || isVariantExpr(df, args(1))) {
+          val het = graft.operators.Het
+          def vk(i: Int): Column = {
+            val c = expr(df, args(i))
+            if (isVariantExpr(df, args(i))) het.compareKey(c)
+            else het.compareKey(het.variant(c, dtypeOf(df, args(i)).getOrElse(StringType)))
+          }
+          F.compareVals(vk(0), vk(1))
+        } else F.compareVals(a(0), a(1))
       case "cast" =>
         val t = litStr(1)
         Shaper.parseZedType(t) match {

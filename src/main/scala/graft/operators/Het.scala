@@ -74,20 +74,30 @@ object Het {
 
   private def zedPrimName(dt: DataType): String = Shaper.zedTypeOf(dt)
 
-  /** Wrap a typed column into the variant encoding. */
+  /** Wrap a typed column into the variant encoding. Containers carry
+    * their ZSON text in `z` (the boxed form zed itself uses for values
+    * inside a union — complex.go TypeUnion :290); errors are kind 5 with
+    * the payload text in `z`.
+    */
   def variant(c: Column, dt: DataType): Column = {
+    if (dt == variantType) return c // already variant — idempotent
+    val container = dt.isInstanceOf[StructType] || dt.isInstanceOf[ArrayType] ||
+      dt.isInstanceOf[MapType]
     val n = if (dt.isInstanceOf[NumericType]) c.cast(DoubleType)
             else if (dt == TimestampType || dt == TimestampNTZType) c.cast(DoubleType)
             else lit(null).cast(DoubleType)
     val s = if (dt == StringType) c else lit(null).cast(StringType)
     val b = if (dt == BooleanType) c else lit(null).cast(BooleanType)
+    val z = if (container) graft.sources.ZsonIO.zsonOf(c, dt)
+            else lit(null).cast(StringType)
     when(c.isNull, lit(null).cast(variantType)).otherwise(
       struct(
         lit(kindRank(dt)).as("k"),
         n.as("n"),
         s.as("s"),
         b.as("b"),
-        lit(zedPrimName(dt)).as("t")))
+        lit(zedPrimName(dt)).as("t"),
+        z.as("z")))
   }
 
   val variantType: StructType = StructType(Seq(
@@ -95,7 +105,25 @@ object Het {
     StructField("n", DoubleType),
     StructField("s", StringType),
     StructField("b", BooleanType),
-    StructField("t", StringType)))
+    StructField("t", StringType),
+    StructField("z", StringType)))
+
+  /** An error value as a variant literal — zed's error("missing") /
+    * error("quiet") / error(<payload>) (complex.go:28-42).
+    */
+  def errorValue(payloadZson: Column, typeText: String = "error(string)"): Column =
+    struct(
+      lit(5).as("k"),
+      lit(null).cast(DoubleType).as("n"),
+      lit(null).cast(StringType).as("s"),
+      lit(null).cast(BooleanType).as("b"),
+      lit(typeText).as("t"),
+      payloadZson.as("z"))
+
+  val errMissing: Column = errorValue(lit("\"missing\""))
+  val errQuiet: Column = errorValue(lit("\"quiet\""))
+
+  def isError(v: Column): Column = v.isNotNull && v.getField("k") === 5
 
   /** Build one variant column from the first non-null of several typed
     * alternatives (e.g. a column that is int in one branch, string in
@@ -115,13 +143,15 @@ object Het {
       v.getField("k").as("k"),
       v.getField("n").as("n"),
       v.getField("s").as("s"),
-      v.getField("b").cast(IntegerType).as("b")))
+      v.getField("b").cast(IntegerType).as("b"),
+      v.getField("z").as("z")))
 
   private val compareKeyType: StructType = StructType(Seq(
     StructField("k", IntegerType),
     StructField("n", DoubleType),
     StructField("s", StringType),
-    StructField("b", IntegerType)))
+    StructField("b", IntegerType),
+    StructField("z", StringType)))
 
   /** zed `typeof` of a variant value. */
   def variantTypeOf(v: Column): Column = v.getField("t")
@@ -132,15 +162,30 @@ object Het {
   def asBool(v: Column): Column = v.getField("b")
 
   /** Render a variant value as its zed text form (for output/debug). */
-  def render(v: Column): Column =
+  def render(v: Column): Column = {
+    val t = v.getField("t")
+    val n = v.getField("n")
+    val isFloat = t.startsWith("float") || t === "decimal"
+    val numText =
+      when(t === "duration" && v.getField("z").isNotNull, v.getField("z"))
+        .when(isFloat && n === floor(n) && abs(n) < 1e15,
+          concat(n.cast(LongType).cast(StringType), lit(".")))
+        .when(!isFloat && n === floor(n), n.cast(LongType).cast(StringType))
+        .otherwise(n.cast(StringType))
+    val timeText = date_format(
+      timestamp_seconds(n), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val strText = concat(lit("\""),
+      regexp_replace(regexp_replace(v.getField("s"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
     when(v.isNull, lit("null"))
-      .when(v.getField("k") === 0,
-        when(v.getField("n") === floor(v.getField("n")),
-          v.getField("n").cast(LongType).cast(StringType))
-          .otherwise(v.getField("n").cast(StringType)))
-      .when(v.getField("k") === 2, concat(lit("\""), v.getField("s"), lit("\"")))
+      .when(v.getField("k") === 5, concat(lit("error("), v.getField("z"), lit(")")))
+      .when(v.getField("k") === 0, numText)
+      .when(v.getField("k") === 1, timeText)
+      .when(v.getField("k") === 2, strText)
       .when(v.getField("k") === 3, v.getField("b").cast(StringType))
-      .otherwise(v.getField("s"))
+      .when(t.startsWith("enum"), concat(lit("%"), v.getField("s")))
+      .otherwise(coalesce(v.getField("z"), v.getField("s")))
+  }
 
   /** Fuse frames whose SHARED columns have conflicting types — zed forms a
     * union type (complex.go:290); here the conflicted columns become

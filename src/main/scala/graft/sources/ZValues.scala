@@ -1,0 +1,806 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.operators.Het
+
+/** Typed ZSON value model: the engine's representation of zed's
+  * super-structured data (reference: docs/formats/zson.md grammar §4,
+  * zson/ztype values, complex.go TypeUnion :290 / TypeError :42 /
+  * TypeEnum :67).
+  *
+  * Spark-first mapping: a heterogeneous value sequence becomes ONE
+  * DataFrame — rows are grouped by their zed type ("shape"), shapes are
+  * merged field-wise into a single relational schema, and
+  *   - a field whose type agrees across shapes stays a NATIVE Spark column
+  *     (full Catalyst/codegen path — the 100 TB case is homogeneous);
+  *   - a field with conflicting types (zed union) becomes a Het variant
+  *     column;
+  *   - error values (zed error(T)) are variant rows with kind=5 carrying
+  *     the payload as ZSON text;
+  *   - each row keeps its original zed type in the `__type` tag column, so
+  *     typeof/has/missing are runtime values, per zed semantics, while
+  *     remaining plain string comparisons Catalyst can codegen.
+  */
+sealed trait ZType
+object ZType {
+  final case class Prim(name: String) extends ZType
+  final case class Rec(fields: Vector[(String, ZType)]) extends ZType
+  final case class Arr(elem: ZType) extends ZType
+  final case class SetT(elem: ZType) extends ZType
+  final case class MapT(key: ZType, value: ZType) extends ZType
+  final case class Union(alts: Vector[ZType]) extends ZType
+  final case class EnumT(symbols: Vector[String]) extends ZType
+  final case class ErrT(inner: ZType) extends ZType
+  final case class Named(name: String, inner: ZType) extends ZType
+
+  val nullT: ZType = Prim("null")
+
+  private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private[sources] def fieldName(n: String): String =
+    if (identRe.matches(n)) n else "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Canonical zed type text (matches Shaper.zedTypeOf conventions). */
+  def text(t: ZType): String = t match {
+    case Prim(n) => n
+    case Rec(fs) => fs.map { case (n, ft) => s"${fieldName(n)}:${text(ft)}" }.mkString("{", ",", "}")
+    case Arr(e) => s"[${text(e)}]"
+    case SetT(e) => s"|[${text(e)}]|"
+    case MapT(k, v) => s"|{${text(k)}:${text(v)}}|"
+    case Union(alts) => alts.map(text).mkString("(", ",", ")")
+    case EnumT(syms) => syms.mkString("enum(", ",", ")")
+    case ErrT(i) => s"error(${text(i)})"
+    case Named(n, _) => n
+  }
+
+  def strip(t: ZType): ZType = t match { case Named(_, i) => strip(i); case other => other }
+
+  /** Round-trippable type text: named types print their definition
+    * (`port=uint16`) so shape tags can be re-parsed with full structure.
+    */
+  def fullText(t: ZType): String = t match {
+    case Named(n, i) => s"$n=${fullText(i)}"
+    case Prim(n) => n
+    case Rec(fs) => fs.map { case (n, ft) => s"${fieldName(n)}:${fullText(ft)}" }.mkString("{", ",", "}")
+    case Arr(e) => s"[${fullText(e)}]"
+    case SetT(e) => s"|[${fullText(e)}]|"
+    case MapT(k, v) => s"|{${fullText(k)}:${fullText(v)}}|"
+    case Union(alts) => alts.map(fullText).mkString("(", ",", ")")
+    case EnumT(syms) => syms.mkString("enum(", ",", ")")
+    case ErrT(i) => s"error(${fullText(i)})"
+  }
+
+  /** Union-merge two types the way zed's type context does when a field
+    * takes different types across values (complex.go LookupTypeUnion).
+    */
+  def unify(a: ZType, b: ZType): ZType = (strip(a), strip(b)) match {
+    case (x, y) if x == y => x
+    case (Prim("null"), y) => y
+    case (x, Prim("null")) => x
+    case (Rec(fa), Rec(fb)) =>
+      val names = (fa.map(_._1) ++ fb.map(_._1)).distinct
+      Rec(names.map { n =>
+        (fa.find(_._1 == n).map(_._2), fb.find(_._1 == n).map(_._2)) match {
+          case (Some(x), Some(y)) => n -> unify(x, y)
+          case (Some(x), None) => n -> x
+          case (None, Some(y)) => n -> y
+          case _ => n -> nullT
+        }
+      }.toVector)
+    case (Arr(x), Arr(y)) => Arr(unify(x, y))
+    case (SetT(x), SetT(y)) => SetT(unify(x, y))
+    case (Union(xs), Union(ys)) => Union((xs ++ ys).distinct)
+    case (Union(xs), y) => Union((xs :+ y).distinct)
+    case (x, Union(ys)) => Union((x +: ys).distinct)
+    case (x, y) => Union(Vector(x, y))
+  }
+}
+
+sealed trait ZValue
+object ZValue {
+  final case class VNull(t: ZType) extends ZValue
+  final case class VInt(v: Long, t: String) extends ZValue // int8..64, uint8..32
+  final case class VUint64(v: BigDecimal) extends ZValue
+  final case class VFloat(v: Double, t: String) extends ZValue // float16/32/64
+  final case class VStr(v: String) extends ZValue
+  final case class VBool(v: Boolean) extends ZValue
+  final case class VBytes(v: Array[Byte]) extends ZValue
+  final case class VTime(ns: Long) extends ZValue
+  final case class VDur(ns: Long) extends ZValue
+  final case class VIp(v: String) extends ZValue
+  final case class VNet(v: String) extends ZValue
+  final case class VTypeVal(text: String) extends ZValue
+  final case class VEnum(sym: String) extends ZValue
+  final case class VRec(fields: Vector[(String, ZValue)]) extends ZValue
+  final case class VArr(items: Vector[ZValue], isSet: Boolean) extends ZValue
+  final case class VMap(entries: Vector[(ZValue, ZValue)]) extends ZValue
+  final case class VErr(value: ZValue) extends ZValue
+  /** decorator-applied value: the decorator type is authoritative (zson.md §2.2) */
+  final case class VTyped(v: ZValue, t: ZType) extends ZValue
+
+  import ZType._
+
+  def errMissing: ZValue = VErr(VStr("missing"))
+
+  def typeOf(v: ZValue): ZType = v match {
+    case VTyped(_, t) => t
+    case VNull(t) => t
+    case VInt(_, t) => Prim(t)
+    case VUint64(_) => Prim("uint64")
+    case VFloat(_, t) => Prim(t)
+    case VStr(_) => Prim("string")
+    case VBool(_) => Prim("bool")
+    case VBytes(_) => Prim("bytes")
+    case VTime(_) => Prim("time")
+    case VDur(_) => Prim("duration")
+    case VIp(_) => Prim("ip")
+    case VNet(_) => Prim("net")
+    case VTypeVal(_) => Prim("type")
+    case VEnum(s) => EnumT(Vector(s))
+    case VRec(fs) => Rec(fs.map { case (n, fv) => n -> typeOf(fv) })
+    case VArr(items, isSet) =>
+      val et = items.map(typeOf).foldLeft(nullT)(unify)
+      if (isSet) SetT(et) else Arr(et)
+    case VMap(es) =>
+      MapT(es.map(e => typeOf(e._1)).foldLeft(nullT)(unify),
+        es.map(e => typeOf(e._2)).foldLeft(nullT)(unify))
+    case VErr(inner) => ErrT(typeOf(inner))
+  }
+
+  def unwrap(v: ZValue): ZValue = v match { case VTyped(i, _) => unwrap(i); case other => other }
+
+  /** zed set semantics: dedupe by (type, value) and store in canonical
+    * order (nulls first, then by text — mirrors the reference's
+    * byte-encoded normalization, zson.md §2.5.2).
+    */
+  def normSet(items: Vector[ZValue]): Vector[ZValue] =
+    items.map(v => ((ZType.fullText(typeOf(v)), zsonText(v)), v))
+      .distinctBy(_._1)
+      .sortBy { case ((_, txt), v) => (if (unwrap(v).isInstanceOf[VNull]) 0 else 1, txt) }
+      .map(_._2)
+
+  // ---- canonical ZSON text ---------------------------------------------------
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\t", "\\t")
+
+  def timeText(ns: Long): String = {
+    val inst = java.time.Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+    val base = java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst)
+    base
+  }
+
+  def durText(ns: Long): String =
+    if (ns == 0) "0s"
+    else if (ns % 1000000000L == 0) s"${ns / 1000000000L}s"
+    else if (ns % 1000000L == 0) s"${ns / 1000000L}ms"
+    else if (ns % 1000L == 0) s"${ns / 1000L}us"
+    else s"${ns}ns"
+
+  private def floatText(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "+Inf"
+    else if (d.isNegInfinity) "-Inf"
+    else if (d == Math.floor(d) && Math.abs(d) < 1e15) s"${d.toLong}."
+    else d.toString
+
+  /** Serialize a value as ZSON text (decorators omitted — the canonical
+    * value form; type info travels in the `__type` tag / variant t field).
+    */
+  def zsonText(v: ZValue): String = v match {
+    case VTyped(i, _) => zsonText(i)
+    case VNull(_) => "null"
+    case VInt(n, _) => n.toString
+    case VUint64(n) => n.toBigInt.toString
+    case VFloat(d, _) => floatText(d)
+    case VStr(s) => "\"" + escape(s) + "\""
+    case VBool(b) => b.toString
+    case VBytes(b) => "0x" + b.map(x => f"$x%02x").mkString
+    case VTime(ns) => timeText(ns)
+    case VDur(ns) => durText(ns)
+    case VIp(s) => s
+    case VNet(s) => s
+    case VTypeVal(t) => t
+    case VEnum(s) => "%" + s
+    case VRec(fs) => fs.map { case (n, fv) => s"${ZType.fieldName(n)}:${zsonText(fv)}" }.mkString("{", ",", "}")
+    case VArr(items, false) => items.map(zsonText).mkString("[", ",", "]")
+    case VArr(items, true) => items.map(zsonText).mkString("|[", ",", "]|")
+    case VMap(es) => es.map { case (k, x) => s"${zsonText(k)}:${zsonText(x)}" }.mkString("|{", ",", "}|")
+    case VErr(inner) => s"error(${zsonText(inner)})"
+  }
+
+  // ---- Spark mapping ---------------------------------------------------------
+
+  /** Relational type for a zed type. Ints stay Long (zed's widest signed),
+    * uint64 needs Decimal(20,0); unions and errors become variant columns.
+    */
+  def sparkTypeOf(t: ZType): DataType = ZType.strip(t) match {
+    case Prim("int8") | Prim("int16") | Prim("int32") | Prim("int64") |
+         Prim("uint8") | Prim("uint16") | Prim("uint32") => LongType
+    case Prim("uint64") => DecimalType(20, 0)
+    case Prim("float16") | Prim("float32") | Prim("float64") | Prim("decimal") => DoubleType
+    case Prim("bool") => BooleanType
+    case Prim("string") => StringType
+    case Prim("time") => TimestampType
+    case Prim("duration") => LongType
+    case Prim("bytes") => BinaryType
+    case Prim("ip") | Prim("net") | Prim("type") => StringType
+    case Prim("null") => NullType
+    case EnumT(_) => StringType
+    case Rec(fs) => StructType(fs.map { case (n, ft) => StructField(n, sparkTypeOf(ft)) })
+    case Arr(e) => ArrayType(sparkTypeOf(e))
+    case SetT(e) => ArrayType(sparkTypeOf(e))
+    case MapT(k, v) => MapType(sparkTypeOf(k), sparkTypeOf(v))
+    case Union(_) | ErrT(_) => Het.variantType
+    case Prim(_) => StringType
+  }
+
+  /** Merge the relational schemas of two shapes: agreeing fields stay
+    * native, conflicts become variant columns (zed's union type at the
+    * column level), missing fields are nullable.
+    */
+  def mergeSpark(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (x: StructType, y: StructType) =>
+      val names = (x.fieldNames ++ y.fieldNames).distinct
+      StructType(names.map { n =>
+        (x.fields.find(_.name == n), y.fields.find(_.name == n)) match {
+          case (Some(f), Some(g)) => StructField(n, mergeSpark(f.dataType, g.dataType))
+          case (Some(f), None) => f
+          case (None, Some(g)) => g
+          case _ => StructField(n, NullType)
+        }
+      })
+    case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(mergeSpark(x, y))
+    case (MapType(kx, vx, _), MapType(ky, vy, _)) =>
+      MapType(mergeSpark(kx, ky), mergeSpark(vx, vy))
+    case _ => Het.variantType
+  }
+
+  /** Variant row encoding of any value (Het.variantType {k,n,s,b,t,z}).
+    * Kinds: 0 number, 1 time, 2 string, 3 bool, 4 other scalar/container,
+    * 5 error — the cross-type total order (type.go CompareTypes).
+    */
+  def variantRow(v0: ZValue): Row = {
+    val tText = ZType.text(typeOf(v0))
+    unwrap(v0) match {
+      case VNull(_) => null
+      case VInt(n, t) => Row(0, n.toDouble, null, null, t, null)
+      case VUint64(n) => Row(0, n.toDouble, null, null, "uint64", null)
+      case VFloat(d, t) => Row(0, d, null, null, t, null)
+      case VDur(ns) => Row(0, ns.toDouble / 1e9, null, null, "duration", durText(ns))
+      case VTime(ns) => Row(1, ns.toDouble / 1e9, null, null, "time", timeText(ns))
+      case VStr(s) => Row(2, null, s, null, "string", null)
+      case VBool(b) => Row(3, null, null, b, "bool", null)
+      case VIp(s) => Row(4, null, s, null, "ip", null)
+      case VNet(s) => Row(4, null, s, null, "net", null)
+      case VBytes(b) => Row(4, null, "0x" + b.map(x => f"$x%02x").mkString, null, "bytes", null)
+      case VEnum(s) => Row(4, null, s, null, tText, null)
+      case VTypeVal(t) => Row(4, null, t, null, "type", null)
+      case r: VRec => Row(4, null, null, null, tText, zsonText(r))
+      case a: VArr => Row(4, null, null, null, tText, zsonText(a))
+      case m: VMap => Row(4, null, null, null, tText, zsonText(m))
+      case VErr(inner) => Row(5, null, null, null, tText, zsonText(inner))
+      case VTyped(_, _) => null // unreachable after unwrap
+    }
+  }
+
+  /** Convert a value into Spark's external row representation for the
+    * target (merged) data type.
+    */
+  def toExternal(v0: ZValue, target: DataType): Any = {
+    val v = unwrap(v0)
+    if (target == Het.variantType && !v.isInstanceOf[VNull]) return variantRow(v)
+    v match {
+      case VNull(_) => null
+      case VInt(n, _) => target match {
+        case LongType => n
+        case DoubleType => n.toDouble
+        case _: DecimalType => new java.math.BigDecimal(n)
+        case StringType => n.toString
+        case _ => n
+      }
+      case VUint64(n) => target match {
+        case _: DecimalType => n.bigDecimal
+        case LongType => n.toLong
+        case DoubleType => n.toDouble
+        case _ => n.bigDecimal
+      }
+      case VFloat(d, _) => target match {
+        case DoubleType => d
+        case LongType => d.toLong
+        case _: DecimalType => java.math.BigDecimal.valueOf(d)
+        case _ => d
+      }
+      case VStr(s) => s
+      case VBool(b) => b
+      case VBytes(b) => b
+      case VTime(ns) =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(ns, 1000000L))
+        ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+        ts
+      case VDur(ns) => target match {
+        case LongType => ns
+        case DoubleType => ns.toDouble
+        case _ => ns
+      }
+      case VIp(s) => s
+      case VNet(s) => s
+      case VTypeVal(t) => t
+      case VEnum(s) => s
+      case VRec(fs) => target match {
+        case st: StructType =>
+          Row(st.fields.toIndexedSeq.map { f =>
+            fs.find(_._1 == f.name).map(x => toExternal(x._2, f.dataType)).orNull
+          }: _*)
+        case _ => zsonText(v)
+      }
+      case VArr(items, _) => target match {
+        case ArrayType(et, _) => items.map(toExternal(_, et))
+        case _ => zsonText(v)
+      }
+      case VMap(es) => target match {
+        case MapType(kt, vt, _) =>
+          es.map { case (k, x) => toExternal(k, kt) -> toExternal(x, vt) }.toMap
+        case _ => zsonText(v)
+      }
+      case VErr(_) => zsonText(v) // only sensible into a string column
+      case VTyped(_, _) => null
+    }
+  }
+}
+
+/** Recursive-descent ZSON parser producing typed values. One parser
+  * instance is a zed "context": named-type definitions (`(port=uint16)`)
+  * persist across values (zson.md §3.3).
+  */
+final class ZsonParser(s: String) {
+  import ZValue._
+  import ZType._
+
+  private var i = 0
+  private val names = scala.collection.mutable.Map.empty[String, ZType]
+
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"zson parse at $i: $msg")
+
+  private def ws(): Unit = {
+    var go = true
+    while (go && i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else go = false
+    }
+  }
+
+  private def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
+  private def expect(c: Char): Unit =
+    if (peek == c) i += 1 else err(s"expected '$c', got '$peek'")
+
+  /** Parse a zed type text (for shape tags / type arguments). */
+  def parseTypeText(): ZType = { ws(); typ() }
+
+  def parseAll(): Vector[ZValue] = {
+    val out = Vector.newBuilder[ZValue]
+    ws()
+    while (i < s.length) {
+      out += value()
+      ws()
+    }
+    out.result()
+  }
+
+  def parseOne(): ZValue = { ws(); val v = value(); v }
+
+  private def value(): ZValue = {
+    ws()
+    var v: ZValue = peek match {
+      case '"' => VStr(quoted())
+      case '{' => record()
+      case '[' => VArr(items(']'), isSet = false)
+      case '|' =>
+        if (s.startsWith("|[", i)) {
+          i += 1
+          val a = VArr(ZValue.normSet(items(']')), isSet = true)
+          expect('|')
+          a
+        } else if (s.startsWith("|{", i)) mapValue()
+        else err("bad '|'")
+      case '<' => typeValue()
+      case '%' => { i += 1; VEnum(if (peek == '"') quoted() else ident()) }
+      case _ => scalar()
+    }
+    // decorators: (type) possibly repeated
+    ws()
+    while (peek == '(') {
+      val t = decorator()
+      v = applyType(v, t)
+      ws()
+    }
+    v
+  }
+
+  private def quoted(): String = {
+    expect('"')
+    val sb = new StringBuilder
+    while (i < s.length && s.charAt(i) != '"') {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '\\' => sb.append('\\')
+          case '"' => sb.append('"')
+          case '/' => sb.append('/')
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 4
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    expect('"')
+    sb.toString
+  }
+
+  private def ident(): String = {
+    val start = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+    if (i == start) err("expected identifier")
+    s.substring(start, i)
+  }
+
+  private def record(): ZValue = {
+    expect('{'); ws()
+    val fs = Vector.newBuilder[(String, ZValue)]
+    var first = true
+    while (peek != '}') {
+      if (!first) { expect(','); ws() }
+      first = false
+      val n = if (peek == '"') quoted() else {
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+        if (i == start) err("empty field name")
+        s.substring(start, i)
+      }
+      ws(); expect(':')
+      fs += (n -> value())
+      ws()
+    }
+    expect('}')
+    VRec(fs.result())
+  }
+
+  private def items(close: Char): Vector[ZValue] = {
+    expect('[' ); ws()
+    val out = Vector.newBuilder[ZValue]
+    var first = true
+    while (peek != close) {
+      if (!first) { expect(','); ws() }
+      first = false
+      out += value()
+      ws()
+    }
+    expect(close)
+    out.result()
+  }
+
+  private def mapValue(): ZValue = {
+    i += 2; ws() // consumed "|{"
+    val es = Vector.newBuilder[(ZValue, ZValue)]
+    var first = true
+    while (peek != '}') {
+      if (!first) { expect(','); ws() }
+      first = false
+      val k = value(); ws(); expect(':')
+      val v = value(); ws()
+      es += (k -> v)
+    }
+    expect('}'); expect('|')
+    VMap(es.result())
+  }
+
+  private def typeValue(): ZValue = {
+    // <type> — balanced through nested <...> is not part of the grammar;
+    // types contain ()/[]/{}|, scan to the matching '>'
+    val start = i
+    expect('<')
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '<') depth += 1
+      else if (c == '>') depth -= 1
+      i += 1
+    }
+    if (depth != 0) err("unterminated type value")
+    VTypeVal(s.substring(start + 1, i - 1))
+  }
+
+  private val timeRe =
+    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})""".r
+  private val dateRe = """^\d{4}-\d{2}-\d{2}""".r
+  private val durRe = """^-?(\d+(\.\d+)?(ns|us|ms|s|m|h|d|w|y))+""".r
+  private val ip4Re = """^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r
+  private val ip6Re = """^[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""".r
+  private val numRe = """^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r
+  private val hexRe = """^0x[0-9a-fA-F]*""".r
+
+  private def scalar(): ZValue = {
+    val rest = s.substring(i)
+    def take(m: String): String = { i += m.length; m }
+    timeRe.findFirstIn(rest) match {
+      case Some(m) => return VTime(parseTimeNs(take(m)))
+      case None =>
+    }
+    ip6Re.findFirstIn(rest).filter(m => m.contains("::") || m.count(_ == ':') == 7) match {
+      case Some(m) =>
+        take(m)
+        return if (m.contains('/')) VNet(m) else VIp(m)
+      case None =>
+    }
+    ip4Re.findFirstIn(rest) match {
+      case Some(m) =>
+        take(m)
+        return if (m.contains('/')) VNet(m) else VIp(m)
+      case None =>
+    }
+    durRe.findFirstIn(rest).filter(m => m.exists(_.isLetter) && !m.matches("""^-?\d+[eE].*""")) match {
+      case Some(m) => take(m); return VDur(parseDurNs(m))
+      case None =>
+    }
+    hexRe.findFirstIn(rest).filter(_.length > 2) match {
+      case Some(m) =>
+        take(m)
+        val hex = m.drop(2)
+        return VBytes(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      case None =>
+    }
+    if (rest.startsWith("0x")) { i += 2; return VBytes(Array.emptyByteArray) }
+    dateRe.findFirstIn(rest) match {
+      case Some(m) if !rest.drop(m.length).startsWith(".") =>
+        take(m)
+        return VTime(java.time.LocalDate.parse(m).toEpochDay * 86400L * 1000000000L)
+      case _ =>
+    }
+    numRe.findFirstIn(rest) match {
+      case Some(m) =>
+        take(m)
+        return if (m.contains('.') || m.contains('e') || m.contains('E'))
+          VFloat(java.lang.Double.parseDouble(if (m.endsWith(".")) m + "0" else m), "float64")
+        else try VInt(m.toLong, "int64")
+        catch { case _: NumberFormatException => VUint64(BigDecimal(m)) }
+      case None =>
+    }
+    // words: null/true/false/NaN/Inf/error(...), else lenient bare string
+    val start = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+    val w = s.substring(start, i)
+    w match {
+      case "null" => VNull(ZType.nullT)
+      case "true" => VBool(true)
+      case "false" => VBool(false)
+      case "NaN" => VFloat(Double.NaN, "float64")
+      case "Inf" => VFloat(Double.PositiveInfinity, "float64")
+      case "error" if peek == '(' =>
+        i += 1
+        val inner = value(); ws(); expect(')')
+        VErr(inner)
+      case "" => err(s"unexpected character '$peek'")
+      case other => VStr(other)
+    }
+  }
+
+  private def parseTimeNs(text: String): Long = {
+    val inst = java.time.OffsetDateTime.parse(text).toInstant
+    inst.getEpochSecond * 1000000000L + inst.getNano
+  }
+
+  private def parseDurNs(text: String): Long = {
+    val unitNs = Map("ns" -> 1L, "us" -> 1000L, "ms" -> 1000000L, "s" -> 1000000000L,
+      "m" -> 60000000000L, "h" -> 3600000000000L, "d" -> 86400000000000L,
+      "w" -> 604800000000000L, "y" -> 31536000000000000L)
+    val neg = text.startsWith("-")
+    val body = if (neg) text.drop(1) else text
+    val partRe = """(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)""".r
+    var total = 0.0
+    for (m <- partRe.findAllMatchIn(body)) total += m.group(1).toDouble * unitNs(m.group(2))
+    val ns = total.toLong
+    if (neg) -ns else ns
+  }
+
+  // ---- decorator / type parsing ---------------------------------------------
+
+  private def decorator(): ZType = {
+    expect('(')
+    ws()
+    val t = if (peek == '=') { // (=name) — name this value's implied type
+      i += 1
+      val n = ident()
+      Named(n, ZType.nullT) // caller resolves against the value's own type
+    } else typ()
+    ws(); expect(')')
+    t
+  }
+
+  private def typ(): ZType = {
+    ws()
+    peek match {
+      case '{' =>
+        i += 1; ws()
+        val fs = Vector.newBuilder[(String, ZType)]
+        var first = true
+        while (peek != '}') {
+          if (!first) { expect(','); ws() }
+          first = false
+          val n = if (peek == '"') quoted() else ident()
+          ws(); expect(':')
+          fs += (n -> typ())
+          ws()
+        }
+        expect('}')
+        Rec(fs.result())
+      case '[' => i += 1; val e = typ(); ws(); expect(']'); Arr(e)
+      case '|' =>
+        if (s.startsWith("|[", i)) { i += 2; val e = typ(); ws(); expect(']'); expect('|'); SetT(e) }
+        else if (s.startsWith("|{", i)) {
+          i += 2
+          val k = typ(); ws(); expect(':')
+          val v = typ(); ws(); expect('}'); expect('|')
+          MapT(k, v)
+        } else err("bad '|' in type")
+      case '(' =>
+        i += 1
+        val alts = Vector.newBuilder[ZType]
+        alts += typ(); ws()
+        while (peek == ',') { i += 1; alts += typ(); ws() }
+        expect(')')
+        val as = alts.result()
+        if (as.length == 1) as.head else Union(as)
+      case c if c.isDigit =>
+        // inline typedef ids are bare integers ((2=[null]), 1(3) — zson.md
+        // abbreviated type definitions)
+        val start = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        val n = s.substring(start, i)
+        if (peek == '=') {
+          i += 1
+          val inner = typ()
+          names(n) = inner
+          Named(n, inner)
+        } else names.get(n).map(Named(n, _)).getOrElse(Prim("null"))
+      case c if c.isLetter || c == '_' =>
+        val n = ident()
+        n match {
+          case "enum" if peek == '(' =>
+            i += 1; ws()
+            val syms = Vector.newBuilder[String]
+            syms += (if (peek == '"') quoted() else ident()); ws()
+            while (peek == ',') { i += 1; ws(); syms += (if (peek == '"') quoted() else ident()); ws() }
+            expect(')')
+            EnumT(syms.result())
+          case "error" if peek == '(' =>
+            i += 1; val inner = typ(); ws(); expect(')')
+            ErrT(inner)
+          case _ if peek == '=' =>
+            i += 1
+            val inner = typ()
+            val named = Named(n, inner)
+            names(n) = inner
+            named
+          case prim if ZsonParser.primitives(prim) => Prim(prim)
+          case other => names.get(other).map(Named(other, _)).getOrElse(Prim(other))
+        }
+      case _ => err("bad type")
+    }
+  }
+
+  /** Retype a parsed value per its decorator (the decorator wins). */
+  private def applyType(v: ZValue, t0: ZType): ZValue = {
+    val t = t0 match {
+      case Named(n, Prim("null")) => // (=name): name the implied type
+        val inner = ZValue.typeOf(v)
+        names(n) = inner
+        Named(n, inner)
+      case other => other
+    }
+    (ZValue.unwrap(v), ZType.strip(t)) match {
+      case (VNull(_), _) => VNull(t)
+      case (VInt(n, _), Prim(p)) if p.startsWith("int") => VInt(n, p)
+      case (VInt(n, _), Prim(p)) if p == "uint64" => VUint64(BigDecimal(n))
+      case (VInt(n, _), Prim(p)) if p.startsWith("uint") => VInt(n, p)
+      case (VInt(n, _), Prim(p)) if p.startsWith("float") || p == "decimal" => VFloat(n.toDouble, p)
+      case (VInt(n, _), Prim("duration")) => VDur(n)
+      case (VInt(n, _), Prim("time")) => VTime(n)
+      case (VFloat(d, _), Prim(p)) if p.startsWith("float") || p == "decimal" => VFloat(d, p)
+      case (VStr(sv), Prim("ip")) => VIp(sv)
+      case (VStr(sv), Prim("net")) => VNet(sv)
+      case (VStr(sv), Prim("bytes")) => VStr(sv)
+      case (VStr(sv), EnumT(_)) => VTyped(VEnum(sv), t)
+      case (VEnum(sv), EnumT(_)) => VTyped(VEnum(sv), t)
+      case (inner, Union(_)) => VTyped(inner, t)
+      case (inner, _) if t0.isInstanceOf[Named] => VTyped(inner, t)
+      case (VRec(fs), Rec(tfs)) =>
+        // push field types down (e.g. {a:1}({a:int32}))
+        VRec(fs.map { case (n, fv) =>
+          tfs.find(_._1 == n) match {
+            case Some((_, ft)) => n -> applyType(fv, ft)
+            case None => n -> fv
+          }
+        })
+      case (VArr(itemsV, isSet), Arr(et)) => VArr(itemsV.map(applyType(_, et)), isSet)
+      case (VArr(itemsV, _), SetT(et)) =>
+        VArr(ZValue.normSet(itemsV.map(applyType(_, et))), isSet = true)
+      case (VErr(inner), ErrT(et)) => VErr(applyType(inner, et))
+      case (inner, _) => inner
+    }
+  }
+}
+
+object ZsonParser {
+  val primitives: Set[String] = Set(
+    "uint8", "uint16", "uint32", "uint64", "int8", "int16", "int32", "int64",
+    "duration", "time", "float16", "float32", "float64", "decimal",
+    "bool", "bytes", "string", "ip", "net", "type", "null")
+
+  def parseAll(text: String): Vector[ZValue] = new ZsonParser(text).parseAll()
+
+  private val typeCache = new java.util.concurrent.ConcurrentHashMap[String, ZType]()
+  def parseType(text: String): ZType =
+    typeCache.computeIfAbsent(text, t => new ZsonParser(t).parseTypeText())
+}
+
+/** Build a DataFrame from a heterogeneous ZSON value stream: shapes merge
+  * into one relational schema (conflicts → variant columns) and every row
+  * keeps its zed type in the `__type` tag.
+  */
+object ZsonReader {
+  import ZValue._
+
+  /** Parse a whole ZSON text (driver-side; for the golden harness and
+    * other small inputs — file-scale reads stay distributed in ZsonIO).
+    */
+  def fromText(spark: SparkSession, text: String, tag: Boolean = true): DataFrame = {
+    val values = ZsonParser.parseAll(text)
+    fromValues(spark, values, tag)
+  }
+
+  def fromValues(spark: SparkSession, values0: Seq[ZValue], tag: Boolean): DataFrame = {
+    require(values0.nonEmpty, "empty zson input")
+    // non-record top-level values live in a `this` column (the engine's
+    // relational frame for bare value sequences)
+    val values = values0.map { v =>
+      unwrap(v) match {
+        case r: VRec => (r, ZType.fullText(typeOf(v)))
+        case _ => (VRec(Vector("this" -> v)), ZType.fullText(typeOf(v)))
+      }
+    }
+    val rowSchemas = values.map { case (r, _) => sparkTypeOf(typeOf(r)).asInstanceOf[StructType] }
+    val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
+    // NullType columns (all-null across every shape) → StringType so parquet/ops work
+    val cleaned = StructType(merged.fields.map(f => StructField(f.name, deNull(f.dataType))))
+    // the distinct shape list travels as column metadata on the tag, so the
+    // compiler can fold has/missing/typeof presence checks statically
+    val shapeList = values.map(_._2).distinct
+    val md = new MetadataBuilder().putStringArray("shapes", shapeList.toArray).build()
+    val full = if (tag) cleaned.add(StructField(Het.typeTag, StringType, nullable = false, md)) else cleaned
+    val rows = values.map { case (r, t) =>
+      val base = toExternal(r, cleaned).asInstanceOf[Row]
+      if (tag) Row.fromSeq(base.toSeq :+ t) else base
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), full)
+  }
+
+  private def deNull(dt: DataType): DataType = dt match {
+    case NullType => StringType
+    case StructType(fs) => StructType(fs.map(f => StructField(f.name, deNull(f.dataType))))
+    case ArrayType(e, n) => ArrayType(deNull(e), n)
+    case MapType(k, v, n) => MapType(deNull(k), deNull(v), n)
+    case other => other
+  }
+}

@@ -25,9 +25,19 @@ object ZsonIO {
   private def escape(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
 
+  /** True when a struct type is the Het variant encoding (compare by
+    * field names — nullability may drift through operators).
+    */
+  def isVariantType(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fieldNames.sameElements(graft.operators.Het.variantType.fieldNames)
+    case _ => false
+  }
+
   /** Format one column as ZSON text (recursive over the data type). */
   def zsonOf(c: Column, dt: DataType): Column = {
     val formatted: Column = dt match {
+      case st: StructType if isVariantType(st) => graft.operators.Het.render(c)
       case StringType => concat(lit("\""), escape(c), lit("\""))
       case LongType => c.cast(StringType)
       case IntegerType => concat(c.cast(StringType), lit(" (int32)"))
@@ -82,16 +92,69 @@ object ZsonIO {
   private def zsonName(n: String): String =
     if (identRe.matches(n)) n else "\"" + n.replace("\"", "\\\"") + "\""
 
-  /** Whole row → one ZSON record line. */
+  /** Whole row → one ZSON record line (the `__type` shape tag is engine
+    * metadata, not data — excluded; a bare `this` column unwraps to the
+    * top-level value, zed's non-record stream form).
+    *
+    * On a tagged heterogeneous frame each row is re-emitted in ITS OWN
+    * shape (zed output preserves per-value types): the shape decides which
+    * fields exist and their order; columns added by operators after
+    * ingestion (absent from every shape) are appended when non-null. The
+    * dispatch is a static CASE over the distinct shapes — fully codegen'd,
+    * no row-level type machinery.
+    */
   def toZson(df: DataFrame): Dataset[String] = {
+    val het = graft.operators.Het
     val st = df.schema
-    val rec = concat(lit("{"),
-      concat_ws(",", st.fields.toIndexedSeq.map { f =>
-        concat(lit(zsonName(f.name) + ":"), zsonOf(col(f.name), f.dataType))
-      }: _*),
-      lit("}"))
+    val fields = st.fields.toIndexedSeq.filterNot(_.name == het.typeTag)
     import df.sparkSession.implicits._
-    df.select(rec.as("value")).as[String]
+    def fieldFmt(f: StructField): Column =
+      concat(lit(zsonName(f.name) + ":"), zsonOf(col(s"`${f.name}`"), f.dataType))
+    def recordFmt(fs: Seq[StructField]): Column =
+      concat(lit("{"), concat_ws(",", fs.map(fieldFmt): _*), lit("}"))
+
+    val tagF = st.fields.find(_.name == het.typeTag)
+    val shapes: Seq[String] = tagF
+      .filter(_.metadata.contains("shapes"))
+      .map(_.metadata.getStringArray("shapes").toSeq)
+      .getOrElse(Seq.empty)
+
+    if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{")))
+      return df.select(zsonOf(col("this"), fields.head.dataType).as("value")).as[String]
+
+    val default = recordFmt(fields)
+    if (shapes.isEmpty)
+      return df.select(default.as("value")).as[String]
+
+    val inAnyShape: Set[String] = shapes.flatMap { t =>
+      try ZType.strip(ZsonParser.parseType(t)) match {
+        case ZType.Rec(fs) => fs.map(_._1)
+        case _ => Seq("this")
+      } catch { case _: Exception => fields.map(_.name) }
+    }.toSet
+
+    val line = shapes.foldLeft(default) { (acc, t) =>
+      val zt = try Some(ZType.strip(ZsonParser.parseType(t))) catch { case _: Exception => None }
+      val fmt: Option[Column] = zt match {
+        case Some(ZType.Rec(shapeFields)) =>
+          // shape fields (in shape order) that survived the pipeline …
+          val own = shapeFields.flatMap { case (n, _) => fields.find(_.name == n) }
+          // … plus operator-added columns, emitted when non-null
+          val added = fields.filterNot(f => inAnyShape(f.name)).map { f =>
+            when(col(s"`${f.name}`").isNotNull, fieldFmt(f))
+          }
+          Some(concat(lit("{"), concat_ws(",", own.map(fieldFmt) ++ added: _*), lit("}")))
+        case Some(_) if fields.exists(_.name == "this") =>
+          // bare (non-record) value stream row
+          val thisF = fields.find(_.name == "this").get
+          val extras = fields.filterNot(f => f.name == "this" || inAnyShape(f.name))
+          if (extras.isEmpty) Some(zsonOf(col("this"), thisF.dataType))
+          else Some(recordFmt(thisF +: extras))
+        case _ => None
+      }
+      fmt.map(c => when(col(het.typeTag) === t, c).otherwise(acc)).getOrElse(acc)
+    }
+    df.select(line.as("value")).as[String]
   }
 
   def write(df: DataFrame, path: String): Unit =

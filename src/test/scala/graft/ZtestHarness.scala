@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{ZValue, ZsonParser, ZsonReader, ZsonIO, ZeekIO}
+import graft.lang.{Graft, Parser, Pipeline, Stage}
+
+/** Shared machinery for executing the reference's golden tests (ztests):
+  * extraction with input/output format flags, typed ZSON ingestion,
+  * format-correct output, and canonical comparison — ordered when the
+  * program implies an order (zed is an ordered sequence,
+  * docs/language/pipeline-model.md:6-16), multiset otherwise.
+  */
+object ZtestHarness {
+
+  final case class ZCase(file: String, zed: String, input: String,
+                         inputFlags: String, output: String, outputFlags: String)
+
+  def extractCases(): Seq[ZCase] = {
+    val out = Vector.newBuilder[ZCase]
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get("/root/reference"))
+      .iterator().asScala
+      .filter(p => p.toString.contains("ztests") && p.toString.endsWith(".yaml"))
+    for (f <- files) {
+      val lines = java.nio.file.Files.readAllLines(f).asScala
+      def block(key: String): Option[String] = {
+        val idx = lines.indexWhere(_.startsWith(s"$key: |"))
+        if (idx < 0) None
+        else {
+          val b = lines.drop(idx + 1)
+            .takeWhile(l => l.startsWith("  ") || l.trim.isEmpty)
+            .map(_.stripPrefix("  "))
+          Some(b.mkString("\n").stripLineEnd)
+        }
+      }
+      def inline(key: String): Option[String] =
+        lines.find(l => l.startsWith(s"$key: ") && !l.startsWith(s"$key: |")).map { l =>
+          var q = l.drop(key.length + 2).trim
+          if ((q.startsWith("'") && q.endsWith("'") && q.length > 1) ||
+              (q.startsWith("\"") && q.endsWith("\"") && q.length > 1))
+            q = q.substring(1, q.length - 1)
+          q
+        }
+      for {
+        zed <- block("zed").orElse(inline("zed"))
+        in <- block("input")
+        outp <- block("output")
+        if zed.trim.nonEmpty && in.trim.nonEmpty && outp.trim.nonEmpty
+      } out += ZCase(f.toString, zed.trim, in,
+        inline("input-flags").getOrElse(""), outp,
+        inline("output-flags").getOrElse(""))
+    }
+    out.result()
+  }
+
+  // ---- input ---------------------------------------------------------------
+
+  private def tempDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("ztest")
+
+  private def writeTemp(text: String, name: String): String = {
+    val d = tempDir()
+    val p = d.resolve(name)
+    java.nio.file.Files.write(p, text.getBytes)
+    p.toString
+  }
+
+  def buildInput(spark: SparkSession, c: ZCase): DataFrame = {
+    import spark.implicits._
+    val fl = c.inputFlags
+    if (fl.contains("-i csv")) {
+      val delim = if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
+      val df = spark.read
+        .option("header", "true").option("inferSchema", "true")
+        .option("delimiter", delim)
+        .option("ignoreLeadingWhiteSpace", "true").option("ignoreTrailingWhiteSpace", "true")
+        .csv(writeTemp(c.input, "in.csv"))
+      // zed's CSV reader types every number float64 (zio/csvio/reader.go)
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType =>
+            org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
+          case _ => org.apache.spark.sql.functions.col(f.name)
+        }
+      }: _*)
+    } else if (fl.contains("-i json")) {
+      spark.read.json(spark.createDataset(c.input.linesIterator.toSeq))
+    } else if (fl.contains("-i line")) {
+      spark.createDataset(c.input.linesIterator.toSeq).toDF("this")
+    } else if (c.input.startsWith("#separator") || fl.contains("-i zeek")) {
+      ZeekIO.read(spark, writeTemp(c.input, "in.log"))
+    } else {
+      // default: typed ZSON (tagged heterogeneous frame); a JSON-ish
+      // fallback keeps cases our parser can't handle running
+      try ZsonReader.fromText(spark, c.input)
+      catch {
+        case _: Exception =>
+          val json = c.input.linesIterator.map(_.trim).filter(_.nonEmpty)
+            .map(ZsonIO.zsonLineToJson)
+            .map(j => if (j.startsWith("{")) j else s"""{"this":$j}""")
+            .toSeq
+          spark.read.json(spark.createDataset(json))
+      }
+    }
+  }
+
+  // ---- output --------------------------------------------------------------
+
+  /** Run the case; return output lines in the case's output format. */
+  def run(spark: SparkSession, c: ZCase): Seq[String] = {
+    val df = buildInput(spark, c)
+    val res = Graft.queryOn(df, c.zed)
+    val f = c.outputFlags
+    if (f.contains("-f csv")) csvLines(res)
+    else if (f.contains("-f zeek")) zeekLines(res)
+    else if (f.contains("-f json")) res.toJSON.collect().toSeq
+    else if (f.contains("-f table")) graft.sources.Formats.tableLines(res).collect().toSeq
+    else if (f.contains("-f text")) graft.sources.Formats.textLines(res).collect().toSeq
+    else ZsonIO.toZson(res).collect().toSeq
+  }
+
+  private def csvLines(df: DataFrame): Seq[String] = {
+    val cols = df.columns.filterNot(_ == graft.operators.Het.typeTag)
+    val d = df.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    def cell(v: Any): String = v match {
+      case null => ""
+      case d: Double => if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
+      case s: String =>
+        if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      case ts: java.sql.Timestamp => ts.toInstant.toString
+      case other => other.toString
+    }
+    val header = cols.mkString(",")
+    header +: d.collect().toIndexedSeq.map(r => r.toSeq.map(cell).mkString(","))
+  }
+
+  private def zeekLines(df: DataFrame): Seq[String] = {
+    val dir = tempDir().resolve("zeek")
+    ZeekIO.write(df.coalesce(1), dir.toString)
+    val part = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.headOption
+    part.map(p => java.nio.file.Files.readAllLines(p).asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  // ---- comparison ----------------------------------------------------------
+
+  /** Does the program imply a deterministic output order? True for pure
+    * order-preserving pipelines (zed preserves input order) and for
+    * pipelines whose tail re-establishes order (sort/top/merge).
+    */
+  def orderImplied(zed: String): Boolean = {
+    def pipelineOrdered(p: Pipeline): Boolean =
+      p.stages.foldLeft(true) { (ordered, s) =>
+        s match {
+          case _: Stage.Sort | _: Stage.Top | _: Stage.Merge => true
+          case _: Stage.Where | _: Stage.Cut | _: Stage.Put | _: Stage.Drop |
+               _: Stage.Rename | _: Stage.Head | _: Stage.Tail | _: Stage.Yield |
+               Stage.Pass | _: Stage.Assert | _: Stage.Uniq => ordered
+          case _ => false
+        }
+      }
+    try pipelineOrdered(Parser.parse(zed)) catch { case _: Exception => false }
+  }
+
+  /** Canonical comparison text of one zed value: decorators/typed-null
+    * widths dropped, record keys sorted + null fields dropped (missing ≡
+    * explicit null under canon — both render invisibly in zson), times
+    * and durations numeric, enum symbols bare.
+    */
+  def canonZ(v0: ZValue): String = {
+    import ZValue._
+    unwrap(v0) match {
+      case VNull(_) => "null"
+      case VInt(n, _) => n.toString
+      case VUint64(n) => n.toBigInt.toString
+      case VFloat(d, _) =>
+        if (d.isNaN) "NaN"
+        else if (d.isInfinity) (if (d > 0) "+Inf" else "-Inf")
+        else if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString
+        else d.toString
+      case VStr(s) => "\"" + s + "\""
+      case VBool(b) => b.toString
+      case VBytes(b) => "0x" + b.map(x => f"$x%02x").mkString
+      case VTime(ns) => ns.toString + "t"
+      case VDur(ns) => ns.toString + "d"
+      case VIp(s) => s
+      case VNet(s) => s
+      case VTypeVal(t) =>
+        // type values canon as their normalized text, comparable with the
+        // engine's string-typed typeof()
+        val norm = try graft.sources.ZType.fullText(ZsonParser.parseType(t))
+                   catch { case _: Exception => t }
+        "\"" + norm + "\""
+      case VEnum(s) => "\"" + s + "\""
+      case VRec(fs) =>
+        fs.filterNot(f => unwrap(f._2).isInstanceOf[VNull])
+          .sortBy(_._1)
+          .map { case (n, fv) => s""""$n":${canonZ(fv)}""" }
+          .mkString("{", ",", "}")
+      case VArr(items, true) => items.map(canonZ).sorted.mkString("[", ",", "]")
+      case VArr(items, false) => items.map(canonZ).mkString("[", ",", "]")
+      case VMap(es) => es.map { case (k, x) => s"${canonZ(k)}:${canonZ(x)}" }
+        .sorted.mkString("|{", ",", "}|")
+      case VErr(inner) => s"error(${canonZ(inner)})"
+      case VTyped(_, _) => "null" // unreachable after unwrap
+    }
+  }
+
+  /** Parse a ZSON text (many values) to canon strings; None on bad text. */
+  def canonAll(text: String): Option[Seq[String]] =
+    try Some(ZsonParser.parseAll(text).map(canonZ)) catch { case _: Exception => None }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def canonJson(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    if (n == null || n.isNull) "null"
+    else if (n.isObject)
+      n.properties().asScala.toSeq
+        .filterNot(_.getValue.isNull)
+        .sortBy(_.getKey)
+        .map(e => "\"" + e.getKey + "\":" + canonJson(e.getValue))
+        .mkString("{", ",", "}")
+    else if (n.isArray) (0 until n.size()).map(i => canonJson(n.get(i))).mkString("[", ",", "]")
+    else if (n.isNumber) {
+      val d = n.asDouble()
+      if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
+    } else n.toString
+  }
+
+  /** Compare got vs want per the case's output format. */
+  def matches(c: ZCase, got: Seq[String]): Boolean = {
+    val f = c.outputFlags
+    val textual = f.contains("-f csv") || f.contains("-f zeek") ||
+      f.contains("-f table") || f.contains("-f text")
+    if (textual) {
+      def clean(ls: Seq[String]) = ls.map(_.replaceAll("\\s+$", ""))
+        .filterNot(l => l.startsWith("#open") || l.startsWith("#close"))
+        .filterNot(_.isEmpty)
+      clean(c.output.linesIterator.toSeq) == clean(got)
+    } else if (f.contains("-f json")) {
+      def canon(ls: Seq[String]): Option[Seq[String]] =
+        try Some(ls.filter(_.trim.nonEmpty).map(l => canonJson(mapper.readTree(l))))
+        catch { case _: Exception => None }
+      (canon(c.output.linesIterator.toSeq), canon(got)) match {
+        case (Some(w), Some(g)) => w == g && w.nonEmpty
+        case _ => false
+      }
+    } else {
+      (canonAll(c.output), canonAll(got.mkString("\n"))) match {
+        case (Some(w), Some(g)) =>
+          if (w.isEmpty) false
+          else if (orderImplied(c.zed)) w == g
+          else w.sorted == g.sorted
+        case _ => false
+      }
+    }
+  }
+}
