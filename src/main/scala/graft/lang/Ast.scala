@@ -26,6 +26,10 @@ object Expr {
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   final case class RecordLit(fields: Seq[(String, Expr)]) extends Expr
   final case class ArrayLit(items: Seq[Expr]) extends Expr
+  /** lateral subquery in expression position: `(over e | …)`
+    * (reference OverExpr, compiler/kernel/expr.go:102)
+    */
+  final case class SubQuery(p: Pipeline) extends Expr
 
   /** Default output-field name inference (semantic/op.go: field inferred
     * from the right-hand side — `by lower(s)` names the key `lower`).
@@ -83,6 +87,8 @@ object Stage {
   case object Fuse extends Stage
   case object Pass extends Stage
   final case class Assert(e: Expr, text: String) extends Stage
+  /** inlined user-defined operator body (semantic/op.go:853-860) */
+  final case class Block(p: Pipeline) extends Stage
 }
 
 final case class Pipeline(stages: Seq[Stage])

@@ -56,15 +56,7 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Where(e) =>
         val df = single(state)
-        // search-expression sugar (docs/language/search-expressions.md):
-        // a bare string (or an unresolvable bare word) is a keyword search
-        // over every string field
-        val pred = e match {
-          case Expr.StringLit(s) => keywordSearch(df, s)
-          case Expr.Path(Seq(word)) if dtypeOf(df, e).isEmpty => keywordSearch(df, word)
-          case _ => expr(df, e)
-        }
-        Seq(df.filter(pred))
+        Seq(df.filter(searchify(df, e)))
 
       case Stage.Cut(fields) =>
         val df = single(state)
@@ -88,7 +80,21 @@ final class Compiler(spark: SparkSession, dir: String) {
         Seq(ZedOps.put(df, assigns.map { case (n, e) => n -> outExpr(df, e) }: _*))
 
       case Stage.Drop(paths) =>
-        Seq(ZedOps.drop(single(state), paths: _*))
+        val df = single(state)
+        val dropped = ZedOps.drop(df, paths: _*)
+        // a row whose shape loses ALL its fields becomes a quiet error and
+        // leaves the stream (op/dropper.go: empty record → error quiet)
+        val shapes = shapesOf(df)
+        val emptied = shapes.collect {
+          case (t, st) if (graft.sources.ZType.strip(st) match {
+            case graft.sources.ZType.Rec(fs) =>
+              fs.map(_._1).forall(n => paths.map(_.split('.').head).contains(n))
+            case _ => false
+          }) => t
+        }
+        Seq(
+          if (emptied.isEmpty || !dropped.columns.contains(graft.operators.Het.typeTag)) dropped
+          else dropped.filter(!col(graft.operators.Het.typeTag).isin(emptied: _*)))
 
       case Stage.Rename(renames) =>
         Seq(ZedOps.rename(single(state), renames: _*))
@@ -205,6 +211,9 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Pass => state
 
+      case Stage.Block(p) =>
+        p.stages.foldLeft(state)((st, s) => compileStage(st, s))
+
       case Stage.Assert(e, text) =>
         val df = single(state)
         Seq(ZedOps.assertOp(df, expr(df, e), text))
@@ -290,12 +299,45 @@ final class Compiler(spark: SparkSession, dir: String) {
   }
 
   /** Keyword search over every string field (search-expressions.md). */
+  /** Search-expression compilation (docs/language/search-expressions.md):
+    * bare words/strings are keyword searches over every string field,
+    * globs are anchored regexes, and/or/not compose; anything else is an
+    * ordinary predicate.
+    */
+  private def searchify(df: DataFrame, e: Expr): Column = e match {
+    case Expr.Binary("and", l, r) => searchify(df, l) && searchify(df, r)
+    case Expr.Binary("or", l, r) => searchify(df, l) || searchify(df, r)
+    case Expr.Unary("not", x) => !searchify(df, x)
+    case Expr.Unary("!", x) => !searchify(df, x)
+    case Expr.StringLit(s) => keywordSearch(df, s)
+    case Expr.Path(Seq(word)) => keywordSearch(df, word)
+    case Expr.Call("__glob", Seq(Expr.StringLit(p))) => globSearch(df, p)
+    case _ => expr(df, e)
+  }
+
+  private def stringLeaves(df: DataFrame): Seq[Column] = {
+    def walk(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType if !isVariant(st) =>
+        st.fields.toIndexedSeq.flatMap(f =>
+          walk(if (prefix.isEmpty) f.name else s"$prefix.${f.name}", f.dataType))
+      case StringType => Seq(prefix)
+      case _ => Seq.empty
+    }
+    df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag).toIndexedSeq
+      .flatMap(f => walk(f.name, f.dataType)).map(p => col(p))
+  }
+
+  private def globSearch(df: DataFrame, pattern: String): Column = {
+    val re = "^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
+    val cols = stringLeaves(df)
+    if (cols.isEmpty) lit(false)
+    else cols.map(_.rlike(re)).reduce(_ || _)
+  }
+
   private def keywordSearch(df: DataFrame, word: String): Column = {
-    val strCols = df.schema.fields
-      .filterNot(_.name == graft.operators.Het.typeTag)
-      .filter(_.dataType == StringType).map(f => col(f.name))
+    val strCols = stringLeaves(df)
     if (strCols.isEmpty) lit(false)
-    else F.grep(word, strCols.toIndexedSeq: _*)
+    else F.grep(word, strCols: _*)
   }
 
   /** sort-key heuristic (docs/language/operators/sort.md:40-60): first
@@ -306,8 +348,10 @@ final class Compiler(spark: SparkSession, dir: String) {
     fs.find(f => isIntType(f.dataType))
       .orElse(fs.find(f => f.dataType == DoubleType || f.dataType == FloatType))
       .orElse(fs.find(f => !f.dataType.isInstanceOf[TimestampType]))
-      .map(f => col(f.name))
-      .getOrElse(col(fs.head.name))
+      .map(f =>
+        if (isVariant(f.dataType)) graft.operators.Het.compareKey(col(s"`${f.name}`"))
+        else col(s"`${f.name}`"))
+      .getOrElse(col(s"`${fs.head.name}`"))
   }
 
   // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------
@@ -428,6 +472,101 @@ final class Compiler(spark: SparkSession, dir: String) {
       try isVariant(df.select(expr(df, e)).schema.head.dataType)
       catch { case _: Exception => false }
     })
+
+  /** Lateral subquery in expression position — `(over e | …)` compiles to
+    * higher-order array functions (aggregate/transform/filter/flatten),
+    * the Spark-native form of the reference's per-value subquery
+    * (OverExpr, compiler/kernel/expr.go:102). Fully codegen'd; no joins,
+    * no shuffles — the subquery runs inside the row it belongs to.
+    */
+  private def subqueryExpr(df: DataFrame, p: Pipeline): Column =
+    p.stages.head match {
+      case Stage.Over(srcs, vars, body) if vars.isEmpty =>
+        val arr0 =
+          if (srcs.length == 1) expr(df, srcs.head)
+          else concat(srcs.map(e => expr(df, e)): _*)
+        val tail = body.map(_.stages).getOrElse(Seq.empty) ++ p.stages.tail
+        tail.foldLeft(arr0)((arr, s) => arrayStage(df, arr, s))
+      case _ => throw new IllegalArgumentException(
+        "expression subquery must start with `over`")
+    }
+
+  private def elemType(df: DataFrame, arr: Column): DataType =
+    try df.select(arr).schema.head.dataType match {
+      case ArrayType(et, _) => et
+      case other => other
+    } catch { case _: Exception => StringType }
+
+  /** Evaluate an expression over a lambda element (`this` = the element). */
+  private def lambdaExpr(df: DataFrame, e: Expr, x: Column): Column = e match {
+    case Expr.Path(Seq()) => x
+    case Expr.Path(parts) => parts.foldLeft(x)((acc, f) => acc.getField(f))
+    case Expr.IntLit(v) => lit(v)
+    case Expr.FloatLit(v) => lit(v)
+    case Expr.StringLit(v) => lit(v)
+    case Expr.BoolLit(v) => lit(v)
+    case Expr.NullLit => lit(null)
+    case Expr.Unary("-", inner) => -lambdaExpr(df, inner, x)
+    case Expr.Unary("not", inner) => !lambdaExpr(df, inner, x)
+    case Expr.Unary("!", inner) => !lambdaExpr(df, inner, x)
+    case Expr.Binary(op, l, r) =>
+      val (lc, rc) = (lambdaExpr(df, l, x), lambdaExpr(df, r, x))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "and" => lc && rc
+        case "or" => lc || rc
+        case other => throw new IllegalArgumentException(s"subquery op $other")
+      }
+    case Expr.Cond(c, t, f) =>
+      when(lambdaExpr(df, c, x), lambdaExpr(df, t, x)).otherwise(lambdaExpr(df, f, x))
+    case Expr.Call("string", Seq(inner)) => lambdaExpr(df, inner, x).cast(StringType)
+    case Expr.Index(inner, Expr.IntLit(i)) =>
+      element_at(lambdaExpr(df, inner, x), (if (i >= 0) i + 1 else i).toInt)
+    case other => throw new IllegalArgumentException(s"subquery expr $other")
+  }
+
+  private def arrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
+    case Stage.Where(e) => filter(arr, x => lambdaExpr(df, e, x))
+    case Stage.Yield(Seq(e)) => transform(arr, x => lambdaExpr(df, e, x))
+    case Stage.Over(Seq(Expr.Path(Seq())), vars, None) if vars.isEmpty => flatten(arr)
+    case Stage.Head(n) => slice(arr, 1, n)
+    case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
+    case Stage.Sort(Seq(), _) => array_sort(arr)
+    case Stage.Uniq(false) => array_distinct(arr)
+    case Stage.Summarize(Seq((_, AggCall(fn, arg, None))), Seq()) =>
+      val mapped = arg match {
+        case None | Some(Expr.Path(Seq())) => arr
+        case Some(e) => transform(arr, x => lambdaExpr(df, e, x))
+      }
+      val nn = filter(mapped, x => x.isNotNull)
+      fn match {
+        case "sum" =>
+          val et = elemType(df, nn)
+          aggregate(nn, lit(null).cast(et), (acc, x) => coalesce(acc + x, x, acc))
+        case "count" => size(nn).cast(LongType)
+        case "collect" => nn
+        case "union" => array_distinct(nn)
+        case "min" => array_min(nn)
+        case "max" => array_max(nn)
+        case "avg" =>
+          aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(nn)
+        case "and" => forall(nn, x => x)
+        case "or" => exists(nn, x => x)
+        case "any" => element_at(nn, 1)
+        case other => throw new IllegalArgumentException(s"subquery agg $other")
+      }
+    case other => throw new IllegalArgumentException(s"subquery stage $other")
+  }
 
   /** ZSON text of an arbitrary expression (for error payloads etc.). */
   private def zsonTextOf(df: DataFrame, e: Expr): Column = {
@@ -572,6 +711,8 @@ final class Compiler(spark: SparkSession, dir: String) {
 
     case Expr.Call(fn, args) => call(df, fn, args)
 
+    case Expr.SubQuery(p) => subqueryExpr(df, p)
+
     case Expr.RecordLit(fields) =>
       // `...expr` spreads a record's fields in place; later names override
       // earlier ones at the original position (record-spread semantics)
@@ -713,7 +854,41 @@ final class Compiler(spark: SparkSession, dir: String) {
     case other => other // already a Spark DDL type (decimal(18,2), string…)
   }
 
+  /** String functions applied to a union-typed value: apply on string
+    * members, otherwise the reference's error value
+    * (`error({message:"<fn>: string arg required",on:<val>})`,
+    * function/<fn>.go).
+    */
+  private val stringGuarded: Map[String, String] = Map(
+    "trim" -> "trim: string arg required",
+    "lower" -> "lower: string arg required",
+    "upper" -> "upper: string arg required",
+    "rune_len" -> "rune_len: string arg required",
+    "replace" -> "replace: string arg required",
+    "split" -> "split: string arg required",
+    "levenshtein" -> "levenshtein: string args required")
+
   private def call(df: DataFrame, fn: String, args: Seq[Expr]): Column = {
+    stringGuarded.get(fn) match {
+      case Some(msg) if args.exists(e => isVariantExpr(df, e)) =>
+        val het = graft.operators.Het
+        val vars = args.collect { case e if isVariantExpr(df, e) => expr(df, e) }
+        val allStr = vars.map(c => c.isNotNull && c.getField("k") === 2).reduce(_ && _)
+        val firstBad = vars
+          .map(c => when(c.isNull || c.getField("k") =!= 2, het.render(c)))
+          .reduce((a, b) => coalesce(a, b))
+        val base = callBase(df, fn, args)
+        val baseDt =
+          try df.select(base).schema.head.dataType catch { case _: Exception => StringType }
+        val payload = concat(lit(s"""{message:"$msg",on:"""), firstBad, lit("}"))
+        return when(allStr, het.variant(base, baseDt))
+          .otherwise(het.errorValue(payload))
+      case _ =>
+    }
+    callBase(df, fn, args)
+  }
+
+  private def callBase(df: DataFrame, fn: String, args: Seq[Expr]): Column = {
     // functions that understand variant (union-typed) arguments natively;
     // everything else receives the scalar text unwrap (zed Under semantics)
     val variantSafe = Set("len", "compare", "typeof", "kind", "is_error",
@@ -879,6 +1054,24 @@ final class Compiler(spark: SparkSession, dir: String) {
           graft.operators.Het.isError(expr(df, args.head))
         else lit(false)
       case "quiet" => a(0)
+      case "__instar" =>
+        // `x in *` — x appears anywhere in the record (search-expressions)
+        val v = a(0).cast(StringType)
+        def walk(prefix: String, dt: DataType): Seq[Column] = dt match {
+          case st: StructType if !isVariant(st) =>
+            st.fields.toIndexedSeq.flatMap(f => walk(s"$prefix.${f.name}", f.dataType))
+          case ArrayType(_, _) =>
+            Seq(array_contains(col(prefix).cast(ArrayType(StringType)), v))
+          case _ => Seq(col(prefix).cast(StringType) === v)
+        }
+        val preds = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
+          .toIndexedSeq.flatMap(f => walk(f.name, f.dataType))
+        if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+      case "__glob" =>
+        args.head match {
+          case Expr.StringLit(p) => globSearch(df, p)
+          case _ => lit(false)
+        }
       case "nameof" =>
         // name of a named type (function/nameof.go) — per-shape static
         val shapes = shapesOf(df)

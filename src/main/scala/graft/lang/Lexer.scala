@@ -32,7 +32,7 @@ object Lexer {
     """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?Z?)?""".r
   // IPv4 address / CIDR literals (zed ip/net primitives travel as strings)
   private val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r
-  private val durRe = """(\d+)(ns|us|ms|s|m|h|d|w)(?![A-Za-z0-9_])""".r
+  private val durRe = """((\d+)(ns|us|ms|s|m|h|d|w|y))+(?![A-Za-z0-9_.])""".r
   private val numRe = """\d+(\.\d+)?([eE][+-]?\d+)?""".r
   private val idRe = """[A-Za-z_][A-Za-z0-9_]*""".r
 
@@ -114,9 +114,19 @@ object Lexer {
         if (!closed) throw new IllegalArgumentException(s"unterminated f-string at $i")
         out += Token(FSTR, sb.toString, i)
         i = j
-      } else if (c.isLetter || c == '_') {
-        val id = idRe.findPrefixOf(input.substring(i)).get
-        out += Token(ID, id, i); i += id.length
+      } else if (c.isLetter || c == '_' || c == '\\') {
+        // bare words may escape characters (search terms: A\=B → "A=B",
+        // \"foo → "\"foo" — docs/language/search-expressions.md)
+        val start = i
+        val sb = new StringBuilder
+        var go = true
+        while (go && i < n) {
+          val d = input.charAt(i)
+          if (d == '\\' && i + 1 < n) { sb.append(input.charAt(i + 1)); i += 2 }
+          else if (d.isLetterOrDigit || d == '_') { sb.append(d); i += 1 }
+          else go = false
+        }
+        out += Token(ID, sb.toString, start)
       } else if (c == '/' && regexCanStart(out.result())) {
         // JS-style contextual regex literal: '/' starts a regex only where
         // a VALUE may begin (start, after an operator/open-paren/pipe)

@@ -51,6 +51,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   private val consts = scala.collection.mutable.Map.empty[String, Expr]
   private val funcs = scala.collection.mutable.Map.empty[String, (Seq[String], Expr)]
   private val typeDefs = scala.collection.mutable.Map.empty[String, String]
+  private val opDefs = scala.collection.mutable.Map.empty[String, (Seq[String], Pipeline)]
 
   def parseQuery(): Pipeline = {
     parseStatements()
@@ -80,6 +81,17 @@ final class Parser(tokens: Vector[Token], source: String) {
           if (eat("(")) { val b = parseExpr(); expect(")"); b }
           else parseExpr()
         funcs(name) = (params.result(), body)
+      } else if (atId("op") && peekAt(1).kind == ID && peekAt(2).text == "(") {
+        // user-defined operator with params (semantic/op.go:853-860):
+        // `op name(p,…): ( <pipeline> )` — inlined at call sites
+        next()
+        val name = next().text; expect("(")
+        val params = Vector.newBuilder[String]
+        if (!at(")")) { do params += next().text while (eat(",")) }
+        expect(")"); expect(":"); expect("(")
+        val p = parsePipeline()
+        expect(")")
+        opDefs(name) = (params.result(), p)
       } else if (atId("type") && peekAt(1).kind == ID && peekAt(2).text == "=") {
         // `type <id> = <type>` (statements.md named types); the name then
         // acts as a cast constructor like the primitive type names
@@ -133,7 +145,39 @@ final class Parser(tokens: Vector[Token], source: String) {
     case Expr.Call(fn, args) => Expr.Call(fn, args.map(subst(_, env)))
     case Expr.RecordLit(fs) => Expr.RecordLit(fs.map { case (n, x) => (n, subst(x, env)) })
     case Expr.ArrayLit(xs) => Expr.ArrayLit(xs.map(subst(_, env)))
+    case Expr.SubQuery(p) => Expr.SubQuery(Pipeline(p.stages.map(substStage(_, env))))
     case other => other
+  }
+
+  /** Substitute op params through a stage (targets rebased when the
+    * argument is a path: `x := x+1` with x↦a.b becomes a.b := a.b+1).
+    */
+  private def substStage(s: Stage, env: Map[String, Expr]): Stage = {
+    def target(n: String): String = {
+      val parts = n.split('.').toSeq
+      env.get(parts.head) match {
+        case Some(Expr.Path(ps)) => (ps ++ parts.tail).mkString(".")
+        case _ => n
+      }
+    }
+    s match {
+      case Stage.Where(e) => Stage.Where(subst(e, env))
+      case Stage.Yield(es) => Stage.Yield(es.map(subst(_, env)))
+      case Stage.Put(as) => Stage.Put(as.map { case (n, e) => (target(n), subst(e, env)) })
+      case Stage.Cut(fs) => Stage.Cut(fs.map { case (n, oe) => (target(n), oe.map(subst(_, env))) })
+      case Stage.Sort(ks, nf) => Stage.Sort(ks.map { case (e, asc) => (subst(e, env), asc) }, nf)
+      case Stage.Summarize(aggs, keys) =>
+        Stage.Summarize(
+          aggs.map { case (n, AggCall(fn, arg, w)) =>
+            (n, AggCall(fn, arg.map(subst(_, env)), w.map(subst(_, env))))
+          },
+          keys.map { case (n, e) => (n, subst(e, env)) })
+      case Stage.Over(es, vars, body) =>
+        Stage.Over(es.map(subst(_, env)),
+          vars.map { case (n, e) => (n, subst(e, env)) },
+          body.map(p => Pipeline(p.stages.map(substStage(_, env)))))
+      case other => other
+    }
   }
 
   private def unescape(s: String): String = {
@@ -189,13 +233,22 @@ final class Parser(tokens: Vector[Token], source: String) {
       next(); return Stage.Pass
     }
     if (peek.kind != ID) return parseImplied()
+    if (opDefs.contains(peek.text) && peekAt(1).text == "(") {
+      val (params, body) = opDefs(peek.text)
+      next(); expect("(")
+      val args = if (at(")")) Seq.empty else parseExprList()
+      expect(")")
+      val env = params.zip(args).toMap
+      return Stage.Block(Pipeline(body.stages.map(substStage(_, env))))
+    }
     peek.text match {
       case "from" | "file" | "get" =>
         next()
         val t = next()
         if (t.kind != ID && t.kind != STR) fail("expected a source name or path")
         Stage.From(t.text)
-      case "where" | "search" => next(); Stage.Where(parseExpr())
+      case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
+      case "by" => parseSummarize()
       case "cut" => next(); Stage.Cut(parseFieldList())
       case "put" => next(); Stage.Put(parseAssignList())
       case "drop" => next(); Stage.Drop(parsePathList())
@@ -220,13 +273,16 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "yield" => next(); Stage.Yield(parseExprList())
       case "explode" =>
         next()
-        // `explode this by <type> as <field>` — expr form subset: `this`
-        if (atId("this")) next()
+        // `explode <exprs> by <type> [as <field>]` (explode.md); the
+        // schema-driven leaf walk covers the expr list
+        while (!atId("by") && peek.kind != EOF) next()
         expect("by")
         val t = next().text
-        expect("as")
-        Stage.Explode(t, next().text)
-      case "fuse" => next(); Stage.Fuse
+        val as = if (atId("as")) { next(); next().text } else "value"
+        Stage.Explode(t, as)
+      case "fuse" =>
+        if (peekAt(1).text == "(") parseSummarize() // fuse(e) is the type AGG
+        else { next(); Stage.Fuse }
       case "pass" => next(); Stage.Pass
       case "assert" =>
         next()
@@ -239,9 +295,47 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   /** Implied put / summarize / where / yield — dispatch like semantic/op.go. */
+  /** Is the cursor at `name(.name)* :=` (a dotted assignment)? */
+  private def assignAhead: Boolean = {
+    if (peek.kind != ID) return false
+    var k = 1
+    while (peekAt(k).text == "." && peekAt(k + 1).kind == ID) k += 2
+    peekAt(k).text == ":="
+  }
+
+  private def adjacent(a: Token, b: Token): Boolean =
+    b.pos == a.pos + a.text.length && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&
+      (b.kind == ID || b.kind == INT || b.kind == PUNCT)
+
+  /** One search term: a glob (adjacent tokens containing `*`), else a
+    * normal expression (docs/language/search-expressions.md).
+    */
+  private def parseSearchTerm(): Expr = {
+    if (at("*") || peek.kind == ID || peek.kind == INT) {
+      var j = pos
+      while ((tokens(j + 1).kind == ID || tokens(j + 1).kind == INT ||
+              tokens(j + 1).text == "*") && adjacent(tokens(j), tokens(j + 1)) &&
+             tokens(j + 1).kind != EOF)
+        j += 1
+      val run = tokens.slice(pos, j + 1)
+      if (run.exists(t => t.kind == PUNCT && t.text == "*") &&
+          (run.length > 1 || run.head.text != "*")) {
+        pos = j + 1
+        return Expr.Call("__glob", Seq(Expr.StringLit(run.map(_.text).mkString)))
+      }
+    }
+    parseExpr()
+  }
+
+  /** May the next token begin another implicit-AND search term? */
+  private def searchTermStart: Boolean =
+    (peek.kind == ID && !Set("by", "where", "with", "as", "and", "or", "not",
+      "in", "on", "case", "default")(peek.text)) ||
+      peek.kind == STR || peek.kind == REGEX || at("*") || at("!")
+
   private def parseImplied(): Stage = {
     // assignment-led: f:=... (put or summarize)
-    if (peek.kind == ID && peekAt(1).text == ":=") {
+    if (assignAhead) {
       val save = pos
       val assigns = parseAssignList()
       if (atId("by") || assigns.exists(a => isAggTop(a._2))) {
@@ -251,13 +345,25 @@ final class Parser(tokens: Vector[Token], source: String) {
     } else if (peek.kind == ID && aggFns(peek.text) && peekAt(1).text == "(") {
       parseSummarize()
     } else {
-      val e = parseExpr()
-      if (isBooleanShaped(e)) Stage.Where(e)
-      else {
-        val exprs = Vector.newBuilder[Expr]
-        exprs += e
-        while (eat(",")) exprs += parseExpr()
-        Stage.Yield(exprs.result())
+      val e = parseSearchTerm()
+      // adjacent search terms AND together (search-expressions.md):
+      // `widget price > 1000` ≡ widget AND price > 1000
+      if (searchTermStart && !at(",")) {
+        var acc = e
+        while (searchTermStart) acc = Expr.Binary("and", acc, parseSearchTerm())
+        return Stage.Where(acc)
+      }
+      e match {
+        case Expr.Call("__glob", _) => Stage.Where(e)
+        // a lone bare word is a keyword search, not a yield
+        // (search-expressions.md; semantic/op.go implied search)
+        case Expr.Path(Seq(_)) => Stage.Where(e)
+        case _ if isBooleanShaped(e) => Stage.Where(e)
+        case _ =>
+          val exprs = Vector.newBuilder[Expr]
+          exprs += e
+          while (eat(",")) exprs += parseExpr()
+          Stage.Yield(exprs.result())
       }
     }
   }
@@ -278,13 +384,20 @@ final class Parser(tokens: Vector[Token], source: String) {
     case _ => false
   }
 
-  // cut: field[:=expr], ...
+  // cut: field[:=expr] | <expr> (name inferred), ...
   private def parseFieldList(): Seq[(String, Option[Expr])] = {
     val out = Vector.newBuilder[(String, Option[Expr])]
     do {
-      val path = parseDottedName()
-      if (eat(":=")) out += ((path, Some(parseExpr())))
-      else out += ((path, None))
+      if (assignAhead) {
+        val path = parseDottedName(); next()
+        out += ((path, Some(parseExpr())))
+      } else if (peek.kind == ID && peekAt(1).text != "(" && peekAt(1).text != "[") {
+        out += ((parseDottedName(), None))
+      } else {
+        // bare expression — field name inferred (cutter.go deriveAs)
+        val e = parseExpr()
+        out += ((Expr.inferName(e), Some(e)))
+      }
     } while (eat(","))
     out.result()
   }
@@ -380,9 +493,8 @@ final class Parser(tokens: Vector[Token], source: String) {
     var done = false
     while (!done) {
       val name =
-        if (peek.kind == ID && peekAt(1).text == ":=") {
-          val n = next().text; next(); Some(n)
-        } else None
+        if (assignAhead) { val n = parseDottedName(); next(); Some(n) }
+        else None
       val fn = next().text
       if (!aggFns(fn)) fail(s"unknown aggregate function '$fn'")
       expect("(")
@@ -393,6 +505,14 @@ final class Parser(tokens: Vector[Token], source: String) {
       done = !eat(",")
     }
     val keys = if (atId("by")) { next(); parseKeyList() } else Seq.empty
+    // `with -limit N` caps per-group state in the reference's partials
+    // tests (groupby.go); declarative aggregation needs no cap — consume
+    if (atId("with")) {
+      next()
+      if (at("-")) next()
+      if (peek.kind == ID) next()
+      if (peek.kind == INT) next()
+    }
     Stage.Summarize(aggs.result(), keys)
   }
 
@@ -400,8 +520,8 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def parseKeyList(): Seq[(String, Expr)] = {
     val out = Vector.newBuilder[(String, Expr)]
     do {
-      if (peek.kind == ID && peekAt(1).text == ":=") {
-        val n = next().text; next()
+      if (assignAhead) {
+        val n = parseDottedName(); next()
         out += ((n, parseExpr()))
       } else {
         val e = parseExpr()
@@ -554,7 +674,9 @@ final class Parser(tokens: Vector[Token], source: String) {
       // `e ~ /re/` regexp match
       next(); Expr.Binary("=~", l, parseAdditive())
     } else if (atId("in")) {
-      next(); Expr.Binary("in", l, parseAdditive())
+      next()
+      if (at("*")) { next(); Expr.Call("__instar", Seq(l)) } // `x in *`: anywhere
+      else Expr.Binary("in", l, parseAdditive())
     } else l
   }
 
@@ -669,9 +791,17 @@ final class Parser(tokens: Vector[Token], source: String) {
             Expr.StringLit(sb.toString)
           case "(" =>
             next()
-            val e = parseExpr()
-            expect(")")
-            e
+            if (atId("over")) {
+              // lateral subquery in expression position: `(over e | …)`
+              // (OverExpr, compiler/kernel/expr.go:102)
+              val p = parsePipeline()
+              expect(")")
+              Expr.SubQuery(p)
+            } else {
+              val e = parseExpr()
+              expect(")")
+              e
+            }
           case "[" =>
             next()
             val items = if (at("]")) Seq.empty else parseSpreadableList("]")

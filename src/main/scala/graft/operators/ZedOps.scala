@@ -174,22 +174,25 @@ object ZedOps {
 
   /** Parse a zed duration literal to exact nanoseconds. */
   private[graft] def durationNanos(d: String): Long = {
-    val m = "([0-9]+)\\s*(ns|us|ms|s|m|h|d|w)".r
-    d.trim match {
-      case m(n, u) =>
-        val base = u match {
-          case "ns" => 1L
-          case "us" => 1000L
-          case "ms" => 1000000L
-          case "s"  => 1000000000L
-          case "m"  => 60L * 1000000000L
-          case "h"  => 3600L * 1000000000L
-          case "d"  => 86400L * 1000000000L
-          case "w"  => 7L * 86400L * 1000000000L
-        }
-        n.toLong * base
-      case other => throw new IllegalArgumentException(s"bad duration: $other")
-    }
+    // compound forms compose (1h30m; nano.go ParseDuration units incl. y)
+    val part = "([0-9]+)\\s*(ns|us|ms|s|m|h|d|w|y)".r
+    val parts = part.findAllMatchIn(d.trim).toSeq
+    if (parts.isEmpty || parts.map(_.matched.replaceAll("\\s", "")).mkString != d.trim.replaceAll("\\s", ""))
+      throw new IllegalArgumentException(s"bad duration: $d")
+    parts.map { m =>
+      val base = m.group(2) match {
+        case "ns" => 1L
+        case "us" => 1000L
+        case "ms" => 1000000L
+        case "s"  => 1000000000L
+        case "m"  => 60L * 1000000000L
+        case "h"  => 3600L * 1000000000L
+        case "d"  => 86400L * 1000000000L
+        case "w"  => 7L * 86400L * 1000000000L
+        case "y"  => 365L * 86400L * 1000000000L
+      }
+      m.group(1).toLong * base
+    }.sum
   }
 
   /** Duration in whole µs; rejects sub-µs durations rather than silently

@@ -87,7 +87,11 @@ object ZeekIO {
       decodeCol(element_at(parts, i + 1), t, h).as(f)
     }
     val pathCol = h.path.map(p => lit(p).as("_path")).toSeq
-    data.toDF().select(pathCol ++ cols: _*)
+    val flat = data.toDF().select(pathCol ++ cols: _*)
+    // dotted #fields names are nested records in zed (zeekio reader.go
+    // "shared context": id.orig_h → {id:{orig_h:…}})
+    if (h.fields.exists(_.contains("."))) graft.functions.Shaper.nestDotted(flat)
+    else flat
   }
 
   // ---- writer ----------------------------------------------------------------
@@ -101,6 +105,24 @@ object ZeekIO {
     case _ => "string"
   }
 
+  /** zed → zeek type names (zeekio writer.go zeekTypeOfZed). */
+  private def zeekTypeOfZ(t: ZType): String = t match {
+    case ZType.Named("port", _) => "port"
+    case ZType.Named(_, inner) => zeekTypeOfZ(inner)
+    case ZType.Prim("ip") => "addr"
+    case ZType.Prim("net") => "subnet"
+    case ZType.Prim("time") => "time"
+    case ZType.Prim("duration") => "interval"
+    case ZType.Prim("bool") => "bool"
+    case ZType.Prim(p) if p.startsWith("uint") => "count"
+    case ZType.Prim(p) if p.startsWith("int") => "int"
+    case ZType.Prim(p) if p.startsWith("float") || p == "decimal" => "double"
+    case ZType.SetT(e) => s"set[${zeekTypeOfZ(e)}]"
+    case ZType.Arr(e) => s"vector[${zeekTypeOfZ(e)}]"
+    case ZType.EnumT(_) => "enum"
+    case _ => "string"
+  }
+
   private def encodeCol(c: Column, dt: DataType): Column = {
     val enc = dt match {
       case TimestampType | TimestampNTZType =>
@@ -108,23 +130,71 @@ object ZeekIO {
       case BooleanType => when(c, "T").otherwise("F")
       case ArrayType(_, _) =>
         when(size(c) === 0, lit("(empty)")).otherwise(array_join(c.cast(ArrayType(StringType)), ","))
+      case st: StructType if ZsonIO.isVariantType(st) => graft.operators.Het.render(c)
       case _ => c.cast(StringType)
     }
     coalesce(enc, lit("-"))
   }
 
+  /** Leaf (column, dotted name, type) triples — nested records flatten to
+    * dotted #fields names (zeekio writer.go).
+    */
+  private def leaves(prefix: String, c: Column, dt: DataType): Seq[(String, Column, DataType)] =
+    dt match {
+      case st: StructType if !ZsonIO.isVariantType(st) =>
+        st.fields.toIndexedSeq.flatMap(f =>
+          leaves(s"$prefix.${f.name}", c.getField(f.name), f.dataType))
+      case _ => Seq((prefix, c, dt))
+    }
+
   def write(df: DataFrame, path: String): Unit = {
     import df.sparkSession.implicits._
+    val het = graft.operators.Het
+    val hasPath = df.columns.contains("_path")
     val fields = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.name == het.typeTag || f.name == "_path")
+    val cols = fields.flatMap(f => leaves(f.name, col(s"`${f.name}`"), f.dataType))
+    // zed types from the shape tag (first shape) give faithful zeek
+    // #types (addr/port/interval); fall back to the Spark type mapping
+    val zedTypes: Map[String, ZType] = df.schema.fields.find(_.name == het.typeTag)
+      .filter(_.metadata.contains("shapes"))
+      .flatMap(f => f.metadata.getStringArray("shapes").headOption)
+      .flatMap { t =>
+        try ZType.strip(ZsonParser.parseType(t)) match {
+          case r: ZType.Rec =>
+            def walk(prefix: String, zt: ZType): Seq[(String, ZType)] =
+              ZType.strip(zt) match {
+                case ZType.Rec(fs) => fs.flatMap { case (n, ft) =>
+                  walk(if (prefix.isEmpty) n else s"$prefix.$n", ft)
+                }
+                case other => Seq(prefix -> zt)
+              }
+            Some(walk("", r).toMap)
+          case _ => None
+        } catch { case _: Exception => None }
+      }.getOrElse(Map.empty)
+    def typeName(name: String, dt: DataType): String =
+      zedTypes.get(name).map(zeekTypeOfZ).getOrElse(zeekTypeOf(dt))
+    def encode(name: String, c: Column, dt: DataType): Column =
+      if (zedTypes.get(name).map(ZType.strip).contains(ZType.Prim("duration")) && dt == LongType)
+        coalesce(format_string("%.6f", c.cast(DoubleType) / 1e9), lit("-")) // ns → interval secs
+      else encodeCol(c, dt)
+    val pathVal: Option[String] =
+      if (hasPath)
+        try Option(df.select(col("_path")).limit(1).collect()).flatMap(_.headOption)
+          .map(_.getString(0))
+        catch { case _: Exception => None }
+      else None
     val header = Seq(
       "#separator \\x09",
       "#set_separator\t,",
       "#empty_field\t(empty)",
-      "#unset_field\t-",
-      "#fields\t" + fields.map(_.name).mkString("\t"),
-      "#types\t" + fields.map(f => zeekTypeOf(f.dataType)).mkString("\t"))
+      "#unset_field\t-") ++
+      pathVal.map(p => s"#path\t$p").toSeq ++ Seq(
+      "#fields\t" + cols.map(_._1).mkString("\t"),
+      "#types\t" + cols.map(c => typeName(c._1, c._3)).mkString("\t"))
     val body = df.select(concat_ws("\t",
-      fields.map(f => encodeCol(col(f.name), f.dataType)): _*).as("value")).as[String]
+      cols.map(c => encode(c._1, c._2, c._3)): _*).as("value")).as[String]
     val withHeader = df.sparkSession.createDataset(header).union(body)
     withHeader.coalesce(1).write.mode("overwrite").text(path)
   }

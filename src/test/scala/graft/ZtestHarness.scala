@@ -182,7 +182,15 @@ object ZtestHarness {
         else if (d.isInfinity) (if (d > 0) "+Inf" else "-Inf")
         else if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString
         else d.toString
-      case VStr(s) => "\"" + s + "\""
+      case VStr(s) =>
+        // the engine carries ip/net/time/duration as native strings (tag
+        // holds the zed type); canon such strings as their typed value
+        if (ipLike.matches(s)) s
+        else if (timeLike.matches(s))
+          try { val i = java.time.OffsetDateTime.parse(s).toInstant
+                (i.getEpochSecond * 1000000000L + i.getNano).toString + "t" }
+          catch { case _: Exception => "\"" + s + "\"" }
+        else "\"" + s + "\""
       case VBool(b) => b.toString
       case VBytes(b) => "0x" + b.map(x => f"$x%02x").mkString
       case VTime(ns) => ns.toString + "t"
@@ -209,6 +217,12 @@ object ZtestHarness {
       case VTyped(_, _) => "null" // unreachable after unwrap
     }
   }
+
+  private val ipLike =
+    ("""\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""" +
+     """|[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""").r
+  private val timeLike =
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})""".r
 
   /** Parse a ZSON text (many values) to canon strings; None on bad text. */
   def canonAll(text: String): Option[Seq[String]] =
