@@ -89,8 +89,9 @@ class PropertySpec extends AnyFunSuite {
       "from", "from |", "| where", "from t | cut", "from t | summarize by",
       "from t | sort -", "from t ||| x", "from t | where ((((", "}{",
       "from t | join (from u) on", "from t | switch ( case )", "f\"{unclosed",
-      // (compound durations like 1m2m3m are legal now — nano.go sums parts)
-      "from t | yield {a:", "from t | put x:=", "const x", "cut :=")
+      // (compound durations like 1m2m3m are legal now — nano.go sums
+      // parts — and `const x` reads as an implicit-AND keyword search)
+      "from t | yield {a:", "from t | put x:=", "const x =", "cut :=")
     for (q <- junk) {
       intercept[Exception](graft.lang.Parser.parse(q))
     }
