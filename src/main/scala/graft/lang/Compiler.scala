@@ -312,7 +312,12 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.StringLit(s) => keywordSearch(df, s)
     case Expr.Path(Seq(word)) => keywordSearch(df, word)
     case Expr.Call("__glob", Seq(Expr.StringLit(p))) => globSearch(df, p)
-    case _ => expr(df, e)
+    case Expr.NullLit => lit(null).cast(BooleanType) // `filter null` drops all
+    case _ =>
+      val c = expr(df, e)
+      // keep boolean predicates un-cast so they stay pushdown-able
+      val dt = try df.select(c).schema.head.dataType catch { case _: Exception => BooleanType }
+      if (dt == BooleanType) c else c.cast(BooleanType)
   }
 
   private def stringLeaves(df: DataFrame): Seq[Column] = {
@@ -1139,10 +1144,13 @@ final class Compiler(spark: SparkSession, dir: String) {
           F.compareVals(vk(0), vk(1))
         } else F.compareVals(a(0), a(1))
       case "cast" =>
-        val t = litStr(1)
+        // single-arg form casts `this` (shaper.md: cast(<type>))
+        val subject =
+          if (args.length == 1) expr(df, Expr.Path(Seq.empty)) else a(0)
+        val t = litStr(args.length - 1)
         Shaper.parseZedType(t) match {
-          case Some(dt) => a(0).cast(dt)
-          case None => a(0).cast(zedTypeToDdl(t))
+          case Some(dt) => subject.cast(dt)
+          case None => subject.cast(zedTypeToDdl(t))
         }
 
       // type-name casts (zed `<type>(expr)` constructor form)

@@ -709,7 +709,7 @@ final class ZsonParser(s: String) {
         Named(n, inner)
       case other => other
     }
-    (ZValue.unwrap(v), ZType.strip(t)) match {
+    val base = (ZValue.unwrap(v), ZType.strip(t)) match {
       case (VNull(_), _) => VNull(t)
       case (VInt(n, _), Prim(p)) if p.startsWith("int") => VInt(n, p)
       case (VInt(n, _), Prim(p)) if p == "uint64" => VUint64(BigDecimal(n))
@@ -738,6 +738,14 @@ final class ZsonParser(s: String) {
         VArr(ZValue.normSet(itemsV.map(applyType(_, et))), isSet = true)
       case (VErr(inner), ErrT(et)) => VErr(applyType(inner, et))
       case (inner, _) => inner
+    }
+    // a named decorator keeps its name on the value's type (type.go Named)
+    t match {
+      case n: Named => base match {
+        case VTyped(i, _) => VTyped(i, n)
+        case other => VTyped(other, n)
+      }
+      case _ => base
     }
   }
 }

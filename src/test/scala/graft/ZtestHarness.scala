@@ -91,6 +91,8 @@ object ZtestHarness {
       spark.createDataset(c.input.linesIterator.toSeq).toDF("this")
     } else if (c.input.startsWith("#separator") || fl.contains("-i zeek")) {
       ZeekIO.read(spark, writeTemp(c.input, "in.log"))
+    } else if (c.input.startsWith("{\"type\":")) {
+      graft.sources.ZjsonIO.read(spark, writeTemp(c.input, "in.zjson"))
     } else {
       // default: typed ZSON (tagged heterogeneous frame); a JSON-ish
       // fallback keeps cases our parser can't handle running
@@ -121,21 +123,83 @@ object ZtestHarness {
     else ZsonIO.toZson(res).collect().toSeq
   }
 
-  private def csvLines(df: DataFrame): Seq[String] = {
-    val cols = df.columns.filterNot(_ == graft.operators.Het.typeTag)
-    val d = df.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    def cell(v: Any): String = v match {
-      case null => ""
-      case d: Double => if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
-      case s: String =>
-        if (s.contains(",") || s.contains("\"") || s.contains("\n"))
-          "\"" + s.replace("\"", "\"\"") + "\""
-        else s
-      case ts: java.sql.Timestamp => ts.toInstant.toString
-      case other => other.toString
+  private def variantText(r: org.apache.spark.sql.Row): String = {
+    if (r == null) return ""
+    val k = r.getAs[Any]("k")
+    val t = Option(r.getAs[String]("t")).getOrElse("")
+    val z = r.getAs[String]("z")
+    k match {
+      case 5 => s"error($z)"
+      case 0 =>
+        if (t == "duration" && z != null) z
+        else {
+          val n = r.getAs[Double]("n")
+          if (!t.startsWith("float") && n == Math.floor(n)) n.toLong.toString else n.toString
+        }
+      case 1 =>
+        val n = r.getAs[Double]("n")
+        java.time.Instant.ofEpochSecond(n.toLong, ((n - n.toLong) * 1e9).toLong).toString
+      case 2 => r.getAs[String]("s")
+      case 3 => r.getAs[Boolean]("b").toString
+      case _ => Option(z).orElse(Option(r.getAs[String]("s"))).getOrElse("")
     }
-    val header = cols.mkString(",")
-    header +: d.collect().toIndexedSeq.map(r => r.toSeq.map(cell).mkString(","))
+  }
+
+  private def csvLines(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val het = graft.operators.Het
+    // per-column zed types from the first shape (for type/<…> wrapping)
+    val zedTypes: Map[String, graft.sources.ZType] =
+      df.schema.fields.find(_.name == het.typeTag)
+        .filter(_.metadata.contains("shapes"))
+        .flatMap(f => f.metadata.getStringArray("shapes").headOption)
+        .flatMap { t =>
+          try {
+            graft.sources.ZType.strip(graft.sources.ZsonParser.parseType(t)) match {
+              case r: graft.sources.ZType.Rec => Some(r.fields.toMap)
+              case _ => None
+            }
+          } catch { case _: Exception => None }
+        }.getOrElse(Map.empty)
+    // flatten nested records to dotted columns (csvio writer.go)
+    def leaves(prefix: String, dt: DataType): Seq[(String, DataType)] = dt match {
+      case st: StructType if !ZsonIO.isVariantType(st) =>
+        st.fields.toIndexedSeq.flatMap(f => leaves(s"$prefix.${f.name}", f.dataType))
+      case other => Seq((prefix, other))
+    }
+    val dataFields = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.name == het.typeTag || f.name == "this")
+      .flatMap(f => leaves(f.name, f.dataType))
+    val cols = if (dataFields.nonEmpty) dataFields
+      else df.schema.fields.toIndexedSeq.filterNot(_.name == het.typeTag)
+        .flatMap(f => leaves(f.name, f.dataType))
+    val tagged = df.columns.contains(het.typeTag)
+    val selection = cols.map(c => org.apache.spark.sql.functions.col(c._1)) ++
+      (if (tagged) Seq(org.apache.spark.sql.functions.col(het.typeTag)) else Seq.empty)
+    def cell(v: Any, name: String): String = {
+      val isType = zedTypes.get(name.split('.').head).exists(t =>
+        graft.sources.ZType.strip(t) == graft.sources.ZType.Prim("type"))
+      val raw = v match {
+        case null => ""
+        case r: org.apache.spark.sql.Row => variantText(r)
+        case d: Double => if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case ts: java.sql.Timestamp => ts.toInstant.toString
+        case s: String => if (isType) s"<$s>" else s
+        case other => other.toString
+      }
+      if (raw.contains(",") || raw.contains("\"") || raw.contains("\n"))
+        "\"" + raw.replace("\"", "\"\"") + "\""
+      else raw
+    }
+    val header = cols.map(_._1).mkString(",")
+    val rows = df.select(selection: _*).collect().toIndexedSeq
+      // non-record values cannot be csv rows (csvio writer errors on them)
+      .filter(r => !tagged || {
+        val t = r.getString(r.length - 1)
+        t == null || t.startsWith("{") || t.contains("=")
+      })
+      .map(r => cols.indices.map(i => cell(r.get(i), cols(i)._1)).mkString(","))
+    header +: rows
   }
 
   private def zeekLines(df: DataFrame): Seq[String] = {
