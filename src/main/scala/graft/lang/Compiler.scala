@@ -136,13 +136,32 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Summarize(aggs, keys) =>
         val df = single(state)
-        val keyCols = keys.map { case (n, e) => n -> expr(df, e) }
+        // inside a lateral body the aggregation is per OUTER row, and the
+        // scope vars (constant per outer row) ride along as extra keys
+        val lateral = df.columns.contains(Compiler.rowIdCol)
+        val scopeVars = df.schema.fields
+          .filter(f => f.metadata.contains("graft.scopeVar") && f.name != Compiler.rowIdCol)
+          .map(_.name).toIndexedSeq
+        val keyCols0 = keys.map { case (n, e) => n -> expr(df, e) }
+        val keyCols =
+          if (lateral)
+            (Compiler.rowIdCol -> col(Compiler.rowIdCol)) +:
+              scopeVars.map(n => n -> col(n)) ++: keyCols0
+          else keyCols0
         if (aggs.isEmpty)
-          // `summarize by k1,k2` — distinct combinations of the keys
-          Seq(df.select(keyCols.map { case (n, c) => c.as(n) }: _*).distinct())
-        else
-          Seq(ZedOps.summarize(df, keyCols,
-            aggs.map { case (n, a) => n -> aggColumn(df, a) }))
+          Seq(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct())
+        else {
+          val out = ZedOps.summarize(df, keyCols,
+            aggs.map { case (n, a) => n -> aggColumn(df, a) })
+          Seq(if (lateral) {
+            // re-mark the scope vars (metadata does not survive groupBy)
+            val dropped = out.drop(Compiler.rowIdCol)
+            dropped.select(dropped.schema.fields.toIndexedSeq.map { f =>
+              if (scopeVars.contains(f.name)) col(f.name).as(f.name, Compiler.scopeVarMeta)
+              else col(f.name)
+            }: _*)
+          } else out)
+        }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
         val left = single(state)
@@ -180,11 +199,30 @@ final class Compiler(spark: SparkSession, dir: String) {
               }
             }
           } else explode(array(exprs.map(expr(df, _)): _*))
-        val kept = withVars.map { case (n, e) => expr(df, e).as(n) }
-        val exploded = df.select(kept :+ elem.as("this"): _*)
+        // scope vars and the outer-row id are lateral-body context, not
+        // data: marked via column metadata so `this` and the writer skip
+        // them, and body aggregations group per outer row (zed's lateral
+        // scope, docs/language/lateral-subqueries.md)
+        val kept = withVars.map { case (n, e) => expr(df, e).as(n, Compiler.scopeVarMeta) }
         body match {
-          case None => Seq(exploded)
-          case Some(p) => compilePipeline(Some(exploded), p)
+          case None =>
+            Seq(df.select(kept :+ elem.as("this"): _*))
+          case Some(p) =>
+            val rowId = monotonically_increasing_id().as(Compiler.rowIdCol, Compiler.scopeVarMeta)
+            val exploded = df.select(rowId +: kept :+ elem.as("this"): _*)
+            val frames = compilePipeline(Some(exploded), p)
+            val ctxNames = withVars.map(_._1).toSet + Compiler.rowIdCol
+            Seq(combineAll(frames.map { f =>
+              // drop lateral context by NAME (aliases inherit metadata, so
+              // a metadata test would eat renamed outputs), and scrub the
+              // marker off everything that stays
+              val keep = f.schema.fields.toIndexedSeq.filterNot(x =>
+                ctxNames(x.name) && x.metadata.contains("graft.scopeVar"))
+              f.select(keep.map(x =>
+                if (x.name == graft.operators.Het.typeTag) col(s"`${x.name}`")
+                else col(s"`${x.name}`").as(x.name,
+                  org.apache.spark.sql.types.Metadata.empty)): _*)
+            }))
         }
 
       case Stage.Yield(exprs) =>
@@ -665,7 +703,10 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.DurationLit(ns, _) => lit(ns)
 
     case Expr.Path(Seq()) =>
-      val dataCols = df.columns.filterNot(_ == graft.operators.Het.typeTag)
+      val dataCols = df.schema.fields
+        .filterNot(f => f.name == graft.operators.Het.typeTag ||
+          f.metadata.contains("graft.scopeVar"))
+        .map(_.name)
       if (dataCols.sameElements(Array("this"))) col("this")
       else struct(dataCols.map(n => col(s"`$n`")).toIndexedSeq: _*)
     case Expr.Path(parts) =>
@@ -1211,6 +1252,13 @@ final class Compiler(spark: SparkSession, dir: String) {
 }
 
 /** Public API: compile+run a Zed query string against an sf directory. */
+object Compiler {
+  /** marks lateral-scope context columns (over … with vars, outer-row id) */
+  val scopeVarMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder().putBoolean("graft.scopeVar", true).build()
+  val rowIdCol = "__row"
+}
+
 object Graft {
   def query(spark: SparkSession, dir: String, zed: String): DataFrame =
     new Compiler(spark, dir).run(Parser.parse(zed))

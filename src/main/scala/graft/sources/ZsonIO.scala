@@ -106,7 +106,8 @@ object ZsonIO {
   def toZson(df: DataFrame): Dataset[String] = {
     val het = graft.operators.Het
     val st = df.schema
-    val fields = st.fields.toIndexedSeq.filterNot(_.name == het.typeTag)
+    val fields = st.fields.toIndexedSeq
+      .filterNot(f => f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
     import df.sparkSession.implicits._
     def fieldFmt(f: StructField): Column =
       concat(lit(zsonName(f.name) + ":"), zsonOf(col(s"`${f.name}`"), f.dataType))
