@@ -135,32 +135,55 @@ final class Compiler(spark: SparkSession, dir: String) {
         Seq(if (withCount) ZedOps.uniqCount(df) else ZedOps.uniq(df))
 
       case Stage.Summarize(aggs, keys) =>
-        val df = single(state)
+        val df0 = single(state)
+        // a `quiet(path)` group key drops rows where the path is missing
+        // (groupby.go quiet-key semantics)
+        val df = keys.foldLeft(df0) {
+          case (acc, (_, Expr.Call("quiet", Seq(Expr.Path(parts))))) =>
+            acc.filter(hasPath(acc, parts))
+          case (acc, _) => acc
+        }
         // inside a lateral body the aggregation is per OUTER row, and the
         // scope vars (constant per outer row) ride along as extra keys
         val lateral = df.columns.contains(Compiler.rowIdCol)
+        // a scope var the user explicitly groups by is an ordinary key —
+        // only the others ride along implicitly
         val scopeVars = df.schema.fields
           .filter(f => f.metadata.contains("graft.scopeVar") && f.name != Compiler.rowIdCol)
           .map(_.name).toIndexedSeq
-        val keyCols0 = keys.map { case (n, e) => n -> expr(df, e) }
+          .filterNot(n => keys.exists(_._1 == n))
+        // group keys in output position: a per-shape-missing key is the
+        // VALUE error("missing") (groupby ztests missing-fields)
+        val keyCols0 = keys.map {
+          case (n, Expr.Call("quiet", Seq(p: Expr.Path))) => n -> outExpr(df, p)
+          case (n, e) => n -> outExpr(df, e)
+        }
         val keyCols =
           if (lateral)
             (Compiler.rowIdCol -> col(Compiler.rowIdCol)) +:
               scopeVars.map(n => n -> col(n)) ++: keyCols0
           else keyCols0
+        def nestIfDotted(d: DataFrame): DataFrame =
+          if ((keys.map(_._1) ++ aggs.map(_._1)).exists(_.contains('.')))
+            Shaper.nestDotted(d)
+          else d
         if (aggs.isEmpty)
-          Seq(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct())
-        else {
+          Seq(nestIfDotted(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct()))
+        else if (keys.isEmpty && !lateral && aggs.length == 1 && aggs.head._1 == aggs.head._2.fn) {
+          // a lone unnamed aggregate emits the bare value (summarize.md:
+          // `count()` → 3, not {count:3})
+          Seq(df.agg(aggColumn(df, aggs.head._2).as("this")))
+        } else {
           val out = ZedOps.summarize(df, keyCols,
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
-          Seq(if (lateral) {
+          Seq(nestIfDotted(if (lateral) {
             // re-mark the scope vars (metadata does not survive groupBy)
             val dropped = out.drop(Compiler.rowIdCol)
             dropped.select(dropped.schema.fields.toIndexedSeq.map { f =>
               if (scopeVars.contains(f.name)) col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
             }: _*)
-          } else out)
+          } else out))
         }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
@@ -424,13 +447,24 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "fuse" =>
         // type-fusing agg (agg/fuse.go): with a relational frame the fused
         // type is static — fold at plan time like zed's semantic pass
+        val dataSchema = StructType(df.schema.fields.filterNot(f =>
+          f.name == graft.operators.Het.typeTag || f.metadata.contains("graft.scopeVar")))
+        val shapes = shapesOf(df)
+        val zt = graft.sources.ZType
         val t = a.arg match {
-          case Some(Expr.Path(Seq())) | None => Shaper.zedTypeOf(df.schema)
+          case Some(Expr.Path(Seq())) | None =>
+            // exact per-row types when the shape tag is live (keeps int32
+            // etc. that the relational mapping widens)
+            if (shapes.nonEmpty) zt.fullText(shapes.map(_._2).reduce(zt.unify))
+            else Shaper.zedTypeOf(dataSchema)
           case Some(Expr.Path(parts)) =>
-            Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
+            if (shapes.nonEmpty)
+              zt.fullText(shapes.flatMap(s => pathIn(s._2, parts)).reduceOption(zt.unify)
+                .getOrElse(zt.nullT))
+            else Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
           case Some(other) => Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType)
         }
-        first(lit(s"<$t>"))
+        first(lit(t))
       case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
   }

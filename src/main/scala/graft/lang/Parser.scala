@@ -525,7 +525,13 @@ final class Parser(tokens: Vector[Token], source: String) {
         out += ((n, parseExpr()))
       } else {
         val e = parseExpr()
-        out += ((Expr.inferName(e), e))
+        // group keys keep their full dotted path as the output name, so
+        // `by rec.i` rebuilds {rec:{i:…}} (groupby key-in-record)
+        val n = e match {
+          case Expr.Path(ps) if ps.nonEmpty => ps.mkString(".")
+          case _ => Expr.inferName(e)
+        }
+        out += ((n, e))
       }
     } while (eat(","))
     out.result()

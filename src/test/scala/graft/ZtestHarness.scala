@@ -117,7 +117,7 @@ object ZtestHarness {
     val f = c.outputFlags
     if (f.contains("-f csv")) csvLines(res)
     else if (f.contains("-f zeek")) zeekLines(res)
-    else if (f.contains("-f json")) res.toJSON.collect().toSeq
+    else if (f.contains("-f json")) jsonLines(res)
     else if (f.contains("-f table")) graft.sources.Formats.tableLines(res).collect().toSeq
     else if (f.contains("-f text")) graft.sources.Formats.textLines(res).collect().toSeq
     else ZsonIO.toZson(res).collect().toSeq
@@ -200,6 +200,116 @@ object ZtestHarness {
       })
       .map(r => cols.indices.map(i => cell(r.get(i), cols(i)._1)).mkString(","))
     header +: rows
+  }
+
+  /** zed duration text: compound y/d/h/m/s with a sub-second tail
+    * (nano.go Duration.String).
+    */
+  def humanDur(ns0: Long): String = {
+    if (ns0 == 0) return "0s"
+    val sign = if (ns0 < 0) "-" else ""
+    var ns = Math.abs(ns0)
+    val sb = new StringBuilder(sign)
+    val units = Seq(
+      "y" -> 365L * 86400 * 1000000000L, "d" -> 86400L * 1000000000L,
+      "h" -> 3600L * 1000000000L, "m" -> 60L * 1000000000L)
+    for ((u, size) <- units) {
+      if (ns >= size) { sb.append(ns / size).append(u); ns %= size }
+    }
+    if (ns > 0) {
+      if (ns % 1000000000L == 0) sb.append(ns / 1000000000L).append("s")
+      else if (ns >= 1000000000L) sb.append(ns.toDouble / 1e9).append("s")
+      else if (ns % 1000000L == 0) sb.append(ns / 1000000L).append("ms")
+      else if (ns % 1000L == 0) sb.append(ns / 1000L).append("us")
+      else sb.append(ns).append("ns")
+    }
+    sb.toString
+  }
+
+  /** zed's JSON writer conventions (zio/jsonio/writer.go): times as
+    * trimmed ISO strings, durations humanized, types in <>, error values
+    * as {"error":…}, null fields dropped, per-row shape respected.
+    */
+  private def jsonLines(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val het = graft.operators.Het
+    val zedTypes: Map[String, graft.sources.ZType] =
+      df.schema.fields.find(_.name == het.typeTag)
+        .filter(_.metadata.contains("shapes"))
+        .flatMap(f => f.metadata.getStringArray("shapes").headOption)
+        .flatMap { t =>
+          try graft.sources.ZType.strip(graft.sources.ZsonParser.parseType(t)) match {
+            case r: graft.sources.ZType.Rec => Some(r.fields.toMap)
+            case _ => None
+          } catch { case _: Exception => None }
+        }.getOrElse(Map.empty)
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+    def render(v: Any, dt: DataType, zt: Option[graft.sources.ZType]): String = {
+      val zs = zt.map(graft.sources.ZType.strip)
+      (v, dt) match {
+        case (null, _) => "null"
+        case (r: org.apache.spark.sql.Row, st: StructType) if ZsonIO.isVariantType(st) =>
+          val k = r.getAs[Any]("k")
+          if (k == 5) {
+            val payload = r.getAs[String]("z")
+            val inner = try ZsonParser.parseAll(payload).headOption
+              .map(pv => render2(pv)).getOrElse(q(payload))
+              catch { case _: Exception => q(payload) }
+            s"""{"error":$inner}"""
+          } else q(variantText(r))
+        case (r: org.apache.spark.sql.Row, st: StructType) =>
+          val fs = st.fields.toIndexedSeq.zipWithIndex.flatMap { case (f, i) =>
+            val fv = r.get(i)
+            if (fv == null) None
+            else {
+              val fzt = zs.collect { case graft.sources.ZType.Rec(fields) =>
+                fields.find(_._1 == f.name).map(_._2)
+              }.flatten
+              Some(q(f.name) + ":" + render(fv, f.dataType, fzt))
+            }
+          }
+          fs.mkString("{", ",", "}")
+        case (s: Iterable[_], ArrayType(et, _)) =>
+          s.map(x => render(x, et, zs.collect { case graft.sources.ZType.Arr(e) => e
+            case graft.sources.ZType.SetT(e) => e })).mkString("[", ",", "]")
+        case (m: Map[_, _], MapType(_, vt, _)) =>
+          m.map { case (kk, vv) => q(kk.toString) + ":" + render(vv, vt, None) }
+            .mkString("{", ",", "}")
+        case (ts: java.sql.Timestamp, _) => q(ts.toInstant.toString)
+        case (d: Double, _) =>
+          if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case (n: Long, _) if zs.contains(graft.sources.ZType.Prim("duration")) =>
+          q(humanDur(n))
+        case (s: String, _) if zs.contains(graft.sources.ZType.Prim("type")) => q(s"<$s>")
+        case (s: String, _) => q(s)
+        case (b: Boolean, _) => b.toString
+        case (other, _) => other.toString
+      }
+    }
+    def render2(pv: graft.sources.ZValue): String = {
+      import graft.sources.ZValue._
+      unwrap(pv) match {
+        case VStr(s) => q(s)
+        case VInt(n, _) => n.toString
+        case other => q(graft.sources.ZValue.zsonText(other))
+      }
+    }
+    val fields = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+    df.collect().toIndexedSeq.map { r =>
+      if (fields.map(_.name) == Seq("this"))
+        render(r.getAs[Any]("this"), fields.head.dataType, zedTypes.get("this"))
+      else {
+        val cells = fields.flatMap { f =>
+          val v = r.getAs[Any](f.name)
+          if (v == null) None
+          else Some(q(f.name) + ":" + render(v, f.dataType, zedTypes.get(f.name)))
+        }
+        cells.mkString("{", ",", "}")
+      }
+    }
   }
 
   private def zeekLines(df: DataFrame): Seq[String] = {
