@@ -157,6 +157,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         val keyCols0 = keys.map {
           case (n, Expr.Call("quiet", Seq(p: Expr.Path))) => n -> outExpr(df, p)
           case (n, e) => n -> outExpr(df, e)
+        }.map { case (n, c) =>
+          // scrub inherited lateral-context metadata off declared keys so
+          // the over epilogue doesn't drop a user-grouped column
+          n -> c.as(n, org.apache.spark.sql.types.Metadata.empty)
         }
         val keyCols =
           if (lateral)
