@@ -235,8 +235,13 @@ final class Compiler(spark: SparkSession, dir: String) {
           case None =>
             Seq(df.select(kept :+ elem.as("this"): _*))
           case Some(p) =>
-            val rowId = monotonically_increasing_id().as(Compiler.rowIdCol, Compiler.scopeVarMeta)
-            val exploded = df.select(rowId +: kept :+ elem.as("this"): _*)
+            // the outer-row id must bind BEFORE the explode generator runs
+            // (inside the same projection it would number the elements)
+            val withId = df.select(
+              monotonically_increasing_id().as(Compiler.rowIdCol, Compiler.scopeVarMeta) +:
+                df.columns.toIndexedSeq.map(n => col(s"`$n`")): _*)
+            val exploded = withId.select(
+              col(Compiler.rowIdCol) +: kept :+ elem.as("this"): _*)
             val frames = compilePipeline(Some(exploded), p)
             val ctxNames = withVars.map(_._1).toSet + Compiler.rowIdCol
             Seq(combineAll(frames.map { f =>
