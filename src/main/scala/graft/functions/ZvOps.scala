@@ -106,6 +106,20 @@ object ZvOps {
 
   def neg(v: Column): Column = negU(Het.render(v))
 
+  /** Elements of a boxed container (for `over` on union-typed values):
+    * arrays/sets → members, maps → {key,value}-ish pairs flattened to
+    * text, non-containers → null (caller falls back to the value itself).
+    */
+  private val elemsU = udf((text: String) => {
+    if (text == null) Option.empty[Seq[Option[ZV]]]
+    else parse(text).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VArr(items, _) => Some(items.map(zvOf))
+      case _ => Option.empty[Seq[Option[ZV]]]
+    })
+  })
+
+  def elems(v: Column): Column = elemsU(Het.render(v))
+
   /** Variant → native string (zed string() cast semantics for scalars). */
   def asText(v: Column): Column =
     when(v.isNull, lit(null).cast(StringType))

@@ -68,8 +68,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => false
         }
         val cols = kept.map {
-          case (name, Some(e)) => outExpr(df, e).as(name)
-          case (name, None) => outExpr(df, Expr.Path(name.split('.').toSeq)).as(name)
+          case (name, Some(e)) =>
+            outExpr(df, e).as(name, org.apache.spark.sql.types.Metadata.empty)
+          case (name, None) =>
+            outExpr(df, Expr.Path(name.split('.').toSeq))
+              .as(name, org.apache.spark.sql.types.Metadata.empty)
         }
         val flat = df.select(cols: _*)
         // dotted paths rebuild their nested record structure (cutter.go)
@@ -85,10 +88,12 @@ final class Compiler(spark: SparkSession, dir: String) {
         // a row whose shape loses ALL its fields becomes a quiet error and
         // leaves the stream (op/dropper.go: empty record → error quiet)
         val shapes = shapesOf(df)
+        // only dot-less paths remove a whole top-level field
+        val topDrops = paths.filterNot(_.contains('.'))
         val emptied = shapes.collect {
           case (t, st) if (graft.sources.ZType.strip(st) match {
             case graft.sources.ZType.Rec(fs) =>
-              fs.map(_._1).forall(n => paths.map(_.split('.').head).contains(n))
+              fs.map(_._1).forall(n => topDrops.contains(n))
             case _ => false
           }) => t
         }
@@ -119,11 +124,14 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         Seq(df.orderBy(ordered: _*))
 
-      case Stage.Head(n) => Seq(ZedOps.head(single(state), n))
+      case Stage.Head(n) =>
+        val df = single(state)
+        Seq(lateralLimit(df, n, fromEnd = false).getOrElse(ZedOps.head(df, n)))
 
       case Stage.Tail(n) =>
         val df = single(state)
-        Seq(ZedOps.tail(df, n, guessSortKey(df)))
+        Seq(lateralLimit(df, n, fromEnd = true)
+          .getOrElse(ZedOps.tail(df, n, guessSortKey(df))))
 
       case Stage.Top(n, keys) =>
         val df = single(state)
@@ -149,7 +157,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         // a scope var the user explicitly groups by is an ordinary key —
         // only the others ride along implicitly
         val scopeVars = df.schema.fields
-          .filter(f => f.metadata.contains("graft.scopeVar") && f.name != Compiler.rowIdCol)
+          .filter(f => f.metadata.contains("graft.scopeVar") &&
+            f.name != Compiler.rowIdCol && f.name != Compiler.posCol)
           .map(_.name).toIndexedSeq
           .filterNot(n => keys.exists(_._1 == n))
         // group keys in output position: a per-shape-missing key is the
@@ -171,12 +180,19 @@ final class Compiler(spark: SparkSession, dir: String) {
           if ((keys.map(_._1) ++ aggs.map(_._1)).exists(_.contains('.')))
             Shaper.nestDotted(d)
           else d
+        val bareAgg = keys.isEmpty && aggs.length == 1 && aggs.head._1 == aggs.head._2.fn
         if (aggs.isEmpty)
           Seq(nestIfDotted(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct()))
-        else if (keys.isEmpty && !lateral && aggs.length == 1 && aggs.head._1 == aggs.head._2.fn) {
+        else if (bareAgg && !lateral) {
           // a lone unnamed aggregate emits the bare value (summarize.md:
           // `count()` → 3, not {count:3})
           Seq(df.agg(aggColumn(df, aggs.head._2).as("this")))
+        } else if (bareAgg && lateral && scopeVars.isEmpty) {
+          // …and per outer row inside a lateral body
+          val out = ZedOps.summarize(df,
+            Seq(Compiler.rowIdCol -> col(Compiler.rowIdCol)),
+            aggs.map { case (n, a) => n -> aggColumn(df, a) })
+          Seq(out.select(col(aggs.head._1).as("this")))
         } else {
           val out = ZedOps.summarize(df, keyCols,
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
@@ -214,18 +230,38 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Over(exprs, withVars, body) =>
         val df = single(state)
         // over semantics (traverse/over.go): arrays → elements, maps →
-        // {key,value} records, other values → themselves
-        val elem =
-          if (exprs.length == 1) {
-            val e = exprs.head
-            dtypeOf(df, e) match {
-              case Some(_: ArrayType) => explode(expr(df, e))
-              case Some(_: MapType) => explode(map_entries(expr(df, e)))
-              case _ => expr(df, e) match {
-                case c => explode(array(c))
-              }
-            }
-          } else explode(array(exprs.map(expr(df, _)): _*))
+        // {key,value} records, union-typed containers → boxed members,
+        // other values → themselves
+        def exprDt(e: Expr): DataType = dtypeOf(df, e).getOrElse(
+          try df.select(expr(df, e)).schema.head.dataType
+          catch { case _: Exception => NullType })
+        def asElems(e: Expr): Column = {
+          val c = expr(df, e)
+          exprDt(e) match {
+            case _: ArrayType => c
+            case _: MapType =>
+              transform(map_entries(c), kv =>
+                struct(kv.getField("key").as("key"), kv.getField("value").as("value")))
+            case st: StructType if isVariant(st) =>
+              coalesce(graft.functions.ZvOps.elems(c), array(c))
+            case _ => array(c)
+          }
+        }
+        val arrs = exprs.map(asElems)
+        val one =
+          if (arrs.length == 1) arrs.head
+          else {
+            // mixed element types across sources → box everything
+            val dts = exprs.map(exprDt)
+            val elemDts = dts.map { case ArrayType(et, _) => et; case other => other }
+            if (elemDts.distinct.length == 1) concat(arrs: _*)
+            else concat(exprs.zip(dts).map {
+              case (e, ArrayType(et, _)) if !isVariant(et) =>
+                transform(expr(df, e), x => graft.operators.Het.variant(x, et))
+              case (e, dt) => asElems(e)
+            }: _*)
+          }
+        val elem = explode(one)
         // scope vars and the outer-row id are lateral-body context, not
         // data: marked via column metadata so `this` and the writer skip
         // them, and body aggregations group per outer row (zed's lateral
@@ -236,14 +272,21 @@ final class Compiler(spark: SparkSession, dir: String) {
             Seq(df.select(kept :+ elem.as("this"): _*))
           case Some(p) =>
             // the outer-row id must bind BEFORE the explode generator runs
-            // (inside the same projection it would number the elements)
-            val withId = df.select(
+            // (inside the same projection it would number the elements);
+            // stale lateral context from an enclosing over is replaced
+            val base = df.drop(Compiler.rowIdCol, Compiler.posCol)
+            val withId = base.select(
               monotonically_increasing_id().as(Compiler.rowIdCol, Compiler.scopeVarMeta) +:
-                df.columns.toIndexedSeq.map(n => col(s"`$n`")): _*)
-            val exploded = withId.select(
-              col(Compiler.rowIdCol) +: kept :+ elem.as("this"): _*)
+                base.columns.toIndexedSeq.map(n => col(s"`$n`")): _*)
+            val raw = withId.select(
+              col(Compiler.rowIdCol) +: kept :+ posexplode(one).as(Seq(Compiler.posCol, "this")): _*)
+            // mark the element position as context (head/tail in the body
+            // are per outer row, windowed on it)
+            val exploded = raw.select(raw.columns.toIndexedSeq.map { n =>
+              if (n == Compiler.posCol) col(n).as(n, Compiler.scopeVarMeta) else col(s"`$n`")
+            }: _*)
             val frames = compilePipeline(Some(exploded), p)
-            val ctxNames = withVars.map(_._1).toSet + Compiler.rowIdCol
+            val ctxNames = withVars.map(_._1).toSet + Compiler.rowIdCol + Compiler.posCol
             Seq(combineAll(frames.map { f =>
               // drop lateral context by NAME (aliases inherit metadata, so
               // a metadata test would eat renamed outputs), and scrub the
@@ -264,14 +307,19 @@ final class Compiler(spark: SparkSession, dir: String) {
             // spreads need expression-level expansion, then unpack
             Seq(df.select(expr(df, rec).as("__r")).select(col("__r.*")))
           case Seq(Expr.RecordLit(fields)) =>
-            Seq(df.select(fields.map { case (n, e) => outExpr(df, e).as(n) }: _*))
+            // explicit empty metadata: aliases inherit the child's, and a
+            // lateral scope var's marker must not taint a yielded field
+            Seq(df.select(fields.map { case (n, e) =>
+              outExpr(df, e).as(n, org.apache.spark.sql.types.Metadata.empty)
+            }: _*))
           case Seq(e) =>
             // a single non-record yield emits the bare VALUE (yield.go);
             // it is carried as `this` so downstream stages address it
-            Seq(df.select(outExpr(df, e).as("this")))
+            Seq(df.select(outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty)))
           case many =>
             // N exprs per input value, left-to-right (yield.go:1-47)
-            Seq(df.select(explode(array(many.map(outExpr(df, _)): _*)).as("this")))
+            Seq(df.select(explode(array(many.map(outExpr(df, _)): _*))
+              .as("this", org.apache.spark.sql.types.Metadata.empty)))
         }
 
       case Stage.Explode(zedType, as) =>
@@ -652,6 +700,20 @@ final class Compiler(spark: SparkSession, dir: String) {
         case other => throw new IllegalArgumentException(s"subquery agg $other")
       }
     case other => throw new IllegalArgumentException(s"subquery stage $other")
+  }
+
+  /** head/tail inside a lateral body act per OUTER row (traverse ztests):
+    * a row_number window partitioned on the outer-row id, ordered by the
+    * element position — no global limit, no shuffle beyond the window.
+    */
+  private def lateralLimit(df: DataFrame, n: Int, fromEnd: Boolean): Option[DataFrame] = {
+    if (!df.columns.contains(Compiler.rowIdCol) || !df.columns.contains(Compiler.posCol))
+      return None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Compiler.rowIdCol))
+      .orderBy(if (fromEnd) col(Compiler.posCol).desc else col(Compiler.posCol).asc)
+    val ranked = df.withColumn("__rank", row_number().over(w))
+    Some(ranked.filter(col("__rank") <= n).drop("__rank"))
   }
 
   /** ZSON text of an arbitrary expression (for error payloads etc.). */
@@ -1084,7 +1146,18 @@ final class Compiler(spark: SparkSession, dir: String) {
       // network (function/ip.go)
       case "cidr_match" => F.cidrMatch(a(0), a(1))
       case "network_of" =>
-        if (args.length > 1) F.networkOf(a(0), a(1)) else F.networkOf(a(0))
+        if (args.length > 1) F.networkOf(a(0), a(1))
+        else {
+          // classful inference is IPv4-only — IPv6 yields the reference's
+          // error value (function/networkof.go)
+          val het = graft.operators.Het
+          val ip = a(0)
+          when(ip.rlike("""^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"""),
+            het.variant(F.networkOf(ip), StringType))
+            .otherwise(het.errorValue(concat(
+              lit("{message:\"network_of: not an IPv4 address\",on:"),
+              ip, lit("}"))))
+        }
 
       // type introspection (function/types.go) — static over the schema,
       // per-row via the shape tag / variant t on heterogeneous frames
@@ -1300,6 +1373,7 @@ object Compiler {
   val scopeVarMeta: org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder().putBoolean("graft.scopeVar", true).build()
   val rowIdCol = "__row"
+  val posCol = "__pos"
 }
 
 object Graft {
