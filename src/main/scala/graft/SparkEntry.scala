@@ -126,13 +126,22 @@ object SparkEntry {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // approx distinct (zed dcount = HLL; estimates differ per impl ⇒ rows-only)
+    // dcount is approximate (HLL++); the oracle asserts the reference
+    // contract instead of the raw sketch: relative error < 5% of the
+    // exact distinct count per group (agg/dcount tolerance)
     ("q_dcount", (s, dir) =>
       ZedOps.sort(
         ZedOps.summarize(t(s, dir, "events"),
           Seq("event_type" -> col("event_type")),
-          Seq("dusers" -> approx_count_distinct(col("user_id")))),
+          Seq(
+            "dusers" -> approx_count_distinct(col("user_id")),
+            "exact" -> countDistinct(col("user_id"))))
+          .select(
+            col("event_type"),
+            (abs(col("dusers") - col("exact")) <= col("exact") * 0.05).as("within_5pct")),
         col("event_type") -> true),
-      None),
+      Some("""SELECT event_type, true AS within_5pct FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // exact distinct count — the verifiable twin of q_dcount
     ("q_count_distinct", (s, dir) =>
@@ -507,6 +516,35 @@ object SparkEntry {
         col("id") -> true),
       None),
 
+    // real container-header decode (JPEG SOF dimensions, WAV fmt chunk):
+    // media binaries are built deterministically from table columns, so
+    // the oracle predicts exactly what the parser must extract
+    ("q_media_headers", (s, dir) => {
+      val mkJpeg = udf((w: Int, h: Int) => MultimodalOps.makeJpeg(w, h))
+      val mkWav = udf((r: Int, c: Int) => MultimodalOps.makeWav(r, c, 16, r / 2))
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          mkJpeg((col("doc_id") % 300 + 16).cast("int"), (col("doc_id") % 200 + 16).cast("int")))
+          .otherwise(
+            mkWav((lit(8000) + (col("doc_id") % 8) * 1000).cast("int"),
+              (col("doc_id") % 2 + 1).cast("int"))).as("media"))
+      ZedOps.sort(
+        MultimodalOps.mediaHeaders(docs, "doc_id", "media")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("sample_rate"), col("channels"),
+            round(col("duration_ms"), 3).as("duration_ms")),
+        col("doc_id") -> true)
+    },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'wav' END AS format,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 300 + 16 AS INT) ELSE 0 END AS width,
+             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 200 + 16 AS INT) ELSE 0 END AS height,
+             |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) ELSE 0 END AS sample_rate,
+             |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 2 + 1 AS INT) ELSE 0 END AS channels,
+             |  CASE WHEN doc_id % 2 = 1 THEN 500.0 ELSE 0.0 END AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ==== scalar function library (graft.functions; ref function/function.go) ====
 
     // math family (function/math.go)
@@ -805,6 +843,33 @@ object SparkEntry {
              |SELECT '{n_nationkey:int32,n_name:string,n_regionkey:int32}', count(*) FROM nation
              |ORDER BY t""".stripMargin)),
 
+    // ---- union-typed (variant) column through group-by + cross-type
+    // min/max (complex.go TypeUnion :290; Het.variant/compareKey): a
+    // mixed int64/string stream groups by each value's runtime type and
+    // aggregates under the cross-type total order
+    ("q_het_union", (s, dir) => {
+      val het = graft.operators.Het
+      val e = t(s, dir, "events")
+      val nums = e.select(het.variant(col("event_id").cast("long"), LongType).as("v"))
+      val strs = e.select(het.variant(col("event_type"), StringType).as("v"))
+      val mixed = nums.unionByName(strs)
+      ZedOps.sort(
+        mixed.groupBy(het.variantTypeOf(col("v")).as("t"))
+          .agg(
+            count(lit(1)).as("n"),
+            het.render(het.minVariant(col("v"))).as("mn"),
+            het.render(het.maxVariant(col("v"))).as("mx")),
+        col("t") -> true)
+    },
+      Some("""SELECT 'int64' AS t, count(*) AS n,
+             |       CAST(min(event_id) AS VARCHAR) AS mn,
+             |       CAST(max(event_id) AS VARCHAR) AS mx FROM events
+             |UNION ALL
+             |SELECT 'string', count(*),
+             |       '"' || min(event_type) || '"', '"' || max(event_type) || '"'
+             |FROM events
+             |ORDER BY t""".stripMargin)),
+
     // ==== sources / sinks (graft.sources; ref zio/anyio, lake/) ====
     // Each round-trips real data through the format and re-verifies against
     // the oracle on the ORIGINAL table — reader+writer must both be exact.
@@ -978,8 +1043,10 @@ object SparkEntry {
       "from lineitem | cut l_returnflag, l_linestatus | sort l_returnflag, l_linestatus | uniq -c"),
       Some(mainOracle("q_uniq_count"))),
 
+    // a lone unnamed aggregate is a bare value in zed (`count()` → 3, not
+    // {count:3}) — carried as `this`
     ("q_lang_count", lang("from lineitem | count()"),
-      Some(mainOracle("q_count"))),
+      Some("SELECT count(*) AS this FROM lineitem")),
 
     ("q_lang_count_by", lang(
       "from events | count() by event_type | sort event_type"),

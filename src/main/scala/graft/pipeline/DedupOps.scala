@@ -101,8 +101,12 @@ object DedupOps {
       threshold: Double = 0.5,
       maxBucket: Long = 100000L
   ): DataFrame = {
+    // exact-verify join payload: 64-bit shingle hashes, not the shingle
+    // strings — Jaccard is identical on the hashed sets (collision odds
+    // ~2⁻⁶⁴) and the shuffled bytes drop ~10× at 100 TB
     val base = docs
-      .select(id.as("doc_id"), shingles(text, k).as("sh"))
+      .select(id.as("doc_id"),
+        array_distinct(transform(shingles(text, k), s => xxhash64(s))).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = minhashBands(docs, id, text, k, numHashes, bands)
     // skew guard: drop buckets larger than maxBucket (boilerplate content);

@@ -28,9 +28,126 @@ object MultimodalOps {
       n_frames: Int,
       features: Array[Float])
 
+  // ---- real container-header decoders (pure JVM, no codec libs) ------------
+
+  /** Parsed media header metadata (image or audio). */
+  case class MediaHeader(
+      format: String, // "jpeg" | "wav" | "unknown"
+      width: Int, height: Int, components: Int, // jpeg (0 otherwise)
+      sampleRate: Int, channels: Int, bitsPerSample: Int, // wav (0 otherwise)
+      durationMs: Double)
+
+  /** JPEG header parse: walk the marker segments to the SOF (start of
+    * frame: 0xC0–0xC3, 0xC5–0xC7, 0xC9–0xCB, 0xCD–0xCF) and read the
+    * frame dimensions and component count. Real JPEG bytes, no decode of
+    * the entropy-coded payload.
+    */
+  def parseJpegHeader(b: Array[Byte]): Option[MediaHeader] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS before SOF
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (i + 9 >= b.length) return None
+        val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+        val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+        val ncomp = b(i + 9) & 0xff
+        return Some(MediaHeader("jpeg", w, h, ncomp, 0, 0, 0, 0.0))
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** WAV/RIFF header parse: fmt chunk → channels/rate/bits, data chunk →
+    * payload size; duration follows from rate × frame size.
+    */
+  def parseWavHeader(b: Array[Byte]): Option[MediaHeader] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var rate, channels, bits, dataLen = 0
+    while (i + 8 <= b.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt ") {
+        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+      } else if (id == "data") dataLen = size
+      i += 8 + size + (size & 1)
+    }
+    if (rate == 0 || channels == 0 || bits == 0) return None
+    val frameBytes = channels * (bits / 8)
+    val durMs = if (frameBytes > 0) dataLen.toDouble * 1000.0 / (rate.toDouble * frameBytes) else 0.0
+    Some(MediaHeader("wav", 0, 0, 0, rate, channels, bits, durMs))
+  }
+
+  def parseHeader(b: Array[Byte]): MediaHeader =
+    parseJpegHeader(b).orElse(parseWavHeader(b))
+      .getOrElse(MediaHeader("unknown", 0, 0, 0, 0, 0, 0, 0.0))
+
+  /** Minimal real JPEG container (SOI + JFIF APP0 + SOF0 + EOI) — fixture
+    * builder for tests and the synthetic media column.
+    */
+  def makeJpeg(w: Int, h: Int, ncomp: Int = 3): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0); b2(16) // APP0 len
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); b2(1); b2(1); out.write(0); out.write(0)
+    out.write(0xff); out.write(0xc0); b2(8 + 3 * ncomp) // SOF0
+    out.write(8); b2(h); b2(w); out.write(ncomp)
+    for (c <- 1 to ncomp) { out.write(c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal real WAV container (RIFF/fmt/data) with a silent payload. */
+  def makeWav(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val frame = channels * (bits / 8)
+    val dataLen = nSamples * frame
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * frame).putShort(frame.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.array()
+  }
+
+  /** Media header extraction over a binary column — partition-parallel,
+    * no shuffle (the header parse touches only the leading bytes; at
+    * 100 TB this is the metadata pass before any GPU decode).
+    */
+  def mediaHeaders(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val parse = udf((b: Array[Byte]) =>
+      if (b == null) None
+      else {
+        val h = parseHeader(b)
+        Some((h.format, h.width, h.height, h.components,
+          h.sampleRate, h.channels, h.bitsPerSample, h.durationMs))
+      })
+    df.select(col(idCol), parse(col(mediaCol)).as("h"))
+      .select(col(idCol),
+        col("h._1").as("format"), col("h._2").as("width"), col("h._3").as("height"),
+        col("h._4").as("components"), col("h._5").as("sample_rate"),
+        col("h._6").as("channels"), col("h._7").as("bits"),
+        col("h._8").as("duration_ms"))
+  }
+
   /** STUB decoder: a real implementation would decode the frame bytes
     * (JPEG/PCM/…) and emit model features; this deterministic stand-in
     * emits scaled byte-histogram moments so tests can pin exact values.
+    * Container HEADERS (dimensions, sample rate) parse for real above.
     */
   private def decodeFrame(frame: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
