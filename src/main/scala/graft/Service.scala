@@ -28,18 +28,43 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/query", handler { ex =>
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val params = query(ex)
-      val dir = params.getOrElse("dir", defaultDir)
-      val fmt = params.getOrElse("fmt", "zson")
-      val limit = params.getOrElse("limit", "1000").toInt
-      val df = Graft.query(spark, dir, body).limit(limit)
-      val lines = fmt match {
-        case "text" => Formats.textLines(df).collect()
-        case _ => ZsonIO.toZson(df).collect()
+    // streaming response: chunked transfer + toLocalIterator — driver
+    // memory stays one partition regardless of result size (the
+    // reference's paged ZNG-over-HTTP); `limit` is a guard, 0 = unlimited
+    server.createContext("/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val params = query(ex)
+          val dir = params.getOrElse("dir", defaultDir)
+          val fmt = params.getOrElse("fmt", "zson")
+          val limit = params.getOrElse("limit", "0").toInt
+          val df0 = Graft.query(spark, dir, body)
+          val df = if (limit > 0) df0.limit(limit) else df0
+          val it = (fmt match {
+            case "text" => Formats.textLines(df)
+            case _ => ZsonIO.toZson(df)
+          }).toLocalIterator()
+          ex.getResponseHeaders.add("Content-Type", "application/x-zson")
+          ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
+          val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+          while (it.hasNext) {
+            os.write(it.next().getBytes(StandardCharsets.UTF_8))
+            os.write('\n')
+          }
+          os.flush()
+          ex.getResponseBody.close()
+        } catch {
+          case e: Exception =>
+            val msg = (s"""{error:"${Service.esc(String.valueOf(e.getMessage))}"}""" + "\n")
+              .getBytes(StandardCharsets.UTF_8)
+            try {
+              ex.sendResponseHeaders(400, msg.length)
+              ex.getResponseBody.write(msg)
+            } catch { case _: Exception => } // headers already sent mid-stream
+            finally ex.getResponseBody.close()
+        }
       }
-      (200, lines.mkString("", "\n", "\n"))
     })
     server.createContext("/pools", handler { ex =>
       val root = query(ex).getOrElse("root", "/tmp/graft_lake")

@@ -910,6 +910,38 @@ object SparkEntry {
     },
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    ("q_arrow_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_arrow_supplier"
+      val orig = t(s, dir, "supplier")
+      graft.sources.ArrowIO.write(orig, path)
+      val back = graft.sources.ArrowIO.read(s, path)
+      ZedOps.sort(
+        back.select(orig.schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*),
+        col("s_suppkey") -> true)
+    },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // gzip auto-detect (anyio/gzip.go): compressed ZSON reads through the
+    // same path — text sources decompress via the Hadoop codec by suffix
+    ("q_gzip_roundtrip", (s, dir) => {
+      val plain = "/tmp/graft_io_gz_nation_plain"
+      graft.sources.ZsonIO.write(t(s, dir, "nation").coalesce(1), plain)
+      val gzDir = new java.io.File("/tmp/graft_io_gz_nation")
+      org.apache.commons.io.FileUtils.deleteQuietly(gzDir); gzDir.mkdirs()
+      val part = new java.io.File(plain).listFiles().filter(_.getName.startsWith("part-")).head
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(gzDir, "data.zson.gz")))
+      out.write(java.nio.file.Files.readAllBytes(part.toPath)); out.close()
+      ZedOps.sort(
+        graft.sources.Formats.read(s, s"$gzDir/data.zson.gz").select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey")),
+        col("n_nationkey") -> true)
+    },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     ("q_csv_roundtrip", (s, dir) => {
       val path = "/tmp/graft_io_csv_region.csv"
       graft.sources.Formats.write(t(s, dir, "region"), path, "csv")
@@ -946,6 +978,32 @@ object SparkEntry {
     },
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // lake branches + delete-as-commit (lake/root.go:363-381, meta/
+    // deleter.go): main keeps F orders after a delete on the branch; the
+    // branch forks before the delete and adds P orders — each ref sees
+    // its own live set, history intact
+    ("q_lake_branch", (s, dir) => {
+      val root = "/tmp/graft_io_lake"
+      val pool = "branch_" + System.nanoTime()
+      val orders = t(s, dir, "orders")
+      val lk = graft.sources.Lake
+      val c1 = lk.load(orders.filter(col("o_orderstatus") === "F"), root, pool)
+      val c2 = lk.load(orders.filter(col("o_orderstatus") === "O"), root, pool)
+      lk.branch(root, pool, "dev", Some(c1))
+      lk.load(orders.filter(col("o_orderstatus") === "P"), root, pool, branch = "dev")
+      lk.delete(root, pool, c2) // main loses the O orders
+      val main = lk.scan(s, root, pool)
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("main").as("ref"))
+      val dev = lk.scan(s, root, pool, Some("dev"))
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("dev").as("ref"))
+      ZedOps.sort(main.unionByName(dev),
+        col("ref") -> true, col("o_orderkey") -> true)
+    },
+      Some("""SELECT o_orderkey, o_orderstatus, 'main' AS ref FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, 'dev' FROM orders WHERE o_orderstatus IN ('F','P')
+             |ORDER BY ref, o_orderkey""".stripMargin)),
 
     // misc family (coalesce.go, len.go, compare.go)
     ("q_fn_misc", (s, dir) =>

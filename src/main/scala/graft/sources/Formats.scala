@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  /** Read any supported file/directory, auto-detecting the format. */
+  /** Read any supported file/directory, auto-detecting the format.
+    * A .gz suffix is transparent (anyio/gzip.go): text sources
+    * decompress via the Hadoop codecs, binary readers by magic.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val lower = path.toLowerCase
+    val lower0 = path.toLowerCase
+    val lower = if (lower0.endsWith(".gz")) lower0.dropRight(3) else lower0
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
@@ -33,6 +37,8 @@ object Formats {
     else if (lower.endsWith(".vng")) VngIO.read(spark, path)
     else if (lower.endsWith(".zeek")) ZeekIO.read(spark, path)
     else if (lower.endsWith(".zjson")) ZjsonIO.read(spark, path)
+    else if (lower.endsWith(".arrow") || lower.endsWith(".arrows"))
+      ArrowIO.read(spark, path)
     else if (lower.endsWith(".txt") || lower.endsWith(".line"))
       spark.read.text(path) // `line` format: one string value per line
     else spark.read.parquet(path) // default (the engine's native storage)
@@ -49,6 +55,7 @@ object Formats {
     case "vng" => VngIO.write(df, path)
     case "zeek" => ZeekIO.write(df, path)
     case "zjson" => ZjsonIO.write(df, path)
+    case "arrow" | "arrows" => ArrowIO.write(df, path)
     case "text" => textLines(df).write.mode("overwrite").text(path)
     case "table" => tableLines(df).write.mode("overwrite").text(path)
     case other => throw new IllegalArgumentException(s"unknown write format: $other")

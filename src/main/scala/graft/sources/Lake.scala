@@ -18,7 +18,9 @@ import java.nio.charset.StandardCharsets
   */
 object Lake {
 
-  final case class Commit(id: String, author: String, message: String, ts: Long)
+  final case class Commit(id: String, author: String, message: String, ts: Long,
+                          branch: String = "main", kind: String = "commit",
+                          target: String = "")
 
   private def poolDir(root: String, pool: String) = Paths.get(root, pool)
   private def journal(root: String, pool: String) = poolDir(root, pool).resolve("commits.jsonl")
@@ -36,16 +38,46 @@ object Lake {
     * driver-side, mirroring zed's commit-journal design.
     */
   def load(df: DataFrame, root: String, pool: String,
-           author: String = "graft", message: String = ""): String = {
+           author: String = "graft", message: String = "",
+           branch: String = "main"): String = {
     if (!exists(root, pool)) create(root, pool)
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataDir = poolDir(root, pool).resolve("data").resolve(id)
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val rec =
-      s"""{"id":"$id","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}","ts":${System.currentTimeMillis()}}"""
+    appendRec(root, pool,
+      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}","ts":${System.currentTimeMillis()}}""")
+    id
+  }
+
+  private def appendRec(root: String, pool: String, rec: String): Unit =
     Files.write(journal(root, pool), (rec + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.APPEND)
-    id
+
+  /** `branch <pool> <name> [@commit]` — a named ref forking from a commit
+    * (lake/root.go:363-381, cmd/super/db/branch). A journal record, no
+    * data movement: the branch sees its ancestors up to the fork point
+    * plus its own commits.
+    */
+  def branch(root: String, pool: String, name: String, from: Option[String] = None): Unit = {
+    require(exists(root, pool), s"no such pool: $pool")
+    val forkAt = from.orElse(
+      commits(root, pool).filter(c => c.kind == "commit" && c.branch == "main")
+        .lastOption.map(_.id)).getOrElse("")
+    appendRec(root, pool,
+      s"""{"id":"$name","kind":"branch","target":"$forkAt","ts":${System.currentTimeMillis()}}""")
+  }
+
+  def branches(root: String, pool: String): Seq[String] =
+    "main" +: commits(root, pool).filter(_.kind == "branch").map(_.id)
+
+  /** `delete` — a data object leaves the live set as a NEW journal record
+    * (runtime/sam/op/meta/deleter.go: deletes are commits, history stays
+    * intact — `@commit` time travel still sees the object).
+    */
+  def delete(root: String, pool: String, commitId: String, branch: String = "main"): Unit = {
+    require(exists(root, pool), s"no such pool: $pool")
+    appendRec(root, pool,
+      s"""{"id":"${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}","kind":"delete","branch":"$branch","target":"$commitId","ts":${System.currentTimeMillis()}}""")
   }
 
   def commits(root: String, pool: String): Seq[Commit] = {
@@ -54,6 +86,9 @@ object Lake {
     val authorRe = """"author":"([^"]*)"""".r
     val msgRe = """"message":"([^"]*)"""".r
     val tsRe = """"ts":(\d+)""".r
+    val branchRe = """"branch":"([^"]*)"""".r
+    val kindRe = """"kind":"([^"]*)"""".r
+    val targetRe = """"target":"([^"]*)"""".r
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(journal(root, pool))).asScala.toSeq
       .filter(_.nonEmpty)
@@ -62,23 +97,43 @@ object Lake {
           idRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""),
           authorRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""),
           msgRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""),
-          tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L))
+          tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L),
+          branchRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("main"),
+          kindRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("commit"),
+          targetRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""))
       }
   }
 
-  /** `from <pool>` — merge-on-read scan of all commits (optionally as of a
-    * given commit id, like zed's `pool@commit`).
+  /** `from <pool>[@commit|@branch]` — merge-on-read scan of the live
+    * commits: a branch sees ancestors up to its fork plus its own
+    * commits, minus anything a delete record on the branch removed.
     */
   def scan(spark: SparkSession, root: String, pool: String,
            asOf: Option[String] = None): DataFrame = {
     val all = commits(root, pool)
-    val live = asOf match {
+    val branchNames = all.filter(_.kind == "branch").map(_.id).toSet
+    val (branch, upTo) = asOf match {
+      case Some(b) if branchNames(b) || b == "main" => (b, None)
+      case other => ("main", other)
+    }
+    val forkAt = all.find(c => c.kind == "branch" && c.id == branch).map(_.target)
+    def onBranch(c: Commit): Boolean =
+      c.branch == branch || (forkAt match {
+        case Some(f) =>
+          // ancestor on main at or before the fork point
+          val mainIds = all.filter(x => x.kind == "commit" && x.branch == "main").map(_.id)
+          c.branch == "main" && mainIds.indexOf(c.id) <= mainIds.indexOf(f)
+        case None => false
+      })
+    val visible = upTo match {
       case Some(id) =>
         val idx = all.indexWhere(_.id == id)
         require(idx >= 0, s"no such commit: $id")
         all.take(idx + 1)
-      case None => all
+      case None => all.filter(onBranch)
     }
+    val deleted = visible.filter(_.kind == "delete").map(_.target).toSet
+    val live = visible.filter(c => c.kind == "commit" && !deleted(c.id))
     require(live.nonEmpty, s"pool $pool is empty")
     val dirs = live.map(c => poolDir(root, pool).resolve("data").resolve(c.id).toString)
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)

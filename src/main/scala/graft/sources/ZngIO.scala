@@ -623,7 +623,7 @@ object ZngIO {
     val files = spark.read.format("binaryFile").load(
       if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
     val zsonLines = files.select("content").as[Array[Byte]]
-      .flatMap(bytes => decodeToZson(bytes))
+      .flatMap(bytes => decodeToZson(Gzip.maybeGunzip(bytes)))
     val json = zsonLines.map(ZsonIO.zsonLineToJson _)
     spark.read.json(json)
   }

@@ -53,6 +53,12 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines.length == 3 && lines.head == "0\tNATION_0")
   }
 
+  test("/query streams the full result chunked (no truncation)") {
+    val (code, body) = post("/query?fmt=text", "from events | cut event_id")
+    assert(code == 200)
+    assert(body.trim.split("\n").length == 1000) // all sf0.001 events
+  }
+
   test("bad query returns a structured error, not a 500") {
     val (code, body) = post("/query", "from nowhere | bogus !!!")
     assert(code == 400 && body.contains("error"))

@@ -161,6 +161,52 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.commits(root, "p").map(_.id) == Seq(c1, c2))
   }
 
+  test("lake branches fork from a commit and see their own live set") {
+    val root = tmp("lakebr")
+    val orders = GraftSession.table(spark, dir, "orders")
+    val nF = orders.filter(col("o_orderstatus") === "F").count()
+    val nO = orders.filter(col("o_orderstatus") === "O").count()
+    val nP = orders.filter(col("o_orderstatus") === "P").count()
+    val c1 = Lake.load(orders.filter(col("o_orderstatus") === "F"), root, "p")
+    val c2 = Lake.load(orders.filter(col("o_orderstatus") === "O"), root, "p")
+    Lake.branch(root, "p", "dev", Some(c1))
+    Lake.load(orders.filter(col("o_orderstatus") === "P"), root, "p", branch = "dev")
+    assert(Lake.branches(root, "p") == Seq("main", "dev"))
+    // main: F+O; dev: F (ancestor at fork) + P (own commit)
+    assert(Lake.scan(spark, root, "p").count() == nF + nO)
+    assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nP)
+    // delete-as-commit on main removes O going forward, history intact
+    Lake.delete(root, "p", c2)
+    assert(Lake.scan(spark, root, "p").count() == nF)
+    assert(Lake.scan(spark, root, "p", Some(c2)).count() == nF + nO) // time travel
+    assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nP)
+  }
+
+  test("arrow ipc round-trips a table distributed") {
+    val path = tmp("arrow") + "/supplier"
+    val orig = GraftSession.table(spark, dir, "supplier")
+    graft.sources.ArrowIO.write(orig, path)
+    val back = graft.sources.ArrowIO.read(spark, path)
+    assert(back.count() == orig.count())
+    assert(back.select(sum("s_acctbal")).collect()(0).getDouble(0) ==
+      orig.select(sum(col("s_acctbal").cast("double"))).collect()(0).getDouble(0))
+    assert(back.select("s_name").collect().map(_.getString(0)).sorted.toSeq ==
+      orig.select("s_name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("gzip auto-detect: compressed zson reads transparently") {
+    val plainDir = tmp("gzplain")
+    val nation = GraftSession.table(spark, dir, "nation")
+    graft.sources.ZsonIO.write(nation.coalesce(1), plainDir)
+    val gzDir = new java.io.File(tmp("gz")); gzDir.mkdirs()
+    val part = new java.io.File(plainDir).listFiles().filter(_.getName.startsWith("part-")).head
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(gzDir, "n.zson.gz")))
+    out.write(java.nio.file.Files.readAllBytes(part.toPath)); out.close()
+    val back = graft.sources.Formats.read(spark, s"$gzDir/n.zson.gz")
+    assert(back.count() == nation.count())
+  }
+
   test("mirror passes through while feeding a second sink") {
     val region = GraftSession.table(spark, dir, "region")
     var mirrored = -1L
