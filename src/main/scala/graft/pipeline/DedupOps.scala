@@ -41,6 +41,22 @@ object DedupOps {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** 64-bit k-gram identities WITHOUT materializing the shingle strings:
+    * tokens hash once, k-grams combine the k token hashes. Set identity
+    * (and so Jaccard) matches the string shingles up to ~2⁻⁶⁴ collisions,
+    * at a fraction of the per-row string-building cost — the concat_ws
+    * form was the profile's hot spot at sf0.1.
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    TextOps.bind(TextOps.bind(TextOps.tokens(text)) { ws =>
+      transform(ws, w => xxhash64(w))
+    }) { th =>
+      when(size(th) >= k,
+        array_distinct(transform(sequence(lit(1), size(th) - (k - 1)), i =>
+          xxhash64((0 until k).map(o => element_at(th, i + o)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
   /** One MinHash value: min over shingles of a salted 64-bit hash. The salt
     * (hash index) is mixed in as an extra xxhash64 input — cheaper than a
     * true permutation family and standard practice.
@@ -66,13 +82,18 @@ object DedupOps {
     // shingle array: one shingle build per row, 64 cheap lambda-var
     // transforms — without the bind, projection splicing re-evaluated the
     // shingle pipeline per minhash (the r2 45 s profile on 5k docs)
-    val packed = TextOps.bind(shingles(text, k)) { sh =>
+    // shingle strings hash ONCE to 64-bit values; the 64 salted minhashes
+    // then mix 8-byte longs instead of re-hashing ~25-byte strings — ~3×
+    // less hash work per row, the dominant cost at scale
+    val packed = TextOps.bind(shingleHashes(text, k)) { hs =>
       struct(
-        size(sh).as("n"),
+        size(hs).as("n"),
         array((0 until bands).map { b =>
           struct(
             lit(b).as("band"),
-            xxhash64((lit(b): Column) +: (b * r until (b + 1) * r).map(h => minhash(sh, h)): _*).as("bh"))
+            xxhash64((lit(b): Column) +:
+              (b * r until (b + 1) * r).map(h =>
+                array_min(transform(hs, x => xxhash64(lit(h), x)))): _*).as("bh"))
         }: _*).as("bands"))
     }
     docs
@@ -104,11 +125,19 @@ object DedupOps {
     // exact-verify join payload: 64-bit shingle hashes, not the shingle
     // strings — Jaccard is identical on the hashed sets (collision odds
     // ~2⁻⁶⁴) and the shuffled bytes drop ~10× at 100 TB
+    // exact-verify join payload: 64-bit shingle hashes, not the shingle
+    // strings — Jaccard is identical on the hashed sets (collision odds
+    // ~2⁻⁶⁴) and the shuffled bytes drop ~10× at 100 TB
     val base = docs
-      .select(id.as("doc_id"),
-        array_distinct(transform(shingles(text, k), s => xxhash64(s))).as("sh"))
+      .select(id.as("doc_id"), shingleHashes(text, k).as("sh"))
       .filter(size(col("sh")) > 0)
+      // joined from BOTH sides of the verify join — materialize once
+      // (per-executor memory: one id + ~n_shingles longs per doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banded feeds the bucket-size guard AND the self-join: without a
+    // persist the whole minhash pipeline re-runs three times
     val banded = minhashBands(docs, id, text, k, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop buckets larger than maxBucket (boilerplate content);
     // at 100 TB an uncapped bucket is a quadratic blow-up in one task
     val keep = banded.groupBy("band", "bh").count()
