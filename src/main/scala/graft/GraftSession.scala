@@ -23,6 +23,9 @@ object GraftSession {
       // values (complex.go error("…")); non-ANSI evaluation maps them to
       // NULL, the engine's error-value convention (see MissingSpec)
       .config("spark.sql.ansi.enabled", "false")
+      // zed map values normalize duplicate keys to the last occurrence
+      // (|{"b":2,"a":1,"b":2}| is legal input — zson.md §2.5.3)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // zed is ns-native (nano.Ts — reference value.go:84); Spark timestamps
       // are µs. Read parquet TIMESTAMP(NANOS) as long ns and convert at the
       // edges — keeps scan pushdown on the raw column and loses nothing.

@@ -185,6 +185,16 @@ object Shaper {
     * forms return None.
     */
   def parseZedType(text: String): Option[DataType] = {
+    // legacy scanner first (width-exact int types); the full ZSON type
+    // grammar (named types, unions, enums, errors) catches the rest
+    parseZedTypeLegacy(text).orElse {
+      try Some(graft.sources.ZValue.sparkTypeOf(
+        graft.sources.ZsonParser.parseType(text)))
+      catch { case _: Exception => None }
+    }
+  }
+
+  private def parseZedTypeLegacy(text: String): Option[DataType] = {
     val prims = Map(
       "int8" -> ByteType, "int16" -> ShortType, "int32" -> IntegerType,
       "int64" -> LongType, "uint8" -> ShortType, "uint16" -> IntegerType,

@@ -317,8 +317,15 @@ final class Compiler(spark: SparkSession, dir: String) {
             // it is carried as `this` so downstream stages address it
             Seq(df.select(outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty)))
           case many =>
-            // N exprs per input value, left-to-right (yield.go:1-47)
-            Seq(df.select(explode(array(many.map(outExpr(df, _)): _*))
+            // N exprs per input value, left-to-right (yield.go:1-47);
+            // mixed result types box into variants (zed forms a union)
+            val cols = many.map(e => outExpr(df, e))
+            val dts = cols.map(c =>
+              try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+            val boxed =
+              if (dts.distinct.length <= 1) cols
+              else cols.zip(dts).map { case (c, dt) => graft.operators.Het.variant(c, dt) }
+            Seq(df.select(explode(array(boxed: _*))
               .as("this", org.apache.spark.sql.types.Metadata.empty)))
         }
 
@@ -480,7 +487,14 @@ final class Compiler(spark: SparkSession, dir: String) {
   // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------
 
   private def aggColumn(df: DataFrame, a: AggCall): Column = {
-    val base = a.arg.map(expr(df, _))
+    // an arg that resolves nowhere aggregates nothing — typed null keeps
+    // avg/sum analyzable (zed: missing inputs are ignored by aggs)
+    val base = a.arg.map {
+      case p: Expr.Path if p.parts.nonEmpty && dtypeOf(df, p).isEmpty &&
+          !isVariantExpr(df, p) =>
+        lit(null).cast(DoubleType)
+      case e => expr(df, e)
+    }
     // `agg(e) where w` — deliver only matching inputs (null ignored by aggs)
     def guarded(c: Column): Column = a.where match {
       case Some(w) => when(expr(df, w), c)
@@ -834,6 +848,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
       }
 
+    case Expr.Index(inner: Expr.Path, _) if inner.parts.nonEmpty &&
+        dtypeOf(df, inner).isEmpty && !isVariantExpr(df, inner) =>
+      lit(null) // index into a missing value
     case Expr.Index(inner, Expr.StringLit(k)) if !isVariantExpr(df, inner) =>
       expr(df, inner).getItem(k)
     case Expr.Index(inner, idx) =>
@@ -1082,8 +1099,67 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "levenshtein" => levenshtein(a(0), a(1))
 
       // regexp (function/regexp.go)
-      case "regexp" => F.regexpMatch(litStr(0), a(1))
-      case "regexp_replace" => regexp_replace(a(0), litStr(1), litStr(2))
+      case "regexp" =>
+        args.head match {
+          case Expr.StringLit(re) => F.regexpMatch(re, a(1))
+          case _ => // runtime pattern → row-level match (function/regexp.go)
+            val u = udf((re: String, s: String) =>
+              if (re == null || s == null) null
+              else try {
+                val m = java.util.regex.Pattern.compile(re).matcher(s)
+                if (m.find()) (0 to m.groupCount).map(g => Option(m.group(g)).getOrElse(""))
+                else null
+              } catch { case _: Exception => null })
+            u(a(0), a(1))
+        }
+      case "regexp_replace" =>
+        (args(1), args(2)) match {
+          case (Expr.StringLit(re), Expr.StringLit(nw)) => regexp_replace(a(0), re, nw)
+          case _ =>
+            val u = udf((s: String, re: String, nw: String) =>
+              if (s == null || re == null || nw == null) null
+              else try s.replaceAll(re, nw) catch { case _: Exception => null })
+            u(a(0), a(1), a(2))
+        }
+      case "bytes" => a(0).cast(BinaryType) // utf-8 bytes of the text
+      case "under" =>
+        // strip named/union wrapping (function/under.go) — the relational
+        // value IS the underlying value
+        expr(df, args.head)
+      case "typeunder" =>
+        val shapes = shapesOf(df)
+        val zt = graft.sources.ZType
+        args.head match {
+          case Expr.Path(Seq()) if shapes.nonEmpty =>
+            shapes.foldLeft(lit(null).cast(StringType)) { case (acc, (t, st)) =>
+              when(col(graft.operators.Het.typeTag) === t,
+                lit(zt.fullText(zt.strip(st)))).otherwise(acc)
+            }
+          case e if isVariantExpr(df, e) => graft.operators.Het.variantTypeOf(expr(df, e))
+          case Expr.Path(Seq()) => graft.operators.Het.typeofRow(df)
+          case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
+        }
+      case "has_error" =>
+        // true when the value or any nested field is an error (function/
+        // haserror.go) — static walk over the schema, variant test per leaf
+        def errLeaves(prefix: Column, dt: DataType): Seq[Column] = dt match {
+          case st: StructType if isVariant(st) => Seq(graft.operators.Het.isError(prefix))
+          case st: StructType =>
+            st.fields.toIndexedSeq.flatMap(f => errLeaves(prefix.getField(f.name), f.dataType))
+          case _ => Seq.empty
+        }
+        val subject = args.headOption.getOrElse(Expr.Path(Seq.empty))
+        val preds = subject match {
+          case Expr.Path(Seq()) =>
+            df.schema.fields.toIndexedSeq
+              .filterNot(_.name == graft.operators.Het.typeTag)
+              .flatMap(f => errLeaves(col(s"`${f.name}`"), f.dataType))
+          case e =>
+            val c = expr(df, e)
+            val dt = try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
+            errLeaves(c, dt)
+        }
+        if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
 
       // bare /re/ — regexp search over every string field
       case "__regexsearch" =>
@@ -1349,6 +1425,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "__concat" => concat(args.map(x => expr(df, x).cast("string")): _*)
 
       // slice `a[lo:hi]` — 0-based, end-exclusive, negative from end
+      case "__slice" if dtypeOf(df, args.head).isEmpty &&
+          args.head.isInstanceOf[Expr.Path] =>
+        lit(null) // slice of a missing value
       case "__slice" =>
         val arr = a(0)
         val sz = size(arr)

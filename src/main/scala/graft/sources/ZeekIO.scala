@@ -86,7 +86,8 @@ object ZeekIO {
     val cols = h.fields.zip(h.types).zipWithIndex.map { case ((f, t), i) =>
       decodeCol(element_at(parts, i + 1), t, h).as(f)
     }
-    val pathCol = h.path.map(p => lit(p).as("_path")).toSeq
+    val pathCol = h.path.filterNot(_ => h.fields.contains("_path"))
+      .map(p => lit(p).as("_path")).toSeq
     val flat = data.toDF().select(pathCol ++ cols: _*)
     // dotted #fields names are nested records in zed (zeekio reader.go
     // "shared context": id.orig_h → {id:{orig_h:…}})
