@@ -906,15 +906,29 @@ final class Compiler(spark: SparkSession, dir: String) {
       else array(items.map(expr(df, _)): _*)
   }
 
+  /** Path operand whose presence varies across shapes (its output form is
+    * a variant gated on the tag).
+    */
+  private def pathMixed(df: DataFrame, e: Expr): Boolean = e match {
+    case Expr.Path(parts) if parts.nonEmpty =>
+      val shapes = shapesOf(df)
+      shapes.nonEmpty && {
+        val present = shapes.count { case (_, st) => pathIn(st, parts).isDefined }
+        present > 0 && present < shapes.size
+      }
+    case _ => false
+  }
+
   private def binary(df: DataFrame, op: String, l: Expr, r: Expr): Column = {
-    // variant (union-typed) operand: compare under the cross-type total
-    // order / operate numerically (complex.go Under + coercion lattice)
-    val lVar = isVariantExpr(df, l)
-    val rVar = isVariantExpr(df, r)
+    // variant (union-typed / per-shape-missing) operand: compare under the
+    // cross-type total order, operate numerically, PROPAGATE error values
+    // (complex.go Under + coercion lattice; error propagation complex.go:28)
+    val lVar = isVariantExpr(df, l) || pathMixed(df, l)
+    val rVar = isVariantExpr(df, r) || pathMixed(df, r)
     if ((lVar || rVar) && Set("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")(op)) {
       val het = graft.operators.Het
       def asVar(e: Expr, isVar: Boolean): Column =
-        if (isVar) expr(df, e)
+        if (isVar) outExpr(df, e)
         else het.variant(expr(df, e), dtypeOf(df, e).getOrElse(StringType))
       val (lv, rv) = (asVar(l, lVar), asVar(r, rVar))
       val (lk, rk) = (het.compareKey(lv), het.compareKey(rv))
@@ -926,7 +940,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         case ">" => lk > rk
         case ">=" => lk >= rk
         case _ =>
-          // arithmetic in the numeric domain; renders back as a number
+          // arithmetic in the numeric domain; an error operand IS the result
           val n = op match {
             case "+" => lv.getField("n") + rv.getField("n")
             case "-" => lv.getField("n") - rv.getField("n")
@@ -934,8 +948,19 @@ final class Compiler(spark: SparkSession, dir: String) {
             case "/" => lv.getField("n") / rv.getField("n")
             case "%" => lv.getField("n") % rv.getField("n")
           }
-          het.variant(n, DoubleType)
+          when(het.isError(lv), lv)
+            .when(het.isError(rv), rv)
+            .otherwise(het.variant(n, DoubleType))
       }
+    }
+    // number + string is zed's error("incompatible types"), not concat
+    // (expr/eval.go Add); string + string stays concatenation
+    if (op == "+") {
+      val lStr = isStringy(df, l)
+      val rStr = isStringy(df, r)
+      def numeric(e: Expr) = dtypeOf(df, e).exists(_.isInstanceOf[NumericType])
+      if ((lStr && numeric(r)) || (rStr && numeric(l)))
+        return graft.operators.Het.errorValue(lit("\"incompatible types\""))
     }
     // time-literal vs ns-long column: compare in the ns domain
     val (lc, rc) = (l, r) match {
@@ -1358,13 +1383,29 @@ final class Compiler(spark: SparkSession, dir: String) {
       // misc (coalesce.go, len.go, compare.go, cast.go)
       case "coalesce" => coalesce(args.map(expr(df, _)): _*)
       case "len" =>
-        dtypeOf(df, args.head) match {
-          case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
-          case Some(StringType) => length(a(0))
-          case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
-          case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
-          case Some(st: StructType) => lit(st.fields.length)
-          case _ => length(a(0).cast("string"))
+        // ip/net travel as strings; their zed length is the ADDRESS size
+        // in bytes (function/len.go): 4/16 for ip, 8/32 for net
+        val zedT = args.head match {
+          case Expr.Path(parts) if parts.nonEmpty =>
+            val shapes = shapesOf(df)
+            val ts = shapes.flatMap(s => pathIn(s._2, parts))
+              .map(graft.sources.ZType.strip).distinct
+            if (ts.length == 1) Some(ts.head) else None
+          case _ => None
+        }
+        zedT match {
+          case Some(graft.sources.ZType.Prim("ip")) =>
+            when(a(0).contains(":"), lit(16L)).otherwise(lit(4L))
+          case Some(graft.sources.ZType.Prim("net")) =>
+            when(a(0).contains(":"), lit(32L)).otherwise(lit(8L))
+          case _ => dtypeOf(df, args.head) match {
+            case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
+            case Some(StringType) => length(a(0))
+            case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
+            case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
+            case Some(st: StructType) => lit(st.fields.length)
+            case _ => length(a(0).cast("string"))
+          }
         }
       case "compare" =>
         if (isVariantExpr(df, args(0)) || isVariantExpr(df, args(1))) {
@@ -1381,8 +1422,25 @@ final class Compiler(spark: SparkSession, dir: String) {
         val subject =
           if (args.length == 1) expr(df, Expr.Path(Seq.empty)) else a(0)
         val t = litStr(args.length - 1)
+        def castTo(c: Column, srcDt: DataType, dt: DataType): Column = (srcDt, dt) match {
+          // record casts align by FIELD NAME (shaper.go Cast), never by
+          // position — Spark's struct cast is positional
+          case (src: StructType, target: StructType) if !isVariant(src) && !isVariant(target) =>
+            struct(target.fields.toIndexedSeq.map { f =>
+              src.fields.find(_.name == f.name) match {
+                case Some(sf) => castTo(c.getField(f.name), sf.dataType, f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+            }: _*)
+          case (ArrayType(se, _), ArrayType(te, _)) =>
+            transform(c, x => castTo(x, se, te))
+          case _ => c.cast(dt)
+        }
         Shaper.parseZedType(t) match {
-          case Some(dt) => subject.cast(dt)
+          case Some(dt) =>
+            val srcDt = try df.select(subject).schema.head.dataType
+                        catch { case _: Exception => StringType }
+            castTo(subject, srcDt, dt)
           case None => subject.cast(zedTypeToDdl(t))
         }
 
