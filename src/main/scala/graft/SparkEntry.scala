@@ -764,7 +764,7 @@ object SparkEntry {
           .select(col("doc_id"), col("source")),
         col("doc_id") -> true),
       Some("""SELECT doc_id, source FROM documents
-             |WHERE text LIKE '%fast%' OR source LIKE '%fast%'
+             |WHERE lower(text) LIKE '%fast%' OR lower(source) LIKE '%fast%'
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- remaining aggregates (agg/logical.go, agg/any.go, agg/collectmap.go) ----

@@ -71,7 +71,10 @@ object ZedFunctions {
     * columns to search, or a single to_json(struct(...)) for whole-record).
     */
   def grep(pattern: String, in: Column*): Column =
-    in.map(c => coalesce(c.cast("string").contains(lit(pattern)), lit(false)))
+    // zed keyword/grep matching is case-insensitive substring search
+    // (docs/language ztests: "WiDgEt" matches widget)
+    in.map(c => coalesce(
+      lower(c.cast("string")).contains(lit(pattern.toLowerCase)), lit(false)))
       .reduce(_ || _)
 
   // ---- time (reference function/time.go) -----------------------------------

@@ -601,7 +601,10 @@ final class Compiler(spark: SparkSession, dir: String) {
              else if (isTagged(df)) het.errMissing
              else expr(df, Expr.Path(parts)) // untagged: keep null-mapping (relational frames)
     val present = shapes.collect { case (t, st) if pathIn(st, parts).isDefined => t }
-    if (present.isEmpty && !boxed) het.errMissing
+    // a column in NO shape but in the schema was ADDED by an operator
+    // after ingest (put/rename) — present on every row, stale tag or not
+    if (present.isEmpty && dt.isDefined) expr(df, Expr.Path(parts))
+    else if (present.isEmpty && !boxed) het.errMissing
     else if (present.size == shapes.size || boxed) expr(df, Expr.Path(parts))
     else dt match {
       case Some(d) =>
@@ -742,7 +745,9 @@ final class Compiler(spark: SparkSession, dir: String) {
     val shapes = shapesOf(df)
     if (shapes.nonEmpty) {
       val present = shapes.collect { case (t, st) if pathIn(st, parts).isDefined => t }
-      if (present.isEmpty) lit(false)
+      if (present.isEmpty)
+        // operator-added columns live outside the (stale) shape tags
+        if (dtypeOf(df, Expr.Path(parts)).isDefined) lit(true) else lit(false)
       else if (present.size == shapes.size) lit(true)
       else col(graft.operators.Het.typeTag).isin(present: _*)
     } else Shaper.has(df, parts.mkString("."))
@@ -1268,7 +1273,8 @@ final class Compiler(spark: SparkSession, dir: String) {
           val shapes = shapesOf(df)
           if (dtypeOf(df, args.head).exists(isVariant))
             graft.operators.Het.variantTypeOf(col(parts.mkString(".")))
-          else if (shapes.nonEmpty) {
+          else if (shapes.nonEmpty &&
+              shapes.exists(s => pathIn(s._2, parts).isDefined)) {
             val perShape = shapes.map { case (t, st) =>
               t -> pathIn(st, parts).map(graft.sources.ZType.text).getOrElse("missing")
             }

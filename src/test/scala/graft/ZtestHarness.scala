@@ -71,20 +71,31 @@ object ZtestHarness {
     val fl = c.inputFlags
     if (fl.contains("-i csv")) {
       val delim = if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
+      import org.apache.spark.sql.functions._
+      val het = graft.operators.Het
       val df = spark.read
-        .option("header", "true").option("inferSchema", "true")
+        .option("header", "true")
         .option("delimiter", delim)
         .option("ignoreLeadingWhiteSpace", "true").option("ignoreTrailingWhiteSpace", "true")
-        .csv(writeTemp(c.input, "in.csv"))
-      // zed's CSV reader types every number float64 (zio/csvio/reader.go)
-      df.select(df.schema.fields.toIndexedSeq.map { f =>
-        f.dataType match {
-          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.DoubleType =>
-            org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
-          case _ => org.apache.spark.sql.functions.col(f.name)
-        }
+        .csv(writeTemp(c.input, "in.csv")) // all strings; typed per CELL below
+      val numRe = """-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"""
+      // zed's CSV reader types each cell independently: numbers are
+      // float64, the rest strings (zio/csvio/reader.go) — a column with
+      // both becomes a union
+      val typed = df.select(df.schema.fields.toIndexedSeq.map { f =>
+        val cRaw = col(s"`${f.name}`")
+        val kinds = df.select(
+          count(when(cRaw.rlike(s"^$numRe$$"), 1)).as("n"),
+          count(when(cRaw.isNotNull && !cRaw.rlike(s"^$numRe$$"), 1)).as("s")).collect()(0)
+        val (nNum, nStr) = (kinds.getLong(0), kinds.getLong(1))
+        if (nStr == 0 && nNum > 0) cRaw.cast("double").as(f.name)
+        else if (nNum == 0) cRaw.as(f.name)
+        else when(cRaw.rlike(s"^$numRe$$"), het.variant(cRaw.cast("double"),
+            org.apache.spark.sql.types.DoubleType))
+          .otherwise(het.variant(cRaw, org.apache.spark.sql.types.StringType))
+          .as(f.name)
       }: _*)
+      typed
     } else if (fl.contains("-i json")) {
       spark.read.json(spark.createDataset(c.input.linesIterator.toSeq))
     } else if (fl.contains("-i line")) {
@@ -177,14 +188,16 @@ object ZtestHarness {
     val selection = cols.map(c => org.apache.spark.sql.functions.col(c._1)) ++
       (if (tagged) Seq(org.apache.spark.sql.functions.col(het.typeTag)) else Seq.empty)
     def cell(v: Any, name: String): String = {
-      val isType = zedTypes.get(name.split('.').head).exists(t =>
-        graft.sources.ZType.strip(t) == graft.sources.ZType.Prim("type"))
+      def zp(p: String) = zedTypes.get(name.split('.').head)
+        .map(graft.sources.ZType.strip).contains(graft.sources.ZType.Prim(p))
       val raw = v match {
         case null => ""
         case r: org.apache.spark.sql.Row => variantText(r)
         case d: Double => if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong.toString else d.toString
         case ts: java.sql.Timestamp => ts.toInstant.toString
-        case s: String => if (isType) s"<$s>" else s
+        case n: Long if zp("duration") => humanDur(n)
+        case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+        case s: String => if (zp("type")) s"<$s>" else s
         case other => other.toString
       }
       if (raw.contains(",") || raw.contains("\"") || raw.contains("\n"))
