@@ -74,7 +74,15 @@ final class Compiler(spark: SparkSession, dir: String) {
             outExpr(df, Expr.Path(name.split('.').toSeq))
               .as(name, org.apache.spark.sql.types.Metadata.empty)
         }
-        val flat = df.select(cols: _*)
+        val flat0 = df.select(cols: _*)
+        // a row where EVERY quiet() field is missing leaves the stream
+        // (cutter.go: all-error record drops quietly)
+        val quietCols = kept.collect {
+          case (name, Some(Expr.Call("quiet", _))) => col(s"`$name`")
+        }
+        val flat =
+          if (quietCols.isEmpty || quietCols.length < kept.length) flat0
+          else flat0.filter(quietCols.map(_.isNotNull).reduce(_ || _))
         // dotted paths rebuild their nested record structure (cutter.go)
         Seq(if (fields.exists(_._1.contains("."))) Shaper.nestDotted(flat) else flat)
 
@@ -1027,7 +1035,21 @@ final class Compiler(spark: SparkSession, dir: String) {
             lc.cast(StringType).rlike(re)
           case _ => throw new IllegalArgumentException("=~ needs a literal regexp")
         }
-      case "in" => array_contains(rc, lc)
+      case "in" =>
+        // `x in <record>` tests field values, `x in <map>` the values
+        // (expressions.md "in" over containers)
+        val rdt = try df.select(rc).schema.head.dataType
+                  catch { case _: Exception => NullType }
+        rdt match {
+          case st: StructType if !isVariant(st) =>
+            val ldt = try df.select(lc).schema.head.dataType
+                      catch { case _: Exception => NullType }
+            st.fields.toIndexedSeq.filter(_.dataType == ldt)
+              .map(f => rc.getField(f.name) <=> lc)
+              .reduceOption(_ || _).getOrElse(lit(false))
+          case _: MapType => array_contains(map_values(rc), lc)
+          case _ => array_contains(rc, lc)
+        }
       case other => throw new IllegalArgumentException(s"binary op $other")
     }
   }
@@ -1377,13 +1399,15 @@ final class Compiler(spark: SparkSession, dir: String) {
           case "order" => Shaper.ShapeFlags(order = true)
         }
         val (srcType, parent) =
-          if (args.length > 1) {
+          if (args.length > 1 && args.head != Expr.Path(Seq.empty)) {
             dtypeOf(df, args.head) match {
               case Some(st: StructType) => (st, Some(expr(df, args.head)))
               case other => throw new IllegalArgumentException(
                 s"$f: first argument must be a record, got $other")
             }
-          } else (StructType(df.schema.filterNot(_.name == "__type")), None)
+          } else (StructType(df.schema.filterNot(f =>
+            f.name == graft.operators.Het.typeTag ||
+              f.metadata.contains("graft.scopeVar"))), None)
         struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
 
       // misc (coalesce.go, len.go, compare.go, cast.go)

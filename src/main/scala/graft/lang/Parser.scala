@@ -355,9 +355,10 @@ final class Parser(tokens: Vector[Token], source: String) {
       }
       e match {
         case Expr.Call("__glob", _) => Stage.Where(e)
-        // a lone bare word is a keyword search, not a yield
-        // (search-expressions.md; semantic/op.go implied search)
+        // a lone bare word or string literal is a keyword search, not a
+        // yield (search-expressions.md; semantic/op.go implied search)
         case Expr.Path(Seq(_)) => Stage.Where(e)
+        case Expr.StringLit(_) => Stage.Where(e)
         case _ if isBooleanShaped(e) => Stage.Where(e)
         case _ =>
           val exprs = Vector.newBuilder[Expr]

@@ -26,8 +26,19 @@ object ZedOps {
     * *input* record (simultaneous-write), matching zed putter.go semantics
     * and Spark's `withColumns` contract exactly.
     */
-  def put(df: DataFrame, cols: (String, Column)*): DataFrame =
-    df.withColumns(cols.toMap)
+  def put(df: DataFrame, cols: (String, Column)*): DataFrame = {
+    // dotted targets update IN PLACE inside the nested record
+    // (putter.go): a.b := e → withField, not a flat "a.b" column
+    val (nested, flat) = cols.partition(_._1.contains("."))
+    val base = if (flat.isEmpty) df else df.withColumns(flat.toMap)
+    nested.foldLeft(base) { case (d, (path, c)) =>
+      val root = path.takeWhile(_ != '.')
+      val rest = path.drop(root.length + 1)
+      if (d.columns.contains(root))
+        d.withColumn(root, col(s"`$root`").withField(rest, c))
+      else d.withColumn(root, struct(c.as(rest)))
+    }
+  }
 
   /** `drop a,b` — remove fields by path (runtime/sam/expr/dropper.go).
     * Dotted paths drop nested struct fields via dropFields.

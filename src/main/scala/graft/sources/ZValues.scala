@@ -157,7 +157,7 @@ object ZValue {
   def normSet(items: Vector[ZValue]): Vector[ZValue] =
     items.map(v => ((ZType.fullText(typeOf(v)), zsonText(v)), v))
       .distinctBy(_._1)
-      .sortBy { case ((_, txt), v) => (if (unwrap(v).isInstanceOf[VNull]) 0 else 1, txt) }
+      .sortBy { case ((_, txt), v) => (if (unwrap(v).isInstanceOf[VNull]) 1 else 0, txt) }
       .map(_._2)
 
   // ---- canonical ZSON text ---------------------------------------------------
