@@ -59,36 +59,138 @@ object ZeekIO {
     Header(sep, setSep, unset, empty, path, fields, types)
   }
 
+  private def elemCast(c: Column, inner: String): Column = inner match {
+    case "count" | "int" | "port" => c.cast(LongType)
+    case "double" => c.cast(DoubleType)
+    case _ => c
+  }
+
   private def decodeCol(raw: Column, zeekType: String, h: Header): Column = {
     val cleaned = when(raw === h.unset, lit(null)).otherwise(raw)
     zeekType match {
       case "time" => // epoch seconds with fractional µs → µs timestamp
         timestamp_micros((cleaned.cast(DoubleType) * 1e6).cast(LongType))
-      case "interval" => cleaned.cast(DoubleType) // seconds (zed duration)
+      case "interval" => // seconds → ns (zed duration domain)
+        (cleaned.cast(DoubleType) * 1e9).cast(LongType)
       case "count" | "int" | "port" => cleaned.cast(LongType)
       case "double" => cleaned.cast(DoubleType)
       case "bool" => when(cleaned === "T", true).when(cleaned === "F", false)
         .otherwise(lit(null).cast(BooleanType))
       case t if t.startsWith("set[") || t.startsWith("vector[") =>
-        when(cleaned === h.empty, array().cast(ArrayType(StringType)))
-          .otherwise(split(cleaned, java.util.regex.Pattern.quote(h.setSeparator)))
+        val inner = t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+        val items0 = transform(
+          split(cleaned, java.util.regex.Pattern.quote(h.setSeparator)),
+          e => elemCast(when(e === h.unset, lit(null)).otherwise(e), inner))
+        // zed set values are deduped + ordered (zson.md §2.5.2)
+        val items = if (t.startsWith("set[")) array_sort(array_distinct(items0)) else items0
+        when(cleaned === h.empty, array().cast(ArrayType(
+          if (Set("count", "int", "port")(inner)) LongType
+          else if (inner == "double") DoubleType else StringType)))
+          .otherwise(items)
       case _ => when(cleaned === h.empty, lit("")).otherwise(cleaned) // string/addr/enum…
     }
+  }
+
+  /** zeek → zed type text (for the shape tag of a decoded frame). */
+  private def zedTypeText(zeekType: String): String = zeekType match {
+    case "time" => "time"
+    case "interval" => "duration"
+    case "addr" => "ip"
+    case "subnet" => "net"
+    case "count" => "uint64"
+    case "int" => "int64"
+    case "port" => "port=uint16"
+    case "double" => "float64"
+    case "bool" => "bool"
+    case t if t.startsWith("set[") =>
+      s"|[${zedTypeText(t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']'))}]|"
+    case t if t.startsWith("vector[") =>
+      s"[${zedTypeText(t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']'))}]"
+    case _ => "string"
+  }
+
+  /** Shape tag text from a header: nested record per the dotted #fields. */
+  private def shapeText(h: Header, withPath: Boolean): String = {
+    // fold dotted names into a nested structure preserving field order
+    sealed trait N
+    final case class Leaf(t: String) extends N
+    final case class Node(fs: scala.collection.mutable.LinkedHashMap[String, N]) extends N
+    val root = Node(scala.collection.mutable.LinkedHashMap.empty)
+    def insert(node: Node, parts: List[String], t: String): Unit = parts match {
+      case last :: Nil => node.fs(last) = Leaf(t)
+      case head :: rest =>
+        val child = node.fs.getOrElseUpdate(head,
+          Node(scala.collection.mutable.LinkedHashMap.empty)) match {
+          case n: Node => n
+          case _ => val n = Node(scala.collection.mutable.LinkedHashMap.empty); node.fs(head) = n; n
+        }
+        insert(child, rest, t)
+      case Nil =>
+    }
+    if (withPath) root.fs("_path") = Leaf("string")
+    h.fields.zip(h.types).foreach { case (f, t) =>
+      insert(root, f.split('.').toList, zedTypeText(t))
+    }
+    def text(n: N): String = n match {
+      case Leaf(t) => t
+      case Node(fs) => fs.map { case (k, v) => s"$k:${text(v)}" }.mkString("{", ",", "}")
+    }
+    text(root)
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
-    val h = parseHeader(lines.filter(_.startsWith("#")).take(64).toSeq)
-    val data = lines.filter(l => !l.startsWith("#") && l.nonEmpty)
+    val headerStarts = lines.filter(_.startsWith("#separator")).count()
+    if (headerStarts <= 1) {
+      val h = parseHeader(lines.filter(_.startsWith("#")).take(64).toSeq)
+      val data = lines.filter(l => !l.startsWith("#") && l.nonEmpty)
+      decodeBlock(spark, h, data)
+    } else {
+      // several header blocks in one stream (schema changes mid-file —
+      // zeekio parser.go re-reads directives). Driver-side segmentation:
+      // multi-schema zeek files are header-delimited test/interchange
+      // artifacts; the bulk 100 TB path is single-header per file.
+      val all = lines.collect().toSeq
+      val blocks = Vector.newBuilder[(Header, Seq[String])]
+      var header = Vector.empty[String]
+      var data = Vector.empty[String]
+      var current: Option[Header] = None
+      def flush(): Unit = current.foreach { h =>
+        if (data.nonEmpty) blocks += ((h, data))
+      }
+      for (l <- all) {
+        if (l.startsWith("#separator")) { flush(); header = Vector(l); data = Vector.empty; current = None }
+        else if (l.startsWith("#")) header :+= l
+        else if (l.nonEmpty) {
+          if (current.isEmpty) current = Some(parseHeader(header))
+          data :+= l
+        }
+      }
+      flush()
+      blocks.result().map { case (h, d) =>
+        decodeBlock(spark, h, spark.createDataset(d))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  private def decodeBlock(
+      spark: SparkSession,
+      h: Header,
+      data: org.apache.spark.sql.Dataset[String]): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(h.separator)
     val parts = split(col("value"), sepLit)
     val cols = h.fields.zip(h.types).zipWithIndex.map { case ((f, t), i) =>
       decodeCol(element_at(parts, i + 1), t, h).as(f)
     }
-    val pathCol = h.path.filterNot(_ => h.fields.contains("_path"))
-      .map(p => lit(p).as("_path")).toSeq
-    val flat = data.toDF().select(pathCol ++ cols: _*)
+    val withPath = h.path.isDefined && !h.fields.contains("_path")
+    val pathCol = if (withPath) Seq(lit(h.path.get).as("_path")) else Seq.empty
+    // the zeek types become the frame's shape tag, so typeof/len/zeek
+    // re-emission see ip/duration/port instead of the relational widths
+    val tagText = shapeText(h, withPath)
+    val md = new MetadataBuilder().putStringArray("shapes", Array(tagText)).build()
+    val tag = Seq(lit(tagText).as(graft.operators.Het.typeTag, md))
+    val flat = data.toDF().select(pathCol ++ cols ++ tag: _*)
     // dotted #fields names are nested records in zed (zeekio reader.go
     // "shared context": id.orig_h → {id:{orig_h:…}})
     if (h.fields.exists(_.contains("."))) graft.functions.Shaper.nestDotted(flat)

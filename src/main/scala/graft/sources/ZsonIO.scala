@@ -109,10 +109,30 @@ object ZsonIO {
     val fields = st.fields.toIndexedSeq
       .filterNot(f => f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
     import df.sparkSession.implicits._
-    def fieldFmt(f: StructField): Column =
-      concat(lit(zsonName(f.name) + ":"), zsonOf(col(s"`${f.name}`"), f.dataType))
+    // zed-type-aware formatting: durations travel as ns longs — the
+    // shape tag says which longs are durations (emitted as `<ns>ns`)
+    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column =
+      (dt, zt.map(ZType.strip)) match {
+        case (LongType, Some(ZType.Prim("duration"))) =>
+          when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
+        case (st: StructType, Some(ZType.Rec(zfs))) if !isVariantType(st) =>
+          val inner = concat_ws(",", st.fields.toIndexedSeq.map { f =>
+            concat(lit(zsonName(f.name) + ":"),
+              zsonOfZ(c.getField(f.name), f.dataType, zfs.find(_._1 == f.name).map(_._2)))
+          }: _*)
+          when(c.isNull, lit("null")).otherwise(concat(lit("{"), inner, lit("}")))
+        case (ArrayType(et, _), Some(ZType.Arr(zet))) =>
+          when(c.isNull, lit("null")).otherwise(concat(lit("["),
+            array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]")))
+        case (ArrayType(et, _), Some(ZType.SetT(zet))) =>
+          when(c.isNull, lit("null")).otherwise(concat(lit("|["),
+            array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]|")))
+        case _ => zsonOf(c, dt)
+      }
+    def fieldFmt(f: StructField, zt: Option[ZType] = None): Column =
+      concat(lit(zsonName(f.name) + ":"), zsonOfZ(col(s"`${f.name}`"), f.dataType, zt))
     def recordFmt(fs: Seq[StructField]): Column =
-      concat(lit("{"), concat_ws(",", fs.map(fieldFmt): _*), lit("}"))
+      concat(lit("{"), concat_ws(",", fs.map(f => fieldFmt(f)): _*), lit("}"))
 
     val tagF = st.fields.find(_.name == het.typeTag)
     val shapes: Seq[String] = tagF
@@ -138,13 +158,15 @@ object ZsonIO {
       val zt = try Some(ZType.strip(ZsonParser.parseType(t))) catch { case _: Exception => None }
       val fmt: Option[Column] = zt match {
         case Some(ZType.Rec(shapeFields)) =>
-          // shape fields (in shape order) that survived the pipeline …
-          val own = shapeFields.flatMap { case (n, _) => fields.find(_.name == n) }
+          // shape fields (in shape order, zed-typed) that survived …
+          val own = shapeFields.flatMap { case (n, ft) =>
+            fields.find(_.name == n).map(f => fieldFmt(f, Some(ft)))
+          }
           // … plus operator-added columns, emitted when non-null
           val added = fields.filterNot(f => inAnyShape(f.name)).map { f =>
             when(col(s"`${f.name}`").isNotNull, fieldFmt(f))
           }
-          Some(concat(lit("{"), concat_ws(",", own.map(fieldFmt) ++ added: _*), lit("}")))
+          Some(concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}")))
         case Some(_) if fields.exists(_.name == "this") =>
           // bare (non-record) value stream row
           val thisF = fields.find(_.name == "this").get

@@ -106,7 +106,8 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = java.nio.file.Files.createTempDirectory("graft-zeek").resolve("t.zeek")
     java.nio.file.Files.writeString(p, sample)
     val df = graft.sources.ZeekIO.read(spark, p.toString).orderBy("ts")
-    assert(df.columns.toSeq == Seq("_path", "ts", "d", "tags"))
+    // data columns + the shape tag carrying the zeek-typed shape
+    assert(df.columns.toSeq == Seq("_path", "ts", "d", "tags", graft.operators.Het.typeTag))
     val rows = df.collect()
     assert(rows.length == 2)
     assert(rows(0).getString(0) == "a")
