@@ -266,6 +266,35 @@ object Shaper {
     if (i == s.length) r else None
   }
 
+  /** Reshape a lambda element (arrays of records inside shapes). */
+  private def reshapeElem(
+      x: Column, src: StructType, target: StructType, flags: ShapeFlags): Seq[Column] = {
+    val targetIdx = target.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val common = src.fields.toSeq.flatMap { sf =>
+      targetIdx.get(sf.name).map { i =>
+        val tf = target.fields(i)
+        val c = (sf.dataType, tf.dataType) match {
+          case (s: StructType, t: StructType) =>
+            struct(reshapeElem(x.getField(sf.name), s, t, flags): _*)
+          case (s, t) if flags.cast && s != t => x.getField(sf.name).cast(t)
+          case _ => x.getField(sf.name)
+        }
+        (i, c.as(sf.name))
+      }
+    }
+    val extras = src.fields.toSeq.filterNot(f => targetIdx.contains(f.name))
+      .map(f => x.getField(f.name).as(f.name))
+    val srcNames = src.fieldNames.toSet
+    val filled =
+      if (flags.fill)
+        target.fields.toSeq.filterNot(f => srcNames(f.name))
+          .map(f => (targetIdx(f.name), lit(null).cast(f.dataType).as(f.name)))
+      else Nil
+    val keptExtras = if (flags.crop) Nil else extras
+    if (flags.order) (common ++ filled).sortBy(_._1).map(_._2) ++ keptExtras
+    else common.map(_._2) ++ keptExtras ++ filled.map(_._2)
+  }
+
   private def reshapeStruct(
       parent: Option[Column],
       src: StructType,
@@ -277,6 +306,10 @@ object Shaper {
     def one(sf: StructField, tf: StructField): Column = (sf.dataType, tf.dataType) match {
       case (s: StructType, t: StructType) =>
         struct(reshapeStruct(Some(colOf(sf.name)), s, t, flags): _*).as(sf.name)
+      case (ArrayType(s: StructType, _), ArrayType(t: StructType, _)) =>
+        // shaping applies to ELEMENTS of arrays/sets (shaper.go steps)
+        transform(colOf(sf.name), x =>
+          struct(reshapeElem(x, s, t, flags): _*)).as(sf.name)
       case (s, t) if flags.cast && s != t => colOf(sf.name).cast(t).as(sf.name)
       case _ => colOf(sf.name).as(sf.name)
     }

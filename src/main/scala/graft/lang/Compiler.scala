@@ -872,10 +872,17 @@ final class Compiler(spark: SparkSession, dir: String) {
       if (isVariantExpr(df, inner)) idx match {
         case Expr.StringLit(k) => graft.functions.ZvOps.get(arr, k)
         case other => graft.functions.ZvOps.index(arr, expr(df, other).cast("int"))
-      } else idx match {
-        case Expr.IntLit(i) if i >= 0 => element_at(arr, (i + 1).toInt)
-        case Expr.IntLit(i) => element_at(arr, i.toInt)
-        case other => element_at(arr, (expr(df, other) + lit(1)).cast("int"))
+      } else {
+        val innerDt = try df.select(arr).schema.head.dataType
+                      catch { case _: Exception => NullType }
+        innerDt match {
+          case _: MapType => element_at(arr, expr(df, idx)) // map KEY lookup, no 0-base shift
+          case _ => idx match {
+            case Expr.IntLit(i) if i >= 0 => element_at(arr, (i + 1).toInt)
+            case Expr.IntLit(i) => element_at(arr, i.toInt)
+            case other => element_at(arr, (expr(df, other) + lit(1)).cast("int"))
+          }
+        }
       }
 
     case Expr.Unary("-", inner) =>
@@ -1146,7 +1153,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         case _ => // column separator: \Q..\E-quote it dynamically
           call_function("split", a(0), concat(lit("\\Q"), a(1), lit("\\E")))
       }
-      case "join" => F.joinStr(a(0), if (args.length > 1) litStr(1) else "")
+      case "join" =>
+        // join of a typed-null array is "" (function/join.go on null sets)
+        coalesce(F.joinStr(a(0), if (args.length > 1) litStr(1) else ""), lit(""))
       case "rune_len" => F.runeLen(a(0))
       case "levenshtein" => levenshtein(a(0), a(1))
 
@@ -1331,13 +1340,36 @@ final class Compiler(spark: SparkSession, dir: String) {
         case e => expr(df, e).isNull
       }
       case "is" =>
-        // is(<type>) — type test against this (or an explicit first arg)
+        // is(<type>) — type test against this (or an explicit first arg);
+        // comparison is STRUCTURAL with named types matching by name
+        // (function/typematch.go)
         val target = litStr(args.length - 1)
         val subject = if (args.length > 1) args.head else Expr.Path(Seq.empty)
-        subject match {
-          case Expr.Path(Seq()) => graft.operators.Het.typeofRow(df) === lit(target)
-          case Expr.Path(parts) => Shaper.typeof(df, parts.mkString(".")) === lit(target)
-          case other => lit(Shaper.zedTypeOf(
+        val zt = graft.sources.ZType
+        val targetT = try Some(graft.sources.ZsonParser.parseType(target))
+                      catch { case _: Exception => None }
+        def zMatch(a: graft.sources.ZType, b: graft.sources.ZType): Boolean =
+          zt.strip(a) == zt.strip(b) || ((a, b) match {
+            case (zt.Named(n1, _), zt.Named(n2, _)) => n1 == n2
+            case (zt.Named(n1, _), zt.Prim(n2)) => n1 == n2
+            case (zt.Prim(n1), zt.Named(n2, _)) => n1 == n2
+            case _ => false
+          })
+        val shapes = shapesOf(df)
+        (subject, targetT) match {
+          case (Expr.Path(parts), Some(tt)) if shapes.nonEmpty =>
+            val matching = shapes.collect {
+              case (tag, st) if (if (parts.isEmpty) zMatch(st, tt)
+                                 else pathIn(st, parts).exists(zMatch(_, tt))) => tag
+            }
+            if (matching.isEmpty) lit(false)
+            else if (matching.size == shapes.size) lit(true)
+            else col(graft.operators.Het.typeTag).isin(matching: _*)
+          case (Expr.Path(Seq()), _) =>
+            graft.operators.Het.typeofRow(df) === lit(target)
+          case (Expr.Path(parts), _) =>
+            Shaper.typeof(df, parts.mkString(".")) === lit(target)
+          case (other, _) => lit(Shaper.zedTypeOf(
             df.select(expr(df, other)).schema.head.dataType)) === lit(target)
         }
       case "is_error" =>
@@ -1454,14 +1486,16 @@ final class Compiler(spark: SparkSession, dir: String) {
         val t = litStr(args.length - 1)
         def castTo(c: Column, srcDt: DataType, dt: DataType): Column = (srcDt, dt) match {
           // record casts align by FIELD NAME (shaper.go Cast), never by
-          // position — Spark's struct cast is positional
+          // position — Spark's struct cast is positional; a null record
+          // stays null rather than becoming a record of nulls
           case (src: StructType, target: StructType) if !isVariant(src) && !isVariant(target) =>
-            struct(target.fields.toIndexedSeq.map { f =>
+            val rec = struct(target.fields.toIndexedSeq.map { f =>
               src.fields.find(_.name == f.name) match {
                 case Some(sf) => castTo(c.getField(f.name), sf.dataType, f.dataType).as(f.name)
                 case None => lit(null).cast(f.dataType).as(f.name)
               }
             }: _*)
+            when(c.isNull, lit(null).cast(target)).otherwise(rec)
           case (ArrayType(se, _), ArrayType(te, _)) =>
             transform(c, x => castTo(x, se, te))
           case _ => c.cast(dt)
@@ -1475,8 +1509,21 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
 
       // type-name casts (zed `<type>(expr)` constructor form)
+      case "bool" =>
+        // zed truthiness: nonzero numbers are true, T/F zeek-style strings
+        // parse (cast.go ToBool) — Spark's string cast only takes 0/1
+        val c = a(0)
+        val dt = try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
+        dt match {
+          case _: NumericType => c =!= lit(0)
+          case StringType =>
+            when(lower(c).isin("t", "true", "1", "yes"), lit(true))
+              .when(lower(c).isin("f", "false", "0", "no"), lit(false))
+              .otherwise(c.cast(BooleanType))
+          case _ => c.cast(BooleanType)
+        }
       case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"
-          | "uint32" | "uint64" | "float32" | "float64" | "string" | "bool") =>
+          | "uint32" | "uint64" | "float32" | "float64" | "string") =>
         a(0).cast(zedTypeToDdl(t))
       case "time" =>
         if (dtypeOf(df, args(0)).contains(LongType))
@@ -1484,6 +1531,22 @@ final class Compiler(spark: SparkSession, dir: String) {
         else a(0).cast("timestamp")
       case "duration" => a(0).cast("bigint") // ns (zed duration domain)
       case "ip" | "net" => a(0).cast("string") // ip/net travel as strings
+
+      case "unflatten" =>
+        // dotted top-level names nest into records (function/unflatten.go)
+        val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+          f.name == graft.operators.Het.typeTag || f.metadata.contains("graft.scopeVar"))
+        def build(entries: Seq[(List[String], Column)]): Seq[Column] =
+          entries.groupBy(_._1.head).toSeq.sortBy { case (k, _) =>
+            entries.indexWhere(_._1.head == k)
+          }.map { case (head, group) =>
+            val leaves = group.filter(_._1.length == 1)
+            val deeper = group.filter(_._1.length > 1)
+            if (deeper.isEmpty) leaves.head._2.as(head)
+            else struct(build(deeper.map { case (p, c) => (p.tail, c) }): _*).as(head)
+          }
+        struct(build(dataFields.map(f =>
+          (f.name.split('.').toList, col(s"`${f.name}`")))): _*)
 
       case "__getfield" => a(0).getField(litStr(1))
 
