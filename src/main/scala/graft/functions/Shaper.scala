@@ -86,12 +86,18 @@ object Shaper {
       .dataType
 
   private def leafPaths(st: StructType, prefix: Seq[String]): Seq[Seq[String]] =
-    st.fields.toSeq.flatMap { f =>
-      f.dataType match {
-        case s: StructType => leafPaths(s, prefix :+ f.name)
-        case _ => Seq(prefix :+ f.name)
+    st.fields.toSeq
+      .filterNot(f => prefix.isEmpty &&
+        (f.name == "__type" || f.metadata.contains("graft.scopeVar")))
+      .flatMap { f =>
+        f.dataType match {
+          // a variant struct is a LEAF value, not a record to walk into
+          case s: StructType if graft.sources.ZsonIO.isVariantType(s) =>
+            Seq(prefix :+ f.name)
+          case s: StructType => leafPaths(s, prefix :+ f.name)
+          case _ => Seq(prefix :+ f.name)
+        }
       }
-    }
 
   // ---- flatten / unflatten / nest_dotted ------------------------------------
 

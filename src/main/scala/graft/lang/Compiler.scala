@@ -1239,15 +1239,41 @@ final class Compiler(spark: SparkSession, dir: String) {
       // time (function/time.go)
       case "now" => current_timestamp()
       case "strftime" =>
-        if (dtypeOf(df, args(1)).contains(LongType)) F.strftimeNs(litStr(0), a(1))
-        else F.strftime(litStr(0), a(1))
-      case "bucket" =>
-        val dur = args(1) match {
-          case Expr.DurationLit(_, text) => text
-          case other => throw new IllegalArgumentException(s"bucket: need duration, got $other")
+        args.head match {
+          case Expr.StringLit(_) =>
+            if (dtypeOf(df, args(1)).contains(LongType)) F.strftimeNs(litStr(0), a(1))
+            else F.strftime(litStr(0), a(1))
+          case _ => // runtime format string → row-level formatting
+            val u = udf((fmt: String, micros: java.lang.Long) =>
+              if (fmt == null || micros == null) null
+              else try {
+                java.time.format.DateTimeFormatter
+                  .ofPattern(F.strftimeToJava(fmt))
+                  .withZone(java.time.ZoneOffset.UTC)
+                  .format(java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(micros.longValue, 1000000L),
+                    Math.floorMod(micros.longValue, 1000000L) * 1000L))
+              } catch { case _: Exception => null })
+            val micros =
+              if (dtypeOf(df, args(1)).contains(LongType)) Bridge.intDiv(a(1), lit(1000L))
+              else unix_micros(a(1))
+            u(a(0), micros)
         }
-        if (dtypeOf(df, args(0)).contains(LongType)) ZedOps.timeBucketNs(a(0), dur)
-        else ZedOps.timeBucket(a(0), dur)
+      case "bucket" =>
+        args(1) match {
+          case Expr.DurationLit(_, text) =>
+            if (dtypeOf(df, args(0)).contains(LongType)) ZedOps.timeBucketNs(a(0), text)
+            else ZedOps.timeBucket(a(0), text)
+          case other => // runtime duration column (ns): floor-align
+            val binNs = expr(df, other)
+            if (dtypeOf(df, args(0)).contains(LongType))
+              a(0) - (a(0) % binNs)
+            else {
+              val us = unix_micros(a(0))
+              val binUs = Bridge.intDiv(binNs, lit(1000L))
+              timestamp_micros(us - (us % binUs))
+            }
+        }
       case "every" =>
         val dur = args(0) match {
           case Expr.DurationLit(_, text) => text
@@ -1316,10 +1342,26 @@ final class Compiler(spark: SparkSession, dir: String) {
           } else Shaper.typeof(df, parts.mkString("."))
         case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
       }
-      case "kind" => args.head match {
-        case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
-        case _ => lit("record")
-      }
+      case "kind" =>
+        // per-row when the subject is union-typed (function/kind.go)
+        val subjVariant = isVariantExpr(df, args.head)
+        if (subjVariant) {
+          val v = expr(df, args.head)
+          val t = v.getField("t")
+          when(v.isNull, lit("primitive"))
+            .when(v.getField("k") === 5, lit("error"))
+            .when(v.getField("k") <= 3, lit("primitive"))
+            .when(t.startsWith("|["), lit("set"))
+            .when(t.startsWith("|{"), lit("map"))
+            .when(t.startsWith("["), lit("array"))
+            .when(t.startsWith("{"), lit("record"))
+            .when(t.startsWith("enum"), lit("enum"))
+            .when(t.startsWith("("), lit("union"))
+            .otherwise(lit("primitive"))
+        } else args.head match {
+          case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
+          case _ => lit("record")
+        }
       case "has" => args.map {
         case Expr.Path(parts) if parts.nonEmpty => hasPath(df, parts)
         case Expr.Path(Seq()) => lit(true)
@@ -1443,32 +1485,60 @@ final class Compiler(spark: SparkSession, dir: String) {
         struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
 
       // misc (coalesce.go, len.go, compare.go, cast.go)
-      case "coalesce" => coalesce(args.map(expr(df, _)): _*)
+      case "coalesce" =>
+        // zed coalesce skips nulls AND error values (function/coalesce.go)
+        coalesce(args.map { e =>
+          val c = expr(df, e)
+          if (isVariantExpr(df, e))
+            when(graft.operators.Het.isError(c), lit(null)).otherwise(c)
+          else c
+        }: _*)
       case "len" =>
-        // ip/net travel as strings; their zed length is the ADDRESS size
-        // in bytes (function/len.go): 4/16 for ip, 8/32 for net
-        val zedT = args.head match {
-          case Expr.Path(parts) if parts.nonEmpty =>
-            val shapes = shapesOf(df)
-            val ts = shapes.flatMap(s => pathIn(s._2, parts))
-              .map(graft.sources.ZType.strip).distinct
-            if (ts.length == 1) Some(ts.head) else None
+        // zed len is TYPE-dependent (function/len.go): strings by bytes,
+        // ip/net by address size, containers by entry count. With mixed
+        // shapes the dispatch is a static CASE on the shape tag.
+        val zt = graft.sources.ZType
+        val c0 = a(0)
+        val varCol =
+          try isVariant(df.select(c0).schema.head.dataType) catch { case _: Exception => false }
+        // scalar text of the subject for the per-shape dispatch
+        val cTxt = if (varCol) coalesce(c0.getField("s"), c0.getField("z")) else c0.cast(StringType)
+        def lenFor(t: graft.sources.ZType): Column = zt.strip(t) match {
+          case zt.Prim("ip") => when(cTxt.contains(":"), lit(16L)).otherwise(lit(4L))
+          case zt.Prim("net") => when(cTxt.contains(":"), lit(32L)).otherwise(lit(8L))
+          case zt.Prim("string") => coalesce(length(cTxt).cast(LongType), lit(0L))
+          case zt.Prim("bytes") =>
+            coalesce(((length(cTxt) - 2) / 2).cast(LongType), lit(0L)) // "0x…" text
+          case zt.Rec(fs) => lit(fs.length.toLong)
+          case zt.Arr(_) | zt.SetT(_) | zt.MapT(_, _) =>
+            if (varCol) coalesce(graft.functions.ZvOps.len(c0).getField("n").cast(LongType), lit(0L))
+            else coalesce(size(c0).cast(LongType), lit(0L))
+          case zt.Prim("type") => lit(1L)
+          case zt.Prim("null") => lit(0L)
+          case _ => coalesce(length(cTxt).cast(LongType), lit(0L))
+        }
+        val shapes0 = shapesOf(df)
+        val perShape: Option[Column] = args.head match {
+          case Expr.Path(parts) if shapes0.nonEmpty =>
+            val pairs = shapes0.flatMap { case (tag, st) =>
+              (if (parts.isEmpty) Some(st) else pathIn(st, parts)).map(tag -> _)
+            }
+            if (pairs.isEmpty) None
+            else if (pairs.map(p => zt.strip(p._2)).distinct.length == 1)
+              Some(lenFor(pairs.head._2))
+            else Some(pairs.foldLeft(lit(null).cast(LongType)) { case (acc, (tag, t)) =>
+              when(col(graft.operators.Het.typeTag) === tag, lenFor(t)).otherwise(acc)
+            })
           case _ => None
         }
-        zedT match {
-          case Some(graft.sources.ZType.Prim("ip")) =>
-            when(a(0).contains(":"), lit(16L)).otherwise(lit(4L))
-          case Some(graft.sources.ZType.Prim("net")) =>
-            when(a(0).contains(":"), lit(32L)).otherwise(lit(8L))
-          case _ => dtypeOf(df, args.head) match {
-            case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
-            case Some(StringType) => length(a(0))
-            case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
-            case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
-            case Some(st: StructType) => lit(st.fields.length)
-            case _ => length(a(0).cast("string"))
-          }
-        }
+        perShape.getOrElse(dtypeOf(df, args.head) match {
+          case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
+          case Some(StringType) => length(a(0))
+          case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
+          case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
+          case Some(st: StructType) => lit(st.fields.length)
+          case _ => length(a(0).cast("string"))
+        })
       case "compare" =>
         if (isVariantExpr(df, args(0)) || isVariantExpr(df, args(1))) {
           val het = graft.operators.Het

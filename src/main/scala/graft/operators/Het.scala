@@ -178,6 +178,9 @@ object Het {
       regexp_replace(regexp_replace(v.getField("s"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
       lit("\""))
     when(v.isNull, lit("null"))
+      // typed null: kind set, every payload null (ZValue.variantRow)
+      .when(v.getField("n").isNull && v.getField("s").isNull &&
+        v.getField("b").isNull && v.getField("z").isNull, lit("null"))
       .when(v.getField("k") === 5, concat(lit("error("), v.getField("z"), lit(")")))
       .when(v.getField("k") === 0, numText)
       .when(v.getField("k") === 1, timeText)

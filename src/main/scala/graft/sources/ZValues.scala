@@ -267,7 +267,19 @@ object ZValue {
   def variantRow(v0: ZValue): Row = {
     val tText = ZType.text(typeOf(v0))
     unwrap(v0) match {
-      case VNull(_) => null
+      // typed nulls keep their kind + type with all payloads null, so
+      // string functions see k=2 and emit null rather than a type error
+      case VNull(t) => ZType.strip(t) match {
+        case ZType.Prim("null") => null
+        case ZType.Union(_) => null
+        case ZType.Prim(p) if p.startsWith("int") || p.startsWith("uint") ||
+            p.startsWith("float") || p == "decimal" || p == "duration" =>
+          Row(0, null, null, null, p, null)
+        case ZType.Prim("time") => Row(1, null, null, null, "time", null)
+        case ZType.Prim("string") => Row(2, null, null, null, "string", null)
+        case ZType.Prim("bool") => Row(3, null, null, null, "bool", null)
+        case other => Row(4, null, null, null, ZType.text(other), null)
+      }
       case VInt(n, t) => Row(0, n.toDouble, null, null, t, null)
       case VUint64(n) => Row(0, n.toDouble, null, null, "uint64", null)
       case VFloat(d, t) => Row(0, d, null, null, t, null)
