@@ -44,7 +44,8 @@ object Expr {
 }
 
 /** One aggregate call inside summarize: [field:=]agg(arg) [where expr]. */
-final case class AggCall(fn: String, arg: Option[Expr], where: Option[Expr])
+final case class AggCall(fn: String, arg: Option[Expr], where: Option[Expr],
+                         named: Boolean = false)
 
 sealed trait Stage
 

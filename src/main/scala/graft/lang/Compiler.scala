@@ -188,7 +188,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           if ((keys.map(_._1) ++ aggs.map(_._1)).exists(_.contains('.')))
             Shaper.nestDotted(d)
           else d
-        val bareAgg = keys.isEmpty && aggs.length == 1 && aggs.head._1 == aggs.head._2.fn
+        val bareAgg = keys.isEmpty && aggs.length == 1 && !aggs.head._2.named
         if (aggs.isEmpty)
           Seq(nestIfDotted(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct()))
         else if (bareAgg && !lateral) {
@@ -404,10 +404,23 @@ final class Compiler(spark: SparkSession, dir: String) {
       val names = (projs ++ dflt.toSeq).flatMap(_.map(_._1)).distinct
       val preds = cases.map { case (c, _) => coalesce(casePred(c), lit(false)) }
       val out = names.map { name =>
+        // branches may give one output column DIFFERENT types (zed forms a
+        // union) — box them into variants so the CASE chain analyzes
+        def dtOf(c: Column): DataType =
+          try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
+        val cands = (projs.flatMap(_.toMap.get(name)) ++
+          dflt.flatMap(_.toMap.get(name)).toSeq)
+        val mixed = cands.map(dtOf).distinct.length > 1
+        def wrap(cOpt: Option[Column]): Column = cOpt match {
+          case Some(c) if mixed => graft.operators.Het.variant(c, dtOf(c))
+          case Some(c) => c
+          case None =>
+            if (mixed) lit(null).cast(graft.operators.Het.variantType) else lit(null)
+        }
         val chain = projs.zip(preds).foldRight(
-          dflt.flatMap(_.toMap.get(name)).getOrElse(lit(null))
+          wrap(dflt.flatMap(_.toMap.get(name)))
         ) { case ((proj, pred), els) =>
-          when(pred, proj.toMap.getOrElse(name, lit(null))).otherwise(els)
+          when(pred, wrap(proj.toMap.get(name))).otherwise(els)
         }
         chain.as(name)
       }
@@ -702,7 +715,7 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
     case Stage.Sort(Seq(), _) => array_sort(arr)
     case Stage.Uniq(false) => array_distinct(arr)
-    case Stage.Summarize(Seq((_, AggCall(fn, arg, None))), Seq()) =>
+    case Stage.Summarize(Seq((_, AggCall(fn, arg, None, _))), Seq()) =>
       val mapped = arg match {
         case None | Some(Expr.Path(Seq())) => arr
         case Some(e) => transform(arr, x => lambdaExpr(df, e, x))

@@ -168,8 +168,8 @@ final class Parser(tokens: Vector[Token], source: String) {
       case Stage.Sort(ks, nf) => Stage.Sort(ks.map { case (e, asc) => (subst(e, env), asc) }, nf)
       case Stage.Summarize(aggs, keys) =>
         Stage.Summarize(
-          aggs.map { case (n, AggCall(fn, arg, w)) =>
-            (n, AggCall(fn, arg.map(subst(_, env)), w.map(subst(_, env))))
+          aggs.map { case (n, AggCall(fn, arg, w, named)) =>
+            (n, AggCall(fn, arg.map(subst(_, env)), w.map(subst(_, env)), named))
           },
           keys.map { case (n, e) => (n, subst(e, env)) })
       case Stage.Over(es, vars, body) =>
@@ -502,7 +502,7 @@ final class Parser(tokens: Vector[Token], source: String) {
       val arg = if (at(")")) None else Some(parseExpr())
       expect(")")
       val where = if (atId("where")) { next(); Some(parseExpr()) } else None
-      aggs += ((name.getOrElse(fn), AggCall(fn, arg, where)))
+      aggs += ((name.getOrElse(fn), AggCall(fn, arg, where, named = name.isDefined)))
       done = !eat(",")
     }
     val keys = if (atId("by")) { next(); parseKeyList() } else Seq.empty

@@ -271,7 +271,8 @@ object ZtestHarness {
               .map(pv => render2(pv)).getOrElse(q(payload))
               catch { case _: Exception => q(payload) }
             s"""{"error":$inner}"""
-          } else q(variantText(r))
+          } else if (k == 0 || k == 3) variantText(r) // numbers/bools unquoted
+          else q(variantText(r))
         case (r: org.apache.spark.sql.Row, st: StructType) =>
           val fs = st.fields.toIndexedSeq.zipWithIndex.flatMap { case (f, i) =>
             val fv = r.get(i)
