@@ -1220,6 +1220,8 @@ final class Compiler(spark: SparkSession, dir: String) {
           case st: StructType if isVariant(st) => Seq(graft.operators.Het.isError(prefix))
           case st: StructType =>
             st.fields.toIndexedSeq.flatMap(f => errLeaves(prefix.getField(f.name), f.dataType))
+          case ArrayType(et: StructType, _) if isVariant(et) =>
+            Seq(coalesce(exists(prefix, x => graft.operators.Het.isError(x)), lit(false)))
           case _ => Seq.empty
         }
         val subject = args.headOption.getOrElse(Expr.Path(Seq.empty))
@@ -1495,7 +1497,21 @@ final class Compiler(spark: SparkSession, dir: String) {
           } else (StructType(df.schema.filterNot(f =>
             f.name == graft.operators.Het.typeTag ||
               f.metadata.contains("graft.scopeVar"))), None)
-        struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
+        val shaped = struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
+        // set-typed target fields re-normalize after shaping (zed set
+        // values are ordered — zson.md §2.5.2); the Spark mapping loses
+        // setness, the target TEXT still has it
+        val setFields: Seq[String] =
+          try graft.sources.ZType.strip(
+            graft.sources.ZsonParser.parseType(litStr(args.length - 1))) match {
+            case graft.sources.ZType.Rec(fs) => fs.collect {
+              case (n, t) if graft.sources.ZType.strip(t).isInstanceOf[graft.sources.ZType.SetT] => n
+            }
+            case _ => Seq.empty
+          } catch { case _: Exception => Seq.empty }
+        setFields.foldLeft(shaped) { (acc, n) =>
+          acc.withField(n, array_sort(acc.getField(n)))
+        }
 
       // misc (coalesce.go, len.go, compare.go, cast.go)
       case "coalesce" =>
@@ -1581,6 +1597,8 @@ final class Compiler(spark: SparkSession, dir: String) {
             when(c.isNull, lit(null).cast(target)).otherwise(rec)
           case (ArrayType(se, _), ArrayType(te, _)) =>
             transform(c, x => castTo(x, se, te))
+          case (s, target) if isVariant(target) && !isVariant(s) =>
+            graft.operators.Het.variant(c, s) // cast to a union boxes
           case _ => c.cast(dt)
         }
         Shaper.parseZedType(t) match {
@@ -1595,14 +1613,20 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "bool" =>
         // zed truthiness: nonzero numbers are true, T/F zeek-style strings
         // parse (cast.go ToBool) — Spark's string cast only takes 0/1
-        val c = a(0)
+        def boolOfStr(c: Column): Column =
+          when(lower(c).isin("t", "true", "1", "yes"), lit(true))
+            .when(lower(c).isin("f", "false", "0", "no"), lit(false))
+            .otherwise(c.cast(BooleanType))
+        val c = expr(df, args.head)
         val dt = try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
         dt match {
           case _: NumericType => c =!= lit(0)
-          case StringType =>
-            when(lower(c).isin("t", "true", "1", "yes"), lit(true))
-              .when(lower(c).isin("f", "false", "0", "no"), lit(false))
-              .otherwise(c.cast(BooleanType))
+          case StringType => boolOfStr(c)
+          case st: StructType if isVariant(st) =>
+            when(c.getField("k") === 0, c.getField("n") =!= 0.0)
+              .when(c.getField("k") === 2, boolOfStr(c.getField("s")))
+              .when(c.getField("k") === 3, c.getField("b"))
+              .otherwise(lit(null).cast(BooleanType))
           case _ => c.cast(BooleanType)
         }
       case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"

@@ -105,7 +105,9 @@ final class Parser(tokens: Vector[Token], source: String) {
           val t = next()
           // resolve previously defined names so stored texts are closed
           base.append(
-            if (t.kind == Lexer.ID) typeDefs.getOrElse(t.text, t.text)
+            // a field NAME (followed by ':') must not resolve as a type ref
+            if (t.kind == Lexer.ID && peek.text != ":" && peek.text != "=")
+              typeDefs.getOrElse(t.text, t.text)
             else t.text)
         }
         if (at("{") || at("[") || at("(") || at("|[") || at("|{")) {
@@ -791,7 +793,9 @@ final class Parser(tokens: Vector[Token], source: String) {
               val tok = next()
               // resolve named types token-wise so nested names expand too
               sb.append(
-                if (tok.kind == Lexer.ID) typeDefs.getOrElse(tok.text, tok.text)
+                // a field NAME (followed by ':') must not resolve as a type ref
+                if (tok.kind == Lexer.ID && peek.text != ":" && peek.text != "=")
+                  typeDefs.getOrElse(tok.text, tok.text)
                 else tok.text)
             }
             expect(">")
