@@ -252,6 +252,18 @@ final class Compiler(spark: SparkSession, dir: String) {
                 struct(kv.getField("key").as("key"), kv.getField("value").as("value")))
             case st: StructType if isVariant(st) =>
               coalesce(graft.functions.ZvOps.elems(c), array(c))
+            case st: StructType =>
+              // over a record: one {key:[name],value} entry per field
+              // (traverse/over.go records); mixed value types box
+              val dataF = st.fields.toIndexedSeq.filterNot(f =>
+                f.name == graft.operators.Het.typeTag ||
+                  f.metadata.contains("graft.scopeVar"))
+              val mixed = dataF.map(_.dataType).distinct.length > 1
+              array(dataF.map { f =>
+                val v = if (mixed) graft.operators.Het.variant(c.getField(f.name), f.dataType)
+                        else c.getField(f.name)
+                struct(array(lit(f.name)).as("key"), v.as("value"))
+              }: _*)
             case _ => array(c)
           }
         }

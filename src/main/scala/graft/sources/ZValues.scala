@@ -472,18 +472,22 @@ final class ZsonParser(s: String) {
     expect('{'); ws()
     val fs = Vector.newBuilder[(String, ZValue)]
     var first = true
-    while (peek != '}') {
+    var done = false
+    while (!done && peek != '}') {
       if (!first) { expect(','); ws() }
-      first = false
-      val n = if (peek == '"') quoted() else {
-        val start = i
-        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
-        if (i == start) err("empty field name")
-        s.substring(start, i)
+      if (peek == '}') done = true // trailing comma tolerated
+      else {
+        first = false
+        val n = if (peek == '"') quoted() else {
+          val start = i
+          while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+          if (i == start) err("empty field name")
+          s.substring(start, i)
+        }
+        ws(); expect(':')
+        fs += (n -> value())
+        ws()
       }
-      ws(); expect(':')
-      fs += (n -> value())
-      ws()
     }
     expect('}')
     VRec(fs.result())
@@ -493,11 +497,15 @@ final class ZsonParser(s: String) {
     expect('[' ); ws()
     val out = Vector.newBuilder[ZValue]
     var first = true
-    while (peek != close) {
+    var done = false
+    while (!done && peek != close) {
       if (!first) { expect(','); ws() }
-      first = false
-      out += value()
-      ws()
+      if (peek == close) done = true // trailing comma tolerated
+      else {
+        first = false
+        out += value()
+        ws()
+      }
     }
     expect(close)
     out.result()
@@ -507,12 +515,16 @@ final class ZsonParser(s: String) {
     i += 2; ws() // consumed "|{"
     val es = Vector.newBuilder[(ZValue, ZValue)]
     var first = true
-    while (peek != '}') {
+    var done = false
+    while (!done && peek != '}') {
       if (!first) { expect(','); ws() }
-      first = false
-      val k = value(); ws(); expect(':')
-      val v = value(); ws()
-      es += (k -> v)
+      if (peek == '}') done = true // trailing comma tolerated
+      else {
+        first = false
+        val k = value(); ws(); expect(':')
+        val v = value(); ws()
+        es += (k -> v)
+      }
     }
     expect('}'); expect('|')
     VMap(es.result())
