@@ -523,8 +523,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     // an arg that resolves nowhere aggregates nothing — typed null keeps
     // avg/sum analyzable (zed: missing inputs are ignored by aggs)
     val base = a.arg.map {
-      case p: Expr.Path if p.parts.nonEmpty && dtypeOf(df, p).isEmpty &&
-          !isVariantExpr(df, p) =>
+      case p: Expr.Path if p.parts.nonEmpty &&
+          ((dtypeOf(df, p).isEmpty && !isVariantExpr(df, p)) || zedNullPath(df, p)) =>
         lit(null).cast(DoubleType)
       case e => expr(df, e)
     }
@@ -887,8 +887,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       }
 
     case Expr.Index(inner: Expr.Path, _) if inner.parts.nonEmpty &&
-        dtypeOf(df, inner).isEmpty && !isVariantExpr(df, inner) =>
-      lit(null) // index into a missing value
+        ((dtypeOf(df, inner).isEmpty && !isVariantExpr(df, inner)) ||
+          zedNullPath(df, inner)) =>
+      lit(null) // index into a missing or null-typed value
     case Expr.Index(inner, Expr.StringLit(k)) if !isVariantExpr(df, inner) =>
       expr(df, inner).getItem(k)
     case Expr.Index(inner, idx) =>
@@ -943,17 +944,42 @@ final class Compiler(spark: SparkSession, dir: String) {
       struct(ordered.toSeq.map { case (n, c) => c.as(n) }: _*)
 
     case Expr.ArrayLit(items) =>
-      if (items.exists { case Expr.Call("__spread", _) => true; case _ => false })
-        concat(items.map {
-          case Expr.Call("__spread", Seq(se)) => expr(df, se)
-          case e2 => array(expr(df, e2))
-        }: _*)
+      if (items.exists { case Expr.Call("__spread", _) => true; case _ => false }) {
+        val parts = items.map {
+          case Expr.Call("__spread", Seq(se)) => (expr(df, se), true)
+          case e2 => (array(expr(df, e2)), false)
+        }
+        val dts = parts.map { case (c, _) =>
+          try df.select(c).schema.head.dataType catch { case _: Exception => NullType }
+        }
+        if (dts.distinct.length <= 1) concat(parts.map(_._1): _*)
+        else
+          // mixed element types across spreads → zed forms a union
+          concat(parts.zip(dts).map {
+            case ((c, _), ArrayType(et, _)) if !isVariant(et) =>
+              transform(c, x => graft.operators.Het.variant(x, et))
+            case ((c, _), _) => c
+          }: _*)
+      }
       else array(items.map(expr(df, _)): _*)
   }
 
   /** Path operand whose presence varies across shapes (its output form is
     * a variant gated on the tag).
     */
+  /** Path whose zed type is null in EVERY shape (a typed-null column —
+    * relationally a string, but ops must treat it as null).
+    */
+  private def zedNullPath(df: DataFrame, e: Expr): Boolean = e match {
+    case Expr.Path(parts) if parts.nonEmpty =>
+      val shapes = shapesOf(df)
+      shapes.nonEmpty && {
+        val ts = shapes.flatMap(s => pathIn(s._2, parts)).map(graft.sources.ZType.strip)
+        ts.nonEmpty && ts.forall(_ == graft.sources.ZType.Prim("null"))
+      }
+    case _ => false
+  }
+
   private def pathMixed(df: DataFrame, e: Expr): Boolean = e match {
     case Expr.Path(parts) if parts.nonEmpty =>
       val shapes = shapesOf(df)
@@ -1008,11 +1034,31 @@ final class Compiler(spark: SparkSession, dir: String) {
         return graft.operators.Het.errorValue(lit("\"incompatible types\""))
     }
     // time-literal vs ns-long column: compare in the ns domain
-    val (lc, rc) = (l, r) match {
+    val (lc0, rc0) = (l, r) match {
       case (t: Expr.TimeLit, _) => (timeOperand(df, r, t), expr(df, r))
       case (_, t: Expr.TimeLit) => (expr(df, l), timeOperand(df, l, t))
       case _ => (expr(df, l), expr(df, r))
     }
+    // time ± duration stays in the time domain (expr/eval.go coerceTime):
+    // timestamps shift by the duration's ns
+    def dtQ(c: Column): DataType =
+      try df.select(c).schema.head.dataType catch { case _: Exception => NullType }
+    val (lc, rc) = if (Set("+", "-")(op)) (dtQ(lc0), dtQ(rc0)) match {
+      case (TimestampType, LongType) =>
+        (unix_micros(lc0) * 1000L, rc0) // operate in ns, rebuild below
+      case (LongType, TimestampType) => (lc0, unix_micros(rc0) * 1000L)
+      case _ => (lc0, rc0)
+    } else (lc0, rc0)
+    val timeResult = Set("+", "-")(op) &&
+      ((dtQ(lc0) == TimestampType && dtQ(rc0) == LongType) ||
+        (dtQ(lc0) == LongType && dtQ(rc0) == TimestampType))
+    if (timeResult) {
+      val ns = if (op == "+") lc + rc else lc - rc
+      return timestamp_micros(Bridge.intDiv(ns, lit(1000L)))
+    }
+    // time - time is a duration in ns
+    if (op == "-" && dtQ(lc0) == TimestampType && dtQ(rc0) == TimestampType)
+      return (unix_micros(lc0) - unix_micros(rc0)) * 1000L
     // zed cross-type comparison returns false, not an error
     // (expressions.md "Comparisons": 1 > "a" → false); fold at plan time
     def crossType: Boolean = (dtypeOf(df, l), dtypeOf(df, r)) match {
@@ -1695,9 +1741,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "__concat" => concat(args.map(x => expr(df, x).cast("string")): _*)
 
       // slice `a[lo:hi]` — 0-based, end-exclusive, negative from end
-      case "__slice" if dtypeOf(df, args.head).isEmpty &&
-          args.head.isInstanceOf[Expr.Path] =>
-        lit(null) // slice of a missing value
+      case "__slice" if args.head.isInstanceOf[Expr.Path] &&
+          (dtypeOf(df, args.head).isEmpty || zedNullPath(df, args.head)) =>
+        lit(null) // slice of a missing or null-typed value
       case "__slice" =>
         val arr = a(0)
         val sz = size(arr)
