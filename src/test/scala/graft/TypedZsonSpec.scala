@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{ZsonIO, ZsonReader, ZsonParser, ZValue, ZType}
+import graft.operators.Het
+
+/** Typed ZSON ingestion and the heterogeneous value model: the 100 TB
+  * contract is that HOMOGENEOUS data stays fully native (no variant
+  * boxing, plain Catalyst columns) while genuinely mixed shapes get
+  * variants + the shape tag, and error values flow to the writer.
+  */
+class TypedZsonSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("single-shape streams decode to native columns (fast path)") {
+    val df = ZsonReader.fromText(spark,
+      """{a:1,s:"x",t:2024-01-01T00:00:00Z}
+        |{a:2,s:"y",t:2024-01-02T00:00:00Z}""".stripMargin)
+    val dataFields = df.schema.fields.filterNot(_.name == Het.typeTag)
+    assert(dataFields.map(_.dataType).toSeq == Seq(LongType, StringType, TimestampType))
+    assert(!dataFields.exists(f => ZsonIO.isVariantType(f.dataType)))
+    // a filter on the native column is an ordinary Catalyst predicate
+    assert(df.filter(col("a") > 1).count() == 1)
+  }
+
+  test("conflicting field types become ONE variant column, others stay native") {
+    val df = ZsonReader.fromText(spark, "{a:1,b:2}\n{a:\"one\",b:3}")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(ZsonIO.isVariantType(byName("a")))
+    assert(byName("b") == LongType)
+    // cross-type sort: numbers before strings (CompareTypes kind order)
+    val sorted = df.orderBy(Het.compareKey(col("a"))).select("b").collect().map(_.getLong(0))
+    assert(sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("union decorators, errors and typed nulls round-trip the writer") {
+    val df = ZsonReader.fromText(spark,
+      """{v:1((int64,string))}
+        |{v:"x"((int64,string))}
+        |{v:error("missing")((int64,string,error(string)))}""".stripMargin)
+    val out = ZsonIO.toZson(df).collect().toSet
+    assert(out.contains("{v:1}"))
+    assert(out.contains("{v:\"x\"}"))
+    assert(out.contains("{v:error(\"missing\")}"))
+  }
+
+  test("per-shape output: each row re-emits in its own shape") {
+    val df = ZsonReader.fromText(spark, "\"bare\"\n{s:\"rec\"}")
+    val out = ZsonIO.toZson(df).collect().toSet
+    assert(out == Set("\"bare\"", "{s:\"rec\"}"))
+  }
+
+  test("shape tag drives has/missing/typeof per row through the language") {
+    val df = ZsonReader.fromText(spark, "{x:1}\n{y:2}")
+    val got = ZsonIO.toZson(
+      graft.lang.Graft.queryOn(df, "yield {hx:has(x), t:typeof(this)}")).collect().toSet
+    assert(got == Set(
+      "{hx:true,t:\"{x:int64}\"}",
+      "{hx:false,t:\"{y:int64}\"}"))
+  }
+
+  test("missing field in an output position is the error value") {
+    val df = ZsonReader.fromText(spark, "{x:1}\n{y:2}")
+    val got = ZsonIO.toZson(graft.lang.Graft.queryOn(df, "yield x")).collect().toSet
+    assert(got == Set("1", "error(\"missing\")"))
+  }
+
+  test("zson parser handles sets, maps, durations, named types, trailing commas") {
+    val vs = ZsonParser.parseAll(
+      "|[3,1,2,1]|\n|{\"k\":1,}|\n1h30m\n1076(port=uint16)\n{a:1,}")
+    assert(vs.length == 5)
+    assert(ZValue.zsonText(vs(0)) == "|[1,2,3]|") // deduped + ordered
+    assert(ZValue.zsonText(vs(2)) == "5400s")
+    assert(ZType.fullText(ZValue.typeOf(vs(3))) == "port=uint16")
+  }
+}
