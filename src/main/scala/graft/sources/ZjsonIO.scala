@@ -146,8 +146,39 @@ object ZjsonIO extends Serializable {
           case "string" => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           case _ => s // numbers, bools, times are already ZSON-formed
         }
+      case "union" =>
+        // value is ["<member index>", <member value>] (zjson.md unions)
+        val sel = v.get(0).asText().toInt
+        val member = t.get("types").get(sel)
+        s"${toZson(member, v.get(1))}(${typeText(t)})"
+      case "named" => toZson(t.get("type"), v)
+      case "error" => s"error(${toZson(t.get("type"), v)})"
+      case "enum" => "%" + v.asText()
       case other => throw new IllegalArgumentException(s"zjson: kind $other")
     }
+  }
+
+  /** zed type text of a zjson type node (for union decorators). */
+  private def typeText(t: JsonNode): String = t.get("kind").asText() match {
+    case "primitive" => t.get("name").asText()
+    case "record" =>
+      val fs = t.get("fields")
+      (0 until fs.size()).map { i =>
+        val f = fs.get(i)
+        s"${f.get("name").asText()}:${typeText(f.get("type"))}"
+      }.mkString("{", ",", "}")
+    case "array" => s"[${typeText(t.get("type"))}]"
+    case "set" => s"|[${typeText(t.get("type"))}]|"
+    case "map" => s"|{${typeText(t.get("key_type"))}:${typeText(t.get("val_type"))}}|"
+    case "union" =>
+      val ts = t.get("types")
+      (0 until ts.size()).map(i => typeText(ts.get(i))).mkString("(", ",", ")")
+    case "named" => s"${t.get("name").asText()}=${typeText(t.get("type"))}"
+    case "error" => s"error(${typeText(t.get("type"))})"
+    case "enum" =>
+      val ss = t.get("symbols")
+      (0 until ss.size()).map(i => ss.get(i).asText()).mkString("enum(", ",", ")")
+    case _ => "string"
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -162,6 +193,12 @@ object ZjsonIO extends Serializable {
           val fs = t.get("fields")
           (0 until fs.size()).foreach(i => register(fs.get(i).get("type")))
         }
+        if (t.has("types")) { // union members
+          val ts = t.get("types")
+          (0 until ts.size()).foreach(i => register(ts.get(i)))
+        }
+        if (t.has("key_type")) register(t.get("key_type"))
+        if (t.has("val_type")) register(t.get("val_type"))
         if (t.has("type")) register(t.get("type"))
       }
       it.map { line =>
@@ -172,7 +209,13 @@ object ZjsonIO extends Serializable {
         toZson(t, node.get("value"))
       }
     }
-    val json = zson.map(ZsonIO.zsonLineToJson _)
-    spark.read.json(json)
+    // typed decode (unions → variants, shape tags); the JSON-inference
+    // path stays as the fallback for inputs the typed parser rejects
+    try ZsonReader.fromText(spark, zson.collect().mkString("\n"))
+    catch {
+      case _: Exception =>
+        val json = zson.map(ZsonIO.zsonLineToJson _)
+        spark.read.json(json)
+    }
   }
 }
