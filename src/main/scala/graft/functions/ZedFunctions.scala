@@ -240,14 +240,112 @@ object ZedFunctions {
     networkOf(ip, classful)
   }
 
+  // ---- full network_of with reference error payloads (function/ip.go) -------
+
+  private def parseIpBytes(s: String): Array[Byte] = {
+    if (s == null) return null
+    val v4 = s.matches("""\d{1,3}(\.\d{1,3}){3}""")
+    val v6 = s.contains(":") && s.matches("""[0-9a-fA-F:]+""")
+    if (!v4 && !v6) return null
+    try java.net.InetAddress.getByName(s).getAddress
+    catch { case _: Exception => null }
+  }
+
+  private def leadingOnes(b: Array[Byte]): Int = {
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      var bit = 7
+      while (bit >= 0) {
+        if (((b(i) >> bit) & 1) == 1) n += 1 else return n
+        bit -= 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  private def maskBytes(len: Int, bits: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    for (i <- out.indices) {
+      val keep = math.max(0, math.min(8, bits - i * 8))
+      out(i) = (if (keep == 0) 0 else (0xff << (8 - keep)) & 0xff).toByte
+    }
+    out
+  }
+
+  /** Canonical text of an address (compressed ipv6, like the reference). */
+  private def ipText(b: Array[Byte]): String =
+    if (b.length == 4) b.map(_ & 0xff).mkString(".")
+    else {
+      val groups = b.grouped(2).map(p => ((p(0) & 0xff) << 8) | (p(1) & 0xff)).toArray
+      // longest zero run → "::" (RFC 5952)
+      var best = -1; var bestLen = 0; var i = 0
+      while (i < 8) {
+        if (groups(i) == 0) {
+          var j = i; while (j < 8 && groups(j) == 0) j += 1
+          if (j - i > bestLen) { best = i; bestLen = j - i }; i = j
+        } else i += 1
+      }
+      if (bestLen < 2) groups.map(g => Integer.toHexString(g)).mkString(":")
+      else {
+        val l = groups.take(best).map(g => Integer.toHexString(g)).mkString(":")
+        val r = groups.drop(best + bestLen).map(g => Integer.toHexString(g)).mkString(":")
+        l + "::" + r
+      }
+    }
+
+  /** zed network_of with mask-arg dispatch and the reference's error
+    * payloads (function/ip.go NetworkOf). `kind` is "none" | "int" |
+    * "ip" | "string"; returns (net, errZson) — exactly one non-null.
+    */
+  private[graft] def networkOfZed(ipS: String, mask: String, kind: String): (String, String) = {
+    def err(msg: String, on: String) = (null: String, s"""{message:"$msg",on:$on}""")
+    val addr = parseIpBytes(ipS)
+    if (addr == null)
+      return err("network_of: not an IP", if (ipS == null) "null" else "\"" + ipS + "\"")
+    def prefix(bits: Int): (String, String) = {
+      val m = maskBytes(addr.length, bits)
+      val net = addr.zip(m).map { case (a, b) => (a & b).toByte }
+      (ipText(net) + "/" + bits, null)
+    }
+    kind match {
+      case "none" =>
+        if (addr.length != 4) err("network_of: not an IPv4 address", ipS)
+        else {
+          val b0 = addr(0) & 0xff
+          prefix(if (b0 < 0x80) 8 else if (b0 < 0xc0) 16 else 24)
+        }
+      case "int" =>
+        val bits = try mask.toDouble.toInt catch { case _: Exception => -1 }
+        if (bits < 0 || bits > 128 || (bits > 32 && addr.length == 4))
+          err("network_of: CIDR bit count out of range", s"{address:$ipS,mask:$mask}")
+        else prefix(bits)
+      case "ip" =>
+        val mb = parseIpBytes(mask)
+        if (mb == null) err("network_of: bad arg for CIDR mask", "\"" + mask + "\"")
+        else if (mb.length != addr.length)
+          err("network_of: address and mask have different lengths",
+            s"{address:$ipS,mask:$mask}")
+        else {
+          val bits = leadingOnes(mb)
+          if (!maskBytes(mb.length, bits).sameElements(mb))
+            err("network_of: mask is non-contiguous", mask)
+          else prefix(bits)
+        }
+      case _ => err("network_of: bad arg for CIDR mask",
+        if (mask == null) "null" else "\"" + mask + "\"")
+    }
+  }
+
   // ---- misc (reference coalesce.go, len.go, compare.go) ----------------------
   // coalesce is the built-in; len: use size() for arrays/maps and length()
   // for strings (dispatch at plan time by the column's type).
 
-  /** zed `compare(a, b)` → -1/0/1 (nulls sort last, like zed's nullsMax). */
-  def compareVals(a: Column, b: Column): Column =
+  /** zed `compare(a, b[, nullsMax])` → -1/0/1 (nullsMax defaults true). */
+  def compareVals(a: Column, b: Column, nullsMax: Boolean = true): Column =
     when(a.isNull && b.isNull, 0)
-      .when(a.isNull, 1)
-      .when(b.isNull, -1)
+      .when(a.isNull, if (nullsMax) 1 else -1)
+      .when(b.isNull, if (nullsMax) -1 else 1)
       .when(a < b, -1).when(a > b, 1).otherwise(0)
 }

@@ -90,6 +90,78 @@ object ZvOps {
 
   def len(v: Column): Column = lenU(Het.render(v))
 
+  /** Full zed len() over a variant value (function/len.go): strings by
+    * UTF-8 bytes, bytes by size, ip 4/16, net 8/32, containers by entry
+    * count, types recursively (union → alternatives, record → fields),
+    * errors → error({message:"len()",on:…}).
+    */
+  private val lenZedU = udf((k: java.lang.Integer, s: String, t: String, z: String) => {
+    def typeLen(ty: ZType): Long = ZType.strip(ty) match {
+      case ZType.Rec(fs) => fs.length.toLong
+      case ZType.Union(alts) => alts.length.toLong
+      case ZType.Arr(e) => typeLen(e)
+      case ZType.SetT(e) => typeLen(e)
+      case ZType.MapT(_, _) => 2L
+      case _ => 1L
+    }
+    def int(n: Long) = zvOf(ZValue.VInt(n, "int64"))
+    if (k == null) int(0L)
+    else if (k == 5) {
+      val on: ZValue =
+        if (z == null) ZValue.VNull(ZType.ErrT(ZType.Prim("null")))
+        else ZValue.VErr(parse(z).getOrElse(ZValue.VStr(z)))
+      zvOf(ZValue.VErr(ZValue.VRec(Vector(
+        "message" -> ZValue.VStr("len()"), "on" -> on))))
+    } else if (t == "string") int(if (s == null) 0L else s.getBytes("UTF-8").length.toLong)
+    else if (t == "bytes") int(if (s == null) 0L else (s.length - 2L) / 2L)
+    else if (t == "ip") int(if (s == null) 0L else if (s.contains(":")) 16L else 4L)
+    else if (t == "net") int(if (s == null) 0L else if (s.contains(":")) 32L else 8L)
+    else if (t == "type") {
+      if (s == null) int(0L)
+      else int(try typeLen(ZsonParser.parseType(s)) catch { case _: Exception => 1L })
+    } else if (z != null) parse(z).flatMap(v => ZValue.unwrap(v) match {
+      case ZValue.VArr(items, _) => int(items.length.toLong)
+      case ZValue.VMap(es) => int(es.length.toLong)
+      case ZValue.VRec(fs) => int(fs.length.toLong)
+      case _ => int(0L)
+    }).orElse(int(0L))
+    else if (k == 0 || k == 1 || k == 3) zvOf(ZValue.VErr(ZValue.VRec(Vector(
+      "message" -> ZValue.VStr("len()"),
+      "on" -> ZValue.VStr(Option(s).getOrElse(""))))))
+    else int(0L) // typed null container
+  })
+
+  def lenZed(v: Column): Column =
+    lenZedU(v.getField("k"), v.getField("s"), v.getField("t"), v.getField("z"))
+
+  /** fields(<type-text>) — the leaf paths of a record type as ZSON text
+    * ([["r","a"],["s"]]); null for non-record types (→ error("missing")).
+    */
+  private val typePathsU = udf((typeText: String) => {
+    if (typeText == null) Option.empty[String]
+    else try {
+      def paths(ty: ZType, prefix: Vector[String]): Vector[Vector[String]] =
+        ZType.strip(ty) match {
+          case ZType.Rec(fs) => fs.toVector.flatMap { case (n, ft) =>
+            ZType.strip(ft) match {
+              case _: ZType.Rec => paths(ft, prefix :+ n)
+              case _ => Vector(prefix :+ n)
+            }
+          }
+          case _ => Vector.empty
+        }
+      ZType.strip(ZsonParser.parseType(typeText)) match {
+        case r: ZType.Rec =>
+          val ps = paths(r, Vector.empty)
+          Some(ps.map(_.map(x => "\"" + x + "\"").mkString("[", ",", "]"))
+            .mkString("[", ",", "]"))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  })
+
+  def typePaths(typeText: Column): Column = typePathsU(typeText)
+
   /** Unary minus over a boxed number (expr/eval.go unary '-'). */
   private val negU = udf((text: String) => {
     if (text == null) None
@@ -119,6 +191,37 @@ object ZvOps {
   })
 
   def elems(v: Column): Column = elemsU(Het.render(v))
+
+  /** zed join(s, sep) over boxed values (function/string.go Join): s must
+    * be an array (null string elements join as ""), sep must be a string.
+    */
+  private val joinZedU = udf((sZ: String, sepZ: String) => {
+    import ZValue._
+    def err(msg: String, on: ZValue) = zvOf(VErr(VRec(Vector(
+      "message" -> VStr(msg), "on" -> on))))
+    val sV = Option(sZ).flatMap(parse).map(unwrap)
+    val sepV = Option(sepZ).flatMap(parse).map(unwrap)
+    sepV match {
+      case Some(v) if !v.isInstanceOf[VStr] && !v.isInstanceOf[VNull] =>
+        err("join: separator must be string", v)
+      case _ => sV match {
+        case Some(VArr(items, _)) =>
+          val sep = sepV match { case Some(VStr(x)) => x; case _ => "" }
+          val parts = items.map(e => unwrap(e) match {
+            case VStr(x) => x
+            case VNull(_) => ""
+            case other => zsonText(other)
+          })
+          zvOf(VStr(parts.mkString(sep)))
+        case Some(other) => err("join: array of string arg required", other)
+        case None => err("join: array of string arg required",
+          VNull(ZType.Prim("null")))
+      }
+    }
+  })
+
+  def joinZed(s: Column, sep: Column): Column =
+    joinZedU(Het.render(s), Het.render(sep))
 
   /** Variant → native string (zed string() cast semantics for scalars). */
   def asText(v: Column): Column =

@@ -334,8 +334,17 @@ final class Compiler(spark: SparkSession, dir: String) {
             }: _*))
           case Seq(e) =>
             // a single non-record yield emits the bare VALUE (yield.go);
-            // it is carried as `this` so downstream stages address it
-            Seq(df.select(outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty)))
+            // it is carried as `this` so downstream stages address it.
+            // error("quiet") values vanish from the stream (writers drop
+            // them in the reference; the quiet ztests pin this)
+            val out = df.select(outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty))
+            val isVar = isVariant(out.schema.head.dataType)
+            val filtered =
+              if (isVar) out.filter(col("this").isNull ||
+                !(graft.operators.Het.isError(col("this")) &&
+                  col("this").getField("z") === lit("\"quiet\"")))
+              else out
+            Seq(filtered)
           case many =>
             // N exprs per input value, left-to-right (yield.go:1-47);
             // mixed result types box into variants (zed forms a union)
@@ -1170,16 +1179,41 @@ final class Compiler(spark: SparkSession, dir: String) {
     stringGuarded.get(fn) match {
       case Some(msg) if args.exists(e => isVariantExpr(df, e)) =>
         val het = graft.operators.Het
-        val vars = args.collect { case e if isVariantExpr(df, e) => expr(df, e) }
-        val allStr = vars.map(c => c.isNotNull && c.getField("k") === 2).reduce(_ && _)
-        val firstBad = vars
-          .map(c => when(c.isNull || c.getField("k") =!= 2, het.render(c)))
+        // outExpr: a missing field reaches the function as error("missing")
+        // (complex.go:28-40), so the error payload echoes it
+        val argCols = args.map { e =>
+          val c = outExpr(df, e)
+          val isVar = isVariantExpr(df, e) ||
+            (try isVariant(df.select(c).schema.head.dataType)
+             catch { case _: Exception => false })
+          (c, isVar)
+        }
+        def strOk(p: (Column, Boolean)): Column =
+          if (p._2) p._1.isNotNull && p._1.getField("k") === 2 else lit(true)
+        def sOf(p: (Column, Boolean)): Column =
+          if (p._2) p._1.getField("s") else p._1.cast(StringType)
+        val allStr = argCols.map(strOk).reduce(_ && _)
+        val anyNull = argCols.map(p => strOk(p) && sOf(p).isNull).reduce(_ || _)
+        val firstBad = argCols.collect { case (c, true) =>
+            when(c.isNull || c.getField("k") =!= 2, het.render(c)) }
           .reduce((a, b) => coalesce(a, b))
         val base = callBase(df, fn, args)
         val baseDt =
           try df.select(base).schema.head.dataType catch { case _: Exception => StringType }
         val payload = concat(lit(s"""{message:"$msg",on:"""), firstBad, lit("}"))
-        return when(allStr, het.variant(base, baseDt))
+        // null-arg policy varies per function (function/string.go): the
+        // to-lower family passes typed string nulls through, replace makes
+        // a string error, levenshtein coerces null to "", split yields a
+        // typed null array
+        val nullResult: Column = fn match {
+          case "replace" => het.errorValue(lit("\"replace: an input arg is null\""))
+          case "levenshtein" => het.variant(
+            levenshtein(coalesce(sOf(argCols(0)), lit("")),
+                        coalesce(sOf(argCols(1)), lit(""))).cast(LongType), LongType)
+          case _ => lit(null).cast(het.variantType)
+        }
+        return when(allStr && anyNull, nullResult)
+          .when(allStr, het.variant(base, baseDt))
           .otherwise(het.errorValue(payload))
       case _ =>
     }
@@ -1220,44 +1254,99 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "trim" => trim(a(0))
       case "replace" => replace(a(0), a(1), a(2))
       case "split" => args(1) match {
+        // empty separator splits between every char with no trailing empty
+        // (Go strings.Split semantics, function/string.go)
+        case Expr.StringLit("") => split(a(0), "(?!^)(?=.)")
         case Expr.StringLit(sep) => split(a(0), java.util.regex.Pattern.quote(sep))
         case _ => // column separator: \Q..\E-quote it dynamically
-          call_function("split", a(0), concat(lit("\\Q"), a(1), lit("\\E")))
+          when(a(1) === "", split(a(0), "(?!^)(?=.)"))
+            .otherwise(call_function("split", a(0), concat(lit("\\Q"), a(1), lit("\\E"))))
       }
       case "join" =>
-        // join of a typed-null array is "" (function/join.go on null sets)
-        coalesce(F.joinStr(a(0), if (args.length > 1) litStr(1) else ""), lit(""))
+        // full reference dispatch (function/string.go Join): s must be an
+        // array (null string elements join as ""), sep must be a string
+        val hetJ = graft.operators.Het
+        val sVar = isVariantExpr(df, args(0))
+        val sepVar = args.length > 1 && isVariantExpr(df, args(1))
+        val sDt = dtypeOf(df, args(0))
+        if (sVar || sepVar) {
+          val sB = if (sVar) expr(df, args(0))
+                   else hetJ.variant(expr(df, args(0)), sDt.getOrElse(StringType))
+          val sepB = if (args.length <= 1) lit(null).cast(hetJ.variantType)
+                     else if (sepVar) expr(df, args(1))
+                     else hetJ.variant(expr(df, args(1)),
+                       dtypeOf(df, args(1)).getOrElse(StringType))
+          graft.functions.ZvOps.joinZed(sB, sepB)
+        } else sDt match {
+          case Some(ArrayType(_, _)) =>
+            val sep: Column = if (args.length > 1) a(1).cast(StringType) else lit("")
+            coalesce(call_function("array_join", a(0), sep, lit("")), lit(""))
+          case _ =>
+            hetJ.errorValue(concat(
+              lit("{message:\"join: array of string arg required\",on:"),
+              zsonTextOf(df, args.head), lit("}")))
+        }
       case "rune_len" => F.runeLen(a(0))
       case "levenshtein" => levenshtein(a(0), a(1))
 
       // regexp (function/regexp.go)
       case "regexp" =>
         args.head match {
-          case Expr.StringLit(re) => F.regexpMatch(re, a(1))
+          case Expr.StringLit(re) if graft.functions.GoRe.goError(re).isEmpty =>
+            F.regexpMatch(graft.functions.GoRe.toJavaPattern(re), a(1))
+          case Expr.StringLit(re) =>
+            graft.operators.Het.errorValue(
+              lit(graft.sources.ZValue.zsonText(graft.sources.ZValue.VStr(
+                s"regexp: ${graft.functions.GoRe.goError(re).get}"))))
           case _ => // runtime pattern → row-level match (function/regexp.go)
-            val u = udf((re: String, s: String) =>
-              if (re == null || s == null) null
-              else try {
-                val m = java.util.regex.Pattern.compile(re).matcher(s)
-                if (m.find()) (0 to m.groupCount).map(g => Option(m.group(g)).getOrElse(""))
-                else null
-              } catch { case _: Exception => null })
-            u(a(0), a(1))
+            graft.functions.GoRe.regexpMatch(a(0), a(1))
         }
       case "regexp_replace" =>
-        (args(1), args(2)) match {
-          case (Expr.StringLit(re), Expr.StringLit(nw)) => regexp_replace(a(0), re, nw)
-          case _ =>
-            val u = udf((s: String, re: String, nw: String) =>
-              if (s == null || re == null || nw == null) null
-              else try s.replaceAll(re, nw) catch { case _: Exception => null })
-            u(a(0), a(1), a(2))
+        val het = graft.operators.Het
+        val anyVariant = args.exists(e => isVariantExpr(df, e))
+        if (anyVariant) {
+          val cs = args.map(e => (expr(df, e), isVariantExpr(df, e)))
+          def strOk(p: (Column, Boolean)) =
+            if (p._2) p._1.isNull || p._1.getField("k") === 2 else lit(true)
+          def sOf(p: (Column, Boolean)) =
+            if (p._2) p._1.getField("s") else p._1.cast(StringType)
+          val allStr = cs.map(strOk).reduce(_ && _)
+          val firstBad = cs.collect { case (c, true) =>
+              when(c.isNotNull && c.getField("k") =!= 2, het.render(c)) }
+            .reduce((x, y) => coalesce(x, y))
+          when(allStr, graft.functions.GoRe.regexpReplace(sOf(cs(0)), sOf(cs(1)), sOf(cs(2))))
+            .otherwise(het.errorValue(concat(
+              lit("{message:\"regexp_replace: string arg required\",on:"),
+              firstBad, lit("}"))))
+        } else (args(1), args(2)) match {
+          case (Expr.StringLit(re), Expr.StringLit(nw))
+              if graft.functions.GoRe.goError(re).isEmpty =>
+            regexp_replace(a(0), graft.functions.GoRe.toJavaPattern(re),
+              graft.functions.GoRe.toJavaReplacement(nw))
+          case _ => graft.functions.GoRe.regexpReplace(a(0), a(1), a(2))
         }
       case "bytes" => a(0).cast(BinaryType) // utf-8 bytes of the text
       case "under" =>
-        // strip named/union wrapping (function/under.go) — the relational
-        // value IS the underlying value
-        expr(df, args.head)
+        // strip named/union/error wrapping (function/under.go): an error's
+        // underlying value is its payload, a named type drops its name
+        val c = expr(df, args.head)
+        if (isVariantExpr(df, args.head)) {
+          val het = graft.operators.Het
+          val z = c.getField("z")
+          val payloadStr = z.startsWith("\"") // quoted string payload
+          val unquoted = regexp_replace(
+            regexp_replace(z.substr(lit(2), length(z) - 2), "\\\\\"", "\""),
+            "\\\\\\\\", "\\\\")
+          when(het.isError(c) && z.isNull, lit(null).cast(het.variantType))
+            .when(het.isError(c) && payloadStr, struct(
+              lit(2).as("k"), lit(null).cast(DoubleType).as("n"),
+              unquoted.as("s"), lit(null).cast(BooleanType).as("b"),
+              lit("string").as("t"), lit(null).cast(StringType).as("z")))
+            .when(het.isError(c), c.withField("k", lit(4))
+              .withField("t", regexp_replace(c.getField("t"), "^error\\(", "")))
+            .otherwise(c.withField("t",
+              regexp_replace(c.getField("t"), "^[A-Za-z_][A-Za-z0-9_.]*=", "")))
+        } else c
       case "typeunder" =>
         val shapes = shapesOf(df)
         val zt = graft.sources.ZType
@@ -1313,7 +1402,7 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "now" => current_timestamp()
       case "strftime" =>
         args.head match {
-          case Expr.StringLit(_) =>
+          case Expr.StringLit(_) if !isVariantExpr(df, args(1)) =>
             if (dtypeOf(df, args(1)).contains(LongType)) F.strftimeNs(litStr(0), a(1))
             else F.strftime(litStr(0), a(1))
           case _ => // runtime format string → row-level formatting
@@ -1327,10 +1416,47 @@ final class Compiler(spark: SparkSession, dir: String) {
                     Math.floorDiv(micros.longValue, 1000000L),
                     Math.floorMod(micros.longValue, 1000000L) * 1000L))
               } catch { case _: Exception => null })
-            val micros =
-              if (dtypeOf(df, args(1)).contains(LongType)) Bridge.intDiv(a(1), lit(1000L))
-              else unix_micros(a(1))
-            u(a(0), micros)
+            val fVar = isVariantExpr(df, args(0))
+            val vVar = isVariantExpr(df, args(1))
+            val fC = expr(df, args(0))
+            val vC = expr(df, args(1))
+            if (!fVar && !vVar) {
+              val micros =
+                if (dtypeOf(df, args(1)).contains(LongType)) Bridge.intDiv(a(1), lit(1000L))
+                else unix_micros(a(1))
+              u(a(0), micros)
+            } else {
+              // variant args: exact reference dispatch (function/time.go
+              // Strftime): non-string format / non-time value / bad
+              // directive each yield a structured error
+              val het = graft.operators.Het
+              val fmtS = if (fVar) fC.getField("s") else fC.cast(StringType)
+              val fmtOk = if (fVar) fC.isNotNull && fC.getField("k") === 2 else lit(true)
+              val timeOk = if (vVar) vC.isNotNull && vC.getField("k") === 1 else lit(true)
+              val timeNull = if (vVar) timeOk && vC.getField("n").isNull else vC.isNull
+              val micros = if (vVar) (vC.getField("n") * 1e6).cast(LongType)
+                           else unix_micros(vC)
+              // first directive not in the supported set (lestrrat
+              // specification set in the reference)
+              val badDir = udf((fmt: String) =>
+                if (fmt == null) null
+                else try { F.strftimeToJava(fmt); null }
+                catch { case e: IllegalArgumentException =>
+                  val c = e.getMessage.replace("strftime: unsupported %", "")
+                  s"%$c" })
+              val bd = badDir(fmtS)
+              when(!fmtOk, het.errorValue(concat(
+                  lit("{message:\"strftime: string value required for format arg\",on:"),
+                  (if (fVar) het.render(fC) else fmtS), lit("}"))))
+                .when(!timeOk, het.errorValue(concat(
+                  lit("{message:\"strftime: time value required for time arg\",on:"),
+                  (if (vVar) het.render(vC) else vC.cast(StringType)), lit("}"))))
+                .when(bd.isNotNull, het.errorValue(concat(
+                  lit("{message:\"strftime: failed to compile format: pattern compilation failed: lookup failed: '"),
+                  bd, lit("' was not found in specification set\",on:\""), fmtS, lit("\"}"))))
+                .when(timeNull, lit(null).cast(het.variantType))
+                .otherwise(het.variant(u(fmtS, micros), StringType))
+            }
         }
       case "bucket" =>
         args(1) match {
@@ -1369,31 +1495,113 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (s == null) null else graft.sources.ZsonIO.zsonLineToJson(s))
         from_json(toJson(a(0)), schema)
 
-      // bytes/encoding (function/bytes.go, ksuid.go)
-      case "hex" => hex(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
-      case "base64" => base64(if (isStringy(df, args(0))) a(0).cast("binary") else a(0))
+      // bytes/encoding (function/bytes.go, ksuid.go): string args DECODE
+      // (hex text → bytes, base64 text → bytes), bytes args ENCODE
+      case "hex" | "base64" =>
+        val het = graft.operators.Het
+        val validRe = if (fn == "hex") "^([0-9a-fA-F]{2})*$"
+                      else "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+        val badMsg = if (fn == "hex") "hex: string argument is not hexidecimal"
+                     else "base64: string argument is not base64"
+        def bytesVariant(hexText: Column): Column = struct(
+          lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
+          concat(lit("0x"), lower(hexText)).as("s"),
+          lit(null).cast(BooleanType).as("b"), lit("bytes").as("t"),
+          lit(null).cast(StringType).as("z"))
+        def decode(s: Column): Column =
+          if (fn == "hex") s else hex(unbase64(s))
+        def encode(hexDigits: Column): Column = // bytes (as 0x-less hex) → text
+          if (fn == "hex") lower(hexDigits) else base64(unhex(hexDigits))
+        if (isVariantExpr(df, args.head)) {
+          val c = expr(df, args.head)
+          val s = c.getField("s")
+          val isStr = c.isNotNull && c.getField("k") === 2
+          val isBytes = c.isNotNull && c.getField("t") === "bytes"
+          when(isStr && s.isNull, lit(null).cast(het.variantType))
+            .when(isStr && s.rlike(validRe), bytesVariant(decode(s)))
+            .when(isStr, het.errorValue(concat(
+              lit(s"""{message:"$badMsg",on:"""), het.render(c), lit("}"))))
+            .when(isBytes && s.isNull,
+              het.errorValue(lit(s""""$fn: illegal null argument"""")))
+            .when(isBytes, het.variant(encode(substring(s, 3, Int.MaxValue)), StringType))
+            .otherwise(het.errorValue(concat(
+              lit(s"""{message:"$badMsg",on:"""), het.render(c), lit("}"))))
+        } else if (isStringy(df, args(0))) {
+          // static string column: decode to bytes (null-through)
+          if (fn == "hex") unhex(a(0)) else unbase64(a(0))
+        } else {
+          // static binary column: encode to text
+          if (fn == "hex") lower(hex(a(0))) else base64(a(0))
+        }
       case "ksuid" =>
-        // K-sortable unique id: 32-bit seconds timestamp + 16 random bytes,
-        // base62 (reference function/ksuid.go). Row-wise id generation is
-        // inherently imperative — a UDF here matches the reference's cost.
-        val gen = udf(() => graft.functions.Ksuid.newId())
-        gen()
+        val het = graft.operators.Het
+        if (args.isEmpty) {
+          // K-sortable unique id: 4-byte timestamp + 16 random bytes
+          // (function/ksuid.go). Row-wise generation is inherently
+          // imperative — a UDF matches the reference's cost.
+          val gen = udf(() => graft.functions.Ksuid.newIdBytes())
+          gen()
+        } else if (isVariantExpr(df, args.head)) {
+          val c = expr(df, args.head)
+          val s = c.getField("s")
+          val isStr = c.isNotNull && c.getField("k") === 2
+          val isBytes = c.isNotNull && c.getField("t") === "bytes"
+          val dec = udf((txt: String) => graft.functions.Ksuid.decodeHex(txt))
+          val enc = udf((hx: String) => graft.functions.Ksuid.encodeHex(hx))
+          def bytesVariant(hexText: Column): Column = struct(
+            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
+            concat(lit("0x"), lower(hexText)).as("s"),
+            lit(null).cast(BooleanType).as("b"), lit("bytes").as("t"),
+            lit(null).cast(StringType).as("z"))
+          when(isBytes && s.isNull,
+              het.errorValue(lit("\"ksuid: illegal null argument\"")))
+            .when(isBytes, het.variant(enc(substring(s, 3, Int.MaxValue)), StringType))
+            .when(isStr && (s.isNull || length(s) =!= 27), het.errorValue(concat(
+              lit("{message:\"ksuid: Valid encoded KSUIDs are 27 characters\",on:"),
+              het.render(c), lit("}"))))
+            .when(isStr, bytesVariant(dec(s)))
+            .otherwise(het.errorValue(concat(
+              lit("{message:\"ksuid: argument must a bytes or string type\",on:"),
+              het.render(c), lit("}"))))
+        } else if (isStringy(df, args.head)) {
+          val dec = udf((txt: String) => graft.functions.Ksuid.decodeHex(txt))
+          unhex(dec(a(0)))
+        } else {
+          val enc = udf((hx: String) => graft.functions.Ksuid.encodeHex(hx))
+          enc(lower(hex(a(0))))
+        }
 
       // network (function/ip.go)
       case "cidr_match" => F.cidrMatch(a(0), a(1))
       case "network_of" =>
-        if (args.length > 1) F.networkOf(a(0), a(1))
-        else {
-          // classful inference is IPv4-only — IPv6 yields the reference's
-          // error value (function/networkof.go)
-          val het = graft.operators.Het
-          val ip = a(0)
-          when(ip.rlike("""^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"""),
-            het.variant(F.networkOf(ip), StringType))
-            .otherwise(het.errorValue(concat(
-              lit("{message:\"network_of: not an IPv4 address\",on:"),
-              ip, lit("}"))))
+        // full reference dispatch (function/ip.go NetworkOf): classful
+        // IPv4 default, int-bits / ip-mask second arg, error payloads
+        val het = graft.operators.Het
+        val netOfU = udf((ip: String, mask: String, kind: String) =>
+          graft.functions.ZedFunctions.networkOfZed(ip, mask, kind))
+        val ipC = a(0).cast(StringType)
+        val (maskC, kindC): (Column, Column) = if (args.length <= 1)
+          (lit(null).cast(StringType), lit("none"))
+        else args(1) match {
+          case Expr.IntLit(_) => (a(1).cast(StringType), lit("int"))
+          case _ =>
+            val c = a(1)
+            dtypeOf(df, args(1)) match {
+              case Some(LongType) | Some(IntegerType) | Some(DoubleType) =>
+                (c.cast(StringType), lit("int"))
+              case _ =>
+                val t = c.cast(StringType)
+                (t, when(t.rlike("""^\d{1,3}(\.\d{1,3}){3}$""") ||
+                         (t.contains(":") && t.rlike("""^[0-9a-fA-F:]+$""")),
+                    lit("ip")).otherwise(lit("string")))
+            }
         }
+        val res = netOfU(ipC, maskC, kindC)
+        when(res.getField("_2").isNotNull, het.errorValue(res.getField("_2")))
+          .otherwise(struct(
+            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
+            res.getField("_1").as("s"), lit(null).cast(BooleanType).as("b"),
+            lit("net").as("t"), lit(null).cast(StringType).as("z")))
 
       // type introspection (function/types.go) — static over the schema,
       // per-row via the shape tag / variant t on heterogeneous frames
@@ -1416,23 +1624,68 @@ final class Compiler(spark: SparkSession, dir: String) {
         case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
       }
       case "kind" =>
-        // per-row when the subject is union-typed (function/kind.go)
-        val subjVariant = isVariantExpr(df, args.head)
-        if (subjVariant) {
-          val v = expr(df, args.head)
+        // kind classifies the value's type (function/kind.go); the shape
+        // tag carries union/error/named info the variant encoding loses,
+        // so Path subjects dispatch per shape. Type VALUES classify their
+        // referent type (kind(<{s:string}>) = "record") at runtime.
+        val zt = graft.sources.ZType
+        def classifyT(t: graft.sources.ZType): Option[String] = zt.strip(t) match {
+          case _: zt.Rec => Some("record")
+          case _: zt.Arr => Some("array")
+          case _: zt.SetT => Some("set")
+          case _: zt.MapT => Some("map")
+          case _: zt.Union => Some("union")
+          case _: zt.EnumT => Some("enum")
+          case _: zt.ErrT => Some("error")
+          case zt.Prim("type") => None // classify the type value itself
+          case _ => Some("primitive")
+        }
+        val classifyTypeVal = udf((text: String) =>
+          if (text == null) "primitive"
+          else try classifyT(graft.sources.ZsonParser.parseType(text)).getOrElse("primitive")
+          catch { case _: Exception => "primitive" })
+        val kShapes = shapesOf(df)
+        def variantKind(v: Column): Column = {
           val t = v.getField("t")
           when(v.isNull, lit("primitive"))
             .when(v.getField("k") === 5, lit("error"))
+            .when(t === "type", classifyTypeVal(v.getField("s")))
+            .when(t.startsWith("("), lit("union"))
             .when(v.getField("k") <= 3, lit("primitive"))
             .when(t.startsWith("|["), lit("set"))
             .when(t.startsWith("|{"), lit("map"))
             .when(t.startsWith("["), lit("array"))
             .when(t.startsWith("{"), lit("record"))
             .when(t.startsWith("enum"), lit("enum"))
-            .when(t.startsWith("("), lit("union"))
             .otherwise(lit("primitive"))
-        } else args.head match {
+        }
+        args.head match {
+          case Expr.Path(parts) if kShapes.nonEmpty =>
+            val pairs = kShapes.flatMap { case (tag, st) =>
+              (if (parts.isEmpty) Some(st) else pathIn(st, parts)).map(tag -> _)
+            }
+            val carrier: Option[Column] =
+              if (parts.isEmpty)
+                df.schema.fields.find(_.name == "this").map(_ => col("this"))
+              else df.schema.fields.find(_.name == parts.head).map(_ =>
+                col(parts.mkString(".")))
+            val carrierVar = carrier.exists(c =>
+              try isVariant(df.select(c).schema.head.dataType)
+              catch { case _: Exception => false })
+            if (pairs.isEmpty) lit("primitive")
+            else pairs.foldLeft(lit("primitive")) { case (acc, (tag, t)) =>
+              val k: Column = classifyT(t) match {
+                case Some(s) => lit(s)
+                case None =>
+                  if (carrierVar) classifyTypeVal(carrier.get.getField("s"))
+                  else carrier.map(c => classifyTypeVal(c.cast(StringType)))
+                    .getOrElse(lit("primitive"))
+              }
+              when(col(graft.operators.Het.typeTag) === tag, k).otherwise(acc)
+            }
           case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
+          case Expr.Path(_) => lit("record")
+          case e if isVariantExpr(df, e) => variantKind(expr(df, e))
           case _ => lit("record")
         }
       case "has" => args.map {
@@ -1491,7 +1744,16 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (isVariantExpr(df, args.head))
           graft.operators.Het.isError(expr(df, args.head))
         else lit(false)
-      case "quiet" => a(0)
+      case "quiet" =>
+        // quiet(x): error("missing") becomes error("quiet"), which writers
+        // drop (function/quiet.go); named error types pass through
+        val c = a(0)
+        if (isVariantExpr(df, args.head)) {
+          val het = graft.operators.Het
+          val isMissing = het.isError(c) && c.getField("z") === lit("\"missing\"") &&
+            c.getField("t") === lit("error(string)")
+          when(isMissing, het.errQuiet).otherwise(c)
+        } else c
       case "__instar" =>
         // `x in *` — x appears anywhere in the record (search-expressions)
         val v = a(0).cast(StringType)
@@ -1529,7 +1791,36 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
       case "error" =>
         graft.operators.Het.errorValue(zsonTextOf(df, args.head))
-      case "fields" => Shaper.fieldsOf(df)
+      case "fields" =>
+        // fields(this): per-row when shapes differ — record shapes give
+        // static path lists, type VALUES give their type's paths, anything
+        // else error("missing") (function/fields.go)
+        val fShapes = shapesOf(df)
+        val hetF = graft.operators.Het
+        if (args.headOption.forall(_ == Expr.Path(Seq.empty)) && fShapes.nonEmpty) {
+          val zt = graft.sources.ZType
+          val thisVar = df.schema.fields.find(_.name == "this").exists(f => isVariant(f.dataType))
+          def thisText(want: String): Column =
+            if (!df.columns.contains("this")) lit(null).cast(StringType)
+            else if (thisVar) (if (want == "type") col("this").getField("s")
+                               else col("this").getField("t"))
+            else col("this").cast(StringType)
+          val typeText = fShapes.foldLeft(lit(null).cast(StringType)) { case (acc, (tag, st)) =>
+            val tt: Column = zt.strip(st) match {
+              case _: zt.Rec => lit(tag)
+              case zt.Prim("type") => thisText("type")
+              case _: zt.Union => thisText("union")
+              case _ => lit(null).cast(StringType)
+            }
+            when(col(hetF.typeTag) === tag, tt).otherwise(acc)
+          }
+          val paths = graft.functions.ZvOps.typePaths(typeText)
+          when(paths.isNotNull, struct(lit(4).as("k"),
+              lit(null).cast(DoubleType).as("n"), lit(null).cast(StringType).as("s"),
+              lit(null).cast(BooleanType).as("b"), lit("[[string]]").as("t"),
+              paths.as("z")))
+            .otherwise(hetF.errMissing)
+        } else Shaper.fieldsOf(df)
       case "flatten" => Shaper.flattenCol(df)
 
       // shaper functions (runtime/sam/expr/shaper.go Cast/Crop/Fill/Order)
@@ -1573,12 +1864,18 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       // misc (coalesce.go, len.go, compare.go, cast.go)
       case "coalesce" =>
-        // zed coalesce skips nulls AND error values (function/coalesce.go)
+        // zed coalesce skips nulls (incl. typed nulls), error("missing")
+        // and error("quiet") (function/coalesce.go)
         coalesce(args.map { e =>
           val c = expr(df, e)
-          if (isVariantExpr(df, e))
-            when(graft.operators.Het.isError(c), lit(null)).otherwise(c)
-          else c
+          if (isVariantExpr(df, e)) {
+            val het = graft.operators.Het
+            val skipErr = het.isError(c) &&
+              c.getField("z").isin("\"missing\"", "\"quiet\"")
+            val typedNull = c.getField("n").isNull && c.getField("s").isNull &&
+              c.getField("b").isNull && c.getField("z").isNull
+            when(skipErr || typedNull, lit(null)).otherwise(c)
+          } else c
         }: _*)
       case "len" =>
         // zed len is TYPE-dependent (function/len.go): strings by bytes,
@@ -1588,6 +1885,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         val c0 = a(0)
         val varCol =
           try isVariant(df.select(c0).schema.head.dataType) catch { case _: Exception => false }
+        if (varCol) return graft.functions.ZvOps.lenZed(c0)
         // scalar text of the subject for the per-shape dispatch
         val cTxt = if (varCol) coalesce(c0.getField("s"), c0.getField("z")) else c0.cast(StringType)
         def lenFor(t: graft.sources.ZType): Column = zt.strip(t) match {
@@ -1610,7 +1908,30 @@ final class Compiler(spark: SparkSession, dir: String) {
             val pairs = shapes0.flatMap { case (tag, st) =>
               (if (parts.isEmpty) Some(st) else pathIn(st, parts)).map(tag -> _)
             }
+            // the carrier of bare (non-record) values: for `this` the frame
+            // keeps bare shapes in a `this` column, which is variant when
+            // shapes mix — per-shape record arity is static, everything
+            // else dispatches on the variant value itself (function/len.go)
+            val carrier: Option[Column] =
+              if (parts.isEmpty)
+                df.schema.fields.find(_.name == "this").map(_ => col("this"))
+              else df.schema.fields.find(_.name == parts.head).map(_ =>
+                col(parts.mkString(".")))
+            val carrierVar = carrier.exists(c =>
+              try isVariant(df.select(c).schema.head.dataType)
+              catch { case _: Exception => false })
             if (pairs.isEmpty) None
+            else if (carrierVar) {
+              val het = graft.operators.Het
+              Some(pairs.foldLeft(graft.functions.ZvOps.lenZed(carrier.get)) {
+                case (acc, (tag, t)) => zt.strip(t) match {
+                  case zt.Rec(fs) =>
+                    when(col(het.typeTag) === tag,
+                      het.variant(lit(fs.length.toLong), LongType)).otherwise(acc)
+                  case _ => acc
+                }
+              })
+            }
             else if (pairs.map(p => zt.strip(p._2)).distinct.length == 1)
               Some(lenFor(pairs.head._2))
             else Some(pairs.foldLeft(lit(null).cast(LongType)) { case (acc, (tag, t)) =>
@@ -1621,21 +1942,35 @@ final class Compiler(spark: SparkSession, dir: String) {
         perShape.getOrElse(dtypeOf(df, args.head) match {
           case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
           case Some(StringType) => length(a(0))
+          case Some(BinaryType) => length(a(0)) // byte count
           case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
           case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
           case Some(st: StructType) => lit(st.fields.length)
           case _ => length(a(0).cast("string"))
         })
       case "compare" =>
-        if (isVariantExpr(df, args(0)) || isVariantExpr(df, args(1))) {
-          val het = graft.operators.Het
-          def vk(i: Int): Column = {
-            val c = expr(df, args(i))
-            if (isVariantExpr(df, args(i))) het.compareKey(c)
-            else het.compareKey(het.variant(c, dtypeOf(df, args(i)).getOrElse(StringType)))
-          }
-          F.compareVals(vk(0), vk(1))
-        } else F.compareVals(a(0), a(1))
+        // optional third arg: nullsMax (must be a bool — compare.go)
+        val nullsMaxOpt: Either[Expr, Boolean] = args.lift(2) match {
+          case None => Right(true)
+          case Some(Expr.BoolLit(b)) => Right(b)
+          case Some(other) => Left(other)
+        }
+        nullsMaxOpt match {
+          case Left(bad) =>
+            graft.operators.Het.errorValue(concat(
+              lit("{message:\"compare: nullsMax arg is not bool\",on:"),
+              zsonTextOf(df, bad), lit("}")))
+          case Right(nm) =>
+            if (isVariantExpr(df, args(0)) || isVariantExpr(df, args(1))) {
+              val het = graft.operators.Het
+              def vk(i: Int): Column = {
+                val c = expr(df, args(i))
+                if (isVariantExpr(df, args(i))) het.compareKey(c)
+                else het.compareKey(het.variant(c, dtypeOf(df, args(i)).getOrElse(StringType)))
+              }
+              F.compareVals(vk(0), vk(1), nm)
+            } else F.compareVals(a(0), a(1), nm)
+        }
       case "cast" =>
         // single-arg form casts `this` (shaper.md: cast(<type>))
         val subject =

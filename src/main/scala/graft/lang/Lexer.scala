@@ -48,13 +48,41 @@ object Lexer {
       case _ => false
     }
 
+  /** Longest prefix of `input` from `i` that is an IPv6 address/CIDR
+    * literal (must contain `::` — full 8-group forms are left to the type
+    * parser; the `::` requirement keeps `{a:1}` record syntax unambiguous).
+    */
+  private def ip6Prefix(input: String, i: Int): Option[String] = {
+    var j = i
+    val n = input.length
+    while (j < n && (input.charAt(j).isDigit || input.charAt(j) == ':' ||
+      "abcdefABCDEF".indexOf(input.charAt(j)) >= 0)) j += 1
+    var cand = input.substring(i, j)
+    if (!cand.contains("::") || cand.contains(":::") ||
+        cand.indexOf("::") != cand.lastIndexOf("::")) return None
+    if (!cand.split(":", -1).forall(g => g.length <= 4 &&
+        g.forall(ch => ch.isDigit || "abcdefABCDEF".indexOf(ch) >= 0))) return None
+    // optional /prefix for net literals
+    if (j < n && input.charAt(j) == '/' && j + 1 < n && input.charAt(j + 1).isDigit) {
+      var k = j + 1
+      while (k < n && input.charAt(k).isDigit) k += 1
+      cand = input.substring(i, k)
+    }
+    Some(cand)
+  }
+
   def lex(input: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
     var i = 0
     val n = input.length
     while (i < n) {
       val c = input.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
+      val ip6 = if (c == ':' || c.isDigit || "abcdefABCDEF".indexOf(c) >= 0)
+                  ip6Prefix(input, i) else None
+      if (ip6.isDefined) {
+        out += Token(STR, ip6.get, i); i += ip6.get.length
+      }
+      else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
       else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/') {
         while (i < n && input.charAt(i) != '\n') i += 1
       } else if (c == '"' || c == '\'') {

@@ -266,7 +266,13 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "summarize" => next(); parseSummarize()
       case "anti" | "inner" | "left" | "right" if peekAt(1).text == "join" =>
         val style = next().text; expect("join"); parseJoin(style)
-      case "join" => next(); parseJoin("inner")
+      case "join" =>
+        // `join(` is ambiguous with the string function join(s, sep) —
+        // try the operator form, backtrack to an implied expression stage
+        // on failure (semantic/op.go resolves the same way)
+        val mark = pos
+        try { next(); parseJoin("inner") }
+        catch { case _: Exception => pos = mark; parseImplied() }
       case "fork" => next(); parseFork()
       case "switch" => next(); parseSwitch()
       case "merge" => next(); Stage.Merge(parseSortKeys())

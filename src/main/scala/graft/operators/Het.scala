@@ -187,6 +187,7 @@ object Het {
       .when(v.getField("k") === 2, strText)
       .when(v.getField("k") === 3, v.getField("b").cast(StringType))
       .when(t.startsWith("enum"), concat(lit("%"), v.getField("s")))
+      .when(t === "type", concat(lit("<"), v.getField("s"), lit(">")))
       .otherwise(coalesce(v.getField("z"), v.getField("s")))
   }
 

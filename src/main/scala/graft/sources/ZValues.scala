@@ -278,8 +278,13 @@ object ZValue {
         case ZType.Prim("time") => Row(1, null, null, null, "time", null)
         case ZType.Prim("string") => Row(2, null, null, null, "string", null)
         case ZType.Prim("bool") => Row(3, null, null, null, "bool", null)
+        // a null of error type keeps the error kind with no payload
+        case e: ZType.ErrT => Row(5, null, null, null, ZType.text(e), null)
         case other => Row(4, null, null, null, ZType.text(other), null)
       }
+      // error(null) is the typed null of type error(null), not an error
+      // carrying a null payload (complex.go TypeError)
+      case VErr(VNull(_)) => Row(5, null, null, null, tText, null)
       case VInt(n, t) => Row(0, n.toDouble, null, null, t, null)
       case VUint64(n) => Row(0, n.toDouble, null, null, "uint64", null)
       case VFloat(d, t) => Row(0, d, null, null, t, null)
@@ -305,7 +310,7 @@ object ZValue {
     */
   def toExternal(v0: ZValue, target: DataType): Any = {
     val v = unwrap(v0)
-    if (target == Het.variantType && !v.isInstanceOf[VNull]) return variantRow(v)
+    if (target == Het.variantType) return variantRow(v)
     v match {
       case VNull(_) => null
       case VInt(n, _) => target match {

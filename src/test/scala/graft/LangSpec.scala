@@ -235,11 +235,16 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
   }
 
-  test("ksuid() yields unique 27-char k-sortable ids") {
+  test("ksuid() yields unique 20-byte k-sortable ids; ksuid(bytes) encodes base62") {
+    // ksuid() returns the raw 20-byte id (function/ksuid.go); the base62
+    // text form comes from encoding those bytes
     val ids = run("from nation | yield {id: ksuid()} | head 25")
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(ids.length == 25 && ids.map(_.toSeq).distinct.length == 25)
+    assert(ids.forall(_.length == 20))
+    val encoded = run("from nation | yield {id: ksuid(ksuid())} | head 5")
       .collect().map(_.getString(0))
-    assert(ids.length == 25 && ids.distinct.length == 25)
-    assert(ids.forall(_.length == 27))
+    assert(encoded.forall(_.length == 27))
   }
 
   test("rename moves a nested field in place") {

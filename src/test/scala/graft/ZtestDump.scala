@@ -8,9 +8,11 @@ package graft
 object ZtestDump {
   def main(args: Array[String]): Unit = {
     val outPath = if (args.nonEmpty) args(0) else "/tmp/ztest_dump.txt"
+    val filter = if (args.length > 1) args(1) else ""
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val cases = ZtestHarness.extractCases()
+      .filter(c => filter.isEmpty || c.file.contains(filter))
     val sb = new StringBuilder
     var pass, parseFail, execFail, wrong = 0
     for (c <- cases) {
