@@ -748,8 +748,10 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("c_custkey", IntegerType),
         StructField("c_extra", StringType)))
+      // shape keeps extra input fields (shaper.go:40); compose with crop
+      // for the fixed relational contract the oracle pins
       ZedOps.sort(
-        Shaper.shapeTo(t(s, dir, "customer"), target),
+        Shaper.cropTo(Shaper.shapeTo(t(s, dir, "customer"), target), target),
         col("c_custkey") -> true)
     },
       Some("""SELECT c_name, CAST(c_custkey AS INT) AS c_custkey,

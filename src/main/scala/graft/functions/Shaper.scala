@@ -159,7 +159,9 @@ object Shaper {
       order: Boolean = false)
 
   object ShapeFlags {
-    val shape: ShapeFlags = ShapeFlags(cast = true, crop = true, fill = true, order = true)
+    // shape = cast + fill + order, NOT crop (shaper.go NewShaperTransform:40
+    // — extra input fields are kept, appended after the target's)
+    val shape: ShapeFlags = ShapeFlags(cast = true, fill = true, order = true)
   }
 
   /** Reshape a frame toward a target record type:

@@ -242,6 +242,9 @@ object ZedFunctions {
 
   // ---- full network_of with reference error payloads (function/ip.go) -------
 
+  /** Is the text a valid v4/v6 address? (shared by the typed ip caster) */
+  def isIpText(s: String): Boolean = parseIpBytes(s) != null
+
   private def parseIpBytes(s: String): Array[Byte] = {
     if (s == null) return null
     val v4 = s.matches("""\d{1,3}(\.\d{1,3}){3}""")

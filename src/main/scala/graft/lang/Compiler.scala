@@ -657,6 +657,77 @@ final class Compiler(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Typed shaper call over a tagged frame (ZShaper): per-row zed type
+    * drives an exact ZValue-level reshape; subject travels as zson text
+    * (the ZvOps interchange pattern), result is a variant whose z text
+    * re-renders with full fidelity. Engages only on tagged streams —
+    * relational frames keep the codegen'd Shaper.reshape path.
+    */
+  private def typedShaperCol(
+      df: DataFrame, fname: String, args: Seq[Expr]): Option[Column] = {
+    val shapes = shapesOf(df)
+    if (shapes.isEmpty) return None
+    val het = graft.operators.Het
+    val tf = graft.functions.ZShaper.flagsOf(fname)
+    val subjectE: Expr =
+      if (args.length > 1) args.head else Expr.Path(Seq.empty)
+    val (subjText, inTypeCol) = subjectE match {
+      case Expr.Path(Seq()) =>
+        val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+          f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+        val stc = struct(dataFields.map(f => col(s"`${f.name}`").as(f.name)): _*)
+        (graft.sources.ZsonIO.zsonOf(stc, StructType(dataFields)), col(het.typeTag))
+      case e =>
+        val c = expr(df, e)
+        val dt = dtypeOf(df, e).getOrElse(
+          try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+        val fallback: Column = lit(Shaper.zedTypeOf(dt))
+        val tcol = e match {
+          case Expr.Path(parts) if parts.nonEmpty =>
+            shapes.foldLeft(fallback) { case (acc, (t, st)) =>
+              pathIn(st, parts).map(ft =>
+                when(col(het.typeTag) === t,
+                  lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
+              ).getOrElse(acc)
+            }
+          case _ => fallback
+        }
+        (graft.sources.ZsonIO.zsonOf(c, dt), tcol)
+    }
+    // named types defined only by the DATA (input typedefs like `(=person)`)
+    // resolve from the shape tags — the program's own typedefs were already
+    // expanded by the parser
+    lazy val namedFromShapes: Map[String, graft.sources.ZType] = {
+      val acc = scala.collection.mutable.Map.empty[String, graft.sources.ZType]
+      def walk(t: graft.sources.ZType): Unit = t match {
+        case n @ graft.sources.ZType.Named(name, i) => acc(name) = n; walk(i)
+        case graft.sources.ZType.Rec(fs) => fs.foreach(f => walk(f._2))
+        case graft.sources.ZType.Arr(e) => walk(e)
+        case graft.sources.ZType.SetT(e) => walk(e)
+        case graft.sources.ZType.MapT(k, v) => walk(k); walk(v)
+        case graft.sources.ZType.Union(alts) => alts.foreach(walk)
+        case graft.sources.ZType.ErrT(i) => walk(i)
+        case _ =>
+      }
+      shapes.foreach { case (_, st) => walk(st) }
+      acc.toMap
+    }
+    val targetCol: Column = args.last match {
+      case Expr.StringLit(t)
+          if t.matches("[A-Za-z_][A-Za-z0-9_]*") && namedFromShapes.contains(t) =>
+        lit(graft.sources.ZType.fullText(namedFromShapes(t)))
+      case Expr.StringLit(t) => lit(t)
+      case e =>
+        val c = expr(df, e)
+        if (isVariantExpr(df, e))
+          when(c.getField("t") === "type", c.getField("s"))
+            .when(c.getField("k") === 2, concat(lit("="), c.getField("s")))
+            .otherwise(lit(null).cast(StringType))
+        else concat(lit("="), c.cast(StringType)) // plain string: named-type cast
+    }
+    Some(graft.functions.ZShaper.shaperUdf(tf)(subjText, inTypeCol, targetCol))
+  }
+
   private def isVariant(dt: DataType): Boolean = graft.sources.ZsonIO.isVariantType(dt)
 
   /** Does this expression evaluate to a variant column on df? */
@@ -1824,7 +1895,10 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "flatten" => Shaper.flattenCol(df)
 
       // shaper functions (runtime/sam/expr/shaper.go Cast/Crop/Fill/Order)
-      case f @ ("shape" | "crop" | "fill" | "order") =>
+      case f @ ("shape" | "crop" | "fill" | "order" | "fit")
+          if typedShaperCol(df, f, args).isDefined =>
+        typedShaperCol(df, f, args).get
+      case f @ ("shape" | "crop" | "fill" | "order" | "fit") =>
         val target = Shaper.parseZedType(litStr(args.length - 1)) match {
           case Some(st: StructType) => st
           case other => throw new IllegalArgumentException(
@@ -1834,6 +1908,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           case "shape" => Shaper.ShapeFlags.shape
           case "crop" => Shaper.ShapeFlags(crop = true)
           case "fill" => Shaper.ShapeFlags(fill = true)
+          case "fit" => Shaper.ShapeFlags(crop = true, fill = true)
           case "order" => Shaper.ShapeFlags(order = true)
         }
         val (srcType, parent) =
@@ -1971,6 +2046,8 @@ final class Compiler(spark: SparkSession, dir: String) {
               F.compareVals(vk(0), vk(1), nm)
             } else F.compareVals(a(0), a(1), nm)
         }
+      case "cast" if typedShaperCol(df, "cast", args).isDefined =>
+        typedShaperCol(df, "cast", args).get
       case "cast" =>
         // single-arg form casts `this` (shaper.md: cast(<type>))
         val subject =
@@ -2022,6 +2099,14 @@ final class Compiler(spark: SparkSession, dir: String) {
               .otherwise(lit(null).cast(BooleanType))
           case _ => c.cast(BooleanType)
         }
+      // type-name constructors are casts (semantic/expr.go): on tagged
+      // streams they run the typed caster for exact zed semantics
+      // (ns time domain, range-checked ints, error({message,on}) wraps)
+      case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"
+          | "uint32" | "uint64" | "float16" | "float32" | "float64" | "string"
+          | "time" | "duration" | "ip" | "net" | "bytes" | "type")
+          if typedShaperCol(df, "cast", Seq(args.head, Expr.StringLit(t))).isDefined =>
+        typedShaperCol(df, "cast", Seq(args.head, Expr.StringLit(t))).get
       case t @ ("int8" | "int16" | "int32" | "int64" | "uint8" | "uint16"
           | "uint32" | "uint64" | "float32" | "float64" | "string") =>
         a(0).cast(zedTypeToDdl(t))
@@ -2048,7 +2133,12 @@ final class Compiler(spark: SparkSession, dir: String) {
         struct(build(dataFields.map(f =>
           (f.name.split('.').toList, col(s"`${f.name}`")))): _*)
 
-      case "__getfield" => a(0).getField(litStr(1))
+      case "__getfield" =>
+        // field access after an index/call: a variant base resolves
+        // row-level (union-deref: r[0].a where r is a union array)
+        if (isVariantExpr(df, args.head))
+          graft.functions.ZvOps.get(expr(df, args.head), litStr(1))
+        else a(0).getField(litStr(1))
 
       // set literal: dedup + sorted on construction (SURVEY §1.4)
       case "__setlit" =>

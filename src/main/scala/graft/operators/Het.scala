@@ -166,14 +166,15 @@ object Het {
     val t = v.getField("t")
     val n = v.getField("n")
     val isFloat = t.startsWith("float") || t === "decimal"
+    // exact text rides in z for durations, ns-times and >2^53 integers
     val numText =
-      when(t === "duration" && v.getField("z").isNotNull, v.getField("z"))
+      when(v.getField("z").isNotNull, v.getField("z"))
         .when(isFloat && n === floor(n) && abs(n) < 1e15,
           concat(n.cast(LongType).cast(StringType), lit(".")))
         .when(!isFloat && n === floor(n), n.cast(LongType).cast(StringType))
         .otherwise(n.cast(StringType))
-    val timeText = date_format(
-      timestamp_seconds(n), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    val timeText = coalesce(v.getField("z"), date_format(
+      timestamp_seconds(n), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
     val strText = concat(lit("\""),
       regexp_replace(regexp_replace(v.getField("s"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
       lit("\""))

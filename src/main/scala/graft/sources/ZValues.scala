@@ -78,16 +78,9 @@ object ZType {
     case (x, y) if x == y => x
     case (Prim("null"), y) => y
     case (x, Prim("null")) => x
-    case (Rec(fa), Rec(fb)) =>
-      val names = (fa.map(_._1) ++ fb.map(_._1)).distinct
-      Rec(names.map { n =>
-        (fa.find(_._1 == n).map(_._2), fb.find(_._1 == n).map(_._2)) match {
-          case (Some(x), Some(y)) => n -> unify(x, y)
-          case (Some(x), None) => n -> x
-          case (None, Some(y)) => n -> y
-          case _ => n -> nullT
-        }
-      }.toVector)
+    // zed containers never merge record types — distinct element types
+    // form a union (complex.go LookupTypeUnion); only identical types
+    // and untyped nulls collapse
     case (Arr(x), Arr(y)) => Arr(unify(x, y))
     case (SetT(x), SetT(y)) => SetT(unify(x, y))
     case (Union(xs), Union(ys)) => Union((xs ++ ys).distinct)
@@ -150,15 +143,171 @@ object ZValue {
 
   def unwrap(v: ZValue): ZValue = v match { case VTyped(i, _) => unwrap(i); case other => other }
 
-  /** zed set semantics: dedupe by (type, value) and store in canonical
-    * order (nulls first, then by text — mirrors the reference's
-    * byte-encoded normalization, zson.md §2.5.2).
+  /** zed set semantics: dedupe and store in canonical order. The
+    * reference sorts by the zcode tag-and-body BYTES (complex.go
+    * NormalizeSet:268-288): null (tag 0) first, then shorter encodings
+    * before longer (the tag is a length uvarint), then body bytes.
     */
-  def normSet(items: Vector[ZValue]): Vector[ZValue] =
-    items.map(v => ((ZType.fullText(typeOf(v)), zsonText(v)), v))
-      .distinctBy(_._1)
-      .sortBy { case ((_, txt), v) => (if (unwrap(v).isInstanceOf[VNull]) 1 else 0, txt) }
+  private val primIds: Map[String, Int] = Map(
+    "uint8" -> 0, "uint16" -> 1, "uint32" -> 2, "uint64" -> 3,
+    "int8" -> 6, "int16" -> 7, "int32" -> 8, "int64" -> 9,
+    "duration" -> 12, "time" -> 13, "float16" -> 14, "float32" -> 15,
+    "float64" -> 16, "decimal" -> 17, "bool" -> 23, "bytes" -> 24,
+    "string" -> 25, "ip" -> 26, "net" -> 27, "type" -> 28, "null" -> 29)
+
+  private def kindRank(t: ZType): Int = ZType.strip(t) match {
+    case ZType.Prim(_) => 0
+    case _: ZType.Rec => 1
+    case _: ZType.Arr => 2
+    case _: ZType.SetT => 3
+    case _: ZType.MapT => 4
+    case _: ZType.Union => 5
+    case _: ZType.EnumT => 6
+    case _: ZType.ErrT => 7
+  }
+
+  /** Approximation of the reference's total type order (type.go
+    * CompareTypes:396-477): kind first, then per-kind structure; a named
+    * type orders after its underlying type, two named types by name.
+    */
+  def compareZTypes(a: ZType, b: ZType): Int = {
+    if (ZType.strip(a) == ZType.strip(b)) (a, b) match {
+      case (ZType.Named(an, _), ZType.Named(bn, _)) => an.compareTo(bn)
+      case (ZType.Named(_, _), _) => 1
+      case (_, ZType.Named(_, _)) => -1
+      case _ => 0
+    } else {
+      val kc = Integer.compare(kindRank(a), kindRank(b))
+      if (kc != 0) kc
+      else (ZType.strip(a), ZType.strip(b)) match {
+        case (ZType.Prim(pa), ZType.Prim(pb)) =>
+          Integer.compare(primIds.getOrElse(pa, 99), primIds.getOrElse(pb, 99))
+        case (ZType.Rec(fa), ZType.Rec(fb)) =>
+          val nc = Integer.compare(fa.length, fb.length)
+          if (nc != 0) nc
+          else {
+            fa.zip(fb).foreach { case ((na, _), (nb, _)) =>
+              val c = na.compareTo(nb); if (c != 0) return c
+            }
+            fa.zip(fb).foreach { case ((_, ta), (_, tb)) =>
+              val c = compareZTypes(ta, tb); if (c != 0) return c
+            }
+            0
+          }
+        case (ZType.Arr(ea), ZType.Arr(eb)) => compareZTypes(ea, eb)
+        case (ZType.SetT(ea), ZType.SetT(eb)) => compareZTypes(ea, eb)
+        case (ZType.MapT(ka, va), ZType.MapT(kb, vb)) =>
+          val c = compareZTypes(ka, kb); if (c != 0) c else compareZTypes(va, vb)
+        case (ZType.Union(aa), ZType.Union(ab)) =>
+          val nc = Integer.compare(aa.length, ab.length)
+          if (nc != 0) nc
+          else aa.zip(ab).map { case (x, y) => compareZTypes(x, y) }.find(_ != 0).getOrElse(0)
+        case (ZType.EnumT(sa), ZType.EnumT(sb)) =>
+          val nc = Integer.compare(sa.length, sb.length)
+          if (nc != 0) nc
+          else sa.zip(sb).map { case (x, y) => x.compareTo(y) }.find(_ != 0).getOrElse(0)
+        case (ZType.ErrT(ia), ZType.ErrT(ib)) => compareZTypes(ia, ib)
+        case _ => 0
+      }
+    }
+  }
+
+  def normSet(items: Vector[ZValue]): Vector[ZValue] = {
+    // heterogeneous element types form a union: each element's stored
+    // encoding is [selector][value] with members in CompareTypes order,
+    // which changes the byte order the set normalization sorts by
+    val nonNullTypes = items.collect {
+      case v if !unwrap(v).isInstanceOf[VNull] => typeOf(v)
+    }.distinct
+    val members = nonNullTypes.sortWith((a, b) => compareZTypes(a, b) < 0)
+    def keyOf(v: ZValue): Array[Byte] =
+      if (members.length <= 1 || unwrap(v).isInstanceOf[VNull]) encKey(v)
+      else {
+        val sel = members.indexOf(typeOf(v)).max(0).toLong
+        val selBytes = ZngIO.signedBytes(sel)
+        val selTagged =
+          if (selBytes.isEmpty) Array[Byte](1)
+          else uvarintLE(selBytes.length + 1) ++ selBytes
+        val body = selTagged ++ encKey(v)
+        uvarintLE(body.length + 1) ++ body
+      }
+    val keyed = items.map(v => (keyOf(v), v))
+    val ord = new Ordering[Array[Byte]] {
+      def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    }
+    keyed.sortBy(_._1)(ord)
+      .distinctBy(k => k._1.toSeq)
       .map(_._2)
+  }
+
+  /** Approximate zcode tag-and-body encoding of a value, for set order. */
+  private def encKey(v0: ZValue): Array[Byte] = {
+    val v = unwrap(v0)
+    def uvarBytes(n0: BigInt): Array[Byte] = {
+      var n = n0
+      val buf = Array.newBuilder[Byte]
+      while (n != 0) { buf += (n & 0xff).toByte; n >>= 8 }
+      buf.result()
+    }
+    def ipBytes(s: String): Array[Byte] =
+      try {
+        if (s.matches("""[0-9a-fA-F:.]+"""))
+          java.net.InetAddress.getByName(s).getAddress
+        else s.getBytes("UTF-8")
+      } catch { case _: Exception => s.getBytes("UTF-8") }
+    def container(vs: Vector[ZValue]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      vs.foreach(x => out.write(encKey(x)))
+      out.toByteArray
+    }
+    val body: Array[Byte] = v match {
+      case VNull(_) => null
+      case VBool(b) => Array[Byte](if (b) 1 else 0)
+      case VInt(n, t) if t.startsWith("uint") => uvarBytes(BigInt(n))
+      case VInt(n, _) => ZngIO.signedBytes(n)
+      case VUint64(n) => uvarBytes(n.toBigInt)
+      case VFloat(d, _) =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        Array.tabulate(8)(i => ((bits >>> (8 * i)) & 0xff).toByte)
+      case VStr(s) => s.getBytes("UTF-8")
+      case VTime(ns) => ZngIO.signedBytes(ns)
+      case VDur(ns) => ZngIO.signedBytes(ns)
+      case VIp(s) => ipBytes(s)
+      case VNet(s) =>
+        val cut = s.lastIndexOf('/')
+        if (cut > 0) ipBytes(s.substring(0, cut)) ++ uvarBytes(BigInt(s.substring(cut + 1)))
+        else s.getBytes("UTF-8")
+      case VBytes(b) => b
+      case VEnum(sym) => sym.getBytes("UTF-8")
+      case VTypeVal(t) => t.getBytes("UTF-8")
+      case r: VRec => container(r.fields.map(_._2))
+      case VArr(elems, _) => container(elems)
+      case VMap(es) => container(es.flatMap { case (k, x) => Vector(k, x) })
+      case VErr(inner) => encKey(inner).drop(0) // error body = payload encoding
+      case VTyped(_, _) => null
+    }
+    if (body == null) Array[Byte](0)
+    else {
+      val tag = uvarintLE(body.length + 1)
+      tag ++ body
+    }
+  }
+
+  private def uvarintLE(n0: Long): Array[Byte] = {
+    var n = n0
+    val buf = Array.newBuilder[Byte]
+    while ((n & ~0x7fL) != 0) { buf += ((n & 0x7f) | 0x80).toByte; n >>>= 7 }
+    buf += n.toByte
+    buf.result()
+  }
 
   // ---- canonical ZSON text ---------------------------------------------------
 
@@ -285,8 +434,14 @@ object ZValue {
       // error(null) is the typed null of type error(null), not an error
       // carrying a null payload (complex.go TypeError)
       case VErr(VNull(_)) => Row(5, null, null, null, tText, null)
-      case VInt(n, t) => Row(0, n.toDouble, null, null, t, null)
-      case VUint64(n) => Row(0, n.toDouble, null, null, "uint64", null)
+      // numbers beyond double precision carry their exact text in z
+      // (the render path prefers z); times always do (ns fidelity)
+      case VInt(n, t) =>
+        Row(0, n.toDouble, null, null, t,
+          if (math.abs(n) > (1L << 53)) n.toString else null)
+      case VUint64(n) =>
+        Row(0, n.toDouble, null, null, "uint64",
+          if (n > BigDecimal(1L << 53)) n.toBigInt.toString else null)
       case VFloat(d, t) => Row(0, d, null, null, t, null)
       case VDur(ns) => Row(0, ns.toDouble / 1e9, null, null, "duration", durText(ns))
       case VTime(ns) => Row(1, ns.toDouble / 1e9, null, null, "time", timeText(ns))
@@ -367,6 +522,186 @@ object ZValue {
       case VErr(_) => zsonText(v) // only sensible into a string column
       case VTyped(_, _) => null
     }
+  }
+
+  /** Rebuild a typed value from a variant row {k,n,s,b,t,z} (the inverse
+    * of variantRow, up to float-second time precision in `n`).
+    */
+  def fromVariantRow(r: Row): ZValue = {
+    if (r == null) return VNull(ZType.Prim("null"))
+    def parsedT: Option[ZType] = {
+      val t = r.getAs[String]("t")
+      if (t == null) None
+      else try Some(new ZsonParser(t).parseTypeText()) catch { case _: Exception => None }
+    }
+    val n = r.getAs[Any]("n"); val s = r.getAs[String]("s")
+    val b = r.getAs[Any]("b"); val z = r.getAs[String]("z")
+    val k = r.getAs[Any]("k") match { case i: Int => i; case l: Long => l.toInt; case _ => 4 }
+    if (n == null && s == null && b == null && z == null)
+      return VNull(parsedT.getOrElse(ZType.Prim("null")))
+    val tName = Option(r.getAs[String]("t")).getOrElse("")
+    k match {
+      case 5 =>
+        val payload = try new ZsonParser(z).parseOne() catch { case _: Exception => VStr(z) }
+        VErr(payload)
+      case 0 =>
+        val d = n.asInstanceOf[Double]
+        tName match {
+          case "duration" =>
+            if (z != null)
+              VDur(graft.functions.ZShaper.parseDurNs(z).getOrElse(math.round(d * 1e9)))
+            else VDur(math.round(d * 1e9))
+          case t if t.startsWith("float") || t == "decimal" => VFloat(d, if (t == "decimal") "float64" else t)
+          case "uint64" =>
+            VUint64(if (z != null) BigDecimal(z) else BigDecimal(d))
+          case t if t.startsWith("int") || t.startsWith("uint") =>
+            VInt(if (z != null) z.toLong else d.toLong, t)
+          case _ => if (d == math.floor(d)) VInt(d.toLong, "int64") else VFloat(d, "float64")
+        }
+      case 1 =>
+        if (z != null)
+          try VTime(new ZsonParser(z).parseOne() match {
+            case VTime(ns) => ns
+            case _ => math.round(n.asInstanceOf[Double] * 1e9)
+          }) catch { case _: Exception => VTime(math.round(n.asInstanceOf[Double] * 1e9)) }
+        else VTime(math.round(n.asInstanceOf[Double] * 1e9))
+      case 2 => VStr(s)
+      case 3 => VBool(b.asInstanceOf[Boolean])
+      case _ =>
+        tName match {
+          case "ip" => VIp(s)
+          case "net" => VNet(s)
+          case "type" => VTypeVal(s)
+          case "bytes" if s != null && s.startsWith("0x") =>
+            VBytes(s.drop(2).sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+          case t if t.startsWith("enum") => VEnum(s)
+          case _ =>
+            val parsed = try Some(new ZsonParser(z).parseOne()) catch { case _: Exception => None }
+            (parsed, parsedT) match {
+              case (Some(p), Some(ty)) if ZType.text(typeOf(p)) != ZType.text(ty) => VTyped(p, ty)
+              case (Some(p), _) => p
+              case (None, ty) => VNull(ty.getOrElse(ZType.Prim("null")))
+            }
+        }
+    }
+  }
+
+  /** Convert a Spark external value back into a typed value, guided by
+    * the zed type (the inverse of toExternal; the DataType resolves the
+    * physical representation, the ZType restores zed fidelity — named
+    * types, uint widths, durations-as-longs, sets).
+    */
+  def fromExternal(v: Any, dt: DataType, zt: ZType): ZValue = {
+    val stripped = ZType.strip(zt)
+    def wrap(inner: ZValue): ZValue = zt match {
+      case n: ZType.Named => VTyped(unwrap(inner), n)
+      case _ => inner
+    }
+    if (v == null) return VNull(zt)
+    dt match {
+      case st: StructType if ZsonIO.isVariantType(st) =>
+        return fromVariantRow(v.asInstanceOf[Row])
+      case _ =>
+    }
+    val out: ZValue = (dt, stripped) match {
+      case (st: StructType, ZType.Rec(fs)) =>
+        val row = v.asInstanceOf[Row]
+        VRec(fs.map { case (fn, ft) =>
+          val idx = try st.fieldIndex(fn) catch { case _: Exception => -1 }
+          if (idx < 0 || row.isNullAt(idx)) fn -> VNull(ft)
+          else fn -> fromExternal(row.get(idx), st.fields(idx).dataType, ft)
+        })
+      case (st: StructType, _) =>
+        // no zed record type — derive from the Spark schema
+        val row = v.asInstanceOf[Row]
+        VRec(st.fields.toVector.zipWithIndex.map { case (f, idx) =>
+          val fzt = try new ZsonParser(graft.functions.Shaper.zedTypeOf(f.dataType)).parseTypeText()
+                    catch { case _: Exception => ZType.Prim("string") }
+          if (row.isNullAt(idx)) f.name -> VNull(fzt)
+          else f.name -> fromExternal(row.get(idx), f.dataType, fzt)
+        })
+      case (ArrayType(et, _), ZType.Arr(e)) =>
+        VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e)), false)
+      case (ArrayType(et, _), ZType.SetT(e)) =>
+        VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e)), true)
+      case (ArrayType(et, _), _) =>
+        VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x =>
+          fromExternal(x, et, ZType.Prim("string"))), false)
+      case (MapType(kt, vt, _), ZType.MapT(k2, v2)) =>
+        VMap(v.asInstanceOf[scala.collection.Map[Any, Any]].toVector.map { case (k, x) =>
+          (fromExternal(k, kt, k2), fromExternal(x, vt, v2)) })
+      case (_, ZType.Prim(p)) => primFromExternal(v, p)
+      case (_, e: ZType.EnumT) => v match {
+        case s: String => VTyped(VEnum(s), e)
+        case other => VStr(other.toString)
+      }
+      case (_, ZType.ErrT(_)) | (_, ZType.Union(_)) =>
+        // physical carrier is a string or variant; parse if possible
+        v match {
+          case s: String =>
+            try new ZsonParser(s).parseOne() catch { case _: Exception => VStr(s) }
+          case r: Row => fromVariantRow(r)
+          case other => primFromExternal(other, "string")
+        }
+      case _ => primFromExternal(v, guessPrim(v))
+    }
+    wrap(out)
+  }
+
+  private def guessPrim(v: Any): String = v match {
+    case _: Long | _: Int | _: Short | _: Byte => "int64"
+    case _: Double | _: Float => "float64"
+    case _: Boolean => "bool"
+    case _: java.sql.Timestamp | _: java.time.Instant => "time"
+    case _: Array[Byte] => "bytes"
+    case _ => "string"
+  }
+
+  private def primFromExternal(v: Any, p: String): ZValue = (v, p) match {
+    case (ts: java.sql.Timestamp, _) =>
+      VTime(ts.getTime / 1000 * 1000000000L + ts.getNanos)
+    case (i: java.time.Instant, _) => VTime(i.getEpochSecond * 1000000000L + i.getNano)
+    case (n: Long, "duration") => VDur(n)
+    case (n: Long, "time") => VTime(n)
+    case (s: String, "ip") => VIp(s)
+    case (s: String, "net") => VNet(s)
+    case (s: String, "type") => VTypeVal(s)
+    case (n: Long, t) if t.startsWith("int") || t.startsWith("uint") =>
+      if (t == "uint64") VUint64(BigDecimal(n)) else VInt(n, t)
+    case (n: Int, t) if t.startsWith("int") || t.startsWith("uint") => VInt(n.toLong, t)
+    case (d: java.math.BigDecimal, "uint64") => VUint64(BigDecimal(d))
+    case (d: java.math.BigDecimal, t) if t.startsWith("float") => VFloat(d.doubleValue, t)
+    case (d: java.math.BigDecimal, _) => VUint64(BigDecimal(d))
+    case (d: Double, t) if t.startsWith("float") => VFloat(d, t)
+    case (f: Float, t) if t.startsWith("float") => VFloat(f.toDouble, t)
+    case (d: Double, t) if t.startsWith("int") || t.startsWith("uint") =>
+      VInt(d.toLong, t)
+    case (b: Boolean, _) => VBool(b)
+    case (b: Array[Byte], _) => VBytes(b)
+    case (n: Long, _) => VInt(n, "int64")
+    case (n: Int, _) => VInt(n.toLong, "int64")
+    case (n: Short, _) => VInt(n.toLong, "int16")
+    case (n: Byte, _) => VInt(n.toLong, "int8")
+    case (d: Double, _) => VFloat(d, "float64")
+    case (s: String, "string") => VStr(s)
+    case (s: String, "bytes") =>
+      if (s.startsWith("0x"))
+        VBytes(s.drop(2).sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      else VBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (s: String, t) if t.startsWith("int") || t.startsWith("uint") ||
+        t.startsWith("float") || t == "duration" || t == "time" =>
+      // physical string for a numeric zed type (fused frames widen to string)
+      try {
+        t match {
+          case "duration" => VDur(s.toLong)
+          case "time" => VTime(s.toLong)
+          case "uint64" => VUint64(BigDecimal(s))
+          case x if x.startsWith("float") => VFloat(s.toDouble, x)
+          case x => VInt(s.toLong, x)
+        }
+      } catch { case _: Exception => VStr(s) }
+    case (s: String, _) => VStr(s)
+    case (other, _) => VStr(other.toString)
   }
 }
 

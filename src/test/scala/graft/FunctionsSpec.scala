@@ -74,9 +74,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Shaper.orderTo(df, target).columns.toSeq == Seq("y", "x", "z"))
     // cast only: x becomes int
     assert(Shaper.castTo(df, target).schema("x").dataType == IntegerType)
-    // shape = all four
+    // shape = cast+fill+order, NOT crop (shaper.go NewShaperTransform:40):
+    // extras are kept, appended lexicographically after the target fields
     val shaped = Shaper.shapeTo(df, target)
-    assert(shaped.columns.toSeq == Seq("y", "x", "w"))
+    assert(shaped.columns.toSeq == Seq("y", "x", "w", "z"))
     assert(shaped.schema("x").dataType == IntegerType)
     assert(shaped.select("w").first().isNullAt(0))
   }

@@ -33,6 +33,6 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       } catch { case _: Exception => }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
-    assert(pass >= 280, s"golden-test pass count regressed to $pass")
+    assert(pass >= 335, s"golden-test pass count regressed to $pass")
   }
 }

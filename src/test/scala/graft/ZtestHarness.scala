@@ -142,14 +142,17 @@ object ZtestHarness {
     k match {
       case 5 => s"error($z)"
       case 0 =>
-        if (t == "duration" && z != null) z
+        if (z != null) z
         else {
           val n = r.getAs[Double]("n")
           if (!t.startsWith("float") && n == Math.floor(n)) n.toLong.toString else n.toString
         }
       case 1 =>
-        val n = r.getAs[Double]("n")
-        java.time.Instant.ofEpochSecond(n.toLong, ((n - n.toLong) * 1e9).toLong).toString
+        if (z != null) z
+        else {
+          val n = r.getAs[Double]("n")
+          java.time.Instant.ofEpochSecond(n.toLong, ((n - n.toLong) * 1e9).toLong).toString
+        }
       case 2 => r.getAs[String]("s")
       case 3 => r.getAs[Boolean]("b").toString
       case _ => Option(z).orElse(Option(r.getAs[String]("s"))).getOrElse("")
