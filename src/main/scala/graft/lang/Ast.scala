@@ -37,6 +37,9 @@ object Expr {
   def inferName(e: Expr): String = e match {
     case Path(parts) if parts.nonEmpty => parts.last
     case Path(_) => "this"
+    // `by every(d)` buckets the stream's ts — the derived field is ts
+    // (compiler/semantic/expr.go:533 deriveLHSPath)
+    case Call("every", _) => "ts"
     case Call(fn, _) => fn
     case Index(inner, _) => inferName(inner)
     case _ => "value"

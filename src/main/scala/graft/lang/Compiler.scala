@@ -361,7 +361,25 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Explode(zedType, as) =>
         Seq(ZedOps.explodeByType(single(state), zedType, as))
 
-      case Stage.Fuse => Seq(single(state)) // union already unified schema
+      case Stage.Fuse =>
+        // relational union already merged the columns; fuse additionally
+        // RETYPES every row to the single fused record type (fuse.go) so
+        // writers emit every field on every row
+        val df = single(state)
+        val shapes = shapesOf(df)
+        if (shapes.length <= 1) Seq(df)
+        else {
+          val zt = graft.sources.ZType
+          val fusedText = zt.fullText(shapes.map(_._2).reduce(zt.fuse))
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putStringArray("shapes", Array(fusedText)).build()
+          Seq(df.withColumn(graft.operators.Het.typeTag, lit(fusedText))
+            .select(df.schema.fields.toIndexedSeq.map { f =>
+              if (f.name == graft.operators.Het.typeTag)
+                lit(fusedText).as(graft.operators.Het.typeTag, md)
+              else col(s"`${f.name}`")
+            }: _*))
+        }
 
       case Stage.Pass => state
 
@@ -568,11 +586,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Some(Expr.Path(Seq())) | None =>
             // exact per-row types when the shape tag is live (keeps int32
             // etc. that the relational mapping widens)
-            if (shapes.nonEmpty) zt.fullText(shapes.map(_._2).reduce(zt.unify))
+            if (shapes.nonEmpty) zt.fullText(shapes.map(_._2).reduce(zt.fuse))
             else Shaper.zedTypeOf(dataSchema)
           case Some(Expr.Path(parts)) =>
             if (shapes.nonEmpty)
-              zt.fullText(shapes.flatMap(s => pathIn(s._2, parts)).reduceOption(zt.unify)
+              zt.fullText(shapes.flatMap(s => pathIn(s._2, parts)).reduceOption(zt.fuse)
                 .getOrElse(zt.nullT))
             else Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
           case Some(other) => Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType)

@@ -61,35 +61,15 @@ object Formats {
     case other => throw new IllegalArgumentException(s"unknown write format: $other")
   }
 
-  /** `text` output (zio writer `text`): tab-separated stringified values. */
-  def textLines(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
-    import df.sparkSession.implicits._
-    val cols = df.schema.fields.toIndexedSeq.map(f =>
-      coalesce(col(f.name).cast("string"), lit("-")))
-    df.select(concat_ws("\t", cols: _*).as("value")).as[String]
-  }
-
-  /** `table` output (zio writer `table`): header + width-aligned columns.
-    * Widths come from one max-length aggregation over the data (a single
-    * extra pass, the same trade zq's table writer makes by buffering).
+  /** `text` output (zio/textio/writer.go): flattened leaf columns joined by
+    * tabs, zeek-formatted values, times as RFC3339Nano. Distributed.
     */
-  def tableLines(df: DataFrame): org.apache.spark.sql.Dataset[String] = {
-    import df.sparkSession.implicits._
-    val names = df.schema.fieldNames.toIndexedSeq
-    val asStr = df.select(names.map(n =>
-      coalesce(col(n).cast("string"), lit("-")).as(n)): _*)
-    val widthRow = asStr
-      .agg(max(length(col(names.head))).as(names.head),
-        names.tail.map(n => max(length(col(n))).as(n)): _*)
-      .collect()(0) // one tiny row: the per-column max widths
-    val widths = names.zipWithIndex.map { case (n, i) =>
-      math.max(n.length, Option(widthRow.get(i)).fold(1)(_.toString.toInt))
-    }
-    val header = names.zip(widths).map { case (n, w) => n.padTo(w, ' ') }.mkString(" ")
-    val body = asStr.select(concat_ws(" ",
-      names.zip(widths).map { case (n, w) => rpad(col(n), w, " ") }: _*).as("value"))
-      .as[String]
-    val one = df.sparkSession.createDataset(Seq(header))
-    one.union(body)
-  }
+  def textLines(df: DataFrame): org.apache.spark.sql.Dataset[String] =
+    ZFormat.textLines(df)
+
+  /** `table` output (zio/tableio/writer.go): per-type headers + Go
+    * tabwriter alignment (block-buffered like the reference).
+    */
+  def tableLines(df: DataFrame): org.apache.spark.sql.Dataset[String] =
+    ZFormat.tableLines(df)
 }

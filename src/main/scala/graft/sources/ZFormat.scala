@@ -1,0 +1,664 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+/** Faithful renderers for the reference's human-facing output formats —
+  * zeek, text, table, csv and json — all built on one per-row typed-value
+  * reconstruction. The semantics mirror the PUBLIC writers:
+  *   - zeek/text/table share zeekio's value formatter
+  *     (zio/zeekio/format.go formatAny: T/F bools, base64 bytes,
+  *     epoch-decimal times, `-` nulls, `(empty)` containers, \xNN escapes)
+  *   - text/table/csv flatten nested records to dotted leaf columns
+  *     (runtime/sam/expr flattener) and print times as RFC3339Nano
+  *   - csv uses Go-style shortest 'g' floats (zson.FormatPrimitive with
+  *     the trailing '.' trimmed, zio/csvio/writer.go)
+  *   - json keeps every field, humanizes durations, renders error values
+  *     as {"error":…} and maps via decorated-key text (zio/jsonio/writer.go)
+  *
+  * Reconstruction runs per partition (no driver round-trip except the
+  * table writer, which — like the reference's tabwriter — must buffer a
+  * block to compute column widths).
+  */
+object ZFormat {
+  import ZValue._
+  import ZType._
+
+  // ---- per-row typed-value reconstruction ----------------------------------
+
+  /** Build a serializable Row => ZValue for df's schema: per-row shape from
+    * the __type tag when present (operator-added columns appended when
+    * non-null, mirroring ZsonIO.toZson), else the Spark schema's zed type.
+    */
+  def rowValueFn(schema: StructType): Row => ZValue = {
+    val het = graft.operators.Het
+    val tagIdx = schema.fieldNames.indexOf(het.typeTag)
+    val fields = schema.fields.toIndexedSeq.zipWithIndex
+      .filterNot { case (f, _) => f.name == het.typeTag || f.metadata.contains("graft.scopeVar") }
+    val shapeFieldNames: Set[String] = {
+      val shapes = schema.fields.find(_.name == het.typeTag)
+        .filter(_.metadata.contains("shapes"))
+        .map(_.metadata.getStringArray("shapes").toSeq).getOrElse(Seq.empty)
+      shapes.flatMap { t =>
+        try ZType.strip(ZsonParser.parseType(t)) match {
+          case Rec(fs) => fs.map(_._1)
+          case _ => Seq("this")
+        } catch { case _: Exception => fields.map(_._1.name) }
+      }.toSet
+    }
+    val fallback: ZType = {
+      val fs = fields.map { case (f, _) =>
+        f.name -> (try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+                   catch { case _: Exception => Prim("string") })
+      }
+      if (fields.map(_._1.name) == Seq("this")) fs.head._2 else Rec(fs.toVector)
+    }
+
+    (row: Row) => {
+      val cache = ZFormat.typeCache.get()
+      val rowT: ZType =
+        if (tagIdx < 0 || row.isNullAt(tagIdx)) fallback
+        else {
+          val t = row.getString(tagIdx)
+          cache.getOrElseUpdate(t,
+            try ZsonParser.parseType(t) catch { case _: Exception => fallback })
+        }
+      ZType.strip(rowT) match {
+        case Rec(shapeFs) =>
+          // shape fields in shape order …
+          val own = shapeFs.flatMap { case (n, ft) =>
+            fields.find(_._1.name == n).map { case (f, i) =>
+              n -> (if (row.isNullAt(i)) VNull(ft) else fromExternal(row.get(i), f.dataType, ft))
+            }
+          }
+          // … plus operator-added columns when non-null
+          val added = fields.filterNot(f => shapeFieldNames(f._1.name) || shapeFs.exists(_._1 == f._1.name))
+            .flatMap { case (f, i) =>
+              if (row.isNullAt(i)) None
+              else Some(f.name -> fromExternal(row.get(i), f.dataType,
+                try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+                catch { case _: Exception => Prim("string") }))
+            }
+          VRec(own ++ added)
+        case _ =>
+          // bare (non-record) value row: the payload travels in `this`
+          fields.find(_._1.name == "this") match {
+            case Some((f, i)) =>
+              if (row.isNullAt(i)) VNull(rowT) else fromExternal(row.get(i), f.dataType, rowT)
+            case None =>
+              VRec(fields.map { case (f, i) =>
+                f.name -> (if (row.isNullAt(i)) VNull(Prim("null"))
+                           else fromExternal(row.get(i), f.dataType,
+                             try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+                             catch { case _: Exception => Prim("string") }))
+              }.toVector)
+          }
+      }
+    }
+  }
+
+  // per-thread parse cache for shape-tag type texts
+  private val typeCache = new ThreadLocal[scala.collection.mutable.HashMap[String, ZType]] {
+    override def initialValue() = scala.collection.mutable.HashMap.empty
+  }
+
+  /** The type of a reconstructed value WITH the row's decorators intact. */
+  def valueType(v: ZValue): ZType = ZValue.typeOf(v)
+
+  // ---- number / time formatting --------------------------------------------
+
+  /** Shortest decimal digits + decimal exponent that round-trip d at the
+    * given width (Go strconv shortest). Returns (digits, exp10, negative)
+    * where value = 0.digits * 10^exp10.
+    */
+  private def shortestDigits(d: Double, bits: Int): (String, Int, Boolean) = {
+    val neg = d < 0 || (d == 0.0 && 1.0 / d < 0)
+    val a = math.abs(d)
+    if (a == 0.0) return ("0", 1, neg)
+    var p = 1
+    while (p <= 17) {
+      val s = String.format("%." + (p - 1) + "e", Double.box(a))
+      val ok = if (bits == 32) java.lang.Float.parseFloat(s) == a.toFloat
+               else java.lang.Double.parseDouble(s) == a
+      if (ok) {
+        val Array(mant, ex) = s.split("[eE]")
+        val digits = mant.replace(".", "").reverse.dropWhile(_ == '0').reverse match {
+          case "" => "0"
+          case x => x
+        }
+        return (digits, ex.toInt + 1, neg)
+      }
+      p += 1
+    }
+    val s = a.toString
+    (s.replaceAll("[.eE+-]", ""), 1, neg)
+  }
+
+  /** Go strconv.FormatFloat(d, 'g', -1, bits): shortest round-trip digits,
+    * scientific when exp10-1 < -4 or >= 6 (shortest mode eprec), plain
+    * decimal otherwise; Inf/NaN in Go spelling.
+    */
+  def goG(d: Double, bits: Int = 64): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isPosInfinity) return "+Inf"
+    if (d.isNegInfinity) return "-Inf"
+    val (digits, exp10, neg) = shortestDigits(d, bits)
+    val exp = exp10 - 1
+    val sign = if (neg) "-" else ""
+    if (exp < -4 || exp >= 6) {
+      val mant = if (digits.length == 1) digits else digits.head + "." + digits.tail
+      val es = if (exp < 0) "-" else "+"
+      val ea = math.abs(exp)
+      sign + mant + "e" + es + (if (ea < 10) "0" + ea else ea.toString)
+    } else if (exp >= digits.length - 1) {
+      sign + digits + "0" * (exp - digits.length + 1)
+    } else if (exp >= 0) {
+      sign + digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+    } else {
+      sign + "0." + "0" * (-exp - 1) + digits
+    }
+  }
+
+  /** Go strconv.FormatFloat(d, 'f', -1, bits): shortest, never scientific. */
+  def goF(d: Double, bits: Int = 64): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isPosInfinity) return "+Inf"
+    if (d.isNegInfinity) return "-Inf"
+    val (digits, exp10, neg) = shortestDigits(d, bits)
+    val exp = exp10 - 1
+    val sign = if (neg) "-" else ""
+    if (exp >= digits.length - 1) sign + digits + "0" * (exp - digits.length + 1)
+    else if (exp >= 0) sign + digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+    else sign + "0." + "0" * (-exp - 1) + digits
+  }
+
+  /** Round a double through IEEE half precision (for float16 columns):
+    * float → half (round to nearest even) → float.
+    */
+  def toFloat16(d: Double): Double = {
+    val f = d.toFloat
+    if (f.isNaN || f.isInfinite) return f.toDouble
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    var e = ((bits >>> 23) & 0xff) - 127 + 15
+    var m = bits & 0x7fffff
+    val h: Int =
+      if (e >= 0x1f) sign | 0x7c00 // overflow → ±Inf
+      else if (e <= 0) {
+        if (e < -10) sign // underflow → ±0
+        else {
+          m |= 0x800000
+          val shift = 14 - e
+          val lsb = 1 << shift
+          val half = lsb >> 1
+          val q = m >>> shift
+          val rem = m & (lsb - 1)
+          val up = rem > half || (rem == half && (q & 1) == 1)
+          sign | (q + (if (up) 1 else 0))
+        }
+      } else {
+        val q = m >>> 13
+        val rem = m & 0x1fff
+        val up = rem > 0x1000 || (rem == 0x1000 && (q & 1) == 1)
+        val q2 = q + (if (up) 1 else 0)
+        if (q2 == 0x400) { // mantissa overflow bumps exponent
+          if (e + 1 >= 0x1f) sign | 0x7c00 else sign | ((e + 1) << 10)
+        } else sign | (e << 10) | q2
+      }
+    // expand half back to float
+    val hs = h & 0x8000; val he = (h >>> 10) & 0x1f; val hm = h & 0x3ff
+    val fbits =
+      if (he == 0x1f) (hs << 16) | 0x7f800000 | (hm << 13)
+      else if (he == 0) {
+        if (hm == 0) hs << 16
+        else {
+          var e2 = 0; var m2 = hm
+          while ((m2 & 0x400) == 0) { m2 <<= 1; e2 += 1 }
+          (hs << 16) | ((127 - 15 + 1 - e2) << 23) | ((m2 & 0x3ff) << 13)
+        }
+      } else (hs << 16) | ((he - 15 + 127) << 23) | (hm << 13)
+    java.lang.Float.intBitsToFloat(fbits).toDouble
+  }
+
+  /** Go time.RFC3339Nano of a ns timestamp: trailing fractional zeros
+    * trimmed, always 'Z'.
+    */
+  def rfc3339Nano(ns: Long): String = {
+    val sec = Math.floorDiv(ns, 1000000000L)
+    val nano = Math.floorMod(ns, 1000000000L)
+    val inst = java.time.Instant.ofEpochSecond(sec, 0)
+    val base = java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(inst)
+    if (nano == 0) base + "Z"
+    else {
+      val frac = f"$nano%09d".reverse.dropWhile(_ == '0').reverse
+      base + "." + frac + "Z"
+    }
+  }
+
+  /** Zeek epoch-decimal time (zio/zeekio/time.go formatTime): precision 6,
+    * raised to 9 when sub-microsecond precision would be lost.
+    */
+  def zeekTime(ns0: Long): String = {
+    var sec = ns0 / 1000000000L
+    var ns = ns0 % 1000000000L
+    val precision = if ((ns / 1000) * 1000 != ns) 9 else 6
+    var negative = false
+    if (sec < 0) { sec = -sec; negative = true }
+    if (ns < 0) { ns = -ns; negative = true }
+    val frac = String.format("%." + precision + "f", Double.box(ns.toDouble / 1e9)).drop(1)
+    (if (negative) "-" else "") + sec.toString + frac
+  }
+
+  /** Compound duration text (pkg/nano/duration.go String): y/d/h/m units
+    * then a fixed-point seconds/ms/us/ns tail; Long.MinValue is pinned.
+    */
+  def durHuman(ns0: Long): String = {
+    if (ns0 == Long.MinValue) return "-292y171d23h47m16.854775808s"
+    if (ns0 == 0) return "0s"
+    val sb = new StringBuilder
+    var ns = ns0
+    if (ns < 0) { ns = -ns; sb.append('-') }
+    val units = Seq("y" -> 365L * 86400 * 1000000000L, "d" -> 86400L * 1000000000L,
+      "h" -> 3600L * 1000000000L, "m" -> 60L * 1000000000L)
+    for ((name, size) <- units) {
+      if (ns >= size) {
+        val n = ns / size; ns -= n * size
+        if (n > 0) { sb.append(n).append(name) }
+        if (ns == 0) return sb.toString
+      }
+    }
+    def fixedPoint(v: Long, scale0: Long): Unit = {
+      var rem = v
+      val whole = rem / scale0; rem -= whole * scale0
+      sb.append(whole).append('.')
+      var scale = scale0 / 10
+      while (rem > 0) {
+        val digit = rem / scale
+        sb.append(('0' + digit.toInt).toChar)
+        rem -= digit * scale
+        scale /= 10
+      }
+    }
+    if (ns % 1000000000L == 0) sb.append(ns / 1000000000L).append("s")
+    else if (ns > 1000000000L) { fixedPoint(ns, 1000000000L); sb.append("s") }
+    else if (ns % 1000000L == 0) sb.append(ns / 1000000L).append("ms")
+    else if (ns > 1000000L) { fixedPoint(ns, 1000000L); sb.append("ms") }
+    else if (ns % 1000L == 0) sb.append(ns / 1000L).append("us")
+    else if (ns > 1000L) { fixedPoint(ns, 1000L); sb.append("us") }
+    else sb.append(ns).append("ns")
+    sb.toString
+  }
+
+  // ---- zeek value formatting (zio/zeekio/format.go) ------------------------
+
+  def zeekTypeOf(t: ZType): String = ZType.strip(t) match {
+    case Arr(e) => s"vector[${zeekTypeOf(e)}]"
+    case SetT(e) => s"set[${zeekTypeOf(e)}]"
+    case Prim("uint8") | Prim("int8") | Prim("int16") | Prim("int32") |
+         Prim("int64") | Prim("uint16") | Prim("uint32") => "int"
+    case Prim("uint64") => "count"
+    case Prim("float16") | Prim("float32") | Prim("float64") => "double"
+    case Prim("ip") => "addr"
+    case Prim("net") => "subnet"
+    case Prim("duration") => "interval"
+    case Prim("bool") => "bool"
+    case Prim("string") => "string"
+    case Prim("time") => "time"
+    case EnumT(_) => "enum"
+    case other => ZType.text(other) // incompatible — surfaced as-is
+  }
+
+  /** Named-type zeek header names: port stays port, zenum stays enum. */
+  def zeekTypeOfNamed(t: ZType): String = t match {
+    case Named("port", _) => "port"
+    case Named("zenum", _) => "enum"
+    case Named(_, i) => zeekTypeOfNamed(i)
+    case other => zeekTypeOf(other)
+  }
+
+  private def zeekEscapeString(s: String, inContainer: Boolean): String = {
+    if (s == "-") return "\\x2d"
+    if (s == "(empty)") return "\\x28empty)"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val l = Character.charCount(cp)
+      if (cp == '\\') sb.append("\\\\")
+      else if (!isPrintable(cp) || cp == '\t' || (cp == ',' && inContainer)) {
+        var code = java.lang.Long.toHexString(cp.toLong)
+        if ((code.length & 1) != 0) code = "0" + code
+        code.grouped(2).foreach(h => sb.append("\\x").append(h))
+      } else sb.append(s.substring(i, i + l))
+      i += l
+    }
+    sb.toString
+  }
+
+  private def isPrintable(cp: Int): Boolean = {
+    // unicode.IsPrint: letters, marks, numbers, punct, symbols + ASCII space
+    if (cp == ' ') return true
+    if (Character.isISOControl(cp)) return false
+    Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.UNASSIGNED | Character.PRIVATE_USE |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => false
+      case _ => true
+    }
+  }
+
+  /** zeekio.FormatValue: null → "-", else formatAny. */
+  def zeekFormat(v0: ZValue): String = unwrap(v0) match {
+    case VNull(_) => "-"
+    case v => zeekAny(v, inContainer = false)
+  }
+
+  private def zeekAny(v0: ZValue, inContainer: Boolean): String = unwrap(v0) match {
+    case VNull(_) => "-"
+    case VBool(b) => if (b) "T" else "F"
+    case VBytes(b) => java.util.Base64.getEncoder.encodeToString(b)
+    case VDur(ns) => zeekTime(ns)
+    case VTime(ns) => zeekTime(ns)
+    case VEnum(s) => s // decoded enums carry the symbol; reference prints selector of uint64
+    case VFloat(d, t) => goF(d, if (t == "float64") 64 else 32)
+    case VInt(n, _) => n.toString
+    case VUint64(n) => n.toBigInt.toString
+    case VIp(s) => s
+    case VNet(s) => s
+    case VRec(fs) =>
+      fs.map { case (_, fv) => unwrap(fv) match {
+        case VNull(_) => "-"
+        case x => zeekAny(x, inContainer = false)
+      }}.mkString(",")
+    case VArr(items, _) =>
+      if (items.isEmpty) "(empty)"
+      else items.map {
+        case VNull(_) => "-"
+        case x => zeekAny(x, inContainer = true)
+      }.mkString(",")
+    case VMap(es) =>
+      "[" + es.map { case (k, x) => zeekAny(k, true) + zeekAny(x, true) }.mkString + "]"
+    case VStr(s) => zeekEscapeString(s, inContainer)
+    case VTypeVal(t) => "<" + t + ">"
+    case VErr(inner) => unwrap(inner) match {
+      case VStr(s) => s
+      case other => s"error(${zsonText(other)})"
+    }
+    case VTyped(i, _) => zeekAny(i, inContainer)
+  }
+
+  // ---- record flattening (runtime/sam/expr flattener) ----------------------
+
+  /** Flatten nested records into dotted leaves; null nested records expand
+    * to typed-null leaves. Non-record leaves (arrays, maps, unions) stay.
+    */
+  def flatten(v: ZValue): Vector[(String, ZValue)] = {
+    def go(prefix: String, x: ZValue): Vector[(String, ZValue)] = unwrap(x) match {
+      case VRec(fs) =>
+        fs.toVector.flatMap { case (n, fv) => go(s"$prefix$n.", fv) }
+      case VNull(t) => ZType.strip(t) match {
+        case Rec(fs) => fs.toVector.flatMap { case (n, ft) => go(s"$prefix$n.", VNull(ft)) }
+        case _ => Vector(prefix.dropRight(1) -> x)
+      }
+      case _ => Vector(prefix.dropRight(1) -> x) // keep typed wrappers on leaves
+    }
+    unwrap(v) match {
+      case VRec(fs) => fs.toVector.flatMap { case (n, fv) => go(s"$n.", fv) }
+      case _ => Vector("this" -> v)
+    }
+  }
+
+  private def leafType(v: ZValue): ZType = v match {
+    case VNull(t) => t
+    case VTyped(_, t) => t
+    case other => ZValue.typeOf(other)
+  }
+
+  /** One text/table cell: times as RFC3339Nano (the writers' override),
+    * everything else zeek-formatted.
+    */
+  private def cellText(v: ZValue, emptyNullTime: Boolean): String = unwrap(v) match {
+    case VTime(ns) => rfc3339Nano(ns)
+    case VNull(t) if ZType.strip(t) == Prim("time") => if (emptyNullTime) "" else "-"
+    case other => zeekFormat(other)
+  }
+
+  // ---- text writer (zio/textio/writer.go) ----------------------------------
+
+  def textLines(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val fn = rowValueFn(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        fn(row) match {
+          case r @ VRec(_) => flatten(r).map(f => cellText(f._2, emptyNullTime = false)).mkString("\t")
+          case VTyped(r: VRec, _) => flatten(r).map(f => cellText(f._2, emptyNullTime = false)).mkString("\t")
+          case other => zeekFormat(other)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.STRING)
+  }
+
+  // ---- table writer (zio/tableio/writer.go) --------------------------------
+
+  /** Header + aligned columns; a new header per flattened-type change, Go
+    * tabwriter alignment (width = block max + 1, last column unpadded).
+    * Buffers one block at a time on the driver — the same trade the
+    * reference's tabwriter makes; the block cap bounds memory.
+    */
+  def tableLines(df: DataFrame): Dataset[String] = {
+    val fn = rowValueFn(df.schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var block = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var blockType: Vector[(String, String)] = null // (name, ztype text)
+
+    def flushBlock(): Unit = {
+      if (block.isEmpty) return
+      val n = block.map(_.length).max
+      val widths = (0 until n).map { i =>
+        block.map(r => if (i < r.length) r(i).length else 0).max
+      }
+      for (r <- block) {
+        val line = r.zipWithIndex.map { case (cell, i) =>
+          if (i == r.length - 1) cell else cell.padTo(widths(i) + 1, ' ')
+        }.mkString
+        out += line.replaceAll("\\s+$", "")
+      }
+      block = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    }
+
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      fn(row) match {
+        case rec @ VRec(_) =>
+          val leaves = flatten(rec)
+          val tSig = leaves.map { case (name, lv) => name -> ZType.text(leafType(lv)) }
+          if (tSig != blockType) {
+            flushBlock()
+            blockType = tSig
+            block += leaves.map(_._1)
+          } else if (block.length >= 1000) {
+            flushBlock()
+            block += leaves.map(_._1)
+          }
+          block += leaves.map(f => cellText(f._2, emptyNullTime = true))
+        case _ => // reference: error on non-record values (stderr); rows skipped
+      }
+    }
+    flushBlock()
+    import df.sparkSession.implicits._
+    df.sparkSession.createDataset(out.toSeq)
+  }
+
+  // ---- zeek writer (zio/zeekio/writer.go) ----------------------------------
+
+  /** Faithful sequential zeek stream: one preamble, `#path` re-emitted on
+    * path change (empty → `-`), `#fields`/`#types` re-emitted on flattened
+    * type change, `_path` excluded from columns, all values (incl. times)
+    * zeek-formatted.
+    */
+  def zeekLines(df: DataFrame): Seq[String] = {
+    val fn = rowValueFn(df.schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var preambleDone = false
+    var curPath: String = ""
+    var curSig: Vector[(String, String)] = null
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      fn(it.next()) match {
+        case rec @ VRec(_) =>
+          val leaves = flatten(rec)
+          val path = leaves.find(_._1 == "_path").map(f => unwrap(f._2) match {
+            case VStr(s) => s
+            case _ => ""
+          }).getOrElse("")
+          val cols = leaves.filterNot(_._1 == "_path")
+          val sig = leaves.map { case (n, lv) => n -> ZType.text(leafType(lv)) }
+          if (sig != curSig || path != curPath) {
+            if (!preambleDone) {
+              out += "#separator \\x09"
+              out += "#set_separator\t,"
+              out += "#empty_field\t(empty)"
+              out += "#unset_field\t-"
+              preambleDone = true
+            }
+            if (path != curPath) {
+              out += "#path\t" + (if (path.isEmpty) "-" else path)
+              curPath = path
+            }
+            if (sig != curSig) {
+              out += "#fields\t" + cols.map(_._1).mkString("\t")
+              out += "#types\t" + cols.map(c => zeekTypeOfNamed(leafType(c._2))).mkString("\t")
+              curSig = sig
+            }
+          }
+          out += cols.map(c => zeekFormat(c._2)).mkString("\t")
+        case other =>
+          out += zeekFormat(other) // reference errors; emit the value text
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- csv writer (zio/csvio/writer.go) ------------------------------------
+
+  def csvLines(df: DataFrame): Seq[String] = {
+    val fn = rowValueFn(df.schema)
+    def cell(v: ZValue): String = unwrap(v) match {
+      case VNull(_) => ""
+      case VBytes(b) if b.isEmpty => ""
+      case VStr(s) => s
+      case VFloat(d, t) =>
+        val s = goG(d, if (t == "float64") 64 else 32)
+        if (s.endsWith(".")) s.dropRight(1) else s
+      case VInt(n, _) => n.toString
+      case VUint64(n) => n.toBigInt.toString
+      case VBool(b) => b.toString
+      case VTime(ns) => rfc3339Nano(ns)
+      case VDur(ns) => durHuman(ns)
+      case VBytes(b) => "0x" + b.map(x => f"$x%02x").mkString
+      case VIp(s) => s
+      case VNet(s) => s
+      case VEnum(s) => s
+      case VTypeVal(t) => s"<$t>"
+      case other => zsonText(other) // complex values as zson (FormatValue)
+    }
+    def csvQuote(s: String): String =
+      if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var header: Vector[String] = null
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      fn(it.next()) match {
+        case rec @ VRec(_) =>
+          val leaves = flatten(rec)
+          if (header == null) {
+            header = leaves.map(_._1)
+            out += header.map(csvQuote).mkString(",")
+          }
+          if (leaves.map(_._1) == header)
+            out += leaves.map(f => csvQuote(cell(f._2))).mkString(",")
+        case _ => // non-record: reference raises an error (stderr); skipped
+      }
+    }
+    if (header == null && df.schema.fields.nonEmpty) {
+      // header even for empty inputs with a static schema
+      val names = df.schema.fieldNames.filterNot(_ == graft.operators.Het.typeTag)
+      out += names.mkString(",")
+    }
+    out.toSeq
+  }
+
+  // ---- json writer (zio/jsonio/writer.go) ----------------------------------
+
+  def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
+
+  /** json text of one value (compact; pretty handled by the caller's canon). */
+  def jsonText(v0: ZValue): String = unwrap(v0) match {
+    case VNull(_) => "null"
+    case VBool(b) => b.toString
+    case VInt(n, _) => n.toString
+    case VUint64(n) => n.toBigInt.toString
+    case VFloat(d, _) =>
+      if (d.isNaN || d.isInfinity) jsonQuote(goG(d)) // json can't carry non-finite
+      else {
+        val a = math.abs(d)
+        if (a != 0 && (a < 1e-6 || a >= 1e21)) goG(d) else goF(d)
+      }
+    case VStr(s) => jsonQuote(s)
+    case VTime(ns) => jsonQuote(rfc3339Nano(ns))
+    case VDur(ns) => jsonQuote(durHuman(ns))
+    case VBytes(b) => jsonQuote("0x" + b.map(x => f"$x%02x").mkString)
+    case VIp(s) => jsonQuote(s)
+    case VNet(s) => jsonQuote(s)
+    case VEnum(s) => jsonQuote(s)
+    case VTypeVal(t) => jsonQuote(s"<$t>")
+    case VRec(fs) =>
+      fs.map { case (n, fv) => jsonQuote(n) + ":" + jsonText(fv) }.mkString("{", ",", "}")
+    case VArr(items, _) => items.map(jsonText).mkString("[", ",", "]")
+    case VMap(es) =>
+      es.map { case (k, x) => jsonQuote(jsonMapKey(k)) + ":" + jsonText(x) }.mkString("{", ",", "}")
+    case VErr(inner) => "{" + jsonQuote("error") + ":" + jsonText(inner) + "}"
+    case VTyped(i, _) => jsonText(i)
+  }
+
+  /** Map keys: strings bare, other primitives in zson primitive text,
+    * complex keys as decorated zson (jsonio writer.go mapKey).
+    */
+  private def jsonMapKey(k: ZValue): String = unwrap(k) match {
+    case VStr(s) => s
+    case VNull(_) => "null"
+    case VEnum(s) => s
+    case other => k match {
+      case VTyped(i, t) => zsonText(i) + "(" + ZType.text(t) + ")"
+      case _ => zsonText(other)
+    }
+  }
+
+  def jsonLines(df: DataFrame): Seq[String] = {
+    val fn = rowValueFn(df.schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = df.toLocalIterator()
+    while (it.hasNext) out += jsonText(fn(it.next()))
+    out.toSeq
+  }
+}

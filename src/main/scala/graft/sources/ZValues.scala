@@ -74,6 +74,30 @@ object ZType {
   /** Union-merge two types the way zed's type context does when a field
     * takes different types across values (complex.go LookupTypeUnion).
     */
+  /** zed `fuse` type merge: records merge field-wise (first-seen field
+    * order), matching containers merge element-wise, anything else forms
+    * a union (the fuse operator's type unification, runtime fuse.go).
+    */
+  def fuse(a: ZType, b: ZType): ZType = (strip(a), strip(b)) match {
+    case (x, y) if x == y => x
+    case (Prim("null"), _) => strip(b)
+    case (_, Prim("null")) => strip(a)
+    case (Rec(xs), Rec(ys)) =>
+      val names = (xs.map(_._1) ++ ys.map(_._1)).distinct
+      Rec(names.map { n =>
+        (xs.find(_._1 == n), ys.find(_._1 == n)) match {
+          case (Some((_, x)), Some((_, y))) => n -> fuse(x, y)
+          case (Some((_, x)), None) => n -> x
+          case (None, Some((_, y))) => n -> y
+          case _ => n -> Prim("null")
+        }
+      })
+    case (Arr(x), Arr(y)) => Arr(fuse(x, y))
+    case (SetT(x), SetT(y)) => SetT(fuse(x, y))
+    case (MapT(kx, vx), MapT(ky, vy)) => MapT(fuse(kx, ky), fuse(vx, vy))
+    case (x, y) => unify(x, y)
+  }
+
   def unify(a: ZType, b: ZType): ZType = (strip(a), strip(b)) match {
     case (x, y) if x == y => x
     case (Prim("null"), y) => y
@@ -83,10 +107,19 @@ object ZType {
     // and untyped nulls collapse
     case (Arr(x), Arr(y)) => Arr(unify(x, y))
     case (SetT(x), SetT(y)) => SetT(unify(x, y))
-    case (Union(xs), Union(ys)) => Union((xs ++ ys).distinct)
-    case (Union(xs), y) => Union((xs :+ y).distinct)
-    case (x, Union(ys)) => Union((x +: ys).distinct)
-    case (x, y) => Union(Vector(x, y))
+    case (Union(xs), Union(ys)) => mkUnion(xs ++ ys)
+    case (Union(xs), y) => mkUnion(xs :+ y)
+    case (x, Union(ys)) => mkUnion(x +: ys)
+    case (x, y) => mkUnion(Vector(x, y))
+  }
+
+  /** Canonical union: distinct alternatives in the total type order
+    * (complex.go LookupTypeUnion sorts member types).
+    */
+  private def mkUnion(alts: Vector[ZType]): ZType = {
+    val ds = alts.distinct
+    if (ds.length == 1) ds.head
+    else Union(ds.sortWith((a, b) => ZValue.compareZTypes(a, b) < 0))
   }
 }
 
@@ -621,9 +654,12 @@ object ZValue {
           else f.name -> fromExternal(row.get(idx), f.dataType, fzt)
         })
       case (ArrayType(et, _), ZType.Arr(e)) =>
-        VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e)), false)
+        val items = v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e))
+        // empty arrays keep the declared element type via a typed wrapper
+        if (items.isEmpty) VTyped(VArr(items, false), stripped) else VArr(items, false)
       case (ArrayType(et, _), ZType.SetT(e)) =>
-        VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e)), true)
+        val items = v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e))
+        if (items.isEmpty) VTyped(VArr(items, true), stripped) else VArr(items, true)
       case (ArrayType(et, _), _) =>
         VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x =>
           fromExternal(x, et, ZType.Prim("string"))), false)
@@ -659,7 +695,7 @@ object ZValue {
 
   private def primFromExternal(v: Any, p: String): ZValue = (v, p) match {
     case (ts: java.sql.Timestamp, _) =>
-      VTime(ts.getTime / 1000 * 1000000000L + ts.getNanos)
+      VTime(Math.floorDiv(ts.getTime, 1000L) * 1000000000L + ts.getNanos)
     case (i: java.time.Instant, _) => VTime(i.getEpochSecond * 1000000000L + i.getNano)
     case (n: Long, "duration") => VDur(n)
     case (n: Long, "time") => VTime(n)
@@ -932,6 +968,8 @@ final class ZsonParser(s: String) {
         return VTime(java.time.LocalDate.parse(m).toEpochDay * 86400L * 1000000000L)
       case _ =>
     }
+    if (rest.startsWith("+Inf")) { take("+Inf"); return VFloat(Double.PositiveInfinity, "float64") }
+    if (rest.startsWith("-Inf")) { take("-Inf"); return VFloat(Double.NegativeInfinity, "float64") }
     numRe.findFirstIn(rest) match {
       case Some(m) =>
         take(m)
@@ -1078,10 +1116,12 @@ final class ZsonParser(s: String) {
       case (VInt(n, _), Prim(p)) if p.startsWith("int") => VInt(n, p)
       case (VInt(n, _), Prim(p)) if p == "uint64" => VUint64(BigDecimal(n))
       case (VInt(n, _), Prim(p)) if p.startsWith("uint") => VInt(n, p)
-      case (VInt(n, _), Prim(p)) if p.startsWith("float") || p == "decimal" => VFloat(n.toDouble, p)
+      case (VInt(n, _), Prim(p)) if p.startsWith("float") || p == "decimal" =>
+        VFloat(if (p == "float16") ZFormat.toFloat16(n.toDouble) else n.toDouble, p)
       case (VInt(n, _), Prim("duration")) => VDur(n)
       case (VInt(n, _), Prim("time")) => VTime(n)
-      case (VFloat(d, _), Prim(p)) if p.startsWith("float") || p == "decimal" => VFloat(d, p)
+      case (VFloat(d, _), Prim(p)) if p.startsWith("float") || p == "decimal" =>
+        VFloat(if (p == "float16") ZFormat.toFloat16(d) else if (p == "float32") d.toFloat.toDouble else d, p)
       case (VStr(sv), Prim("ip")) => VIp(sv)
       case (VStr(sv), Prim("net")) => VNet(sv)
       case (VStr(sv), Prim("bytes")) => VStr(sv)
@@ -1097,9 +1137,12 @@ final class ZsonParser(s: String) {
             case None => n -> fv
           }
         })
-      case (VArr(itemsV, isSet), Arr(et)) => VArr(itemsV.map(applyType(_, et)), isSet)
+      case (VArr(itemsV, isSet), Arr(et)) =>
+        if (itemsV.isEmpty) VTyped(VArr(itemsV, isSet), ZType.strip(t)) // keep declared elem type
+        else VArr(itemsV.map(applyType(_, et)), isSet)
       case (VArr(itemsV, _), SetT(et)) =>
-        VArr(ZValue.normSet(itemsV.map(applyType(_, et))), isSet = true)
+        if (itemsV.isEmpty) VTyped(VArr(itemsV, isSet = true), ZType.strip(t))
+        else VArr(ZValue.normSet(itemsV.map(applyType(_, et))), isSet = true)
       case (VErr(inner), ErrT(et)) => VErr(applyType(inner, et))
       case (inner, _) => inner
     }

@@ -33,30 +33,43 @@ object ZeekIO {
   private def unescapeSep(s: String): String =
     if (s.startsWith("\\x")) Integer.parseInt(s.drop(2), 16).toChar.toString else s
 
-  private def parseHeader(lines: Seq[String]): Header = {
-    var sep = "\t"; var setSep = ","; var unset = "-"; var empty = "(empty)"
+  /** Cumulative directive state (zeekio parser.go): the separator starts
+    * as a SPACE until `#separator` declares one; `#fields`/`#types`
+    * replace the schema; `#path -` clears the path; directives may appear
+    * anywhere in the stream and persist until overridden.
+    */
+  private final class DirectiveState {
+    var sep = " "; var setSep = ","; var unset = "-"; var empty = "(empty)"
     var path: Option[String] = None
     var fields = Seq.empty[String]; var types = Seq.empty[String]
-    lines.takeWhile(_.startsWith("#")).foreach { l =>
-      // the #separator directive itself is space-separated; all later
-      // directives use the declared separator (zeekio parser.go:146-150)
-      if (l.startsWith("#separator")) { sep = unescapeSep(l.drop(10).trim) }
-      else {
+    def update(l: String): Unit = {
+      if (l.startsWith("#separator")) { sep = unescapeSep(l.drop(10).trim); return }
       val t = l.drop(1).split(java.util.regex.Pattern.quote(sep))
       t.head match {
         case "set_separator" => setSep = t(1)
         case "unset_field" => unset = t(1)
         case "empty_field" => empty = t(1)
-        case "path" => path = Some(t(1))
-        case "fields" => fields = t.tail.toSeq
-        case "types" => types = t.tail.toSeq
+        case "path" => path = if (t(1) == "-") None else Some(t(1))
+        case "fields" =>
+          fields = t.tail.toSeq
+          if (types.length != fields.length) types = fields.map(_ => "string")
+        case "types" =>
+          types = t.tail.toSeq
+          if (fields.length != types.length) fields = types.indices.map(i => s"c$i")
         case _ => // open/close dates etc.
       }
-      }
     }
-    require(fields.nonEmpty && fields.length == types.length,
-      "zeek: missing or mismatched #fields/#types")
-    Header(sep, setSep, unset, empty, path, fields, types)
+    def header: Header = {
+      require(fields.nonEmpty && fields.length == types.length,
+        "zeek: missing or mismatched #fields/#types")
+      Header(sep, setSep, unset, empty, path, fields, types)
+    }
+  }
+
+  private def parseHeader(lines: Seq[String]): Header = {
+    val st = new DirectiveState
+    lines.takeWhile(_.startsWith("#")).foreach(st.update)
+    st.header
   }
 
   private def elemCast(c: Column, inner: String): Column = inner match {
@@ -87,8 +100,50 @@ object ZeekIO {
           if (Set("count", "int", "port")(inner)) LongType
           else if (inner == "double") DoubleType else StringType)))
           .otherwise(items)
-      case _ => when(cleaned === h.empty, lit("")).otherwise(cleaned) // string/addr/enum…
+      case _ => // string/addr/enum…
+        val unesc = udf((s: String) => if (s == null) null else unescapeZeek(s))
+        when(cleaned === h.empty, lit(""))
+          .otherwise(when(cleaned.contains("\\"), unesc(cleaned)).otherwise(cleaned))
     }
+  }
+
+  /** zeek string unescaping (zio/zeekio/escape.go): `\xNN` hex bytes and
+    * the named escapes; the result must stay valid UTF-8, else the
+    * original escaped text is kept (zed strings are unicode).
+    */
+  private[sources] def unescapeZeek(s: String): String = {
+    if (!s.contains("\\")) return s
+    val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def unhex(b: Byte): Int = {
+      val c = b.toChar
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else 255
+    }
+    while (i < in.length) {
+      val c = in(i)
+      if (c == '\\' && i + 1 < in.length) {
+        if (in(i + 1) == 'x' && i + 3 < in.length && unhex(in(i + 2)) < 16 && unhex(in(i + 3)) < 16) {
+          out.write((unhex(in(i + 2)) << 4) | unhex(in(i + 3))); i += 4
+        } else {
+          val named: Int = in(i + 1).toChar match {
+            case '\\' => '\\'; case '"' => '"'; case 'b' => '\b'; case 'f' => '\f'
+            case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'; case _ => -1
+          }
+          if (named >= 0) { out.write(named); i += 2 }
+          else { out.write(c.toInt); i += 1 }
+        }
+      } else { out.write(c.toInt); i += 1 }
+    }
+    val bytes = out.toByteArray
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try {
+      dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch { case _: Exception => s }
   }
 
   /** zeek → zed type text (for the shape tag of a decoded frame). */
@@ -141,36 +196,43 @@ object ZeekIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
-    val headerStarts = lines.filter(_.startsWith("#separator")).count()
-    if (headerStarts <= 1) {
-      val h = parseHeader(lines.filter(_.startsWith("#")).take(64).toSeq)
+    val directiveTotal = lines.filter(_.startsWith("#")).count()
+    val headDirectives =
+      lines.take(512).iterator.takeWhile(_.startsWith("#")).length
+    if (directiveTotal <= headDirectives) {
+      // fast path: all directives lead the file — decode DISTRIBUTED
+      val h = parseHeader(lines.take(headDirectives).toSeq)
       val data = lines.filter(l => !l.startsWith("#") && l.nonEmpty)
       decodeBlock(spark, h, data)
     } else {
-      // several header blocks in one stream (schema changes mid-file —
-      // zeekio parser.go re-reads directives). Driver-side segmentation:
-      // multi-schema zeek files are header-delimited test/interchange
+      // directives interleave with data (schema/path changes mid-stream —
+      // zeekio parser.go keeps cumulative state). Driver-side
+      // segmentation: such files are header-delimited test/interchange
       // artifacts; the bulk 100 TB path is single-header per file.
       val all = lines.collect().toSeq
-      val blocks = Vector.newBuilder[(Header, Seq[String])]
-      var header = Vector.empty[String]
+      val st = new DirectiveState
+      val blocks = Vector.newBuilder[(Header, Vector[String])]
       var data = Vector.empty[String]
       var current: Option[Header] = None
-      def flush(): Unit = current.foreach { h =>
-        if (data.nonEmpty) blocks += ((h, data))
-      }
+      def flush(): Unit = { current.foreach(h => if (data.nonEmpty) blocks += ((h, data))); data = Vector.empty }
       for (l <- all) {
-        if (l.startsWith("#separator")) { flush(); header = Vector(l); data = Vector.empty; current = None }
-        else if (l.startsWith("#")) header :+= l
-        else if (l.nonEmpty) {
-          if (current.isEmpty) current = Some(parseHeader(header))
+        if (l.startsWith("#")) {
+          if (data.nonEmpty) { flush(); current = None }
+          st.update(l)
+        } else if (l.nonEmpty) {
+          if (current.isEmpty) current = Some(st.header)
           data :+= l
         }
       }
       flush()
-      blocks.result().map { case (h, d) =>
-        decodeBlock(spark, h, spark.createDataset(d))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // re-ingest through the typed value model so conflicting column
+      // types across blocks become variant columns with per-row shapes
+      val values = blocks.result().flatMap { case (h, d) =>
+        val df = decodeBlock(spark, h, spark.createDataset(d))
+        val fn = ZFormat.rowValueFn(df.schema)
+        df.collect().toIndexedSeq.map(fn)
+      }
+      ZsonReader.fromValues(spark, values, tag = true)
     }
   }
 
@@ -298,7 +360,12 @@ object ZeekIO {
       "#types\t" + cols.map(c => typeName(c._1, c._3)).mkString("\t"))
     val body = df.select(concat_ws("\t",
       cols.map(c => encode(c._1, c._2, c._3)): _*).as("value")).as[String]
-    val withHeader = df.sparkSession.createDataset(header).union(body)
-    withHeader.coalesce(1).write.mode("overwrite").text(path)
+    // prepend the directive header INSIDE partition 0 — a Dataset union
+    // does not guarantee partition order
+    val rdd = body.coalesce(1).rdd.mapPartitionsWithIndex { case (i, it) =>
+      if (i == 0) header.iterator ++ it else it
+    }
+    df.sparkSession.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(path)
   }
 }

@@ -97,10 +97,13 @@ object ZtestHarness {
       }: _*)
       typed
     } else if (fl.contains("-i json")) {
-      spark.read.json(spark.createDataset(c.input.linesIterator.toSeq))
+      try graft.sources.JsonIO.fromText(spark, c.input)
+      catch { case _: Exception =>
+        spark.read.json(spark.createDataset(c.input.linesIterator.toSeq)) }
     } else if (fl.contains("-i line")) {
       spark.createDataset(c.input.linesIterator.toSeq).toDF("this")
-    } else if (c.input.startsWith("#separator") || fl.contains("-i zeek")) {
+    } else if (c.input.startsWith("#separator") || c.input.startsWith("#fields") ||
+               c.input.startsWith("#path") || fl.contains("-i zeek")) {
       ZeekIO.read(spark, writeTemp(c.input, "in.log"))
     } else if (c.input.startsWith("{\"type\":")) {
       graft.sources.ZjsonIO.read(spark, writeTemp(c.input, "in.zjson"))
@@ -126,9 +129,9 @@ object ZtestHarness {
     val df = buildInput(spark, c)
     val res = Graft.queryOn(df, c.zed)
     val f = c.outputFlags
-    if (f.contains("-f csv")) csvLines(res)
-    else if (f.contains("-f zeek")) zeekLines(res)
-    else if (f.contains("-f json")) jsonLines(res)
+    if (f.contains("-f csv")) graft.sources.ZFormat.csvLines(res)
+    else if (f.contains("-f zeek")) graft.sources.ZFormat.zeekLines(res)
+    else if (f.contains("-f json")) graft.sources.ZFormat.jsonLines(res)
     else if (f.contains("-f table")) graft.sources.Formats.tableLines(res).collect().toSeq
     else if (f.contains("-f text")) graft.sources.Formats.textLines(res).collect().toSeq
     else ZsonIO.toZson(res).collect().toSeq
@@ -447,9 +450,15 @@ object ZtestHarness {
         .filterNot(_.isEmpty)
       clean(c.output.linesIterator.toSeq) == clean(got)
     } else if (f.contains("-f json")) {
+      // parse as a STREAM of json values (pretty output spans lines)
       def canon(ls: Seq[String]): Option[Seq[String]] =
-        try Some(ls.filter(_.trim.nonEmpty).map(l => canonJson(mapper.readTree(l))))
-        catch { case _: Exception => None }
+        try {
+          val it = mapper.readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
+            .readValues[com.fasterxml.jackson.databind.JsonNode](ls.mkString("\n"))
+          val out = Vector.newBuilder[String]
+          while (it.hasNext) out += canonJson(it.next())
+          Some(out.result())
+        } catch { case _: Exception => None }
       (canon(c.output.linesIterator.toSeq), canon(got)) match {
         case (Some(w), Some(g)) => w == g && w.nonEmpty
         case _ => false
