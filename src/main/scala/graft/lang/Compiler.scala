@@ -115,13 +115,13 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Sort(keys, nullsFirst) =>
         val df = single(state)
         val resolved =
-          if (keys.nonEmpty) keys.map { case (e, asc) =>
+          if (keys.nonEmpty) keys.flatMap { case (e, asc) =>
             // union-typed keys sort under the cross-type total order
             val c = expr(df, e)
-            val keyed = if (isVariantExpr(df, e)) graft.operators.Het.compareKey(c) else c
-            (keyed, asc)
+            if (isVariantExpr(df, e)) Seq((graft.operators.Het.compareKey(c), asc))
+            else sortKeyCols(df, e, c).map((_, asc))
           }
-          else Seq((guessSortKey(df), true))
+          else guessSortKey(df).map((_, true))
         val ordered = resolved.map { case (c, asc) =>
           (asc, nullsFirst) match {
             case (true, false) => c.asc_nulls_last
@@ -139,11 +139,11 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Tail(n) =>
         val df = single(state)
         Seq(lateralLimit(df, n, fromEnd = true)
-          .getOrElse(ZedOps.tail(df, n, guessSortKey(df))))
+          .getOrElse(ZedOps.tail(df, n, guessSortKey(df): _*)))
 
       case Stage.Top(n, keys) =>
         val df = single(state)
-        val ks = if (keys.nonEmpty) keys.map(expr(df, _)) else Seq(guessSortKey(df))
+        val ks = if (keys.nonEmpty) keys.map(expr(df, _)) else guessSortKey(df)
         Seq(ZedOps.top(df, n, ks: _*))
 
       case Stage.Uniq(withCount) =>
@@ -530,18 +530,73 @@ final class Compiler(spark: SparkSession, dir: String) {
     else F.grep(word, strCols: _*)
   }
 
-  /** sort-key heuristic (docs/language/operators/sort.md:40-60): first
-    * integer field, else first float, else first non-time field.
+  /** sort-key heuristic (sort.go GuessSortKey:218-234): first INTEGER
+    * leaf (descending into nested records), else first float leaf, else
+    * first non-time field; a non-record stream sorts by `this`.
     */
-  private def guessSortKey(df: DataFrame): Column = {
-    val fs = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
-    fs.find(f => isIntType(f.dataType))
-      .orElse(fs.find(f => f.dataType == DoubleType || f.dataType == FloatType))
-      .orElse(fs.find(f => !f.dataType.isInstanceOf[TimestampType]))
-      .map(f =>
-        if (isVariant(f.dataType)) graft.operators.Het.compareKey(col(s"`${f.name}`"))
-        else col(s"`${f.name}`"))
-      .getOrElse(col(s"`${fs.head.name}`"))
+  private def guessSortKey(df: DataFrame): Seq[Column] = {
+    val het = graft.operators.Het
+    val fs = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+    def firstMatching(fields: Seq[StructField], pred: DataType => Boolean): Option[Seq[String]] = {
+      for (f <- fields) {
+        if (pred(f.dataType)) return Some(Seq(f.name))
+        f.dataType match {
+          case nested: StructType if !isVariant(f.dataType) =>
+            firstMatching(nested.fields.toIndexedSeq, pred) match {
+              case Some(p) => return Some(f.name +: p)
+              case None =>
+            }
+          case _ =>
+        }
+      }
+      None
+    }
+    val path: Seq[String] =
+      if (fs.map(_.name) == Seq("this")) Seq("this")
+      else firstMatching(fs, isIntType)
+        .orElse(firstMatching(fs, dt => dt == DoubleType || dt == FloatType))
+        .orElse(firstMatching(fs, dt => !dt.isInstanceOf[TimestampType] && dt != NullType))
+        .getOrElse(Seq(fs.head.name))
+    val c = path.tail.foldLeft(col(s"`${path.head}`"))(_.getField(_))
+    val dt = resolveType(df.schema, path)
+    if (dt.exists(isVariant)) Seq(graft.operators.Het.compareKey(c))
+    else sortKeyCols(df, Expr.Path(if (path == Seq("this")) Seq.empty else path), c)
+  }
+
+  private def resolveType(st: StructType, path: Seq[String]): Option[DataType] = {
+    val self: DataType = st
+    path.foldLeft(Option(self)) {
+      case (Some(s: StructType), n) => s.fields.find(_.name == n).map(_.dataType)
+      case _ => None
+    }
+  }
+
+  private val typeKeyUdf =
+    udf((s: String) => if (s == null) null else graft.sources.ZValue.typeSortKey(s))
+
+  /** Expand one sort key into its orderable column(s), matching the
+    * reference comparator's semantics the plain column can't express:
+    * NaN sorts before every number (Go cmp.Compare — sort.go comparator),
+    * and TYPE VALUES sort in the CompareTypes total order via an
+    * order-preserving binary key.
+    */
+  private def sortKeyCols(df: DataFrame, e: Expr, c: Column): Seq[Column] = {
+    val parts = e match {
+      case Expr.Path(ps) => if (ps.headOption.contains("this")) ps.tail else ps
+      case _ => return Seq(c)
+    }
+    val dt = dtypeOf(df, e).orElse(
+      if (parts.isEmpty && df.columns.contains("this"))
+        Some(df.schema("this").dataType)
+      else resolveType(df.schema, parts))
+    val shapeTs = shapesOf(df).flatMap(s => pathIn(s._2, parts))
+      .map(graft.sources.ZType.strip)
+    if (shapeTs.nonEmpty && shapeTs.forall(_ == graft.sources.ZType.Prim("type")))
+      Seq(typeKeyUdf(c))
+    else if (dt.contains(DoubleType) || dt.contains(FloatType))
+      Seq(when(isnan(c), lit(0)).otherwise(lit(1)), c)
+    else Seq(c)
   }
 
   // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------

@@ -138,9 +138,12 @@ object Het {
     */
   def compareKey(v: Column): Column =
     // a null variant must yield a NULL key (not a struct of nulls, which
-    // would sort before every non-null struct) so nulls-last works
+    // would sort before every non-null struct) so nulls-last works.
+    // NaN ranks below every number (Go cmp.Compare semantics in the
+    // reference's comparator) — Spark's double order puts NaN last.
     when(v.isNull, lit(null).cast(compareKeyType)).otherwise(struct(
       v.getField("k").as("k"),
+      when(isnan(v.getField("n")), lit(0)).otherwise(lit(1)).as("nn"),
       v.getField("n").as("n"),
       v.getField("s").as("s"),
       v.getField("b").cast(IntegerType).as("b"),
@@ -148,6 +151,7 @@ object Het {
 
   private val compareKeyType: StructType = StructType(Seq(
     StructField("k", IntegerType),
+    StructField("nn", IntegerType),
     StructField("n", DoubleType),
     StructField("s", StringType),
     StructField("b", IntegerType),
@@ -169,6 +173,9 @@ object Het {
     // exact text rides in z for durations, ns-times and >2^53 integers
     val numText =
       when(v.getField("z").isNotNull, v.getField("z"))
+        .when(isnan(n), lit("NaN"))
+        .when(n === lit(Double.PositiveInfinity), lit("+Inf"))
+        .when(n === lit(Double.NegativeInfinity), lit("-Inf"))
         .when(isFloat && n === floor(n) && abs(n) < 1e15,
           concat(n.cast(LongType).cast(StringType), lit(".")))
         .when(!isFloat && n === floor(n), n.cast(LongType).cast(StringType))

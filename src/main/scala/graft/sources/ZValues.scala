@@ -121,6 +121,23 @@ object ZType {
     if (ds.length == 1) ds.head
     else Union(ds.sortWith((a, b) => ZValue.compareZTypes(a, b) < 0))
   }
+
+  /** Canonical form: union members re-sorted into the total type order —
+    * the normalization the reference's type context applies on creation
+    * (complex.go LookupTypeUnion), so explicitly-written union type text
+    * like `({x:string},{x:int64})` compares equal to its canonical form.
+    */
+  def canon(t: ZType): ZType = t match {
+    case Named(n, i) => Named(n, canon(i))
+    case Rec(fs) => Rec(fs.map { case (n, ft) => n -> canon(ft) })
+    case Arr(e) => Arr(canon(e))
+    case SetT(e) => SetT(canon(e))
+    case MapT(k, v) => MapT(canon(k), canon(v))
+    case Union(alts) =>
+      Union(alts.map(canon).sortWith((a, b) => ZValue.compareZTypes(a, b) < 0))
+    case ErrT(i) => ErrT(canon(i))
+    case other => other
+  }
 }
 
 sealed trait ZValue
@@ -243,6 +260,43 @@ object ZValue {
         case _ => 0
       }
     }
+  }
+
+  /** Order-preserving binary key for SORTING TYPE VALUES: byte-wise
+    * comparison of keys reproduces the reference's total type order
+    * (type.go CompareTypes:396-477 — kind first, primitives by ID,
+    * records by arity/names/field-types, named types after their
+    * underlying type then by name). Unions canonicalize (sort members)
+    * before encoding, as the reference's type context does on creation.
+    */
+  def typeSortKey(text: String): Array[Byte] = {
+    val parsed =
+      try ZType.canon(ZsonParser.parseType(text))
+      catch { case _: Exception => return text.getBytes("UTF-8") }
+    val out = new java.io.ByteArrayOutputStream()
+    def be4(n: Int): Unit = {
+      out.write(n >>> 24); out.write((n >>> 16) & 0xff)
+      out.write((n >>> 8) & 0xff); out.write(n & 0xff)
+    }
+    def str0(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write(0) }
+    def enc(t0: ZType): Unit = {
+      val named = t0 match { case ZType.Named(n, _) => Some(n); case _ => None }
+      ZType.strip(t0) match {
+        case ZType.Prim(p) => out.write(0); out.write(primIds.getOrElse(p, 99))
+        case ZType.Rec(fs) =>
+          out.write(1); be4(fs.length); fs.foreach(f => str0(f._1)); fs.foreach(f => enc(f._2))
+        case ZType.Arr(e) => out.write(2); enc(e)
+        case ZType.SetT(e) => out.write(3); enc(e)
+        case ZType.MapT(k, v) => out.write(4); enc(k); enc(v)
+        case ZType.Union(alts) => out.write(5); be4(alts.length); alts.foreach(enc)
+        case ZType.EnumT(ss) => out.write(6); be4(ss.length); ss.foreach(str0)
+        case ZType.ErrT(i) => out.write(7); enc(i)
+        case ZType.Named(_, _) => // unreachable after strip
+      }
+      named match { case Some(n) => out.write(1); str0(n); case None => out.write(0) }
+    }
+    enc(parsed)
+    out.toByteArray
   }
 
   def normSet(items: Vector[ZValue]): Vector[ZValue] = {

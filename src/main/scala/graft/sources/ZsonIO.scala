@@ -45,13 +45,20 @@ object ZsonIO {
       case ByteType => concat(c.cast(StringType), lit(" (int8)"))
       case DoubleType =>
         // float64 is implied by a decimal point (zson.md §2.3.1): integral
-        // doubles print with a trailing dot
-        when(c === floor(c) && abs(c) < 1e15,
-          concat(c.cast(LongType).cast(StringType), lit(".")))
+        // doubles print with a trailing dot; non-finite as zed's
+        // NaN/+Inf/-Inf spellings (not Java's Infinity)
+        when(isnan(c), lit("NaN"))
+          .when(c === lit(Double.PositiveInfinity), lit("+Inf"))
+          .when(c === lit(Double.NegativeInfinity), lit("-Inf"))
+          .when(c === floor(c) && abs(c) < 1e15,
+            concat(c.cast(LongType).cast(StringType), lit(".")))
           .otherwise(c.cast(StringType))
       case FloatType =>
-        concat(when(c.cast(DoubleType) === floor(c.cast(DoubleType)) && abs(c) < 1e7,
-          concat(c.cast(LongType).cast(StringType), lit(".")))
+        concat(when(isnan(c), lit("NaN"))
+          .when(c === lit(Float.PositiveInfinity), lit("+Inf"))
+          .when(c === lit(Float.NegativeInfinity), lit("-Inf"))
+          .when(c.cast(DoubleType) === floor(c.cast(DoubleType)) && abs(c) < 1e7,
+            concat(c.cast(LongType).cast(StringType), lit(".")))
           .otherwise(c.cast(StringType)), lit(" (float32)"))
       case _: DecimalType => concat(c.cast(StringType), lit(" (float64)"))
       case BooleanType => c.cast(StringType)
@@ -115,6 +122,13 @@ object ZsonIO {
       (dt, zt.map(ZType.strip)) match {
         case (LongType, Some(ZType.Prim("duration"))) =>
           when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
+        case (StringType, Some(ZType.Prim("ip" | "net"))) =>
+          // ip/net literals are bare in zson (no quotes)
+          when(c.isNull, lit("null")).otherwise(c)
+        case (StringType, Some(ZType.Prim("type"))) =>
+          when(c.isNull, lit("null")).otherwise(concat(lit("<"), c, lit(">")))
+        case (StringType, Some(ZType.EnumT(_))) =>
+          when(c.isNull, lit("null")).otherwise(concat(lit("%"), c))
         case (st: StructType, Some(ZType.Rec(zfs))) if !isVariantType(st) =>
           val inner = concat_ws(",", st.fields.toIndexedSeq.map { f =>
             concat(lit(zsonName(f.name) + ":"),
@@ -140,8 +154,20 @@ object ZsonIO {
       .map(_.metadata.getStringArray("shapes").toSeq)
       .getOrElse(Seq.empty)
 
-    if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{")))
-      return df.select(zsonOf(col("this"), fields.head.dataType).as("value")).as[String]
+    if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{"))) {
+      // bare (non-record) value stream: the shape tag carries each row's
+      // zed type — render type-aware (sets as |[…]|, ips bare, …)
+      val dt = fields.head.dataType
+      val base = zsonOf(col("this"), dt)
+      val line = shapes.foldLeft(base) { (acc, t) =>
+        (try Some(ZsonParser.parseType(t)) catch { case _: Exception => None }) match {
+          case Some(z) =>
+            when(col(het.typeTag) === t, zsonOfZ(col("this"), dt, Some(z))).otherwise(acc)
+          case None => acc
+        }
+      }
+      return df.select(line.as("value")).as[String]
+    }
 
     val default = recordFmt(fields)
     if (shapes.isEmpty)

@@ -394,8 +394,9 @@ object ZtestHarness {
       case VTypeVal(t) =>
         // type values canon as their normalized text, comparable with the
         // engine's string-typed typeof()
-        val norm = try graft.sources.ZType.fullText(ZsonParser.parseType(t))
-                   catch { case _: Exception => t }
+        val norm = try graft.sources.ZType.fullText(
+            graft.sources.ZType.canon(ZsonParser.parseType(t)))
+          catch { case _: Exception => t }
         "\"" + norm + "\""
       case VEnum(s) => "\"" + s + "\""
       case VRec(fs) =>
