@@ -51,19 +51,36 @@ object ZvOps {
         case Some((_, fv)) => zvOf(fv)
         case None => errMissing
       }
+      case ZValue.VMap(es) =>
+        es.find(e => ZValue.unwrap(e._1) == ZValue.VStr(field)) match {
+          case Some((_, mv)) => zvOf(mv)
+          case None => errMissing
+        }
       case _ => errMissing
     }).orElse(errMissing)
   })
 
   def get(v: Column, field: String): Column = getU(Het.render(v), lit(field))
 
-  /** Element access into a boxed array/map value. */
+  /** Element access into a boxed array/set/map value: arrays and sets by
+    * position (negative from the end), maps by key equality.
+    */
   private val indexU = udf((text: String, idx: Int) => {
     if (text == null) errMissing
     else parse(text).flatMap(v => ZValue.unwrap(v) match {
       case ZValue.VArr(items, _) =>
         val i = if (idx < 0) items.length + idx else idx
         if (i >= 0 && i < items.length) zvOf(items(i)) else errMissing
+      case ZValue.VMap(es) =>
+        es.find(e => ZValue.unwrap(e._1) match {
+          case ZValue.VInt(n, _) => n == idx
+          case ZValue.VUint64(n) => n == BigDecimal(idx)
+          case ZValue.VFloat(d, _) => d == idx
+          case _ => false
+        }) match {
+          case Some((_, mv)) => zvOf(mv)
+          case None => errMissing
+        }
       case _ => errMissing
     }).orElse(errMissing)
   })
@@ -162,21 +179,58 @@ object ZvOps {
 
   def typePaths(typeText: Column): Column = typePathsU(typeText)
 
-  /** Unary minus over a boxed number (expr/eval.go unary '-'). */
-  private val negU = udf((text: String) => {
-    if (text == null) None
-    else parse(text).flatMap(v => ZValue.unwrap(v) match {
-      case ZValue.VInt(n, t) => zvOf(ZValue.VInt(-n, if (t.startsWith("uint")) "int64" else t))
-      case ZValue.VFloat(d, t) => zvOf(ZValue.VFloat(-d, t))
-      case ZValue.VDur(ns) => zvOf(ZValue.VDur(-ns))
-      case ZValue.VNull(t) => None
-      case other => zvOf(ZValue.VErr(ZValue.VRec(Vector(
-        "message" -> ZValue.VStr("incompatible type"),
-        "on" -> other))))
-    })
+  /** Unary minus over a boxed number (expr/eval.go unary '-'): width-
+    * preserving with underflow errors (negating the min int of a width is
+    * error({message:"unary '-' underflow",on:<v>})), unsigned widths move
+    * to their signed counterpart, non-numbers are the reference's
+    * "type incompatible with unary '-' operator" error value, typed
+    * numeric nulls stay typed nulls.
+    */
+  private val negU = udf((text: String, t: String) => {
+    import ZValue._
+    def underflow(on: ZValue) = zvOf(VErr(VRec(Vector(
+      "message" -> VStr("unary '-' underflow"), "on" -> on))))
+    def incompat(on: ZValue) = zvOf(VErr(VRec(Vector(
+      "message" -> VStr("type incompatible with unary '-' operator"), "on" -> on))))
+    val ty = Option(t).getOrElse("")
+    def minOf(w: String): Long = w match {
+      case "int8" => Byte.MinValue
+      case "int16" => Short.MinValue
+      case "int32" => Int.MinValue
+      case _ => Long.MinValue
+    }
+    if (text == null) incompat(VNull(ZType.nullT))
+    else if (text == "null") {
+      // typed null: numeric types negate to themselves, others error
+      if (ty.startsWith("int") || ty.startsWith("uint") || ty.startsWith("float") ||
+          ty == "duration")
+        zvOf(VNull(ZType.Prim(if (ty.startsWith("uint")) "int" + ty.drop(4) else ty)))
+      else incompat(if (ty.isEmpty || ty == "null") VNull(ZType.nullT)
+                    else VNull(ZType.Prim(ty)))
+    } else parse(text).flatMap { v0 =>
+      ZValue.unwrap(v0) match {
+        case VInt(n, _) if ty.startsWith("int") || ty.isEmpty =>
+          val w = if (ty.isEmpty) "int64" else ty
+          if (n == minOf(w)) underflow(VInt(n, w)) else zvOf(VInt(-n, w))
+        case VInt(n, _) if ty.startsWith("uint") =>
+          val w = "int" + ty.drop(4)
+          // unsigned values that exceed the signed width underflow too
+          if (w != "int64" && -n < minOf(w)) underflow(VInt(n, ty))
+          else zvOf(VInt(-n, w))
+        case VInt(n, t0) =>
+          if (n == Long.MinValue) underflow(VInt(n, t0)) else zvOf(VInt(-n, t0))
+        case VUint64(n) =>
+          if (n > BigDecimal(Long.MaxValue)) underflow(VUint64(n))
+          else if (n.toLong == Long.MinValue) underflow(VInt(n.toLong, "int64"))
+          else zvOf(VInt(-n.toLong, "int64"))
+        case VFloat(d, ft) => zvOf(VFloat(-d, if (ty.startsWith("float")) ty else ft))
+        case VDur(ns) => zvOf(VDur(-ns))
+        case other => incompat(other)
+      }
+    }.orElse(ZvOps.errMissing)
   })
 
-  def neg(v: Column): Column = negU(Het.render(v))
+  def neg(v: Column): Column = negU(Het.render(v), v.getField("t"))
 
   /** Elements of a boxed container (for `over` on union-typed values):
     * arrays/sets → members, maps → {key,value}-ish pairs flattened to
@@ -231,4 +285,256 @@ object ZvOps {
 
   /** Wrap any typed column as a variant (idempotent). */
   def box(c: Column, dt: DataType): Column = Het.variant(c, dt)
+
+  // ---- recursive user funcs --------------------------------------------------
+
+  /** Tiny row-level evaluator for (mutually) recursive user funcs — the
+    * one expression family macro expansion cannot compile. Supports the
+    * arithmetic / comparison / ternary / call core zed funcs are written
+    * in; everything else evaluates to error("missing"). The reference
+    * also evaluates funcs call-by-call at runtime (sam/expr/function).
+    */
+  private def interp(table: Map[String, (Seq[String], graft.lang.Expr)],
+      e: graft.lang.Expr, env: Map[String, ZValue], depth: Int): ZValue = {
+    import graft.lang.Expr._
+    import ZValue._
+    if (depth > 1000) return VErr(VStr("exceeded max recursion depth"))
+    def ev(x: graft.lang.Expr): ZValue = interp(table, x, env, depth + 1)
+    def num(v: ZValue): Option[Either[Long, Double]] = unwrap(v) match {
+      case VInt(n, _) => Some(Left(n))
+      case VUint64(n) => Some(Left(n.toLong))
+      case VFloat(d, _) => Some(Right(d))
+      case VTime(ns) => Some(Left(ns))
+      case VDur(ns) => Some(Left(ns))
+      case _ => None
+    }
+    def call(fn: String, args: Seq[graft.lang.Expr]): ZValue = table.get(fn) match {
+      case Some((params, body)) if params.length == args.length =>
+        val bound = params.zip(args.map(ev)).toMap
+        interp(table, body, bound, depth + 1)
+      case _ => ZValue.errMissing
+    }
+    e match {
+      case IntLit(v) => VInt(v, "int64")
+      case FloatLit(v) => VFloat(v, "float64")
+      case StringLit(v) => VStr(v)
+      case BoolLit(v) => VBool(v)
+      case NullLit => VNull(ZType.nullT)
+      case DurationLit(ns, _) => VDur(ns)
+      case TimeLit(ns, _) => VTime(ns)
+      case Path(Seq(n)) if env.contains(n) => env(n)
+      case Path(Seq()) => env.getOrElse("this", ZValue.errMissing)
+      case Unary("-", x) => ev(x) match {
+        case v => num(v) match {
+          case Some(Left(n)) => VInt(-n, "int64")
+          case Some(Right(d)) => VFloat(-d, "float64")
+          case None => ZValue.errMissing
+        }
+      }
+      case Unary(op, x) if op == "!" || op == "not" => unwrap(ev(x)) match {
+        case VBool(b) => VBool(!b)
+        case _ => ZValue.errMissing
+      }
+      case Cond(c, t, f) => unwrap(ev(c)) match {
+        case VBool(true) => ev(t)
+        case VBool(false) => ev(f)
+        case _ => ZValue.errMissing
+      }
+      case Binary(op, l, r) if op == "and" || op == "or" =>
+        (unwrap(ev(l)), unwrap(ev(r))) match {
+          case (VBool(a), VBool(b)) => VBool(if (op == "and") a && b else a || b)
+          case _ => ZValue.errMissing
+        }
+      case Binary(op, l, r) if Set("==", "!=", "<", "<=", ">", ">=")(op) =>
+        val (lv, rv) = (ev(l), ev(r))
+        val cmp: Option[Int] = (num(lv), num(rv)) match {
+          case (Some(a), Some(b)) =>
+            val (x, y) = (a.fold(_.toDouble, identity), b.fold(_.toDouble, identity))
+            Some(java.lang.Double.compare(x, y))
+          case _ => (unwrap(lv), unwrap(rv)) match {
+            case (VStr(a), VStr(b)) => Some(a.compareTo(b))
+            case (VBool(a), VBool(b)) => Some(java.lang.Boolean.compare(a, b))
+            case (a, b) => if (op == "==" || op == "!=") Some(if (a == b) 0 else 1) else None
+          }
+        }
+        cmp match {
+          case Some(c) => VBool(op match {
+            case "==" => c == 0
+            case "!=" => c != 0
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          })
+          case None => ZValue.errMissing
+        }
+      case Binary(op, l, r) if Set("+", "-", "*", "/", "%")(op) =>
+        val (lv, rv) = (ev(l), ev(r))
+        (unwrap(lv), unwrap(rv)) match {
+          case (VStr(a), VStr(b)) if op == "+" => VStr(a + b)
+          case _ => (num(lv), num(rv)) match {
+            case (Some(Left(a)), Some(Left(b))) => op match {
+              case "+" => VInt(a + b, "int64")
+              case "-" => VInt(a - b, "int64")
+              case "*" => VInt(a * b, "int64")
+              case "/" => if (b == 0) VErr(VStr("divide by zero")) else VInt(a / b, "int64")
+              case "%" => if (b == 0) VErr(VStr("modulo by zero")) else VInt(a % b, "int64")
+            }
+            case (Some(x), Some(y)) =>
+              val (a, b) = (x.fold(_.toDouble, identity), y.fold(_.toDouble, identity))
+              op match {
+                case "+" => VFloat(a + b, "float64")
+                case "-" => VFloat(a - b, "float64")
+                case "*" => VFloat(a * b, "float64")
+                case "/" => if (b == 0) VErr(VStr("divide by zero")) else VFloat(a / b, "float64")
+                case "%" => if (b == 0) VErr(VStr("modulo by zero")) else VFloat(a % b, "float64")
+              }
+            case _ => ZValue.errMissing
+          }
+        }
+      case Call(fn, args) => call(fn, args)
+      case RecCall(fn, _, args) => call(fn, args)
+      case _ => ZValue.errMissing
+    }
+  }
+
+  /** Deep error scan of a boxed value (function/haserror.go): true when
+    * the value or anything nested inside it is an error value.
+    */
+  private val hasErrorU = udf((text: String) => {
+    import ZValue._
+    def walk(v: ZValue): Boolean = unwrap(v) match {
+      case VErr(_) => true
+      case VRec(fs) => fs.exists(f => walk(f._2))
+      case VArr(items, _) => items.exists(walk)
+      case VMap(es) => es.exists { case (k, x) => walk(k) || walk(x) }
+      case _ => false
+    }
+    if (text == null) false else parse(text).exists(walk)
+  })
+
+  def hasErrorDeep(v: Column): Column = hasErrorU(Het.render(v))
+
+  /** Dereference a field of a TYPE VALUE: `foo` over <{foo:{bar:int64}}>
+    * yields <{bar:int64}> (the reference's type-value deref,
+    * expr/eval.go DotExpr on TypeOfType).
+    */
+  private val typeFieldU = udf((text: String, path: String) => {
+    def walk(t: ZType, segs: List[String]): Option[ZType] = segs match {
+      case Nil => Some(t)
+      case s :: rest => ZType.strip(t) match {
+        case ZType.Rec(fs) => fs.find(_._1 == s).flatMap(f => walk(f._2, rest))
+        case _ => None
+      }
+    }
+    if (text == null) errMissing
+    else try walk(ZsonParser.parseType(text), path.split('.').toList) match {
+      case Some(t) => zvOf(ZValue.VTypeVal(ZType.fullText(ZType.strip(t))))
+      case None => errMissing
+    } catch { case _: Exception => errMissing }
+  })
+
+  def typeField(v: Column, parts: Seq[String]): Column =
+    typeFieldU(v, lit(parts.mkString(".")))
+
+  /** zed slice `a[lo:hi]` over a boxed value (expr/eval.go sliceExpr):
+    * strings slice by RUNES, bytes by bytes, arrays/sets by elements;
+    * negative indexes count from the end; typed nulls pass through;
+    * non-sliceable values and non-numeric indexes are the reference's
+    * exact error values.
+    */
+  private val sliceU = udf((text: String, t: String, loS: String, hiS: String) => {
+    import ZValue._
+    def err(msg: String) = zvOf(VErr(VStr(msg)))
+    def errOn(msg: String, on: ZValue) = zvOf(VErr(VRec(Vector(
+      "message" -> VStr(msg), "on" -> on))))
+    def num(s: String): Either[Boolean, Option[Int]] = // Left(true)=bad index
+      if (s == null || s == "null") Right(None)
+      else parse(s).map(unwrap) match {
+        case Some(VInt(n, _)) => Right(Some(n.toInt))
+        case Some(VUint64(n)) => Right(Some(n.toInt))
+        case Some(VFloat(d, _)) if d == Math.floor(d) => Right(Some(d.toInt))
+        case _ => Left(true)
+      }
+    val notSliceable = "sliced value is not array, set, bytes, or string"
+    (num(loS), num(hiS)) match {
+      case (Left(_), _) | (_, Left(_)) => err("slice index is not a number")
+      case (Right(lo), Right(hi)) =>
+        if (text == null) errOn(notSliceable, VNull(ZType.nullT))
+        else if (text == "null") {
+          // typed null slices to itself (sliceExpr null passthrough)
+          val ty = try ZsonParser.parseType(Option(t).getOrElse("null"))
+                   catch { case _: Exception => ZType.nullT }
+          ZType.strip(ty) match {
+            case ZType.Prim("bytes") | ZType.Prim("string") | ZType.Arr(_) |
+                 ZType.SetT(_) => zvOf(VNull(ty))
+            case _ => errOn(notSliceable, VNull(ty))
+          }
+        } else parse(text).map(unwrap) match {
+          case Some(VStr(s)) =>
+            val cps = s.codePoints().toArray
+            val (a, b) = normSlice(lo, hi, cps.length)
+            val sub = cps.slice(a, b)
+            zvOf(VStr(new String(sub, 0, sub.length)))
+          case Some(VBytes(bs)) =>
+            val (a, b) = normSlice(lo, hi, bs.length)
+            zvOf(VBytes(bs.slice(a, b)))
+          case Some(VArr(items, isSet)) =>
+            val (a, b) = normSlice(lo, hi, items.length)
+            zvOf(VArr(items.slice(a, b), isSet))
+          case Some(other) => errOn(notSliceable, other)
+          case None => err(notSliceable)
+        }
+    }
+  })
+
+  private def normSlice(lo: Option[Int], hi: Option[Int], len: Int): (Int, Int) = {
+    def n(i: Int) = { val x = if (i < 0) len + i else i; x.max(0).min(len) }
+    val a = lo.map(n).getOrElse(0)
+    val b = hi.map(n).getOrElse(len)
+    (a, b.max(a))
+  }
+
+  def sliceZed(v: Column, loText: Column, hiText: Column): Column =
+    sliceU(Het.render(v), v.getField("t"), loText, hiText)
+
+  /** Array/set literal with spreads over boxed (union-typed) operands:
+    * spread of an array/set splices its elements, spread of anything else
+    * splices nothing (expr/eval.go VectorElemSpread); sets normalize.
+    */
+  private val vectorLitU = udf((texts: Seq[String], spreads: Seq[Boolean], isSet: Boolean) => {
+    import ZValue._
+    val items = Vector.newBuilder[ZValue]
+    texts.zip(spreads).foreach { case (t, sp) =>
+      if (t != null && t != "null") parse(t).foreach { v =>
+        if (sp) unwrap(v) match {
+          case VArr(es, _) => items ++= es
+          case _ => // non-vector spread contributes nothing
+        } else items += v
+      }
+    }
+    val vs = items.result()
+    zvOf(if (isSet) VArr(ZValue.normSet(vs), isSet = true)
+         else VArr(vs, isSet = false))
+  })
+
+  def vectorLit(texts: Column, spreads: Column, isSet: Boolean): Column =
+    vectorLitU(texts, spreads, lit(isSet))
+
+  /** Compile a recursive-func call: args travel as ZSON text, the result
+    * comes back as a variant value.
+    */
+  def recCall(name: String, table: Map[String, (Seq[String], graft.lang.Expr)],
+      args: Seq[Column]): Column = {
+    val u = udf((xs: Seq[String]) => {
+      val vals = xs.map { x =>
+        if (x == null) (ZValue.VNull(ZType.nullT): ZValue)
+        else parse(x).getOrElse(ZValue.VStr(x))
+      }
+      val (params, body) = table(name)
+      if (params.length != vals.length) errMissing
+      else zvOf(interp(table, body, params.zip(vals).toMap, 0))
+    })
+    u(array(args: _*))
+  }
 }

@@ -31,6 +31,14 @@ object Expr {
     */
   final case class SubQuery(p: Pipeline) extends Expr
 
+  /** Call to a self- or mutually-recursive user `func` — macro expansion
+    * cannot terminate, so the call carries the whole func table and
+    * evaluates row-level in a small interpreter (the reference evaluates
+    * funcs per call too, semantic/func.go).
+    */
+  final case class RecCall(name: String,
+      table: Map[String, (Seq[String], Expr)], args: Seq[Expr]) extends Expr
+
   /** Default output-field name inference (semantic/op.go: field inferred
     * from the right-hand side — `by lower(s)` names the key `lower`).
     */

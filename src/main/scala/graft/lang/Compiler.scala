@@ -494,6 +494,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Binary("or", l, r) => searchify(df, l) || searchify(df, r)
     case Expr.Unary("not", x) => !searchify(df, x)
     case Expr.Unary("!", x) => !searchify(df, x)
+    case Expr.StringLit(s) if s.matches("""\d{1,3}(\.\d{1,3}){3}/\d{1,2}""") =>
+      netSearch(df, s) // bare net literal searches by subnet membership
     case Expr.StringLit(s) => keywordSearch(df, s)
     case Expr.Path(Seq(word)) => keywordSearch(df, word)
     case Expr.Call("__glob", Seq(Expr.StringLit(p))) => globSearch(df, p)
@@ -517,17 +519,74 @@ final class Compiler(spark: SparkSession, dir: String) {
       .flatMap(f => walk(f.name, f.dataType)).map(p => col(p))
   }
 
+  /** Container columns (arrays/maps incl. of records) rendered as JSON
+    * text so value search walks INTO them (filter.go search Walk).
+    */
+  private def containerTexts(df: DataFrame): Seq[Column] =
+    df.schema.fields.toIndexedSeq.filterNot(f =>
+      f.name == graft.operators.Het.typeTag ||
+        f.metadata.contains("graft.scopeVar")).collect {
+      case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
+        to_json(col(s"`${f.name}`"))
+    }
+
+  /** Field-NAME match (filter.go searchString.searchType: keyword search
+    * also hits records with a matching field name): per-row via the shape
+    * tag, statically via the schema otherwise.
+    */
+  private def fieldNameHit(df: DataFrame, nameRe: String): Column =
+    if (isTagged(df))
+      coalesce(col(graft.operators.Het.typeTag)
+        .rlike(s"""[{(,]"?$nameRe[^":,{}()\\[\\]|]*"?:"""), lit(false))
+    else {
+      def names(prefix: String, dt: DataType): Seq[String] = dt match {
+        case st: StructType if !isVariant(st) =>
+          st.fields.toIndexedSeq.flatMap(f =>
+            f.name +: names(s"$prefix.${f.name}", f.dataType))
+        case _ => Seq.empty
+      }
+      val all = df.schema.fields.toIndexedSeq
+        .filterNot(_.name == graft.operators.Het.typeTag)
+        .flatMap(f => f.name +: names(f.name, f.dataType))
+      lit(all.exists(_.matches(s"(?i).*$nameRe.*")))
+    }
+
   private def globSearch(df: DataFrame, pattern: String): Column = {
     val re = "^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
-    val cols = stringLeaves(df)
-    if (cols.isEmpty) lit(false)
-    else cols.map(_.rlike(re)).reduce(_ || _)
+    val inner = pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString("[^\":,{}()\\[\\]|]*")
+    val cols = stringLeaves(df) ++ containerTexts(df)
+    val valueHit =
+      if (cols.isEmpty) lit(false)
+      else cols.map(c => coalesce(c.rlike(re), lit(false))).reduce(_ || _)
+    valueHit || fieldNameHit(df, inner)
   }
 
   private def keywordSearch(df: DataFrame, word: String): Column = {
-    val strCols = stringLeaves(df)
-    if (strCols.isEmpty) lit(false)
-    else F.grep(word, strCols: _*)
+    val strCols = stringLeaves(df) ++ containerTexts(df)
+    val valueHit =
+      if (strCols.isEmpty) lit(false)
+      else F.grep(word, strCols: _*)
+    valueHit || fieldNameHit(df, java.util.regex.Pattern.quote(word))
+  }
+
+  /** Bare net-literal search (search-expressions.md): ip values match by
+    * subnet membership, net values by equality, arrays element-wise.
+    */
+  private def netSearch(df: DataFrame, cidr: String): Column = {
+    val net = lit(cidr)
+    def m(c: Column): Column =
+      coalesce(F.cidrMatch(net, c), lit(false)) || c <=> net
+    def walk(prefix: String, dt: DataType): Seq[Column] = dt match {
+      case st: StructType if !isVariant(st) =>
+        st.fields.toIndexedSeq.flatMap(f => walk(s"$prefix.${f.name}", f.dataType))
+      case StringType => Seq(m(col(prefix)))
+      case ArrayType(StringType, _) =>
+        Seq(coalesce(exists(col(prefix), x => m(x)), lit(false)))
+      case _ => Seq.empty
+    }
+    val preds = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
+      .toIndexedSeq.flatMap(f => walk(f.name, f.dataType))
+    if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
   }
 
   /** sort-key heuristic (sort.go GuessSortKey:218-234): first INTEGER
@@ -711,6 +770,11 @@ final class Compiler(spark: SparkSession, dir: String) {
     val boxed = dt.isEmpty && (parts.length - 1 to 1 by -1)
       .exists(n => dtypeOf(df, Expr.Path(parts.take(n))).exists(isVariant))
     val shapes = shapesOf(df)
+    // a stream of TYPE VALUES: field access navigates the type itself
+    // (expr/eval.go deref over TypeOfType — dot-record-type ztest)
+    if (shapes.nonEmpty && shapes.forall(_._2 == graft.sources.ZType.Prim("type")) &&
+        df.columns.contains("this") && dt.isEmpty)
+      return graft.functions.ZvOps.typeField(col("this"), parts)
     if (shapes.isEmpty)
       return if (dt.isDefined || boxed) expr(df, Expr.Path(parts))
              else if (isTagged(df)) het.errMissing
@@ -1043,7 +1107,38 @@ final class Compiler(spark: SparkSession, dir: String) {
         ((dtypeOf(df, inner).isEmpty && !isVariantExpr(df, inner)) ||
           zedNullPath(df, inner)) =>
       lit(null) // index into a missing or null-typed value
-    case Expr.Index(inner, Expr.StringLit(k)) if !isVariantExpr(df, inner) =>
+
+    case Expr.Index(Expr.Path(Seq()), idx) if df.columns.contains("this") &&
+        isVariant(df.schema("this").dataType) && isTagged(df) =>
+      // `this[i]` over a mixed stream: non-record rows (variant `this`)
+      // index row-level; record rows index the relational columns —
+      // an int index on a record is the reference's error value
+      // (expr/eval.go indexRecord)
+      val het = graft.operators.Het
+      val thisC = col("this")
+      val boxed = idx match {
+        case Expr.StringLit(k) => graft.functions.ZvOps.get(thisC, k)
+        case other => graft.functions.ZvOps.index(thisC, expr(df, other).cast("int"))
+      }
+      val recCols = df.schema.fields.toIndexedSeq.filterNot(f =>
+        f.name == "this" || f.name == het.typeTag ||
+          f.metadata.contains("graft.scopeVar"))
+      val recResult: Column = idx match {
+        case Expr.StringLit(k) =>
+          recCols.find(_.name == k)
+            .map(f => het.variant(col(s"`${f.name}`"), f.dataType))
+            .getOrElse(het.errMissing)
+        case Expr.IntLit(i) =>
+          het.errorValue(lit(s"""{message:"record index is not a string",on:$i}"""))
+        case _ => het.errMissing
+      }
+      when(thisC.isNotNull, boxed).otherwise(recResult)
+
+    case Expr.Index(inner, Expr.StringLit(k)) if !isVariantExpr(df, inner) &&
+        !(dtypeOf(df, inner) match {
+          case Some(MapType(kt, _, _)) => isVariant(kt) // fall through: box the key
+          case _ => false
+        }) =>
       expr(df, inner).getItem(k)
     case Expr.Index(inner, idx) =>
       // zed arrays are 0-indexed; negative indexes from the end
@@ -1055,7 +1150,29 @@ final class Compiler(spark: SparkSession, dir: String) {
         val innerDt = try df.select(arr).schema.head.dataType
                       catch { case _: Exception => NullType }
         innerDt match {
+          case MapType(kt: StructType, _, _) if isVariant(kt) =>
+            // union-keyed map: box the lookup key in the same encoding
+            val idxC = expr(df, idx)
+            val idxDt = dtypeOf(df, idx).getOrElse(
+              try df.select(idxC).schema.head.dataType
+              catch { case _: Exception => StringType })
+            element_at(arr, graft.operators.Het.variant(idxC, idxDt))
           case _: MapType => element_at(arr, expr(df, idx)) // map KEY lookup, no 0-base shift
+          case st: StructType if !isVariant(st) =>
+            // dynamic record index: the index VALUE names the field
+            // (expr/eval.go indexRecord); non-string index is an error
+            val het = graft.operators.Het
+            val idxC = expr(df, idx)
+            val idxDt = dtypeOf(df, idx).getOrElse(
+              try df.select(idxC).schema.head.dataType
+              catch { case _: Exception => StringType })
+            if (idxDt.isInstanceOf[NumericType])
+              het.errorValue(concat(lit("{message:\"record index is not a string\",on:"),
+                idxC.cast(StringType), lit("}")))
+            else st.fields.toIndexedSeq.foldLeft(het.errMissing: Column) { (acc, f) =>
+              when(idxC === lit(f.name),
+                het.variant(arr.getField(f.name), f.dataType)).otherwise(acc)
+            }
           case _ => idx match {
             case Expr.IntLit(i) if i >= 0 => element_at(arr, (i + 1).toInt)
             case Expr.IntLit(i) => element_at(arr, i.toInt)
@@ -1076,6 +1193,19 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Cond(c, t, f) =>
       when(expr(df, c), expr(df, t)).otherwise(expr(df, f))
 
+    case rc: Expr.RecCall =>
+      // recursive user func: row-level interpreter over zson-text args
+      val argTexts = rc.args.map { a =>
+        val c = expr(df, a)
+        if (isVariantExpr(df, a)) graft.operators.Het.render(c)
+        else {
+          val dt = dtypeOf(df, a).getOrElse(
+            try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+          graft.sources.ZsonIO.zsonOf(c, dt)
+        }
+      }
+      graft.functions.ZvOps.recCall(rc.name, rc.table, argTexts)
+
     case Expr.Call(fn, args) => call(df, fn, args)
 
     case Expr.SubQuery(p) => subqueryExpr(df, p)
@@ -1084,17 +1214,31 @@ final class Compiler(spark: SparkSession, dir: String) {
       // `...expr` spreads a record's fields in place; later names override
       // earlier ones at the original position (record-spread semantics)
       val expanded = fields.flatMap {
-        case ("...", se) => dtypeOf(df, se) match {
-          case Some(st: StructType) =>
-            val base = expr(df, se)
-            st.fields.toSeq.map(f => f.name -> base.getField(f.name))
-          case _ => Seq.empty // spread of missing/non-record: contributes nothing
-        }
+        case ("...", se) =>
+          val base = expr(df, se)
+          dtypeOf(df, se).orElse(
+            try Some(df.select(base).schema.head.dataType)
+            catch { case _: Exception => None }) match {
+            case Some(st: StructType) if !isVariant(st) =>
+              st.fields.toSeq.map(f => f.name -> base.getField(f.name))
+            case _ => Seq.empty // spread of missing/non-record: contributes nothing
+          }
+        case (n, fe: Expr.Path) if fe.parts.nonEmpty && isTagged(df) &&
+            pathMixed(df, fe) =>
+          // a shape-missing field embeds error("missing") in the record
+          Seq(n -> outExpr(df, fe))
         case (n, fe) => Seq(n -> expr(df, fe))
       }
       val ordered = scala.collection.mutable.LinkedHashMap.empty[String, Column]
       expanded.foreach { case (n, c) => ordered(n) = c }
       struct(ordered.toSeq.map { case (n, c) => c.as(n) }: _*)
+
+    case Expr.ArrayLit(items) if items.exists {
+        case Expr.Call("__spread", Seq(se)) => isVariantExpr(df, se)
+        case _ => false
+      } =>
+      // a spread over a union-typed operand resolves row-level
+      vectorLitVariant(df, items, isSet = false)
 
     case Expr.ArrayLit(items) =>
       if (items.exists { case Expr.Call("__spread", _) => true; case _ => false }) {
@@ -1115,6 +1259,27 @@ final class Compiler(spark: SparkSession, dir: String) {
           }: _*)
       }
       else array(items.map(expr(df, _)): _*)
+  }
+
+  /** Array/set literal with union-typed spread operands: every item
+    * travels as zson text, the splice happens row-level (ZvOps.vectorLit).
+    */
+  private def vectorLitVariant(df: DataFrame, items: Seq[Expr], isSet: Boolean): Column = {
+    def textOf(e: Expr): Column = {
+      val c = expr(df, e)
+      if (isVariantExpr(df, e)) graft.operators.Het.render(c)
+      else {
+        val dt = dtypeOf(df, e).getOrElse(
+          try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+        graft.sources.ZsonIO.zsonOf(c, dt)
+      }
+    }
+    val (texts, flags) = items.map {
+      case Expr.Call("__spread", Seq(se)) => (textOf(se), true)
+      case e => (textOf(e), false)
+    }.unzip
+    graft.functions.ZvOps.vectorLit(array(texts: _*),
+      lit(flags.toArray), isSet)
   }
 
   /** Path operand whose presence varies across shapes (its output form is
@@ -1164,7 +1329,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         case ">" => lk > rk
         case ">=" => lk >= rk
         case _ =>
-          // arithmetic in the numeric domain; an error operand IS the result
+          // arithmetic in the numeric domain; an error operand IS the
+          // result; containers are incompatible (expr/eval.go: "type <t>
+          // incompatible with '<op>' operator"); float %, and a zero
+          // divisor, are the reference's error values too
           val n = op match {
             case "+" => lv.getField("n") + rv.getField("n")
             case "-" => lv.getField("n") - rv.getField("n")
@@ -1172,8 +1340,24 @@ final class Compiler(spark: SparkSession, dir: String) {
             case "/" => lv.getField("n") / rv.getField("n")
             case "%" => lv.getField("n") % rv.getField("n")
           }
+          def containerErr(v: Column) = het.errorValue(concat(
+            lit("\"type "), v.getField("t"),
+            lit(s" incompatible with '$op' operator\"")))
+          def floaty(v: Column) =
+            v.getField("t").startsWith("float") || v.getField("t") === "decimal"
+          val divZero = Set("/", "%")(op)
+          val modFloat = op == "%"
           when(het.isError(lv), lv)
             .when(het.isError(rv), rv)
+            .when(lv.getField("k") === 4, containerErr(lv))
+            .when(rv.getField("k") === 4, containerErr(rv))
+            .when(if (modFloat) floaty(lv) || floaty(rv) else lit(false),
+              het.errorValue(lit("\"type float64 incompatible with '%' operator\"")))
+            .when(if (divZero) rv.getField("n") === 0 else lit(false),
+              het.errorValue(lit("\"divide by zero\"")))
+            .when(if (op == "%") lit(true) else lit(false),
+              het.variant(lv.getField("n").cast(LongType) % rv.getField("n").cast(LongType),
+                LongType))
             .otherwise(het.variant(n, DoubleType))
       }
     }
@@ -1185,6 +1369,37 @@ final class Compiler(spark: SparkSession, dir: String) {
       def numeric(e: Expr) = dtypeOf(df, e).exists(_.isInstanceOf[NumericType])
       if ((lStr && numeric(r)) || (rStr && numeric(l)))
         return graft.operators.Het.errorValue(lit("\"incompatible types\""))
+    }
+    // arithmetic on containers is the reference's error VALUE
+    // ("type <t> incompatible with '<op>' operator", expr/eval.go)
+    if (Set("+", "-", "*", "/", "%")(op)) {
+      def contType(e: Expr): Option[String] = {
+        val zt = e match {
+          case Expr.Path(ps) =>
+            val parts = if (ps.headOption.contains("this")) ps.tail else ps
+            val ts = shapesOf(df).flatMap(s => pathIn(s._2, parts))
+              .map(graft.sources.ZType.strip).distinct
+            if (ts.length == 1) ts.headOption else None
+          case _ => None
+        }
+        zt match {
+          case Some(t @ (graft.sources.ZType.Rec(_) | graft.sources.ZType.Arr(_) |
+                         graft.sources.ZType.SetT(_) | graft.sources.ZType.MapT(_, _))) =>
+            Some(graft.sources.ZType.text(t))
+          case Some(_) => None
+          case None => dtypeOf(df, e) match {
+            case Some(dt @ (_: ArrayType | _: MapType)) => Some(Shaper.zedTypeOf(dt))
+            case Some(st: StructType) if !isVariant(st) => Some(Shaper.zedTypeOf(st))
+            case _ => None
+          }
+        }
+      }
+      contType(l).orElse(contType(r)) match {
+        case Some(t) =>
+          return graft.operators.Het.errorValue(
+            lit(s""""type $t incompatible with '$op' operator""""))
+        case None =>
+      }
     }
     // time-literal vs ns-long column: compare in the ns domain
     val (lc0, rc0) = (l, r) match {
@@ -1233,8 +1448,18 @@ final class Compiler(spark: SparkSession, dir: String) {
         else if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
         else lc / rc
       case "%" =>
-        if (r == Expr.IntLit(0)) graft.operators.Het.errorValue(lit("\"divide by zero\""))
-        else lc % rc
+        val het = graft.operators.Het
+        if (r == Expr.IntLit(0)) het.errorValue(lit("\"divide by zero\""))
+        else if (isTagged(df)) {
+          // zed %: integers only (expr/eval.go) — float operand and zero
+          // divisor are error VALUES; result mixes ints and errors
+          val lF = dtQ(lc0) == DoubleType || dtQ(lc0) == FloatType
+          val rF = dtQ(rc0) == DoubleType || dtQ(rc0) == FloatType
+          if (lF || rF)
+            het.errorValue(lit("\"type float64 incompatible with '%' operator\""))
+          else when(rc === 0, het.errorValue(lit("\"divide by zero\"")))
+            .otherwise(het.variant(lc % rc, LongType))
+        } else lc % rc
       // zed comparisons are total: a null operand compares false (and !=
       // true), never null (expressions.md "Comparisons"). Only tagged
       // (heterogeneous) frames pay for it — on relational frames the raw
@@ -1267,20 +1492,59 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => throw new IllegalArgumentException("=~ needs a literal regexp")
         }
       case "in" =>
-        // `x in <record>` tests field values, `x in <map>` the values
-        // (expressions.md "in" over containers)
+        // `x in <record>` tests field values, `x in <map>` keys AND
+        // values (expressions.md "in"; in-map ztest); a union-typed or
+        // missing needle compares under the variant order, and an error
+        // needle (e.g. error("missing")) propagates out
+        val het = graft.operators.Het
+        // a shape-missing needle or container makes the whole test
+        // error("missing") (complex.go:28-40 error propagation)
+        val lcN = l match {
+          case p @ Expr.Path(parts) if parts.nonEmpty && isTagged(df) &&
+              pathMixed(df, p) => outExpr(df, p)
+          case _ => lc
+        }
+        val rMissing: Option[Column] = r match {
+          case Expr.Path(parts) if parts.nonEmpty && isTagged(df) &&
+              pathMixed(df, Expr.Path(parts)) =>
+            Some(!coalesce(hasPath(df, parts), lit(false)))
+          case _ => None
+        }
         val rdt = try df.select(rc).schema.head.dataType
                   catch { case _: Exception => NullType }
-        rdt match {
+        val ldt = try df.select(lcN).schema.head.dataType
+                  catch { case _: Exception => NullType }
+        val lVarC = isVariant(ldt)
+        def eqTo(e: Column, et: DataType): Column =
+          if (lVarC) het.compareKey(het.variant(e, et)) === het.compareKey(lcN)
+          else if (et == ldt) e <=> lcN
+          else if (et.isInstanceOf[NumericType] && ldt.isInstanceOf[NumericType])
+            e.cast(DoubleType) <=> lcN.cast(DoubleType)
+          else lit(false)
+        val res: Column = rdt match {
           case st: StructType if !isVariant(st) =>
-            val ldt = try df.select(lc).schema.head.dataType
-                      catch { case _: Exception => NullType }
-            st.fields.toIndexedSeq.filter(_.dataType == ldt)
-              .map(f => rc.getField(f.name) <=> lc)
+            st.fields.toIndexedSeq
+              .map(f => eqTo(rc.getField(f.name), f.dataType))
               .reduceOption(_ || _).getOrElse(lit(false))
-          case _: MapType => array_contains(map_values(rc), lc)
-          case _ => array_contains(rc, lc)
+          case MapType(kt, vt, _) =>
+            coalesce(exists(map_keys(rc), k => eqTo(k, kt)), lit(false)) ||
+              coalesce(exists(map_values(rc), v => eqTo(v, vt)), lit(false))
+          case ArrayType(et, _) =>
+            coalesce(exists(rc, e => eqTo(e, et)), lit(false))
+          case _ => array_contains(rc, lcN)
         }
+        val boxedRes = rMissing match {
+          case Some(miss) if lVarC =>
+            when(het.isError(lcN), lcN)
+              .when(miss, het.errMissing)
+              .otherwise(het.variant(res, BooleanType))
+          case Some(miss) =>
+            when(miss, het.errMissing).otherwise(het.variant(res, BooleanType))
+          case None if lVarC =>
+            when(het.isError(lcN), lcN).otherwise(het.variant(res, BooleanType))
+          case None => res
+        }
+        boxedRes
       case other => throw new IllegalArgumentException(s"binary op $other")
     }
   }
@@ -1508,11 +1772,18 @@ final class Compiler(spark: SparkSession, dir: String) {
         // true when the value or any nested field is an error (function/
         // haserror.go) — static walk over the schema, variant test per leaf
         def errLeaves(prefix: Column, dt: DataType): Seq[Column] = dt match {
-          case st: StructType if isVariant(st) => Seq(graft.operators.Het.isError(prefix))
+          case st: StructType if isVariant(st) =>
+            // a boxed container can hold errors anywhere inside — deep scan
+            Seq(graft.operators.Het.isError(prefix) ||
+              (prefix.getField("z").isNotNull &&
+                graft.functions.ZvOps.hasErrorDeep(prefix)))
           case st: StructType =>
             st.fields.toIndexedSeq.flatMap(f => errLeaves(prefix.getField(f.name), f.dataType))
           case ArrayType(et: StructType, _) if isVariant(et) =>
             Seq(coalesce(exists(prefix, x => graft.operators.Het.isError(x)), lit(false)))
+          case MapType(_, vt: StructType, _) if isVariant(vt) =>
+            Seq(coalesce(exists(map_values(prefix),
+              x => graft.operators.Het.isError(x)), lit(false)))
           case _ => Seq.empty
         }
         val subject = args.headOption.getOrElse(Expr.Path(Seq.empty))
@@ -1832,16 +2103,30 @@ final class Compiler(spark: SparkSession, dir: String) {
           case e if isVariantExpr(df, e) => variantKind(expr(df, e))
           case _ => lit("record")
         }
-      case "has" => args.map {
-        case Expr.Path(parts) if parts.nonEmpty => hasPath(df, parts)
-        case Expr.Path(Seq()) => lit(true)
-        case e if isVariantExpr(df, e) =>
-          // an error value propagates OUT of has() (function/has.go)
-          val het = graft.operators.Het
-          val c = expr(df, e)
-          when(het.isError(c), c).otherwise(het.variant(c.isNotNull, BooleanType))
-        case e => expr(df, e).isNotNull
-      }.reduce(_ && _)
+      case "has" =>
+        val het = graft.operators.Het
+        val checks: Seq[Column] = args.map {
+          case Expr.Path(parts) if parts.nonEmpty => hasPath(df, parts)
+          case Expr.Path(Seq()) => lit(true)
+          case e =>
+            // evaluate error-aware: error("missing") → false; any OTHER
+            // error propagates OUT of has() (function/has.go)
+            val c = expr(df, e)
+            val actual = try df.select(c).schema.head.dataType
+                         catch { case _: Exception => StringType }
+            if (isVariant(actual))
+              when(het.isError(c) && c.getField("z") === lit("\"missing\""),
+                het.variant(lit(false), BooleanType))
+                .when(het.isError(c), c)
+                .otherwise(het.variant(c.isNotNull, BooleanType))
+            else c.isNotNull
+        }
+        if (checks.length == 1) checks.head
+        else checks.map { ch =>
+          val adt = try df.select(ch).schema.head.dataType
+                    catch { case _: Exception => BooleanType }
+          if (isVariant(adt)) coalesce(ch.getField("b"), lit(false)) else ch
+        }.reduce(_ && _)
       case "missing" => args.head match {
         case Expr.Path(parts) if parts.nonEmpty => !hasPath(df, parts)
         case Expr.Path(Seq()) => lit(false)
@@ -2214,6 +2499,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         else a(0).getField(litStr(1))
 
       // set literal: dedup + sorted on construction (SURVEY §1.4)
+      case "__setlit" if args.exists {
+          case Expr.Call("__spread", Seq(se)) => isVariantExpr(df, se)
+          case _ => false
+        } =>
+        vectorLitVariant(df, args, isSet = true)
       case "__setlit" =>
         if (args.isEmpty) array()
         else {
@@ -2240,8 +2530,20 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       // slice `a[lo:hi]` — 0-based, end-exclusive, negative from end
       case "__slice" if args.head.isInstanceOf[Expr.Path] &&
+          !isVariantExpr(df, args.head) &&
           (dtypeOf(df, args.head).isEmpty || zedNullPath(df, args.head)) =>
         lit(null) // slice of a missing or null-typed value
+      case "__slice" if isVariantExpr(df, args.head) =>
+        // union-typed subject: exact row-level slice semantics
+        def idxText(e: Expr): Column = e match {
+          case Expr.NullLit => lit("null")
+          case other =>
+            val c = expr(df, other)
+            if (isVariantExpr(df, other)) graft.operators.Het.render(c)
+            else c.cast(StringType)
+        }
+        graft.functions.ZvOps.sliceZed(expr(df, args.head),
+          idxText(args(1)), idxText(args(2)))
       case "__slice" =>
         val arr = a(0)
         val sz = size(arr)

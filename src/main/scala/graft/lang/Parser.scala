@@ -148,7 +148,26 @@ final class Parser(tokens: Vector[Token], source: String) {
     case Expr.RecordLit(fs) => Expr.RecordLit(fs.map { case (n, x) => (n, subst(x, env)) })
     case Expr.ArrayLit(xs) => Expr.ArrayLit(xs.map(subst(_, env)))
     case Expr.SubQuery(p) => Expr.SubQuery(Pipeline(p.stages.map(substStage(_, env))))
+    case Expr.RecCall(n, t, args) => Expr.RecCall(n, t, args.map(subst(_, env)))
     case other => other
+  }
+
+  /** Does an expression still call into the user-func table? (Recursion
+    * marker: non-recursive calls to already-defined funcs were expanded
+    * inline while their bodies parsed, so any surviving table call means a
+    * self- or forward-reference.)
+    */
+  private def referencesFuncTable(e: Expr): Boolean = e match {
+    case Expr.Call(fn, args) => funcs.contains(fn) || args.exists(referencesFuncTable)
+    case Expr.Index(a, i) => referencesFuncTable(a) || referencesFuncTable(i)
+    case Expr.Unary(_, x) => referencesFuncTable(x)
+    case Expr.Binary(_, l, r) => referencesFuncTable(l) || referencesFuncTable(r)
+    case Expr.Cond(c, t, f) =>
+      referencesFuncTable(c) || referencesFuncTable(t) || referencesFuncTable(f)
+    case Expr.RecordLit(fs) => fs.exists(f => referencesFuncTable(f._2))
+    case Expr.ArrayLit(xs) => xs.exists(referencesFuncTable)
+    case Expr.RecCall(_, _, args) => args.exists(referencesFuncTable)
+    case _ => false
   }
 
   /** Substitute op params through a stage (targets rebased when the
@@ -388,7 +407,7 @@ final class Parser(tokens: Vector[Token], source: String) {
     case Expr.Unary("not", _) | Expr.Unary("!", _) => true
     case Expr.Call(fn, _) =>
       Set("grep", "cidr_match", "missing", "has", "is", "is_error",
-        "regexp_matches", "__regexsearch")(fn)
+        "regexp_matches", "__regexsearch", "__instar")(fn)
     case Expr.BoolLit(_) => true
     case _ => false
   }
@@ -779,7 +798,10 @@ final class Parser(tokens: Vector[Token], source: String) {
               case Some((params, body)) => // user-defined func: expand inline
                 if (params.length != args.length)
                   fail(s"func $name expects ${params.length} args, got ${args.length}")
-                subst(body, params.zip(args).toMap)
+                // a body still referencing the func table is (mutually)
+                // recursive — macro expansion would not terminate
+                if (referencesFuncTable(body)) Expr.RecCall(name, funcs.toMap, args)
+                else subst(body, params.zip(args).toMap)
               case None if typeDefs.contains(name) => // named type as cast
                 Expr.Call("cast", args :+ Expr.StringLit(typeDefs(name)))
               case None => Expr.Call(name, args)

@@ -480,6 +480,11 @@ object ZValue {
     case (x, y) if x == y => x
     case (NullType, y) => y
     case (x, NullType) => x
+    // a variant is atomic: merging it with anything non-identical stays a
+    // variant (the other side boxes) — field-merging its k/n/s/b/t/z
+    // encoding with a record's fields would corrupt both
+    case (x: StructType, _) if ZsonIO.isVariantType(x) => Het.variantType
+    case (_, y: StructType) if ZsonIO.isVariantType(y) => Het.variantType
     case (x: StructType, y: StructType) =>
       val names = (x.fieldNames ++ y.fieldNames).distinct
       StructType(names.map { n =>
