@@ -1034,7 +1034,13 @@ object SparkEntry {
   // DataFrame twin above — the frontend must reproduce the engine exactly.
 
   private def lang(q: String): (SparkSession, String) => DataFrame =
-    (s, dir) => graft.lang.Graft.query(s, dir, q)
+    (s, dir) => {
+      val df = graft.lang.Graft.query(s, dir, q)
+      // the per-row shape tag is engine metadata, not result data
+      if (df.columns.contains(graft.operators.Het.typeTag))
+        df.drop(graft.operators.Het.typeTag)
+      else df
+    }
 
   private val mainOracle: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap

@@ -193,9 +193,15 @@ object Shaper {
     * forms return None.
     */
   def parseZedType(text: String): Option[DataType] = {
+    // a top-level `name=` named-type wrapper doesn't change the Spark
+    // type — strip it so the width-exact legacy scanner still engages
+    // (typedefs now carry their name, e.g. "money=decimal(18,2)")
+    var bare = text
+    while (bare.matches("^[A-Za-z_][A-Za-z0-9_.]*=[^=].*"))
+      bare = bare.substring(bare.indexOf('=') + 1)
     // legacy scanner first (width-exact int types); the full ZSON type
     // grammar (named types, unions, enums, errors) catches the rest
-    parseZedTypeLegacy(text).orElse {
+    parseZedTypeLegacy(bare).orElse {
       try Some(graft.sources.ZValue.sparkTypeOf(
         graft.sources.ZsonParser.parseType(text)))
       catch { case _: Exception => None }

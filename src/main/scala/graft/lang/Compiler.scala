@@ -30,8 +30,45 @@ final class Compiler(spark: SparkSession, dir: String) {
   def runOn(input: DataFrame, p: Pipeline): DataFrame =
     combineAll(compilePipeline(Some(input), p))
 
-  private def combineAll(frames: Seq[DataFrame]): DataFrame =
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  private def combineAll(frames: Seq[DataFrame]): DataFrame = {
+    if (frames.length == 1) return frames.head
+    val het = graft.operators.Het
+    def dataFields(f: DataFrame) = f.schema.fields.toIndexedSeq
+      .filterNot(x => x.name == het.typeTag || x.metadata.contains("graft.scopeVar"))
+    val anyTagged = frames.exists(_.columns.contains(het.typeTag))
+    val hetero = frames.map(f => dataFields(f).map(_.name)).distinct.length > 1
+    if (!anyTagged && !hetero)
+      return frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // branches with different shapes form a heterogeneous stream: tag
+    // each row with its branch's record type so writers and sort keep
+    // per-row shape (zed's combine, op/combine.go)
+    val tagged = frames.map { f =>
+      if (f.columns.contains(het.typeTag)) f
+      else {
+        val dfs = dataFields(f)
+        // a bare `this` frame is a VALUE stream — its shape is the value
+        // type, not a one-field record
+        val t =
+          if (dfs.map(_.name) == Seq("this")) Shaper.zedTypeOf(dfs.head.dataType)
+          else Shaper.zedTypeOf(StructType(dfs))
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array(t)).build()
+        f.select(f.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
+          lit(t).as(het.typeTag, md): _*)
+      }
+    }
+    val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    val allShapes = tagged.flatMap { f =>
+      val md = f.schema(het.typeTag).metadata
+      if (md.contains("shapes")) md.getStringArray("shapes").toSeq else Seq.empty
+    }.distinct
+    union.select(union.schema.fields.toIndexedSeq.map { f =>
+      if (f.name == het.typeTag)
+        col(s"`${f.name}`").as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", allShapes.toArray).build())
+      else col(s"`${f.name}`")
+    }: _*)
+  }
 
   private def compilePipeline(input: Option[DataFrame], p: Pipeline): Seq[DataFrame] = {
     var state: Seq[DataFrame] = input.toSeq
@@ -88,7 +125,16 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Put(assigns) =>
         val df = single(state)
-        Seq(ZedOps.put(df, assigns.map { case (n, e) => n -> outExpr(df, e) }: _*))
+        // a column produced by typeof/typeunder is TYPE-VALUED: record it
+        // in field metadata so a later typeof(field) answers <type>
+        def marked(e: Expr, c: Column): Column = e match {
+          case Expr.Call("typeof" | "typeunder", _) =>
+            c.as("__t", new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "type").build())
+          case _ => c
+        }
+        Seq(ZedOps.put(df, assigns.map { case (n, e) =>
+          n -> marked(e, outExpr(df, e)) }: _*))
 
       case Stage.Drop(paths) =>
         val df = single(state)
@@ -130,7 +176,20 @@ final class Compiler(spark: SparkSession, dir: String) {
             case (false, true) => c.desc_nulls_first
           }
         }
-        Seq(df.orderBy(ordered: _*))
+        if (df.columns.contains(Compiler.rowIdCol)) {
+          // lateral-body sort: order WITHIN each outer row and reassign
+          // the element position so a following head/tail stays
+          // per-outer-row (zed sorts the inner sequence, not the stream)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(Compiler.rowIdCol)).orderBy(ordered: _*)
+          val sorted = df.orderBy(col(Compiler.rowIdCol).asc +: ordered: _*)
+            .withColumn(Compiler.posCol, row_number().over(w))
+          Seq(sorted.select(sorted.schema.fields.toIndexedSeq.map { f =>
+            if (f.name == Compiler.posCol)
+              col(f.name).as(f.name, Compiler.scopeVarMeta)
+            else col(s"`${f.name}`")
+          }: _*))
+        } else Seq(df.orderBy(ordered: _*))
 
       case Stage.Head(n) =>
         val df = single(state)
@@ -168,7 +227,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           .filter(f => f.metadata.contains("graft.scopeVar") &&
             f.name != Compiler.rowIdCol && f.name != Compiler.posCol)
           .map(_.name).toIndexedSeq
-          .filterNot(n => keys.exists(_._1 == n))
+          .filterNot(n => keys.exists(_._1 == n.stripPrefix(Compiler.varPrefix)))
         // group keys in output position: a per-shape-missing key is the
         // VALUE error("missing") (groupby ztests missing-fields)
         val keyCols0 = keys.map {
@@ -196,19 +255,23 @@ final class Compiler(spark: SparkSession, dir: String) {
           // `count()` → 3, not {count:3})
           Seq(df.agg(aggColumn(df, aggs.head._2).as("this")))
         } else if (bareAgg && lateral && scopeVars.isEmpty) {
-          // …and per outer row inside a lateral body
+          // …and per outer row inside a lateral body; the row id SURVIVES
+          // (marked) so later body stages stay per-outer-row
           val out = ZedOps.summarize(df,
             Seq(Compiler.rowIdCol -> col(Compiler.rowIdCol)),
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
-          Seq(out.select(col(aggs.head._1).as("this")))
+          Seq(out.select(
+            col(Compiler.rowIdCol).as(Compiler.rowIdCol, Compiler.scopeVarMeta),
+            col(aggs.head._1).as("this")))
         } else {
           val out = ZedOps.summarize(df, keyCols,
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
           Seq(nestIfDotted(if (lateral) {
-            // re-mark the scope vars (metadata does not survive groupBy)
-            val dropped = out.drop(Compiler.rowIdCol)
-            dropped.select(dropped.schema.fields.toIndexedSeq.map { f =>
-              if (scopeVars.contains(f.name)) col(f.name).as(f.name, Compiler.scopeVarMeta)
+            // re-mark the scope vars and the surviving row id (metadata
+            // does not survive groupBy)
+            out.select(out.schema.fields.toIndexedSeq.map { f =>
+              if (scopeVars.contains(f.name) || f.name == Compiler.rowIdCol)
+                col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
             }: _*)
           } else out))
@@ -286,7 +349,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         // data: marked via column metadata so `this` and the writer skip
         // them, and body aggregations group per outer row (zed's lateral
         // scope, docs/language/lateral-subqueries.md)
-        val kept = withVars.map { case (n, e) => expr(df, e).as(n, Compiler.scopeVarMeta) }
+        // scope vars live under a reserved prefix so a same-named DATA
+        // field (e.g. yielded later in the body) cannot collide; path
+        // resolution gives the var lexical priority (lateral-subqueries.md)
+        val kept = withVars.map { case (n, e) =>
+          expr(df, e).as(Compiler.varPrefix + n, Compiler.scopeVarMeta) }
         body match {
           case None =>
             Seq(df.select(kept :+ elem.as("this"): _*))
@@ -298,15 +365,23 @@ final class Compiler(spark: SparkSession, dir: String) {
             val withId = base.select(
               monotonically_increasing_id().as(Compiler.rowIdCol, Compiler.scopeVarMeta) +:
                 base.columns.toIndexedSeq.map(n => col(s"`$n`")): _*)
+            // an ENCLOSING lateral scope's vars stay visible in this body
+            // (lexical scoping); this over's own vars shadow same names
+            val outerCtx = base.schema.fields.toIndexedSeq
+              .filter(f => f.metadata.contains("graft.scopeVar") &&
+                !withVars.exists(_._1.equalsIgnoreCase(f.name)))
+              .map(f => col(s"`${f.name}`"))
             val raw = withId.select(
-              col(Compiler.rowIdCol) +: kept :+ posexplode(one).as(Seq(Compiler.posCol, "this")): _*)
+              col(Compiler.rowIdCol) +: (outerCtx ++ kept) :+
+                posexplode(one).as(Seq(Compiler.posCol, "this")): _*)
             // mark the element position as context (head/tail in the body
             // are per outer row, windowed on it)
             val exploded = raw.select(raw.columns.toIndexedSeq.map { n =>
               if (n == Compiler.posCol) col(n).as(n, Compiler.scopeVarMeta) else col(s"`$n`")
             }: _*)
             val frames = compilePipeline(Some(exploded), p)
-            val ctxNames = withVars.map(_._1).toSet + Compiler.rowIdCol + Compiler.posCol
+            val ctxNames = withVars.map(v => Compiler.varPrefix + v._1).toSet +
+              Compiler.rowIdCol + Compiler.posCol
             Seq(combineAll(frames.map { f =>
               // drop lateral context by NAME (aliases inherit metadata, so
               // a metadata test would eat renamed outputs), and scrub the
@@ -314,7 +389,12 @@ final class Compiler(spark: SparkSession, dir: String) {
               val keep = f.schema.fields.toIndexedSeq.filterNot(x =>
                 ctxNames(x.name) && x.metadata.contains("graft.scopeVar"))
               f.select(keep.map(x =>
-                if (x.name == graft.operators.Het.typeTag) col(s"`${x.name}`")
+                // an ENCLOSING over's context must keep its marker so the
+                // enclosing epilogue can drop it in turn
+                if (x.name == graft.operators.Het.typeTag ||
+                    x.name.startsWith(Compiler.varPrefix) ||
+                    x.name == Compiler.rowIdCol || x.name == Compiler.posCol)
+                  col(s"`${x.name}`")
                 else col(s"`${x.name}`").as(x.name,
                   org.apache.spark.sql.types.Metadata.empty)): _*)
             }))
@@ -322,14 +402,26 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Yield(exprs) =>
         val df = single(state)
+        // lateral context (scope vars, outer-row id/pos) survives a yield
+        // — zed's lateral scope is lexical, the body's `this` replacement
+        // does not end it (docs/language/lateral-subqueries.md); collide
+        // with a yielded name and the yielded field wins
+        def ctxCols(names: Set[String]): Seq[Column] =
+          df.schema.fields.toIndexedSeq
+            .filter(f => f.metadata.contains("graft.scopeVar") &&
+              !names.exists(_.equalsIgnoreCase(f.name))) // Spark resolves names case-insensitively
+            .map(f => col(s"`${f.name}`"))
         exprs match {
           case Seq(rec @ Expr.RecordLit(fields)) if fields.exists(_._1 == "...") =>
             // spreads need expression-level expansion, then unpack
-            Seq(df.select(expr(df, rec).as("__r")).select(col("__r.*")))
+            val ctx = ctxCols(Set.empty)
+            val packed = df.select(ctx :+ expr(df, rec).as("__r"): _*)
+            val ctxNames = packed.columns.filter(_ != "__r").toIndexedSeq
+            Seq(packed.select(ctxNames.map(n => col(s"`$n`")) :+ col("__r.*"): _*))
           case Seq(Expr.RecordLit(fields)) =>
             // explicit empty metadata: aliases inherit the child's, and a
             // lateral scope var's marker must not taint a yielded field
-            Seq(df.select(fields.map { case (n, e) =>
+            Seq(df.select(ctxCols(fields.map(_._1).toSet) ++ fields.map { case (n, e) =>
               outExpr(df, e).as(n, org.apache.spark.sql.types.Metadata.empty)
             }: _*))
           case Seq(e) =>
@@ -337,8 +429,9 @@ final class Compiler(spark: SparkSession, dir: String) {
             // it is carried as `this` so downstream stages address it.
             // error("quiet") values vanish from the stream (writers drop
             // them in the reference; the quiet ztests pin this)
-            val out = df.select(outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty))
-            val isVar = isVariant(out.schema.head.dataType)
+            val out = df.select(ctxCols(Set("this")) :+
+              outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty): _*)
+            val isVar = isVariant(out.schema("this").dataType)
             val filtered =
               if (isVar) out.filter(col("this").isNull ||
                 !(graft.operators.Het.isError(col("this")) &&
@@ -347,15 +440,32 @@ final class Compiler(spark: SparkSession, dir: String) {
             Seq(filtered)
           case many =>
             // N exprs per input value, left-to-right (yield.go:1-47);
-            // mixed result types box into variants (zed forms a union)
+            // mixed result types box into variants (zed forms a union).
+            // TYPE-VALUED exprs (typeof / a type-value stream) are
+            // StringType natively but a DIFFERENT zed type — box them
+            // with t="type" so writers re-emit <…>
+            def isTypeValued(e: Expr): Boolean = e match {
+              case Expr.Path(ps) =>
+                val parts = if (ps.headOption.contains("this")) ps.tail else ps
+                val ts = shapesOf(df).flatMap(s => pathIn(s._2, parts))
+                  .map(graft.sources.ZType.strip)
+                ts.nonEmpty && ts.forall(_ == graft.sources.ZType.Prim("type"))
+              case Expr.Call("typeof" | "typeunder", _) => true
+              case _ => false
+            }
             val cols = many.map(e => outExpr(df, e))
             val dts = cols.map(c =>
               try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+            val anyTyped = many.exists(isTypeValued)
             val boxed =
-              if (dts.distinct.length <= 1) cols
-              else cols.zip(dts).map { case (c, dt) => graft.operators.Het.variant(c, dt) }
-            Seq(df.select(explode(array(boxed: _*))
-              .as("this", org.apache.spark.sql.types.Metadata.empty)))
+              if (dts.distinct.length <= 1 && !anyTyped) cols
+              else cols.zip(dts).zip(many).map {
+                case ((c, _), e) if isTypeValued(e) =>
+                  graft.operators.Het.typeValueVariant(c)
+                case ((c, dt), _) => graft.operators.Het.variant(c, dt)
+              }
+            Seq(df.select(ctxCols(Set("this")) :+ explode(array(boxed: _*))
+              .as("this", org.apache.spark.sql.types.Metadata.empty): _*))
         }
 
       case Stage.Explode(zedType, as) =>
@@ -634,6 +744,12 @@ final class Compiler(spark: SparkSession, dir: String) {
   private val typeKeyUdf =
     udf((s: String) => if (s == null) null else graft.sources.ZValue.typeSortKey(s))
 
+  private val recordKeyUdf =
+    udf((s: String) => if (s == null) null else graft.sources.ZValue.recordSortKey(s))
+
+  private val valueTypeKeyUdf =
+    udf((s: String) => if (s == null) null else graft.sources.ZValue.valueTypeKey(s))
+
   /** Expand one sort key into its orderable column(s), matching the
     * reference comparator's semantics the plain column can't express:
     * NaN sorts before every number (Go cmp.Compare — sort.go comparator),
@@ -648,6 +764,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     val dt = dtypeOf(df, e).orElse(
       if (parts.isEmpty && df.columns.contains("this"))
         Some(df.schema("this").dataType)
+      else if (parts.isEmpty)
+        try Some(df.select(c).schema.head.dataType) catch { case _: Exception => None }
       else resolveType(df.schema, parts))
     val shapeTs = shapesOf(df).flatMap(s => pathIn(s._2, parts))
       .map(graft.sources.ZType.strip)
@@ -655,7 +773,23 @@ final class Compiler(spark: SparkSession, dir: String) {
       Seq(typeKeyUdf(c))
     else if (dt.contains(DoubleType) || dt.contains(FloatType))
       Seq(when(isnan(c), lit(0)).otherwise(lit(1)), c)
-    else Seq(c)
+    else dt match {
+      case Some(st: StructType) if !isVariant(st) =>
+        // records of DIFFERENT types order by CompareTypes first (a null
+        // field makes a different record type), then by their zcode bytes
+        // (sort.go compareValues:190,234); NULL records stay SQL-null so
+        // nulls-last ordering holds. On a TAGGED stream the per-row shape
+        // is the true type (the fused render can't distinguish an absent
+        // field from a typed null).
+        val text = graft.sources.ZsonIO.zsonOf(c, st)
+        val typeK =
+          if (parts.isEmpty && isTagged(df))
+            typeKeyUdf(col(graft.operators.Het.typeTag))
+          else when(c.isNull, lit(null).cast(BinaryType)).otherwise(valueTypeKeyUdf(text))
+        Seq(typeK,
+          when(c.isNull, lit(null).cast(BinaryType)).otherwise(recordKeyUdf(text)))
+      case _ => Seq(c)
+    }
   }
 
   // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------
@@ -673,6 +807,31 @@ final class Compiler(spark: SparkSession, dir: String) {
     def guarded(c: Column): Column = a.where match {
       case Some(w) => when(expr(df, w), c)
       case None => c
+    }
+    // a union-typed (variant) input aggregates over its VALUE: numeric
+    // aggs read the numeric member, count/any skip typed nulls (a typed
+    // null carries no payload), min/max order under the cross-type key
+    val baseIsVariant = base.exists { c =>
+      try isVariant(df.select(c).schema.head.dataType)
+      catch { case _: Exception => false }
+    }
+    if (baseIsVariant) {
+      val het = graft.operators.Het
+      val c = base.get
+      val valueful = c.isNotNull && !(c.getField("n").isNull &&
+        c.getField("s").isNull && c.getField("b").isNull && c.getField("z").isNull)
+      val value = when(valueful, c)
+      a.fn match {
+        case "count" => return count(guarded(value))
+        case "sum" => return sum(guarded(c.getField("n")))
+        case "avg" => return avg(guarded(c.getField("n")))
+        case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
+        case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))
+        case "any" => return first(guarded(value), ignoreNulls = true)
+        case "dcount" => return approx_count_distinct(guarded(value))
+        case "count_distinct" => return count_distinct(guarded(value))
+        case _ =>
+      }
     }
     a.fn match {
       case "count" => count(guarded(base.getOrElse(lit(1))))
@@ -939,7 +1098,13 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def arrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
     case Stage.Where(e) => filter(arr, x => lambdaExpr(df, e, x))
     case Stage.Yield(Seq(e)) => transform(arr, x => lambdaExpr(df, e, x))
-    case Stage.Over(Seq(Expr.Path(Seq())), vars, None) if vars.isEmpty => flatten(arr)
+    case Stage.Over(Seq(Expr.Path(Seq())), vars, None) if vars.isEmpty =>
+      // over this: arrays-of-arrays flatten; scalar elements yield
+      // themselves (traverse/over.go non-container values)
+      elemType(df, arr) match {
+        case _: ArrayType => flatten(arr)
+        case _ => arr
+      }
     case Stage.Head(n) => slice(arr, 1, n)
     case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
     case Stage.Sort(Seq(), _) => array_sort(arr)
@@ -980,7 +1145,10 @@ final class Compiler(spark: SparkSession, dir: String) {
       .partitionBy(col(Compiler.rowIdCol))
       .orderBy(if (fromEnd) col(Compiler.posCol).desc else col(Compiler.posCol).asc)
     val ranked = df.withColumn("__rank", row_number().over(w))
-    Some(ranked.filter(col("__rank") <= n).drop("__rank"))
+    // tail ranks descending to pick the last N, but the surviving rows
+    // keep their ORIGINAL element order (tail.go preserves order)
+    Some(ranked.filter(col("__rank") <= n).drop("__rank")
+      .sortWithinPartitions(col(Compiler.rowIdCol), col(Compiler.posCol)))
   }
 
   /** ZSON text of an arbitrary expression (for error payloads etc.). */
@@ -1003,17 +1171,34 @@ final class Compiler(spark: SparkSession, dir: String) {
     } else Shaper.has(df, parts.mkString("."))
   }
 
+  private def pathWalk(dt: DataType, ps: Seq[String]): Option[DataType] = (dt, ps) match {
+    case (t, Seq()) => Some(t)
+    case (st: StructType, _) if isVariant(st) => None // boxed: ZvOps.get territory
+    case (st: StructType, p +: rest) =>
+      st.fields.find(_.name == p).flatMap(f => pathWalk(f.dataType, rest))
+    case _ => None
+  }
+
+  /** Is the path this-relative? (Lateral bodies: the element rides as a
+    * `this` struct column and bare field refs address ITS fields,
+    * docs/language/lateral-subqueries.md.) Direct columns win.
+    */
+  private def thisRelative(df: DataFrame, parts: Seq[String]): Option[DataType] =
+    if (parts.isEmpty || pathWalk(df.schema, parts).isDefined) None
+    else df.schema.fields.find(f => f.name == "this" && !isVariant(f.dataType))
+      .flatMap(f => pathWalk(f.dataType, parts))
+
+  /** A lateral `with` var named by the path head (vars shadow data). */
+  private def varType(df: DataFrame, parts: Seq[String]): Option[DataType] =
+    if (parts.isEmpty) None
+    else df.schema.fields.find(_.name == Compiler.varPrefix + parts.head)
+      .flatMap(f => pathWalk(f.dataType, parts.tail))
+
   private def dtypeOf(df: DataFrame, e: Expr): Option[DataType] = e match {
     case Expr.Path(Seq()) => None
     case Expr.Path(parts) =>
-      def walk(dt: DataType, ps: Seq[String]): Option[DataType] = (dt, ps) match {
-        case (t, Seq()) => Some(t)
-        case (st: StructType, _) if isVariant(st) => None // boxed: ZvOps.get territory
-        case (st: StructType, p +: rest) =>
-          st.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
-        case _ => None
-      }
-      walk(df.schema, parts)
+      varType(df, parts).orElse(pathWalk(df.schema, parts))
+        .orElse(thisRelative(df, parts))
     case Expr.IntLit(_) => Some(LongType)
     case Expr.FloatLit(_) => Some(DoubleType)
     case Expr.StringLit(_) => Some(StringType)
@@ -1089,7 +1274,15 @@ final class Compiler(spark: SparkSession, dir: String) {
       // (untagged) frames it maps to SQL NULL: it propagates through
       // arithmetic and comparisons and drops rows in filters. In output
       // positions on tagged frames, outExpr materializes the error value.
-      if (dtypeOf(df, e).isDefined) col(parts.mkString("."))
+      if (varType(df, parts).isDefined)
+        parts.tail.foldLeft(col(s"`${Compiler.varPrefix}${parts.head}`"))(_.getField(_))
+      else if (pathWalk(df.schema, parts).isDefined) col(parts.mkString("."))
+      else if (thisRelative(df, parts).isDefined)
+        parts.foldLeft(col("this"))(_.getField(_))
+      else if (df.schema.fields.exists(f => f.name == "this" &&
+          isVariant(f.dataType)) && !df.columns.contains(parts.head))
+        // element is a boxed (union-typed) record: row-level field access
+        parts.foldLeft(col("this"))((acc, f) => graft.functions.ZvOps.get(acc, f))
       else {
         // a path prefix landing on a variant column → boxed field access
         val prefixLen = (parts.length - 1 to 1 by -1)
@@ -1359,6 +1552,37 @@ final class Compiler(spark: SparkSession, dir: String) {
               het.variant(lv.getField("n").cast(LongType) % rv.getField("n").cast(LongType),
                 LongType))
             .otherwise(het.variant(n, DoubleType))
+      }
+    }
+    // an enum operand in arithmetic/comparison coerces to its ordinal
+    // (ztests/enum.yaml: %foo(enum(foo,bar,baz)) + 1 = 1)
+    def enumSyms(e: Expr): Option[Vector[String]] = e match {
+      case Expr.Path(ps) =>
+        val parts = if (ps.headOption.contains("this")) ps.tail else ps
+        shapesOf(df).flatMap(s => pathIn(s._2, parts))
+          .map(graft.sources.ZType.strip).collectFirst {
+            case graft.sources.ZType.EnumT(syms) => syms
+          }
+      case _ => None
+    }
+    if (Set("+", "-", "*", "/", "%")(op)) {
+      def ord(e: Expr): Option[Column] = enumSyms(e).map { syms =>
+        syms.zipWithIndex.foldLeft(lit(null).cast(LongType)) {
+          case (acc, (s, i)) => when(expr(df, e) === lit(s), lit(i.toLong)).otherwise(acc)
+        }
+      }
+      (ord(l), ord(r)) match {
+        case (None, None) =>
+        case (lo, ro) =>
+          val lc2 = lo.getOrElse(expr(df, l))
+          val rc2 = ro.getOrElse(expr(df, r))
+          return op match {
+            case "+" => lc2 + rc2
+            case "-" => lc2 - rc2
+            case "*" => lc2 * rc2
+            case "/" => Bridge.intDiv(lc2, rc2)
+            case "%" => lc2 % rc2
+          }
       }
     }
     // number + string is zed's error("incompatible types"), not concat
@@ -2022,6 +2246,10 @@ final class Compiler(spark: SparkSession, dir: String) {
       // per-row via the shape tag / variant t on heterogeneous frames
       case "typeof" => args.head match {
         case Expr.Path(Seq()) => graft.operators.Het.typeofRow(df)
+        case Expr.Path(Seq(n)) if df.schema.fields.exists(f =>
+            f.name == n && f.metadata.contains("graft.zedType")) =>
+          // a typeof/typeunder-produced column is TYPE-VALUED
+          lit(df.schema.fields.find(_.name == n).get.metadata.getString("graft.zedType"))
         case Expr.Path(parts) =>
           val shapes = shapesOf(df)
           if (dtypeOf(df, args.head).exists(isVariant))
@@ -2569,6 +2797,8 @@ object Compiler {
     new org.apache.spark.sql.types.MetadataBuilder().putBoolean("graft.scopeVar", true).build()
   val rowIdCol = "__row"
   val posCol = "__pos"
+  /** reserved column-name prefix for lateral `with` scope vars */
+  val varPrefix = "__var_"
 }
 
 object Graft {

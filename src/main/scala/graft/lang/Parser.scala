@@ -128,7 +128,9 @@ final class Parser(tokens: Vector[Token], source: String) {
             expect(")"); base.append(")")
           }
         }
-        typeDefs(name) = base.toString
+        // store the NAMED form (`name=def`) so references keep the
+        // name binding — is(<rec>) compares named types by name+structure
+        typeDefs(name) = s"$name=${base.toString}"
       } else going = false
     }
   }

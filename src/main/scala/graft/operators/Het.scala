@@ -108,6 +108,15 @@ object Het {
     StructField("t", StringType),
     StructField("z", StringType)))
 
+  /** A TYPE VALUE as a variant: kind 4 with the type text in `s` and
+    * t="type" — matches ZValue.variantRow's encoding so renders as <…>.
+    */
+  def typeValueVariant(c: Column): Column =
+    when(c.isNull, lit(null).cast(variantType)).otherwise(struct(
+      lit(4).as("k"), lit(null).cast(DoubleType).as("n"), c.as("s"),
+      lit(null).cast(BooleanType).as("b"), lit("type").as("t"),
+      lit(null).cast(StringType).as("z")))
+
   /** An error value as a variant literal — zed's error("missing") /
     * error("quiet") / error(<payload>) (complex.go:28-42).
     */

@@ -299,6 +299,67 @@ object ZValue {
     out.toByteArray
   }
 
+  /** Order-preserving byte key for sorting RECORD values: the reference
+    * comparator falls back to raw zcode byte comparison for records
+    * (sort.go compareValues:234 bytes.Compare), where every nested field
+    * is tag-length-prefixed — so records with shorter encodings order
+    * before longer ones at the first differing field.
+    */
+  /** Type-rank key for a rendered value: the reference comparator orders
+    * values of DIFFERENT types by CompareTypes before comparing content
+    * (sort.go compareValues:190) — a record with a null field is a
+    * different record type and sorts after (null type id 29).
+    */
+  def valueTypeKey(zsonText: String): Array[Byte] = {
+    val v = try new ZsonParser(zsonText).parseOne()
+            catch { case _: Exception => return Array.emptyByteArray }
+    typeSortKey(ZType.fullText(typeOf(v)))
+  }
+
+  def recordSortKey(zsonText: String): Array[Byte] = {
+    val v = try new ZsonParser(zsonText).parseOne()
+            catch { case _: Exception => return zsonText.getBytes("UTF-8") }
+    val out = new java.io.ByteArrayOutputStream()
+    def tagged(x: ZValue): Unit = {
+      val b = body(x)
+      if (b == null) out.write(0) // null: tag 0
+      else { out.write(uvarintLE(b.length + 1)); out.write(b) }
+    }
+    def body(x: ZValue): Array[Byte] = unwrap(x) match {
+      case VRec(fs) =>
+        val o = new java.io.ByteArrayOutputStream()
+        fs.foreach { f =>
+          val fb = body(f._2)
+          if (fb == null) o.write(0)
+          else { o.write(uvarintLE(fb.length + 1)); o.write(fb) }
+        }
+        o.toByteArray
+      case VArr(items, _) =>
+        val o = new java.io.ByteArrayOutputStream()
+        items.foreach { e =>
+          val eb = body(e)
+          if (eb == null) o.write(0)
+          else { o.write(uvarintLE(eb.length + 1)); o.write(eb) }
+        }
+        o.toByteArray
+      case VMap(es) =>
+        val o = new java.io.ByteArrayOutputStream()
+        es.foreach { case (k, vv) =>
+          Seq(k, vv).foreach { e =>
+            val eb = body(e)
+            if (eb == null) o.write(0)
+            else { o.write(uvarintLE(eb.length + 1)); o.write(eb) }
+          }
+        }
+        o.toByteArray
+      case VNull(_) => null
+      case other => encKey(other)
+    }
+    val b = body(v)
+    if (b != null) out.write(b)
+    out.toByteArray
+  }
+
   def normSet(items: Vector[ZValue]): Vector[ZValue] = {
     // heterogeneous element types form a union: each element's stored
     // encoding is [selector][value] with members in CompareTypes order,
@@ -903,6 +964,19 @@ final class ZsonParser(s: String) {
     s.substring(start, i)
   }
 
+  /** Named-type name: quoted ("github.com/acme/foo.Bar"), or bare with
+    * dots/@ (foo.bar, @foo), or a numeric typedef id (zson.md type defs).
+    */
+  private def typeName(): String =
+    if (peek == '"') quoted()
+    else {
+      val start = i
+      while (i < s.length &&
+        (s.charAt(i).isLetterOrDigit || "._@".contains(s.charAt(i)))) i += 1
+      if (i == start) err("expected type name")
+      s.substring(start, i)
+    }
+
   private def record(): ZValue = {
     expect('{'); ws()
     val fs = Vector.newBuilder[(String, ZValue)]
@@ -1082,7 +1156,7 @@ final class ZsonParser(s: String) {
     ws()
     val t = if (peek == '=') { // (=name) — name this value's implied type
       i += 1
-      val n = ident()
+      val n = typeName()
       Named(n, ZType.nullT) // caller resolves against the value's own type
     } else typ()
     ws(); expect(')')
@@ -1133,8 +1207,18 @@ final class ZsonParser(s: String) {
           i += 1
           val inner = typ()
           names(n) = inner
+          inner // numeric typedef ids are abbreviations, not named types
+        } else names.get(n).getOrElse(Prim("null"))
+      case '"' =>
+        // quoted named-type name ("github.com/acme/foo.Bar"=...)
+        val n = quoted()
+        ws()
+        if (peek == '=') {
+          i += 1
+          val inner = typ()
+          names(n) = inner
           Named(n, inner)
-        } else names.get(n).map(Named(n, _)).getOrElse(Prim("null"))
+        } else names.get(n).map(Named(n, _)).getOrElse(err(s"unknown named type $n"))
       case c if c.isLetter || c == '_' =>
         val n = ident()
         n match {
@@ -1167,7 +1251,9 @@ final class ZsonParser(s: String) {
       case Named(n, Prim("null")) => // (=name): name the implied type
         val inner = ZValue.typeOf(v)
         names(n) = inner
-        Named(n, inner)
+        // numeric names are typedef IDS (zson.md abbreviated defs), not
+        // named types — the value keeps its plain type
+        if (n.forall(_.isDigit)) inner else Named(n, inner)
       case other => other
     }
     val base = (ZValue.unwrap(v), ZType.strip(t)) match {
@@ -1256,8 +1342,31 @@ object ZsonReader {
     }
     val rowSchemas = values.map { case (r, _) => sparkTypeOf(typeOf(r)).asInstanceOf[StructType] }
     val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
+    // a field whose ZED types conflict across shapes in render-relevant
+    // ways (ip vs string, time vs string, …) must be a variant even when
+    // the SPARK types agree — otherwise groupBy/sort lose the per-row
+    // type and writers re-emit the wrong form (different-key-types ztest)
+    val zedFrame = values.map { case (r, _) => typeOf(r) }.reduce(ZType.fuse)
+    def renderClass(t: ZType): String = ZType.strip(t) match {
+      case ZType.Prim(p) if p.startsWith("int") || p.startsWith("uint") => "int"
+      case ZType.Prim(p) => p
+      case other => ZType.text(other)
+    }
+    val forced: Set[String] = ZType.strip(zedFrame) match {
+      case ZType.Rec(fs) => fs.collect {
+        case (n, u) if (ZType.strip(u) match {
+          case ZType.Union(alts) => alts.map(renderClass).distinct.length > 1
+          case _ => false
+        }) => n
+      }.toSet
+      case _ => Set.empty
+    }
+    val forcedMerged = StructType(merged.fields.map(f =>
+      if (forced(f.name) && !ZsonIO.isVariantType(f.dataType))
+        StructField(f.name, Het.variantType)
+      else f))
     // NullType columns (all-null across every shape) → StringType so parquet/ops work
-    val cleaned = StructType(merged.fields.map(f => StructField(f.name, deNull(f.dataType))))
+    val cleaned = StructType(forcedMerged.fields.map(f => StructField(f.name, deNull(f.dataType))))
     // the distinct shape list travels as column metadata on the tag, so the
     // compiler can fold has/missing/typeof presence checks statically
     val shapeList = values.map(_._2).distinct

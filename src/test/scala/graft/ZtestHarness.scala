@@ -62,7 +62,7 @@ object ZtestHarness {
   private def writeTemp(text: String, name: String): String = {
     val d = tempDir()
     val p = d.resolve(name)
-    java.nio.file.Files.write(p, text.getBytes)
+    java.nio.file.Files.write(p, text.getBytes("UTF-8"))
     p.toString
   }
 
