@@ -415,6 +415,23 @@ object ZvOps {
 
   def hasErrorDeep(v: Column): Column = hasErrorU(Het.render(v))
 
+  /** bytes(x) over a boxed value: strings by UTF-8, ips by their binary
+    * address (expr cast semantics).
+    */
+  private val bytesU = udf((text: String, t: String) => {
+    if (text == null) null
+    else if (t == "ip")
+      try java.net.InetAddress.getByName(text).getAddress
+      catch { case _: Exception => text.getBytes("UTF-8") }
+    else parse(text).map(ZValue.unwrap) match {
+      case Some(ZValue.VStr(s)) => s.getBytes("UTF-8")
+      case Some(ZValue.VBytes(b)) => b
+      case _ => text.getBytes("UTF-8")
+    }
+  })
+
+  def bytesZed(v: Column): Column = bytesU(Het.render(v), v.getField("t"))
+
   /** Dereference a field of a TYPE VALUE: `foo` over <{foo:{bar:int64}}>
     * yields <{bar:int64}> (the reference's type-value deref,
     * expr/eval.go DotExpr on TypeOfType).

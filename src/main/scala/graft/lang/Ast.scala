@@ -45,6 +45,8 @@ object Expr {
   def inferName(e: Expr): String = e match {
     case Path(parts) if parts.nonEmpty => parts.last
     case Path(_) => "this"
+    // `cut quiet(a.b)` names the field by the quieted path (cut.md)
+    case Call("quiet", Seq(p: Path)) if p.parts.nonEmpty => p.parts.mkString(".")
     // `by every(d)` buckets the stream's ts — the derived field is ts
     // (compiler/semantic/expr.go:533 deriveLHSPath)
     case Call("every", _) => "ts"
@@ -96,6 +98,8 @@ object Stage {
       body: Option[Pipeline]) extends Stage
   final case class Yield(exprs: Seq[Expr]) extends Stage
   final case class Explode(zedType: String, as: String) extends Stage
+  /** one representative value per distinct TYPE (shape/shaper.go sample) */
+  final case class Sample(e: Option[Expr]) extends Stage
   case object Fuse extends Stage
   case object Pass extends Stage
   final case class Assert(e: Expr, text: String) extends Stage

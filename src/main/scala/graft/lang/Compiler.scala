@@ -98,10 +98,14 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Cut(fields) =>
         val df = single(state)
         // quiet() on a missing field drops the output field entirely
-        // (cut.md: error("quiet") omits the field) — folded at plan time
+        // (cut.md: error("quiet") omits the field) — folded at plan time;
+        // a union-typed (variant) prefix resolves row-level, never folded
+        def variantPrefix(p: Expr.Path): Boolean =
+          (p.parts.length - 1 to 1 by -1)
+            .exists(n => dtypeOf(df, Expr.Path(p.parts.take(n))).exists(isVariant))
         val kept = fields.filterNot {
           case (_, Some(Expr.Call("quiet", Seq(p: Expr.Path)))) =>
-            dtypeOf(df, p).isEmpty
+            dtypeOf(df, p).isEmpty && !variantPrefix(p)
           case _ => false
         }
         val cols = kept.map {
@@ -119,7 +123,12 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         val flat =
           if (quietCols.isEmpty || quietCols.length < kept.length) flat0
-          else flat0.filter(quietCols.map(_.isNotNull).reduce(_ || _))
+          else flat0.filter(quietCols.map { c =>
+            val adt = try flat0.select(c).schema.head.dataType
+                      catch { case _: Exception => StringType }
+            if (isVariant(adt)) c.isNotNull && !graft.operators.Het.isError(c)
+            else c.isNotNull
+          }.reduce(_ || _))
         // dotted paths rebuild their nested record structure (cutter.go)
         Seq(if (fields.exists(_._1.contains("."))) Shaper.nestDotted(flat) else flat)
 
@@ -471,6 +480,25 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Explode(zedType, as) =>
         Seq(ZedOps.explodeByType(single(state), zedType, as))
 
+      case Stage.Sample(subject) =>
+        val df = single(state)
+        subject match {
+          case None => Seq(graft.operators.Het.sampleByType(df))
+          case Some(e) =>
+            // one representative VALUE per distinct type of e (sample.md)
+            val c = expr(df, e)
+            val tcol =
+              if (isVariantExpr(df, e)) graft.operators.Het.variantTypeOf(c)
+              else lit(Shaper.zedTypeOf(
+                try df.select(c).schema.head.dataType
+                catch { case _: Exception => StringType }))
+            Seq(df.filter(c.isNotNull)
+              .groupBy(tcol.as("__sample_t"))
+              .agg(first(c, ignoreNulls = true)
+                .as("this", org.apache.spark.sql.types.Metadata.empty))
+              .drop("__sample_t"))
+        }
+
       case Stage.Fuse =>
         // relational union already merged the columns; fuse additionally
         // RETYPES every row to the single fused record type (fuse.go) so
@@ -618,15 +646,17 @@ final class Compiler(spark: SparkSession, dir: String) {
   }
 
   private def stringLeaves(df: DataFrame): Seq[Column] = {
-    def walk(prefix: String, dt: DataType): Seq[String] = dt match {
-      case st: StructType if !isVariant(st) =>
+    def walk(prefix: String, dt: DataType): Seq[Column] = dt match {
+      case st: StructType if isVariant(st) =>
+        Seq(col(prefix).getField("s")) // a union's string member
+      case st: StructType =>
         st.fields.toIndexedSeq.flatMap(f =>
           walk(if (prefix.isEmpty) f.name else s"$prefix.${f.name}", f.dataType))
-      case StringType => Seq(prefix)
+      case StringType => Seq(col(prefix))
       case _ => Seq.empty
     }
     df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag).toIndexedSeq
-      .flatMap(f => walk(f.name, f.dataType)).map(p => col(p))
+      .flatMap(f => walk(f.name, f.dataType))
   }
 
   /** Container columns (arrays/maps incl. of records) rendered as JSON
@@ -1957,7 +1987,12 @@ final class Compiler(spark: SparkSession, dir: String) {
               graft.functions.GoRe.toJavaReplacement(nw))
           case _ => graft.functions.GoRe.regexpReplace(a(0), a(1), a(2))
         }
-      case "bytes" => a(0).cast(BinaryType) // utf-8 bytes of the text
+      case "bytes" =>
+        // utf-8 bytes of text; an IP casts to its binary address
+        // (function/cast.go bytes of ip)
+        if (isVariantExpr(df, args.head))
+          graft.functions.ZvOps.bytesZed(expr(df, args.head))
+        else a(0).cast(BinaryType)
       case "under" =>
         // strip named/union/error wrapping (function/under.go): an error's
         // underlying value is its payload, a named type drops its name
@@ -2031,6 +2066,17 @@ final class Compiler(spark: SparkSession, dir: String) {
         else strCols.map(c => coalesce(c.rlike(re), lit(false))).reduce(_ || _)
 
       // grep (function/grep.go): no value arg → search the whole record
+      case "grep" if (args.headOption match {
+          case Some(Expr.Call("__glob", _)) => true
+          case _ => false
+        }) =>
+        // grep(<glob>) — glob match over string values (grep.md globs)
+        val Expr.Call("__glob", Seq(Expr.StringLit(p))) = args.head: @unchecked
+        val re = "^" + p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
+        val targets =
+          if (args.length > 1) args.drop(1).map(expr(df, _)) else stringLeaves(df)
+        targets.map(c => coalesce(c.rlike(re), lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(false))
       case "grep" =>
         val targets =
           if (args.length > 1) args.drop(1).map(expr(df, _))
@@ -2753,8 +2799,14 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (args.isEmpty) map_from_arrays(array(), array())
         else map(args.map(expr(df, _)): _*)
 
-      // f-string concatenation: every part cast to string (expressions.md)
-      case "__concat" => concat(args.map(x => expr(df, x).cast("string")): _*)
+      // f-string concatenation: every part cast to string (expressions.md);
+      // union-typed parts render their VALUE text (a raw string member
+      // stays unquoted)
+      case "__concat" => concat(args.map { x =>
+        val c = expr(df, x)
+        if (isVariantExpr(df, x)) graft.functions.ZvOps.asText(c)
+        else c.cast("string")
+      }: _*)
 
       // slice `a[lo:hi]` — 0-based, end-exclusive, negative from end
       case "__slice" if args.head.isInstanceOf[Expr.Path] &&

@@ -38,12 +38,34 @@ final class Parser(tokens: Vector[Token], source: String) {
     peek.kind == EOF || at(")") || atId("case") || atId("default") || at("=>")
 
   def parsePipeline(): Pipeline = {
-    val stages = Vector.newBuilder[Stage]
-    stages += parseStage()
-    while (eat("|")) {
-      if (!atPipelineEnd) stages += parseStage()
+    // statements may open any (sub-)pipeline; their bindings are LEXICAL —
+    // an inner const shadows the outer one only inside this body
+    // (statements.md scoped constants)
+    val savedC = consts.toMap
+    val savedF = funcs.toMap
+    val savedT = typeDefs.toMap
+    // a parenthesized body OPENING with statements is a scoped block:
+    // `( const a = 10 ... | ... )` (nested-const ztest)
+    val stmtBlock = at("(") && (
+      (peekAt(1).text == "const" && peekAt(3).text == "=") ||
+        (peekAt(1).text == "func" && peekAt(3).text == "(") ||
+        (peekAt(1).text == "type" && peekAt(3).text == "=") ||
+        (peekAt(1).text == "op" && peekAt(3).text == "("))
+    if (stmtBlock) next()
+    parseStatements()
+    try {
+      val stages = Vector.newBuilder[Stage]
+      stages += parseStage()
+      while (eat("|")) {
+        if (!atPipelineEnd) stages += parseStage()
+      }
+      if (stmtBlock) expect(")")
+      Pipeline(stages.result())
+    } finally {
+      consts.clear(); consts ++= savedC
+      funcs.clear(); funcs ++= savedF
+      typeDefs.clear(); typeDefs ++= savedT
     }
-    Pipeline(stages.result())
   }
 
   // const/func symbol tables (statements.md) — macro-expanded at parse time,
@@ -227,7 +249,9 @@ final class Parser(tokens: Vector[Token], source: String) {
       if (lit.nonEmpty) { parts += Expr.StringLit(unescape(lit.toString)); lit.clear() }
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (c == '{') {
+      if (c == '\\' && i + 1 < raw.length && raw.charAt(i + 1) == '{') {
+        lit.append('{'); i += 2 // \{ is a literal brace, not interpolation
+      } else if (c == '{') {
         flush()
         var depth = 1; val start = i + 1; var j = i + 1
         while (j < raw.length && depth > 0) {
@@ -296,6 +320,11 @@ final class Parser(tokens: Vector[Token], source: String) {
         catch { case _: Exception => pos = mark; parseImplied() }
       case "fork" => next(); parseFork()
       case "switch" => next(); parseSwitch()
+      case "sample" if peekAt(1).text == "|" || peekAt(1).kind == EOF ||
+          peekAt(1).text == ")" || peekAt(1).kind == ID =>
+        next()
+        val e = if (at("|") || peek.kind == EOF || at(")")) None else Some(parseExpr())
+        Stage.Sample(e)
       case "merge" => next(); Stage.Merge(parseSortKeys())
       case "combine" => next(); Stage.Combine
       case "over" => next(); parseOver()
@@ -327,10 +356,30 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** Is the cursor at `name(.name)* :=` (a dotted assignment)? */
   private def assignAhead: Boolean = {
     if (peek.kind != ID) return false
+    // `this["name"]:=` / `this[constref]:=` — index-named target
+    if (peek.text == "this" && peekAt(1).text == "[" &&
+        (peekAt(2).kind == Lexer.STR || peekAt(2).kind == ID) &&
+        peekAt(3).text == "]" && peekAt(4).text == ":=") return true
     var k = 1
     while (peekAt(k).text == "." && peekAt(k + 1).kind == ID) k += 2
     peekAt(k).text == ":="
   }
+
+  /** Assignment target: dotted path, or `this[<name>]` where the name is
+    * a string literal or const ref (path-index ztests) — the resulting
+    * field name is LITERAL (a dot inside it is part of the name).
+    */
+  private def parseAssignTarget(): String =
+    if (peek.text == "this" && peekAt(1).text == "[") {
+      next(); next()
+      val n = (if (peek.kind == Lexer.STR) Expr.StringLit(next().text)
+               else consts.getOrElse(next().text, Expr.NullLit)) match {
+        case Expr.StringLit(s) => s
+        case _ => fail("index assignment target needs a literal name")
+      }
+      expect("]")
+      n
+    } else parseDottedName()
 
   private def adjacent(a: Token, b: Token): Boolean =
     b.pos == a.pos + a.text.length && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&
@@ -419,7 +468,7 @@ final class Parser(tokens: Vector[Token], source: String) {
     val out = Vector.newBuilder[(String, Option[Expr])]
     do {
       if (assignAhead) {
-        val path = parseDottedName(); next()
+        val path = parseAssignTarget(); next()
         out += ((path, Some(parseExpr())))
       } else if (peek.kind == ID && peekAt(1).text != "(" && peekAt(1).text != "[") {
         out += ((parseDottedName(), None))
@@ -435,7 +484,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def parseAssignList(): Seq[(String, Expr)] = {
     val out = Vector.newBuilder[(String, Expr)]
     do {
-      val path = parseDottedName()
+      val path = parseAssignTarget()
       expect(":=")
       out += ((path, parseExpr()))
     } while (eat(","))
@@ -882,6 +931,17 @@ final class Parser(tokens: Vector[Token], source: String) {
             }
             expect("}")
             Expr.RecordLit(fields.result())
+          case "*" if (peekAt(1).kind == ID || peekAt(1).text == "*") &&
+              adjacent(peek, peekAt(1)) =>
+            // a glob in expression position: grep(*foo*) (grep.md)
+            var j = pos
+            while ((tokens(j + 1).kind == ID || tokens(j + 1).kind == INT ||
+                    tokens(j + 1).text == "*") && adjacent(tokens(j), tokens(j + 1)) &&
+                   tokens(j + 1).kind != EOF)
+              j += 1
+            val run = tokens.slice(pos, j + 1)
+            pos = j + 1
+            Expr.Call("__glob", Seq(Expr.StringLit(run.map(_.text).mkString)))
           case other => fail(s"unexpected '$other' in expression")
         }
       case EOF => fail("unexpected end of input")

@@ -50,9 +50,11 @@ object Het {
     */
   def sampleByType(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(_ == typeTag)
+    val md = if (df.columns.contains(typeTag)) df.schema(typeTag).metadata
+             else org.apache.spark.sql.types.Metadata.empty
     df.groupBy(typeofRow(df).as(typeTag))
       .agg(first(struct(dataCols.map(col).toIndexedSeq: _*)).as("sample"))
-      .select(col(typeTag), col("sample.*"))
+      .select(col(typeTag).as(typeTag, md), col("sample.*"))
   }
 
   /** `is(<type>)` — filter a mixed stream down to one shape. */

@@ -28,8 +28,10 @@ object ZedOps {
     */
   def put(df: DataFrame, cols: (String, Column)*): DataFrame = {
     // dotted targets update IN PLACE inside the nested record
-    // (putter.go): a.b := e → withField, not a flat "a.b" column
-    val (nested, flat) = cols.partition(_._1.contains("."))
+    // (putter.go): a.b := e → withField, not a flat "a.b" column —
+    // unless a column is literally NAMED with a dot (this["x.y"] target)
+    val (nested, flat) = cols.partition { case (n, _) =>
+      n.contains(".") && !df.columns.contains(n) }
     val base = if (flat.isEmpty) df else df.withColumns(flat.toMap)
     nested.foldLeft(base) { case (d, (path, c)) =>
       val root = path.takeWhile(_ != '.')
