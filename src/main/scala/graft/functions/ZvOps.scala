@@ -432,6 +432,185 @@ object ZvOps {
 
   def bytesZed(v: Column): Column = bytesU(Het.render(v), v.getField("t"))
 
+  /** parse_zson(s): the string parses to its own boxed value; non-string
+    * input and bad syntax are the reference's error payloads
+    * (function/parsezson.go).
+    */
+  private val parseZsonU = udf((text: String, shape: String) => {
+    import ZValue._
+    def errRec(msg: String, on: ZValue) =
+      zvOf(VErr(VRec(Vector("message" -> VStr(msg), "on" -> on))))
+    val isString = Option(shape).exists { s =>
+      try ZType.strip(ZsonParser.parseType(s)) == ZType.Prim("string")
+      catch { case _: Exception => s == "string" }
+    }
+    if (!isString) {
+      val on = Option(text).filter(_ != "null").flatMap(parse)
+        .getOrElse(VNull(ZType.nullT))
+      errRec("parse_zson: string arg required", on)
+    } else if (text == null || text == "null") None
+    else {
+      // the rendered subject may be QUOTED string text — unquote first
+      val s = parse(text).map(unwrap) match {
+        case Some(VStr(x)) => x
+        case _ => text
+      }
+      try zvOf(new ZsonParser(s).parseOne())
+      catch { case _: Exception =>
+        errRec("parse_zson: ZSON syntax error", VStr(s))
+      }
+    }
+  })
+
+  def parseZsonZed(text: Column, kind: Column): Column =
+    parseZsonU(text, kind)
+
+  /** bucket(t, bin) over boxed values (function/bucket.go): times and
+    * durations floor-align to the bin; a float64 time aligns as ns.
+    */
+  private val bucketU = udf((tText: String, binText: String) => {
+    import ZValue._
+    def nsOf(v: ZValue): Option[(Long, String)] = unwrap(v) match {
+      case VTime(ns) => Some((ns, "time"))
+      case VDur(ns) => Some((ns, "dur"))
+      case VInt(n, _) => Some((n, "int"))
+      case VFloat(d, _) => Some((d.toLong, "time")) // epoch-ns float
+      case _ => None
+    }
+    (Option(tText).flatMap(parse).flatMap(nsOf),
+     Option(binText).flatMap(parse).flatMap(nsOf)) match {
+      case (Some((tNs, kind)), Some((bin0, binKind))) =>
+        // a bare integer bin means SECONDS (bucket.go coerces to duration)
+        val bin = if (binKind == "int") bin0 * 1000000000L else bin0
+        if (bin == 0) None
+        else {
+          val aligned = tNs - Math.floorMod(tNs, bin)
+          kind match {
+            case "dur" => zvOf(VDur(aligned))
+            case _ => zvOf(VTime(aligned))
+          }
+        }
+      case _ => ZvOps.errMissing
+    }
+  })
+
+  def bucketZed(t: Column, bin: Column): Column = bucketU(t, bin)
+
+  /** flatten(this) per row (function/flatten.go): records become an array
+    * of {key:[path],value} leaves; non-records pass through unchanged.
+    * `text` is the FUSED record's zson; `shape` the row's own type.
+    */
+  private val flattenU = udf((text: String, shape: String) => {
+    import ZValue._
+    val parsedShape = try ZsonParser.parseType(Option(shape).getOrElse(""))
+                      catch { case _: Exception => ZType.nullT }
+    val fused = Option(text).flatMap(parse)
+    ZType.strip(parsedShape) match {
+      case ZType.Rec(shapeFields) =>
+        fused.map(unwrap) match {
+          case Some(VRec(fs)) =>
+            // restrict to the row's OWN fields, in shape order
+            val own = shapeFields.flatMap { case (n, ft) =>
+              fs.find(_._1 == n).map { case (_, fv) =>
+                n -> (try ZsonParser.retype(fv, ft) catch { case _: Exception => fv })
+              }
+            }
+            val leaves = Vector.newBuilder[(Vector[String], ZValue)]
+            def walk(prefix: Vector[String], v: ZValue): Unit = unwrap(v) match {
+              case VRec(ffs) if ffs.nonEmpty => ffs.foreach { case (n, fv) => walk(prefix :+ n, fv) }
+              case _ => leaves += ((prefix, v))
+            }
+            own.foreach { case (n, v) => walk(Vector(n), v) }
+            zvOf(VArr(leaves.result().map { case (p, v) =>
+              VRec(Vector("key" -> VArr(p.map(VStr(_)), isSet = false), "value" -> v))
+            }, isSet = false))
+          case _ => None
+        }
+      case other =>
+        // non-record value passes through with its own type
+        fused.map(unwrap) match {
+          case Some(VRec(fs)) => fs.find(_._1 == "this").flatMap { case (_, v) =>
+            zvOf(try ZsonParser.retype(v, other) catch { case _: Exception => v })
+          }
+          case Some(v) => zvOf(v)
+          case None => None
+        }
+    }
+  })
+
+  def flattenZed(text: Column, shape: Column): Column = flattenU(text, shape)
+
+  /** unflatten(this) per row (function/unflatten.go): an array of
+    * {key,value} entries builds a nested record; a non-string key or a
+    * REOPENED top-level field is the reference's error value.
+    */
+  private val unflattenU = udf((text: String) => {
+    import ZValue._
+    def errRec(msg: String, on: ZValue) = zvOf(VErr(VRec(Vector(
+      "message" -> VStr(msg), "on" -> on))))
+    Option(text).flatMap(parse) match {
+      case None => None
+      case Some(v0) => unwrap(v0) match {
+        case VArr(items, _) =>
+          // ordered build: only the MOST RECENT top-level field stays
+          // open; reopening an earlier one is a duplicate-field error
+          def insert(rec: Vector[(String, ZValue)], path: List[String],
+              value: ZValue): Vector[(String, ZValue)] = path match {
+            case Nil => rec
+            case k :: Nil =>
+              if (rec.exists(_._1 == k)) rec.map { case (n, x) =>
+                if (n == k) n -> value else n -> x }
+              else rec :+ (k -> value)
+            case k :: rest =>
+              val sub = rec.find(_._1 == k).map(x => unwrap(x._2)) match {
+                case Some(VRec(fs)) => fs
+                case _ => Vector.empty[(String, ZValue)]
+              }
+              val updated = VRec(insert(sub, rest, value))
+              if (rec.exists(_._1 == k)) rec.map { case (n, x) =>
+                if (n == k) n -> (updated: ZValue) else n -> x }
+              else rec :+ (k -> (updated: ZValue))
+          }
+          var rec = Vector.empty[(String, ZValue)]
+          var lastTop: Option[String] = None
+          var failed: Option[Option[ZV]] = None
+          items.foreach { item =>
+            if (failed.isEmpty) unwrap(item) match {
+              case VRec(fs) =>
+                val keyV = fs.find(_._1 == "key").map(x => unwrap(x._2))
+                val value = fs.find(_._1 == "value").map(_._2).getOrElse(VNull(ZType.nullT))
+                val path: Either[ZValue, List[String]] = keyV match {
+                  case Some(VStr(s)) => Right(List(s))
+                  case Some(VArr(ks, _)) if ks.forall(k => unwrap(k).isInstanceOf[VStr]) =>
+                    Right(ks.map(k => unwrap(k).asInstanceOf[VStr].v).toList)
+                  case Some(other) => Left(other)
+                  case None => Left(VNull(ZType.nullT))
+                }
+                path match {
+                  case Left(bad) =>
+                    failed = Some(errRec(
+                      s"invalid key type ${ZType.text(ZValue.typeOf(bad))}: " +
+                        "expected either string or [string]", item))
+                  case Right(p) =>
+                    val top = p.head
+                    if (rec.exists(_._1 == top) && !lastTop.contains(top))
+                      failed = Some(errRec(s"""duplicate field: "$top"""", v0))
+                    else {
+                      rec = insert(rec, p, value)
+                      lastTop = Some(top)
+                    }
+                }
+              case _ =>
+            }
+          }
+          failed.getOrElse(zvOf(VRec(rec)))
+        case other => zvOf(other) // non-array: unchanged
+      }
+    }
+  })
+
+  def unflattenZed(text: Column): Column = unflattenU(text)
+
   /** Dereference a field of a TYPE VALUE: `foo` over <{foo:{bar:int64}}>
     * yields <{bar:int64}> (the reference's type-value deref,
     * expr/eval.go DotExpr on TypeOfType).

@@ -2143,6 +2143,20 @@ final class Compiler(spark: SparkSession, dir: String) {
                 .otherwise(het.variant(u(fmtS, micros), StringType))
             }
         }
+      case "bucket" if args.length == 2 &&
+          (isVariantExpr(df, args.head) || isVariantExpr(df, args(1))) =>
+        // union-typed operands (mixed time/duration/number rows): align
+        // row-level in the value domain (function/bucket.go)
+        def vtext(e: Expr): Column = {
+          val c = expr(df, e)
+          if (isVariantExpr(df, e)) graft.operators.Het.render(c)
+          else {
+            val dt = dtypeOf(df, e).getOrElse(
+              try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+            graft.sources.ZsonIO.zsonOf(c, dt)
+          }
+        }
+        graft.functions.ZvOps.bucketZed(vtext(args.head), vtext(args(1)))
       case "bucket" =>
         args(1) match {
           case Expr.DurationLit(_, text) =>
@@ -2171,6 +2185,29 @@ final class Compiler(spark: SparkSession, dir: String) {
       // parsing (function/parse.go, grok.go)
       case "parse_uri" => F.parseUri(a(0))
       case "grok" => F.grok(litStr(0), a(1))
+      case "parse_zson" if args.length == 1 =>
+        // one-arg form: per-row parse into a boxed value (zed infers the
+        // type per value — function/parsezson.go); non-string input and
+        // syntax errors are the reference's error payloads
+        val c = expr(df, args.head)
+        val isVar = isVariantExpr(df, args.head)
+        val text = if (isVar) graft.operators.Het.render(c) else c.cast(StringType)
+        val shapeC: Column = args.head match {
+          case Expr.Path(parts0) if isTagged(df) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            shapesOf(df).foldLeft(lit(null).cast(StringType)) { case (acc, (t, st)) =>
+              pathIn(st, parts) match {
+                case Some(ft) => when(col(graft.operators.Het.typeTag) === t,
+                  lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
+                case None => acc
+              }
+            }
+          case e2 =>
+            lit(Shaper.zedTypeOf(dtypeOf(df, e2).getOrElse(
+              try df.select(c).schema.head.dataType
+              catch { case _: Exception => StringType })))
+        }
+        graft.functions.ZvOps.parseZsonZed(text, shapeC)
       case "parse_zson" =>
         // relational adaptation of parse_zson(s): the result type must be
         // declared (zed infers it per value; a frame needs one schema).
@@ -2484,9 +2521,28 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (eq > 0 && t.take(eq).forall(c => c.isLetterOrDigit || c == '_')) Some(t.take(eq))
           else None
         }
+        // a TYPE VALUE's name comes from ITS OWN text (<foo={x:int64}>);
+        // data values from their shape tag
+        val nameOfTypeValU = udf((s: String) => {
+          if (s == null) None
+          else try graft.sources.ZsonParser.parseType(s) match {
+            case graft.sources.ZType.Named(n, _) => Some(n)
+            case _ => None
+          } catch { case _: Exception => None }
+        })
         if (shapes.isEmpty) het.errMissing
-        else shapes.foldLeft(het.errMissing) { case (acc, (t, _)) =>
-          nameOfTag(t) match {
+        else shapes.foldLeft(het.errMissing) { case (acc, (t, st)) =>
+          if (nameOfTag(t).isEmpty &&
+              graft.sources.ZType.strip(st) == graft.sources.ZType.Prim("type") &&
+              df.columns.contains("this")) {
+            val tv =
+              if (isVariant(df.schema("this").dataType)) col("this").getField("s")
+              else col("this").cast(StringType)
+            when(col(het.typeTag) === t,
+              when(nameOfTypeValU(tv).isNotNull,
+                het.variant(nameOfTypeValU(tv), StringType)).otherwise(het.errMissing))
+              .otherwise(acc)
+          } else nameOfTag(t) match {
             case Some(n) =>
               when(col(het.typeTag) === t, het.variant(lit(n), StringType)).otherwise(acc)
             case None => acc
@@ -2524,6 +2580,20 @@ final class Compiler(spark: SparkSession, dir: String) {
               paths.as("z")))
             .otherwise(hetF.errMissing)
         } else Shaper.fieldsOf(df)
+      case "flatten" if isTagged(df) && shapesOf(df).length > 1 =>
+        // heterogeneous stream: flatten per-row with exact types
+        // (function/flatten.go — non-records pass through unchanged)
+        val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
+          f.name == graft.operators.Het.typeTag ||
+            f.metadata.contains("graft.scopeVar"))
+        val subject =
+          if (dataF.map(_.name) == Seq("this")) col("this")
+          else struct(dataF.map(f => col(s"`${f.name}`").as(f.name)): _*)
+        val subjText =
+          if (dataF.map(_.name) == Seq("this") && isVariant(dataF.head.dataType))
+            graft.operators.Het.render(subject)
+          else graft.sources.ZsonIO.zsonOf(subject, StructType(dataF))
+        graft.functions.ZvOps.flattenZed(subjText, col(graft.operators.Het.typeTag))
       case "flatten" => Shaper.flattenCol(df)
 
       // shaper functions (runtime/sam/expr/shaper.go Cast/Crop/Fill/Order)
@@ -2599,6 +2669,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           case zt.Prim("ip") => when(cTxt.contains(":"), lit(16L)).otherwise(lit(4L))
           case zt.Prim("net") => when(cTxt.contains(":"), lit(32L)).otherwise(lit(8L))
           case zt.Prim("string") => coalesce(length(cTxt).cast(LongType), lit(0L))
+          case zt.Prim("bytes")
+              if (try df.select(c0).schema.head.dataType == BinaryType
+                  catch { case _: Exception => false }) =>
+            coalesce(length(c0).cast(LongType), lit(0L)) // native binary: byte count
           case zt.Prim("bytes") =>
             coalesce(((length(cTxt) - 2) / 2).cast(LongType), lit(0L)) // "0x…" text
           case zt.Rec(fs) => lit(fs.length.toLong)
@@ -2749,6 +2823,30 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "duration" => a(0).cast("bigint") // ns (zed duration domain)
       case "ip" | "net" => a(0).cast("string") // ip/net travel as strings
 
+      case "unflatten" if (args.headOption match {
+          case Some(e) =>
+            val adt = dtypeOf(df, e).orElse(
+              try Some(df.select(expr(df, e)).schema.head.dataType)
+              catch { case _: Exception => None })
+            adt.exists(d => d.isInstanceOf[ArrayType] || isVariant(d))
+          case None =>
+            df.columns.contains("this") &&
+              (df.schema("this").dataType.isInstanceOf[ArrayType] ||
+                isVariant(df.schema("this").dataType))
+        }) =>
+        // an ARRAY of {key,value} entries builds a nested record row-level
+        // (function/unflatten.go; the record form below handles dotted
+        // top-level column names)
+        val e = args.headOption.getOrElse(Expr.Path(Seq.empty))
+        val c = expr(df, e)
+        val text =
+          if (isVariantExpr(df, e)) graft.operators.Het.render(c)
+          else {
+            val adt = try df.select(c).schema.head.dataType
+                      catch { case _: Exception => StringType }
+            graft.sources.ZsonIO.zsonOf(c, adt)
+          }
+        graft.functions.ZvOps.unflattenZed(text)
       case "unflatten" =>
         // dotted top-level names nest into records (function/unflatten.go)
         val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
@@ -2794,10 +2892,27 @@ final class Compiler(spark: SparkSession, dir: String) {
           sort_array(array_distinct(arr))
         }
 
-      // map literal |{k:v,…}|: alternating key/value args
+      // map literal |{k:v,…}|: alternating key/value args; zed NORMALIZES
+      // maps on construction — keys dedup (last wins) and sort
       case "__maplit" =>
         if (args.isEmpty) map_from_arrays(array(), array())
-        else map(args.map(expr(df, _)): _*)
+        else {
+          val pairs = args.grouped(2).collect { case Seq(k, v) => (k, v) }.toSeq
+          val allLit = pairs.forall {
+            case (Expr.StringLit(_), _) | (Expr.IntLit(_), _) => true
+            case _ => false
+          }
+          if (allLit) {
+            val deduped = scala.collection.mutable.LinkedHashMap.empty[Expr, Expr]
+            pairs.foreach { case (k, v) => deduped(k) = v }
+            val sorted = deduped.toSeq.sortBy {
+              case (Expr.StringLit(s), _) => s
+              case (Expr.IntLit(i), _) => f"$i%019d"
+              case _ => ""
+            }
+            map(sorted.flatMap { case (k, v) => Seq(expr(df, k), expr(df, v)) }: _*)
+          } else map(args.map(expr(df, _)): _*)
+        }
 
       // f-string concatenation: every part cast to string (expressions.md);
       // union-typed parts render their VALUE text (a raw string member

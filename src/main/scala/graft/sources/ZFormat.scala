@@ -71,8 +71,10 @@ object ZFormat {
               n -> (if (row.isNullAt(i)) VNull(ft) else fromExternal(row.get(i), f.dataType, ft))
             }
           }
-          // … plus operator-added columns when non-null
-          val added = fields.filterNot(f => shapeFieldNames(f._1.name) || shapeFs.exists(_._1 == f._1.name))
+          // … plus operator-added columns when non-null (`this` is the
+          // empty-record carrier on record shapes, never data)
+          val added = fields.filterNot(f => shapeFieldNames(f._1.name) ||
+              shapeFs.exists(_._1 == f._1.name) || f._1.name == "this")
             .flatMap { case (f, i) =>
               if (row.isNullAt(i)) None
               else Some(f.name -> fromExternal(row.get(i), f.dataType,

@@ -1245,6 +1245,8 @@ final class ZsonParser(s: String) {
     }
   }
 
+  private[sources] def applyTypePublic(v: ZValue, t: ZType): ZValue = applyType(v, t)
+
   /** Retype a parsed value per its decorator (the decorator wins). */
   private def applyType(v: ZValue, t0: ZType): ZValue = {
     val t = t0 match {
@@ -1313,6 +1315,11 @@ object ZsonParser {
   private val typeCache = new java.util.concurrent.ConcurrentHashMap[String, ZType]()
   def parseType(text: String): ZType =
     typeCache.computeIfAbsent(text, t => new ZsonParser(t).parseTypeText())
+
+  /** Re-apply a zed type to a parsed value (public face of the parser's
+    * decorator application — widths, ip/net/time/enum re-typing).
+    */
+  def retype(v: ZValue, t: ZType): ZValue = new ZsonParser("").applyTypePublic(v, t)
 }
 
 /** Build a DataFrame from a heterogeneous ZSON value stream: shapes merge
@@ -1336,7 +1343,10 @@ object ZsonReader {
     // relational frame for bare value sequences)
     val values = values0.map { v =>
       unwrap(v) match {
-        case r: VRec => (r, ZType.fullText(typeOf(v)))
+        // an EMPTY record has no columns to land in — it rides in `this`
+        // like a bare value (its shape tag "{}" keeps it a record)
+        case r: VRec if r.fields.nonEmpty => (r, ZType.fullText(typeOf(v)))
+        case r: VRec => (VRec(Vector("this" -> (r: ZValue))), ZType.fullText(typeOf(v)))
         case _ => (VRec(Vector("this" -> v)), ZType.fullText(typeOf(v)))
       }
     }

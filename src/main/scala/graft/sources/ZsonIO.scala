@@ -188,10 +188,10 @@ object ZsonIO {
           val own = shapeFields.flatMap { case (n, ft) =>
             fields.find(_.name == n).map(f => fieldFmt(f, Some(ft)))
           }
-          // … plus operator-added columns, emitted when non-null
-          val added = fields.filterNot(f => inAnyShape(f.name)).map { f =>
-            when(col(s"`${f.name}`").isNotNull, fieldFmt(f))
-          }
+          // … plus operator-added columns, emitted when non-null (`this`
+          // is the empty-record carrier on record shapes, never data)
+          val added = fields.filterNot(f => inAnyShape(f.name) || f.name == "this")
+            .map { f => when(col(s"`${f.name}`").isNotNull, fieldFmt(f)) }
           Some(concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}")))
         case Some(_) if fields.exists(_.name == "this") =>
           // bare (non-record) value stream row
