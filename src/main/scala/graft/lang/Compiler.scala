@@ -142,8 +142,50 @@ final class Compiler(spark: SparkSession, dir: String) {
               .putString("graft.zedType", "type").build())
           case _ => c
         }
-        Seq(ZedOps.put(df, assigns.map { case (n, e) =>
-          n -> marked(e, outExpr(df, e)) }: _*))
+        // put over NON-RECORD values errors per value (putter.go:
+        // "put: not a record")
+        val putShapes = shapesOf(df)
+        val allNonRec = putShapes.nonEmpty && putShapes.forall(s =>
+          !graft.sources.ZType.strip(s._2).isInstanceOf[graft.sources.ZType.Rec]) &&
+          df.columns.contains("this")
+        if (allNonRec) {
+          val het = graft.operators.Het
+          val thisC = col("this")
+          val text =
+            if (isVariant(df.schema("this").dataType)) het.render(thisC)
+            else graft.sources.ZsonIO.zsonOf(thisC, df.schema("this").dataType)
+          val onTexts = putShapes.map(_._1).distinct
+          val errT = "error({message:string,on:" +
+            (if (onTexts.length == 1) onTexts.head
+             else onTexts.mkString("(", ",", ")")) + "})"
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putStringArray("shapes", Array(errT)).build()
+          return Seq(df.select(
+            het.errorValue(concat(lit("""{message:"put: not a record",on:"""),
+              text, lit("}")), errT).as("this"),
+            lit(errT).as(het.typeTag, md)))
+        }
+        // `x := quiet(p)` with p missing is a NO-OP on that field
+        // (put-quiet ztest: the old value survives, nothing nulls out)
+        val resolved = assigns.flatMap {
+          case (n, Expr.Call("quiet", Seq(p: Expr.Path))) if p.parts.nonEmpty =>
+            val present = dtypeOf(df, p)
+            if (present.isDefined && !pathMixed(df, p))
+              Seq(n -> outExpr(df, p)) // always present: plain assignment
+            else if (present.isEmpty && !pathMixed(df, p))
+              Seq.empty // never present: drop the assignment entirely
+            else {
+              val het = graft.operators.Het
+              val v = outExpr(df, p)
+              val keep: Column =
+                if (df.columns.contains(n))
+                  het.variant(col(s"`$n`"), df.schema(n).dataType)
+                else lit(null).cast(het.variantType)
+              Seq(n -> when(coalesce(hasPath(df, p.parts), lit(false)), v).otherwise(keep))
+            }
+          case (n, e) => Seq(n -> marked(e, outExpr(df, e)))
+        }
+        Seq(ZedOps.put(df, resolved: _*))
 
       case Stage.Drop(paths) =>
         val df = single(state)
@@ -165,7 +207,31 @@ final class Compiler(spark: SparkSession, dir: String) {
           else dropped.filter(!col(graft.operators.Het.typeTag).isin(emptied: _*)))
 
       case Stage.Rename(renames) =>
-        Seq(ZedOps.rename(single(state), renames: _*))
+        val df = single(state)
+        // renaming ONTO an existing field is a per-value error
+        // (rename-error-dupe ztest: every row becomes the error value)
+        val dupe = renames.collectFirst {
+          case (to, from) if !to.contains(".") && !from.contains(".") &&
+              df.columns.contains(to) && df.columns.contains(from) && to != from => to
+        }
+        dupe match {
+          case Some(to) =>
+            val het = graft.operators.Het
+            val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
+              f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+            val rowText = graft.sources.ZsonIO.zsonOf(
+              struct(dataF.map(f => col(s"`${f.name}`").as(f.name)): _*),
+              StructType(dataF))
+            val errT = s"""error({message:string,on:${Shaper.zedTypeOf(StructType(dataF))}})"""
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", Array(errT)).build()
+            Seq(df.select(
+              het.errorValue(concat(
+                lit(s"""{message:"rename: duplicate field: \\"$to\\"",on:"""),
+                rowText, lit("}")), errT).as("this"),
+              lit(errT).as(het.typeTag, md)))
+          case None => Seq(ZedOps.rename(df, renames: _*))
+        }
 
       case Stage.Sort(keys, nullsFirst) =>
         val df = single(state)
@@ -206,8 +272,13 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Tail(n) =>
         val df = single(state)
-        Seq(lateralLimit(df, n, fromEnd = true)
-          .getOrElse(ZedOps.tail(df, n, guessSortKey(df): _*)))
+        Seq(lateralLimit(df, n, fromEnd = true).getOrElse {
+          // tail takes the last N in STREAM order (tail.go), not by a
+          // value key — order by an arrival id
+          val rid = "__tail_id"
+          val withId = df.withColumn(rid, monotonically_increasing_id())
+          ZedOps.tail(withId, n, col(rid)).drop(rid)
+        })
 
       case Stage.Top(n, keys) =>
         val df = single(state)
@@ -216,7 +287,40 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Uniq(withCount) =>
         val df = single(state)
-        Seq(if (withCount) ZedOps.uniqCount(df) else ZedOps.uniq(df))
+        if (withCount && isTagged(df)) {
+          // uniq -c on a heterogeneous stream wraps each distinct VALUE:
+          // {value:<v>, count} (uniq.go wrap:29-41)
+          val het = graft.operators.Het
+          val shapes = shapesOf(df)
+          val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
+            f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+          def containerVariant(z: Column, t: String): Column = struct(
+            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
+            lit(null).cast(StringType).as("s"), lit(null).cast(BooleanType).as("b"),
+            lit(t).as("t"), z.as("z"))
+          val base: Column =
+            if (dataF.map(_.name) == Seq("this") && isVariant(dataF.head.dataType))
+              col("this")
+            else het.variant(col(s"`${dataF.head.name}`"), dataF.head.dataType)
+          val valueC = shapes.foldLeft(base) { case (acc, (t, st)) =>
+            graft.sources.ZType.strip(st) match {
+              case graft.sources.ZType.Rec(fs) =>
+                val own = fs.flatMap { case (n, _) => dataF.find(_.name == n) }
+                val z = graft.sources.ZsonIO.zsonOf(
+                  struct(own.map(f => col(s"`${f.name}`").as(f.name)): _*),
+                  StructType(own))
+                when(col(het.typeTag) === t,
+                  containerVariant(z, graft.sources.ZType.text(
+                    graft.sources.ZType.strip(st)))).otherwise(acc)
+              case _ => acc
+            }
+          }
+          val rid = "__uniq_id"
+          Seq(df.withColumn(rid, monotonically_increasing_id())
+            .groupBy(valueC.as("value"))
+            .agg(count(lit(1)).as("count"), min(col(rid)).as(rid))
+            .orderBy(col(rid)).drop(rid))
+        } else Seq(if (withCount) ZedOps.uniqCount(df) else ZedOps.uniq(df))
 
       case Stage.Summarize(aggs, keys) =>
         val df0 = single(state)
@@ -540,9 +644,16 @@ final class Compiler(spark: SparkSession, dir: String) {
       cases: Seq[(Expr, Pipeline)],
       default: Option[Pipeline]
   ): Seq[DataFrame] = {
-    def casePred(c: Expr): Column = subject match {
-      case Some(s) => expr(df, s) === expr(df, c)
-      case None => expr(df, c)
+    def casePred(c: Expr): Column = {
+      val raw = subject match {
+        case Some(s) => expr(df, s) === expr(df, c)
+        case None => expr(df, c)
+      }
+      // an error-valued case condition matches nothing (switch-error
+      // ztest: `case a / 0` is never taken)
+      val dt = try df.select(raw).schema.head.dataType
+               catch { case _: Exception => BooleanType }
+      if (isVariant(dt)) coalesce(raw.getField("b"), lit(false)) else raw
     }
 
     def projectionOf(p: Pipeline): Option[Seq[(String, Column)]] = {
@@ -642,7 +753,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       val c = expr(df, e)
       // keep boolean predicates un-cast so they stay pushdown-able
       val dt = try df.select(c).schema.head.dataType catch { case _: Exception => BooleanType }
-      if (dt == BooleanType) c else c.cast(BooleanType)
+      if (dt == BooleanType) c
+      else if (isVariant(dt))
+        // an error-valued condition filters nothing (filter.go: errors
+        // are not true) — read the boolean member
+        coalesce(c.getField("b"), lit(false))
+      else c.cast(BooleanType)
   }
 
   private def stringLeaves(df: DataFrame): Seq[Column] = {
@@ -1414,7 +1530,20 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Binary(op, l, r) => binary(df, op, l, r)
 
     case Expr.Cond(c, t, f) =>
-      when(expr(df, c), expr(df, t)).otherwise(expr(df, f))
+      // mismatched branch types form a zed union (put-changing-types) —
+      // Spark would silently coerce (int→string), so box instead
+      val (tc, fc) = (expr(df, t), expr(df, f))
+      def dtOf(x: Column) =
+        try Some(df.select(x).schema.head.dataType) catch { case _: Exception => None }
+      (dtOf(tc), dtOf(fc)) match {
+        case (Some(a), Some(b)) if a != b && a != NullType && b != NullType &&
+            !isVariant(a) && !isVariant(b) &&
+            !(a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType]) =>
+          when(expr(df, c), graft.operators.Het.variant(tc, a))
+            .otherwise(graft.operators.Het.variant(fc, b))
+        case _ =>
+          when(expr(df, c), tc).otherwise(fc)
+      }
 
     case rc: Expr.RecCall =>
       // recursive user func: row-level interpreter over zson-text args

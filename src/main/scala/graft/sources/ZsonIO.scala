@@ -143,8 +143,17 @@ object ZsonIO {
             array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]|")))
         case _ => zsonOf(c, dt)
       }
-    def fieldFmt(f: StructField, zt: Option[ZType] = None): Column =
-      concat(lit(zsonName(f.name) + ":"), zsonOfZ(col(s"`${f.name}`"), f.dataType, zt))
+    def fieldFmt(f: StructField, zt: Option[ZType] = None): Column = {
+      val base = concat(lit(zsonName(f.name) + ":"),
+        zsonOfZ(col(s"`${f.name}`"), f.dataType, zt))
+      // error("quiet") fields are OMITTED from output (cut.md quiet)
+      if (isVariantType(f.dataType)) {
+        val c = col(s"`${f.name}`")
+        when(graft.operators.Het.isError(c) &&
+          c.getField("z") === lit("\"quiet\""), lit(null).cast(StringType))
+          .otherwise(base)
+      } else base
+    }
     def recordFmt(fs: Seq[StructField]): Column =
       concat(lit("{"), concat_ws(",", fs.map(f => fieldFmt(f)): _*), lit("}"))
 
