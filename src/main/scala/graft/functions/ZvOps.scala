@@ -611,6 +611,43 @@ object ZvOps {
 
   def unflattenZed(text: Column): Column = unflattenU(text)
 
+  /** fields() of a BOXED value: a record member lists its value's leaf
+    * paths, a type-value member its type's paths (function/fields.go).
+    */
+  private val fieldsVarU = udf((s: String, z: String) => {
+    import ZValue._
+    def valuePaths(fs: Vector[(String, ZValue)], prefix: Vector[String]): Vector[Vector[String]] =
+      fs.flatMap { case (n, v) => unwrap(v) match {
+        case VRec(sub) if sub.nonEmpty => valuePaths(sub, prefix :+ n)
+        case _ => Vector(prefix :+ n)
+      }}
+    def typePaths(t: ZType, prefix: Vector[String]): Vector[Vector[String]] =
+      ZType.strip(t) match {
+        case ZType.Rec(fs) => fs.toVector.flatMap { case (n, ft) =>
+          ZType.strip(ft) match {
+            case _: ZType.Rec => typePaths(ft, prefix :+ n)
+            case _ => Vector(prefix :+ n)
+          }
+        }
+        case _ => Vector.empty
+      }
+    val paths: Vector[Vector[String]] =
+      if (z != null) parse(z).map(unwrap) match {
+        case Some(VRec(fs)) => valuePaths(fs, Vector.empty)
+        case _ => Vector.empty
+      }
+      else if (s != null)
+        try typePaths(ZsonParser.parseType(s), Vector.empty)
+        catch { case _: Exception => Vector.empty }
+      else Vector.empty
+    if (paths.isEmpty) ZvOps.errMissing
+    else zvOf(VArr(paths.map(p =>
+      VArr(p.map(x => VStr(x): ZValue), isSet = false): ZValue), isSet = false))
+  })
+
+  def fieldsVar(v: Column): Column =
+    fieldsVarU(v.getField("s"), v.getField("z"))
+
   /** Dereference a field of a TYPE VALUE: `foo` over <{foo:{bar:int64}}>
     * yields <{bar:int64}> (the reference's type-value deref,
     * expr/eval.go DotExpr on TypeOfType).

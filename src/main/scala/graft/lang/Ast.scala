@@ -97,7 +97,8 @@ object Stage {
       withVars: Seq[(String, Expr)],
       body: Option[Pipeline]) extends Stage
   final case class Yield(exprs: Seq[Expr]) extends Stage
-  final case class Explode(zedType: String, as: String) extends Stage
+  final case class Explode(zedType: String, as: String,
+      roots: Seq[String] = Seq.empty) extends Stage
   /** one representative value per distinct TYPE (shape/shaper.go sample) */
   final case class Sample(e: Option[Expr]) extends Stage
   case object Fuse extends Stage

@@ -581,8 +581,14 @@ final class Compiler(spark: SparkSession, dir: String) {
               .as("this", org.apache.spark.sql.types.Metadata.empty): _*))
         }
 
-      case Stage.Explode(zedType, as) =>
-        Seq(ZedOps.explodeByType(single(state), zedType, as))
+      case Stage.Explode(zedType, as, roots) =>
+        val df0 = single(state)
+        val df =
+          if (roots.isEmpty) df0
+          else df0.select((roots.filter(df0.columns.contains).map(n => col(s"`$n`")) ++
+            (if (df0.columns.contains(graft.operators.Het.typeTag))
+               Seq(col(graft.operators.Het.typeTag)) else Seq.empty)): _*)
+        Seq(ZedOps.explodeByType(df, zedType, as))
 
       case Stage.Sample(subject) =>
         val df = single(state)
@@ -609,7 +615,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         // writers emit every field on every row
         val df = single(state)
         val shapes = shapesOf(df)
-        if (shapes.length <= 1) Seq(df)
+        // record and NON-record shapes can't merge into one record type —
+        // zed forms a union and every value keeps its own shape (fuse.go)
+        if (shapes.length <= 1 ||
+            shapes.exists(s => !graft.sources.ZType.strip(s._2)
+              .isInstanceOf[graft.sources.ZType.Rec])) Seq(df)
         else {
           val zt = graft.sources.ZType
           val fusedText = zt.fullText(shapes.map(_._2).reduce(zt.fuse))
@@ -964,18 +974,22 @@ final class Compiler(spark: SparkSession, dir: String) {
     if (baseIsVariant) {
       val het = graft.operators.Het
       val c = base.get
+      // a TYPED NULL is a value (it counts, and distinct-counts by its
+      // type — groupby/null ztest); only SQL-null (missing) is skipped
       val valueful = c.isNotNull && !(c.getField("n").isNull &&
         c.getField("s").isNull && c.getField("b").isNull && c.getField("z").isNull)
       val value = when(valueful, c)
       a.fn match {
-        case "count" => return count(guarded(value))
+        case "count" => return count(guarded(c))
         case "sum" => return sum(guarded(c.getField("n")))
         case "avg" => return avg(guarded(c.getField("n")))
         case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
         case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))
-        case "any" => return first(guarded(value), ignoreNulls = true)
-        case "dcount" => return approx_count_distinct(guarded(value))
-        case "count_distinct" => return count_distinct(guarded(value))
+        case "any" => return first(guarded(c), ignoreNulls = true)
+        case "dcount" => return approx_count_distinct(guarded(c))
+        case "count_distinct" => return count_distinct(guarded(c))
+        case "collect" => return collect_list(guarded(value))
+        case "union" => return sort_array(collect_set(guarded(value)))
         case _ =>
       }
     }
@@ -989,7 +1003,11 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "dcount" => approx_count_distinct(guarded(base.get))
       case "count_distinct" => count_distinct(guarded(base.get))
       case "collect" => collect_list(guarded(base.get))
-      case "union" => collect_set(guarded(base.get))
+      case "union" =>
+        // set semantics: normalized (sorted) on construction; on typed
+        // streams the canonical order matters for output
+        if (isTagged(df)) sort_array(collect_set(guarded(base.get)))
+        else collect_set(guarded(base.get))
       case "and" => bool_and(guarded(base.get))
       case "or" => bool_or(guarded(base.get))
       case "collect_map" =>
@@ -1827,9 +1845,14 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "/" =>
         // zed 1/0 is the VALUE error("divide by zero") (expr/eval.go)
         if (r == Expr.IntLit(0)) graft.operators.Het.errorValue(lit("\"divide by zero\""))
-        // zed int/int stays integral (expr/eval.go coercion lattice)
-        else if (isIntegral(df, l) && isIntegral(df, r)) Bridge.intDiv(lc, rc)
-        else lc / rc
+        // zed int/int stays integral (expr/eval.go coercion lattice);
+        // on a typed stream a zero divisor in the DATA is the error value
+        else if (isIntegral(df, l) && isIntegral(df, r)) {
+          if (isTagged(df))
+            when(rc === 0, graft.operators.Het.errorValue(lit("\"divide by zero\"")))
+              .otherwise(graft.operators.Het.variant(Bridge.intDiv(lc, rc), LongType))
+          else Bridge.intDiv(lc, rc)
+        } else lc / rc
       case "%" =>
         val het = graft.operators.Het
         if (r == Expr.IntLit(0)) het.errorValue(lit("\"divide by zero\""))
@@ -2693,21 +2716,41 @@ final class Compiler(spark: SparkSession, dir: String) {
             else if (thisVar) (if (want == "type") col("this").getField("s")
                                else col("this").getField("t"))
             else col("this").cast(StringType)
-          val typeText = fShapes.foldLeft(lit(null).cast(StringType)) { case (acc, (tag, st)) =>
-            val tt: Column = zt.strip(st) match {
-              case _: zt.Rec => lit(tag)
-              case zt.Prim("type") => thisText("type")
-              case _: zt.Union => thisText("union")
-              case _ => lit(null).cast(StringType)
+          def pathsBox(paths: Column): Column =
+            when(paths.isNotNull, struct(lit(4).as("k"),
+                lit(null).cast(DoubleType).as("n"), lit(null).cast(StringType).as("s"),
+                lit(null).cast(BooleanType).as("b"), lit("[[string]]").as("t"),
+                paths.as("z")))
+              .otherwise(hetF.errMissing)
+          fShapes.foldLeft(hetF.errMissing: Column) { case (acc, (tag, st)) =>
+            val r: Column = zt.strip(st) match {
+              case _: zt.Rec => pathsBox(graft.functions.ZvOps.typePaths(lit(tag)))
+              case zt.Prim("type") =>
+                pathsBox(graft.functions.ZvOps.typePaths(thisText("type")))
+              case u: zt.Union if thisVar =>
+                // a boxed member: record values / type values resolve
+                // row-level from the variant payload; a RECORD member
+                // lands in real columns (no `this`) — its paths come from
+                // the union's record member type
+                val recMember = u.alts.collectFirst {
+                  case r: zt.Rec => zt.fullText(r)
+                }
+                recMember match {
+                  case Some(rt) =>
+                    when(col("this").isNotNull,
+                      graft.functions.ZvOps.fieldsVar(col("this")))
+                      .otherwise(pathsBox(graft.functions.ZvOps.typePaths(lit(rt))))
+                  case None => graft.functions.ZvOps.fieldsVar(col("this"))
+                }
+              case u: zt.Union =>
+                u.alts.collectFirst { case r: zt.Rec => zt.fullText(r) } match {
+                  case Some(rt) => pathsBox(graft.functions.ZvOps.typePaths(lit(rt)))
+                  case None => hetF.errMissing
+                }
+              case _ => hetF.errMissing
             }
-            when(col(hetF.typeTag) === tag, tt).otherwise(acc)
+            when(col(hetF.typeTag) === tag, r).otherwise(acc)
           }
-          val paths = graft.functions.ZvOps.typePaths(typeText)
-          when(paths.isNotNull, struct(lit(4).as("k"),
-              lit(null).cast(DoubleType).as("n"), lit(null).cast(StringType).as("s"),
-              lit(null).cast(BooleanType).as("b"), lit("[[string]]").as("t"),
-              paths.as("z")))
-            .otherwise(hetF.errMissing)
         } else Shaper.fieldsOf(df)
       case "flatten" if isTagged(df) && shapesOf(df).length > 1 =>
         // heterogeneous stream: flatten per-row with exact types

@@ -325,19 +325,29 @@ final class Parser(tokens: Vector[Token], source: String) {
         next()
         val e = if (at("|") || peek.kind == EOF || at(")")) None else Some(parseExpr())
         Stage.Sample(e)
+      case "shape" if peekAt(1).text == "|" || peekAt(1).kind == EOF ||
+          peekAt(1).text == ")" =>
+        // bare `shape` unifies per-row types (op/shape/shaper.go) — the
+        // relational equivalent of fuse
+        next()
+        Stage.Fuse
       case "merge" => next(); Stage.Merge(parseSortKeys())
       case "combine" => next(); Stage.Combine
       case "over" => next(); parseOver()
       case "yield" => next(); Stage.Yield(parseExprList())
       case "explode" =>
         next()
-        // `explode <exprs> by <type> [as <field>]` (explode.md); the
-        // schema-driven leaf walk covers the expr list
-        while (!atId("by") && peek.kind != EOF) next()
+        // `explode <fields> by <type> [as <field>]` (explode.md): the
+        // schema-driven leaf walk is ROOTED at the listed fields
+        val roots = Vector.newBuilder[String]
+        while (!atId("by") && peek.kind != EOF) {
+          val tk = next()
+          if (tk.kind == ID && tk.text != "this") roots += tk.text
+        }
         expect("by")
         val t = next().text
         val as = if (atId("as")) { next(); next().text } else "value"
-        Stage.Explode(t, as)
+        Stage.Explode(t, as, roots.result())
       case "fuse" =>
         if (peekAt(1).text == "(") parseSummarize() // fuse(e) is the type AGG
         else { next(); Stage.Fuse }

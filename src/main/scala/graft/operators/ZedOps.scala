@@ -323,18 +323,36 @@ object ZedOps {
     import org.apache.spark.sql.types._
     def matches(dt: DataType): Boolean =
       graft.functions.Shaper.zedTypeOf(dt) == zedType
-    def leaves(st: StructType, prefix: String): Seq[String] =
-      st.fields.toSeq.flatMap { f =>
-        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        f.dataType match {
-          case s: StructType => leaves(s, path)
-          case dt if matches(dt) => Seq(path)
-          case _ => Seq.empty
-        }
+    // scalar leaves OF the type and arrays of it both explode — an
+    // array's ELEMENTS are values of the type (explode.go); null/missing
+    // leaves yield nothing
+    def leaves(st: StructType, prefix: String): (Seq[(String, DataType)], Seq[(String, DataType)]) =
+      st.fields.toSeq.foldLeft((Seq.empty[(String, DataType)], Seq.empty[(String, DataType)])) {
+        case ((sc, ar), f) =>
+          val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          f.dataType match {
+            case s: StructType if !graft.sources.ZsonIO.isVariantType(s) =>
+              val (s2, a2) = leaves(s, path)
+              (sc ++ s2, ar ++ a2)
+            case dt if matches(dt) => (sc :+ (path -> dt), ar)
+            case ArrayType(et, _) if matches(et) => (sc, ar :+ (path -> et))
+            case _ => (sc, ar)
+          }
       }
-    val paths = leaves(df.schema, "")
-    require(paths.nonEmpty, s"no leaf of type $zedType in ${df.schema.simpleString}")
-    explodeBy(df, as, paths.map(col): _*)
+    val dataSchema = StructType(df.schema.fields.filterNot(f =>
+      f.name == graft.operators.Het.typeTag ||
+        f.metadata.contains("graft.scopeVar")))
+    val (scalars, arrays) = leaves(dataSchema, "")
+    require(scalars.nonEmpty || arrays.nonEmpty,
+      s"no leaf of type $zedType in ${df.schema.simpleString}")
+    val elemDt = (scalars ++ arrays).head._2
+    val pieces: Seq[Column] =
+      scalars.map { case (p, _) =>
+        when(col(p).isNotNull, array(col(p))).otherwise(array().cast(ArrayType(elemDt)))
+      } ++ arrays.map { case (p, _) =>
+        coalesce(col(p), array().cast(ArrayType(elemDt)))
+      }
+    df.select(explode(concat(pieces: _*)).as(as))
   }
 
   /** `fuse` — unify all record types into one wide schema

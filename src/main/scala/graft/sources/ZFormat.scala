@@ -78,7 +78,10 @@ object ZFormat {
             .flatMap { case (f, i) =>
               if (row.isNullAt(i)) None
               else Some(f.name -> fromExternal(row.get(i), f.dataType,
-                try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+                // typeof-produced columns are TYPE-VALUED (field metadata)
+                if (f.metadata.contains("graft.zedType"))
+                  Prim(f.metadata.getString("graft.zedType"))
+                else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
                 catch { case _: Exception => Prim("string") }))
             }
           VRec(own ++ added)

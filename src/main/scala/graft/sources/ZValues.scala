@@ -528,6 +528,9 @@ object ZValue {
     case Rec(fs) => StructType(fs.map { case (n, ft) => StructField(n, sparkTypeOf(ft)) })
     case Arr(e) => ArrayType(sparkTypeOf(e))
     case SetT(e) => ArrayType(sparkTypeOf(e))
+    // Spark maps forbid NULL keys — a null-keyed zed map rides as a
+    // boxed value instead
+    case MapT(k, _) if ZType.strip(k) == Prim("null") => Het.variantType
     case MapT(k, v) => MapType(sparkTypeOf(k), sparkTypeOf(v))
     case Union(_) | ErrT(_) => Het.variantType
     case Prim(_) => StringType
