@@ -109,6 +109,9 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => false
         }
         val cols = kept.map {
+          case (name, Some(e @ Expr.Call("typeof" | "typeunder", _))) =>
+            outExpr(df, e).as(name, new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "type").build())
           case (name, Some(e)) =>
             outExpr(df, e).as(name, org.apache.spark.sql.types.Metadata.empty)
           case (name, None) =>
@@ -351,11 +354,18 @@ final class Compiler(spark: SparkSession, dir: String) {
           // the over epilogue doesn't drop a user-grouped column
           n -> c.as(n, org.apache.spark.sql.types.Metadata.empty)
         }
+        // grouping by `this` on a typed stream keys on the VALUE AND its
+        // type — the tag rides along so per-row shape survives the agg
+        // (count-by-this ztest: {y:5} and {x:1,s:"foo"} are different keys)
+        val tagKey =
+          if (isTagged(df) && keys.exists(_._2 == Expr.Path(Seq())))
+            Seq(graft.operators.Het.typeTag -> col(graft.operators.Het.typeTag))
+          else Seq.empty
         val keyCols =
           if (lateral)
             (Compiler.rowIdCol -> col(Compiler.rowIdCol)) +:
-              scopeVars.map(n => n -> col(n)) ++: keyCols0
-          else keyCols0
+              scopeVars.map(n => n -> col(n)) ++: (keyCols0 ++ tagKey)
+          else keyCols0 ++ tagKey
         def nestIfDotted(d: DataFrame): DataFrame =
           if ((keys.map(_._1) ++ aggs.map(_._1)).exists(_.contains('.')))
             Shaper.nestDotted(d)
@@ -373,21 +383,44 @@ final class Compiler(spark: SparkSession, dir: String) {
           val out = ZedOps.summarize(df,
             Seq(Compiler.rowIdCol -> col(Compiler.rowIdCol)),
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
-          Seq(out.select(
+          val bare = out.select(
             col(Compiler.rowIdCol).as(Compiler.rowIdCol, Compiler.scopeVarMeta),
-            col(aggs.head._1).as("this")))
+            col(aggs.head._1).as("this"))
+          // a union() result is a SET — tag the shape so writers emit |[…]|
+          Seq(if (aggs.head._2.fn == "union") {
+            val setT = bare.schema("this").dataType match {
+              case ArrayType(et, _) => "|[" + Shaper.zedTypeOf(et) + "]|"
+              case other => Shaper.zedTypeOf(other)
+            }
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", Array(setT)).build()
+            bare.withColumn(graft.operators.Het.typeTag, lit(setT))
+              .select(col(Compiler.rowIdCol),
+                col("this"),
+                col(graft.operators.Het.typeTag)
+                  .as(graft.operators.Het.typeTag, md))
+          } else bare)
         } else {
           val out = ZedOps.summarize(df, keyCols,
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
+          val restored =
+            if (tagKey.nonEmpty)
+              // restore the shapes metadata the groupBy stripped
+              out.select(out.schema.fields.toIndexedSeq.map { f =>
+                if (f.name == graft.operators.Het.typeTag)
+                  col(f.name).as(f.name, df.schema(graft.operators.Het.typeTag).metadata)
+                else col(s"`${f.name}`")
+              }: _*)
+            else out
           Seq(nestIfDotted(if (lateral) {
             // re-mark the scope vars and the surviving row id (metadata
             // does not survive groupBy)
-            out.select(out.schema.fields.toIndexedSeq.map { f =>
+            restored.select(restored.schema.fields.toIndexedSeq.map { f =>
               if (scopeVars.contains(f.name) || f.name == Compiler.rowIdCol)
                 col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
             }: _*)
-          } else out))
+          } else restored))
         }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>

@@ -48,8 +48,12 @@ object ZFormat {
     }
     val fallback: ZType = {
       val fs = fields.map { case (f, _) =>
-        f.name -> (try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
-                   catch { case _: Exception => Prim("string") })
+        f.name -> (
+          // typeof-produced columns are TYPE-VALUED (field metadata)
+          if (f.metadata.contains("graft.zedType"))
+            Prim(f.metadata.getString("graft.zedType"))
+          else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+          catch { case _: Exception => Prim("string") })
       }
       if (fields.map(_._1.name) == Seq("this")) fs.head._2 else Rec(fs.toVector)
     }
@@ -650,10 +654,19 @@ object ZFormat {
     * complex keys as decorated zson (jsonio writer.go mapKey).
     */
   private def jsonMapKey(k: ZValue): String = unwrap(k) match {
-    case VStr(s) => s
+    case VStr(s) =>
+      // a string key that READS as another zson value is zson-quoted to
+      // disambiguate ("0" vs 0 — jsonio writer.go mapKey)
+      val ambiguous = s.isEmpty || s == "null" || s == "true" || s == "false" ||
+        s.matches("""[+-]?\d+(\.\d*)?([eE][+-]?\d+)?""")
+      if (ambiguous) "\"" + s + "\"" else s
     case VNull(_) => "null"
     case VEnum(s) => s
+    case VTypeVal(t) => s"<$t>"
     case other => k match {
+      case VTyped(i, _) if unwrap(i).isInstanceOf[VStr] =>
+        jsonMapKey(unwrap(i)) // named STRING keys stay bare
+      case VTyped(i, ZType.Named(n, _)) => zsonText(i) + "(=" + n + ")"
       case VTyped(i, t) => zsonText(i) + "(" + ZType.text(t) + ")"
       case _ => zsonText(other)
     }

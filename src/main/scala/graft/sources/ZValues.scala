@@ -360,6 +360,27 @@ object ZValue {
     out.toByteArray
   }
 
+  /** zed map normalization (complex.go NormalizeMap): entries sort by
+    * encoded KEY bytes, duplicate keys keep the LAST value.
+    */
+  def normMap(es: Vector[(ZValue, ZValue)]): Vector[(ZValue, ZValue)] = {
+    // key identity is (TYPE, bytes): 0(int64) and 0(uint64) are distinct
+    // keys (complex.go NormalizeMap over tagged encodings)
+    val lastWins = scala.collection.mutable.LinkedHashMap.empty[(String, Seq[Byte]), (ZValue, ZValue)]
+    es.foreach { case (k, v) =>
+      val id =
+        if (unwrap(k).isInstanceOf[VNull]) ("null", Seq.empty[Byte]) // nulls collapse
+        else (ZType.fullText(typeOf(k)), encKey(k).toSeq)
+      lastWins(id) = (k, v) }
+    lastWins.toVector.sortWith { case (((ta, a), _), ((tb, b), _)) =>
+      val cmp = a.indices.view.map(i =>
+        if (i >= b.length) 1
+        else java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff))
+        .find(_ != 0).getOrElse(Integer.compare(a.length, b.length))
+      if (cmp != 0) cmp < 0 else ta < tb
+    }.map(_._2)
+  }
+
   def normSet(items: Vector[ZValue]): Vector[ZValue] = {
     // heterogeneous element types form a union: each element's stored
     // encoding is [selector][value] with members in CompareTypes order,
@@ -498,12 +519,17 @@ object ZValue {
     case VDur(ns) => durText(ns)
     case VIp(s) => s
     case VNet(s) => s
-    case VTypeVal(t) => t
+    case VTypeVal(t) => s"<$t>" // type VALUES are <…> in zson text
     case VEnum(s) => "%" + s
     case VRec(fs) => fs.map { case (n, fv) => s"${ZType.fieldName(n)}:${zsonText(fv)}" }.mkString("{", ",", "}")
     case VArr(items, false) => items.map(zsonText).mkString("[", ",", "]")
     case VArr(items, true) => items.map(zsonText).mkString("|[", ",", "]|")
-    case VMap(es) => es.map { case (k, x) => s"${zsonText(k)}:${zsonText(x)}" }.mkString("|{", ",", "}|")
+    case VMap(es) => es.map { case (k, x) =>
+      val kt = zsonText(k)
+      // a key ending in ':' (the ip ::) needs a space before the separator
+      val sep = if (kt.endsWith(":")) " :" else ":"
+      s"$kt$sep${zsonText(x)}"
+    }.mkString("|{", ",", "}|")
     case VErr(inner) => s"error(${zsonText(inner)})"
   }
 
@@ -1039,7 +1065,7 @@ final class ZsonParser(s: String) {
       }
     }
     expect('}'); expect('|')
-    VMap(es.result())
+    VMap(ZValue.normMap(es.result()))
   }
 
   private def typeValue(): ZValue = {

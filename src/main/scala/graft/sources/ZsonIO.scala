@@ -141,6 +141,16 @@ object ZsonIO {
         case (ArrayType(et, _), Some(ZType.SetT(zet))) =>
           when(c.isNull, lit("null")).otherwise(concat(lit("|["),
             array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]|")))
+        case (MapType(kt, vt, _), Some(ZType.MapT(zk, zv))) =>
+          // a key ending in ':' (e.g. the ip ::) needs a space before the
+          // map separator (zsonio writer)
+          when(c.isNull, lit("null")).otherwise(concat(lit("|{"),
+            array_join(transform(map_entries(c), e => {
+              val k = zsonOfZ(e.getField("key"), kt, Some(zk))
+              concat(k, when(k.endsWith(":"), lit(" ")).otherwise(lit("")),
+                lit(":"), zsonOfZ(e.getField("value"), vt, Some(zv)))
+            }), ","),
+            lit("}|")))
         case _ => zsonOf(c, dt)
       }
     def fieldFmt(f: StructField, zt: Option[ZType] = None): Column = {
