@@ -558,6 +558,76 @@ final class Compiler(spark: SparkSession, dir: String) {
               !names.exists(_.equalsIgnoreCase(f.name))) // Spark resolves names case-insensitively
             .map(f => col(s"`${f.name}`"))
         exprs match {
+          case Seq(Expr.RecordLit(fields)) if fields.exists(_._1 == "...") &&
+              shapesOf(df).nonEmpty && fields.forall {
+                case ("...", Expr.Path(_)) => true
+                case ("...", _) => false
+                case _ => true
+              } =>
+            // spread over a typed stream: each row spreads ITS OWN fields
+            // (record-spread ztest) — later entries win PER ROW, and the
+            // output keeps per-row shape
+            val zt = graft.sources.ZType
+            val shapes = shapesOf(df)
+            val entries = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+            // which spread contributes each name, per shape (for the tag)
+            val spreadOf = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+            val literalNames = scala.collection.mutable.LinkedHashSet.empty[String]
+            fields.foreach {
+              case ("...", p @ Expr.Path(ps)) =>
+                val parts = if (ps.headOption.contains("this")) ps.tail else ps
+                val perShape: Seq[(String, graft.sources.ZType.Rec)] = shapes.flatMap {
+                  case (t, st) => pathIn(st, parts).flatMap(r => zt.strip(r) match {
+                    case rec: graft.sources.ZType.Rec => Some(t -> rec)
+                    case _ => None
+                  })
+                }
+                val names = perShape.flatMap(_._2.fields.map(_._1)).distinct
+                names.foreach { n =>
+                  val has = perShape.collect {
+                    case (t, rec) if rec.fields.exists(_._1 == n) => t
+                  }
+                  val cond = col(graft.operators.Het.typeTag).isin(has: _*)
+                  val v = outExpr(df, Expr.Path(parts :+ n))
+                  entries.get(n) match {
+                    case Some(prev) =>
+                      val (pv, nv) = unifyPair(df, prev, v)
+                      entries(n) = when(cond, nv).otherwise(pv)
+                    case None => entries(n) = when(cond, v)
+                  }
+                  spreadOf(n) = has
+                }
+              case (n, e) =>
+                val v = outExpr(df, e)
+                entries.get(n) match {
+                  case Some(prev) =>
+                    val (_, nv) = unifyPair(df, prev, v)
+                    entries(n) = nv
+                  case None => entries(n) = v
+                }
+                literalNames += n
+                spreadOf.remove(n)
+            }
+            val out0 = df.select(entries.toSeq.map { case (n, c) =>
+              c.as(n, org.apache.spark.sql.types.Metadata.empty) }: _*)
+            // per-row OUTPUT shape: literal names always, spread names
+            // only when the row's shape contributed them
+            val shapeTexts = shapes.map { case (t, _) =>
+              val names = entries.keys.toSeq.filter(n =>
+                literalNames.contains(n) || spreadOf.get(n).exists(_.contains(t)))
+              t -> names.map(n => s"${zt.fieldName(n)}:" +
+                Shaper.zedTypeOf(out0.schema(n).dataType)).mkString("{", ",", "}")
+            }
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes",
+                shapeTexts.map(x => x._2).distinct.toArray).build()
+            val tagC = shapeTexts.foldLeft(lit(shapeTexts.head._2): Column) {
+              case (acc, (t, txt)) =>
+                when(col(graft.operators.Het.typeTag) === t, lit(txt)).otherwise(acc)
+            }
+            Seq(df.select(entries.toSeq.map { case (n, c) =>
+              c.as(n, org.apache.spark.sql.types.Metadata.empty) } :+
+              tagC.as(graft.operators.Het.typeTag, md): _*))
           case Seq(rec @ Expr.RecordLit(fields)) if fields.exists(_._1 == "...") =>
             // spreads need expression-level expansion, then unpack
             val ctx = ctxCols(Set.empty)
@@ -1662,6 +1732,21 @@ final class Compiler(spark: SparkSession, dir: String) {
           }: _*)
       }
       else array(items.map(expr(df, _)): _*)
+  }
+
+  /** Box a pair of columns into a common type when their Spark types
+    * differ (zed forms a union).
+    */
+  private def unifyPair(df: DataFrame, a: Column, b: Column): (Column, Column) = {
+    def dt(c: Column) =
+      try df.select(c).schema.head.dataType catch { case _: Exception => StringType }
+    val (da, db) = (dt(a), dt(b))
+    if (da == db) (a, b)
+    else {
+      val het = graft.operators.Het
+      def box(c: Column, d: DataType) = if (isVariant(d)) c else het.variant(c, d)
+      (box(a, da), box(b, db))
+    }
   }
 
   /** Array/set literal with union-typed spread operands: every item

@@ -38,7 +38,7 @@ object ZType {
   val nullT: ZType = Prim("null")
 
   private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
-  private[sources] def fieldName(n: String): String =
+  def fieldName(n: String): String =
     if (identRe.matches(n)) n else "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Canonical zed type text (matches Shaper.zedTypeOf conventions). */
