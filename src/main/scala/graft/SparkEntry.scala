@@ -872,6 +872,36 @@ object SparkEntry {
              |FROM events
              |ORDER BY t""".stripMargin)),
 
+    // same union semantics, but through the FILE-SCALE typed reader: a
+    // heterogeneous multi-shape .zson file read distributed (ZsonReader
+    // .fromRDD — two-pass shape discovery + executor-side typed decode,
+    // no driver materialization), proving file reads produce the same
+    // tagged/variant frames as the in-memory harness
+    ("q_het_file", (s, dir) => {
+      val het = graft.operators.Het
+      val e = t(s, dir, "events")
+      val path = "/tmp/graft_io_het_zson"
+      val lines = e.select(concat(lit("{v:"), col("event_id").cast("string"), lit("}")).as("l"))
+        .unionAll(e.select(concat(lit("{v:\""), col("event_type"), lit("\"}")).as("l")))
+      lines.write.mode("overwrite").text(path)
+      val mixed = graft.sources.ZsonIO.read(s, path)
+      ZedOps.sort(
+        mixed.groupBy(het.variantTypeOf(col("v")).as("t"))
+          .agg(
+            count(lit(1)).as("n"),
+            het.render(het.minVariant(col("v"))).as("mn"),
+            het.render(het.maxVariant(col("v"))).as("mx")),
+        col("t") -> true)
+    },
+      Some("""SELECT 'int64' AS t, count(*) AS n,
+             |       CAST(min(event_id) AS VARCHAR) AS mn,
+             |       CAST(max(event_id) AS VARCHAR) AS mx FROM events
+             |UNION ALL
+             |SELECT 'string', count(*),
+             |       '"' || min(event_type) || '"', '"' || max(event_type) || '"'
+             |FROM events
+             |ORDER BY t""".stripMargin)),
+
     // ==== sources / sinks (graft.sources; ref zio/anyio, lake/) ====
     // Each round-trips real data through the format and re-verifies against
     // the oracle on the ORIGINAL table — reader+writer must both be exact.

@@ -1354,38 +1354,57 @@ object ZsonParser {
 /** Build a DataFrame from a heterogeneous ZSON value stream: shapes merge
   * into one relational schema (conflicts → variant columns) and every row
   * keeps its zed type in the `__type` tag.
+  *
+  * Two construction paths share one schema algebra:
+  *   - `fromValues` (driver-side, golden harness / small inputs);
+  *   - `fromRDD` (distributed, the file-scale path): pass 1 discovers the
+  *     distinct shape set per partition (type TEXTS only — tiny), the
+  *     driver fuses them into the frame schema, pass 2 decodes every row
+  *     executor-side straight to that schema. This mirrors the reference's
+  *     streaming typed readers (zio/zngio/reader.go, zson/parser.go) in
+  *     Spark's two-phase scan idiom (schema inference, then read).
   */
 object ZsonReader {
   import ZValue._
 
   /** Parse a whole ZSON text (driver-side; for the golden harness and
-    * other small inputs — file-scale reads stay distributed in ZsonIO).
+    * other small inputs — file-scale reads go through fromRDD).
     */
   def fromText(spark: SparkSession, text: String, tag: Boolean = true): DataFrame = {
     val values = ZsonParser.parseAll(text)
     fromValues(spark, values, tag)
   }
 
-  def fromValues(spark: SparkSession, values0: Seq[ZValue], tag: Boolean): DataFrame = {
-    require(values0.nonEmpty, "empty zson input")
-    // non-record top-level values live in a `this` column (the engine's
-    // relational frame for bare value sequences)
-    val values = values0.map { v =>
-      unwrap(v) match {
-        // an EMPTY record has no columns to land in — it rides in `this`
-        // like a bare value (its shape tag "{}" keeps it a record)
-        case r: VRec if r.fields.nonEmpty => (r, ZType.fullText(typeOf(v)))
-        case r: VRec => (VRec(Vector("this" -> (r: ZValue))), ZType.fullText(typeOf(v)))
-        case _ => (VRec(Vector("this" -> v)), ZType.fullText(typeOf(v)))
-      }
-    }
-    val rowSchemas = values.map { case (r, _) => sparkTypeOf(typeOf(r)).asInstanceOf[StructType] }
+  /** Record-ify one top-level value into its relational frame row and its
+    * shape-tag text. Non-record top-level values live in a `this` column
+    * (the engine's relational frame for bare value sequences); an EMPTY
+    * record has no columns to land in — it rides in `this` like a bare
+    * value (its shape tag "{}" keeps it a record).
+    */
+  def recordify(v: ZValue): (VRec, String) = unwrap(v) match {
+    case r: VRec if r.fields.nonEmpty => (r, ZType.fullText(typeOf(v)))
+    case r: VRec => (VRec(Vector("this" -> (r: ZValue))), ZType.fullText(typeOf(v)))
+    case _ => (VRec(Vector("this" -> v)), ZType.fullText(typeOf(v)))
+  }
+
+  /** Type-level twin of `recordify`: the frame row type of a shape text. */
+  private def recordifyType(t: ZType): ZType = ZType.strip(t) match {
+    case r @ ZType.Rec(fs) if fs.nonEmpty => r
+    case _ => ZType.Rec(Vector("this" -> t))
+  }
+
+  /** The frame schema for a set of shape texts (first-appearance order):
+    * (cleaned row schema, full schema incl. the tag column when tagged).
+    */
+  def frameSchema(shapeTexts: Seq[String], tag: Boolean): (StructType, StructType) = {
+    val rowTypes = shapeTexts.map(t => recordifyType(ZsonParser.parseType(t)))
+    val rowSchemas = rowTypes.map(rt => sparkTypeOf(rt).asInstanceOf[StructType])
     val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
     // a field whose ZED types conflict across shapes in render-relevant
     // ways (ip vs string, time vs string, …) must be a variant even when
     // the SPARK types agree — otherwise groupBy/sort lose the per-row
     // type and writers re-emit the wrong form (different-key-types ztest)
-    val zedFrame = values.map { case (r, _) => typeOf(r) }.reduce(ZType.fuse)
+    val zedFrame = rowTypes.reduce(ZType.fuse)
     def renderClass(t: ZType): String = ZType.strip(t) match {
       case ZType.Prim(p) if p.startsWith("int") || p.startsWith("uint") => "int"
       case ZType.Prim(p) => p
@@ -1408,14 +1427,53 @@ object ZsonReader {
     val cleaned = StructType(forcedMerged.fields.map(f => StructField(f.name, deNull(f.dataType))))
     // the distinct shape list travels as column metadata on the tag, so the
     // compiler can fold has/missing/typeof presence checks statically
-    val shapeList = values.map(_._2).distinct
-    val md = new MetadataBuilder().putStringArray("shapes", shapeList.toArray).build()
+    val md = new MetadataBuilder().putStringArray("shapes", shapeTexts.toArray).build()
     val full = if (tag) cleaned.add(StructField(Het.typeTag, StringType, nullable = false, md)) else cleaned
-    val rows = values.map { case (r, t) =>
-      val base = toExternal(r, cleaned).asInstanceOf[Row]
-      if (tag) Row.fromSeq(base.toSeq :+ t) else base
-    }
+    (cleaned, full)
+  }
+
+  /** Decode one value to an external Row of the frame schema. */
+  def rowOf(v: ZValue, cleaned: StructType, tag: Boolean): Row = {
+    val (r, t) = recordify(v)
+    val base = toExternal(r, cleaned).asInstanceOf[Row]
+    if (tag) Row.fromSeq(base.toSeq :+ t) else base
+  }
+
+  def fromValues(spark: SparkSession, values0: Seq[ZValue], tag: Boolean): DataFrame = {
+    require(values0.nonEmpty, "empty zson input")
+    val shapeTexts = values0.map(v => recordify(v)._2).distinct
+    val (cleaned, full) = frameSchema(shapeTexts, tag)
+    val rows = values0.map(rowOf(_, cleaned, tag))
     spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), full)
+  }
+
+  /** Distributed typed frame: two passes over the value RDD (shape
+    * discovery, then decode), no driver materialization of rows.
+    */
+  def fromRDD(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[ZValue], tag: Boolean = true): DataFrame = {
+    // pass 1: distinct shape texts in stream (first-appearance) order —
+    // keyed by (partition, first row index) so the fused schema's field
+    // order is deterministic and matches what a serial read would build
+    val shapeTexts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0L
+      it.foreach { v =>
+        val t = recordify(v)._2
+        if (!seen.contains(t)) seen(t) = (pid.toLong << 40) | i
+        i += 1
+      }
+      seen.iterator
+    }.reduceByKey(math.min).collect().sortBy(_._2).map(_._1).toIndexedSeq
+    if (shapeTexts.isEmpty) {
+      val empty = StructType(Seq(StructField("this", StringType)))
+      val full = if (tag) empty.add(StructField(Het.typeTag, StringType, nullable = false)) else empty
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
+    }
+    val (cleaned, full) = frameSchema(shapeTexts, tag)
+    val bcSchema = spark.sparkContext.broadcast(cleaned)
+    // pass 2: per-partition typed decode straight to the merged schema
+    val rows = rdd.map(v => rowOf(v, bcSchema.value, tag))
+    spark.createDataFrame(rows, full)
   }
 
   private def deNull(dt: DataType): DataType = dt match {

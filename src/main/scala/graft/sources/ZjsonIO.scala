@@ -17,8 +17,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * Writer: the per-row value encoding is a Catalyst string expression
   * (codegen, distributed); only the first-line type swap runs in
   * mapPartitions. Reader: per-line Jackson decode (same row-wise cost
-  * class as the reference's zjsonio) into ZSON text → the shared
-  * ZSON→JSON→DataFrame path.
+  * class as the reference's zjsonio) into ZSON text, then per-partition
+  * typed parse into the shared tagged/variant frame (ZsonReader.fromRDD)
+  * — fully distributed, no driver materialization.
   */
 object ZjsonIO extends Serializable {
 
@@ -209,13 +210,9 @@ object ZjsonIO extends Serializable {
         toZson(t, node.get("value"))
       }
     }
-    // typed decode (unions → variants, shape tags); the JSON-inference
-    // path stays as the fallback for inputs the typed parser rejects
-    try ZsonReader.fromText(spark, zson.collect().mkString("\n"))
-    catch {
-      case _: Exception =>
-        val json = zson.map(ZsonIO.zsonLineToJson _)
-        spark.read.json(json)
-    }
+    // typed decode (unions → variants, shape tags), fully distributed:
+    // each line is one complete value, parsed per-partition on the
+    // executors — no driver materialization
+    ZsonReader.fromRDD(spark, zson.rdd.mapPartitions(ZsonIO.parseLineIter))
   }
 }

@@ -16,9 +16,10 @@ import java.io.ByteArrayOutputStream
   *
   * Spark integration: the writer emits one independent ZNG stream per
   * partition (streams concatenate legally per spec §2.4); the reader lists
-  * files via Spark's binaryFile source, decodes each stream DISTRIBUTED to
-  * ZSON text lines, and reuses the ZSON→JSON→DataFrame path so mixed-type
-  * streams fuse exactly like any heterogeneous input.
+  * files via Spark's binaryFile source and decodes each stream DISTRIBUTED
+  * straight to typed values (decodeZValue), so mixed-type streams fuse
+  * into the same tagged/variant frame as any heterogeneous input — with
+  * full union/enum/error/named-type fidelity at file scale.
   */
 object ZngIO {
 
@@ -587,6 +588,214 @@ object ZngIO {
     }
   }
 
+  // ---- typed decode (ZT → ZType / ZValue) ------------------------------------
+
+  private val primNames: Map[Int, String] = Map(
+    0 -> "uint8", 1 -> "uint16", 2 -> "uint32", 3 -> "uint64",
+    6 -> "int8", 7 -> "int16", 8 -> "int32", 9 -> "int64",
+    12 -> "duration", 13 -> "time", 14 -> "float16", 15 -> "float32",
+    16 -> "float64", 23 -> "bool", 24 -> "bytes", 25 -> "string",
+    26 -> "ip", 27 -> "net", 28 -> "type", 29 -> "null")
+
+  private[sources] def zTypeOf(t: ZT): ZType = t match {
+    case ZPrim(id) => ZType.Prim(primNames.getOrElse(id,
+      throw new IllegalArgumentException(s"zng: unsupported primitive id $id")))
+    case ZRecord(fields) => ZType.Rec(fields.iterator.map { case (n, ft) => n -> zTypeOf(ft) }.toVector)
+    case ZArray(e) => ZType.Arr(zTypeOf(e))
+    case ZSet(e) => ZType.SetT(zTypeOf(e))
+    case ZMap(k, v) => ZType.MapT(zTypeOf(k), zTypeOf(v))
+    case ZUnion(alts) => ZType.Union(alts.iterator.map(zTypeOf).toVector)
+    case ZEnum(symbols) => ZType.EnumT(symbols.toVector)
+    case ZError(inner) => ZType.ErrT(zTypeOf(inner))
+    case ZNamed(name, inner) => ZType.Named(name, zTypeOf(inner))
+  }
+
+  /** IEEE 754 half-precision bits → double (primitive.go DecodeFloat16). */
+  private[sources] def halfToDouble(bits: Int): Double = {
+    val s = (bits >> 15) & 1; val e = (bits >> 10) & 0x1f; val m = bits & 0x3ff
+    val v =
+      if (e == 0) m * math.pow(2, -24)
+      else if (e == 0x1f) { if (m == 0) Double.PositiveInfinity else Double.NaN }
+      else (m + 1024) * math.pow(2, e - 25)
+    if (s == 1) -v else v
+  }
+
+  /** Decode one tag-encoded value of type t into the typed value model —
+    * wrapping (named/union/enum/empty-container) matches what ZsonParser
+    * produces for the same value, so zng file reads fuse into identical
+    * frames as harness text reads.
+    */
+  private[sources] def decodeZValue(c: Cursor, t: ZT): ZValue = {
+    import ZValue._
+    val tag = c.uvarint()
+    if (tag == 0) return VNull(zTypeOf(t))
+    val n = (tag - 1).toInt
+    t match {
+      case ZNamed(name, inner) =>
+        c.pos -= sizeOfTag(tag)
+        val nt = ZType.Named(name, zTypeOf(inner))
+        decodeZValue(c, inner) match {
+          case VTyped(i, _) => VTyped(i, nt)
+          case other => VTyped(other, nt)
+        }
+      case ZPrim(id) =>
+        val b = c.bytes(n)
+        id match {
+          case 0 | 1 | 2 => VInt(unsignedOf(b), primNames(id))
+          case 3 => VUint64(BigDecimal(java.lang.Long.toUnsignedString(unsignedOf(b))))
+          case 6 | 7 | 8 | 9 => VInt(signedOf(b), primNames(id))
+          case 12 => VDur(signedOf(b))
+          case ID_TIME => VTime(signedOf(b))
+          case 14 => VFloat(halfToDouble(unsignedOf(b).toInt), "float16")
+          case ID_FLOAT32 => VFloat(java.lang.Float.intBitsToFloat(unsignedOf(b).toInt).toDouble, "float32")
+          case ID_FLOAT64 => VFloat(java.lang.Double.longBitsToDouble(unsignedOf(b)), "float64")
+          case ID_BOOL => VBool(b.nonEmpty && b(0) == 1)
+          case ID_BYTES => VBytes(b)
+          case ID_STRING => VStr(new String(b, "UTF-8"))
+          case ID_IP => VIp(ipText(b))
+          case ID_NET =>
+            val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+            val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+            VNet(ipText(addr) + "/" + leadingOnes(mask))
+          case ID_NULL => VNull(ZType.Prim("null"))
+          case other =>
+            throw new IllegalArgumentException(
+              s"zng: primitive type id $other (decimal, type value) not supported")
+        }
+      case ZRecord(fields) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        VRec(fields.iterator.map { case (name, ft) => name -> decodeZValue(inner, ft) }.toVector)
+      case ZArray(et) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val items = Iterator.continually(())
+          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et)).toVector
+        if (items.isEmpty) VTyped(VArr(items, isSet = false), ZType.Arr(zTypeOf(et)))
+        else VArr(items, isSet = false)
+      case ZSet(et) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val items = Iterator.continually(())
+          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et)).toVector
+        if (items.isEmpty) VTyped(VArr(items, isSet = true), ZType.SetT(zTypeOf(et)))
+        else VArr(ZValue.normSet(items), isSet = true)
+      case ZMap(kt, vt) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val entries = Vector.newBuilder[(ZValue, ZValue)]
+        while (!inner.done) {
+          val k = decodeZValue(inner, kt)
+          val v = decodeZValue(inner, vt)
+          entries += (k -> v)
+        }
+        val es = entries.result()
+        if (es.isEmpty) VTyped(VMap(es), ZType.MapT(zTypeOf(kt), zTypeOf(vt)))
+        else VMap(ZValue.normMap(es))
+      case ZUnion(alts) =>
+        val inner = new Cursor(c.bytes(n), 0)
+        val which = {
+          val t2 = inner.uvarint(); val m = (t2 - 1).toInt
+          signedOf(inner.bytes(m)).toInt
+        }
+        val member = decodeZValue(inner, alts(which))
+        VTyped(ZValue.unwrap(member), ZType.Union(alts.iterator.map(zTypeOf).toVector))
+      case ZEnum(symbols) =>
+        val idx = unsignedOf(c.bytes(n)).toInt
+        VTyped(VEnum(symbols(idx)), ZType.EnumT(symbols.toVector))
+      case ZError(inner) =>
+        VErr(decodeZValue(new Cursor(c.bytes(n), 0), inner))
+    }
+  }
+
+  /** Parse one types frame's typedefs into the stream's type table. */
+  private def parseTypedefs(payload: Array[Byte], types: scala.collection.mutable.ArrayBuffer[ZT]): Unit = {
+    def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+    val tc = new Cursor(payload, 0)
+    def readCounted(): String = {
+      val n = tc.uvarint().toInt
+      new String(tc.bytes(n), "UTF-8")
+    }
+    while (!tc.done) {
+      tc.u8() match {
+        case 0x00 =>
+          val nf = tc.uvarint().toInt
+          types += ZRecord((0 until nf).map { _ =>
+            val name = readCounted(); name -> typeOfId(tc.uvarint().toInt)
+          })
+        case 0x01 => types += ZArray(typeOfId(tc.uvarint().toInt))
+        case 0x02 => types += ZSet(typeOfId(tc.uvarint().toInt))
+        case 0x03 =>
+          val k = typeOfId(tc.uvarint().toInt)
+          types += ZMap(k, typeOfId(tc.uvarint().toInt))
+        case 0x04 =>
+          val nt = tc.uvarint().toInt
+          types += ZUnion((0 until nt).map(_ => typeOfId(tc.uvarint().toInt)))
+        case 0x05 =>
+          val ne = tc.uvarint().toInt
+          types += ZEnum((0 until ne).map(_ => readCounted()))
+        case 0x06 => types += ZError(typeOfId(tc.uvarint().toInt))
+        case 0x07 =>
+          val name = readCounted()
+          types += ZNamed(name, typeOfId(tc.uvarint().toInt))
+        case other =>
+          throw new IllegalArgumentException(s"zng: unknown typedef code $other")
+      }
+    }
+  }
+
+  /** Read the next frame's (type, decompressed payload) at the cursor. */
+  private def readFrame(c: Cursor, code: Int): (Int, Array[Byte]) = {
+    require((code & 0x80) == 0, "zng: unsupported version bit")
+    val compressed = (code & 0x40) != 0
+    val t = (code >> 4) & 0x3
+    val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+    val raw = c.bytes(len)
+    val payload =
+      if (!compressed) raw
+      else {
+        val pc = new Cursor(raw, 0)
+        val format = pc.u8()
+        require(format == 0, s"zng: unknown compression format $format")
+        val usize = pc.uvarint().toInt
+        val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        val buf = new Array[Byte](usize)
+        dec.decompress(comp, 0, buf, 0, usize)
+        buf
+      }
+    (t, payload)
+  }
+
+  /** Lazily decode a ZNG byte stream (possibly several concatenated
+    * streams) to typed values — one values frame buffered at a time
+    * (frames are ~1 MiB), never the whole file's rows.
+    */
+  def decodeToZValues(bytes: Array[Byte]): Iterator[ZValue] = new Iterator[ZValue] {
+    private val c = new Cursor(bytes, 0)
+    private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+    private var queue: Iterator[ZValue] = Iterator.empty
+    private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+    private def fill(): Unit = {
+      while (!queue.hasNext && !c.done) {
+        val code = c.u8()
+        if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+        else readFrame(c, code) match {
+          case (0, payload) => parseTypedefs(payload, types)
+          case (1, payload) =>
+            val vc = new Cursor(payload, 0)
+            val out = Vector.newBuilder[ZValue]
+            while (!vc.done) {
+              val tid = vc.uvarint().toInt
+              out += decodeZValue(vc, typeOfId(tid))
+            }
+            queue = out.result().iterator
+          case (2, _) => // control frame: skip (spec allows)
+          case _ =>
+            throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+        }
+      }
+    }
+    def hasNext: Boolean = { if (!queue.hasNext) fill(); queue.hasNext }
+    def next(): ZValue = { if (!hasNext) throw new NoSuchElementException; queue.next() }
+  }
+
   /** Incremental ZNG stream writer with a shared type context — used for
     * the VNG reassembly/trailer streams where values of several types
     * interleave in one stream.
@@ -617,14 +826,17 @@ object ZngIO {
     }
   }
 
-  /** Read a ZNG file or directory of part files into a DataFrame. */
+  /** Read a ZNG file or directory of part files into a typed DataFrame —
+    * per-file typed decode on the executors (streams are self-contained,
+    * so files distribute one task each), fused into the same
+    * tagged/variant frame the in-memory harness builds.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(
-      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
-    val zsonLines = files.select("content").as[Array[Byte]]
-      .flatMap(bytes => decodeToZson(Gzip.maybeGunzip(bytes)))
-    val json = zsonLines.map(ZsonIO.zsonLineToJson _)
-    spark.read.json(json)
+    val rdd = spark.read.format("binaryFile").load(
+        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+      .select("content").as[Array[Byte]].rdd
+      .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
+    ZsonReader.fromRDD(spark, rdd)
   }
 }

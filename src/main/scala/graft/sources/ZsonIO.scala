@@ -370,12 +370,71 @@ object ZsonIO {
     sb.toString
   }
 
-  /** Read a ZSON text file/directory into a DataFrame. */
+  /** Read a ZSON text file/directory into a typed DataFrame — the same
+    * tagged/variant frame the in-memory harness builds, produced fully
+    * distributed (reference: zson/parser.go streams typed values).
+    *
+    * Machine-written ZSON (zq's `-z` and this engine's writer) is one
+    * value per line, so the default path is Spark's splittable text scan
+    * with per-partition typed parsing; a short driver-side probe detects
+    * pretty-printed multi-line ZSON (`-Z`) and falls back to whole-file
+    * decode distributed one task per file.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val rdd =
+      if (probeLineOriented(spark, path))
+        spark.read.textFile(path).rdd.mapPartitions(parseLineIter)
+      else
+        perFileValues(spark, path)
+    ZsonReader.fromRDD(spark, rdd)
+  }
+
+  /** Parse a partition's lines into values, accumulating continuation
+    * lines so multi-line values inside a partition still decode (text
+    * splits are line-aligned, so only a value spanning >1 split breaks —
+    * the probe routes those files to whole-file decode instead).
+    */
+  private[sources] def parseLineIter(lines: Iterator[String]): Iterator[ZValue] = new Iterator[ZValue] {
+    private var queue: Iterator[ZValue] = Iterator.empty
+    private def fill(): Unit = {
+      val buf = new StringBuilder
+      while (!queue.hasNext && lines.hasNext) {
+        val l = lines.next()
+        val t = l.trim
+        if (buf.isEmpty && (t.isEmpty || t.startsWith("//"))) () // skip blanks/comments
+        else {
+          if (buf.nonEmpty) buf.append('\n')
+          buf.append(l)
+          try queue = ZsonParser.parseAll(buf.toString).iterator
+          catch { case _: Exception => } // incomplete — keep accumulating
+        }
+      }
+      if (!queue.hasNext && buf.nonEmpty)
+        queue = ZsonParser.parseAll(buf.toString).iterator // surface the real error
+    }
+    def hasNext: Boolean = { if (!queue.hasNext) fill(); queue.hasNext }
+    def next(): ZValue = { if (!hasNext) throw new NoSuchElementException; queue.next() }
+  }
+
+  /** Probe the head of the input: line-oriented iff the first non-blank,
+    * non-comment line is one-or-more complete values on its own.
+    */
+  private def probeLineOriented(spark: SparkSession, path: String): Boolean = {
+    try {
+      val head = spark.read.textFile(path).filter(
+        (l: String) => l.trim.nonEmpty && !l.trim.startsWith("//")).head(1)
+      head.isEmpty || (try { ZsonParser.parseAll(head(0)); true } catch { case _: Exception => false })
+    } catch { case _: Exception => true }
+  }
+
+  /** Whole-file typed decode, one task per file (for pretty-printed
+    * multi-line ZSON where values may span line splits).
+    */
+  private def perFileValues(spark: SparkSession, path: String): org.apache.spark.rdd.RDD[ZValue] = {
     import spark.implicits._
-    val lines = spark.read.textFile(path)
-      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("//"))
-    val json = lines.map(zsonLineToJson _)
-    spark.read.json(json)
+    spark.read.format("binaryFile")
+      .load(if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+      .select("content").as[Array[Byte]].rdd
+      .flatMap(bytes => ZsonParser.parseAll(new String(Gzip.maybeGunzip(bytes), "UTF-8")))
   }
 }

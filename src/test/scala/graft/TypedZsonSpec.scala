@@ -80,4 +80,43 @@ class TypedZsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZValue.zsonText(vs(2)) == "5400s")
     assert(ZType.fullText(ZValue.typeOf(vs(3))) == "port=uint16")
   }
+
+  test("FILE reads are distributed typed decode — same frame as the harness, no driver rows") {
+    val text =
+      """{a:1,u:1((int64,string))}
+        |{a:2,u:"two"((int64,string))}
+        |{a:3,u:error("boom")}
+        |{a:4,u:1076(port=uint16)}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-dist-zson").toFile
+    val f = new java.io.File(dir, "het.zson")
+    java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
+    val fromFile = ZsonIO.read(spark, f.getAbsolutePath)
+    val fromHarness = ZsonReader.fromText(spark, text)
+    // identical frame: schema, shape-tag metadata, and every row
+    assert(fromFile.schema.fields.map(x => (x.name, x.dataType)).toSeq ==
+      fromHarness.schema.fields.map(x => (x.name, x.dataType)).toSeq)
+    assert(fromFile.collect().map(_.toString).sorted.toSeq ==
+      fromHarness.collect().map(_.toString).sorted.toSeq)
+    // union/error/named fidelity survives the file path
+    val tags = fromFile.select(Het.typeTag).collect().map(_.getString(0)).toSet
+    assert(tags.exists(_.contains("(int64,string)")) && tags.exists(_.contains("error")))
+    // and the scan is an RDD scan (executor-side decode), NOT a
+    // LocalTableScan of driver-materialized rows
+    val plan = fromFile.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"))
+    // multi-line (pretty-printed) zson routes through whole-file decode
+    val pretty = new java.io.File(dir, "pretty.zson")
+    java.nio.file.Files.write(pretty.toPath,
+      "{\n    a: 1,\n    s: \"x\"\n}\n{\n    a: 2,\n    s: \"y\"\n}\n".getBytes("UTF-8"))
+    val pdf = ZsonIO.read(spark, pretty.getAbsolutePath)
+    assert(pdf.count() == 2 &&
+      pdf.select(sum(col("a"))).collect()(0).getLong(0) == 3L)
+    // zng file path: typed decode preserves the union exactly
+    val zngDir = new java.io.File(dir, "het_zng")
+    graft.sources.ZngIO.write(fromHarness.drop(Het.typeTag)
+      .select(col("a")), zngDir.getAbsolutePath)
+    val zback = graft.sources.ZngIO.read(spark, zngDir.getAbsolutePath)
+    assert(zback.select(sum(col("a"))).collect()(0).getLong(0) == 10L)
+    assert(!zback.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
 }

@@ -60,7 +60,8 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(2) == "héllo \"q\"")
     assert(rows(0).getDouble(3) == 2.5)
     assert(rows(0).getBoolean(5))
-    assert(rows(0).getString(6) == "0x0102ff") // bytes render as 0x-hex (ZSON form)
+    // typed read: bytes decode to a real binary column (not 0x-hex text)
+    assert(rows(0).getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 0xff.toByte))
     assert(rows(1).getLong(1) == -7L && rows(1).getString(2) == "")
   }
 
@@ -86,7 +87,10 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = tmp("zng-time")
     ZngIO.write(df, path)
     val back = ZngIO.read(spark, path).orderBy("o_orderkey")
-    val a = back.select(col("o_orderdate")).limit(1).collect()(0).getString(0)
+    // typed read: time decodes to a real timestamp column
+    val a = back.limit(1)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .collect()(0).getString(0)
     val b = df.orderBy("o_orderkey").limit(1)
       .select(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
       .collect()(0).getString(0)
