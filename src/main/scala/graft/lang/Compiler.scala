@@ -688,9 +688,20 @@ final class Compiler(spark: SparkSession, dir: String) {
         val df0 = single(state)
         val df =
           if (roots.isEmpty) df0
-          else df0.select((roots.filter(df0.columns.contains).map(n => col(s"`$n`")) ++
-            (if (df0.columns.contains(graft.operators.Het.typeTag))
-               Seq(col(graft.operators.Het.typeTag)) else Seq.empty)): _*)
+          else {
+            // each root addresses a (possibly nested) subtree; the leaf
+            // walk is rooted there and everything else is pruned
+            val rootCols = roots.zipWithIndex.flatMap { case (r, i) =>
+              val parts = r.split("\\.").toSeq
+              if (!df0.columns.contains(parts.head)) None
+              else if (parts.length == 1) Some(col(s"`$r`"))
+              else Some(parts.tail.foldLeft(col(s"`${parts.head}`"))(_.getField(_))
+                .as(s"__explode_root$i"))
+            }
+            df0.select((rootCols ++
+              (if (df0.columns.contains(graft.operators.Het.typeTag))
+                 Seq(col(graft.operators.Het.typeTag)) else Seq.empty)): _*)
+          }
         Seq(ZedOps.explodeByType(df, zedType, as))
 
       case Stage.Sample(subject) =>
@@ -699,15 +710,18 @@ final class Compiler(spark: SparkSession, dir: String) {
           case None => Seq(graft.operators.Het.sampleByType(df))
           case Some(e) =>
             // one representative VALUE per distinct type of e (sample.md)
+            // — the FIRST in stream order, pinned by a monotonic row id
+            // so multi-partition execution stays deterministic
             val c = expr(df, e)
             val tcol =
               if (isVariantExpr(df, e)) graft.operators.Het.variantTypeOf(c)
               else lit(Shaper.zedTypeOf(
                 try df.select(c).schema.head.dataType
                 catch { case _: Exception => StringType }))
-            Seq(df.filter(c.isNotNull)
+            Seq(df.withColumn("__sample_ord", monotonically_increasing_id())
+              .filter(c.isNotNull)
               .groupBy(tcol.as("__sample_t"))
-              .agg(first(c, ignoreNulls = true)
+              .agg(min_by(c, col("__sample_ord"))
                 .as("this", org.apache.spark.sql.types.Metadata.empty))
               .drop("__sample_t"))
         }
@@ -1084,7 +1098,26 @@ final class Compiler(spark: SparkSession, dir: String) {
       val value = when(valueful, c)
       a.fn match {
         case "count" => return count(guarded(c))
-        case "sum" => return sum(guarded(c.getField("n")))
+        case "sum" =>
+          // the coercion lattice (expr/coerce.go): an all-integer union
+          // sums to int64 (uint64 if all unsigned), floats to float64 —
+          // the result is a variant boxing the per-group result type
+          val gi = guarded(c)
+          val n = sum(gi.getField("n"))
+          val allInt = bool_and(when(gi.isNotNull,
+            gi.getField("t").rlike("^u?int")))
+          val allUint = bool_and(when(gi.isNotNull,
+            gi.getField("t").startsWith("uint")))
+          val tOut = when(allUint, lit("uint64"))
+            .otherwise(when(allInt, lit("int64")).otherwise(lit("float64")))
+          // integer sums carry exact text in z (render prefers z)
+          val zOut = when(allInt, n.cast(LongType).cast(StringType))
+            .otherwise(lit(null).cast(StringType))
+          return when(n.isNull, lit(null).cast(het.variantType)).otherwise(
+            struct(lit(0).as("k"), n.as("n"),
+              lit(null).cast(StringType).as("s"),
+              lit(null).cast(BooleanType).as("b"),
+              tOut.as("t"), zOut.as("z")))
         case "avg" => return avg(guarded(c.getField("n")))
         case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
         case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))

@@ -338,11 +338,14 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "explode" =>
         next()
         // `explode <fields> by <type> [as <field>]` (explode.md): the
-        // schema-driven leaf walk is ROOTED at the listed fields
+        // schema-driven leaf walk is ROOTED at the listed fields — a
+        // dotted field (a.b) is ONE root at that nested path
         val roots = Vector.newBuilder[String]
         while (!atId("by") && peek.kind != EOF) {
-          val tk = next()
-          if (tk.kind == ID && tk.text != "this") roots += tk.text
+          if (peek.kind == ID) {
+            val n = parseDottedName()
+            if (n != "this") roots += n
+          } else next(): Unit // commas between roots
         }
         expect("by")
         val t = next().text
@@ -366,10 +369,18 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** Is the cursor at `name(.name)* :=` (a dotted assignment)? */
   private def assignAhead: Boolean = {
     if (peek.kind != ID) return false
-    // `this["name"]:=` / `this[constref]:=` — index-named target
-    if (peek.text == "this" && peekAt(1).text == "[" &&
-        (peekAt(2).kind == Lexer.STR || peekAt(2).kind == ID) &&
-        peekAt(3).text == "]" && peekAt(4).text == ":=") return true
+    // `this[<name>]:=` — index-named target; scan to the matching `]`
+    // so a computed index reaches parseAssignTarget's clear error
+    // instead of a generic parse failure
+    if (peek.text == "this" && peekAt(1).text == "[") {
+      var k = 2; var depth = 1
+      while (depth > 0 && peekAt(k).kind != EOF) {
+        if (peekAt(k).text == "[") depth += 1
+        else if (peekAt(k).text == "]") depth -= 1
+        k += 1
+      }
+      return depth == 0 && peekAt(k).text == ":="
+    }
     var k = 1
     while (peekAt(k).text == "." && peekAt(k + 1).kind == ID) k += 2
     peekAt(k).text == ":="
@@ -385,7 +396,8 @@ final class Parser(tokens: Vector[Token], source: String) {
       val n = (if (peek.kind == Lexer.STR) Expr.StringLit(next().text)
                else consts.getOrElse(next().text, Expr.NullLit)) match {
         case Expr.StringLit(s) => s
-        case _ => fail("index assignment target needs a literal name")
+        case _ => fail("this[<expr>] := with a computed field name is not " +
+          "supported — use a string literal or a const that names one")
       }
       expect("]")
       n

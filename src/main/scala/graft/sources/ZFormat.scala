@@ -655,10 +655,15 @@ object ZFormat {
     */
   private def jsonMapKey(k: ZValue): String = unwrap(k) match {
     case VStr(s) =>
-      // a string key that READS as another zson value is zson-quoted to
-      // disambiguate ("0" vs 0 — jsonio writer.go mapKey)
-      val ambiguous = s.isEmpty || s == "null" || s == "true" || s == "false" ||
-        s.matches("""[+-]?\d+(\.\d*)?([eE][+-]?\d+)?""")
+      // a string key that READS as any other zson value (number, bool,
+      // ip, time, bytes, …) is zson-quoted to disambiguate ("0" vs 0,
+      // "1.2.3.4" vs the ip — jsonio writer.go mapKey)
+      val ambiguous = s.isEmpty || {
+        try {
+          val vs = ZsonParser.parseAll(s)
+          vs.length == 1 && !ZValue.unwrap(vs.head).isInstanceOf[VStr]
+        } catch { case _: Exception => false }
+      }
       if (ambiguous) "\"" + s + "\"" else s
     case VNull(_) => "null"
     case VEnum(s) => s
