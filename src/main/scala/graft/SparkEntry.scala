@@ -509,12 +509,44 @@ object SparkEntry {
     // multimodal plumbing: binary media column → frame-sampled features
     // (decode step is a documented stub; plumbing is real — see
     // pipeline/MultimodalOps)
-    ("q_media_features", (s, dir) =>
+    // REAL payload decode (JDK-only): even doc_ids carry a solid-gray
+    // JPEG (pixel-decoded via javax.imageio — a solid color survives
+    // quantization exactly), odd ids a PCM16 WAV whose samples derive
+    // from doc_id — so the oracle predicts pixel/sample sums exactly
+    ("q_media_features", (s, dir) => {
+      val mkJpeg = udf((id: Long) => MultimodalOps.makeSolidJpeg(
+        (id % 16 + 8).toInt, (id % 12 + 8).toInt, ((id * 7) % 256).toInt))
+      val mkWav = udf((id: Long) => {
+        val n = (64 + id % 64).toInt
+        MultimodalOps.makePcmWav(8000,
+          Array.tabulate(n)(i => (((id * 31 + i.toLong * 7) % 4096) - 2048).toShort))
+      })
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, mkJpeg(col("doc_id")))
+          .otherwise(mkWav(col("doc_id"))).as("media"))
       ZedOps.sort(
-        MultimodalOps.mediaFeatures(t(s, dir, "documents"), "doc_id", "text", "text")
-          .select(col("id"), col("kind"), col("n_bytes"), col("n_frames")),
-        col("id") -> true),
-      None),
+        MultimodalOps.mediaContent(docs, "doc_id", "media")
+          .select(col("id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("n_units"), col("sum_val"), col("peak")),
+        col("doc_id") -> true)
+    },
+      Some("""SELECT doc_id, 'jpeg' AS format,
+             |  CAST(doc_id % 16 + 8 AS INT) AS width,
+             |  CAST(doc_id % 12 + 8 AS INT) AS height,
+             |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 8) AS BIGINT) AS n_units,
+             |  CAST(3 * ((doc_id * 7) % 256) * (doc_id % 16 + 8) * (doc_id % 12 + 8) AS BIGINT) AS sum_val,
+             |  CAST((doc_id * 7) % 256 AS BIGINT) AS peak
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT d.doc_id, 'wav', 0, 0,
+             |  CAST(64 + d.doc_id % 64 AS BIGINT),
+             |  CAST(sum(((d.doc_id * 31 + s.i * 7) % 4096) - 2048) AS BIGINT),
+             |  CAST(max(abs(((d.doc_id * 31 + s.i * 7) % 4096) - 2048)) AS BIGINT)
+             |FROM documents d, generate_series(0, 127) s(i)
+             |WHERE d.doc_id % 2 = 1 AND s.i < 64 + d.doc_id % 64
+             |GROUP BY d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
 
     // real container-header decode (JPEG SOF dimensions, WAV fmt chunk):
     // media binaries are built deterministically from table columns, so

@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample run per partition over the binary payloads.
   *
-  * The container has no codec libraries, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (byte-statistics features standing in for a real
-  * JPEG/audio decoder) — everything around it is real and tested: the
-  * schema convention, the typed Dataset boundary, partition-parallel
-  * execution via mapPartitions, and the batch shape a vectorized decoder
-  * would consume. Swapping in a real decoder changes only the body of
-  * `decodeFrame`.
+  * The decode step is REAL and JDK-only: JPEG payloads fully pixel-decode
+  * through javax.imageio, WAV payloads decode their PCM16 samples via the
+  * RIFF chunk walk — no external codec library. Formats the JDK can't
+  * decode fall back to deterministic byte-statistics features, keeping
+  * the pipeline total. The schema convention, typed Dataset boundary,
+  * partition-parallel mapPartitions execution, and batch shape are the
+  * same ones a GPU-batched decoder would consume.
   */
 object MultimodalOps {
 
@@ -124,6 +124,148 @@ object MultimodalOps {
     out.array()
   }
 
+  /** Real mono PCM16 WAV with the given sample payload. */
+  def makePcmWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Real JPEG (JDK ImageIO encoder) filled with one gray level — the
+    * deterministic fixture for the decode pipeline (a solid color
+    * survives JPEG quantization exactly, so oracles can pin pixel means).
+    */
+  def makeSolidJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  // ---- real payload decode (JDK-only: javax.imageio + RIFF/PCM) ------------
+
+  /** Decoded media content: pixel/sample accounting plus summary stats.
+    * For images n_units = pixels, sum_val = Σ(r+g+b), mean_val over all
+    * channel samples, peak = max channel value; for audio n_units =
+    * samples, sum_val = Σ amplitude, peak = max |amplitude|.
+    */
+  case class MediaContent(
+      id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_units: Long,
+      sum_val: Long,
+      mean_val: Double,
+      peak: Long,
+      features: Array[Float])
+
+  /** Full JPEG pixel decode via the JDK's ImageIO — no codec library. */
+  private[pipeline] def decodeJpeg(id: Long, b: Array[Byte], dim: Int): Option[MediaContent] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var peak = 0L
+        val hist = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+            sum += r + g + bl
+            if (r > peak) peak = r; if (g > peak) peak = g; if (bl > peak) peak = bl
+            hist(((r + g + bl) / 3) * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var d = 0
+        while (d < dim) { hist(d) /= math.max(1L, n); d += 1 }
+        Some(MediaContent(id, "jpeg", w, h, n, sum, sum.toDouble / (3.0 * n), peak, hist))
+      }
+    } catch { case _: Exception => None }
+
+  /** PCM16 sample decode from the WAV data chunk (any channel count). */
+  private[pipeline] def decodeWavPcm(id: Long, b: Array[Byte], dim: Int): Option[MediaContent] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var bits = 0; var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val cid = tag(i); val size = le32(i + 4)
+      if (cid == "fmt ") bits = le16(i + 22)
+      else if (cid == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    if (bits != 16 || dataOff < 0) return None
+    val n = math.min(dataLen, b.length - dataOff) / 2
+    var sum = 0L; var peak = 0L
+    val hist = new Array[Float](dim)
+    var k = 0
+    while (k < n) {
+      val s = le16(dataOff + 2 * k).toShort.toInt
+      sum += s
+      val a = math.abs(s); if (a > peak) peak = a
+      hist(math.min(dim - 1, a * dim / 32768)) += 1f
+      k += 1
+    }
+    var d = 0
+    while (d < dim) { hist(d) /= math.max(1, n); d += 1 }
+    Some(MediaContent(id, "wav", 0, 0, n.toLong, sum,
+      if (n == 0) 0.0 else sum.toDouble / n, peak, hist))
+  }
+
+  /** Decode one payload by sniffed format; byte-statistics fallback keeps
+    * the pipeline total for formats the JDK can't decode.
+    */
+  def decodeContent(id: Long, b: Array[Byte], dim: Int = 16): MediaContent = {
+    val h = parseHeader(b)
+    (h.format match {
+      case "jpeg" => decodeJpeg(id, b, dim)
+      case "wav" => decodeWavPcm(id, b, dim)
+      case _ => None
+    }).getOrElse {
+      var sum = 0L; var peak = 0L
+      b.foreach { x => val v = x & 0xff; sum += v; if (v > peak) peak = v }
+      MediaContent(id, h.format, h.width, h.height, b.length.toLong, sum,
+        if (b.isEmpty) 0.0 else sum.toDouble / b.length, peak,
+        decodeFrame(b, dim))
+    }
+  }
+
+  /** Partition-parallel full-payload decode over a binary column — the
+    * metadata+content pass of a media pipeline (no shuffle; at 100 TB
+    * each partition decodes where it sits).
+    */
+  def mediaContent(df: DataFrame, idCol: String, mediaCol: String, dim: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, media) =>
+        decodeContent(id, if (media == null) Array.empty[Byte] else media, dim)
+      })
+      .toDF()
+  }
+
   /** Media header extraction over a binary column — partition-parallel,
     * no shuffle (the header parse touches only the leading bytes; at
     * 100 TB this is the metadata pass before any GPU decode).
@@ -144,10 +286,9 @@ object MultimodalOps {
         col("h._8").as("duration_ms"))
   }
 
-  /** STUB decoder: a real implementation would decode the frame bytes
-    * (JPEG/PCM/…) and emit model features; this deterministic stand-in
-    * emits scaled byte-histogram moments so tests can pin exact values.
-    * Container HEADERS (dimensions, sample rate) parse for real above.
+  /** Byte-statistics fallback features for formats without a JDK decoder
+    * (deterministic, so tests can pin exact values). JPEG/WAV payloads
+    * take the REAL decode path in decodeContent above.
     */
   private def decodeFrame(frame: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -180,6 +321,8 @@ object MultimodalOps {
   /** Partition-parallel decode + feature extraction. No shuffle: each
     * partition's binaries are decoded where they sit; at 100 TB this is
     * the same shape as a GPU-batched decoder behind an arrow batch.
+    * JPEG/WAV payloads get the REAL whole-payload decode (one logical
+    * frame); other formats sample byte-range frames with the fallback.
     */
   def extractFeatures(
       ds: Dataset[MediaRow],
@@ -189,14 +332,21 @@ object MultimodalOps {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { row =>
-        val fs = sampleFrames(row.media, frames)
-        val feats = new Array[Float](dim)
-        fs.foreach { fr =>
-          val f = decodeFrame(fr, dim)
-          var d = 0
-          while (d < dim) { feats(d) += f(d) / math.max(1, fs.length); d += 1 }
+        val media = if (row.media == null) Array.empty[Byte] else row.media
+        parseHeader(media).format match {
+          case "jpeg" | "wav" =>
+            val c = decodeContent(row.id, media, dim)
+            MediaFeatures(row.id, row.kind, media.length, 1, c.features)
+          case _ =>
+            val fs = sampleFrames(media, frames)
+            val feats = new Array[Float](dim)
+            fs.foreach { fr =>
+              val f = decodeFrame(fr, dim)
+              var d = 0
+              while (d < dim) { feats(d) += f(d) / math.max(1, fs.length); d += 1 }
+            }
+            MediaFeatures(row.id, row.kind, media.length, fs.length, feats)
         }
-        MediaFeatures(row.id, row.kind, row.media.length, fs.length, feats)
       }
     }
   }

@@ -136,6 +136,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("real media decode: JPEG pixels via ImageIO, WAV PCM samples") {
+    // solid gray survives JPEG quantization exactly — the decoded mean
+    // IS the fill value and the sum is 3*g*w*h
+    val jb = MultimodalOps.makeSolidJpeg(20, 10, 77)
+    val jc = MultimodalOps.decodeContent(1L, jb)
+    assert(jc.format == "jpeg" && jc.width == 20 && jc.height == 10)
+    assert(jc.n_units == 200L && jc.sum_val == 3L * 77 * 200 && jc.peak == 77L)
+    assert(jc.mean_val == 77.0)
+    // PCM16 samples decode losslessly
+    val samples = Array.tabulate(50)(i => ((i * 131) % 4096 - 2048).toShort)
+    val wb = MultimodalOps.makePcmWav(8000, samples)
+    val wc = MultimodalOps.decodeContent(2L, wb)
+    assert(wc.format == "wav" && wc.n_units == 50L)
+    assert(wc.sum_val == samples.map(_.toLong).sum)
+    assert(wc.peak == samples.map(s => math.abs(s.toInt)).max.toLong)
+    // distributed over a frame: one decode per row, partition-parallel
+    val df = Seq((1L, jb), (2L, wb)).toDF("id", "media")
+    val out = MultimodalOps.mediaContent(df, "id", "media").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("format")).toMap
+    assert(out == Map(1L -> "jpeg", 2L -> "wav"))
+  }
+
   test("quality facets behave directionally on fixtures") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was a good day for everyone involved here"),
