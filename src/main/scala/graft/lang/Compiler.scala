@@ -354,6 +354,27 @@ final class Compiler(spark: SparkSession, dir: String) {
           // the over epilogue doesn't drop a user-grouped column
           n -> c.as(n, org.apache.spark.sql.types.Metadata.empty)
         }
+        // zed types the relational columns can't express ride as field
+        // metadata on the agg output: typeof keys are TYPE-valued, count
+        // family aggs are uint64 (writer fidelity — zjson/zson decorators)
+        val zedTypeMd: Map[String, org.apache.spark.sql.types.Metadata] = (
+          keys.collect { case (n, Expr.Call("typeof" | "typeunder", _)) =>
+            n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "type").build()
+          } ++
+          aggs.collect { case (n, a) if Set("count", "dcount", "count_distinct")(a.fn) =>
+            n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "uint64").build()
+          }).toMap
+        def markZedTypes(d: DataFrame): DataFrame =
+          if (zedTypeMd.isEmpty) d
+          else d.select(d.schema.fields.toIndexedSeq.map { f =>
+            zedTypeMd.get(f.name) match {
+              case Some(md) if f.metadata == org.apache.spark.sql.types.Metadata.empty =>
+                col(s"`${f.name}`").as(f.name, md)
+              case _ => col(s"`${f.name}`")
+            }
+          }: _*)
         // grouping by `this` on a typed stream keys on the VALUE AND its
         // type — the tag rides along so per-row shape survives the agg
         // (count-by-this ztest: {y:5} and {x:1,s:"foo"} are different keys)
@@ -376,7 +397,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         else if (bareAgg && !lateral) {
           // a lone unnamed aggregate emits the bare value (summarize.md:
           // `count()` → 3, not {count:3})
-          Seq(df.agg(aggColumn(df, aggs.head._2).as("this")))
+          Seq(df.agg(aggColumn(df, aggs.head._2).as("this",
+            zedTypeMd.getOrElse(aggs.head._1, org.apache.spark.sql.types.Metadata.empty))))
         } else if (bareAgg && lateral && scopeVars.isEmpty) {
           // …and per outer row inside a lateral body; the row id SURVIVES
           // (marked) so later body stages stay per-outer-row
@@ -412,7 +434,7 @@ final class Compiler(spark: SparkSession, dir: String) {
                 else col(s"`${f.name}`")
               }: _*)
             else out
-          Seq(nestIfDotted(if (lateral) {
+          Seq(nestIfDotted(markZedTypes(if (lateral) {
             // re-mark the scope vars and the surviving row id (metadata
             // does not survive groupBy)
             restored.select(restored.schema.fields.toIndexedSeq.map { f =>
@@ -420,7 +442,7 @@ final class Compiler(spark: SparkSession, dir: String) {
                 col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
             }: _*)
-          } else restored))
+          } else restored)))
         }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>

@@ -56,8 +56,9 @@ object ZjsonIO extends Serializable {
     case other => s"""{"kind":"primitive","name":"${primName(other)}"}"""
   }
 
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private[sources] def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
 
   // ---- value encoding (Catalyst expressions) ---------------------------------
 
@@ -118,68 +119,279 @@ object ZjsonIO extends Serializable {
   }
 
   def write(df: DataFrame, path: String): Unit =
-    toZjson(df).write.mode("overwrite").text(path)
+    if (df.columns.contains(graft.operators.Het.typeTag))
+      typedStream(df).write.mode("overwrite").text(path)
+    else toZjson(df).write.mode("overwrite").text(path)
+
+  // ---- typed writer (zio/zjsonio/writer.go) ----------------------------------
+
+  /** Per-stream type encoder: complex types get ids from 30 in
+    * first-encounter order with children before parents (mirroring the
+    * reference writer's zed.Context creation order, writer.go:61-90 +
+    * types.go newType); later encounters emit {"kind":"ref","id":N}.
+    */
+  final class TypeEncoder extends Serializable {
+    private val ids = scala.collection.mutable.Map.empty[String, Int]
+    private var next = 30
+
+    private def q(s: String): String = ZjsonIO.quote(s)
+
+    def encode(t: ZType): String = t match {
+      case ZType.Prim(p) => s"""{"kind":"primitive","name":"$p"}"""
+      case other =>
+        val key = ZType.fullText(other)
+        ids.get(key) match {
+          case Some(id) => s"""{"kind":"ref","id":$id}"""
+          case None =>
+            val body = other match {
+              case ZType.Rec(fs) =>
+                val enc = fs.map { case (n, ft) => s"""{"name":${q(n)},"type":${encode(ft)}}""" }
+                val id = alloc(key)
+                s"""{"kind":"record","id":$id,"fields":[${enc.mkString(",")}]}"""
+              case ZType.Arr(e) =>
+                val inner = encode(e); val id = alloc(key)
+                s"""{"kind":"array","id":$id,"type":$inner}"""
+              case ZType.SetT(e) =>
+                val inner = encode(e); val id = alloc(key)
+                s"""{"kind":"set","id":$id,"type":$inner}"""
+              case ZType.MapT(k, v) =>
+                val ek = encode(k); val ev = encode(v); val id = alloc(key)
+                s"""{"kind":"map","id":$id,"key_type":$ek,"val_type":$ev}"""
+              case ZType.Union(alts) =>
+                val sorted = alts.sortWith((a, b) => ZValue.compareZTypes(a, b) < 0)
+                val enc = sorted.map(encode)
+                val id = alloc(key)
+                s"""{"kind":"union","id":$id,"types":[${enc.mkString(",")}]}"""
+              case ZType.EnumT(symbols) =>
+                val id = alloc(key)
+                s"""{"kind":"enum","id":$id,"symbols":[${symbols.map(q).mkString(",")}]}"""
+              case ZType.ErrT(inner) =>
+                val ei = encode(inner); val id = alloc(key)
+                s"""{"kind":"error","id":$id,"type":$ei}"""
+              case ZType.Named(name, inner) =>
+                val ei = encode(inner); val id = alloc(key)
+                s"""{"kind":"named","id":$id,"name":${q(name)},"type":$ei}"""
+              case ZType.Prim(_) => "" // unreachable
+            }
+            body
+        }
+    }
+
+    private def alloc(key: String): Int = {
+      val id = next; next += 1; ids(key) = id; id
+    }
+  }
+
+  /** One value's zjson VALUE encoding, driven by its type (writer.go
+    * encodeValue): records/arrays/maps as nested arrays, unions as
+    * [tag, value] with the tag indexing the sorted member list,
+    * enums as symbol indexes, primitives as zson-formed strings, and
+    * type values as embedded type trees.
+    */
+  private def valueJson(v0: ZValue, t0: ZType, enc: TypeEncoder): String = {
+    import ZValue._
+    val v = unwrap(v0)
+    v match {
+      case VNull(_) => return "null"
+      case _ =>
+    }
+    ZType.strip(t0) match {
+      case ZType.Rec(tfs) => v match {
+        case VRec(fs) =>
+          tfs.map { case (n, ft) =>
+            fs.find(_._1 == n) match {
+              case Some((_, fv)) => valueJson(fv, ft, enc)
+              case None => "null"
+            }
+          }.mkString("[", ",", "]")
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.Arr(et) => v match {
+        case VArr(items, _) => items.map(valueJson(_, et, enc)).mkString("[", ",", "]")
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.SetT(et) => v match {
+        case VArr(items, _) => items.map(valueJson(_, et, enc)).mkString("[", ",", "]")
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.MapT(kt, vt) => v match {
+        case VMap(es) => es.map { case (k, x) =>
+          s"[${valueJson(k, kt, enc)},${valueJson(x, vt, enc)}]"
+        }.mkString("[", ",", "]")
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.Union(alts) =>
+        val sorted = alts.sortWith((a, b) => ZValue.compareZTypes(a, b) < 0)
+        val vt = typeOf(v)
+        val sel = sorted.indexWhere(a => ZValue.compareZTypes(a, vt) == 0)
+        val (idx, mt) = if (sel >= 0) (sel, sorted(sel)) else (0, sorted.head)
+        s"""["$idx",${valueJson(v, mt, enc)}]"""
+      case ZType.EnumT(symbols) => v match {
+        case VEnum(s) =>
+          val idx = symbols.indexOf(s)
+          "\"" + (if (idx >= 0) idx else 0).toString + "\""
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.ErrT(inner) => v match {
+        case VErr(p) => valueJson(p, inner, enc)
+        case other => valueJson(other, inner, enc)
+      }
+      case ZType.Prim("type") => v match {
+        case VTypeVal(text) =>
+          try enc.encode(ZsonParser.parseType(text))
+          catch { case _: Exception => quote(text) }
+        case other => quote(ZValue.zsonText(other))
+      }
+      case ZType.Prim("string") => v match {
+        case VStr(s) => quote(s)
+        case other => quote(ZValue.zsonText(other))
+      }
+      case _ => v match {
+        case VEnum(s) => quote(s) // enum value typed loosely
+        case other => quote(ZValue.zsonText(other))
+      }
+    }
+  }
+
+  /** One zjson line for a typed value within a stream's encoder. */
+  def lineOf(v: ZValue, enc: TypeEncoder): String = {
+    val t = ZValue.typeOf(v)
+    // encode the type BEFORE the value so embedded type values allocate
+    // later ids (writer.go:78-80 keeps this order)
+    val tJson = enc.encode(t)
+    val vJson = valueJson(v, t, enc)
+    s"""{"type":$tJson,"value":$vJson}"""
+  }
+
+  /** Typed zjson output: one self-describing stream per partition (ids
+    * restart per file, each file is a legal stream) — distributed.
+    */
+  def typedStream(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val fn = ZFormat.rowValueFn(df.schema)
+    df.mapPartitions { it =>
+      val enc = new TypeEncoder
+      it.map(r => lineOf(fn(r), enc))
+    }
+  }
+
+  /** Single-stream typed zjson lines (driver-side; golden harness/CLI). */
+  def typedLines(df: DataFrame): Seq[String] = {
+    val fn = ZFormat.rowValueFn(df.schema)
+    val enc = new TypeEncoder
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = df.toLocalIterator()
+    while (it.hasNext) out += lineOf(fn(it.next()), enc)
+    out.toSeq
+  }
 
   // ---- reader ----------------------------------------------------------------
 
+  private type TypeMap = scala.collection.Map[Int, JsonNode]
+
+  /** Resolve a (possibly ref) type node against the stream's id table. */
+  private def deref(t: JsonNode, types: TypeMap): JsonNode =
+    if (t.get("kind").asText() == "ref") types(t.get("id").asInt()) else t
+
+  /** zson primitive types whose bare text does not imply them — values
+    * need a decorator on re-emission to keep exact widths.
+    */
+  private val nonImplied = Set(
+    "int8", "int16", "int32", "uint8", "uint16", "uint32", "uint64",
+    "float16", "float32", "decimal")
+
+  /** Union members in zed's canonical order (LookupTypeUnion sorts by
+    * CompareTypes, context.go:200-203); zjson selectors index THAT order,
+    * not the declared order of a hand-written type tree.
+    */
+  private def sortedMembers(t: JsonNode, types: TypeMap): Seq[JsonNode] = {
+    val ts = t.get("types")
+    (0 until ts.size()).map(i => deref(ts.get(i), types))
+      .sortWith { (a, b) =>
+        val za = ZsonParser.parseType(typeText(a, types))
+        val zb = ZsonParser.parseType(typeText(b, types))
+        ZValue.compareZTypes(za, zb) < 0
+      }
+  }
+
   /** Convert one decoded (typeNode, valueNode) pair to ZSON text. */
-  private def toZson(t: JsonNode, v: JsonNode): String = {
-    if (v == null || v.isNull) return "null"
+  private def toZson(t0: JsonNode, v: JsonNode, types: TypeMap): String = {
+    val t = deref(t0, types)
+    if (v == null || v.isNull) {
+      // typed nulls keep their type via a decorator when not implied
+      val kind = t.get("kind").asText()
+      return kind match {
+        case "primitive" if nonImplied(t.get("name").asText()) =>
+          s"null(${t.get("name").asText()})"
+        case "named" => s"null(${typeText(t, types)})"
+        case _ => "null"
+      }
+    }
     t.get("kind").asText() match {
       case "record" =>
         val fields = t.get("fields")
         val parts = (0 until fields.size()).map { i =>
           val f = fields.get(i)
-          s"${f.get("name").asText()}:${toZson(f.get("type"), v.get(i))}"
+          s"${f.get("name").asText()}:${toZson(f.get("type"), v.get(i), types)}"
         }
         parts.mkString("{", ",", "}")
       case "array" | "set" =>
-        (0 until v.size()).map(i => toZson(t.get("type"), v.get(i)))
+        (0 until v.size()).map(i => toZson(t.get("type"), v.get(i), types))
           .mkString("[", ",", "]")
       case "map" =>
         (0 until v.size()).map { i =>
           val kv = v.get(i)
-          s"${toZson(t.get("key_type"), kv.get(0))}:${toZson(t.get("val_type"), kv.get(1))}"
+          s"${toZson(t.get("key_type"), kv.get(0), types)}:${toZson(t.get("val_type"), kv.get(1), types)}"
         }.mkString("|{", ",", "}|")
       case "primitive" =>
         val s = v.asText()
         t.get("name").asText() match {
           case "string" => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-          case _ => s // numbers, bools, times are already ZSON-formed
+          case p if nonImplied(p) => s"$s($p)" // keep exact width
+          case _ => s // int64/float64, bools, times are already ZSON-formed
         }
       case "union" =>
-        // value is ["<member index>", <member value>] (zjson.md unions)
+        // value is ["<member index>", <member value>] (zjson.md unions);
+        // the index is into the SORTED member list
         val sel = v.get(0).asText().toInt
-        val member = t.get("types").get(sel)
-        s"${toZson(member, v.get(1))}(${typeText(t)})"
-      case "named" => toZson(t.get("type"), v)
-      case "error" => s"error(${toZson(t.get("type"), v)})"
-      case "enum" => "%" + v.asText()
+        val member = sortedMembers(t, types)(sel)
+        s"${toZson(member, v.get(1), types)}(${typeText(t, types)})"
+      case "named" =>
+        s"${toZson(t.get("type"), v, types)}(${typeText(t, types)})"
+      case "error" => s"error(${toZson(t.get("type"), v, types)})"
+      case "enum" =>
+        // the value is the symbol INDEX in zson primitive form
+        val ss = t.get("symbols")
+        val idx = try v.asText().toInt catch { case _: Exception => -1 }
+        if (idx >= 0 && idx < ss.size()) "%" + ss.get(idx).asText()
+        else "%" + v.asText()
       case other => throw new IllegalArgumentException(s"zjson: kind $other")
     }
   }
 
   /** zed type text of a zjson type node (for union decorators). */
-  private def typeText(t: JsonNode): String = t.get("kind").asText() match {
-    case "primitive" => t.get("name").asText()
-    case "record" =>
-      val fs = t.get("fields")
-      (0 until fs.size()).map { i =>
-        val f = fs.get(i)
-        s"${f.get("name").asText()}:${typeText(f.get("type"))}"
-      }.mkString("{", ",", "}")
-    case "array" => s"[${typeText(t.get("type"))}]"
-    case "set" => s"|[${typeText(t.get("type"))}]|"
-    case "map" => s"|{${typeText(t.get("key_type"))}:${typeText(t.get("val_type"))}}|"
-    case "union" =>
-      val ts = t.get("types")
-      (0 until ts.size()).map(i => typeText(ts.get(i))).mkString("(", ",", ")")
-    case "named" => s"${t.get("name").asText()}=${typeText(t.get("type"))}"
-    case "error" => s"error(${typeText(t.get("type"))})"
-    case "enum" =>
-      val ss = t.get("symbols")
-      (0 until ss.size()).map(i => ss.get(i).asText()).mkString("enum(", ",", ")")
-    case _ => "string"
+  private def typeText(t0: JsonNode, types: TypeMap): String = {
+    val t = deref(t0, types)
+    t.get("kind").asText() match {
+      case "primitive" => t.get("name").asText()
+      case "record" =>
+        val fs = t.get("fields")
+        (0 until fs.size()).map { i =>
+          val f = fs.get(i)
+          s"${f.get("name").asText()}:${typeText(f.get("type"), types)}"
+        }.mkString("{", ",", "}")
+      case "array" => s"[${typeText(t.get("type"), types)}]"
+      case "set" => s"|[${typeText(t.get("type"), types)}]|"
+      case "map" => s"|{${typeText(t.get("key_type"), types)}:${typeText(t.get("val_type"), types)}}|"
+      case "union" =>
+        sortedMembers(t, types).map(m => typeText(m, types)).mkString("(", ",", ")")
+      case "named" => s"${t.get("name").asText()}=${typeText(t.get("type"), types)}"
+      case "error" => s"error(${typeText(t.get("type"), types)})"
+      case "enum" =>
+        val ss = t.get("symbols")
+        (0 until ss.size()).map(i => ss.get(i).asText()).mkString("enum(", ",", ")")
+      case _ => "string"
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -189,6 +401,7 @@ object ZjsonIO extends Serializable {
       val mapper = new ObjectMapper()
       val typesById = scala.collection.mutable.Map.empty[Int, JsonNode]
       def register(t: JsonNode): Unit = {
+        if (t.get("kind").asText() == "ref") return // refs don't (re)define ids
         if (t.has("id")) typesById(t.get("id").asInt()) = t
         if (t.has("fields")) {
           val fs = t.get("fields")
@@ -207,7 +420,7 @@ object ZjsonIO extends Serializable {
         var t = node.get("type")
         if (t.get("kind").asText() == "ref") t = typesById(t.get("id").asInt())
         else register(t)
-        toZson(t, node.get("value"))
+        toZson(t, node.get("value"), typesById)
       }
     }
     // typed decode (unions → variants, shape tags), fully distributed:

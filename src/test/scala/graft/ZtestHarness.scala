@@ -131,6 +131,7 @@ object ZtestHarness {
     val f = c.outputFlags
     if (f.contains("-f csv")) graft.sources.ZFormat.csvLines(res)
     else if (f.contains("-f zeek")) graft.sources.ZFormat.zeekLines(res)
+    else if (f.contains("-f zjson")) graft.sources.ZjsonIO.typedLines(res)
     else if (f.contains("-f json")) graft.sources.ZFormat.jsonLines(res)
     else if (f.contains("-f table")) graft.sources.Formats.tableLines(res).collect().toSeq
     else if (f.contains("-f text")) graft.sources.Formats.textLines(res).collect().toSeq
@@ -450,7 +451,7 @@ object ZtestHarness {
         .filterNot(l => l.startsWith("#open") || l.startsWith("#close"))
         .filterNot(_.isEmpty)
       clean(c.output.linesIterator.toSeq) == clean(got)
-    } else if (f.contains("-f json")) {
+    } else if (f.contains("-f json") || f.contains("-f zjson")) {
       // parse as a STREAM of json values (pretty output spans lines)
       def canon(ls: Seq[String]): Option[Seq[String]] =
         try {
