@@ -699,7 +699,7 @@ object SparkEntry {
           u.getField("host").as("host"),
           u.getField("port").as("port"),
           u.getField("path").as("path"),
-          u.getField("query").getItem("status").as("status"),
+          element_at(u.getField("query").getItem("status"), 1).as("status"),
           u.getField("fragment").as("fragment")),
         col("o_orderkey") -> true)
     },

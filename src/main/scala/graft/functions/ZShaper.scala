@@ -419,7 +419,7 @@ object ZShaper {
       }
       case VStr(s) => p match {
         case "ip" => VIp(s)
-        case "net" => VNet(s)
+        case "net" => ZValue.netOf(s)
         case "type" => VTypeVal(s)
         case _ => VStr(s)
       }
@@ -521,7 +521,7 @@ object ZShaper {
         case VStr(s) =>
           val i = s.lastIndexOf('/')
           if (i > 0 && graft.functions.ZedFunctions.isIpText(s.substring(0, i)) &&
-              s.substring(i + 1).forall(_.isDigit)) VNet(s)
+              s.substring(i + 1).forall(_.isDigit)) ZValue.netOf(s)
           else fail
         case _ => fail
       }

@@ -126,19 +126,121 @@ object ZedFunctions {
 
   // ---- parsing (reference function/parse.go, function/grok.go) -------------
 
-  /** zed `parse_uri(s)` → record {scheme, host, port, path, query, fragment}
-    * (query as a string→string map). NULL port when absent.
+  /** Result of the Go-semantics URL parse: every component optional,
+    * query a key→values multimap in first-appearance order.
+    */
+  final case class GoUrl(scheme: Option[String], opaque: Option[String],
+                         user: Option[String], password: Option[String],
+                         host: Option[String], port: Option[String],
+                         path: Option[String],
+                         query: Vector[(String, Vector[String])],
+                         fragment: Option[String])
+
+  /** net/url.Parse semantics (the subset parse_uri exercises): scheme
+    * validation with Go's error text, authority with userinfo/host/port,
+    * opaque form, query multimap, fragment. Left = Go's error message.
+    */
+  def goUrlParse(raw: String): Either[String, GoUrl] = {
+    def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+    // fragment splits first (url.Parse → parse(u, false) after Cut on '#')
+    val hashIdx = raw.indexOf('#')
+    val (noFrag, fragment) =
+      if (hashIdx < 0) (raw, None) else (raw.substring(0, hashIdx), opt(raw.substring(hashIdx + 1)))
+    // getScheme (net/url/url.go): letters then alnum+.-, terminated by ':'
+    var scheme: Option[String] = None
+    var rest = noFrag
+    var i = 0
+    var done = false
+    while (!done && i < noFrag.length) {
+      val c = noFrag.charAt(i)
+      if (c.isLetter) i += 1
+      else if ((c.isDigit || c == '+' || c == '-' || c == '.') && i > 0) i += 1
+      else if (c == ':') {
+        if (i == 0) return Left(s"""parse "$raw": missing protocol scheme""")
+        scheme = Some(noFrag.substring(0, i).toLowerCase)
+        rest = noFrag.substring(i + 1)
+        done = true
+      } else done = true
+    }
+    // query splits at the FIRST '?' (strings.Cut)
+    val qIdx = rest.indexOf('?')
+    val (restNoQ, rawQuery) =
+      if (qIdx < 0) (rest, "") else (rest.substring(0, qIdx), rest.substring(qIdx + 1))
+    var opaque: Option[String] = None
+    var user: Option[String] = None
+    var password: Option[String] = None
+    var host: Option[String] = None
+    var port: Option[String] = None
+    var path: Option[String] = None
+    if (restNoQ.startsWith("//")) {
+      val afterSlashes = restNoQ.substring(2)
+      val slash = afterSlashes.indexOf('/')
+      val (auth, p) =
+        if (slash < 0) (afterSlashes, "") else (afterSlashes.substring(0, slash), afterSlashes.substring(slash))
+      path = opt(p)
+      val at = auth.lastIndexOf('@')
+      val (userinfo, hostport) =
+        if (at < 0) ("", auth) else (auth.substring(0, at), auth.substring(at + 1))
+      if (userinfo.nonEmpty) {
+        val colon = userinfo.indexOf(':')
+        if (colon < 0) user = opt(userinfo)
+        else { user = opt(userinfo.substring(0, colon)); password = Some(userinfo.substring(colon + 1)) }
+      }
+      // validOptionalPort: ':' + one-or-more digits after the LAST ':'
+      // outside any [v6] bracket
+      val bracketEnd = hostport.lastIndexOf(']')
+      val colon = hostport.lastIndexOf(':')
+      if (colon > bracketEnd && hostport.substring(colon + 1).nonEmpty &&
+          hostport.substring(colon + 1).forall(_.isDigit)) {
+        host = opt(hostport.substring(0, colon).stripPrefix("[").stripSuffix("]"))
+        port = Some(hostport.substring(colon + 1))
+      } else host = opt(hostport.stripPrefix("[").stripSuffix("]"))
+    } else if (scheme.nonEmpty && restNoQ.nonEmpty && !restNoQ.startsWith("/")) {
+      opaque = Some(restNoQ)
+    } else {
+      path = opt(restNoQ)
+    }
+    // ParseQuery: '&'-separated k=v, '+' → space; %-escapes via URLDecoder
+    val query = Vector.newBuilder[(String, Vector[String])]
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    if (rawQuery.nonEmpty) {
+      def unesc(s: String): String =
+        try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => s }
+      for (part <- rawQuery.split("&", -1) if part.nonEmpty) {
+        val eq = part.indexOf('=')
+        val (k, v) = if (eq < 0) (unesc(part), "") else (unesc(part.substring(0, eq)), unesc(part.substring(eq + 1)))
+        seen(k) = seen.getOrElse(k, Vector.empty) :+ v
+      }
+    }
+    seen.foreach { case (k, vs) => query += (k -> vs) }
+    Right(GoUrl(scheme, opaque, user, password, host, port, path, query.result(), fragment))
+  }
+
+  /** Relational parse_uri: the reference record shape (parse.go ParseURI)
+    * as a typed struct; rows that the reference maps to error values come
+    * back NULL here (error values need the typed/variant stream — the
+    * query-language frontend routes there).
     */
   def parseUri(s: Column): Column = {
-    val authority = parse_url(s, lit("AUTHORITY"))
-    struct(
-      parse_url(s, lit("PROTOCOL")).as("scheme"),
-      parse_url(s, lit("HOST")).as("host"),
-      regexp_extract(authority, ":([0-9]+)$", 1).cast("int").as("port"),
-      parse_url(s, lit("PATH")).as("path"),
-      str_to_map(parse_url(s, lit("QUERY")), lit("&"), lit("=")).as("query"),
-      parse_url(s, lit("REF")).as("fragment")
-    )
+    val u = udf((raw: String) => {
+      if (raw == null) None
+      else goUrlParse(raw) match {
+        case Left(_) => None
+        case Right(g) =>
+          val portNum = g.port.flatMap(p =>
+            try { val n = p.toLong; if (n <= 65535) Some(n.toInt) else None }
+            catch { case _: Exception => None })
+          if (g.port.nonEmpty && portNum.isEmpty) None // invalid port → error in zed
+          else Some((g.scheme.orNull, g.opaque.orNull, g.user.orNull,
+            g.password.orNull, g.host.orNull, portNum,
+            g.path.orNull,
+            if (g.query.isEmpty) None else Some(g.query.map { case (k, v) => k -> v }.toMap),
+            g.fragment.orNull))
+      }
+    })
+    u(s).cast(
+      "struct<scheme:string,opaque:string,user:string,password:string," +
+        "host:string,port:int,path:string,query:map<string,array<string>>,fragment:string>")
   }
 
   // grok: the classic base-pattern dictionary, enough for the common
@@ -297,6 +399,20 @@ object ZedFunctions {
         l + "::" + r
       }
     }
+
+  /** Canonical text of a CIDR net: the address is masked to the prefix
+    * (zed renders `1::/8` as `::/8` — netip.Prefix.Masked semantics).
+    */
+  def canonNetText(s: String): String = {
+    val slash = s.lastIndexOf('/')
+    if (slash < 0) return s
+    val addr = parseIpBytes(s.substring(0, slash))
+    val bits = try s.substring(slash + 1).toInt catch { case _: Exception => -1 }
+    if (addr == null || bits < 0 || bits > addr.length * 8) return s
+    val m = maskBytes(addr.length, bits)
+    val net = addr.zip(m).map { case (a, b) => (a & b).toByte }
+    s"${ipText(net)}/$bits"
+  }
 
   /** zed network_of with mask-arg dispatch and the reference's error
     * payloads (function/ip.go NetworkOf). `kind` is "none" | "int" |

@@ -465,6 +465,63 @@ object ZvOps {
   def parseZsonZed(text: Column, kind: Column): Column =
     parseZsonU(text, kind)
 
+  /** parse_uri(s): the reference record shape with typed nulls and Go's
+    * error payloads (function/parse.go ParseURI; net/url.Parse semantics
+    * via ZedFunctions.goUrlParse).
+    */
+  private val parseUriU = udf((text: String, shape: String) => {
+    import ZValue._
+    def errRec(msg: String, on: ZValue) =
+      zvOf(VErr(VRec(Vector("message" -> VStr(msg), "on" -> on))))
+    val strT = ZType.Prim("string")
+    val isString = Option(shape).exists { s =>
+      try ZType.strip(ZsonParser.parseType(s)) == strT
+      catch { case _: Exception => s == "string" }
+    }
+    def onVal: ZValue =
+      if (text == null || text == "null") VNull(if (isString) strT else ZType.nullT)
+      else parse(text).getOrElse(VStr(text))
+    if (!isString || text == null || text == "null")
+      errRec("parse_uri: non-empty string arg required", onVal)
+    else {
+      val raw = parse(text).map(unwrap) match {
+        case Some(VStr(x)) => x
+        case _ => text
+      }
+      graft.functions.ZedFunctions.goUrlParse(raw) match {
+        case Left(goErr) => errRec(s"parse_uri: $goErr", VStr(raw))
+        case Right(g) =>
+          val badPort = g.port.exists(p =>
+            (try p.toLong > 65535L catch { case _: Exception => true }))
+          if (badPort) errRec(s"parse_uri: invalid port: ${g.port.get}", VStr(raw))
+          else {
+            def str(o: Option[String]): ZValue =
+              o.map(VStr(_): ZValue).getOrElse(VNull(strT))
+            val queryT = ZType.MapT(strT, ZType.Arr(strT))
+            val rec = VRec(Vector(
+              "scheme" -> str(g.scheme),
+              "opaque" -> str(g.opaque),
+              "user" -> str(g.user),
+              "password" -> str(g.password),
+              "host" -> str(g.host),
+              "port" -> g.port.map(p => VInt(p.toLong, "uint16"): ZValue)
+                .getOrElse(VNull(ZType.Prim("uint16"))),
+              "path" -> str(g.path),
+              "query" ->
+                (if (g.query.isEmpty) VNull(queryT)
+                 else VMap(g.query.map { case (k, vs) =>
+                   (VStr(k): ZValue) -> (VArr(vs.map(VStr(_): ZValue), isSet = false): ZValue)
+                 })),
+              "fragment" -> str(g.fragment)))
+            zvOf(rec)
+          }
+      }
+    }
+  })
+
+  def parseUriZed(text: Column, kind: Column): Column =
+    parseUriU(text, kind)
+
   /** bucket(t, bin) over boxed values (function/bucket.go): times and
     * durations floor-align to the bin; a float64 time aligns as ns.
     */

@@ -2508,7 +2508,28 @@ final class Compiler(spark: SparkSession, dir: String) {
         else ZedOps.timeBucket(col("ts"), dur)
 
       // parsing (function/parse.go, grok.go)
-      case "parse_uri" => F.parseUri(a(0))
+      case "parse_uri" =>
+        // per-row Go url.Parse with the reference's typed-null record and
+        // error payloads; the shape drives the string-arg check
+        val c = expr(df, args.head)
+        val isVar = isVariantExpr(df, args.head)
+        val text = if (isVar) graft.operators.Het.render(c) else c.cast(StringType)
+        val shapeC: Column = args.head match {
+          case Expr.Path(parts0) if isTagged(df) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            shapesOf(df).foldLeft(lit(null).cast(StringType)) { case (acc, (t, st)) =>
+              pathIn(st, parts) match {
+                case Some(ft) => when(col(graft.operators.Het.typeTag) === t,
+                  lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
+                case None => acc
+              }
+            }
+          case e2 =>
+            lit(Shaper.zedTypeOf(dtypeOf(df, e2).getOrElse(
+              try df.select(c).schema.head.dataType
+              catch { case _: Exception => StringType })))
+        }
+        graft.functions.ZvOps.parseUriZed(text, shapeC)
       case "grok" => F.grok(litStr(0), a(1))
       case "parse_zson" if args.length == 1 =>
         // one-arg form: per-row parse into a boxed value (zed infers the
@@ -3065,10 +3086,16 @@ final class Compiler(spark: SparkSession, dir: String) {
             })
           case _ => None
         }
-        perShape.getOrElse(dtypeOf(df, args.head) match {
-          case Some(_: ArrayType) | Some(_: MapType) => size(a(0))
-          case Some(StringType) => length(a(0))
-          case Some(BinaryType) => length(a(0)) // byte count
+        // non-path args (e.g. len(ksuid())) have no static shape entry —
+        // resolve the actual column dtype so binary/array results measure
+        // correctly instead of falling through to a lossy string cast
+        val argDt = dtypeOf(df, args.head).orElse(
+          try Some(df.select(a(0)).schema.head.dataType)
+          catch { case _: Exception => None })
+        perShape.getOrElse(argDt match {
+          case Some(_: ArrayType) | Some(_: MapType) => size(a(0)).cast(LongType)
+          case Some(StringType) => length(a(0)).cast(LongType)
+          case Some(BinaryType) => length(a(0)).cast(LongType) // byte count
           case Some(st: StructType) if isVariant(st) => graft.functions.ZvOps.len(a(0))
           case _ if isVariantExpr(df, args.head) => graft.functions.ZvOps.len(a(0))
           case Some(st: StructType) => lit(st.fields.length)

@@ -166,6 +166,11 @@ object ZValue {
 
   def errMissing: ZValue = VErr(VStr("missing"))
 
+  /** Net values canonicalize by masking host bits (`1::/8` → `::/8`),
+    * matching the reference's netip.Prefix.Masked on decode.
+    */
+  def netOf(s: String): VNet = VNet(graft.functions.ZedFunctions.canonNetText(s))
+
   def typeOf(v: ZValue): ZType = v match {
     case VTyped(_, t) => t
     case VNull(t) => t
@@ -489,12 +494,10 @@ object ZValue {
     base
   }
 
-  def durText(ns: Long): String =
-    if (ns == 0) "0s"
-    else if (ns % 1000000000L == 0) s"${ns / 1000000000L}s"
-    else if (ns % 1000000L == 0) s"${ns / 1000000L}ms"
-    else if (ns % 1000L == 0) s"${ns / 1000L}us"
-    else s"${ns}ns"
+  /** Canonical duration text — the reference has ONE formatter
+    * (pkg/nano/duration.go String) used for values and map keys alike.
+    */
+  def durText(ns: Long): String = ZFormat.durHuman(ns)
 
   private def floatText(d: Double): String =
     if (d.isNaN) "NaN"
@@ -526,8 +529,14 @@ object ZValue {
     case VArr(items, true) => items.map(zsonText).mkString("|[", ",", "]|")
     case VMap(es) => es.map { case (k, x) =>
       val kt = zsonText(k)
-      // a key ending in ':' (the ip ::) needs a space before the separator
-      val sep = if (kt.endsWith(":")) " :" else ":"
+      // an IPv6 map key needs whitespace before the ':' separator
+      // (zson/formatter.go formatMap — `::1:…` would be ambiguous)
+      val isIp6 = (k match {
+        case VIp(a) => a.contains(":")
+        case VTyped(VIp(a), _) => a.contains(":")
+        case _ => false
+      })
+      val sep = if (isIp6 || kt.endsWith(":")) " :" else ":"
       s"$kt$sep${zsonText(x)}"
     }.mkString("|{", ",", "}|")
     case VErr(inner) => s"error(${zsonText(inner)})"
@@ -752,7 +761,7 @@ object ZValue {
       case _ =>
         tName match {
           case "ip" => VIp(s)
-          case "net" => VNet(s)
+          case "net" => ZValue.netOf(s)
           case "type" => VTypeVal(s)
           case "bytes" if s != null && s.startsWith("0x") =>
             VBytes(s.drop(2).sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray)
@@ -849,7 +858,7 @@ object ZValue {
     case (n: Long, "duration") => VDur(n)
     case (n: Long, "time") => VTime(n)
     case (s: String, "ip") => VIp(s)
-    case (s: String, "net") => VNet(s)
+    case (s: String, "net") => ZValue.netOf(s)
     case (s: String, "type") => VTypeVal(s)
     case (n: Long, t) if t.startsWith("int") || t.startsWith("uint") =>
       if (t == "uint64") VUint64(BigDecimal(n)) else VInt(n, t)
@@ -1103,13 +1112,13 @@ final class ZsonParser(s: String) {
     ip6Re.findFirstIn(rest).filter(m => m.contains("::") || m.count(_ == ':') == 7) match {
       case Some(m) =>
         take(m)
-        return if (m.contains('/')) VNet(m) else VIp(m)
+        return if (m.contains('/')) netOf(m) else VIp(m)
       case None =>
     }
     ip4Re.findFirstIn(rest) match {
       case Some(m) =>
         take(m)
-        return if (m.contains('/')) VNet(m) else VIp(m)
+        return if (m.contains('/')) netOf(m) else VIp(m)
       case None =>
     }
     durRe.findFirstIn(rest).filter(m => m.exists(_.isLetter) && !m.matches("""^-?\d+[eE].*""")) match {
@@ -1171,11 +1180,24 @@ final class ZsonParser(s: String) {
       "w" -> 604800000000000L, "y" -> 31536000000000000L)
     val neg = text.startsWith("-")
     val body = if (neg) text.drop(1) else text
-    val partRe = """(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)""".r
-    var total = 0.0
-    for (m <- partRe.findAllMatchIn(body)) total += m.group(1).toDouble * unitNs(m.group(2))
-    val ns = total.toLong
-    if (neg) -ns else ns
+    val partRe = """(\d+)(?:\.(\d+))?(ns|us|ms|s|m|h|d|w|y)""".r
+    // integer ns accumulation in BigInt: ns-exact fractions (16.854775808s)
+    // and Long.MinValue (-292y…808s) survive, unlike double math
+    var total = BigInt(0)
+    for (m <- partRe.findAllMatchIn(body)) {
+      val unit = unitNs(m.group(3))
+      total += BigInt(m.group(1)) * unit
+      Option(m.group(2)).foreach { frac =>
+        // fractional part scaled to ns: digits beyond the unit's ns
+        // resolution truncate (the reference parses via float but all
+        // golden fixtures are ns-exact)
+        total += (BigInt(frac) * unit) / BigInt(10).pow(frac.length)
+      }
+    }
+    val signed = if (neg) -total else total
+    if (signed < BigInt(Long.MinValue)) Long.MinValue
+    else if (signed > BigInt(Long.MaxValue)) Long.MaxValue
+    else signed.toLong
   }
 
   // ---- decorator / type parsing ---------------------------------------------
@@ -1299,7 +1321,7 @@ final class ZsonParser(s: String) {
       case (VFloat(d, _), Prim(p)) if p.startsWith("float") || p == "decimal" =>
         VFloat(if (p == "float16") ZFormat.toFloat16(d) else if (p == "float32") d.toFloat.toDouble else d, p)
       case (VStr(sv), Prim("ip")) => VIp(sv)
-      case (VStr(sv), Prim("net")) => VNet(sv)
+      case (VStr(sv), Prim("net")) => ZValue.netOf(sv)
       case (VStr(sv), Prim("bytes")) => VStr(sv)
       case (VStr(sv), EnumT(_)) => VTyped(VEnum(sv), t)
       case (VEnum(sv), EnumT(_)) => VTyped(VEnum(sv), t)

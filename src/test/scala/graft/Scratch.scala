@@ -1,25 +1,25 @@
 package graft
 
-/** Throwaway debug entry — not part of the suite. */
+/** Throwaway debug entry — not part of the suite. Runs one inline ztest
+  * case: args = zed program, input, [inputFlags], [outputFlags].
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val input = """{
-    info: "Connection Example",
-    src: {
-        addr: 10.1.1.2,
-        port: 80 (uint16)
-    } (=socket),
-    dst: {
-        addr: 10.0.1.2,
-        port: 20130
-    } (socket)
-} (=conn)
-null(conn)
-"""
+    val zed = if (args.nonEmpty) args(0) else "yield len(ksuid())"
+    val input = if (args.length > 1) args(1) else "null"
+    val inFlags = if (args.length > 2) args(2) else ""
+    val outFlags = if (args.length > 3) args(3) else ""
+    val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val c = ZtestHarness.ZCase("scratch", zed, input, inFlags, "", outFlags)
     try {
-      val vs = graft.sources.ZsonParser.parseAll(input)
-      println("PARSED OK: " + vs.length)
-      vs.foreach(v => println(graft.sources.ZValue.zsonText(v)))
-    } catch { case e: Exception => println("FAIL: " + e) }
+      val got = ZtestHarness.run(spark, c)
+      println("=== GOT")
+      got.foreach(println)
+    } catch { case e: Exception =>
+      println("=== EXC " + e)
+      e.printStackTrace()
+    }
+    spark.stop()
   }
 }
