@@ -547,28 +547,49 @@ object ZValue {
   /** Relational type for a zed type. Ints stay Long (zed's widest signed),
     * uint64 needs Decimal(20,0); unions and errors become variant columns.
     */
-  def sparkTypeOf(t: ZType): DataType = ZType.strip(t) match {
+  def sparkTypeOf(t: ZType): DataType = sparkTypeOf(t, nsTime = false)
+
+  /** With `nsTime` the time carrier is the raw ns long instead of Spark's
+    * µs TimestampType — frames escalate when any input time has sub-µs
+    * precision (zed is ns end-to-end: nano.Ts, value.go:84; Spark's
+    * timestamp would silently truncate). Writers reconstruct VTime from
+    * either carrier via the shape's zed type.
+    */
+  def sparkTypeOf(t: ZType, nsTime: Boolean): DataType = ZType.strip(t) match {
     case Prim("int8") | Prim("int16") | Prim("int32") | Prim("int64") |
          Prim("uint8") | Prim("uint16") | Prim("uint32") => LongType
     case Prim("uint64") => DecimalType(20, 0)
     case Prim("float16") | Prim("float32") | Prim("float64") | Prim("decimal") => DoubleType
     case Prim("bool") => BooleanType
     case Prim("string") => StringType
-    case Prim("time") => TimestampType
+    case Prim("time") => if (nsTime) LongType else TimestampType
     case Prim("duration") => LongType
     case Prim("bytes") => BinaryType
     case Prim("ip") | Prim("net") | Prim("type") => StringType
     case Prim("null") => NullType
     case EnumT(_) => StringType
-    case Rec(fs) => StructType(fs.map { case (n, ft) => StructField(n, sparkTypeOf(ft)) })
-    case Arr(e) => ArrayType(sparkTypeOf(e))
-    case SetT(e) => ArrayType(sparkTypeOf(e))
+    case Rec(fs) => StructType(fs.map { case (n, ft) => StructField(n, sparkTypeOf(ft, nsTime)) })
+    case Arr(e) => ArrayType(sparkTypeOf(e, nsTime))
+    case SetT(e) => ArrayType(sparkTypeOf(e, nsTime))
     // Spark maps forbid NULL keys — a null-keyed zed map rides as a
     // boxed value instead
     case MapT(k, _) if ZType.strip(k) == Prim("null") => Het.variantType
-    case MapT(k, v) => MapType(sparkTypeOf(k), sparkTypeOf(v))
+    case MapT(k, v) => MapType(sparkTypeOf(k, nsTime), sparkTypeOf(v, nsTime))
     case Union(_) | ErrT(_) => Het.variantType
     case Prim(_) => StringType
+  }
+
+  /** Does any time value in the tree carry sub-µs precision? (drives the
+    * frame's ns-long carrier escalation)
+    */
+  def hasSubMicroTime(v: ZValue): Boolean = v match {
+    case VTime(ns) => ns % 1000L != 0
+    case VTyped(i, _) => hasSubMicroTime(i)
+    case VErr(i) => hasSubMicroTime(i)
+    case VRec(fs) => fs.exists(f => hasSubMicroTime(f._2))
+    case VArr(items, _) => items.exists(hasSubMicroTime)
+    case VMap(es) => es.exists(e => hasSubMicroTime(e._1) || hasSubMicroTime(e._2))
+    case _ => false
   }
 
   /** Merge the relational schemas of two shapes: agreeing fields stay
@@ -681,10 +702,13 @@ object ZValue {
       case VStr(s) => s
       case VBool(b) => b
       case VBytes(b) => b
-      case VTime(ns) =>
-        val ts = new java.sql.Timestamp(Math.floorDiv(ns, 1000000L))
-        ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
-        ts
+      case VTime(ns) => target match {
+        case LongType => ns // ns carrier (sub-µs-precision frames)
+        case _ =>
+          val ts = new java.sql.Timestamp(Math.floorDiv(ns, 1000000L))
+          ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+          ts
+      }
       case VDur(ns) => target match {
         case LongType => ns
         case DoubleType => ns.toDouble
@@ -1171,7 +1195,13 @@ final class ZsonParser(s: String) {
 
   private def parseTimeNs(text: String): Long = {
     val inst = java.time.OffsetDateTime.parse(text).toInstant
-    inst.getEpochSecond * 1000000000L + inst.getNano
+    // saturating ns math: zed times span exactly the int64-ns domain and
+    // 1677-09-21T00:12:43.145224192Z is Long.MinValue — plain long
+    // multiply would wrap
+    val ns = BigInt(inst.getEpochSecond) * 1000000000L + inst.getNano
+    if (ns < BigInt(Long.MinValue)) Long.MinValue
+    else if (ns > BigInt(Long.MaxValue)) Long.MaxValue
+    else ns.toLong
   }
 
   private def parseDurNs(text: String): Long = {
@@ -1418,9 +1448,12 @@ object ZsonReader {
   /** The frame schema for a set of shape texts (first-appearance order):
     * (cleaned row schema, full schema incl. the tag column when tagged).
     */
-  def frameSchema(shapeTexts: Seq[String], tag: Boolean): (StructType, StructType) = {
+  def frameSchema(shapeTexts: Seq[String], tag: Boolean): (StructType, StructType) =
+    frameSchema(shapeTexts, tag, nsTime = false)
+
+  def frameSchema(shapeTexts: Seq[String], tag: Boolean, nsTime: Boolean): (StructType, StructType) = {
     val rowTypes = shapeTexts.map(t => recordifyType(ZsonParser.parseType(t)))
-    val rowSchemas = rowTypes.map(rt => sparkTypeOf(rt).asInstanceOf[StructType])
+    val rowSchemas = rowTypes.map(rt => sparkTypeOf(rt, nsTime).asInstanceOf[StructType])
     val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
     // a field whose ZED types conflict across shapes in render-relevant
     // ways (ip vs string, time vs string, …) must be a variant even when
@@ -1464,7 +1497,8 @@ object ZsonReader {
   def fromValues(spark: SparkSession, values0: Seq[ZValue], tag: Boolean): DataFrame = {
     require(values0.nonEmpty, "empty zson input")
     val shapeTexts = values0.map(v => recordify(v)._2).distinct
-    val (cleaned, full) = frameSchema(shapeTexts, tag)
+    val nsTime = values0.exists(hasSubMicroTime)
+    val (cleaned, full) = frameSchema(shapeTexts, tag, nsTime)
     val rows = values0.map(rowOf(_, cleaned, tag))
     spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), full)
   }
@@ -1476,22 +1510,29 @@ object ZsonReader {
     // pass 1: distinct shape texts in stream (first-appearance) order —
     // keyed by (partition, first row index) so the fused schema's field
     // order is deterministic and matches what a serial read would build
-    val shapeTexts = rdd.mapPartitionsWithIndex { (pid, it) =>
+    // the " ns" sentinel key piggybacks the sub-µs-precision probe on
+    // the same pass (its presence → escalate the time carrier to ns longs)
+    val nsSentinel = " ns"
+    val discovered = rdd.mapPartitionsWithIndex { (pid, it) =>
       val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       var i = 0L
       it.foreach { v =>
         val t = recordify(v)._2
         if (!seen.contains(t)) seen(t) = (pid.toLong << 40) | i
+        if (!seen.contains(nsSentinel) && hasSubMicroTime(v)) seen(nsSentinel) = Long.MaxValue
         i += 1
       }
       seen.iterator
-    }.reduceByKey(math.min).collect().sortBy(_._2).map(_._1).toIndexedSeq
+    }.reduceByKey(math.min).collect()
+    val nsTime = discovered.exists(_._1 == nsSentinel)
+    val shapeTexts = discovered.filterNot(_._1 == nsSentinel)
+      .sortBy(_._2).map(_._1).toIndexedSeq
     if (shapeTexts.isEmpty) {
       val empty = StructType(Seq(StructField("this", StringType)))
       val full = if (tag) empty.add(StructField(Het.typeTag, StringType, nullable = false)) else empty
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], full)
     }
-    val (cleaned, full) = frameSchema(shapeTexts, tag)
+    val (cleaned, full) = frameSchema(shapeTexts, tag, nsTime)
     val bcSchema = spark.sparkContext.broadcast(cleaned)
     // pass 2: per-partition typed decode straight to the merged schema
     val rows = rdd.map(v => rowOf(v, bcSchema.value, tag))

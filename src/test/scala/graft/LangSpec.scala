@@ -224,7 +224,7 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = run(
       """from embeddings | yield {a: len(embedding[0:3]), b: len(embedding[60:]), c: len(embedding[:-60])}
         || head 1""".stripMargin).collect()(0)
-    assert(r.getInt(0) == 3 && r.getInt(1) == 4 && r.getInt(2) == 4)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getLong(2) == 4) // len is int64
   }
 
   test("over a map traverses {key,value} records (traverse/over.go)") {
@@ -277,7 +277,7 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = run(
       """from embeddings | yield {n: len([...embedding[0:2], ...embedding[0:3]])} | head 1""")
       .collect()(0)
-    assert(r.getInt(0) == 5)
+    assert(r.getLong(0) == 5) // len is int64
   }
 
   test("ip and cidr literals parse as values") {

@@ -77,7 +77,7 @@ class TypedZsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       "|[3,1,2,1]|\n|{\"k\":1,}|\n1h30m\n1076(port=uint16)\n{a:1,}")
     assert(vs.length == 5)
     assert(ZValue.zsonText(vs(0)) == "|[1,2,3]|") // deduped + ordered
-    assert(ZValue.zsonText(vs(2)) == "5400s")
+    assert(ZValue.zsonText(vs(2)) == "1h30m") // nano.Duration.String units
     assert(ZType.fullText(ZValue.typeOf(vs(3))) == "port=uint16")
   }
 
