@@ -485,8 +485,25 @@ object ZValue {
 
   // ---- canonical ZSON text ---------------------------------------------------
 
-  private def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\t", "\\t")
+  /** ZSON string escaping (zson/escape.go QuotedString, sans quotes):
+    * named escapes for the JSON control set, \u00XX for other ASCII
+    * control codes, everything printable verbatim.
+    */
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   def timeText(ns: Long): String = {
     val inst = java.time.Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
@@ -676,8 +693,11 @@ object ZValue {
     * target (merged) data type.
     */
   def toExternal(v0: ZValue, target: DataType): Any = {
+    // variant boxing keeps the UNDECORATED value's decorator type — pass
+    // the original so typeOf sees VTyped (an empty |[]|(|[string]|) must
+    // box with t=|[string]|, not the value-derived |[null]|)
+    if (target == Het.variantType) return variantRow(v0)
     val v = unwrap(v0)
-    if (target == Het.variantType) return variantRow(v)
     v match {
       case VNull(_) => null
       case VInt(n, _) => target match {
@@ -1005,6 +1025,8 @@ final class ZsonParser(s: String) {
           case 'n' => sb.append('\n')
           case 't' => sb.append('\t')
           case 'r' => sb.append('\r')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
           case '\\' => sb.append('\\')
           case '"' => sb.append('"')
           case '/' => sb.append('/')

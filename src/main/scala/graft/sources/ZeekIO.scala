@@ -140,10 +140,50 @@ object ZeekIO {
     }
     val bytes = out.toByteArray
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-    try {
-      dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-    } catch { case _: Exception => s }
+    val text =
+      try {
+        dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      } catch { case _: Exception =>
+        // invalid UTF-8: per Zeek's JSON convention only the INVALID or
+        // unprintable bytes re-escape as literal \xNN text; printable
+        // runes stay (zio/zeekio/escape.go EscapeZeekHex + builder.go)
+        escapeZeekHex(bytes)
+      }
+    // the reference NFC-normalizes every zeek string (builder.go norm.NFC)
+    java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+  }
+
+  /** EscapeZeekHex (zio/zeekio/escape.go): decode runes; a malformed byte
+    * or unprintable rune renders as literal backslash-x-hh text, valid
+    * printable runes pass through.
+    */
+  private def escapeZeekHex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xe0) == 0xc0) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0) 4
+        else 0
+      val valid = len > 0 && i + len <= bytes.length && {
+        val slice = java.util.Arrays.copyOfRange(bytes, i, i + len)
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        dec.onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        try { dec.decode(java.nio.ByteBuffer.wrap(slice)); true }
+        catch { case _: Exception => false }
+      }
+      val printable = valid && {
+        val cp = new String(bytes, i, len, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+        !Character.isISOControl(cp) && Character.isDefined(cp)
+      }
+      if (printable) { sb.append(new String(bytes, i, len, java.nio.charset.StandardCharsets.UTF_8)); i += len }
+      else { sb.append(f"\\x$b%02x"); i += 1 }
+    }
+    sb.toString
   }
 
   /** zeek → zed type text (for the shape tag of a decoded frame). */
