@@ -198,6 +198,69 @@ object ZShaper {
     if (isErrV(v)) v
     else VTyped(unwrap(v), Named(name, under(typeOf(v))))
 
+  /** Full cast of a (possibly union-typed) value to a target type, with
+    * the reference shaper's createStep union compatibility: a union
+    * SOURCE type against a DIFFERENT union target errors; union-to-
+    * primitive casts the current member (keeping a member's named type,
+    * renamed over the cast result). shape-cast-from-union ztest.
+    */
+  def castValue(v: ZValue, target: ZType): ZValue = {
+    def check(s: ZType, t: ZType): Option[String] = (under(s), under(t)) match {
+      case (u1: Union, u2: Union) =>
+        if (text(u1) == text(u2)) None
+        else Some(s"createStep: incompatible types ${text(u1)} and ${text(u2)}")
+      case (Arr(a2), Arr(b)) => check(a2, b)
+      case (SetT(a2), SetT(b)) => check(a2, b)
+      case (Arr(a2), SetT(b)) => check(a2, b)
+      case (SetT(a2), Arr(b)) => check(a2, b)
+      case (Rec(fa), Rec(fb)) =>
+        fa.flatMap { case (n, ft) =>
+          fb.find(_._1 == n).flatMap(g => check(ft, g._2))
+        }.headOption
+      case _ => None
+    }
+    check(typeOf(v), target) match {
+      case Some(msg) => VErr(VStr(msg))
+      case None => castDeep(v, target)
+    }
+  }
+
+  private def castDeep(v: ZValue, target: ZType): ZValue = v match {
+    case _ if isNullV(v) => VNull(target)
+    case VTyped(inner, t0) if strip(t0).isInstanceOf[Union] =>
+      // union value: cast the current member; when the matching union
+      // alternative is NAMED, the name survives the cast (cast.go keeps
+      // named member types — "1(=int64_named)" in shape-cast-from-union)
+      val memberU = under(typeOf(inner))
+      strip(t0) match {
+        case Union(alts) => alts.find(a => under(a) == memberU) match {
+          case Some(Named(n, _)) if under(target) == Prim("string") && !isNullV(inner) =>
+            // string-casting a NAMED member formats the value WITH its
+            // decorator ("1(=int64_named)" — zson.FormatValue semantics)
+            VStr(s"${ZValue.zsonText(unwrap(inner))}(=$n)")
+          case _ => castDeep(inner, target)
+        }
+        case _ => castDeep(inner, target)
+      }
+    case VTyped(inner, Named(n, _)) if isPrimT(target) =>
+      val r = reshape(CastF, inner, target)
+      if (isErrV(r) || isNullV(r)) r
+      else VTyped(unwrap(r), Named(n, under(typeOf(r))))
+    case VArr(items, isSet) => under(target) match {
+      case Arr(et) => VArr(items.map(castDeep(_, et)), isSet = false)
+      case SetT(et) => VArr(ZValue.normSet(items.map(castDeep(_, et))), isSet = true)
+      case _ => reshape(CastF, v, target)
+    }
+    case VRec(fs) => under(target) match {
+      case Rec(tfs) =>
+        VRec(tfs.map { case (n, ft) =>
+          n -> fs.find(_._1 == n).map(f => castDeep(f._2, ft)).getOrElse(VNull(ft))
+        })
+      case _ => reshape(CastF, v, target)
+    }
+    case _ => reshape(CastF, v, target)
+  }
+
   /** Value conversion toward the SHAPED type (newStep/build). `out` comes
     * from shaperType so the pair is structurally compatible.
     */

@@ -87,6 +87,64 @@ object ZvOps {
 
   def index(v: Column, idx: Column): Column = indexU(Het.render(v), idx)
 
+  /** Index with a RUNTIME-typed index value (expr/eval.go Index): arrays/
+    * sets take ints (negative from end; OOB/null → error("missing"); other
+    * kinds → "index is not an integer"), records take strings ("record
+    * index is not a string" otherwise), maps match key values.
+    */
+  private val indexAnyU = udf((cont: String, idx: String) => {
+    import ZValue.{errMissing => _, _}
+    def errOn(msg: String, on: ZValue) =
+      zvOf(VErr(VRec(Vector("message" -> VStr(msg), "on" -> on))))
+    val cv = Option(cont).flatMap(parse).map(unwrap).getOrElse(VNull(ZType.nullT))
+    val ivRaw = Option(idx).flatMap(parse).getOrElse(VNull(ZType.nullT))
+    val iv = unwrap(ivRaw)
+    def intIdx: Option[Long] = iv match {
+      case VInt(n, _) => Some(n)
+      case VUint64(n) => Some(n.toLong)
+      case _ => None
+    }
+    cv match {
+      case VArr(items, _) => iv match {
+        case VNull(_) => errMissing
+        case _ => intIdx match {
+          case Some(n) =>
+            val i = if (n < 0) items.length + n else n
+            if (i >= 0 && i < items.length) zvOf(items(i.toInt)) else errMissing
+          case None => errOn("index is not an integer", iv)
+        }
+      }
+      case VRec(fs) => iv match {
+        case VStr(s) => fs.find(_._1 == s).map(f => zvOf(f._2)).getOrElse(errMissing)
+        case VNull(_) => errMissing
+        case _ => errOn("record index is not a string", iv)
+      }
+      case VMap(es) =>
+        val key = zsonText(iv)
+        es.find(e => zsonText(unwrap(e._1)) == key)
+          .map(e => zvOf(e._2)).getOrElse(errMissing)
+      case VStr(s) => intIdx match {
+        case Some(n) =>
+          val cps = s.codePoints().toArray
+          val i = if (n < 0) cps.length + n else n
+          if (i >= 0 && i < cps.length)
+            zvOf(VStr(new String(cps, i.toInt, 1))) else errMissing
+        case None => errOn("index is not an integer", iv)
+      }
+      case VBytes(b) => intIdx match {
+        case Some(n) =>
+          val i = if (n < 0) b.length + n else n
+          if (i >= 0 && i < b.length)
+            zvOf(VInt(b(i.toInt) & 0xffL, "uint8")) else errMissing
+        case None => errOn("index is not an integer", iv)
+      }
+      case _ => errMissing
+    }
+  })
+
+  def indexAny(v: Column, idx: Column): Column =
+    indexAnyU(Het.render(v), Het.render(idx))
+
   /** zed len() over a boxed value (function/len.go): arrays/sets/maps/
     * records by entry count, strings by bytes, bytes by size; else error.
     */
@@ -521,6 +579,59 @@ object ZvOps {
 
   def parseUriZed(text: Column, kind: Column): Column =
     parseUriU(text, kind)
+
+  /** Record literal with a RUNTIME-typed spread ({...f(x), c:2}): entries
+    * arrive as (name, zson text) pairs, a null name meaning "spread this
+    * record's fields here"; later names win in place (record-spread
+    * semantics, expr/record.go).
+    */
+  private val recordLitU = udf((names: Seq[String], vals: Seq[String]) => {
+    import ZValue._
+    val ordered = scala.collection.mutable.LinkedHashMap.empty[String, ZValue]
+    names.zip(vals).foreach { case (n, vz) =>
+      val v = Option(vz).flatMap(parse).getOrElse(VNull(ZType.nullT))
+      if (n == null) unwrap(v) match {
+        case VRec(fs) => fs.foreach { case (fn, fv) => ordered(fn) = fv }
+        case _ => () // spread of missing/non-record contributes nothing
+      }
+      else ordered(n) = v
+    }
+    zvOf(VRec(ordered.toVector))
+  })
+
+  def recordLit(names: Column, vals: Column): Column = recordLitU(names, vals)
+
+  /** cast(v, t) where the value is union-typed and/or the type is a
+    * runtime type VALUE (ZShaper.castValue semantics).
+    */
+  private val castAnyU = udf((vz: String, vt: String, tz: String) => {
+    import ZValue._
+    if (tz == null) zvOf(ZValue.errMissing)
+    else {
+      val tTxt = {
+        val s = tz.trim
+        val s2 = if (s.startsWith("<") && s.endsWith(">")) s.substring(1, s.length - 1) else s
+        if (s2.startsWith("\"") && s2.endsWith("\"") && s2.length >= 2)
+          s2.substring(1, s2.length - 1) else s2
+      }
+      val tOpt = try Some(ZsonParser.parseType(tTxt)) catch { case _: Exception => None }
+      tOpt match {
+        case None => zvOf(VErr(VRec(Vector(
+          "message" -> VStr("cast: not a type"), "on" -> VStr(tz)))))
+        case Some(t) =>
+          // re-apply the variant's declared type: the rendered text drops
+          // decorators, but union/named SOURCE types drive createStep
+          val v0 = Option(vz).flatMap(parse).getOrElse(VNull(ZType.nullT))
+          val v = Option(vt).flatMap(s =>
+            try Some(ZsonParser.retype(v0, ZsonParser.parseType(s)))
+            catch { case _: Exception => None }).getOrElse(v0)
+          zvOf(graft.functions.ZShaper.castValue(v, t))
+      }
+    }
+  })
+
+  def castAny(v: Column, declared: Column, t: Column): Column =
+    castAnyU(Het.render(v), coalesce(declared, v.getField("t")), t)
 
   /** bucket(t, bin) over boxed values (function/bucket.go): times and
     * durations floor-align to the bin; a float64 time aligns as ns.

@@ -238,8 +238,32 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Sort(keys, nullsFirst) =>
         val df = single(state)
+        val het = graft.operators.Het
+        // `sort this` over a stream mixing BARE values (a `this` column)
+        // and records: order by the cross-type kind rank first (errors
+        // last — sort.go comparator), then within-kind keys
+        val mixedBareThis = keys.map(_._1) match {
+          case Seq(Expr.Path(Seq("this"))) | Seq(Expr.Path(Seq())) =>
+            isTagged(df) && df.columns.contains("this") &&
+              isVariant(df.schema("this").dataType) &&
+              df.schema.fields.exists(f => f.name != "this" &&
+                f.name != het.typeTag && !f.metadata.contains("graft.scopeVar"))
+          case _ => false
+        }
         val resolved =
-          if (keys.nonEmpty) keys.flatMap { case (e, asc) =>
+          if (mixedBareThis) {
+            val asc = keys.head._2
+            val t = col("this")
+            val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
+              f.name == "this" || f.name == het.typeTag ||
+                f.metadata.contains("graft.scopeVar"))
+            val recC = struct(dataF.map(f => col(s"`${f.name}`").as(f.name)): _*)
+            val recText = graft.sources.ZsonIO.zsonOf(recC, StructType(dataF))
+            val rank = when(t.isNotNull, t.getField("k")).otherwise(lit(4))
+            Seq((rank, asc), (het.compareKey(t), asc),
+              (typeKeyUdf(col(het.typeTag)), asc), (recordKeyUdf(recText), asc))
+          }
+          else if (keys.nonEmpty) keys.flatMap { case (e, asc) =>
             // union-typed keys sort under the cross-type total order
             val c = expr(df, e)
             if (isVariantExpr(df, e)) Seq((graft.operators.Het.compareKey(c), asc))
@@ -653,9 +677,21 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Seq(rec @ Expr.RecordLit(fields)) if fields.exists(_._1 == "...") =>
             // spreads need expression-level expansion, then unpack
             val ctx = ctxCols(Set.empty)
-            val packed = df.select(ctx :+ expr(df, rec).as("__r"): _*)
-            val ctxNames = packed.columns.filter(_ != "__r").toIndexedSeq
-            Seq(packed.select(ctxNames.map(n => col(s"`$n`")) :+ col("__r.*"): _*))
+            val recC = expr(df, rec)
+            if (isVariantExpr(df, rec)) {
+              // runtime-typed spread: the record is a boxed value — carry
+              // it as `this` with its per-row type as the shape tag
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .putStringArray("shapes", Array("{}")).build()
+              Seq(df.select(ctx :+ recC.as("this",
+                org.apache.spark.sql.types.Metadata.empty) :+
+                coalesce(recC.getField("t"), lit("{}"))
+                  .as(graft.operators.Het.typeTag, md): _*))
+            } else {
+              val packed = df.select(ctx :+ recC.as("__r"): _*)
+              val ctxNames = packed.columns.filter(_ != "__r").toIndexedSeq
+              Seq(packed.select(ctxNames.map(n => col(s"`$n`")) :+ col("__r.*"): _*))
+            }
           case Seq(Expr.RecordLit(fields)) =>
             // explicit empty metadata: aliases inherit the child's, and a
             // lateral scope var's marker must not taint a yielded field
@@ -673,7 +709,9 @@ final class Compiler(spark: SparkSession, dir: String) {
             val filtered =
               if (isVar) out.filter(col("this").isNull ||
                 !(graft.operators.Het.isError(col("this")) &&
-                  col("this").getField("z") === lit("\"quiet\"")))
+                  // null-payload errors have z NULL — keep them (a null
+                  // predicate would silently drop the row)
+                  coalesce(col("this").getField("z") === lit("\"quiet\""), lit(false))))
               else out
             Seq(filtered)
           case many =>
@@ -793,16 +831,36 @@ final class Compiler(spark: SparkSession, dir: String) {
       cases: Seq[(Expr, Pipeline)],
       default: Option[Pipeline]
   ): Seq[DataFrame] = {
+    def rawPred(c: Expr): Column = subject match {
+      case Some(s) => expr(df, s) === expr(df, c)
+      case None => expr(df, c)
+    }
+    def predDt(c: Expr): DataType =
+      try df.select(rawPred(c)).schema.head.dataType
+      catch { case _: Exception => BooleanType }
     def casePred(c: Expr): Column = {
-      val raw = subject match {
-        case Some(s) => expr(df, s) === expr(df, c)
-        case None => expr(df, c)
-      }
+      val raw = rawPred(c)
       // an error-valued case condition matches nothing (switch-error
       // ztest: `case a / 0` is never taken)
-      val dt = try df.select(raw).schema.head.dataType
-               catch { case _: Exception => BooleanType }
-      if (isVariant(dt)) coalesce(raw.getField("b"), lit(false)) else raw
+      if (isVariant(predDt(c))) coalesce(raw.getField("b"), lit(false)) else raw
+    }
+    // a condition that ERRORS at runtime makes the switch emit the error
+    // value itself as the row (switcher/switch-error ztest) — one extra
+    // bare-value branch per variant-typed condition
+    def errorBranches: Seq[DataFrame] = cases.zipWithIndex.flatMap { case ((c, _), i) =>
+      if (!isVariant(predDt(c))) None
+      else {
+        val raw = rawPred(c)
+        val isErr = raw.isNotNull && raw.getField("k") === 5
+        val priors = cases.take(i).map { case (pc, _) => casePred(pc) }
+        val full = priors.foldLeft(isErr)((acc, pr) => acc && !coalesce(pr, lit(false)))
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array("error(string)")).build()
+        Some(df.filter(full).select(
+          raw.as("this"),
+          coalesce(raw.getField("t"), lit("error(string)"))
+            .as(graft.operators.Het.typeTag, md)))
+      }
     }
 
     def projectionOf(p: Pipeline): Option[Seq[(String, Column)]] = {
@@ -834,7 +892,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     val branchProjs = cases.map { case (_, p) => projectionOf(p) }
     val defaultProj = default.map(projectionOf)
 
-    if (branchProjs.forall(_.isDefined) && defaultProj.forall(_.isDefined)) {
+    val anyErrorable = cases.exists(c => isVariant(predDt(c._1)))
+    if (!anyErrorable && branchProjs.forall(_.isDefined) && defaultProj.forall(_.isDefined)) {
       // single-pass: names = union across branches, missing → typed null
       val projs = branchProjs.map(_.get)
       val dflt = defaultProj.map(_.get)
@@ -877,7 +936,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           .reduce(_ && _)
         compilePipeline(Some(df.filter(nonePrior)), p)
       }
-      guarded ++ dflt
+      guarded ++ errorBranches ++ dflt
     }
   }
 
@@ -1543,6 +1602,12 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Call("__setlit", items) =>
       Some(ArrayType(items.headOption.flatMap(dtypeOf(df, _)).getOrElse(NullType)))
     case Expr.Call("__maplit", _) => Some(MapType(StringType, StringType))
+    case Expr.RecordLit(fields) if fields.exists {
+        case ("...", se) => isVariantExpr(df, se)
+        case _ => false
+      } =>
+      // runtime-typed spread assembles the record row-level → boxed value
+      Some(graft.operators.Het.variantType)
     case Expr.RecordLit(fields) =>
       Some(StructType(fields.filterNot(_._1 == "...").map { case (n, fe) =>
         StructField(n, dtypeOf(df, fe).getOrElse(NullType))
@@ -1633,6 +1698,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       val thisC = col("this")
       val boxed = idx match {
         case Expr.StringLit(k) => graft.functions.ZvOps.get(thisC, k)
+        case other if isVariantExpr(df, other) =>
+          graft.functions.ZvOps.indexAny(thisC, expr(df, other))
         case other => graft.functions.ZvOps.index(thisC, expr(df, other).cast("int"))
       }
       val recCols = df.schema.fields.toIndexedSeq.filterNot(f =>
@@ -1660,6 +1727,18 @@ final class Compiler(spark: SparkSession, dir: String) {
       val arr = expr(df, inner)
       if (isVariantExpr(df, inner)) idx match {
         case Expr.StringLit(k) => graft.functions.ZvOps.get(arr, k)
+        case other if isVariantExpr(df, other) ||
+            !dtypeOf(df, other).exists(_.isInstanceOf[NumericType]) =>
+          // runtime-typed (or non-numeric) index: full Index semantics
+          // incl. the reference's error payloads
+          val idxC = expr(df, other)
+          val boxed =
+            if (isVariantExpr(df, other)) idxC
+            else graft.operators.Het.variant(idxC,
+              dtypeOf(df, other).getOrElse(
+                try df.select(idxC).schema.head.dataType
+                catch { case _: Exception => StringType }))
+          graft.functions.ZvOps.indexAny(arr, boxed)
         case other => graft.functions.ZvOps.index(arr, expr(df, other).cast("int"))
       } else {
         val innerDt = try df.select(arr).schema.head.dataType
@@ -1737,6 +1816,23 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Call(fn, args) => call(df, fn, args)
 
     case Expr.SubQuery(p) => subqueryExpr(df, p)
+
+    case Expr.RecordLit(fields) if fields.exists {
+        case ("...", se) => isVariantExpr(df, se)
+        case _ => false
+      } =>
+      // a spread whose operand is RUNTIME-typed (e.g. {...unflatten(this)})
+      // assembles the record row-level from rendered values
+      val names = array(fields.map {
+        case ("...", _) => lit(null).cast(StringType)
+        case (n, _) => lit(n)
+      }: _*)
+      val vals = array(fields.map { case (_, fe) =>
+        val c = expr(df, fe)
+        if (isVariantExpr(df, fe)) graft.operators.Het.render(c)
+        else zsonTextOf(df, fe)
+      }: _*)
+      graft.functions.ZvOps.recordLit(names, vals)
 
     case Expr.RecordLit(fields) =>
       // `...expr` spreads a record's fields in place; later names override
@@ -1864,13 +1960,31 @@ final class Compiler(spark: SparkSession, dir: String) {
         else het.variant(expr(df, e), dtypeOf(df, e).getOrElse(StringType))
       val (lv, rv) = (asVar(l, lVar), asVar(r, rVar))
       val (lk, rk) = (het.compareKey(lv), het.compareKey(rv))
+      // null values (untyped or typed — all payload members null) compare
+      // EQUAL to the null literal and never yield SQL null (zed
+      // comparisons are total; expressions.md "Comparisons")
+      def nullish(v: Column): Column = v.isNull ||
+        (v.getField("n").isNull && v.getField("s").isNull &&
+          v.getField("b").isNull && v.getField("z").isNull)
       return op match {
-        case "==" => lk === rk
-        case "!=" => lk =!= rk
-        case "<" => lk < rk
-        case "<=" => lk <= rk
-        case ">" => lk > rk
-        case ">=" => lk >= rk
+        case "==" =>
+          when(nullish(lv) || nullish(rv), nullish(lv) && nullish(rv))
+            .otherwise(coalesce(lk === rk, lit(false)))
+        case "!=" =>
+          when(nullish(lv) || nullish(rv), !(nullish(lv) && nullish(rv)))
+            .otherwise(coalesce(lk =!= rk, lit(true)))
+        case "<" | "<=" | ">" | ">=" =>
+          // an ERROR operand poisons an order comparison (the reference
+          // propagates the error; as a predicate that's "not true", and
+          // NULL lets or/and aggregates skip it — logical-partials ztest)
+          val cmp = op match {
+            case "<" => lk < rk
+            case "<=" => lk <= rk
+            case ">" => lk > rk
+            case _ => lk >= rk
+          }
+          when(het.isError(lv) || het.isError(rv), lit(null).cast(BooleanType))
+            .otherwise(coalesce(cmp, lit(false)))
         case _ =>
           // arithmetic in the numeric domain; an error operand IS the
           // result; containers are incompatible (expr/eval.go: "type <t>
@@ -3124,6 +3238,26 @@ final class Compiler(spark: SparkSession, dir: String) {
               F.compareVals(vk(0), vk(1), nm)
             } else F.compareVals(a(0), a(1), nm)
         }
+      case "cast" if args.length == 2 && isVariantExpr(df, args.head) =>
+        // union-typed subject (and possibly a runtime type VALUE): full
+        // value-level cast with createStep union compatibility. The
+        // variant's t member only carries the MEMBER type — the declared
+        // union/named type comes from the row's shape.
+        val toC = expr(df, args(1))
+        val declaredC: Column = args.head match {
+          case Expr.Path(parts0) if isTagged(df) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            shapesOf(df).foldLeft(lit(null).cast(StringType)) { case (acc, (t, st)) =>
+              pathIn(st, parts) match {
+                case Some(ft) => when(col(graft.operators.Het.typeTag) === t,
+                  lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
+                case None => acc
+              }
+            }
+          case _ => lit(null).cast(StringType)
+        }
+        graft.functions.ZvOps.castAny(expr(df, args.head), declaredC,
+          toC.cast(StringType))
       case "cast" if typedShaperCol(df, "cast", args).isDefined =>
         typedShaperCol(df, "cast", args).get
       case "cast" =>

@@ -19,7 +19,13 @@ object Lexer {
   case object PUNCT extends Kind
   case object EOF extends Kind
 
-  final case class Token(kind: Kind, text: String, pos: Int)
+  /** `end` is the SOURCE end offset — for escaped bare words (`A\=`) the
+    * token text is shorter than its source span, and search-glob
+    * adjacency must follow the source.
+    */
+  final case class Token(kind: Kind, text: String, pos: Int, endOpt: Int = -1) {
+    def end: Int = if (endOpt >= 0) endOpt else pos + text.length
+  }
 
   // longest-match-first punctuation/operators
   private val puncts = Seq(
@@ -154,7 +160,7 @@ object Lexer {
           else if (d.isLetterOrDigit || d == '_') { sb.append(d); i += 1 }
           else go = false
         }
-        out += Token(ID, sb.toString, start)
+        out += Token(ID, sb.toString, start, i)
       } else if (c == '/' && regexCanStart(out.result())) {
         // JS-style contextual regex literal: '/' starts a regex only where
         // a VALUE may begin (start, after an operator/open-paren/pipe)

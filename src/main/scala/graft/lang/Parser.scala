@@ -404,7 +404,7 @@ final class Parser(tokens: Vector[Token], source: String) {
     } else parseDottedName()
 
   private def adjacent(a: Token, b: Token): Boolean =
-    b.pos == a.pos + a.text.length && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&
+    b.pos == a.end && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&
       (b.kind == ID || b.kind == INT || b.kind == PUNCT)
 
   /** One search term: a glob (adjacent tokens containing `*`), else a

@@ -1209,7 +1209,12 @@ final class ZsonParser(s: String) {
       case "error" if peek == '(' =>
         i += 1
         val inner = value(); ws(); expect(')')
-        VErr(inner)
+        inner match {
+          // error(null(T)) IS the null value of type error(T): the error
+          // type's payload is null (quiet ztest prints null(error(string)))
+          case VNull(t) => VNull(ErrT(t))
+          case _ => VErr(inner)
+        }
       case "" => err(s"unexpected character '$peek'")
       case other => VStr(other)
     }

@@ -173,6 +173,11 @@ object ZsonIO {
       .map(_.metadata.getStringArray("shapes").toSeq)
       .getOrElse(Seq.empty)
 
+    // a this-only VARIANT frame renders each row from the boxed value —
+    // its per-row type is runtime data (e.g. a spread over unflatten),
+    // not a static shape list
+    if (fields.map(_.name) == Seq("this") && isVariantType(fields.head.dataType))
+      return df.select(zsonOf(col("this"), fields.head.dataType).as("value")).as[String]
     if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{"))) {
       // bare (non-record) value stream: the shape tag carries each row's
       // zed type — render type-aware (sets as |[…]|, ips bare, …)
@@ -213,11 +218,19 @@ object ZsonIO {
             .map { f => when(col(s"`${f.name}`").isNotNull, fieldFmt(f)) }
           Some(concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}")))
         case Some(_) if fields.exists(_.name == "this") =>
-          // bare (non-record) value stream row
+          // bare (non-record) value stream row; operator-added columns
+          // (e.g. a sibling branch's put) wrap into a record ONLY when
+          // one is non-null on this row — else the value stays bare
           val thisF = fields.find(_.name == "this").get
           val extras = fields.filterNot(f => f.name == "this" || inAnyShape(f.name))
           if (extras.isEmpty) Some(zsonOf(col("this"), thisF.dataType))
-          else Some(recordFmt(thisF +: extras))
+          else {
+            val anyExtra = extras.map(f => col(s"`${f.name}`").isNotNull).reduce(_ || _)
+            val withExtras = concat(lit("{"), concat_ws(",",
+              fieldFmt(thisF) +: extras.map(f =>
+                when(col(s"`${f.name}`").isNotNull, fieldFmt(f))): _*), lit("}"))
+            Some(when(anyExtra, withExtras).otherwise(zsonOf(col("this"), thisF.dataType)))
+          }
         case _ => None
       }
       fmt.map(c => when(col(het.typeTag) === t, c).otherwise(acc)).getOrElse(acc)
