@@ -2967,6 +2967,13 @@ final class Compiler(spark: SparkSession, dir: String) {
         val preds = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
           .toIndexedSeq.flatMap(f => walk(f.name, f.dataType))
         if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+      case "__typeval" =>
+        // a declared type name used as a VALUE: its canonical type text
+        // (typeof-style string carrier; writers/canon treat it as a type)
+        val raw = litStr(0)
+        lit(try graft.sources.ZType.fullText(
+            graft.sources.ZsonParser.parseType(raw))
+          catch { case _: Exception => raw })
       case "__glob" =>
         args.head match {
           case Expr.StringLit(p) => globSearch(df, p)

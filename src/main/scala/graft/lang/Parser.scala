@@ -880,6 +880,10 @@ final class Parser(tokens: Vector[Token], source: String) {
               case None => Expr.Call(name, args)
             }
           case name if consts.contains(name) => next(); consts(name)
+          case name if typeDefs.contains(name) && peekAt(1).text != ":" =>
+            // a declared type name in VALUE position is a type value
+            // (semantic ID resolution: consts, then types, then fields)
+            next(); Expr.Call("__typeval", Seq(Expr.StringLit(typeDefs(name))))
           case _ => next(); Expr.Path(Seq(t.text))
         }
       case PUNCT =>

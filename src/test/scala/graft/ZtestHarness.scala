@@ -76,22 +76,29 @@ object ZtestHarness {
       val df = spark.read
         .option("header", "true")
         .option("delimiter", delim)
+        .option("multiLine", "true") // quoted cells may span lines (read-big)
+        .option("escape", "\"") // RFC 4180 doubled-quote escaping
         .option("ignoreLeadingWhiteSpace", "true").option("ignoreTrailingWhiteSpace", "true")
         .csv(writeTemp(c.input, "in.csv")) // all strings; typed per CELL below
       val numRe = """-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"""
+      val boolRe = """true|false"""
       // zed's CSV reader types each cell independently: numbers are
-      // float64, the rest strings (zio/csvio/reader.go) — a column with
-      // both becomes a union
+      // float64, true/false bools, the rest strings (zio/csvio/reader.go)
+      // — a column with several kinds becomes a union
       val typed = df.select(df.schema.fields.toIndexedSeq.map { f =>
         val cRaw = col(s"`${f.name}`")
         val kinds = df.select(
           count(when(cRaw.rlike(s"^$numRe$$"), 1)).as("n"),
-          count(when(cRaw.isNotNull && !cRaw.rlike(s"^$numRe$$"), 1)).as("s")).collect()(0)
-        val (nNum, nStr) = (kinds.getLong(0), kinds.getLong(1))
-        if (nStr == 0 && nNum > 0) cRaw.cast("double").as(f.name)
-        else if (nNum == 0) cRaw.as(f.name)
+          count(when(cRaw.rlike(s"^$boolRe$$"), 1)).as("b"),
+          count(when(cRaw.isNotNull && !cRaw.rlike(s"^($numRe|$boolRe)$$"), 1)).as("s")).collect()(0)
+        val (nNum, nBool, nStr) = (kinds.getLong(0), kinds.getLong(1), kinds.getLong(2))
+        if (nStr == 0 && nBool == 0 && nNum > 0) cRaw.cast("double").as(f.name)
+        else if (nStr == 0 && nNum == 0 && nBool > 0) cRaw.cast("boolean").as(f.name)
+        else if (nNum == 0 && nBool == 0) cRaw.as(f.name)
         else when(cRaw.rlike(s"^$numRe$$"), het.variant(cRaw.cast("double"),
             org.apache.spark.sql.types.DoubleType))
+          .when(cRaw.rlike(s"^$boolRe$$"), het.variant(cRaw.cast("boolean"),
+            org.apache.spark.sql.types.BooleanType))
           .otherwise(het.variant(cRaw, org.apache.spark.sql.types.StringType))
           .as(f.name)
       }: _*)
