@@ -610,6 +610,219 @@ object ZngIO {
     case ZNamed(name, inner) => ZType.Named(name, zTypeOf(inner))
   }
 
+  private val primIdByName: Map[String, Int] = primNames.map(_.swap)
+
+  /** Inverse of zTypeOf: the wire type of a value-model type. */
+  private[sources] def toZT(t: ZType): ZT = t match {
+    case ZType.Prim(name) => ZPrim(primIdByName.getOrElse(name,
+      if (name == "decimal") ID_FLOAT64
+      else throw new IllegalArgumentException(s"zng: unsupported primitive $name")))
+    case ZType.Rec(fs) => ZRecord(fs.map { case (n, ft) => n -> toZT(ft) })
+    case ZType.Arr(e) => ZArray(toZT(e))
+    case ZType.SetT(e) => ZSet(toZT(e))
+    case ZType.MapT(k, v) => ZMap(toZT(k), toZT(v))
+    case ZType.Union(alts) => ZUnion(alts.map(toZT))
+    case ZType.EnumT(symbols) => ZEnum(symbols)
+    case ZType.ErrT(inner) => ZError(toZT(inner))
+    case ZType.Named(n, inner) => ZNamed(n, toZT(inner))
+  }
+
+  // ---- type VALUES (reference type.go AppendTypeValue; opcodes 30-38) ------
+
+  private[sources] def appendTypeValue(out: ByteArrayOutputStream, t: ZType,
+      defs: scala.collection.mutable.Map[String, ZType]): Unit = {
+    def counted(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); uvarint(out, b.length.toLong); out.write(b, 0, b.length)
+    }
+    t match {
+      case ZType.Named(name, inner) =>
+        val isRef = defs.get(name).contains(inner)
+        out.write(if (isRef) 38 else 37)
+        counted(name)
+        if (!isRef) { appendTypeValue(out, inner, defs); defs(name) = inner }
+      case ZType.Rec(fs) =>
+        out.write(30); uvarint(out, fs.length.toLong)
+        fs.foreach { case (n, ft) => counted(n); appendTypeValue(out, ft, defs) }
+      case ZType.Arr(e) => out.write(31); appendTypeValue(out, e, defs)
+      case ZType.SetT(e) => out.write(32); appendTypeValue(out, e, defs)
+      case ZType.MapT(k, v) =>
+        out.write(33); appendTypeValue(out, k, defs); appendTypeValue(out, v, defs)
+      case ZType.Union(alts) =>
+        out.write(34); uvarint(out, alts.length.toLong)
+        alts.foreach(appendTypeValue(out, _, defs))
+      case ZType.EnumT(symbols) =>
+        out.write(35); uvarint(out, symbols.length.toLong); symbols.foreach(counted)
+      case ZType.ErrT(inner) => out.write(36); appendTypeValue(out, inner, defs)
+      case ZType.Prim(name) =>
+        out.write(primIdByName.getOrElse(name, 29))
+    }
+  }
+
+  private[sources] def decodeTypeValue(c: Cursor,
+      defs: scala.collection.mutable.Map[String, ZType]): ZType = {
+    def counted(): String = { val n = c.uvarint().toInt; new String(c.bytes(n), "UTF-8") }
+    c.u8() match {
+      case 30 =>
+        val nf = c.uvarint().toInt
+        ZType.Rec((0 until nf).iterator.map(_ => counted() -> decodeTypeValue(c, defs)).toVector)
+      case 31 => ZType.Arr(decodeTypeValue(c, defs))
+      case 32 => ZType.SetT(decodeTypeValue(c, defs))
+      case 33 =>
+        val k = decodeTypeValue(c, defs); ZType.MapT(k, decodeTypeValue(c, defs))
+      case 34 =>
+        val na = c.uvarint().toInt
+        ZType.Union((0 until na).iterator.map(_ => decodeTypeValue(c, defs)).toVector)
+      case 35 =>
+        val ns = c.uvarint().toInt
+        ZType.EnumT((0 until ns).iterator.map(_ => counted()).toVector)
+      case 36 => ZType.ErrT(decodeTypeValue(c, defs))
+      case 37 =>
+        val name = counted(); val inner = decodeTypeValue(c, defs)
+        defs(name) = inner; ZType.Named(name, inner)
+      case 38 =>
+        val name = counted()
+        ZType.Named(name, defs.getOrElse(name, ZType.nullT))
+      case prim => ZType.Prim(primNames.getOrElse(prim, "null"))
+    }
+  }
+
+  // ---- typed VALUE encoder (full type system; used by VNG metadata) --------
+
+  /** Type table over wire types with every typedef opcode (zng spec §2.1). */
+  private[sources] final class ZtTable {
+    val defs = new ByteArrayOutputStream()
+    private var next = 30
+    private val ids = scala.collection.mutable.Map.empty[ZT, Int]
+    private def counted(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); uvarint(defs, b.length.toLong); defs.write(b, 0, b.length)
+    }
+    def idOf(t: ZT): Int = t match {
+      case ZPrim(id) => id
+      case _ => ids.getOrElseUpdate(t, define(t))
+    }
+    private def define(t: ZT): Int = {
+      val body: () => Unit = t match {
+        case ZRecord(fs) =>
+          val fids = fs.map(f => idOf(f._2))
+          () => {
+            defs.write(0x00); uvarint(defs, fs.length.toLong)
+            fs.zip(fids).foreach { case ((n, _), id) => counted(n); uvarint(defs, id.toLong) }
+          }
+        case ZArray(e) => val i = idOf(e); () => { defs.write(0x01); uvarint(defs, i.toLong) }
+        case ZSet(e) => val i = idOf(e); () => { defs.write(0x02); uvarint(defs, i.toLong) }
+        case ZMap(k, v) =>
+          val ki = idOf(k); val vi = idOf(v)
+          () => { defs.write(0x03); uvarint(defs, ki.toLong); uvarint(defs, vi.toLong) }
+        case ZUnion(alts) =>
+          val ais = alts.map(idOf)
+          () => { defs.write(0x04); uvarint(defs, alts.length.toLong); ais.foreach(i => uvarint(defs, i.toLong)) }
+        case ZEnum(symbols) =>
+          () => { defs.write(0x05); uvarint(defs, symbols.length.toLong); symbols.foreach(counted) }
+        case ZError(inner) => val i = idOf(inner); () => { defs.write(0x06); uvarint(defs, i.toLong) }
+        case ZNamed(name, inner) =>
+          val i = idOf(inner); () => { defs.write(0x07); counted(name); uvarint(defs, i.toLong) }
+        case ZPrim(id) => () => ()
+      }
+      body()
+      val id = next; next += 1; id
+    }
+  }
+
+  /** Encode one typed value's BODY (no outer tag) per its wire type. */
+  private[sources] def encodeZBody(out: ByteArrayOutputStream, v0: ZValue, t: ZT): Unit = {
+    import ZValue._
+    val v = v0 match { case VTyped(i, _) => i; case other => other }
+    (v, t) match {
+      case (_, ZNamed(_, inner)) => encodeZBody(out, v0, inner)
+      case (VInt(n, _), ZPrim(id)) =>
+        if (id <= 3) { // unsigned: little-endian minimal bytes
+          var x = n
+          while (x != 0) { out.write((x & 0xff).toInt); x >>>= 8 }
+        } else { val sb = signedBytes(n); out.write(sb, 0, sb.length) }
+      case (VUint64(n), _) =>
+        var x = n.toBigInt
+        while (x != 0) { out.write((x & 0xff).toInt); x >>= 8 }
+      case (VDur(ns), _) => out.write(signedBytes(ns), 0, signedBytes(ns).length)
+      case (VTime(ns), _) => out.write(signedBytes(ns), 0, signedBytes(ns).length)
+      case (VFloat(d, _), ZPrim(ID_FLOAT32)) =>
+        out.write(leBytes(java.lang.Float.floatToIntBits(d.toFloat).toLong & 0xffffffffL, 4), 0, 4)
+      case (VFloat(d, _), _) =>
+        out.write(leBytes(java.lang.Double.doubleToLongBits(d), 8), 0, 8)
+      case (VBool(b), _) => out.write(if (b) 1 else 0)
+      case (VStr(s), _) =>
+        val b = s.getBytes("UTF-8"); out.write(b, 0, b.length)
+      case (VBytes(b), _) => out.write(b, 0, b.length)
+      case (VIp(s), _) =>
+        val b = java.net.InetAddress.getByName(s).getAddress; out.write(b, 0, b.length)
+      case (VNet(s), _) =>
+        val slash = s.lastIndexOf('/')
+        val addr = java.net.InetAddress.getByName(s.substring(0, slash)).getAddress
+        val bits = s.substring(slash + 1).toInt
+        out.write(addr, 0, addr.length)
+        for (i <- addr.indices) {
+          val keep = math.max(0, math.min(8, bits - i * 8))
+          out.write(if (keep == 0) 0 else ((0xff << (8 - keep)) & 0xff))
+        }
+      case (VTypeVal(text), _) =>
+        val t2 = try new ZsonParser(text).parseTypeText() catch { case _: Exception => ZType.nullT }
+        appendTypeValue(out, t2, scala.collection.mutable.Map.empty)
+      case (VEnum(sym), ZEnum(symbols)) =>
+        val idx = math.max(0, symbols.indexOf(sym)).toLong
+        var x = idx; if (x == 0) () else { while (x != 0) { out.write((x & 0xff).toInt); x >>>= 8 } }
+      case (VRec(fs), ZRecord(fts)) =>
+        fts.foreach { case (n, ft) =>
+          encodeZTagged(out, fs.find(_._1 == n).map(_._2).getOrElse(VNull(ZType.nullT)), ft)
+        }
+      case (VArr(items, _), ZArray(et)) => items.foreach(encodeZTagged(out, _, et))
+      case (VArr(items, _), ZSet(et)) => items.foreach(encodeZTagged(out, _, et))
+      case (VMap(es), ZMap(kt, vt)) =>
+        es.foreach { case (k, x) => encodeZTagged(out, k, kt); encodeZTagged(out, x, vt) }
+      case (VErr(inner), ZError(it)) => encodeZTagged(out, inner, it)
+      case (_, ZUnion(alts)) =>
+        // member tag + tagged member value (§2.2.5); the member type is
+        // the ORIGINAL value's type unless that is the union itself
+        val declared = toZT(ZValue.typeOf(v0))
+        val memberT = if (declared == t) toZT(ZValue.typeOf(v)) else declared
+        val which = math.max(0, alts.indexWhere(_ == memberT))
+        encodeZTagged(out, VInt(which.toLong, "int64"), ZPrim(9))
+        encodeZTagged(out, v, alts(which))
+      case (other, _) =>
+        val b = ZValue.zsonText(other).getBytes("UTF-8"); out.write(b, 0, b.length)
+    }
+  }
+
+  private[sources] def encodeZTagged(out: ByteArrayOutputStream, v: ZValue, t: ZT): Unit = {
+    import ZValue._
+    v match {
+      case VNull(_) => out.write(0)
+      case VTyped(VNull(_), _) => out.write(0)
+      case _ =>
+        val body = new ByteArrayOutputStream()
+        encodeZBody(body, v, t)
+        uvarint(out, body.size() + 1L)
+        body.writeTo(out)
+    }
+  }
+
+  /** One self-contained ZNG stream of typed values (types frame, values
+    * frame, end-of-stream) — the encoder twin of decodeToZValues.
+    */
+  def encodeTypedStream(values: Seq[ZValue]): Array[Byte] = {
+    val table = new ZtTable
+    val body = new ByteArrayOutputStream()
+    values.foreach { v =>
+      val t = toZT(ZValue.typeOf(v))
+      val id = table.idOf(t)
+      uvarint(body, id.toLong)
+      encodeZTagged(body, v, t)
+    }
+    val out = new ByteArrayOutputStream()
+    if (table.defs.size() > 0) out.write(frame(0, table.defs.toByteArray))
+    out.write(frame(1, body.toByteArray))
+    out.write(0xff)
+    out.toByteArray
+  }
+
   /** IEEE 754 half-precision bits → double (primitive.go DecodeFloat16). */
   private[sources] def halfToDouble(bits: Int): Double = {
     val s = (bits >> 15) & 1; val e = (bits >> 10) & 0x1f; val m = bits & 0x3ff
@@ -625,7 +838,14 @@ object ZngIO {
     * produces for the same value, so zng file reads fuse into identical
     * frames as harness text reads.
     */
-  private[sources] def decodeZValue(c: Cursor, t: ZT): ZValue = {
+  private[sources] def decodeZValue(c: Cursor, t: ZT): ZValue =
+    decodeZValue(c, t, unionKeepsMember = false)
+
+  /** With `unionKeepsMember`, a union value decodes to its MEMBER's typed
+    * value (named types intact) instead of re-tagging with the union —
+    * what an unmarshaler of interface-valued fields needs (VNG metadata).
+    */
+  private[sources] def decodeZValue(c: Cursor, t: ZT, unionKeepsMember: Boolean): ZValue = {
     import ZValue._
     val tag = c.uvarint()
     if (tag == 0) return VNull(zTypeOf(t))
@@ -634,7 +854,7 @@ object ZngIO {
       case ZNamed(name, inner) =>
         c.pos -= sizeOfTag(tag)
         val nt = ZType.Named(name, zTypeOf(inner))
-        decodeZValue(c, inner) match {
+        decodeZValue(c, inner, unionKeepsMember) match {
           case VTyped(i, _) => VTyped(i, nt)
           case other => VTyped(other, nt)
         }
@@ -658,31 +878,34 @@ object ZngIO {
             val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
             VNet(ipText(addr) + "/" + leadingOnes(mask))
           case ID_NULL => VNull(ZType.Prim("null"))
+          case 28 => // type VALUE (type.go AppendTypeValue encoding)
+            val tv = decodeTypeValue(new Cursor(b, 0), scala.collection.mutable.Map.empty)
+            VTypeVal(ZType.fullText(tv))
           case other =>
             throw new IllegalArgumentException(
-              s"zng: primitive type id $other (decimal, type value) not supported")
+              s"zng: primitive type id $other (decimal) not supported")
         }
       case ZRecord(fields) =>
         val inner = new Cursor(c.bytes(n), 0)
-        VRec(fields.iterator.map { case (name, ft) => name -> decodeZValue(inner, ft) }.toVector)
+        VRec(fields.iterator.map { case (name, ft) => name -> decodeZValue(inner, ft, unionKeepsMember) }.toVector)
       case ZArray(et) =>
         val inner = new Cursor(c.bytes(n), 0)
         val items = Iterator.continually(())
-          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et)).toVector
+          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et, unionKeepsMember)).toVector
         if (items.isEmpty) VTyped(VArr(items, isSet = false), ZType.Arr(zTypeOf(et)))
         else VArr(items, isSet = false)
       case ZSet(et) =>
         val inner = new Cursor(c.bytes(n), 0)
         val items = Iterator.continually(())
-          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et)).toVector
+          .takeWhile(_ => !inner.done).map(_ => decodeZValue(inner, et, unionKeepsMember)).toVector
         if (items.isEmpty) VTyped(VArr(items, isSet = true), ZType.SetT(zTypeOf(et)))
         else VArr(ZValue.normSet(items), isSet = true)
       case ZMap(kt, vt) =>
         val inner = new Cursor(c.bytes(n), 0)
         val entries = Vector.newBuilder[(ZValue, ZValue)]
         while (!inner.done) {
-          val k = decodeZValue(inner, kt)
-          val v = decodeZValue(inner, vt)
+          val k = decodeZValue(inner, kt, unionKeepsMember)
+          val v = decodeZValue(inner, vt, unionKeepsMember)
           entries += (k -> v)
         }
         val es = entries.result()
@@ -694,13 +917,14 @@ object ZngIO {
           val t2 = inner.uvarint(); val m = (t2 - 1).toInt
           signedOf(inner.bytes(m)).toInt
         }
-        val member = decodeZValue(inner, alts(which))
-        VTyped(ZValue.unwrap(member), ZType.Union(alts.iterator.map(zTypeOf).toVector))
+        val member = decodeZValue(inner, alts(which), unionKeepsMember)
+        if (unionKeepsMember) member
+        else VTyped(ZValue.unwrap(member), ZType.Union(alts.iterator.map(zTypeOf).toVector))
       case ZEnum(symbols) =>
         val idx = unsignedOf(c.bytes(n)).toInt
         VTyped(VEnum(symbols(idx)), ZType.EnumT(symbols.toVector))
       case ZError(inner) =>
-        VErr(decodeZValue(new Cursor(c.bytes(n), 0), inner))
+        VErr(decodeZValue(new Cursor(c.bytes(n), 0), inner, unionKeepsMember))
     }
   }
 
@@ -767,7 +991,10 @@ object ZngIO {
     * streams) to typed values — one values frame buffered at a time
     * (frames are ~1 MiB), never the whole file's rows.
     */
-  def decodeToZValues(bytes: Array[Byte]): Iterator[ZValue] = new Iterator[ZValue] {
+  def decodeToZValues(bytes: Array[Byte]): Iterator[ZValue] =
+    decodeToZValues(bytes, unionKeepsMember = false)
+
+  private[sources] def decodeToZValues(bytes: Array[Byte], unionKeepsMember: Boolean): Iterator[ZValue] = new Iterator[ZValue] {
     private val c = new Cursor(bytes, 0)
     private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
     private var queue: Iterator[ZValue] = Iterator.empty
@@ -783,7 +1010,7 @@ object ZngIO {
             val out = Vector.newBuilder[ZValue]
             while (!vc.done) {
               val tid = vc.uvarint().toInt
-              out += decodeZValue(vc, typeOfId(tid))
+              out += decodeZValue(vc, typeOfId(tid), unionKeepsMember)
             }
             queue = out.result().iterator
           case (2, _) => // control frame: skip (spec allows)

@@ -25,20 +25,43 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.resolve("out").toString
   }
 
+  import graft.sources.{ZsonParser, ZValue}
+
+  private def vals(zson: String) = sources.ZsonParser.parseAll(zson).iterator
+
   test("header matches the v4 layout (magic, version, section sizes)") {
-    val schema = StructType(Seq(StructField("a", LongType)))
-    val bytes = VngIO.encodeObject(Iterator(Row(1L), Row(2L)), schema)
+    val bytes = VngIO.encodeObject(vals("{a:1}\n{a:2}"))
     assert(bytes(0) == 'V' && bytes(1) == 'N' && bytes(2) == 'G' && bytes(3) == 0)
     assert(bytes(4) == 4) // version 4, little-endian u32
-    val lines = VngIO.decodeToZson(bytes).toSeq
+    val lines = VngIO.decodeToZValues(bytes).map(ZValue.zsonText).toSeq
     assert(lines == Seq("{a:1}", "{a:2}"))
   }
 
+  test("metadata is the reference's zson-marshaled tree (named types, ZNG)") {
+    // vng/metadata.go + zson/marshal.go StyleSimple: the metadata section
+    // is ONE ZNG value whose record types are named Record/Field/Primitive/
+    // Segment — the layout a reference-written file carries
+    val bytes = VngIO.encodeObject(vals("{a:1,s:\"x\"}"))
+    def leLong(off: Int, n: Int): Long =
+      (0 until n).map(i => (bytes(off + i) & 0xffL) << (8 * i)).sum
+    val metaBytes = java.util.Arrays.copyOfRange(bytes, 24, 24 + leLong(8, 8).toInt)
+    val meta = sources.ZngIO.decodeToZValues(metaBytes).toSeq.head
+    val t = sources.ZType.fullText(ZValue.typeOf(meta))
+    assert(t.startsWith("Record="), t)
+    assert(t.contains("Field=") && t.contains("Primitive=") && t.contains("Segment="), t)
+    assert(t.contains("Offset:uint64") && t.contains("CompressionFormat:uint8"), t)
+  }
+
   test("null runs RLE-encode and round-trip") {
-    val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
-    val rows = Iterator(Row(null, "x"), Row(2L, null), Row(null, null), Row(4L, "y"))
-    val lines = VngIO.decodeToZson(VngIO.encodeObject(rows, schema)).toSeq
+    val rows = vals("{a:null(int64),s:\"x\"}\n{a:2,s:null(string)}\n{a:null(int64),s:null(string)}\n{a:4,s:\"y\"}")
+    val lines = VngIO.decodeToZValues(VngIO.encodeObject(rows)).map(ZValue.zsonText).toSeq
     assert(lines == Seq("""{a:null,s:"x"}""", "{a:2,s:null}", "{a:null,s:null}", """{a:4,s:"y"}"""))
+  }
+
+  test("heterogeneous streams use a Dynamic root; unions/errors survive") {
+    val input = "{a:1}\n\"bare\"\n{a:2}\n{u:1((int64,string))}\n{e:error(\"boom\")}"
+    val lines = VngIO.decodeToZValues(VngIO.encodeObject(vals(input))).map(ZValue.zsonText).toSeq
+    assert(lines == Seq("{a:1}", "\"bare\"", "{a:2}", "{u:1}", "{e:error(\"boom\")}"))
   }
 
   test("round-trips real tables with nested structs and arrays") {
