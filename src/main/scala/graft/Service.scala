@@ -86,12 +86,99 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
       val df = Graft.query(spark, params.getOrElse("dir", defaultDir), body)
       val id = Lake.load(df, root, pool,
         params.getOrElse("author", "service"), params.getOrElse("message", ""))
+      event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
       (200, s"""{commit:"$id",pool:"$pool"}""" + "\n")
     })
     server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
+    // pool/branch CRUD (service/core.go:171-206 pool-create/-delete,
+    // branch-create endpoints)
+    server.createContext("/pool", handler { ex =>
+      val params = query(ex)
+      val root = params.getOrElse("root", "/tmp/graft_lake")
+      val name = params.getOrElse("name",
+        throw new IllegalArgumentException("name parameter required"))
+      ex.getRequestMethod match {
+        case "POST" =>
+          Lake.create(root, name)
+          event(s"""{kind:"pool-create",pool:"${Service.esc(name)}"}""")
+          (200, s"""{pool:"${Service.esc(name)}",created:true}""" + "\n")
+        case "DELETE" =>
+          Lake.drop(root, name)
+          event(s"""{kind:"pool-delete",pool:"${Service.esc(name)}"}""")
+          (200, s"""{pool:"${Service.esc(name)}",deleted:true}""" + "\n")
+        case other => (405, s"""{error:"method $other not allowed"}""" + "\n")
+      }
+    })
+    server.createContext("/branch", handler { ex =>
+      val params = query(ex)
+      val root = params.getOrElse("root", "/tmp/graft_lake")
+      val pool = params.getOrElse("pool",
+        throw new IllegalArgumentException("pool parameter required"))
+      ex.getRequestMethod match {
+        case "POST" =>
+          val name = params.getOrElse("name",
+            throw new IllegalArgumentException("name parameter required"))
+          Lake.branch(root, pool, name, params.get("at"))
+          event(s"""{kind:"branch-create",pool:"${Service.esc(pool)}",branch:"${Service.esc(name)}"}""")
+          (200, s"""{pool:"${Service.esc(pool)}",branch:"${Service.esc(name)}"}""" + "\n")
+        case _ =>
+          (200, Lake.branches(root, pool)
+            .map(b => s"""{branch:"${Service.esc(b)}"}""").mkString("", "\n", "\n"))
+      }
+    })
+    // lake maintenance (cmd/super/db/{merge,revert,compact,vacuum})
+    server.createContext("/merge", handler { ex =>
+      val p = query(ex)
+      val merged = Lake.merge(p.getOrElse("root", "/tmp/graft_lake"),
+        p("pool"), p("branch"), p.getOrElse("into", "main"))
+      (200, s"""{merged:${merged.length}}""" + "\n")
+    })
+    server.createContext("/revert", handler { ex =>
+      val p = query(ex)
+      Lake.revert(p.getOrElse("root", "/tmp/graft_lake"), p("pool"),
+        p("commit"), p.getOrElse("branch", "main"))
+      (200, s"""{reverted:"${Service.esc(p("commit"))}"}""" + "\n")
+    })
+    server.createContext("/compact", handler { ex =>
+      val p = query(ex)
+      val id = Lake.compact(spark, p.getOrElse("root", "/tmp/graft_lake"),
+        p("pool"), p.getOrElse("branch", "main"))
+      (200, s"""{compacted:"$id"}""" + "\n")
+    })
+    server.createContext("/vacuum", handler { ex =>
+      val p = query(ex)
+      val removed = Lake.vacuum(p.getOrElse("root", "/tmp/graft_lake"), p("pool"))
+      (200, s"""{vacuumed:${removed.length}}""" + "\n")
+    })
+    // GET /events[?since=N] — server-sent events of lake activity
+    // (service/core.go /events SSE). Replays the retained log from
+    // `since` and closes; a long-poll client re-connects with its last id.
+    server.createContext("/events", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val since = query(ex).getOrElse("since", "0").toLong
+        ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        events.synchronized {
+          events.foreach { case (id, data) =>
+            if (id > since)
+              os.write(s"id: $id\nevent: lake\ndata: $data\n\n".getBytes(StandardCharsets.UTF_8))
+          }
+        }
+        os.close()
+      }
+    })
     server.setExecutor(null) // serial — Spark parallelizes inside each query
     server.start()
     server.getAddress.getPort
+  }
+
+  // bounded in-memory event log feeding /events (SSE)
+  private val events = scala.collection.mutable.ArrayDeque.empty[(Long, String)]
+  private val eventSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def event(data: String): Unit = events.synchronized {
+    events.append((eventSeq.incrementAndGet(), data))
+    if (events.length > 1000) events.removeHead(): Unit
   }
 
   def stop(): Unit = if (server != null) server.stop(0)

@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  /** Read any supported file/directory, auto-detecting the format.
-    * A .gz suffix is transparent (anyio/gzip.go): text sources
-    * decompress via the Hadoop codecs, binary readers by magic.
+  /** Read any supported file/directory/URI, auto-detecting the format.
+    * http(s) URIs fetch to a local spool first (zio/anyio/file.go: the
+    * reference's `from`/`get` accept URIs). Extensions route directly;
+    * anything else is sniffed by CONTENT (anyio/reader.go tries each
+    * reader on a tracked prefix — here: magic bytes, then text probes).
+    * A .gz suffix is transparent (anyio/gzip.go).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path0: String): DataFrame = {
+    val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
+      fetchUri(path0) else path0
     val lower0 = path.toLowerCase
     val lower = if (lower0.endsWith(".gz")) lower0.dropRight(3) else lower0
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
@@ -41,7 +46,106 @@ object Formats {
       ArrowIO.read(spark, path)
     else if (lower.endsWith(".txt") || lower.endsWith(".line"))
       spark.read.text(path) // `line` format: one string value per line
-    else spark.read.parquet(path) // default (the engine's native storage)
+    else sniff(spark, path) match {
+      case "parquet" => spark.read.parquet(path)
+      case "vng" => VngIO.read(spark, path)
+      case "zng" => ZngIO.read(spark, path)
+      case "arrows" => ArrowIO.read(spark, path)
+      case "zeek" => ZeekIO.read(spark, path)
+      case "zjson" => ZjsonIO.read(spark, path)
+      case "json" => spark.read.json(path)
+      case "zson" => ZsonIO.read(spark, path)
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case _ => spark.read.text(path)
+    }
+  }
+
+  /** Content-based format detection on the head bytes of the first file
+    * (anyio/reader.go order: binary magics first, then text probes).
+    */
+  private[sources] def sniff(spark: SparkSession, path: String): String = {
+    val head = headBytes(spark, path)
+    sniffBytes(Gzip.maybeGunzip(head))
+  }
+
+  private[graft] def sniffBytes(head0: Array[Byte]): String = {
+    val head = head0
+    def startsWith(magic: Array[Byte]): Boolean =
+      head.length >= magic.length && magic.indices.forall(i => head(i) == magic(i))
+    if (startsWith("PAR1".getBytes)) return "parquet"
+    if (startsWith(Array[Byte]('V', 'N', 'G', 0))) return "vng"
+    if (startsWith("ARROW1".getBytes)) return "arrows"
+    if (head.length >= 4 && head(0) == -1 && head(1) == -1 && head(2) == -1 && head(3) == -1)
+      return "arrows" // IPC stream continuation marker
+    val text = new String(head, java.nio.charset.StandardCharsets.UTF_8)
+    val firstLine = text.linesIterator.find(_.trim.nonEmpty).getOrElse("")
+    if (firstLine.startsWith("#separator") || firstLine.startsWith("#fields")) return "zeek"
+    if (firstLine.startsWith("{\"type\":")) return "zjson"
+    // ZNG: binary content opening with a well-formed types/values frame
+    // header (zngio probe on the tracked prefix)
+    val isBinary = head.exists(b => b >= 0 && b < 0x09)
+    if (isBinary && head.length >= 2 && (head(0) & 0x80) == 0 &&
+        (((head(0) >> 4) & 3) == 0 || ((head(0) >> 4) & 3) == 1))
+      return "zng"
+    // ZSON vs JSON vs CSV: try the typed parser on the first value
+    if (firstLine.nonEmpty) {
+      val isJsonish = firstLine.startsWith("{") || firstLine.startsWith("[")
+      try {
+        ZsonParser.parseAll(firstLine)
+        // plain JSON is a zson subset; prefer Spark's distributed JSON
+        // reader when the text is strict JSON
+        if (isJsonish) {
+          try {
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
+            return "json"
+          } catch { case _: Exception => return "zson" }
+        }
+        return "zson"
+      } catch { case _: Exception => }
+      if (firstLine.contains(",")) return "csv"
+    }
+    "line"
+  }
+
+  private def headBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .sortBy(_.getName).headOption.getOrElse(p)
+      else p
+    val in = fs.open(file)
+    try {
+      val buf = new Array[Byte](8192)
+      var n = 0
+      var r = 0
+      while (n < buf.length && { r = in.read(buf, n, buf.length - n); r > 0 }) n += r
+      java.util.Arrays.copyOf(buf, n)
+    } finally in.close()
+  }
+
+  /** Fetch an http(s) URI to a local spool file (driver-side; the file
+    * then distributes through the normal readers). The spool name keeps
+    * the URI's extension so direct routing still applies.
+    */
+  private def fetchUri(uri: String): String = {
+    val name = uri.substring(uri.lastIndexOf('/') + 1)
+    val ext = name.lastIndexOf('.') match {
+      case i if i >= 0 => name.substring(i)
+      case _ => ""
+    }
+    val spool = java.nio.file.Files.createTempFile("graft-get-", ext)
+    val conn = new java.net.URL(uri).openConnection()
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    val in = conn.getInputStream
+    try java.nio.file.Files.copy(in, spool,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    spool.toFile.deleteOnExit()
+    spool.toString
   }
 
   def write(df: DataFrame, path: String, format: String): Unit = format match {

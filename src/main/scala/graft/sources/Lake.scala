@@ -139,6 +139,84 @@ object Lake {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
+  /** `merge <branch>` — fold a branch's commits into its parent
+    * (lake/root.go MergeBranch; cmd/super/db/merge): the child's data
+    * objects become visible on the parent via new journal records over
+    * the SAME data (no data movement), then the branch ref stays for
+    * history like the reference's fast-forward.
+    */
+  def merge(root: String, pool: String, branch: String, parent: String = "main"): Seq[String] = {
+    require(exists(root, pool), s"no such pool: $pool")
+    val all = commits(root, pool)
+    val childCommits = all.filter(c => c.kind == "commit" && c.branch == branch)
+    val childDeletes = all.filter(c => c.kind == "delete" && c.branch == branch)
+    childCommits.foreach { c =>
+      appendRec(root, pool,
+        s"""{"id":"${c.id}","kind":"commit","branch":"$parent","author":"${c.author}","message":"merge $branch: ${c.message}","ts":${System.currentTimeMillis()}}""")
+    }
+    childDeletes.foreach { d =>
+      appendRec(root, pool,
+        s"""{"id":"${d.id}","kind":"delete","branch":"$parent","target":"${d.target}","ts":${System.currentTimeMillis()}}""")
+    }
+    childCommits.map(_.id)
+  }
+
+  /** `revert <commit>` — a NEW commit that undoes a previous one
+    * (cmd/super/db/revert): reverting a data commit deletes its object
+    * from the live set; reverting a delete restores the object. History
+    * stays intact either way.
+    */
+  def revert(root: String, pool: String, commitId: String, branch: String = "main"): Unit = {
+    require(exists(root, pool), s"no such pool: $pool")
+    val all = commits(root, pool)
+    val target = all.find(_.id == commitId).getOrElse(
+      throw new IllegalArgumentException(s"no such commit: $commitId"))
+    target.kind match {
+      case "commit" => delete(root, pool, commitId, branch)
+      case "delete" =>
+        // restore: re-commit the deleted object's id on this branch
+        appendRec(root, pool,
+          s"""{"id":"${target.target}","kind":"commit","branch":"$branch","author":"revert","message":"revert $commitId","ts":${System.currentTimeMillis()}}""")
+      case other => throw new IllegalArgumentException(s"cannot revert a $other record")
+    }
+  }
+
+  /** `compact` — rewrite the branch's live objects into ONE object
+    * (cmd/super/db/compact): a distributed read+write, then the old
+    * objects leave the live set (still reachable by time travel until
+    * vacuum).
+    */
+  def compact(spark: SparkSession, root: String, pool: String,
+              branch: String = "main"): String = {
+    val df = scan(spark, root, pool, Some(branch))
+    val all = commits(root, pool)
+    val deleted = all.filter(_.kind == "delete").map(_.target).toSet
+    val old = all.filter(c => c.kind == "commit" && c.branch == branch && !deleted(c.id))
+    val id = load(df, root, pool, "compact", s"compact ${old.length} objects", branch)
+    old.foreach(c => delete(root, pool, c.id, branch))
+    id
+  }
+
+  /** `vacuum` — physically remove data objects no LIVE commit on any
+    * branch references (cmd/super/db/vacuum): reclaims space and gives up
+    * time travel to the removed objects, exactly like the reference.
+    */
+  def vacuum(root: String, pool: String): Seq[String] = {
+    require(exists(root, pool), s"no such pool: $pool")
+    val all = commits(root, pool)
+    val deleted = all.filter(_.kind == "delete").map(_.target).toSet
+    val live = all.filter(c => c.kind == "commit" && !deleted(c.id)).map(_.id).toSet
+    val dataDir = poolDir(root, pool).resolve("data")
+    val removed = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live(f.getName))
+      .map { f => org.apache.commons.io.FileUtils.deleteQuietly(f); f.getName }
+    removed.toSeq
+  }
+
+  /** Drop a pool entirely (service DELETE /pool). */
+  def drop(root: String, pool: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(poolDir(root, pool).toFile): Unit
+
   /** `mirror` — copy the stream to a mirror sink while passing it through
     * (runtime/sam/op/mirror/mirror.go; multi-output graphs mux.go). The
     * shared plan is computed once per action; for expensive upstreams the

@@ -80,4 +80,66 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (code, body) = get("/status")
     assert(code == 200 && body.contains("ok"))
   }
+
+  private def delete(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .DELETE().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("pool/branch CRUD + SSE events (service/core.go:171-206)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svc-crud").toString
+    val enc = java.net.URLEncoder.encode(root, "UTF-8")
+    assert(post(s"/pool?root=$enc&name=crud", "")._1 == 200)
+    assert(get(s"/pools?root=$enc")._2.contains("crud"))
+    val (lc, _) = post(s"/load?root=$enc&pool=crud", "from region")
+    assert(lc == 200)
+    assert(post(s"/branch?root=$enc&pool=crud&name=dev", "")._1 == 200)
+    val (_, branches) = get(s"/branch?root=$enc&pool=crud")
+    assert(branches.contains("main") && branches.contains("dev"))
+    // SSE: the event stream replays pool-create, commit, branch-create
+    val (ec, events) = get("/events")
+    assert(ec == 200)
+    assert(events.contains("event: lake") && events.contains("pool-create") &&
+      events.contains("branch-create") && events.contains("\"commit\"") || events.contains("kind:\"commit\""))
+    // incremental re-poll from the last id sees nothing new
+    val lastId = events.linesIterator.filter(_.startsWith("id: "))
+      .map(_.drop(4).trim.toLong).max
+    assert(get(s"/events?since=$lastId")._2.trim.isEmpty)
+    // delete the pool
+    assert(delete(s"/pool?root=$enc&name=crud")._1 == 200)
+    assert(!get(s"/pools?root=$enc")._2.contains("crud"))
+  }
+
+  test("merge/revert/compact/vacuum maintain the pool (cmd/super/db)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-svc-maint").toString
+    val enc = java.net.URLEncoder.encode(root, "UTF-8")
+    // two commits on main
+    assert(post(s"/load?root=$enc&pool=p", "from region | head 3")._1 == 200)
+    assert(post(s"/load?root=$enc&pool=p", "from region | tail 2")._1 == 200)
+    assert(graft.sources.Lake.scan(spark, root, "p").count() == 5)
+    // branch with its own commit, then merge into main
+    assert(post(s"/branch?root=$enc&pool=p&name=fix", "")._1 == 200)
+    // commit on the branch via the lake API (the load endpoint targets main)
+    graft.sources.Lake.load(
+      graft.lang.Graft.query(spark, "/root/testdata/sf0.001", "from nation | head 1"),
+      root, "p", "t", "", "fix")
+    val before = graft.sources.Lake.scan(spark, root, "p").count()
+    assert(post(s"/merge?root=$enc&pool=p&branch=fix", "")._1 == 200)
+    assert(graft.sources.Lake.scan(spark, root, "p").count() > before)
+    // compact main to one object, then vacuum the old ones away
+    val (cc, cbody) = post(s"/compact?root=$enc&pool=p", "")
+    assert(cc == 200 && cbody.contains("compacted"))
+    val total = graft.sources.Lake.scan(spark, root, "p").count()
+    val (vc, vbody) = post(s"/vacuum?root=$enc&pool=p", "")
+    assert(vc == 200 && vbody.contains("vacuumed"))
+    assert(graft.sources.Lake.scan(spark, root, "p").count() == total)
+    // revert the compaction commit: the live set empties (everything else
+    // was already deleted by compact)
+    val compacted = graft.sources.Lake.commits(root, "p")
+      .filter(_.kind == "commit").last.id
+    assert(post(s"/revert?root=$enc&pool=p&commit=$compacted", "")._1 == 200)
+    intercept[Exception] { graft.sources.Lake.scan(spark, root, "p").count() }
+  }
 }

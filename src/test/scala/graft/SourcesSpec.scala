@@ -218,4 +218,47 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == region.count())
     assert(mirrored == region.count())
   }
+
+  test("content sniffing reads misnamed files by their bytes (anyio/reader.go)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sniff")
+    // a ZSON file with NO extension
+    val zsonFile = dir.resolve("data")
+    java.nio.file.Files.writeString(zsonFile, "{a:1,ip:10.0.0.1}\n{a:2,ip:10.0.0.2}\n")
+    val back = Formats.read(spark, zsonFile.toString)
+    assert(back.count() == 2)
+    // a zeek log with no extension
+    val zeekFile = dir.resolve("log")
+    java.nio.file.Files.writeString(zeekFile,
+      "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n#unset_field\t-\n" +
+        "#fields\ts\n#types\tstring\nfoo\nbar\n")
+    assert(Formats.read(spark, zeekFile.toString).count() == 2)
+    // magic-byte formats
+    assert(Formats.sniffBytes("PAR1xxxx".getBytes) == "parquet")
+    assert(Formats.sniffBytes(Array[Byte]('V', 'N', 'G', 0, 4)) == "vng")
+    assert(Formats.sniffBytes("""{"type":{"kind":"record"}}""".getBytes) == "zjson")
+    assert(Formats.sniffBytes("""{"a": 1, "b": "x"}""".getBytes) == "json")
+    assert(Formats.sniffBytes("a,b,c\n1,2,3\n".getBytes) == "csv")
+  }
+
+  test("get fetches http URIs (local server; zio/anyio file.go URI sources)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "{n:1}\n{n:2}\n{n:3}\n".getBytes("UTF-8")
+    server.createContext("/data.zson", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.zson"
+      val df = Formats.read(spark, url)
+      assert(df.count() == 3)
+      // through the language frontend too: get "<uri>"
+      val viaLang = graft.lang.Graft.queryOn(
+        GraftSession.table(spark, "/root/testdata/sf0.001", "region"),
+        s"""get "$url" | summarize s:=sum(n)""")
+      assert(viaLang.collect()(0).getLong(0) == 6L)
+    } finally server.stop(0)
+  }
 }
