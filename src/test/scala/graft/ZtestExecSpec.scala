@@ -13,8 +13,8 @@ import org.scalatest.BeforeAndAfterAll
   * typed nulls, unions and per-row shapes do NOT (they must be produced).
   *
   * The floor pins the measured pass count so semantic regressions fail CI.
-  * Remainder: exact error payloads for every builtin, zjson output ids,
-  * sub-ns time formatting, multi-level lateral re-aggregation.
+  * Remainder (3): same-name redefined named types inside one value,
+  * top-level typed-null records, map keys distinct only by type.
   */
 class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -22,7 +22,7 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("at least 435 reference golden tests pass end-to-end") {
+  test("at least 465 reference golden tests pass end-to-end") {
     spark.sparkContext.setLogLevel("ERROR")
     val cases = ZtestHarness.extractCases()
     assert(cases.length > 450, s"corpus extraction looks broken: ${cases.length}")
@@ -33,6 +33,6 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       } catch { case _: Exception => }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
-    assert(pass >= 435, s"golden-test pass count regressed to $pass")
+    assert(pass >= 465, s"golden-test pass count regressed to $pass")
   }
 }
