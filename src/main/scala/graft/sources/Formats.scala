@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * through ZsonIO.
   *
   * Writers add zed's text output surface: `zson`, `text` (tab-separated
-  * values), and `table` (aligned columns, header row). Table/text
-  * formatting is expression-based (codegen) with a single width-computing
-  * aggregation pass for `table` — no driver-side row formatting.
+  * values), and `table` (aligned columns, header row). `text` formats
+  * distributed; `table` alignment is inherently sequential (widths are
+  * per-block maxima) so rows pass the driver one block at a time,
+  * spooled to disk — human-facing output, not a data path.
   */
 object Formats {
 

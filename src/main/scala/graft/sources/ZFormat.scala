@@ -454,12 +454,18 @@ object ZFormat {
 
   /** Header + aligned columns; a new header per flattened-type change, Go
     * tabwriter alignment (width = block max + 1, last column unpadded).
-    * Buffers one block at a time on the driver — the same trade the
-    * reference's tabwriter makes; the block cap bounds memory.
+    * Alignment is inherently sequential (widths = block maxima), so rows
+    * pass the driver — but memory stays ONE block (cap 1000 rows): each
+    * flushed block spools to local disk and the result re-reads as a
+    * distributed text scan. Human-facing format; not a data path.
     */
   def tableLines(df: DataFrame): Dataset[String] = {
     val fn = rowValueFn(df.schema)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val spool = java.nio.file.Files.createTempFile("graft-table-", ".txt")
+    spool.toFile.deleteOnExit()
+    val sink = java.nio.file.Files.newBufferedWriter(spool,
+      java.nio.charset.StandardCharsets.UTF_8)
+    def emit(s: String): Unit = { sink.write(s); sink.write('\n') }
     var block = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
     var blockType: Vector[(String, String)] = null // (name, ztype text)
 
@@ -473,7 +479,7 @@ object ZFormat {
         val line = r.zipWithIndex.map { case (cell, i) =>
           if (i == r.length - 1) cell else cell.padTo(widths(i) + 1, ' ')
         }.mkString
-        out += line.replaceAll("\\s+$", "")
+        emit(line.replaceAll("\\s+$", ""))
       }
       block = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
     }
@@ -498,8 +504,9 @@ object ZFormat {
       }
     }
     flushBlock()
+    sink.close()
     import df.sparkSession.implicits._
-    df.sparkSession.createDataset(out.toSeq)
+    df.sparkSession.read.textFile(spool.toString)
   }
 
   // ---- zeek writer (zio/zeekio/writer.go) ----------------------------------

@@ -233,6 +233,92 @@ object ZeekIO {
     text(root)
   }
 
+  // ---- row-level typed decode (the interleaved-directive path) -------------
+
+  /** One zeek cell → typed value (format.go value syntax, executor-side). */
+  private def cellValue(raw0: String, zeekType: String, h: Header): ZValue = {
+    import ZValue._
+    val zt = try ZsonParser.parseType(zedTypeText(zeekType))
+             catch { case _: Exception => ZType.Prim("string") }
+    if (raw0 == h.unset) return VNull(zt)
+    def epochNs(s: String): Long = {
+      val neg = s.startsWith("-")
+      val body = if (neg) s.drop(1) else s
+      val dot = body.indexOf('.')
+      val (sec, frac) = if (dot < 0) (body, "") else (body.substring(0, dot), body.substring(dot + 1))
+      val ns = BigInt(if (sec.isEmpty) "0" else sec) * 1000000000L +
+        BigInt((frac + "000000000").take(9))
+      val v = if (neg) -ns else ns
+      v.toLong
+    }
+    zeekType match {
+      case "time" => VTime(epochNs(raw0))
+      case "interval" => VDur(epochNs(raw0))
+      case "count" => VUint64(BigDecimal(raw0))
+      case "int" => VInt(raw0.toLong, "int64")
+      case "port" => VTyped(VInt(raw0.toLong, "uint16"), ZType.Named("port", ZType.Prim("uint16")))
+      case "double" => VFloat(raw0.toDouble, "float64")
+      case "bool" => VBool(raw0 == "T")
+      case "addr" => VIp(raw0)
+      case "subnet" => ZValue.netOf(raw0)
+      case t if t.startsWith("set[") || t.startsWith("vector[") =>
+        val inner = t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+        val isSet = t.startsWith("set[")
+        if (raw0 == h.empty) VTyped(VArr(Vector.empty, isSet), zt)
+        else {
+          val items = raw0.split(java.util.regex.Pattern.quote(h.setSeparator), -1)
+            .toVector.map(c => cellValue(c, inner, h))
+          VArr(if (isSet) ZValue.normSet(items) else items, isSet)
+        }
+      case _ => VStr(unescapeZeek(raw0))
+    }
+  }
+
+  /** One data line → typed record (dotted #fields nest — reader.go). */
+  private def lineValue(line: String, h: Header): ZValue = {
+    import ZValue._
+    val cells = line.split(java.util.regex.Pattern.quote(h.separator), -1)
+    sealed trait N
+    final case class Leaf(v: ZValue) extends N
+    final case class Node(fs: scala.collection.mutable.LinkedHashMap[String, N]) extends N
+    val root = Node(scala.collection.mutable.LinkedHashMap.empty)
+    def insert(node: Node, parts: List[String], v: ZValue): Unit = parts match {
+      case last :: Nil => node.fs(last) = Leaf(v)
+      case head :: rest =>
+        val child = node.fs.getOrElseUpdate(head,
+          Node(scala.collection.mutable.LinkedHashMap.empty)) match {
+          case n: Node => n
+          case _ => val n = Node(scala.collection.mutable.LinkedHashMap.empty); node.fs(head) = n; n
+        }
+        insert(child, rest, v)
+      case Nil =>
+    }
+    if (h.path.isDefined && !h.fields.contains("_path"))
+      root.fs("_path") = Leaf(VStr(h.path.get))
+    h.fields.zip(h.types).zipWithIndex.foreach { case ((f, t), i) =>
+      val raw = if (i < cells.length) cells(i) else h.unset
+      insert(root, f.split('.').toList, cellValue(raw, t, h))
+    }
+    def build(n: N): ZValue = n match {
+      case Leaf(v) => v
+      case Node(fs) => VRec(fs.toVector.map { case (k, v) => k -> build(v) })
+    }
+    build(root)
+  }
+
+  /** Segment an interleaved-directive zeek TEXT into typed values —
+    * cumulative directive state is per-FILE (parser.go), so a file is the
+    * parallelism unit; runs on the executor that holds the file bytes.
+    */
+  private[sources] def interleavedValues(text: String): Iterator[ZValue] = {
+    val st = new DirectiveState
+    text.linesIterator.flatMap { l =>
+      if (l.startsWith("#")) { st.update(l); Iterator.empty }
+      else if (l.isEmpty) Iterator.empty
+      else Iterator.single(lineValue(l, st.header))
+    }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
@@ -246,33 +332,17 @@ object ZeekIO {
       decodeBlock(spark, h, data)
     } else {
       // directives interleave with data (schema/path changes mid-stream —
-      // zeekio parser.go keeps cumulative state). Driver-side
-      // segmentation: such files are header-delimited test/interchange
-      // artifacts; the bulk 100 TB path is single-header per file.
-      val all = lines.collect().toSeq
-      val st = new DirectiveState
-      val blocks = Vector.newBuilder[(Header, Vector[String])]
-      var data = Vector.empty[String]
-      var current: Option[Header] = None
-      def flush(): Unit = { current.foreach(h => if (data.nonEmpty) blocks += ((h, data))); data = Vector.empty }
-      for (l <- all) {
-        if (l.startsWith("#")) {
-          if (data.nonEmpty) { flush(); current = None }
-          st.update(l)
-        } else if (l.nonEmpty) {
-          if (current.isEmpty) current = Some(st.header)
-          data :+= l
-        }
-      }
-      flush()
-      // re-ingest through the typed value model so conflicting column
-      // types across blocks become variant columns with per-row shapes
-      val values = blocks.result().flatMap { case (h, d) =>
-        val df = decodeBlock(spark, h, spark.createDataset(d))
-        val fn = ZFormat.rowValueFn(df.schema)
-        df.collect().toIndexedSeq.map(fn)
-      }
-      ZsonReader.fromValues(spark, values, tag = true)
+      // zeekio parser.go keeps cumulative state). A file is the
+      // parallelism unit: rows decode EXECUTOR-side through the value
+      // model, one task per file, fused by the two-pass shape discovery —
+      // no driver materialization (concatenated multi-schema zeek streams
+      // are common in the wild).
+      val rdd = spark.read.format("binaryFile").load(
+          if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+        .select("content").as[Array[Byte]].rdd
+        .flatMap(bytes => interleavedValues(
+          new String(Gzip.maybeGunzip(bytes), java.nio.charset.StandardCharsets.UTF_8)))
+      ZsonReader.fromRDD(spark, rdd)
     }
   }
 
