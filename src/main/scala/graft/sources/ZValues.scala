@@ -98,19 +98,26 @@ object ZType {
     case (x, y) => unify(x, y)
   }
 
-  def unify(a: ZType, b: ZType): ZType = (strip(a), strip(b)) match {
-    case (x, y) if x == y => x
-    case (Prim("null"), y) => y
-    case (x, Prim("null")) => x
-    // zed containers never merge record types — distinct element types
-    // form a union (complex.go LookupTypeUnion); only identical types
-    // and untyped nulls collapse
-    case (Arr(x), Arr(y)) => Arr(unify(x, y))
-    case (SetT(x), SetT(y)) => SetT(unify(x, y))
-    case (Union(xs), Union(ys)) => mkUnion(xs ++ ys)
-    case (Union(xs), y) => mkUnion(xs :+ y)
-    case (x, Union(ys)) => mkUnion(x +: ys)
-    case (x, y) => mkUnion(Vector(x, y))
+  def unify(a: ZType, b: ZType): ZType = {
+    if (a == b) return a
+    (a, b) match {
+      case (Prim("null"), y) => y
+      case (x, Prim("null")) => x
+      // zed containers never merge record types — distinct element types
+      // form a union (complex.go LookupTypeUnion); only identical types
+      // and untyped nulls collapse. NAMED types stay distinct even under
+      // one name bound to different bodies (redefined-named-types ztest:
+      // the union keeps both `foo=` alternatives).
+      case (Arr(x), Arr(y)) => Arr(unify(x, y))
+      case (SetT(x), SetT(y)) => SetT(unify(x, y))
+      case (Union(xs), Union(ys)) => mkUnion(xs ++ ys)
+      case (Union(xs), y) => mkUnion(xs :+ y)
+      case (x, Union(ys)) => mkUnion(x +: ys)
+      // same underlying type, one side named: collapse to the first
+      // (frames carry one physical column either way)
+      case (x, y) if strip(x) == strip(y) => x
+      case (x, y) => mkUnion(Vector(x, y))
+    }
   }
 
   /** Canonical union: distinct alternatives in the total type order

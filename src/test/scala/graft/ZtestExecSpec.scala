@@ -13,8 +13,8 @@ import org.scalatest.BeforeAndAfterAll
   * typed nulls, unions and per-row shapes do NOT (they must be produced).
   *
   * The floor pins the measured pass count so semantic regressions fail CI.
-  * Remainder (3): same-name redefined named types inside one value,
-  * top-level typed-null records, map keys distinct only by type.
+  * Remainder (2): top-level typed-null records, map keys distinct only
+  * by type.
   */
 class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
