@@ -85,7 +85,8 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
         throw new IllegalArgumentException("pool parameter required"))
       val df = Graft.query(spark, params.getOrElse("dir", defaultDir), body)
       val id = Lake.load(df, root, pool,
-        params.getOrElse("author", "service"), params.getOrElse("message", ""))
+        params.getOrElse("author", "service"), params.getOrElse("message", ""),
+        params.getOrElse("branch", "main"))
       event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
       (200, s"""{commit:"$id",pool:"$pool"}""" + "\n")
     })
