@@ -81,7 +81,7 @@ object Stage {
       keys: Seq[(String, Expr)]) extends Stage
   final case class Join(
       style: String, // anti | inner | left | right
-      right: Pipeline,
+      right: Option[Pipeline], // None: join the two upstream branches
       leftKey: Expr,
       rightKey: Expr,
       graft: Seq[(String, Expr)]) extends Stage

@@ -470,8 +470,14 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
-        val left = single(state)
-        val right = combineAll(compilePipeline(None, rightPipe))
+        // with no right sub-pipeline the upstream's LAST branch is the
+        // right side and the rest the left (fork | join on k=k)
+        val (left, right) = rightPipe match {
+          case Some(p) => (single(state), combineAll(compilePipeline(None, p)))
+          case None =>
+            require(state.length >= 2, "join with no sub-pipeline needs two upstream branches")
+            (combineAll(state.dropRight(1)), state.last)
+        }
         Seq(ZedOps.join(
           left, right,
           expr(left, lk), expr(right, rk), style,
@@ -3465,13 +3471,57 @@ final class Compiler(spark: SparkSession, dir: String) {
         val end0 = norm(args(2), sz).cast("int")
         slice(arr, start0 + 1, greatest(end0 - start0, lit(0)))
 
+      case "__aggwhere" =>
+        args match {
+          case Seq(Expr.Call(aggFn, aggArgs), cond) =>
+            runningAgg(df, aggFn, aggArgs, Some(cond))
+          case _ => throw new IllegalArgumentException("__aggwhere needs agg + condition")
+        }
+      case fn2 if Compiler.runningAggFns(fn2) => runningAgg(df, fn2, args, None)
+
       case other => throw new IllegalArgumentException(s"unknown function: $other")
     }
+  }
+
+  /** An aggregate in cut/put EXPRESSION position is a RUNNING aggregate
+    * over stream order (agg-expr-where ztest: each row carries the
+    * cumulative value; `where` filters contributions). Ordered-stream
+    * semantics need a global running window — inherently sequential, like
+    * the reference's per-row aggregate evaluation.
+    */
+  private def runningAgg(df: DataFrame, fn: String, args: Seq[Expr],
+      where: Option[Expr]): Column = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(monotonically_increasing_id())
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val arg0 = args.headOption.map(expr(df, _)).getOrElse(lit(1))
+    val arg = where match {
+      case Some(c) => when(searchify(df, c), arg0)
+      case None => arg0
+    }
+    (fn match {
+      case "sum" => sum(arg)
+      case "count" => count(where.map(c => when(searchify(df, c), lit(1))).getOrElse(lit(1)))
+      case "min" => min(arg)
+      case "max" => max(arg)
+      case "avg" => avg(arg)
+      case "and" => min(arg.cast(BooleanType))
+      case "or" => max(arg.cast(BooleanType))
+      case "collect" => collect_list(arg)
+      case "union" => array_distinct(collect_list(arg))
+      case "any" => first(arg, ignoreNulls = true)
+      case other => throw new IllegalArgumentException(s"running aggregate '$other' not supported")
+    }).over(w)
   }
 }
 
 /** Public API: compile+run a Zed query string against an sf directory. */
 object Compiler {
+  /** aggregate fns usable as RUNNING aggregates in expression position */
+  private[lang] val runningAggFns = Set(
+    "sum", "count", "min", "max", "avg", "and", "or", "collect", "union", "any")
+
   /** marks lateral-scope context columns (over … with vars, outer-row id) */
   val scopeVarMeta: org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder().putBoolean("graft.scopeVar", true).build()

@@ -39,7 +39,9 @@ object Lexer {
   // IPv4 address / CIDR literals (zed ip/net primitives travel as strings)
   private val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r
   private val durRe = """((\d+)(ns|us|ms|s|m|h|d|w|y))+(?![A-Za-z0-9_.])""".r
-  private val numRe = """\d+(\.\d+)?([eE][+-]?\d+)?""".r
+  // a trailing dot makes a float ("1." — zson.md implied float64) unless
+  // it starts a field access / another dot
+  private val numRe = """\d+(\.\d*)?([eE][+-]?\d+)?""".r
   private val idRe = """[A-Za-z_][A-Za-z0-9_]*""".r
 
   /** A '/' can start a regex literal only where a value may begin. */
@@ -126,7 +128,11 @@ object Lexer {
               case Some(m) =>
                 out += Token(DUR, m.matched, i); i += m.matched.length
               case None =>
-                val num = numRe.findPrefixOf(rest).get
+                var num = numRe.findPrefixOf(rest).get
+                if (num.endsWith(".") && num.length < rest.length && {
+                      val c2 = rest.charAt(num.length)
+                      c2.isLetter || c2 == '_' || c2 == '.'
+                    }) num = num.dropRight(1)
                 val kind = if (num.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) FLOAT else INT
                 out += Token(kind, num, i); i += num.length
             }

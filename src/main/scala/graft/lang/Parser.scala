@@ -437,11 +437,17 @@ final class Parser(tokens: Vector[Token], source: String) {
     // assignment-led: f:=... (put or summarize)
     if (assignAhead) {
       val save = pos
-      val assigns = parseAssignList()
-      if (atId("by") || assigns.exists(a => isAggTop(a._2))) {
-        pos = save
-        parseSummarize()
-      } else Stage.Put(assigns)
+      // a mixed list like `s:=sum(x), max(x)` only parses as SUMMARIZE
+      // (bare agg calls auto-name) — fall through on assign-parse failure
+      val assignsOpt =
+        try Some(parseAssignList()) catch { case _: Exception => pos = save; None }
+      assignsOpt match {
+        case Some(assigns) if atId("by") || assigns.exists(a => isAggTop(a._2)) =>
+          pos = save
+          parseSummarize()
+        case Some(assigns) => Stage.Put(assigns)
+        case None => parseSummarize()
+      }
     } else if (peek.kind == ID && aggFns(peek.text) && peekAt(1).text == "(") {
       parseSummarize()
     } else {
@@ -491,7 +497,14 @@ final class Parser(tokens: Vector[Token], source: String) {
     do {
       if (assignAhead) {
         val path = parseAssignTarget(); next()
-        out += ((path, Some(parseExpr())))
+        var e = parseExpr()
+        // an aggregate in cut/put expression position is a RUNNING
+        // aggregate, optionally filtered (agg-expr-where ztest:
+        // `cut sum := sum(this) where cond` emits the cumulative sum)
+        if (isAggTop(e) && atId("where")) {
+          next(); e = Expr.Call("__aggwhere", Seq(e, parseExpr()))
+        }
+        out += ((path, Some(e)))
       } else if (peek.kind == ID && peekAt(1).text != "(" && peekAt(1).text != "[") {
         out += ((parseDottedName(), None))
       } else {
@@ -639,6 +652,21 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   private def parseJoin(style: String): Stage = {
+    // two-parent form (`fork (...) | join on a=a`): no right sub-pipeline,
+    // the join consumes the TWO upstream branches (semantic/op.go)
+    if (atId("on")) {
+      next()
+      val cond = parseExpr()
+      val (lk, rk) = cond match {
+        case Expr.Binary("==", l, r) => (l, r)
+        case other => expect("="); (other, parseExpr())
+      }
+      val graft =
+        if (peek.kind == ID && (peekAt(1).text == ":=" || at("|") == false && !atPipelineEnd))
+          parseJoinGraft()
+        else Seq.empty
+      return Stage.Join(style, None, lk, rk, graft)
+    }
     expect("(")
     val right = parsePipeline()
     expect(")")
@@ -655,7 +683,7 @@ final class Parser(tokens: Vector[Token], source: String) {
       if (peek.kind == ID && (peekAt(1).text == ":=" || at("|") == false && !atPipelineEnd))
         parseJoinGraft()
       else Seq.empty
-    Stage.Join(style, right, lk, rk, graft)
+    Stage.Join(style, Some(right), lk, rk, graft)
   }
 
   private def parseJoinGraft(): Seq[(String, Expr)] = {

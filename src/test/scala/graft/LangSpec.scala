@@ -67,7 +67,7 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     val Stage.Join(style, right, lk, rk, graft) =
       Parser.parse("from a | left join (from b | where x > 1) on k=j f1, f2:=g*2").stages(1): @unchecked
     assert(style == "left")
-    assert(right.stages.length == 2)
+    assert(right.get.stages.length == 2)
     assert(lk == Expr.Path(Seq("k")) && rk == Expr.Path(Seq("j")))
     assert(graft.map(_._1) == Seq("f1", "f2"))
   }
