@@ -67,7 +67,10 @@ object Formats {
     */
   private[sources] def sniff(spark: SparkSession, path: String): String = {
     val head = headBytes(spark, path)
-    sniffBytes(Gzip.maybeGunzip(head))
+    // Nothing to sniff (empty file / markers only): preserve the historical
+    // default for extensionless paths, which was spark.read.parquet.
+    if (head.isEmpty) "parquet"
+    else sniffBytes(Gzip.maybeGunzip(head))
   }
 
   private[graft] def sniffBytes(head0: Array[Byte]): String = {
@@ -112,11 +115,17 @@ object Formats {
   private def headBytes(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file =
+    val fileOpt =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath)
-          .sortBy(_.getName).headOption.getOrElse(p)
-      else p
+        // Sniff a real data file: skip marker/hidden files (_SUCCESS, .crc)
+        // and empty files, which a Spark-written directory always contains
+        // and which would otherwise win the alphabetical sort.
+        fs.listStatus(p)
+          .filter(s => s.isFile && s.getLen > 0 &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getPath).sortBy(_.getName).headOption
+      else Some(p)
+    val file = fileOpt.getOrElse(return Array.emptyByteArray)
     val in = fs.open(file)
     try {
       val buf = new Array[Byte](8192)

@@ -104,6 +104,34 @@ object Lake {
       }
   }
 
+  /** Journal records visible from a branch head: the branch's own records
+    * plus main ancestors at or before the fork point, in journal order.
+    */
+  private def visibleOn(all: Seq[Commit], branch: String): Seq[Commit] = {
+    val forkAt = all.find(c => c.kind == "branch" && c.id == branch).map(_.target)
+    val mainIds = all.filter(x => x.kind == "commit" && x.branch == "main").map(_.id)
+    def onBranch(c: Commit): Boolean =
+      c.branch == branch || (forkAt match {
+        case Some(f) => c.branch == "main" && mainIds.indexOf(c.id) <= mainIds.indexOf(f)
+        case None    => false
+      })
+    all.filter(onBranch)
+  }
+
+  /** Replay a visible journal slice in order: a commit (re-)adds its object
+    * id, a delete removes its target. Order matters — a commit appended
+    * AFTER a delete (revert-of-delete) restores the object, and a delete
+    * after a commit removes it, exactly like the reference's journal replay.
+    */
+  private def liveIds(visible: Seq[Commit]): Seq[String] =
+    visible.foldLeft(Vector.empty[String]) { (live, c) =>
+      c.kind match {
+        case "commit" => if (live.contains(c.id)) live else live :+ c.id
+        case "delete" => live.filterNot(_ == c.target)
+        case _        => live
+      }
+    }
+
   /** `from <pool>[@commit|@branch]` — merge-on-read scan of the live
     * commits: a branch sees ancestors up to its fork plus its own
     * commits, minus anything a delete record on the branch removed.
@@ -116,26 +144,16 @@ object Lake {
       case Some(b) if branchNames(b) || b == "main" => (b, None)
       case other => ("main", other)
     }
-    val forkAt = all.find(c => c.kind == "branch" && c.id == branch).map(_.target)
-    def onBranch(c: Commit): Boolean =
-      c.branch == branch || (forkAt match {
-        case Some(f) =>
-          // ancestor on main at or before the fork point
-          val mainIds = all.filter(x => x.kind == "commit" && x.branch == "main").map(_.id)
-          c.branch == "main" && mainIds.indexOf(c.id) <= mainIds.indexOf(f)
-        case None => false
-      })
     val visible = upTo match {
       case Some(id) =>
         val idx = all.indexWhere(_.id == id)
         require(idx >= 0, s"no such commit: $id")
         all.take(idx + 1)
-      case None => all.filter(onBranch)
+      case None => visibleOn(all, branch)
     }
-    val deleted = visible.filter(_.kind == "delete").map(_.target).toSet
-    val live = visible.filter(c => c.kind == "commit" && !deleted(c.id))
+    val live = liveIds(visible)
     require(live.nonEmpty, s"pool $pool is empty")
-    val dirs = live.map(c => poolDir(root, pool).resolve("data").resolve(c.id).toString)
+    val dirs = live.map(id => poolDir(root, pool).resolve("data").resolve(id).toString)
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
@@ -190,10 +208,13 @@ object Lake {
               branch: String = "main"): String = {
     val df = scan(spark, root, pool, Some(branch))
     val all = commits(root, pool)
-    val deleted = all.filter(_.kind == "delete").map(_.target).toSet
-    val old = all.filter(c => c.kind == "commit" && c.branch == branch && !deleted(c.id))
+    // Everything the branch sees — its own objects AND fork ancestors — is
+    // folded into the compact object, so all of it leaves this branch's
+    // live set (branch-scoped deletes: other branches keep seeing the
+    // originals).
+    val old = liveIds(visibleOn(all, branch))
     val id = load(df, root, pool, "compact", s"compact ${old.length} objects", branch)
-    old.foreach(c => delete(root, pool, c.id, branch))
+    old.foreach(cid => delete(root, pool, cid, branch))
     id
   }
 
@@ -204,8 +225,10 @@ object Lake {
   def vacuum(root: String, pool: String): Seq[String] = {
     require(exists(root, pool), s"no such pool: $pool")
     val all = commits(root, pool)
-    val deleted = all.filter(_.kind == "delete").map(_.target).toSet
-    val live = all.filter(c => c.kind == "commit" && !deleted(c.id)).map(_.id).toSet
+    // An object is live if ANY branch head still sees it (the reference's
+    // vacuum removes only objects unreferenced by every branch): a delete
+    // on one branch must not reclaim an object another branch still scans.
+    val live = branches(root, pool).flatMap(b => liveIds(visibleOn(all, b))).toSet
     val dataDir = poolDir(root, pool).resolve("data")
     val removed = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !live(f.getName))

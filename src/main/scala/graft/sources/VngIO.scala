@@ -210,7 +210,14 @@ object VngIO {
     def write(v: ZValue): Unit = {
       count += 1
       val memberT = ZValue.typeOf(ZValue.unwrap(v))
-      val idx = math.max(0, t.alts.indexWhere(a => ZType.strip(a) == ZType.strip(memberT)))
+      // Exact match first so unions of distinct NAMED types over the same
+      // base keep their member identity (matches ZngIO.encodeZBody);
+      // stripped comparison only as a fallback, and no silent tag-0 default.
+      val idx = t.alts.indexWhere(_ == memberT) match {
+        case -1 => t.alts.indexWhere(a => ZType.strip(a) == ZType.strip(memberT))
+        case i  => i
+      }
+      require(idx >= 0, s"vng: value of type $memberT matches no member of union $t")
       tags.write(VInt(idx.toLong, "int64"))
       members(idx).write(ZValue.unwrap(v))
     }

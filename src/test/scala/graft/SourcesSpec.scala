@@ -186,6 +186,50 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nP)
   }
 
+  test("lake journal replay: revert-of-delete restores, compact on a branch " +
+       "does not duplicate fork ancestors, vacuum keeps branch-live objects") {
+    val root = tmp("lakemaint")
+    val orders = GraftSession.table(spark, dir, "orders")
+    val nF = orders.filter(col("o_orderstatus") === "F").count()
+    val nO = orders.filter(col("o_orderstatus") === "O").count()
+    val nP = orders.filter(col("o_orderstatus") === "P").count()
+    val c1 = Lake.load(orders.filter(col("o_orderstatus") === "F"), root, "p")
+    val c2 = Lake.load(orders.filter(col("o_orderstatus") === "O"), root, "p")
+    // revert of a delete restores the object (journal replay is ordered)
+    Lake.delete(root, "p", c2)
+    assert(Lake.scan(spark, root, "p").count() == nF)
+    val delRec = Lake.commits(root, "p").filter(_.kind == "delete").last.id
+    Lake.revert(root, "p", delRec)
+    assert(Lake.scan(spark, root, "p").count() == nF + nO)
+
+    // compact on a child branch folds fork ancestors WITHOUT duplicating them
+    Lake.branch(root, "p", "dev", Some(c2))
+    Lake.load(orders.filter(col("o_orderstatus") === "P"), root, "p", branch = "dev")
+    assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nO + nP)
+    Lake.compact(spark, root, "p", "dev")
+    assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nO + nP)
+    // main is untouched by the branch-scoped compact deletes
+    assert(Lake.scan(spark, root, "p").count() == nF + nO)
+
+    // vacuum must keep c1/c2: dev's compact deleted them on dev only, main
+    // still scans them (per-branch liveness)
+    val removed = Lake.vacuum(root, "p")
+    assert(!removed.contains(c1) && !removed.contains(c2))
+    assert(Lake.scan(spark, root, "p").count() == nF + nO)
+    assert(Lake.scan(spark, root, "p", Some("dev")).count() == nF + nO + nP)
+  }
+
+  test("extensionless spark parquet directory sniffs as parquet (_SUCCESS skipped)") {
+    val dir0 = tmp("sniffpq")
+    val nation = GraftSession.table(spark, dir, "nation")
+    nation.write.mode("overwrite").parquet(dir0)
+    // Spark wrote _SUCCESS (empty, sorts first) — sniffing must skip it
+    assert(new java.io.File(dir0, "_SUCCESS").exists())
+    val back = Formats.read(spark, dir0)
+    assert(back.count() == nation.count())
+    assert(back.schema.fieldNames.contains("n_nationkey"))
+  }
+
   test("arrow ipc round-trips a table distributed") {
     val path = tmp("arrow") + "/supplier"
     val orig = GraftSession.table(spark, dir, "supplier")
