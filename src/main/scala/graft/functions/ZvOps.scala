@@ -18,21 +18,52 @@ import graft.sources.{ZValue, ZsonParser, ZType}
 object ZvOps {
 
   /** Spark-facing mirror of the variant struct (field names must match
-    * Het.variantType exactly so the UDF return type lines up).
+    * Het.variantType exactly so the UDF return type lines up). `a`/`m` are
+    * the native container caches — populated by zvOf so even UDF-produced
+    * containers stay on the fast path one level deep.
     */
+  case class ZVLeaf(k: Option[Int], n: Option[Double], s: Option[String],
+                    b: Option[Boolean], t: Option[String], z: Option[String])
+  case class ZVField(f: String, v: ZVLeaf)
   case class ZV(k: Option[Int], n: Option[Double], s: Option[String],
-                b: Option[Boolean], t: Option[String], z: Option[String])
+                b: Option[Boolean], t: Option[String], z: Option[String],
+                a: Option[Seq[ZVLeaf]], m: Option[Seq[ZVField]])
 
-  def zvOf(v: ZValue): Option[ZV] = {
-    val row = ZValue.variantRow(v)
-    if (row == null) None
-    else Some(ZV(
+  private def leafOf(v: ZValue): ZVLeaf = {
+    val row = ZValue.leafRow(v)
+    if (row == null) null
+    else ZVLeaf(
       Option(row.get(0)).map(_.asInstanceOf[Int]),
       Option(row.get(1)).map(_.asInstanceOf[Double]),
       Option(row.get(2)).map(_.asInstanceOf[String]),
       Option(row.get(3)).map(_.asInstanceOf[Boolean]),
       Option(row.get(4)).map(_.asInstanceOf[String]),
-      Option(row.get(5)).map(_.asInstanceOf[String])))
+      Option(row.get(5)).map(_.asInstanceOf[String]))
+  }
+
+  def zvOf(v: ZValue): Option[ZV] = {
+    val row = ZValue.leafRow(v)
+    if (row == null) None
+    else {
+      val (a, m) = ZValue.unwrap(v) match {
+        case ZValue.VArr(items, _) => (Some(items.map(leafOf)), None)
+        case ZValue.VRec(fs) =>
+          (None, Some(fs.map { case (n, fv) => ZVField(n, leafOf(fv)) }))
+        case ZValue.VMap(es) if es.forall(e =>
+            ZValue.unwrap(e._1).isInstanceOf[ZValue.VStr]) =>
+          (None, Some(es.map { case (k1, mv) =>
+            ZVField(ZValue.unwrap(k1).asInstanceOf[ZValue.VStr].v, leafOf(mv)) }))
+        case _ => (None, None)
+      }
+      Some(ZV(
+        Option(row.get(0)).map(_.asInstanceOf[Int]),
+        Option(row.get(1)).map(_.asInstanceOf[Double]),
+        Option(row.get(2)).map(_.asInstanceOf[String]),
+        Option(row.get(3)).map(_.asInstanceOf[Boolean]),
+        Option(row.get(4)).map(_.asInstanceOf[String]),
+        Option(row.get(5)).map(_.asInstanceOf[String]),
+        a, m))
+    }
   }
 
   val errMissing: Option[ZV] = zvOf(ZValue.errMissing)
@@ -60,7 +91,24 @@ object ZvOps {
     }).orElse(errMissing)
   })
 
-  def get(v: Column, field: String): Column = getU(Het.render(v), lit(field))
+  /** int64 variant literal from a native integer column (codegen path). */
+  private def intVariant(c: Column): Column = Het.mkVariant(
+    lit(0), c.cast(DoubleType), lit(null).cast(StringType),
+    lit(null).cast(BooleanType), lit("int64"), lit(null).cast(StringType))
+
+  /** Field access: NATIVE when the record-fields cache `m` is populated
+    * (filter + promote, stays in codegen); ZSON-text fallback otherwise
+    * (deeply nested values, exotic carriers).
+    */
+  def get(v: Column, field: String): Column = {
+    val mF = v.getField("m")
+    val hits = filter(mF, e => e.getField("f") === lit(field))
+    when(v.isNull, Het.errMissing)
+      .when(mF.isNotNull,
+        when(size(hits) >= 1, Het.promote(hits.getItem(0).getField("v")))
+          .otherwise(Het.errMissing))
+      .otherwise(getU(Het.render(v), lit(field)))
+  }
 
   /** Element access into a boxed array/set/map value: arrays and sets by
     * position (negative from the end), maps by key equality.
@@ -85,7 +133,21 @@ object ZvOps {
     }).orElse(errMissing)
   })
 
-  def index(v: Column, idx: Column): Column = indexU(Het.render(v), idx)
+  /** Positional access: NATIVE via the elements cache `a` (element_at
+    * under non-ANSI, negative-from-end handled explicitly); text fallback
+    * for maps / unpopulated carriers.
+    */
+  def index(v: Column, idx: Column): Column = {
+    val arr = v.getField("a")
+    val i0 = idx.cast(IntegerType)
+    val n = size(arr)
+    val i = when(i0 < 0, n + i0).otherwise(i0)
+    when(v.isNull, Het.errMissing)
+      .when(arr.isNotNull,
+        when(i >= 0 && i < n, Het.promote(element_at(arr, i + 1)))
+          .otherwise(Het.errMissing))
+      .otherwise(indexU(Het.render(v), idx))
+  }
 
   /** Index with a RUNTIME-typed index value (expr/eval.go Index): arrays/
     * sets take ints (negative from end; OOB/null → error("missing"); other
@@ -142,8 +204,23 @@ object ZvOps {
     }
   })
 
-  def indexAny(v: Column, idx: Column): Column =
-    indexAnyU(Het.render(v), Het.render(idx))
+  def indexAny(v: Column, idx: Column): Column = {
+    val arr = v.getField("a"); val mF = v.getField("m")
+    val ik = idx.getField("k"); val inn = idx.getField("n"); val is = idx.getField("s")
+    val intLike = ik === 0 && inn.isNotNull && inn === floor(inn) &&
+      idx.getField("t").rlike("^u?int")
+    val i0 = inn.cast(IntegerType)
+    val n = size(arr)
+    val i = when(i0 < 0, n + i0).otherwise(i0)
+    val hits = filter(mF, e => e.getField("f") === is)
+    when(v.isNotNull && arr.isNotNull && idx.isNotNull && intLike,
+        when(i >= 0 && i < n, Het.promote(element_at(arr, i + 1)))
+          .otherwise(Het.errMissing))
+      .when(v.isNotNull && mF.isNotNull && idx.isNotNull && ik === 2 && is.isNotNull,
+        when(size(hits) >= 1, Het.promote(hits.getItem(0).getField("v")))
+          .otherwise(Het.errMissing))
+      .otherwise(indexAnyU(Het.render(v), Het.render(idx)))
+  }
 
   /** zed len() over a boxed value (function/len.go): arrays/sets/maps/
     * records by entry count, strings by bytes, bytes by size; else error.
@@ -163,7 +240,15 @@ object ZvOps {
     })
   })
 
-  def len(v: Column): Column = lenU(Het.render(v))
+  def len(v: Column): Column = {
+    val arr = v.getField("a"); val mF = v.getField("m")
+    when(v.isNull, intVariant(lit(0)))
+      .when(arr.isNotNull, intVariant(size(arr)))
+      .when(mF.isNotNull, intVariant(size(mF)))
+      .when(v.getField("k") === 2 && v.getField("s").isNotNull,
+        intVariant(octet_length(v.getField("s"))))
+      .otherwise(lenU(Het.render(v)))
+  }
 
   /** Full zed len() over a variant value (function/len.go): strings by
     * UTF-8 bytes, bytes by size, ip 4/16, net 8/32, containers by entry
@@ -288,7 +373,18 @@ object ZvOps {
     }.orElse(ZvOps.errMissing)
   })
 
-  def neg(v: Column): Column = negU(Het.render(v), v.getField("t"))
+  def neg(v: Column): Column = {
+    val k = v.getField("k"); val n = v.getField("n")
+    val t = v.getField("t"); val z = v.getField("z")
+    // Exact-and-safe natively: floats of any width, and int64 whose z is
+    // null (|n| <= 2^53 → negation exact, can't underflow). Widths, uints,
+    // durations, big ints keep the faithful text path.
+    when(v.isNotNull && k === 0 && n.isNotNull && z.isNull &&
+        (t.startsWith("float") || t === "int64"),
+      Het.mkVariant(lit(0), -n, lit(null).cast(StringType),
+        lit(null).cast(BooleanType), t, lit(null).cast(StringType)))
+      .otherwise(negU(Het.render(v), v.getField("t")))
+  }
 
   /** Elements of a boxed container (for `over` on union-typed values):
     * arrays/sets → members, maps → {key,value}-ish pairs flattened to
@@ -302,7 +398,12 @@ object ZvOps {
     })
   })
 
-  def elems(v: Column): Column = elemsU(Het.render(v))
+  def elems(v: Column): Column = {
+    val arr = v.getField("a")
+    when(v.isNull, lit(null).cast(ArrayType(Het.variantType)))
+      .when(arr.isNotNull, transform(arr, x => Het.promote(x)))
+      .otherwise(elemsU(Het.render(v)))
+  }
 
   /** zed join(s, sep) over boxed values (function/string.go Join): s must
     * be an array (null string elements join as ""), sep must be a string.

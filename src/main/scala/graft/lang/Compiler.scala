@@ -321,10 +321,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           val shapes = shapesOf(df)
           val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
             f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
-          def containerVariant(z: Column, t: String): Column = struct(
-            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
-            lit(null).cast(StringType).as("s"), lit(null).cast(BooleanType).as("b"),
-            lit(t).as("t"), z.as("z"))
+          def containerVariant(z: Column, t: String): Column = het.mkVariant(
+            lit(4), lit(null).cast(DoubleType),
+            lit(null).cast(StringType), lit(null).cast(BooleanType),
+            lit(t), z)
           val base: Column =
             if (dataF.map(_.name) == Seq("this") && isVariant(dataF.head.dataType))
               col("this")
@@ -417,7 +417,8 @@ final class Compiler(spark: SparkSession, dir: String) {
           else d
         val bareAgg = keys.isEmpty && aggs.length == 1 && !aggs.head._2.named
         if (aggs.isEmpty)
-          Seq(nestIfDotted(df.select(keyCols0.map { case (n, c) => c.as(n) }: _*).distinct()))
+          Seq(nestIfDotted(graft.operators.Het.canonicalRows(
+            df.select(keyCols0.map { case (n, c) => c.as(n) }: _*)).distinct()))
         else if (bareAgg && !lateral) {
           // a lone unnamed aggregate emits the bare value (summarize.md:
           // `count()` → 3, not {count:3})
@@ -1201,10 +1202,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           val zOut = when(allInt, n.cast(LongType).cast(StringType))
             .otherwise(lit(null).cast(StringType))
           return when(n.isNull, lit(null).cast(het.variantType)).otherwise(
-            struct(lit(0).as("k"), n.as("n"),
-              lit(null).cast(StringType).as("s"),
-              lit(null).cast(BooleanType).as("b"),
-              tOut.as("t"), zOut.as("z")))
+            het.mkVariant(lit(0), n,
+              lit(null).cast(StringType),
+              lit(null).cast(BooleanType),
+              tOut, zOut))
         case "avg" => return avg(guarded(c.getField("n")))
         case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
         case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))
@@ -2450,10 +2451,10 @@ final class Compiler(spark: SparkSession, dir: String) {
             regexp_replace(z.substr(lit(2), length(z) - 2), "\\\\\"", "\""),
             "\\\\\\\\", "\\\\")
           when(het.isError(c) && z.isNull, lit(null).cast(het.variantType))
-            .when(het.isError(c) && payloadStr, struct(
-              lit(2).as("k"), lit(null).cast(DoubleType).as("n"),
-              unquoted.as("s"), lit(null).cast(BooleanType).as("b"),
-              lit("string").as("t"), lit(null).cast(StringType).as("z")))
+            .when(het.isError(c) && payloadStr, het.mkVariant(
+              lit(2), lit(null).cast(DoubleType),
+              unquoted, lit(null).cast(BooleanType),
+              lit("string"), lit(null).cast(StringType)))
             .when(het.isError(c), c.withField("k", lit(4))
               .withField("t", regexp_replace(c.getField("t"), "^error\\(", "")))
             .otherwise(c.withField("t",
@@ -2691,11 +2692,11 @@ final class Compiler(spark: SparkSession, dir: String) {
                       else "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
         val badMsg = if (fn == "hex") "hex: string argument is not hexidecimal"
                      else "base64: string argument is not base64"
-        def bytesVariant(hexText: Column): Column = struct(
-          lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
-          concat(lit("0x"), lower(hexText)).as("s"),
-          lit(null).cast(BooleanType).as("b"), lit("bytes").as("t"),
-          lit(null).cast(StringType).as("z"))
+        def bytesVariant(hexText: Column): Column = graft.operators.Het.mkVariant(
+          lit(4), lit(null).cast(DoubleType),
+          concat(lit("0x"), lower(hexText)),
+          lit(null).cast(BooleanType), lit("bytes"),
+          lit(null).cast(StringType))
         def decode(s: Column): Column =
           if (fn == "hex") s else hex(unbase64(s))
         def encode(hexDigits: Column): Column = // bytes (as 0x-less hex) → text
@@ -2736,11 +2737,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           val isBytes = c.isNotNull && c.getField("t") === "bytes"
           val dec = udf((txt: String) => graft.functions.Ksuid.decodeHex(txt))
           val enc = udf((hx: String) => graft.functions.Ksuid.encodeHex(hx))
-          def bytesVariant(hexText: Column): Column = struct(
-            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
-            concat(lit("0x"), lower(hexText)).as("s"),
-            lit(null).cast(BooleanType).as("b"), lit("bytes").as("t"),
-            lit(null).cast(StringType).as("z"))
+          def bytesVariant(hexText: Column): Column = graft.operators.Het.mkVariant(
+            lit(4), lit(null).cast(DoubleType),
+            concat(lit("0x"), lower(hexText)),
+            lit(null).cast(BooleanType), lit("bytes"),
+            lit(null).cast(StringType))
           when(isBytes && s.isNull,
               het.errorValue(lit("\"ksuid: illegal null argument\"")))
             .when(isBytes, het.variant(enc(substring(s, 3, Int.MaxValue)), StringType))
@@ -2786,10 +2787,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         val res = netOfU(ipC, maskC, kindC)
         when(res.getField("_2").isNotNull, het.errorValue(res.getField("_2")))
-          .otherwise(struct(
-            lit(4).as("k"), lit(null).cast(DoubleType).as("n"),
-            res.getField("_1").as("s"), lit(null).cast(BooleanType).as("b"),
-            lit("net").as("t"), lit(null).cast(StringType).as("z")))
+          .otherwise(het.mkVariant(
+            lit(4), lit(null).cast(DoubleType),
+            res.getField("_1"), lit(null).cast(BooleanType),
+            lit("net"), lit(null).cast(StringType)))
 
       // type introspection (function/types.go) — static over the schema,
       // per-row via the shape tag / variant t on heterogeneous frames
@@ -3038,10 +3039,10 @@ final class Compiler(spark: SparkSession, dir: String) {
                                else col("this").getField("t"))
             else col("this").cast(StringType)
           def pathsBox(paths: Column): Column =
-            when(paths.isNotNull, struct(lit(4).as("k"),
-                lit(null).cast(DoubleType).as("n"), lit(null).cast(StringType).as("s"),
-                lit(null).cast(BooleanType).as("b"), lit("[[string]]").as("t"),
-                paths.as("z")))
+            when(paths.isNotNull, hetF.mkVariant(lit(4),
+                lit(null).cast(DoubleType), lit(null).cast(StringType),
+                lit(null).cast(BooleanType), lit("[[string]]"),
+                paths))
               .otherwise(hetF.errMissing)
           fShapes.foldLeft(hetF.errMissing: Column) { case (acc, (tag, st)) =>
             val r: Column = zt.strip(st) match {

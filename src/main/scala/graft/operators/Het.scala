@@ -76,10 +76,102 @@ object Het {
 
   private def zedPrimName(dt: DataType): String = Shaper.zedTypeOf(dt)
 
+  /** The scalar core of the variant encoding: {k,n,s,b,t,z}. Container
+    * values inside a variant (array elements, record fields) are carried
+    * as leaves — one nesting level is native, deeper containers ride as
+    * ZSON text in the leaf's `z`.
+    */
+  val leafType: StructType = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("n", DoubleType),
+    StructField("s", StringType),
+    StructField("b", BooleanType),
+    StructField("t", StringType),
+    StructField("z", StringType)))
+
+  /** Native container members of a variant: `a` holds array/set elements,
+    * `m` holds record fields (and string-keyed map entries) as an entries
+    * ARRAY — not a MapType, so variant columns stay legal in groupBy/
+    * distinct/set operations. Both are PERFORMANCE CACHES over the
+    * authoritative ZSON text in `z`: index/len/get/elems run natively in
+    * codegen when they're populated, and fall back to the text path when
+    * not (deeply nested extraction, exotic ops).
+    */
+  val elemsType: ArrayType = ArrayType(leafType)
+  val fieldsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("f", StringType), StructField("v", leafType))))
+
+  val variantType: StructType = StructType(leafType.fields ++ Seq(
+    StructField("a", elemsType),
+    StructField("m", fieldsType)))
+
+  private[graft] def nullElems: Column = lit(null).cast(elemsType)
+  private[graft] def nullFields: Column = lit(null).cast(fieldsType)
+
+  /** Assemble a variant struct; a/m default to absent (text-fallback). */
+  def mkVariant(k: Column, n: Column, s: Column, b: Column, t: Column, z: Column,
+                a: Column = nullElems, m: Column = nullFields): Column =
+    struct(k.as("k"), n.as("n"), s.as("s"), b.as("b"), t.as("t"), z.as("z"),
+      a.as("a"), m.as("m"))
+
+  /** Lift a leaf (a variant's array element / record field) back to a full
+    * variant. Its own containers keep only their `z` text — ops one level
+    * deeper take the text path.
+    */
+  def promote(leaf: Column): Column =
+    when(leaf.isNull, lit(null).cast(variantType)).otherwise(mkVariant(
+      leaf.getField("k"), leaf.getField("n"), leaf.getField("s"),
+      leaf.getField("b"), leaf.getField("t"), leaf.getField("z")))
+
+  /** Strip the a/m caches so value equality is text-canonical — REQUIRED
+    * before whole-row distinct/groupBy where equal values may differ in
+    * cache population (a promoted nested value has no caches; an ingested
+    * one does).
+    */
+  def canonical(v: Column): Column =
+    when(v.isNull, lit(null).cast(variantType)).otherwise(mkVariant(
+      v.getField("k"), v.getField("n"), v.getField("s"),
+      v.getField("b"), v.getField("t"), v.getField("z")))
+
+  /** Canonicalize every top-level variant column of a frame (for uniq /
+    * distinct / group-by-all-columns semantics).
+    */
+  def canonicalRows(df: DataFrame): DataFrame = {
+    val hasVariant = df.schema.fields.exists(f =>
+      graft.sources.ZsonIO.isVariantType(f.dataType))
+    if (!hasVariant) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      if (graft.sources.ZsonIO.isVariantType(f.dataType)) canonical(col(f.name)).as(f.name)
+      else col(f.name)
+    }: _*)
+  }
+
+  /** A typed column as a LEAF struct (containers → ZSON text in z). */
+  private def leafOf(c: Column, dt: DataType): Column = {
+    if (dt == variantType)
+      return when(c.isNull, lit(null).cast(leafType)).otherwise(
+        struct(c.getField("k").as("k"), c.getField("n").as("n"),
+          c.getField("s").as("s"), c.getField("b").as("b"),
+          c.getField("t").as("t"), c.getField("z").as("z")))
+    val container = dt.isInstanceOf[StructType] || dt.isInstanceOf[ArrayType] ||
+      dt.isInstanceOf[MapType]
+    val n = if (dt.isInstanceOf[NumericType]) c.cast(DoubleType)
+            else if (dt == TimestampType || dt == TimestampNTZType) c.cast(DoubleType)
+            else lit(null).cast(DoubleType)
+    val s = if (dt == StringType) c else lit(null).cast(StringType)
+    val b = if (dt == BooleanType) c else lit(null).cast(BooleanType)
+    val z = if (container) graft.sources.ZsonIO.zsonOf(c, dt)
+            else lit(null).cast(StringType)
+    when(c.isNull, lit(null).cast(leafType)).otherwise(struct(
+      lit(kindRank(dt)).as("k"), n.as("n"), s.as("s"), b.as("b"),
+      lit(zedPrimName(dt)).as("t"), z.as("z")))
+  }
+
   /** Wrap a typed column into the variant encoding. Containers carry
     * their ZSON text in `z` (the boxed form zed itself uses for values
-    * inside a union — complex.go TypeUnion :290); errors are kind 5 with
-    * the payload text in `z`.
+    * inside a union — complex.go TypeUnion :290) AND, one level deep,
+    * native leaf members in a/m so index/len/get stay inside codegen;
+    * errors are kind 5 with the payload text in `z`.
     */
   def variant(c: Column, dt: DataType): Column = {
     if (dt == variantType) return c // already variant — idempotent
@@ -92,44 +184,43 @@ object Het {
     val b = if (dt == BooleanType) c else lit(null).cast(BooleanType)
     val z = if (container) graft.sources.ZsonIO.zsonOf(c, dt)
             else lit(null).cast(StringType)
+    val a = dt match {
+      case ArrayType(et, _) => transform(c, x => leafOf(x, et))
+      case _ => nullElems
+    }
+    val m = dt match {
+      case st: StructType =>
+        array(st.fields.toIndexedSeq.map { f =>
+          struct(lit(f.name).as("f"), leafOf(c.getField(f.name), f.dataType).as("v"))
+        }: _*)
+      case MapType(StringType, vt, _) =>
+        transform(map_entries(c), e => struct(
+          e.getField("key").as("f"), leafOf(e.getField("value"), vt).as("v")))
+      case _ => nullFields
+    }
     when(c.isNull, lit(null).cast(variantType)).otherwise(
-      struct(
-        lit(kindRank(dt)).as("k"),
-        n.as("n"),
-        s.as("s"),
-        b.as("b"),
-        lit(zedPrimName(dt)).as("t"),
-        z.as("z")))
+      mkVariant(lit(kindRank(dt)), n, s, b, lit(zedPrimName(dt)), z, a, m))
   }
-
-  val variantType: StructType = StructType(Seq(
-    StructField("k", IntegerType),
-    StructField("n", DoubleType),
-    StructField("s", StringType),
-    StructField("b", BooleanType),
-    StructField("t", StringType),
-    StructField("z", StringType)))
 
   /** A TYPE VALUE as a variant: kind 4 with the type text in `s` and
     * t="type" — matches ZValue.variantRow's encoding so renders as <…>.
     */
   def typeValueVariant(c: Column): Column =
-    when(c.isNull, lit(null).cast(variantType)).otherwise(struct(
-      lit(4).as("k"), lit(null).cast(DoubleType).as("n"), c.as("s"),
-      lit(null).cast(BooleanType).as("b"), lit("type").as("t"),
-      lit(null).cast(StringType).as("z")))
+    when(c.isNull, lit(null).cast(variantType)).otherwise(mkVariant(
+      lit(4), lit(null).cast(DoubleType), c,
+      lit(null).cast(BooleanType), lit("type"), lit(null).cast(StringType)))
 
   /** An error value as a variant literal — zed's error("missing") /
     * error("quiet") / error(<payload>) (complex.go:28-42).
     */
   def errorValue(payloadZson: Column, typeText: String = "error(string)"): Column =
-    struct(
-      lit(5).as("k"),
-      lit(null).cast(DoubleType).as("n"),
-      lit(null).cast(StringType).as("s"),
-      lit(null).cast(BooleanType).as("b"),
-      lit(typeText).as("t"),
-      payloadZson.as("z"))
+    mkVariant(
+      lit(5),
+      lit(null).cast(DoubleType),
+      lit(null).cast(StringType),
+      lit(null).cast(BooleanType),
+      lit(typeText),
+      payloadZson)
 
   val errMissing: Column = errorValue(lit("\"missing\""))
   val errQuiet: Column = errorValue(lit("\"quiet\""))

@@ -117,13 +117,15 @@ object ZedOps {
     * Zed's idiom is `sort | uniq`, which is exactly `distinct` in Spark
     * (partial-agg dedup before the shuffle, so it scales).
     */
-  def uniq(df: DataFrame): DataFrame = df.distinct()
+  def uniq(df: DataFrame): DataFrame = Het.canonicalRows(df).distinct()
 
   /** `uniq -c` — adjacent dedup with counts; the post-sort idiom is a
     * group-by count.
     */
-  def uniqCount(df: DataFrame): DataFrame =
-    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("count"))
+  def uniqCount(df: DataFrame): DataFrame = {
+    val c = Het.canonicalRows(df)
+    c.groupBy(c.columns.map(col): _*).agg(count(lit(1)).as("count"))
+  }
 
   /** Adjacent-duplicate semantics under an explicit order (true Unix-uniq,
     * runtime/sam/op/uniq/uniq.go) — DISTRIBUTED: range-partition by the
@@ -135,7 +137,8 @@ object ZedOps {
     * cross-partition fix-up is needed. N parallel windows, no
     * single-partition Exchange (the r1 version's scale-killer).
     */
-  def uniqAdjacent(df: DataFrame, order: Column*): DataFrame = {
+  def uniqAdjacent(df0: DataFrame, order: Column*): DataFrame = {
+    val df = Het.canonicalRows(df0)
     val ranged = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -160,9 +163,16 @@ object ZedOps {
   ): DataFrame = {
     val aggCols = aggs.map { case (n, c) => c.as(n) }
     if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-    else
-      df.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+    else {
+      // variant-typed keys group on the canonical leaf (the a/m caches are
+      // derived data and must not split groups)
+      val keySchema = df.select(keys.map { case (n, c) => c.as(n) }: _*).schema
+      val keyCols = keys.zip(keySchema.fields).map { case ((n, c), f) =>
+        if (graft.sources.ZsonIO.isVariantType(f.dataType)) Het.canonical(c).as(n)
+        else c.as(n)
+      }
+      df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
   }
 
   /** `summarize … every d` — time-bucketed group-by: zed's

@@ -645,11 +645,30 @@ object ZValue {
     case _ => Het.variantType
   }
 
-  /** Variant row encoding of any value (Het.variantType {k,n,s,b,t,z}).
+  /** Variant row encoding of any value (Het.variantType): the scalar leaf
+    * {k,n,s,b,t,z} plus the native container caches — `a` for array/set
+    * elements, `m` for record fields and string-keyed map entries — that
+    * keep one level of index/len/get inside codegen.
+    */
+  def variantRow(v0: ZValue): Row = {
+    val l = leafRow(v0)
+    if (l == null) return null
+    val (a, m) = unwrap(v0) match {
+      case VArr(items, _) => (items.map(leafRow), null)
+      case VRec(fs) => (null, fs.map { case (n, fv) => Row(n, leafRow(fv)) })
+      case VMap(es) if es.forall(e => unwrap(e._1).isInstanceOf[VStr]) =>
+        (null, es.map { case (k1, mv) =>
+          Row(unwrap(k1).asInstanceOf[VStr].v, leafRow(mv)) })
+      case _ => (null, null)
+    }
+    Row(l.get(0), l.get(1), l.get(2), l.get(3), l.get(4), l.get(5), a, m)
+  }
+
+  /** Leaf encoding {k,n,s,b,t,z} of any value (Het.leafType).
     * Kinds: 0 number, 1 time, 2 string, 3 bool, 4 other scalar/container,
     * 5 error — the cross-type total order (type.go CompareTypes).
     */
-  def variantRow(v0: ZValue): Row = {
+  def leafRow(v0: ZValue): Row = {
     val tText = ZType.text(typeOf(v0))
     unwrap(v0) match {
       // typed nulls keep their kind + type with all payloads null, so
@@ -673,8 +692,10 @@ object ZValue {
       // numbers beyond double precision carry their exact text in z
       // (the render path prefers z); times always do (ns fidelity)
       case VInt(n, t) =>
+        // Long.MinValue: math.abs overflows to itself (negative) — it must
+        // carry exact text (the neg fast path relies on z==null ⇒ safe)
         Row(0, n.toDouble, null, null, t,
-          if (math.abs(n) > (1L << 53)) n.toString else null)
+          if (n == Long.MinValue || math.abs(n) > (1L << 53)) n.toString else null)
       case VUint64(n) =>
         Row(0, n.toDouble, null, null, "uint64",
           if (n > BigDecimal(1L << 53)) n.toBigInt.toString else null)
