@@ -30,8 +30,105 @@ object Bench {
     // join class
     "join_inner" -> ((s: SparkSession) => SparkEntry.queries("q_join_inner")(s, dir)),
     // heavy sort class
-    "sort_all" -> ((s: SparkSession) => SparkEntry.queries("q_sort")(s, dir))
+    "sort_all" -> ((s: SparkSession) => SparkEntry.queries("q_sort")(s, dir)),
+    // heterogeneous variant column: len/index/get through the native
+    // container caches (the vectorized variant runtime) …
+    "het_variant" -> ((s: SparkSession) => hetQuery(s, dir, udfPath = false)),
+    // … and the same query with the caches stripped (ZSON-text UDF
+    // fallback) — the ratio is the vectorization win
+    "het_variant_udf" -> ((s: SparkSession) => hetQuery(s, dir, udfPath = true))
   )
+
+  /** Mixed-shape frame: one column that is a string, an array, or a record
+    * depending on the row — zed's union-typed column. Sized from the SF
+    * dir so it scales with the round's bench data.
+    */
+  private def hetFixture(s: SparkSession, dir: String): DataFrame = {
+    val het = graft.operators.Het
+    val n = hetRows(dir)
+    val base = s.range(n).select(col("id"))
+    val strs = base.filter(col("id") % 4 === 0)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("v"))
+    val arrs = base.filter(col("id") % 4 === 1 || col("id") % 4 === 3)
+      .select(col("id"), array((0 until 8).map(i => col("id") + i): _*).as("v"))
+    val recs = base.filter(col("id") % 4 === 2)
+      .select(col("id"), struct(
+        col("id").as("a"), (col("id") * 2).as("b"), (col("id") % 97).as("c"),
+        concat(lit("u"), col("id")).as("d"), (col("id") % 2 === 0).as("e"),
+        (col("id").cast("double") / 3.0).as("f")).as("v"))
+    het.fuseVariant(strs, arrs, recs)
+  }
+
+  private def hetRows(dir: String): Long = {
+    // sf0.1 → 2M variant rows; scale linearly with the SF dir name
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.1)
+    math.max(100000L, (20000000L * sf).toLong)
+  }
+
+  // the fixture is materialized once (parquet) so the timed query measures
+  // the variant ops, not the synthetic-data generation
+  private var hetPath: Option[String] = None
+  private def hetFixturePath(s: SparkSession, dir: String): String = synchronized {
+    hetPath.getOrElse {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-het")
+        .toString + "/mixed.parquet"
+      hetFixture(s, dir).write.mode("overwrite").parquet(p)
+      hetPath = Some(p)
+      p
+    }
+  }
+
+  private def hetQuery(s: SparkSession, dir: String, udfPath: Boolean): DataFrame = {
+    val het = graft.operators.Het
+    val zv = graft.functions.ZvOps
+    val mixed = s.read.parquet(hetFixturePath(s, dir))
+    // canonical() strips the native caches, forcing every op through the
+    // text-parse fallback — the pre-vectorization runtime
+    val v = if (udfPath) het.canonical(col("v")) else col("v")
+    // ops guarded by the value's own kind (type text works on both paths):
+    // index on arrays, field access on records, len on everything
+    val t = het.variantTypeOf(v)
+    mixed
+      .select(
+        t.as("t"),
+        zv.len(v).getField("n").as("l"),
+        when(t.startsWith("["), zv.index(v, lit(0)).getField("n")).as("e0"),
+        when(t.startsWith("{"), zv.get(v, "a").getField("n")).as("fa"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("count"), sum(col("l")).as("lens"),
+        sum(col("e0")).as("elems"), sum(col("fa")).as("fas"))
+  }
+
+  /** Ingest classes on BASELINE.md's own axis (performance/README.md:40-71:
+    * zeek→zng 4.47 s, zng→zng 1.38 s on 8 vCPU for the zeek conn sample).
+    * A conn-log-shaped fixture is generated once per run (deterministic,
+    * distributed) and both full-stream format copies are timed end-to-end
+    * (read + typed decode + encode + write).
+    */
+  private def ingestFixture(s: SparkSession, dir: String, tmp: String): (String, String) = {
+    val n = hetRows(dir) // ~2M rows at sf0.1 — comparable to the 1.46M-row sample
+    val conn = s.range(n).select(
+      (lit(1.521912491E9) + col("id") * 0.001).as("ts"),
+      concat(lit("C"), md5(col("id").cast("string")).substr(1, 16)).as("uid"),
+      concat(lit("10."), (col("id") % 250 + 1).cast("string"), lit("."),
+        (col("id") / 250 % 250 + 1).cast("long").cast("string"), lit(".17")).as("orig_h"),
+      (col("id") % 60000 + 1024).as("orig_p"),
+      concat(lit("52.85.83."), (col("id") % 200).cast("string")).as("resp_h"),
+      when(col("id") % 7 === 0, 443L).otherwise(80L).as("resp_p"),
+      when(col("id") % 11 === 0, "udp").otherwise("tcp").as("proto"),
+      when(col("id") % 5 === 0, "http").otherwise("ssl").as("service"),
+      (col("id") % 1000).cast("double").divide(100.0).as("duration"),
+      (col("id") % 100000).as("orig_bytes"),
+      (col("id") % 900000).as("resp_bytes"),
+      when(col("id") % 3 === 0, "SF").otherwise("S0").as("conn_state"),
+      (col("id") % 50).as("orig_pkts"),
+      (col("id") % 70).as("resp_pkts"))
+    val zeekDir = s"$tmp/conn.zeek"
+    val zngDir = s"$tmp/conn.zng"
+    graft.sources.ZeekIO.write(conn, zeekDir)
+    graft.sources.ZngIO.write(conn, zngDir)
+    (zeekDir, zngDir)
+  }
 
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -49,11 +146,30 @@ object Bench {
     // warm-up pass: JIT + codegen + file listing; BASELINE measures
     // steady-state single-process throughput, so do the same.
     qs.foreach { case (_, q) => runOnce(q(spark)) }
-    val results = qs.map { case (name, q) =>
+    val headlineResults = qs.map { case (name, q) =>
       val t0 = System.nanoTime()
       runOnce(q(spark))
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // ingest classes: full-stream format copies (read + typed decode +
+    // encode + write), BASELINE's own benchmark axis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
+    val (zeekDir, zngDir) = ingestFixture(spark, sfDir, tmp)
+    def timeIngest(name: String, run: String => Unit): (String, Double) = {
+      run(s"$tmp/warm-$name") // warm: JIT + codegen for the decode/encode paths
+      val t0 = System.nanoTime()
+      run(s"$tmp/out-$name")
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val ingestResults = Seq(
+      timeIngest("ingest_zeek", out =>
+        graft.sources.ZngIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)),
+      timeIngest("ingest_zng", out =>
+        graft.sources.ZngIO.write(graft.sources.ZngIO.read(spark, zngDir), out)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+
+    val results = headlineResults ++ ingestResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

@@ -1579,8 +1579,23 @@ object ZsonReader {
       }
       seen.iterator
     }.reduceByKey(math.min).collect()
-    val nsTime = discovered.exists(_._1 == nsSentinel)
-    val shapeTexts = discovered.filterNot(_._1 == nsSentinel)
+    fromShapes(spark, rdd, discovered, tag)
+  }
+
+  /** The key a format-specific pass-1 uses to flag sub-µs time presence in
+    * its discovered-shapes map (see fromShapes).
+    */
+  val nsSentinelKey = "ns"
+
+  /** Build the typed frame from an already-discovered shape map — used by
+    * formats (ZNG) whose pass 1 reads only type metadata and value tags,
+    * never materializing values. `discovered` maps shape text → min
+    * (partition,row) key, with the "ns" sentinel marking sub-µs times.
+    */
+  def fromShapes(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[ZValue],
+      discovered: Array[(String, Long)], tag: Boolean = true): DataFrame = {
+    val nsTime = discovered.exists(_._1 == nsSentinelKey)
+    val shapeTexts = discovered.filterNot(_._1 == nsSentinelKey)
       .sortBy(_._2).map(_._1).toIndexedSeq
     if (shapeTexts.isEmpty) {
       val empty = StructType(Seq(StructField("this", StringType)))

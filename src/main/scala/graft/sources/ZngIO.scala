@@ -1053,17 +1053,310 @@ object ZngIO {
     }
   }
 
+  /** Pass-1 metadata scan of a ZNG stream: shape texts in first-appearance
+    * order (with per-file first-row index) plus the sub-µs-time probe and
+    * the row count — WITHOUT materializing values. ZNG is typed, so shapes
+    * come from the type table; value bodies are skipped via their length
+    * tags, except time leaves, whose varint is decoded for the ns probe.
+    * This is what makes the two-pass distributed ingest cheap: pass 1 is
+    * I/O + tag arithmetic, only pass 2 builds rows.
+    */
+  private[sources] def scanMeta(bytes: Array[Byte], startIdx: Long)
+      : (Seq[(String, Long)], Long, Boolean) = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val textMemo = scala.collection.mutable.HashMap.empty[ZT, String]
+    val timeMemo = scala.collection.mutable.HashMap.empty[ZT, Boolean]
+    var ns = false
+    var i = startIdx
+    def hasTimeM(t: ZT): Boolean = timeMemo.getOrElseUpdate(t, t match {
+      case ZPrim(id) => id == ID_TIME
+      case ZRecord(fs) => fs.exists(f => hasTimeM(f._2))
+      case ZArray(e) => hasTimeM(e)
+      case ZSet(e) => hasTimeM(e)
+      case ZMap(k, v) => hasTimeM(k) || hasTimeM(v)
+      case ZUnion(alts) => alts.exists(hasTimeM)
+      case ZError(inner) => hasTimeM(inner)
+      case ZNamed(_, inner) => hasTimeM(inner)
+      case ZEnum(_) => false
+    })
+    // consume exactly one value, decoding only time leaves
+    def probe(c: Cursor, t: ZT): Unit = t match {
+      case ZNamed(_, inner) => probe(c, inner) // named shares the inner tag
+      case _ if ns || !hasTimeM(t) =>
+        val tag = c.uvarint(); if (tag != 0) c.pos += (tag - 1).toInt
+      case ZPrim(_) => // time (the only time-bearing prim here)
+        val tag = c.uvarint()
+        if (tag != 0) {
+          val v = signedOf(c.bytes((tag - 1).toInt))
+          if (v % 1000L != 0) ns = true
+        }
+      case ZRecord(fields) =>
+        val tag = c.uvarint()
+        if (tag != 0) {
+          val inner = new Cursor(c.bytes((tag - 1).toInt), 0)
+          fields.foreach { case (_, ft) => probe(inner, ft) }
+        }
+      case ZArray(e) => probeElems(c, Seq(e))
+      case ZSet(e) => probeElems(c, Seq(e))
+      case ZMap(k, v) => probeElems(c, Seq(k, v))
+      case ZUnion(alts) =>
+        val tag = c.uvarint()
+        if (tag != 0) {
+          val inner = new Cursor(c.bytes((tag - 1).toInt), 0)
+          val wTag = inner.uvarint()
+          val which = signedOf(inner.bytes((wTag - 1).toInt)).toInt
+          probe(inner, alts(which))
+        }
+      case ZError(innerT) =>
+        val tag = c.uvarint()
+        if (tag != 0) probe(new Cursor(c.bytes((tag - 1).toInt), 0), innerT)
+      case _ =>
+        val tag = c.uvarint(); if (tag != 0) c.pos += (tag - 1).toInt
+    }
+    def probeElems(c: Cursor, ts: Seq[ZT]): Unit = {
+      val tag = c.uvarint()
+      if (tag != 0) {
+        val inner = new Cursor(c.bytes((tag - 1).toInt), 0)
+        while (!inner.done) ts.foreach(t => probe(inner, t))
+      }
+    }
+    foreachValue(bytes) { (t, c) =>
+      val text = textMemo.getOrElseUpdate(t, ZType.fullText(zTypeOf(t)))
+      if (!seen.contains(text)) seen(text) = i
+      probe(c, t)
+      i += 1
+    }
+    (seen.toSeq, i - startIdx, ns)
+  }
+
+  /** Build a direct wire→Spark-external decoder for one field: reads the
+    * tag and body off the cursor, returns the external value for `target`
+    * (the same result toExternal(decodeZValue(…)) produces). None when the
+    * type needs the general value-model path (unions, errors, maps, sets —
+    * set normalization reorders elements — uint64, decimals).
+    */
+  private def directFieldDecoder(t: ZT, target: DataType, nsTime: Boolean)
+      : Option[Cursor => Any] = t match {
+    case ZNamed(_, inner) => directFieldDecoder(inner, target, nsTime) // no own tag
+    case ZPrim(id) => id match {
+      case 0 | 1 | 2 => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null else java.lang.Long.valueOf(unsignedOf(c.bytes((tag - 1).toInt)))
+      }
+      case 6 | 7 | 8 | 9 | ID_DURATION => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null else java.lang.Long.valueOf(signedOf(c.bytes((tag - 1).toInt)))
+      }
+      case ID_TIME => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else {
+          val ns = signedOf(c.bytes((tag - 1).toInt))
+          if (nsTime) java.lang.Long.valueOf(ns)
+          else {
+            val ts = new java.sql.Timestamp(Math.floorDiv(ns, 1000000L))
+            ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+            ts
+          }
+        }
+      }
+      case 14 => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else java.lang.Double.valueOf(halfToDouble(unsignedOf(c.bytes((tag - 1).toInt)).toInt))
+      }
+      case ID_FLOAT32 => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else java.lang.Double.valueOf(
+          java.lang.Float.intBitsToFloat(unsignedOf(c.bytes((tag - 1).toInt)).toInt).toDouble)
+      }
+      case ID_FLOAT64 => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else java.lang.Double.valueOf(
+          java.lang.Double.longBitsToDouble(unsignedOf(c.bytes((tag - 1).toInt))))
+      }
+      case ID_BOOL => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else { val b = c.bytes((tag - 1).toInt); java.lang.Boolean.valueOf(b.nonEmpty && b(0) == 1) }
+      }
+      case ID_STRING => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null else new String(c.bytes((tag - 1).toInt), "UTF-8")
+      }
+      case ID_BYTES => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null else c.bytes((tag - 1).toInt)
+      }
+      case ID_IP => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null else ipText(c.bytes((tag - 1).toInt))
+      }
+      case ID_NET => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else {
+          val b = c.bytes((tag - 1).toInt)
+          val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+          val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+          ipText(addr) + "/" + leadingOnes(mask)
+        }
+      }
+      case ID_NULL => Some { c =>
+        val tag = c.uvarint(); if (tag != 0) c.pos += (tag - 1).toInt; null
+      }
+      case _ => None // uint64 (Decimal carrier), type values, decimals
+    }
+    case ZRecord(fields) => target match {
+      case st: StructType if st.fields.length == fields.length &&
+          st.fields.iterator.map(_.name).sameElements(fields.iterator.map(_._1)) =>
+        val subs = fields.zip(st.fields.toIndexedSeq)
+          .map { case ((_, ft), sf) => directFieldDecoder(ft, sf.dataType, nsTime) }
+        if (subs.exists(_.isEmpty)) None
+        else {
+          val ds = subs.map(_.get).toArray
+          Some { c =>
+            val tag = c.uvarint()
+            if (tag == 0) null
+            else {
+              val inner = new Cursor(c.buf, c.pos)
+              val end = c.pos + (tag - 1).toInt
+              c.pos = end
+              val arr = new Array[Any](ds.length)
+              var i = 0
+              while (i < ds.length) { arr(i) = ds(i)(inner); i += 1 }
+              Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+            }
+          }
+        }
+      case _ => None
+    }
+    case ZArray(e) => target match {
+      case ArrayType(et, _) => directFieldDecoder(e, et, nsTime).map { d => c =>
+        val tag = c.uvarint()
+        if (tag == 0) null
+        else {
+          val n = (tag - 1).toInt
+          val inner = new Cursor(c.bytes(n), 0)
+          val b = Vector.newBuilder[Any]
+          while (!inner.done) b += d(inner)
+          b.result()
+        }
+      }
+      case _ => None
+    }
+    case ZEnum(symbols) => Some { c =>
+      val tag = c.uvarint()
+      if (tag == 0) null else symbols(unsignedOf(c.bytes((tag - 1).toInt)).toInt)
+    }
+    case _ => None // sets (normalization reorders), maps, unions, errors
+  }
+
+  /** Top-level decoder for a single-shape stream: a record value straight
+    * to the tagged external Row, matching rowOf(decodeZValue(…)) exactly.
+    */
+  private def directTopDecoder(t: ZT, cleaned: StructType, shapeText: String,
+      nsTime: Boolean): Option[Cursor => Row] = {
+    if (ZType.fullText(zTypeOf(t)) != shapeText) return None
+    def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
+    stripNamed(t) match {
+      case rec: ZRecord if rec.fields.nonEmpty =>
+        directFieldDecoder(rec, StructType(cleaned.fields), nsTime).map { d => c =>
+          d(c) match {
+            case r: Row => Row.fromSeq(r.toSeq :+ shapeText)
+            case _ => // null record value → all-null row (general-path parity)
+              Row.fromSeq(Vector.fill[Any](cleaned.fields.length)(null) :+ shapeText)
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Decode a stream to tagged external Rows for a single-shape frame —
+    * the vectorized pass-2: no ZValue tree for eligible types; per-TYPE
+    * granular fallback through the value model otherwise.
+    */
+  private[sources] def decodeToRows(bytes: Array[Byte], shapeText: String,
+      cleaned: StructType, nsTime: Boolean): Iterator[Row] = new Iterator[Row] {
+    private val c = new Cursor(bytes, 0)
+    private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+    private var queue: Iterator[Row] = Iterator.empty
+    private val memo = scala.collection.mutable.HashMap.empty[ZT, Option[Cursor => Row]]
+    private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+    private def fill(): Unit = {
+      while (!queue.hasNext && !c.done) {
+        val code = c.u8()
+        if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+        else readFrame(c, code) match {
+          case (0, payload) => parseTypedefs(payload, types)
+          case (1, payload) =>
+            val vc = new Cursor(payload, 0)
+            val out = Vector.newBuilder[Row]
+            while (!vc.done) {
+              val tid = vc.uvarint().toInt
+              val t = typeOfId(tid)
+              memo.getOrElseUpdate(t, directTopDecoder(t, cleaned, shapeText, nsTime)) match {
+                case Some(d) => out += d(vc)
+                case None =>
+                  out += ZsonReader.rowOf(decodeZValue(vc, t, unionKeepsMember = false),
+                    cleaned, tag = true)
+              }
+            }
+            queue = out.result().iterator
+          case (2, _) => // control frame: skip
+          case _ =>
+            throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+        }
+      }
+    }
+    def hasNext: Boolean = { if (!queue.hasNext) fill(); queue.hasNext }
+    def next(): Row = { if (!hasNext) throw new NoSuchElementException; queue.next() }
+  }
+
   /** Read a ZNG file or directory of part files into a typed DataFrame —
     * per-file typed decode on the executors (streams are self-contained,
     * so files distribute one task each), fused into the same
-    * tagged/variant frame the in-memory harness builds.
+    * tagged/variant frame the in-memory harness builds. Pass 1 (schema
+    * discovery) reads only type frames and value tags via scanMeta; pass 2
+    * is the one full decode — straight to Spark rows (no value tree) when
+    * the stream is single-shape with directly-decodable types.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rdd = spark.read.format("binaryFile").load(
+    val bin = spark.read.format("binaryFile").load(
         if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
       .select("content").as[Array[Byte]].rdd
-      .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
-    ZsonReader.fromRDD(spark, rdd)
+    val discovered = bin.mapPartitionsWithIndex { (pid, files) =>
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var ns = false
+      var i = 0L
+      files.foreach { bytes =>
+        val (shapes, count, fileNs) = scanMeta(Gzip.maybeGunzip(bytes), i)
+        shapes.foreach { case (t, idx) =>
+          if (!seen.contains(t)) seen(t) = (pid.toLong << 40) | idx
+        }
+        ns ||= fileNs
+        i += count
+      }
+      if (ns) seen(ZsonReader.nsSentinelKey) = Long.MaxValue
+      seen.iterator
+    }.reduceByKey(math.min).collect()
+    val nsTime = discovered.exists(_._1 == ZsonReader.nsSentinelKey)
+    val shapeTexts = discovered.filterNot(_._1 == ZsonReader.nsSentinelKey)
+      .sortBy(_._2).map(_._1).toIndexedSeq
+    if (shapeTexts.length == 1) {
+      // homogeneous stream (the 100 TB common case): decode straight to
+      // tagged rows, skipping the value-model tree entirely
+      val (cleaned, full) = ZsonReader.frameSchema(shapeTexts, tag = true, nsTime)
+      val text = shapeTexts.head
+      val rows = bin.flatMap(bytes =>
+        decodeToRows(Gzip.maybeGunzip(bytes), text, cleaned, nsTime))
+      spark.createDataFrame(rows, full)
+    } else {
+      val rdd = bin.flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
+      ZsonReader.fromShapes(spark, rdd, discovered)
+    }
   }
 }
