@@ -110,6 +110,39 @@ class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(types == Set("int64", "string"))
   }
 
+  test("native container caches agree with the text-fallback path " +
+       "(index/len/get/elems on populated vs canonical variants)") {
+    import org.apache.spark.sql.types._
+    val zv = graft.functions.ZvOps
+    val strs = Seq((0L, "hello")).toDF("k", "v")
+    val arrs = Seq((1L, Seq(10L, 20L, 30L))).toDF("k", "v")
+    val recs = Seq((2L, (7L, "x"))).toDF("k", "v0")
+      .select(col("k"), col("v0").cast("struct<a:bigint,b:string>").as("v"))
+    val fused = Het.fuseVariant(strs, arrs, recs)
+    def results(v: org.apache.spark.sql.Column) = fused.orderBy("k").select(
+      Het.render(zv.len(v)).as("len"),
+      Het.render(zv.index(v, lit(1))).as("idx"),
+      Het.render(zv.index(v, lit(-1))).as("idxNeg"),
+      Het.render(zv.index(v, lit(9))).as("idxOob"),
+      Het.render(zv.get(v, "a")).as("getA"),
+      Het.render(zv.get(v, "zz")).as("getMissing")
+    ).collect().map(_.toSeq).toSeq
+    val fast = results(col("v"))
+    val slow = results(Het.canonical(col("v")))
+    assert(fast == slow)
+    // spot-check semantics, not just agreement
+    assert(fast(0)(0) == "5")                        // len("hello") bytes
+    assert(fast(1)(0) == "3" && fast(1)(1) == "20")  // [10,20,30]: len, [1]
+    assert(fast(1)(2) == "30")                       // [-1] from the end
+    assert(fast(1)(3).toString.contains("missing"))  // OOB → error("missing")
+    assert(fast(2)(4) == "7")                        // {a:7,b:"x"}.a
+    assert(fast(2)(5).toString.contains("missing"))
+    // elems: native promote of the cached leaves
+    val el = fused.filter(col("k") === 1)
+      .select(Het.render(zv.elems(col("v")).getItem(1))).collect()(0).getString(0)
+    assert(el == "20")
+  }
+
   test("variant typeof and accessors") {
     val df = Seq((Some(1L), None: Option[String]), (None, Some("s"))).toDF("i", "s")
     val v = Het.variantOf((col("i"), LongType), (col("s"), StringType))
