@@ -123,17 +123,78 @@ object ArrowIO {
     } finally alloc.close()
   }
 
+  /** Decode only a stream's SCHEMA header (no batches — cheap pass 1). */
+  private def schemaOf(bytes: Array[Byte]): StructType = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val reader = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(Gzip.maybeGunzip(bytes)), alloc)
+      try StructType(reader.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+        .map(f => StructField(f.getName, sparkType(f))))
+      finally reader.close()
+    } finally alloc.close()
+  }
+
+  /** A decoded Arrow row as a typed value (for the multi-schema fuse:
+    * heterogeneous files route through the same shape-discovery/variant
+    * machinery as every other typed source — zio/arrowio/reader.go fuses
+    * per-file types the same way).
+    */
+  private def rowValue(r: Row, st: StructType): ZValue = {
+    import ZValue._
+    def zedOf(dt: DataType): ZType = dt match {
+      case LongType => ZType.Prim("int64")
+      case DoubleType => ZType.Prim("float64")
+      case BooleanType => ZType.Prim("bool")
+      case StringType => ZType.Prim("string")
+      case BinaryType => ZType.Prim("bytes")
+      case TimestampType | DateType => ZType.Prim("time")
+      case ArrayType(et, _) => ZType.Arr(zedOf(et))
+      case StructType(fs) => ZType.Rec(fs.toVector.map(f => f.name -> zedOf(f.dataType)))
+      case _ => ZType.Prim("string")
+    }
+    def valueOf(x: Any, dt: DataType): ZValue = x match {
+      case null => VNull(zedOf(dt))
+      case n: Long => VInt(n, "int64")
+      case d: Double => VFloat(d, "float64")
+      case b: Boolean => VBool(b)
+      case s: String => VStr(s)
+      case b: Array[Byte] => VBytes(b)
+      case t: java.sql.Timestamp =>
+        VTime(Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos.toLong)
+      case xs: scala.collection.Seq[_] =>
+        val et = dt match { case ArrayType(e, _) => e; case _ => StringType }
+        VArr(xs.toVector.map(v => valueOf(v, et)), isSet = false)
+      case row: Row =>
+        val fs = dt match { case s: StructType => s.fields.toVector; case _ => Vector.empty }
+        VRec(fs.zipWithIndex.map { case (f, i) => f.name -> valueOf(row.get(i), f.dataType) })
+      case other => VStr(other.toString)
+    }
+    valueOf(r, st).asInstanceOf[ZValue]
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(
       if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
     val contents = files.select("content").as[Array[Byte]]
-    // schema from the first file (driver); row decode stays distributed
-    val firstFile = contents.limit(1).collect()
-    require(firstFile.nonEmpty, s"arrow: no files at $path")
-    val schema = decode(firstFile.head)._1
-    val rows = contents.rdd.flatMap(b => decode(b)._2)
-    spark.createDataFrame(rows, schema)
+    // pass 1: per-file SCHEMAS only (headers — no batch decode)
+    val schemas = contents.rdd.map(schemaOf).distinct().collect()
+    require(schemas.nonEmpty, s"arrow: no files at $path")
+    if (schemas.length == 1) {
+      // homogeneous directory: decode distributed straight to the schema
+      val schema = schemas.head
+      val rows = contents.rdd.flatMap(b => decode(b)._2)
+      spark.createDataFrame(rows, schema)
+    } else {
+      // mixed schemas: per-file typed decode → the shared shape-discovery/
+      // variant fuse (same route as zson/zng/zeek)
+      val rdd = contents.rdd.flatMap { b =>
+        val (st, rows) = decode(b)
+        rows.iterator.map(r => rowValue(r, st))
+      }
+      ZsonReader.fromRDD(spark, rdd)
+    }
   }
 
   // ---- write -----------------------------------------------------------------

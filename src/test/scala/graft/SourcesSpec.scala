@@ -242,6 +242,35 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       orig.select("s_name").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("arrow directory with MIXED per-file schemas fuses like other typed sources") {
+    val dirP = new java.io.File(tmp("arrowmix")); dirP.mkdirs()
+    // file 1: {k:int64, v:int64}; file 2: {k:int64, v:string, extra:bool}
+    val a = spark.range(3).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val b = spark.range(2).select((col("id") + 100).as("k"),
+      concat(lit("s"), col("id")).as("v"), (col("id") % 2 === 0).as("extra"))
+    graft.sources.ArrowIO.write(a.coalesce(1), dirP + "/a")
+    graft.sources.ArrowIO.write(b.coalesce(1), dirP + "/b")
+    // flatten the two one-file dirs into one mixed directory
+    val parts = (new java.io.File(dirP, "a").listFiles() ++ new java.io.File(dirP, "b").listFiles())
+      .filter(f => f.isFile && f.length > 0 &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val mixDir = new java.io.File(dirP, "mix"); mixDir.mkdirs()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(mixDir, s"p$i.arrows").toPath) }
+    val back = graft.sources.ArrowIO.read(spark, mixDir.toString)
+    assert(back.count() == 5)
+    assert(back.columns.contains("k") && back.columns.contains("v"))
+    // k stays native (agreeing int64); v became a variant (int64|string)
+    import org.apache.spark.sql.types._
+    assert(back.schema("k").dataType == LongType)
+    assert(graft.sources.ZsonIO.isVariantType(back.schema("v").dataType))
+    val vs = back.select(graft.operators.Het.render(col("v"))).collect()
+      .map(_.getString(0)).toSet
+    assert(vs == Set("0", "10", "20", "\"s0\"", "\"s1\""))
+    // extra exists only in file 2's rows; elsewhere null
+    assert(back.filter(col("extra").isNotNull).count() == 2)
+  }
+
   test("gzip auto-detect: compressed zson reads transparently") {
     val plainDir = tmp("gzplain")
     val nation = GraftSession.table(spark, dir, "nation")
