@@ -1283,7 +1283,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       val md = df.schema(graft.operators.Het.typeTag).metadata
       if (md.contains("shapes"))
         md.getStringArray("shapes").toSeq.flatMap { t =>
-          try Some(t -> graft.sources.ZsonParser.parseType(t))
+          try Some(t -> graft.sources.ZsonParser.parseType(
+            graft.sources.ZType.stripNullWrap(t)))
           catch { case _: Exception => None }
         }
       else Seq.empty
@@ -3046,7 +3047,8 @@ final class Compiler(spark: SparkSession, dir: String) {
               .otherwise(hetF.errMissing)
           fShapes.foldLeft(hetF.errMissing: Column) { case (acc, (tag, st)) =>
             val r: Column = zt.strip(st) match {
-              case _: zt.Rec => pathsBox(graft.functions.ZvOps.typePaths(lit(tag)))
+              case _: zt.Rec =>
+                pathsBox(graft.functions.ZvOps.typePaths(lit(zt.stripNullWrap(tag))))
               case zt.Prim("type") =>
                 pathsBox(graft.functions.ZvOps.typePaths(thisText("type")))
               case u: zt.Union if thisVar =>

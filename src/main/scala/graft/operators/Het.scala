@@ -40,9 +40,13 @@ object Het {
     dfs.map(df => df.withColumn(typeTag, tag(df)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Runtime `typeof(this)`: the tag when present, else the static type. */
+  /** Runtime `typeof(this)`: the tag when present, else the static type.
+    * A "null(<rec>)" tag (top-level typed-null record) still has type
+    * <rec> — typeof(null value of T) is T.
+    */
   def typeofRow(df: DataFrame): Column =
-    if (df.columns.contains(typeTag)) col(typeTag)
+    if (df.columns.contains(typeTag))
+      regexp_replace(col(typeTag), "^null\\((.*)\\)$", "$1")
     else lit(Shaper.zedTypeOf(StructType(df.schema.filterNot(_.name == typeTag))))
 
   /** zed `sample` over a mixed stream: one representative value per

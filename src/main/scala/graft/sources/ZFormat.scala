@@ -40,7 +40,7 @@ object ZFormat {
         .filter(_.metadata.contains("shapes"))
         .map(_.metadata.getStringArray("shapes").toSeq).getOrElse(Seq.empty)
       shapes.flatMap { t =>
-        try ZType.strip(ZsonParser.parseType(t)) match {
+        try ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(t))) match {
           case Rec(fs) => fs.map(_._1)
           case _ => Seq("this")
         } catch { case _: Exception => fields.map(_._1.name) }
@@ -60,13 +60,19 @@ object ZFormat {
 
     (row: Row) => {
       val cache = ZFormat.typeCache.get()
+      val tagText =
+        if (tagIdx < 0 || row.isNullAt(tagIdx)) null else row.getString(tagIdx)
+      if (tagText != null && ZType.isNullWrap(tagText)) {
+        // top-level typed-null record: the whole row IS null(<rec>)
+        val inner = cache.getOrElseUpdate(tagText,
+          try ZsonParser.parseType(ZType.stripNullWrap(tagText))
+          catch { case _: Exception => fallback })
+        VNull(inner)
+      } else {
       val rowT: ZType =
-        if (tagIdx < 0 || row.isNullAt(tagIdx)) fallback
-        else {
-          val t = row.getString(tagIdx)
-          cache.getOrElseUpdate(t,
-            try ZsonParser.parseType(t) catch { case _: Exception => fallback })
-        }
+        if (tagText == null) fallback
+        else cache.getOrElseUpdate(tagText,
+          try ZsonParser.parseType(tagText) catch { case _: Exception => fallback })
       ZType.strip(rowT) match {
         case Rec(shapeFs) =>
           // shape fields in shape order …
@@ -102,6 +108,7 @@ object ZFormat {
                              catch { case _: Exception => Prim("string") }))
               }.toVector)
           }
+      }
       }
     }
   }
@@ -651,8 +658,13 @@ object ZFormat {
     case VRec(fs) =>
       fs.map { case (n, fv) => jsonQuote(n) + ":" + jsonText(fv) }.mkString("{", ",", "}")
     case VArr(items, _) => items.map(jsonText).mkString("[", ",", "]")
-    case VMap(es) =>
-      es.map { case (k, x) => jsonQuote(jsonMapKey(k)) + ":" + jsonText(x) }.mkString("{", ",", "}")
+    case m @ VMap(es) =>
+      val unionKeys = ZType.strip(ZValue.typeOf(m)) match {
+        case ZType.MapT(kt, _) => ZType.strip(kt).isInstanceOf[ZType.Union]
+        case _ => false
+      }
+      es.map { case (k, x) =>
+        jsonQuote(jsonMapKey(k, unionKeys)) + ":" + jsonText(x) }.mkString("{", ",", "}")
     case VErr(inner) => "{" + jsonQuote("error") + ":" + jsonText(inner) + "}"
     case VTyped(i, _) => jsonText(i)
   }
@@ -660,7 +672,7 @@ object ZFormat {
   /** Map keys: strings bare, other primitives in zson primitive text,
     * complex keys as decorated zson (jsonio writer.go mapKey).
     */
-  private def jsonMapKey(k: ZValue): String = unwrap(k) match {
+  private def jsonMapKey(k: ZValue, unionKey: Boolean = false): String = unwrap(k) match {
     case VStr(s) =>
       // a string key that READS as any other zson value (number, bool,
       // ip, time, bytes, …) is zson-quoted to disambiguate ("0" vs 0,
@@ -680,6 +692,12 @@ object ZFormat {
         jsonMapKey(unwrap(i)) // named STRING keys stay bare
       case VTyped(i, ZType.Named(n, _)) => zsonText(i) + "(=" + n + ")"
       case VTyped(i, t) => zsonText(i) + "(" + ZType.text(t) + ")"
+      // union-member keys keep non-implied numeric decorators so entries
+      // distinct only by type stay distinct (jsonio writer.go); the
+      // homogeneous case never reaches here decorated — see jsonText
+      case VUint64(n) if unionKey => n.toBigInt.toString + "(uint64)"
+      case VInt(n, t) if unionKey && t != "int64" => s"$n($t)"
+      case VFloat(d, t) if unionKey && t != "float64" => zsonText(VFloat(d, t)) + s"($t)"
       case _ => zsonText(other)
     }
   }

@@ -56,6 +56,16 @@ object ZType {
 
   def strip(t: ZType): ZType = t match { case Named(_, i) => strip(i); case other => other }
 
+  /** A TOP-LEVEL typed-null record's shape text is "null(<rec>)": the
+    * relational row is all-null (indistinguishable from {a:null}); the
+    * wrapper in the shape tag is what lets writers re-emit `null` and
+    * keeps typeof() reporting the record type (container-types ztest).
+    */
+  def nullWrap(t: String): String = "null(" + t + ")"
+  def isNullWrap(t: String): Boolean = t.startsWith("null(") && t.endsWith(")")
+  def stripNullWrap(t: String): String =
+    if (isNullWrap(t)) t.substring(5, t.length - 1) else t
+
   /** Round-trippable type text: named types print their definition
     * (`port=uint16`) so shape tags can be re-parsed with full structure.
     */
@@ -551,8 +561,23 @@ object ZValue {
     case VRec(fs) => fs.map { case (n, fv) => s"${ZType.fieldName(n)}:${zsonText(fv)}" }.mkString("{", ",", "}")
     case VArr(items, false) => items.map(zsonText).mkString("[", ",", "]")
     case VArr(items, true) => items.map(zsonText).mkString("|[", ",", "]|")
-    case VMap(es) => es.map { case (k, x) =>
-      val kt = zsonText(k)
+    case m @ VMap(es) =>
+      // UNION-keyed maps keep non-implied member decorators: entries
+      // distinct only by key type (0 vs 0(uint64) vs 0(=t)) would collapse
+      // when this text is re-parsed (zson/formatter.go decorated keys);
+      // homogeneous maps stay bare — the map type implies the key type
+      val unionKeys = ZType.strip(typeOf(m)) match {
+        case MapT(k, _) => ZType.strip(k).isInstanceOf[Union]
+        case _ => false
+      }
+      es.map { case (k, x) =>
+      val kt = k match {
+        case VUint64(n) if unionKeys => n.toBigInt.toString + "(uint64)"
+        case VInt(n, t) if unionKeys && t != "int64" => s"$n($t)"
+        case VFloat(d, t) if unionKeys && t != "float64" => zsonText(VFloat(d, t)) + s"($t)"
+        case VTyped(i, ZType.Named(nm, _)) if unionKeys => zsonText(i) + "(=" + nm + ")"
+        case other => zsonText(other)
+      }
       // an IPv6 map key needs whitespace before the ':' separator
       // (zson/formatter.go formatMap — `::1:…` would be ambiguous)
       val isIp6 = (k match {
@@ -802,8 +827,13 @@ object ZValue {
     val k = r.getAs[Any]("k") match { case i: Int => i; case l: Long => l.toInt; case _ => 4 }
     if (n == null && s == null && b == null && z == null)
       return VNull(parsedT.getOrElse(ZType.Prim("null")))
-    val tName = Option(r.getAs[String]("t")).getOrElse("")
-    k match {
+    // a NAMED type decodes under its base, then re-wraps — keys/values
+    // distinct only by their named decorator must survive the round-trip
+    // (jsonio map-output: 0(=t) vs 0 vs 0(uint64))
+    val namedT = parsedT.collect { case nt: ZType.Named => nt }
+    val tName = namedT.map(nt => ZType.text(ZType.strip(nt)))
+      .orElse(Option(r.getAs[String]("t"))).getOrElse("")
+    val core = k match {
       case 5 =>
         val payload = try new ZsonParser(z).parseOne() catch { case _: Exception => VStr(z) }
         VErr(payload)
@@ -846,6 +876,11 @@ object ZValue {
               case (None, ty) => VNull(ty.getOrElse(ZType.Prim("null")))
             }
         }
+    }
+    namedT match {
+      case Some(nt) if !core.isInstanceOf[VTyped] && !core.isInstanceOf[VNull] =>
+        VTyped(core, nt)
+      case _ => core
     }
   }
 
@@ -1491,6 +1526,9 @@ object ZsonReader {
   def recordify(v: ZValue): (VRec, String) = unwrap(v) match {
     case r: VRec if r.fields.nonEmpty => (r, ZType.fullText(typeOf(v)))
     case r: VRec => (VRec(Vector("this" -> (r: ZValue))), ZType.fullText(typeOf(v)))
+    case n: VNull if ZType.strip(typeOf(v)).isInstanceOf[ZType.Rec] =>
+      // top-level typed-null record: all-null row under a wrapped tag
+      (VRec(Vector("this" -> (n: ZValue))), ZType.nullWrap(ZType.fullText(typeOf(v))))
     case _ => (VRec(Vector("this" -> v)), ZType.fullText(typeOf(v)))
   }
 
@@ -1507,7 +1545,8 @@ object ZsonReader {
     frameSchema(shapeTexts, tag, nsTime = false)
 
   def frameSchema(shapeTexts: Seq[String], tag: Boolean, nsTime: Boolean): (StructType, StructType) = {
-    val rowTypes = shapeTexts.map(t => recordifyType(ZsonParser.parseType(t)))
+    val rowTypes = shapeTexts.map(t =>
+      recordifyType(ZsonParser.parseType(ZType.stripNullWrap(t))))
     val rowSchemas = rowTypes.map(rt => sparkTypeOf(rt, nsTime).asInstanceOf[StructType])
     val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
     // a field whose ZED types conflict across shapes in render-relevant

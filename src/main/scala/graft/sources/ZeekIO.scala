@@ -435,7 +435,7 @@ object ZeekIO {
       .filter(_.metadata.contains("shapes"))
       .flatMap(f => f.metadata.getStringArray("shapes").headOption)
       .flatMap { t =>
-        try ZType.strip(ZsonParser.parseType(t)) match {
+        try ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(t))) match {
           case r: ZType.Rec =>
             def walk(prefix: String, zt: ZType): Seq[(String, ZType)] =
               ZType.strip(zt) match {

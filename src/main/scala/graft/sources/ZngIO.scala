@@ -1120,8 +1120,18 @@ object ZngIO {
         while (!inner.done) ts.foreach(t => probe(inner, t))
       }
     }
+    def isRecT(t: ZT): Boolean = t match {
+      case ZNamed(_, inner) => isRecT(inner)
+      case _: ZRecord => true
+      case _ => false
+    }
     foreachValue(bytes) { (t, c) =>
-      val text = textMemo.getOrElseUpdate(t, ZType.fullText(zTypeOf(t)))
+      val base = textMemo.getOrElseUpdate(t, ZType.fullText(zTypeOf(t)))
+      // a top-level NULL record value (tag byte 0) registers under the
+      // null(<rec>) wrapped shape, matching recordify on the decode pass
+      val text =
+        if (isRecT(t) && c.pos < c.buf.length && c.buf(c.pos) == 0) ZType.nullWrap(base)
+        else base
       if (!seen.contains(text)) seen(text) = i
       probe(c, t)
       i += 1

@@ -198,15 +198,22 @@ object ZsonIO {
       return df.select(default.as("value")).as[String]
 
     val inAnyShape: Set[String] = shapes.flatMap { t =>
-      try ZType.strip(ZsonParser.parseType(t)) match {
+      try ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(t))) match {
         case ZType.Rec(fs) => fs.map(_._1)
         case _ => Seq("this")
       } catch { case _: Exception => fields.map(_.name) }
     }.toSet
 
     val line = shapes.foldLeft(default) { (acc, t) =>
-      val zt = try Some(ZType.strip(ZsonParser.parseType(t))) catch { case _: Exception => None }
-      val fmt: Option[Column] = zt match {
+      val zt =
+        if (ZType.isNullWrap(t)) None // handled below: renders as tag text
+        else try Some(ZType.strip(ZsonParser.parseType(t))) catch { case _: Exception => None }
+      val fmt: Option[Column] =
+        if (ZType.isNullWrap(t))
+          // top-level typed-null record: the whole row IS null(<rec>) —
+          // the tag text is exactly zed's output form
+          Some(lit(t))
+        else zt match {
         case Some(ZType.Rec(shapeFields)) =>
           // shape fields (in shape order, zed-typed) that survived …
           val own = shapeFields.flatMap { case (n, ft) =>

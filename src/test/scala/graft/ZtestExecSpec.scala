@@ -22,7 +22,7 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("at least 465 reference golden tests pass end-to-end") {
+  test("at least 468 reference golden tests pass end-to-end") {
     spark.sparkContext.setLogLevel("ERROR")
     val cases = ZtestHarness.extractCases()
     assert(cases.length > 450, s"corpus extraction looks broken: ${cases.length}")
@@ -33,6 +33,6 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       } catch { case _: Exception => }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
-    assert(pass >= 465, s"golden-test pass count regressed to $pass")
+    assert(pass >= 468, s"golden-test pass count regressed to $pass")
   }
 }
