@@ -69,6 +69,14 @@ object Stage {
   final case class Put(assigns: Seq[(String, Expr)]) extends Stage
   final case class Drop(paths: Seq[String]) extends Stage
   final case class Rename(renames: Seq[(String, String)]) extends Stage
+  /** put/cut/rename with a COMPUTED field name (`this[<expr>] :=`,
+    * runtime/sam/expr/lval.go ExprLvalElem): the name evaluates per row,
+    * so output shapes are data-dependent — compiled to a row-level value
+    * rewrite and re-framed through shape discovery. For put/cut each pair
+    * is (nameExpr, valueExpr); for rename (newNameExpr, oldNameExpr) with
+    * static sides as StringLit.
+    */
+  final case class DynAssign(op: String, assigns: Seq[(Expr, Expr)]) extends Stage
   final case class Sort(
       keys: Seq[(Expr, Boolean)], // (expr, ascending)
       nullsFirst: Boolean) extends Stage

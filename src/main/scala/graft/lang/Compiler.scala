@@ -236,6 +236,97 @@ final class Compiler(spark: SparkSession, dir: String) {
           case None => Seq(ZedOps.rename(df, renames: _*))
         }
 
+      case Stage.DynAssign(op, assigns) =>
+        // Computed field names (this[<expr>] :=, lval.go ExprLvalElem):
+        // names evaluate PER ROW, so output shapes are data-dependent —
+        // evaluate names/values natively as columns, rewrite each row in
+        // the value model, and re-frame through shape discovery (the same
+        // distributed two-pass as typed ingestion; no driver rows).
+        val df = single(state)
+        val het = graft.operators.Het
+        import graft.sources.{ZValue, ZType, ZsonParser, ZFormat, ZsonReader}
+        val nameCols = assigns.map { case (ne, _) =>
+          val c = expr(df, ne)
+          if (isVariantExpr(df, ne))
+            when(het.isError(c), lit(null).cast(StringType))
+              .otherwise(graft.functions.ZvOps.asText(c))
+          else c.cast(StringType)
+        }
+        val valueCols = assigns.map { case (_, ve) => outExpr(df, ve) }
+        val origSchema = df.schema
+        val withTemps = df.select(
+          (df.columns.toIndexedSeq.map(n => col(s"`$n`")) ++
+            nameCols.zipWithIndex.map { case (c, i) => c.as(s"__dynN$i") } ++
+            valueCols.zipWithIndex.map { case (c, i) => c.as(s"__dynV$i") }): _*)
+        val vTypes: Seq[(DataType, ZType)] =
+          withTemps.schema.fields.toIndexedSeq.takeRight(assigns.length).map { f =>
+            (f.dataType,
+              try ZsonParser.parseType(Shaper.zedTypeOf(f.dataType))
+              catch { case _: Exception => ZType.Prim("string") })
+          }
+        val fn = ZFormat.rowValueFn(origSchema)
+        val w = origSchema.fields.length
+        val k = assigns.length
+        val opName = op
+        val rdd = withTemps.rdd.map { row =>
+          import ZValue._
+          val base = fn(row)
+          def errRow(msg: String): ZValue =
+            VErr(VRec(Vector("message" -> VStr(msg), "on" -> base)))
+          val names = (0 until k).map(i =>
+            if (row.isNullAt(w + i)) null else row.getString(w + i))
+          val values = (0 until k).map { i =>
+            val (dt, zt) = vTypes(i)
+            if (row.isNullAt(w + k + i)) VNull(zt)
+            else ZValue.fromExternal(row.get(w + k + i), dt, zt)
+          }
+          if (names.contains(null)) errRow(s"$opName: missing")
+          else {
+            val dup = names.groupBy(identity).collectFirst {
+              case (n, g) if g.length > 1 => n }
+            opName match {
+              case "put" =>
+                if (dup.isDefined) errRow(s"put: multiple assignments to ${dup.get}")
+                else ZValue.unwrap(base) match {
+                  case VRec(fs) =>
+                    var out = fs
+                    names.zip(values).foreach { case (n, v) =>
+                      out = if (out.exists(_._1 == n))
+                        out.map { case (fn0, fv) => if (fn0 == n) fn0 -> v else fn0 -> fv }
+                      else out :+ (n -> v)
+                    }
+                    VRec(out)
+                  case _ => errRow("put: not a record")
+                }
+              case "cut" =>
+                if (dup.isDefined) errRow(s"""cut: duplicate field: "${dup.get}"""")
+                else VRec(names.zip(values).toVector)
+              case _ => // rename: (newName, oldName) pairs — value exprs
+                // were compiled from the old-name expr; resolve old names
+                // from the SECOND element's string form
+                ZValue.unwrap(base) match {
+                  case VRec(fs) =>
+                    var out = fs
+                    names.zipWithIndex.foreach { case (newName, i) =>
+                      val oldName = assigns(i)._2 match {
+                        case Expr.StringLit(s) => s
+                        case _ => ZValue.unwrap(values(i)) match {
+                          case VStr(s) => s
+                          case _ => null
+                        }
+                      }
+                      if (oldName != null && out.exists(_._1 == oldName))
+                        out = out.map { case (fn0, fv) =>
+                          if (fn0 == oldName) newName -> fv else fn0 -> fv }
+                    }
+                    VRec(out)
+                  case _ => base
+                }
+            }
+          }
+        }
+        Seq(ZsonReader.fromRDD(df.sparkSession, rdd))
+
       case Stage.Sort(keys, nullsFirst) =>
         val df = single(state)
         val het = graft.operators.Het

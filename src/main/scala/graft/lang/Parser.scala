@@ -296,10 +296,10 @@ final class Parser(tokens: Vector[Token], source: String) {
         Stage.From(t.text)
       case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
       case "by" => parseSummarize()
-      case "cut" => next(); Stage.Cut(parseFieldList())
-      case "put" => next(); Stage.Put(parseAssignList())
+      case "cut" => next(); parseCutStage()
+      case "put" => next(); parsePutStage()
       case "drop" => next(); Stage.Drop(parsePathList())
-      case "rename" => next(); Stage.Rename(parseRenameList())
+      case "rename" => next(); parseRenameStage()
       case "sort" => next(); parseSort()
       case "head" => next(); Stage.Head(parseOptionalInt(1))
       case "tail" => next(); Stage.Tail(parseOptionalInt(1))
@@ -391,17 +391,38 @@ final class Parser(tokens: Vector[Token], source: String) {
     * field name is LITERAL (a dot inside it is part of the name).
     */
   private def parseAssignTarget(): String =
+    parseAssignTargetE() match {
+      case Left(n) => n
+      case Right(_) => fail("output field must be static") // summarize lhs
+    }
+
+  /** Left(name) for static targets; Right(expr) when `this[<expr>]` names
+    * the field at RUNTIME (lval.go ExprLvalElem) — put/cut/rename accept
+    * the dynamic form, summarize requires static (summarize-lhs-error).
+    */
+  private def parseAssignTargetE(): Either[String, Expr] =
     if (peek.text == "this" && peekAt(1).text == "[") {
       next(); next()
-      val n = (if (peek.kind == Lexer.STR) Expr.StringLit(next().text)
-               else consts.getOrElse(next().text, Expr.NullLit)) match {
-        case Expr.StringLit(s) => s
-        case _ => fail("this[<expr>] := with a computed field name is not " +
-          "supported — use a string literal or a const that names one")
-      }
+      val res: Either[String, Expr] =
+        if (peek.kind == Lexer.STR && peekAt(1).text == "]") Left(next().text)
+        else {
+          val e0 = parseExpr()
+          (e0 match {
+            case Expr.Path(Seq(n)) => consts.get(n)
+            case _ => None
+          }) match {
+            case Some(Expr.StringLit(s)) => Left(s)
+            case _ => e0 match {
+              case Expr.StringLit(s) => Left(s)
+              case other => Right(other)
+            }
+          }
+        }
       expect("]")
-      n
-    } else parseDottedName()
+      if (peek.text == "[")
+        fail("nested this[<expr>][<expr>] := targets are not supported")
+      res
+    } else Left(parseDottedName())
 
   private def adjacent(a: Token, b: Token): Boolean =
     b.pos == a.end && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&
@@ -440,12 +461,21 @@ final class Parser(tokens: Vector[Token], source: String) {
       // a mixed list like `s:=sum(x), max(x)` only parses as SUMMARIZE
       // (bare agg calls auto-name) — fall through on assign-parse failure
       val assignsOpt =
-        try Some(parseAssignList()) catch { case _: Exception => pos = save; None }
+        try Some(parseAssignListE()) catch { case _: Exception => pos = save; None }
       assignsOpt match {
         case Some(assigns) if atId("by") || assigns.exists(a => isAggTop(a._2)) =>
+          // dynamic lhs over an aggregate is the reference's static-only
+          // error (summarize-lhs-error ztest)
+          if (assigns.exists(_._1.isRight))
+            fail("aggregate output field must be static")
           pos = save
           parseSummarize()
-        case Some(assigns) => Stage.Put(assigns)
+        case Some(assigns) if assigns.forall(_._1.isLeft) =>
+          Stage.Put(assigns.map { case (t, e) => (t.swap.getOrElse(""), e) })
+        case Some(assigns) => Stage.DynAssign("put", assigns.map {
+          case (Left(n), e) => (Expr.StringLit(n): Expr, e)
+          case (Right(ne), e) => (ne, e)
+        })
         case None => parseSummarize()
       }
     } else if (peek.kind == ID && aggFns(peek.text) && peekAt(1).text == "(") {
@@ -492,11 +522,11 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   // cut: field[:=expr] | <expr> (name inferred), ...
-  private def parseFieldList(): Seq[(String, Option[Expr])] = {
-    val out = Vector.newBuilder[(String, Option[Expr])]
+  private def parseFieldListE(): Seq[(Either[String, Expr], Option[Expr])] = {
+    val out = Vector.newBuilder[(Either[String, Expr], Option[Expr])]
     do {
       if (assignAhead) {
-        val path = parseAssignTarget(); next()
+        val path = parseAssignTargetE(); next()
         var e = parseExpr()
         // an aggregate in cut/put expression position is a RUNNING
         // aggregate, optionally filtered (agg-expr-where ztest:
@@ -506,30 +536,85 @@ final class Parser(tokens: Vector[Token], source: String) {
         }
         out += ((path, Some(e)))
       } else if (peek.kind == ID && peekAt(1).text != "(" && peekAt(1).text != "[") {
-        out += ((parseDottedName(), None))
+        out += ((Left(parseDottedName()), None))
       } else {
         // bare expression — field name inferred (cutter.go deriveAs)
         val e = parseExpr()
-        out += ((Expr.inferName(e), Some(e)))
+        out += ((Left(Expr.inferName(e)), Some(e)))
       }
     } while (eat(","))
     out.result()
   }
 
-  private def parseAssignList(): Seq[(String, Expr)] = {
-    val out = Vector.newBuilder[(String, Expr)]
+  /** Cut stage: static targets stay the native-column path; any computed
+    * `this[<expr>]` target switches the whole cut to the dynamic-shape
+    * row rewrite (cut-dynamic-field ztest).
+    */
+  private def parseCutStage(): Stage = {
+    val fs = parseFieldListE()
+    if (fs.forall(_._1.isLeft))
+      Stage.Cut(fs.map { case (t, e) => (t.swap.getOrElse(""), e) })
+    else Stage.DynAssign("cut", fs.map {
+      case (Left(n), Some(e)) => (Expr.StringLit(n): Expr, e)
+      case (Left(n), None) => (Expr.StringLit(n): Expr, Expr.Path(n.split('.').toSeq): Expr)
+      case (Right(ne), Some(e)) => (ne, e)
+      case (Right(ne), None) => (ne, Expr.NullLit: Expr)
+    })
+  }
+
+  private def parseAssignList(): Seq[(String, Expr)] =
+    parseAssignListE().map {
+      case (Left(n), e) => (n, e)
+      case (Right(_), _) => fail("output field must be static")
+    }
+
+  private def parseAssignListE(): Seq[(Either[String, Expr], Expr)] = {
+    val out = Vector.newBuilder[(Either[String, Expr], Expr)]
     do {
-      val path = parseAssignTarget()
+      val path = parseAssignTargetE()
       expect(":=")
       out += ((path, parseExpr()))
     } while (eat(","))
     out.result()
   }
 
+  /** Put stage: dynamic targets (this[<expr>] :=) switch to the row-level
+    * rewrite (put-dynamic-field ztest); all-static stays native.
+    */
+  private def parsePutStage(): Stage = {
+    val as = parseAssignListE()
+    if (as.forall(_._1.isLeft))
+      Stage.Put(as.map { case (t, e) => (t.swap.getOrElse(""), e) })
+    else Stage.DynAssign("put", as.map {
+      case (Left(n), e) => (Expr.StringLit(n): Expr, e)
+      case (Right(ne), e) => (ne, e)
+    })
+  }
+
   private def parsePathList(): Seq[String] = {
     val out = Vector.newBuilder[String]
     do out += parseDottedName() while (eat(","))
     out.result()
+  }
+
+  /** Rename: either side may be a computed `this[<expr>]` field name
+    * (rename-dynamic-field ztest) — any dynamic side switches to the
+    * row-level rewrite.
+    */
+  private def parseRenameStage(): Stage = {
+    val out = Vector.newBuilder[(Either[String, Expr], Either[String, Expr])]
+    do {
+      val to = parseAssignTargetE(); expect(":="); val from = parseAssignTargetE()
+      out += ((to, from))
+    } while (eat(","))
+    val rs = out.result()
+    if (rs.forall(r => r._1.isLeft && r._2.isLeft))
+      Stage.Rename(rs.map { case (t, f) =>
+        (t.swap.getOrElse(""), f.swap.getOrElse("")) })
+    else Stage.DynAssign("rename", rs.map { case (t, f) =>
+      (t.fold(Expr.StringLit(_): Expr, identity),
+       f.fold(Expr.StringLit(_): Expr, identity))
+    })
   }
 
   private def parseRenameList(): Seq[(String, String)] = {

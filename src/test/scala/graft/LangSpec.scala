@@ -309,6 +309,42 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 4L)
   }
 
+  test("computed field names: put/cut/rename this[<expr>] := … evaluate per " +
+       "row (put-dynamic-field, cut-dynamic-field, rename-dynamic-field ztests)") {
+    import graft.sources.{ZsonParser, ZsonReader, ZsonIO}
+    def on(zson: String, zed: String): Seq[String] = {
+      val vals = zson.linesIterator.filter(_.trim.nonEmpty)
+        .map(l => new ZsonParser(l).parseOne()).toSeq
+      val df = ZsonReader.fromValues(spark, vals, tag = true)
+      ZsonIO.toZson(Graft.queryOn(df, zed)).collect().toSeq
+    }
+    // put: name from a sibling field / nested path / runtime index
+    assert(on("""{a:{b:"hello"}}""", """this[a.b]:="world" | drop a""") ==
+      Seq("""{hello:"world"}"""))
+    assert(on("""{a:"hello"}""", """this[this["a"]] := "world" | drop a""") ==
+      Seq("""{hello:"world"}"""))
+    // put: conflicting dynamic names / missing name are the reference errors
+    assert(on("""{a:"hello",b:"hello"}""",
+      """this[a] := "world1", this[b] := "world2"""").head
+      .contains("put: multiple assignments to hello"))
+    assert(on("""{}""", """this[doesnotexist] := "world"""").head
+      .contains("put: missing"))
+    // cut: per-row shapes from the data
+    assert(on("{key:\"foo\",v1:1,v2:2}\n{key:\"bar\",v1:2,v2:3}",
+      """cut this[key] := [v1,v2]""") ==
+      Seq("""{foo:[1,2]}""", """{bar:[2,3]}"""))
+    assert(on("""{a:"hello",b:"hello"}""",
+      """cut this[a] := "world1", this[b] := "world2"""").head
+      .contains("cut: duplicate field"))
+    // rename: dynamic target and dynamic source
+    assert(on("{target:\"foo\",src:\"bar\"}\n{target:\"fool\",src:\"baz\"}",
+      "rename this[target] := src") ==
+      Seq("""{target:"foo",foo:"bar"}""", """{target:"fool",fool:"baz"}"""))
+    assert(on("{target:\"a\",a:\"bar\"}\n{target:\"b\",b:\"baz\"}",
+      "rename dst := this[target]") ==
+      Seq("""{target:"a",dst:"bar"}""", """{target:"b",dst:"baz"}"""))
+  }
+
   test("fuse across fork branches unifies schemas with nulls") {
     val df = run(
       """from orders | fork (
