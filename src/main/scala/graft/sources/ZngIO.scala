@@ -68,6 +68,11 @@ object ZngIO {
     case TimestampType | TimestampNTZType | DateType => Some(ID_TIME)
     case _: DayTimeIntervalType => Some(ID_DURATION)
     case NullType => Some(ID_NULL)
+    // Decimal(20,0) is the engine's FULL-RANGE uint64 carrier (value.go
+    // carries uint64 natively; 2^64−1 doesn't fit a long — SURVEY §1.4);
+    // other decimals have no zed type and ride as float64
+    case dt: DecimalType if dt.precision == 20 && dt.scale == 0 => Some(3)
+    case _: DecimalType => Some(ID_FLOAT64)
     case _ => None
   }
 
@@ -128,6 +133,15 @@ object ZngIO {
       case BooleanType => tagged(out, Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
       case StringType => tagged(out, v.toString.getBytes("UTF-8"))
       case BinaryType => tagged(out, v.asInstanceOf[Array[Byte]])
+      case dt: DecimalType if dt.precision == 20 && dt.scale == 0 =>
+        // uint64 carrier: unsigned little-endian minimal bytes
+        var x = BigInt(v.asInstanceOf[java.math.BigDecimal].toBigInteger)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        while (x != 0) { buf += (x & 0xff).toByte; x >>= 8 }
+        tagged(out, buf.toArray)
+      case _: DecimalType =>
+        tagged(out, leBytes(java.lang.Double.doubleToLongBits(
+          v.asInstanceOf[java.math.BigDecimal].doubleValue()), 8))
       case TimestampType =>
         val ns = v.asInstanceOf[java.sql.Timestamp].toInstant
         tagged(out, signedBytes(ns.getEpochSecond * 1000000000L + ns.getNano))

@@ -60,6 +60,9 @@ object ZsonIO {
           .when(c.cast(DoubleType) === floor(c.cast(DoubleType)) && abs(c) < 1e7,
             concat(c.cast(LongType).cast(StringType), lit(".")))
           .otherwise(c.cast(StringType)), lit(" (float32)"))
+      case dt: DecimalType if dt.precision == 20 && dt.scale == 0 =>
+        // the full-range uint64 carrier: exact digits + its zed decorator
+        concat(c.cast(StringType), lit("(uint64)"))
       case _: DecimalType => concat(c.cast(StringType), lit(" (float64)"))
       case BooleanType => c.cast(StringType)
       case TimestampType | TimestampNTZType =>

@@ -164,4 +164,27 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = ZngIO.decodeToZson(out.toByteArray).toSeq
     assert(lines == Seq("|[1,2]|", "\"ok\"", "\"hi\"", "80"))
   }
+
+  test("uint64 above 2^63-1 keeps its exact value through the Decimal " +
+       "carrier: zson render, zng round-trip, and sums (value.go uint64)") {
+    val spark = GraftSession.local(4)
+    try {
+      val vals = Seq("18446744073709551615(uint64)", "18446744073709551614(uint64)")
+        .map(l => new graft.sources.ZsonParser(l).parseOne())
+      val df = graft.sources.ZsonReader.fromValues(spark, vals, tag = true)
+      assert(df.schema("this").dataType ==
+        org.apache.spark.sql.types.DecimalType(20, 0))
+      assert(graft.sources.ZsonIO.toZson(df).collect().toSeq ==
+        Seq("18446744073709551615(uint64)", "18446744073709551614(uint64)"))
+      // exact arithmetic in the decimal domain (no double rounding)
+      val sum = graft.lang.Graft.queryOn(df, "sum(this)")
+      assert(graft.sources.ZsonIO.toZson(sum).collect().head.startsWith("36893488147419103229"))
+      // zng writer emits real uint64 (type id 3) and reads back exactly
+      val tmp = java.nio.file.Files.createTempDirectory("graft-u64").toString
+      ZngIO.write(df.drop(graft.operators.Het.typeTag), s"$tmp/u.zng")
+      val back = ZngIO.read(spark, s"$tmp/u.zng")
+      assert(graft.sources.ZsonIO.toZson(back).collect().toSeq.sorted ==
+        Seq("{this:18446744073709551614(uint64)}", "{this:18446744073709551615(uint64)}"))
+    } finally spark.stop()
+  }
 }
