@@ -39,7 +39,16 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
           val dir = params.getOrElse("dir", defaultDir)
           val fmt = params.getOrElse("fmt", "zson")
           val limit = params.getOrElse("limit", "0").toInt
-          val df0 = Graft.query(spark, dir, body)
+          // named multi-output graphs (op/mux.go): ?output=<name> selects
+          // one labeled leg; without it the combined stream flows
+          val df0 = params.get("output") match {
+            case Some(name) =>
+              val outs = Graft.queryOutputs(spark, dir, body)
+              outs.collectFirst { case (n, f) if n == name => f }.getOrElse(
+                throw new IllegalArgumentException(
+                  s"no such output: $name (have ${outs.map(_._1).mkString(", ")})"))
+            case None => Graft.query(spark, dir, body)
+          }
           val df = if (limit > 0) df0.limit(limit) else df0
           val it = (fmt match {
             case "text" => Formats.textLines(df)

@@ -77,6 +77,12 @@ object Stage {
     * static sides as StringLit.
     */
   final case class DynAssign(op: String, assigns: Seq[(Expr, Expr)]) extends Stage
+  /** `output <name>` — a named flowgraph sink (runtime/sam/op/mux.go:
+    * each parallel path ends at a labeled output; ast.go Output). The
+    * branch leaves the flowing state and surfaces by name via
+    * Graft.queryOutputs / the service's output= param.
+    */
+  final case class Output(name: String) extends Stage
   final case class Sort(
       keys: Seq[(Expr, Boolean)], // (expr, ascending)
       nullsFirst: Boolean) extends Stage

@@ -24,11 +24,26 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   def run(p: Pipeline): DataFrame = {
     val frames = compilePipeline(None, p)
-    combineAll(frames)
+    combineAll(frames ++ namedOut.map(_._2))
   }
 
-  def runOn(input: DataFrame, p: Pipeline): DataFrame =
-    combineAll(compilePipeline(Some(input), p))
+  def runOn(input: DataFrame, p: Pipeline): DataFrame = {
+    val frames = compilePipeline(Some(input), p)
+    combineAll(frames ++ namedOut.map(_._2))
+  }
+
+  /** Compile to NAMED outputs (mux.go labeled paths): every `output x`
+    * branch by its label, plus "main" for whatever still flows at the end.
+    * Same-label branches combine (multiple legs may feed one output).
+    */
+  def runOutputs(input: Option[DataFrame], p: Pipeline): Seq[(String, DataFrame)] = {
+    val frames = compilePipeline(input, p)
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[DataFrame]]
+    namedOut.foreach { case (n, f) =>
+      grouped(n) = grouped.getOrElse(n, Vector.empty) :+ f }
+    val named = grouped.toSeq.map { case (n, fs) => n -> combineAll(fs) }
+    if (frames.nonEmpty) named :+ ("main" -> combineAll(frames)) else named
+  }
 
   private def combineAll(frames: Seq[DataFrame]): DataFrame = {
     if (frames.length == 1) return frames.head
@@ -70,10 +85,17 @@ final class Compiler(spark: SparkSession, dir: String) {
     }: _*)
   }
 
+  /** Named flowgraph outputs collected while compiling (op/mux.go labels):
+    * `output <name>` removes its branch from the flowing state and lands
+    * it here; see runOutputs.
+    */
+  private val namedOut = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+
   private def compilePipeline(input: Option[DataFrame], p: Pipeline): Seq[DataFrame] = {
     var state: Seq[DataFrame] = input.toSeq
     for (stage <- p.stages) state = compileStage(state, stage)
-    require(state.nonEmpty, "pipeline has no source (missing `from`)")
+    require(state.nonEmpty || namedOut.nonEmpty,
+      "pipeline has no source (missing `from`)")
     state
   }
 
@@ -574,6 +596,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           left, right,
           expr(left, lk), expr(right, rk), style,
           graftFields.map { case (n, e) => n -> expr(right, e) }))
+
+      case Stage.Output(name) =>
+        namedOut += name -> single(state)
+        Seq.empty
 
       case Stage.Fork(branches) =>
         val df = single(state)
@@ -3633,4 +3659,10 @@ object Graft {
     val c = new Compiler(input.sparkSession, "")
     c.runOn(input, Parser.parse(zed))
   }
+
+  /** Named multi-output flowgraph (op/mux.go): each `output <name>` leg
+    * by label plus "main" for the unterminated flow.
+    */
+  def queryOutputs(spark: SparkSession, dir: String, zed: String): Seq[(String, DataFrame)] =
+    new Compiler(spark, dir).runOutputs(None, Parser.parse(zed))
 }

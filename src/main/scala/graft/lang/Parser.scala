@@ -296,6 +296,8 @@ final class Parser(tokens: Vector[Token], source: String) {
         Stage.From(t.text)
       case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
       case "by" => parseSummarize()
+      case "output" if peekAt(1).kind == ID =>
+        next(); Stage.Output(next().text)
       case "cut" => next(); parseCutStage()
       case "put" => next(); parsePutStage()
       case "drop" => next(); Stage.Drop(parsePathList())

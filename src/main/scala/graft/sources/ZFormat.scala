@@ -523,9 +523,20 @@ object ZFormat {
     * type change, `_path` excluded from columns, all values (incl. times)
     * zeek-formatted.
     */
-  def zeekLines(df: DataFrame): Seq[String] = {
+  def zeekLines(df: DataFrame): Dataset[String] = {
     val fn = rowValueFn(df.schema)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // bounded driver memory: lines spool to disk as they stream (same
+    // block-spool treatment as tableLines); callers read the spool as a
+    // dataset — no unbounded driver buffer
+    val spool = java.nio.file.Files.createTempFile("graft-zeek-", ".txt")
+    spool.toFile.deleteOnExit()
+    val sink = java.nio.file.Files.newBufferedWriter(spool,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = new scala.collection.mutable.ArrayBuffer[String](0) {
+      override def addOne(s: String): this.type = {
+        sink.write(s); sink.write('\n'); this
+      }
+    }
     var preambleDone = false
     var curPath: String = ""
     var curSig: Vector[(String, String)] = null
@@ -563,7 +574,8 @@ object ZFormat {
           out += zeekFormat(other) // reference errors; emit the value text
       }
     }
-    out.toSeq
+    sink.close()
+    df.sparkSession.read.textFile(spool.toString)
   }
 
   // ---- csv writer (zio/csvio/writer.go) ------------------------------------

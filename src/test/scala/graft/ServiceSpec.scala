@@ -142,4 +142,18 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post(s"/revert?root=$enc&pool=p&commit=$compacted", "")._1 == 200)
     intercept[Exception] { graft.sources.Lake.scan(spark, root, "p").count() }
   }
+
+  test("named multi-output graphs: output legs select by name (op/mux.go)") {
+    val q = "from nation | fork ( => head 3 | output small  => tail 2 | output big )"
+    val (c1, b1) = post("/query?output=small", q)
+    assert(c1 == 200 && b1.trim.linesIterator.size == 3)
+    val (c2, b2) = post("/query?output=big", q)
+    assert(c2 == 200 && b2.trim.linesIterator.size == 2)
+    // unknown name is a clear error listing the available outputs
+    val (c3, b3) = post("/query?output=nope", q)
+    assert(c3 == 400 && b3.contains("no such output") && b3.contains("small"))
+    // no output param: the combined stream (all legs)
+    val (c4, b4) = post("/query", q)
+    assert(c4 == 200 && b4.trim.linesIterator.size == 5)
+  }
 }
