@@ -242,12 +242,14 @@ object ArrowIO {
     }
   }
 
-  def encode(schema: StructType, rows: Iterator[Row]): Array[Byte] = {
+  /** Stream rows as IPC batches DIRECTLY to the sink — memory is one
+    * 4096-row batch, never the whole partition (no 2 GiB array ceiling).
+    */
+  def encodeTo(schema: StructType, rows: Iterator[Row], out: java.io.OutputStream): Unit = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
       val aschema = new ASchema(schema.fields.toSeq.map(f => arrowField(f.name, f.dataType)).asJava)
       val root = VectorSchemaRoot.create(aschema, alloc)
-      val out = new java.io.ByteArrayOutputStream()
       val writer = new ArrowStreamWriter(root, null, out)
       try {
         writer.start()
@@ -263,8 +265,13 @@ object ArrowIO {
         }
         writer.end()
       } finally { writer.close(); root.close() }
-      out.toByteArray
     } finally alloc.close()
+  }
+
+  def encode(schema: StructType, rows: Iterator[Row]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    encodeTo(schema, rows, out)
+    out.toByteArray
   }
 
   /** Distributed write: one IPC stream per partition via the Hadoop FS
@@ -277,7 +284,7 @@ object ArrowIO {
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.hasNext) {
         val out = HadoopFs.create(conf, path, f"part-$pid%05d.arrows")
-        try out.write(encode(schema, it)) finally out.close()
+        try encodeTo(schema, it, out) finally out.close()
       }
       Iterator.empty[Int]
     }.count()
