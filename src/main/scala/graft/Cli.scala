@@ -22,6 +22,7 @@ object Cli {
     var out: Option[String] = None
     var maxRows = 50
     var explain = false
+    var outputLeg: Option[String] = None // named multi-output leg (op/mux.go)
     var query: Option[String] = None
     var i = 0
     while (i < args.length) {
@@ -30,6 +31,7 @@ object Cli {
         case "-f" => format = args(i + 1); i += 2
         case "-o" => out = Some(args(i + 1)); i += 2
         case "-n" => maxRows = args(i + 1).toInt; i += 2
+        case "-output" => outputLeg = Some(args(i + 1)); i += 2
         case "-explain" => explain = true; i += 1
         case q => query = Some(q); i += 1
       }
@@ -41,7 +43,16 @@ object Cli {
 
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     try {
-      val df = Graft.query(spark, dir, q)
+      val df = outputLeg match {
+        case Some(name) =>
+          val outs = Graft.queryOutputs(spark, dir, q)
+          outs.collectFirst { case (n, f) if n == name => f }.getOrElse {
+            System.err.println(
+              s"no such output: $name (have ${outs.map(_._1).mkString(", ")})")
+            sys.exit(2)
+          }
+        case None => Graft.query(spark, dir, q)
+      }
       if (explain) {
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
