@@ -322,12 +322,45 @@ object ZeekIO {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
-    val directiveTotal = lines.filter(_.startsWith("#")).count()
-    val headDirectives =
-      lines.take(512).iterator.takeWhile(_.startsWith("#")).length
-    if (directiveTotal <= headDirectives) {
-      // fast path: all directives lead the file — decode DISTRIBUTED
-      val h = parseHeader(lines.take(headDirectives).toSeq)
+    // Per-FILE directive stats (one cheap text scan, no value building):
+    // when every file is a single leading directive block and all files
+    // share the SAME header — the normal shape of a written log set —
+    // decode runs fully native in codegen (split + typed casts), one
+    // pass, no value-model detour. Only genuinely interleaved or
+    // mixed-header inputs take the two-pass typed route.
+    val statsRdd = spark.read.format("binaryFile").load(
+        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+      .select("content").as[Array[Byte]].rdd
+      .map { bytes0 =>
+        // byte-level scan — no whole-file String, no per-line allocation
+        val bytes = Gzip.maybeGunzip(bytes0)
+        var leading = true
+        val lead = Vector.newBuilder[String]
+        var total = 0
+        var i = 0
+        while (i < bytes.length) {
+          var j = i
+          while (j < bytes.length && bytes(j) != '\n') j += 1
+          if (i < j) {
+            if (bytes(i) == '#') {
+              total += 1
+              if (leading) {
+                val e = if (j > i && bytes(j - 1) == '\r') j - 1 else j
+                lead += new String(bytes, i, e - i,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              }
+            } else if (bytes(i) != '\r') leading = false
+          }
+          i = j + 1
+        }
+        (lead.result(), total)
+      }
+    val stats = statsRdd.collect()
+    val uniform = stats.nonEmpty &&
+      stats.forall { case (lead, total) => total == lead.length } &&
+      stats.map(_._1).distinct.length == 1
+    if (uniform) {
+      val h = parseHeader(stats.head._1)
       val data = lines.filter(l => !l.startsWith("#") && l.nonEmpty)
       decodeBlock(spark, h, data)
     } else {
@@ -351,7 +384,12 @@ object ZeekIO {
       h: Header,
       data: org.apache.spark.sql.Dataset[String]): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(h.separator)
-    val parts = split(col("value"), sepLit)
+    // materialize the split ONCE: decodeCol wraps each field in when()
+    // chains, and codegen does not eliminate common subexpressions across
+    // conditional branches — element_at over a projected array keeps one
+    // split per row instead of one per branch occurrence
+    val withParts = data.toDF().select(split(col("value"), sepLit).as("__parts"))
+    val parts = col("__parts")
     val cols = h.fields.zip(h.types).zipWithIndex.map { case ((f, t), i) =>
       decodeCol(element_at(parts, i + 1), t, h).as(f)
     }
@@ -362,7 +400,7 @@ object ZeekIO {
     val tagText = shapeText(h, withPath)
     val md = new MetadataBuilder().putStringArray("shapes", Array(tagText)).build()
     val tag = Seq(lit(tagText).as(graft.operators.Het.typeTag, md))
-    val flat = data.toDF().select(pathCol ++ cols ++ tag: _*)
+    val flat = withParts.select(pathCol ++ cols ++ tag: _*)
     // dotted #fields names are nested records in zed (zeekio reader.go
     // "shared context": id.orig_h → {id:{orig_h:…}})
     if (h.fields.exists(_.contains("."))) graft.functions.Shaper.nestDotted(flat)
