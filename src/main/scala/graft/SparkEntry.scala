@@ -1006,6 +1006,20 @@ object SparkEntry {
     },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    ("q_zeek_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_zeek_nation"
+      graft.sources.ZeekIO.write(t(s, dir, "nation"), path)
+      // zeek TSV re-reads through the codegen block decode (uniform
+      // multi-file directories) — exact against the original table
+      ZedOps.sort(
+        graft.sources.ZeekIO.read(s, path).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey")),
+        col("n_nationkey") -> true)
+    },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     ("q_csv_roundtrip", (s, dir) => {
       val path = "/tmp/graft_io_csv_region.csv"
       graft.sources.Formats.write(t(s, dir, "region"), path, "csv")
