@@ -89,4 +89,25 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Streaming `mirror` / output mux (runtime/sam/op/mirror/mirror.go,
+    * mux.go): each micro-batch fans out to EVERY named sink exactly once —
+    * the batch is persisted so the shared upstream computes once per
+    * trigger, not once per leg.
+    */
+  def mirrorStream(events: DataFrame, checkpoint: String,
+                   sinks: Seq[(String, DataFrame => Unit)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try sinks.foreach { case (_, sink) => sink(batch.toDF()) }
+          finally { batch.unpersist(); () }
+        }
+        ()
+      }
+      .start()
 }

@@ -88,4 +88,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(graft.sources.Lake.scan(spark, root, "live").count() == 3)
     } finally q.stop()
   }
+
+  test("mirrorStream fans each micro-batch out to every named sink (mirror.go/mux.go)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-mux").toString
+    val in = MemoryStream[(Long, Double)]
+    val seen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val q = StreamOps.mirrorStream(in.toDF().toDF("k", "v"), ckpt, Seq(
+      "all" -> ((b: org.apache.spark.sql.DataFrame) =>
+        seen.synchronized { seen("all") += b.count() }),
+      "high" -> ((b: org.apache.spark.sql.DataFrame) =>
+        seen.synchronized { seen("high") += b.filter($"v" > 1.5).count() })))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(seen("all") == 3 && seen("high") == 2)
+    } finally q.stop()
+  }
 }
