@@ -235,9 +235,21 @@ object VngIO {
     private var count = 0L
     def write(v: ZValue): Unit = { count += 1; ZngIO.encodeZTagged(buf, v, zt) }
     def finish(off: Long, data: ByteArrayOutputStream): (Long, Meta) = {
-      buf.writeTo(data)
-      val len = buf.size().toLong
-      (off + len, MPrim(t, Seg(off, len, len, 0), Vector.empty, count))
+      // LZ4-compress the segment like the reference writer, keeping the
+      // compressed form only when it actually shrinks (segment.go
+      // compressBuffer: format 1 = LZ4 block, 0 = raw)
+      val raw = buf.toByteArray
+      val memLen = raw.length.toLong
+      val (bytes, format) =
+        if (raw.isEmpty) (raw, 0)
+        else {
+          val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
+            .fastCompressor().compress(raw)
+          if (comp.length < raw.length) (comp, 1) else (raw, 0)
+        }
+      data.write(bytes, 0, bytes.length)
+      (off + bytes.length, MPrim(t, Seg(off, bytes.length.toLong, memLen, format),
+        Vector.empty, count))
     }
   }
 
