@@ -17,9 +17,9 @@ import scala.collection.mutable
   * nulls.go); records decompose per field; arrays/sets into lengths +
   * values; maps into lengths + keys + values; unions into tags + member
   * vectors; primitives into segments of zcode-tagged values. Segments
-  * are written uncompressed (CompressionFormat 0 — segment.go reads both
-  * formats; the reader here also decodes LZ4'd segments from
-  * reference-written files, plus dictionary vectors and Const columns).
+  * are LZ4-compressed when that shrinks them, raw otherwise (segment.go
+  * compressBuffer); the reader decodes both formats from reference- and
+  * self-written files, plus dictionary vectors and Const columns.
   */
 object VngIO {
 
