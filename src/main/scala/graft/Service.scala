@@ -40,7 +40,28 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
           val fmt = params.getOrElse("fmt", "zson")
           val limit = params.getOrElse("limit", "0").toInt
           // named multi-output graphs (op/mux.go): ?output=<name> selects
-          // one labeled leg; without it the combined stream flows
+          // one labeled leg; ?channels=true streams EVERY leg framed by
+          // the reference's control messages (api.go QueryChannelSet/End);
+          // without either the combined stream flows
+          if (params.get("channels").contains("true")) {
+            val outs = Graft.queryOutputs(spark, dir, body)
+            ex.getResponseHeaders.add("Content-Type", "application/x-zson")
+            ex.sendResponseHeaders(200, 0)
+            val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+            def line(s: String): Unit = {
+              os.write(s.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+            }
+            outs.foreach { case (name, leg0) =>
+              val leg = if (limit > 0) leg0.limit(limit) else leg0
+              line(s"""{"type":"QueryChannelSet","value":{"channel":"${Service.esc(name)}"}}""")
+              val lit = ZsonIO.toZson(leg).toLocalIterator()
+              while (lit.hasNext) line(lit.next())
+              line(s"""{"type":"QueryChannelEnd","value":{"channel":"${Service.esc(name)}"}}""")
+            }
+            os.flush()
+            ex.getResponseBody.close()
+            return
+          }
           val df0 = params.get("output") match {
             case Some(name) =>
               val outs = Graft.queryOutputs(spark, dir, body)

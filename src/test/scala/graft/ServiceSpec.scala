@@ -155,5 +155,15 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no output param: the combined stream (all legs)
     val (c4, b4) = post("/query", q)
     assert(c4 == 200 && b4.trim.linesIterator.size == 5)
+    // channels=true frames every leg with the reference's control
+    // messages (api.go QueryChannelSet/QueryChannelEnd)
+    val (c5, b5) = post("/query?channels=true", q)
+    assert(c5 == 200)
+    val ls = b5.trim.linesIterator.toSeq
+    assert(ls.count(_.contains("QueryChannelSet")) == 2)
+    assert(ls.count(_.contains("QueryChannelEnd")) == 2)
+    val smallSeg = ls.dropWhile(!_.contains("\"small\""))
+      .drop(1).takeWhile(!_.contains("QueryChannelEnd"))
+    assert(smallSeg.length == 3 && smallSeg.forall(_.startsWith("{n_nationkey")))
   }
 }
