@@ -45,4 +45,34 @@ object HadoopFs {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
   }
+
+  /** Driver-side: the data files under `path` (itself, if a plain file) —
+    * marker/hidden entries (_SUCCESS, .crc) skipped, name-sorted for
+    * deterministic planning.
+    */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Seq(path)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Executor-side: read a file fully (zng streams decode from a byte
+    * array; part files are bounded by the writing partition's size).
+    */
+  def readAll(conf: Map[String, String], path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(confOf(conf))
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen
+      val buf = new Array[Byte](len.toInt)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
 }

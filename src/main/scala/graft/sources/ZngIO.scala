@@ -1,7 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.ByteArrayOutputStream
 
@@ -152,6 +156,10 @@ object ZngIO {
       case DateType =>
         val d = v.asInstanceOf[java.sql.Date]
         tagged(out, signedBytes(d.toLocalDate.toEpochDay * 86400L * 1000000000L))
+      case _: DayTimeIntervalType =>
+        val dur = v.asInstanceOf[java.time.Duration]
+        tagged(out, signedBytes(Math.addExact(
+          Math.multiplyExact(dur.getSeconds, 1000000000L), dur.getNano.toLong)))
       case st: StructType =>
         val inner = new ByteArrayOutputStream()
         val r = v.asInstanceOf[Row]
@@ -226,17 +234,154 @@ object ZngIO {
 
   /** Distributed write: one ZNG stream file per partition, through the
     * Hadoop FileSystem API so the parts land on the shared filesystem
-    * (HDFS/S3A/file:) rather than executor-local disk.
+    * (HDFS/S3A/file:) rather than executor-local disk. Encodes straight
+    * from the physical plan's InternalRows (queryExecution.toRdd) — no
+    * per-row InternalRow→Row deconversion, strings stay UTF-8 bytes from
+    * Tungsten memory to the wire.
     */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     HadoopFs.prepareDir(df.sparkSession, path)
     val confMap = HadoopFs.confMap(df.sparkSession)
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
-      try encodeStreamTo(out, rows, schema) finally out.close()
+      try encodeInternalStreamTo(out, rows, schema) finally out.close()
       Iterator.empty
     }.count(): Unit
+  }
+
+  // ---- InternalRow-native encoding (the data-path writer) -------------------
+
+  /** Compile one field's wire encoder over Catalyst internal values — the
+    * write twin of the internal decode path. Same wire bytes as
+    * encodeValue on the external value (ZngSpec pins byte equality).
+    * Container encoders own one reusable inner buffer each (schemas are
+    * finite trees, calls are sequential within a partition).
+    */
+  private def internalFieldEncoder(dt: DataType)
+      : (ByteBuf, SpecializedGetters, Int) => Unit = dt match {
+    case ByteType => (out, g, i) => out.writeTaggedSigned(g.getByte(i).toLong)
+    case ShortType => (out, g, i) => out.writeTaggedSigned(g.getShort(i).toLong)
+    case IntegerType => (out, g, i) => out.writeTaggedSigned(g.getInt(i).toLong)
+    case LongType => (out, g, i) => out.writeTaggedSigned(g.getLong(i))
+    case FloatType => (out, g, i) =>
+      out.writeTaggedFixedLE(java.lang.Float.floatToIntBits(g.getFloat(i)).toLong & 0xffffffffL, 4)
+    case DoubleType => (out, g, i) =>
+      out.writeTaggedFixedLE(java.lang.Double.doubleToLongBits(g.getDouble(i)), 8)
+    case BooleanType => (out, g, i) => {
+      out.writeUvarint(2L); out.writeByte(if (g.getBoolean(i)) 1 else 0)
+    }
+    case StringType => (out, g, i) => {
+      val b = g.getUTF8String(i).getBytes
+      out.writeUvarint(b.length + 1L); out.writeBytes(b)
+    }
+    case BinaryType => (out, g, i) => {
+      val b = g.getBinary(i)
+      out.writeUvarint(b.length + 1L); out.writeBytes(b)
+    }
+    case dt: DecimalType if dt.precision == 20 && dt.scale == 0 => (out, g, i) => {
+      // uint64 carrier: unsigned little-endian minimal bytes
+      var x = BigInt(g.getDecimal(i, 20, 0).toJavaBigDecimal.toBigInteger)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while (x != 0) { buf += (x & 0xff).toByte; x >>= 8 }
+      out.writeUvarint(buf.length + 1L); out.writeBytes(buf.toArray)
+    }
+    case d: DecimalType => (out, g, i) =>
+      out.writeTaggedFixedLE(java.lang.Double.doubleToLongBits(
+        g.getDecimal(i, d.precision, d.scale).toDouble), 8)
+    // internal timestamps are epoch micros; the wire carries ns
+    case TimestampType | TimestampNTZType => (out, g, i) =>
+      out.writeTaggedSigned(Math.multiplyExact(g.getLong(i), 1000L))
+    case DateType => (out, g, i) =>
+      out.writeTaggedSigned(g.getInt(i) * 86400L * 1000000000L)
+    case _: DayTimeIntervalType => (out, g, i) =>
+      out.writeTaggedSigned(Math.multiplyExact(g.getLong(i), 1000L))
+    case st: StructType =>
+      val n = st.fields.length
+      val encs = st.fields.map(f => internalFieldEncoder(f.dataType))
+      val inner = new ByteBuf()
+      (out, g, i) => {
+        val r = g.getStruct(i, n)
+        inner.reset()
+        var j = 0
+        while (j < n) {
+          if (r.isNullAt(j)) inner.writeNullTag() else encs(j)(inner, r, j)
+          j += 1
+        }
+        out.writeUvarint(inner.size + 1L); inner.writeTo(out)
+      }
+    case ArrayType(et, _) =>
+      val enc = internalFieldEncoder(et)
+      val inner = new ByteBuf()
+      (out, g, i) => {
+        val a = g.getArray(i)
+        inner.reset()
+        var j = 0
+        while (j < a.numElements()) {
+          if (a.isNullAt(j)) inner.writeNullTag() else enc(inner, a, j)
+          j += 1
+        }
+        out.writeUvarint(inner.size + 1L); inner.writeTo(out)
+      }
+    case MapType(kt, vt, _) =>
+      val kEnc = internalFieldEncoder(kt)
+      val vEnc = internalFieldEncoder(vt)
+      (out, g, i) => {
+        // normalized: entries sorted by encoded key bytes (§2.2.3)
+        val m = g.getMap(i)
+        val ka = m.keyArray(); val va = m.valueArray()
+        val entries = (0 until m.numElements()).map { j =>
+          val kb = new ByteBuf(64)
+          if (ka.isNullAt(j)) kb.writeNullTag() else kEnc(kb, ka, j)
+          val vb = new ByteBuf(64)
+          if (va.isNullAt(j)) vb.writeNullTag() else vEnc(vb, va, j)
+          (kb.toByteArray, vb.toByteArray)
+        }.sortWith((a, b) => java.util.Arrays.compare(a._1, b._1) < 0)
+        val inner = new ByteBuf(256)
+        entries.foreach { case (kb, vb) => inner.writeBytes(kb); inner.writeBytes(vb) }
+        out.writeUvarint(inner.size + 1L); inner.writeTo(out)
+      }
+    case NullType => (out, _, _) => out.writeNullTag()
+    case other => throw new IllegalArgumentException(s"zng: unsupported type $other")
+  }
+
+  /** Stream-encode internal rows of one schema — identical wire output to
+    * encodeStreamTo, without the external-Row detour.
+    */
+  def encodeInternalStreamTo(out: java.io.OutputStream,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      schema: StructType): Unit = {
+    val table = new TypeTable
+    val topId = table.idOf(schema)
+    val tf = frame(0, table.defs.toByteArray) // types frame
+    out.write(tf, 0, tf.length)
+    val values = new ByteBuf(1 << 20)
+    val header = new ByteBuf(16)
+    def flush(): Unit = {
+      header.reset()
+      header.writeByte((1 << 4) | (values.size & 0xf)) // V=0, C=0, T=1, L
+      header.writeUvarint((values.size >> 4).toLong)
+      header.writeTo(out)
+      values.writeTo(out)
+      values.reset()
+    }
+    val encs = schema.fields.map(f => internalFieldEncoder(f.dataType))
+    val n = encs.length
+    val body = new ByteBuf(1 << 12)
+    rows.foreach { r =>
+      values.writeUvarint(topId.toLong)
+      body.reset()
+      var i = 0
+      while (i < n) {
+        if (r.isNullAt(i)) body.writeNullTag() else encs(i)(body, r, i)
+        i += 1
+      }
+      values.writeUvarint(body.size + 1L)
+      body.writeTo(values)
+      if (values.size > (1 << 20)) flush() // bounded frames, like zngio's framing
+    }
+    if (values.size > 0) flush()
+    out.write(0xff) // end of stream
   }
 
   // ---- decoding --------------------------------------------------------------
@@ -262,7 +407,66 @@ object ZngIO {
     def bytes(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; r
     }
+    // allocation-free decode of counted bodies in place (the hot path)
+    def unsignedAt(n: Int): Long = {
+      var u = 0L; var i = pos + n - 1
+      while (i >= pos) { u = (u << 8) | (buf(i) & 0xffL); i -= 1 }
+      pos += n; u
+    }
+    def signedAt(n: Int): Long = {
+      val u = unsignedAt(n)
+      if ((u & 1L) == 0) u >>> 1
+      else { val m = u >>> 1; if (m == 0) Long.MinValue else -m }
+    }
     def done: Boolean = pos >= buf.length
+  }
+
+  /** Unsynchronized growable byte buffer for the wire encoders —
+    * ByteArrayOutputStream's per-write monitor is real cost on JDK 17
+    * (no biased locking) at tens of millions of field writes.
+    */
+  private[sources] final class ByteBuf(initial: Int = 1 << 12) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    def size: Int = len
+    def reset(): Unit = len = 0
+    private def ensure(n: Int): Unit = if (len + n > buf.length) {
+      var cap = buf.length * 2
+      while (cap < len + n) cap *= 2
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+    def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    def writeBytes(b: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(b, off, buf, len, n); len += n
+    }
+    def writeBytes(b: Array[Byte]): Unit = writeBytes(b, 0, b.length)
+    def writeUvarint(v0: Long): Unit = {
+      ensure(10)
+      var v = v0
+      while ((v & ~0x7fL) != 0) { buf(len) = ((v & 0x7f) | 0x80).toByte; len += 1; v >>>= 7 }
+      buf(len) = v.toByte; len += 1
+    }
+    /** Counted signed varint with its length tag — same bytes as
+      * tagged(signedBytes(n)) without the intermediate array.
+      */
+    def writeTaggedSigned(n: Long): Unit = {
+      var u = if (n >= 0) n << 1 else ((-n) << 1) | 1L // MinValue → reserved 0x01
+      val nb = if (u == 0) 0 else (71 - java.lang.Long.numberOfLeadingZeros(u)) / 8
+      writeUvarint(nb + 1L)
+      ensure(nb)
+      var i = 0
+      while (i < nb) { buf(len) = (u & 0xff).toByte; u >>>= 8; len += 1; i += 1 }
+    }
+    def writeTaggedFixedLE(v: Long, n: Int): Unit = {
+      writeUvarint(n + 1L)
+      ensure(n)
+      var i = 0
+      while (i < n) { buf(len) = ((v >>> (8 * i)) & 0xff).toByte; len += 1; i += 1 }
+    }
+    def writeNullTag(): Unit = writeByte(0)
+    def writeTo(out: java.io.OutputStream): Unit = out.write(buf, 0, len)
+    def writeTo(other: ByteBuf): Unit = other.writeBytes(buf, 0, len)
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
   private[graft] def signedOf(b: Array[Byte]): Long = {
@@ -1339,6 +1543,298 @@ object ZngIO {
     def next(): Row = { if (!hasNext) throw new NoSuchElementException; queue.next() }
   }
 
+  // ---- InternalRow-native decoding (the DSv2 scan path) ---------------------
+
+  /** External→Catalyst-internal converter for the value-model fallback
+    * leaves (maps, sets, variants, type values): mirrors what Spark's own
+    * Row→InternalRow conversion does over the frame's types.
+    */
+  private def extToInternal(dt: DataType): Any => Any = dt match {
+    case StringType => v => UTF8String.fromString(v.toString)
+    case TimestampType => { v =>
+      val inst = v.asInstanceOf[java.sql.Timestamp].toInstant
+      java.lang.Long.valueOf(Math.addExact(
+        Math.multiplyExact(inst.getEpochSecond, 1000000L), (inst.getNano / 1000).toLong))
+    }
+    case DateType => v =>
+      java.lang.Integer.valueOf(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+    case d: DecimalType => v => Decimal(v.asInstanceOf[java.math.BigDecimal])
+    case st: StructType =>
+      val subs = st.fields.map(f => extToInternal(f.dataType))
+      v => {
+        val r = v.asInstanceOf[Row]
+        val arr = new Array[Any](subs.length)
+        var i = 0
+        while (i < subs.length) {
+          val x = r.get(i)
+          arr(i) = if (x == null) null else subs(i)(x)
+          i += 1
+        }
+        new GenericInternalRow(arr)
+      }
+    case ArrayType(et, _) =>
+      val sub = extToInternal(et)
+      v => new GenericArrayData(v.asInstanceOf[scala.collection.Seq[Any]].iterator
+        .map(x => if (x == null) null else sub(x)).toArray)
+    case MapType(kt, vt, _) =>
+      val ks = extToInternal(kt); val vs = extToInternal(vt)
+      v => {
+        val es = v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
+        new ArrayBasedMapData(
+          new GenericArrayData(es.map(e => ks(e._1)).toArray),
+          new GenericArrayData(es.map(e => if (e._2 == null) null else vs(e._2)).toArray))
+      }
+    case _ => identity // Long, Double, Boolean, Array[Byte] ride unchanged
+  }
+
+  /** Wire→internal decoder for one field — the DSv2 twin of
+    * directFieldDecoder, total over all types: exotic leaves (sets, maps,
+    * unions/errors, type values, decimals) route through the value model
+    * inline and convert, everything else decodes straight off the cursor.
+    */
+  private def internalFieldDecoder(t0: ZT, target: DataType, nsTime: Boolean): Cursor => Any = {
+    def fallback: Cursor => Any = {
+      val conv = extToInternal(target)
+      c => {
+        val ext = ZValue.toExternal(decodeZValue(c, t0, unionKeepsMember = false), target)
+        if (ext == null) null else conv(ext)
+      }
+    }
+    t0 match {
+      case ZNamed(_, inner) => internalFieldDecoder(inner, target, nsTime) // no own tag
+      case ZPrim(id) => (id, target) match {
+        case (0 | 1 | 2, LongType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null else java.lang.Long.valueOf(c.unsignedAt((tag - 1).toInt))
+        }
+        case (6 | 7 | 8 | 9 | ID_DURATION, LongType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null else java.lang.Long.valueOf(c.signedAt((tag - 1).toInt))
+        }
+        case (ID_TIME, _) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else {
+            val ns = c.signedAt((tag - 1).toInt)
+            java.lang.Long.valueOf(if (nsTime) ns else Math.floorDiv(ns, 1000L))
+          }
+        }
+        case (14, DoubleType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else java.lang.Double.valueOf(halfToDouble(c.unsignedAt((tag - 1).toInt).toInt))
+        }
+        case (ID_FLOAT32, DoubleType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else java.lang.Double.valueOf(
+            java.lang.Float.intBitsToFloat(c.unsignedAt((tag - 1).toInt).toInt).toDouble)
+        }
+        case (ID_FLOAT64, DoubleType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else java.lang.Double.valueOf(
+            java.lang.Double.longBitsToDouble(c.unsignedAt((tag - 1).toInt)))
+        }
+        case (ID_BOOL, BooleanType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else {
+            val n = (tag - 1).toInt
+            val b = n > 0 && c.buf(c.pos) == 1
+            c.pos += n
+            java.lang.Boolean.valueOf(b)
+          }
+        }
+        case (ID_STRING, StringType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else {
+            // zero-copy: wraps the frame payload (never mutated)
+            val n = (tag - 1).toInt
+            val s = UTF8String.fromBytes(c.buf, c.pos, n)
+            c.pos += n
+            s
+          }
+        }
+        case (ID_BYTES, BinaryType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null else c.bytes((tag - 1).toInt)
+        }
+        case (ID_IP, StringType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null else UTF8String.fromString(ipText(c.bytes((tag - 1).toInt)))
+        }
+        case (ID_NET, StringType) => c => {
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else {
+            val b = c.bytes((tag - 1).toInt)
+            val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+            val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+            UTF8String.fromString(ipText(addr) + "/" + leadingOnes(mask))
+          }
+        }
+        case (3, _: DecimalType) => c => { // uint64 full-range carrier
+          val tag = c.uvarint()
+          if (tag == 0) null
+          else {
+            val b = c.bytes((tag - 1).toInt)
+            var x = BigInt(0)
+            for (i <- b.indices.reverse) x = (x << 8) | (b(i) & 0xff)
+            Decimal(scala.math.BigDecimal(x), 20, 0)
+          }
+        }
+        case (ID_NULL, _) => c => {
+          val tag = c.uvarint(); if (tag != 0) c.pos += (tag - 1).toInt; null
+        }
+        case _ => fallback
+      }
+      case ZRecord(fields) => target match {
+        case st: StructType if st.fields.length == fields.length &&
+            st.fields.iterator.map(_.name).sameElements(fields.iterator.map(_._1)) =>
+          val ds = fields.zip(st.fields.toIndexedSeq)
+            .map { case ((_, ft), sf) => internalFieldDecoder(ft, sf.dataType, nsTime) }.toArray
+          c => {
+            val tag = c.uvarint()
+            if (tag == 0) null
+            else {
+              val inner = new Cursor(c.buf, c.pos)
+              c.pos += (tag - 1).toInt
+              val arr = new Array[Any](ds.length)
+              var i = 0
+              while (i < ds.length) { arr(i) = ds(i)(inner); i += 1 }
+              new GenericInternalRow(arr)
+            }
+          }
+        case _ => fallback // variant-boxed record column
+      }
+      case ZArray(e) => target match {
+        case ArrayType(et, _) =>
+          val d = internalFieldDecoder(e, et, nsTime)
+          c => {
+            val tag = c.uvarint()
+            if (tag == 0) null
+            else {
+              val inner = new Cursor(c.bytes((tag - 1).toInt), 0)
+              val b = scala.collection.mutable.ArrayBuffer.empty[Any]
+              while (!inner.done) b += d(inner)
+              new GenericArrayData(b.toArray)
+            }
+          }
+        case _ => fallback
+      }
+      case ZEnum(symbols) =>
+        val syms = symbols.map(UTF8String.fromString).toArray
+        c => {
+          val tag = c.uvarint()
+          if (tag == 0) null else syms(unsignedOf(c.bytes((tag - 1).toInt)).toInt)
+        }
+      case _ => fallback // sets (normalization reorders), maps, unions, errors
+    }
+  }
+
+  /** Decode a stream to internal rows of `required` (a pruned subset of
+    * the cleaned-plus-tag frame) — the DSv2 scan body. Fields outside
+    * `required` are skipped via their length tags; when no record field is
+    * required at all (count(*), tag-only reads) whole value bodies are
+    * skipped, making the scan I/O plus tag arithmetic like pass 1.
+    */
+  private[sources] def decodeToInternalRows(bytes: Array[Byte], shapeText: String,
+      cleaned: StructType, required: StructType, nsTime: Boolean): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val c = new Cursor(bytes, 0)
+      private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+      private var queue: Iterator[InternalRow] = Iterator.empty
+      private val memo = scala.collection.mutable.HashMap.empty[ZT, Cursor => InternalRow]
+      private val width = required.fields.length
+      private val tagIdx = required.fieldNames.indexOf(graft.operators.Het.typeTag)
+      private val tagVal = UTF8String.fromString(shapeText)
+      private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+
+      private def builderOf(t: ZT): Cursor => InternalRow = {
+        def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
+        val direct: Option[Cursor => InternalRow] =
+          if (ZType.fullText(zTypeOf(t)) != shapeText) None
+          else stripNamed(t) match {
+            case ZRecord(fields) if fields.nonEmpty &&
+                fields.iterator.map(_._1).sameElements(cleaned.fields.iterator.map(_.name)) =>
+              val reqCount = fields.count(f => required.fieldNames.contains(f._1))
+              val acts: Array[(Cursor, Array[Any]) => Unit] =
+                fields.map { case (name, ft) =>
+                  val out = required.fieldNames.indexOf(name)
+                  if (out < 0) { (cc: Cursor, _: Array[Any]) =>
+                    val tag = cc.uvarint(); if (tag != 0) cc.pos += (tag - 1).toInt
+                  } else {
+                    val d = internalFieldDecoder(ft, required.fields(out).dataType, nsTime)
+                    (cc: Cursor, arr: Array[Any]) => arr(out) = d(cc)
+                  }
+                }.toArray
+              Some { cc =>
+                val arr = new Array[Any](width)
+                if (tagIdx >= 0) arr(tagIdx) = tagVal
+                val tag = cc.uvarint()
+                if (tag != 0) {
+                  if (reqCount == 0) cc.pos += (tag - 1).toInt
+                  else {
+                    val inner = new Cursor(cc.buf, cc.pos)
+                    cc.pos += (tag - 1).toInt
+                    var i = 0
+                    while (i < acts.length) { acts(i)(inner, arr); i += 1 }
+                  }
+                }
+                new GenericInternalRow(arr)
+              }
+            case _ => None
+          }
+        direct.getOrElse {
+          // general path: external row over cleaned+tag, convert the
+          // required slots (engages only off the single-shape happy path,
+          // e.g. all-null record streams)
+          val srcIdx = required.fields.map { f =>
+            if (f.name == graft.operators.Het.typeTag) cleaned.fields.length
+            else cleaned.fieldIndex(f.name)
+          }
+          val convs = required.fields.map(f => extToInternal(f.dataType))
+          cc => {
+            val r = ZsonReader.rowOf(decodeZValue(cc, t, unionKeepsMember = false),
+              cleaned, tag = true)
+            val arr = new Array[Any](width)
+            var i = 0
+            while (i < width) {
+              val x = r.get(srcIdx(i))
+              arr(i) = if (x == null) null else convs(i)(x)
+              i += 1
+            }
+            new GenericInternalRow(arr)
+          }
+        }
+      }
+
+      private def fill(): Unit = {
+        while (!queue.hasNext && !c.done) {
+          val code = c.u8()
+          if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+          else readFrame(c, code) match {
+            case (0, payload) => parseTypedefs(payload, types)
+            case (1, payload) =>
+              val vc = new Cursor(payload, 0)
+              val out = Vector.newBuilder[InternalRow]
+              while (!vc.done) {
+                val t = typeOfId(vc.uvarint().toInt)
+                out += memo.getOrElseUpdate(t, builderOf(t))(vc)
+              }
+              queue = out.result().iterator
+            case (2, _) => // control frame: skip
+            case _ =>
+              throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+          }
+        }
+      }
+      def hasNext: Boolean = { if (!queue.hasNext) fill(); queue.hasNext }
+      def next(): InternalRow = { if (!hasNext) throw new NoSuchElementException; queue.next() }
+    }
+
   /** Read a ZNG file or directory of part files into a typed DataFrame —
     * per-file typed decode on the executors (streams are self-contained,
     * so files distribute one task each), fused into the same
@@ -1371,13 +1867,16 @@ object ZngIO {
     val shapeTexts = discovered.filterNot(_._1 == ZsonReader.nsSentinelKey)
       .sortBy(_._2).map(_._1).toIndexedSeq
     if (shapeTexts.length == 1) {
-      // homogeneous stream (the 100 TB common case): decode straight to
-      // tagged rows, skipping the value-model tree entirely
-      val (cleaned, full) = ZsonReader.frameSchema(shapeTexts, tag = true, nsTime)
-      val text = shapeTexts.head
-      val rows = bin.flatMap(bytes =>
-        decodeToRows(Gzip.maybeGunzip(bytes), text, cleaned, nsTime))
-      spark.createDataFrame(rows, full)
+      // homogeneous stream (the 100 TB common case): a DataSource V2 scan
+      // decodes straight to InternalRows — no external-Row detour — and
+      // prunes columns into the decoder (unread fields skip by length tag)
+      val (_, full) = ZsonReader.frameSchema(shapeTexts, tag = true, nsTime)
+      spark.read.format(classOf[ZngDataSource].getName)
+        .schema(full)
+        .option("shape", shapeTexts.head)
+        .option("ns", nsTime.toString)
+        .option("files", HadoopFs.listDataFiles(spark, path).mkString("\n"))
+        .load()
     } else {
       val rdd = bin.flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
       ZsonReader.fromShapes(spark, rdd, discovered)

@@ -165,6 +165,35 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines == Seq("|[1,2]|", "\"ok\"", "\"hi\"", "80"))
   }
 
+  test("internal-row encoder emits identical wire bytes to the external encoder") {
+    val schema = StructType(Seq(
+      StructField("b", ByteType), StructField("sh", ShortType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("bo", BooleanType), StructField("st", StringType), StructField("bin", BinaryType),
+      StructField("ts", TimestampType), StructField("dt", DateType),
+      StructField("dur", DayTimeIntervalType()),
+      StructField("u64", DecimalType(20, 0)),
+      StructField("rec", StructType(Seq(StructField("x", LongType), StructField("y", StringType)))),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType))))
+    val ts = java.sql.Timestamp.valueOf("2020-03-04 05:06:07.123456")
+    val rows = Seq(
+      Row(1.toByte, 2.toShort, 3, -4L, 1.5f, -2.5, true, "héllo", Array[Byte](1, 2),
+        ts, java.sql.Date.valueOf("2021-01-02"),
+        java.time.Duration.ofSeconds(3, 123456000),
+        new java.math.BigDecimal("18446744073709551615"),
+        Row(7L, "in"), Seq(1L, null, 3L), Map("k1" -> 1L, "a" -> 2L)),
+      Row(null, null, null, null, null, null, null, null, null, null, null, null,
+        null, null, null, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).coalesce(1)
+    val external = ZngIO.encodeStream(df.collect().iterator, schema)
+    val out = new java.io.ByteArrayOutputStream()
+    ZngIO.encodeInternalStreamTo(out, df.queryExecution.toRdd.collect().iterator, schema)
+    assert(out.toByteArray.toSeq == external.toSeq)
+  }
+
   test("uint64 above 2^63-1 keeps its exact value through the Decimal " +
        "carrier: zson render, zng round-trip, and sums (value.go uint64)") {
     val spark = GraftSession.local(4)
