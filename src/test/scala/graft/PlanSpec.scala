@@ -27,6 +27,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"projection did not prune the scan: $readSchema")
   }
 
+  test("zng scan prunes columns into the wire decoder (DSv2 BatchScan)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-zng").toString
+    val df = GraftSession.table(spark, dir, "lineitem").limit(100)
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+    graft.sources.ZngIO.write(df, s"$tmp/li.zng")
+    val back = graft.sources.ZngIO.read(spark, s"$tmp/li.zng").select("l_quantity")
+    val scan = back.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+    assert(scan.nonEmpty, "zng read did not plan a DSv2 BatchScan")
+    // pruning reached the decoder: only the selected column survives, the
+    // other fields (and the shape tag) are skipped by their length tags
+    assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("l_quantity"))
+    assert(back.agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).get(0) ==
+      df.agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).get(0))
+  }
+
   test("where pushes the predicate into the parquet scan") {
     val plan = planOf("""from lineitem | where l_returnflag=="R" | cut l_orderkey""")
     val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("")
