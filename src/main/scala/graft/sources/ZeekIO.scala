@@ -44,7 +44,7 @@ object ZeekIO {
     var fields = Seq.empty[String]; var types = Seq.empty[String]
     def update(l: String): Unit = {
       if (l.startsWith("#separator")) { sep = unescapeSep(l.drop(10).trim); return }
-      val t = l.drop(1).split(java.util.regex.Pattern.quote(sep))
+      val t = l.drop(1).split(sepPattern(sep))
       t.head match {
         case "set_separator" => setSep = t(1)
         case "unset_field" => unset = t(1)
@@ -66,45 +66,19 @@ object ZeekIO {
     }
   }
 
+  /** Literal separator → split pattern that keeps java.util.regex's
+    * single-char fast path: Pattern.quote's \\Q…\\E wrapper forces a full
+    * Pattern.compile PER ROW inside String.split (and the codegen'd
+    * split expression), which dominates the decode of tab-separated logs.
+    */
+  private def sepPattern(sep: String): String =
+    if (sep.length == 1 && ".$|()[{^?*+\\".indexOf(sep.charAt(0)) < 0) sep
+    else java.util.regex.Pattern.quote(sep)
+
   private def parseHeader(lines: Seq[String]): Header = {
     val st = new DirectiveState
     lines.takeWhile(_.startsWith("#")).foreach(st.update)
     st.header
-  }
-
-  private def elemCast(c: Column, inner: String): Column = inner match {
-    case "count" | "int" | "port" => c.cast(LongType)
-    case "double" => c.cast(DoubleType)
-    case _ => c
-  }
-
-  private def decodeCol(raw: Column, zeekType: String, h: Header): Column = {
-    val cleaned = when(raw === h.unset, lit(null)).otherwise(raw)
-    zeekType match {
-      case "time" => // epoch seconds with fractional µs → µs timestamp
-        timestamp_micros((cleaned.cast(DoubleType) * 1e6).cast(LongType))
-      case "interval" => // seconds → ns (zed duration domain)
-        (cleaned.cast(DoubleType) * 1e9).cast(LongType)
-      case "count" | "int" | "port" => cleaned.cast(LongType)
-      case "double" => cleaned.cast(DoubleType)
-      case "bool" => when(cleaned === "T", true).when(cleaned === "F", false)
-        .otherwise(lit(null).cast(BooleanType))
-      case t if t.startsWith("set[") || t.startsWith("vector[") =>
-        val inner = t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
-        val items0 = transform(
-          split(cleaned, java.util.regex.Pattern.quote(h.setSeparator)),
-          e => elemCast(when(e === h.unset, lit(null)).otherwise(e), inner))
-        // zed set values are deduped + ordered (zson.md §2.5.2)
-        val items = if (t.startsWith("set[")) array_sort(array_distinct(items0)) else items0
-        when(cleaned === h.empty, array().cast(ArrayType(
-          if (Set("count", "int", "port")(inner)) LongType
-          else if (inner == "double") DoubleType else StringType)))
-          .otherwise(items)
-      case _ => // string/addr/enum…
-        val unesc = udf((s: String) => if (s == null) null else unescapeZeek(s))
-        when(cleaned === h.empty, lit(""))
-          .otherwise(when(cleaned.contains("\\"), unesc(cleaned)).otherwise(cleaned))
-    }
   }
 
   /** zeek string unescaping (zio/zeekio/escape.go): `\xNN` hex bytes and
@@ -266,7 +240,7 @@ object ZeekIO {
         val isSet = t.startsWith("set[")
         if (raw0 == h.empty) VTyped(VArr(Vector.empty, isSet), zt)
         else {
-          val items = raw0.split(java.util.regex.Pattern.quote(h.setSeparator), -1)
+          val items = raw0.split(sepPattern(h.setSeparator), -1)
             .toVector.map(c => cellValue(c, inner, h))
           VArr(if (isSet) ZValue.normSet(items) else items, isSet)
         }
@@ -277,7 +251,7 @@ object ZeekIO {
   /** One data line → typed record (dotted #fields nest — reader.go). */
   private def lineValue(line: String, h: Header): ZValue = {
     import ZValue._
-    val cells = line.split(java.util.regex.Pattern.quote(h.separator), -1)
+    val cells = line.split(sepPattern(h.separator), -1)
     sealed trait N
     final case class Leaf(v: ZValue) extends N
     final case class Node(fs: scala.collection.mutable.LinkedHashMap[String, N]) extends N
@@ -361,8 +335,7 @@ object ZeekIO {
       stats.map(_._1).distinct.length == 1
     if (uniform) {
       val h = parseHeader(stats.head._1)
-      val data = lines.filter(l => !l.startsWith("#") && l.nonEmpty)
-      decodeBlock(spark, h, data)
+      decodeBlockNative(spark, h, lines)
     } else {
       // directives interleave with data (schema/path changes mid-stream —
       // zeekio parser.go keeps cumulative state). A file is the
@@ -379,28 +352,169 @@ object ZeekIO {
     }
   }
 
-  private def decodeBlock(
+  /** Uniform-header decode: one imperative pass per line straight into
+    * InternalRows. The expression form of this decode (split + per-field
+    * when/cast chains) re-evaluated `element_at`/`when` subtrees per
+    * branch — codegen does no cross-branch subexpression elimination — and
+    * cost ~3.5 s for 2M conn rows; a hand-rolled splitter writing
+    * UTF8String/primitive cells directly costs a fraction of that and
+    * feeds downstream operators with zero conversion (same contract as the
+    * zng DataSource V2 scan).
+    *
+    * Semantics mirror the zeek value syntax (zio/zeekio/format.go) with
+    * Spark's non-ANSI cast edges: unset (`-`) → null anywhere, `(empty)`
+    * → ""/empty container, `T`/`F` bools, time as epoch-seconds to µs
+    * timestamps, intervals to ns longs, sets deduped + sorted, malformed
+    * numerics → null (UTF8String.toLong / parseDouble — the exact
+    * utilities Spark's cast uses).
+    */
+  private def decodeBlockNative(
       spark: SparkSession,
       h: Header,
-      data: org.apache.spark.sql.Dataset[String]): DataFrame = {
-    val sepLit = java.util.regex.Pattern.quote(h.separator)
-    // materialize the split ONCE: decodeCol wraps each field in when()
-    // chains, and codegen does not eliminate common subexpressions across
-    // conditional branches — element_at over a projected array keeps one
-    // split per row instead of one per branch occurrence
-    val withParts = data.toDF().select(split(col("value"), sepLit).as("__parts"))
-    val parts = col("__parts")
-    val cols = h.fields.zip(h.types).zipWithIndex.map { case ((f, t), i) =>
-      decodeCol(element_at(parts, i + 1), t, h).as(f)
-    }
+      lines: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
     val withPath = h.path.isDefined && !h.fields.contains("_path")
-    val pathCol = if (withPath) Seq(lit(h.path.get).as("_path")) else Seq.empty
+    def innerOf(t: String): String = t.dropWhile(_ != '[').drop(1).takeWhile(_ != ']')
+    def elemType(inner: String): DataType =
+      if (Set("count", "int", "port")(inner)) LongType
+      else if (inner == "double") DoubleType else StringType
+    def sqlTypeOf(t: String): DataType = t match {
+      case "time" => TimestampType // µs carrier, like the expression path
+      case "interval" => LongType // seconds → ns (zed duration domain)
+      case "count" | "int" | "port" => LongType
+      case "double" => DoubleType
+      case "bool" => BooleanType
+      case c if c.startsWith("set[") || c.startsWith("vector[") =>
+        ArrayType(elemType(innerOf(c)))
+      case _ => StringType // string/addr/enum…
+    }
     // the zeek types become the frame's shape tag, so typeof/len/zeek
     // re-emission see ip/duration/port instead of the relational widths
     val tagText = shapeText(h, withPath)
     val md = new MetadataBuilder().putStringArray("shapes", Array(tagText)).build()
-    val tag = Seq(lit(tagText).as(graft.operators.Het.typeTag, md))
-    val flat = withParts.select(pathCol ++ cols ++ tag: _*)
+    val fieldsArr = h.fields.toArray
+    val typesArr = h.types.toArray
+    val schema = StructType(
+      (if (withPath) Seq(StructField("_path", StringType, nullable = false)) else Nil) ++
+        fieldsArr.indices.map(i => StructField(fieldsArr(i), sqlTypeOf(typesArr(i)))) ++
+        Seq(StructField(graft.operators.Het.typeTag, StringType, nullable = false, md)))
+
+    val sep = h.separator
+    val setSep = h.setSeparator
+    val unset = h.unset
+    val emptyMark = h.empty
+    val pathStr = if (withPath) h.path.get else null
+    val nFields = fieldsArr.length
+
+    val rdd = lines.rdd.mapPartitions { iter =>
+      val tagU = UTF8String.fromString(tagText)
+      val pathU = if (pathStr != null) UTF8String.fromString(pathStr) else null
+      val base = if (pathU != null) 1 else 0
+      val width = base + nFields + 1
+      val longWrap = new UTF8String.LongWrapper
+
+      def splitOn(s: String, d: String): Array[String] =
+        if (d.length == 1) { // manual split keeping trailing empties
+          val c = d.charAt(0)
+          var n = 1; var i = 0
+          while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+          val out = new Array[String](n)
+          var start = 0; var k = 0; i = 0
+          while (i < s.length) {
+            if (s.charAt(i) == c) { out(k) = s.substring(start, i); k += 1; start = i + 1 }
+            i += 1
+          }
+          out(k) = s.substring(start)
+          out
+        } else s.split(java.util.regex.Pattern.quote(d), -1)
+
+      // Spark's own non-ANSI string→long ("12.9" truncates, junk → null)
+      def toLongOrNull(s: String): Any =
+        if (UTF8String.fromString(s).toLong(longWrap)) java.lang.Long.valueOf(longWrap.value)
+        else null
+      // Spark's castToDouble: scala toDouble, then the special literals
+      def toDoubleOrNull(s: String): Any =
+        try java.lang.Double.valueOf(s.trim.toDouble)
+        catch {
+          case _: NumberFormatException =>
+            s.trim.toLowerCase match {
+              case "inf" | "+inf" | "infinity" | "+infinity" =>
+                java.lang.Double.valueOf(Double.PositiveInfinity)
+              case "-inf" | "-infinity" => java.lang.Double.valueOf(Double.NegativeInfinity)
+              case "nan" => java.lang.Double.valueOf(Double.NaN)
+              case _ => null
+            }
+        }
+      def toEpoch(s: String, unitPerSec: Double): Any = toDoubleOrNull(s) match {
+        case d: java.lang.Double => java.lang.Long.valueOf((d.doubleValue() * unitPerSec).toLong)
+        case _ => null
+      }
+      def stringCell(s: String): UTF8String =
+        if (s == emptyMark) UTF8String.EMPTY_UTF8
+        else if (s.indexOf('\\') >= 0) UTF8String.fromString(unescapeZeek(s))
+        else UTF8String.fromString(s)
+
+      def cell(raw: String, t: String): Any = {
+        if (raw == null || raw == unset) return null
+        t match {
+          case "time" => toEpoch(raw, 1e6)
+          case "interval" => toEpoch(raw, 1e9)
+          case "count" | "int" | "port" => toLongOrNull(raw)
+          case "double" => toDoubleOrNull(raw)
+          case "bool" =>
+            if (raw == "T") java.lang.Boolean.TRUE
+            else if (raw == "F") java.lang.Boolean.FALSE else null
+          case c if c.startsWith("set[") || c.startsWith("vector[") =>
+            if (raw == emptyMark) return new GenericArrayData(Array.empty[Any])
+            val inner = innerOf(c)
+            val parts = splitOn(raw, setSep)
+            val items = new Array[Any](parts.length)
+            var i = 0
+            while (i < parts.length) {
+              val p = parts(i)
+              items(i) =
+                if (p == unset) null
+                else if (inner == "count" || inner == "int" || inner == "port") toLongOrNull(p)
+                else if (inner == "double") toDoubleOrNull(p)
+                else UTF8String.fromString(p) // raw: elements don't unescape
+              i += 1
+            }
+            if (c.startsWith("set[")) {
+              // zed set values are deduped + ordered (zson.md §2.5.2):
+              // array_distinct keeps one null, array_sort puts it last
+              val seen = new java.util.LinkedHashSet[Any]
+              var hasNull = false
+              items.foreach(v => if (v == null) hasNull = true else seen.add(v))
+              val sorted = seen.toArray.sortWith { (a, b) =>
+                a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+              }
+              new GenericArrayData(if (hasNull) sorted :+ (null: Any) else sorted)
+            } else new GenericArrayData(items)
+          case _ => stringCell(raw)
+        }
+      }
+
+      iter.flatMap { line =>
+        if (line.isEmpty || line.charAt(0) == '#') None
+        else {
+          val cells = splitOn(line, sep)
+          val values = new Array[Any](width)
+          if (pathU != null) values(0) = pathU
+          var i = 0
+          while (i < nFields) {
+            values(base + i) = cell(if (i < cells.length) cells(i) else null, typesArr(i))
+            i += 1
+          }
+          values(width - 1) = tagU
+          Some(new GenericInternalRow(values): InternalRow)
+        }
+      }
+    }
+    val flat = org.apache.spark.sql.graftshim.RowBridge.toDF(spark, rdd, schema)
     // dotted #fields names are nested records in zed (zeekio reader.go
     // "shared context": id.orig_h → {id:{orig_h:…}})
     if (h.fields.exists(_.contains("."))) graft.functions.Shaper.nestDotted(flat)
