@@ -175,8 +175,8 @@ object ArrowIO {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(
-      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+    val files = HadoopFs.retryListing(spark.read.format("binaryFile").load(
+      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
     val contents = files.select("content").as[Array[Byte]]
     // pass 1: per-file SCHEMAS only (headers — no batch decode)
     val schemas = contents.rdd.map(schemaOf).distinct().collect()

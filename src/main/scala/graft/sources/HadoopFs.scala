@@ -26,10 +26,15 @@ object HadoopFs {
     c
   }
 
-  /** Driver-side: ensure the output directory exists (created fresh). */
+  /** Driver-side: ensure the output directory exists, created FRESH —
+    * overwrite semantics like every built-in `mode("overwrite")` sink. A
+    * bare mkdirs would leave stale part files from a previous (possibly
+    * wider-partitioned) write mixed into the new output.
+    */
   def prepareDir(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true): Unit
     fs.mkdirs(p): Unit
   }
 
@@ -38,6 +43,26 @@ object HadoopFs {
     val p = new Path(dir, name)
     p.getFileSystem(confOf(conf)).create(p, true)
   }
+
+  /** Run a directory-listing-dependent read, retrying once after a short
+    * pause if the glob/list transiently matches nothing (observed on a
+    * shared-VM host under I/O pressure: a freshly-written directory's
+    * entries were invisible to an immediately-following glob). One retry
+    * turns a lost correctness round into a 500 ms hiccup.
+    */
+  def retryListing[T](f: => T): T =
+    try f
+    catch {
+      case e: Throwable if {
+            var c: Throwable = e; var found = false
+            while (c != null && !found) {
+              found = c.isInstanceOf[java.io.FileNotFoundException]; c = c.getCause
+            }
+            found
+          } =>
+        Thread.sleep(500)
+        f
+    }
 
   /** Driver-side directory test that works for any Hadoop scheme. */
   def isDirectory(spark: SparkSession, path: String): Boolean = {

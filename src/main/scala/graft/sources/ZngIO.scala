@@ -1845,8 +1845,8 @@ object ZngIO {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile").load(
-        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path)
+    val bin = HadoopFs.retryListing(spark.read.format("binaryFile").load(
+        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
       .select("content").as[Array[Byte]].rdd
     val discovered = bin.mapPartitionsWithIndex { (pid, files) =>
       val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
