@@ -114,13 +114,17 @@ object SparkEntry {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // `summarize … every 1h` — time-bucketed aggregation
-    ("q_every", (s, dir) =>
+    ("q_every", (s, dir) => {
+      // ts carrier varies by writer (ns-long vs TIMESTAMP_NTZ) — adapt
+      val ev = t(s, dir, "events")
       ZedOps.sort(
-        ZedOps.summarize(t(s, dir, "events"),
-          Seq("bucket" -> ZedOps.timeBucketNs(col("ts"), "1h")),
+        ZedOps.summarize(ev,
+          Seq("bucket" -> ZedOps.timeBucketNs(
+            F.toNs(col("ts"), ev.schema("ts").dataType), "1h")),
           Seq("count" -> count(lit(1)),
               "sum_value" -> round(sum(col("value")), 2))),
-        col("bucket") -> true),
+        col("bucket") -> true)
+    },
       Some("""SELECT date_trunc('hour', ts) AS bucket, count(*) AS count,
              |  round(sum("value"), 2) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -670,14 +674,17 @@ object SparkEntry {
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // time family (function/time.go): strftime over ns-native event times
-    ("q_fn_time", (s, dir) =>
+    ("q_fn_time", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val ts = F.asTs(col("ts"), ev.schema("ts").dataType)
       ZedOps.sort(
-        t(s, dir, "events").select(
+        ev.select(
           col("event_id"),
-          F.strftimeNs("%Y-%m-%dT%H:%M:%S", col("ts")).as("iso"),
-          F.strftimeNs("%j", col("ts")).as("doy"),
-          F.strftimeNs("%F %T", col("ts")).as("full")),
-        col("event_id") -> true),
+          F.strftime("%Y-%m-%dT%H:%M:%S", ts).as("iso"),
+          F.strftime("%j", ts).as("doy"),
+          F.strftime("%F %T", ts).as("full")),
+        col("event_id") -> true)
+    },
       Some("""SELECT event_id,
              |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
              |  strftime(ts, '%j') AS doy,

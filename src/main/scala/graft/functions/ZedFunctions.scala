@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** The zed scalar-function surface (reference dispatch:
   * runtime/sam/expr/function/function.go:28-169; per-family files cited on
@@ -117,12 +118,41 @@ object ZedFunctions {
     sb.toString
   }
 
-  /** zed `strftime(fmt, t)` over a Spark timestamp column. */
-  def strftime(fmt: String, t: Column): Column = date_format(t, strftimeToJava(fmt))
+  /** zed `strftime(fmt, t)` over a Spark timestamp column. The cast makes
+    * TIMESTAMP_NTZ carriers (parquet `timestamp[us]` without the UTC flag —
+    * what pandas writes) work too: session TZ is pinned UTC
+    * (GraftSession), so NTZ→TIMESTAMP is exact; on TIMESTAMP it's a no-op.
+    */
+  def strftime(fmt: String, t: Column): Column =
+    date_format(t.cast(TimestampType), strftimeToJava(fmt))
 
   /** Same over the engine's ns-since-epoch long time columns. */
   def strftimeNs(fmt: String, tsNs: Column): Column =
     strftime(fmt, timestamp_micros(Bridge.intDiv(tsNs, lit(1000L))))
+
+  // ---- time carriers (reference nano.Ts — value.go:84) ---------------------
+  // The engine meets three Spark time carriers: LongType ns (parquet
+  // TIMESTAMP(NANOS) under nanosAsLong), TIMESTAMP, and TIMESTAMP_NTZ
+  // (any parquet timestamp[us/ms] lacking isAdjustedToUTC). Session TZ is
+  // pinned UTC, so NTZ↔TIMESTAMP casts are exact wall-clock moves.
+
+  /** Any time carrier → ns-since-epoch long (exact under the UTC session). */
+  def toNs(c: Column, dt: DataType): Column = dt match {
+    case LongType => c
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)) * 1000L
+    case _ => unix_micros(c) * 1000L
+  }
+
+  /** Any time carrier → a session-TZ TIMESTAMP column. */
+  def asTs(c: Column, dt: DataType): Column = dt match {
+    case LongType => timestamp_micros(Bridge.intDiv(c, lit(1000L)))
+    case TimestampType => c
+    case _ => c.cast(TimestampType)
+  }
+
+  /** True for the timestamp-typed carriers (ns-long is LongType, not this). */
+  def isTimeDt(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
 
   // ---- parsing (reference function/parse.go, function/grok.go) -------------
 

@@ -1203,7 +1203,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       if (fs.map(_.name) == Seq("this")) Seq("this")
       else firstMatching(fs, isIntType)
         .orElse(firstMatching(fs, dt => dt == DoubleType || dt == FloatType))
-        .orElse(firstMatching(fs, dt => !dt.isInstanceOf[TimestampType] && dt != NullType))
+        .orElse(firstMatching(fs,
+          dt => !dt.isInstanceOf[TimestampType] && dt != TimestampNTZType && dt != NullType))
         .getOrElse(Seq(fs.head.name))
     val c = path.tail.foldLeft(col(s"`${path.head}`"))(_.getField(_))
     val dt = resolveType(df.schema, path)
@@ -1759,6 +1760,10 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def timeOperand(df: DataFrame, other: Expr, t: Expr.TimeLit): Column =
     dtypeOf(df, other) match {
       case Some(LongType) => lit(t.epochNs)
+      // NTZ carrier: emit an NTZ literal (exact — session TZ is UTC) so the
+      // comparison stays on the bare column and pushes down to the scan
+      case Some(TimestampNTZType) => lit(java.time.Instant.ofEpochSecond(
+        t.epochNs / 1000000000L, t.epochNs % 1000000000L)).cast(TimestampNTZType)
       case _ => lit(java.time.Instant.ofEpochSecond(
         t.epochNs / 1000000000L, t.epochNs % 1000000000L))
     }
@@ -2221,25 +2226,32 @@ final class Compiler(spark: SparkSession, dir: String) {
       case _ => (expr(df, l), expr(df, r))
     }
     // time ± duration stays in the time domain (expr/eval.go coerceTime):
-    // timestamps shift by the duration's ns
+    // timestamps shift by the duration's ns. TIMESTAMP_NTZ carriers behave
+    // like TIMESTAMP — session TZ is pinned UTC so the casts are exact —
+    // and the result keeps the operand's carrier dtype.
     def dtQ(c: Column): DataType =
       try df.select(c).schema.head.dataType catch { case _: Exception => NullType }
-    val (lc, rc) = if (Set("+", "-")(op)) (dtQ(lc0), dtQ(rc0)) match {
-      case (TimestampType, LongType) =>
-        (unix_micros(lc0) * 1000L, rc0) // operate in ns, rebuild below
-      case (LongType, TimestampType) => (lc0, unix_micros(rc0) * 1000L)
+    def usOf(c: Column): Column =
+      if (dtQ(c) == TimestampNTZType) unix_micros(c.cast(TimestampType))
+      else unix_micros(c)
+    val (ldt, rdt) = (dtQ(lc0), dtQ(rc0))
+    val (lc, rc) = if (Set("+", "-")(op)) (ldt, rdt) match {
+      case (t, LongType) if F.isTimeDt(t) =>
+        (usOf(lc0) * 1000L, rc0) // operate in ns, rebuild below
+      case (LongType, t) if F.isTimeDt(t) => (lc0, usOf(rc0) * 1000L)
       case _ => (lc0, rc0)
     } else (lc0, rc0)
     val timeResult = Set("+", "-")(op) &&
-      ((dtQ(lc0) == TimestampType && dtQ(rc0) == LongType) ||
-        (dtQ(lc0) == LongType && dtQ(rc0) == TimestampType))
+      ((F.isTimeDt(ldt) && rdt == LongType) ||
+        (ldt == LongType && F.isTimeDt(rdt)))
     if (timeResult) {
       val ns = if (op == "+") lc + rc else lc - rc
-      return timestamp_micros(Bridge.intDiv(ns, lit(1000L)))
+      val tsCarrier = if (F.isTimeDt(ldt)) ldt else rdt
+      return timestamp_micros(Bridge.intDiv(ns, lit(1000L))).cast(tsCarrier)
     }
     // time - time is a duration in ns
-    if (op == "-" && dtQ(lc0) == TimestampType && dtQ(rc0) == TimestampType)
-      return (unix_micros(lc0) - unix_micros(rc0)) * 1000L
+    if (op == "-" && F.isTimeDt(ldt) && F.isTimeDt(rdt))
+      return (usOf(lc0) - usOf(rc0)) * 1000L
     // zed cross-type comparison returns false, not an error
     // (expressions.md "Comparisons": 1 > "a" → false); fold at plan time
     def crossType: Boolean = (dtypeOf(df, l), dtypeOf(df, r)) match {
@@ -2672,7 +2684,7 @@ final class Compiler(spark: SparkSession, dir: String) {
             if (!fVar && !vVar) {
               val micros =
                 if (dtypeOf(df, args(1)).contains(LongType)) Bridge.intDiv(a(1), lit(1000L))
-                else unix_micros(a(1))
+                else unix_micros(a(1).cast(TimestampType)) // NTZ-safe (UTC session)
               u(a(0), micros)
             } else {
               // variant args: exact reference dispatch (function/time.go
@@ -2684,7 +2696,7 @@ final class Compiler(spark: SparkSession, dir: String) {
               val timeOk = if (vVar) vC.isNotNull && vC.getField("k") === 1 else lit(true)
               val timeNull = if (vVar) timeOk && vC.getField("n").isNull else vC.isNull
               val micros = if (vVar) (vC.getField("n") * 1e6).cast(LongType)
-                           else unix_micros(vC)
+                           else unix_micros(vC.cast(TimestampType))
               // first directive not in the supported set (lestrrat
               // specification set in the reference)
               val badDir = udf((fmt: String) =>
@@ -2731,7 +2743,7 @@ final class Compiler(spark: SparkSession, dir: String) {
             if (dtypeOf(df, args(0)).contains(LongType))
               a(0) - (a(0) % binNs)
             else {
-              val us = unix_micros(a(0))
+              val us = unix_micros(a(0).cast(TimestampType)) // NTZ-safe
               val binUs = Bridge.intDiv(binNs, lit(1000L))
               timestamp_micros(us - (us % binUs))
             }

@@ -182,7 +182,10 @@ object ZedOps {
     */
   def timeBucket(ts: Column, duration: String): Column = {
     val us = durationMicros(duration)
-    timestamp_micros(graft.functions.Bridge.intDiv(unix_micros(ts), lit(us)) * us)
+    // cast makes TIMESTAMP_NTZ carriers work (exact: session TZ is UTC —
+    // GraftSession); on TIMESTAMP it's a no-op
+    val tsUtc = ts.cast(org.apache.spark.sql.types.TimestampType)
+    timestamp_micros(graft.functions.Bridge.intDiv(unix_micros(tsUtc), lit(us)) * us)
   }
 
   /** Same, for ns-since-epoch long columns (zed time is ns-native; parquet

@@ -93,13 +93,21 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaLang.sameElements(direct))
   }
 
-  test("ns-long time filter compares in the exact ns domain") {
-    // events.ts is LongType ns (nanosAsLong); the literal must become ns
+  test("time filter compares exactly on the carrier dtype (ns-long or NTZ)") {
+    // events.ts carrier depends on the writer: TIMESTAMP(NANOS) reads as
+    // LongType ns (nanosAsLong), plain timestamp[us] as TIMESTAMP_NTZ; the
+    // literal must land in the same domain either way
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.LongType
     val n = run("from events | where ts < 2024-01-03 | count()").collect()(0).getLong(0)
-    val direct = GraftSession.table(spark, dir, "events")
-      .filter(org.apache.spark.sql.functions.col("ts") <
-        java.time.Instant.parse("2024-01-03T00:00:00Z").getEpochSecond * 1000000000L)
-      .count()
+    val ev = GraftSession.table(spark, dir, "events")
+    val cutoff = java.time.Instant.parse("2024-01-03T00:00:00Z")
+    val direct = (ev.schema("ts").dataType match {
+      case LongType =>
+        ev.filter(col("ts") < cutoff.getEpochSecond * 1000000000L)
+      case dt =>
+        ev.filter(col("ts") < lit(java.sql.Timestamp.from(cutoff)).cast(dt))
+    }).count()
     assert(n == direct && n > 0)
   }
 
