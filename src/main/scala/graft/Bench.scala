@@ -136,10 +136,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(
+    val spark = GraftSession.ready(GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus
-    ).getOrCreate()
+    ).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline(sfDir)
@@ -150,6 +150,10 @@ object Bench {
     // loop leaves that GC debt on the relational headline timings.
     val headlineResults = qs.map { case (name, q) =>
       runOnce(q(spark)) // warm this class
+      // drain the warm pass's garbage BEFORE timing — for the het classes
+      // the warm pass writes a 2M-row fixture whose string churn otherwise
+      // lands as GC pauses inside the timed runs
+      System.gc()
       val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         runOnce(q(spark))

@@ -34,11 +34,21 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Post-create setup shared by every entry point: the engine's own
+    * optimizer rules (idempotent — getOrCreate may return a live session).
+    */
+  def ready(s: SparkSession): SparkSession = {
+    val rule = graft.functions.CollapseVariantAccess
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    s
+  }
+
   def local(cores: Int = 32): SparkSession = {
-    val s = configure(
+    val s = ready(configure(
       SparkSession.builder().master(s"local[$cores]").appName("graft"),
       cores.toString
-    ).getOrCreate()
+    ).getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     s
   }

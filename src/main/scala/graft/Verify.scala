@@ -7,10 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.configure(
+    val spark = GraftSession.ready(GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
       cpus
-    ).getOrCreate()
+    ).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

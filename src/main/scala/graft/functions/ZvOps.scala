@@ -96,17 +96,16 @@ object ZvOps {
     lit(0), c.cast(DoubleType), lit(null).cast(StringType),
     lit(null).cast(BooleanType), lit("int64"), lit(null).cast(StringType))
 
-  /** Field access: NATIVE when the record-fields cache `m` is populated
-    * (filter + promote, stays in codegen); ZSON-text fallback otherwise
-    * (deeply nested values, exotic carriers).
+  /** Field access: NATIVE when the record-fields cache `m` is populated —
+    * one VariantAccess scan per row, inside whole-stage codegen; ZSON-text
+    * fallback otherwise (deeply nested values, exotic carriers).
     */
   def get(v: Column, field: String): Column = {
     val mF = v.getField("m")
-    val hits = filter(mF, e => e.getField("f") === lit(field))
+    val native = Bridge.column(VariantAccess(
+      Bridge.expression(mF), Bridge.expression(lit(field)), byName = true))
     when(v.isNull, Het.errMissing)
-      .when(mF.isNotNull,
-        when(size(hits) >= 1, Het.promote(hits.getItem(0).getField("v")))
-          .otherwise(Het.errMissing))
+      .when(mF.isNotNull, native)
       .otherwise(getU(Het.render(v), lit(field)))
   }
 
@@ -133,19 +132,17 @@ object ZvOps {
     }).orElse(errMissing)
   })
 
-  /** Positional access: NATIVE via the elements cache `a` (element_at
-    * under non-ANSI, negative-from-end handled explicitly); text fallback
-    * for maps / unpopulated carriers.
+  /** Positional access: NATIVE via the elements cache `a` — one
+    * VariantAccess pick per row (negative-from-end inside), codegen; text
+    * fallback for maps / unpopulated carriers.
     */
   def index(v: Column, idx: Column): Column = {
     val arr = v.getField("a")
-    val i0 = idx.cast(IntegerType)
-    val n = size(arr)
-    val i = when(i0 < 0, n + i0).otherwise(i0)
+    val native = Bridge.column(VariantAccess(
+      Bridge.expression(arr), Bridge.expression(idx.cast(IntegerType)),
+      byName = false))
     when(v.isNull, Het.errMissing)
-      .when(arr.isNotNull,
-        when(i >= 0 && i < n, Het.promote(element_at(arr, i + 1)))
-          .otherwise(Het.errMissing))
+      .when(arr.isNotNull, native)
       .otherwise(indexU(Het.render(v), idx))
   }
 
@@ -209,16 +206,14 @@ object ZvOps {
     val ik = idx.getField("k"); val inn = idx.getField("n"); val is = idx.getField("s")
     val intLike = ik === 0 && inn.isNotNull && inn === floor(inn) &&
       idx.getField("t").rlike("^u?int")
-    val i0 = inn.cast(IntegerType)
-    val n = size(arr)
-    val i = when(i0 < 0, n + i0).otherwise(i0)
-    val hits = filter(mF, e => e.getField("f") === is)
-    when(v.isNotNull && arr.isNotNull && idx.isNotNull && intLike,
-        when(i >= 0 && i < n, Het.promote(element_at(arr, i + 1)))
-          .otherwise(Het.errMissing))
+    val nativeIdx = Bridge.column(VariantAccess(
+      Bridge.expression(arr), Bridge.expression(inn.cast(IntegerType)),
+      byName = false))
+    val nativeGet = Bridge.column(VariantAccess(
+      Bridge.expression(mF), Bridge.expression(is), byName = true))
+    when(v.isNotNull && arr.isNotNull && idx.isNotNull && intLike, nativeIdx)
       .when(v.isNotNull && mF.isNotNull && idx.isNotNull && ik === 2 && is.isNotNull,
-        when(size(hits) >= 1, Het.promote(hits.getItem(0).getField("v")))
-          .otherwise(Het.errMissing))
+        nativeGet)
       .otherwise(indexAnyU(Het.render(v), Het.render(idx)))
   }
 
