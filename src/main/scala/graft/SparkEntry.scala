@@ -511,8 +511,6 @@ object SparkEntry {
       None),
 
     // multimodal plumbing: binary media column → frame-sampled features
-    // (decode step is a documented stub; plumbing is real — see
-    // pipeline/MultimodalOps)
     // REAL payload decode (JDK-only): even doc_ids carry a solid-gray
     // JPEG (pixel-decoded via javax.imageio — a solid color survives
     // quantization exactly), odd ids a PCM16 WAV whose samples derive
@@ -962,6 +960,18 @@ object SparkEntry {
       graft.sources.ZngIO.write(t(s, dir, "nation"), path)
       ZedOps.sort(
         graft.sources.ZngIO.read(s, path).select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey")),
+        col("n_nationkey") -> true)
+    },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    ("q_zjson_roundtrip", (s, dir) => {
+      val path = "/tmp/graft_io_zjson_nation"
+      graft.sources.ZjsonIO.write(t(s, dir, "nation"), path)
+      ZedOps.sort(
+        graft.sources.ZjsonIO.read(s, path).select(
           col("n_nationkey").cast("int").as("n_nationkey"),
           col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey")),

@@ -175,8 +175,7 @@ object ArrowIO {
 
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = HadoopFs.retryListing(spark.read.format("binaryFile").load(
-      if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
+    val files = HadoopFs.binaryFiles(spark, path)
     val contents = files.select("content").as[Array[Byte]]
     // pass 1: per-file SCHEMAS only (headers — no batch decode)
     val schemas = contents.rdd.map(schemaOf).distinct().collect()

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
 
@@ -44,25 +44,27 @@ object HadoopFs {
     p.getFileSystem(confOf(conf)).create(p, true)
   }
 
-  /** Run a directory-listing-dependent read, retrying once after a short
-    * pause if the glob/list transiently matches nothing (observed on a
-    * shared-VM host under I/O pressure: a freshly-written directory's
-    * entries were invisible to an immediately-following glob). One retry
-    * turns a lost correctness round into a 500 ms hiccup.
+  /** Driver-side listing with one retry on transient emptiness — the
+    * single place a format reader touches the directory. Downstream
+    * loads get the explicit file list, never a glob, so a read
+    * immediately after a write can't race a second, inconsistent
+    * listing — the behavior you want on an eventually-consistent
+    * object store. (Replaces the old retryListing glob-and-retry, whose
+    * FileNotFoundException rescue papered over the race.)
     */
-  def retryListing[T](f: => T): T =
-    try f
-    catch {
-      case e: Throwable if {
-            var c: Throwable = e; var found = false
-            while (c != null && !found) {
-              found = c.isInstanceOf[java.io.FileNotFoundException]; c = c.getCause
-            }
-            found
-          } =>
-        Thread.sleep(500)
-        f
-    }
+  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val first =
+      try listDataFiles(spark, path)
+      catch { case _: java.io.FileNotFoundException => Seq.empty[String] }
+    if (first.nonEmpty) first
+    else { Thread.sleep(500); listDataFiles(spark, path) }
+  }
+
+  /** Binary contents of a path's data files, loaded by explicit file
+    * list (one driver-side listing, no re-glob).
+    */
+  def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(dataFiles(spark, path): _*)
 
   /** Driver-side directory test that works for any Hadoop scheme. */
   def isDirectory(spark: SparkSession, path: String): Boolean = {

@@ -584,8 +584,7 @@ object VngIO {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rdd = HadoopFs.retryListing(spark.read.format("binaryFile").load(
-        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
+    val rdd = HadoopFs.binaryFiles(spark, path)
       .select("content").as[Array[Byte]].rdd
       .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
     ZsonReader.fromRDD(spark, rdd)

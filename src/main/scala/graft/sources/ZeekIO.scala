@@ -302,8 +302,7 @@ object ZeekIO {
     // decode runs fully native in codegen (split + typed casts), one
     // pass, no value-model detour. Only genuinely interleaved or
     // mixed-header inputs take the two-pass typed route.
-    val statsRdd = HadoopFs.retryListing(spark.read.format("binaryFile").load(
-        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
+    val statsRdd = HadoopFs.binaryFiles(spark, path)
       .select("content").as[Array[Byte]].rdd
       .map { bytes0 =>
         // byte-level scan — no whole-file String, no per-line allocation
@@ -343,8 +342,7 @@ object ZeekIO {
       // model, one task per file, fused by the two-pass shape discovery —
       // no driver materialization (concatenated multi-schema zeek streams
       // are common in the wild).
-      val rdd = HadoopFs.retryListing(spark.read.format("binaryFile").load(
-          if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
+      val rdd = HadoopFs.binaryFiles(spark, path)
         .select("content").as[Array[Byte]].rdd
         .flatMap(bytes => interleavedValues(
           new String(Gzip.maybeGunzip(bytes), java.nio.charset.StandardCharsets.UTF_8)))

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -15,6 +17,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * external-Row conversion) and supports column pruning into the
   * decoder: a pruned-away field is skipped via its length tag, so
   * `count()`-class queries cost I/O plus tag arithmetic, like pass 1.
+  *
+  * String predicates push down as a pre-decode FRAME prefilter (the
+  * reference's BufferFilter, runtime/sam/expr/bufferfilter.go): a frame
+  * whose decompressed bytes can't contain the predicate's literal is
+  * skipped without building a row. Filters are reported residual, so
+  * Spark still evaluates them exactly above the scan — the prefilter is
+  * a pure scan-rate win on selective searches. Disable with
+  * `spark.conf.set("graft.zng.prefilter", "false")` (bench A/B).
   *
   * Options (set by ZngIO.read): `files` (newline-separated part list),
   * `shape` (the stream's one shape text), `ns` (sub-µs time carrier).
@@ -78,45 +88,100 @@ private class ZngTable(fullSchema: StructType, options: CaseInsensitiveStringMap
 }
 
 private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ZngScan(
-    files = ZngDataSource.filesOf(options),
-    shape = options.get("shape"),
-    nsTime = options.getBoolean("ns", false),
-    cleaned = StructType(full.fields.filterNot(_.name == graft.operators.Het.typeTag)),
-    required = required,
-    confMap = HadoopFs.confMap(SparkSession.active))
+  // every filter stays residual (Spark re-evaluates exactly); we only
+  // mine them for frame-skip byte patterns, like parquet row-group stats
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = {
+    val enabled = SparkSession.active.conf
+      .getOption("graft.zng.prefilter").forall(_.toBoolean)
+    // only genuine zed `string` fields qualify: their UTF-8 bytes sit
+    // raw in the values frame. Enum symbols live in the TYPES frame,
+    // ip/time render at decode, and the synthesized __type tag never
+    // appears on the wire — a pattern on any of those would skip frames
+    // that DO match, so they're excluded at derivation
+    val stringCols: Set[String] = Option(options.get("shape")).map { sh =>
+      ZType.strip(ZsonParser.parseType(sh)) match {
+        case ZType.Rec(fields) => fields.iterator.collect {
+          case (n, ft) if ZType.strip(ft) == ZType.Prim("string") => n
+        }.toSet
+        case _ => Set.empty[String]
+      }
+    }.getOrElse(Set.empty)
+    new ZngScan(
+      files = ZngDataSource.filesOf(options),
+      shape = options.get("shape"),
+      nsTime = options.getBoolean("ns", false),
+      cleaned = StructType(full.fields.filterNot(_.name == graft.operators.Het.typeTag)),
+      required = required,
+      prefilter = if (enabled) BufferFilter.fromFilters(pushed, stringCols) else None,
+      confMap = HadoopFs.confMap(SparkSession.active))
+  }
 }
 
 private case class ZngPartition(file: String) extends InputPartition
 
+/** Sum of values frames skipped by the BufferFilter prefilter — a DSv2
+  * custom metric, so the Spark UI shows the skip rate per scan on a
+  * real cluster.
+  */
+private class FramesSkippedMetric extends CustomSumMetric {
+  override def name(): String = "framesSkipped"
+  override def description(): String = "zng values frames skipped by prefilter"
+}
+private class FramesReadMetric extends CustomSumMetric {
+  override def name(): String = "framesRead"
+  override def description(): String = "zng values frames decoded"
+}
+
 private class ZngScan(files: Seq[String], shape: String, nsTime: Boolean,
-    cleaned: StructType, required: StructType, confMap: Map[String, String])
+    cleaned: StructType, required: StructType, prefilter: Option[BufferFilter],
+    confMap: Map[String, String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft zng (${files.length} files, ${required.fields.length} of " +
-      s"${cleaned.fields.length + 1} columns)"
+      s"${cleaned.fields.length + 1} columns" +
+      (if (prefilter.isDefined) ", frame prefilter" else "") + ")"
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new FramesSkippedMetric, new FramesReadMetric)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => ZngPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZngReaderFactory(shape, nsTime, cleaned, required, confMap)
+    new ZngReaderFactory(shape, nsTime, cleaned, required, prefilter, confMap)
 }
 
 private class ZngReaderFactory(shape: String, nsTime: Boolean, cleaned: StructType,
-    required: StructType, confMap: Map[String, String]) extends PartitionReaderFactory {
+    required: StructType, prefilter: Option[BufferFilter],
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bytes = Gzip.maybeGunzip(
       HadoopFs.readAll(confMap, partition.asInstanceOf[ZngPartition].file))
-    val it = ZngIO.decodeToInternalRows(bytes, shape, cleaned, required, nsTime)
+    val stats = new ZngIO.FrameStats
+    val it = ZngIO.decodeToInternalRows(bytes, shape, cleaned, required, nsTime,
+      prefilter, stats)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
       override def get(): InternalRow = row
       override def close(): Unit = ()
+      override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+        new CustomTaskMetric {
+          override def name(): String = "framesSkipped"
+          override def value(): Long = stats.skipped
+        },
+        new CustomTaskMetric {
+          override def name(): String = "framesRead"
+          override def value(): Long = stats.read
+        })
     }
   }
 }

@@ -1740,8 +1740,20 @@ object ZngIO {
     * required at all (count(*), tag-only reads) whole value bodies are
     * skipped, making the scan I/O plus tag arithmetic like pass 1.
     */
+  /** Per-partition frame prefilter counters — surfaced as DSv2 custom
+    * metrics (Spark UI) and summed JVM-wide for local-mode assertions.
+    */
+  final class FrameStats {
+    @volatile var skipped: Long = 0L
+    @volatile var read: Long = 0L
+  }
+  val totalFramesSkipped = new java.util.concurrent.atomic.LongAdder
+  val totalFramesRead = new java.util.concurrent.atomic.LongAdder
+
   private[sources] def decodeToInternalRows(bytes: Array[Byte], shapeText: String,
-      cleaned: StructType, required: StructType, nsTime: Boolean): Iterator[InternalRow] =
+      cleaned: StructType, required: StructType, nsTime: Boolean,
+      prefilter: Option[BufferFilter] = None,
+      stats: FrameStats = new FrameStats): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private val c = new Cursor(bytes, 0)
       private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
@@ -1818,13 +1830,21 @@ object ZngIO {
           else readFrame(c, code) match {
             case (0, payload) => parseTypedefs(payload, types)
             case (1, payload) =>
-              val vc = new Cursor(payload, 0)
-              val out = Vector.newBuilder[InternalRow]
-              while (!vc.done) {
-                val t = typeOfId(vc.uvarint().toInt)
-                out += memo.getOrElseUpdate(t, builderOf(t))(vc)
+              // BufferFilter prefilter (ref bufferfilter.go): when the
+              // pushed predicate's literal can't appear in this frame's
+              // bytes, no row in it can match — skip the whole decode
+              if (prefilter.exists(!_.matches(payload, payload.length))) {
+                stats.skipped += 1; totalFramesSkipped.increment()
+              } else {
+                stats.read += 1; totalFramesRead.increment()
+                val vc = new Cursor(payload, 0)
+                val out = Vector.newBuilder[InternalRow]
+                while (!vc.done) {
+                  val t = typeOfId(vc.uvarint().toInt)
+                  out += memo.getOrElseUpdate(t, builderOf(t))(vc)
+                }
+                queue = out.result().iterator
               }
-              queue = out.result().iterator
             case (2, _) => // control frame: skip
             case _ =>
               throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
@@ -1845,8 +1865,8 @@ object ZngIO {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val bin = HadoopFs.retryListing(spark.read.format("binaryFile").load(
-        if (HadoopFs.isDirectory(spark, path)) s"$path/*" else path))
+    val dataFiles = HadoopFs.dataFiles(spark, path)
+    val bin = spark.read.format("binaryFile").load(dataFiles: _*)
       .select("content").as[Array[Byte]].rdd
     val discovered = bin.mapPartitionsWithIndex { (pid, files) =>
       val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -1875,7 +1895,7 @@ object ZngIO {
         .schema(full)
         .option("shape", shapeTexts.head)
         .option("ns", nsTime.toString)
-        .option("files", HadoopFs.listDataFiles(spark, path).mkString("\n"))
+        .option("files", dataFiles.mkString("\n"))
         .load()
     } else {
       val rdd = bin.flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))

@@ -194,6 +194,56 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toByteArray.toSeq == external.toSeq)
   }
 
+  test("frame prefilter skips frames that can't match a pushed string " +
+       "predicate, with identical results (ref bufferfilter.go)") {
+    val path = tmp("prefilter")
+    // many frames: small frame bound comes from partitioning — 8 parts,
+    // each its own stream; the needle lives in exactly one part
+    val df = spark.range(0, 80000).repartition(8)
+      .selectExpr("id", "concat('msg_', id % 997) as s", "cast(id % 7 as double) as d")
+    ZngIO.write(df, path)
+    val needle = "msg_123"
+    def q(enabled: Boolean) = {
+      spark.conf.set("graft.zng.prefilter", enabled.toString)
+      try ZngIO.read(spark, path).filter(col("s") === needle)
+        .orderBy("id").collect().toSeq
+      finally spark.conf.unset("graft.zng.prefilter")
+    }
+    val off = q(false)
+    ZngIO.totalFramesSkipped.reset(); ZngIO.totalFramesRead.reset()
+    val on = q(true)
+    assert(on == off && on.nonEmpty)
+    // "msg_123" appears in every frame here (dense id space), so also
+    // check a truly absent needle prunes everything
+    ZngIO.totalFramesSkipped.reset(); ZngIO.totalFramesRead.reset()
+    spark.conf.set("graft.zng.prefilter", "true")
+    try {
+      assert(ZngIO.read(spark, path).filter(col("s") === "no_such_value_xyz").count() == 0)
+      assert(ZngIO.totalFramesSkipped.sum() > 0, "prefilter should skip frames")
+      assert(ZngIO.totalFramesRead.sum() == 0, "no frame can contain the needle")
+    } finally spark.conf.unset("graft.zng.prefilter")
+  }
+
+  test("frame prefilter is NOT derived from enum, ip, or tag columns " +
+       "(their bytes aren't raw in the values frame)") {
+    val path = tmp("prefilter-enum")
+    val vals = Seq(
+      "{s:\"keepme\",e:\"red\"(enum(red,green)),a:1.2.3.4}",
+      "{s:\"other\",e:\"green\"(enum(red,green)),a:5.6.7.8}")
+      .map(l => new graft.sources.ZsonParser(l).parseOne())
+    val df0 = graft.sources.ZsonReader.fromValues(spark, vals, tag = false)
+    ZngIO.write(df0, path)
+    spark.conf.set("graft.zng.prefilter", "true")
+    try {
+      // enum symbol + ip text never appear in the values frame — these
+      // MUST still return their rows (excluded from pattern derivation)
+      assert(ZngIO.read(spark, path).filter(col("e") === "red").count() == 1)
+      assert(ZngIO.read(spark, path).filter(col("a") === "1.2.3.4").count() == 1)
+      // and a genuine string predicate still both prunes and matches
+      assert(ZngIO.read(spark, path).filter(col("s") === "keepme").count() == 1)
+    } finally spark.conf.unset("graft.zng.prefilter")
+  }
+
   test("uint64 above 2^63-1 keeps its exact value through the Decimal " +
        "carrier: zson render, zng round-trip, and sums (value.go uint64)") {
     val spark = GraftSession.local(4)
