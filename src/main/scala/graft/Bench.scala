@@ -182,9 +182,38 @@ object Bench {
         graft.sources.ZngIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)),
       timeIngest("ingest_zng", out =>
         graft.sources.ZngIO.write(graft.sources.ZngIO.read(spark, zngDir), out)))
+
+    // selective search over the zng stream — the BufferFilter pre-decode
+    // frame pruning axis (ref runtime/sam/expr/bufferfilter.go). The
+    // needle is one real uid out of ~2M rows, so almost every frame is
+    // skippable; the _nofilter twin decodes everything and the ratio is
+    // the pruning win.
+    val needle = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "C" + md.digest("42424".getBytes("UTF-8")) // id 42424 < hetRows at every sf
+        .map(b => f"$b%02x").mkString.substring(0, 16)
+    }
+    def timeSearch(name: String, enabled: Boolean): (String, Double) = {
+      spark.conf.set("graft.zng.prefilter", enabled.toString)
+      try {
+        def run(): Unit = runOnce(
+          graft.sources.ZngIO.read(spark, zngDir).filter(col("uid") === needle))
+        run() // warm
+        val dt = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.gc()
+        name -> dt
+      } finally spark.conf.unset("graft.zng.prefilter")
+    }
+    val searchResults = Seq(
+      timeSearch("search_zng", enabled = true),
+      timeSearch("search_zng_nofilter", enabled = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults
+    val results = headlineResults ++ ingestResults ++ searchResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

@@ -1074,6 +1074,26 @@ object SparkEntry {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // keyed pool (zed create -orderby; lake/seekindex/writer.go): loads
+    // range-sort by the pool key and journal each object's [min,max]; a
+    // range scan opens only overlapping objects and pushes the key
+    // predicate into parquet row-group stats inside them
+    ("q_lake_range", (s, dir) => {
+      val root = "/tmp/graft_io_lake"
+      val pool = "keyed_" + System.nanoTime()
+      val lk = graft.sources.Lake
+      lk.create(root, pool, Some("o_orderkey"))
+      val orders = t(s, dir, "orders")
+      lk.load(orders.filter(col("o_orderkey") < 3000), root, pool)
+      lk.load(orders.filter(col("o_orderkey") >= 3000), root, pool)
+      ZedOps.sort(
+        lk.scan(s, root, pool, keyRange = Some(("1000", "2500")))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey") -> true)
+    },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey BETWEEN 1000 AND 2500 ORDER BY o_orderkey""".stripMargin)),
+
     // lake branches + delete-as-commit (lake/root.go:363-381, meta/
     // deleter.go): main keeps F orders after a delete on the branch; the
     // branch forks before the delete and adds P orders — each ref sees

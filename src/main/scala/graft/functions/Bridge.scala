@@ -11,6 +11,11 @@ object Bridge {
   def column(e: Expression): Column = ExprBridge.column(e)
   def expression(c: Column): Expression = ExprBridge.expression(c)
 
+  /** DataFrame over a raw logical plan (for plan surgery). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    ExprBridge.ofRows(spark, plan)
+
   /** Exact integral division on longs (SQL `div`) — avoids double rounding
     * on ns-scale epoch values.
     */

@@ -293,11 +293,39 @@ object ZedOps {
   }
 
   /** `merge expr` — order-preserving combine of branches
-    * (runtime/sam/op/merge). Spark idiom: union then sort (the optimizer
-    * pushes sort-order requirements; no single-threaded heap merge).
+    * (runtime/sam/op/merge). Spark idiom: union then ONE global sort.
+    *
+    * A branch whose plan tops out in its own global Sort (the common
+    * `fork(...|sort k)(...|sort k) | merge k` shape) would otherwise pay
+    * a full range exchange + sort per branch AND again for the merge —
+    * but the merge's total order subsumes any branch ordering, so the
+    * branch Sort contributes nothing to the result. It is stripped
+    * before the union: the reference consumes pre-sorted upstreams with
+    * a streaming heap (merge/merge.go:15-40); the Spark-first equivalent
+    * of "don't sort what the merge re-orders" is eliminating the
+    * redundant per-branch exchange entirely — at scale this halves the
+    * pipeline's shuffle volume. (Catalyst's EliminateSorts does not look
+    * through Union, so the surgery happens here.)
     */
-  def merge(order: Seq[(Column, Boolean)], branches: DataFrame*): DataFrame =
-    sort(branches.reduce(_.unionByName(_, allowMissingColumns = true)), order: _*)
+  def merge(order: Seq[(Column, Boolean)], branches: DataFrame*): DataFrame = {
+    val stripped =
+      if (branches.length > 1) branches.map(stripRedundantSort) else branches
+    sort(stripped.reduce(_.unionByName(_, allowMissingColumns = true)), order: _*)
+  }
+
+  /** Drop a branch's top-level global Sort — only the order is lost
+    * (re-imposed by the caller's merge sort), never rows. Limits above a
+    * sort keep their Sort (the plan then tops out in the Limit, not the
+    * Sort, and nothing is stripped).
+    */
+  private def stripRedundantSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    df.queryExecution.analyzed match {
+      case s: logical.Sort if s.global =>
+        graft.functions.Bridge.ofRows(df.sparkSession, s.child)
+      case _ => df
+    }
+  }
 
   /** `combine` — unordered union of branches (runtime/sam/op/combine). */
   def combine(branches: DataFrame*): DataFrame =

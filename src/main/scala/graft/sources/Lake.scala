@@ -20,15 +20,38 @@ object Lake {
 
   final case class Commit(id: String, author: String, message: String, ts: Long,
                           branch: String = "main", kind: String = "commit",
-                          target: String = "")
+                          target: String = "",
+                          keyMin: Option[String] = None,
+                          keyMax: Option[String] = None)
 
   private def poolDir(root: String, pool: String) = Paths.get(root, pool)
   private def journal(root: String, pool: String) = poolDir(root, pool).resolve("commits.jsonl")
 
-  def create(root: String, pool: String): Unit = {
+  /** Create a pool, optionally with a pool KEY (`zed create -orderby`,
+    * lake/pool.go): loads are range-sorted by the key so every data
+    * object — and every parquet row group inside it — covers a tight
+    * key range, and the journal records each object's [min,max]. A
+    * keyed pool's range scans then prune twice: whole objects
+    * driver-side from the journal (the seek-index analog,
+    * lake/seekindex/writer.go) and row groups inside surviving objects
+    * from parquet stats via the pushed predicate.
+    */
+  def create(root: String, pool: String, key: Option[String] = None): Unit = {
     Files.createDirectories(poolDir(root, pool).resolve("data"))
+    key.foreach { k =>
+      Files.write(poolDir(root, pool).resolve("pool.json"),
+        (s"""{"key":"$k"}""" + "\n").getBytes(StandardCharsets.UTF_8))
+    }
     val j = journal(root, pool)
     if (!Files.exists(j)) Files.createFile(j)
+  }
+
+  /** The pool's key field, if it was created with one. */
+  def poolKey(root: String, pool: String): Option[String] = {
+    val f = poolDir(root, pool).resolve("pool.json")
+    if (!Files.exists(f)) None
+    else """"key":"([^"]+)"""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).map(_.group(1))
   }
 
   def exists(root: String, pool: String): Boolean = Files.exists(journal(root, pool))
@@ -43,9 +66,30 @@ object Lake {
     if (!exists(root, pool)) create(root, pool)
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataDir = poolDir(root, pool).resolve("data").resolve(id)
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val key = poolKey(root, pool).filter(df.columns.contains)
+    val sorted = key match {
+      // keyed pool: range-sort so each file and row group covers a tight
+      // key slice — this is what makes the journal's [min,max] and the
+      // parquet stats selective at scan time
+      case Some(k) =>
+        import org.apache.spark.sql.functions.col
+        df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
+      case None => df
+    }
+    sorted.write.mode("errorifexists").parquet(dataDir.toString)
+    // object key range from the WRITTEN files (single-column scan of the
+    // object, not a second pass over the input query)
+    val range = key.map { k =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val r = df.sparkSession.read.parquet(dataDir.toString)
+        .agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head
+      (Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse(""))
+    }
+    val rangeJson = range.map { case (lo, hi) =>
+      s""","keymin":"${lo.replace("\"", "'")}","keymax":"${hi.replace("\"", "'")}""""
+    }.getOrElse("")
     appendRec(root, pool,
-      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}","ts":${System.currentTimeMillis()}}""")
+      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson,"ts":${System.currentTimeMillis()}}""")
     id
   }
 
@@ -89,6 +133,8 @@ object Lake {
     val branchRe = """"branch":"([^"]*)"""".r
     val kindRe = """"kind":"([^"]*)"""".r
     val targetRe = """"target":"([^"]*)"""".r
+    val kminRe = """"keymin":"([^"]*)"""".r
+    val kmaxRe = """"keymax":"([^"]*)"""".r
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(journal(root, pool))).asScala.toSeq
       .filter(_.nonEmpty)
@@ -100,7 +146,9 @@ object Lake {
           tsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L),
           branchRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("main"),
           kindRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("commit"),
-          targetRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""))
+          targetRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""),
+          kminRe.findFirstMatchIn(l).map(_.group(1)),
+          kmaxRe.findFirstMatchIn(l).map(_.group(1)))
       }
   }
 
@@ -137,7 +185,8 @@ object Lake {
     * commits, minus anything a delete record on the branch removed.
     */
   def scan(spark: SparkSession, root: String, pool: String,
-           asOf: Option[String] = None): DataFrame = {
+           asOf: Option[String] = None,
+           keyRange: Option[(String, String)] = None): DataFrame = {
     val all = commits(root, pool)
     val branchNames = all.filter(_.kind == "branch").map(_.id).toSet
     val (branch, upTo) = asOf match {
@@ -153,8 +202,47 @@ object Lake {
     }
     val live = liveIds(visible)
     require(live.nonEmpty, s"pool $pool is empty")
-    val dirs = live.map(id => poolDir(root, pool).resolve("data").resolve(id).toString)
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // object-level range pruning from the journal's [keymin,keymax] — the
+    // seek-index analog: a keyed pool's range scan never opens an object
+    // whose recorded range can't overlap. Objects without a recorded
+    // range (unkeyed loads) are conservatively kept.
+    val key = poolKey(root, pool)
+    val byId = visible.filter(_.kind == "commit").map(c => c.id -> c).toMap
+    val pruned = (key, keyRange) match {
+      case (Some(_), Some((lo, hi))) =>
+        val kept = live.filter { id =>
+          byId.get(id).forall(c => (c.keyMin, c.keyMax) match {
+            case (Some(mn), Some(mx)) => !(cmpKey(mx, lo) < 0 || cmpKey(mn, hi) > 0)
+            case _ => true
+          })
+        }
+        if (kept.nonEmpty) kept else live.take(1) // keep a scannable frame for schema
+      case _ => live
+    }
+    val dirs = pruned.map(id => poolDir(root, pool).resolve("data").resolve(id).toString)
+    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // in-object pruning: the key predicate pushes to parquet, where the
+    // load-time range sort makes row-group [min,max] stats selective
+    (key, keyRange) match {
+      case (Some(k), Some((lo, hi))) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        df.filter(col(k) >= lit(lo).cast(df.schema(k).dataType) &&
+          col(k) <= lit(hi).cast(df.schema(k).dataType))
+      case _ => df
+    }
+  }
+
+  /** Order two rendered key values: numerically when both parse as
+    * numbers, else lexicographically (exact for strings; exact for the
+    * uniform-width datetime renders Spark's string cast emits).
+    */
+  private def cmpKey(a: String, b: String): Int = {
+    val na = try Some(BigDecimal(a)) catch { case _: NumberFormatException => None }
+    val nb = try Some(BigDecimal(b)) catch { case _: NumberFormatException => None }
+    (na, nb) match {
+      case (Some(x), Some(y)) => x.compare(y)
+      case _ => a.compareTo(b)
+    }
   }
 
   /** `merge <branch>` — fold a branch's commits into its parent

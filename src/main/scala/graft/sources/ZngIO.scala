@@ -1863,29 +1863,59 @@ object ZngIO {
     * is the one full decode — straight to Spark rows (no value tree) when
     * the stream is single-shape with directly-decodable types.
     */
+  /** Per-file discovery result, cached driver-side keyed by the file's
+    * (length, mtime): re-reading a path — interactive sessions, repeated
+    * queries over the same objects — skips the pass-1 discovery I/O for
+    * unchanged files and scans only new or rewritten ones, like a
+    * metastore's file-statistics cache. Without this, every read of
+    * 100 TB costs 200 TB of I/O (discovery reads each byte a second
+    * time). A rewrite under the same name self-evicts (the key is the
+    * path; stale length/mtime mismatches replace the entry).
+    */
+  private final case class FileMeta(len: Long, mtime: Long,
+      shapes: Vector[(String, Long)], count: Long, ns: Boolean)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileMeta]
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = HadoopFs.dataFiles(spark, path)
-    val bin = spark.read.format("binaryFile").load(dataFiles: _*)
-      .select("content").as[Array[Byte]].rdd
-    val discovered = bin.mapPartitionsWithIndex { (pid, files) =>
-      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      var ns = false
-      var i = 0L
-      files.foreach { bytes =>
-        val (shapes, count, fileNs) = scanMeta(Gzip.maybeGunzip(bytes), i)
-        shapes.foreach { case (t, idx) =>
-          if (!seen.contains(t)) seen(t) = (pid.toLong << 40) | idx
-        }
-        ns ||= fileNs
-        i += count
+    val statuses = dataFiles.map { p =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (p, st.getLen, st.getModificationTime)
+    }
+    val missing = statuses.filter { case (p, len, mt) =>
+      Option(metaCache.get(p)).forall(m => m.len != len || m.mtime != mt)
+    }
+    if (missing.nonEmpty) {
+      val conf = HadoopFs.confMap(spark)
+      val scanned = spark.sparkContext
+        .parallelize(missing, missing.length)
+        .map { case (p, len, mt) =>
+          val (shapes, count, fileNs) =
+            scanMeta(Gzip.maybeGunzip(HadoopFs.readAll(conf, p)), 0L)
+          (p, FileMeta(len, mt, shapes.toVector, count, fileNs))
+        }.collect()
+      scanned.foreach { case (p, m) => metaCache.put(p, m) }
+    }
+    // merge per-file results in file order — exact global
+    // first-appearance ordering of shapes across the stream set
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var nsTime = false
+    var offset = 0L
+    statuses.foreach { case (p, _, _) =>
+      val m = metaCache.get(p)
+      m.shapes.foreach { case (t, idx) =>
+        if (!seen.contains(t)) seen(t) = offset + idx
       }
-      if (ns) seen(ZsonReader.nsSentinelKey) = Long.MaxValue
-      seen.iterator
-    }.reduceByKey(math.min).collect()
-    val nsTime = discovered.exists(_._1 == ZsonReader.nsSentinelKey)
-    val shapeTexts = discovered.filterNot(_._1 == ZsonReader.nsSentinelKey)
-      .sortBy(_._2).map(_._1).toIndexedSeq
+      nsTime ||= m.ns
+      offset += m.count
+    }
+    val discovered = (seen.toArray: Array[(String, Long)]) ++
+      (if (nsTime) Array(ZsonReader.nsSentinelKey -> Long.MaxValue) else Array.empty[(String, Long)])
+    val shapeTexts = seen.toArray.sortBy(_._2).map(_._1).toIndexedSeq
     if (shapeTexts.length == 1) {
       // homogeneous stream (the 100 TB common case): a DataSource V2 scan
       // decodes straight to InternalRows — no external-Row detour — and
@@ -1898,7 +1928,9 @@ object ZngIO {
         .option("files", dataFiles.mkString("\n"))
         .load()
     } else {
-      val rdd = bin.flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
+      val rdd = spark.read.format("binaryFile").load(dataFiles: _*)
+        .select("content").as[Array[Byte]].rdd
+        .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
       ZsonReader.fromShapes(spark, rdd, discovered)
     }
   }

@@ -107,4 +107,86 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("Union"), "fork branches did not union")
   }
+
+  test("merge strips redundant per-branch Sorts: one exchange + one sort " +
+       "for the whole union (ref merge.go consumes sorted upstreams)") {
+    import org.apache.spark.sql.functions.col
+    val t = GraftSession.table(spark, dir, "orders")
+    val a = graft.operators.ZedOps.sort(
+      t.filter(col("o_orderstatus") === "F"), col("o_orderkey") -> true)
+    val b = graft.operators.ZedOps.sort(
+      t.filter(col("o_orderstatus") === "O"), col("o_totalprice") -> false)
+    val merged = graft.operators.ZedOps.merge(
+      Seq(col("o_orderkey") -> true), a, b)
+    val mergedPlan = merged.queryExecution.executedPlan.toString
+    // exactly ONE global sort (the merge's own) and ONE range exchange —
+    // the branches' sorts and their exchanges must be gone (each would
+    // shuffle its whole branch a second time for an order the merge
+    // immediately re-imposes)
+    val globalSorts = "Sort \\[[^\\]]*\\], true,".r.findAllIn(mergedPlan).length
+    val rangeExchanges = "rangepartitioning".r.findAllIn(mergedPlan).length
+    assert(globalSorts == 1,
+      s"expected exactly the merge's sort, got $globalSorts:\n$mergedPlan")
+    assert(rangeExchanges == 1,
+      s"branch sort exchanges survived ($rangeExchanges range exchanges):\n$mergedPlan")
+    // result is the union's rows in merge-key order
+    val keys = merged.select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted && keys.nonEmpty, "merge output lost total order")
+    assert(merged.count() ==
+      t.filter(col("o_orderstatus") === "F").count() +
+      t.filter(col("o_orderstatus") === "O").count())
+    // a branch ending in head/top keeps its semantics: the plan tops out
+    // in the Limit, so its inner sort is NOT stripped
+    val c = graft.operators.ZedOps.top(t, 5, col("o_totalprice"))
+    val mixed = graft.operators.ZedOps.merge(Seq(col("o_orderkey") -> true), a, c)
+    assert(mixed.count() == a.count() + 5, "limit branch must keep its top-N")
+  }
+
+  test("keyed lake pool: range scan prunes whole objects from the journal " +
+       "and pushes the key predicate into parquet (seek-index analog)") {
+    import org.apache.spark.sql.functions.col
+    val lk = graft.sources.Lake
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-lake").toString
+    val pool = "keyed"
+    lk.create(root, pool, Some("l_orderkey"))
+    val li = GraftSession.table(spark, dir, "lineitem")
+    val mid = 3000L
+    val lowId = lk.load(li.filter(col("l_orderkey") < mid), root, pool)
+    val highId = lk.load(li.filter(col("l_orderkey") >= mid), root, pool)
+    // journal recorded each object's key range
+    val cs = lk.commits(root, pool).filter(_.kind == "commit")
+    assert(cs.forall(c => c.keyMin.isDefined && c.keyMax.isDefined),
+      "keyed loads must journal [keymin,keymax]")
+    // range entirely inside the low object: the high object must not be
+    // in the scan's file index at all (object-level pruning)
+    val scan = lk.scan(spark, root, pool, keyRange = Some(("100", "500")))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains(lowId) && !plan.contains(highId),
+      s"expected only object $lowId in the scan:\n$plan")
+    // and the predicate reached the parquet reader, where load's
+    // range-sort makes per-row-group [min,max] stats selective
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_orderkey"),
+      s"key range did not push into the parquet scan:\n$plan")
+    // load-time range sort holds: within the object, files cover
+    // disjoint key slices (what row-group pruning feeds on at scale)
+    val fs = new java.io.File(s"$root/$pool/data/$lowId")
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (fs.length > 1) {
+      val ranges = fs.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+            org.apache.spark.sql.functions.max("l_orderkey")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val sorted = ranges.sortBy(_._1)
+      assert(sorted.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+        case _ => true
+      }, s"object files overlap in key space: ${sorted.toSeq}")
+    }
+    // correctness of the pruned scan
+    assert(scan.count() ==
+      li.filter(col("l_orderkey") >= 100 && col("l_orderkey") <= 500).count())
+  }
 }
