@@ -36,7 +36,11 @@ object Bench {
     "het_variant" -> ((s: SparkSession) => hetQuery(s, dir, udfPath = false)),
     // … and the same query with the caches stripped (ZSON-text UDF
     // fallback) — the ratio is the vectorization win
-    "het_variant_udf" -> ((s: SparkSession) => hetQuery(s, dir, udfPath = true))
+    "het_variant_udf" -> ((s: SparkSession) => hetQuery(s, dir, udfPath = true)),
+    // chained access into nested records (deep cache `d`): within ~2x of
+    // the flat twin below is the bar — both run on the same fixture
+    "het_nested" -> ((s: SparkSession) => nestedQuery(s, dir, flat = false)),
+    "het_nested_flat" -> ((s: SparkSession) => nestedQuery(s, dir, flat = true))
   )
 
   /** Mixed-shape frame: one column that is a string, an array, or a record
@@ -76,6 +80,41 @@ object Bench {
       hetPath = Some(p)
       p
     }
+  }
+
+  /** Nested-record variant fixture: every row's `v` is a record
+    * {o:{a,b,deep:{x}},top} fused with a sprinkling of strings, so
+    * chained access dispatches on kind like real mixed data.
+    */
+  private var nestedPath: Option[String] = None
+  private def nestedFixturePath(s: SparkSession, dir: String): String = synchronized {
+    nestedPath.getOrElse {
+      val het = graft.operators.Het
+      val n = hetRows(dir)
+      val base = s.range(n)
+      val recs = base.filter(col("id") % 8 =!= 7).select(col("id"), struct(
+        struct(col("id").as("a"), concat(lit("u"), col("id")).as("b"),
+          struct((col("id") % 97).as("x")).as("deep")).as("o"),
+        (col("id") * 3).as("top")).as("v"))
+      val strs = base.filter(col("id") % 8 === 7)
+        .select(col("id"), concat(lit("doc-"), col("id")).as("v"))
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-nested")
+        .toString + "/nested.parquet"
+      het.fuseVariant(recs, strs).write.mode("overwrite").parquet(p)
+      nestedPath = Some(p)
+      p
+    }
+  }
+
+  private def nestedQuery(s: SparkSession, dir: String, flat: Boolean): DataFrame = {
+    val zv = graft.functions.ZvOps
+    val mixed = s.read.parquet(nestedFixturePath(s, dir))
+    val picked =
+      if (flat) zv.get(col("v"), "top")
+      else zv.get(zv.get(col("v"), "o"), "a")
+    mixed.select(picked.getField("n").as("n"), picked.getField("k").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("count"), sum(col("n")).as("total"))
   }
 
   private def hetQuery(s: SparkSession, dir: String, udfPath: Boolean): DataFrame = {

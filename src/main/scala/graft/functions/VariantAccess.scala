@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, CaseWhen, CreateNamedStruct, Expression, GenericInternalRow, GetStructField, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, CreateNamedStruct, Expression, GenericInternalRow, GetStructField, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,17 +26,21 @@ import graft.operators.Het
   * over UDF).
   *
   * Inputs: `container` is the variant's `m` entries array (byName=true)
-  * or `a` elements array (byName=false); `key` is the field name
-  * (string) or element index (int, negative from the end). Output is a
-  * FULL variant struct: hit → the promoted leaf (its own containers keep
-  * only their `z` text), miss/out-of-range/null-key → error("missing"),
-  * hit-on-null-leaf → null (a null variant value).
+  * or `a` elements array (byName=false); `deep` is the variant's
+  * NUL-path `d` cache (record paths of depth ≥2 — null for the
+  * positional form); `key` is the field name (string) or element index
+  * (int, negative from the end). Output is a FULL variant struct: hit →
+  * the promoted leaf — WITH its own m/d caches re-derived from `deep` by
+  * prefix when the hit is a nested record, so chained access stays
+  * native at any record depth; miss/out-of-range/null-key →
+  * error("missing"), hit-on-null-leaf → null (a null variant value).
   */
-case class VariantAccess(container: Expression, key: Expression, byName: Boolean)
-    extends BinaryExpression {
+case class VariantAccess(container: Expression, deep: Expression, key: Expression,
+    byName: Boolean) extends TernaryExpression {
 
-  override def left: Expression = container
-  override def right: Expression = key
+  override def first: Expression = container
+  override def second: Expression = deep
+  override def third: Expression = key
   override def dataType: DataType = Het.variantType
   override def nullable: Boolean = true
   override def prettyName: String = if (byName) "variant_get" else "variant_index"
@@ -45,45 +49,58 @@ case class VariantAccess(container: Expression, key: Expression, byName: Boolean
     val arr = container.eval(input)
     if (arr == null) null // callers guard on cache presence; stay safe
     else {
+      val d = deep.eval(input)
       val k = key.eval(input)
-      if (byName) VariantAccess.getField(arr.asInstanceOf[ArrayData], k)
+      if (byName)
+        VariantAccess.getField(arr.asInstanceOf[ArrayData],
+          d.asInstanceOf[ArrayData], k)
       else VariantAccess.indexOf(arr.asInstanceOf[ArrayData], k)
     }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cCode = container.genCode(ctx)
+    val dCode = deep.genCode(ctx)
     val kCode = key.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
-    val method = if (byName) "getField" else "indexOf"
     val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val call =
+      if (byName)
+        s"""$helper.getField(${cCode.value},
+          ${dCode.isNull} ? null : ($arrCls) ${dCode.value},
+          ${kCode.isNull} ? null : (Object) ${kCode.value})"""
+      else
+        s"""$helper.indexOf(${cCode.value},
+          ${kCode.isNull} ? null : (Object) ${kCode.value})"""
     ev.copy(code = code"""
       ${cCode.code}
+      ${dCode.code}
       ${kCode.code}
       boolean ${ev.isNull} = true;
       $rowCls ${ev.value} = null;
       if (!${cCode.isNull}) {
-        ${ev.value} = $helper.$method(${cCode.value},
-          ${kCode.isNull} ? null : (Object) ${kCode.value});
+        ${ev.value} = $call;
         ${ev.isNull} = (${ev.value} == null);
       }""")
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): VariantAccess =
-    copy(container = newLeft, key = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VariantAccess =
+    copy(container = newFirst, deep = newSecond, key = newThird)
 }
 
 /** One FIELD of a VariantAccess result, without materializing the row —
   * `get(v, f).n` becomes a single array scan returning the double. Planted
   * by [[CollapseVariantAccess]]; never constructed directly by operators.
   */
-case class VariantAccessField(container: Expression, key: Expression,
-    byName: Boolean, ordinal: Int) extends BinaryExpression {
+case class VariantAccessField(container: Expression, deep: Expression,
+    key: Expression, byName: Boolean, ordinal: Int) extends TernaryExpression {
 
-  override def left: Expression = container
-  override def right: Expression = key
+  override def first: Expression = container
+  override def second: Expression = deep
+  override def third: Expression = key
   override def dataType: DataType = Het.variantType.fields(ordinal).dataType
   override def nullable: Boolean = true
   override def prettyName: String = s"variant_field_$ordinal"
@@ -91,12 +108,13 @@ case class VariantAccessField(container: Expression, key: Expression,
   override def eval(input: InternalRow): Any = {
     val arr = container.eval(input)
     if (arr == null) null
-    else VariantAccess.fieldAt(
-      arr.asInstanceOf[ArrayData], key.eval(input), byName, ordinal)
+    else VariantAccess.fieldAt(arr.asInstanceOf[ArrayData],
+      deep.eval(input).asInstanceOf[ArrayData], key.eval(input), byName, ordinal)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cCode = container.genCode(ctx)
+    val dCode = deep.genCode(ctx)
     val kCode = key.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
@@ -106,6 +124,7 @@ case class VariantAccessField(container: Expression, key: Expression,
       .javaType(dataType)
     val default = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
       .defaultValue(dataType)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
     // explicit unboxing — Janino's implicit boxing conversions are spotty
     val unbox =
       if (org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
@@ -113,32 +132,161 @@ case class VariantAccessField(container: Expression, key: Expression,
       else s"($boxed) r"
     ev.copy(code = code"""
       ${cCode.code}
+      ${dCode.code}
       ${kCode.code}
       boolean ${ev.isNull} = true;
       $javaType ${ev.value} = $default;
       if (!${cCode.isNull}) {
         Object r = $helper.fieldAt(${cCode.value},
+          ${dCode.isNull} ? null : ($arrCls) ${dCode.value},
           ${kCode.isNull} ? null : (Object) ${kCode.value}, $byName, $ordinal);
         if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
       }""")
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): VariantAccessField =
-    copy(container = newLeft, key = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VariantAccessField =
+    copy(container = newFirst, deep = newSecond, key = newThird)
+}
+
+/** FULL-dispatch field access on a variant value: null handling, the
+  * native m/d cache path, and the ZSON-text fallback all live inside ONE
+  * expression node. This is what keeps chained access (`v.o.a.x`) a
+  * LINEAR expression tree — the previous composition dispatched through
+  * a Catalyst CaseWhen whose guard/else branches each duplicated the
+  * entire inner access, so an L-level chain generated O(6^L) code,
+  * overflowed Janino at L=2, and dropped the whole stage to interpreted
+  * execution (measured 8× slower). Reference: expr/eval.go DotExpr.
+  */
+case class VariantGet(v: Expression, key: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = key
+  override def dataType: DataType = Het.variantType
+  override def nullable: Boolean = true // a present-but-null field is a null variant
+  override def prettyName: String = "variant_get"
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.getFull(v.eval(input).asInstanceOf[InternalRow], key.eval(input))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val kCode = key.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code = code"""
+      ${vCode.code}
+      ${kCode.code}
+      $rowCls ${ev.value} = $helper.getFull(
+        ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
+        ${kCode.isNull} ? null : (Object) ${kCode.value});
+      boolean ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantGet =
+    copy(v = newLeft, key = newRight)
+}
+
+/** Positional twin of [[VariantGet]]: arrays/sets via the `a` cache,
+  * int-keyed maps via the text fallback (expr/eval.go Index).
+  */
+case class VariantIndex(v: Expression, key: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = key
+  override def dataType: DataType = Het.variantType
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_idx"
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.indexFull(v.eval(input).asInstanceOf[InternalRow], key.eval(input))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val kCode = key.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code = code"""
+      ${vCode.code}
+      ${kCode.code}
+      $rowCls ${ev.value} = $helper.indexFull(
+        ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
+        ${kCode.isNull} ? null : (Object) ${kCode.value});
+      boolean ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantIndex =
+    copy(v = newLeft, key = newRight)
+}
+
+/** One field of a [[VariantGet]] result without materializing the row —
+  * planted by [[CollapseVariantAccess]] for `get(v,f).n`-style consumption.
+  */
+case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = key
+  override def dataType: DataType = Het.variantType.fields(ordinal).dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"variant_get_$ordinal"
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.fullFieldAt(
+      v.eval(input).asInstanceOf[InternalRow], key.eval(input), ordinal)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val kCode = key.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val boxed = cg.boxedType(dataType)
+    val javaType = cg.javaType(dataType)
+    val default = cg.defaultValue(dataType)
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val unbox =
+      if (cg.isPrimitiveType(dataType)) s"(($boxed) r).${javaType}Value()"
+      else s"($boxed) r"
+    ev.copy(code = code"""
+      ${vCode.code}
+      ${kCode.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = $default;
+      {
+        Object r = $helper.fullFieldAt(
+          ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
+          ${kCode.isNull} ? null : (Object) ${kCode.value}, $ordinal);
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantGetField =
+    copy(v = newLeft, key = newRight)
 }
 
 object VariantAccess {
 
+  private val W = Het.variantType.fields.length // 9: k,n,s,b,t,z,a,m,d
+
   /** zed error("missing") as a variant row (complex.go:28-40). */
   val errMissingRow: InternalRow = new GenericInternalRow(Array[Any](
     5, null, null, null, UTF8String.fromString("error(string)"),
-    UTF8String.fromString("\"missing\""), null, null))
+    UTF8String.fromString("\"missing\""), null, null, null))
 
   /** Sentinel distinguishing "field/index not present" (→ errMissing)
     * from "present but null value" (→ null variant) in the leaf finders.
     */
   val MISS: InternalRow = new GenericInternalRow(6)
+
+  private val SEP: UTF8String = UTF8String.fromString(Het.pathSep)
 
   /** Find the leaf for field `key` in the `m` entries array: MISS when the
     * field is absent, null when present-but-null, else the leaf row
@@ -171,11 +319,55 @@ object VariantAccess {
     else a.getStruct(i, 6)
   }
 
-  /** One leaf FIELD (k/n/s/b/t/z by ordinal) of the access result, boxed;
-    * null for null-value hits and for the null fields of error("missing").
-    * Lets the optimizer collapse `get(v,f).n` to a no-allocation pick.
+  /** The hit's child caches, derived from the parent's `d` by prefix: an
+    * entry "key<NUL>rest" becomes "rest" — direct children (no further
+    * NUL) land in the child's m, deeper paths in the child's d. Null when
+    * the hit has no recorded descendants (scalar hits, no nested data).
     */
-  def fieldAt(container: ArrayData, key: Any, byName: Boolean, ordinal: Int): Any = {
+  private def childCaches(d: ArrayData, key: UTF8String): (ArrayData, ArrayData) = {
+    if (d == null) return (null, null)
+    var m: java.util.ArrayList[Any] = null
+    var dd: java.util.ArrayList[Any] = null
+    val n = d.numElements()
+    val kb = key.numBytes
+    var i = 0
+    while (i < n) {
+      if (!d.isNullAt(i)) {
+        val e = d.getStruct(i, 2)
+        if (!e.isNullAt(0)) {
+          val name = e.getUTF8String(0)
+          // byte-wise: startsWith compares prefix bytes; the separator is
+          // the single NUL byte, impossible inside a UTF-8 field name
+          if (name.numBytes > kb + 1 && name.startsWith(key) &&
+              name.getByte(kb) == 0) {
+            val nb = name.getBytes
+            val rest = UTF8String.fromBytes(nb, kb + 1, nb.length - kb - 1)
+            val entry = new GenericInternalRow(Array[Any](rest,
+              if (e.isNullAt(1)) null else e.getStruct(1, 6)))
+            if (rest.contains(SEP)) {
+              if (dd == null) dd = new java.util.ArrayList[Any]
+              dd.add(entry)
+            } else {
+              if (m == null) m = new java.util.ArrayList[Any]
+              m.add(entry)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    (if (m == null) null else new GenericArrayData(m.toArray),
+     if (dd == null) null else new GenericArrayData(dd.toArray))
+  }
+
+  /** One leaf FIELD (k/n/s/b/t/z by ordinal, or the hit's derived child
+    * m/d for ordinals 7/8) of the access result, boxed; null for
+    * null-value hits and for the null fields of error("missing"). Lets
+    * the optimizer collapse `get(v,f).n` to a no-allocation pick — and
+    * `get(get(v,f),g)` to two scans with no variant row in between.
+    */
+  def fieldAt(container: ArrayData, deep: ArrayData, key: Any, byName: Boolean,
+      ordinal: Int): Any = {
     val leaf = if (byName) findLeaf(container, key) else pickLeaf(container, key)
     if (leaf == null) null
     else if (leaf eq MISS) ordinal match {
@@ -184,7 +376,11 @@ object VariantAccess {
       case 5 => UTF8String.fromString("\"missing\"")
       case _ => null
     }
-    else if (ordinal >= 6) null // a/m: promoted leaves carry no caches
+    else if (ordinal == 7 && byName && key != null) // child m
+      childCaches(deep, key.asInstanceOf[UTF8String])._1
+    else if (ordinal == 8 && byName && key != null) // child d
+      childCaches(deep, key.asInstanceOf[UTF8String])._2
+    else if (ordinal >= 6) null // a; positional hits carry no caches
     else if (leaf.isNullAt(ordinal)) null
     else ordinal match {
       case 0 => Integer.valueOf(leaf.getInt(0))
@@ -195,10 +391,10 @@ object VariantAccess {
     }
   }
 
-  /** Leaf {k,n,s,b,t,z} → full variant row (a/m absent) — the row-level
-    * twin of Het.promote.
+  /** Leaf {k,n,s,b,t,z} → full variant row with the given child caches —
+    * the row-level twin of Het.promote, plus deep-derived m/d.
     */
-  private def promote(leaf: InternalRow): InternalRow =
+  private def promote(leaf: InternalRow, m: ArrayData, d: ArrayData): InternalRow =
     if (leaf == null) null
     else new GenericInternalRow(Array[Any](
       if (leaf.isNullAt(0)) null else leaf.getInt(0),
@@ -207,18 +403,119 @@ object VariantAccess {
       if (leaf.isNullAt(3)) null else leaf.getBoolean(3),
       if (leaf.isNullAt(4)) null else leaf.getUTF8String(4),
       if (leaf.isNullAt(5)) null else leaf.getUTF8String(5),
-      null, null))
+      null, m, d))
 
-  /** Scan the `m` entries array once for field `key`. */
-  def getField(m: ArrayData, key: Any): InternalRow = {
+  /** Scan the `m` entries array once for field `key`; a nested-record hit
+    * gets its m/d re-derived from the parent's `deep` so the next access
+    * in a chain stays native.
+    */
+  def getField(m: ArrayData, deep: ArrayData, key: Any): InternalRow = {
     val leaf = findLeaf(m, key)
-    if (leaf eq MISS) errMissingRow else promote(leaf)
+    if (leaf eq MISS) errMissingRow
+    else if (leaf == null) null
+    else {
+      val (cm, cd) =
+        if (deep == null) (null, null)
+        else childCaches(deep, key.asInstanceOf[UTF8String])
+      promote(leaf, cm, cd)
+    }
   }
 
   /** O(1) positional pick from the `a` elements array. */
   def indexOf(a: ArrayData, key: Any): InternalRow = {
     val leaf = pickLeaf(a, key)
-    if (leaf eq MISS) errMissingRow else promote(leaf)
+    if (leaf eq MISS) errMissingRow else promote(leaf, null, null)
+  }
+
+  // ---- full-dispatch entry points (VariantGet / VariantIndex) ----
+
+  import graft.sources.{ZValue, ZsonParser}
+
+  private lazy val toCatalyst =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(Het.variantType)
+
+  /** ZValue → internal variant row (the rare text-fallback exit). */
+  private def internalVariant(v: ZValue): InternalRow = {
+    val r = ZValue.variantRow(v)
+    if (r == null) null else toCatalyst(r).asInstanceOf[InternalRow]
+  }
+
+  private def parseZ(z: UTF8String): Option[ZValue] =
+    try Some(new ZsonParser(z.toString).parseOne())
+    catch { case _: Exception => None }
+
+  /** Field access with the variant's own dispatch inside: native m/d when
+    * the caches are populated, single-pass ZSON parse of `z` otherwise
+    * (cache-stripped or beyond-cache-depth values), error("missing") for
+    * scalars/absent fields. A present-but-null field is a null variant.
+    */
+  def getFull(row: InternalRow, key: Any): InternalRow = {
+    if (row == null) return errMissingRow
+    val m = if (row.isNullAt(7)) null else row.getArray(7)
+    if (m != null)
+      return getField(m, if (row.isNullAt(8)) null else row.getArray(8), key)
+    if (key == null || row.isNullAt(5)) return errMissingRow
+    val field = key.toString
+    parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+      case Some(ZValue.VRec(fs)) =>
+        fs.find(_._1 == field) match {
+          case Some((_, fv)) => internalVariant(fv)
+          case None => errMissingRow
+        }
+      case Some(ZValue.VMap(es)) =>
+        es.find(e => ZValue.unwrap(e._1) == ZValue.VStr(field)) match {
+          case Some((_, mv)) => internalVariant(mv)
+          case None => errMissingRow
+        }
+      case _ => errMissingRow
+    }
+  }
+
+  /** Positional twin: `a` cache native, text for maps-with-int-keys and
+    * cache-stripped containers (expr/eval.go Index).
+    */
+  def indexFull(row: InternalRow, key: Any): InternalRow = {
+    if (row == null) return errMissingRow
+    val a = if (row.isNullAt(6)) null else row.getArray(6)
+    if (a != null) return indexOf(a, key)
+    if (key == null || row.isNullAt(5)) return errMissingRow
+    val idx = key.asInstanceOf[Number].intValue
+    parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+      case Some(ZValue.VArr(items, _)) =>
+        val i = if (idx < 0) items.length + idx else idx
+        if (i >= 0 && i < items.length) internalVariant(items(i)) else errMissingRow
+      case Some(ZValue.VMap(es)) =>
+        es.find(e => ZValue.unwrap(e._1) match {
+          case ZValue.VInt(n, _) => n == idx
+          case ZValue.VUint64(n) => n == BigDecimal(idx)
+          case ZValue.VFloat(d, _) => d == idx
+          case _ => false
+        }) match {
+          case Some((_, mv)) => internalVariant(mv)
+          case None => errMissingRow
+        }
+      case _ => errMissingRow
+    }
+  }
+
+  /** One field of getFull's result without materializing it when the
+    * native path is taken; the text path materializes then extracts
+    * (already off the hot path).
+    */
+  def fullFieldAt(row: InternalRow, key: Any, ordinal: Int): Any = {
+    if (row != null && !row.isNullAt(7))
+      return fieldAt(row.getArray(7),
+        if (row.isNullAt(8)) null else row.getArray(8), key, true, ordinal)
+    val full = getFull(row, key)
+    if (full == null || full.isNullAt(ordinal)) null
+    else ordinal match {
+      case 0 => Integer.valueOf(full.getInt(0))
+      case 1 => java.lang.Double.valueOf(full.getDouble(1))
+      case 3 => java.lang.Boolean.valueOf(full.getBoolean(3))
+      case 2 | 4 | 5 => full.getUTF8String(ordinal)
+      case _ => full.getArray(ordinal)
+    }
   }
 }
 
@@ -232,7 +529,9 @@ object VariantAccess {
   *      the kind-dispatch ZvOps builds; per-branch extraction is what
   *      Spark's SimplifyExtractValueOps does for CreateNamedStruct).
   *   2. `GetStructField(VariantAccess)` → [[VariantAccessField]] — one
-  *      array scan, no row allocation.
+  *      array scan, no row allocation. Ordinals 7/8 return the hit's
+  *      deep-derived child caches, so CHAINED accesses collapse level by
+  *      level and never leave codegen.
   *
   * Registered via spark.experimental.extraOptimizations (GraftSession).
   */
@@ -246,6 +545,7 @@ object CollapseVariantAccess extends Rule[LogicalPlan] {
     case cw: CaseWhen =>
       (cw.branches.map(_._2) ++ cw.elseValue).exists(pushable)
     case _: VariantAccess => true
+    case _: VariantGet => true
     case _: CreateNamedStruct => true
     case Literal(null, _) => true
     case _ => false
@@ -258,7 +558,9 @@ object CollapseVariantAccess extends Rule[LogicalPlan] {
         cw.branches.map { case (c, v) => (c, GetStructField(v, ord, name)) },
         cw.elseValue.map(GetStructField(_, ord, name)))
     case GetStructField(va: VariantAccess, ord, _) =>
-      VariantAccessField(va.container, va.key, va.byName, ord)
+      VariantAccessField(va.container, va.deep, va.key, va.byName, ord)
+    case GetStructField(vg: VariantGet, ord, _) =>
+      VariantGetField(vg.v, vg.key, ord)
     // the two collapses SimplifyExtractValueOps would do if it re-ran
     // after the push above (the user-rule batch is the last one)
     case GetStructField(cns: CreateNamedStruct, ord, _) => cns.valExprs(ord)

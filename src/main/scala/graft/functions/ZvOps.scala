@@ -27,7 +27,8 @@ object ZvOps {
   case class ZVField(f: String, v: ZVLeaf)
   case class ZV(k: Option[Int], n: Option[Double], s: Option[String],
                 b: Option[Boolean], t: Option[String], z: Option[String],
-                a: Option[Seq[ZVLeaf]], m: Option[Seq[ZVField]])
+                a: Option[Seq[ZVLeaf]], m: Option[Seq[ZVField]],
+                d: Option[Seq[ZVField]])
 
   private def leafOf(v: ZValue): ZVLeaf = {
     val row = ZValue.leafRow(v)
@@ -55,6 +56,22 @@ object ZvOps {
             ZVField(ZValue.unwrap(k1).asInstanceOf[ZValue.VStr].v, leafOf(mv)) }))
         case _ => (None, None)
       }
+      // deep record-path cache (Het.variantType doc) — chained access
+      // from UDF-produced values stays native too
+      def deepOf(prefix: String, fv: ZValue): Seq[ZVField] =
+        ZValue.unwrap(fv) match {
+          case ZValue.VRec(sub) => sub.flatMap { case (nm, sv) =>
+            val name = prefix + graft.operators.Het.pathSep + nm
+            ZVField(name, leafOf(sv)) +: deepOf(name, sv)
+          }
+          case _ => Seq.empty
+        }
+      val d = ZValue.unwrap(v) match {
+        case ZValue.VRec(fs) =>
+          val es = fs.flatMap { case (nm, fv) => deepOf(nm, fv) }
+          if (es.isEmpty) None else Some(es)
+        case _ => None
+      }
       Some(ZV(
         Option(row.get(0)).map(_.asInstanceOf[Int]),
         Option(row.get(1)).map(_.asInstanceOf[Double]),
@@ -62,7 +79,7 @@ object ZvOps {
         Option(row.get(3)).map(_.asInstanceOf[Boolean]),
         Option(row.get(4)).map(_.asInstanceOf[String]),
         Option(row.get(5)).map(_.asInstanceOf[String]),
-        a, m))
+        a, m, d))
     }
   }
 
@@ -100,14 +117,8 @@ object ZvOps {
     * one VariantAccess scan per row, inside whole-stage codegen; ZSON-text
     * fallback otherwise (deeply nested values, exotic carriers).
     */
-  def get(v: Column, field: String): Column = {
-    val mF = v.getField("m")
-    val native = Bridge.column(VariantAccess(
-      Bridge.expression(mF), Bridge.expression(lit(field)), byName = true))
-    when(v.isNull, Het.errMissing)
-      .when(mF.isNotNull, native)
-      .otherwise(getU(Het.render(v), lit(field)))
-  }
+  def get(v: Column, field: String): Column =
+    Bridge.column(VariantGet(Bridge.expression(v), Bridge.expression(lit(field))))
 
   /** Element access into a boxed array/set/map value: arrays and sets by
     * position (negative from the end), maps by key equality.
@@ -136,15 +147,9 @@ object ZvOps {
     * VariantAccess pick per row (negative-from-end inside), codegen; text
     * fallback for maps / unpopulated carriers.
     */
-  def index(v: Column, idx: Column): Column = {
-    val arr = v.getField("a")
-    val native = Bridge.column(VariantAccess(
-      Bridge.expression(arr), Bridge.expression(idx.cast(IntegerType)),
-      byName = false))
-    when(v.isNull, Het.errMissing)
-      .when(arr.isNotNull, native)
-      .otherwise(indexU(Het.render(v), idx))
-  }
+  def index(v: Column, idx: Column): Column =
+    Bridge.column(VariantIndex(
+      Bridge.expression(v), Bridge.expression(idx.cast(IntegerType))))
 
   /** Index with a RUNTIME-typed index value (expr/eval.go Index): arrays/
     * sets take ints (negative from end; OOB/null → error("missing"); other
@@ -207,10 +212,11 @@ object ZvOps {
     val intLike = ik === 0 && inn.isNotNull && inn === floor(inn) &&
       idx.getField("t").rlike("^u?int")
     val nativeIdx = Bridge.column(VariantAccess(
-      Bridge.expression(arr), Bridge.expression(inn.cast(IntegerType)),
-      byName = false))
+      Bridge.expression(arr), Bridge.expression(Het.nullFields),
+      Bridge.expression(inn.cast(IntegerType)), byName = false))
     val nativeGet = Bridge.column(VariantAccess(
-      Bridge.expression(mF), Bridge.expression(is), byName = true))
+      Bridge.expression(mF), Bridge.expression(v.getField("d")),
+      Bridge.expression(is), byName = true))
     when(v.isNotNull && arr.isNotNull && idx.isNotNull && intLike, nativeIdx)
       .when(v.isNotNull && mF.isNotNull && idx.isNotNull && ik === 2 && is.isNotNull,
         nativeGet)

@@ -105,18 +105,32 @@ object Het {
   val fieldsType: ArrayType = ArrayType(StructType(Seq(
     StructField("f", StringType), StructField("v", leafType))))
 
+  /** Deep-path cache `d`: flattened entries for RECORD paths of depth ≥2,
+    * named with a NUL separator ("o<NUL>a" = field a of record field o —
+    * NUL can't appear in a field name, so a literal "o.a" field never
+    * collides). VariantAccess derives a hit's child m/d from these by
+    * prefix, which keeps CHAINED field access (`v.o.a`, any record depth)
+    * native in codegen instead of falling back to per-row text parsing.
+    * Like a/m it is a pure cache over `z`: canonical() strips it, `m`
+    * keeps direct-fields-only semantics (len, first-match get).
+    */
   val variantType: StructType = StructType(leafType.fields ++ Seq(
     StructField("a", elemsType),
-    StructField("m", fieldsType)))
+    StructField("m", fieldsType),
+    StructField("d", fieldsType)))
 
   private[graft] def nullElems: Column = lit(null).cast(elemsType)
   private[graft] def nullFields: Column = lit(null).cast(fieldsType)
 
-  /** Assemble a variant struct; a/m default to absent (text-fallback). */
+  /** NUL path separator for the deep cache (see variantType doc). */
+  val pathSep = "\u0000"
+
+  /** Assemble a variant struct; a/m/d default to absent (text-fallback). */
   def mkVariant(k: Column, n: Column, s: Column, b: Column, t: Column, z: Column,
-                a: Column = nullElems, m: Column = nullFields): Column =
+                a: Column = nullElems, m: Column = nullFields,
+                d: Column = nullFields): Column =
     struct(k.as("k"), n.as("n"), s.as("s"), b.as("b"), t.as("t"), z.as("z"),
-      a.as("a"), m.as("m"))
+      a.as("a"), m.as("m"), d.as("d"))
 
   /** Lift a leaf (a variant's array element / record field) back to a full
     * variant. Its own containers keep only their `z` text — ops one level
@@ -202,8 +216,37 @@ object Het {
           e.getField("key").as("f"), leafOf(e.getField("value"), vt).as("v")))
       case _ => nullFields
     }
+    // deep cache: NUL-joined entries for record paths of depth ≥2; an
+    // entry under a null ancestor is a NULL ENTRY (not an entry with a
+    // null leaf), so lookups under it report missing, matching the
+    // text-path semantics of descending into a null record
+    val d = dt match {
+      case st: StructType =>
+        def deepOf(prefix: String, cc: Column, nullGuard: Column,
+            sst: StructType): Seq[Column] =
+          sst.fields.toIndexedSeq.flatMap { f =>
+            val name = prefix + pathSep + f.name
+            val child = cc.getField(f.name)
+            val entry = when(nullGuard, lit(null).cast(fieldsType.elementType))
+              .otherwise(struct(lit(name).as("f"), leafOf(child, f.dataType).as("v")))
+            entry +: (f.dataType match {
+              case sub: StructType =>
+                deepOf(name, child, nullGuard || child.isNull, sub)
+              case _ => Seq.empty[Column]
+            })
+          }
+        val entries = st.fields.toIndexedSeq.flatMap { f =>
+          f.dataType match {
+            case sub: StructType =>
+              deepOf(f.name, c.getField(f.name), c.getField(f.name).isNull, sub)
+            case _ => Seq.empty[Column]
+          }
+        }
+        if (entries.isEmpty) nullFields else array(entries: _*)
+      case _ => nullFields
+    }
     when(c.isNull, lit(null).cast(variantType)).otherwise(
-      mkVariant(lit(kindRank(dt)), n, s, b, lit(zedPrimName(dt)), z, a, m))
+      mkVariant(lit(kindRank(dt)), n, s, b, lit(zedPrimName(dt)), z, a, m, d))
   }
 
   /** A TYPE VALUE as a variant: kind 4 with the type text in `s` and

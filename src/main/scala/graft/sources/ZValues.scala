@@ -686,7 +686,23 @@ object ZValue {
           Row(unwrap(k1).asInstanceOf[VStr].v, leafRow(mv)) })
       case _ => (null, null)
     }
-    Row(l.get(0), l.get(1), l.get(2), l.get(3), l.get(4), l.get(5), a, m)
+    // deep cache (Het.variantType doc): NUL-joined record paths of depth
+    // ≥2 so chained field access stays native. Children of a null nested
+    // record are simply absent (lookups report missing).
+    def deepOf(prefix: String, fv: ZValue): Seq[Row] = unwrap(fv) match {
+      case VRec(sub) => sub.flatMap { case (nm, sv) =>
+        val name = prefix + graft.operators.Het.pathSep + nm
+        Row(name, leafRow(sv)) +: deepOf(name, sv)
+      }
+      case _ => Seq.empty
+    }
+    val d = unwrap(v0) match {
+      case VRec(fs) =>
+        val es = fs.flatMap { case (nm, fv) => deepOf(nm, fv) }
+        if (es.isEmpty) null else es
+      case _ => null
+    }
+    Row(l.get(0), l.get(1), l.get(2), l.get(3), l.get(4), l.get(5), a, m, d)
   }
 
   /** Leaf encoding {k,n,s,b,t,z} of any value (Het.leafType).

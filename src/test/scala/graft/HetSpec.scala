@@ -150,4 +150,34 @@ class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(0) == "int64" && rows(0).getDouble(1) == 1.0 && rows(0).isNullAt(2))
     assert(rows(1).getString(0) == "string" && rows(1).isNullAt(1) && rows(1).getString(2) == "s")
   }
+
+  test("chained field access on nested records stays native via the deep " +
+       "cache (d), agreeing with the text path at every depth") {
+    val zv = graft.functions.ZvOps
+    val recs = spark.range(3).select(col("id").as("k"), struct(
+      struct(col("id").as("a"), concat(lit("u"), col("id")).as("b"),
+        struct((col("id") * 10).as("x")).as("deep")).as("o"),
+      (col("id") + 100).as("top")).as("v"))
+    val strs = Seq((99L, "plain")).toDF("k", "v")
+    val fused = Het.fuseVariant(recs, strs)
+    def results(v: org.apache.spark.sql.Column) = fused.orderBy("k").select(
+      Het.render(zv.get(zv.get(v, "o"), "a")).as("oa"),
+      Het.render(zv.get(zv.get(v, "o"), "b")).as("ob"),
+      Het.render(zv.get(zv.get(zv.get(v, "o"), "deep"), "x")).as("odx"),
+      Het.render(zv.get(zv.get(v, "o"), "zz")).as("omiss"),
+      Het.render(zv.get(zv.get(v, "nope"), "a")).as("missChain")
+    ).collect().map(_.toSeq).toSeq
+    val fast = results(col("v"))
+    val slow = results(Het.canonical(col("v"))) // text path: caches stripped
+    assert(fast == slow, s"native/deep disagreed with text:\n$fast\nvs\n$slow")
+    assert(fast(1)(0) == "1" && fast(1)(1) == "\"u1\"" && fast(1)(2) == "10")
+    assert(fast(1)(3).toString.contains("missing"))
+    assert(fast(1)(4).toString.contains("missing"))
+    assert(fast(3)(0).toString.contains("missing")) // string row: no fields
+    // the intermediate access carries derived child caches, so the next
+    // hop has a populated m (the native-branch guard) without text parse
+    val childM = fused.filter(col("k") === 1)
+      .select(zv.get(col("v"), "o").getField("m").isNotNull).head.getBoolean(0)
+    assert(childM, "nested record hit must carry a derived m cache")
+  }
 }
