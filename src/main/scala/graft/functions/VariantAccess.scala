@@ -272,6 +272,47 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
     copy(v = newLeft, key = newRight)
 }
 
+/** Canonical ZSON text of a variant value — the native render boundary.
+  * Scalars format from their leaf payloads; containers whose eager `z`
+  * shadow was dropped at construction (the lazy-z carrier) reconstruct
+  * from the a/m caches (ZValue.renderVariantStr). Replaces a ~15-branch
+  * Catalyst CaseWhen, so render-heavy paths (writers, uniq, equality
+  * canonicalization) evaluate one codegen'd call per row.
+  */
+case class RenderVariant(v: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = v
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "variant_render"
+
+  override def eval(input: InternalRow): Any =
+    RenderVariant.render(v.eval(input).asInstanceOf[InternalRow])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val helper = ctx.addReferenceObj("renderVariant", RenderVariant,
+      "graft.functions.RenderVariant$")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code = code"""
+      ${vCode.code}
+      UTF8String ${ev.value} = $helper.render(
+        ${vCode.isNull} ? null : ($rowCls) ${vCode.value});
+      boolean ${ev.isNull} = false;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RenderVariant =
+    copy(v = newChild)
+}
+
+/** Serializable task-side entry (the ZValue module itself isn't
+  * serializable; a case-class companion is).
+  */
+object RenderVariant {
+  def render(r: InternalRow): UTF8String = graft.sources.ZValue.renderVariantRow(r)
+}
+
 object VariantAccess {
 
   private val W = Het.variantType.fields.length // 9: k,n,s,b,t,z,a,m,d

@@ -78,7 +78,9 @@ object ZvOps {
         Option(row.get(2)).map(_.asInstanceOf[String]),
         Option(row.get(3)).map(_.asInstanceOf[Boolean]),
         Option(row.get(4)).map(_.asInstanceOf[String]),
-        Option(row.get(5)).map(_.asInstanceOf[String]),
+        // lazy-z: cached containers drop the eager text shadow
+        if (a.isDefined || m.isDefined) None
+        else Option(row.get(5)).map(_.asInstanceOf[String]),
         a, m, d))
     }
   }
@@ -293,7 +295,13 @@ object ZvOps {
   })
 
   def lenZed(v: Column): Column =
-    lenZedU(v.getField("k"), v.getField("s"), v.getField("t"), v.getField("z"))
+    // container sizes come native from the caches; everything else (and
+    // cache-less containers, whose z survives) takes the text path
+    when(v.isNotNull && v.getField("k") =!= 5 && v.getField("a").isNotNull,
+        intVariant(size(v.getField("a"))))
+      .when(v.isNotNull && v.getField("k") =!= 5 && v.getField("m").isNotNull,
+        intVariant(size(v.getField("m"))))
+      .otherwise(lenZedU(v.getField("k"), v.getField("s"), v.getField("t"), v.getField("z")))
 
   /** fields(<type-text>) — the leaf paths of a record type as ZSON text
     * ([["r","a"],["s"]]); null for non-record types (→ error("missing")).
@@ -916,7 +924,7 @@ object ZvOps {
   })
 
   def fieldsVar(v: Column): Column =
-    fieldsVarU(v.getField("s"), v.getField("z"))
+    fieldsVarU(v.getField("s"), Het.materialZ(v))
 
   /** Dereference a field of a TYPE VALUE: `foo` over <{foo:{bar:int64}}>
     * yields <{bar:int64}> (the reference's type-value deref,

@@ -1300,7 +1300,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       // a TYPED NULL is a value (it counts, and distinct-counts by its
       // type — groupby/null ztest); only SQL-null (missing) is skipped
       val valueful = c.isNotNull && !(c.getField("n").isNull &&
-        c.getField("s").isNull && c.getField("b").isNull && c.getField("z").isNull)
+        c.getField("s").isNull && c.getField("b").isNull && c.getField("z").isNull &&
+        c.getField("a").isNull && c.getField("m").isNull)
       val value = when(valueful, c)
       a.fn match {
         case "count" => return count(guarded(c))
@@ -2095,7 +2096,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       // comparisons are total; expressions.md "Comparisons")
       def nullish(v: Column): Column = v.isNull ||
         (v.getField("n").isNull && v.getField("s").isNull &&
-          v.getField("b").isNull && v.getField("z").isNull)
+          v.getField("b").isNull && v.getField("z").isNull &&
+          v.getField("a").isNull && v.getField("m").isNull)
       return op match {
         case "==" =>
           when(nullish(lv) || nullish(rv), nullish(lv) && nullish(rv))
@@ -2610,7 +2612,8 @@ final class Compiler(spark: SparkSession, dir: String) {
           case st: StructType if isVariant(st) =>
             // a boxed container can hold errors anywhere inside — deep scan
             Seq(graft.operators.Het.isError(prefix) ||
-              (prefix.getField("z").isNotNull &&
+              ((prefix.getField("z").isNotNull || prefix.getField("a").isNotNull ||
+                prefix.getField("m").isNotNull) &&
                 graft.functions.ZvOps.hasErrorDeep(prefix)))
           case st: StructType =>
             st.fields.toIndexedSeq.flatMap(f => errLeaves(prefix.getField(f.name), f.dataType))
@@ -3275,7 +3278,8 @@ final class Compiler(spark: SparkSession, dir: String) {
             val skipErr = het.isError(c) &&
               c.getField("z").isin("\"missing\"", "\"quiet\"")
             val typedNull = c.getField("n").isNull && c.getField("s").isNull &&
-              c.getField("b").isNull && c.getField("z").isNull
+              c.getField("b").isNull && c.getField("z").isNull &&
+              c.getField("a").isNull && c.getField("m").isNull
             when(skipErr || typedNull, lit(null)).otherwise(c)
           } else c
         }: _*)

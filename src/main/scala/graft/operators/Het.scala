@@ -80,6 +80,31 @@ object Het {
 
   private def zedPrimName(dt: DataType): String = Shaper.zedTypeOf(dt)
 
+  /** Is a container's canonical text EXACTLY reconstructible from its
+    * caches? Then the eager `z` shadow is skipped at construction.
+    * Conservative: member types whose leaf payloads lose formatting
+    * fidelity against the canonical form (decorated widths int32/16/8,
+    * float32, decimal, dates, binaries, sub-second time carriers) and
+    * non-identifier field names keep the eager text.
+    */
+  private val identName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private def dropSafeZ(dt: DataType): Boolean = {
+    def member(md: DataType): Boolean = md match {
+      case LongType | DoubleType | StringType | BooleanType | NullType => true
+      // container members carry their own eager leaf z (variant members
+      // materialize it in leafOf) — reconstructed verbatim
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    }
+    dt match {
+      case st: StructType =>
+        st.fields.forall(f => identName.matches(f.name) && member(f.dataType))
+      case ArrayType(et, _) => member(et)
+      case MapType(StringType, vt, _) => member(vt)
+      case _ => false
+    }
+  }
+
   /** The scalar core of the variant encoding: {k,n,s,b,t,z}. Container
     * values inside a variant (array elements, record fields) are carried
     * as leaves — one nesting level is native, deeper containers ride as
@@ -149,7 +174,7 @@ object Het {
   def canonical(v: Column): Column =
     when(v.isNull, lit(null).cast(variantType)).otherwise(mkVariant(
       v.getField("k"), v.getField("n"), v.getField("s"),
-      v.getField("b"), v.getField("t"), v.getField("z")))
+      v.getField("b"), v.getField("t"), materialZ(v)))
 
   /** Canonicalize every top-level variant column of a frame (for uniq /
     * distinct / group-by-all-columns semantics).
@@ -170,7 +195,7 @@ object Het {
       return when(c.isNull, lit(null).cast(leafType)).otherwise(
         struct(c.getField("k").as("k"), c.getField("n").as("n"),
           c.getField("s").as("s"), c.getField("b").as("b"),
-          c.getField("t").as("t"), c.getField("z").as("z")))
+          c.getField("t").as("t"), materialZ(c).as("z")))
     val container = dt.isInstanceOf[StructType] || dt.isInstanceOf[ArrayType] ||
       dt.isInstanceOf[MapType]
     val n = if (dt.isInstanceOf[NumericType]) c.cast(DoubleType)
@@ -200,7 +225,11 @@ object Het {
             else lit(null).cast(DoubleType)
     val s = if (dt == StringType) c else lit(null).cast(StringType)
     val b = if (dt == BooleanType) c else lit(null).cast(BooleanType)
-    val z = if (container) graft.sources.ZsonIO.zsonOf(c, dt)
+    // lazy-z: when the caches reconstruct the canonical text exactly,
+    // skip building the eager text shadow entirely — no per-row string
+    // assembly at construction, no text bytes in storage or shuffles;
+    // render/canonical/compareKey re-derive it at the boundaries
+    val z = if (container && !dropSafeZ(dt)) graft.sources.ZsonIO.zsonOf(c, dt)
             else lit(null).cast(StringType)
     val a = dt match {
       case ArrayType(et, _) => transform(c, x => leafOf(x, et))
@@ -296,7 +325,7 @@ object Het {
       v.getField("n").as("n"),
       v.getField("s").as("s"),
       v.getField("b").cast(IntegerType).as("b"),
-      v.getField("z").as("z")))
+      materialZ(v).as("z")))
 
   private val compareKeyType: StructType = StructType(Seq(
     StructField("k", IntegerType),
@@ -315,38 +344,20 @@ object Het {
   def asBool(v: Column): Column = v.getField("b")
 
   /** Render a variant value as its zed text form (for output/debug). */
-  def render(v: Column): Column = {
-    val t = v.getField("t")
-    val n = v.getField("n")
-    val isFloat = t.startsWith("float") || t === "decimal"
-    // exact text rides in z for durations, ns-times and >2^53 integers
-    val numText =
-      when(v.getField("z").isNotNull, v.getField("z"))
-        .when(isnan(n), lit("NaN"))
-        .when(n === lit(Double.PositiveInfinity), lit("+Inf"))
-        .when(n === lit(Double.NegativeInfinity), lit("-Inf"))
-        .when(isFloat && n === floor(n) && abs(n) < 1e15,
-          concat(n.cast(LongType).cast(StringType), lit(".")))
-        .when(!isFloat && n === floor(n), n.cast(LongType).cast(StringType))
-        .otherwise(n.cast(StringType))
-    val timeText = coalesce(v.getField("z"), date_format(
-      timestamp_seconds(n), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
-    val strText = concat(lit("\""),
-      regexp_replace(regexp_replace(v.getField("s"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-      lit("\""))
-    when(v.isNull, lit("null"))
-      // typed null: kind set, every payload null (ZValue.variantRow)
-      .when(v.getField("n").isNull && v.getField("s").isNull &&
-        v.getField("b").isNull && v.getField("z").isNull, lit("null"))
-      .when(v.getField("k") === 5, concat(lit("error("), v.getField("z"), lit(")")))
-      .when(v.getField("k") === 0, numText)
-      .when(v.getField("k") === 1, timeText)
-      .when(v.getField("k") === 2, strText)
-      .when(v.getField("k") === 3, v.getField("b").cast(StringType))
-      .when(t.startsWith("enum"), concat(lit("%"), v.getField("s")))
-      .when(t === "type", concat(lit("<"), v.getField("s"), lit(">")))
-      .otherwise(coalesce(v.getField("z"), v.getField("s")))
-  }
+  def render(v: Column): Column =
+    graft.functions.Bridge.column(graft.functions.RenderVariant(
+      graft.functions.Bridge.expression(v)))
+
+  /** `z` materialized on demand: verbatim when stored (scalars with exact
+    * text, non-cacheable containers), reconstructed from the caches when
+    * the lazy-z carrier dropped it. The ONLY places needing this are the
+    * text boundaries: canonical equality, the total-order compare key,
+    * and text-parsing fallbacks.
+    */
+  def materialZ(v: Column): Column =
+    when(v.getField("z").isNull &&
+        (v.getField("a").isNotNull || v.getField("m").isNotNull), render(v))
+      .otherwise(v.getField("z"))
 
   /** Fuse frames whose SHARED columns have conflicting types — zed forms a
     * union type (complex.go:290); here the conflicted columns become

@@ -540,6 +540,88 @@ object ZValue {
     else if (d == Math.floor(d) && Math.abs(d) < 1e15) s"${d.toLong}."
     else d.toString
 
+  /** Render a VARIANT ROW (Het.variantType or a 6-slot leaf) to canonical
+    * ZSON text — the row-level twin of zsonText, used to reconstruct a
+    * container's text from its native caches when the eager `z` shadow
+    * was dropped at construction (the lazy-z carrier: text exists only at
+    * output/equality/order boundaries, not in storage or shuffles).
+    * Containers render from `a`/`m`; members use their leaf payloads,
+    * with nested-container members falling back to their own leaf `z`
+    * (kept eager one level down).
+    */
+  def renderVariantRow(r: org.apache.spark.sql.catalyst.InternalRow): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(renderVariantStr(r))
+
+  private val fixedMicroFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  def renderVariantStr(r: org.apache.spark.sql.catalyst.InternalRow): String = {
+    if (r == null) return "null"
+    val w = r.numFields
+    val k = if (r.isNullAt(0)) -1 else r.getInt(0)
+    val nNull = r.isNullAt(1)
+    val s = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
+    val bNull = r.isNullAt(3)
+    val t = if (r.isNullAt(4)) null else r.getUTF8String(4).toString
+    val z = if (r.isNullAt(5)) null else r.getUTF8String(5).toString
+    val a = if (w < 7 || r.isNullAt(6)) null else r.getArray(6)
+    val m = if (w < 8 || r.isNullAt(7)) null else r.getArray(7)
+    if (nNull && s == null && bNull && z == null && a == null && m == null)
+      return "null" // typed null: kind set, every payload absent
+    k match {
+      case 5 => "error(" + (if (z == null) "null" else z) + ")"
+      case 0 =>
+        if (z != null) z
+        else if (t != null && (t.startsWith("float") || t == "decimal"))
+          floatText(r.getDouble(1))
+        else r.getDouble(1).toLong.toString
+      case 1 =>
+        if (z != null) z
+        else {
+          // fixed 6-digit fraction — the format the Column render always
+          // used for cache-era time variants (ns-exact times carry z)
+          val micros = Math.round(r.getDouble(1) * 1e6)
+          fixedMicroFmt.format(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+        }
+      case 2 => "\"" + escape(s) + "\""
+      case 3 => r.getBoolean(3).toString
+      case _ =>
+        if (t != null && t.startsWith("enum")) "%" + s
+        else if (t == "type") "<" + s + ">"
+        else if (z != null) z
+        else if (a != null) {
+          val (open, close) = if (t != null && t.startsWith("|[")) ("|[", "]|") else ("[", "]")
+          val sb = new StringBuilder(open)
+          var i = 0
+          val ne = a.numElements()
+          while (i < ne) {
+            if (i > 0) sb.append(',')
+            sb.append(if (a.isNullAt(i)) "null" else renderVariantStr(a.getStruct(i, 6)))
+            i += 1
+          }
+          sb.append(close).toString
+        } else if (m != null) {
+          val isMap = t != null && t.startsWith("|{")
+          val sb = new StringBuilder(if (isMap) "|{" else "{")
+          var i = 0
+          val ne = m.numElements()
+          while (i < ne) {
+            val e = m.getStruct(i, 2)
+            if (i > 0) sb.append(',')
+            val name = if (e.isNullAt(0)) "" else e.getUTF8String(0).toString
+            sb.append(if (isMap) "\"" + escape(name) + "\"" else ZType.fieldName(name))
+            sb.append(':')
+            sb.append(if (e.isNullAt(1)) "null" else renderVariantStr(e.getStruct(1, 6)))
+            i += 1
+          }
+          sb.append(if (isMap) "}|" else "}").toString
+        } else if (s != null) s
+        else "null"
+    }
+  }
+
   /** Serialize a value as ZSON text (decorators omitted — the canonical
     * value form; type info travels in the `__type` tag / variant t field).
     */
@@ -702,7 +784,11 @@ object ZValue {
         if (es.isEmpty) null else es
       case _ => null
     }
-    Row(l.get(0), l.get(1), l.get(2), l.get(3), l.get(4), l.get(5), a, m, d)
+    // lazy-z: a cached container's text reconstructs exactly from a/m
+    // (renderVariantStr == zsonText member-by-member), so the eager text
+    // shadow is dropped — render/equality re-derive it at boundaries
+    val zz = if (a != null || m != null) null else l.get(5)
+    Row(l.get(0), l.get(1), l.get(2), l.get(3), l.get(4), zz, a, m, d)
   }
 
   /** Leaf encoding {k,n,s,b,t,z} of any value (Het.leafType).
@@ -841,7 +927,15 @@ object ZValue {
     val n = r.getAs[Any]("n"); val s = r.getAs[String]("s")
     val b = r.getAs[Any]("b"); val z = r.getAs[String]("z")
     val k = r.getAs[Any]("k") match { case i: Int => i; case l: Long => l.toInt; case _ => 4 }
-    if (n == null && s == null && b == null && z == null)
+    // native caches (absent on 6-slot leaf rows; lazy-z containers carry
+    // their value here instead of a text shadow)
+    def seqField(name: String): scala.collection.Seq[Row] =
+      if (r.schema != null && r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        r.getAs[scala.collection.Seq[Row]](name)
+      else null
+    val aCache = seqField("a"); val mCache = seqField("m")
+    if (n == null && s == null && b == null && z == null &&
+        aCache == null && mCache == null)
       return VNull(parsedT.getOrElse(ZType.Prim("null")))
     // a NAMED type decodes under its base, then re-wraps — keys/values
     // distinct only by their named decorator must survive the round-trip
@@ -884,6 +978,33 @@ object ZValue {
           case "bytes" if s != null && s.startsWith("0x") =>
             VBytes(s.drop(2).sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray)
           case t if t.startsWith("enum") => VEnum(s)
+          case _ if z == null && aCache != null =>
+            // lazy-z container: rebuild elements from the native cache —
+            // leaf t restores widths/named types the text couldn't carry
+            val items = aCache.map(l =>
+              if (l == null) VNull(ZType.Prim("null")) else fromVariantRow(l)).toVector
+            val arr = VArr(items, isSet = tName.startsWith("|["))
+            parsedT match {
+              case Some(ty) if ZType.text(typeOf(arr)) != ZType.text(ty) => VTyped(arr, ty)
+              case _ => arr
+            }
+          case _ if z == null && mCache != null =>
+            val isMap = tName.startsWith("|{")
+            val built: ZValue =
+              if (isMap) VMap(mCache.map { e =>
+                val key: ZValue = VStr(e.getString(0))
+                val value = if (e.isNullAt(1)) VNull(ZType.Prim("null"))
+                            else fromVariantRow(e.getStruct(1))
+                (key, value)
+              }.toVector)
+              else VRec(mCache.map { e =>
+                e.getString(0) -> (if (e.isNullAt(1)) VNull(ZType.Prim("null")): ZValue
+                                   else fromVariantRow(e.getStruct(1)))
+              }.toVector)
+            parsedT match {
+              case Some(ty) if ZType.text(typeOf(built)) != ZType.text(ty) => VTyped(built, ty)
+              case _ => built
+            }
           case _ =>
             val parsed = try Some(new ZsonParser(z).parseOne()) catch { case _: Exception => None }
             (parsed, parsedT) match {
