@@ -869,6 +869,29 @@ object SparkEntry {
 
     // ---- heterogeneity: runtime type values over a mixed stream ----
     // (complex.go TypeUnion, type.go:479 type values; Het.fuseTagged)
+    // chained field access on nested records through the variant runtime
+    // (VariantGet + the deep-path d cache): rows box as {o:{a,b},top}
+    // variants, then v.o.a / v.o.b / v.top extract natively in codegen —
+    // the oracle is the plain relational projection the chain must equal
+    ("q_variant_nested", (s, dir) => {
+      val het = graft.operators.Het
+      val zv = graft.functions.ZvOps
+      val ev = t(s, dir, "events").select(col("event_id"), struct(
+        struct(col("event_id").as("a"), col("event_type").as("b")).as("o"),
+        (col("event_id") * 2).as("top")).as("v0"))
+      val vdt = ev.schema("v0").dataType
+      val boxed = ev.select(col("event_id"), het.variant(col("v0"), vdt).as("v"))
+      ZedOps.sort(
+        boxed.select(
+          col("event_id"),
+          zv.get(zv.get(col("v"), "o"), "a").getField("n").cast("long").as("a"),
+          zv.get(zv.get(col("v"), "o"), "b").getField("s").as("b"),
+          zv.get(col("v"), "top").getField("n").cast("long").as("top")),
+        col("event_id") -> true)
+    },
+      Some("""SELECT event_id, event_id AS a, event_type AS b, event_id * 2 AS top
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     ("q_het_typeof", (s, dir) => {
       val mixed = graft.operators.Het.fuseTagged(
         t(s, dir, "region"), t(s, dir, "nation"))

@@ -93,10 +93,86 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   private def compilePipeline(input: Option[DataFrame], p: Pipeline): Seq[DataFrame] = {
     var state: Seq[DataFrame] = input.toSeq
-    for (stage <- p.stages) state = compileStage(state, stage)
+    val stages = p.stages
+    var i = 0
+    while (i < stages.length) {
+      (stages(i), lakePoolOf(stages(i))) match {
+        // `from <pool>[@branch|@commit]` under graft.lake.root: a
+        // merge-on-read lake scan. A following `where` on the pool key
+        // feeds its closed range to the scan — whole objects prune from
+        // the journal's [keymin,keymax] (seek-index analog) and the key
+        // predicate pushes into parquet row groups; the `where` stage
+        // still runs for exact edge semantics, so the pushdown is purely
+        // a scan-rate win.
+        case (_, Some((root, pool, at))) =>
+          val range = for {
+            key <- graft.sources.Lake.poolKey(root, pool)
+            e <- (if (i + 1 < stages.length) Some(stages(i + 1)) else None).collect {
+              case Stage.Where(w) => w
+            }
+            r <- keyRangeOf(e, key)
+          } yield r
+          state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
+        case (st, _) => state = compileStage(state, st)
+      }
+      i += 1
+    }
     require(state.nonEmpty || namedOut.nonEmpty,
       "pipeline has no source (missing `from`)")
     state
+  }
+
+  /** Resolve a `from` target to a lake pool when `graft.lake.root` is set
+    * and the pool exists — `"pool"` or `"pool@branchOrCommit"`.
+    */
+  private def lakePoolOf(stage: Stage): Option[(String, String, Option[String])] =
+    stage match {
+      case Stage.From(t) =>
+        spark.conf.getOption("graft.lake.root").flatMap { root =>
+          val (pool, at) = t.indexOf('@') match {
+            case -1 => (t, None)
+            case ix => (t.take(ix), Some(t.drop(ix + 1)).filter(_.nonEmpty))
+          }
+          if (pool.nonEmpty && !pool.contains("/") &&
+              graft.sources.Lake.exists(root, pool)) Some((root, pool, at))
+          else None
+        }
+      case _ => None
+    }
+
+  /** A closed [lo,hi] range on `key` implied by a predicate's top-level
+    * conjuncts (key >= lo and key <= hi, between-style; == gives a point
+    * range). Literal-only, conservative: anything unrecognized simply
+    * yields no range, and the caller keeps the exact filter regardless.
+    */
+  private def keyRangeOf(e: Expr, key: String): Option[(String, String)] = {
+    def lit(x: Expr): Option[String] = x match {
+      case Expr.IntLit(v) => Some(v.toString)
+      case Expr.FloatLit(v) => Some(v.toString)
+      case Expr.StringLit(v) => Some(v)
+      case Expr.TimeLit(ns, _) => Some(ns.toString) // ns-long pool keys
+      case _ => None
+    }
+    def isKey(x: Expr): Boolean = x match {
+      case Expr.Path(Seq(k)) => k == key
+      case _ => false
+    }
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def walk(x: Expr): Unit = x match {
+      case Expr.Binary("and", l, r) => walk(l); walk(r)
+      case Expr.Binary("==", l, r) if isKey(l) && lit(r).isDefined =>
+        lo = lo.orElse(lit(r)); hi = hi.orElse(lit(r))
+      case Expr.Binary("==", l, r) if isKey(r) && lit(l).isDefined =>
+        lo = lo.orElse(lit(l)); hi = hi.orElse(lit(l))
+      case Expr.Binary(">=" | ">", l, r) if isKey(l) => lo = lo.orElse(lit(r))
+      case Expr.Binary("<=" | "<", l, r) if isKey(l) => hi = hi.orElse(lit(r))
+      case Expr.Binary(">=" | ">", l, r) if isKey(r) => hi = hi.orElse(lit(l))
+      case Expr.Binary("<=" | "<", l, r) if isKey(r) => lo = lo.orElse(lit(l))
+      case _ =>
+    }
+    walk(e)
+    for { l <- lo; h <- hi } yield (l, h)
   }
 
   private def single(state: Seq[DataFrame]): DataFrame = {

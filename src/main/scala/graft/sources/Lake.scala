@@ -67,23 +67,32 @@ object Lake {
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dataDir = poolDir(root, pool).resolve("data").resolve(id)
     val key = poolKey(root, pool).filter(df.columns.contains)
-    val sorted = key match {
+    // the object's key range rides the WRITE job itself (Observation
+    // metrics over the flowing rows) — exact, no second pass over the
+    // input, and no re-read of a just-written directory (a listing
+    // immediately after a write has been observed partial on this host)
+    val obs = key.map(_ => new org.apache.spark.sql.Observation())
+    val sorted = (key, obs) match {
       // keyed pool: range-sort so each file and row group covers a tight
       // key slice — this is what makes the journal's [min,max] and the
       // parquet stats selective at scan time
-      case Some(k) =>
-        import org.apache.spark.sql.functions.col
+      case (Some(k), Some(o)) =>
+        import org.apache.spark.sql.functions.{col, max, min}
+        // observe ABOVE the range exchange: the boundary-sampling pass
+        // re-executes the subtree below it, which would double-count or
+        // short-circuit metrics placed before the exchange
         df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
-      case None => df
+          .observe(o, min(col(k)).cast("string").as("kmin"),
+            max(col(k)).cast("string").as("kmax"))
+      case _ => df
     }
     sorted.write.mode("errorifexists").parquet(dataDir.toString)
-    // object key range from the WRITTEN files (single-column scan of the
-    // object, not a second pass over the input query)
-    val range = key.map { k =>
-      import org.apache.spark.sql.functions.{col, max, min}
-      val r = df.sparkSession.read.parquet(dataDir.toString)
-        .agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head
-      (Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse(""))
+    val range = obs.map { o =>
+      val m = o.get
+      def named(key: String, idx: Int): String =
+        m.get(key).orElse(m.values.toSeq.lift(idx)).flatMap(Option(_))
+          .map(_.toString).getOrElse("")
+      (named("kmin", 0), named("kmax", 1))
     }
     val rangeJson = range.map { case (lo, hi) =>
       s""","keymin":"${lo.replace("\"", "'")}","keymax":"${hi.replace("\"", "'")}""""
@@ -212,7 +221,11 @@ object Lake {
       case (Some(_), Some((lo, hi))) =>
         val kept = live.filter { id =>
           byId.get(id).forall(c => (c.keyMin, c.keyMax) match {
-            case (Some(mn), Some(mx)) => !(cmpKey(mx, lo) < 0 || cmpKey(mn, hi) > 0)
+            // an empty recorded range means the object has no keyed rows
+            // at all — nothing in it can match any range
+            case (Some(""), Some("")) => false
+            case (Some(mn), Some(mx)) =>
+              !(cmpKey(mx, lo).exists(_ < 0) || cmpKey(mn, hi).exists(_ > 0))
             case _ => true
           })
         }
@@ -224,25 +237,47 @@ object Lake {
     // in-object pruning: the key predicate pushes to parquet, where the
     // load-time range sort makes row-group [min,max] stats selective
     (key, keyRange) match {
-      case (Some(k), Some((lo, hi))) =>
+      case (Some(k), Some((lo, hi)))
+          if castable(lo, df.schema(k).dataType) && castable(hi, df.schema(k).dataType) =>
         import org.apache.spark.sql.functions.{col, lit}
         df.filter(col(k) >= lit(lo).cast(df.schema(k).dataType) &&
           col(k) <= lit(hi).cast(df.schema(k).dataType))
+      // a bound that doesn't parse in the key's type would cast to null
+      // and wrongly drop every row — leave filtering to the caller
       case _ => df
     }
   }
 
   /** Order two rendered key values: numerically when both parse as
-    * numbers, else lexicographically (exact for strings; exact for the
-    * uniform-width datetime renders Spark's string cast emits).
+    * numbers, lexicographically when neither does (exact for strings and
+    * for the uniform-width datetime renders Spark's string cast emits).
+    * MIXED classes are incomparable (None) — pruning must keep the
+    * object rather than guess.
     */
-  private def cmpKey(a: String, b: String): Int = {
+  private def cmpKey(a: String, b: String): Option[Int] = {
     val na = try Some(BigDecimal(a)) catch { case _: NumberFormatException => None }
     val nb = try Some(BigDecimal(b)) catch { case _: NumberFormatException => None }
     (na, nb) match {
-      case (Some(x), Some(y)) => x.compare(y)
-      case _ => a.compareTo(b)
+      case (Some(x), Some(y)) => Some(x.compare(y))
+      case (None, None) => Some(a.compareTo(b))
+      case _ => None
     }
+  }
+
+  /** Does `v` parse in the key column's type? Guards the scan-level row
+    * filter against cast-to-null false drops.
+    */
+  private def castable(v: String, dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case LongType | IntegerType | ShortType | ByteType => { v.trim.toLong; true }
+      case DoubleType | FloatType | _: DecimalType => { BigDecimal(v.trim); true }
+      case StringType => true
+      case TimestampType | TimestampNTZType =>
+        java.sql.Timestamp.valueOf(v.replace("T", " ").stripSuffix("Z")); true
+      case DateType => java.sql.Date.valueOf(v.take(10)); true
+      case _ => false
+    } catch { case _: Exception => false }
   }
 
   /** `merge <branch>` — fold a branch's commits into its parent

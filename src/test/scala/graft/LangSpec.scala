@@ -368,4 +368,38 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftSession.table(spark, dir, "customer").count()
     assert(counts == expect)
   }
+
+  test("from <pool> scans the lake under graft.lake.root, and a key-range " +
+       "where prunes whole objects from the journal (seek-index analog)") {
+    import org.apache.spark.sql.functions.col
+    val lk = graft.sources.Lake
+    val root = java.nio.file.Files.createTempDirectory("graft-lang-lake").toString
+    lk.create(root, "events_pool", Some("event_id"))
+    val ev = GraftSession.table(spark, dir, "events")
+    val lowId = lk.load(ev.filter(col("event_id") < 300), root, "events_pool")
+    val highId = lk.load(ev.filter(col("event_id") >= 300), root, "events_pool")
+    spark.conf.set("graft.lake.root", root)
+    try {
+      val df = graft.lang.Graft.query(spark, dir,
+        "from events_pool | where event_id >= 10 and event_id <= 50 | cut event_id, event_type | sort event_id")
+      val expect = ev.filter(col("event_id") >= 10 && col("event_id") <= 50).count()
+      assert(df.count() == expect && expect > 0)
+      // object-level pruning: the high object never enters the file index
+      val plan = graft.lang.Graft.query(spark, dir,
+        "from events_pool | where event_id >= 10 and event_id <= 50")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryFileIndex(1 paths)") && !plan.contains(highId.take(8)),
+        s"expected only object $lowId in the scan:\n$plan")
+      // strict-bound edge semantics survive the conservative pushdown
+      val strict = graft.lang.Graft.query(spark, dir,
+        "from events_pool | where event_id > 10 and event_id < 50")
+      assert(strict.count() ==
+        ev.filter(col("event_id") > 10 && col("event_id") < 50).count())
+      // a branch ref still resolves
+      lk.branch(root, "events_pool", "dev", Some(lowId))
+      val branchCount = graft.lang.Graft.query(spark, dir,
+        "from \"events_pool@dev\"").count()
+      assert(branchCount == ev.filter(col("event_id") < 300).count())
+    } finally spark.conf.unset("graft.lake.root")
+  }
 }

@@ -150,7 +150,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pool = "keyed"
     lk.create(root, pool, Some("l_orderkey"))
     val li = GraftSession.table(spark, dir, "lineitem")
-    val mid = 3000L
+    val mid = 750L
     val lowId = lk.load(li.filter(col("l_orderkey") < mid), root, pool)
     val highId = lk.load(li.filter(col("l_orderkey") >= mid), root, pool)
     // journal recorded each object's key range
