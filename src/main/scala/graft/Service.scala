@@ -130,7 +130,10 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
         throw new IllegalArgumentException("name parameter required"))
       ex.getRequestMethod match {
         case "POST" =>
-          Lake.create(root, name)
+          // ?key= sets the pool key (reference PoolPostRequest layout
+          // keys — `zed create -orderby`): loads range-sort by it and
+          // range scans prune objects/row groups
+          Lake.create(root, name, params.get("key"))
           event(s"""{kind:"pool-create",pool:"${Service.esc(name)}"}""")
           (200, s"""{pool:"${Service.esc(name)}",created:true}""" + "\n")
         case "DELETE" =>
