@@ -409,6 +409,32 @@ object SparkEntry {
              |WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
 
+    // EXACT n-gram Jaccard near-dup via the inverted-index join (no LSH,
+    // no recall bound) — same oracle as the LSH path: both must produce
+    // the exact pair set at the threshold
+    ("q_dedup_jaccard", (s, dir) =>
+      ZedOps.sort(
+        DedupOps.jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"))
+          .select(col("d1"), col("d2")),
+        col("d1") -> true, col("d2") -> true),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+             |  FROM documents
+             |), idx AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM w
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx
+             |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT d1, d2
+             |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id JOIN cnt c2 ON inter.d2 = c2.doc_id
+             |WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5
+             |ORDER BY d1, d2""".stripMargin)),
+
     // SimHash near-dup (banded 16-bit chunks; hash fn differs from DuckDB's
     // so no SQL oracle — exactness covered by PipelineSpec)
     ("q_dedup_simhash", (s, dir) =>

@@ -125,9 +125,6 @@ object DedupOps {
     // exact-verify join payload: 64-bit shingle hashes, not the shingle
     // strings — Jaccard is identical on the hashed sets (collision odds
     // ~2⁻⁶⁴) and the shuffled bytes drop ~10× at 100 TB
-    // exact-verify join payload: 64-bit shingle hashes, not the shingle
-    // strings — Jaccard is identical on the hashed sets (collision odds
-    // ~2⁻⁶⁴) and the shuffled bytes drop ~10× at 100 TB
     val base = docs
       .select(id.as("doc_id"), shingleHashes(text, k).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -149,15 +146,59 @@ object DedupOps {
       .filter(col("d1") < col("d2"))
       .select("d1", "d2")
       .distinct()
-    val verified = cand
+    verifyJaccard(cand, base, threshold)
+  }
+
+  /** EXACT n-gram Jaccard near-dup pairs via an inverted-index join — no
+    * signatures, no probabilistic recall: any pair with jaccard > 0
+    * shares a shingle, so joining the postings list with itself finds
+    * every qualifying pair. Complements MinHash LSH (which trades a
+    * recall bound for fewer candidates): at moderate corpus sizes or
+    * high thresholds the exact index is both simpler and precise.
+    *
+    * Scale posture: the per-shingle posting cap bounds the quadratic
+    * candidate blow-up of boilerplate shingles (a shingle shared by
+    * millions of docs); near-dup pairs above a real threshold share MANY
+    * shingles, so a capped one still surfaces through the others. The
+    * verify join ships 64-bit hash sets, not shingle strings.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxPosting: Long = 100000L
+  ): DataFrame = {
+    val base = docs
+      .select(id.as("doc_id"), shingleHashes(text, k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val keep = postings.groupBy("s").count()
+      .filter(col("count") <= maxPosting).drop("count")
+    val sized = postings.join(keep, Seq("s"))
+    val cand = sized.select(col("s"), col("doc_id").as("d1"))
+      .join(sized.select(col("s"), col("doc_id").as("d2")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+    verifyJaccard(cand, base, threshold)
+  }
+
+  /** Exact-Jaccard verify join over candidate (d1,d2) pairs — shared by
+    * the LSH and inverted-index front ends.
+    */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame =
+    cand
       .join(base.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(base.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard",
         col("__i") / (size(col("sh1")) + size(col("sh2")) - col("__i")))
       .filter(col("jaccard") >= threshold)
-    verified.select(col("d1"), col("d2"), col("jaccard"))
-  }
+      .select(col("d1"), col("d2"), col("jaccard"))
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is the
     * sign of Σ over tokens of ±1 by bit i of xxhash64(token). One exploded
