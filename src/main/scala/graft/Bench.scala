@@ -144,7 +144,7 @@ object Bench {
     * distributed) and both full-stream format copies are timed end-to-end
     * (read + typed decode + encode + write).
     */
-  private def ingestFixture(s: SparkSession, dir: String, tmp: String): (String, String) = {
+  private def ingestFixture(s: SparkSession, dir: String, tmp: String): (String, String, String) = {
     val n = hetRows(dir) // ~2M rows at sf0.1 — comparable to the 1.46M-row sample
     val conn = s.range(n).select(
       (lit(1.521912491E9) + col("id") * 0.001).as("ts"),
@@ -164,9 +164,11 @@ object Bench {
       (col("id") % 70).as("resp_pkts"))
     val zeekDir = s"$tmp/conn.zeek"
     val zngDir = s"$tmp/conn.zng"
+    val vngDir = s"$tmp/conn.vng"
     graft.sources.ZeekIO.write(conn, zeekDir)
     graft.sources.ZngIO.write(conn, zngDir)
-    (zeekDir, zngDir)
+    graft.sources.VngIO.write(conn, vngDir)
+    (zeekDir, zngDir, vngDir)
   }
 
   private def runOnce(df: DataFrame): Unit =
@@ -205,7 +207,7 @@ object Bench {
     // ingest classes: full-stream format copies (read + typed decode +
     // encode + write), BASELINE's own benchmark axis
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
-    val (zeekDir, zngDir) = ingestFixture(spark, sfDir, tmp)
+    val (zeekDir, zngDir, vngDir) = ingestFixture(spark, sfDir, tmp)
     def timeIngest(name: String, run: String => Unit): (String, Double) = {
       run(s"$tmp/warm-$name") // warm: JIT + codegen for the decode/encode paths
       val dt = (1 to 3).map { i =>
@@ -250,9 +252,33 @@ object Bench {
     val searchResults = Seq(
       timeSearch("search_zng", enabled = true),
       timeSearch("search_zng_nofilter", enabled = false))
+
+    // columnar projection over VNG — the segment-pruning axis: the DSv2
+    // scan fetches only the projected column's segments (positioned
+    // reads); the _noprune twin is the full-decode fallback reading and
+    // decoding every vector. The ratio is the columnar win of the format.
+    def timeVngCut(name: String, prune: Boolean): (String, Double) = {
+      spark.conf.set("graft.vng.prune", prune.toString)
+      try {
+        def run(): Unit = runOnce(
+          graft.sources.VngIO.read(spark, vngDir)
+            .agg(count(col("uid")).as("n")))
+        run() // warm
+        val dt = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.gc()
+        name -> dt
+      } finally spark.conf.unset("graft.vng.prune")
+    }
+    val vngResults = Seq(
+      timeVngCut("cut_vng", prune = true),
+      timeVngCut("cut_vng_noprune", prune = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults ++ searchResults
+    val results = headlineResults ++ ingestResults ++ searchResults ++ vngResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

@@ -88,6 +88,22 @@ object HadoopFs {
       .map(_.getPath.toString).sorted
   }
 
+  /** Executor-side positioned reads — the columnar segment fetch for VNG:
+    * one open stream per file, `readFully(pos, …)` per segment, so a
+    * pruned scan touches only the byte ranges of the columns it needs
+    * (the point of a columnar format on a 100 TB object store).
+    */
+  final class RangeReader(conf: Map[String, String], path: String) extends AutoCloseable {
+    private val p = new Path(path)
+    private val in = p.getFileSystem(confOf(conf)).open(p)
+    def read(pos: Long, len: Int): Array[Byte] = {
+      val buf = new Array[Byte](len)
+      in.readFully(pos, buf)
+      buf
+    }
+    def close(): Unit = in.close()
+  }
+
   /** Executor-side: read a file fully (zng streams decode from a byte
     * array; part files are bounded by the writing partition's size).
     */

@@ -415,18 +415,19 @@ object VngIO {
 
   // ---- readers --------------------------------------------------------------
 
-  private def segBytes(data: Array[Byte], s: Seg): Array[Byte] = {
-    val raw = java.util.Arrays.copyOfRange(data, s.offset.toInt, (s.offset + s.length).toInt)
-    s.format match {
-      case 0 => raw
-      case 1 =>
-        val out = new Array[Byte](s.memLength.toInt)
-        net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
-          .decompress(raw, 0, out, 0, s.memLength.toInt)
-        out
-      case other => throw new IllegalArgumentException(s"vng: unknown compression format $other")
-    }
+  private def decompressSeg(raw: Array[Byte], s: Seg): Array[Byte] = s.format match {
+    case 0 => raw
+    case 1 =>
+      val out = new Array[Byte](s.memLength.toInt)
+      net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+        .decompress(raw, 0, out, 0, s.memLength.toInt)
+      out
+    case other => throw new IllegalArgumentException(s"vng: unknown compression format $other")
   }
+
+  private def segBytes(data: Array[Byte], s: Seg): Array[Byte] =
+    decompressSeg(
+      java.util.Arrays.copyOfRange(data, s.offset.toInt, (s.offset + s.length).toInt), s)
 
   private sealed trait Rd { def next(): ZValue }
 
@@ -501,20 +502,20 @@ object VngIO {
     }
   }
 
-  private def newRd(m: Meta, data: Array[Byte]): Rd = m match {
-    case MPrim(t, loc, dict, _) => new PrimRd(t, segBytes(data, loc), dict)
+  private def newRd(m: Meta, fetch: Seg => Array[Byte]): Rd = m match {
+    case MPrim(t, loc, dict, _) => new PrimRd(t, fetch(loc), dict)
     case MConst(v, _) => new ConstRd(v)
     case MNulls(runs, values, _) =>
-      new NullsRd(new Int64Rd(segBytes(data, runs)), metaType(values), newRd(values, data))
-    case MRecord(_, fs) => new RecordRd(fs.map { case (n, f) => n -> newRd(f, data) })
+      new NullsRd(new Int64Rd(fetch(runs)), metaType(values), newRd(values, fetch))
+    case MRecord(_, fs) => new RecordRd(fs.map { case (n, f) => n -> newRd(f, fetch) })
     case MArray(_, lens, v, isSet) =>
-      new ArrayRd(new Int64Rd(segBytes(data, lens)), newRd(v, data), isSet)
+      new ArrayRd(new Int64Rd(fetch(lens)), newRd(v, fetch), isSet)
     case MMap(_, lens, k, v) =>
-      new MapRd(new Int64Rd(segBytes(data, lens)), newRd(k, data), newRd(v, data))
+      new MapRd(new Int64Rd(fetch(lens)), newRd(k, fetch), newRd(v, fetch))
     case MUnion(_, tags, vs) =>
-      new UnionRd(Union(vs.map(metaType)), new Int64Rd(segBytes(data, tags)), vs.map(newRd(_, data)))
-    case MNamed(n, v) => new NamedRd(n, metaType(v), newRd(v, data))
-    case MError(v) => new ErrorRd(newRd(v, data))
+      new UnionRd(Union(vs.map(metaType)), new Int64Rd(fetch(tags)), vs.map(newRd(_, fetch)))
+    case MNamed(n, v) => new NamedRd(n, metaType(v), newRd(v, fetch))
+    case MError(v) => new ErrorRd(newRd(v, fetch))
     case MDynamic(_, _, _) => throw new IllegalArgumentException("vng: nested Dynamic")
   }
 
@@ -548,13 +549,14 @@ object VngIO {
     val data = java.util.Arrays.copyOfRange(bytes, 24 + metaSize, bytes.length)
     val metaVal = ZngIO.decodeToZValues(metaBytes, unionKeepsMember = true).toSeq.headOption.getOrElse(
       throw new IllegalArgumentException("vng: empty metadata section"))
+    val fetch: Seg => Array[Byte] = s => segBytes(data, s)
     parseMeta(metaVal) match {
       case MDynamic(tags, values, length) =>
-        val tagRd = new Int64Rd(segBytes(data, tags))
-        val rds = values.map(newRd(_, data))
+        val tagRd = new Int64Rd(fetch(tags))
+        val rds = values.map(newRd(_, fetch))
         Iterator.range(0L, length).map(_ => rds(tagRd.next().toInt).next())
       case single =>
-        val rd = newRd(single, data)
+        val rd = newRd(single, fetch)
         Iterator.range(0L, metaLen(single)).map(_ => rd.next())
     }
   }
@@ -577,16 +579,209 @@ object VngIO {
     }.count(): Unit
   }
 
-  /** Read a VNG file or directory of part files into the typed frame —
-    * per-file decode on the executors (VNG objects are self-contained),
-    * fused by the same two-pass shape discovery as the other typed
-    * readers (no JSON inference, no driver materialization).
+  // ---- meta-only scan + pruned columnar access ------------------------------
+
+  private def leL(b: Array[Byte], off: Int, n: Int): Long =
+    (0 until n).map(i => (b(off + i) & 0xffL) << (8 * i)).sum
+
+  private def parseMetaBytes(metaBytes: Array[Byte]): Meta = {
+    val metaVal = ZngIO.decodeToZValues(metaBytes, unionKeepsMember = true).toSeq.headOption
+      .getOrElse(throw new IllegalArgumentException("vng: empty metadata section"))
+    parseMeta(metaVal)
+  }
+
+  /** A file opened for columnar access: parsed metadata plus a segment
+    * fetcher. Plain files fetch segments with POSITIONED reads — only the
+    * byte ranges of the columns a query needs are ever read, the point of
+    * a columnar format on a 100 TB object store. Gzipped files decompress
+    * once in memory (gzip streams can't seek); pruning still skips the
+    * LZ4 + value decode of unneeded columns.
+    */
+  private final class Handle(conf: Map[String, String], path: String) extends AutoCloseable {
+    private val (metaRoot, dataStart, reader, inlineBytes) = {
+      val r = new HadoopFs.RangeReader(conf, path)
+      val head =
+        try r.read(0, 24)
+        catch { case e: Throwable => r.close(); throw e }
+      if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        r.close()
+        val bytes = Gzip.maybeGunzip(HadoopFs.readAll(conf, path))
+        require(bytes.length >= 24 && bytes(0) == 'V' && bytes(1) == 'N' &&
+          bytes(2) == 'G' && bytes(3) == 0, s"not a VNG file: $path")
+        val metaSize = leL(bytes, 8, 8).toInt
+        (parseMetaBytes(java.util.Arrays.copyOfRange(bytes, 24, 24 + metaSize)),
+          24L + metaSize, null: HadoopFs.RangeReader, bytes)
+      } else {
+        require(head(0) == 'V' && head(1) == 'N' && head(2) == 'G' && head(3) == 0,
+          s"not a VNG file: $path")
+        val metaSize = leL(head, 8, 8).toInt
+        (parseMetaBytes(r.read(24, metaSize)), 24L + metaSize, r, null: Array[Byte])
+      }
+    }
+    def meta: Meta = metaRoot
+    val fetch: Seg => Array[Byte] = s =>
+      if (inlineBytes != null)
+        decompressSeg(java.util.Arrays.copyOfRange(inlineBytes,
+          (dataStart + s.offset).toInt, (dataStart + s.offset + s.length).toInt), s)
+      else decompressSeg(reader.read(dataStart + s.offset, s.length.toInt), s)
+    def close(): Unit = if (reader != null) reader.close()
+  }
+
+  private def rootMembers(m: Meta): Vector[Meta] = m match {
+    case MDynamic(_, vs, _) => vs
+    case single => Vector(single)
+  }
+
+  /** Sub-µs-precision probe over metadata: columnar layout means only
+    * TIME columns' segments are fetched — zero extra I/O for time-free
+    * schemas (the ns escalation contract of ZsonReader.fromShapes).
+    */
+  private def hasSubMicroTimeMeta(m: Meta, fetch: Seg => Array[Byte]): Boolean = m match {
+    case MPrim(t, loc, dict, count) if ZType.strip(t) == Prim("time") =>
+      if (dict.nonEmpty) dict.exists { case (v, _) => ZValue.hasSubMicroTime(v) }
+      else {
+        val rd = new PrimRd(t, fetch(loc), dict)
+        (0L until count).exists(_ => ZValue.hasSubMicroTime(rd.next()))
+      }
+    case MPrim(_, _, _, _) => false
+    case MConst(v, _) => ZValue.hasSubMicroTime(v)
+    case MRecord(_, fs) => fs.exists(f => hasSubMicroTimeMeta(f._2, fetch))
+    case MArray(_, _, v, _) => hasSubMicroTimeMeta(v, fetch)
+    case MMap(_, _, k, v) =>
+      hasSubMicroTimeMeta(k, fetch) || hasSubMicroTimeMeta(v, fetch)
+    case MUnion(_, _, vs) => vs.exists(hasSubMicroTimeMeta(_, fetch))
+    case MNamed(_, v) => hasSubMicroTimeMeta(v, fetch)
+    case MError(v) => hasSubMicroTimeMeta(v, fetch)
+    case MNulls(_, v, _) => hasSubMicroTimeMeta(v, fetch)
+    case MDynamic(_, _, _) => false
+  }
+
+  /** Per-file discovery result, derived from header + metadata section
+    * only (the data section is untouched except for time columns' ns
+    * probe). `shape` is Some(text) iff the file is pruned-scan eligible:
+    * ONE root member that is a plain non-empty record (no top-level
+    * nulls, no bare-primitive stream).
+    */
+  private[sources] final case class FileMeta(len: Long, mtime: Long,
+      shape: Option[String], count: Long, ns: Boolean)
+
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, FileMeta]()
+
+  private def scanFileMeta(conf: Map[String, String], path: String,
+      len: Long, mtime: Long): FileMeta = {
+    val h = new Handle(conf, path)
+    try {
+      val members = rootMembers(h.meta)
+      val shape = members match {
+        case Vector(r @ MRecord(_, fs)) if fs.nonEmpty => Some(ZType.fullText(metaType(r)))
+        case _ => None
+      }
+      val ns = members.exists(hasSubMicroTimeMeta(_, h.fetch))
+      FileMeta(len, mtime, shape, metaLen(h.meta), ns)
+    } finally h.close()
+  }
+
+  /** Executor-side pruned columnar read of one file: readers are built
+    * ONLY for the requested top-level fields, so unrequested columns'
+    * segments are never fetched, decompressed, or decoded — and a
+    * count()-class scan (empty required schema) reads nothing but the
+    * metadata section. Returns the row iterator plus a close handle.
+    */
+  private[sources] def prunedRows(conf: Map[String, String], path: String,
+      required: org.apache.spark.sql.types.StructType,
+      shapeText: String): (Iterator[org.apache.spark.sql.catalyst.InternalRow], () => Unit) = {
+    val h = new Handle(conf, path)
+    try {
+      val rec = rootMembers(h.meta) match {
+        case Vector(r: MRecord) => r
+        case other => throw new IllegalStateException(
+          s"vng pruned scan expects one record root, got ${other.map(_.getClass.getSimpleName).mkString(",")}")
+      }
+      val count = rec.length
+      val byName = rec.fields.toMap
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(required)
+      val cols: Array[() => Any] = required.fields.map { f =>
+        if (f.name == graft.operators.Het.typeTag) () => shapeText
+        else byName.get(f.name) match {
+          case Some(m) =>
+            val rd = newRd(m, h.fetch)
+            val dt = f.dataType
+            () => ZValue.toExternal(rd.next(), dt)
+          case None => () => null
+        }
+      }
+      val it = Iterator.range(0L, count).map { _ =>
+        conv(org.apache.spark.sql.Row.fromSeq(cols.toIndexedSeq.map(c => c())))
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      }
+      (it, () => h.close())
+    } catch { case e: Throwable => h.close(); throw e }
+  }
+
+  /** Schema inference for direct `spark.read.format(VngDataSource)` users
+    * (VngIO.read supplies the schema itself after its distributed scan).
+    */
+  private[sources] def inferSingleShape(spark: SparkSession, files: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val conf = HadoopFs.confMap(spark)
+    val metas = files.map(f => scanFileMeta(conf, f, -1L, -1L))
+    val shapes = metas.flatMap(_.shape).distinct
+    require(shapes.size == 1,
+      s"vng data source handles single-record-shape streams (found ${shapes.size}); use VngIO.read")
+    ZsonReader.frameSchema(shapes, tag = true, metas.exists(_.ns))._2
+  }
+
+  /** Read a VNG file or directory of part files into the typed frame.
+    *
+    * Discovery is METADATA-ONLY (header + metadata section per file, plus
+    * the time columns' ns probe) — never a decode of the data section, so
+    * discovering shapes over 100 TB of VNG costs kilobytes per object,
+    * not a full second read of the stream (the columnar contract;
+    * reference vng/object.go reads metadata first the same way).
+    *
+    * Homogeneous record streams (the common case) then scan through a
+    * DataSource V2 table that prunes columns into the segment reader:
+    * `cut ts` over a wide VNG stream fetches the `ts` segments and
+    * nothing else. Heterogeneous streams fall back to full decode with
+    * the two-pass shape discovery (`graft.vng.prune=false` forces the
+    * fallback everywhere, the bench A/B axis).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rdd = HadoopFs.binaryFiles(spark, path)
-      .select("content").as[Array[Byte]].rdd
-      .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
-    ZsonReader.fromRDD(spark, rdd)
+    val prune = spark.conf.getOption("graft.vng.prune").forall(_.toBoolean)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = HadoopFs.dataFiles(spark, path)
+    val statuses = dataFiles.map { p =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (p, st.getLen, st.getModificationTime)
+    }
+    val missing = statuses.filter { case (p, len, mt) =>
+      Option(metaCache.get(p)).forall(m => m.len != len || m.mtime != mt)
+    }
+    if (missing.nonEmpty) {
+      val conf = HadoopFs.confMap(spark)
+      val scanned = spark.sparkContext.parallelize(missing, missing.length)
+        .map { case (p, len, mt) => (p, scanFileMeta(conf, p, len, mt)) }
+        .collect()
+      scanned.foreach { case (p, m) => metaCache.put(p, m) }
+    }
+    val metas = statuses.map { case (p, _, _) => metaCache.get(p) }
+    val single = metas.headOption.flatMap(_.shape)
+      .filter(s => metas.forall(_.shape.contains(s)))
+    single match {
+      case Some(shape) if prune =>
+        val (_, full) = ZsonReader.frameSchema(Seq(shape), tag = true, metas.exists(_.ns))
+        spark.read.format(classOf[VngDataSource].getName)
+          .schema(full)
+          .option("shape", shape)
+          .option("files", dataFiles.mkString("\n"))
+          .load()
+      case _ =>
+        val rdd = spark.read.format("binaryFile").load(dataFiles: _*)
+          .select("content").as[Array[Byte]].rdd
+          .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
+        ZsonReader.fromRDD(spark, rdd)
+    }
   }
 }

@@ -91,6 +91,65 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("pruned DSv2 scan matches the full-decode fallback exactly") {
+    val df = GraftSession.table(spark, dir, "orders").limit(200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        struct(col("o_totalprice"), col("o_orderpriority")).as("info"),
+        array(col("o_orderkey"), col("o_custkey")).as("ks"))
+    val path = tmp("vng-prune")
+    VngIO.write(df, path)
+    val fast = VngIO.read(spark, path)
+    // the scan must be the DSv2 pruned one, not the fallback
+    assert(fast.queryExecution.executedPlan.toString.contains("vng files="),
+      fast.queryExecution.executedPlan.toString.take(500))
+    spark.conf.set("graft.vng.prune", "false")
+    val slow =
+      try VngIO.read(spark, path)
+      finally spark.conf.unset("graft.vng.prune")
+    assert(slow.schema == fast.schema)
+    val a = fast.orderBy("o_orderkey").collect().toSeq
+    val b = slow.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("column pruning reaches the segment reader (plan + schema pin)") {
+    val df = GraftSession.table(spark, dir, "lineitem").limit(500)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"), col("l_quantity"))
+    val path = tmp("vng-cut")
+    VngIO.write(df, path)
+    val cut = VngIO.read(spark, path).select(col("l_orderkey"))
+    val plan = cut.queryExecution.executedPlan.toString
+    // the scan's description lists exactly the columns it will fetch
+    assert(plan.contains("columns=l_orderkey"), plan.take(800))
+    assert(!plan.contains("l_shipdate"), plan.take(800))
+    assert(cut.agg(sum("l_orderkey")).collect()(0).getLong(0) ==
+      df.agg(sum("l_orderkey")).collect()(0).getLong(0))
+    // count()-class: no data columns at all — metadata-only scan
+    assert(VngIO.read(spark, path).count() == 500)
+  }
+
+  test("meta-only discovery escalates sub-µs times to the ns carrier") {
+    val path = tmp("vng-ns")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val bytes = VngIO.encodeObject(vals(
+      "{ts:2024-01-01T00:00:00.000000001Z,v:1}\n{ts:2024-01-01T00:00:00.5Z,v:2}"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.vng"), bytes)
+    val back = VngIO.read(spark, path)
+    assert(back.schema("ts").dataType == LongType, back.schema.treeString)
+    val tss = back.orderBy("v").select("ts").collect().map(_.getLong(0)).toSeq
+    assert(tss.head % 1000L == 1L) // the sub-µs nanosecond survived
+  }
+
+  test("heterogeneous VNG directories fall back to full decode and fuse") {
+    val path = tmp("vng-het")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val bytes = VngIO.encodeObject(vals("{a:1}\n\"bare\"\n{a:2,b:\"x\"}"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.vng"), bytes)
+    val back = VngIO.read(spark, path)
+    assert(back.count() == 3)
+    assert(back.columns.contains("a"))
+  }
+
   test("embeddings (float arrays) survive exactly") {
     val emb = GraftSession.table(spark, dir, "embeddings").limit(50)
     val path = tmp("vng-emb")
