@@ -469,6 +469,16 @@ object SparkEntry {
         col("qid") -> true, col("rank") -> true)
     }, None),
 
+    // IVF inverted-list ANN (k-means coarse quantizer + nprobe bucket
+    // join; recall vs brute checked in PipelineSpec)
+    ("q_knn_ivf", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ZedOps.sort(
+        VectorOps.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4),
+        col("qid") -> true, col("rank") -> true)
+    }, None),
+
     // text statistics: chars + whitespace tokens + BPE-ish tokens
     ("q_text_stats", (s, dir) => {
       val docs = t(s, dir, "documents")

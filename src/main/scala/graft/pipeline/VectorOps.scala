@@ -131,4 +131,111 @@ object VectorOps {
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")
   }
+
+  // ---- IVF (inverted-file) ANN ---------------------------------------------
+
+  private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** Per-row centroid scores [⟨e,c₀⟩, ⟨e,c₁⟩, …]. Centroids are unit
+    * vectors, so dot order == cosine order and the row vector needs no
+    * normalization (positive scaling preserves argmax). Index math works
+    * on this array (array_position) rather than struct fields — the
+    * analyzer drops struct field names when the struct wraps
+    * higher-order-function lambdas like `aggregate`.
+    */
+  private def centScores(e: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(c => dot(e, centLit(c))): _*)
+
+  /** The inverted-list id of a vector: argmax dot over the centroid set
+    * (ties break to the lowest id — deterministic).
+    */
+  def nearestCentroid(e: Column, cents: Array[Array[Double]]): Column = {
+    val ss = centScores(e, cents)
+    (array_position(ss, array_max(ss)) - 1).cast("int")
+  }
+
+  /** The nprobe best centroid ids for a query vector, best first.
+    * Distinct because collapsed (identical) centroids tie on score and
+    * array_position maps both to the first — fewer probes, never dups.
+    */
+  def probeIds(e: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    val ss = centScores(e, cents)
+    array_distinct(transform(
+      slice(reverse(array_sort(ss)), 1, nprobe),
+      s => (array_position(ss, s) - 1).cast("int")))
+  }
+
+  /** Spherical-ish k-means coarse quantizer, trained with distributed
+    * Lloyd iterations: assignment is a per-row argmax over broadcast
+    * centroid LITERALS (codegen'd, no shuffle, no UDF); the update step
+    * is one posexplode + groupBy(list, pos) per iteration, collecting
+    * only nlist×dim means to the driver (kilobytes at any corpus size).
+    * Init is deterministic: the nlist lowest id-hash vectors.
+    */
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String, nlist: Int,
+      iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    def unit(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = corpus
+      .select(asDouble(col(vec)).as("__e"), xxhash64(col(id), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(nlist)
+      .collect().map(r => unit(r.getSeq[Double](0).toArray))
+    require(cents.nonEmpty, "ivfCentroids: empty corpus")
+    val dim = cents(0).length
+    var it = 0
+    while (it < iters) {
+      val means = corpus.select(asDouble(col(vec)).as("__e"))
+        .select(nearestCentroid(col("__e"), cents).as("__c"), posexplode(col("__e")))
+        .groupBy("__c", "pos").agg(avg("col").as("m"))
+        .collect()
+      val next = Array.fill(cents.length)(new Array[Double](dim))
+      val seen = Array.fill(cents.length)(false)
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
+      }
+      // an emptied list keeps its previous centroid
+      cents = next.zipWithIndex.map { case (c, i) => if (seen(i)) unit(c) else cents(i) }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-bucketed approximate top-k — the classic inverted-file ANN: the
+    * corpus partitions into nlist inverted lists by nearest centroid;
+    * each query probes only its nprobe best lists. The probe join is a
+    * plain equi-join on the list id (shuffled by list, never all-pairs),
+    * candidate volume ≈ nprobe/nlist of the corpus per query, and the
+    * per-query top-k window partitions by query id. Against clustered
+    * data IVF beats hyperplane LSH because the partitions FOLLOW the
+    * data's own density rather than fixed random cuts.
+    */
+  def knnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val cents = ivfCentroids(corpus, id, vec, nlist, iters, seed)
+    val c = corpus.select(col(id).as("nid"), asDouble(col(vec)).as("__ne"),
+      nearestCentroid(asDouble(col(vec)), cents).as("list"))
+    val q = queries.select(col(id).as("qid"), asDouble(col(vec)).as("__qe"),
+      explode(probeIds(asDouble(col(vec)), cents, nprobe)).as("list"))
+    // each corpus vector lives in exactly one list, so a (qid, nid) pair
+    // appears at most once — no dedup needed before ranking
+    val scored = q.join(c, "list")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("__qe"), col("__ne")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank")
+  }
 }

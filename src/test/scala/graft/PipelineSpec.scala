@@ -70,6 +70,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.groupBy(_._1).size == 20)
   }
 
+  test("knnIvf recall@10 vs brute force beats its scan fraction") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = VectorOps.knnBruteForce(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.knnIvf(emb, queries, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 8)
+    val got = approx.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // probing 8/16 lists scans ~half the corpus; nearest neighbors
+    // concentrate in the query's own cells, so recall must beat the
+    // scan fraction even on random (clusterless) embeddings
+    assert(recall >= 0.5, s"knnIvf recall@10 = $recall")
+    assert(got.nonEmpty && got.groupBy(_._1).size == 20)
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs via buckets") {
     val base = (0 until 50).map { i =>
       val rnd = new scala.util.Random(i)
