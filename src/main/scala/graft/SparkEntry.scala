@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.operators.ZedOps
 import graft.functions.{Shaper, ZedFunctions => F}
-import graft.pipeline.{DedupOps, MultimodalOps, TextOps, VectorOps}
+import graft.pipeline.{CorpusOps, DedupOps, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -478,6 +478,74 @@ object SparkEntry {
           k = 10, nlist = 16, nprobe = 4),
         col("qid") -> true, col("rank") -> true)
     }, None),
+
+    // deterministic hash-bucket sampling (pipeline/CorpusOps): stable
+    // membership under repartitioning; md5 buckets are engine-portable,
+    // so the oracle is exact
+    ("q_corpus_sample", (s, dir) =>
+      ZedOps.sort(
+        CorpusOps.hashSample(t(s, dir, "documents"), col("doc_id"), 0.25)
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id") -> true),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 < 2500
+             |ORDER BY doc_id""".stripMargin)),
+
+    // leak-proof train/val/test split: a key always lands in the same
+    // slice (pipeline/CorpusOps.hashSplit)
+    ("q_corpus_split", (s, dir) =>
+      ZedOps.sort(
+        CorpusOps.hashSplit(t(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split")).agg(count(lit(1)).as("n")),
+        col("split") -> true),
+      Some("""SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n
+             |FROM (SELECT ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS b
+             |      FROM documents) t
+             |GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // token-window chunking: 64-token windows overlapping by 16
+    // (pipeline/TextOps.chunk) — the context-length splitter
+    ("q_text_chunk", (s, dir) =>
+      ZedOps.sort(
+        TextOps.chunk(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("text"), 64, 16)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+        col("doc_id") -> true, col("chunk_idx") -> true),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split_regex(text, '\s+'), x -> x <> '') AS tk
+             |  FROM documents
+             |), nch AS (
+             |  SELECT doc_id, tk,
+             |    CASE WHEN len(tk) <= 64 THEN 1
+             |         ELSE CAST(FLOOR((len(tk) - 64 + 47) / 48.0) AS INT) + 1 END AS k
+             |  FROM toks
+             |), idx AS (
+             |  SELECT doc_id, tk, unnest(generate_series(0, k - 1)) AS chunk_idx FROM nch
+             |)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  array_to_string(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text
+             |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // symmetric int8 embedding quantization (pipeline/VectorOps) — the
+    // floor(x+1/2) form is bit-identical across engines → exact oracle
+    ("q_embed_quantize", (s, dir) => {
+      val (scale, q) = VectorOps.quantizeInt8(col("embedding"))
+      ZedOps.sort(
+        t(s, dir, "embeddings").select(col("vec_id"), scale.as("scale"),
+          array_join(q.cast("array<string>"), ",").as("q")),
+        col("vec_id") -> true)
+    },
+      Some("""SELECT vec_id,
+             |  CASE WHEN m > 0 THEN m/127.0 ELSE 1.0 END AS scale,
+             |  array_to_string(list_transform(e, x ->
+             |    CAST(CASE WHEN m > 0 THEN FLOOR(x*127.0/m + 0.5) ELSE 0 END AS INT)), ',') AS q
+             |FROM (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+             |      FROM embeddings) t
+             |ORDER BY vec_id""".stripMargin)),
 
     // text statistics: chars + whitespace tokens + BPE-ish tokens
     ("q_text_stats", (s, dir) => {

@@ -47,6 +47,27 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Token-window chunking — the context-length splitter of a training
+    * pipeline: each document explodes into windows of `chunkSize`
+    * whitespace tokens overlapping by `overlap` (stride = size −
+    * overlap), every token covered, last window allowed short. Pure
+    * expressions (sequence → slice → array_join) so a 100 TB corpus
+    * chunks in one codegen'd pass with zero shuffle; output rows carry
+    * the input columns plus (chunk_idx, chunk_text).
+    */
+  def chunk(df: DataFrame, text: Column, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val chunks = bind(filter(split(text, "\\s+"), t => t =!= "")) { toks =>
+      val n = size(toks)
+      val k = when(n <= chunkSize, 1).otherwise(
+        floor((n - chunkSize + (stride - 1)).cast("double") / stride).cast("int") + 1)
+      transform(sequence(lit(0), k - 1), i =>
+        array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+    }
+    df.select(col("*"), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** 64-bit exact-content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = xxhash64(normalize(text))
 

@@ -132,6 +132,21 @@ object VectorOps {
       .select("d1", "d2", "cos")
   }
 
+  /** Symmetric int8 quantization of an embedding — 4× cheaper storage /
+    * shuffle for ANN candidate stages: qᵢ = ⌊xᵢ·127/m + ½⌋ with
+    * m = max|x|. The ⌊·+½⌋ form (not round()) keeps the result
+    * bit-identical across engines, so the op carries an exact oracle.
+    * Returns (scale, q): x ≈ q·scale with scale = m/127.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val e = asDouble(vec)
+    val m = array_max(transform(e, x => abs(x)))
+    val scale = when(m > 0, m / 127.0).otherwise(lit(1.0))
+    val q = transform(e, x =>
+      when(m > 0, floor(x * 127.0 / m + 0.5)).otherwise(lit(0.0)).cast("int"))
+    (scale, q)
+  }
+
   // ---- IVF (inverted-file) ANN ---------------------------------------------
 
   private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)

@@ -86,6 +86,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.groupBy(_._1).size == 20)
   }
 
+  test("hash sampling is deterministic, sized, salted, and nested") {
+    def ids(f: Double, salt: String = "") =
+      CorpusOps.hashSample(docs, col("doc_id"), f, salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(0.3)
+    assert(a == ids(0.3)) // rerun → identical membership
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.1, s"${a.size}/$n")
+    assert(ids(0.3, salt = "other") != a) // independent draw per salt
+    assert(ids(0.1).subsetOf(a)) // fractions nest: shrinking keeps a subset
+  }
+
+  test("hash split is a leak-proof partition of the corpus") {
+    val split = CorpusOps.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count()) // total partition, no loss
+    assert(counts("train") > counts("val") * 4) // roughly weighted
+    // same key → same slice on a rerun (no train/test leakage over time)
+    val again = CorpusOps.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
+  test("mixSample keeps only listed sources at their rates") {
+    val mixed = CorpusOps.mixSample(docs, col("doc_id"), col("source"),
+      Map("wiki" -> 1.0, "web" -> 0.2))
+    val bySource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet.subsetOf(Set("wiki", "web")))
+    if (orig.contains("wiki")) assert(bySource("wiki") == orig("wiki")) // rate 1.0 keeps all
+    if (orig.contains("web"))
+      assert(math.abs(bySource.getOrElse("web", 0L).toDouble / orig("web") - 0.2) < 0.15)
+  }
+
+  test("token-window chunking covers every token with the stated overlap") {
+    val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("id", "text")
+    val out = TextOps.chunk(df, col("text"), 4, 1)
+      .select("id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // stride 3: [t0..t3] [t3..t6] [t6..t9] — consecutive chunks share one token
+    assert(out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b")) // short → one chunk
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("")) // empty survives as one row
+  }
+
   test("cosineNearDupPairs finds planted high-cosine pairs via buckets") {
     val base = (0 until 50).map { i =>
       val rnd = new scala.util.Random(i)

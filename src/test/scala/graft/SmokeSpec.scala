@@ -19,6 +19,7 @@ class SmokeSpec extends AnyFunSuite {
       "q_dcount",         // HLL estimates differ per impl
       "q_dedup_simhash",  // xxhash64 differs from DuckDB's hash
       "q_knn_lsh",        // approximate; recall pinned in PipelineSpec
+      "q_knn_ivf",        // approximate; recall pinned in PipelineSpec
       "q_langid",         // heuristic; accuracy pinned on fixtures in PipelineSpec
       "q_media_features", // stub decoder; plumbing pinned in PipelineSpec
       "q_shape_sample"    // any-semantics representative; shape count pinned below
