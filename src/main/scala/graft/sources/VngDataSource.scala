@@ -57,14 +57,68 @@ private class VngTable(fullSchema: StructType, options: CaseInsensitiveStringMap
 }
 
 private class VngScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = full
+  private var countAggs = 0
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new VngScan(
-    files = VngDataSource.filesOf(options),
-    shape = options.get("shape"),
-    required = required,
-    confMap = HadoopFs.confMap(SparkSession.active))
+  // count(*) answers from each file's metadata section (row counts live
+  // in the Record metadata) — zero data-section bytes read
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countAggs = agg.aggregateExpressions.length
+    ok
+  }
+  override def build(): Scan =
+    if (countAggs > 0)
+      new VngCountScan(VngDataSource.filesOf(options),
+        Option(options.get("counts"))
+          .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty).map(_.toLong)),
+        countAggs, HadoopFs.confMap(SparkSession.active))
+    else new VngScan(
+      files = VngDataSource.filesOf(options),
+      shape = options.get("shape"),
+      required = required,
+      confMap = HadoopFs.confMap(SparkSession.active))
+}
+
+/** count(*) pushdown twin of ZngCountScan: per-file partial counts from
+  * the `counts` option (discovery already knows them) or one metadata
+  * read — the data section is never touched.
+  */
+private case class VngCountPartition(file: String, count: Long) extends InputPartition
+
+private class VngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs: Int,
+    confMap: Map[String, String]) extends Scan with Batch {
+  private val aligned = counts.filter(_.length == files.length)
+  override def readSchema(): StructType =
+    StructType((1 to nAggs).map(i =>
+      org.apache.spark.sql.types.StructField(s"count$i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"vng files=${files.length} count-pushdown"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.zipWithIndex.map { case (f, i) =>
+      VngCountPartition(f, aligned.map(_(i)).getOrElse(-1L)): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = confMap
+    val n = nAggs
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[VngCountPartition]
+      val c = if (p.count >= 0) p.count else VngIO.fileRowCount(conf, p.file)
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val first = !emitted; emitted = true; first }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array.fill[Any](n)(c))
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 private case class VngPartition(file: String) extends InputPartition

@@ -719,6 +719,14 @@ object VngIO {
     } catch { case e: Throwable => h.close(); throw e }
   }
 
+  /** Row count of one file from its metadata section alone (count(*)
+    * pushdown fallback when the discovery counts weren't passed).
+    */
+  private[sources] def fileRowCount(conf: Map[String, String], path: String): Long = {
+    val h = new Handle(conf, path)
+    try metaLen(h.meta) finally h.close()
+  }
+
   /** Schema inference for direct `spark.read.format(VngDataSource)` users
     * (VngIO.read supplies the schema itself after its distributed scan).
     */
@@ -776,6 +784,9 @@ object VngIO {
           .schema(full)
           .option("shape", shape)
           .option("files", dataFiles.mkString("\n"))
+          // per-file row counts from discovery: count(*) answers from
+          // these without touching the files again (VngCountScan)
+          .option("counts", metas.map(_.count).mkString("\n"))
           .load()
       case _ =>
         val rdd = spark.read.format("binaryFile").load(dataFiles: _*)

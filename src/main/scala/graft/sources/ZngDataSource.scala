@@ -88,9 +88,11 @@ private class ZngTable(fullSchema: StructType, options: CaseInsensitiveStringMap
 }
 
 private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countAggs = 0
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   // every filter stays residual (Spark re-evaluates exactly); we only
   // mine them for frame-skip byte patterns, like parquet row-group stats
@@ -99,7 +101,27 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+  // count(*) with no filters answers from the discovery metadata the
+  // reader already cached — zero data bytes read (the reference must
+  // still stream the whole file; zed has no count shortcut either).
+  // Residual filters block this automatically (Spark only pushes
+  // aggregates when every filter was consumed by the scan).
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countAggs = agg.aggregateExpressions.length
+    ok
+  }
   override def build(): Scan = {
+    if (countAggs > 0) {
+      val files = ZngDataSource.filesOf(options)
+      val counts = Option(options.get("counts"))
+        .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty).map(_.toLong))
+        .filter(_.length == files.length)
+      return new ZngCountScan(files, counts, countAggs, HadoopFs.confMap(SparkSession.active))
+    }
     val enabled = SparkSession.active.conf
       .getOption("graft.zng.prefilter").forall(_.toBoolean)
     // only genuine zed `string` fields qualify: their UTF-8 bytes sit
@@ -157,6 +179,44 @@ private class ZngScan(files: Seq[String], shape: String, nsTime: Boolean,
     files.map(f => ZngPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ZngReaderFactory(shape, nsTime, cleaned, required, prefilter, confMap)
+}
+
+/** count(*) pushdown: one partial-count row per file. Counts come free
+  * from the `counts` option (the discovery pass already tallied them);
+  * a direct format() user without the option pays one metadata scan.
+  */
+private case class ZngCountPartition(file: String, count: Long) extends InputPartition
+
+private class ZngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs: Int,
+    confMap: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((1 to nAggs).map(i =>
+      org.apache.spark.sql.types.StructField(s"count$i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft zng (${files.length} files, count pushdown)"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.zipWithIndex.map { case (f, i) =>
+      ZngCountPartition(f, counts.map(_(i)).getOrElse(-1L)): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = confMap
+    val n = nAggs
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[ZngCountPartition]
+      val c =
+        if (p.count >= 0) p.count
+        else ZngIO.scanMeta(Gzip.maybeGunzip(HadoopFs.readAll(conf, p.file)), 0L)._2
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val first = !emitted; emitted = true; first }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array.fill[Any](n)(c))
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 private class ZngReaderFactory(shape: String, nsTime: Boolean, cleaned: StructType,

@@ -1926,6 +1926,10 @@ object ZngIO {
         .option("shape", shapeTexts.head)
         .option("ns", nsTime.toString)
         .option("files", dataFiles.mkString("\n"))
+        // per-file row counts from discovery: count(*) answers from these
+        // without touching the data again (ZngCountScan)
+        .option("counts", statuses.map { case (p, _, _) => metaCache.get(p).count }
+          .mkString("\n"))
         .load()
     } else {
       val rdd = spark.read.format("binaryFile").load(dataFiles: _*)

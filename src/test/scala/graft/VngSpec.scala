@@ -128,6 +128,17 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VngIO.read(spark, path).count() == 500)
   }
 
+  test("count(*) pushes down to the metadata section") {
+    val df = GraftSession.table(spark, dir, "orders").limit(400)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val path = tmp("vng-count")
+    VngIO.write(df, path)
+    val agg = VngIO.read(spark, path).agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("count-pushdown"),
+      agg.queryExecution.executedPlan.toString.take(600))
+    assert(agg.collect()(0).getLong(0) == 400L)
+  }
+
   test("meta-only discovery escalates sub-µs times to the ns carrier") {
     val path = tmp("vng-ns")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))

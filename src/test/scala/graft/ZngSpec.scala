@@ -224,6 +224,23 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.zng.prefilter")
   }
 
+  test("count(*) pushes down to discovery metadata (no data re-read)") {
+    val path = tmp("countpush")
+    val df = spark.range(0, 12345).repartition(4)
+      .selectExpr("id", "concat('v', id) as s")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path)
+    val agg = back.agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains("count pushdown"),
+      agg.queryExecution.executedPlan.toString.take(600))
+    assert(agg.collect()(0).getLong(0) == 12345L)
+    assert(back.count() == 12345L)
+    // a residual filter blocks the pushdown and still counts correctly
+    val filtered = back.filter(col("s") =!= "v1").agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("count pushdown"))
+    assert(filtered.collect()(0).getLong(0) == 12344L)
+  }
+
   test("frame prefilter is NOT derived from enum, ip, or tag columns " +
        "(their bytes aren't raw in the values frame)") {
     val path = tmp("prefilter-enum")
