@@ -10,13 +10,16 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DataSource V2 batch source for single-shape ZNG streams — the scan
-  * half of the typed ingest fast path (ZngIO.read routes homogeneous
-  * streams here after pass-1 shape discovery). Emits Catalyst
-  * InternalRows straight from the wire (strings stay UTF-8 bytes, no
-  * external-Row conversion) and supports column pruning into the
-  * decoder: a pruned-away field is skipped via its length tag, so
-  * `count()`-class queries cost I/O plus tag arithmetic, like pass 1.
+/** DataSource V2 batch source for ZNG streams — homogeneous or
+  * heterogeneous (ZngIO.read routes every stream here after pass-1
+  * shape discovery). Emits Catalyst InternalRows straight from the wire
+  * (strings stay UTF-8 bytes, no external-Row conversion): each record
+  * shape gets its own direct builder projecting BY NAME into the merged
+  * frame, so mixed-shape zeek/zng data — the reference's normal input —
+  * decodes at the same per-row cost as a single-shape stream. Column
+  * pruning reaches the decoder (a pruned-away field is skipped via its
+  * length tag), so `count()`-class queries cost I/O plus tag
+  * arithmetic, like pass 1.
   *
   * String predicates push down as a pre-decode FRAME prefilter (the
   * reference's BufferFilter, runtime/sam/expr/bufferfilter.go): a frame
@@ -27,7 +30,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.conf.set("graft.zng.prefilter", "false")` (bench A/B).
   *
   * Options (set by ZngIO.read): `files` (newline-separated part list),
-  * `shape` (the stream's one shape text), `ns` (sub-µs time carrier).
+  * `shapes` (newline-separated shape texts, first-appearance order),
+  * `ns` (sub-µs time carrier), `counts` (per-file row counts).
   * The reference's zngio reader is the semantic model
   * (zio/zngio/reader.go); the Spark surface is a standard TableProvider
   * so `spark.read.format(...).schema(...).load()` composes with
@@ -53,9 +57,8 @@ class ZngDataSource extends TableProvider {
       ns ||= fileNs
       i += count
     }
-    require(seen.size == 1,
-      s"zng data source handles single-shape streams (found ${seen.size}); use ZngIO.read")
-    ZsonReader.frameSchema(seen.keys.toSeq, tag = true, ns)._2
+    require(seen.nonEmpty, "zng data source: empty stream set")
+    ZsonReader.frameSchema(seen.toSeq.sortBy(_._2).map(_._1), tag = true, ns)._2
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -128,18 +131,26 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
     // raw in the values frame. Enum symbols live in the TYPES frame,
     // ip/time render at decode, and the synthesized __type tag never
     // appears on the wire — a pattern on any of those would skip frames
-    // that DO match, so they're excluded at derivation
-    val stringCols: Set[String] = Option(options.get("shape")).map { sh =>
-      ZType.strip(ZsonParser.parseType(sh)) match {
-        case ZType.Rec(fields) => fields.iterator.collect {
-          case (n, ft) if ZType.strip(ft) == ZType.Prim("string") => n
-        }.toSet
-        case _ => Set.empty[String]
+    // that DO match. In a heterogeneous stream a field qualifies only
+    // when it is a string in EVERY shape that carries it (a frame of the
+    // other-typed shape could match the predicate after decode — e.g. an
+    // enum symbol — without the literal's bytes appearing raw).
+    val shapeList = Option(options.get("shapes")).map(
+      _.split('\n').toIndexedSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val stringCols: Set[String] = {
+      val perShape = shapeList.map { sh =>
+        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(sh))) match {
+          case ZType.Rec(fields) => fields.iterator
+            .map { case (n, ft) => n -> (ZType.strip(ft) == ZType.Prim("string")) }
+            .toMap
+          case _ => Map.empty[String, Boolean]
+        }
       }
-    }.getOrElse(Set.empty)
+      val all = perShape.flatMap(_.keys).toSet
+      all.filter(n => perShape.forall(m => m.getOrElse(n, true)))
+    }
     new ZngScan(
       files = ZngDataSource.filesOf(options),
-      shape = options.get("shape"),
       nsTime = options.getBoolean("ns", false),
       cleaned = StructType(full.fields.filterNot(_.name == graft.operators.Het.typeTag)),
       required = required,
@@ -163,7 +174,7 @@ private class FramesReadMetric extends CustomSumMetric {
   override def description(): String = "zng values frames decoded"
 }
 
-private class ZngScan(files: Seq[String], shape: String, nsTime: Boolean,
+private class ZngScan(files: Seq[String], nsTime: Boolean,
     cleaned: StructType, required: StructType, prefilter: Option[BufferFilter],
     confMap: Map[String, String])
     extends Scan with Batch {
@@ -178,7 +189,7 @@ private class ZngScan(files: Seq[String], shape: String, nsTime: Boolean,
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => ZngPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZngReaderFactory(shape, nsTime, cleaned, required, prefilter, confMap)
+    new ZngReaderFactory(nsTime, cleaned, required, prefilter, confMap)
 }
 
 /** count(*) pushdown: one partial-count row per file. Counts come free
@@ -219,14 +230,14 @@ private class ZngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs:
   }
 }
 
-private class ZngReaderFactory(shape: String, nsTime: Boolean, cleaned: StructType,
+private class ZngReaderFactory(nsTime: Boolean, cleaned: StructType,
     required: StructType, prefilter: Option[BufferFilter],
     confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bytes = Gzip.maybeGunzip(
       HadoopFs.readAll(confMap, partition.asInstanceOf[ZngPartition].file))
     val stats = new ZngIO.FrameStats
-    val it = ZngIO.decodeToInternalRows(bytes, shape, cleaned, required, nsTime,
+    val it = ZngIO.decodeToInternalRows(bytes, cleaned, required, nsTime,
       prefilter, stats)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _

@@ -1750,7 +1750,7 @@ object ZngIO {
   val totalFramesSkipped = new java.util.concurrent.atomic.LongAdder
   val totalFramesRead = new java.util.concurrent.atomic.LongAdder
 
-  private[sources] def decodeToInternalRows(bytes: Array[Byte], shapeText: String,
+  private[sources] def decodeToInternalRows(bytes: Array[Byte],
       cleaned: StructType, required: StructType, nsTime: Boolean,
       prefilter: Option[BufferFilter] = None,
       stats: FrameStats = new FrameStats): Iterator[InternalRow] =
@@ -1761,16 +1761,23 @@ object ZngIO {
       private val memo = scala.collection.mutable.HashMap.empty[ZT, Cursor => InternalRow]
       private val width = required.fields.length
       private val tagIdx = required.fieldNames.indexOf(graft.operators.Het.typeTag)
-      private val tagVal = UTF8String.fromString(shapeText)
       private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
 
       private def builderOf(t: ZT): Cursor => InternalRow = {
         def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
+        // direct per-shape builder: fields project BY NAME into the merged
+        // frame (unshared fields stay null, conflict columns variant-box
+        // through the per-field fallback), so every record shape of a
+        // heterogeneous stream decodes wire→InternalRow with no value tree
+        val shapeText = ZType.fullText(zTypeOf(t))
+        val tagVal = UTF8String.fromString(shapeText)
+        // a top-level null record is all-null relationally but its tag
+        // must carry the null wrapper (writers re-emit `null`)
+        val nullTagVal = UTF8String.fromString(ZType.nullWrap(shapeText))
         val direct: Option[Cursor => InternalRow] =
-          if (ZType.fullText(zTypeOf(t)) != shapeText) None
-          else stripNamed(t) match {
+          stripNamed(t) match {
             case ZRecord(fields) if fields.nonEmpty &&
-                fields.iterator.map(_._1).sameElements(cleaned.fields.iterator.map(_.name)) =>
+                fields.forall { case (n, _) => cleaned.fieldNames.contains(n) } =>
               val reqCount = fields.count(f => required.fieldNames.contains(f._1))
               val acts: Array[(Cursor, Array[Any]) => Unit] =
                 fields.map { case (name, ft) =>
@@ -1784,8 +1791,8 @@ object ZngIO {
                 }.toArray
               Some { cc =>
                 val arr = new Array[Any](width)
-                if (tagIdx >= 0) arr(tagIdx) = tagVal
                 val tag = cc.uvarint()
+                if (tagIdx >= 0) arr(tagIdx) = if (tag == 0) nullTagVal else tagVal
                 if (tag != 0) {
                   if (reqCount == 0) cc.pos += (tag - 1).toInt
                   else {
@@ -1913,17 +1920,25 @@ object ZngIO {
       nsTime ||= m.ns
       offset += m.count
     }
-    val discovered = (seen.toArray: Array[(String, Long)]) ++
-      (if (nsTime) Array(ZsonReader.nsSentinelKey -> Long.MaxValue) else Array.empty[(String, Long)])
     val shapeTexts = seen.toArray.sortBy(_._2).map(_._1).toIndexedSeq
-    if (shapeTexts.length == 1) {
-      // homogeneous stream (the 100 TB common case): a DataSource V2 scan
-      // decodes straight to InternalRows — no external-Row detour — and
-      // prunes columns into the decoder (unread fields skip by length tag)
+    if (shapeTexts.isEmpty) {
+      val discovered = (seen.toArray: Array[(String, Long)]) ++
+        (if (nsTime) Array(ZsonReader.nsSentinelKey -> Long.MaxValue)
+         else Array.empty[(String, Long)])
+      val rdd = spark.read.format("binaryFile").load(dataFiles: _*)
+        .select("content").as[Array[Byte]].rdd
+        .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
+      ZsonReader.fromShapes(spark, rdd, discovered)
+    } else {
+      // every stream — homogeneous or heterogeneous — scans through the
+      // DataSource V2 table: wire→InternalRow decode (no external-Row
+      // detour; each record shape gets its own direct builder projecting
+      // by name into the merged frame) with column pruning into the
+      // decoder (unread fields skip by length tag)
       val (_, full) = ZsonReader.frameSchema(shapeTexts, tag = true, nsTime)
       spark.read.format(classOf[ZngDataSource].getName)
         .schema(full)
-        .option("shape", shapeTexts.head)
+        .option("shapes", shapeTexts.mkString("\n"))
         .option("ns", nsTime.toString)
         .option("files", dataFiles.mkString("\n"))
         // per-file row counts from discovery: count(*) answers from these
@@ -1931,11 +1946,6 @@ object ZngIO {
         .option("counts", statuses.map { case (p, _, _) => metaCache.get(p).count }
           .mkString("\n"))
         .load()
-    } else {
-      val rdd = spark.read.format("binaryFile").load(dataFiles: _*)
-        .select("content").as[Array[Byte]].rdd
-        .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
-      ZsonReader.fromShapes(spark, rdd, discovered)
     }
   }
 }
