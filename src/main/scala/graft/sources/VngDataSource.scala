@@ -71,17 +71,20 @@ private class VngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
     if (ok) countAggs = agg.aggregateExpressions.length
     ok
   }
-  override def build(): Scan =
+  override def build(): Scan = {
+    val files = VngDataSource.filesOf(options)
     if (countAggs > 0)
-      new VngCountScan(VngDataSource.filesOf(options),
+      new VngCountScan(files,
         Option(options.get("counts"))
           .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty).map(_.toLong)),
         countAggs, HadoopFs.confMap(SparkSession.active))
     else new VngScan(
-      files = VngDataSource.filesOf(options),
+      files = files,
       shape = options.get("shape"),
       required = required,
-      confMap = HadoopFs.confMap(SparkSession.active))
+      confMap = HadoopFs.confMap(SparkSession.active),
+      stats = ZngDataSource.statsOf(options, files))
+  }
 }
 
 /** count(*) pushdown twin of ZngCountScan: per-file partial counts from
@@ -124,7 +127,14 @@ private class VngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs:
 private case class VngPartition(file: String) extends InputPartition
 
 private class VngScan(files: Seq[String], shape: String, required: StructType,
-    confMap: Map[String, String]) extends Scan with Batch {
+    confMap: Map[String, String], stats: (Option[Long], Option[Long]))
+    extends Scan with Batch with SupportsReportStatistics {
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): java.util.OptionalLong =
+      stats._1.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    override def sizeInBytes(): java.util.OptionalLong =
+      stats._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

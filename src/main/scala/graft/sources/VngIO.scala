@@ -785,8 +785,10 @@ object VngIO {
           .option("shape", shape)
           .option("files", dataFiles.mkString("\n"))
           // per-file row counts from discovery: count(*) answers from
-          // these without touching the files again (VngCountScan)
+          // these without touching the files again (VngCountScan), and
+          // the scan reports them as statistics for join sizing
           .option("counts", metas.map(_.count).mkString("\n"))
+          .option("sizes", statuses.map(_._2).mkString("\n"))
           .load()
       case _ =>
         val rdd = spark.read.format("binaryFile").load(dataFiles: _*)

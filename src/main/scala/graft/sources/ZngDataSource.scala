@@ -75,6 +75,33 @@ private object ZngDataSource {
           throw new IllegalArgumentException("zng data source: no files/path option"))
         HadoopFs.listDataFiles(SparkSession.active, path)
     }
+
+  private def longsOf(options: CaseInsensitiveStringMap, key: String,
+      n: Int): Option[Seq[Long]] =
+    Option(options.get(key))
+      .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty).map(_.toLong))
+      .filter(_.length == n)
+
+  /** (numRows, sizeInBytes) for Catalyst's cost model — rows come from
+    * the discovery counts, bytes from the files themselves (like
+    * parquet's file-size estimate), so a small dim table read from
+    * zng/vng still gets broadcast in joins.
+    */
+  def statsOf(options: CaseInsensitiveStringMap,
+      files: Seq[String]): (Option[Long], Option[Long]) = {
+    val rows = longsOf(options, "counts", files.length).map(_.sum)
+    val bytes = longsOf(options, "sizes", files.length).map(_.sum).orElse {
+      try {
+        val spark = SparkSession.active
+        val conf = spark.sparkContext.hadoopConfiguration
+        Some(files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum)
+      } catch { case _: Exception => None }
+    }
+    (rows, bytes)
+  }
 }
 
 private class ZngTable(fullSchema: StructType, options: CaseInsensitiveStringMap)
@@ -149,13 +176,15 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
       val all = perShape.flatMap(_.keys).toSet
       all.filter(n => perShape.forall(m => m.getOrElse(n, true)))
     }
+    val files = ZngDataSource.filesOf(options)
     new ZngScan(
-      files = ZngDataSource.filesOf(options),
+      files = files,
       nsTime = options.getBoolean("ns", false),
       cleaned = StructType(full.fields.filterNot(_.name == graft.operators.Het.typeTag)),
       required = required,
       prefilter = if (enabled) BufferFilter.fromFilters(pushed, stringCols) else None,
-      confMap = HadoopFs.confMap(SparkSession.active))
+      confMap = HadoopFs.confMap(SparkSession.active),
+      stats = ZngDataSource.statsOf(options, files))
   }
 }
 
@@ -176,8 +205,14 @@ private class FramesReadMetric extends CustomSumMetric {
 
 private class ZngScan(files: Seq[String], nsTime: Boolean,
     cleaned: StructType, required: StructType, prefilter: Option[BufferFilter],
-    confMap: Map[String, String])
-    extends Scan with Batch {
+    confMap: Map[String, String], stats: (Option[Long], Option[Long]))
+    extends Scan with Batch with SupportsReportStatistics {
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): java.util.OptionalLong =
+      stats._1.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    override def sizeInBytes(): java.util.OptionalLong =
+      stats._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -1942,9 +1942,12 @@ object ZngIO {
         .option("ns", nsTime.toString)
         .option("files", dataFiles.mkString("\n"))
         // per-file row counts from discovery: count(*) answers from these
-        // without touching the data again (ZngCountScan)
+        // without touching the data again (ZngCountScan), and the scan
+        // reports them as statistics so Catalyst sizes joins correctly
+        // (small zng dims broadcast instead of defaulting to "huge")
         .option("counts", statuses.map { case (p, _, _) => metaCache.get(p).count }
           .mkString("\n"))
+        .option("sizes", statuses.map(_._2).mkString("\n"))
         .load()
     }
   }

@@ -224,6 +224,17 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.zng.prefilter")
   }
 
+  test("zng scans report statistics so small dims broadcast in joins") {
+    val path = tmp("stats")
+    val dim = spark.range(0, 100).selectExpr("id as k", "concat('n', id) as name")
+    ZngIO.write(dim, path)
+    val fact = spark.range(0, 200000).selectExpr("id", "id % 100 as k")
+    val joined = fact.join(ZngIO.read(spark, path).drop("__type"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1000))
+  }
+
   test("count(*) pushes down to discovery metadata (no data re-read)") {
     val path = tmp("countpush")
     val df = spark.range(0, 12345).repartition(4)
