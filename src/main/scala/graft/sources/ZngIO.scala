@@ -1884,6 +1884,31 @@ object ZngIO {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileMeta]
 
+  /** Structured-Streaming source over a GROWING directory of zng part
+    * files ("tail the stream" — the service side of zed's continuous
+    * load). The frame schema locks from the files present at start
+    * (normal discovery); each new file then decodes executor-side into
+    * that frame as it lands (new fields in late shapes would need a
+    * restart — the schema is part of the query plan, as with every
+    * Structured Streaming file source). Compose with StreamOps
+    * (watermarks, windowed `every`, dedup, commit-per-batch load).
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val schema = read(spark, path).schema // discovery over current contents
+    val cleaned = StructType(schema.fields.filterNot(_.name == graft.operators.Het.typeTag))
+    val bin = spark.readStream.format("binaryFile")
+      .schema(new StructType()
+        .add("path", StringType).add("modificationTime", TimestampType)
+        .add("length", LongType).add("content", BinaryType))
+      .load(path)
+    bin.select("content").as[Array[Byte]]
+      .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes))
+        .map(v => ZsonReader.rowOf(v, cleaned, tag = true)))(
+        org.apache.spark.sql.Encoders.row(schema))
+      .toDF()
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)

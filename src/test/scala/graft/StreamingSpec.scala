@@ -37,6 +37,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ZngIO.readStream tails a growing zng directory") {
+    import graft.sources.ZngIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-zngstream").toString + "/logs"
+    // initial file set: locks the frame schema
+    val a = spark.range(0, 100).selectExpr("id", "concat('u', id) as s").coalesce(1)
+    ZngIO.write(a, dir)
+    val q = ZngIO.readStream(spark, dir)
+      .writeStream.format("memory").queryName("zng_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from zng_tail").count() == 100)
+      // a NEW part file lands (another writer's output) — the tail picks
+      // it up without restart
+      val stream2 = ZngIO.encodeTypedStream(
+        (100 until 150).map(i => graft.sources.ZsonParser.parseAll(
+          s"""{id:$i,s:"u$i"}""").head))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "late-part.zng"), stream2)
+      q.processAllAvailable()
+      val rows = spark.sql("select * from zng_tail").count()
+      assert(rows == 150, s"got $rows")
+      assert(spark.sql("select max(id) from zng_tail").collect()(0).getLong(0) == 149)
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicates within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
