@@ -293,6 +293,30 @@ object ZeekIO {
     }
   }
 
+  /** Structured-Streaming source tailing a growing directory of zeek
+    * logs — the canonical zeek deployment (a live zeek writes and
+    * rotates log files into one directory). Schema locks from the files
+    * present at start; each newly-landed file decodes executor-side
+    * through the same per-file directive-state parser.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val schema = read(spark, path).schema
+    val cleaned = StructType(schema.fields.filterNot(_.name == graft.operators.Het.typeTag))
+    spark.readStream.format("binaryFile")
+      .schema(new StructType()
+        .add("path", StringType).add("modificationTime", TimestampType)
+        .add("length", LongType).add("content", BinaryType))
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val text = new String(Gzip.maybeGunzip(bytes),
+          java.nio.charset.StandardCharsets.UTF_8)
+        interleavedValues(text).map(v => ZsonReader.rowOf(v, cleaned, tag = true))
+      }(org.apache.spark.sql.Encoders.row(schema))
+      .toDF()
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = spark.read.textFile(path)

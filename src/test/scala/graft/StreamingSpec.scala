@@ -63,6 +63,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ZeekIO.readStream tails a growing zeek log directory") {
+    import graft.sources.ZeekIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-zeekstream").toString + "/logs"
+    val a = spark.range(0, 50).selectExpr("id", "concat('h', id) as host").coalesce(1)
+    ZeekIO.write(a, dir)
+    val q = ZeekIO.readStream(spark, dir)
+      .writeStream.format("memory").queryName("zeek_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from zeek_tail").count() == 50)
+      // zeek rotates in a new log file with its own directive header
+      val late = new StringBuilder()
+      late ++= "#separator \\x09\n#set_separator\t,\n#empty_field\t(empty)\n"
+      late ++= "#unset_field\t-\n#fields\tid\thost\n#types\tint\tstring\n"
+      (50 until 80).foreach(i => late ++= s"$i\th$i\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "late.log"),
+        late.toString.getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.sql("select * from zeek_tail").count() == 80)
+      assert(spark.sql("select max(id) from zeek_tail").collect()(0).getLong(0) == 79)
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicates within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
