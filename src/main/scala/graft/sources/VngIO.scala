@@ -699,21 +699,31 @@ object VngIO {
       }
       val count = rec.length
       val byName = rec.fields.toMap
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(required)
+      // per-field ZValue→Catalyst-internal conversion (no external Row,
+      // no whole-row converter pass)
       val cols: Array[() => Any] = required.fields.map { f =>
-        if (f.name == graft.operators.Het.typeTag) () => shapeText
-        else byName.get(f.name) match {
+        if (f.name == graft.operators.Het.typeTag) {
+          val tag = org.apache.spark.unsafe.types.UTF8String.fromString(shapeText)
+          () => tag
+        } else byName.get(f.name) match {
           case Some(m) =>
             val rd = newRd(m, h.fetch)
             val dt = f.dataType
-            () => ZValue.toExternal(rd.next(), dt)
+            val conv = ZngIO.extToInternal(dt)
+            () => {
+              val ext = ZValue.toExternal(rd.next(), dt)
+              if (ext == null) null else conv(ext)
+            }
           case None => () => null
         }
       }
+      val width = cols.length
       val it = Iterator.range(0L, count).map { _ =>
-        conv(org.apache.spark.sql.Row.fromSeq(cols.toIndexedSeq.map(c => c())))
-          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val arr = new Array[Any](width)
+        var i = 0
+        while (i < width) { arr(i) = cols(i)(); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
       (it, () => h.close())
     } catch { case e: Throwable => h.close(); throw e }

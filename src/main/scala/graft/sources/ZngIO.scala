@@ -1549,7 +1549,7 @@ object ZngIO {
     * leaves (maps, sets, variants, type values): mirrors what Spark's own
     * Row→InternalRow conversion does over the frame's types.
     */
-  private def extToInternal(dt: DataType): Any => Any = dt match {
+  private[sources] def extToInternal(dt: DataType): Any => Any = dt match {
     case StringType => v => UTF8String.fromString(v.toString)
     case TimestampType => { v =>
       val inst = v.asInstanceOf[java.sql.Timestamp].toInstant

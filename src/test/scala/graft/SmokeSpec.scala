@@ -21,7 +21,7 @@ class SmokeSpec extends AnyFunSuite {
       "q_knn_lsh",        // approximate; recall pinned in PipelineSpec
       "q_knn_ivf",        // approximate; recall pinned in PipelineSpec
       "q_langid",         // heuristic; accuracy pinned on fixtures in PipelineSpec
-      "q_media_features", // stub decoder; plumbing pinned in PipelineSpec
+      "q_media_features", // legacy entry: now oracle-green (real pixel/PCM decode)
       "q_shape_sample"    // any-semantics representative; shape count pinned below
     )), s"missing oracle: $noOracle")
   }
