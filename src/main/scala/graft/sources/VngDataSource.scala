@@ -136,17 +136,41 @@ private class VngScan(files: Seq[String], shape: String, required: StructType,
       stats._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
   }
   override def readSchema(): StructType = required
+
+  // vectorized when every projected field is a vectorizable primitive in
+  // the stream's shape (decided from the shape TEXT — no file I/O):
+  // the reader then fills column vectors straight from the segments and
+  // Spark's codegen'd ColumnarToRow takes over, like the parquet path
+  private val columnarOk: Boolean = {
+    val enabled = SparkSession.active.conf
+      .getOption("graft.vng.vectorized").forall(_.toBoolean)
+    enabled && (try {
+      val fieldTypes: Map[String, ZType] =
+        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(shape))) match {
+          case ZType.Rec(fs) => fs.toMap
+          case _ => Map.empty
+        }
+      required.fields.forall { f =>
+        f.name == graft.operators.Het.typeTag ||
+        fieldTypes.get(f.name).forall(VngIO.vectorizableType)
+      }
+    } catch { case _: Exception => false })
+  }
+
   override def toBatch: Batch = this
   override def description(): String =
-    s"vng files=${files.length} columns=${required.fieldNames.mkString(",")}"
+    s"vng files=${files.length} columns=${required.fieldNames.mkString(",")}" +
+      (if (columnarOk) " vectorized" else "")
   override def planInputPartitions(): Array[InputPartition] =
     files.map(VngPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new VngReaderFactory(shape, required, confMap)
+    new VngReaderFactory(shape, required, confMap, columnarOk)
 }
 
 private class VngReaderFactory(shape: String, required: StructType,
-    confMap: Map[String, String]) extends PartitionReaderFactory {
+    confMap: Map[String, String], columnar: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[VngPartition].file
     val (it, closeFn) = VngIO.prunedRows(confMap, file, required, shape)
@@ -154,6 +178,18 @@ private class VngReaderFactory(shape: String, required: StructType,
       private var row: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }
       override def get(): InternalRow = row
+      override def close(): Unit = closeFn()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val file = partition.asInstanceOf[VngPartition].file
+    val (it, closeFn) = VngIO.columnarBatches(confMap, file, required, shape)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) batch = it.next(); h }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
       override def close(): Unit = closeFn()
     }
   }

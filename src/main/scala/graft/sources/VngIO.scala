@@ -729,6 +729,204 @@ object VngIO {
     } catch { case e: Throwable => h.close(); throw e }
   }
 
+  // ---- vectorized (ColumnarBatch) reads -------------------------------------
+
+  /** The primitive zed types the vectorized filler handles — everything a
+    * typical analytic scan projects. Containers/unions/uint64/type values
+    * fall back to the row reader.
+    */
+  private[sources] def vectorizableType(t: ZType): Boolean = ZType.strip(t) match {
+    case Prim("int8") | Prim("int16") | Prim("int32") | Prim("int64") |
+         Prim("uint8") | Prim("uint16") | Prim("uint32") |
+         Prim("duration") | Prim("time") |
+         Prim("float16") | Prim("float32") | Prim("float64") |
+         Prim("bool") | Prim("string") | Prim("bytes") |
+         Prim("ip") | Prim("net") => true
+    case EnumT(_) => true
+    case _ => false
+  }
+
+  private type WVec = org.apache.spark.sql.execution.vectorized.WritableColumnVector
+
+  /** One value appended per call — the column-vector twin of Rd. */
+  private sealed trait VFill { def append(v: WVec): Unit }
+
+  private final class NullsVFill(runs: Int64Rd, inner: VFill) extends VFill {
+    private var left = runs.next() // values first (nulls.go)
+    private var inNull = false
+    def append(v: WVec): Unit = {
+      while (left == 0) { left = runs.next(); inNull = !inNull }
+      left -= 1
+      if (inNull) { v.appendNull(); () } else inner.append(v)
+    }
+  }
+
+  private final class ConstVFill(app: WVec => Unit) extends VFill {
+    def append(v: WVec): Unit = app(v)
+  }
+
+  /** Dictionary column: the segment holds u8 indexes into the metadata's
+    * dict; entries pre-convert once.
+    */
+  private final class DictVFill(bytes: Array[Byte],
+      entries: Array[WVec => Unit]) extends VFill {
+    private var i = 0
+    def append(v: WVec): Unit = {
+      val idx = bytes(i) & 0xff
+      i += 1
+      if (idx < entries.length) entries(idx)(v) else { v.appendNull(); () }
+    }
+  }
+
+  /** Plain primitive segment: decodes zng-tagged payloads straight into
+    * the vector — no ZValue, no Row, no per-value boxing.
+    */
+  private final class PrimVFill(c: ZngIO.Cursor, t: ZType,
+      target: org.apache.spark.sql.types.DataType) extends VFill {
+    import org.apache.spark.sql.types._
+    private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    private val enumSyms: Array[Array[Byte]] = ZType.strip(t) match {
+      case EnumT(ss) => ss.map(_.getBytes(utf8)).toArray
+      case _ => null
+    }
+    private val app: (WVec, Int) => Unit = ZType.strip(t) match {
+      case Prim("int8") | Prim("int16") | Prim("int32") | Prim("int64") |
+           Prim("duration") =>
+        (v, n) => { v.appendLong(c.signedAt(n)); () }
+      case Prim("time") =>
+        if (target == LongType) (v, n) => { v.appendLong(c.signedAt(n)); () }
+        else (v, n) => { v.appendLong(Math.floorDiv(c.signedAt(n), 1000L)); () }
+      case Prim("uint8") | Prim("uint16") | Prim("uint32") =>
+        (v, n) => { v.appendLong(c.unsignedAt(n)); () }
+      case Prim("float64") =>
+        (v, n) => { v.appendDouble(java.lang.Double.longBitsToDouble(c.unsignedAt(n))); () }
+      case Prim("float32") =>
+        (v, n) => { v.appendDouble(
+          java.lang.Float.intBitsToFloat(c.unsignedAt(n).toInt).toDouble); () }
+      case Prim("float16") =>
+        (v, n) => { v.appendDouble(ZngIO.halfToDouble(c.unsignedAt(n).toInt)); () }
+      case Prim("bool") =>
+        (v, n) => {
+          val b = n > 0 && c.buf(c.pos) == 1
+          c.pos += n
+          v.appendBoolean(b); ()
+        }
+      case Prim("string") | Prim("bytes") =>
+        (v, n) => { v.appendByteArray(c.buf, c.pos, n); c.pos += n; () }
+      case Prim("ip") =>
+        (v, n) => {
+          val s = ZngIO.ipText(c.bytes(n)).getBytes(utf8)
+          v.appendByteArray(s, 0, s.length); ()
+        }
+      case Prim("net") =>
+        (v, n) => {
+          val b = c.bytes(n)
+          val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+          val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+          val s = (ZngIO.ipText(addr) + "/" + ZngIO.leadingOnes(mask)).getBytes(utf8)
+          v.appendByteArray(s, 0, s.length); ()
+        }
+      case EnumT(_) =>
+        (v, n) => {
+          val sym = enumSyms(ZngIO.unsignedOf(c.bytes(n)).toInt)
+          v.appendByteArray(sym, 0, sym.length); ()
+        }
+      case other => throw new IllegalStateException(s"vng vectorized fill: $other")
+    }
+    def append(v: WVec): Unit = {
+      val tag = c.uvarint()
+      if (tag == 0) { v.appendNull(); () } else app(v, (tag - 1).toInt)
+    }
+  }
+
+  /** A converted-constant append closure (Const columns, dict entries). */
+  private def constApp(value: ZValue,
+      target: org.apache.spark.sql.types.DataType): WVec => Unit = {
+    val ext = ZValue.toExternal(value, target)
+    ext match {
+      case null => v => { v.appendNull(); () }
+      case n: java.lang.Long => v => { v.appendLong(n); () }
+      case d: java.lang.Double => v => { v.appendDouble(d); () }
+      case b: java.lang.Boolean => v => { v.appendBoolean(b); () }
+      case s: String =>
+        val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        v => { v.appendByteArray(bs, 0, bs.length); () }
+      case bs: Array[Byte] => v => { v.appendByteArray(bs, 0, bs.length); () }
+      case ts: java.sql.Timestamp =>
+        val inst = ts.toInstant
+        val micros = Math.addExact(
+          Math.multiplyExact(inst.getEpochSecond, 1000000L), (inst.getNano / 1000).toLong)
+        v => { v.appendLong(micros); () }
+      case other =>
+        throw new IllegalStateException(s"vng vectorized const: ${other.getClass}")
+    }
+  }
+
+  private def vecFill(m: Meta, fetch: Seg => Array[Byte],
+      target: org.apache.spark.sql.types.DataType): VFill = m match {
+    case MNamed(_, v) => vecFill(v, fetch, target)
+    case MNulls(runs, values, _) =>
+      new NullsVFill(new Int64Rd(fetch(runs)), vecFill(values, fetch, target))
+    case MConst(v, _) => new ConstVFill(constApp(v, target))
+    case MPrim(t, loc, dict, _) if dict.nonEmpty =>
+      new DictVFill(fetch(loc), dict.map { case (v, _) => constApp(v, target) }.toArray)
+    case MPrim(t, loc, _, _) => new PrimVFill(new ZngIO.Cursor(fetch(loc), 0), t, target)
+    case other => throw new IllegalStateException(
+      s"vng vectorized fill on non-primitive meta: ${other.getClass.getSimpleName}")
+  }
+
+  /** Vectorized pruned read: fills OnHeapColumnVectors straight from the
+    * projected columns' segments and emits ColumnarBatches — the scan
+    * stays columnar end-to-end (Spark's ColumnarToRow is codegen'd), the
+    * parquet-class path for analytic scans over VNG.
+    */
+  private[sources] def columnarBatches(conf: Map[String, String], path: String,
+      required: org.apache.spark.sql.types.StructType, shapeText: String,
+      batchSize: Int = 4096)
+      : (Iterator[org.apache.spark.sql.vectorized.ColumnarBatch], () => Unit) = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val h = new Handle(conf, path)
+    try {
+      val rec = rootMembers(h.meta) match {
+        case Vector(r: MRecord) => r
+        case other => throw new IllegalStateException(
+          s"vng vectorized scan expects one record root, got ${other.map(_.getClass.getSimpleName).mkString(",")}")
+      }
+      val total = rec.length
+      val byName = rec.fields.toMap
+      val vectors = required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
+      val tagBytes = shapeText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val fills: Array[VFill] = required.fields.zipWithIndex.map { case (f, _) =>
+        if (f.name == graft.operators.Het.typeTag)
+          new ConstVFill(v => { v.appendByteArray(tagBytes, 0, tagBytes.length); () })
+        else byName.get(f.name) match {
+          case Some(m) => vecFill(m, h.fetch, f.dataType)
+          case None => new ConstVFill(v => { v.appendNull(); () })
+        }
+      }
+      val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+        vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+      var emitted = 0L
+      val it = new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        def hasNext: Boolean = emitted < total
+        def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val n = math.min(batchSize.toLong, total - emitted).toInt
+          var j = 0
+          while (j < fills.length) {
+            vectors(j).reset()
+            var i = 0
+            while (i < n) { fills(j).append(vectors(j)); i += 1 }
+            j += 1
+          }
+          batch.setNumRows(n)
+          emitted += n
+          batch
+        }
+      }
+      (it, () => { batch.close(); h.close() })
+    } catch { case e: Throwable => h.close(); throw e }
+  }
+
   /** Row count of one file from its metadata section alone (count(*)
     * pushdown fallback when the discovery counts weren't passed).
     */
