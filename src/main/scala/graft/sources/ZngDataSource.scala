@@ -76,7 +76,7 @@ private object ZngDataSource {
         HadoopFs.listDataFiles(SparkSession.active, path)
     }
 
-  private def longsOf(options: CaseInsensitiveStringMap, key: String,
+  def longsOf(options: CaseInsensitiveStringMap, key: String,
       n: Int): Option[Seq[Long]] =
     Option(options.get(key))
       .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty).map(_.toLong))
@@ -179,6 +179,9 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
     val files = ZngDataSource.filesOf(options)
     new ZngScan(
       files = files,
+      splits = Option(options.get("splits"))
+        .map(_.split('\n').toIndexedSeq).filter(_.length == files.length),
+      sizes = ZngDataSource.longsOf(options, "sizes", files.length),
       nsTime = options.getBoolean("ns", false),
       cleaned = StructType(full.fields.filterNot(_.name == graft.operators.Het.typeTag)),
       required = required,
@@ -188,7 +191,11 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
   }
 }
 
-private case class ZngPartition(file: String) extends InputPartition
+/** One read split: a byte range of independent streams within a file
+  * (length -1 = the whole file, possibly gzipped).
+  */
+private case class ZngPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 /** Sum of values frames skipped by the BufferFilter prefilter — a DSv2
   * custom metric, so the Spark UI shows the skip rate per scan on a
@@ -203,7 +210,8 @@ private class FramesReadMetric extends CustomSumMetric {
   override def description(): String = "zng values frames decoded"
 }
 
-private class ZngScan(files: Seq[String], nsTime: Boolean,
+private class ZngScan(files: Seq[String], splits: Option[Seq[String]],
+    sizes: Option[Seq[Long]], nsTime: Boolean,
     cleaned: StructType, required: StructType, prefilter: Option[BufferFilter],
     confMap: Map[String, String], stats: (Option[Long], Option[Long]))
     extends Scan with Batch with SupportsReportStatistics {
@@ -222,7 +230,20 @@ private class ZngScan(files: Seq[String], nsTime: Boolean,
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new FramesSkippedMetric, new FramesReadMetric)
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ZngPartition(f): InputPartition).toArray
+    files.indices.flatMap { i =>
+      val f = files(i)
+      val spec = splits.map(_(i)).getOrElse("-1")
+      val size = sizes.map(_(i)).getOrElse(-1L)
+      if (spec == "-1" || spec.isEmpty || size < 0)
+        Seq(ZngPartition(f, 0L, -1L): InputPartition)
+      else {
+        val starts = spec.split(';').map(_.toLong)
+        starts.indices.map { j =>
+          val end = if (j + 1 < starts.length) starts(j + 1) else size
+          ZngPartition(f, starts(j), end - starts(j)): InputPartition
+        }
+      }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ZngReaderFactory(nsTime, cleaned, required, prefilter, confMap)
 }
@@ -269,8 +290,13 @@ private class ZngReaderFactory(nsTime: Boolean, cleaned: StructType,
     required: StructType, prefilter: Option[BufferFilter],
     confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val bytes = Gzip.maybeGunzip(
-      HadoopFs.readAll(confMap, partition.asInstanceOf[ZngPartition].file))
+    val p = partition.asInstanceOf[ZngPartition]
+    val bytes =
+      if (p.length < 0) Gzip.maybeGunzip(HadoopFs.readAll(confMap, p.file))
+      else {
+        val rr = new HadoopFs.RangeReader(confMap, p.file)
+        try rr.read(p.start, p.length.toInt) finally rr.close()
+      }
     val stats = new ZngIO.FrameStats
     val it = ZngIO.decodeToInternalRows(bytes, cleaned, required, nsTime,
       prefilter, stats)

@@ -1880,9 +1880,31 @@ object ZngIO {
     * path; stale length/mtime mismatches replace the entry).
     */
   private final case class FileMeta(len: Long, mtime: Long,
-      shapes: Vector[(String, Long)], count: Long, ns: Boolean)
+      shapes: Vector[(String, Long)], count: Long, ns: Boolean,
+      streams: Vector[Long], gz: Boolean)
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileMeta]
+
+  /** Byte offsets where an independent stream starts (0, and after each
+    * end-of-stream marker with data remaining) — the split points a huge
+    * concatenated zng object parallelizes at. Header arithmetic only: no
+    * decompression, no type parsing.
+    */
+  private[sources] def streamOffsets(bytes: Array[Byte]): Vector[Long] = {
+    val c = new Cursor(bytes, 0)
+    val out = Vector.newBuilder[Long]
+    var atStart = true
+    while (!c.done) {
+      if (atStart) { out += c.pos.toLong; atStart = false }
+      val code = c.u8()
+      if (code == 0xff) atStart = true
+      else {
+        val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+        c.pos += len
+      }
+    }
+    out.result()
+  }
 
   /** Structured-Streaming source over a GROWING directory of zng part
     * files ("tail the stream" — the service side of zed's continuous
@@ -1926,9 +1948,13 @@ object ZngIO {
       val scanned = spark.sparkContext
         .parallelize(missing, missing.length)
         .map { case (p, len, mt) =>
-          val (shapes, count, fileNs) =
-            scanMeta(Gzip.maybeGunzip(HadoopFs.readAll(conf, p)), 0L)
-          (p, FileMeta(len, mt, shapes.toVector, count, fileNs))
+          val raw = HadoopFs.readAll(conf, p)
+          val gz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b
+          val bytes = Gzip.maybeGunzip(raw)
+          val (shapes, count, fileNs) = scanMeta(bytes, 0L)
+          // gzip can't be range-read — such a file stays one split
+          val streams = if (gz) Vector(0L) else streamOffsets(bytes)
+          (p, FileMeta(len, mt, shapes.toVector, count, fileNs, streams, gz))
         }.collect()
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
@@ -1961,11 +1987,39 @@ object ZngIO {
       // by name into the merged frame) with column pruning into the
       // decoder (unread fields skip by length tag)
       val (_, full) = ZsonReader.frameSchema(shapeTexts, tag = true, nsTime)
+      // group each file's independent streams (EOS boundaries, recorded
+      // during discovery) into ~maxPartitionBytes read splits: one huge
+      // concatenated zng object parallelizes across executors instead of
+      // serializing behind a single task. A chunk always starts at a
+      // stream boundary (types reset there); gzip files stay whole.
+      val maxPart = {
+        val v = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+          .getOrElse((128L << 20).toString)
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        catch { case _: Exception => 128L << 20 }
+      }
+      val splits = statuses.map { case (p, len, _) =>
+        val m = metaCache.get(p)
+        if (m.gz) "-1"
+        else if (m.streams.length <= 1) "0"
+        else {
+          val bounds = m.streams :+ len
+          val starts = Vector.newBuilder[Long]
+          var acc = 0L
+          m.streams.zipWithIndex.foreach { case (off, i) =>
+            val sz = bounds(i + 1) - off
+            if (acc == 0L || acc + sz > maxPart) { starts += off; acc = 0L }
+            acc += sz
+          }
+          starts.result().mkString(";")
+        }
+      }.mkString("\n")
       spark.read.format(classOf[ZngDataSource].getName)
         .schema(full)
         .option("shapes", shapeTexts.mkString("\n"))
         .option("ns", nsTime.toString)
         .option("files", dataFiles.mkString("\n"))
+        .option("splits", splits)
         // per-file row counts from discovery: count(*) answers from these
         // without touching the data again (ZngCountScan), and the scan
         // reports them as statistics so Catalyst sizes joins correctly

@@ -224,6 +224,29 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.zng.prefilter")
   }
 
+  test("a huge multi-stream file splits at EOS boundaries across tasks") {
+    val path = tmp("split")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // one FILE holding 6 independent concatenated streams (cat a.zng
+    // b.zng … — also the shape a long-running writer produces)
+    val out = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until 6) {
+      val vals = (k * 1000 until (k + 1) * 1000).map(i =>
+        graft.sources.ZsonParser.parseAll(s"""{id:$i,s:"v$i"}""").head)
+      out.write(ZngIO.encodeTypedStream(vals))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "big.zng"), out.toByteArray)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+    try {
+      val back = ZngIO.read(spark, path)
+      assert(back.rdd.getNumPartitions > 1,
+        s"expected >1 split, got ${back.rdd.getNumPartitions}")
+      assert(back.count() == 6000)
+      assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 6000L).sum)
+      assert(back.filter(col("s") === "v4321").count() == 1)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("zng scans report statistics so small dims broadcast in joins") {
     val path = tmp("stats")
     val dim = spark.range(0, 100).selectExpr("id as k", "concat('n', id) as name")
