@@ -177,6 +177,24 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
       all.filter(n => perShape.forall(m => m.getOrElse(n, true)))
     }
     val files = ZngDataSource.filesOf(options)
+    // vectorized when every projected column is a vectorizable primitive
+    // in EVERY shape (and the merged column type is atomic — conflict
+    // columns are variants and fall back to the row path)
+    val vectorOk = {
+      val on = SparkSession.active.conf
+        .getOption("graft.zng.vectorized").forall(_.toBoolean)
+      on && shapeList.nonEmpty && (try {
+        shapeList.forall { sh =>
+          ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(sh))) match {
+            case ZType.Rec(fs) if fs.nonEmpty => fs.forall { case (n, ft) =>
+              val out = required.fieldNames.indexOf(n)
+              out < 0 || ZngIO.vecSupported(ft, required.fields(out).dataType)
+            }
+            case _ => false
+          }
+        }
+      } catch { case _: Exception => false })
+    }
     new ZngScan(
       files = files,
       splits = Option(options.get("splits"))
@@ -187,7 +205,8 @@ private class ZngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
       required = required,
       prefilter = if (enabled) BufferFilter.fromFilters(pushed, stringCols) else None,
       confMap = HadoopFs.confMap(SparkSession.active),
-      stats = ZngDataSource.statsOf(options, files))
+      stats = ZngDataSource.statsOf(options, files),
+      columnar = vectorOk)
   }
 }
 
@@ -213,7 +232,8 @@ private class FramesReadMetric extends CustomSumMetric {
 private class ZngScan(files: Seq[String], splits: Option[Seq[String]],
     sizes: Option[Seq[Long]], nsTime: Boolean,
     cleaned: StructType, required: StructType, prefilter: Option[BufferFilter],
-    confMap: Map[String, String], stats: (Option[Long], Option[Long]))
+    confMap: Map[String, String], stats: (Option[Long], Option[Long]),
+    columnar: Boolean)
     extends Scan with Batch with SupportsReportStatistics {
   override def estimateStatistics(): Statistics = new Statistics {
     override def numRows(): java.util.OptionalLong =
@@ -226,7 +246,8 @@ private class ZngScan(files: Seq[String], splits: Option[Seq[String]],
   override def description(): String =
     s"graft zng (${files.length} files, ${required.fields.length} of " +
       s"${cleaned.fields.length + 1} columns" +
-      (if (prefilter.isDefined) ", frame prefilter" else "") + ")"
+      (if (prefilter.isDefined) ", frame prefilter" else "") +
+      (if (columnar) ", vectorized" else "") + ")"
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new FramesSkippedMetric, new FramesReadMetric)
   override def planInputPartitions(): Array[InputPartition] =
@@ -245,7 +266,7 @@ private class ZngScan(files: Seq[String], splits: Option[Seq[String]],
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZngReaderFactory(nsTime, cleaned, required, prefilter, confMap)
+    new ZngReaderFactory(nsTime, cleaned, required, prefilter, confMap, columnar)
 }
 
 /** count(*) pushdown: one partial-count row per file. Counts come free
@@ -288,15 +309,43 @@ private class ZngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs:
 
 private class ZngReaderFactory(nsTime: Boolean, cleaned: StructType,
     required: StructType, prefilter: Option[BufferFilter],
-    confMap: Map[String, String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    confMap: Map[String, String], columnar: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  private def bytesOf(partition: InputPartition): Array[Byte] = {
     val p = partition.asInstanceOf[ZngPartition]
-    val bytes =
-      if (p.length < 0) Gzip.maybeGunzip(HadoopFs.readAll(confMap, p.file))
-      else {
-        val rr = new HadoopFs.RangeReader(confMap, p.file)
-        try rr.read(p.start, p.length.toInt) finally rr.close()
-      }
+    if (p.length < 0) Gzip.maybeGunzip(HadoopFs.readAll(confMap, p.file))
+    else {
+      val rr = new HadoopFs.RangeReader(confMap, p.file)
+      try rr.read(p.start, p.length.toInt) finally rr.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val stats = new ZngIO.FrameStats
+    val (it, closeFn) =
+      ZngIO.decodeToColumnarBatches(bytesOf(partition), cleaned, required, nsTime,
+        prefilter, stats)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) batch = it.next(); h }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = closeFn()
+      override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+        new CustomTaskMetric {
+          override def name(): String = "framesSkipped"
+          override def value(): Long = stats.skipped
+        },
+        new CustomTaskMetric {
+          override def name(): String = "framesRead"
+          override def value(): Long = stats.read
+        })
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val bytes = bytesOf(partition)
     val stats = new ZngIO.FrameStats
     val it = ZngIO.decodeToInternalRows(bytes, cleaned, required, nsTime,
       prefilter, stats)

@@ -1862,6 +1862,236 @@ object ZngIO {
       def next(): InternalRow = { if (!hasNext) throw new NoSuchElementException; queue.next() }
     }
 
+  // ---- vectorized (ColumnarBatch) decoding ----------------------------------
+
+  /** Can a field of zed type `t` fill a column vector of `target`
+    * directly? (The plan-time eligibility gate for the vectorized scan —
+    * must stay in sync with vecAppender.)
+    */
+  private[sources] def vecSupported(t: graft.sources.ZType, target: DataType): Boolean =
+    ZType.strip(t) match {
+      case ZType.Prim("uint8") | ZType.Prim("uint16") | ZType.Prim("uint32") |
+           ZType.Prim("int8") | ZType.Prim("int16") | ZType.Prim("int32") |
+           ZType.Prim("int64") | ZType.Prim("duration") => target == LongType
+      case ZType.Prim("time") => target == LongType || target == TimestampType
+      case ZType.Prim("float16") | ZType.Prim("float32") | ZType.Prim("float64") =>
+        target == DoubleType
+      case ZType.Prim("bool") => target == BooleanType
+      case ZType.Prim("string") | ZType.Prim("ip") | ZType.Prim("net") =>
+        target == StringType
+      case ZType.Prim("bytes") => target == BinaryType
+      case ZType.Prim("null") => true
+      case ZType.EnumT(_) => target == StringType
+      case _ => false
+    }
+
+  private type WVec = org.apache.spark.sql.execution.vectorized.WritableColumnVector
+
+  /** Wire→column-vector appender for one primitive field: reads the tag
+    * and body off the cursor and appends ONE slot to `vec` — no boxing,
+    * no row object. None when the type needs the row path.
+    */
+  private def vecAppender(t0: ZT, target: DataType, vec: WVec,
+      nsTime: Boolean): Option[Cursor => Unit] = t0 match {
+    case ZNamed(_, inner) => vecAppender(inner, target, vec, nsTime)
+    case ZEnum(symbols) if target == StringType =>
+      val syms = symbols.map(_.getBytes("UTF-8")).toArray
+      Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val s = syms(unsignedOf(c.bytes((tag - 1).toInt)).toInt)
+          vec.appendByteArray(s, 0, s.length); ()
+        }
+      }
+    case ZPrim(id) => (id, target) match {
+      case (0 | 1 | 2, LongType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else { vec.appendLong(c.unsignedAt((tag - 1).toInt)); () }
+      }
+      case (6 | 7 | 8 | 9 | ID_DURATION, LongType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else { vec.appendLong(c.signedAt((tag - 1).toInt)); () }
+      }
+      case (ID_TIME, _) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val ns = c.signedAt((tag - 1).toInt)
+          vec.appendLong(if (nsTime) ns else Math.floorDiv(ns, 1000L)); ()
+        }
+      }
+      case (14, DoubleType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else { vec.appendDouble(halfToDouble(c.unsignedAt((tag - 1).toInt).toInt)); () }
+      }
+      case (ID_FLOAT32, DoubleType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else { vec.appendDouble(
+          java.lang.Float.intBitsToFloat(c.unsignedAt((tag - 1).toInt).toInt).toDouble); () }
+      }
+      case (ID_FLOAT64, DoubleType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else { vec.appendDouble(
+          java.lang.Double.longBitsToDouble(c.unsignedAt((tag - 1).toInt))); () }
+      }
+      case (ID_BOOL, BooleanType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val n = (tag - 1).toInt
+          val b = n > 0 && c.buf(c.pos) == 1
+          c.pos += n
+          vec.appendBoolean(b); ()
+        }
+      }
+      case (ID_STRING, StringType) | (ID_BYTES, BinaryType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val n = (tag - 1).toInt
+          vec.appendByteArray(c.buf, c.pos, n)
+          c.pos += n; ()
+        }
+      }
+      case (ID_IP, StringType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val s = ipText(c.bytes((tag - 1).toInt)).getBytes("UTF-8")
+          vec.appendByteArray(s, 0, s.length); ()
+        }
+      }
+      case (ID_NET, StringType) => Some { c =>
+        val tag = c.uvarint()
+        if (tag == 0) { vec.appendNull(); () }
+        else {
+          val b = c.bytes((tag - 1).toInt)
+          val addr = java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+          val mask = java.util.Arrays.copyOfRange(b, b.length / 2, b.length)
+          val s = (ipText(addr) + "/" + leadingOnes(mask)).getBytes("UTF-8")
+          vec.appendByteArray(s, 0, s.length); ()
+        }
+      }
+      case (ID_NULL, _) => Some { c =>
+        val tag = c.uvarint()
+        if (tag != 0) c.pos += (tag - 1).toInt
+        vec.appendNull(); ()
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Decode a stream straight into ColumnarBatches — the vectorized twin
+    * of decodeToInternalRows, used when every projected column is a
+    * primitive in every shape. Each record shape gets a per-type appender
+    * filling the column vectors (missing fields append null, the tag
+    * column appends the shape's constant bytes); batches span frames.
+    */
+  private[sources] def decodeToColumnarBatches(bytes: Array[Byte],
+      cleaned: StructType, required: StructType, nsTime: Boolean,
+      prefilter: Option[BufferFilter], stats: FrameStats, batchSize: Int = 4096)
+      : (Iterator[org.apache.spark.sql.vectorized.ColumnarBatch], () => Unit) = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val vectors = required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+    val tagIdx = required.fieldNames.indexOf(graft.operators.Het.typeTag)
+    val dataIdxs = required.fields.indices.filter(_ != tagIdx).toArray
+
+    val it = new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val c = new Cursor(bytes, 0)
+      private var types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+      private var frame: Cursor = null // current values frame (null = need next)
+      private val memo = scala.collection.mutable.HashMap.empty[ZT, Cursor => Unit]
+      private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+
+      private def appenderOf(t: ZT): Cursor => Unit = {
+        def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
+        val shapeText = ZType.fullText(zTypeOf(t))
+        val tagVal = shapeText.getBytes("UTF-8")
+        val nullTagVal = ZType.nullWrap(shapeText).getBytes("UTF-8")
+        stripNamed(t) match {
+          case ZRecord(fields) if fields.nonEmpty &&
+              fields.forall { case (n, _) => cleaned.fieldNames.contains(n) } =>
+            val acts: Array[Cursor => Unit] = fields.map { case (name, ft) =>
+              val out = required.fieldNames.indexOf(name)
+              if (out < 0) { (cc: Cursor) =>
+                val tag = cc.uvarint(); if (tag != 0) cc.pos += (tag - 1).toInt
+              } else vecAppender(ft, required.fields(out).dataType, vectors(out), nsTime)
+                .getOrElse(throw new IllegalStateException(
+                  s"zng vectorized scan on non-primitive field $name"))
+            }.toArray
+            val covered = fields.map(_._1).toSet
+            val absent = dataIdxs.filter(i => !covered.contains(required.fields(i).name))
+            cc => {
+              val tag = cc.uvarint()
+              if (tagIdx >= 0) {
+                val tv = if (tag == 0) nullTagVal else tagVal
+                vectors(tagIdx).appendByteArray(tv, 0, tv.length): Unit
+              }
+              if (tag == 0) {
+                var i = 0
+                while (i < dataIdxs.length) { vectors(dataIdxs(i)).appendNull(); i += 1 }
+              } else {
+                val inner = new Cursor(cc.buf, cc.pos)
+                cc.pos += (tag - 1).toInt
+                var i = 0
+                while (i < acts.length) { acts(i)(inner); i += 1 }
+                i = 0
+                while (i < absent.length) { vectors(absent(i)).appendNull(); i += 1 }
+              }
+            }
+          case other => throw new IllegalStateException(
+            s"zng vectorized scan on non-record shape: ${other.getClass.getSimpleName}")
+        }
+      }
+
+      private def advanceFrame(): Boolean = {
+        while ((frame == null || frame.done) && !c.done) {
+          val code = c.u8()
+          if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+          else readFrame(c, code) match {
+            case (0, payload) => parseTypedefs(payload, types)
+            case (1, payload) =>
+              if (prefilter.exists(!_.matches(payload, payload.length))) {
+                stats.skipped += 1; totalFramesSkipped.increment()
+              } else {
+                stats.read += 1; totalFramesRead.increment()
+                frame = new Cursor(payload, 0)
+              }
+            case (2, _) =>
+            case _ =>
+              throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+          }
+        }
+        frame != null && !frame.done
+      }
+
+      def hasNext: Boolean = advanceFrame()
+
+      def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        var j = 0
+        while (j < vectors.length) { vectors(j).reset(); j += 1 }
+        var n = 0
+        while (n < batchSize && advanceFrame()) {
+          val t = typeOfId(frame.uvarint().toInt)
+          memo.getOrElseUpdate(t, appenderOf(t))(frame)
+          n += 1
+        }
+        batch.setNumRows(n)
+        batch
+      }
+    }
+    (it, () => batch.close())
+  }
+
   /** Read a ZNG file or directory of part files into a typed DataFrame —
     * per-file typed decode on the executors (streams are self-contained,
     * so files distribute one task each), fused into the same

@@ -224,6 +224,52 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.zng.prefilter")
   }
 
+  test("vectorized zng scan matches the row reader, including het streams") {
+    val path = tmp("zng-vec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // two shapes + a top-level null record in ONE stream
+    val vals = (0 until 500).map { i =>
+      if (i % 5 == 0) s"""{a:$i,s:"x$i"}"""
+      else if (i % 5 == 1) s"""{a:$i(int32),d:${i % 7}.5,flag:${i % 2 == 0}}"""
+      else if (i % 17 == 0) "null({a:int64,s:string})"
+      else s"""{a:$i,s:null(string)}"""
+    }.map(l => graft.sources.ZsonParser.parseAll(l).head)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part.zng"),
+      ZngIO.encodeTypedStream(vals))
+    val vec = ZngIO.read(spark, path)
+    assert(vec.queryExecution.executedPlan.toString.contains("vectorized"),
+      vec.queryExecution.executedPlan.toString.take(600))
+    spark.conf.set("graft.zng.vectorized", "false")
+    val (rowPlan, rowData) =
+      try {
+        val row = ZngIO.read(spark, path)
+        (row.queryExecution.executedPlan.toString,
+          row.orderBy("a", "s", "d").collect().toSeq)
+      } finally spark.conf.unset("graft.zng.vectorized")
+    assert(!rowPlan.contains("vectorized"))
+    assert(vec.orderBy("a", "s", "d").collect().toSeq == rowData)
+    // tag column semantics survive vectorization (incl. null-record tags)
+    val tags = vec.groupBy("__type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keys.exists(_.startsWith("null(")), tags.keys.mkString(","))
+    assert(tags.values.sum == 500)
+  }
+
+  test("vectorized zng scan handles sub-microsecond times (ns carrier)") {
+    val path = tmp("zng-vec-ns")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val vals = Seq(
+      "{ts:2024-01-01T00:00:00.000000001Z,v:1}",
+      "{ts:2024-01-01T00:00:00.5Z,v:2}")
+      .map(l => graft.sources.ZsonParser.parseAll(l).head)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "p.zng"),
+      ZngIO.encodeTypedStream(vals))
+    val back = ZngIO.read(spark, path)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val tss = back.orderBy("v").select("ts").collect().map(_.getLong(0)).toSeq
+    assert(tss.head % 1000L == 1L)
+  }
+
   test("a huge multi-stream file splits at EOS boundaries across tasks") {
     val path = tmp("split")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
