@@ -253,6 +253,21 @@ object Bench {
       timeSearch("search_zng", enabled = true),
       timeSearch("search_zng_nofilter", enabled = false))
 
+    // full scan over ZNG input — the apples-to-apples twin of BASELINE's
+    // scan_all (zq reads zng): read + typed decode of every row/column
+    // through the vectorized DSv2 scan, no write-side cost (noop sink)
+    val scanZng = {
+      def run(): Unit = runOnce(graft.sources.ZngIO.read(spark, zngDir))
+      run() // warm
+      val dt = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      System.gc()
+      Seq("scan_zng" -> dt)
+    }
+
     // columnar projection over VNG — the segment-pruning axis: the DSv2
     // scan fetches only the projected column's segments (positioned
     // reads); the _noprune twin is the full-decode fallback reading and
@@ -278,7 +293,7 @@ object Bench {
       timeVngCut("cut_vng_noprune", prune = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults ++ searchResults ++ vngResults
+    val results = headlineResults ++ ingestResults ++ searchResults ++ scanZng ++ vngResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
