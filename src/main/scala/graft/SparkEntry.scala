@@ -660,13 +660,17 @@ object SparkEntry {
     ("q_media_headers", (s, dir) => {
       val mkJpeg = udf((w: Int, h: Int) => MultimodalOps.makeJpeg(w, h))
       val mkWav = udf((r: Int, c: Int) => MultimodalOps.makeWav(r, c, 16, r / 2))
+      val mkMp4 = udf((w: Int, h: Int, d: Int) => MultimodalOps.makeMp4(w, h, d))
       val docs = t(s, dir, "documents").select(
         col("doc_id"),
-        when(col("doc_id") % 2 === 0,
+        when(col("doc_id") % 3 === 0,
           mkJpeg((col("doc_id") % 300 + 16).cast("int"), (col("doc_id") % 200 + 16).cast("int")))
-          .otherwise(
+          .when(col("doc_id") % 3 === 1,
             mkWav((lit(8000) + (col("doc_id") % 8) * 1000).cast("int"),
-              (col("doc_id") % 2 + 1).cast("int"))).as("media"))
+              (col("doc_id") % 2 + 1).cast("int")))
+          .otherwise(
+            mkMp4((col("doc_id") % 640 + 32).cast("int"), (col("doc_id") % 360 + 32).cast("int"),
+              (col("doc_id") % 5000 + 1000).cast("int"))).as("media"))
       ZedOps.sort(
         MultimodalOps.mediaHeaders(docs, "doc_id", "media")
           .select(col("doc_id"), col("format"), col("width"), col("height"),
@@ -675,12 +679,15 @@ object SparkEntry {
         col("doc_id") -> true)
     },
       Some("""SELECT doc_id,
-             |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'wav' END AS format,
-             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 300 + 16 AS INT) ELSE 0 END AS width,
-             |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 200 + 16 AS INT) ELSE 0 END AS height,
-             |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) ELSE 0 END AS sample_rate,
-             |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 2 + 1 AS INT) ELSE 0 END AS channels,
-             |  CASE WHEN doc_id % 2 = 1 THEN 500.0 ELSE 0.0 END AS duration_ms
+             |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+             |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 300 + 16 AS INT)
+             |       WHEN doc_id % 3 = 2 THEN CAST(doc_id % 640 + 32 AS INT) ELSE 0 END AS width,
+             |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 200 + 16 AS INT)
+             |       WHEN doc_id % 3 = 2 THEN CAST(doc_id % 360 + 32 AS INT) ELSE 0 END AS height,
+             |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) ELSE 0 END AS sample_rate,
+             |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) ELSE 0 END AS channels,
+             |  CASE WHEN doc_id % 3 = 1 THEN 500.0
+             |       WHEN doc_id % 3 = 2 THEN CAST(doc_id % 5000 + 1000 AS DOUBLE) ELSE 0.0 END AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ==== scalar function library (graft.functions; ref function/function.go) ====

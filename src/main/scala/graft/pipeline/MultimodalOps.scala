@@ -88,9 +88,97 @@ object MultimodalOps {
     Some(MediaHeader("wav", 0, 0, 0, rate, channels, bits, durMs))
   }
 
+  /** MP4 / ISO-BMFF header parse: walk the box tree (u32 big-endian size
+    * + 4cc type) to moov → mvhd (timescale + duration, v0/v1) and
+    * trak → tkhd (track width/height as 16.16 fixed-point). Real
+    * container bytes, no codec decode.
+    */
+  def parseMp4Header(b: Array[Byte]): Option[MediaHeader] = {
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(4) != "ftyp") return None
+    var timescale = 0L; var duration = 0L; var w = 0; var h = 0
+    def walk(start: Long, end: Long): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i.toInt)
+        val tp = tag(i.toInt + 4)
+        val boxEnd = if (size == 0) end else i + size
+        if (size != 0 && size < 8) return // corrupt — stop walking
+        val p = i.toInt + 8 // payload offset
+        tp match {
+          case "moov" => walk(i + 8, boxEnd)
+          case "trak" => walk(i + 8, boxEnd)
+          case "mvhd" if p < b.length =>
+            val v = b(p) & 0xff
+            if (v == 1 && p + 32 <= b.length) {
+              timescale = be32(p + 20); duration = be64(p + 24)
+            } else if (p + 20 <= b.length) {
+              timescale = be32(p + 12); duration = be32(p + 16)
+            }
+          case "tkhd" if p < b.length =>
+            val v = b(p) & 0xff
+            val wOff = if (v == 1) p + 88 else p + 76
+            if (wOff + 8 <= b.length) {
+              w = (be32(wOff) >> 16).toInt
+              h = (be32(wOff + 4) >> 16).toInt
+            }
+          case _ =>
+        }
+        if (boxEnd <= i) return
+        i = boxEnd
+      }
+    }
+    walk(0L, b.length.toLong)
+    if (timescale == 0 && w == 0) return None
+    val durMs = if (timescale > 0) duration.toDouble * 1000.0 / timescale.toDouble else 0.0
+    Some(MediaHeader("mp4", w, h, 0, 0, 0, 0, durMs))
+  }
+
   def parseHeader(b: Array[Byte]): MediaHeader =
-    parseJpegHeader(b).orElse(parseWavHeader(b))
+    parseJpegHeader(b).orElse(parseWavHeader(b)).orElse(parseMp4Header(b))
       .getOrElse(MediaHeader("unknown", 0, 0, 0, 0, 0, 0, 0.0))
+
+  /** Minimal real MP4 (ftyp + moov(mvhd + trak(tkhd)) + mdat) — fixture
+    * builder; timescale 1000 so duration units are milliseconds.
+    */
+  def makeMp4(w: Int, h: Int, durationMs: Int): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length)
+      out.put(tp.getBytes("US-ASCII"))
+      out.put(payload)
+      out.array()
+    }
+    val mvhd = ByteBuffer.allocate(100)
+    mvhd.putInt(0) // version 0 + flags
+    mvhd.putInt(0); mvhd.putInt(0) // ctime, mtime
+    mvhd.putInt(1000) // timescale: ms
+    mvhd.putInt(durationMs)
+    mvhd.putInt(0x00010000); mvhd.putShort(0x0100.toShort) // rate, volume
+    mvhd.position(mvhd.position() + 10) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(mvhd.putInt)
+    mvhd.position(mvhd.position() + 24) // pre_defined
+    mvhd.putInt(2) // next track id
+    val tkhd = ByteBuffer.allocate(84)
+    tkhd.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+    tkhd.putInt(0); tkhd.putInt(0) // ctime, mtime
+    tkhd.putInt(1); tkhd.putInt(0) // track id, reserved
+    tkhd.putInt(durationMs)
+    tkhd.position(tkhd.position() + 16) // reserved, layer, altgroup, volume, reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(tkhd.putInt)
+    tkhd.putInt(w << 16); tkhd.putInt(h << 16) // 16.16 fixed
+    val ftypPayload = ByteBuffer.allocate(12)
+    ftypPayload.put("isom".getBytes("US-ASCII")); ftypPayload.putInt(0)
+    ftypPayload.put("isom".getBytes("US-ASCII"))
+    box("ftyp", ftypPayload.array()) ++
+      box("moov", box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array()))) ++
+      box("mdat", Array.tabulate[Byte](32)(i => (i * 7).toByte))
+  }
 
   /** Minimal real JPEG container (SOI + JFIF APP0 + SOF0 + EOI) — fixture
     * builder for tests and the synthetic media column.

@@ -947,6 +947,28 @@ object VngIO {
     ZsonReader.frameSchema(shapes, tag = true, metas.exists(_.ns))._2
   }
 
+  /** Structured-Streaming source over a growing directory of VNG
+    * objects — the columnar twin of ZngIO.readStream: schema locks from
+    * the files present at start, each newly-landed object decodes
+    * executor-side into the locked frame.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = read(spark, path).schema
+    val cleaned = StructType(schema.fields.filterNot(_.name == graft.operators.Het.typeTag))
+    spark.readStream.format("binaryFile")
+      .schema(new StructType()
+        .add("path", StringType).add("modificationTime", TimestampType)
+        .add("length", LongType).add("content", BinaryType))
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes))
+        .map(v => ZsonReader.rowOf(v, cleaned, tag = true)))(
+        org.apache.spark.sql.Encoders.row(schema))
+      .toDF()
+  }
+
   /** Read a VNG file or directory of part files into the typed frame.
     *
     * Discovery is METADATA-ONLY (header + metadata section per file, plus

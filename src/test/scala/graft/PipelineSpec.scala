@@ -128,6 +128,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(bySource.getOrElse("web", 0L).toDouble / orig("web") - 0.2) < 0.15)
   }
 
+  test("MP4 container headers parse exactly (mvhd duration, tkhd dims)") {
+    val bytes = MultimodalOps.makeMp4(1920, 1080, 4250)
+    val h = MultimodalOps.parseHeader(bytes)
+    assert(h.format == "mp4" && h.width == 1920 && h.height == 1080)
+    assert(math.abs(h.durationMs - 4250.0) < 1e-9)
+    // jpeg/wav magic still wins on their own bytes
+    assert(MultimodalOps.parseHeader(MultimodalOps.makeJpeg(64, 48)).format == "jpeg")
+    // truncated / corrupt boxes degrade to unknown, never throw
+    assert(MultimodalOps.parseHeader(bytes.take(10)).format == "unknown")
+    assert(MultimodalOps.parseHeader(Array.fill[Byte](64)(0x41)).format == "unknown")
+  }
+
   test("token-window chunking covers every token with the stated overlap") {
     val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
       .toDF("id", "text")

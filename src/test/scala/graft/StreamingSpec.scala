@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("VngIO.readStream tails a growing vng directory") {
+    import graft.sources.VngIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-vngstream").toString + "/objs"
+    val a = spark.range(0, 60).selectExpr("id", "concat('u', id) as s").coalesce(1)
+    VngIO.write(a, dir)
+    val q = VngIO.readStream(spark, dir)
+      .writeStream.format("memory").queryName("vng_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from vng_tail").count() == 60)
+      val late = VngIO.encodeObject(
+        (60 until 90).map(i => graft.sources.ZsonParser.parseAll(
+          s"""{id:$i,s:"u$i"}""").head).iterator)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "late.vng"), late)
+      q.processAllAvailable()
+      assert(spark.sql("select * from vng_tail").count() == 90)
+      assert(spark.sql("select max(id) from vng_tail").collect()(0).getLong(0) == 89)
+    } finally q.stop()
+  }
+
   test("dedupStream drops exact duplicates within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
