@@ -1405,7 +1405,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
         case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))
         case "any" => return first(guarded(c), ignoreNulls = true)
-        case "dcount" => return approx_count_distinct(guarded(c))
+        case "dcount" => return approx_count_distinct(guarded(c), 0.01)
         case "count_distinct" => return count_distinct(guarded(c))
         case "collect" => return collect_list(guarded(value))
         case "union" => return sort_array(collect_set(guarded(value)))
@@ -1419,7 +1419,7 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "min" => min(guarded(base.get))
       case "max" => max(guarded(base.get))
       case "any" => first(guarded(base.get), ignoreNulls = true)
-      case "dcount" => approx_count_distinct(guarded(base.get))
+      case "dcount" => approx_count_distinct(guarded(base.get), 0.01)
       case "count_distinct" => count_distinct(guarded(base.get))
       case "collect" => collect_list(guarded(base.get))
       case "union" =>

@@ -743,6 +743,9 @@ object VngIO {
          Prim("bool") | Prim("string") | Prim("bytes") |
          Prim("ip") | Prim("net") => true
     case EnumT(_) => true
+    // arrays of vectorizable elements fill the child vector (embeddings!);
+    // SETS are excluded — their row-path decode normalizes element order
+    case Arr(e) => vectorizableType(e)
     case _ => false
   }
 
@@ -839,26 +842,57 @@ object VngIO {
     }
   }
 
-  /** A converted-constant append closure (Const columns, dict entries). */
+  /** Appender for an already-converted EXTERNAL value (Const columns,
+    * dict entries) — recursive so constant arrays fill the child vector.
+    */
+  private def extAppender(target: org.apache.spark.sql.types.DataType): (WVec, Any) => Unit =
+    target match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        val sub = extAppender(et)
+        (v, x) => {
+          val s = x.asInstanceOf[scala.collection.Seq[Any]]
+          v.appendArray(s.length): Unit
+          val child = v.arrayData()
+          s.foreach(e => if (e == null) { child.appendNull(); () } else sub(child, e))
+        }
+      case _ => (v, x) => x match {
+        case n: java.lang.Long => v.appendLong(n): Unit
+        case d: java.lang.Double => v.appendDouble(d): Unit
+        case b: java.lang.Boolean => v.appendBoolean(b): Unit
+        case s: String =>
+          val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          v.appendByteArray(bs, 0, bs.length): Unit
+        case bs: Array[Byte] => v.appendByteArray(bs, 0, bs.length): Unit
+        case ts: java.sql.Timestamp =>
+          val inst = ts.toInstant
+          v.appendLong(Math.addExact(
+            Math.multiplyExact(inst.getEpochSecond, 1000000L),
+            (inst.getNano / 1000).toLong)): Unit
+        case other =>
+          throw new IllegalStateException(s"vng vectorized const: ${other.getClass}")
+      }
+    }
+
   private def constApp(value: ZValue,
       target: org.apache.spark.sql.types.DataType): WVec => Unit = {
     val ext = ZValue.toExternal(value, target)
-    ext match {
-      case null => v => { v.appendNull(); () }
-      case n: java.lang.Long => v => { v.appendLong(n); () }
-      case d: java.lang.Double => v => { v.appendDouble(d); () }
-      case b: java.lang.Boolean => v => { v.appendBoolean(b); () }
-      case s: String =>
-        val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        v => { v.appendByteArray(bs, 0, bs.length); () }
-      case bs: Array[Byte] => v => { v.appendByteArray(bs, 0, bs.length); () }
-      case ts: java.sql.Timestamp =>
-        val inst = ts.toInstant
-        val micros = Math.addExact(
-          Math.multiplyExact(inst.getEpochSecond, 1000000L), (inst.getNano / 1000).toLong)
-        v => { v.appendLong(micros); () }
-      case other =>
-        throw new IllegalStateException(s"vng vectorized const: ${other.getClass}")
+    if (ext == null) v => { v.appendNull(); () }
+    else {
+      val app = extAppender(target)
+      v => app(v, ext)
+    }
+  }
+
+  /** Array column: lengths segment drives appendArray; elements fill the
+    * parent's child vector (offset bookkeeping is appendArray's).
+    */
+  private final class ArrayVFill(lengths: Int64Rd, elem: VFill) extends VFill {
+    def append(v: WVec): Unit = {
+      val n = lengths.next().toInt
+      v.appendArray(n): Unit
+      val child = v.arrayData()
+      var i = 0
+      while (i < n) { elem.append(child); i += 1 }
     }
   }
 
@@ -868,6 +902,12 @@ object VngIO {
     case MNulls(runs, values, _) =>
       new NullsVFill(new Int64Rd(fetch(runs)), vecFill(values, fetch, target))
     case MConst(v, _) => new ConstVFill(constApp(v, target))
+    case MArray(_, lens, values, false) =>
+      val et = target match {
+        case org.apache.spark.sql.types.ArrayType(e, _) => e
+        case other => throw new IllegalStateException(s"vng array fill into $other")
+      }
+      new ArrayVFill(new Int64Rd(fetch(lens)), vecFill(values, fetch, et))
     case MPrim(t, loc, dict, _) if dict.nonEmpty =>
       new DictVFill(fetch(loc), dict.map { case (v, _) => constApp(v, target) }.toArray)
     case MPrim(t, loc, _, _) => new PrimVFill(new ZngIO.Cursor(fetch(loc), 0), t, target)

@@ -176,15 +176,19 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.range(0, 1000).selectExpr(
       "id",
       "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s",
-      "CASE WHEN id % 7 = 0 THEN NULL ELSE cast(id as double)/3 END AS d")
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE cast(id as double)/3 END AS d",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE array(id, id * 2) END AS ar")
     val path = tmp("vng-vec-null")
     VngIO.write(df, path)
     val back = VngIO.read(spark, path)
     assert(back.queryExecution.executedPlan.toString.contains("vectorized"))
     assert(back.filter(col("s").isNull).count() == df.filter(col("s").isNull).count())
     assert(back.filter(col("d").isNull).count() == df.filter(col("d").isNull).count())
-    val a = back.agg(sum("d"), count("s")).collect()(0)
-    val b = df.agg(sum("d"), count("s")).collect()(0)
+    assert(back.filter(col("ar").isNull).count() == df.filter(col("ar").isNull).count())
+    val a = back.agg(sum("d"), count("s"),
+      sum(element_at(col("ar"), 2))).collect()(0)
+    val b = df.agg(sum("d"), count("s"),
+      sum(element_at(col("ar"), 2))).collect()(0)
     assert(a == b)
   }
 
@@ -226,6 +230,9 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = tmp("vng-emb")
     VngIO.write(emb, path)
     val back = VngIO.read(spark, path)
+    // float-array columns take the vectorized path (ArrayVFill)
+    assert(back.queryExecution.executedPlan.toString.contains("vectorized"),
+      back.queryExecution.executedPlan.toString.take(600))
     val s1 = back.select(sum(aggregate(col("embedding"), lit(0.0), (a, x) => a + x)))
       .collect()(0).getDouble(0)
     val s2 = emb.select(sum(aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x)))
