@@ -1882,6 +1882,12 @@ object ZngIO {
       case ZType.Prim("bytes") => target == BinaryType
       case ZType.Prim("null") => true
       case ZType.EnumT(_) => target == StringType
+      // arrays of vectorizable elements (zeek vector columns); SETS keep
+      // the row path — their decode normalizes element order
+      case ZType.Arr(e) => target match {
+        case ArrayType(et, _) => vecSupported(e, et)
+        case _ => false
+      }
       case _ => false
     }
 
@@ -1983,6 +1989,29 @@ object ZngIO {
         if (tag != 0) c.pos += (tag - 1).toInt
         vec.appendNull(); ()
       }
+      case _ => None
+    }
+    case ZArray(e) => target match {
+      case ArrayType(et, _) =>
+        // elements fill the child vector; the wire carries no length, so
+        // a tag-skip pre-pass counts elements for appendArray's offsets
+        vecAppender(e, et, vec.arrayData(), nsTime).map { elemApp => (c: Cursor) =>
+          val tag = c.uvarint()
+          if (tag == 0) { vec.appendNull(); () }
+          else {
+            val body = new Cursor(c.bytes((tag - 1).toInt), 0)
+            val probe = new Cursor(body.buf, 0)
+            var n = 0
+            while (!probe.done) {
+              val t2 = probe.uvarint()
+              if (t2 != 0) probe.pos += (t2 - 1).toInt
+              n += 1
+            }
+            vec.appendArray(n): Unit
+            var i = 0
+            while (i < n) { elemApp(body); i += 1 }
+          }
+        }
       case _ => None
     }
     case _ => None

@@ -255,6 +255,21 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tags.values.sum == 500)
   }
 
+  test("vectorized zng scan handles array columns (zeek vector shape)") {
+    val path = tmp("zng-vec-arr")
+    val df = spark.range(0, 2000).selectExpr(
+      "id",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE array(id, id * 2, id * 3) END AS vs",
+      "concat('h', id) AS s")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path)
+    assert(back.queryExecution.executedPlan.toString.contains("vectorized"),
+      back.queryExecution.executedPlan.toString.take(600))
+    assert(back.filter(col("vs").isNull).count() == 400)
+    assert(back.agg(sum(element_at(col("vs"), 3))).collect()(0).getLong(0) ==
+      df.agg(sum(element_at(col("vs"), 3))).collect()(0).getLong(0))
+  }
+
   test("vectorized zng scan handles sub-microsecond times (ns carrier)") {
     val path = tmp("zng-vec-ns")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
