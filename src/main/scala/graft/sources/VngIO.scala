@@ -746,13 +746,27 @@ object VngIO {
     // arrays of vectorizable elements fill the child vector (embeddings!);
     // SETS are excluded — their row-path decode normalizes element order
     case Arr(e) => vectorizableType(e)
+    // nested records fill struct child vectors (zeek's id record)
+    case Rec(fs) => fs.nonEmpty && fs.forall { case (_, ft) => vectorizableType(ft) }
     case _ => false
   }
 
   private type WVec = org.apache.spark.sql.execution.vectorized.WritableColumnVector
 
   /** One value appended per call — the column-vector twin of Rd. */
-  private sealed trait VFill { def append(v: WVec): Unit }
+  private sealed trait VFill {
+    def append(v: WVec): Unit
+    /** Null append — struct vectors must use appendStruct(true) so child
+      * slots stay aligned; everything else uses the plain null append.
+      */
+    def appendNull(v: WVec): Unit = { v.appendNull(); () }
+  }
+
+  private def appendNullFor(v: WVec, target: org.apache.spark.sql.types.DataType): Unit =
+    target match {
+      case _: org.apache.spark.sql.types.StructType => v.appendStruct(true): Unit
+      case _ => v.appendNull(): Unit
+    }
 
   private final class NullsVFill(runs: Int64Rd, inner: VFill) extends VFill {
     private var left = runs.next() // values first (nulls.go)
@@ -760,8 +774,26 @@ object VngIO {
     def append(v: WVec): Unit = {
       while (left == 0) { left = runs.next(); inNull = !inNull }
       left -= 1
-      if (inNull) { v.appendNull(); () } else inner.append(v)
+      if (inNull) inner.appendNull(v) else inner.append(v)
     }
+    override def appendNull(v: WVec): Unit = inner.appendNull(v)
+  }
+
+  /** Struct column: children fill positionally (by-name match against
+    * the target struct; unmatched target fields stay null).
+    */
+  private final class StructVFill(subs: Array[(Int, VFill)],
+      nullIdxs: Array[(Int, org.apache.spark.sql.types.DataType)]) extends VFill {
+    def append(v: WVec): Unit = {
+      v.appendStruct(false): Unit
+      var i = 0
+      while (i < subs.length) { subs(i)._2.append(v.getChild(subs(i)._1)); i += 1 }
+      i = 0
+      while (i < nullIdxs.length) {
+        appendNullFor(v.getChild(nullIdxs(i)._1), nullIdxs(i)._2); i += 1
+      }
+    }
+    override def appendNull(v: WVec): Unit = { v.appendStruct(true); () }
   }
 
   private final class ConstVFill(app: WVec => Unit) extends VFill {
@@ -772,12 +804,13 @@ object VngIO {
     * dict; entries pre-convert once.
     */
   private final class DictVFill(bytes: Array[Byte],
-      entries: Array[WVec => Unit]) extends VFill {
+      entries: Array[WVec => Unit],
+      target: org.apache.spark.sql.types.DataType) extends VFill {
     private var i = 0
     def append(v: WVec): Unit = {
       val idx = bytes(i) & 0xff
       i += 1
-      if (idx < entries.length) entries(idx)(v) else { v.appendNull(); () }
+      if (idx < entries.length) entries(idx)(v) else appendNullFor(v, target)
     }
   }
 
@@ -855,6 +888,19 @@ object VngIO {
           val child = v.arrayData()
           s.foreach(e => if (e == null) { child.appendNull(); () } else sub(child, e))
         }
+      case st: org.apache.spark.sql.types.StructType =>
+        val subs = st.fields.map(f => extAppender(f.dataType))
+        (v, x) => {
+          val r = x.asInstanceOf[org.apache.spark.sql.Row]
+          v.appendStruct(false): Unit
+          var i = 0
+          while (i < subs.length) {
+            val e = r.get(i)
+            val c = v.getChild(i)
+            if (e == null) appendNullFor(c, st.fields(i).dataType) else subs(i)(c, e)
+            i += 1
+          }
+        }
       case _ => (v, x) => x match {
         case n: java.lang.Long => v.appendLong(n): Unit
         case d: java.lang.Double => v.appendDouble(d): Unit
@@ -876,7 +922,7 @@ object VngIO {
   private def constApp(value: ZValue,
       target: org.apache.spark.sql.types.DataType): WVec => Unit = {
     val ext = ZValue.toExternal(value, target)
-    if (ext == null) v => { v.appendNull(); () }
+    if (ext == null) v => appendNullFor(v, target)
     else {
       val app = extAppender(target)
       v => app(v, ext)
@@ -908,8 +954,24 @@ object VngIO {
         case other => throw new IllegalStateException(s"vng array fill into $other")
       }
       new ArrayVFill(new Int64Rd(fetch(lens)), vecFill(values, fetch, et))
+    case MRecord(_, fields) =>
+      val st = target match {
+        case x: org.apache.spark.sql.types.StructType => x
+        case other => throw new IllegalStateException(s"vng struct fill into $other")
+      }
+      val byName = fields.toMap
+      val subs = Vector.newBuilder[(Int, VFill)]
+      val nulls = Vector.newBuilder[(Int, org.apache.spark.sql.types.DataType)]
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        byName.get(f.name) match {
+          case Some(m) => subs += ((i, vecFill(m, fetch, f.dataType)))
+          case None => nulls += ((i, f.dataType))
+        }
+      }
+      new StructVFill(subs.result().toArray, nulls.result().toArray)
     case MPrim(t, loc, dict, _) if dict.nonEmpty =>
-      new DictVFill(fetch(loc), dict.map { case (v, _) => constApp(v, target) }.toArray)
+      new DictVFill(fetch(loc),
+        dict.map { case (v, _) => constApp(v, target) }.toArray, target)
     case MPrim(t, loc, _, _) => new PrimVFill(new ZngIO.Cursor(fetch(loc), 0), t, target)
     case other => throw new IllegalStateException(
       s"vng vectorized fill on non-primitive meta: ${other.getClass.getSimpleName}")

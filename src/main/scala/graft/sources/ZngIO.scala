@@ -1888,6 +1888,15 @@ object ZngIO {
         case ArrayType(et, _) => vecSupported(e, et)
         case _ => false
       }
+      // nested records fill struct child vectors (zeek's id record);
+      // field order is positional on the wire, so names must line up
+      case ZType.Rec(fs) => target match {
+        case st: StructType => fs.nonEmpty && fs.length == st.fields.length &&
+          fs.zip(st.fields.toIndexedSeq).forall { case ((n, ft), sf) =>
+            n == sf.name && vecSupported(ft, sf.dataType)
+          }
+        case _ => false
+      }
       case _ => false
     }
 
@@ -2010,6 +2019,29 @@ object ZngIO {
             vec.appendArray(n): Unit
             var i = 0
             while (i < n) { elemApp(body); i += 1 }
+          }
+        }
+      case _ => None
+    }
+    case ZRecord(fields) => target match {
+      case st: StructType if fields.length == st.fields.length &&
+          fields.iterator.map(_._1).sameElements(st.fields.iterator.map(_.name)) =>
+        val subs = fields.zip(st.fields.toIndexedSeq).zipWithIndex.map {
+          case (((_, ft), sf), i) => vecAppender(ft, sf.dataType, vec.getChild(i), nsTime)
+        }
+        if (subs.exists(_.isEmpty)) None
+        else {
+          val apps = subs.map(_.get).toArray
+          Some { c =>
+            val tag = c.uvarint()
+            if (tag == 0) { vec.appendStruct(true); () }
+            else {
+              val inner = new Cursor(c.buf, c.pos)
+              c.pos += (tag - 1).toInt
+              vec.appendStruct(false): Unit
+              var i = 0
+              while (i < apps.length) { apps(i)(inner); i += 1 }
+            }
           }
         }
       case _ => None

@@ -155,20 +155,27 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
-  test("columnar scan falls back to rows when a projection needs containers") {
+  test("vectorized scan covers nested structs; maps/unions fall back") {
     val df = GraftSession.table(spark, dir, "orders").limit(100)
       .select(col("o_orderkey"),
-        struct(col("o_totalprice")).as("info"))
-    val path = tmp("vng-vec-fb")
+        struct(col("o_totalprice"), struct(col("o_custkey")).as("deep")).as("info"))
+    val path = tmp("vng-vec-struct")
     VngIO.write(df, path)
-    val q = VngIO.read(spark, path).select(col("o_orderkey"), col("info"))
-    assert(!q.queryExecution.executedPlan.toString.contains("vectorized"))
-    assert(q.count() == 100)
-    // a primitive-only projection of the SAME file vectorizes
-    val p = VngIO.read(spark, path).select(col("o_orderkey"))
-    assert(p.queryExecution.executedPlan.toString.contains("vectorized"))
-    assert(p.agg(sum("o_orderkey")).collect()(0).getLong(0) ==
-      df.agg(sum("o_orderkey")).collect()(0).getLong(0))
+    val q = VngIO.read(spark, path)
+    // struct columns vectorize (StructVFill fills the child vectors)
+    assert(q.queryExecution.executedPlan.toString.contains("vectorized"),
+      q.queryExecution.executedPlan.toString.take(600))
+    assert(q.agg(sum("info.deep.o_custkey")).collect()(0).getLong(0) ==
+      df.agg(sum("info.deep.o_custkey")).collect()(0).getLong(0))
+    // a MAP column keeps the row path
+    val mdf = GraftSession.table(spark, dir, "orders").limit(50)
+      .select(col("o_orderkey"),
+        map(lit("p"), col("o_totalprice")).as("m"))
+    val mpath = tmp("vng-vec-map")
+    VngIO.write(mdf, mpath)
+    val mq = VngIO.read(spark, mpath)
+    assert(!mq.queryExecution.executedPlan.toString.contains("vectorized"))
+    assert(mq.count() == 50)
   }
 
   test("vectorized scan handles null runs exactly") {

@@ -270,6 +270,25 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.agg(sum(element_at(col("vs"), 3))).collect()(0).getLong(0))
   }
 
+  test("vectorized zng scan handles nested records (zeek id record shape)") {
+    val path = tmp("zng-vec-struct")
+    val df = spark.range(0, 2000).selectExpr(
+      "id",
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE " +
+        "named_struct('orig_h', concat('10.0.0.', id % 250), 'orig_p', id % 65536, " +
+        "'deep', named_struct('x', id * 2)) END AS conn",
+      "concat('u', id) AS s")
+    ZngIO.write(df, path)
+    val back = ZngIO.read(spark, path)
+    assert(back.queryExecution.executedPlan.toString.contains("vectorized"),
+      back.queryExecution.executedPlan.toString.take(600))
+    assert(back.filter(col("conn").isNull).count() == 500)
+    assert(back.agg(sum("conn.deep.x")).collect()(0).getLong(0) ==
+      df.agg(sum("conn.deep.x")).collect()(0).getLong(0))
+    assert(back.filter(col("conn.orig_h") === "10.0.0.7").count() ==
+      df.filter(col("conn.orig_h") === "10.0.0.7").count())
+  }
+
   test("vectorized zng scan handles sub-microsecond times (ns carrier)") {
     val path = tmp("zng-vec-ns")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
