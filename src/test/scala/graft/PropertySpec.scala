@@ -84,6 +84,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vectorized and row scans agree on randomized schemas (zng + vng)") {
+    val spark = GraftSession.local(4)
+    import org.apache.spark.sql.functions.col
+    def randExpr(rnd: scala.util.Random, j: Int): String = {
+      val nullEvery = rnd.nextInt(6) + 2 // every column gets a null stripe
+      val base = rnd.nextInt(6) match {
+        case 0 => "id * 3"
+        case 1 => "cast(id as double) / 7"
+        case 2 => "id % 2 = 0"
+        case 3 => s"concat('v', id % ${rnd.nextInt(97) + 3})"
+        case 4 => "array(id, id * 2)"
+        case 5 => "named_struct('p', id % 13, 'q', concat('s', id))"
+      }
+      s"CASE WHEN id % $nullEvery = 0 THEN NULL ELSE $base END AS c$j"
+    }
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val ncols = rnd.nextInt(5) + 1
+      val df = spark.range(0, 700)
+        .selectExpr("id" +: (0 until ncols).map(j => randExpr(rnd, j)): _*)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-prop-$seed").toString
+      graft.sources.ZngIO.write(df, s"$tmp/z")
+      graft.sources.VngIO.write(df, s"$tmp/v")
+      def rows(read: => org.apache.spark.sql.DataFrame): Seq[String] =
+        read.orderBy(col("id")).drop("__type").collect().map(_.toString).toSeq
+      for ((flag, path) <- Seq("graft.zng.vectorized" -> s"$tmp/z",
+                               "graft.vng.vectorized" -> s"$tmp/v")) {
+        def read() =
+          if (path.endsWith("/z")) graft.sources.ZngIO.read(spark, path)
+          else graft.sources.VngIO.read(spark, path)
+        val vec = rows(read())
+        spark.conf.set(flag, "false")
+        val row = try rows(read()) finally spark.conf.unset(flag)
+        assert(vec == row, s"seed=$seed $flag: vectorized != row path")
+        assert(vec.length == 700, s"seed=$seed $flag: ${vec.length} rows")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("parser never hangs or crashes the JVM on malformed inputs") {
     val junk = Seq(
       "from", "from |", "| where", "from t | cut", "from t | summarize by",
