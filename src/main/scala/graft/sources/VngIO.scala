@@ -1104,6 +1104,9 @@ object VngIO {
       val scanned = spark.sparkContext.parallelize(missing, missing.length)
         .map { case (p, len, mt) => (p, scanFileMeta(conf, p, len, mt)) }
         .collect()
+      // bound the cache for long-lived sessions (service): a full clear
+      // is safe — entries rebuild from one metadata pass on next touch
+      if (metaCache.size > 200000) metaCache.clear()
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
     val metas = statuses.map { case (p, _, _) => metaCache.get(p) }

@@ -2247,6 +2247,9 @@ object ZngIO {
           val streams = if (gz) Vector(0L) else streamOffsets(bytes)
           (p, FileMeta(len, mt, shapes.toVector, count, fileNs, streams, gz))
         }.collect()
+      // bound the cache for long-lived sessions (service): a full clear
+      // is safe — entries rebuild from one metadata pass on next touch
+      if (metaCache.size > 200000) metaCache.clear()
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
     // merge per-file results in file order — exact global
