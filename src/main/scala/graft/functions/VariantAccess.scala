@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Het
@@ -270,6 +270,57 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VariantGetField =
     copy(v = newLeft, key = newRight)
+}
+
+/** Chained field access collapsed to one deep-path lookup:
+  * `get(get(v,"o"),"a").<ord>` becomes a single scan of v's `d` cache
+  * for "o␀a" (see VariantAccess.deepFieldAt — misses fall back to the
+  * folded chain). Built by CollapseVariantAccess from literal-keyed
+  * chains of any depth.
+  */
+case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = path
+  override def dataType: DataType = Het.variantType.fields(ordinal).dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"variant_deep_$ordinal"
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.deepFieldAt(
+      v.eval(input).asInstanceOf[InternalRow],
+      path.eval(input).asInstanceOf[UTF8String], ordinal)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val pCode = path.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val boxed = cg.boxedType(dataType)
+    val javaType = cg.javaType(dataType)
+    val default = cg.defaultValue(dataType)
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val unbox =
+      if (cg.isPrimitiveType(dataType)) s"(($boxed) r).${javaType}Value()"
+      else s"($boxed) r"
+    ev.copy(code = code"""
+      ${vCode.code}
+      ${pCode.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = $default;
+      {
+        Object r = $helper.deepFieldAt(
+          ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
+          (UTF8String) ${pCode.value}, $ordinal);
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantDeepField =
+    copy(v = newLeft, path = newRight)
 }
 
 /** Canonical ZSON text of a variant value — the native render boundary.
@@ -540,6 +591,52 @@ object VariantAccess {
     }
   }
 
+  /** Chained-access pluck via ONE scan of the root's deep-path cache:
+    * `get(get(v,"o"),"a").n` looks up the NUL-joined path "o␀a" in v's
+    * `d` directly — no intermediate variant row, no per-row child-cache
+    * derivation. The d cache records only RECORD paths, so a miss falls
+    * back to folding the chain through getFull (maps and text-only
+    * carriers keep their exact semantics).
+    */
+  def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int): Any = {
+    if (row != null && !row.isNullAt(8)) {
+      val d = row.getArray(8)
+      val n = d.numElements()
+      var i = 0
+      while (i < n) {
+        if (!d.isNullAt(i)) {
+          val e = d.getStruct(i, 2)
+          if (!e.isNullAt(0) && e.getUTF8String(0).equals(path)) {
+            if (e.isNullAt(1)) return null // present-but-null child
+            if (ordinal == 7) return childCaches(d, path)._1
+            if (ordinal == 8) return childCaches(d, path)._2
+            if (ordinal == 6) return null
+            val leaf = e.getStruct(1, 6)
+            return if (leaf.isNullAt(ordinal)) null
+            else ordinal match {
+              case 0 => Integer.valueOf(leaf.getInt(0))
+              case 1 => java.lang.Double.valueOf(leaf.getDouble(1))
+              case 2 => leaf.getUTF8String(2)
+              case 3 => java.lang.Boolean.valueOf(leaf.getBoolean(3))
+              case _ => leaf.getUTF8String(ordinal)
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    // miss: fold the original chain (record path absent, or the access
+    // goes through a map / text-only carrier)
+    val segs = path.toString.split(Het.pathSep)
+    var cur = row
+    var i = 0
+    while (i < segs.length - 1) {
+      cur = getFull(cur, UTF8String.fromString(segs(i)))
+      i += 1
+    }
+    fullFieldAt(cur, UTF8String.fromString(segs(segs.length - 1)), ordinal)
+  }
+
   /** One field of getFull's result without materializing it when the
     * native path is taken; the text path materializes then extracts
     * (already off the hot path).
@@ -602,6 +699,18 @@ object CollapseVariantAccess extends Rule[LogicalPlan] {
       VariantAccessField(va.container, va.deep, va.key, va.byName, ord)
     case GetStructField(vg: VariantGet, ord, _) =>
       VariantGetField(vg.v, vg.key, ord)
+    // literal-keyed CHAINS collapse to one deep-path lookup against the
+    // root's d cache (any depth — the batch runs to fixpoint)
+    case VariantGetField(VariantGet(x, Literal(k1: UTF8String, StringType)),
+        Literal(k2: UTF8String, StringType), ord) if k1 != null && k2 != null =>
+      VariantDeepField(x, Literal.create(
+        UTF8String.fromString(k1.toString + Het.pathSep + k2.toString),
+        StringType), ord)
+    case VariantDeepField(VariantGet(x, Literal(k1: UTF8String, StringType)),
+        Literal(p: UTF8String, StringType), ord) if k1 != null && p != null =>
+      VariantDeepField(x, Literal.create(
+        UTF8String.fromString(k1.toString + Het.pathSep + p.toString),
+        StringType), ord)
     // the two collapses SimplifyExtractValueOps would do if it re-ran
     // after the push above (the user-rule batch is the last one)
     case GetStructField(cns: CreateNamedStruct, ord, _) => cns.valExprs(ord)
