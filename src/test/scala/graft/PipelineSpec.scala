@@ -140,6 +140,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(MultimodalOps.parseHeader(Array.fill[Byte](64)(0x41)).format == "unknown")
   }
 
+  test("mp4 payloads flow through feature extraction (frame sampling path)") {
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, MultimodalOps.makeMp4(320, 240, 2000), "video"),
+      MultimodalOps.MediaRow(2L, MultimodalOps.makeMp4(640, 480, 9000), "video"))
+    val out = MultimodalOps.extractFeatures(rows.toDS(), dim = 8, frames = 4)
+      .collect().sortBy(_.id)
+    assert(out.length == 2)
+    assert(out.forall(_.n_frames == 4)) // evenly-spaced sampling engaged
+    assert(out.forall(_.features.length == 8))
+    assert(out.forall(_.features.exists(_ != 0f))) // deterministic non-trivial stats
+    // rerun → identical features (no RNG anywhere in the path)
+    val again = MultimodalOps.extractFeatures(rows.toDS(), dim = 8, frames = 4)
+      .collect().sortBy(_.id)
+    assert(out.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
   test("token-window chunking covers every token with the stated overlap") {
     val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
       .toDF("id", "text")
