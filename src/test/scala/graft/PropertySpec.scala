@@ -124,6 +124,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vectorized and row scans agree on wire-only zed types (ip/enum/ns-time)") {
+    val spark = GraftSession.local(4)
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val lines = (0 until 400).map { i =>
+      val ip = s"10.${i % 250}.${rnd.nextInt(250)}.${i % 9}"
+      val en = Seq("red", "green", "blue")(i % 3)
+      val ns = f"2024-01-0${i % 9 + 1}T00:00:0${i % 10}.${rnd.nextInt(999999999)}%09dZ"
+      val dur = s"${i % 90}m${i % 60}s"
+      if (i % 11 == 0) s"""{id:$i,a:null(ip),e:"$en"(enum(red,green,blue)),ts:$ns,d:$dur}"""
+      else s"""{id:$i,a:$ip,e:"$en"(enum(red,green,blue)),ts:$ns,d:$dur}"""
+    }
+    val vals = lines.map(l => graft.sources.ZsonParser.parseAll(l).head)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prop-wire").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/z"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/v"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/z", "p.zng"),
+      graft.sources.ZngIO.encodeTypedStream(vals))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/v", "p.vng"),
+      graft.sources.VngIO.encodeObject(vals.iterator))
+    for ((flag, path) <- Seq("graft.zng.vectorized" -> s"$tmp/z",
+                             "graft.vng.vectorized" -> s"$tmp/v")) {
+      def read() =
+        if (path.endsWith("/z")) graft.sources.ZngIO.read(spark, path)
+        else graft.sources.VngIO.read(spark, path)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.orderBy(col("id")).collect().map(_.toString).toSeq
+      val vecDf = read()
+      assert(vecDf.queryExecution.executedPlan.toString.contains("vectorized"),
+        s"$flag: expected vectorized plan")
+      assert(vecDf.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+        s"$flag: sub-µs times must ride the ns carrier")
+      val vec = rows(vecDf)
+      spark.conf.set(flag, "false")
+      val row = try rows(read()) finally spark.conf.unset(flag)
+      assert(vec == row, s"$flag: vectorized != row on wire-only types")
+      assert(vec.length == 400)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("parser never hangs or crashes the JVM on malformed inputs") {
     val junk = Seq(
       "from", "from |", "| where", "from t | cut", "from t | summarize by",
