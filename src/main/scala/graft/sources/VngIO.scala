@@ -602,7 +602,13 @@ object VngIO {
       val r = new HadoopFs.RangeReader(conf, path)
       val head =
         try r.read(0, 24)
-        catch { case e: Throwable => r.close(); throw e }
+        catch {
+          case _: java.io.EOFException =>
+            // shorter than the fixed header — not VNG, not a read error
+            r.close()
+            throw new IllegalArgumentException(s"not a VNG file (too short): $path")
+          case e: Throwable => r.close(); throw e
+        }
       if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
         r.close()
         val bytes = Gzip.maybeGunzip(HadoopFs.readAll(conf, path))
@@ -1092,6 +1098,8 @@ object VngIO {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = HadoopFs.dataFiles(spark, path)
+    if (dataFiles.isEmpty) // empty directory → empty frame, not a failed load()
+      return ZsonReader.fromShapes(spark, spark.sparkContext.emptyRDD[ZValue], Array.empty)
     val statuses = dataFiles.map { p =>
       val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
       (p, st.getLen, st.getModificationTime)
@@ -1104,9 +1112,13 @@ object VngIO {
       val scanned = spark.sparkContext.parallelize(missing, missing.length)
         .map { case (p, len, mt) => (p, scanFileMeta(conf, p, len, mt)) }
         .collect()
-      // bound the cache for long-lived sessions (service): a full clear
-      // is safe — entries rebuild from one metadata pass on next touch
-      if (metaCache.size > 200000) metaCache.clear()
+      // bound the cache for long-lived sessions (service): evict only
+      // entries outside the current file list — a full clear would drop
+      // fresh entries that the metas read below still needs
+      if (metaCache.size > 200000) {
+        val keep = statuses.iterator.map(_._1).toSet
+        metaCache.keySet.removeIf(k => !keep.contains(k)): Unit
+      }
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
     val metas = statuses.map { case (p, _, _) => metaCache.get(p) }

@@ -1611,7 +1611,11 @@ object ZngIO {
           val tag = c.uvarint()
           if (tag == 0) null else java.lang.Long.valueOf(c.signedAt((tag - 1).toInt))
         }
-        case (ID_TIME, _) => c => {
+        // guarded on target: under heterogeneous streams a cross-shape
+        // type conflict forces the merged column to a variant StructType,
+        // where a raw boxed Long would corrupt the InternalRow slot —
+        // those route through the variant-boxing fallback below
+        case (ID_TIME, LongType | TimestampType | TimestampNTZType) => c => {
           val tag = c.uvarint()
           if (tag == 0) null
           else {
@@ -1724,13 +1728,14 @@ object ZngIO {
           }
         case _ => fallback
       }
-      case ZEnum(symbols) =>
+      case ZEnum(symbols) if target == StringType =>
         val syms = symbols.map(UTF8String.fromString).toArray
         c => {
           val tag = c.uvarint()
           if (tag == 0) null else syms(unsignedOf(c.bytes((tag - 1).toInt)).toInt)
         }
-      case _ => fallback // sets (normalization reorders), maps, unions, errors
+      case _ => fallback // sets (normalization reorders), maps, unions, errors,
+                         // and any leaf whose target is a conflict variant
     }
   }
 
@@ -1902,6 +1907,16 @@ object ZngIO {
 
   private type WVec = org.apache.spark.sql.execution.vectorized.WritableColumnVector
 
+  /** Null append that respects the vector's type: struct vectors must use
+    * appendStruct(true) so child vectors stay aligned — plain appendNull
+    * asserts against StructType and, with assertions off, silently skews
+    * every subsequent nested value (mirrors VngIO.appendNullFor).
+    */
+  private def appendNullFor(v: WVec, target: DataType): Unit = target match {
+    case _: StructType => v.appendStruct(true): Unit
+    case _ => v.appendNull(): Unit
+  }
+
   /** Wire→column-vector appender for one primitive field: reads the tag
     * and body off the cursor and appends ONE slot to `vec` — no boxing,
     * no row object. None when the type needs the row path.
@@ -1930,7 +1945,7 @@ object ZngIO {
         if (tag == 0) { vec.appendNull(); () }
         else { vec.appendLong(c.signedAt((tag - 1).toInt)); () }
       }
-      case (ID_TIME, _) => Some { c =>
+      case (ID_TIME, LongType | TimestampType | TimestampNTZType) => Some { c =>
         val tag = c.uvarint()
         if (tag == 0) { vec.appendNull(); () }
         else {
@@ -1996,7 +2011,7 @@ object ZngIO {
       case (ID_NULL, _) => Some { c =>
         val tag = c.uvarint()
         if (tag != 0) c.pos += (tag - 1).toInt
-        vec.appendNull(); ()
+        appendNullFor(vec, target)
       }
       case _ => None
     }
@@ -2099,14 +2114,20 @@ object ZngIO {
               }
               if (tag == 0) {
                 var i = 0
-                while (i < dataIdxs.length) { vectors(dataIdxs(i)).appendNull(); i += 1 }
+                while (i < dataIdxs.length) {
+                  val d = dataIdxs(i)
+                  appendNullFor(vectors(d), required.fields(d).dataType); i += 1
+                }
               } else {
                 val inner = new Cursor(cc.buf, cc.pos)
                 cc.pos += (tag - 1).toInt
                 var i = 0
                 while (i < acts.length) { acts(i)(inner); i += 1 }
                 i = 0
-                while (i < absent.length) { vectors(absent(i)).appendNull(); i += 1 }
+                while (i < absent.length) {
+                  val a = absent(i)
+                  appendNullFor(vectors(a), required.fields(a).dataType); i += 1
+                }
               }
             }
           case other => throw new IllegalStateException(
@@ -2227,6 +2248,8 @@ object ZngIO {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = HadoopFs.dataFiles(spark, path)
+    if (dataFiles.isEmpty) // empty directory → empty frame, not a failed load()
+      return ZsonReader.fromShapes(spark, spark.sparkContext.emptyRDD[ZValue], Array.empty)
     val statuses = dataFiles.map { p =>
       val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
       (p, st.getLen, st.getModificationTime)
@@ -2247,9 +2270,13 @@ object ZngIO {
           val streams = if (gz) Vector(0L) else streamOffsets(bytes)
           (p, FileMeta(len, mt, shapes.toVector, count, fileNs, streams, gz))
         }.collect()
-      // bound the cache for long-lived sessions (service): a full clear
-      // is safe — entries rebuild from one metadata pass on next touch
-      if (metaCache.size > 200000) metaCache.clear()
+      // bound the cache for long-lived sessions (service): evict only
+      // entries outside the current file list — a full clear would drop
+      // fresh entries this very call reads back in the merge loop below
+      if (metaCache.size > 200000) {
+        val keep = statuses.iterator.map(_._1).toSet
+        metaCache.keySet.removeIf(k => !keep.contains(k)): Unit
+      }
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
     // merge per-file results in file order — exact global

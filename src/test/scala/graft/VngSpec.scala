@@ -232,6 +232,21 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.contains("a"))
   }
 
+  test("empty directory reads as an empty frame; a truncated file is " +
+       "'not a VNG file', not an EOF") {
+    val empty = tmp("vng-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    assert(VngIO.read(spark, empty).count() == 0)
+    val short = tmp("vng-short")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(short))
+    java.nio.file.Files.write(java.nio.file.Paths.get(short, "p.vng"),
+      Array[Byte]('V', 'N', 'G'))
+    val e = intercept[Exception](VngIO.read(spark, short).count())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.toString :: chain(t.getCause)
+    assert(chain(e).exists(_.contains("not a VNG file")), chain(e).mkString(" | "))
+  }
+
   test("embeddings (float arrays) survive exactly") {
     val emb = GraftSession.table(spark, dir, "embeddings").limit(50)
     val path = tmp("vng-emb")

@@ -255,6 +255,65 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tags.values.sum == 500)
   }
 
+  test("vectorized zng scan appends struct nulls without misaligning " +
+       "children (null records + shape-absent struct fields)") {
+    val path = tmp("zng-vec-structnull")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // three shapes in ONE stream: full, conn-absent, and top-level null —
+    // the latter two exercise appendNullFor on a StructType vector, where
+    // a plain appendNull() would skew every later nested value
+    val lines = (0 until 300).map { i =>
+      if (i % 7 == 0) "null({id:int64,conn:{x:int64,y:string}})"
+      else if (i % 3 == 0) s"{id:$i}"
+      else s"""{id:$i,conn:{x:${i * 2},y:"h$i"}}"""
+    }
+    val vals = lines.map(l => graft.sources.ZsonParser.parseAll(l).head)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "p.zng"),
+      ZngIO.encodeTypedStream(vals))
+    val back = ZngIO.read(spark, path)
+    assert(back.queryExecution.executedPlan.toString.contains("vectorized"),
+      back.queryExecution.executedPlan.toString.take(600))
+    // every non-null conn must carry ITS OWN row's values — any child
+    // misalignment shows up as x != 2*id or a shifted y
+    val rows = back.filter(col("conn").isNotNull)
+      .select("id", "conn.x", "conn.y").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 2, s"misaligned x at id=${r.getLong(0)}")
+      assert(r.getString(2) == s"h${r.getLong(0)}", s"misaligned y at id=${r.getLong(0)}")
+    }
+    val nullRecs = lines.count(_.startsWith("null("))
+    assert(back.filter(col("id").isNull).count() == nullRecs)
+    assert(back.count() == 300)
+  }
+
+  test("cross-shape type conflicts (time/string, enum/int) route through " +
+       "variant boxing in the direct builder") {
+    val path = tmp("zng-het-conflict")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // v: time in one shape, string in the other; e: enum vs int64 —
+    // both merged columns become variant structs, where a raw boxed
+    // Long/UTF8String in the InternalRow slot would corrupt rows
+    val lines = (0 until 60).map { i =>
+      if (i % 2 == 0)
+        f"""{id:$i%d,v:2024-01-01T00:00:$i%02dZ,e:"red"(enum(red,green))}"""
+      else s"""{id:$i,v:"s$i",e:$i}"""
+    }
+    val vals = lines.map(l => graft.sources.ZsonParser.parseAll(l).head)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "p.zng"),
+      ZngIO.encodeTypedStream(vals))
+    val back = ZngIO.read(spark, path)
+    val got = graft.sources.ZsonIO.toZson(back.orderBy("id")).collect().toSeq
+    val expected = vals.map(graft.sources.ZValue.zsonText)
+    assert(got == expected, got.take(4).mkString("\n"))
+  }
+
+  test("empty zng directory reads as an empty frame") {
+    val path = tmp("zng-empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    assert(ZngIO.read(spark, path).count() == 0)
+  }
+
   test("vectorized zng scan handles array columns (zeek vector shape)") {
     val path = tmp("zng-vec-arr")
     val df = spark.range(0, 2000).selectExpr(
