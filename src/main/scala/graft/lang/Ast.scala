@@ -116,6 +116,9 @@ object Stage {
   /** one representative value per distinct TYPE (shape/shaper.go sample) */
   final case class Sample(e: Option[Expr]) extends Stage
   case object Fuse extends Stage
+  /** commit the stream to a lake pool (language operator `load`) */
+  final case class Load(target: String, author: Option[String],
+      message: Option[String]) extends Stage
   case object Pass extends Stage
   final case class Assert(e: Expr, text: String) extends Stage
   /** inlined user-defined operator body (semantic/op.go:853-860) */

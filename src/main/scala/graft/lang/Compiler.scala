@@ -113,6 +113,8 @@ final class Compiler(spark: SparkSession, dir: String) {
             r <- keyRangeOf(e, key)
           } yield r
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
+        case (Stage.From(t), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
+          state = Seq(lakeMetaFrame(t).get)
         case (st, _) => state = compileStage(state, st)
       }
       i += 1
@@ -121,6 +123,44 @@ final class Compiler(spark: SparkSession, dir: String) {
       "pipeline has no source (missing `from`)")
     state
   }
+
+  /** Lake meta-query frames (`from :pools`, `from :branches`,
+    * `from <pool>:branches`) when `graft.lake.root` is set — the subset
+    * of the reference's lake meta records the language surface uses
+    * (lake/root.go meta queries; docs/language/operators/from.md:91).
+    */
+  private def lakeMetaFrame(target: String): Option[DataFrame] =
+    spark.conf.getOption("graft.lake.root").flatMap { root =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val lk = graft.sources.Lake
+      def pools: Seq[String] = {
+        val d = new java.io.File(root)
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isDirectory && lk.exists(root, f.getName))
+          .map(_.getName).sorted
+      }
+      val (poolFilter, meta) = target.indexOf(':') match {
+        case 0 => (None, target.drop(1))
+        case ix => (Some(target.take(ix)), target.drop(ix + 1))
+      }
+      meta match {
+        case "pools" if poolFilter.isEmpty =>
+          val schema = StructType(Seq(StructField("name", StringType)))
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(pools.map(Row(_)): _*), schema))
+        case "branches" =>
+          val schema = StructType(Seq(
+            StructField("pool", StructType(Seq(StructField("name", StringType)))),
+            StructField("branch", StructType(Seq(StructField("name", StringType))))))
+          val rows = for {
+            p <- poolFilter.map(Seq(_)).getOrElse(pools)
+            b <- lk.branches(root, p)
+          } yield Row(Row(p), Row(b))
+          Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+        case _ => None
+      }
+    }
 
   /** Resolve a `from` target to a lake pool when `graft.lake.root` is set
     * and the pool exists — `"pool"` or `"pool@branchOrCommit"`.
@@ -184,10 +224,16 @@ final class Compiler(spark: SparkSession, dir: String) {
     stage match {
       case Stage.From(table) =>
         // a new source mid-pipeline replaces the stream (CLI `from` form);
-        // a path-looking name reads any supported format (zio/anyio detect)
-        if (table.contains("/") || table.contains("."))
-          Seq(graft.sources.Formats.read(spark, table))
-        else Seq(GraftSession.table(spark, dir, table))
+        // a path-looking name reads any supported format (zio/anyio detect).
+        // Relative paths resolve against `graft.cwd` when set (the CLI's
+        // working directory — reference reads files relative to the shell)
+        if (table.contains("/") || table.contains(".")) {
+          val resolved =
+            if (table.startsWith("/") || table.contains("://")) table
+            else spark.conf.getOption("graft.cwd")
+              .map(c => s"${c.stripSuffix("/")}/$table").getOrElse(table)
+          Seq(graft.sources.Formats.read(spark, resolved))
+        } else Seq(GraftSession.table(spark, dir, table))
 
       case Stage.Where(e) =>
         val df = single(state)
@@ -286,7 +332,49 @@ final class Compiler(spark: SparkSession, dir: String) {
             }
           case (n, e) => Seq(n -> marked(e, outExpr(df, e)))
         }
-        Seq(ZedOps.put(df, resolved: _*))
+        val out = ZedOps.put(df, resolved: _*)
+        // per-shape tag update: put ADDS the field to shapes that lacked
+        // it (putter.go) — without this a shape-gated renderer would drop
+        // the new value on those rows
+        val het0 = graft.operators.Het
+        val flatPuts = resolved.map(_._1)
+          .filter(n => !n.contains('.') || df.columns.contains(n))
+          .filter(out.columns.contains)
+        Seq(if (putShapes.isEmpty || !out.columns.contains(het0.typeTag) ||
+                flatPuts.isEmpty) out
+        else {
+          val zt = graft.sources.ZType
+          val newTypes = flatPuts.map(n =>
+            n -> Shaper.zedTypeOf(out.schema(n).dataType)).toMap
+          val updates = putShapes.flatMap { case (t, ty) =>
+            zt.strip(ty) match {
+              case zt.Rec(fs) =>
+                val kept = fs.map { case (fn, fv) =>
+                  fn -> newTypes.getOrElse(fn, zt.fullText(fv)) }
+                val added = flatPuts.filterNot(n => fs.exists(_._1 == n))
+                  .map(n => n -> newTypes(n))
+                val txt = (kept ++ added)
+                  .map { case (n2, t2) => s"${zt.fieldName(n2)}:$t2" }
+                  .mkString("{", ",", "}")
+                if (txt == t) None else Some(t -> txt)
+              case _ => None
+            }
+          }
+          if (updates.isEmpty) out
+          else {
+            val allTexts = putShapes.map { case (t, _) =>
+              updates.toMap.getOrElse(t, t) }.distinct
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", allTexts.toArray).build()
+            val tagC = updates.foldLeft(col(het0.typeTag)) { case (acc, (from, to)) =>
+              when(col(het0.typeTag) === from, lit(to)).otherwise(acc)
+            }
+            out.select(out.schema.fields.toIndexedSeq.map { f =>
+              if (f.name == het0.typeTag) tagC.as(het0.typeTag, md)
+              else col(s"`${f.name}`")
+            }: _*)
+          }
+        })
 
       case Stage.Drop(paths) =>
         val df = single(state)
@@ -480,7 +568,14 @@ final class Compiler(spark: SparkSession, dir: String) {
               col(f.name).as(f.name, Compiler.scopeVarMeta)
             else col(s"`${f.name}`")
           }: _*))
-        } else Seq(df.orderBy(ordered: _*))
+        } else {
+          // STABLE sort (sort.md:45, sort.go SortStable): ties keep input
+          // order via a partition-prefixed row id as the final key
+          val ord = "__sort_ord"
+          Seq(df.withColumn(ord, monotonically_increasing_id())
+            .orderBy(ordered :+ col(ord).asc: _*)
+            .drop(ord))
+        }
 
       case Stage.Head(n) =>
         val df = single(state)
@@ -841,7 +936,9 @@ final class Compiler(spark: SparkSession, dir: String) {
                       entries(n) = when(cond, nv).otherwise(pv)
                     case None => entries(n) = when(cond, v)
                   }
-                  spreadOf(n) = has
+                  // accumulate across spreads: a name stays in the output
+                  // shape when ANY spread contributed it for that shape
+                  spreadOf(n) = (spreadOf.getOrElse(n, Seq.empty) ++ has).distinct
                 }
               case (n, e) =>
                 val v = outExpr(df, e)
@@ -1012,6 +1109,26 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Pass => state
 
+      case Stage.Load(target, author, message) =>
+        // commit the stream to a lake pool (op load; lake required). The
+        // write happens eagerly — load is a side-effecting sink — and the
+        // stage yields the commit record, which callers typically discard
+        val root = spark.conf.getOption("graft.lake.root").getOrElse(
+          throw new IllegalArgumentException(
+            "load: no lake configured (graft.lake.root)"))
+        val (pool, branch) = target.indexOf('@') match {
+          case -1 => (target, "main")
+          case ix => (target.take(ix), target.drop(ix + 1))
+        }
+        require(graft.sources.Lake.exists(root, pool), s"load: no such pool: $pool")
+        val df = single(state)
+        val id = graft.sources.Lake.load(
+          df.drop(graft.operators.Het.typeTag), root, pool,
+          author = author.getOrElse("graft"),
+          message = message.getOrElse(""), branch = branch)
+        import spark.implicits._
+        Seq(Seq(id).toDF("commit"))
+
       case Stage.Block(p) =>
         p.stages.foldLeft(state)((st, s) => compileStage(st, s))
 
@@ -1155,6 +1272,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       netSearch(df, s) // bare net literal searches by subnet membership
     case Expr.StringLit(s) => keywordSearch(df, s)
     case Expr.Path(Seq(word)) => keywordSearch(df, word)
+    case Expr.IntLit(v) => numberSearch(df, v.toDouble)
+    case Expr.FloatLit(v) => numberSearch(df, v)
     case Expr.Call("__glob", Seq(Expr.StringLit(p))) => globSearch(df, p)
     case Expr.NullLit => lit(null).cast(BooleanType) // `filter null` drops all
     case _ =>
@@ -1231,6 +1350,46 @@ final class Compiler(spark: SparkSession, dir: String) {
       if (strCols.isEmpty) lit(false)
       else F.grep(word, strCols: _*)
     valueHit || fieldNameHit(df, java.util.regex.Pattern.quote(word))
+  }
+
+  /** Bare number search (filter.go searchLiteral): any numeric leaf equal
+    * to the value, a union's numeric member, and numbers inside container
+    * columns (matched in their JSON text with number boundaries).
+    */
+  private def numberSearch(df: DataFrame, v: Double): Column = {
+    def walk(prefix: String, dt: DataType): Seq[Column] = dt match {
+      case st: StructType if isVariant(st) =>
+        // numeric member; boxed containers (native a/m/d caches and the z
+        // zson-text payload) searched element-wise / with number bounds
+        val numBound = "(^|[^0-9A-Za-z_.-])" +
+          (if (v == Math.floor(v) && Math.abs(v) < 1e15) v.toLong.toString
+           else v.toString) + "($|[^0-9A-Za-z_.-])"
+        def elemHit(e: Column): Column =
+          e.getField("n") === lit(v) || coalesce(e.getField("z").rlike(numBound), lit(false))
+        val c = col(prefix)
+        Seq(c.getField("n") === lit(v), c.getField("z").rlike(numBound)) ++
+          st.fieldNames.toIndexedSeq.collect {
+            case "a" => coalesce(exists(c.getField("a"), elemHit), lit(false))
+            case f @ ("m" | "d") =>
+              coalesce(exists(c.getField(f), x => elemHit(x.getField("v"))), lit(false))
+          }
+      case st: StructType =>
+        st.fields.toIndexedSeq.flatMap(f => walk(s"$prefix.`${f.name}`", f.dataType))
+      case LongType | IntegerType | DoubleType | FloatType | _: DecimalType =>
+        Seq(col(prefix).cast(DoubleType) === lit(v))
+      case _ => Seq.empty
+    }
+    val leafHits = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.name == graft.operators.Het.typeTag ||
+        f.metadata.contains("graft.scopeVar"))
+      .flatMap(f => walk(s"`${f.name}`", f.dataType))
+      .map(c => coalesce(c, lit(false)))
+    val numText = if (v == Math.floor(v) && Math.abs(v) < 1e15) v.toLong.toString
+                  else v.toString
+    // the text form also greps like a keyword ("Number 2" matches 2), and
+    // that covers numbers inside containers via their JSON text
+    val preds = leafHits :+ keywordSearch(df, numText)
+    preds.reduce(_ || _)
   }
 
   /** Bare net-literal search (search-expressions.md): ip values match by
@@ -1543,6 +1702,26 @@ final class Compiler(spark: SparkSession, dir: String) {
     * re-renders with full fidelity. Engages only on tagged streams —
     * relational frames keep the codegen'd Shaper.reshape path.
     */
+  /** `typeof(p)`/`typeunder(p)` folded to a type TEXT when the subject's
+    * zed type is the same in every shape (or derivable from the schema) —
+    * lets cast/shape/… with a typeof argument stay on the static path.
+    */
+  private def staticTypeofArg(df: DataFrame, e: Expr): Option[String] = e match {
+    case Expr.Call(f @ ("typeof" | "typeunder"), Seq(p: Expr.Path)) =>
+      val parts = if (p.parts.headOption.contains("this")) p.parts.tail else p.parts
+      val shapes = shapesOf(df)
+      if (shapes.nonEmpty) {
+        val ts = shapes.flatMap { case (_, st) => pathIn(st, parts) }
+        val texts = ts.map { t =>
+          graft.sources.ZType.fullText(
+            if (f == "typeunder") graft.sources.ZType.strip(t) else t)
+        }.distinct
+        if (ts.length == shapes.length && texts.length == 1) Some(texts.head)
+        else None
+      } else dtypeOf(df, p).filterNot(isVariant).map(Shaper.zedTypeOf)
+    case _ => None
+  }
+
   private def typedShaperCol(
       df: DataFrame, fname: String, args: Seq[Expr]): Option[Column] = {
     val shapes = shapesOf(df)
@@ -2354,6 +2533,11 @@ final class Compiler(spark: SparkSession, dir: String) {
             when(rc === 0, graft.operators.Het.errorValue(lit("\"divide by zero\"")))
               .otherwise(graft.operators.Het.variant(Bridge.intDiv(lc, rc), LongType))
           else Bridge.intDiv(lc, rc)
+        } else if (isTagged(df)) {
+          // float division by a zero in the DATA is also the error VALUE
+          // (expr/eval.go) — only typed streams pay the variant carrier
+          when(rc === 0, graft.operators.Het.errorValue(lit("\"divide by zero\"")))
+            .otherwise(graft.operators.Het.variant(lc / rc, DoubleType))
         } else lc / rc
       case "%" =>
         val het = graft.operators.Het
@@ -3483,6 +3667,13 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         graft.functions.ZvOps.castAny(expr(df, args.head), declaredC,
           toC.cast(StringType))
+      case "cast" | "shape" | "crop" | "fill" | "order"
+          if args.length == 2 && staticTypeofArg(df, args(1)).isDefined =>
+        // `cast(b, typeof(a))` with a STATICALLY-known subject type folds
+        // to a literal type value at compile time (semantic constant
+        // propagation) — the general runtime-type path needs a variant
+        expr(df, Expr.Call(fn,
+          Seq(args(0), Expr.StringLit(staticTypeofArg(df, args(1)).get))))
       case "cast" if typedShaperCol(df, "cast", args).isDefined =>
         typedShaperCol(df, "cast", args).get
       case "cast" =>

@@ -292,8 +292,22 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "from" | "file" | "get" =>
         next()
         val t = next()
-        if (t.kind != ID && t.kind != STR) fail("expected a source name or path")
-        Stage.From(t.text)
+        if (t.kind != ID && t.kind != STR && t.text != ":")
+          fail("expected a source name or path")
+        // absorb adjacent tokens so bare `pool@branch`, `:branches`,
+        // `pool:branches`, and dotted file names parse as ONE target
+        // (reference lexes lake refs the same way)
+        var text = t.text
+        var last = t
+        if (t.kind != STR) {
+          while ((peek.kind == ID || peek.kind == INT ||
+                  (peek.kind == PUNCT && Set("@", ":", ".", "/", "-")(peek.text))) &&
+                 peek.pos == last.end) {
+            last = next()
+            text += last.text
+          }
+        }
+        Stage.From(text)
       case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
       case "by" => parseSummarize()
       case "output" if peekAt(1).kind == ID =>
@@ -356,6 +370,32 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "fuse" =>
         if (peekAt(1).text == "(") parseSummarize() // fuse(e) is the type AGG
         else { next(); Stage.Fuse }
+      case "load" if peekAt(1).kind == ID || peekAt(1).kind == STR =>
+        // `load <pool>[@<branch>] [author <a>] [message <m>] [meta <m>]`
+        // (docs/language/operators/load.md) — commits the stream to a
+        // lake pool; only valid with a lake root configured
+        next()
+        val t = next()
+        var target = t.text
+        var last = t
+        if (t.kind != STR) {
+          while ((peek.kind == ID || peek.kind == INT ||
+                  (peek.kind == PUNCT && Set("@", ":", ".", "/", "-")(peek.text))) &&
+                 peek.pos == last.end) {
+            last = next()
+            target += last.text
+          }
+        }
+        var author: Option[String] = None
+        var message: Option[String] = None
+        var looping = true
+        while (looping) peek.text match {
+          case "author" => next(); author = Some(next().text)
+          case "message" => next(); message = Some(next().text)
+          case "meta" => next(); next(): Unit // accepted, not stored
+          case _ => looping = false
+        }
+        Stage.Load(target, author, message)
       case "pass" => next(); Stage.Pass
       case "assert" =>
         next()
@@ -433,7 +473,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** One search term: a glob (adjacent tokens containing `*`), else a
     * normal expression (docs/language/search-expressions.md).
     */
-  private def parseSearchTerm(): Expr = {
+  private def parseSearchLeaf(): Expr = {
     if (at("*") || peek.kind == ID || peek.kind == INT) {
       var j = pos
       while ((tokens(j + 1).kind == ID || tokens(j + 1).kind == INT ||
@@ -448,6 +488,45 @@ final class Parser(tokens: Vector[Token], source: String) {
       }
     }
     parseExpr()
+  }
+
+  private def parseSearchTerm(): Expr = {
+    val save = pos
+    try parseSearchLeaf()
+    catch {
+      case e: Exception =>
+        // a parenthesized SEARCH GROUP with implicit-AND terms —
+        // `not (a==null b==null)` — is not an expression; re-parse with
+        // the search grammar (search-expressions.md boolean structure)
+        pos = save
+        if (at("(") || atId("not") || at("!")) parseSearchGroup() else throw e
+    }
+  }
+
+  /** or / and (explicit + implicit adjacency) / not / ( … ) over search
+    * terms — engaged only when plain expression parsing fails.
+    */
+  private def parseSearchGroup(): Expr = {
+    def orE(): Expr = {
+      var l = andE()
+      while (atId("or")) { next(); l = Expr.Binary("or", l, andE()) }
+      l
+    }
+    def andE(): Expr = {
+      var l = notE()
+      var go = true
+      while (go) {
+        if (atId("and")) { next(); l = Expr.Binary("and", l, notE()) }
+        else if (searchTermStart || at("(")) l = Expr.Binary("and", l, notE())
+        else go = false
+      }
+      l
+    }
+    def notE(): Expr =
+      if (atId("not") || at("!")) { next(); Expr.Unary("not", notE()) }
+      else if (at("(")) { next(); val e = orE(); expect(")"); e }
+      else parseSearchLeaf()
+    orE()
   }
 
   /** May the next token begin another implicit-AND search term? */
@@ -497,6 +576,9 @@ final class Parser(tokens: Vector[Token], source: String) {
         // yield (search-expressions.md; semantic/op.go implied search)
         case Expr.Path(Seq(_)) => Stage.Where(e)
         case Expr.StringLit(_) => Stage.Where(e)
+        // a lone number is a value search, not a yield (zq '2' matches
+        // records containing the value 2 — semantic/op.go implied search)
+        case Expr.IntLit(_) | Expr.FloatLit(_) => Stage.Where(e)
         case _ if isBooleanShaped(e) => Stage.Where(e)
         case _ =>
           val exprs = Vector.newBuilder[Expr]

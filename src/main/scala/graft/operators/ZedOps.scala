@@ -86,10 +86,17 @@ object ZedOps {
     * range-partitions first — the same external-merge strategy zed uses,
     * but distributed.
     */
-  def sort(df: DataFrame, keys: (Column, Boolean)*): DataFrame =
-    df.orderBy(keys.map { case (c, asc) =>
-      if (asc) c.asc_nulls_last else c.desc_nulls_last
-    }: _*)
+  def sort(df: DataFrame, keys: (Column, Boolean)*): DataFrame = {
+    // zed sort is STABLE (sort.md:45, sort.go SortStable): ties keep
+    // input order. A partition-prefixed row id as the final key makes the
+    // distributed sort stable for one extra long per row in the exchange.
+    val ord = "__sort_ord"
+    df.withColumn(ord, monotonically_increasing_id())
+      .orderBy(keys.map { case (c, asc) =>
+        if (asc) c.asc_nulls_last else c.desc_nulls_last
+      } :+ col(ord).asc: _*)
+      .drop(ord)
+  }
 
   /** `head N` (runtime/sam/op/head/head.go) — Spark limit; when preceded
     * by a sort, Catalyst fuses into TakeOrderedAndProject (no full sort).

@@ -37,7 +37,7 @@ object Formats {
       spark.read.option("header", "true").option("inferSchema", "true")
         .option("sep", "\t").csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
-      spark.read.json(path)
+      JsonIO.read(spark, path) // zed-typed: field order kept, array = one value
     else if (lower.endsWith(".zson")) ZsonIO.read(spark, path)
     else if (lower.endsWith(".zng")) ZngIO.read(spark, path)
     else if (lower.endsWith(".vng")) VngIO.read(spark, path)
@@ -54,7 +54,7 @@ object Formats {
       case "arrows" => ArrowIO.read(spark, path)
       case "zeek" => ZeekIO.read(spark, path)
       case "zjson" => ZjsonIO.read(spark, path)
-      case "json" => spark.read.json(path)
+      case "json" => JsonIO.read(spark, path)
       case "zson" => ZsonIO.read(spark, path)
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)

@@ -80,13 +80,19 @@ object JsonIO {
   def fromText(spark: SparkSession, text: String): DataFrame =
     ZsonReader.fromValues(spark, parse(text), tag = true)
 
+  /** Distributed zed-typed JSON read: each file parses executor-side
+    * (files are self-contained JSON streams, so they distribute one task
+    * each — same parallelism model as the zng reader), then the values
+    * fuse into the typed frame. Preserves the reference's json semantics:
+    * field order kept, a top-level array is ONE array value, numbers are
+    * float64 (zio/jsonio/reader.go).
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-               finally in.close()
-    fromText(spark, text)
+    import spark.implicits._
+    val rdd = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]].rdd
+      .flatMap(b => parse(new String(Gzip.maybeGunzip(b),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    ZsonReader.fromRDD(spark, rdd)
   }
 }
