@@ -115,6 +115,14 @@ final class Compiler(spark: SparkSession, dir: String) {
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
         case (Stage.From(t), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
           state = Seq(lakeMetaFrame(t).get)
+        case (Stage.Switch(su, cs, d), _) if i + 1 < stages.length &&
+            (stages(i + 1) match {
+              case Stage.Join(_, None, _, _, _) => true
+              case _ => false
+            }) =>
+          // a branch-consuming join follows: the single-scan CASE fusion
+          // would collapse the legs the join needs — keep them separate
+          state = compileSwitch(single(state), su, cs, d, forceBranches = true)
         case (st, _) => state = compileStage(state, st)
       }
       i += 1
@@ -674,10 +682,20 @@ final class Compiler(spark: SparkSession, dir: String) {
             n -> new org.apache.spark.sql.types.MetadataBuilder()
               .putString("graft.zedType", "uint64").build()
           }).toMap
+        // union() outputs are zed SETS — their element type is only known
+        // on the agg output schema, so they mark during markZedTypes
+        val unionAggs = aggs.collect { case (n, a) if a.fn == "union" => n }.toSet
         def markZedTypes(d: DataFrame): DataFrame =
-          if (zedTypeMd.isEmpty) d
+          if (zedTypeMd.isEmpty && unionAggs.isEmpty) d
           else d.select(d.schema.fields.toIndexedSeq.map { f =>
-            zedTypeMd.get(f.name) match {
+            val mdOpt = zedTypeMd.get(f.name).orElse(f.dataType match {
+              case ArrayType(et, _) if unionAggs.contains(f.name) =>
+                Some(new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("graft.zedType", "|[" + Shaper.zedTypeOf(et) + "]|")
+                  .build())
+              case _ => None
+            })
+            mdOpt match {
               case Some(md) if f.metadata == org.apache.spark.sql.types.Metadata.empty =>
                 col(s"`${f.name}`").as(f.name, md)
               case _ => col(s"`${f.name}`")
@@ -757,24 +775,72 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
         // with no right sub-pipeline the upstream's LAST branch is the
         // right side and the rest the left (fork | join on k=k)
-        val (left, right) = rightPipe match {
+        val (left, right0) = rightPipe match {
           case Some(p) => (single(state), combineAll(compilePipeline(None, p)))
           case None =>
             require(state.length >= 2, "join with no sub-pipeline needs two upstream branches")
             (combineAll(state.dropRight(1)), state.last)
         }
-        Seq(ZedOps.join(
+        // the branch form joins two legs of the SAME scan — rename the
+        // right side so the join has distinct attributes (no self-join
+        // ambiguity); the rename is a projection, not a copy. Only
+        // engaged when every right-side expr is a simple path (else the
+        // compiled exprs would reference pre-rename attributes)
+        def simplePath(e: Expr): Boolean = e match {
+          case Expr.Path(parts0) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            parts.nonEmpty && right0.columns.contains(parts.head)
+          case _ => false
+        }
+        val renameOk = simplePath(rk) && graftFields.forall(g => simplePath(g._2))
+        val rjPre = if (renameOk) "__rj_" else ""
+        val right = if (renameOk)
+          right0.select(right0.columns.toIndexedSeq.map(n =>
+            col(s"`$n`").as(rjPre + n)): _*)
+        else right0
+        // DATAFRAME-qualified columns for simple paths: both sides often
+        // share names (join on name=name, eater:=name) and an unqualified
+        // col() is ambiguous after the join
+        def leftExpr(e: Expr): Column = e match {
+          case Expr.Path(parts0) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            if (parts.nonEmpty && left.columns.contains(parts.head))
+              parts.tail.foldLeft(left.col(parts.head))(_.getField(_))
+            else expr(left, e)
+          case _ => expr(left, e)
+        }
+        def rightExpr(e: Expr): Column = e match {
+          case Expr.Path(parts0) =>
+            val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+            if (parts.nonEmpty && right0.columns.contains(parts.head))
+              parts.tail.foldLeft(col(s"`$rjPre${parts.head}`"))(_.getField(_))
+            else expr(right0, e) // non-path exprs compile against the original
+          case _ => expr(right0, e)
+        }
+        val joined = ZedOps.join(
           left, right,
-          expr(left, lk), expr(right, rk), style,
-          graftFields.map { case (n, e) => n -> expr(right, e) }))
+          leftExpr(lk), rightExpr(rk), style,
+          graftFields.map { case (n, e) => n -> rightExpr(e) })
+        // un-prefix anything that survived from the right (right joins
+        // keep the right record as the base)
+        Seq(if (rjPre.isEmpty) joined
+        else joined.select(joined.columns.toIndexedSeq.map { n =>
+          if (n.startsWith(rjPre)) col(s"`$n`").as(n.stripPrefix(rjPre))
+          else col(s"`$n`")
+        }: _*))
 
       case Stage.Output(name) =>
         namedOut += name -> single(state)
         Seq.empty
 
       case Stage.Fork(branches) =>
-        val df = single(state)
-        branches.flatMap(b => compilePipeline(Some(df), b))
+        // at pipeline head (`from ( file a  file b )`) the branches are
+        // their own sources; mid-pipeline they share the upstream scan
+        if (state.isEmpty) branches.flatMap(b => compilePipeline(None, b))
+        else {
+          val df = single(state)
+          branches.flatMap(b => compilePipeline(Some(df), b))
+        }
 
       case Stage.Switch(subject, cases, default) =>
         compileSwitch(single(state), subject, cases, default)
@@ -1146,7 +1212,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       df: DataFrame,
       subject: Option[Expr],
       cases: Seq[(Expr, Pipeline)],
-      default: Option[Pipeline]
+      default: Option[Pipeline],
+      forceBranches: Boolean = false
   ): Seq[DataFrame] = {
     def rawPred(c: Expr): Column = subject match {
       case Some(s) => expr(df, s) === expr(df, c)
@@ -1210,7 +1277,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     val defaultProj = default.map(projectionOf)
 
     val anyErrorable = cases.exists(c => isVariant(predDt(c._1)))
-    if (!anyErrorable && branchProjs.forall(_.isDefined) && defaultProj.forall(_.isDefined)) {
+    if (!forceBranches && !anyErrorable &&
+        branchProjs.forall(_.isDefined) && defaultProj.forall(_.isDefined)) {
       // single-pass: names = union across branches, missing → typed null
       val projs = branchProjs.map(_.get)
       val dflt = defaultProj.map(_.get)

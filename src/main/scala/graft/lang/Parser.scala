@@ -289,6 +289,17 @@ final class Parser(tokens: Vector[Token], source: String) {
       return Stage.Block(Pipeline(body.stages.map(substStage(_, env))))
     }
     peek.text match {
+      case "from" if peekAt(1).text == "(" =>
+        // `from ( file a  file b ... )` — parallel sources, one branch
+        // each (from.md multi-source form)
+        next(); expect("(")
+        val branches = Vector.newBuilder[Pipeline]
+        while (!at(")") && peek.kind != EOF) {
+          if (Set("file", "from", "get")(peek.text)) branches += Pipeline(Seq(parseStage()))
+          else fail("expected a source (file/from/get) in from(...)")
+        }
+        expect(")")
+        Stage.Fork(branches.result())
       case "from" | "file" | "get" =>
         next()
         val t = next()
@@ -473,7 +484,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** One search term: a glob (adjacent tokens containing `*`), else a
     * normal expression (docs/language/search-expressions.md).
     */
-  private def parseSearchLeaf(): Expr = {
+  private def parseGlobOpt(): Option[Expr] = {
     if (at("*") || peek.kind == ID || peek.kind == INT) {
       var j = pos
       while ((tokens(j + 1).kind == ID || tokens(j + 1).kind == INT ||
@@ -484,22 +495,24 @@ final class Parser(tokens: Vector[Token], source: String) {
       if (run.exists(t => t.kind == PUNCT && t.text == "*") &&
           (run.length > 1 || run.head.text != "*")) {
         pos = j + 1
-        return Expr.Call("__glob", Seq(Expr.StringLit(run.map(_.text).mkString)))
+        return Some(Expr.Call("__glob", Seq(Expr.StringLit(run.map(_.text).mkString))))
       }
     }
-    parseExpr()
+    None
   }
+
+  private def parseSearchLeaf(): Expr = parseGlobOpt().getOrElse(parseExpr())
 
   private def parseSearchTerm(): Expr = {
     val save = pos
     try parseSearchLeaf()
     catch {
-      case e: Exception =>
-        // a parenthesized SEARCH GROUP with implicit-AND terms —
-        // `not (a==null b==null)` — is not an expression; re-parse with
-        // the search grammar (search-expressions.md boolean structure)
+      case _: Exception =>
+        // a SEARCH GROUP with implicit-AND terms — `not (a==null b==null)`,
+        // possibly behind leading and/or — is not an expression; re-parse
+        // with the search grammar (search-expressions.md boolean structure)
         pos = save
-        if (at("(") || atId("not") || at("!")) parseSearchGroup() else throw e
+        parseSearchGroup()
     }
   }
 
@@ -525,7 +538,9 @@ final class Parser(tokens: Vector[Token], source: String) {
     def notE(): Expr =
       if (atId("not") || at("!")) { next(); Expr.Unary("not", notE()) }
       else if (at("(")) { next(); val e = orE(); expect(")"); e }
-      else parseSearchLeaf()
+      // leaf at COMPARISON precedence: and/or/parens belong to the group
+      // grammar here, so the leaf must not swallow them
+      else parseGlobOpt().getOrElse(parseComparison())
     orE()
   }
 

@@ -330,6 +330,17 @@ object ZedOps {
     df.queryExecution.analyzed match {
       case s: logical.Sort if s.global =>
         graft.functions.Bridge.ofRows(df.sparkSession, s.child)
+      // the stable-sort shape: Project(drop __sort_ord, Sort(..., Project(
+      // add __sort_ord, child))) — strip the whole sandwich, keep child
+      case logical.Project(outer, s: logical.Sort)
+          if s.global && (s.child match {
+            case logical.Project(inner, _) =>
+              inner.exists(_.name == "__sort_ord") &&
+                !outer.exists(_.name == "__sort_ord")
+            case _ => false
+          }) =>
+        val inner = s.child.asInstanceOf[logical.Project].child
+        graft.functions.Bridge.ofRows(df.sparkSession, inner)
       case _ => df
     }
   }

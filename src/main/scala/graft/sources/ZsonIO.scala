@@ -121,7 +121,36 @@ object ZsonIO {
     import df.sparkSession.implicits._
     // zed-type-aware formatting: durations travel as ns longs — the
     // shape tag says which longs are durations (emitted as `<ns>ns`)
-    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column =
+    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column = {
+      val base = zsonOfZ0(c, dt, zt)
+      zt match {
+        case Some(t) if !isVariantType(dt) =>
+          val stripped = ZType.strip(t)
+          val txt = ZType.fullText(t)
+          // non-implied primitives carry their decorator (zson spec:
+          // 371(uint16)); every typed null is decorated (null(string))
+          val nonImplied = stripped match {
+            // uint64 on the exact decimal carrier self-decorates in zsonOf
+            case ZType.Prim("uint64") => !dt.isInstanceOf[DecimalType]
+            case ZType.Prim(p) => Set("uint8", "uint16", "uint32",
+              "int8", "int16", "int32", "float16", "float32")(p)
+            case _ => false
+          }
+          val named = txt.contains('=') && (stripped match {
+            case ZType.Prim(_) => true
+            case _ => false
+          })
+          if (nonImplied || named)
+            when(c.isNull, lit(s"null($txt)")).otherwise(concat(base, lit(s"($txt)")))
+          else stripped match {
+            case ZType.Prim("null") => base
+            case _: ZType.EnumT => base // %sym form carries no null deco
+            case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
+          }
+        case _ => base
+      }
+    }
+    def zsonOfZ0(c: Column, dt: DataType, zt: Option[ZType]): Column =
       (dt, zt.map(ZType.strip)) match {
         case (LongType, Some(ZType.Prim("duration"))) =>
           when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
@@ -157,8 +186,15 @@ object ZsonIO {
         case _ => zsonOf(c, dt)
       }
     def fieldFmt(f: StructField, zt: Option[ZType] = None): Column = {
+      // zed types relational columns can't express (uint64 counts, sets,
+      // type values) ride as field metadata from the compiler
+      val zt2 = zt.orElse(
+        if (f.metadata.contains("graft.zedType"))
+          try Some(ZsonParser.parseType(f.metadata.getString("graft.zedType")))
+          catch { case _: Exception => None }
+        else None)
       val base = concat(lit(zsonName(f.name) + ":"),
-        zsonOfZ(col(s"`${f.name}`"), f.dataType, zt))
+        zsonOfZ(col(s"`${f.name}`"), f.dataType, zt2))
       // error("quiet") fields are OMITTED from output (cut.md quiet)
       if (isVariantType(f.dataType)) {
         val c = col(s"`${f.name}`")
@@ -185,7 +221,15 @@ object ZsonIO {
       // bare (non-record) value stream: the shape tag carries each row's
       // zed type — render type-aware (sets as |[…]|, ips bare, …)
       val dt = fields.head.dataType
-      val base = zsonOf(col("this"), dt)
+      val metaZt =
+        if (fields.head.metadata.contains("graft.zedType"))
+          try Some(ZsonParser.parseType(fields.head.metadata.getString("graft.zedType")))
+          catch { case _: Exception => None }
+        else None
+      val base = metaZt match {
+        case Some(z) => zsonOfZ(col("this"), dt, Some(z))
+        case None => zsonOf(col("this"), dt)
+      }
       val line = shapes.foldLeft(base) { (acc, t) =>
         (try Some(ZsonParser.parseType(t)) catch { case _: Exception => None }) match {
           case Some(z) =>

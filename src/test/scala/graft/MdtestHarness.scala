@@ -461,7 +461,13 @@ object MdtestHarness {
     val g = cleanLines(got)
     if (head) {
       val w = if (want.lastOption.contains("...")) want.dropRight(1) else want
-      return if (g.startsWith(w)) 2 else 0
+      if (g.startsWith(w)) return 2
+      // canonical prefix: same leading VALUES, layout/decorators washed
+      return (ZtestHarness.canonAll(w.mkString("\n")),
+              ZtestHarness.canonAll(got)) match {
+        case (Some(cw), Some(cg)) if cw.nonEmpty && cg.take(cw.length) == cw => 1
+        case _ => 0
+      }
     }
     if (want == g) return 2
     // canonical zson value comparison (decorator/layout differences wash
