@@ -273,52 +273,177 @@ object ZedFunctions {
         "host:string,port:int,path:string,query:map<string,array<string>>,fragment:string>")
   }
 
-  // grok: the classic base-pattern dictionary, enough for the common
-  // log-parsing cases (reference function/grok.go uses a full grok lib;
-  // the pattern language subset here is %{PATTERN:field} / %{PATTERN}).
+  // grok: the reference's full base-pattern dictionary, ported from
+  // pkg/grok/base.go (itself adapted from the public grokky/logstash
+  // pattern set). Pattern language: %{PATTERN} / %{PATTERN:field}, with
+  // patterns referencing each other recursively.
   private val grokBase: Map[String, String] = Map(
-    "WORD" -> "\\w+",
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "%{USERNAME}",
+    "EMAILLOCALPART" -> "[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "HOSTNAME" -> "\\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*(\\.?|\\b)",
+    "EMAILADDRESS" -> "%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER" -> "%{EMAILADDRESS}|%{USER}",
+    "INT" -> "[+-]?(?:[0-9]+)",
+    "BASE10NUM" -> "[+-]?(?:(?:[0-9]+(?:\\.[0-9]+)?)|(?:\\.[0-9]+))",
+    "NUMBER" -> "%{BASE10NUM}",
+    "BASE16NUM" -> "[+-]?(?:0x)?(?:[0-9A-Fa-f]+)",
+    "BASE16FLOAT" -> "\\b[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\\.[0-9A-Fa-f]*)?)|(?:\\.[0-9A-Fa-f]+))\\b",
+    "POSINT" -> "\\b[1-9][0-9]*\\b",
+    "NONNEGINT" -> "\\b[0-9]+\\b",
+    "WORD" -> "\\b\\w+\\b",
     "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s*",
     "DATA" -> ".*?",
     "GREEDYDATA" -> ".*",
-    "INT" -> "[+-]?\\d+",
-    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
-    "BASE16NUM" -> "(?:0[xX])?[0-9a-fA-F]+",
-    "IP" -> "(?:\\d{1,3}\\.){3}\\d{1,3}",
-    "IPORHOST" -> "(?:(?:\\d{1,3}\\.){3}\\d{1,3}|[A-Za-z0-9._-]+)",
-    "HOSTNAME" -> "[A-Za-z0-9._-]+",
-    "URIPATH" -> "(?:/[A-Za-z0-9_.~%!$&'()*+,;=:@-]*)+",
-    "LOGLEVEL" -> "(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL)",
-    "TIMESTAMP_ISO8601" ->
-      "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?"
+    "QUOTEDSTRING" -> "(\"(\\\\.|[^\\\\\"]+)+\")|\"\"|('(\\\\.|[^\\\\']+)+')|''|(`(\\\\.|[^\\\\`]+)+`)|``",
+    "UUID" -> "[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "CISCOMAC" -> "(?:[A-Fa-f0-9]{4}\\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC" -> "(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC" -> "(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC" -> "%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC}",
+    "IPV6" -> "((([0-9A-Fa-f]{1,4}:){7}([0-9A-Fa-f]{1,4}|:))|(([0-9A-Fa-f]{1,4}:){6}(:[0-9A-Fa-f]{1,4}|((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3})|:))|(([0-9A-Fa-f]{1,4}:){5}(((:[0-9A-Fa-f]{1,4}){1,2})|:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3})|:))|(([0-9A-Fa-f]{1,4}:){4}(((:[0-9A-Fa-f]{1,4}){1,3})|((:[0-9A-Fa-f]{1,4})?:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){3}(((:[0-9A-Fa-f]{1,4}){1,4})|((:[0-9A-Fa-f]{1,4}){0,2}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){2}(((:[0-9A-Fa-f]{1,4}){1,5})|((:[0-9A-Fa-f]{1,4}){0,3}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(([0-9A-Fa-f]{1,4}:){1}(((:[0-9A-Fa-f]{1,4}){1,6})|((:[0-9A-Fa-f]{1,4}){0,4}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:))|(:(((:[0-9A-Fa-f]{1,4}){1,7})|((:[0-9A-Fa-f]{1,4}){0,5}:((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}))|:)))(%.+)?",
+    "IPV4" -> "(?:(?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5])[.](?:[0-1]?[0-9]{1,2}|2[0-4][0-9]|25[0-5]))",
+    "IP" -> "%{IPV6}|%{IPV4}",
+    "IPORHOST" -> "%{IP}|%{HOSTNAME}",
+    "HOSTPORT" -> "%{IPORHOST}:%{POSINT}",
+    "UNIXPATH" -> "(/([\\w_%!$@:.,~-]+|\\\\.)*)+",
+    "TTY" -> "/dev/(pts|tty([pq])?)(\\w+)?/?(?:[0-9]+)",
+    "WINPATH" -> "(?:[A-Za-z]+:|\\\\)(?:\\\\[^\\\\?*]*)+",
+    "PATH" -> "%{UNIXPATH}|%{WINPATH}",
+    "URIPROTO" -> "[A-Za-z]+(\\+[A-Za-z+]+)?",
+    "URIHOST" -> "%{IPORHOST}(?::%{POSINT:port})?",
+    "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\\-]*)+",
+    "URIPARAM" -> "\\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\\-\\[\\]<>]*",
+    "URIPATHPARAM" -> "%{URIPATH}(?:%{URIPARAM})?",
+    "URI" -> "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "MONTH" -> "\\bJan(?:uary|uar)?|Feb(?:ruary|ruar)?|M(?:a|ä)?r(?:ch|z)?|Apr(?:il)?|Ma(?:y|i)?|Jun(?:e|i)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|O(?:c|k)?t(?:ober)?|Nov(?:ember)?|De(?:c|z)(?:ember)?\\b",
+    "MONTHNUM" -> "0?[1-9]|1[0-2]",
+    "MONTHNUM2" -> "0[1-9]|1[0-2]",
+    "MONTHDAY" -> "(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9]",
+    "DAY" -> "Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?",
+    "YEAR" -> "(?:\\d\\d){1,2}",
+    "HOUR" -> "2[0123]|[01]?[0-9]",
+    "MINUTE" -> "[0-5][0-9]",
+    "SECOND" -> "(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME" -> "%{HOUR}:%{MINUTE}:%{SECOND}",
+    "DATE_US" -> "%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU" -> "%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE_X" -> "%{YEAR}/%{MONTHNUM2}/%{MONTHDAY}",
+    "ISO8601_TIMEZONE" -> "Z|[+-]%{HOUR}(?::?%{MINUTE})",
+    "ISO8601_SECOND" -> "%{SECOND}|60",
+    "DATESTAMP_ISO8601" -> "%{YEAR}-%{MONTHNUM}-%{MONTHDAY}",
+    "TIMESTAMP_ISO8601" -> "%{DATESTAMP_ISO8601}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "DATE" -> "%{DATE_US}|%{DATE_EU}|%{DATE_X}",
+    "DATESTAMP" -> "%{DATE}[- ]%{TIME}",
+    "TZ" -> "[A-Z]{3}",
+    "NUMTZ" -> "[+-]\\d{4}",
+    "DATESTAMP_RFC822" -> "%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822" -> "%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER" -> "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG" -> "%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "HTTPDERROR_DATE" -> "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "ANSIC" -> "%{DAY} %{MONTH} [_123]\\d %{TIME} %{YEAR}\"",
+    "UNIXDATE" -> "%{DAY} %{MONTH} [_123]\\d %{TIME} %{TZ} %{YEAR}",
+    "RUBYDATE" -> "%{DAY} %{MONTH} [0-3]\\d %{TIME} %{NUMTZ} %{YEAR}",
+    "RFC822Z" -> "[0-3]\\d %{MONTH} %{YEAR} %{TIME} %{NUMTZ}",
+    "RFC850" -> "%{DAY}, [0-3]\\d-%{MONTH}-%{YEAR} %{TIME} %{TZ}",
+    "RFC1123" -> "%{DAY}, [0-3]\\d %{MONTH} %{YEAR} %{TIME} %{TZ}",
+    "RFC1123Z" -> "%{DAY}, [0-3]\\d %{MONTH} %{YEAR} %{TIME} %{NUMTZ}",
+    "RFC3339" -> "%{YEAR}-[01]\\d-[0-3]\\dT%{TIME}%{ISO8601_TIMEZONE}",
+    "RFC3339NANO" -> "%{YEAR}-[01]\\d-[0-3]\\dT%{TIME}\\.\\d{9}%{ISO8601_TIMEZONE}",
+    "KITCHEN" -> "\\d{1,2}:\\d{2}(AM|PM|am|pm)",
+    "SYSLOGTIMESTAMP" -> "%{MONTH} +%{MONTHDAY} %{TIME}",
+    "PROG" -> "[\\x21-\\x5a\\x5c\\x5e-\\x7e]+",
+    "SYSLOGPROG" -> "%{PROG:program}(?:\\[%{POSINT:pid}\\])?",
+    "SYSLOGHOST" -> "%{IPORHOST}",
+    "SYSLOGFACILITY" -> "<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "HTTPDATE" -> "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "QS" -> "%{QUOTEDSTRING}",
+    "LOGLEVEL" -> "[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?",
+    "SYSLOGBASE" -> "%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "COMMONAPACHELOG" -> "%{IPORHOST:clientip} %{HTTPDUSER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] \"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" %{NUMBER:response} (?:%{NUMBER:bytes}|-)",
+    "COMBINEDAPACHELOG" -> "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "HTTPD20_ERRORLOG" -> "\\[%{HTTPDERROR_DATE:timestamp}\\] \\[%{LOGLEVEL:loglevel}\\] (?:\\[client %{IPORHOST:clientip}\\] ){0,1}%{GREEDYDATA:errormsg}",
+    "HTTPD24_ERRORLOG" -> "\\[%{HTTPDERROR_DATE:timestamp}\\] \\[%{WORD:module}:%{LOGLEVEL:loglevel}\\] \\[pid %{POSINT:pid}:tid %{NUMBER:tid}\\]( \\(%{POSINT:proxy_errorcode}\\)%{DATA:proxy_errormessage}:)?( \\[client %{IPORHOST:client}:%{POSINT:clientport}\\])? %{DATA:errorcode}: %{GREEDYDATA:message}",
+    "HTTPD_ERRORLOG" -> "%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
   )
 
-  /** Compile a grok pattern to (java regex, captured field names). */
-  private[graft] def grokCompile(pattern: String): (String, Seq[String]) = {
-    val ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
+  /** Compile a grok pattern to (java regex, captured field names in
+    * group order). Base patterns expand RECURSIVELY, captures inside
+    * them (e.g. SYSLOGPROG's program/pid) surface as fields, and every
+    * literal group in pattern text is neutralized to (?:...) so group
+    * numbering matches the fields exactly (pkg/grok/grok.go semantics).
+    */
+  private[graft] def grokCompile(pattern: String, defs: String = ""): (String, Seq[String]) = {
+    val custom: Map[String, String] = defs.linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        val ix = l.indexWhere(_.isWhitespace)
+        if (ix < 0) None else Some(l.take(ix) -> l.drop(ix).trim)
+      }.toMap
+    val dict = grokBase ++ custom
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    val regex = ref.replaceAllIn(pattern, m => {
-      val base = grokBase.getOrElse(m.group(1),
-        throw new IllegalArgumentException(s"grok: unknown pattern %{${m.group(1)}}"))
-      val quoted = java.util.regex.Matcher.quoteReplacement(base)
-      Option(m.group(2)) match {
-        case Some(field) => names += field; s"($quoted)"
-        case None => s"(?:$quoted)"
+    def compileText(p: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < p.length) {
+        if (p.startsWith("%{", i)) {
+          val close = p.indexOf('}', i)
+          require(close > 0, s"grok: unterminated %{ in $p")
+          val body = p.substring(i + 2, close)
+          val (name, field) = body.indexOf(':') match {
+            case -1 => (body, None)
+            case c => (body.take(c), Some(body.drop(c + 1)))
+          }
+          val base = dict.getOrElse(name,
+            throw new IllegalArgumentException(s"grok: unknown pattern %{$name}"))
+          field match {
+            case Some(f) =>
+              names += f
+              sb.append("(").append(compileText(base)).append(")")
+            case None =>
+              sb.append("(?:").append(compileText(base)).append(")")
+          }
+          i = close + 1
+        } else p.charAt(i) match {
+          case '\\' if i + 1 < p.length =>
+            sb.append(p.charAt(i)).append(p.charAt(i + 1)); i += 2
+          case '(' if i + 1 < p.length && p.charAt(i + 1) == '?' =>
+            sb.append('('); i += 1
+          case '(' => // literal group -> non-capturing, keeps numbering ours
+            sb.append("(?:"); i += 1
+          case c => sb.append(c); i += 1
+        }
       }
-    })
-    (regex, names.toSeq)
+      sb.toString
+    }
+    (compileText(pattern), names.toSeq)
   }
 
-  /** zed `grok(pattern, s)` → record of captured fields (strings); NULL
-    * when the pattern does not match.
+  /** zed `grok(pattern, s[, definitions])` -> record of captured fields
+    * (strings); NULL when the pattern does not match.
     */
-  def grok(pattern: String, s: Column): Column = {
-    val (re, names) = grokCompile(pattern)
+  def grok(pattern: String, s: Column, defs: String = ""): Column = {
+    val (re, names) = grokCompile(pattern, defs)
     require(names.nonEmpty, "grok pattern captures no fields")
-    val rec = struct(names.zipWithIndex.map { case (n, i) =>
-      regexp_extract(s, re, i + 1).as(n)
+    // ONE regex execution per row (vs K regexp_extracts), and
+    // non-participating optional groups come back null — the reference
+    // omits them from the per-row record (grok.go ParseKeyValues), which
+    // a null field matches at render/compare time
+    val p = java.util.regex.Pattern.compile(re)
+    val n = names.length
+    val u = udf((in: String) =>
+      if (in == null) null
+      else {
+        val m = p.matcher(in)
+        if (!m.find()) null else (1 to n).map(m.group).toArray
+      })
+    val arr = u(s)
+    val rec = struct(names.zipWithIndex.map { case (nm, i) =>
+      element_at(arr, i + 1).as(nm)
     }: _*)
-    when(s.rlike(re), rec).otherwise(lit(null))
+    when(arr.isNotNull, rec).otherwise(lit(null))
   }
 
   // ---- bytes / encoding (reference function/bytes.go) -----------------------

@@ -726,15 +726,19 @@ final class Compiler(spark: SparkSession, dir: String) {
           // `count()` → 3, not {count:3})
           Seq(df.agg(aggColumn(df, aggs.head._2).as("this",
             zedTypeMd.getOrElse(aggs.head._1, org.apache.spark.sql.types.Metadata.empty))))
-        } else if (bareAgg && lateral && scopeVars.isEmpty) {
+        } else if (bareAgg && lateral) {
           // …and per outer row inside a lateral body; the row id SURVIVES
-          // (marked) so later body stages stay per-outer-row
+          // (marked) so later body stages stay per-outer-row. Scope vars
+          // (over … with s) group along and stay marked so `{s, x:this}`
+          // in the body still sees them.
           val out = ZedOps.summarize(df,
-            Seq(Compiler.rowIdCol -> col(Compiler.rowIdCol)),
+            (Compiler.rowIdCol -> col(Compiler.rowIdCol)) +:
+              scopeVars.map(n => n -> col(s"`$n`")),
             aggs.map { case (n, a) => n -> aggColumn(df, a) })
           val bare = out.select(
-            col(Compiler.rowIdCol).as(Compiler.rowIdCol, Compiler.scopeVarMeta),
-            col(aggs.head._1).as("this"))
+            (col(Compiler.rowIdCol).as(Compiler.rowIdCol, Compiler.scopeVarMeta) +:
+              scopeVars.map(n => col(s"`$n`").as(n, Compiler.scopeVarMeta))) :+
+              col(aggs.head._1).as("this"): _*)
           // a union() result is a SET — tag the shape so writers emit |[…]|
           Seq(if (aggs.head._2.fn == "union") {
             val setT = bare.schema("this").dataType match {
@@ -744,10 +748,11 @@ final class Compiler(spark: SparkSession, dir: String) {
             val md = new org.apache.spark.sql.types.MetadataBuilder()
               .putStringArray("shapes", Array(setT)).build()
             bare.withColumn(graft.operators.Het.typeTag, lit(setT))
-              .select(col(Compiler.rowIdCol),
+              .select((col(Compiler.rowIdCol) +:
+                scopeVars.map(n => col(s"`$n`"))) ++ Seq(
                 col("this"),
                 col(graft.operators.Het.typeTag)
-                  .as(graft.operators.Het.typeTag, md))
+                  .as(graft.operators.Het.typeTag, md)): _*)
           } else bare)
         } else {
           val out = ZedOps.summarize(df, keyCols,
@@ -2859,7 +2864,10 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       // regexp (function/regexp.go)
       case "regexp" =>
-        args.head match {
+        (args.head match {
+          case Expr.Call("__regexsearch", Seq(s @ Expr.StringLit(_))) => s
+          case other => other
+        }) match {
           case Expr.StringLit(re) if graft.functions.GoRe.goError(re).isEmpty =>
             F.regexpMatch(graft.functions.GoRe.toJavaPattern(re), a(1))
           case Expr.StringLit(re) =>
@@ -2886,12 +2894,19 @@ final class Compiler(spark: SparkSession, dir: String) {
             .otherwise(het.errorValue(concat(
               lit("{message:\"regexp_replace: string arg required\",on:"),
               firstBad, lit("}"))))
-        } else (args(1), args(2)) match {
-          case (Expr.StringLit(re), Expr.StringLit(nw))
-              if graft.functions.GoRe.goError(re).isEmpty =>
-            regexp_replace(a(0), graft.functions.GoRe.toJavaPattern(re),
-              graft.functions.GoRe.toJavaReplacement(nw))
-          case _ => graft.functions.GoRe.regexpReplace(a(0), a(1), a(2))
+        } else {
+          // a /re/ literal in pattern position is the pattern string
+          val patE = args(1) match {
+            case Expr.Call("__regexsearch", Seq(s @ Expr.StringLit(_))) => s
+            case other => other
+          }
+          (patE, args(2)) match {
+            case (Expr.StringLit(re), Expr.StringLit(nw))
+                if graft.functions.GoRe.goError(re).isEmpty =>
+              regexp_replace(a(0), graft.functions.GoRe.toJavaPattern(re),
+                graft.functions.GoRe.toJavaReplacement(nw))
+            case _ => graft.functions.GoRe.regexpReplace(a(0), expr(df, patE), a(2))
+          }
         }
       case "bytes" =>
         // utf-8 bytes of text; an IP casts to its binary address
@@ -2984,10 +2999,24 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (args.length > 1) args.drop(1).map(expr(df, _)) else stringLeaves(df)
         targets.map(c => coalesce(c.rlike(re), lit(false)))
           .reduceOption(_ || _).getOrElse(lit(false))
+      case "grep" if (args.headOption match {
+          case Some(Expr.Call("__regexsearch", Seq(Expr.StringLit(_)))) => true
+          case _ => false
+        }) =>
+        // grep(/re/[, e]) — regexp match over string values (grep.md)
+        val Expr.Call(_, Seq(Expr.StringLit(p))) = args.head: @unchecked
+        val re = graft.functions.GoRe.toJavaPattern(p)
+        val targets =
+          if (args.length > 1) args.drop(1).map(expr(df, _))
+          else stringLeaves(df) ++ containerTexts(df)
+        targets.map(c => coalesce(c.rlike(re), lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(false))
       case "grep" =>
         val targets =
           if (args.length > 1) args.drop(1).map(expr(df, _))
-          else df.schema.fields.filter(_.dataType == StringType).map(f => col(f.name)).toSeq
+          // default subject is `this` — search every string INSIDE the
+          // value, nested records and containers included (grep.md)
+          else stringLeaves(df) ++ containerTexts(df)
         F.grep(litStr(0), targets: _*)
 
       // time (function/time.go)
@@ -3112,7 +3141,8 @@ final class Compiler(spark: SparkSession, dir: String) {
               catch { case _: Exception => StringType })))
         }
         graft.functions.ZvOps.parseUriZed(text, shapeC)
-      case "grok" => F.grok(litStr(0), a(1))
+      case "grok" =>
+        F.grok(litStr(0), a(1), if (args.length > 2) litStr(2) else "")
       case "parse_zson" if args.length == 1 =>
         // one-arg form: per-row parse into a boxed value (zed infers the
         // type per value — function/parsezson.go); non-string input and
@@ -3222,7 +3252,26 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
 
       // network (function/ip.go)
-      case "cidr_match" => F.cidrMatch(a(0), a(1))
+      case "cidr_match" =>
+        // matches when ANY ip inside the value lies in the net; non-ip
+        // values are false, never null (function/ip.go CIDRMatch walk)
+        val net = a(0)
+        def hit(c: Column): Column = coalesce(F.cidrMatch(net, c), lit(false))
+        if (isVariantExpr(df, args(1))) {
+          val v = expr(df, args(1)) // the BOXED value, not its text form
+          val st = dtypeOf(df, args(1)) match {
+            case Some(s: StructType) => s
+            case _ => graft.operators.Het.variantType
+          }
+          val extra = st.fieldNames.toIndexedSeq.collect {
+            case "a" => coalesce(
+              exists(v.getField("a"), e => hit(e.getField("s"))), lit(false))
+            case f @ ("m" | "d") => coalesce(
+              exists(v.getField(f), x => hit(x.getField("v").getField("s"))),
+              lit(false))
+          }
+          (hit(v.getField("s")) +: extra).reduce(_ || _)
+        } else hit(a(1))
       case "network_of" =>
         // full reference dispatch (function/ip.go NetworkOf): classful
         // IPv4 default, int-bits / ip-mask second arg, error payloads
@@ -3909,7 +3958,13 @@ final class Compiler(spark: SparkSession, dir: String) {
       // stays unquoted)
       case "__concat" => concat(args.map { x =>
         val c = expr(df, x)
-        if (isVariantExpr(df, x)) graft.functions.ZvOps.asText(c)
+        // decide by the COMPUTED type: some expressions (e.g. float
+        // division on typed streams) produce variants from non-variant
+        // inputs, which isVariantExpr's path analysis can't see
+        val dt = if (isVariantExpr(df, x)) graft.operators.Het.variantType
+          else try df.select(c).schema.head.dataType
+               catch { case _: Exception => StringType }
+        if (isVariant(dt)) graft.functions.ZvOps.asText(c)
         else c.cast("string")
       }: _*)
 
