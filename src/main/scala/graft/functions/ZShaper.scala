@@ -420,19 +420,29 @@ object ZShaper {
       LocalDate.parse(s, DateTimeFormatter.ISO_LOCAL_DATE)
         .atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000000L
     }).orElse {
-      val fmts = Seq("M/d/yyyy", "M-d-yyyy", "MMM d, yyyy", "d MMM yyyy", "MMMM d, yyyy")
-      fmts.view.flatMap { f =>
-        ok(LocalDate.parse(s, DateTimeFormatter.ofPattern(f, java.util.Locale.US))
+      // loose formats, CASE-INSENSITIVE ("oct 7, 1970", "3:27pm") — the
+      // reference uses a fuzzy parser (dateparse.ParseAny, cast.go:219)
+      def fmt(p: String) = new java.time.format.DateTimeFormatterBuilder()
+        .parseCaseInsensitive().appendPattern(p)
+        .toFormatter(java.util.Locale.US)
+      val dates = Seq("M/d/yyyy", "M-d-yyyy", "MMM d, yyyy", "d MMM yyyy",
+        "MMMM d, yyyy")
+      dates.view.flatMap { f =>
+        ok(LocalDate.parse(s, fmt(f))
           .atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000000L).toSeq
-      }.headOption
-    }.orElse {
-      val fmts = Seq("d MMM yyyy HH:mm", "d MMM yyyy HH:mm:ss", "M/d/yyyy HH:mm:ss",
-        "M/d/yyyy HH:mm", "EEE, d MMM yyyy HH:mm:ss zzz", "EEE MMM d HH:mm:ss yyyy",
-        "yyyy-MM-dd HH:mm:ss")
-      fmts.view.flatMap { f =>
-        ok(LocalDateTime.parse(s, DateTimeFormatter.ofPattern(f, java.util.Locale.US))
-          .toEpochSecond(ZoneOffset.UTC) * 1000000000L).toSeq
-      }.headOption
+      }.headOption.orElse {
+        val dateTimes = Seq("d MMM yyyy HH:mm", "d MMM yyyy HH:mm:ss",
+          "M/d/yyyy HH:mm:ss", "M/d/yyyy HH:mm",
+          "M/d/yyyy h:mma", "M/d/yyyy h:mm:ssa",
+          "MMM d, yyyy h:mm:ss a", "MMM d, yyyy h:mm a",
+          "MMMM d, yyyy h:mm:ss a", "MMMM d, yyyy h:mm a",
+          "EEE, d MMM yyyy HH:mm:ss zzz", "EEE MMM d HH:mm:ss yyyy",
+          "yyyy-MM-dd HH:mm:ss")
+        dateTimes.view.flatMap { f =>
+          ok(LocalDateTime.parse(s, fmt(f))
+            .toEpochSecond(ZoneOffset.UTC) * 1000000000L).toSeq
+        }.headOption
+      }
     }
   }
 

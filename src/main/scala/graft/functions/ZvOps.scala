@@ -15,7 +15,7 @@ import graft.sources.{ZValue, ZsonParser, ZType}
   * These UDFs engage ONLY on variant columns, i.e. only on genuinely
   * heterogeneous data; homogeneous columns never leave native Catalyst.
   */
-object ZvOps {
+object ZvOps extends Serializable {
 
   /** Spark-facing mirror of the variant struct (field names must match
     * Het.variantType exactly so the UDF return type lines up). `a`/`m` are

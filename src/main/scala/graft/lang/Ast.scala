@@ -63,7 +63,7 @@ final case class AggCall(fn: String, arg: Option[Expr], where: Option[Expr],
 sealed trait Stage
 
 object Stage {
-  final case class From(table: String) extends Stage
+  final case class From(table: String, format: Option[String] = None) extends Stage
   final case class Where(e: Expr) extends Stage
   final case class Cut(fields: Seq[(String, Option[Expr])]) extends Stage
   final case class Put(assigns: Seq[(String, Expr)]) extends Stage

@@ -113,8 +113,20 @@ final class Compiler(spark: SparkSession, dir: String) {
             r <- keyRangeOf(e, key)
           } yield r
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
-        case (Stage.From(t), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
+        case (Stage.From(t, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
           state = Seq(lakeMetaFrame(t).get)
+        case (Stage.From("*", _), _)
+            if spark.conf.getOption("graft.lake.root").isDefined =>
+          // `from *` — every pool in the lake, one union'd scan
+          val root = spark.conf.get("graft.lake.root")
+          val lk = graft.sources.Lake
+          val pools = Option(new java.io.File(root).listFiles())
+            .getOrElse(Array.empty).toSeq
+            .filter(f => f.isDirectory && lk.exists(root, f.getName))
+            .map(_.getName).sorted
+          require(pools.nonEmpty, "from *: lake has no pools")
+          state = Seq(pools.map(p => lk.scan(spark, root, p, None, None))
+            .reduce((a, b) => graft.operators.ZedOps.combine(a, b)))
         case (Stage.Switch(su, cs, d), _) if i + 1 < stages.length &&
             (stages(i + 1) match {
               case Stage.Join(_, None, _, _, _) => true
@@ -175,7 +187,7 @@ final class Compiler(spark: SparkSession, dir: String) {
     */
   private def lakePoolOf(stage: Stage): Option[(String, String, Option[String])] =
     stage match {
-      case Stage.From(t) =>
+      case Stage.From(t, _) =>
         spark.conf.getOption("graft.lake.root").flatMap { root =>
           val (pool, at) = t.indexOf('@') match {
             case -1 => (t, None)
@@ -230,17 +242,18 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   private def compileStage(state: Seq[DataFrame], stage: Stage): Seq[DataFrame] =
     stage match {
-      case Stage.From(table) =>
+      case Stage.From(table, fmt) =>
         // a new source mid-pipeline replaces the stream (CLI `from` form);
-        // a path-looking name reads any supported format (zio/anyio detect).
-        // Relative paths resolve against `graft.cwd` when set (the CLI's
-        // working directory — reference reads files relative to the shell)
-        if (table.contains("/") || table.contains(".")) {
+        // a path-looking name reads any supported format (zio/anyio
+        // detect), `format <f>` forces one. Relative paths resolve
+        // against `graft.cwd` when set (the CLI's working directory —
+        // reference reads files relative to the shell)
+        if (table.contains("/") || table.contains(".") || fmt.isDefined) {
           val resolved =
             if (table.startsWith("/") || table.contains("://")) table
             else spark.conf.getOption("graft.cwd")
               .map(c => s"${c.stripSuffix("/")}/$table").getOrElse(table)
-          Seq(graft.sources.Formats.read(spark, resolved))
+          Seq(graft.sources.Formats.read(spark, resolved, fmt))
         } else Seq(GraftSession.table(spark, dir, table))
 
       case Stage.Where(e) =>
@@ -681,6 +694,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           aggs.collect { case (n, a) if Set("count", "dcount", "count_distinct")(a.fn) =>
             n -> new org.apache.spark.sql.types.MetadataBuilder()
               .putString("graft.zedType", "uint64").build()
+          } ++
+          aggs.collect { case (n, a) if a.fn == "fuse" =>
+            // the fused type is a TYPE VALUE (agg/fuse.go) — renders <…>
+            n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "type").build()
           }).toMap
         // union() outputs are zed SETS — their element type is only known
         // on the agg output schema, so they mark during markZedTypes
@@ -1136,6 +1154,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         val df = single(state)
         subject match {
           case None => Seq(graft.operators.Het.sampleByType(df))
+          // `sample this` ≡ bare sample: one value per row TYPE, keeping
+          // each representative's own shape (sample.md)
+          case Some(Expr.Path(Seq())) | Some(Expr.Path(Seq("this"))) =>
+            Seq(graft.operators.Het.sampleByType(df))
           case Some(e) =>
             // one representative VALUE per distinct type of e (sample.md)
             // — the FIRST in stream order, pinned by a monotonic row id
@@ -1634,13 +1656,15 @@ final class Compiler(spark: SparkSession, dir: String) {
               lit(null).cast(BooleanType),
               tOut, zOut))
         case "avg" => return avg(guarded(c.getField("n")))
-        case "min" => return min_by(guarded(value), het.compareKey(guarded(value)))
-        case "max" => return max_by(guarded(value), het.compareKey(guarded(value)))
+        case "min" => return het.minVariant(guarded(value))
+        case "max" => return het.maxVariant(guarded(value))
         case "any" => return first(guarded(c), ignoreNulls = true)
         case "dcount" => return approx_count_distinct(guarded(c), 0.01)
         case "count_distinct" => return count_distinct(guarded(c))
         case "collect" => return collect_list(guarded(value))
         case "union" => return sort_array(collect_set(guarded(value)))
+        case "and" => return bool_and(guarded(c.getField("b")))
+        case "or" => return bool_or(guarded(c.getField("b")))
         case _ =>
       }
     }
@@ -3083,14 +3107,18 @@ final class Compiler(spark: SparkSession, dir: String) {
           (isVariantExpr(df, args.head) || isVariantExpr(df, args(1))) =>
         // union-typed operands (mixed time/duration/number rows): align
         // row-level in the value domain (function/bucket.go)
-        def vtext(e: Expr): Column = {
-          val c = expr(df, e)
-          if (isVariantExpr(df, e)) graft.operators.Het.render(c)
-          else {
-            val dt = dtypeOf(df, e).getOrElse(
-              try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
-            graft.sources.ZsonIO.zsonOf(c, dt)
-          }
+        def vtext(e: Expr): Column = e match {
+          // a duration literal must keep its unit — as a bare long it
+          // would read as SECONDS in the bin coercion
+          case Expr.DurationLit(_, text) => lit(text)
+          case _ =>
+            val c = expr(df, e)
+            if (isVariantExpr(df, e)) graft.operators.Het.render(c)
+            else {
+              val dt = dtypeOf(df, e).getOrElse(
+                try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+              graft.sources.ZsonIO.zsonOf(c, dt)
+            }
         }
         graft.functions.ZvOps.bucketZed(vtext(args.head), vtext(args(1)))
       case "bucket" =>
@@ -3206,12 +3234,17 @@ final class Compiler(spark: SparkSession, dir: String) {
             .when(isBytes, het.variant(encode(substring(s, 3, Int.MaxValue)), StringType))
             .otherwise(het.errorValue(concat(
               lit(s"""{message:"$badMsg",on:"""), het.render(c), lit("}"))))
-        } else if (isStringy(df, args(0))) {
-          // static string column: decode to bytes (null-through)
-          if (fn == "hex") unhex(a(0)) else unbase64(a(0))
         } else {
-          // static binary column: encode to text
-          if (fn == "hex") lower(hex(a(0))) else base64(a(0))
+          // decide by the COMPUTED type (a bare `this` string stream
+          // must decode, not encode)
+          val dt = try df.select(a(0)).schema.head.dataType
+                   catch { case _: Exception => StringType }
+          if (dt == StringType || isStringy(df, args(0)))
+            // static string column: decode to bytes (null-through)
+            if (fn == "hex") unhex(a(0)) else unbase64(a(0))
+          else
+            // static binary column: encode to text
+            if (fn == "hex") lower(hex(a(0))) else base64(a(0))
         }
       case "ksuid" =>
         val het = graft.operators.Het
@@ -4026,19 +4059,27 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Some(c) => when(searchify(df, c), arg0)
       case None => arg0
     }
-    (fn match {
-      case "sum" => sum(arg)
-      case "count" => count(where.map(c => when(searchify(df, c), lit(1))).getOrElse(lit(1)))
-      case "min" => min(arg)
-      case "max" => max(arg)
-      case "avg" => avg(arg)
-      case "and" => min(arg.cast(BooleanType))
-      case "or" => max(arg.cast(BooleanType))
-      case "collect" => collect_list(arg)
-      case "union" => array_distinct(collect_list(arg))
-      case "any" => first(arg, ignoreNulls = true)
+    fn match {
+      case "sum" => sum(arg).over(w)
+      case "count" =>
+        count(where.map(c => when(searchify(df, c), lit(1))).getOrElse(lit(1))).over(w)
+      case "min" => min(arg).over(w)
+      case "max" => max(arg).over(w)
+      case "avg" => avg(arg).over(w)
+      case "and" => min(arg.cast(BooleanType)).over(w)
+      case "or" => max(arg.cast(BooleanType)).over(w)
+      case "collect" => collect_list(arg).over(w)
+      // set/dedup transforms wrap OUTSIDE the window frame (Spark rejects
+      // non-aggregate expressions as window functions)
+      case "union" => array_distinct(collect_list(arg).over(w))
+      case "dcount" | "count_distinct" =>
+        size(array_distinct(collect_list(arg).over(w))).cast(LongType)
+      case "collect_map" =>
+        map_from_entries(array_distinct(
+          flatten(collect_list(map_entries(arg)).over(w))))
+      case "any" => first(arg, ignoreNulls = true).over(w)
       case other => throw new IllegalArgumentException(s"running aggregate '$other' not supported")
-    }).over(w)
+    }
   }
 }
 
@@ -4046,7 +4087,8 @@ final class Compiler(spark: SparkSession, dir: String) {
 object Compiler {
   /** aggregate fns usable as RUNNING aggregates in expression position */
   private[lang] val runningAggFns = Set(
-    "sum", "count", "min", "max", "avg", "and", "or", "collect", "union", "any")
+    "sum", "count", "min", "max", "avg", "and", "or", "collect", "union",
+    "any", "dcount", "count_distinct", "collect_map")
 
   /** marks lateral-scope context columns (over … with vars, outer-row id) */
   val scopeVarMeta: org.apache.spark.sql.types.Metadata =

@@ -145,10 +145,14 @@ object Lexer {
         val sb = new StringBuilder
         var j = i + 2
         var closed = false
+        var depth = 0 // replacement-field nesting: quotes INSIDE {…} are
+                      // their own strings (nested f-strings, upper(f"…"))
         while (j < n && !closed) {
           val d = input.charAt(j)
           if (d == '\\' && j + 1 < n) { sb.append(d).append(input.charAt(j + 1)); j += 2 }
-          else if (d == quote) { closed = true; j += 1 }
+          else if (d == quote && depth == 0) { closed = true; j += 1 }
+          else if (d == '{') { depth += 1; sb.append(d); j += 1 }
+          else if (d == '}' && depth > 0) { depth -= 1; sb.append(d); j += 1 }
           else { sb.append(d); j += 1 }
         }
         if (!closed) throw new IllegalArgumentException(s"unterminated f-string at $i")

@@ -290,35 +290,34 @@ final class Parser(tokens: Vector[Token], source: String) {
     }
     peek.text match {
       case "from" if peekAt(1).text == "(" =>
-        // `from ( file a  file b ... )` — parallel sources, one branch
-        // each (from.md multi-source form)
+        // `from ( <branch> <branch> ... )` — parallel sources, one branch
+        // each (from.md multi-source form). A branch is `pass`, a source
+        // stage, or `pool <name> [=> <pipeline>]`.
         next(); expect("(")
         val branches = Vector.newBuilder[Pipeline]
         while (!at(")") && peek.kind != EOF) {
-          if (Set("file", "from", "get")(peek.text)) branches += Pipeline(Seq(parseStage()))
-          else fail("expected a source (file/from/get) in from(...)")
+          val b = Vector.newBuilder[Stage]
+          if (atId("pass")) { next(); b += Stage.Pass }
+          else if (Set("file", "from", "get")(peek.text)) b += parseStage()
+          else if (atId("pool")) { next(); b += Stage.From(parseFromTarget()) }
+          else fail("expected a source (pass/file/from/get/pool) in from(...)")
+          if (at("=>")) {
+            next()
+            b += parseStage()
+          }
+          while (at("|")) { next(); b += parseStage() }
+          branches += Pipeline(b.result())
         }
         expect(")")
         Stage.Fork(branches.result())
       case "from" | "file" | "get" =>
         next()
-        val t = next()
-        if (t.kind != ID && t.kind != STR && t.text != ":")
-          fail("expected a source name or path")
-        // absorb adjacent tokens so bare `pool@branch`, `:branches`,
-        // `pool:branches`, and dotted file names parse as ONE target
-        // (reference lexes lake refs the same way)
-        var text = t.text
-        var last = t
-        if (t.kind != STR) {
-          while ((peek.kind == ID || peek.kind == INT ||
-                  (peek.kind == PUNCT && Set("@", ":", ".", "/", "-")(peek.text))) &&
-                 peek.pos == last.end) {
-            last = next()
-            text += last.text
-          }
-        }
-        Stage.From(text)
+        val text = parseFromTarget()
+        // optional `format <f>` forces the input format (from.md)
+        val fmt =
+          if (atId("format") && peekAt(1).kind == ID) { next(); Some(next().text) }
+          else None
+        Stage.From(text, fmt)
       case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
       case "by" => parseSummarize()
       case "output" if peekAt(1).kind == ID =>
@@ -484,6 +483,27 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** One search term: a glob (adjacent tokens containing `*`), else a
     * normal expression (docs/language/search-expressions.md).
     */
+  /** A source target: name/path/STR, `*` (all pools), `:meta`, with
+    * adjacent tokens absorbed so bare `pool@branch`, `pool:branches`,
+    * and dotted file names parse as ONE target.
+    */
+  private def parseFromTarget(): String = {
+    val t = next()
+    if (t.kind != ID && t.kind != STR && t.text != ":" && t.text != "*")
+      fail("expected a source name or path")
+    var text = t.text
+    var last = t
+    if (t.kind != STR && t.text != "*") {
+      while ((peek.kind == ID || peek.kind == INT ||
+              (peek.kind == PUNCT && Set("@", ":", ".", "/", "-")(peek.text))) &&
+             peek.pos == last.end) {
+        last = next()
+        text += last.text
+      }
+    }
+    text
+  }
+
   private def parseGlobOpt(): Option[Expr] = {
     if (at("*") || peek.kind == ID || peek.kind == INT) {
       var j = pos
@@ -493,7 +513,10 @@ final class Parser(tokens: Vector[Token], source: String) {
         j += 1
       val run = tokens.slice(pos, j + 1)
       if (run.exists(t => t.kind == PUNCT && t.text == "*") &&
-          (run.length > 1 || run.head.text != "*")) {
+          (run.length > 1 || run.head.text != "*") &&
+          // a run STARTING with a number is arithmetic (2*PI*r), not a
+          // glob — zed globs begin with a letter or `*`
+          run.head.kind != INT) {
         pos = j + 1
         return Some(Expr.Call("__glob", Seq(Expr.StringLit(run.map(_.text).mkString))))
       }

@@ -53,12 +53,28 @@ object Het {
     * distinct type (shape/shaper.go; sample = `any(this) by typeof(this)`).
     */
   def sampleByType(df: DataFrame): DataFrame = {
-    val dataCols = df.columns.filterNot(_ == typeTag)
+    val all = df.columns.toIndexedSeq
     val md = if (df.columns.contains(typeTag)) df.schema(typeTag).metadata
              else org.apache.spark.sql.types.Metadata.empty
-    df.groupBy(typeofRow(df).as(typeTag))
-      .agg(first(struct(dataCols.map(col).toIndexedSeq: _*)).as("sample"))
-      .select(col(typeTag).as(typeTag, md), col("sample.*"))
+    // a runtime-typed bare stream (`over this | sample`) keys on the
+    // BOXED value's own type, not the static tag; the FIRST value per
+    // type wins, pinned by a monotonic row id (deterministic across
+    // partitions, unlike first())
+    val isVarThis = all.contains("this") &&
+      graft.sources.ZsonIO.isVariantType(df.schema("this").dataType)
+    val key = if (isVarThis) variantTypeOf(col("this")) else typeofRow(df)
+    val sampled = df.withColumn("__sample_ord", monotonically_increasing_id())
+      .groupBy(key.as("__sample_t"))
+      .agg(min_by(struct(all.map(n => col(s"`$n`").as(n)): _*),
+        col("__sample_ord")).as("sample"))
+    if (all.contains(typeTag))
+      sampled.select(all.map { n =>
+        if (n == typeTag) col(s"sample.`$n`").as(n, md)
+        else col(s"sample.`$n`").as(n)
+      }: _*)
+    else
+      sampled.select(col("__sample_t").as(typeTag, md) +:
+        all.map(n => col(s"sample.`$n`").as(n)): _*)
   }
 
   /** `is(<type>)` — filter a mixed stream down to one shape. */
@@ -383,8 +399,19 @@ object Het {
   /** Cross-type min/max over a variant column (agg under the total order):
     * min_by/max_by on the compare key.
     */
-  def minVariant(v: Column): Column = min_by(v, compareKey(v))
-  def maxVariant(v: Column): Column = max_by(v, compareKey(v))
+  /** min/max skip values that don't coerce with the running state
+    * (agg/math.go consumeVal: "Skip invalid values") — so a mixed
+    * number/string stream maxes over the NUMBERS; only a stream with no
+    * numeric values at all falls back to the total order.
+    */
+  def minVariant(v: Column): Column = {
+    val numeric = when(v.getField("n").isNotNull, v)
+    coalesce(min_by(numeric, compareKey(numeric)), min_by(v, compareKey(v)))
+  }
+  def maxVariant(v: Column): Column = {
+    val numeric = when(v.getField("n").isNotNull, v)
+    coalesce(max_by(numeric, compareKey(numeric)), max_by(v, compareKey(v)))
+  }
 
   /** Sort a frame by a variant column under the cross-type total order. */
   def sortByVariant(df: DataFrame, v: Column, asc: Boolean = true): DataFrame = {

@@ -25,6 +25,36 @@ object Formats {
     * reader on a tracked prefix — here: magic bytes, then text probes).
     * A .gz suffix is transparent (anyio/gzip.go).
     */
+  /** Read with an EXPLICIT format (`from f format line` / `-i <fmt>`),
+    * bypassing extension and content detection.
+    */
+  def read(spark: SparkSession, path0: String, format: Option[String]): DataFrame =
+    format match {
+      case None => read(spark, path0)
+      case Some(f) =>
+        val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
+          fetchUri(path0) else path0
+        f match {
+          case "parquet" => spark.read.parquet(path)
+          case "vng" => VngIO.read(spark, path)
+          case "zng" => ZngIO.read(spark, path)
+          case "arrows" | "arrow" => ArrowIO.read(spark, path)
+          case "zeek" => ZeekIO.read(spark, path)
+          case "zjson" => ZjsonIO.read(spark, path)
+          case "json" => JsonIO.read(spark, path)
+          case "zson" => ZsonIO.read(spark, path)
+          case "csv" =>
+            spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+          case "tsv" =>
+            spark.read.option("header", "true").option("inferSchema", "true")
+              .option("sep", "\t").csv(path)
+          case "line" | "text" =>
+            spark.read.text(path).withColumnRenamed("value", "this")
+          case other =>
+            throw new IllegalArgumentException(s"unknown input format: $other")
+        }
+    }
+
   def read(spark: SparkSession, path0: String): DataFrame = {
     val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
       fetchUri(path0) else path0

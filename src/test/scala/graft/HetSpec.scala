@@ -46,7 +46,7 @@ class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftSession.table(spark, dir, "nation"))
     val s = Het.sampleByType(mixed)
     assert(s.count() == 2)
-    assert(s.columns.head == Het.typeTag)
+    assert(s.columns.contains(Het.typeTag))
   }
 
   test("isType filters a mixed stream to one shape") {
@@ -89,8 +89,10 @@ class HetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.agg(
       Het.render(Het.minVariant(v)).as("mn"),
       Het.render(Het.maxVariant(v)).as("mx")).collect()(0)
-    assert(r.getString(0) == "1")     // smallest number
-    assert(r.getString(1) == "\"x\"") // strings sort after all numbers
+    assert(r.getString(0) == "1") // smallest number
+    // non-coercible values are SKIPPED, not ranked (agg/math.go
+    // consumeVal): max over {5, "x", 1} is 5, not "x"
+    assert(r.getString(1) == "5")
   }
 
   test("fuseVariant forms union-typed columns for conflicting schemas") {

@@ -210,6 +210,21 @@ object MdtestHarness {
             if (ix > 0) env(kv.take(ix)) = kv.drop(ix + 1)
           }
           ""
+        case "tee" =>
+          val text = stdin.getOrElse("")
+          seg.tail.filterNot(_.startsWith("-")).foreach { f =>
+            java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
+              text.getBytes("UTF-8"))
+          }
+          text
+        case "seq" =>
+          val ns = seg.tail.map(_.toLong)
+          val (from, to) = ns match {
+            case Seq(n) => (1L, n)
+            case Seq(a, b) => (a, b)
+            case _ => (1L, 0L)
+          }
+          (from to to).map(_.toString + "\n").mkString
         case "super" =>
           seg(1) match {
             case "query" => superQuery(seg.drop(2), stdin)

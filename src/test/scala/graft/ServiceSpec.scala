@@ -43,7 +43,8 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 200)
     val lines = body.trim.split("\n")
     assert(lines.length == 5)
-    assert(lines.head.matches("""\{event_type:"click",count:\d+\}"""))
+    // zed zson decorates uint64 aggregates: count:210(uint64)
+    assert(lines.head.matches("""\{event_type:"click",count:\d+(\(uint64\))?\}"""))
   }
 
   test("POST /query honors fmt=text and limit") {
