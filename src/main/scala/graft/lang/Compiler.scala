@@ -1612,9 +1612,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         lit(null).cast(DoubleType)
       case e => expr(df, e)
     }
-    // `agg(e) where w` — deliver only matching inputs (null ignored by aggs)
+    // `agg(e) where w` — deliver only matching inputs (null ignored by
+    // aggs); searchify unwraps boxed (variant) predicates
     def guarded(c: Column): Column = a.where match {
-      case Some(w) => when(expr(df, w), c)
+      case Some(w) => when(searchify(df, w), c)
       case None => c
     }
     // a union-typed (variant) input aggregates over its VALUE: numeric
@@ -1950,6 +1951,14 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Cond(c, t, f) =>
       when(lambdaExpr(df, c, x), lambdaExpr(df, t, x)).otherwise(lambdaExpr(df, f, x))
     case Expr.Call("string", Seq(inner)) => lambdaExpr(df, inner, x).cast(StringType)
+    case Expr.Call("cast", Seq(inner, Expr.StringLit(t))) =>
+      val xc = lambdaExpr(df, inner, x)
+      Shaper.parseZedType(t) match {
+        case Some(dt) => xc.cast(dt)
+        case None => xc.cast(zedTypeToDdl(t))
+      }
+    case Expr.Call(fn1, Seq(inner)) if Compiler.lambdaUnary.contains(fn1) =>
+      Compiler.lambdaUnary(fn1)(lambdaExpr(df, inner, x))
     case Expr.Index(inner, Expr.IntLit(i)) =>
       element_at(lambdaExpr(df, inner, x), (if (i >= 0) i + 1 else i).toInt)
     case other => throw new IllegalArgumentException(s"subquery expr $other")
@@ -2261,8 +2270,15 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Unary("-", inner) =>
       if (isVariantExpr(df, inner)) graft.functions.ZvOps.neg(expr(df, inner))
       else -expr(df, inner)
-    case Expr.Unary("not", inner) => !expr(df, inner)
-    case Expr.Unary("!", inner) => !expr(df, inner)
+    case Expr.Unary("not" | "!", inner) =>
+      val c = expr(df, inner)
+      val dt = try Some(df.select(c).schema.head.dataType) catch { case _: Exception => None }
+      if (dt.exists(isVariant))
+        // boxed boolean (comparison over union operands): negate the
+        // member, propagate error values (eval.go Not)
+        when(graft.operators.Het.isError(c), c)
+          .otherwise(graft.operators.Het.variant(!coalesce(c.getField("b"), lit(false)), BooleanType))
+      else !c
     case Expr.Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
 
     case Expr.Binary(op, l, r) => binary(df, op, l, r)
@@ -2273,14 +2289,21 @@ final class Compiler(spark: SparkSession, dir: String) {
       val (tc, fc) = (expr(df, t), expr(df, f))
       def dtOf(x: Column) =
         try Some(df.select(x).schema.head.dataType) catch { case _: Exception => None }
+      // a boxed (variant) condition — comparisons over union-typed
+      // operands — reads its boolean member; errors are not-true
+      def condC: Column = {
+        val cc = expr(df, c)
+        if (dtOf(cc).exists(isVariant)) coalesce(cc.getField("b"), lit(false))
+        else cc
+      }
       (dtOf(tc), dtOf(fc)) match {
         case (Some(a), Some(b)) if a != b && a != NullType && b != NullType &&
             !isVariant(a) && !isVariant(b) &&
             !(a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType]) =>
-          when(expr(df, c), graft.operators.Het.variant(tc, a))
+          when(condC, graft.operators.Het.variant(tc, a))
             .otherwise(graft.operators.Het.variant(fc, b))
         case _ =>
-          when(expr(df, c), tc).otherwise(fc)
+          when(condC, tc).otherwise(fc)
       }
 
     case rc: Expr.RecCall =>
@@ -2430,12 +2453,29 @@ final class Compiler(spark: SparkSession, dir: String) {
     case _ => false
   }
 
+  /** A path present in NO shape of a tagged stream — evaluates to
+    * error("missing") (complex.go:28-40), so operators must propagate it
+    * rather than null-map it.
+    */
+  private def missingStatic(df: DataFrame, e: Expr): Boolean = e match {
+    case Expr.Path(parts) if parts.nonEmpty =>
+      isTagged(df) && varType(df, parts).isEmpty && dtypeOf(df, e).isEmpty &&
+        pathWalk(df.schema, parts).isEmpty &&
+        thisRelative(df, parts).isEmpty && !pathMixed(df, e) &&
+        !(parts.length - 1 to 1 by -1)
+          .exists(n => dtypeOf(df, Expr.Path(parts.take(n))).exists(isVariant)) &&
+        !(df.schema.fields.exists(f => f.name == "this" && isVariant(f.dataType)) &&
+          !df.columns.contains(parts.head))
+    case _ => false
+  }
+
   private def binary(df: DataFrame, op: String, l: Expr, r: Expr): Column = {
-    // variant (union-typed / per-shape-missing) operand: compare under the
-    // cross-type total order, operate numerically, PROPAGATE error values
+    // variant (union-typed / per-shape-missing / statically-missing)
+    // operand: compare under the cross-type total order, operate
+    // numerically, PROPAGATE error values
     // (complex.go Under + coercion lattice; error propagation complex.go:28)
-    val lVar = isVariantExpr(df, l) || pathMixed(df, l)
-    val rVar = isVariantExpr(df, r) || pathMixed(df, r)
+    val lVar = isVariantExpr(df, l) || pathMixed(df, l) || missingStatic(df, l)
+    val rVar = isVariantExpr(df, r) || pathMixed(df, r) || missingStatic(df, r)
     if ((lVar || rVar) && Set("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")(op)) {
       val het = graft.operators.Het
       def asVar(e: Expr, isVar: Boolean): Column =
@@ -2450,25 +2490,29 @@ final class Compiler(spark: SparkSession, dir: String) {
         (v.getField("n").isNull && v.getField("s").isNull &&
           v.getField("b").isNull && v.getField("z").isNull &&
           v.getField("a").isNull && v.getField("m").isNull)
+      // an ERROR operand propagates out of ANY comparison (eval.go
+      // numeric.eval / Compare.Eval return the error value) — the boxed
+      // result keeps predicate contexts working (searchify reads `b`,
+      // which is NULL on errors, so and/or partials still skip —
+      // logical-partials ztest)
+      def boxed(b: Column): Column =
+        when(het.isError(lv), lv).when(het.isError(rv), rv)
+          .otherwise(het.variant(b, BooleanType))
       return op match {
         case "==" =>
-          when(nullish(lv) || nullish(rv), nullish(lv) && nullish(rv))
-            .otherwise(coalesce(lk === rk, lit(false)))
+          boxed(when(nullish(lv) || nullish(rv), nullish(lv) && nullish(rv))
+            .otherwise(coalesce(lk === rk, lit(false))))
         case "!=" =>
-          when(nullish(lv) || nullish(rv), !(nullish(lv) && nullish(rv)))
-            .otherwise(coalesce(lk =!= rk, lit(true)))
+          boxed(when(nullish(lv) || nullish(rv), !(nullish(lv) && nullish(rv)))
+            .otherwise(coalesce(lk =!= rk, lit(true))))
         case "<" | "<=" | ">" | ">=" =>
-          // an ERROR operand poisons an order comparison (the reference
-          // propagates the error; as a predicate that's "not true", and
-          // NULL lets or/and aggregates skip it — logical-partials ztest)
           val cmp = op match {
             case "<" => lk < rk
             case "<=" => lk <= rk
             case ">" => lk > rk
             case _ => lk >= rk
           }
-          when(het.isError(lv) || het.isError(rv), lit(null).cast(BooleanType))
-            .otherwise(coalesce(cmp, lit(false)))
+          boxed(coalesce(cmp, lit(false)))
         case _ =>
           // arithmetic in the numeric domain; an error operand IS the
           // result; containers are incompatible (expr/eval.go: "type <t>
@@ -2671,8 +2715,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       case ">=" =>
         if (crossType) lit(false)
         else if (isTagged(df)) coalesce(lc >= rc, lit(false)) else lc >= rc
-      case "and" => lc && rc
-      case "or" => lc || rc
+      case "and" | "or" =>
+        // operands may be BOXED booleans (comparisons over union-typed
+        // operands); read the member — error values are not-true
+        def tb(c: Column): Column =
+          if (isVariant(dtQ(c))) coalesce(c.getField("b"), lit(false)) else c
+        if (op == "and") tb(lc) && tb(rc) else tb(lc) || tb(rc)
       case "=~" =>
         r match {
           case Expr.StringLit(re) => lc.cast(StringType).rlike(re)
@@ -2842,8 +2890,10 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "pow" => pow(a(0), a(1))
       case "sqrt" => sqrt(a(0))
       case "log" => log(a(0))
-      case "min" => F.minScalar(args.map(expr(df, _)): _*)
-      case "max" => F.maxScalar(args.map(expr(df, _)): _*)
+      // single-arg min/max falls through to the RUNNING aggregate (the
+      // agg reading wins in expression position, aggregates/min.md)
+      case "min" if args.length > 1 => F.minScalar(args.map(expr(df, _)): _*)
+      case "max" if args.length > 1 => F.maxScalar(args.map(expr(df, _)): _*)
 
       // string (function/string.go)
       case "lower" => lower(a(0))
@@ -2892,6 +2942,22 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Expr.Call("__regexsearch", Seq(s @ Expr.StringLit(_))) => s
           case other => other
         }) match {
+          case Expr.StringLit(re) if graft.functions.GoRe.goError(re).isEmpty &&
+              (isVariantExpr(df, args(1)) || pathMixed(df, args(1)) ||
+                missingStatic(df, args(1))) =>
+            // union-typed subject: non-string rows (incl. a missing
+            // field's error) become the reference's wrapped error —
+            // indexing that error then yields error("missing")
+            // (regexp.go Call; search-expressions.md)
+            val het = graft.operators.Het
+            val c = outExpr(df, args(1))
+            when(c.isNotNull && c.getField("k") === 2,
+              het.variant(
+                F.regexpMatch(graft.functions.GoRe.toJavaPattern(re), c.getField("s")),
+                ArrayType(StringType)))
+              .otherwise(het.errorValue(concat(
+                lit("{message:\"regexp: string required for second arg\",on:"),
+                het.render(c), lit("}"))))
           case Expr.StringLit(re) if graft.functions.GoRe.goError(re).isEmpty =>
             F.regexpMatch(graft.functions.GoRe.toJavaPattern(re), a(1))
           case Expr.StringLit(re) =>
@@ -3422,12 +3488,34 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
           case Expr.Path(_) => lit("record")
           case e if isVariantExpr(df, e) => variantKind(expr(df, e))
-          case _ => lit("record")
+          case e =>
+            // computed argument: classify by the COMPILED type — an
+            // expression yielding a variant (e.g. 1/0's error value)
+            // dispatches row-level (kind.md: kind(1/0) = "error")
+            val c = expr(df, e)
+            val dt = try df.select(c).schema.head.dataType
+                     catch { case _: Exception => NullType }
+            if (isVariant(dt)) variantKind(c)
+            else dt match {
+              case _: StructType => lit("record")
+              case _: ArrayType => lit("array")
+              case _: MapType => lit("map")
+              case _ => lit("primitive")
+            }
         }
       case "has" =>
         val het = graft.operators.Het
+        // a field whose VALUE is error("missing") counts as missing too
+        // (has.go evaluates the argument; `{x:error("missing")}` has(x)
+        // → false)
+        def valueMissing(p: Expr): Column =
+          if (isVariantExpr(df, p)) {
+            val c = expr(df, p)
+            het.isError(c) && c.getField("z") === lit("\"missing\"")
+          } else lit(false)
         val checks: Seq[Column] = args.map {
-          case Expr.Path(parts) if parts.nonEmpty => hasPath(df, parts)
+          case p @ Expr.Path(parts) if parts.nonEmpty =>
+            hasPath(df, parts) && !valueMissing(p)
           case Expr.Path(Seq()) => lit(true)
           case e =>
             // evaluate error-aware: error("missing") → false; any OTHER
@@ -3449,7 +3537,14 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (isVariant(adt)) coalesce(ch.getField("b"), lit(false)) else ch
         }.reduce(_ && _)
       case "missing" => args.head match {
-        case Expr.Path(parts) if parts.nonEmpty => !hasPath(df, parts)
+        case p @ Expr.Path(parts) if parts.nonEmpty =>
+          val base = !hasPath(df, parts)
+          if (isVariantExpr(df, p)) {
+            // a present field VALUED error("missing") is missing (has.go)
+            val het = graft.operators.Het
+            val c = expr(df, p)
+            base || (het.isError(c) && c.getField("z") === lit("\"missing\""))
+          } else base
         case Expr.Path(Seq()) => lit(false)
         case e if isVariantExpr(df, e) =>
           val het = graft.operators.Het
@@ -3496,14 +3591,17 @@ final class Compiler(spark: SparkSession, dir: String) {
         else lit(false)
       case "quiet" =>
         // quiet(x): error("missing") becomes error("quiet"), which writers
-        // drop (function/quiet.go); named error types pass through
-        val c = a(0)
-        if (isVariantExpr(df, args.head)) {
+        // drop (function/quiet.go); named error types pass through.
+        // Shape-missing and statically-missing paths box via outExpr so
+        // the missing rows actually ARE error values here.
+        if (isVariantExpr(df, args.head) || pathMixed(df, args.head) ||
+            missingStatic(df, args.head)) {
           val het = graft.operators.Het
+          val c = outExpr(df, args.head)
           val isMissing = het.isError(c) && c.getField("z") === lit("\"missing\"") &&
             c.getField("t") === lit("error(string)")
           when(isMissing, het.errQuiet).otherwise(c)
-        } else c
+        } else a(0)
       case "__instar" =>
         // `x in *` — x appears anywhere in the record (search-expressions)
         val v = a(0).cast(StringType)
@@ -3895,6 +3993,15 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "duration" => a(0).cast("bigint") // ns (zed duration domain)
       case "ip" | "net" => a(0).cast("string") // ip/net travel as strings
 
+      // map(v, f) — parser rewrote f to a lambda body over the element
+      // (map.md); compiles to a codegen'd transform, never a UDF
+      case "__mapf" =>
+        transform(a(0), x => lambdaExpr(df, args(1), x))
+
+      // nest_dotted is unflatten's record form (function/nestdotted.go):
+      // dotted field names nest into records
+      case "nest_dotted" => callBase(df, "unflatten", args)
+
       case "unflatten" if (args.headOption match {
           case Some(e) =>
             val adt = dtypeOf(df, e).orElse(
@@ -4085,6 +4192,11 @@ final class Compiler(spark: SparkSession, dir: String) {
 
 /** Public API: compile+run a Zed query string against an sf directory. */
 object Compiler {
+  /** single-arg builtins usable inside array lambdas (map(v, f), map.md) */
+  private[lang] val lambdaUnary: Map[String, Column => Column] = Map(
+    "upper" -> upper, "lower" -> lower, "trim" -> trim, "abs" -> abs,
+    "ceil" -> ceil, "floor" -> floor, "sqrt" -> sqrt)
+
   /** aggregate fns usable as RUNNING aggregates in expression position */
   private[lang] val runningAggFns = Set(
     "sum", "count", "min", "max", "avg", "and", "or", "collect", "union",

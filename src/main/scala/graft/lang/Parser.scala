@@ -27,6 +27,12 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
   private def at(text: String): Boolean = peek.text == text && peek.kind != STR
   private def atId(text: String): Boolean = peek.kind == ID && peek.text == text
+
+  /** Boolean keywords match case-insensitively (`AND`/`and` — the
+    * reference grammar accepts both spellings in search syntax).
+    */
+  private def atKw(text: String): Boolean =
+    peek.kind == ID && (peek.text == text || peek.text == text.toUpperCase)
   private def eat(text: String): Boolean = if (at(text)) { pos += 1; true } else false
 
   private val aggFns = Set(
@@ -318,7 +324,14 @@ final class Parser(tokens: Vector[Token], source: String) {
           if (atId("format") && peekAt(1).kind == ID) { next(); Some(next().text) }
           else None
         Stage.From(text, fmt)
-      case "where" | "search" | "filter" => next(); Stage.Where(parseExpr())
+      case "where" | "filter" => next(); Stage.Where(parseExpr())
+      case "search" =>
+        // search takes SEARCH TERMS: adjacency is implicit AND
+        // (search-expressions.md: `search this >= 2 this <= 2`)
+        next()
+        var acc = parseSearchTerm()
+        while (searchTermStart && !at(",")) acc = Expr.Binary("and", acc, parseSearchTerm())
+        Stage.Where(acc)
       case "by" => parseSummarize()
       case "output" if peekAt(1).kind == ID =>
         next(); Stage.Output(next().text)
@@ -545,21 +558,21 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def parseSearchGroup(): Expr = {
     def orE(): Expr = {
       var l = andE()
-      while (atId("or")) { next(); l = Expr.Binary("or", l, andE()) }
+      while (atKw("or")) { next(); l = Expr.Binary("or", l, andE()) }
       l
     }
     def andE(): Expr = {
       var l = notE()
       var go = true
       while (go) {
-        if (atId("and")) { next(); l = Expr.Binary("and", l, notE()) }
+        if (atKw("and")) { next(); l = Expr.Binary("and", l, notE()) }
         else if (searchTermStart || at("(")) l = Expr.Binary("and", l, notE())
         else go = false
       }
       l
     }
     def notE(): Expr =
-      if (atId("not") || at("!")) { next(); Expr.Unary("not", notE()) }
+      if (atKw("not") || at("!")) { next(); Expr.Unary("not", notE()) }
       else if (at("(")) { next(); val e = orE(); expect(")"); e }
       // leaf at COMPARISON precedence: and/or/parens belong to the group
       // grammar here, so the leaf must not swallow them
@@ -570,7 +583,7 @@ final class Parser(tokens: Vector[Token], source: String) {
   /** May the next token begin another implicit-AND search term? */
   private def searchTermStart: Boolean =
     (peek.kind == ID && !Set("by", "where", "with", "as", "and", "or", "not",
-      "in", "on", "case", "default")(peek.text)) ||
+      "AND", "OR", "NOT", "in", "on", "case", "default")(peek.text)) ||
       peek.kind == STR || peek.kind == REGEX || at("*") || at("!")
 
   private def parseImplied(): Stage = {
@@ -796,7 +809,31 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   private def parseOptionalInt(default: Int): Int =
-    if (peek.kind == INT) next().text.toInt else default
+    if (peek.kind == INT) {
+      // a constant EXPRESSION is allowed (`head 1+1`, head.md) — fold it
+      if (Set("+", "-", "*", "/", "%")(peekAt(1).text)) {
+        constFold(parseExpr()) match {
+          case Some(n) => n.toInt
+          case None => fail("head/tail count must be a constant expression")
+        }
+      } else next().text.toInt
+    } else default
+
+  /** Fold an integer-constant expression at parse time. */
+  private def constFold(e: Expr): Option[Long] = e match {
+    case Expr.IntLit(v) => Some(v)
+    case Expr.Unary("-", x) => constFold(x).map(-_)
+    case Expr.Binary(op, l, r) =>
+      for (a <- constFold(l); b <- constFold(r); v <- op match {
+        case "+" => Some(a + b)
+        case "-" => Some(a - b)
+        case "*" => Some(a * b)
+        case "/" if b != 0 => Some(a / b)
+        case "%" if b != 0 => Some(a % b)
+        case _ => None
+      }) yield v
+    case _ => None
+  }
 
   private def parseTop(): Stage = {
     val n = parseOptionalInt(100)
@@ -993,18 +1030,18 @@ final class Parser(tokens: Vector[Token], source: String) {
 
   private def parseOr(): Expr = {
     var l = parseAnd()
-    while (atId("or") || at("||")) { next(); l = Expr.Binary("or", l, parseAnd()) }
+    while (atKw("or") || at("||")) { next(); l = Expr.Binary("or", l, parseAnd()) }
     l
   }
 
   private def parseAnd(): Expr = {
     var l = parseNot()
-    while (atId("and") || at("&&")) { next(); l = Expr.Binary("and", l, parseNot()) }
+    while (atKw("and") || at("&&")) { next(); l = Expr.Binary("and", l, parseNot()) }
     l
   }
 
   private def parseNot(): Expr =
-    if (atId("not") || at("!")) { next(); Expr.Unary("not", parseNot()) }
+    if (atKw("not") || at("!")) { next(); Expr.Unary("not", parseNot()) }
     else parseComparison()
 
   private def parseComparison(): Expr = {
@@ -1102,6 +1139,19 @@ final class Parser(tokens: Vector[Token], source: String) {
             next(); next() // name (
             val args = if (at(")")) Seq.empty else parseExprList()
             expect(")")
+            // map(v, f): f is a function NAME — rewrite to a lambda body
+            // over the element (`this` inside = the element; map.md)
+            if (name == "map" && args.length == 2) {
+              val bodyE = args(1) match {
+                case Expr.Path(Seq(f)) if funcs.contains(f) =>
+                  val (ps, b) = funcs(f)
+                  if (ps.length != 1) fail(s"map: func $f must take one argument")
+                  subst(b, Map(ps.head -> Expr.Path(Seq.empty)))
+                case Expr.Path(Seq(f)) => Expr.Call(f, Seq(Expr.Path(Seq.empty)))
+                case other => fail(s"map: second argument must be a function name, got $other")
+              }
+              return Expr.Call("__mapf", Seq(args(0), bodyE))
+            }
             funcs.get(name) match {
               case Some((params, body)) => // user-defined func: expand inline
                 if (params.length != args.length)

@@ -215,8 +215,15 @@ object ZsonIO {
     // a this-only VARIANT frame renders each row from the boxed value —
     // its per-row type is runtime data (e.g. a spread over unflatten),
     // not a static shape list
-    if (fields.map(_.name) == Seq("this") && isVariantType(fields.head.dataType))
-      return df.select(zsonOf(col("this"), fields.head.dataType).as("value")).as[String]
+    if (fields.map(_.name) == Seq("this") && isVariantType(fields.head.dataType)) {
+      // writers DROP top-level error("quiet") values (function/quiet.go;
+      // data-types.md: `yield quiet(x)` emits nothing for missing x)
+      val v = col("this")
+      val quiet = coalesce(graft.operators.Het.isError(v) &&
+        v.getField("z") === lit("\"quiet\""), lit(false))
+      return df.filter(v.isNull || !quiet)
+        .select(zsonOf(v, fields.head.dataType).as("value")).as[String]
+    }
     if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{"))) {
       // bare (non-record) value stream: the shape tag carries each row's
       // zed type — render type-aware (sets as |[…]|, ips bare, …)
