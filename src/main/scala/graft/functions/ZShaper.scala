@@ -17,6 +17,14 @@ import graft.sources.{ZType, ZValue, ZsonParser}
   * keep the codegen'd Column-level Shaper.reshape path.
   */
 object ZShaper {
+
+  /** zed primitive type names (zson spec §2.5.1) — a cast target that is
+    * NOT one of these but looks like an identifier names the subject.
+    */
+  val primTypeNames: Set[String] = Set(
+    "uint8", "uint16", "uint32", "uint64", "int8", "int16", "int32", "int64",
+    "float16", "float32", "float64", "bool", "string", "bytes", "time",
+    "duration", "ip", "net", "type", "null", "decimal")
   import ZType._
   import ZValue._
 
@@ -538,6 +546,12 @@ object ZShaper {
       if (outT.startsWith("=")) {
         if (tf == CastF) castNamed(subject, outT.substring(1))
         else wrapErr("shaper type argument is not a type", subject)
+      } else if (tf == CastF && outT.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+          !ZShaper.primTypeNames(outT)) {
+        // a bare NON-primitive name NAMES the subject's own type
+        // (cast.md: cast(this, "foo") -> {a:1,b:2}(=foo)); the zson
+        // parser would otherwise read it as an unknown primitive
+        castNamed(subject, outT)
       } else {
         try reshape(tf, subject, new ZsonParser(outT).parseTypeText())
         catch {

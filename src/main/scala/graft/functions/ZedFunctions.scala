@@ -573,11 +573,16 @@ object ZedFunctions {
     * payloads (function/ip.go NetworkOf). `kind` is "none" | "int" |
     * "ip" | "string"; returns (net, errZson) — exactly one non-null.
     */
-  private[graft] def networkOfZed(ipS: String, mask: String, kind: String): (String, String) = {
+  private[graft] def networkOfZed(ipS: String, mask: String, kind: String,
+      onText: String = null): (String, String) = {
     def err(msg: String, on: String) = (null: String, s"""{message:"$msg",on:$on}""")
     val addr = parseIpBytes(ipS)
     if (addr == null)
-      return err("network_of: not an IP", if (ipS == null) "null" else "\"" + ipS + "\"")
+      // the error payload echoes the ORIGINAL value with its type
+      // (network_of.md: on:1, not on:"1")
+      return err("network_of: not an IP",
+        if (onText != null) onText
+        else if (ipS == null) "null" else "\"" + ipS + "\"")
     def prefix(bits: Int): (String, String) = {
       val m = maskBytes(addr.length, bits)
       val net = addr.zip(m).map { case (a, b) => (a & b).toByte }

@@ -1874,6 +1874,9 @@ final class Compiler(spark: SparkSession, dir: String) {
           if t.matches("[A-Za-z_][A-Za-z0-9_]*") && namedFromShapes.contains(t) =>
         lit(graft.sources.ZType.fullText(namedFromShapes(t)))
       case Expr.StringLit(t) => lit(t)
+      // `<name>` runtime named-type ref from the parser
+      case Expr.Call("__typename", Seq(Expr.StringLit(n))) =>
+        lit(namedFromShapes.get(n).map(graft.sources.ZType.fullText).getOrElse(n))
       case e =>
         val c = expr(df, e)
         if (isVariantExpr(df, e))
@@ -2443,6 +2446,29 @@ final class Compiler(spark: SparkSession, dir: String) {
     case _ => false
   }
 
+  /** Every named type appearing anywhere in the frame's shape set, as
+    * (name, full text `name=<def>`) — the static analog of the
+    * reference's runtime type context.
+    */
+  private def namedTypesOf(df: DataFrame): Seq[(String, String)] = {
+    val zt = graft.sources.ZType
+    def walk(t: graft.sources.ZType): Seq[zt.Named] = t match {
+      case n @ zt.Named(_, inner) => n +: walk(inner)
+      case zt.Rec(fs) => fs.flatMap(f => walk(f._2))
+      case zt.Arr(e2) => walk(e2)
+      case zt.SetT(e2) => walk(e2)
+      case zt.MapT(k, v) => walk(k) ++ walk(v)
+      case zt.Union(alts) => alts.flatMap(walk)
+      case zt.ErrT(i) => walk(i)
+      case _ => Seq.empty
+    }
+    shapesOf(df).flatMap { case (_, st) => walk(st) }
+      .map(n => n.name -> zt.fullText(n)).distinct
+  }
+
+  private def resolveNamedType(df: DataFrame, name: String): Option[String] =
+    namedTypesOf(df).collectFirst { case (n, text) if n == name => text }
+
   private def pathMixed(df: DataFrame, e: Expr): Boolean = e match {
     case Expr.Path(parts) if parts.nonEmpty =>
       val shapes = shapesOf(df)
@@ -2878,17 +2904,50 @@ final class Compiler(spark: SparkSession, dir: String) {
     }
     def litStr(i: Int): String = args(i) match {
       case Expr.StringLit(s) => s
+      // `<name>` runtime named-type ref: resolve against the frame's
+      // named types; the bare name stands in when unresolved
+      case Expr.Call("__typename", Seq(Expr.StringLit(n))) =>
+        resolveNamedType(df, n).getOrElse(n)
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be a string literal, got $other")
     }
     fn match {
       // math (function/math.go)
+      case "abs" if isVariantExpr(df, args.head) =>
+        // union-typed subject: keep the numeric member's TYPE (abs of
+        // -1(int8) is 1(int8)); non-numbers error (math.go Abs)
+        val het = graft.operators.Het
+        val c = outExpr(df, args.head)
+        val isNum = c.getField("k") === 0
+        val n2 = abs(c.getField("n"))
+        val intish = c.getField("t").rlike("^u?int")
+        when(het.isError(c), c)
+          .when(isNum, het.mkVariant(lit(0), n2,
+            lit(null).cast(StringType), lit(null).cast(BooleanType),
+            c.getField("t"),
+            when(intish, n2.cast(LongType).cast(StringType))
+              .otherwise(lit(null).cast(StringType))))
+          .otherwise(het.errorValue(concat(
+            lit("{message:\"abs: not a number\",on:"), het.render(c), lit("}"))))
       case "abs" => abs(a(0))
       case "ceil" => ceil(a(0))
       case "floor" => floor(a(0))
       case "round" => if (args.length > 1) round(a(0), args(1).asInstanceOf[Expr.IntLit].v.toInt) else round(a(0))
       case "pow" => pow(a(0), a(1))
       case "sqrt" => sqrt(a(0))
+      case "log" if isVariantExpr(df, args.head) =>
+        // log: non-positive and non-numeric subjects are error values
+        // (math.go Log)
+        val het = graft.operators.Het
+        val c = outExpr(df, args.head)
+        val isNum = c.getField("k") === 0
+        when(het.isError(c), c)
+          .when(isNum && c.getField("n") > 0,
+            het.variant(log(c.getField("n")), DoubleType))
+          .when(isNum, het.errorValue(concat(
+            lit("{message:\"log: illegal argument\",on:"), het.render(c), lit("}"))))
+          .otherwise(het.errorValue(concat(
+            lit("{message:\"log: not a number\",on:"), het.render(c), lit("}"))))
       case "log" => log(a(0))
       // single-arg min/max falls through to the RUNNING aggregate (the
       // agg reading wins in expression position, aggregates/min.md)
@@ -3085,10 +3144,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         // grep(<glob>) — glob match over string values (grep.md globs)
         val Expr.Call("__glob", Seq(Expr.StringLit(p))) = args.head: @unchecked
         val re = "^" + p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
-        val targets =
-          if (args.length > 1) args.drop(1).map(expr(df, _)) else stringLeaves(df)
-        targets.map(c => coalesce(c.rlike(re), lit(false)))
-          .reduceOption(_ || _).getOrElse(lit(false))
+        if (args.length > 1)
+          args.drop(1).map(c => coalesce(expr(df, c).rlike(re), lit(false)))
+            .reduce(_ || _)
+        else globSearch(df, p) // full search semantics incl. field names
       case "grep" if (args.headOption match {
           case Some(Expr.Call("__regexsearch", Seq(Expr.StringLit(_)))) => true
           case _ => false
@@ -3099,15 +3158,19 @@ final class Compiler(spark: SparkSession, dir: String) {
         val targets =
           if (args.length > 1) args.drop(1).map(expr(df, _))
           else stringLeaves(df) ++ containerTexts(df)
-        targets.map(c => coalesce(c.rlike(re), lit(false)))
+        val valueHit = targets.map(c => coalesce(c.rlike(re), lit(false)))
           .reduceOption(_ || _).getOrElse(lit(false))
+        // single-arg grep is a full SEARCH: regexps match field names too
+        // (grep.go NewSearchString; grep.md /foo|baz/ hits {foo:10})
+        if (args.length > 1) valueHit
+        else valueHit || fieldNameHit(df, re.stripPrefix("^").stripSuffix("$"))
       case "grep" =>
-        val targets =
-          if (args.length > 1) args.drop(1).map(expr(df, _))
-          // default subject is `this` — search every string INSIDE the
-          // value, nested records and containers included (grep.md)
-          else stringLeaves(df) ++ containerTexts(df)
-        F.grep(litStr(0), targets: _*)
+        if (args.length > 1)
+          F.grep(litStr(0), args.drop(1).map(expr(df, _)): _*)
+        // default subject is `this` — FULL keyword-search semantics:
+        // every string inside the value plus field names (grep.go
+        // NewSearchString; grep.md "foo" hits {foo:10})
+        else keywordSearch(df, litStr(0))
 
       // time (function/time.go)
       case "now" => current_timestamp()
@@ -3207,10 +3270,18 @@ final class Compiler(spark: SparkSession, dir: String) {
           case Expr.DurationLit(_, text) => text
           case other => throw new IllegalArgumentException(s"every: need duration, got $other")
         }
-        // every(d) = bucket(ts, d) on the stream's time field (time.go)
-        if (dtypeOf(df, Expr.Path(Seq("ts"))).contains(LongType))
-          ZedOps.timeBucketNs(col("ts"), dur)
-        else ZedOps.timeBucket(col("ts"), dur)
+        // every(d) = bucket(ts, d) on the stream's time field (time.go);
+        // resolve ts through the expression compiler so boxed (variant
+        // `this`) streams deref row-level (every.md multi-yield example)
+        val tsE = Expr.Path(Seq("ts"))
+        if (dtypeOf(df, tsE).contains(LongType))
+          ZedOps.timeBucketNs(expr(df, tsE), dur)
+        else if (isVariantExpr(df, tsE) ||
+            (df.columns.contains("this") && !df.columns.contains("ts") &&
+              isVariant(df.schema("this").dataType)))
+          ZedOps.timeBucket(graft.functions.ZvOps.asText(expr(df, tsE))
+            .cast(TimestampType), dur)
+        else ZedOps.timeBucket(expr(df, tsE), dur)
 
       // parsing (function/parse.go, grok.go)
       case "parse_uri" =>
@@ -3375,8 +3446,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         // full reference dispatch (function/ip.go NetworkOf): classful
         // IPv4 default, int-bits / ip-mask second arg, error payloads
         val het = graft.operators.Het
-        val netOfU = udf((ip: String, mask: String, kind: String) =>
-          graft.functions.ZedFunctions.networkOfZed(ip, mask, kind))
+        val netOfU = udf((ip: String, mask: String, kind: String, on: String) =>
+          graft.functions.ZedFunctions.networkOfZed(ip, mask, kind, on))
         val ipC = a(0).cast(StringType)
         val (maskC, kindC): (Column, Column) = if (args.length <= 1)
           (lit(null).cast(StringType), lit("none"))
@@ -3394,7 +3465,7 @@ final class Compiler(spark: SparkSession, dir: String) {
                     lit("ip")).otherwise(lit("string")))
             }
         }
-        val res = netOfU(ipC, maskC, kindC)
+        val res = netOfU(ipC, maskC, kindC, zsonTextOf(df, args.head))
         when(res.getField("_2").isNotNull, het.errorValue(res.getField("_2")))
           .otherwise(het.mkVariant(
             lit(4), lit(null).cast(DoubleType),
@@ -3423,7 +3494,18 @@ final class Compiler(spark: SparkSession, dir: String) {
               when(col(graft.operators.Het.typeTag) === tag, lit(ty)).otherwise(acc)
             }
           } else Shaper.typeof(df, parts.mkString("."))
-        case other => lit(Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType))
+        // typeof of a type value is <type> (typeof.md)
+        case Expr.Call("typeof" | "typeunder" | "__typeval" | "__typename" |
+            "typename", _) => lit("type")
+        case other =>
+          // a computed VARIANT (e.g. 1/this's number-or-error) carries its
+          // type per row in `t` (data-types.md: typeof(1/this) on 0 ->
+          // <error(string)>)
+          val c = expr(df, other)
+          val dt = try df.select(c).schema.head.dataType
+                   catch { case _: Exception => StringType }
+          if (isVariant(dt)) graft.operators.Het.variantTypeOf(c)
+          else lit(Shaper.zedTypeOf(dt))
       }
       case "kind" =>
         // kind classifies the value's type (function/kind.go); the shape
@@ -3562,18 +3644,31 @@ final class Compiler(spark: SparkSession, dir: String) {
         val targetT = try Some(graft.sources.ZsonParser.parseType(target))
                       catch { case _: Exception => None }
         def zMatch(a: graft.sources.ZType, b: graft.sources.ZType): Boolean =
-          zt.strip(a) == zt.strip(b) || ((a, b) match {
+          // EXACT type identity (types.go Is: typ == subject.Type()) — a
+          // named type does NOT match its bare structure; names compare
+          // by name
+          a == b || ((a, b) match {
             case (zt.Named(n1, _), zt.Named(n2, _)) => n1 == n2
             case (zt.Named(n1, _), zt.Prim(n2)) => n1 == n2
             case (zt.Prim(n1), zt.Named(n2, _)) => n1 == n2
             case _ => false
           })
+        // name-PRESERVING path walk (pathIn strips the leaf's name, but
+        // exact identity needs it — is-typedef ztest)
+        def pathKeep(t: graft.sources.ZType, parts: Seq[String]): Option[graft.sources.ZType] =
+          if (parts.isEmpty) Some(t)
+          else zt.strip(t) match {
+            case zt.Rec(fs) =>
+              fs.find(_._1 == parts.head).flatMap(f => pathKeep(f._2, parts.tail))
+            case zt.Union(alts) => alts.flatMap(a2 => pathKeep(a2, parts)).headOption
+            case _ => None
+          }
         val shapes = shapesOf(df)
         (subject, targetT) match {
           case (Expr.Path(parts), Some(tt)) if shapes.nonEmpty =>
             val matching = shapes.collect {
               case (tag, st) if (if (parts.isEmpty) zMatch(st, tt)
-                                 else pathIn(st, parts).exists(zMatch(_, tt))) => tag
+                                 else pathKeep(st, parts).exists(zMatch(_, tt))) => tag
             }
             if (matching.isEmpty) lit(false)
             else if (matching.size == shapes.size) lit(true)
@@ -3615,6 +3710,32 @@ final class Compiler(spark: SparkSession, dir: String) {
         val preds = df.schema.fields.filterNot(_.name == graft.operators.Het.typeTag)
           .toIndexedSeq.flatMap(f => walk(f.name, f.dataType))
         if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+      case "__typename" =>
+        // `<name>` with an unknown name: resolve against the data's OWN
+        // named types (the runtime type context in the reference —
+        // data-types.md); unresolved -> error("missing")
+        resolveNamedType(df, litStr(0)) match {
+          case Some(text) => lit(text)
+          case None => graft.operators.Het.errMissing
+        }
+      case "typename" =>
+        // typename(name) — look up a named type (function/typename.go)
+        args.head match {
+          case Expr.StringLit(n) =>
+            resolveNamedType(df, n) match {
+              case Some(text) => lit(text)
+              case None => graft.operators.Het.errMissing
+            }
+          case e =>
+            // runtime name: CASE over every named type the frame carries
+            val names = namedTypesOf(df)
+            val nc = expr(df, e)
+            val het = graft.operators.Het
+            val hit = names.foldLeft(lit(null).cast(StringType)) {
+              case (acc, (n, text)) => when(nc === lit(n), lit(text)).otherwise(acc)
+            }
+            when(hit.isNotNull, het.typeValueVariant(hit)).otherwise(het.errMissing)
+        }
       case "__typeval" =>
         // a declared type name used as a VALUE: its canonical type text
         // (typeof-style string carrier; writers/canon treat it as a type)
@@ -3778,17 +3899,29 @@ final class Compiler(spark: SparkSession, dir: String) {
       // misc (coalesce.go, len.go, compare.go, cast.go)
       case "coalesce" =>
         // zed coalesce skips nulls (incl. typed nulls), error("missing")
-        // and error("quiet") (function/coalesce.go)
-        coalesce(args.map { e =>
+        // and error("quiet") (function/coalesce.go); mixed argument types
+        // box into variants so Spark's coalesce sees ONE type
+        val het = graft.operators.Het
+        val compiled = args.map { e =>
           val c = expr(df, e)
-          if (isVariantExpr(df, e)) {
-            val het = graft.operators.Het
-            val skipErr = het.isError(c) &&
-              c.getField("z").isin("\"missing\"", "\"quiet\"")
-            val typedNull = c.getField("n").isNull && c.getField("s").isNull &&
-              c.getField("b").isNull && c.getField("z").isNull &&
-              c.getField("a").isNull && c.getField("m").isNull
-            when(skipErr || typedNull, lit(null)).otherwise(c)
+          val dt = try df.select(c).schema.head.dataType
+                   catch { case _: Exception => NullType }
+          (e, c, dt)
+        }
+        val mixed = compiled.map(_._3).filterNot(_ == NullType).distinct.size > 1
+        def skipFiltered(c: Column): Column = {
+          val skipErr = het.isError(c) &&
+            c.getField("z").isin("\"missing\"", "\"quiet\"")
+          val typedNull = c.getField("n").isNull && c.getField("s").isNull &&
+            c.getField("b").isNull && c.getField("z").isNull &&
+            c.getField("a").isNull && c.getField("m").isNull
+          when(skipErr || typedNull, lit(null)).otherwise(c)
+        }
+        coalesce(compiled.map { case (e, c, dt) =>
+          if (isVariant(dt)) skipFiltered(c)
+          else if (mixed) {
+            if (dt == NullType) lit(null).cast(het.variantType)
+            else het.variant(c, dt)
           } else c
         }: _*)
       case "len" =>
@@ -3893,7 +4026,20 @@ final class Compiler(spark: SparkSession, dir: String) {
                 else het.compareKey(het.variant(c, dtypeOf(df, args(i)).getOrElse(StringType)))
               }
               F.compareVals(vk(0), vk(1), nm)
-            } else F.compareVals(a(0), a(1), nm)
+            } else {
+              def sdt(i: Int): DataType = dtypeOf(df, args(i)).getOrElse(
+                try df.select(expr(df, args(i))).schema.head.dataType
+                catch { case _: Exception => StringType })
+              val (d0, d1) = (sdt(0), sdt(1))
+              if (d0 != d1 &&
+                  !(d0.isInstanceOf[NumericType] && d1.isInstanceOf[NumericType])) {
+                // cross-TYPE compare: zed total order ranks by type kind
+                // (compare.md: compare(2, "1") = -1, numbers < strings)
+                val het = graft.operators.Het
+                F.compareVals(het.compareKey(het.variant(expr(df, args(0)), d0)),
+                  het.compareKey(het.variant(expr(df, args(1)), d1)), nm)
+              } else F.compareVals(a(0), a(1), nm)
+            }
         }
       case "cast" if args.length == 2 && isVariantExpr(df, args.head) =>
         // union-typed subject (and possibly a runtime type VALUE): full

@@ -1137,7 +1137,15 @@ final class Parser(tokens: Vector[Token], source: String) {
           case "this" => next(); Expr.Path(Seq.empty)
           case name if peekAt(1).text == "(" =>
             next(); next() // name (
-            val args = if (at(")")) Seq.empty else parseExprList()
+            val args =
+              if (at(")")) Seq.empty
+              // grep's pattern argument may be a bare glob: grep(b*, s)
+              else if (name == "grep") {
+                val first = parseGlobOpt().getOrElse(parseExpr())
+                val rest = Vector.newBuilder[Expr]
+                while (eat(",")) rest += parseExpr()
+                first +: rest.result()
+              } else parseExprList()
             expect(")")
             // map(v, f): f is a function NAME — rewrite to a lambda body
             // over the element (`this` inside = the element; map.md)
@@ -1189,7 +1197,15 @@ final class Parser(tokens: Vector[Token], source: String) {
                 else tok.text)
             }
             expect(">")
-            Expr.StringLit(sb.toString)
+            val text = sb.toString
+            // a bare UNKNOWN name is a runtime named-type reference —
+            // resolved against the data's own named types at compile
+            // time (data-types.md: `yield <foo>` on `1(=foo)` input)
+            if (text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                !typeDefs.contains(text) &&
+                !graft.functions.ZShaper.primTypeNames(text))
+              Expr.Call("__typename", Seq(Expr.StringLit(text)))
+            else Expr.StringLit(text)
           case "(" =>
             next()
             if (atId("over")) {
