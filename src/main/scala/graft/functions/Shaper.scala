@@ -219,7 +219,7 @@ object Shaper {
       "ip" -> StringType, "net" -> StringType, "null" -> NullType)
     var i = 0
     val s = text.replaceAll("\\s+", "")
-    def peekCh: Char = if (i < s.length) s.charAt(i) else ' '
+    def peekCh: Char = if (i < s.length) s.charAt(i) else '\u0000'
     def ident(): String = {
       val st = i
       while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1

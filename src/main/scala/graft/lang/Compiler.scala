@@ -97,6 +97,11 @@ final class Compiler(spark: SparkSession, dir: String) {
     var i = 0
     while (i < stages.length) {
       (stages(i), lakePoolOf(stages(i))) match {
+        // meta scans (`from pool@branch:objects` / `:log` / `:branches`)
+        // dispatch BEFORE the data scan — an `@ref:meta` suffix is not a
+        // commit ref
+        case (Stage.From(t, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
+          state = Seq(lakeMetaFrame(t).get)
         // `from <pool>[@branch|@commit]` under graft.lake.root: a
         // merge-on-read lake scan. A following `where` on the pool key
         // feeds its closed range to the scan — whole objects prune from
@@ -115,16 +120,24 @@ final class Compiler(spark: SparkSession, dir: String) {
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
         case (Stage.From(t, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
           state = Seq(lakeMetaFrame(t).get)
-        case (Stage.From("*", _), _)
-            if spark.conf.getOption("graft.lake.root").isDefined =>
-          // `from *` — every pool in the lake, one union'd scan
+        case (Stage.From(t0, _), _)
+            if (t0 == "*" || t0.matches("[A-Za-z0-9_.*-]*\\*[A-Za-z0-9_.*-]*") ||
+              (t0.length > 2 && t0.startsWith("/") && t0.endsWith("/"))) &&
+              spark.conf.getOption("graft.lake.root").isDefined =>
+          // `from *` / `from /re/` — every matching pool, one union'd scan
           val root = spark.conf.get("graft.lake.root")
           val lk = graft.sources.Lake
+          val re =
+            if (t0 == "*") None
+            else if (t0.startsWith("/")) Some(t0.substring(1, t0.length - 1).r)
+            else Some(("^" + t0.split("\\*", -1)
+              .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r)
           val pools = Option(new java.io.File(root).listFiles())
             .getOrElse(Array.empty).toSeq
             .filter(f => f.isDirectory && lk.exists(root, f.getName))
             .map(_.getName).sorted
-          require(pools.nonEmpty, "from *: lake has no pools")
+            .filter(p => re.forall(_.findFirstIn(p).isDefined))
+          require(pools.nonEmpty, s"from $t0: no matching pools")
           state = Seq(pools.map(p => lk.scan(spark, root, p, None, None))
             .reduce((a, b) => graft.operators.ZedOps.combine(a, b)))
         case (Stage.Switch(su, cs, d), _) if i + 1 < stages.length &&
@@ -164,7 +177,76 @@ final class Compiler(spark: SparkSession, dir: String) {
         case 0 => (None, target.drop(1))
         case ix => (Some(target.take(ix)), target.drop(ix + 1))
       }
+      // a pool filter may carry a branch: `logs@main:log`
+      val (poolName, branchName) = poolFilter match {
+        case Some(pf) => pf.indexOf('@') match {
+          case -1 => (Some(pf), "main")
+          case ix => (Some(pf.take(ix)), pf.drop(ix + 1))
+        }
+        case None => (None, "main")
+      }
       meta match {
+        case "log" if poolName.exists(p => lk.exists(root, p)) =>
+          // commit journal view (lake/commits): author/date/message/meta
+          val schema = StructType(Seq(
+            StructField("kind", StringType),
+            StructField("id", StringType),
+            StructField("author", StringType),
+            StructField("date", TimestampType),
+            StructField("message", StringType),
+            StructField("meta", StringType)))
+          val rows = lk.commitsOn(root, poolName.get, branchName)
+            .filter(_.kind == "commit")
+            .reverse // newest first, like git log
+            .map(c => Row("Commit", c.id, c.author,
+              new java.sql.Timestamp(c.ts), c.message,
+              // -meta stores a zson VALUE; surface strings bare
+              if (c.meta.startsWith("\"") && c.meta.endsWith("\"") && c.meta.length >= 2)
+                c.meta.substring(1, c.meta.length - 1)
+              else if (c.meta.isEmpty) null else c.meta))
+          Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+        case "objects" | "partitions" if poolName.exists(p => lk.exists(root, p)) =>
+          // ids surface as KSUID BYTES like the reference's object ids —
+          // `cut id:=ksuid(id)` then encodes them to the 27-char form.
+          // min/max take the pool KEY's domain: numeric keys surface as
+          // longs/doubles (meta-optimized-filter compares max > 20), time
+          // keys keep their ISO text rendered bare.
+          val cs = lk.commitsOn(root, poolName.get, branchName)
+            .filter(_.kind == "commit")
+          val vals = cs.flatMap(c => c.keyMin ++ c.keyMax).filter(_.nonEmpty)
+          val allLong = vals.nonEmpty && vals.forall(v => v.matches("-?\\d+"))
+          val allNum = vals.nonEmpty &&
+            vals.forall(v => try { BigDecimal(v); true } catch { case _: Exception => false })
+          val isTime = vals.nonEmpty && vals.forall(_.matches("""\d{4}-\d{2}-\d{2}T.*Z"""))
+          val keyDt: DataType =
+            if (allLong) LongType else if (allNum) DoubleType else StringType
+          val keyMd =
+            if (isTime) new MetadataBuilder().putString("graft.zedType", "time").build()
+            else org.apache.spark.sql.types.Metadata.empty
+          val schema = StructType(Seq(
+            StructField("id", BinaryType),
+            StructField("min", keyDt, nullable = true, metadata = keyMd),
+            StructField("max", keyDt, nullable = true, metadata = keyMd),
+            StructField("count", LongType,
+              metadata = new MetadataBuilder()
+                .putString("graft.zedType", "uint64").build()),
+            StructField("size", LongType)))
+          def idBytes(id: String): Array[Byte] =
+            try graft.functions.Ksuid.decodeHex(id)
+              .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+            catch { case _: Exception => id.getBytes("UTF-8") }
+          def conv(v: Option[String]): Any = v.filter(_.nonEmpty).map { x =>
+            if (allLong) x.toLong else if (allNum) x.toDouble else x
+          }.orNull
+          val rows = cs.map(c => Row(idBytes(c.id), conv(c.keyMin), conv(c.keyMax),
+            c.rows, c.bytes))
+          Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+        case "partitions" | "rawlog" | "vectors"
+            if poolName.exists(p => lk.exists(root, p)) =>
+          // unimplemented meta views scan as empty (meta-empty-pool)
+          Some(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("this", StringType)))))
         case "pools" if poolFilter.isEmpty =>
           val schema = StructType(Seq(StructField("name", StringType)))
           Some(spark.createDataFrame(
@@ -298,7 +380,55 @@ final class Compiler(spark: SparkSession, dir: String) {
             else c.isNotNull
           }.reduce(_ || _))
         // dotted paths rebuild their nested record structure (cutter.go)
-        Seq(if (fields.exists(_._1.contains("."))) Shaper.nestDotted(flat) else flat)
+        val nested =
+          if (fields.exists(_._1.contains("."))) Shaper.nestDotted(flat) else flat
+        // path-only cut on a TAGGED stream narrows the per-row shape so
+        // zed types (ip/time/named) survive the projection (cutter.go
+        // keeps value types; merge-by-addr: cut addr renders bare ips)
+        val cutShapes = shapesOf(df)
+        val pathOnly = !fields.exists(_._1.contains(".")) && kept.forall {
+          case (_, None) => true
+          case (_, Some(Expr.Path(parts))) => parts.nonEmpty
+          case _ => false
+        }
+        if (cutShapes.nonEmpty && pathOnly && kept.nonEmpty) {
+          val zt = graft.sources.ZType
+          val narrowed: Seq[(String, Option[String])] = cutShapes.map { case (tag, st) =>
+            val fts = kept.flatMap { case (name, eo) =>
+              val parts = eo.collect { case Expr.Path(ps) => ps }
+                .getOrElse(name.split('.').toSeq)
+              pathIn(st, parts).map(t => name -> t)
+            }
+            tag -> (if (fts.size == kept.size)
+              Some("{" + fts.map { case (n, t) => s"$n:${zt.fullText(t)}" }
+                .mkString(",") + "}")
+            else None)
+          }
+          if (narrowed.forall(_._2.isDefined) && df.columns.contains(
+              graft.operators.Het.typeTag)) {
+            val texts = narrowed.map(_._2.get).distinct
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", texts.toArray).build()
+            val tagC = narrowed.foldLeft(lit(narrowed.head._2.get)) {
+              case (acc, (old, Some(nw))) =>
+                when(df(graft.operators.Het.typeTag) === old, lit(nw)).otherwise(acc)
+              case (acc, _) => acc
+            }
+            // recompute through the SAME projection (flat lost the tag)
+            val cols2 = cols :+ tagC.as(graft.operators.Het.typeTag, md)
+            val flat2 = df.select(cols2: _*)
+            val out =
+              if (quietCols.isEmpty || quietCols.length < kept.length) flat2
+              else flat2.filter(quietCols.map { c =>
+                val adt = try flat2.select(c).schema.head.dataType
+                          catch { case _: Exception => StringType }
+                if (isVariant(adt)) c.isNotNull && !graft.operators.Het.isError(c)
+                else c.isNotNull
+              }.reduce(_ || _))
+            return Seq(out)
+          }
+        }
+        Seq(nested)
 
       case Stage.Put(assigns) =>
         val df = single(state)
@@ -694,6 +824,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           aggs.collect { case (n, a) if Set("count", "dcount", "count_distinct")(a.fn) =>
             n -> new org.apache.spark.sql.types.MetadataBuilder()
               .putString("graft.zedType", "uint64").build()
+          } ++
+          aggs.collect { case (n, a) if a.fn == "avg" =>
+            // avg is float64 — null results render null(float64)
+            n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", "float64").build()
           } ++
           aggs.collect { case (n, a) if a.fn == "fuse" =>
             // the fused type is a TYPE VALUE (agg/fuse.go) — renders <…>

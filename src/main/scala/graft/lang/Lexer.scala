@@ -52,7 +52,9 @@ object Lexer {
         !Set(")", "]", "}", "]|", "}|").contains(t.text)
       case Some(t) if t.kind == ID =>
         // keywords that precede a value-position regex
-        Set("not", "and", "or", "where", "case", "yield", "search")(t.text)
+        Set("not", "and", "or", "where", "case", "yield", "search",
+          // `from /re/` selects pools by pattern (from-pattern ztest)
+          "from", "pool")(t.text)
       case _ => false
     }
 

@@ -502,13 +502,17 @@ final class Parser(tokens: Vector[Token], source: String) {
     */
   private def parseFromTarget(): String = {
     val t = next()
-    if (t.kind != ID && t.kind != STR && t.text != ":" && t.text != "*")
+    // a REGEX target selects pools by pattern (`from /.*/`, from.md)
+    if (t.kind == REGEX) return "/" + t.text + "/"
+    // INT head: pool names may start with digits (create-ksuid-name)
+    if (t.kind != ID && t.kind != STR && t.kind != INT &&
+        t.text != ":" && t.text != "*")
       fail("expected a source name or path")
     var text = t.text
     var last = t
     if (t.kind != STR && t.text != "*") {
       while ((peek.kind == ID || peek.kind == INT ||
-              (peek.kind == PUNCT && Set("@", ":", ".", "/", "-")(peek.text))) &&
+              (peek.kind == PUNCT && Set("@", ":", ".", "/", "-", "*")(peek.text))) &&
              peek.pos == last.end) {
         last = next()
         text += last.text

@@ -58,6 +58,11 @@ object Formats {
   def read(spark: SparkSession, path0: String): DataFrame = {
     val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
       fetchUri(path0) else path0
+    // a plain local path that doesn't exist fails with the reference's
+    // message (from-file-error ztest: "a.zson: file does not exist")
+    if (!path.contains("://") && !path.contains("*") &&
+        !new java.io.File(path).exists())
+      throw new IllegalArgumentException(s"$path: file does not exist")
     val lower0 = path.toLowerCase
     val lower = if (lower0.endsWith(".gz")) lower0.dropRight(3) else lower0
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)

@@ -22,7 +22,9 @@ object Lake {
                           branch: String = "main", kind: String = "commit",
                           target: String = "",
                           keyMin: Option[String] = None,
-                          keyMax: Option[String] = None)
+                          keyMax: Option[String] = None,
+                          meta: String = "", rows: Long = -1L, bytes: Long = -1L,
+                          shapes: Seq[String] = Seq.empty)
 
   private def poolDir(root: String, pool: String) = Paths.get(root, pool)
   private def journal(root: String, pool: String) = poolDir(root, pool).resolve("commits.jsonl")
@@ -36,14 +38,41 @@ object Lake {
     * lake/seekindex/writer.go) and row groups inside surviving objects
     * from parquet stats via the pushed predicate.
     */
-  def create(root: String, pool: String, key: Option[String] = None): Unit = {
+  def create(root: String, pool: String, key: Option[String] = None,
+             order: String = "desc", explicitOrder: Boolean = false): String = {
     Files.createDirectories(poolDir(root, pool).resolve("data"))
-    key.foreach { k =>
-      Files.write(poolDir(root, pool).resolve("pool.json"),
-        (s"""{"key":"$k"}""" + "\n").getBytes(StandardCharsets.UTF_8))
-    }
+    val id = graft.functions.Ksuid.newId()
+    val keyJson = key.map(k => s""","key":"$k"""").getOrElse("")
+    Files.write(poolDir(root, pool).resolve("pool.json"),
+      (s"""{"id":"$id"$keyJson,"order":"$order","explicit":$explicitOrder}""" + "\n").getBytes(StandardCharsets.UTF_8))
     val j = journal(root, pool)
     if (!Files.exists(j)) Files.createFile(j)
+    id
+  }
+
+  /** The pool's id (assigned at create; older pools get one lazily). */
+  def poolId(root: String, pool: String): String = {
+    val f = poolDir(root, pool).resolve("pool.json")
+    val existing =
+      if (Files.exists(f))
+        """"id":"([^"]+)"""".r.findFirstMatchIn(
+          new String(Files.readAllBytes(f), StandardCharsets.UTF_8)).map(_.group(1))
+      else None
+    existing.getOrElse {
+      val id = graft.functions.Ksuid.newId()
+      val keyJson = poolKey(root, pool).map(k => s""","key":"$k"""").getOrElse("")
+      Files.write(f, (s"""{"id":"$id"$keyJson}""" + "\n").getBytes(StandardCharsets.UTF_8))
+      id
+    }
+  }
+
+  /** The pool's sort order ("asc"/"desc"; desc is the reference default). */
+  def poolOrder(root: String, pool: String): String = {
+    val f = poolDir(root, pool).resolve("pool.json")
+    if (!Files.exists(f)) "desc"
+    else """"order":"([^"]+)"""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map(_.group(1)).getOrElse("desc")
   }
 
   /** The pool's key field, if it was created with one. */
@@ -62,9 +91,12 @@ object Lake {
     */
   def load(df: DataFrame, root: String, pool: String,
            author: String = "graft", message: String = "",
-           branch: String = "main"): String = {
-    if (!exists(root, pool)) create(root, pool)
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+           branch: String = "main", meta: String = ""): String = {
+    if (!exists(root, pool)) create(root, pool): Unit
+    // object ids are KSUIDs like the reference's (27-char base62,
+    // k-sortable) — scripts pattern-match \w{27} and round-trip them
+    // through ksuid()
+    val id = graft.functions.Ksuid.newId()
     val dataDir = poolDir(root, pool).resolve("data").resolve(id)
     val key = poolKey(root, pool).filter(df.columns.contains)
     // the object's key range rides the WRITE job itself (Observation
@@ -77,13 +109,40 @@ object Lake {
       // key slice — this is what makes the journal's [min,max] and the
       // parquet stats selective at scan time
       case (Some(k), Some(o)) =>
-        import org.apache.spark.sql.functions.{col, max, min}
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+        // TIME keys record their range in zed's ISO form (ns precision,
+        // trailing zeros trimmed) so :objects min/max render like the
+        // reference and range pruning compares consistently
+        def keyText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          df.schema(k).dataType match {
+            case TimestampType | TimestampNTZType =>
+              regexp_replace(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+                "\\.?0*Z$", "Z")
+            case LongType if (df.schema(k).metadata.contains("graft.zedType") &&
+                df.schema(k).metadata.getString("graft.zedType") == "time") ||
+                // ns-long time carriers may carry the time type only in
+                // the frame's shape texts (zson reads with sub-µs times)
+                df.schema.fields.find(_.name == graft.operators.Het.typeTag)
+                  .filter(_.metadata.contains("shapes"))
+                  .map(_.metadata.getStringArray("shapes").toSeq)
+                  .exists(shp => shp.nonEmpty && shp.forall(t =>
+                    t.contains(s"$k:time"))) =>
+              // ns-domain long carrier → seconds + trimmed 9-digit fraction
+              val secs = (c / 1000000000L).cast(LongType)
+              val frac = regexp_replace(
+                lpad((c % 1000000000L).cast("string"), 9, "0"), "0+$", "")
+              concat(date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+                when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
+                lit("Z"))
+            case _ => c.cast("string")
+          }
         // observe ABOVE the range exchange: the boundary-sampling pass
         // re-executes the subtree below it, which would double-count or
         // short-circuit metrics placed before the exchange
         df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
-          .observe(o, min(col(k)).cast("string").as("kmin"),
-            max(col(k)).cast("string").as("kmax"))
+          .observe(o, min(keyText(col(k))).as("kmin"),
+            max(keyText(col(k))).as("kmax"))
       case _ => df
     }
     sorted.write.mode("errorifexists").parquet(dataDir.toString)
@@ -97,9 +156,65 @@ object Lake {
     val rangeJson = range.map { case (lo, hi) =>
       s""","keymin":"${lo.replace("\"", "'")}","keymax":"${hi.replace("\"", "'")}""""
     }.getOrElse("")
+    // object stats for :log / :objects meta scans — a local listing of
+    // the object just written (cheap: one directory)
+    val files = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val rows = try spark_rowcount(df.sparkSession, dataDir.toString)
+               catch { case _: Exception => -1L }
+    // "data bytes" is the zng-equivalent size like the reference's (log
+    // ztest pins it); computed exactly for small objects, approximated by
+    // the parquet footprint for big ones (a second serialization pass at
+    // scale would double the write cost)
+    val bytes =
+      if (rows >= 0 && rows <= 100000) {
+        try {
+          val tmp = Files.createTempDirectory("zngsize")
+          try {
+            ZngIO.write(df.sparkSession.read.parquet(dataDir.toString), tmp.toString)
+            Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+              .filter(_.isFile).map(_.length()).sum
+          } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+        } catch { case _: Exception => files.map(_.length()).sum }
+      } else files.map(_.length()).sum
+    val metaJson =
+      if (meta.isEmpty) "" else s""","meta":"${meta.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    // a TAGGED frame keeps per-row shapes through the lake: the tag
+    // column is stored in parquet and the shape list rides the journal so
+    // scans re-attach it (the reference lake stores per-value types
+    // natively; revert/merge ztests pin per-row output shapes)
+    val shapesJson = {
+      val tagField = df.schema.fields.find(_.name == graft.operators.Het.typeTag)
+      val shp = tagField.filter(_.metadata.contains("shapes"))
+        .map(_.metadata.getStringArray("shapes").toSeq).getOrElse(Seq.empty)
+      if (shp.isEmpty) ""
+      else shp.map(t => "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString(""","shapes":[""", ",", "]")
+    }
     appendRec(root, pool,
-      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson,"ts":${System.currentTimeMillis()}}""")
+      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson$metaJson$shapesJson,"rows":$rows,"bytes":$bytes,"ts":${System.currentTimeMillis()}}""")
     id
+  }
+
+  /** Row count of a just-written object from parquet footers (no scan). */
+  private def spark_rowcount(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(dir).count()
+
+  /** Serialize a commit record for the journal, preserving its stats,
+    * key range, meta and shape list (merge/revert copy records across
+    * branches — the copies must stay as rich as the originals).
+    */
+  private def commitJson(c: Commit, branch: String, message: String): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val range = (c.keyMin, c.keyMax) match {
+      case (Some(mn), Some(mx)) => s""","keymin":"${esc(mn)}","keymax":"${esc(mx)}""""
+      case _ => ""
+    }
+    val metaJ = if (c.meta.isEmpty) "" else s""","meta":"${esc(c.meta)}""""
+    val shapesJ =
+      if (c.shapes.isEmpty) ""
+      else c.shapes.map(t => "\"" + esc(t) + "\"").mkString(""","shapes":[""", ",", "]")
+    s"""{"id":"${c.id}","kind":"commit","branch":"$branch","author":"${esc(c.author)}","message":"${esc(message)}"$range$metaJ$shapesJ,"rows":${c.rows},"bytes":${c.bytes},"ts":${System.currentTimeMillis()}}"""
   }
 
   private def appendRec(root: String, pool: String, rec: String): Unit =
@@ -127,10 +242,17 @@ object Lake {
     * (runtime/sam/op/meta/deleter.go: deletes are commits, history stays
     * intact — `@commit` time travel still sees the object).
     */
-  def delete(root: String, pool: String, commitId: String, branch: String = "main"): Unit = {
+  def delete(root: String, pool: String, commitId: String, branch: String = "main"): String = {
     require(exists(root, pool), s"no such pool: $pool")
+    // only a LIVE object can be deleted (the reference errors on unknown
+    // ids — delete ztest)
+    val live = liveIds(visibleOn(commits(root, pool), branch))
+    if (!live.contains(commitId))
+      throw new IllegalArgumentException(s"$commitId: commit object not found")
+    val recId = graft.functions.Ksuid.newId()
     appendRec(root, pool,
-      s"""{"id":"${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}","kind":"delete","branch":"$branch","target":"$commitId","ts":${System.currentTimeMillis()}}""")
+      s"""{"id":"$recId","kind":"delete","branch":"$branch","target":"$commitId","ts":${System.currentTimeMillis()}}""")
+    recId
   }
 
   def commits(root: String, pool: String): Seq[Commit] = {
@@ -144,6 +266,10 @@ object Lake {
     val targetRe = """"target":"([^"]*)"""".r
     val kminRe = """"keymin":"([^"]*)"""".r
     val kmaxRe = """"keymax":"([^"]*)"""".r
+    val metaRe = """"meta":"((?:[^"\\]|\\.)*)"""".r
+    val rowsRe = """"rows":(-?\d+)""".r
+    val shapesRe = """"shapes":\[(.*?)\]""".r
+    val bytesRe = """"bytes":(-?\d+)""".r
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(journal(root, pool))).asScala.toSeq
       .filter(_.nonEmpty)
@@ -157,8 +283,26 @@ object Lake {
           kindRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("commit"),
           targetRe.findFirstMatchIn(l).map(_.group(1)).getOrElse(""),
           kminRe.findFirstMatchIn(l).map(_.group(1)),
-          kmaxRe.findFirstMatchIn(l).map(_.group(1)))
+          kmaxRe.findFirstMatchIn(l).map(_.group(1)),
+          metaRe.findFirstMatchIn(l).map(_.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(""),
+          rowsRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(-1L),
+          bytesRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(-1L),
+          shapesRe.findFirstMatchIn(l).map(_.group(1)).map { arr =>
+            """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)
+              .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+          }.getOrElse(Seq.empty))
       }
+  }
+
+  /** Public view of a branch's visible journal slice (for `:log` /
+    * `:objects` meta scans and the CLI's `db log`).
+    */
+  def commitsOn(root: String, pool: String, branch: String): Seq[Commit] = {
+    val all = commits(root, pool)
+    val visible = visibleOn(all, branch)
+    val live = liveIds(visible).toSet
+    visible.filter(c => c.kind != "commit" || live.contains(c.id))
   }
 
   /** Journal records visible from a branch head: the branch's own records
@@ -210,7 +354,14 @@ object Lake {
       case None => visibleOn(all, branch)
     }
     val live = liveIds(visible)
-    require(live.nonEmpty, s"pool $pool is empty")
+    if (live.isEmpty) {
+      // an empty pool scans as zero rows, not an error (create-ksuid-name
+      // ztest queries a pool before any load)
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("this", StringType))))
+    }
     // object-level range pruning from the journal's [keymin,keymax] — the
     // seek-index analog: a keyed pool's range scan never opens an object
     // whose recorded range can't overlap. Objects without a recorded
@@ -233,7 +384,47 @@ object Lake {
       case _ => live
     }
     val dirs = pruned.map(id => poolDir(root, pool).resolve("data").resolve(id).toString)
-    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val df0 = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // re-attach per-row shape metadata stored at load time (tagged
+    // frames keep their shape tag column through parquet)
+    val tagName = graft.operators.Het.typeTag
+    val allShapes = pruned.flatMap(id => byId.get(id)).flatMap(_.shapes).distinct
+    val df1 =
+      if (!df0.columns.contains(tagName)) df0
+      else {
+        import org.apache.spark.sql.functions.col
+        if (allShapes.isEmpty) df0
+        else {
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putStringArray("shapes", allShapes.toArray).build()
+          df0.select(df0.schema.fields.toIndexedSeq.map { f =>
+            if (f.name == tagName) col(s"`${f.name}`").as(f.name, md)
+            else col(s"`${f.name}`")
+          }: _*)
+        }
+      }
+    // a KEYED pool scans in key order (the reference's pools are sorted
+    // sequences; `db query "*"` output order is pinned by ztests)
+    val df = key match {
+      case Some(k) if df1.columns.contains(k) =>
+        import org.apache.spark.sql.functions._
+        // IP keys sort in ADDRESS order, not text order (merge-by-addr:
+        // 10.47.x before 10.128.x) — the key expression byte-encodes them
+        val isIpKey =
+          df1.schema(k).dataType == org.apache.spark.sql.types.StringType &&
+            allShapes.nonEmpty && allShapes.forall(_.contains(s"$k:ip"))
+        val sortC =
+          if (isIpKey) {
+            val ipOrd = udf((v: String) =>
+              if (v == null) null
+              else v.split("[./]").take(4).map(p =>
+                f"${(try p.toInt catch { case _: Exception => 0 })}%03d").mkString)
+            ipOrd(col(k))
+          } else col(k)
+        if (poolOrder(root, pool) == "asc") df1.orderBy(sortC.asc_nulls_last)
+        else df1.orderBy(sortC.desc_nulls_last)
+      case _ => df1
+    }
     // in-object pruning: the key predicate pushes to parquet, where the
     // load-time range sort makes row-group [min,max] stats selective
     (key, keyRange) match {
@@ -292,8 +483,7 @@ object Lake {
     val childCommits = all.filter(c => c.kind == "commit" && c.branch == branch)
     val childDeletes = all.filter(c => c.kind == "delete" && c.branch == branch)
     childCommits.foreach { c =>
-      appendRec(root, pool,
-        s"""{"id":"${c.id}","kind":"commit","branch":"$parent","author":"${c.author}","message":"merge $branch: ${c.message}","ts":${System.currentTimeMillis()}}""")
+      appendRec(root, pool, commitJson(c, parent, s"merge $branch: ${c.message}"))
     }
     childDeletes.foreach { d =>
       appendRec(root, pool,
@@ -307,7 +497,7 @@ object Lake {
     * from the live set; reverting a delete restores the object. History
     * stays intact either way.
     */
-  def revert(root: String, pool: String, commitId: String, branch: String = "main"): Unit = {
+  def revert(root: String, pool: String, commitId: String, branch: String = "main"): String = {
     require(exists(root, pool), s"no such pool: $pool")
     val all = commits(root, pool)
     val target = all.find(_.id == commitId).getOrElse(
@@ -315,9 +505,17 @@ object Lake {
     target.kind match {
       case "commit" => delete(root, pool, commitId, branch)
       case "delete" =>
-        // restore: re-commit the deleted object's id on this branch
-        appendRec(root, pool,
-          s"""{"id":"${target.target}","kind":"commit","branch":"$branch","author":"revert","message":"revert $commitId","ts":${System.currentTimeMillis()}}""")
+        // restore: re-commit the deleted object's id on this branch —
+        // keeping the ORIGINAL record's shapes/stats/range
+        val orig = all.find(c => c.kind == "commit" && c.id == target.target)
+        orig match {
+          case Some(o) =>
+            appendRec(root, pool, commitJson(o, branch, s"revert $commitId"))
+          case None =>
+            appendRec(root, pool,
+              s"""{"id":"${target.target}","kind":"commit","branch":"$branch","author":"revert","message":"revert $commitId","ts":${System.currentTimeMillis()}}""")
+        }
+        target.target
       case other => throw new IllegalArgumentException(s"cannot revert a $other record")
     }
   }
@@ -362,6 +560,13 @@ object Lake {
   /** Drop a pool entirely (service DELETE /pool). */
   def drop(root: String, pool: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(poolDir(root, pool).toFile): Unit
+
+  /** `db rename <old> <new>` — a directory move; the journal rides along. */
+  def rename(root: String, from: String, to: String): Unit = {
+    if (Files.exists(poolDir(root, to)))
+      throw new IllegalArgumentException(s"$to: pool already exists")
+    Files.move(poolDir(root, from), poolDir(root, to)): Unit
+  }
 
   /** `mirror` — copy the stream to a mirror sink while passing it through
     * (runtime/sam/op/mirror/mirror.go; multi-output graphs mux.go). The

@@ -1566,6 +1566,15 @@ final class ZsonParser(s: String) {
         if (n.forall(_.isDigit)) inner else Named(n, inner)
       case other => other
     }
+    // a RECORD decorator must list exactly the value's fields (zson
+    // parser: "record decorator fields (N) mismatched with value fields
+    // (M)" — import-check ztest)
+    (ZValue.unwrap(v), ZType.strip(t)) match {
+      case (VRec(fs), Rec(tfs)) if fs.length != tfs.length =>
+        throw new IllegalArgumentException(
+          s"record decorator fields (${tfs.length}) mismatched with value fields (${fs.length})")
+      case _ =>
+    }
     val base = (ZValue.unwrap(v), ZType.strip(t)) match {
       case (VNull(_), _) => VNull(t)
       case (VInt(n, _), Prim(p)) if p.startsWith("int") => VInt(n, p)
@@ -1683,7 +1692,9 @@ object ZsonReader {
 
   def frameSchema(shapeTexts: Seq[String], tag: Boolean, nsTime: Boolean): (StructType, StructType) = {
     val rowTypes = shapeTexts.map(t =>
-      recordifyType(ZsonParser.parseType(ZType.stripNullWrap(t))))
+      try recordifyType(ZsonParser.parseType(ZType.stripNullWrap(t)))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"frameSchema: bad shape text [$t]: ${e.getMessage}") })
     val rowSchemas = rowTypes.map(rt => sparkTypeOf(rt, nsTime).asInstanceOf[StructType])
     val merged = rowSchemas.reduce((a, b) => mergeSpark(a, b).asInstanceOf[StructType])
     // a field whose ZED types conflict across shapes in render-relevant
@@ -1741,9 +1752,9 @@ object ZsonReader {
     // pass 1: distinct shape texts in stream (first-appearance) order —
     // keyed by (partition, first row index) so the fused schema's field
     // order is deterministic and matches what a serial read would build
-    // the " ns" sentinel key piggybacks the sub-µs-precision probe on
+    // the "ns" sentinel key piggybacks the sub-µs-precision probe on
     // the same pass (its presence → escalate the time carrier to ns longs)
-    val nsSentinel = " ns"
+    val nsSentinel = "ns"
     val discovered = rdd.mapPartitionsWithIndex { (pid, it) =>
       val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       var i = 0L

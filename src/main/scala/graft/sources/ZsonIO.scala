@@ -66,7 +66,10 @@ object ZsonIO {
       case _: DecimalType => concat(c.cast(StringType), lit(" (float64)"))
       case BooleanType => c.cast(StringType)
       case TimestampType | TimestampNTZType =>
-        date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        // zed trims trailing fraction zeros (and the dot when zero) —
+        // 00:00:00.000000Z renders 00:00:00Z (zson time format)
+        regexp_replace(
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), "\\.?0*Z$", "Z")
       case DateType => date_format(c, "yyyy-MM-dd'T'00:00:00'Z'")
       case BinaryType => concat(lit("0x"), lower(hex(c)))
       case ArrayType(et, _) =>
@@ -154,8 +157,9 @@ object ZsonIO {
       (dt, zt.map(ZType.strip)) match {
         case (LongType, Some(ZType.Prim("duration"))) =>
           when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
-        case (StringType, Some(ZType.Prim("ip" | "net"))) =>
-          // ip/net literals are bare in zson (no quotes)
+        case (StringType, Some(ZType.Prim("ip" | "net" | "time"))) =>
+          // ip/net (and ISO-text time carriers, e.g. lake :objects
+          // ranges) are bare in zson (no quotes)
           when(c.isNull, lit("null")).otherwise(c)
         case (StringType, Some(ZType.Prim("type"))) =>
           when(c.isNull, lit("null")).otherwise(concat(lit("<"), c, lit(">")))
@@ -458,8 +462,20 @@ object ZsonIO {
     val rdd =
       if (probeLineOriented(spark, path))
         spark.read.textFile(path).rdd.mapPartitions(parseLineIter)
-      else
+      else {
+        // not line-oriented: confirm the head actually parses as (multi-
+        // line) zson before shipping a whole-file decode to executors —
+        // an undetectable file fails fast with the reference's message
+        // (stop-on-error ztest: "bad.zson: format detection error")
+        val head = try spark.read.textFile(path).head(20).mkString("\n")
+                   catch { case _: Exception => "" }
+        if (head.trim.nonEmpty &&
+            (try { new ZsonParser(head).parseOne(); false }
+             catch { case _: Exception => true }))
+          throw new IllegalArgumentException(
+            new java.io.File(path).getName + ": format detection error")
         perFileValues(spark, path)
+      }
     ZsonReader.fromRDD(spark, rdd)
   }
 

@@ -55,8 +55,10 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
               s"mismatch\n--- got ---\n${got.take(400)}\n--- want ---\n${c.output.take(400)}"))
           }
           case Left(e)
-              if Option(e.getMessage).exists(
-                _.contains("Path does not exist: file:/root/reference/")) =>
+              if Option(e.getMessage).exists(m =>
+                m.contains("Path does not exist: file:/root/reference/") ||
+                  (m.contains(": file does not exist") &&
+                    m.contains("/root/reference/"))) =>
             // dir= case needing data the reference checkout doesn't ship
             // (schools.zson is built by downloading an SQLite db —
             // testdata/edu/README.md — and this environment has no
@@ -79,7 +81,9 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
         info(s"FAIL $id :: ${why.linesIterator.take(2).mkString(" | ").take(200)}")
       }
     }
-    assert(pass >= (runnable * 85) / 100,
+    // 85% is the coverage target; the absolute floor pins the measured
+    // count (414/478 in round 8) so semantic regressions fail CI
+    assert(pass >= math.max((runnable * 85) / 100, 410),
       s"doc-example pass rate regressed: $pass/$runnable")
   }
 }

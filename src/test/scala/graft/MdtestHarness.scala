@@ -139,6 +139,15 @@ object MdtestHarness {
   final class Shell(spark: SparkSession, val workDir: java.nio.file.Path) {
     private val env = mutable.Map.empty[String, String]
 
+    // script-style ztests: the whole script's stdin (an input named
+    // `stdin`) — a command reading `-` without a pipe sees it
+    private var defaultStdin: Option[String] = None
+    def setDefaultStdin(text: String): Unit = defaultStdin = Some(text)
+
+    // `tee /dev/stderr` and friends write here; the script harness reads
+    // it back as the script's stderr
+    val stderrSink = new StringBuilder
+
     private def filePath(name: String): String =
       if (name.startsWith("/")) name else workDir.resolve(name).toString
 
@@ -174,7 +183,7 @@ object MdtestHarness {
         b += cur.result()
         b.result().filter(_.nonEmpty)
       }
-      var stdin: Option[String] = None
+      var stdin: Option[String] = defaultStdin
       var outText = ""
       for (seg <- segs) {
         outText = runSimple(seg, stdin)
@@ -210,9 +219,52 @@ object MdtestHarness {
             if (ix > 0) env(kv.take(ix)) = kv.drop(ix + 1)
           }
           ""
+        case "head" | "tail" =>
+          var n = 10
+          var files = Vector.empty[String]
+          var i2 = 1
+          while (i2 < seg.length) {
+            seg(i2) match {
+              case "-n" => n = seg(i2 + 1).toInt; i2 += 2
+              case f if f.startsWith("-") && f.drop(1).forall(_.isDigit) =>
+                n = f.drop(1).toInt; i2 += 1
+              case f => files = files :+ f; i2 += 1
+            }
+            ()
+          }
+          val text = if (files.nonEmpty) files.map(readFile).mkString
+                     else stdin.getOrElse("")
+          val ls = text.linesIterator.toSeq
+          (if (seg.head == "head") ls.take(n) else ls.takeRight(n))
+            .map(_ + "\n").mkString
+        case "mkdir" =>
+          seg.tail.filterNot(_.startsWith("-")).foreach { d =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filePath(d)))
+          }
+          ""
+        case "mv" =>
+          val paths = seg.tail.filterNot(_.startsWith("-"))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(filePath(paths(0))),
+            java.nio.file.Paths.get(filePath(paths(1))))
+          ""
+        case "awk" =>
+          // minimal awk: '{print $N}' over stdin (ztest scripts capture
+          // single fields of command output)
+          val prog = seg.tail.mkString(" ")
+          val m = """\{\s*print\s+\$(\d+)\s*\}""".r.findFirstMatchIn(prog)
+            .getOrElse(throw new Unsupported(s"awk $prog"))
+          val n = m.group(1).toInt
+          stdin.getOrElse("").linesIterator.map { l =>
+            val fs = l.trim.split("\\s+")
+            (if (n >= 1 && n <= fs.length) fs(n - 1) else "") + "\n"
+          }.mkString
+        case "sort" =>
+          stdin.getOrElse("").linesIterator.toSeq.sorted.map(_ + "\n").mkString
         case "tee" =>
           val text = stdin.getOrElse("")
-          seg.tail.filterNot(_.startsWith("-")).foreach { f =>
+          seg.tail.filter(_ == "/dev/stderr").foreach(_ => stderrSink.append(text))
+          seg.tail.filterNot(f => f.startsWith("-") || f == "/dev/stderr").foreach { f =>
             java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
               text.getBytes("UTF-8"))
           }
@@ -239,7 +291,8 @@ object MdtestHarness {
     private final case class QFlags(
       format: String, inFmt: Option[String], query: Option[String],
       includes: Seq[String], files: Seq[String], useStdin: Boolean,
-      outFile: Option[String], quiet: Boolean)
+      outFile: Option[String], quiet: Boolean,
+      split: Option[String] = None, splitSize: Option[Long] = None)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
       var format = "zson"
@@ -250,18 +303,40 @@ object MdtestHarness {
       var useStdin = false
       var outFile: Option[String] = None
       var quiet = false
+      var split: Option[String] = None
+      var splitSize: Option[Long] = None
+      var explicitFmt = false
+      var jFlag = false
       var i = 0
+      def sizeOf(v: String): Long =
+        """(\d+)([KMG]?)B?""".r.findFirstMatchIn(v).map { m =>
+          m.group(1).toLong * (m.group(2) match {
+            case "K" => 1024L; case "M" => 1024L * 1024; case "G" => 1024L * 1024 * 1024
+            case _ => 1L
+          })
+        }.getOrElse(0L)
       while (i < args.length) {
         args(i) match {
-          case "-z" => format = "zson"; i += 1
-          case "-Z" => format = "zson-pretty"; i += 1
-          case "-f" => format = args(i + 1); i += 2
+          case "-z" => format = "zson"; explicitFmt = true; i += 1
+          case "-Z" => format = "zson-pretty"; explicitFmt = true; i += 1
+          case "-f" => format = args(i + 1); explicitFmt = true; i += 2
+          case "-j" | "-J" => format = "json"; jFlag = true; i += 1
           case "-i" => inFmt = Some(args(i + 1)); i += 2
           case "-c" => query = Some(args(i + 1)); i += 2
           case "-I" => includes :+= args(i + 1); i += 2
           case "-o" => outFile = Some(args(i + 1)); i += 2
           case "-q" => quiet = true; i += 1
           case "-s" => i += 1
+          case "-split" => split = Some(args(i + 1)); i += 2
+          case "-splitsize" => splitSize = Some(sizeOf(args(i + 1))); i += 2
+          case f @ ("-aggmem" | "-sortmem") =>
+            // memory caps: validated, then ignored — Spark spills on its
+            // own (the reference's spill machinery analog)
+            if (sizeOf(args(i + 1)) <= 0)
+              throw new RuntimeException(
+                s"${f.stripPrefix("-")} value must be greater than zero")
+            i += 2
+          case "-e=false" | "-e" => i += 1
           case "-" => useStdin = true; i += 1
           case f if f.startsWith("-") => throw new Unsupported(s"flag $f")
           case word =>
@@ -274,10 +349,21 @@ object MdtestHarness {
             i += 1
         }
       }
-      QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet)
+      if (jFlag && explicitFmt)
+        throw new RuntimeException("cannot use -j or -J with -f, -z, or -Z")
+      QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet,
+        split, splitSize)
     }
 
-    private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame = {
+    private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame =
+      try buildStdinFrame0(text, inFmt)
+      catch {
+        case e: Exception if inFmt.isEmpty =>
+          throw new RuntimeException(
+            s"stdin: format detection error: ${e.getMessage}")
+      }
+
+    private def buildStdinFrame0(text: String, inFmt: Option[String]): DataFrame = {
       val flags = inFmt.map(f => s"-i $f").getOrElse {
         if (text.startsWith("#separator") || text.startsWith("#fields") ||
             text.startsWith("#path")) "-i zeek"
@@ -321,9 +407,17 @@ object MdtestHarness {
           } else if (queryText.startsWith("from") || queryText.contains("| from")) {
             Graft.query(spark, workDir.toString, queryText)
           } else {
-            // no input at all: the reference evaluates the query over a
-            // single null value (`super query -z -c '1+1'` → 2)
+            // no input at all: an expression query evaluates over a
+            // single null value (`super query -z -c '1+1'` → 2), but an
+            // implied SEARCH has nothing to search (no-files ztest)
             require(queryText.nonEmpty, "super query: no query and no input")
+            val searchFirst =
+              try graft.lang.Parser.parse(queryText).stages.headOption.exists {
+                case graft.lang.Stage.Where(_) => true
+                case _ => false
+              } catch { case _: Exception => false }
+            if (searchFirst)
+              throw new RuntimeException("super query: no data source found")
             Graft.queryOn(ZsonReader.fromText(spark, "null"), queryText)
           }
         renderOut(res, f)
@@ -331,6 +425,7 @@ object MdtestHarness {
     }
 
     private def renderOut(res: DataFrame, f: QFlags): String = {
+      f.split.foreach { dir => return renderSplit(res, f, dir) }
       val lines: Seq[String] = f.format match {
         case "zson" | "zson-pretty" => ZsonIO.toZson(res).collect().toSeq
         case "csv" => graft.sources.ZFormat.csvLines(res)
@@ -355,6 +450,52 @@ object MdtestHarness {
       }
     }
 
+    /** `-split <dir>`: one output file per _path value, per input shape,
+      * or per -splitsize byte chunk (cmd/super/query -split).
+      */
+    private def renderSplit(res: DataFrame, f: QFlags, dir: String): String = {
+      import org.apache.spark.sql.functions.col
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filePath(dir)))
+      val prefix = f.outFile.map(_ + "-").getOrElse("")
+      val ext = if (f.format == "zeek") "log" else "zson"
+      def writeGroup(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(filePath(s"$dir/$prefix$name.$ext")),
+          lines.map(_ + "\n").mkString.getBytes("UTF-8"))
+      if (f.splitSize.isDefined) {
+        val lines = ZsonIO.toZson(res).collect().toSeq
+        var idx = 0
+        var cur = Vector.empty[String]
+        var bytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) { writeGroup(idx.toString, cur); idx += 1; cur = Vector.empty; bytes = 0 }
+        for (l <- lines) {
+          cur = cur :+ l; bytes += l.length + 1
+          if (bytes >= f.splitSize.get) flush()
+        }
+        flush()
+      } else if (res.columns.contains("_path")) {
+        val paths = res.select("_path").distinct().collect().map(_.getString(0)).sorted
+        for (p <- paths) {
+          val part = res.filter(col("_path") === p)
+          val lines =
+            if (f.format == "zeek") graft.sources.ZFormat.zeekLines(part).collect().toSeq
+            else ZsonIO.toZson(part).collect().toSeq
+          writeGroup(p, lines)
+        }
+      } else if (res.columns.contains(graft.operators.Het.typeTag)) {
+        // one file per SHAPE, first-appearance order (split ztest)
+        val tagF = res.schema(graft.operators.Het.typeTag)
+        val order: Seq[String] =
+          if (tagF.metadata.contains("shapes")) tagF.metadata.getStringArray("shapes").toSeq
+          else res.select(graft.operators.Het.typeTag).distinct().collect().map(_.getString(0)).toSeq
+        order.zipWithIndex.foreach { case (t, i2) =>
+          val part = res.filter(col(graft.operators.Het.typeTag) === t)
+          if (!part.isEmpty) writeGroup(i2.toString, ZsonIO.toZson(part).collect().toSeq)
+        }
+      } else writeGroup("0", ZsonIO.toZson(res).collect().toSeq)
+      ""
+    }
+
     /** Point relative `from <file>` resolution at this shell's cwd. */
     private def withCwd[A](body: => A): A = {
       spark.conf.set("graft.cwd", workDir.toString)
@@ -364,10 +505,22 @@ object MdtestHarness {
     // ---- super db -----------------------------------------------------------
 
     private def lakeRoot(explicit: Option[String]): String = {
-      val raw = explicit.orElse(env.get("SUPER_DB_LAKE")).getOrElse(
-        throw new Unsupported("db without a lake (-lake or SUPER_DB_LAKE)"))
+      val raw = explicit.filter(_.nonEmpty)
+        .orElse(env.get("SUPER_DB_LAKE").filter(_.nonEmpty)).getOrElse(
+          throw new RuntimeException("lake location must be set (either with " +
+            "the -lake flag or SUPER_DB_LAKE environment variable)"))
       filePath(raw)
     }
+
+    // `super db use` state: the default pool@branch (HEAD) for load/query
+    private var useHead: Option[(String, String)] = None
+
+    private def headTarget(explicit: String): (String, String) =
+      if (explicit.nonEmpty) explicit.indexOf('@') match {
+        case -1 => (explicit, "main")
+        case ix => (explicit.take(ix), explicit.drop(ix + 1))
+      } else useHead.getOrElse(
+        throw new RuntimeException("default pool and branch unset"))
 
     private def superDb(args0: Seq[String], stdin: Option[String]): String = {
       var args = args0
@@ -377,11 +530,19 @@ object MdtestHarness {
       var parsing = true
       while (parsing && args.nonEmpty) args.head match {
         case "-lake" => lake = Some(args(1)); args = args.drop(2)
+        case f if f.startsWith("-lake=") =>
+          lake = Some(f.stripPrefix("-lake=")); args = args.drop(1)
         case "-q" => quiet = true; args = args.drop(1)
         case _ => parsing = false
       }
       val root = lakeRoot(lake)
       val lk = graft.sources.Lake
+      if (args.head != "init" && !java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(root)))
+        throw new RuntimeException(s"$root: lake does not exist\n" +
+          "(hint: run 'zed init' to initialize lake at this location)")
+      def requirePool(p: String): Unit =
+        if (!lk.exists(root, p)) throw new RuntimeException(s"$p: pool not found")
       args.head match {
         case "init" =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -389,49 +550,251 @@ object MdtestHarness {
         case "create" =>
           var rest = args.tail
           var key: Option[String] = None
+          var order = "desc"
+          var explicitOrder = false
+          var use = false
           while (rest.head.startsWith("-")) rest.head match {
             case "-q" => quiet = true; rest = rest.tail
+            case "-use" => use = true; rest = rest.tail
+            case "-seekstride" | "-S" => rest = rest.drop(2)
             case "-orderby" =>
-              key = Some(rest(1).split(':').head); rest = rest.drop(2)
+              key = Some(rest(1).split(':').head)
+              order = rest(1).split(':').lift(1).getOrElse("asc")
+              explicitOrder = true
+              rest = rest.drop(2)
             case f => throw new Unsupported(s"db create flag $f")
           }
-          lk.create(root, rest.head, key)
-          if (quiet) "" else s"pool created: ${rest.head}\n"
+          // the reference's default pool layout is ts:desc
+          val poolId = lk.create(root, rest.head, key.orElse(Some("ts")), order,
+            explicitOrder)
+          if (use) useHead = Some((rest.head, "main"))
+          if (quiet) "" else s"pool created: ${rest.head} $poolId\n"
+        case "use" =>
+          val useQuiet = quiet || args.tail.contains("-q")
+          def emit(sOut: String): String = if (useQuiet) "" else sOut
+          args.tail.filterNot(_ == "-q") match {
+            case Seq() =>
+              useHead match {
+                case Some((p, b)) => s"HEAD at $p@$b\nLake at file://$root\n"
+                case None => throw new RuntimeException("default pool and branch unset")
+              }
+            case Seq(t) if t.startsWith("@") =>
+              val p = useHead.map(_._1).getOrElse(
+                throw new RuntimeException("default pool unset"))
+              val b = t.drop(1)
+              if (!lk.branches(root, p).contains(b) && b != "main")
+                throw new RuntimeException("\"" + b + "\": branch not found")
+              useHead = Some((p, b))
+              emit(s"Switched to branch \"$b\" on pool \"$p\"\n")
+            case Seq(t) =>
+              val (p, b) = t.indexOf('@') match {
+                case -1 => (t, "main")
+                case ix => (t.take(ix), t.drop(ix + 1))
+              }
+              requirePool(p)
+              if (b != "main" && !lk.branches(root, p).contains(b))
+                throw new RuntimeException("\"" + b + "\": branch not found")
+              useHead = Some((p, b))
+              emit(s"Switched to branch \"$b\" on pool \"$p\"\n")
+            case _ => throw new Unsupported("db use args")
+          }
         case "branch" =>
           var rest = args.tail
           var pool = ""
-          while (rest.head.startsWith("-")) rest.head match {
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
             case "-q" => quiet = true; rest = rest.tail
             case "-use" => pool = rest(1); rest = rest.drop(2)
             case f => throw new Unsupported(s"db branch flag $f")
           }
-          lk.branch(root, pool, rest.head)
-          if (quiet) "" else s"branch created: ${rest.head}\n"
+          val poolName =
+            if (pool.nonEmpty) pool
+            else useHead.map(_._1).getOrElse(
+              throw new RuntimeException("default pool and branch unset"))
+          rest match {
+            case Seq() => // list branches
+              lk.branches(root, poolName).map(b => s"$b\n").mkString
+            case Seq(name) =>
+              lk.branch(root, poolName, name)
+              if (quiet) "" else s"branch created: $name\n"
+            case _ => throw new Unsupported("db branch args")
+          }
+        case "drop" =>
+          var rest = args.tail
+          while (rest.head.startsWith("-")) rest.head match {
+            case "-f" | "-q" =>
+              if (rest.head == "-q") quiet = true
+              rest = rest.tail
+            case f => throw new Unsupported(s"db drop flag $f")
+          }
+          requirePool(rest.head)
+          lk.drop(root, rest.head)
+          if (useHead.exists(_._1 == rest.head)) useHead = None
+          if (quiet) "" else s"pool deleted: ${rest.head}\n"
+        case "ls" =>
+          // `NAME <id> key <k> order <o>` per pool (cmd/super/db/ls)
+          val pools = Option(new java.io.File(root).listFiles())
+            .getOrElse(Array.empty).toSeq
+            .filter(f => f.isDirectory && lk.exists(root, f.getName))
+            .map(_.getName).sorted
+          pools.map { pn =>
+            val k = lk.poolKey(root, pn).getOrElse("ts")
+            s"$pn ${lk.poolId(root, pn)} key $k order ${lk.poolOrder(root, pn)}\n"
+          }.mkString
+        case "log" =>
+          var rest = args.tail
+          var target = ""
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
+            case "-q" => quiet = true; rest = rest.tail
+            case "-use" => target = rest(1); rest = rest.drop(2)
+            case f => throw new Unsupported(s"db log flag $f")
+          }
+          val (pool, branch) = headTarget(target)
+          requirePool(pool)
+          val cs = lk.commitsOn(root, pool, branch)
+            .filter(_.kind == "commit").reverse
+          val sb = new StringBuilder
+          cs.zipWithIndex.foreach { case (c, i) =>
+            val head = if (i == 0) s" (HEAD -> $branch)" else ""
+            sb.append(s"commit ${c.id}$head\n")
+            sb.append(s"Author: ${c.author}\n")
+            sb.append("Date:   " + java.time.Instant.ofEpochMilli(c.ts)
+              .toString.replaceAll("\\.\\d+Z$", "Z") + "\n\n")
+            sb.append("    loaded 1 data object\n\n")
+            val rows = if (c.rows >= 0) c.rows else 0L
+            val rec = if (rows == 1) "record" else "records"
+            sb.append(s"    ${c.id} $rows $rec in ${math.max(c.bytes, 0)} data bytes\n\n")
+          }
+          sb.toString.stripSuffix("\n")
+        case "delete" =>
+          var rest = args.tail
+          var target = ""
+          var whereExpr: Option[String] = None
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
+            case "-q" => quiet = true; rest = rest.tail
+            case "-use" => target = rest(1); rest = rest.drop(2)
+            case "-where" => whereExpr = Some(rest(1)); rest = rest.drop(2)
+            case f => throw new Unsupported(s"db delete flag $f")
+          }
+          val (pool, branch) = headTarget(target)
+          requirePool(pool)
+          whereExpr match {
+            case Some(w) =>
+              // must be a SINGLE filter expression (cmd/super/db/delete)
+              val singleFilter =
+                try graft.lang.Parser.parse(w).stages match {
+                  case Seq(graft.lang.Stage.Where(_)) => true
+                  case _ => false
+                } catch { case _: Exception => false }
+              if (!singleFilter)
+                throw new RuntimeException(
+                  "invalid delete where query: must be a single filter operation")
+              // delete-where: rewrite the branch's live rows minus the
+              // matches as ONE new object, then delete the old objects
+              // (queries see the same result as the reference's
+              // tombstone commits)
+              spark.conf.set("graft.lake.root", root)
+              try {
+                val scanDf = lk.scan(spark, root, pool, Some(branch))
+                if (Graft.queryOn(scanDf, s"where $w").isEmpty)
+                  throw new RuntimeException("empty transaction")
+                val kept = Graft.queryOn(scanDf, s"where !($w)")
+                val old = lk.commitsOn(root, pool, branch)
+                  .filter(_.kind == "commit").map(_.id)
+                lk.load(kept.drop(graft.operators.Het.typeTag), root, pool,
+                  branch = branch, message = s"delete where $w"): Unit
+                old.foreach(id => lk.delete(root, pool, id, branch))
+                ""
+              } finally spark.conf.unset("graft.lake.root")
+            case None =>
+              rest.foreach(id => lk.delete(root, pool, id, branch))
+              if (quiet) "" else rest.map(id => s"$id deleted\n").mkString
+          }
+        case "revert" =>
+          var rest = args.tail
+          var target = ""
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
+            case "-q" => quiet = true; rest = rest.tail
+            case "-use" => target = rest(1); rest = rest.drop(2)
+            case f => throw new Unsupported(s"db revert flag $f")
+          }
+          val (pool, branch) = headTarget(target)
+          requirePool(pool)
+          val newId = lk.revert(root, pool, rest.head, branch)
+          if (quiet) "" else s"${rest.head} reverted in commit $newId\n"
+        case "merge" =>
+          var rest = args.tail
+          var target = ""
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
+            case "-q" => quiet = true; rest = rest.tail
+            case "-use" => target = rest(1); rest = rest.drop(2)
+            case f => throw new Unsupported(s"db merge flag $f")
+          }
+          // `db merge <into>` merges HEAD's branch into <into>
+          val (pool, cur) = headTarget(target)
+          requirePool(pool)
+          val into = rest.headOption.getOrElse("main")
+          lk.merge(root, pool, cur, parent = into)
+          if (quiet) "" else "merged\n"
+        case "compact" =>
+          val (pool, branch) = headTarget(
+            args.tail.sliding(2).collectFirst { case Seq("-use", t) => t }.getOrElse(""))
+          requirePool(pool)
+          lk.compact(spark, root, pool, branch = branch)
+          ""
+        case "vacuum" =>
+          var rest = args.tail
+          var target = ""
+          while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
+            case "-f" | "-q" => quiet = rest.head == "-q" || quiet; rest = rest.tail
+            case "-use" => target = rest(1); rest = rest.drop(2)
+            case f => throw new Unsupported(s"db vacuum flag $f")
+          }
+          val (pool, _) = headTarget(target)
+          requirePool(pool)
+          val removed = lk.vacuum(root, pool)
+          if (quiet) "" else s"vacuumed ${removed.length} objects\n"
+        case "rename" =>
+          val rest = args.tail.filterNot(_ == "-q")
+          requirePool(rest.head)
+          val pid = lk.poolId(root, rest.head)
+          lk.rename(root, rest.head, rest(1))
+          if (useHead.exists(_._1 == rest.head))
+            useHead = useHead.map(h => (rest(1), h._2))
+          if (quiet) "" else s"pool $pid renamed from ${rest.head} to ${rest(1)}\n"
         case "load" =>
           var rest = args.tail
           var target = ""
+          var author = "graft"
+          var message = ""
+          var meta = ""
           while (rest.nonEmpty && rest.head.startsWith("-") && rest.head != "-") {
             rest.head match {
               case "-q" => quiet = true; rest = rest.tail
               case "-use" => target = rest(1); rest = rest.drop(2)
+              case "-user" => author = rest(1); rest = rest.drop(2)
+              case "-message" => message = rest(1); rest = rest.drop(2)
+              case "-meta" => meta = rest(1); rest = rest.drop(2)
               case f => throw new Unsupported(s"db load flag $f")
             }
           }
-          val (pool, branch) = target.indexOf('@') match {
-            case -1 => (target, "main")
-            case ix => (target.take(ix), target.drop(ix + 1))
-          }
+          val (pool, branch) = headTarget(target)
+          requirePool(pool)
           val frames = rest.map {
             case "-" => buildStdinFrame(stdin.getOrElse(""), None)
             case fn => Formats.read(spark, filePath(fn))
           }
           val df = combineFrames(frames)
-          val id = lk.load(df.drop(graft.operators.Het.typeTag), root, pool,
-            branch = branch)
+          val id = lk.load(df, root, pool,
+            author = author, message = message, branch = branch, meta = meta)
           if (quiet) "" else s"$id committed\n"
         case "query" =>
           val f = parseQueryFlags(args.tail)
-          val q = (f.includes.map(readFile) ++ f.query.toSeq).mkString("\n").trim
+          var q = (f.includes.map(readFile) ++ f.query.toSeq).mkString("\n").trim
+          // a query without a source reads HEAD (`super db use` state)
+          if (!q.startsWith("from") && useHead.isDefined) {
+            val (p, b) = useHead.get
+            q = s"from $p@$b | $q"
+          }
           spark.conf.set("graft.lake.root", root)
           try withCwd {
             renderOut(Graft.query(spark, workDir.toString, q), f)

@@ -1,0 +1,20 @@
+package graft
+object ScriptDbg {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val cases = ScriptHarness.extract(Seq(
+      "/root/reference/lake/ztests", "/root/reference/cmd/super/db/ztests",
+      "/root/reference/cmd/super/query/ztests"))
+    for (sub <- args; c <- cases.filter(_.file.contains(sub))) {
+      println("##### " + c.file)
+      try {
+        val r = ScriptHarness.run(spark, c)
+        println("--- stdout got\n" + r.stdout + "--- stderr got\n" + r.stderr)
+        c.outputs.foreach(o => println(s"--- want ${o.name} (re=${o.isRegex})\n${o.text}"))
+        println("MATCH=" + ScriptHarness.matches(c, r))
+      } catch { case e: Throwable => println("EXC " + e) }
+    }
+    spark.stop()
+  }
+}

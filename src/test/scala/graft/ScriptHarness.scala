@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Harness for the reference's SCRIPT-style ztests (ztest/ztest.go
+  * "script style"): a bash script driving `super db` / `super query`
+  * against a lake, with named inputs materialized into a working
+  * directory and named outputs (stdout/stderr/files) compared exactly or
+  * by regexp. The script runs through MdtestHarness.Shell's interpreter
+  * extended here with `!` negation, variable assignment, and `$(...)`
+  * command substitution — no processes are spawned.
+  */
+object ScriptHarness {
+
+  final case class Output(name: String, text: String, isRegex: Boolean)
+  final case class ScriptCase(file: String, script: String,
+                              inputs: Seq[(String, String)],
+                              outputs: Seq[Output])
+
+  // ---- yaml extraction ------------------------------------------------------
+
+  def extract(dirs: Seq[String]): Seq[ScriptCase] = {
+    val out = Vector.newBuilder[ScriptCase]
+    for {
+      dir <- dirs
+      p <- java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.sortBy(_.toString)
+      if p.toString.endsWith(".yaml")
+      c <- parse(p)
+    } out += c
+    out.result()
+  }
+
+  private def parse(path: java.nio.file.Path): Option[ScriptCase] = {
+    val lines = java.nio.file.Files.readAllLines(path).asScala.toVector
+    if (!lines.exists(_.startsWith("script:"))) return None
+    def blockAt(start: Int, indent: Int): (String, Int) = {
+      val b = new StringBuilder
+      var i = start
+      while (i < lines.length &&
+          (lines(i).trim.isEmpty || lines(i).startsWith(" " * indent))) {
+        b.append(if (lines(i).length >= indent) lines(i).drop(indent) else "")
+          .append('\n')
+        i += 1
+      }
+      (b.toString.reverse.dropWhile(_ == '\n').reverse + "\n", i)
+    }
+    var script = ""
+    val anchors = scala.collection.mutable.Map.empty[String, String]
+    val inputs = Vector.newBuilder[(String, String)]
+    val outputs = Vector.newBuilder[Output]
+    var i = 0
+    var section = "" // inputs / outputs
+    var curName: Option[String] = None
+    var curSource: Option[String] = None
+    def flushItem(): Unit = { curName = None; curSource = None }
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.startsWith("script: |")) {
+        val (b, j) = blockAt(i + 1, 2); script = b; i = j
+      } else if (l.startsWith("inputs:")) { section = "inputs"; flushItem(); i += 1 }
+      else if (l.startsWith("outputs:")) { section = "outputs"; flushItem(); i += 1 }
+      else if (l.matches("\\S.*")) { section = ""; i += 1 }
+      else if (section.nonEmpty && l.trim.startsWith("- name:")) {
+        flushItem()
+        curName = Some(l.trim.stripPrefix("- name:").trim)
+        i += 1
+      } else if (section.nonEmpty && curName.isDefined &&
+          l.trim.startsWith("source:")) {
+        val src = l.trim.stripPrefix("source:").trim
+        val resolved = path.getParent.resolve(src).normalize()
+        val text = new String(java.nio.file.Files.readAllBytes(resolved), "UTF-8")
+        if (section == "inputs") inputs += curName.get -> text
+        else outputs += Output(curName.get, text, isRegex = false)
+        i += 1
+      } else if (section.nonEmpty && curName.isDefined &&
+          l.trim.matches("(data|regexp):( &\\S+)? \\|")) {
+        val isRe = l.trim.startsWith("regexp:")
+        // yaml anchor: `data: &name |` registers the block for *name refs
+        val anchor = "&(\\S+)".r.findFirstMatchIn(l.trim).map(_.group(1))
+        val indent = l.indexOf(l.trim.head) + 2
+        val (b, j) = blockAt(i + 1, indent)
+        anchor.foreach(a => anchors(a) = b)
+        if (section == "inputs") inputs += curName.get -> b
+        else outputs += Output(curName.get, b, isRe)
+        i = j
+      } else if (section.nonEmpty && curName.isDefined &&
+          l.trim.startsWith("data:")) {
+        // inline scalar data (or a *ref to an anchored block)
+        var v = l.trim.stripPrefix("data:").trim
+        if (v.startsWith("*")) v = anchors.getOrElse(v.drop(1), v)
+        else if (v.length > 1 && (v.head == '"' || v.head == '\''))
+          v = v.substring(1, v.length - 1)
+        if (section == "inputs") inputs += curName.get -> v
+        else outputs += Output(curName.get, v, isRegex = false)
+        i += 1
+      } else i += 1
+    }
+    if (script.trim.isEmpty) None
+    else Some(ScriptCase(path.toString, script, inputs.result(), outputs.result()))
+  }
+
+  // ---- execution ------------------------------------------------------------
+
+  final case class Result(stdout: String, stderr: String,
+                          workDir: java.nio.file.Path)
+
+  def run(spark: SparkSession, c: ScriptCase): Result = {
+    val wd = java.nio.file.Files.createTempDirectory("scriptzt")
+    for ((name, text) <- c.inputs)
+      java.nio.file.Files.write(wd.resolve(name), text.getBytes("UTF-8"))
+    val sh = new MdtestHarness.Shell(spark, wd)
+    // ztest scripts receive an input named `stdin` on their stdin —
+    // commands reading `-` without a pipe see it (ztest.go)
+    c.inputs.collectFirst { case ("stdin", text) => text }
+      .foreach(sh.setDefaultStdin)
+    val stdout = new StringBuilder
+    val stderr = new StringBuilder
+    val vars = scala.collection.mutable.Map.empty[String, String]
+
+    // join continuation lines (trailing backslash or pipe)
+    val logical = Vector.newBuilder[String]
+    var acc = ""
+    for (raw <- c.script.linesIterator) {
+      val line = raw
+      if (acc.nonEmpty) acc = acc + "\n" + line
+      else acc = line
+      val t = acc.trim
+      if (t.endsWith("\\")) acc = acc.stripSuffix("\\")
+      else if (t.endsWith("|") || unbalanced(t)) () // keep accumulating
+      else { logical += acc; acc = "" }
+    }
+    if (acc.trim.nonEmpty) logical += acc
+
+    // expand single-level `for NAME in ITEMS; do ... done` loops
+    val expanded = Vector.newBuilder[String]
+    val it0 = logical.result().iterator
+    while (it0.hasNext) {
+      val l = it0.next()
+      val forRe = "^for\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+(.*?);?\\s*do\\s*$".r
+      l.trim match {
+        case forRe(name, items) =>
+          val body = Vector.newBuilder[String]
+          var going = true
+          while (going && it0.hasNext) {
+            val b = it0.next()
+            if (b.trim == "done") going = false else body += b
+          }
+          val bodyLines = body.result()
+          for (item <- items.split("\\s+").filter(_.nonEmpty)) {
+            for (b <- bodyLines)
+              expanded += b.replace("${" + name + "}", item).replace("$" + name, item)
+          }
+        case _ => expanded += l
+      }
+    }
+
+    def substitute(line: String): String = {
+      // $VAR expansion FIRST (a $(...) body may reference earlier vars),
+      // then command substitution
+      var s = vars.foldLeft(line) { case (acc2, (k, v)) =>
+        acc2.replace("${" + k + "}", v).replace("$" + k, v)
+      }
+      var idx = s.indexOf("$(")
+      while (idx >= 0) {
+        var depth = 1
+        var j = idx + 2
+        while (j < s.length && depth > 0) {
+          if (s.charAt(j) == '(') depth += 1
+          else if (s.charAt(j) == ')') depth -= 1
+          j += 1
+        }
+        val inner = s.substring(idx + 2, j - 1)
+        // bash word-splits $(...) output: newlines become spaces
+        val res = sh.runBlock(inner).trim.replace('\n', ' ')
+        s = s.substring(0, idx) + res + s.substring(j)
+        idx = s.indexOf("$(")
+      }
+      vars.foldLeft(s) { case (acc2, (k, v)) =>
+        acc2.replace("${" + k + "}", v).replace("$" + k, v)
+      }
+    }
+
+
+    for (line0 <- expanded.result()) {
+      val t0 = line0.trim
+      if (t0.nonEmpty && !t0.startsWith("#")) {
+        val negated = t0.startsWith("! ")
+        val t1 = if (negated) t0.stripPrefix("! ") else t0
+        val assignRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)=(.*)$".r
+        t1 match {
+          case assignRe(n2, rhs2) if rhs2.startsWith("$(") ||
+              !rhs2.takeWhile(_ != '=').contains(' ') =>
+            val v =
+              if (rhs2.startsWith("$(")) substitute(rhs2).trim
+              else substitute(rhs2).stripPrefix("\"").stripSuffix("\"")
+            vars(n2) = v
+          case _ =>
+            val line = substitute(t1)
+            try {
+              val out = sh.runBlock(line)
+              if (negated)
+                throw new AssertionError(s"expected failure: $line")
+              stdout.append(out)
+            } catch {
+              case e: AssertionError => throw e
+              case e: MdtestHarness.Unsupported => throw e
+              case e: Exception =>
+                val msg = rootMessage(e)
+                if (negated) sh.stderrSink.append(msg).append('\n')
+                else throw e
+            }
+        }
+      }
+    }
+    Result(stdout.toString, sh.stderrSink.toString + stderr.toString, wd)
+  }
+
+  private def unbalanced(t: String): Boolean = {
+    var depth = 0
+    var inS = false
+    var inD = false
+    for (ch <- t) ch match {
+      case '\'' if !inD => inS = !inS
+      case '"' if !inS => inD = !inD
+      case '(' if !inS && !inD => depth += 1
+      case ')' if !inS && !inD => depth -= 1
+      case _ =>
+    }
+    depth > 0 || inS || inD
+  }
+
+  private def rootMessage(e: Throwable): String = {
+    var t: Throwable = e
+    while (t.getCause != null && t.getCause != t) t = t.getCause
+    Option(t.getMessage).orElse(Option(e.getMessage)).getOrElse(e.toString)
+  }
+
+  // ---- comparison -----------------------------------------------------------
+
+  def matches(c: ScriptCase, r: Result): Boolean =
+    c.outputs.forall { o =>
+      val actual = o.name match {
+        case "stdout" => r.stdout
+        case "stderr" => r.stderr
+        case f =>
+          val p = r.workDir.resolve(f)
+          if (java.nio.file.Files.exists(p))
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          else ""
+      }
+      if (o.isRegex)
+        java.util.regex.Pattern.compile(o.text.trim, java.util.regex.Pattern.DOTALL)
+          .matcher(actual).find()
+      else o.text == actual || o.text.trim == actual.trim
+    }
+}

@@ -141,7 +141,8 @@ class ServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val compacted = graft.sources.Lake.commits(root, "p")
       .filter(_.kind == "commit").last.id
     assert(post(s"/revert?root=$enc&pool=p&commit=$compacted", "")._1 == 200)
-    intercept[Exception] { graft.sources.Lake.scan(spark, root, "p").count() }
+    // an empty pool scans as zero rows (create-ksuid-name ztest)
+    assert(graft.sources.Lake.scan(spark, root, "p").count() == 0)
   }
 
   test("named multi-output graphs: output legs select by name (op/mux.go)") {
