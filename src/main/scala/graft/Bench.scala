@@ -222,7 +222,11 @@ object Bench {
       timeIngest("ingest_zeek", out =>
         graft.sources.ZngIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)),
       timeIngest("ingest_zng", out =>
-        graft.sources.ZngIO.write(graft.sources.ZngIO.read(spark, zngDir), out)))
+        graft.sources.ZngIO.write(graft.sources.ZngIO.read(spark, zngDir), out)),
+      // zeek WRITE path: multi-task since the per-part-header change —
+      // scales with cores instead of serializing behind one task
+      timeIngest("write_zeek", out =>
+        graft.sources.ZeekIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)))
 
     // selective search over the zng stream — the BufferFilter pre-decode
     // frame pruning axis (ref runtime/sam/expr/bufferfilter.go). The
@@ -252,6 +256,47 @@ object Bench {
     val searchResults = Seq(
       timeSearch("search_zng", enabled = true),
       timeSearch("search_zng_nofilter", enabled = false))
+
+    // field-NAME frame pruning (fieldnamefinder.go analog): a NUMERIC
+    // predicate on a field only the minority shape has — no string
+    // literal for the byte prefilter, so only the field finder can skip
+    // the majority shape's frames
+    val hetSearchDir = {
+      val dnsDir = s"$tmp/dns.zng"
+      val dns = spark.range(hetRows(sfDir) / 20).select(
+        (lit(1.521912491E9) + col("id") * 0.02).as("ts"),
+        concat(lit("host"), (col("id") % 5000).cast("string"),
+          lit(".example.com")).as("query"),
+        (col("id") % 17).as("rcode"))
+      graft.sources.ZngIO.write(dns, dnsDir)
+      val het = s"$tmp/het-search.zng"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(het))
+      for (d <- Seq(zngDir, dnsDir);
+           f <- Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+             if f.getName.endsWith(".zng"))
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(het, d.split('/').last + "-" + f.getName))
+      het
+    }
+    def timeFieldSearch(name: String, enabled: Boolean): (String, Double) = {
+      spark.conf.set("graft.zng.prefilter", enabled.toString)
+      try {
+        def run(): Unit = runOnce(
+          graft.sources.ZngIO.read(spark, hetSearchDir)
+            .filter(col("rcode") === 13L && col("ts") > 1.5219E9))
+        run() // warm
+        val dt = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.gc()
+        name -> dt
+      } finally spark.conf.unset("graft.zng.prefilter")
+    }
+    val fieldSearchResults = Seq(
+      timeFieldSearch("search_zng_field", enabled = true),
+      timeFieldSearch("search_zng_field_nofilter", enabled = false))
 
     // full scan over ZNG input — the apples-to-apples twin of BASELINE's
     // scan_all (zq reads zng): read + typed decode of every row/column
@@ -293,7 +338,7 @@ object Bench {
       timeVngCut("cut_vng_noprune", prune = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults ++ searchResults ++ scanZng ++ vngResults
+    val results = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

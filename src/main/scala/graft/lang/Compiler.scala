@@ -1685,14 +1685,20 @@ final class Compiler(spark: SparkSession, dir: String) {
     }
   }
 
-  private val typeKeyUdf =
-    udf((s: String) => if (s == null) null else graft.sources.ZValue.typeSortKey(s))
+  // codegen'd CompareTypes-order binary keys (functions/ZSortKey.scala) —
+  // native Catalyst expressions, not ScalaUDFs, so variant/type-value
+  // sorts stay inside whole-stage codegen
+  private def typeKeyUdf(c: Column): Column =
+    graft.functions.Bridge.column(
+      graft.functions.ZSortKey(graft.functions.Bridge.expression(c), 0))
 
-  private val recordKeyUdf =
-    udf((s: String) => if (s == null) null else graft.sources.ZValue.recordSortKey(s))
+  private def recordKeyUdf(c: Column): Column =
+    graft.functions.Bridge.column(
+      graft.functions.ZSortKey(graft.functions.Bridge.expression(c), 1))
 
-  private val valueTypeKeyUdf =
-    udf((s: String) => if (s == null) null else graft.sources.ZValue.valueTypeKey(s))
+  private def valueTypeKeyUdf(c: Column): Column =
+    graft.functions.Bridge.column(
+      graft.functions.ZSortKey(graft.functions.Bridge.expression(c), 2))
 
   /** Expand one sort key into its orderable column(s), matching the
     * reference comparator's semantics the plain column can't express:

@@ -20,6 +20,14 @@ import org.apache.spark.sql.sources._
   */
 sealed trait BufferFilter extends Serializable {
   def matches(buf: Array[Byte], len: Int): Boolean
+
+  /** Type-aware variant: `fieldsOf` maps a value's type id to its record's
+    * top-level field names (null = unknown → keep). Byte-pattern filters
+    * ignore the context; [[BfFieldName]] uses it (fieldnamefinder.go).
+    */
+  def matchesTyped(buf: Array[Byte], len: Int,
+                   fieldsOf: Int => java.util.Set[String]): Boolean =
+    matches(buf, len)
 }
 
 /** Boyer-Moore-Horspool substring search, pattern-compiled once on the
@@ -54,13 +62,76 @@ final case class BfPattern(p: BytePattern) extends BufferFilter {
 final case class BfAnd(l: BufferFilter, r: BufferFilter) extends BufferFilter {
   def matches(buf: Array[Byte], len: Int): Boolean =
     l.matches(buf, len) && r.matches(buf, len)
+  override def matchesTyped(buf: Array[Byte], len: Int,
+      fieldsOf: Int => java.util.Set[String]): Boolean =
+    l.matchesTyped(buf, len, fieldsOf) && r.matchesTyped(buf, len, fieldsOf)
 }
 final case class BfOr(l: BufferFilter, r: BufferFilter) extends BufferFilter {
   def matches(buf: Array[Byte], len: Int): Boolean =
     l.matches(buf, len) || r.matches(buf, len)
+  override def matchesTyped(buf: Array[Byte], len: Int,
+      fieldsOf: Int => java.util.Set[String]): Boolean =
+    l.matchesTyped(buf, len, fieldsOf) || r.matchesTyped(buf, len, fieldsOf)
+}
+
+/** Field-NAME frame pruning (runtime/sam/expr/fieldnamefinder.go:13-55):
+  * the pushed conjuncts require their columns to be PRESENT (non-null
+  * comparisons), so a frame whose value type ids all lack a required
+  * field can't produce a matching row. The walk reads only uvarint ids
+  * and tag lengths — no value decode.
+  */
+final case class BfFieldName(names: Set[String]) extends BufferFilter {
+  // without a type context the finder can't decide — keep the frame
+  def matches(buf: Array[Byte], len: Int): Boolean = true
+
+  override def matchesTyped(buf: Array[Byte], len: Int,
+      fieldsOf: Int => java.util.Set[String]): Boolean = {
+    var pos = 0
+    var lastId = -1
+    while (pos < len) {
+      // uvarint id
+      var id = 0L
+      var shift = 0
+      var b = 0
+      do {
+        if (pos >= len) return true // malformed — keep
+        b = buf(pos) & 0xff; pos += 1
+        id |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      // value skip: zcode tag (uvarint); 0 = null, else len = tag-1
+      var tag = 0L
+      shift = 0
+      do {
+        if (pos >= len) return true
+        b = buf(pos) & 0xff; pos += 1
+        tag |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      if (tag != 0) pos += (tag - 1).toInt
+      if (id.toInt != lastId) {
+        lastId = id.toInt
+        val fs = fieldsOf(lastId)
+        if (fs == null) return true // unknown/non-record — keep
+        var ok = true
+        val it = names.iterator
+        while (ok && it.hasNext) ok = fs.contains(it.next())
+        if (ok) return true // this type satisfies every required field
+      }
+    }
+    false
+  }
 }
 
 object BufferFilter {
+
+  /** The field names a prefilter REQUIRES present (conjunctive part
+    * only) — lets the scan skip whole frames before LZ4 decompression
+    * when the stream's type context can't satisfy them.
+    */
+  def requiredNamesIn(bf: BufferFilter): Set[String] = bf match {
+    case BfFieldName(ns) => ns
+    case BfAnd(l, r) => requiredNamesIn(l) ++ requiredNamesIn(r)
+    case _ => Set.empty
+  }
 
   /** Derive a frame prefilter from the scan's pushed-down conjuncts.
     * Conjuncts that don't imply a literal string are simply ignored
@@ -69,7 +140,30 @@ object BufferFilter {
     */
   def fromFilters(filters: Array[Filter], stringCols: Set[String]): Option[BufferFilter] = {
     val parts = filters.flatMap(one(_, stringCols))
-    parts.reduceOption(BfAnd(_, _))
+    val fields = requiredFields(filters)
+    val withNames =
+      if (fields.isEmpty) parts.toSeq
+      else parts.toSeq :+ BfFieldName(fields)
+    withNames.reduceOption(BfAnd(_, _))
+  }
+
+  /** Top-level columns the conjuncts force PRESENT: a null operand fails
+    * these predicates, so a type lacking the field can't match. IsNull /
+    * null-safe comparisons do NOT contribute (they match absent fields).
+    */
+  private[sources] def requiredFields(filters: Array[Filter]): Set[String] = {
+    def head(a: String): String = a.split('.').head
+    filters.collect {
+      case EqualTo(a, v) if v != null => head(a)
+      case GreaterThan(a, _) => head(a)
+      case GreaterThanOrEqual(a, _) => head(a)
+      case LessThan(a, _) => head(a)
+      case LessThanOrEqual(a, _) => head(a)
+      case StringContains(a, _) => head(a)
+      case StringStartsWith(a, _) => head(a)
+      case StringEndsWith(a, _) => head(a)
+      case In(a, vs) if vs.nonEmpty => head(a)
+    }.toSet - graft.operators.Het.typeTag
   }
 
   private def pat(v: String): Option[BufferFilter] = {

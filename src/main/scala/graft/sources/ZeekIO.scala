@@ -644,10 +644,12 @@ object ZeekIO {
       "#types\t" + cols.map(c => typeName(c._1, c._3)).mkString("\t"))
     val body = df.select(concat_ws("\t",
       cols.map(c => encode(c._1, c._2, c._3)): _*).as("value")).as[String]
-    // prepend the directive header INSIDE partition 0 — a Dataset union
-    // does not guarantee partition order
-    val rdd = body.coalesce(1).rdd.mapPartitionsWithIndex { case (i, it) =>
-      if (i == 0) header.iterator ++ it else it
+    // each PART carries its own directive header — zeek tooling (and this
+    // engine's reader, whose interleaved-directive path handles repeated
+    // headers) accepts multi-file logs, so the write stays fully
+    // parallel instead of serializing behind one task
+    val rdd = body.rdd.mapPartitions { it =>
+      if (it.hasNext) header.iterator ++ it else it
     }
     df.sparkSession.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
       .write.mode("overwrite").text(path)

@@ -1184,26 +1184,35 @@ object ZngIO {
 
   /** Read the next frame's (type, decompressed payload) at the cursor. */
   private def readFrame(c: Cursor, code: Int): (Int, Array[Byte]) = {
+    val (t, raw, compressed) = readFrameRaw(c, code)
+    (t, inflateFrame(raw, compressed))
+  }
+
+  /** Frame header + raw (possibly still-compressed) body — lets the scan
+    * DROP a frame before paying LZ4 decompression (stream-level field
+    // pruning, fieldnamefinder.go analog).
+    */
+  private def readFrameRaw(c: Cursor, code: Int): (Int, Array[Byte], Boolean) = {
     require((code & 0x80) == 0, "zng: unsupported version bit")
     val compressed = (code & 0x40) != 0
     val t = (code >> 4) & 0x3
     val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
-    val raw = c.bytes(len)
-    val payload =
-      if (!compressed) raw
-      else {
-        val pc = new Cursor(raw, 0)
-        val format = pc.u8()
-        require(format == 0, s"zng: unknown compression format $format")
-        val usize = pc.uvarint().toInt
-        val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
-        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
-        val buf = new Array[Byte](usize)
-        dec.decompress(comp, 0, buf, 0, usize)
-        buf
-      }
-    (t, payload)
+    (t, c.bytes(len), compressed)
   }
+
+  private def inflateFrame(raw: Array[Byte], compressed: Boolean): Array[Byte] =
+    if (!compressed) raw
+    else {
+      val pc = new Cursor(raw, 0)
+      val format = pc.u8()
+      require(format == 0, s"zng: unknown compression format $format")
+      val usize = pc.uvarint().toInt
+      val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+      val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+      val buf = new Array[Byte](usize)
+      dec.decompress(comp, 0, buf, 0, usize)
+      buf
+    }
 
   /** Lazily decode a ZNG byte stream (possibly several concatenated
     * streams) to typed values — one values frame buffered at a time
@@ -1835,17 +1844,73 @@ object ZngIO {
         }
       }
 
+      // memoized id → top-level field-name set for the field-NAME frame
+      // finder (BfFieldName); reset with the type context at EOS
+      private var fieldMemo = new java.util.HashMap[Int, java.util.Set[String]]()
+      private def fieldsOf(id: Int): java.util.Set[String] = {
+        val hit = fieldMemo.get(id)
+        if (hit != null) return if (hit.isEmpty) null else hit
+        val fs: java.util.Set[String] =
+          try (typeOfId(id) match {
+            case x => {
+              def sn(t: ZT): ZT = t match { case ZNamed(_, i) => sn(i); case o => o }
+              sn(x)
+            }
+          }) match {
+            case ZRecord(fields) =>
+              val set = new java.util.HashSet[String]()
+              fields.foreach(f => set.add(f._1): Unit)
+              set
+            case _ => java.util.Collections.emptySet[String]()
+          } catch { case _: Exception => java.util.Collections.emptySet[String]() }
+        fieldMemo.put(id, fs)
+        if (fs.isEmpty) null else fs
+      }
+
+      // stream-level field pruning: when NO type defined so far in this
+      // stream carries every required field, values frames drop before
+      // LZ4 decompression (typedefs always precede use, so this is sound)
+      private val requiredNames: Set[String] =
+        prefilter.map(BufferFilter.requiredNamesIn).getOrElse(Set.empty)
+      private var fieldCheckLen = -1
+      private var streamCanMatch = true
+      private def streamHasFields(): Boolean = {
+        if (requiredNames.isEmpty) return true
+        if (types.length != fieldCheckLen) {
+          fieldCheckLen = types.length
+          def sn(t: ZT): ZT = t match { case ZNamed(_, i) => sn(i); case o => o }
+          streamCanMatch = types.exists(t => sn(t) match {
+            case ZRecord(fields) =>
+              val names = fields.map(_._1).toSet
+              requiredNames.forall(names.contains)
+            case _ => false
+          })
+        }
+        streamCanMatch
+      }
+
       private def fill(): Unit = {
         while (!queue.hasNext && !c.done) {
           val code = c.u8()
-          if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
-          else readFrame(c, code) match {
-            case (0, payload) => parseTypedefs(payload, types)
+          if (code == 0xff) {
+            types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+            fieldMemo = new java.util.HashMap[Int, java.util.Set[String]]()
+            fieldCheckLen = -1
+          }
+          else readFrameRaw(c, code) match {
+            case (1, raw, comp) if !streamHasFields() =>
+              // drop the whole values frame WITHOUT decompressing
+              stats.skipped += 1; totalFramesSkipped.increment()
+            case (t0, raw, comp) => (t0, inflateFrame(raw, comp)) match {
+            case (0, payload) =>
+              parseTypedefs(payload, types)
+              fieldMemo = new java.util.HashMap[Int, java.util.Set[String]]()
             case (1, payload) =>
-              // BufferFilter prefilter (ref bufferfilter.go): when the
-              // pushed predicate's literal can't appear in this frame's
-              // bytes, no row in it can match — skip the whole decode
-              if (prefilter.exists(!_.matches(payload, payload.length))) {
+              // BufferFilter prefilter (ref bufferfilter.go +
+              // fieldnamefinder.go): when the pushed predicate's literal
+              // can't appear in this frame's bytes, OR no type in the
+              // frame has the required fields, skip the whole decode
+              if (prefilter.exists(!_.matchesTyped(payload, payload.length, fieldsOf))) {
                 stats.skipped += 1; totalFramesSkipped.increment()
               } else {
                 stats.read += 1; totalFramesRead.increment()
@@ -1860,6 +1925,7 @@ object ZngIO {
             case (2, _) => // control frame: skip
             case _ =>
               throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+            }
           }
         }
       }
@@ -2135,14 +2201,63 @@ object ZngIO {
         }
       }
 
+      private var fieldMemoV = new java.util.HashMap[Int, java.util.Set[String]]()
+      private def fieldsOfV(id: Int): java.util.Set[String] = {
+        val hit = fieldMemoV.get(id)
+        if (hit != null) return if (hit.isEmpty) null else hit
+        val fs: java.util.Set[String] =
+          try (typeOfId(id) match {
+            case x => {
+              def sn(t: ZT): ZT = t match { case ZNamed(_, i) => sn(i); case o => o }
+              sn(x)
+            }
+          }) match {
+            case ZRecord(fields) =>
+              val set = new java.util.HashSet[String]()
+              fields.foreach(f => set.add(f._1): Unit)
+              set
+            case _ => java.util.Collections.emptySet[String]()
+          } catch { case _: Exception => java.util.Collections.emptySet[String]() }
+        fieldMemoV.put(id, fs)
+        if (fs.isEmpty) null else fs
+      }
+
+      private val requiredNamesV: Set[String] =
+        prefilter.map(BufferFilter.requiredNamesIn).getOrElse(Set.empty)
+      private var fieldCheckLenV = -1
+      private var streamCanMatchV = true
+      private def streamHasFieldsV(): Boolean = {
+        if (requiredNamesV.isEmpty) return true
+        if (types.length != fieldCheckLenV) {
+          fieldCheckLenV = types.length
+          def sn(t: ZT): ZT = t match { case ZNamed(_, i) => sn(i); case o => o }
+          streamCanMatchV = types.exists(t => sn(t) match {
+            case ZRecord(fields) =>
+              val names = fields.map(_._1).toSet
+              requiredNamesV.forall(names.contains)
+            case _ => false
+          })
+        }
+        streamCanMatchV
+      }
+
       private def advanceFrame(): Boolean = {
         while ((frame == null || frame.done) && !c.done) {
           val code = c.u8()
-          if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
-          else readFrame(c, code) match {
-            case (0, payload) => parseTypedefs(payload, types)
+          if (code == 0xff) {
+            types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+            fieldMemoV = new java.util.HashMap[Int, java.util.Set[String]]()
+            fieldCheckLenV = -1
+          }
+          else readFrameRaw(c, code) match {
+            case (1, raw, comp) if !streamHasFieldsV() =>
+              stats.skipped += 1; totalFramesSkipped.increment()
+            case (t0, raw, comp) => (t0, inflateFrame(raw, comp)) match {
+            case (0, payload) =>
+              parseTypedefs(payload, types)
+              fieldMemoV = new java.util.HashMap[Int, java.util.Set[String]]()
             case (1, payload) =>
-              if (prefilter.exists(!_.matches(payload, payload.length))) {
+              if (prefilter.exists(!_.matchesTyped(payload, payload.length, fieldsOfV))) {
                 stats.skipped += 1; totalFramesSkipped.increment()
               } else {
                 stats.read += 1; totalFramesRead.increment()
@@ -2151,6 +2266,7 @@ object ZngIO {
             case (2, _) =>
             case _ =>
               throw new IllegalArgumentException("zng: unexpected frame type 3 inside stream")
+            }
           }
         }
         frame != null && !frame.done

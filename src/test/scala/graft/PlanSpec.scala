@@ -192,4 +192,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.count() ==
       li.filter(col("l_orderkey") >= 100 && col("l_orderkey") <= 500).count())
   }
+
+  test("variant/type-value sort keys are codegen'd expressions, no ScalaUDF") {
+    import graft.sources.ZsonReader
+    // a stream of TYPE VALUES sorts under the CompareTypes total order —
+    // the binary key must be a native expression (functions/ZSortKey),
+    // not a ScalaUDF that drops the projection out of codegen
+    val in = ZsonReader.fromText(spark, "<int64> <string> <{a:int64}> <[int64]>")
+    val plan = Graft.queryOn(in, "sort this").queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"variant sort fell back to a ScalaUDF:\n$plan")
+    assert(plan.contains("z_sort_key"), s"expected native sort key in plan:\n$plan")
+    // and the values actually order per CompareTypes
+    val out = graft.sources.ZsonIO.toZson(Graft.queryOn(in, "sort this")).collect()
+    assert(out.length == 4)
+  }
 }
