@@ -387,8 +387,16 @@ object ZedFunctions {
     def compileText(p: String): String = {
       val sb = new StringBuilder
       var i = 0
+      var inClass = false // '(' inside [...] is a literal, never a group
       while (i < p.length) {
-        if (p.startsWith("%{", i)) {
+        if (inClass) {
+          p.charAt(i) match {
+            case '\\' if i + 1 < p.length =>
+              sb.append(p.charAt(i)).append(p.charAt(i + 1)); i += 2
+            case ']' => inClass = false; sb.append(']'); i += 1
+            case c => sb.append(c); i += 1
+          }
+        } else if (p.startsWith("%{", i)) {
           val close = p.indexOf('}', i)
           require(close > 0, s"grok: unterminated %{ in $p")
           val body = p.substring(i + 2, close)
@@ -409,6 +417,7 @@ object ZedFunctions {
         } else p.charAt(i) match {
           case '\\' if i + 1 < p.length =>
             sb.append(p.charAt(i)).append(p.charAt(i + 1)); i += 2
+          case '[' => inClass = true; sb.append('['); i += 1
           case '(' if i + 1 < p.length && p.charAt(i + 1) == '?' =>
             sb.append('('); i += 1
           case '(' => // literal group -> non-capturing, keeps numbering ours
@@ -501,6 +510,21 @@ object ZedFunctions {
 
   /** Is the text a valid v4/v6 address? (shared by the typed ip caster) */
   def isIpText(s: String): Boolean = parseIpBytes(s) != null
+
+  /** Binary sort key giving ADDRESS order for both families (v4 before
+    * v6, then bytewise — netip.Addr.Compare semantics). Null for text
+    * that isn't an address, so malformed keys sort last, not as 0.0.0.0.
+    */
+  def ipSortKey(s: String): Array[Byte] = {
+    val b = parseIpBytes(s)
+    if (b == null) null
+    else {
+      val out = new Array[Byte](b.length + 1)
+      out(0) = if (b.length == 4) 0.toByte else 1.toByte
+      System.arraycopy(b, 0, out, 1, b.length)
+      out
+    }
+  }
 
   private def parseIpBytes(s: String): Array[Byte] = {
     if (s == null) return null

@@ -118,8 +118,6 @@ final class Compiler(spark: SparkSession, dir: String) {
             r <- keyRangeOf(e, key)
           } yield r
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
-        case (Stage.From(t, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
-          state = Seq(lakeMetaFrame(t).get)
         case (Stage.From(t0, _), _)
             if (t0 == "*" || t0.matches("[A-Za-z0-9_.*-]*\\*[A-Za-z0-9_.*-]*") ||
               (t0.length > 2 && t0.startsWith("/") && t0.endsWith("/"))) &&
@@ -1350,8 +1348,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         require(graft.sources.Lake.exists(root, pool), s"load: no such pool: $pool")
         val df = single(state)
+        // keep the typeTag column: Lake.load serializes the tag + shapes
+        // metadata into the journal so zed types (ip/time/named) survive
+        // a re-scan of the pool, matching the CLI `db load` path
         val id = graft.sources.Lake.load(
-          df.drop(graft.operators.Het.typeTag), root, pool,
+          df, root, pool,
           author = author.getOrElse("graft"),
           message = message.getOrElse(""), branch = branch)
         import spark.implicits._
@@ -1591,9 +1592,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       case st: StructType if isVariant(st) =>
         // numeric member; boxed containers (native a/m/d caches and the z
         // zson-text payload) searched element-wise / with number bounds
+        val numText =
+          if (v == Math.floor(v) && Math.abs(v) < 1e15) v.toLong.toString
+          else v.toString
+        // quote: a float literal's '.' must not match any character
         val numBound = "(^|[^0-9A-Za-z_.-])" +
-          (if (v == Math.floor(v) && Math.abs(v) < 1e15) v.toLong.toString
-           else v.toString) + "($|[^0-9A-Za-z_.-])"
+          java.util.regex.Pattern.quote(numText) + "($|[^0-9A-Za-z_.-])"
         def elemHit(e: Column): Column =
           e.getField("n") === lit(v) || coalesce(e.getField("z").rlike(numBound), lit(false))
         val c = col(prefix)

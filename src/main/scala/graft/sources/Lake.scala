@@ -415,10 +415,9 @@ object Lake {
             allShapes.nonEmpty && allShapes.forall(_.contains(s"$k:ip"))
         val sortC =
           if (isIpKey) {
-            val ipOrd = udf((v: String) =>
-              if (v == null) null
-              else v.split("[./]").take(4).map(p =>
-                f"${(try p.toInt catch { case _: Exception => 0 })}%03d").mkString)
+            // covers v4 AND v6 (family byte + address bytes — address
+            // order via Spark's unsigned binary comparison)
+            val ipOrd = udf((v: String) => graft.functions.ZedFunctions.ipSortKey(v))
             ipOrd(col(k))
           } else col(k)
         if (poolOrder(root, pool) == "asc") df1.orderBy(sortC.asc_nulls_last)

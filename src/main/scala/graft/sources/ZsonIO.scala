@@ -467,11 +467,23 @@ object ZsonIO {
         // line) zson before shipping a whole-file decode to executors —
         // an undetectable file fails fast with the reference's message
         // (stop-on-error ztest: "bad.zson: format detection error")
-        val head = try spark.read.textFile(path).head(20).mkString("\n")
+        val head = try spark.read.textFile(path).head(512).mkString("\n")
                    catch { case _: Exception => "" }
-        if (head.trim.nonEmpty &&
-            (try { new ZsonParser(head).parseOne(); false }
-             catch { case _: Exception => true }))
+        val headParses =
+          try { new ZsonParser(head).parseOne(); true }
+          catch { case _: Exception => false }
+        // a pretty value can legitimately span more lines than the probe
+        // window, so a failed parse only means "not zson" when the text
+        // doesn't even START like a zson value — otherwise assume a
+        // truncated pretty value and let the executor-side decode surface
+        // any real error
+        val firstCh = head.linesIterator
+          .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("//"))
+          .flatMap(_.headOption).nextOption()
+        val plausibleStart = firstCh.exists(c =>
+          c == '{' || c == '[' || c == '|' || c == '<' || c == '"' ||
+          c == '-' || c == '+' || c == '(' || c == '0' || c.isLetterOrDigit)
+        if (head.trim.nonEmpty && !headParses && !plausibleStart)
           throw new IllegalArgumentException(
             new java.io.File(path).getName + ": format detection error")
         perFileValues(spark, path)

@@ -32,6 +32,17 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](F.grokCompile("%{NOPE:x}"))
   }
 
+  test("grokCompile leaves '(' inside character classes alone") {
+    // URIPATH's class contains literal '(' — naive neutralization turned
+    // it into '(?:' so URIPATHPARAM swallowed the query into the path
+    val (re, names) = F.grokCompile("%{URIPATH:path}(?:%{URIPARAM:params})?")
+    assert(names == Seq("path", "params"))
+    val m = java.util.regex.Pattern.compile(re).matcher("/a/b(1)/c?x=1&y=2")
+    assert(m.matches())
+    assert(m.group(1) == "/a/b(1)/c")
+    assert(m.group(2) == "?x=1&y=2")
+  }
+
   test("cidr_match and network_of edge cases") {
     val df = Seq(
       ("10.1.2.3", "10.1.0.0/16", true),
