@@ -1450,10 +1450,13 @@ object SparkEntry {
       Some("""SELECT event_id, "value"*2.0 AS double_val, 'float64' AS vtype
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // assert passes satisfying rows UNTOUCHED (failing rows would become
+    // error values — none here, so the oracle is the plain projection)
     ("q_lang_assert", lang(
       """from lineitem | cut l_orderkey, l_linenumber, l_quantity
         || assert l_quantity > 0 | sort l_orderkey, l_linenumber""".stripMargin),
-      Some(mainOracle("q_assert"))),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     ("q_lang_grep", lang(
       """from documents | where grep("fast", text, source) | cut doc_id, source | sort doc_id""".stripMargin),

@@ -441,8 +441,29 @@ final class Compiler(spark: SparkSession, dir: String) {
         // put over NON-RECORD values errors per value (putter.go:
         // "put: not a record")
         val putShapes = shapesOf(df)
-        val allNonRec = putShapes.nonEmpty && putShapes.forall(s =>
-          !graft.sources.ZType.strip(s._2).isInstanceOf[graft.sources.ZType.Rec]) &&
+        val nonRecShapes = putShapes.filter(s =>
+          !graft.sources.ZType.strip(s._2).isInstanceOf[graft.sources.ZType.Rec])
+        // MIXED record/non-record stream: records take the put, each
+        // non-record value becomes its own error, input order kept
+        if (nonRecShapes.nonEmpty && nonRecShapes.length < putShapes.length &&
+            df.columns.contains("this")) {
+          val het = graft.operators.Het
+          val ord = "__reord"
+          // scopeVar metadata keeps the order column out of shape texts
+          val df1 = df.select(df.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
+            monotonically_increasing_id().as(ord, Compiler.scopeVarMeta): _*)
+          val nonTags = nonRecShapes.map(_._1).toSet
+          val recDf = withShapes(
+            df1.filter(!col(het.typeTag).isin(nonTags.toSeq: _*)),
+            putShapes.map(_._1).filterNot(nonTags))
+          val nonDf = withShapes(
+            df1.filter(col(het.typeTag).isin(nonTags.toSeq: _*)),
+            nonRecShapes.map(_._1))
+          val putRec = compileStage(Seq(recDf), Stage.Put(assigns)).head
+          val putNon = compileStage(Seq(nonDf), Stage.Put(assigns)).head
+          return Seq(combineOrdered(Seq(putRec, putNon), ord))
+        }
+        val allNonRec = putShapes.nonEmpty && nonRecShapes.length == putShapes.length &&
           df.columns.contains("this")
         if (allNonRec) {
           val het = graft.operators.Het
@@ -456,10 +477,13 @@ final class Compiler(spark: SparkSession, dir: String) {
              else onTexts.mkString("(", ",", ")")) + "})"
           val md = new org.apache.spark.sql.types.MetadataBuilder()
             .putStringArray("shapes", Array(errT)).build()
+          val scopeCols = df.schema.fields.toIndexedSeq
+            .filter(_.metadata.contains("graft.scopeVar"))
+            .map(f => col(s"`${f.name}`").as(f.name, f.metadata))
           return Seq(df.select(
             het.errorValue(concat(lit("""{message:"put: not a record",on:"""),
-              text, lit("}")), errT).as("this"),
-            lit(errT).as(het.typeTag, md)))
+              text, lit("}")), errT).as("this") +:
+            lit(errT).as(het.typeTag, md) +: scopeCols: _*))
         }
         // `x := quiet(p)` with p missing is a NO-OP on that field
         // (put-quiet ztest: the old value survives, nothing nulls out)
@@ -546,6 +570,57 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Rename(renames) =>
         val df = single(state)
+        // PER-SHAPE semantics on a mixed stream (renamer.go): each row
+        // renames against its OWN record type — a shape without the
+        // source passes untouched, a shape already holding the target is
+        // a per-row error, and only shapes holding the source rename
+        val renShapes = shapesOf(df)
+        val simpleRen = renames.forall { case (to, from) =>
+          !to.contains(".") && !from.contains(".") }
+        if (renShapes.length > 1 && simpleRen) {
+          val zt = graft.sources.ZType
+          val het = graft.operators.Het
+          val ord = "__reord"
+          val df1 = df.select(df.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
+            monotonically_increasing_id().as(ord, Compiler.scopeVarMeta): _*)
+          val parts: Seq[DataFrame] = renShapes.map { case (tagText, st0) =>
+            val sub = df1.filter(col(het.typeTag) === tagText)
+            zt.strip(st0) match {
+              case zt.Rec(fs) =>
+                val names = fs.map(_._1)
+                val dup = renames.collectFirst {
+                  case (to, from) if names.contains(from) &&
+                      names.contains(to) && to != from => to
+                }
+                if (dup.isDefined) {
+                  val fieldsC = struct(fs.map { case (n, _) => col(s"`$n`").as(n) }: _*)
+                  val onText = graft.sources.ZsonIO.zsonOf(fieldsC,
+                    StructType(fs.map { case (n, _) =>
+                      sub.schema.fields.find(_.name == n).get }))
+                  val errT = s"""error({message:string,on:$tagText})"""
+                  val md = new org.apache.spark.sql.types.MetadataBuilder()
+                    .putStringArray("shapes", Array(errT)).build()
+                  sub.select(
+                    het.errorValue(concat(
+                      lit(s"""{message:"rename: duplicate field: \\"${dup.get}\\"",on:"""),
+                      onText, lit("}")), errT).as("this"),
+                    lit(errT).as(het.typeTag, md), col(ord))
+                } else if (renames.exists(r => names.contains(r._2))) {
+                  val renMap = renames.filter(r => names.contains(r._2))
+                    .map { case (to, from) => from -> to }.toMap
+                  val newFs = fs.map { case (n, t) => (renMap.getOrElse(n, n), t) }
+                  val newTag = zt.fullText(zt.Rec(newFs))
+                  val md = new org.apache.spark.sql.types.MetadataBuilder()
+                    .putStringArray("shapes", Array(newTag)).build()
+                  sub.select(fs.map { case (n, _) =>
+                    col(s"`$n`").as(renMap.getOrElse(n, n)) } :+
+                    lit(newTag).as(het.typeTag, md) :+ col(ord): _*)
+                } else withShapes(sub, Seq(tagText))
+              case _ => withShapes(sub, Seq(tagText))
+            }
+          }
+          return Seq(combineOrdered(parts, ord))
+        }
         // renaming ONTO an existing field is a per-value error
         // (rename-error-dupe ztest: every row becomes the error value)
         val dupe = renames.collectFirst {
@@ -1362,8 +1437,43 @@ final class Compiler(spark: SparkSession, dir: String) {
         p.stages.foldLeft(state)((st, s) => compileStage(st, s))
 
       case Stage.Assert(e, text) =>
+        // failing rows become error({message:"assertion failed",
+        // expr:"<text>",on:<row>}) values (op/assert semantics); passing
+        // rows flow untouched, input order kept
         val df = single(state)
-        Seq(ZedOps.assertOp(df, expr(df, e), text))
+        val het = graft.operators.Het
+        val pred = searchify(df, e)
+        val ord = "__reord"
+        val df1 = df.select(df.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
+          monotonically_increasing_id().as(ord, Compiler.scopeVarMeta): _*)
+        val passDf = df1.filter(coalesce(pred, lit(false)))
+        val failDf = df1.filter(!coalesce(pred, lit(false)))
+        val dataF = df.schema.fields.toIndexedSeq.filterNot(f =>
+          f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+        val onText = graft.sources.ZsonIO.zsonOf(
+          struct(dataF.map(f => col(s"`${f.name}`").as(f.name)): _*),
+          StructType(dataF))
+        val onT = Shaper.zedTypeOf(StructType(dataF))
+        val errT = s"""error({message:string,expr:string,on:$onT})"""
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array(errT)).build()
+        val exprText = text.replace("\\", "\\\\").replace("\"", "\\\"")
+        val errDf = failDf.select(
+          het.errorValue(concat(
+            lit(s"""{message:"assertion failed",expr:"$exprText",on:"""),
+            onText, lit("}")), errT).as("this"),
+          lit(errT).as(het.typeTag, md), col(ord))
+        // an untagged pass branch needs a tag of its own or the union's
+        // null tags break rendering
+        val passT =
+          if (isTagged(df)) passDf
+          else {
+            val pmd = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", Array(onT)).build()
+            passDf.select(passDf.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
+              lit(onT).as(het.typeTag, pmd): _*)
+          }
+        Seq(combineOrdered(Seq(passT, errDf), ord))
     }
 
   /** Switch compiles to ONE scan when every branch is projection-shaped
@@ -1807,8 +1917,13 @@ final class Compiler(spark: SparkSession, dir: String) {
         case "any" => return first(guarded(c), ignoreNulls = true)
         case "dcount" => return approx_count_distinct(guarded(c), 0.01)
         case "count_distinct" => return count_distinct(guarded(c))
-        case "collect" => return collect_list(guarded(value))
-        case "union" => return sort_array(collect_set(guarded(value)))
+        // an agg that never fired yields null, not [] (agg.go: no state)
+        case "collect" =>
+          val l = collect_list(guarded(value))
+          return when(size(l) === 0, lit(null)).otherwise(l)
+        case "union" =>
+          val u = sort_array(collect_set(guarded(value)))
+          return when(size(u) === 0, lit(null)).otherwise(u)
         case "and" => return bool_and(guarded(c.getField("b")))
         case "or" => return bool_or(guarded(c.getField("b")))
         case _ =>
@@ -1823,12 +1938,16 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "any" => first(guarded(base.get), ignoreNulls = true)
       case "dcount" => approx_count_distinct(guarded(base.get), 0.01)
       case "count_distinct" => count_distinct(guarded(base.get))
-      case "collect" => collect_list(guarded(base.get))
+      case "collect" =>
+        // an agg that never fired yields null, not [] (agg.go: no state)
+        val l = collect_list(guarded(base.get))
+        when(size(l) === 0, lit(null)).otherwise(l)
       case "union" =>
         // set semantics: normalized (sorted) on construction; on typed
         // streams the canonical order matters for output
-        if (isTagged(df)) sort_array(collect_set(guarded(base.get)))
-        else collect_set(guarded(base.get))
+        val u = if (isTagged(df)) sort_array(collect_set(guarded(base.get)))
+                else collect_set(guarded(base.get))
+        when(size(u) === 0, lit(null)).otherwise(u)
       case "and" => bool_and(guarded(base.get))
       case "or" => bool_or(guarded(base.get))
       case "collect_map" =>
@@ -1874,6 +1993,32 @@ final class Compiler(spark: SparkSession, dir: String) {
   /** (tagText, parsed type) for each distinct shape, empty if untagged or
     * the metadata was lost along the way.
     */
+  /** Re-pin the shape list metadata on a tagged frame's tag column. */
+  private def withShapes(df: DataFrame, texts: Seq[String]): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray("shapes", texts.distinct.toArray).build()
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      if (f.name == graft.operators.Het.typeTag) col(s"`${f.name}`").as(f.name, md)
+      else col(s"`${f.name}`").as(f.name, f.metadata)
+    }: _*)
+  }
+
+  /** Combine per-shape sub-frames back into one ordered stream: each part
+    * carries `ordCol` (monotonic id taken BEFORE the split, so the sort
+    * restores exact input order), frames union by name, and the merged
+    * shape list lands in the tag metadata.
+    */
+  private def combineOrdered(parts: Seq[DataFrame], ordCol: String): DataFrame = {
+    val het = graft.operators.Het
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val texts = parts.flatMap(p =>
+      p.schema.fields.find(_.name == het.typeTag).toSeq.flatMap(f =>
+        if (f.metadata.contains("shapes")) f.metadata.getStringArray("shapes").toSeq
+        else Seq.empty))
+    val merged = if (texts.nonEmpty) withShapes(all, texts) else all
+    merged.orderBy(col(ordCol).asc).drop(ordCol)
+  }
+
   private def shapesOf(df: DataFrame): Seq[(String, graft.sources.ZType)] =
     if (!isTagged(df)) Seq.empty
     else {
@@ -4457,15 +4602,23 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Some(c) => when(searchify(df, c), arg0)
       case None => arg0
     }
+    // union-typed (variant) subjects aggregate over the right member:
+    // and/or consume only the BOOL values (agg/agg.go: non-bools skip),
+    // numeric aggs the numeric member
+    val argIsVariant =
+      try isVariant(df.select(arg).schema.head.dataType)
+      catch { case _: Exception => false }
+    def boolArg: Column = if (argIsVariant) arg.getField("b") else arg.cast(BooleanType)
+    def numArg: Column = if (argIsVariant) arg.getField("n") else arg
     fn match {
-      case "sum" => sum(arg).over(w)
+      case "sum" => sum(numArg).over(w)
       case "count" =>
         count(where.map(c => when(searchify(df, c), lit(1))).getOrElse(lit(1))).over(w)
-      case "min" => min(arg).over(w)
-      case "max" => max(arg).over(w)
-      case "avg" => avg(arg).over(w)
-      case "and" => min(arg.cast(BooleanType)).over(w)
-      case "or" => max(arg.cast(BooleanType)).over(w)
+      case "min" => min(numArg).over(w)
+      case "max" => max(numArg).over(w)
+      case "avg" => avg(numArg).over(w)
+      case "and" => min(boolArg).over(w)
+      case "or" => max(boolArg).over(w)
       case "collect" => collect_list(arg).over(w)
       // set/dedup transforms wrap OUTSIDE the window frame (Spark rejects
       // non-aggregate expressions as window functions)

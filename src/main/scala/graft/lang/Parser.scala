@@ -208,7 +208,12 @@ final class Parser(tokens: Vector[Token], source: String) {
       val parts = n.split('.').toSeq
       env.get(parts.head) match {
         case Some(Expr.Path(ps)) => (ps ++ parts.tail).mkString(".")
-        case _ => n
+        case Some(_) =>
+          // the reference rejects non-path arguments bound to lvalue
+          // params at compile time (semantic/op.go)
+          throw new IllegalArgumentException(
+            s"illegal left-hand side of assignment: $n")
+        case None => n
       }
     }
     s match {
@@ -227,6 +232,30 @@ final class Parser(tokens: Vector[Token], source: String) {
         Stage.Over(es.map(subst(_, env)),
           vars.map { case (n, e) => (n, subst(e, env)) },
           body.map(p => Pipeline(p.stages.map(substStage(_, env)))))
+      // nested user-op calls were inlined as Blocks while their callers'
+      // bodies parsed — substitute THROUGH them or inner params stay
+      // unbound (statements.md nested add4/add2/add1)
+      case Stage.Block(p) => Stage.Block(Pipeline(p.stages.map(substStage(_, env))))
+      case Stage.From(t, fmt) =>
+        // `from <param>` takes the argument as the source name
+        env.get(t) match {
+          case Some(Expr.StringLit(v)) => Stage.From(v, fmt)
+          case Some(Expr.Path(ps)) => Stage.From(ps.mkString("."), fmt)
+          case _ => s
+        }
+      case Stage.Fork(bs) =>
+        Stage.Fork(bs.map(p => Pipeline(p.stages.map(substStage(_, env)))))
+      case Stage.Switch(subj, cases, default) =>
+        Stage.Switch(subj.map(subst(_, env)),
+          cases.map { case (c, p) => (subst(c, env), Pipeline(p.stages.map(substStage(_, env)))) },
+          default.map(p => Pipeline(p.stages.map(substStage(_, env)))))
+      case Stage.Rename(rs) =>
+        Stage.Rename(rs.map { case (to, from) => (target(to), target(from)) })
+      case Stage.Drop(ps) => Stage.Drop(ps.map(target))
+      case Stage.Top(n, ks) => Stage.Top(n, ks.map(subst(_, env)))
+      case Stage.Merge(ks) =>
+        Stage.Merge(ks.map { case (e, asc) => (subst(e, env), asc) })
+      case Stage.Assert(e, text) => Stage.Assert(subst(e, env), text)
       case other => other
     }
   }
@@ -1282,7 +1311,18 @@ final class Parser(tokens: Vector[Token], source: String) {
 
 object Parser {
   def parse(query: String): Pipeline =
-    new Parser(Lexer.lex(query), query).parseQuery()
+    spliceBlocks(new Parser(Lexer.lex(query), query).parseQuery())
+
+  /** Inline top-level user-op Blocks into the enclosing pipeline: the
+    * Block wrapper is just the inlining seam, and splicing lets stage-
+    * position dispatch (lake `from <pool>` as the FIRST stage) see
+    * through an op call like `CountPool("example")` (statements.md).
+    */
+  private def spliceBlocks(p: Pipeline): Pipeline =
+    Pipeline(p.stages.flatMap {
+      case Stage.Block(inner) => spliceBlocks(inner).stages
+      case s => Seq(s)
+    })
 
   def parseExpression(text: String): Expr =
     new Parser(Lexer.lex(text), text).parseExpr()

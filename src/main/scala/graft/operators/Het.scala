@@ -418,4 +418,21 @@ object Het {
     val key = compareKey(v)
     df.orderBy(if (asc) key.asc_nulls_last else key.desc_nulls_last)
   }
+
+  /** Narrow a tagged frame filtered to ONE shape down to that shape's own
+    * top-level columns (single-type writers: parquet per-shape split).
+    */
+  def narrowToShape(df: DataFrame, shapeText: String): DataFrame = {
+    val t = graft.sources.ZType.strip(
+      graft.sources.ZsonParser.parseType(
+        graft.sources.ZType.stripNullWrap(shapeText)))
+    t match {
+      case graft.sources.ZType.Rec(fields) =>
+        val have = df.columns.toSet
+        val keep = fields.map(_._1).filter(have.contains)
+        if (keep.nonEmpty) df.select(keep.map(n => col(s"`$n`")): _*)
+        else df.drop(typeTag)
+      case _ => df.drop(typeTag)
+    }
+  }
 }

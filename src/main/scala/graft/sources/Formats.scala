@@ -194,7 +194,21 @@ object Formats {
   }
 
   def write(df: DataFrame, path: String, format: String): Unit = format match {
-    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "parquet" =>
+      // the reference's parquet writer requires a single record type
+      // (zio/parquetio: "encountered multiple types")
+      val shapes: Seq[String] =
+        df.schema.fields.find(_.name == graft.operators.Het.typeTag) match {
+          case Some(f) if f.metadata.contains("shapes") =>
+            f.metadata.getStringArray("shapes").toSeq.map(
+              _.replaceAll("^null\\((.*)\\)$", "$1")).distinct
+          case _ => Seq.empty
+        }
+      if (shapes.length > 1)
+        throw new IllegalArgumentException(
+          s"parquetio: encountered multiple types (consider 'fuse'): " +
+            shapes.take(2).mkString(" and "))
+      df.write.mode("overwrite").parquet(path)
     case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
     case "tsv" => df.write.mode("overwrite").option("header", "true")
       .option("sep", "\t").csv(path)

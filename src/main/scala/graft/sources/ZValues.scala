@@ -1528,7 +1528,15 @@ final class ZsonParser(s: String) {
           Named(n, inner)
         } else names.get(n).map(Named(n, _)).getOrElse(err(s"unknown named type $n"))
       case c if c.isLetter || c == '_' =>
-        val n = ident()
+        var n = ident()
+        // dotted named-type names (pools.Config, ksuid.KSUID) — the value
+        // parser's decorator path accepts these; the TYPE text parser
+        // must round-trip them too
+        while (peek == '.' && i + 1 < s.length &&
+               (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')) {
+          i += 1
+          n = n + "." + ident()
+        }
         n match {
           case "enum" if peek == '(' =>
             i += 1; ws()

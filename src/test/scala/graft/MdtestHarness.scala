@@ -151,10 +151,24 @@ object MdtestHarness {
     private def filePath(name: String): String =
       if (name.startsWith("/")) name else workDir.resolve(name).toString
 
+    /** Binary content (zng artifacts piped through cat / redirects) rides
+      * Strings as ISO-8859-1, which is byte-preserving; text stays UTF-8.
+      */
+    private[graft] def isBinaryText(s: String): Boolean =
+      s.exists(c => c < 0x09 || (c > 0x0d && c < 0x20) || c == 0x7f)
+
     private def readFile(name: String): String = {
       val p = java.nio.file.Paths.get(filePath(name))
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, "ISO-8859-1") }
     }
+
+    private def encodeOut(s: String): Array[Byte] =
+      if (isBinaryText(s) && s.forall(_ <= 0xff)) s.getBytes("ISO-8859-1")
+      else s.getBytes("UTF-8")
 
     /** Run a whole block; returns combined stdout. Throws on error. */
     def runBlock(body: String): String = {
@@ -193,7 +207,7 @@ object MdtestHarness {
         case Some("/dev/null") => ""
         case Some(f) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
-            outText.getBytes("UTF-8"))
+            encodeOut(outText))
           ""
         case None => outText
       }
@@ -266,9 +280,33 @@ object MdtestHarness {
           seg.tail.filter(_ == "/dev/stderr").foreach(_ => stderrSink.append(text))
           seg.tail.filterNot(f => f.startsWith("-") || f == "/dev/stderr").foreach { f =>
             java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
-              text.getBytes("UTF-8"))
+              encodeOut(text))
           }
           text
+        case "hexdump" =>
+          // `hexdump -C <file>` over a (binary) artifact
+          val fn = seg.tail.filterNot(_.startsWith("-")).headOption
+          val bytes = fn match {
+            case Some(f2) => java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(filePath(f2)))
+            case None => stdin.getOrElse("").getBytes("ISO-8859-1")
+          }
+          val sb = new StringBuilder
+          var off = 0
+          while (off < bytes.length) {
+            val row = bytes.slice(off, math.min(off + 16, bytes.length))
+            val hex = row.map(b => f"${b & 0xff}%02x")
+            val hexCols = (0 until 16).map { j =>
+              (if (j < hex.length) hex(j) else "  ") +
+                (if (j == 7) "  " else " ")
+            }.mkString.stripSuffix(" ")
+            val ascii = row.map(b =>
+              if (b >= 0x20 && b < 0x7f) b.toChar else '.').mkString
+            sb.append(f"$off%08x  $hexCols%-49s |$ascii|\n")
+            off += 16
+          }
+          sb.append(f"${bytes.length}%08x\n")
+          sb.toString
         case "seq" =>
           val ns = seg.tail.map(_.toLong)
           val (from, to) = ns match {
@@ -292,7 +330,8 @@ object MdtestHarness {
       format: String, inFmt: Option[String], query: Option[String],
       includes: Seq[String], files: Seq[String], useStdin: Boolean,
       outFile: Option[String], quiet: Boolean,
-      split: Option[String] = None, splitSize: Option[Long] = None)
+      split: Option[String] = None, splitSize: Option[Long] = None,
+      canonical: Boolean = false)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
       var format = "zson"
@@ -307,6 +346,7 @@ object MdtestHarness {
       var splitSize: Option[Long] = None
       var explicitFmt = false
       var jFlag = false
+      var canonical = false
       var i = 0
       def sizeOf(v: String): Long =
         """(\d+)([KMG]?)B?""".r.findFirstMatchIn(v).map { m =>
@@ -337,14 +377,28 @@ object MdtestHarness {
                 s"${f.stripPrefix("-")} value must be greater than zero")
             i += 2
           case "-e=false" | "-e" => i += 1
+          case "-pretty" => format = "zson-pretty"; explicitFmt = true; i += 2
+          case "-C" => canonical = true; i += 1
           case "-" => useStdin = true; i += 1
           case f if f.startsWith("-") => throw new Unsupported(s"flag $f")
           case word =>
             // first bare word: query text if none yet AND it's not an
-            // existing file; later words are input files
+            // existing file (or file glob); later words are input files
+            val globMatches: Seq[String] =
+              if (word.exists("*?[".contains(_))) {
+                val dir = java.nio.file.Paths.get(filePath(".")).normalize
+                val m = java.nio.file.FileSystems.getDefault
+                  .getPathMatcher("glob:" + word)
+                if (java.nio.file.Files.isDirectory(dir))
+                  java.nio.file.Files.list(dir).iterator.asScala
+                    .filter(p => m.matches(p.getFileName)).map(_.getFileName.toString)
+                    .toSeq.sorted
+                else Seq.empty
+              } else Seq.empty
             val isFile = java.nio.file.Files.exists(
               java.nio.file.Paths.get(filePath(word)))
-            if (query.isEmpty && includes.isEmpty && !isFile) query = Some(word)
+            if (globMatches.nonEmpty) files ++= globMatches
+            else if (query.isEmpty && includes.isEmpty && !isFile) query = Some(word)
             else files :+= word
             i += 1
         }
@@ -352,7 +406,7 @@ object MdtestHarness {
       if (jFlag && explicitFmt)
         throw new RuntimeException("cannot use -j or -J with -f, -z, or -Z")
       QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet,
-        split, splitSize)
+        split, splitSize, canonical)
     }
 
     private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame =
@@ -364,6 +418,15 @@ object MdtestHarness {
       }
 
     private def buildStdinFrame0(text: String, inFmt: Option[String]): DataFrame = {
+      // binary zng on stdin (cat a.zng | …): bytes ride the string as
+      // ISO-8859-1 — round-trip to a temp file and scan it as zng
+      if (inFmt.contains("zng") ||
+          (inFmt.isEmpty && isBinaryText(text) && text.forall(_ <= 0xff))) {
+        val d = java.nio.file.Files.createTempDirectory("mdstdin")
+        val p = d.resolve("stdin.zng")
+        java.nio.file.Files.write(p, text.getBytes("ISO-8859-1"))
+        return Formats.read(spark, p.toString)
+      }
       val flags = inFmt.map(f => s"-i $f").getOrElse {
         if (text.startsWith("#separator") || text.startsWith("#fields") ||
             text.startsWith("#path")) "-i zeek"
@@ -394,6 +457,8 @@ object MdtestHarness {
       val f = parseQueryFlags(args)
       val inc = f.includes.map(readFile)
       val queryText = (inc ++ f.query.toSeq).mkString("\n").trim
+      if (f.canonical)
+        return graft.lang.Canon.format(queryText) + "\n"
       val frames =
         f.files.map(p => Formats.read(spark, filePath(p))) ++
           (if (f.useStdin || (f.files.isEmpty && stdin.isDefined))
@@ -435,9 +500,48 @@ object MdtestHarness {
         case "table" => Formats.tableLines(res).collect().toSeq
         case "text" => Formats.textLines(res).collect().toSeq
         case "parquet" | "zng" | "vng" | "zst" =>
-          val out = f.outFile.getOrElse(throw new Unsupported("binary to stdout"))
-          Formats.write(res, filePath(out), f.format)
-          return ""
+          f.outFile match {
+            case Some(out) =>
+              Formats.write(res, filePath(out), f.format)
+              return ""
+            case None =>
+              // binary to (non-tty) stdout: bytes ride back as ISO-8859-1
+              // so a shell `>` redirect or pipe stays byte-exact. Writers
+              // emit a DIRECTORY of parts; concatenated parts are a valid
+              // stream for these formats
+              val d = java.nio.file.Files.createTempDirectory("mdbin")
+              val p = d.resolve("out." + f.format)
+              Formats.write(res.coalesce(1), p.toString, f.format)
+              val parts = java.nio.file.Files.list(p).iterator.asScala
+                .filter(_.getFileName.toString.startsWith("part-"))
+                .toSeq.sortBy(_.getFileName.toString)
+              val bos = new java.io.ByteArrayOutputStream()
+              parts.foreach(pp => bos.write(java.nio.file.Files.readAllBytes(pp)))
+              return new String(bos.toByteArray, "ISO-8859-1")
+          }
+        case "lake" =>
+          // lakeio text rendering of pools.Config values:
+          // `NAME <ksuid> key <k> order <o>` (zio/lakeio/writer.go)
+          import org.apache.spark.sql.functions.{col, expr => sexpr}
+          val need = Seq("name", "id", "layout")
+          if (!need.forall(res.columns.contains))
+            throw new Unsupported("format lake on non-pool values")
+          return res.select(col("name"), col("id"),
+              sexpr("layout.keys[0]"), col("layout.order"))
+            .collect().map { r =>
+              val idTxt = r.get(1) match {
+                case b: Array[Byte] => graft.functions.Ksuid.base62(b)
+                case s: String =>
+                  val hex = s.stripPrefix("0x")
+                  graft.functions.Ksuid.encodeHex(hex)
+                case other => String.valueOf(other)
+              }
+              val keyTxt = r.get(2) match {
+                case a: scala.collection.Seq[_] => a.mkString(".")
+                case other => String.valueOf(other)
+              }
+              s"${r.getString(0)} $idTxt key $keyTxt order ${r.get(3)}\n"
+            }.mkString
         case other => throw new Unsupported(s"format $other")
       }
       val text = lines.map(_ + "\n").mkString
@@ -457,11 +561,22 @@ object MdtestHarness {
       import org.apache.spark.sql.functions.col
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filePath(dir)))
       val prefix = f.outFile.map(_ + "-").getOrElse("")
-      val ext = if (f.format == "zeek") "log" else "zson"
+      val ext = f.format match {
+        case "zeek" => "log"
+        case "parquet" | "zng" | "vng" => f.format
+        case _ => "zson"
+      }
       def writeGroup(name: String, lines: Seq[String]): Unit =
         java.nio.file.Files.write(
           java.nio.file.Paths.get(filePath(s"$dir/$prefix$name.$ext")),
           lines.map(_ + "\n").mkString.getBytes("UTF-8"))
+      def writeGroupDf(name: String, part: DataFrame): Boolean =
+        f.format match {
+          case "parquet" | "zng" | "vng" =>
+            Formats.write(part, filePath(s"$dir/$prefix$name.$ext"), f.format)
+            true
+          case _ => false
+        }
       if (f.splitSize.isDefined) {
         val lines = ZsonIO.toZson(res).collect().toSeq
         var idx = 0
@@ -490,9 +605,16 @@ object MdtestHarness {
           else res.select(graft.operators.Het.typeTag).distinct().collect().map(_.getString(0)).toSeq
         order.zipWithIndex.foreach { case (t, i2) =>
           val part = res.filter(col(graft.operators.Het.typeTag) === t)
-          if (!part.isEmpty) writeGroup(i2.toString, ZsonIO.toZson(part).collect().toSeq)
+          if (!part.isEmpty) {
+            // per-shape binary outputs narrow to the shape's own columns
+            // (parquet split: each file is ONE record type)
+            if (!writeGroupDf(i2.toString,
+                graft.operators.Het.narrowToShape(part, t)))
+              writeGroup(i2.toString, ZsonIO.toZson(part).collect().toSeq)
+          }
         }
-      } else writeGroup("0", ZsonIO.toZson(res).collect().toSeq)
+      } else if (!writeGroupDf("0", res))
+        writeGroup("0", ZsonIO.toZson(res).collect().toSeq)
       ""
     }
 
@@ -790,8 +912,19 @@ object MdtestHarness {
         case "query" =>
           val f = parseQueryFlags(args.tail)
           var q = (f.includes.map(readFile) ++ f.query.toSeq).mkString("\n").trim
-          // a query without a source reads HEAD (`super db use` state)
-          if (!q.startsWith("from") && useHead.isDefined) {
+          // a query without a source reads HEAD (`super db use` state);
+          // the source may hide behind a statement prologue or a user-op
+          // call (CountPool("example")), so check the PARSED first stage
+          def startsWithFrom(p: graft.lang.Pipeline): Boolean =
+            p.stages.headOption.exists {
+              case graft.lang.Stage.From(_, _) => true
+              case graft.lang.Stage.Block(inner) => startsWithFrom(inner)
+              case _ => false
+            }
+          val hasSource =
+            try startsWithFrom(graft.lang.Parser.parse(q))
+            catch { case _: Exception => q.startsWith("from") }
+          if (!hasSource && useHead.isDefined) {
             val (p, b) = useHead.get
             q = s"from $p@$b | $q"
           }
