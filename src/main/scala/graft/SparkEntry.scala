@@ -1284,10 +1284,18 @@ object SparkEntry {
 
   private def lang(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val df = graft.lang.Graft.query(s, dir, q)
+      val df0 = graft.lang.Graft.query(s, dir, q)
       // the per-row shape tag is engine metadata, not result data
-      if (df.columns.contains(graft.operators.Het.typeTag))
-        df.drop(graft.operators.Het.typeTag)
+      val df = if (df0.columns.contains(graft.operators.Het.typeTag))
+        df0.drop(graft.operators.Het.typeTag)
+      else df0
+      // an all-null error/bare-value carrier (e.g. assert's error leg when
+      // every row passed) is engine plumbing too — a relational consumer
+      // sees the uniform record stream, like the reference would emit
+      if (df.columns.contains("this") && df.columns.length > 1 &&
+          graft.sources.ZsonIO.isVariantType(df.schema("this").dataType) &&
+          df.filter(org.apache.spark.sql.functions.col("this").isNotNull).isEmpty)
+        df.drop("this")
       else df
     }
 

@@ -101,15 +101,36 @@ object Shaper {
 
   // ---- flatten / unflatten / nest_dotted ------------------------------------
 
-  /** zed `flatten(r)` — [{key:[path…],value:string}] over the record's
-    * leaves (values carried as strings since leaves may differ in type —
-    * zed uses a union; see SURVEY.md §1.4).
+  /** zed `flatten(r)` — [{key:[path…],value:…}] over the record's leaves.
+    * Uniformly-typed leaves keep their native type; mixed leaves box into
+    * the variant encoding (zed uses a union type — function/flatten.go).
     */
-  def flattenCol(df: DataFrame): Column = {
-    val entries = leafPaths(df.schema, Nil).map { p =>
+  def flattenCol(df: DataFrame): Column = flattenCol(df, None)
+
+  def flattenCol(df: DataFrame, base: Option[Seq[String]]): Column = {
+    import org.apache.spark.sql.types.{StructType, DataType}
+    val het = graft.operators.Het
+    def subSchema(st: StructType, path: Seq[String]): StructType =
+      path.foldLeft(st)((s, p) => s(p).dataType.asInstanceOf[StructType])
+    val rootSchema = subSchema(
+      StructType(df.schema.fields.filterNot(f =>
+        f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))),
+      base.getOrElse(Nil))
+    val prefix = base.map(_.mkString(".") + ".").getOrElse("")
+    val leaves: Seq[(Seq[String], DataType)] =
+      leafPaths(rootSchema, Nil).map { p =>
+        val dt = p.foldLeft(rootSchema: DataType)((s, n) =>
+          s.asInstanceOf[StructType](n).dataType)
+        (p, dt)
+      }
+    val uniform = leaves.map(_._2).distinct.length <= 1
+    val entries = leaves.map { case (p, dt) =>
+      val c = col(prefix + p.mkString("."))
       struct(
         array(p.map(lit): _*).as("key"),
-        col(p.mkString(".")).cast("string").as("value"))
+        (if (uniform) c
+         else if (graft.sources.ZsonIO.isVariantType(dt)) c
+         else het.variant(c, dt)).as("value"))
     }
     array(entries: _*)
   }

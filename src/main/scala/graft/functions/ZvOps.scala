@@ -258,7 +258,18 @@ object ZvOps extends Serializable {
     * count, types recursively (union → alternatives, record → fields),
     * errors → error({message:"len()",on:…}).
     */
-  private val lenZedU = udf((k: java.lang.Integer, s: String, t: String, z: String) => {
+  private val lenZedU = udf((k: java.lang.Integer, n: java.lang.Double,
+      b: java.lang.Boolean, s: String, t: String, z: String) => {
+    // "len: bad type" errors carry the ORIGINAL value (len.go WrapError)
+    def badOn: ZValue = {
+      if (k != null && k == 0 && n != null) {
+        val tn = Option(t).getOrElse("int64")
+        if (tn.startsWith("float") || tn == "decimal") ZValue.VFloat(n, tn)
+        else ZValue.VInt(n.toLong, tn)
+      } else if (k != null && k == 3 && b != null) ZValue.VBool(b)
+      else if (s != null) ZValue.VStr(s)
+      else ZValue.VNull(ZType.nullT)
+    }
     def typeLen(ty: ZType): Long = ZType.strip(ty) match {
       case ZType.Rec(fs) => fs.length.toLong
       case ZType.Union(alts) => alts.length.toLong
@@ -289,8 +300,8 @@ object ZvOps extends Serializable {
       case _ => int(0L)
     }).orElse(int(0L))
     else if (k == 0 || k == 1 || k == 3) zvOf(ZValue.VErr(ZValue.VRec(Vector(
-      "message" -> ZValue.VStr("len()"),
-      "on" -> ZValue.VStr(Option(s).getOrElse(""))))))
+      "message" -> ZValue.VStr("len: bad type"),
+      "on" -> badOn))))
     else int(0L) // typed null container
   })
 
@@ -301,7 +312,8 @@ object ZvOps extends Serializable {
         intVariant(size(v.getField("a"))))
       .when(v.isNotNull && v.getField("k") =!= 5 && v.getField("m").isNotNull,
         intVariant(size(v.getField("m"))))
-      .otherwise(lenZedU(v.getField("k"), v.getField("s"), v.getField("t"), v.getField("z")))
+      .otherwise(lenZedU(v.getField("k"), v.getField("n"), v.getField("b"),
+        v.getField("s"), v.getField("t"), v.getField("z")))
 
   /** fields(<type-text>) — the leaf paths of a record type as ZSON text
     * ([["r","a"],["s"]]); null for non-record types (→ error("missing")).

@@ -1125,7 +1125,12 @@ final class Compiler(spark: SparkSession, dir: String) {
             else concat(exprs.zip(dts).map {
               case (e, ArrayType(et, _)) if !isVariant(et) =>
                 transform(expr(df, e), x => graft.operators.Het.variant(x, et))
-              case (e, dt) => asElems(e)
+              case (e, dt) if !dt.isInstanceOf[ArrayType] &&
+                  !dt.isInstanceOf[MapType] && !isVariant(dt) &&
+                  !dt.isInstanceOf[StructType] =>
+                // mixed-type scalar sources box too (over 1,2,"foo")
+                array(graft.operators.Het.variant(expr(df, e), dt))
+              case (e, _) => asElems(e)
             }: _*)
           }
         val elem = explode(one)
@@ -2049,6 +2054,8 @@ final class Compiler(spark: SparkSession, dir: String) {
     * becomes a variant column gated on the shape tag.
     */
   private def outExpr(df: DataFrame, e: Expr): Column = e match {
+    case Expr.Path(parts) if parts.headOption.contains("this") =>
+      outExpr(df, Expr.Path(parts.tail))
     case Expr.Path(parts) if parts.nonEmpty => pathExpr(df, parts)
     case _ => expr(df, e)
   }
@@ -2357,7 +2364,15 @@ final class Compiler(spark: SparkSession, dir: String) {
       .flatMap(f => pathWalk(f.dataType, parts.tail))
 
   private def dtypeOf(df: DataFrame, e: Expr): Option[DataType] = e match {
-    case Expr.Path(Seq()) => None
+    case Expr.Path(parts) if parts.headOption.contains("this") =>
+      dtypeOf(df, Expr.Path(parts.tail))
+    case Expr.Path(Seq()) =>
+      // a bare-value carrier frame: `this` IS the single data column
+      val dataCols = df.schema.fields.filterNot(f =>
+        f.name == graft.operators.Het.typeTag || f.metadata.contains("graft.scopeVar"))
+      if (dataCols.length == 1 && dataCols.head.name == "this")
+        Some(dataCols.head.dataType)
+      else None
     case Expr.Path(parts) =>
       varType(df, parts).orElse(pathWalk(df.schema, parts))
         .orElse(thisRelative(df, parts))
@@ -2424,6 +2439,11 @@ final class Compiler(spark: SparkSession, dir: String) {
     }
 
   def expr(df: DataFrame, e: Expr): Column = e match {
+    // `this` is the whole value, never a field lookup — normalize a
+    // leading `this` segment before any column named "this" (the bare-
+    // value CARRIER column) can shadow it
+    case Expr.Path(parts) if parts.headOption.contains("this") =>
+      expr(df, Expr.Path(parts.tail))
     case Expr.IntLit(v) => lit(v)
     case Expr.FloatLit(v) => lit(v)
     case Expr.StringLit(v) => lit(v)
@@ -2434,12 +2454,38 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.DurationLit(ns, _) => lit(ns)
 
     case Expr.Path(Seq()) =>
-      val dataCols = df.schema.fields
+      val dataF = df.schema.fields
         .filterNot(f => f.name == graft.operators.Het.typeTag ||
           f.metadata.contains("graft.scopeVar"))
-        .map(_.name)
+      val dataCols = dataF.map(_.name)
       if (dataCols.sameElements(Array("this"))) col("this")
-      else struct(dataCols.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      else {
+        // a stream mixing BARE values (this carrier) and record shapes:
+        // `this` is per-row — record rows box their own shape's struct
+        // into the variant, bare rows pass the carrier through
+        val zt = graft.sources.ZType
+        val shapes = shapesOf(df)
+        val recShapes = shapes.filter(s => zt.strip(s._2).isInstanceOf[zt.Rec])
+        val hasBare = dataCols.contains("this") && shapes.size > recShapes.size
+        if (sys.env.contains("GRAFT_DEBUG_THIS"))
+          println(s"DBG this: shapes=${shapes.map(_._1)} rec=${recShapes.size} hasBare=$hasBare")
+        if (hasBare && recShapes.nonEmpty) {
+          val bare0 =
+            if (isVariant(df.schema("this").dataType)) col("this")
+            else graft.operators.Het.variant(col("this"), df.schema("this").dataType)
+          recShapes.foldLeft(bare0) { case (acc, (t, st)) =>
+            zt.strip(st) match {
+              case zt.Rec(fs) if fs.forall(f => dataCols.contains(f._1)) =>
+                val stc = struct(fs.map { case (n, _) => col(s"`$n`").as(n) }: _*)
+                val sdt = StructType(fs.map { case (n, _) =>
+                  df.schema.fields.find(_.name == n).get })
+                when(col(graft.operators.Het.typeTag) === t,
+                  graft.operators.Het.variant(stc, sdt)).otherwise(acc)
+              case _ => acc
+            }
+          }
+        } else struct(dataCols.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      }
     case Expr.Path(parts) =>
       // a reference to a nonexistent field is zed's error("missing") — a
       // VALUE, not a compile error (complex.go:28-40). In relational
@@ -4141,7 +4187,13 @@ final class Compiler(spark: SparkSession, dir: String) {
             graft.operators.Het.render(subject)
           else graft.sources.ZsonIO.zsonOf(subject, StructType(dataF))
         graft.functions.ZvOps.flattenZed(subjText, col(graft.operators.Het.typeTag))
-      case "flatten" => Shaper.flattenCol(df)
+      case "flatten" =>
+        // flatten(<path>) flattens the SUBTREE at the path, keys relative
+        val basePath = args.headOption.collect {
+          case Expr.Path(ps) if ps.nonEmpty &&
+              dtypeOf(df, Expr.Path(ps)).exists(_.isInstanceOf[StructType]) => ps
+        }
+        Shaper.flattenCol(df, basePath)
 
       // shaper functions (runtime/sam/expr/shaper.go Cast/Crop/Fill/Order)
       case f @ ("shape" | "crop" | "fill" | "order" | "fit")
