@@ -664,10 +664,14 @@ object ZvOps extends Serializable {
     if (!isString || text == null || text == "null")
       errRec("parse_uri: non-empty string arg required", onVal)
     else {
-      val raw = parse(text).map(unwrap) match {
-        case Some(VStr(x)) => x
-        case _ => text
-      }
+      // only a RENDERED (quoted) string round-trips through the zson
+      // parser; a plain string column arrives raw — a bare "scheme://…"
+      // would otherwise lex as just the leading identifier
+      val raw =
+        if (text.startsWith("\"")) parse(text).map(unwrap) match {
+          case Some(VStr(x)) => x
+          case _ => text
+        } else text
       graft.functions.ZedFunctions.goUrlParse(raw) match {
         case Left(goErr) => errRec(s"parse_uri: $goErr", VStr(raw))
         case Right(g) =>

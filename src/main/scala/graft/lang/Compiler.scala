@@ -453,9 +453,19 @@ final class Compiler(spark: SparkSession, dir: String) {
           val df1 = df.select(df.columns.toIndexedSeq.map(n => col(s"`$n`")) :+
             monotonically_increasing_id().as(ord, Compiler.scopeVarMeta): _*)
           val nonTags = nonRecShapes.map(_._1).toSet
+          val recShapes2 = putShapes.filterNot(s => nonTags(s._1))
+          // drop the bare-value CARRIER from the record side (its `this`
+          // belongs to the non-record shapes and would type-clash with
+          // the error values in the union)
+          val recKeepsThis = recShapes2.exists(s =>
+            graft.sources.ZType.strip(s._2) match {
+              case graft.sources.ZType.Rec(fs) => fs.exists(_._1 == "this")
+              case _ => false
+            })
+          val recBase = df1.filter(!col(het.typeTag).isin(nonTags.toSeq: _*))
           val recDf = withShapes(
-            df1.filter(!col(het.typeTag).isin(nonTags.toSeq: _*)),
-            putShapes.map(_._1).filterNot(nonTags))
+            if (recKeepsThis) recBase else recBase.drop("this"),
+            recShapes2.map(_._1))
           val nonDf = withShapes(
             df1.filter(col(het.typeTag).isin(nonTags.toSeq: _*)),
             nonRecShapes.map(_._1))
@@ -2251,6 +2261,20 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Cond(c, t, f) =>
       when(lambdaExpr(df, c, x), lambdaExpr(df, t, x)).otherwise(lambdaExpr(df, f, x))
     case Expr.Call("string", Seq(inner)) => lambdaExpr(df, inner, x).cast(StringType)
+    case Expr.Call("cast", Seq(inner, Expr.StringLit("time"))) =>
+      // zed time is ns-domain: a numeric cast is NANOSECONDS since epoch
+      // (map.md floatToTime) — box a time leaf so ns precision survives
+      // rendering (Spark timestamps clip at µs)
+      val ns = lambdaExpr(df, inner, x).cast(LongType)
+      val secs = Bridge.intDiv(ns, lit(1000000000L))
+      val frac = regexp_replace(
+        lpad((ns % 1000000000L).cast(StringType), 9, "0"), "0+$", "")
+      val iso = concat(
+        date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+        when(frac === "", lit("")).otherwise(concat(lit("."), frac)), lit("Z"))
+      graft.operators.Het.mkVariant(lit(1), ns.cast(DoubleType),
+        lit(null).cast(StringType), lit(null).cast(BooleanType),
+        lit("time"), iso)
     case Expr.Call("cast", Seq(inner, Expr.StringLit(t))) =>
       val xc = lambdaExpr(df, inner, x)
       Shaper.parseZedType(t) match {
@@ -3238,14 +3262,26 @@ final class Compiler(spark: SparkSession, dir: String) {
         graft.functions.ZvOps.asText(c)
       else c
     }
-    def litStr(i: Int): String = args(i) match {
-      case Expr.StringLit(s) => s
-      // `<name>` runtime named-type ref: resolve against the frame's
-      // named types; the bare name stands in when unresolved
-      case Expr.Call("__typename", Seq(Expr.StringLit(n))) =>
-        resolveNamedType(df, n).getOrElse(n)
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    def litStr(i: Int): String = {
+      // constant string concatenation folds at compile time ("a" + "b")
+      def fold(e: Expr): Option[String] = e match {
+        case Expr.StringLit(s) => Some(s)
+        case Expr.Binary("+", l, r) =>
+          for (a0 <- fold(l); b0 <- fold(r)) yield a0 + b0
+        case Expr.Call("__concat", parts) =>
+          val fs = parts.map(fold)
+          if (fs.forall(_.isDefined)) Some(fs.flatten.mkString) else None
+        case _ => None
+      }
+      args(i) match {
+        case Expr.StringLit(s) => s
+        // `<name>` runtime named-type ref: resolve against the frame's
+        // named types; the bare name stands in when unresolved
+        case Expr.Call("__typename", Seq(Expr.StringLit(n))) =>
+          resolveNamedType(df, n).getOrElse(n)
+        case other => fold(other).getOrElse(throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a string literal, got $other"))
+      }
     }
     fn match {
       // math (function/math.go)
