@@ -45,6 +45,39 @@ final class Compiler(spark: SparkSession, dir: String) {
     if (frames.nonEmpty) named :+ ("main" -> combineAll(frames)) else named
   }
 
+  /** Does the expression contain an UNGUARDED running-agg call? */
+  private def hasBareRunningAgg(e: Expr): Boolean = e match {
+    case Expr.Call("__aggwhere", _) => false // already guarded
+    case Expr.Call(fn, _) if Compiler.runningAggFns(fn) => true
+    case Expr.Call(_, as) => as.exists(hasBareRunningAgg)
+    case Expr.RecordLit(fs) => fs.exists(f => hasBareRunningAgg(f._2))
+    case Expr.ArrayLit(xs) => xs.exists(hasBareRunningAgg)
+    case Expr.Binary(_, l, r) => hasBareRunningAgg(l) || hasBareRunningAgg(r)
+    case Expr.Unary(_, x) => hasBareRunningAgg(x)
+    case Expr.Cond(c, t, f) =>
+      hasBareRunningAgg(c) || hasBareRunningAgg(t) || hasBareRunningAgg(f)
+    case Expr.Index(a, i) => hasBareRunningAgg(a) || hasBareRunningAgg(i)
+    case _ => false
+  }
+
+  /** Push a branch condition into running-agg calls as a where guard. */
+  private def guardRunningAggs(e: Expr, cond: Expr): Expr = e match {
+    case Expr.Call("__aggwhere", Seq(agg, c0)) =>
+      Expr.Call("__aggwhere", Seq(agg, Expr.Binary("and", c0, cond)))
+    case call @ Expr.Call(fn, _) if Compiler.runningAggFns(fn) =>
+      Expr.Call("__aggwhere", Seq(call, cond))
+    case Expr.Call(fn, as) => Expr.Call(fn, as.map(guardRunningAggs(_, cond)))
+    case Expr.RecordLit(fs) =>
+      Expr.RecordLit(fs.map { case (n, x) => (n, guardRunningAggs(x, cond)) })
+    case Expr.ArrayLit(xs) => Expr.ArrayLit(xs.map(guardRunningAggs(_, cond)))
+    case Expr.Binary(op, l, r) =>
+      Expr.Binary(op, guardRunningAggs(l, cond), guardRunningAggs(r, cond))
+    case Expr.Unary(op, x) => Expr.Unary(op, guardRunningAggs(x, cond))
+    case Expr.Index(a, i) =>
+      Expr.Index(guardRunningAggs(a, cond), guardRunningAggs(i, cond))
+    case other => other
+  }
+
   private def combineAll(frames: Seq[DataFrame]): DataFrame = {
     if (frames.length == 1) return frames.head
     val het = graft.operators.Het
@@ -52,8 +85,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       .filterNot(x => x.name == het.typeTag || x.metadata.contains("graft.scopeVar"))
     val anyTagged = frames.exists(_.columns.contains(het.typeTag))
     val hetero = frames.map(f => dataFields(f).map(_.name)).distinct.length > 1
+    // same names but DIFFERENT types still form a union type (boxed)
+    val typeHetero =
+      frames.map(f => dataFields(f).map(_.dataType)).distinct.length > 1
     if (!anyTagged && !hetero)
-      return frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      return if (typeHetero) ZedOps.combine(frames: _*)
+             else frames.reduce(_.unionByName(_, allowMissingColumns = true))
     // branches with different shapes form a heterogeneous stream: tag
     // each row with its branch's record type so writers and sort keep
     // per-row shape (zed's combine, op/combine.go)
@@ -72,7 +109,9 @@ final class Compiler(spark: SparkSession, dir: String) {
           lit(t).as(het.typeTag, md): _*)
       }
     }
-    val union = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+    // ZedOps.combine boxes columns whose types disagree across branches
+    // (zed's union-type formation) before the union
+    val union = ZedOps.combine(tagged: _*)
     val allShapes = tagged.flatMap { f =>
       val md = f.schema(het.typeTag).metadata
       if (md.contains("shapes")) md.getStringArray("shapes").toSeq else Seq.empty
@@ -2301,14 +2340,17 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Stage.Head(n) => slice(arr, 1, n)
     case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
     case Stage.Sort(Seq(), _) => array_sort(arr)
+    // `sort this` inside a subquery sorts the elements themselves
+    case Stage.Sort(Seq((Expr.Path(Seq() | Seq("this")), asc)), _) =>
+      if (asc) array_sort(arr) else reverse(array_sort(arr))
     case Stage.Uniq(false) => array_distinct(arr)
-    case Stage.Summarize(Seq((_, AggCall(fn, arg, None, _))), Seq()) =>
+    case Stage.Summarize(Seq((aggName, AggCall(fn, arg, None, aggNamed))), Seq()) =>
       val mapped = arg match {
         case None | Some(Expr.Path(Seq())) => arr
         case Some(e) => transform(arr, x => lambdaExpr(df, e, x))
       }
       val nn = filter(mapped, x => x.isNotNull)
-      fn match {
+      val aggV = fn match {
         case "sum" =>
           val et = elemType(df, nn)
           aggregate(nn, lit(null).cast(et), (acc, x) => coalesce(acc + x, x, acc))
@@ -2324,6 +2366,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         case "any" => element_at(nn, 1)
         case other => throw new IllegalArgumentException(s"subquery agg $other")
       }
+      // an ALIASED agg yields a one-field record ({sorted:[…]}), the
+      // bare form the value itself (summarize semantics in expr position)
+      if (aggNamed) struct(aggV.as(aggName)) else aggV
     case other => throw new IllegalArgumentException(s"subquery stage $other")
   }
 
@@ -2645,6 +2690,14 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
 
     case Expr.Binary(op, l, r) => binary(df, op, l, r)
+
+    case Expr.Cond(c, t, f) if hasBareRunningAgg(t) || hasBareRunningAgg(f) =>
+      // a running agg inside a ?: branch only advances when ITS branch is
+      // taken (expr/agg evaluation is lazy per row) — push the condition
+      // into each agg call as a where guard
+      expr(df, Expr.Cond(c,
+        guardRunningAggs(t, c),
+        guardRunningAggs(f, Expr.Unary("not", c))))
 
     case Expr.Cond(c, t, f) =>
       // mismatched branch types form a zed union (put-changing-types) —
@@ -3144,16 +3197,23 @@ final class Compiler(spark: SparkSession, dir: String) {
           else if (et.isInstanceOf[NumericType] && ldt.isInstanceOf[NumericType])
             e.cast(DoubleType) <=> lcN.cast(DoubleType)
           else lit(false)
-        val res: Column = rdt match {
+        // membership RECURSES into nested containers (expressions.md:
+        // `1 in this` hits {d:{e:1}})
+        def containsVal(e: Column, et: DataType): Column = et match {
           case st: StructType if !isVariant(st) =>
             st.fields.toIndexedSeq
-              .map(f => eqTo(rc.getField(f.name), f.dataType))
+              .map(f => containsVal(e.getField(f.name), f.dataType))
               .reduceOption(_ || _).getOrElse(lit(false))
           case MapType(kt, vt, _) =>
-            coalesce(exists(map_keys(rc), k => eqTo(k, kt)), lit(false)) ||
-              coalesce(exists(map_values(rc), v => eqTo(v, vt)), lit(false))
-          case ArrayType(et, _) =>
-            coalesce(exists(rc, e => eqTo(e, et)), lit(false))
+            coalesce(exists(map_keys(e), k => containsVal(k, kt)), lit(false)) ||
+              coalesce(exists(map_values(e), v => containsVal(v, vt)), lit(false))
+          case ArrayType(et2, _) =>
+            coalesce(exists(e, x => containsVal(x, et2)), lit(false))
+          case other => eqTo(e, other)
+        }
+        val res: Column = rdt match {
+          case _: StructType | _: MapType | _: ArrayType if !isVariant(rdt) =>
+            containsVal(rc, rdt)
           case _ => array_contains(rc, lcN)
         }
         val boxedRes = rMissing match {
@@ -4648,6 +4708,23 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         graft.functions.ZvOps.sliceZed(expr(df, args.head),
           idxText(args(1)), idxText(args(2)))
+      case "__slice" if (dtypeOf(df, args.head).contains(StringType) ||
+          (dtypeOf(df, args.head).isEmpty && {
+            try df.select(a(0)).schema.head.dataType == StringType
+            catch { case _: Exception => false }
+          })) =>
+        // string slice: byte-range substring (expressions.md slices)
+        val s0 = a(0)
+        val len = length(s0)
+        def norm(e: Expr, dflt: Column): Column = e match {
+          case Expr.NullLit => dflt
+          case other =>
+            val c = expr(df, other)
+            when(c >= 0, c).otherwise(len + c)
+        }
+        val start0 = norm(args(1), lit(0)).cast("int")
+        val end0 = norm(args(2), len).cast("int")
+        s0.substr(start0 + 1, greatest(end0 - start0, lit(0)))
       case "__slice" =>
         val arr = a(0)
         val sz = size(arr)

@@ -1231,10 +1231,18 @@ final class Parser(tokens: Vector[Token], source: String) {
             }
             expect(">")
             val text = sb.toString
+            // `<type>(expr)` is the cast-call form (expressions.md:
+            // `yield <port>(this)` ≡ cast(this, <port>))
+            if (at("(")) {
+              next()
+              val arg = parseExpr()
+              expect(")")
+              Expr.Call("cast", Seq(arg, Expr.StringLit(text)))
+            }
             // a bare UNKNOWN name is a runtime named-type reference —
             // resolved against the data's own named types at compile
             // time (data-types.md: `yield <foo>` on `1(=foo)` input)
-            if (text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            else if (text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
                 !typeDefs.contains(text) &&
                 !graft.functions.ZShaper.primTypeNames(text))
               Expr.Call("__typename", Seq(Expr.StringLit(text)))

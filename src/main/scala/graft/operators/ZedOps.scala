@@ -346,8 +346,47 @@ object ZedOps {
   }
 
   /** `combine` — unordered union of branches (runtime/sam/op/combine). */
-  def combine(branches: DataFrame*): DataFrame =
-    branches.reduce(_.unionByName(_, allowMissingColumns = true))
+  def combine(branches: DataFrame*): DataFrame = {
+    if (branches.length == 1) return branches.head
+    // zed forms a UNION TYPE when branches disagree on a column's type
+    // (switch/fork semantics): box the incompatible sides into variants
+    // instead of failing the Spark union. Numeric-only disagreements are
+    // left to Spark's own widening.
+    val het = graft.operators.Het
+    def dtOf(df: DataFrame, n: String) =
+      df.schema.fields.find(_.name == n).map(_.dataType)
+    val allCols = branches.flatMap(_.schema.fieldNames).distinct
+      .filterNot(_ == het.typeTag)
+    val boxCols: Set[String] = allCols.filter { n =>
+      val ts = branches.flatMap(dtOf(_, n)).distinct
+        .filterNot(_ == org.apache.spark.sql.types.NullType)
+      ts.length > 1 &&
+        !ts.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    }.toSet
+    val prepped = branches.map { df =>
+      if (boxCols.exists(df.columns.contains)) {
+        df.select(df.schema.fields.toIndexedSeq.map { f =>
+          if (boxCols(f.name) && !graft.sources.ZsonIO.isVariantType(f.dataType))
+            het.variant(col(s"`${f.name}`"), f.dataType).as(f.name, f.metadata)
+          else col(s"`${f.name}`").as(f.name, f.metadata)
+        }: _*)
+      } else df
+    }
+    val out = prepped.reduce(_.unionByName(_, allowMissingColumns = true))
+    // merge the branches' shape lists into the union's tag metadata
+    val shapeTexts = branches.flatMap(df =>
+      df.schema.fields.find(_.name == het.typeTag).toSeq.flatMap(f =>
+        if (f.metadata.contains("shapes")) f.metadata.getStringArray("shapes").toSeq
+        else Seq.empty)).distinct
+    if (shapeTexts.nonEmpty && out.columns.contains(het.typeTag)) {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putStringArray("shapes", shapeTexts.toArray).build()
+      out.select(out.schema.fields.toIndexedSeq.map { f =>
+        if (f.name == het.typeTag) col(s"`${f.name}`").as(f.name, md)
+        else col(s"`${f.name}`").as(f.name, f.metadata)
+      }: _*)
+    } else out
+  }
 
   /** `over e` (simple form) — flatten an array column: one output row per
     * element (runtime/sam/op/traverse/over.go). `explode` keeps outer
