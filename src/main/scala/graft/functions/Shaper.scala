@@ -34,7 +34,14 @@ object Shaper {
     case ArrayType(e, _) => s"[${zedTypeOf(e)}]"
     case MapType(k, v, _) => s"|{${zedTypeOf(k)}:${zedTypeOf(v)}}|"
     case StructType(fields) =>
-      fields.map(f => s"${f.name}:${zedTypeOf(f.dataType)}").mkString("{", ",", "}")
+      // a field-level zed-type marker (set-ness, uint64, type values)
+      // overrides the relational carrier's type
+      fields.map { f =>
+        val t =
+          if (f.metadata.contains("graft.zedType")) f.metadata.getString("graft.zedType")
+          else zedTypeOf(f.dataType)
+        s"${f.name}:$t"
+      }.mkString("{", ",", "}")
     case other => other.simpleString
   }
 

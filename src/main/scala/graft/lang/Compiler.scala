@@ -965,8 +965,20 @@ final class Compiler(spark: SparkSession, dir: String) {
           else d.select(d.schema.fields.toIndexedSeq.map { f =>
             val mdOpt = zedTypeMd.get(f.name).orElse(f.dataType match {
               case ArrayType(et, _) if unionAggs.contains(f.name) =>
+                // the arg's own zed-type marker (e.g. a SET collected into
+                // a set-of-sets) becomes the element type
+                val elemZ = aggs.collectFirst {
+                  case (n2, a2) if n2 == f.name && a2.fn == "union" =>
+                    a2.arg.collect {
+                      case Expr.Path(ps) if ps.length == 1 =>
+                        df.schema.fields.find(_.name == ps.head)
+                          .filter(_.metadata.contains("graft.zedType"))
+                          .map(_.metadata.getString("graft.zedType"))
+                    }.flatten
+                }.flatten
                 Some(new org.apache.spark.sql.types.MetadataBuilder()
-                  .putString("graft.zedType", "|[" + Shaper.zedTypeOf(et) + "]|")
+                  .putString("graft.zedType",
+                    "|[" + elemZ.getOrElse(Shaper.zedTypeOf(et)) + "]|")
                   .build())
               case _ => None
             })
@@ -1043,8 +1055,10 @@ final class Compiler(spark: SparkSession, dir: String) {
             else out
           Seq(nestIfDotted(markZedTypes(if (lateral) {
             // re-mark the scope vars and the surviving row id (metadata
-            // does not survive groupBy)
-            restored.select(restored.schema.fields.toIndexedSeq.map { f =>
+            // does not survive groupBy); per-OUTER-ROW results come back
+            // in input order (traverse/over.go emits per outer value)
+            restored.orderBy(col(Compiler.rowIdCol))
+              .select(restored.schema.fields.toIndexedSeq.map { f =>
               if (scopeVars.contains(f.name) || f.name == Compiler.rowIdCol)
                 col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
@@ -1069,7 +1083,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         def simplePath(e: Expr): Boolean = e match {
           case Expr.Path(parts0) =>
             val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
-            parts.nonEmpty && right0.columns.contains(parts.head)
+            // `this` (the whole right record, eaterinfo:=this) is simple:
+            // it becomes a struct over the renamed columns
+            parts.isEmpty || right0.columns.contains(parts.head)
           case _ => false
         }
         val renameOk = simplePath(rk) && graftFields.forall(g => simplePath(g._2))
@@ -1092,22 +1108,67 @@ final class Compiler(spark: SparkSession, dir: String) {
         def rightExpr(e: Expr): Column = e match {
           case Expr.Path(parts0) =>
             val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
-            if (parts.nonEmpty && right0.columns.contains(parts.head))
+            if (parts.isEmpty) {
+              // the whole right record (eaterinfo:=this): struct over
+              // the renamed right columns, original field names
+              val dataCols = right0.schema.fields.toIndexedSeq.filterNot(f =>
+                f.name == graft.operators.Het.typeTag ||
+                  f.metadata.contains("graft.scopeVar"))
+              struct(dataCols.map(f => col(s"`$rjPre${f.name}`").as(f.name)): _*)
+            } else if (right0.columns.contains(parts.head))
               parts.tail.foldLeft(col(s"`$rjPre${parts.head}`"))(_.getField(_))
             else expr(right0, e) // non-path exprs compile against the original
           case _ => expr(right0, e)
         }
+        // field assignments draw from the NON-OUTPUT side: a right join
+        // emits right records with fields pulled from the left
+        // (join.md right-join: fruit:=name takes the fruit's name)
+        val graftSide: Expr => Column =
+          if (style == "right") leftExpr else rightExpr
         val joined = ZedOps.join(
           left, right,
           leftExpr(lk), rightExpr(rk), style,
-          graftFields.map { case (n, e) => n -> rightExpr(e) })
+          graftFields.map { case (n, e) => n -> graftSide(e) })
         // un-prefix anything that survived from the right (right joins
         // keep the right record as the base)
-        Seq(if (rjPre.isEmpty) joined
+        val unPrefixed = if (rjPre.isEmpty) joined
         else joined.select(joined.columns.toIndexedSeq.map { n =>
           if (n.startsWith(rjPre)) col(s"`$n`").as(n.stripPrefix(rjPre))
           else col(s"`$n`")
-        }: _*))
+        }: _*)
+        // the base side's shape tags predate the grafted fields — extend
+        // each shape text so downstream spreads/typeof see the join's
+        // real output shape
+        val out = if (graftFields.nonEmpty && unPrefixed.columns.contains(
+            graft.operators.Het.typeTag)) {
+          val graftTypes: Seq[(String, String)] = graftFields.map { case (n, _) =>
+            val dt = unPrefixed.schema.fields.find(_.name == n)
+              .map(_.dataType).getOrElse(StringType)
+            n -> Shaper.zedTypeOf(dt)
+          }
+          def extend(t: String): String =
+            if (t.endsWith("}"))
+              t.dropRight(1) +
+                graftTypes.map { case (n, tt) => s",$n:$tt" }.mkString + "}"
+            else t
+          val tagF = unPrefixed.schema(graft.operators.Het.typeTag)
+          val oldShapes =
+            if (tagF.metadata.contains("shapes"))
+              tagF.metadata.getStringArray("shapes").toSeq
+            else Seq.empty
+          val newShapes = oldShapes.map(extend)
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putStringArray("shapes", newShapes.distinct.toArray).build()
+          val tagC = oldShapes.zip(newShapes).foldLeft(
+            col(s"`${graft.operators.Het.typeTag}`")) { case (acc, (o, nw)) =>
+            when(col(s"`${graft.operators.Het.typeTag}`") === o, lit(nw)).otherwise(acc)
+          }
+          unPrefixed.select(unPrefixed.schema.fields.toIndexedSeq.map { f =>
+            if (f.name == graft.operators.Het.typeTag) tagC.as(f.name, md)
+            else col(s"`${f.name}`").as(f.name, f.metadata)
+          }: _*)
+        } else unPrefixed
+        Seq(out)
 
       case Stage.Output(name) =>
         namedOut += name -> single(state)
@@ -1234,7 +1295,13 @@ final class Compiler(spark: SparkSession, dir: String) {
                     x.name == Compiler.rowIdCol || x.name == Compiler.posCol)
                   col(s"`${x.name}`")
                 else col(s"`${x.name}`").as(x.name,
-                  org.apache.spark.sql.types.Metadata.empty)): _*)
+                  // scrub the scope marker but KEEP zed-type markers
+                  // (set-ness from union(), uint64 counts, type values)
+                  if (x.metadata.contains("graft.zedType"))
+                    new org.apache.spark.sql.types.MetadataBuilder()
+                      .putString("graft.zedType",
+                        x.metadata.getString("graft.zedType")).build()
+                  else org.apache.spark.sql.types.Metadata.empty)): _*)
             }))
         }
 
@@ -1342,9 +1409,23 @@ final class Compiler(spark: SparkSession, dir: String) {
             }
           case Seq(Expr.RecordLit(fields)) =>
             // explicit empty metadata: aliases inherit the child's, and a
-            // lateral scope var's marker must not taint a yielded field
+            // lateral scope var's marker must not taint a yielded field —
+            // but a source column's zed-type marker (set-ness, uint64,
+            // type values) must survive the projection
+            def mdFor(e: Expr): org.apache.spark.sql.types.Metadata = e match {
+              case Expr.Path(ps0) =>
+                val ps = if (ps0.headOption.contains("this")) ps0.tail else ps0
+                ps.headOption.flatMap(h =>
+                  df.schema.fields.find(_.name == h))
+                  .filter(f => ps.length == 1 && f.metadata.contains("graft.zedType"))
+                  .map(f => new org.apache.spark.sql.types.MetadataBuilder()
+                    .putString("graft.zedType", f.metadata.getString("graft.zedType"))
+                    .build())
+                  .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+              case _ => org.apache.spark.sql.types.Metadata.empty
+            }
             Seq(df.select(ctxCols(fields.map(_._1).toSet) ++ fields.map { case (n, e) =>
-              outExpr(df, e).as(n, org.apache.spark.sql.types.Metadata.empty)
+              outExpr(df, e).as(n, mdFor(e))
             }: _*))
           case Seq(e) =>
             // a single non-record yield emits the bare VALUE (yield.go);
@@ -1997,10 +2078,29 @@ final class Compiler(spark: SparkSession, dir: String) {
         val l = collect_list(guarded(base.get))
         when(size(l) === 0, lit(null)).otherwise(l)
       case "union" =>
-        // set semantics: normalized (sorted) on construction; on typed
-        // streams the canonical order matters for output
-        val u = if (isTagged(df)) sort_array(collect_set(guarded(base.get)))
-                else collect_set(guarded(base.get))
+        // set semantics: normalized on construction, in zed's CANONICAL
+        // byte order (complex.go NormalizeSet: the zcode tag is a length
+        // uvarint, so SHORTER encodings sort before longer, then bytes)
+        val u0 = collect_set(guarded(base.get))
+        val et0 = base.map(c =>
+          try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
+        val u =
+          et0 match {
+            case Some(StringType) =>
+              transform(sort_array(transform(u0, x =>
+                struct(length(x).as("l"), x.as("v")))), p => p.getField("v"))
+            case Some(ArrayType(StringType, _)) =>
+              // sets-of-sets: outer tag length first, then element-wise
+              // length-prefixed bytes
+              def bodyOf(x: Column) = aggregate(x, lit(""),
+                (acc, e) => concat(acc, lpad(hex(length(e)), 4, "0"), e))
+              def sizeOf(x: Column) = aggregate(x, lit(0),
+                (acc, e) => acc + length(e) + 1) + size(x)
+              transform(sort_array(transform(u0, x =>
+                struct(sizeOf(x).as("l"), bodyOf(x).as("b"), x.as("v")))),
+                p => p.getField("v"))
+            case _ => sort_array(u0)
+          }
         when(size(u) === 0, lit(null)).otherwise(u)
       case "and" => bool_and(guarded(base.get))
       case "or" => bool_or(guarded(base.get))
@@ -2453,7 +2553,10 @@ final class Compiler(spark: SparkSession, dir: String) {
     case Expr.DurationLit(_, _) => Some(LongType)
     case Expr.Unary(_, inner) => dtypeOf(df, inner)
     case Expr.Binary(op, l, r) if Set("+", "-", "*", "/", "%")(op) =>
-      (dtypeOf(df, l), dtypeOf(df, r)) match {
+      // on TAGGED frames / and % may box into error-carrying variants
+      // (divide-by-zero is a VALUE) — the static prediction would lie
+      if ((op == "/" || op == "%") && isTagged(df)) None
+      else (dtypeOf(df, l), dtypeOf(df, r)) match {
         case (Some(a), Some(b)) if a == b => Some(a)
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (a, _) => a

@@ -82,8 +82,8 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     // 85% is the coverage target; the absolute floor pins the measured
-    // count (414/478 in round 8) so semantic regressions fail CI
-    assert(pass >= math.max((runnable * 85) / 100, 410),
+    // count (454/478 in round 9) so semantic regressions fail CI
+    assert(pass >= math.max((runnable * 85) / 100, 450),
       s"doc-example pass rate regressed: $pass/$runnable")
   }
 }
