@@ -22,7 +22,8 @@ import graft.sources.{Formats, Lake, ZsonIO}
   *   GET  /pools?root=<lakeRoot>          pool listing
   *   GET  /status                         liveness
   */
-final class Service(spark: SparkSession, defaultDir: String, port: Int) {
+final class Service(spark: SparkSession, defaultDir: String, port: Int,
+                    lakeRootOpt: Option[String] = None) {
 
   @volatile private var server: HttpServer = _
 
@@ -35,6 +36,14 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
       override def handle(ex: HttpExchange): Unit = {
         try {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          // the reference's API form: a JSON body {"query": "..."} with
+          // Accept-header content negotiation (service/handlers.go)
+          if (lakeRootOpt.isDefined &&
+              (body.trim.startsWith("{") || body.trim.isEmpty) &&
+              !query(ex).contains("dir")) {
+            refQuery(ex, body)
+            return
+          }
           val params = query(ex)
           val dir = params.getOrElse("dir", defaultDir)
           val fmt = params.getOrElse("fmt", "zson")
@@ -123,7 +132,31 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
     server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
     // pool/branch CRUD (service/core.go:171-206 pool-create/-delete,
     // branch-create endpoints)
-    server.createContext("/pool", handler { ex =>
+    server.createContext("/pool", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try refPoolRoutes(ex)
+        catch { case e: Exception =>
+          jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage)) }
+    })
+    server.createContext("/compile", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        // POST /compile {"query": …} → parse diagnostics (service API)
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val q = jsonField(body, "query").getOrElse("")
+        try {
+          graft.lang.Parser.parse(q)
+          respond(ex, 200, "{}\n")
+        } catch {
+          case e: Exception =>
+            val pos = "parse error at (\\d+)".r
+              .findFirstMatchIn(String.valueOf(e.getMessage))
+              .map(_.group(1).toInt).getOrElse(0)
+            respond(ex, 200,
+              s"""{"compilation_errors":[{"Msg":"error parsing SuperPipe","Pos":$pos,"End":-1}]}""" + "\n")
+        }
+      }
+    })
+    legacyPool = handler { ex =>
       val params = query(ex)
       val root = params.getOrElse("root", "/tmp/graft_lake")
       val name = params.getOrElse("name",
@@ -142,7 +175,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
           (200, s"""{pool:"${Service.esc(name)}",deleted:true}""" + "\n")
         case other => (405, s"""{error:"method $other not allowed"}""" + "\n")
       }
-    })
+    }
     server.createContext("/branch", handler { ex =>
       val params = query(ex)
       val root = params.getOrElse("root", "/tmp/graft_lake")
@@ -216,6 +249,215 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int) {
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- reference-compatible API (service/handlers.go shapes) --------------
+
+  private var legacyPool: HttpHandler = _
+
+  private val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** /pool routes: the base create (JSON body), /pool/<name> delete /
+    * rename, /pool/<pool>/branch/<branch> load, …/delete (delete-where).
+    * Param-style requests fall back to the legacy surface.
+    */
+  private def refPoolRoutes(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val segs = path.split("/").filter(_.nonEmpty).toSeq
+      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val root = lakeRootOpt.getOrElse("/tmp/graft_lake")
+    (ex.getRequestMethod, segs) match {
+      case _ if lakeRootOpt.isEmpty =>
+        legacyPool.handle(ex)
+      case ("POST", Seq("pool")) if body.trim.startsWith("{") =>
+        val name = jsonField(body, "name").getOrElse(
+          throw new IllegalArgumentException("name required"))
+        // layout.keys[0][0] / layout.order (PoolPostRequest)
+        val node = json.readTree(body)
+        val layout = Option(node.get("layout"))
+        val key = layout.flatMap(l => Option(l.get("keys")))
+          .flatMap(k => Option(k.get(0))).flatMap(k => Option(k.get(0)))
+          .map(_.asText())
+        val order = layout.flatMap(l => Option(l.get("order"))).map(_.asText())
+        Lake.create(root, name, key.orElse(Some("ts")),
+          order.getOrElse("desc"), explicitOrder = order.isDefined)
+        event(s"""{kind:"pool-create",pool:"${Service.esc(name)}"}""")
+        respond(ex, 200, poolJson(root, name) + "\n")
+      case ("POST", Seq("pool")) => legacyPool.handle(ex)
+      case ("DELETE", Seq("pool", name)) =>
+        if (!Lake.exists(root, name))
+          jerr(ex, 404, "item does not exist", s"$name: pool not found")
+        else {
+          Lake.drop(root, name)
+          respond(ex, 204, "")
+        }
+      case ("PUT", Seq("pool", name)) =>
+        val newName = jsonField(body, "name").getOrElse(
+          throw new IllegalArgumentException("name required"))
+        Lake.rename(root, name, newName)
+        respond(ex, 204, "")
+      case ("POST", Seq("pool", pool, "branch", branch, "delete")) =>
+        val where = jsonField(body, "where").getOrElse("")
+        spark.conf.set("graft.lake.root", root)
+        try {
+          val scanDf = Lake.scan(spark, root, pool, Some(branch))
+          val kept = Graft.queryOn(scanDf, s"where !($where)")
+          val old = Lake.commitsOn(root, pool, branch)
+            .filter(_.kind == "commit").map(_.id)
+          val id = Lake.load(kept.drop(graft.operators.Het.typeTag), root, pool,
+            branch = branch, message = s"delete where $where")
+          old.foreach(cid => Lake.delete(root, pool, cid, branch))
+          respond(ex, 200, s"""{"commit":"$id","warnings":[]}""" + "\n")
+        } finally spark.conf.unset("graft.lake.root")
+      case ("POST", Seq("pool", pool, "branch", branch)) =>
+        if (!Lake.exists(root, pool)) {
+          jerr(ex, 404, "item does not exist", s"$pool: pool not found")
+          return
+        }
+        val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .getOrElse("application/x-zson")
+        val ext = ctype.takeWhile(_ != ';') match {
+          case "text/csv" => "csv"
+          case "text/tab-separated-values" => "tsv"
+          case "application/x-zeek" => "log"
+          case "application/x-zng" => "zng"
+          case "application/x-vng" => "vng"
+          case "application/x-parquet" => "parquet"
+          case "application/vnd.apache.arrow.stream" => "arrows"
+          case "application/json" => "json"
+          case "text/plain" | "application/x-line" => "line"
+          case "application/x-zson" | "" => "zson"
+          case other =>
+            jerr(ex, 400, "invalid operation", s"unsupported MIME type: $other")
+            return
+        }
+        val d = java.nio.file.Files.createTempDirectory("svcload")
+        val p = d.resolve(s"in.$ext")
+        java.nio.file.Files.write(p, body.getBytes(
+          if (Set("zng", "vng", "parquet", "arrows")(ext)) "ISO-8859-1" else "UTF-8"))
+        val df = Formats.read(spark, p.toString)
+        val id = Lake.load(df, root, pool, author = "service", branch = branch)
+        event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
+        respond(ex, 200, s"""{"commit":"$id","warnings":[]}""" + "\n")
+      case _ => legacyPool.handle(ex)
+    }
+  }
+
+  private def jsonField(body: String, name: String): Option[String] =
+    try {
+      val node = json.readTree(body)
+      Option(node.get(name)).map(n =>
+        if (n.isTextual) n.asText() else n.toString)
+    } catch { case _: Exception => None }
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", ctype)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+
+  private def jerr(ex: HttpExchange, code: Int, kind: String, msg: String,
+      compileErrs: Option[(String, Int, Int)] = None): Unit = {
+    def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t")
+    val extra = compileErrs.map { case (m, pos, end) =>
+      s""","compilation_errors":[{"Msg":"${jq(m)}","Pos":$pos,"End":$end}]"""
+    }.getOrElse("")
+    respond(ex, code,
+      s"""{"type":"Error","kind":"$kind","error":"${jq(msg)}"$extra}""")
+  }
+
+  /** POST /query with {"query": …} (reference API). */
+  private def refQuery(ex: HttpExchange, body: String): Unit = {
+    val root = lakeRootOpt.get
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    val accepted = Seq("application/json", "application/x-zson", "text/plain",
+      "text/tab-separated-values", "text/csv", "application/x-zng",
+      "application/x-parquet", "application/vnd.apache.arrow.stream", "*/*")
+    val chosen = accept.split(",").map(_.trim.takeWhile(_ != ';'))
+      .find(a => a.isEmpty || accepted.contains(a))
+    if (accept.nonEmpty && chosen.isEmpty) {
+      jerr(ex, 400, "invalid operation",
+        "could not find supported MIME type in Accept header")
+      return
+    }
+    val q = jsonField(body, "query").getOrElse("").trim
+    // scan-target validation with the reference's caret texts
+    def caret(msg: String, col: Int, len: Int): String =
+      s"$msg at line 1, column $col:\n$q\n" +
+        (" " * (col - 1)) + ("~" * len)
+    val firstFrom: Option[String] =
+      try graft.lang.Parser.parse(q).stages.headOption.collect {
+        case graft.lang.Stage.From(t, _) => t
+      } catch { case _: Exception =>
+        if (q.startsWith("from ")) Some(q.stripPrefix("from ").split("\\s|\\|")(0))
+        else None
+      }
+    val knownMeta = Set("pools", "branches", "log", "objects", "partitions")
+    if (q.isEmpty || firstFrom.isEmpty) {
+      jerr(ex, 400, "invalid operation", "no pool name given")
+      return
+    }
+    firstFrom.get match {
+      case "HEAD" =>
+        jerr(ex, 400, "invalid operation",
+          caret("pool name missing", 1, q.length),
+          Some(("pool name missing", 0, q.length)))
+        return
+      case t if t.startsWith(":") && !knownMeta(t.drop(1)) =>
+        val m = s"""unknown lake metadata type "${t.drop(1)}" in from operator"""
+        jerr(ex, 400, "invalid operation", caret(m, 1, q.length),
+          Some((m, 0, q.length)))
+        return
+      case t if !t.startsWith(":") && !t.contains("/") && !t.contains(".") => {
+        val pool = t.takeWhile(c => c != '@' && c != ':')
+        if (!Lake.exists(root, pool)) {
+          val m = s"$pool: pool not found"
+          jerr(ex, 400, "invalid operation", caret(m, 6, t.length),
+            Some((m, 5, 5 + t.length)))
+          return
+        }
+      }
+      case _ =>
+    }
+    try {
+      spark.conf.set("graft.lake.root", root)
+      val df = try Graft.query(spark, root, q)
+               finally spark.conf.unset("graft.lake.root")
+      val fmt = chosen.getOrElse("application/json")
+      fmt match {
+        case "application/json" | "*/*" | "" | "text/plain" =>
+          val rows = graft.sources.ZFormat.jsonLines(df)
+          respond(ex, 200, rows.mkString("[", ",", "]") + "\n")
+        case "text/csv" =>
+          respond(ex, 200,
+            graft.sources.ZFormat.csvLines(df).mkString("", "\n", "\n"), "text/csv")
+        case "text/tab-separated-values" =>
+          val lines = graft.sources.ZFormat.csvLines(df).map(_.replace(",", "\t"))
+          respond(ex, 200, lines.mkString("", "\n", "\n"), "text/tab-separated-values")
+        case _ =>
+          respond(ex, 200,
+            ZsonIO.toZson(df).collect().mkString("", "\n", "\n"),
+            "application/x-zson")
+      }
+    } catch {
+      case e: Exception =>
+        jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage))
+    }
+  }
+
+  /** A pool's config + main branch as the reference's JSON (POST /pool). */
+  private def poolJson(root: String, name: String): String = {
+    val lk = Lake
+    val k = lk.poolKey(root, name).getOrElse("ts")
+    val order = lk.poolOrder(root, name)
+    val ts = java.time.Instant.now().toString
+    val idHex = try lk.poolId(root, name) catch { case _: Exception => "" }
+    s"""{"pool":{"ts":"$ts","name":"$name","id":"$idHex","layout":{"order":"$order","keys":[["$k"]]},"seek_stride":65536,"threshold":524288000},"branch":{"ts":"$ts","name":"main","commit":"0x0000000000000000000000000000000000000000"}}"""
+  }
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")

@@ -120,6 +120,10 @@ object Stage {
   final case class Load(target: String, author: Option[String],
       message: Option[String]) extends Stage
   case object Pass extends Stage
+  /** `debug [<expr>]` — emit the expression per row on the debug channel
+    * (stderr) and pass the stream through (runtime op debug).
+    */
+  final case class Debug(e: Option[Expr]) extends Stage
   final case class Assert(e: Expr, text: String) extends Stage
   /** inlined user-defined operator body (semantic/op.go:853-860) */
   final case class Block(p: Pipeline) extends Stage

@@ -53,10 +53,13 @@ object Canon {
       throw new IllegalArgumentException(s"canonical form: unsupported ${other.getClass.getSimpleName}")
   }
 
-  /** Implied search (glob / regex match terms keep `search`). */
+  /** Implied search (bare terms / globs; conjunctions of terms). */
   private def isSearchy(e: Expr): Boolean = e match {
     case Expr.Call("__search" | "__glob" | "grep", _) => true
-    case Expr.Binary(("and" | "or"), l, r) => isSearchy(l) || isSearchy(r)
+    case Expr.Path(Seq(_)) => true // bare word = keyword search term
+    case Expr.StringLit(_) => true
+    case Expr.Binary(("and" | "or"), l, r) => isSearchy(l) && isSearchy(r)
+    case Expr.Unary(("not" | "!"), x) => isSearchy(x)
     case _ => false
   }
 

@@ -1407,6 +1407,19 @@ final class Compiler(spark: SparkSession, dir: String) {
               val ctxNames = packed.columns.filter(_ != "__r").toIndexedSeq
               Seq(packed.select(ctxNames.map(n => col(s"`$n`")) :+ col("__r.*"): _*))
             }
+          case Seq(Expr.RecordLit(fields)) if isTagged(df) &&
+              shapesOf(df).nonEmpty &&
+              df.schema.fields.forall(!_.metadata.contains("graft.scopeVar")) &&
+              fields.forall {
+                case (n, Expr.Path(ps0)) =>
+                  val ps = if (ps0.headOption.contains("this")) ps0.tail else ps0
+                  ps == Seq(n)
+                case _ => false
+              } =>
+            // a pure projection record ({min,max}) on a TYPED stream is
+            // cut: the per-shape narrowing keeps zed types (time/ip) that
+            // a plain struct projection would flatten to carriers
+            compileStage(Seq(df), Stage.Cut(fields.map { case (n, _) => (n, None) }))
           case Seq(Expr.RecordLit(fields)) =>
             // explicit empty metadata: aliases inherit the child's, and a
             // lateral scope var's marker must not taint a yielded field —
@@ -1570,6 +1583,23 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Block(p) =>
         p.stages.foldLeft(state)((st, s) => compileStage(st, s))
+
+      case Stage.Debug(eOpt) =>
+        // emit the rendered expression per row on the debug channel and
+        // pass the stream through untouched (runtime op debug). The CLI
+        // surface drains the sink to stderr after the query runs.
+        val df = single(state)
+        val e = eOpt.getOrElse(Expr.Path(Seq.empty))
+        val c = outExpr(df, e)
+        val text =
+          if (isVariantExpr(df, e)) graft.operators.Het.render(c)
+          else {
+            val dt = try df.select(c).schema.head.dataType
+                     catch { case _: Exception => StringType }
+            graft.sources.ZsonIO.zsonOf(c, dt)
+          }
+        Compiler.debugSink ++= df.select(text).collect().map(_.getString(0))
+        Seq(df)
 
       case Stage.Assert(e, text) =>
         // failing rows become error({message:"assertion failed",
@@ -4919,6 +4949,9 @@ object Compiler {
     new org.apache.spark.sql.types.MetadataBuilder().putBoolean("graft.scopeVar", true).build()
   val rowIdCol = "__row"
   val posCol = "__pos"
+
+  /** `debug` operator output (drained to stderr by the CLI surface). */
+  val debugSink = scala.collection.mutable.ArrayBuffer.empty[String]
   /** reserved column-name prefix for lateral `with` scope vars */
   val varPrefix = "__var_"
 }

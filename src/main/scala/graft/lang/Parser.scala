@@ -449,6 +449,10 @@ final class Parser(tokens: Vector[Token], source: String) {
         }
         Stage.Load(target, author, message)
       case "pass" => next(); Stage.Pass
+      case "debug" =>
+        next()
+        if (at("|") || peek.kind == EOF || at(")")) Stage.Debug(None)
+        else Stage.Debug(Some(parseExpr()))
       case "assert" =>
         next()
         val start = peek.pos

@@ -542,18 +542,25 @@ object Lake {
     * branch references (cmd/super/db/vacuum): reclaims space and gives up
     * time travel to the removed objects, exactly like the reference.
     */
-  def vacuum(root: String, pool: String): Seq[String] = {
+  /** Objects no branch head still references (vacuum's candidates). */
+  def vacuumable(root: String, pool: String): Seq[String] = {
     require(exists(root, pool), s"no such pool: $pool")
     val all = commits(root, pool)
+    val live = branches(root, pool).flatMap(b => liveIds(visibleOn(all, b))).toSet
+    val dataDir = poolDir(root, pool).resolve("data")
+    Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live(f.getName)).map(_.getName).toSeq
+  }
+
+  def vacuum(root: String, pool: String): Seq[String] = {
     // An object is live if ANY branch head still sees it (the reference's
     // vacuum removes only objects unreferenced by every branch): a delete
     // on one branch must not reclaim an object another branch still scans.
-    val live = branches(root, pool).flatMap(b => liveIds(visibleOn(all, b))).toSet
+    val removed = vacuumable(root, pool)
     val dataDir = poolDir(root, pool).resolve("data")
-    val removed = Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !live(f.getName))
-      .map { f => org.apache.commons.io.FileUtils.deleteQuietly(f); f.getName }
-    removed.toSeq
+    removed.foreach(id => org.apache.commons.io.FileUtils.deleteQuietly(
+      dataDir.resolve(id).toFile): Unit)
+    removed
   }
 
   /** Drop a pool entirely (service DELETE /pool). */

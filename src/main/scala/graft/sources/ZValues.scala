@@ -1147,12 +1147,16 @@ object ZValue {
   * instance is a zed "context": named-type definitions (`(port=uint16)`)
   * persist across values (zson.md §3.3).
   */
-final class ZsonParser(s: String) {
+final class ZsonParser(s: String,
+    // typedef context shared across VALUES of one stream: `(=name)` binds
+    // in one value, `(name)` references it in later values (zson.md) — a
+    // per-line parser must carry the map forward
+    private val names: scala.collection.mutable.Map[String, ZType] =
+      scala.collection.mutable.Map.empty[String, ZType]) {
   import ZValue._
   import ZType._
 
   private var i = 0
-  private val names = scala.collection.mutable.Map.empty[String, ZType]
 
   private def err(msg: String): Nothing =
     throw new IllegalArgumentException(s"zson parse at $i: $msg")
@@ -1516,7 +1520,10 @@ final class ZsonParser(s: String) {
           val inner = typ()
           names(n) = inner
           inner // numeric typedef ids are abbreviations, not named types
-        } else names.get(n).getOrElse(Prim("null"))
+        } else names.getOrElse(n,
+          // a reference to an UNDEFINED typedef id is a parse error
+          // (zson/parser: "no such type name")
+          err(s"""no such type name: "$n""""))
       case '"' =>
         // quoted named-type name ("github.com/acme/foo.Bar"=...)
         val n = quoted()

@@ -157,6 +157,15 @@ object ZsonIO {
       (dt, zt.map(ZType.strip)) match {
         case (LongType, Some(ZType.Prim("duration"))) =>
           when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
+        case (LongType, Some(ZType.Prim("time"))) =>
+          // ns-domain long carrier → ISO with trailing zeros trimmed
+          val secs = graft.functions.Bridge.intDiv(c, lit(1000000000L))
+          val frac = regexp_replace(
+            lpad((c % 1000000000L).cast(StringType), 9, "0"), "0+$", "")
+          when(c.isNull, lit("null")).otherwise(concat(
+            date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+            when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
+            lit("Z")))
         case (StringType, Some(ZType.Prim("ip" | "net" | "time"))) =>
           // ip/net (and ISO-text time carriers, e.g. lake :objects
           // ranges) are bare in zson (no quotes)
@@ -459,8 +468,16 @@ object ZsonIO {
     * decode distributed one task per file.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // typedef-bearing files ((=name) definitions referenced by later
+    // values) must decode as ONE stream per file — a text split could
+    // separate a reference from its definition. Parallelism across FILES
+    // is kept; only within-file splitting is given up.
+    lazy val hasTypedefs =
+      try spark.read.textFile(path).filter((l: String) => l.contains("(="))
+        .head(1).nonEmpty
+      catch { case _: Exception => false }
     val rdd =
-      if (probeLineOriented(spark, path))
+      if (probeLineOriented(spark, path) && !hasTypedefs)
         spark.read.textFile(path).rdd.mapPartitions(parseLineIter)
       else {
         // not line-oriented: confirm the head actually parses as (multi-
@@ -469,20 +486,23 @@ object ZsonIO {
         // (stop-on-error ztest: "bad.zson: format detection error")
         val head = try spark.read.textFile(path).head(512).mkString("\n")
                    catch { case _: Exception => "" }
-        val headParses =
-          try { new ZsonParser(head).parseOne(); true }
-          catch { case _: Exception => false }
         // a pretty value can legitimately span more lines than the probe
-        // window, so a failed parse only means "not zson" when the text
-        // doesn't even START like a zson value — otherwise assume a
+        // window, so a failed FULL parse only means "not zson" when the
+        // text doesn't even START like a zson value — otherwise assume a
         // truncated pretty value and let the executor-side decode surface
         // any real error
+        val headParses =
+          try { ZsonParser.parseAll(head); true }
+          catch { case _: Exception => false }
         val firstCh = head.linesIterator
           .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("//"))
           .flatMap(_.headOption).nextOption()
+        // container/quote/number starts can be truncated pretty values;
+        // bare prose cannot (only true/false/null/NaN keywords open with
+        // a letter, and those parse fully above)
         val plausibleStart = firstCh.exists(c =>
           c == '{' || c == '[' || c == '|' || c == '<' || c == '"' ||
-          c == '-' || c == '+' || c == '(' || c == '0' || c.isLetterOrDigit)
+          c == '-' || c == '+' || c == '(' || c.isDigit)
         if (head.trim.nonEmpty && !headParses && !plausibleStart)
           throw new IllegalArgumentException(
             new java.io.File(path).getName + ": format detection error")
@@ -498,6 +518,11 @@ object ZsonIO {
     */
   private[sources] def parseLineIter(lines: Iterator[String]): Iterator[ZValue] = new Iterator[ZValue] {
     private var queue: Iterator[ZValue] = Iterator.empty
+    // typedef context carried ACROSS values in this partition: `(=name)`
+    // on one line binds `(name)` references on later lines (zson.md)
+    private val ctx = scala.collection.mutable.Map.empty[String, graft.sources.ZType]
+    private def parseCtx(text: String): Vector[ZValue] =
+      new ZsonParser(text, ctx).parseAll()
     private def fill(): Unit = {
       val buf = new StringBuilder
       while (!queue.hasNext && lines.hasNext) {
@@ -507,12 +532,12 @@ object ZsonIO {
         else {
           if (buf.nonEmpty) buf.append('\n')
           buf.append(l)
-          try queue = ZsonParser.parseAll(buf.toString).iterator
+          try queue = parseCtx(buf.toString).iterator
           catch { case _: Exception => } // incomplete — keep accumulating
         }
       }
       if (!queue.hasNext && buf.nonEmpty)
-        queue = ZsonParser.parseAll(buf.toString).iterator // surface the real error
+        queue = parseCtx(buf.toString).iterator // surface the real error
     }
     def hasNext: Boolean = { if (!queue.hasNext) fill(); queue.hasNext }
     def next(): ZValue = { if (!hasNext) throw new NoSuchElementException; queue.next() }

@@ -132,24 +132,47 @@ object MdtestHarness {
 
   final class Unsupported(what: String) extends RuntimeException(s"unsupported: $what")
 
+  /** `-version` anywhere in the args short-circuits to the version line. */
+  private final class VersionRequested extends RuntimeException("version")
+  private val versionLine = "Version: v1.18.0-graft\n"
+
+  /** `-e=false` runs: partial stdout plus the per-file errors; the
+    * command still exits nonzero (stop-on-error semantics).
+    */
+  final class PartialOutput(val stdout: String, message: String)
+    extends RuntimeException(message)
+
   /** One markdown file's shell: a shared working directory holding the
     * file's mdtest-input files (or a read-only reference dir for dir=
     * blocks) plus any lake state earlier blocks created.
     */
   final class Shell(spark: SparkSession, val workDir: java.nio.file.Path) {
     private val env = mutable.Map.empty[String, String]
+    // `cd` support: relative paths resolve against this (starts at workDir)
+    private var cwd: java.nio.file.Path = workDir
 
     // script-style ztests: the whole script's stdin (an input named
     // `stdin`) — a command reading `-` without a pipe sees it
     private var defaultStdin: Option[String] = None
     def setDefaultStdin(text: String): Unit = defaultStdin = Some(text)
 
+    // `source service.sh` (service/ztests): an in-process graft.Service
+    // bound to a scratch lake; SUPER_DB_LAKE becomes its http URL and db
+    // commands resolve the URL back to the backing root
+    private var service: Option[graft.Service] = None
+    private var serviceRoot: Option[String] = None
+    def stopService(): Unit = { service.foreach(_.stop()); service = None }
+
     // `tee /dev/stderr` and friends write here; the script harness reads
     // it back as the script's stderr
     val stderrSink = new StringBuilder
 
+    /** Shell env (export …) for the script harness's $VAR substitution. */
+    def envSnapshot: Map[String, String] = env.toMap
+
     private def filePath(name: String): String =
-      if (name.startsWith("/")) name else workDir.resolve(name).toString
+      if (name.startsWith("/")) name
+      else cwd.resolve(name).normalize().toString
 
     /** Binary content (zng artifacts piped through cat / redirects) rides
       * Strings as ISO-8859-1, which is byte-preserving; text stays UTF-8.
@@ -202,6 +225,11 @@ object MdtestHarness {
       for (seg <- segs) {
         outText = runSimple(seg, stdin)
         stdin = Some(outText)
+      }
+      // drain the `debug` operator's channel to this shell's stderr
+      if (graft.lang.Compiler.debugSink.nonEmpty) {
+        graft.lang.Compiler.debugSink.foreach(l => stderrSink.append(l).append('\n'))
+        graft.lang.Compiler.debugSink.clear()
       }
       redirect match {
         case Some("/dev/null") => ""
@@ -256,6 +284,9 @@ object MdtestHarness {
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filePath(d)))
           }
           ""
+        case "cd" =>
+          cwd = java.nio.file.Paths.get(filePath(seg(1))).normalize()
+          ""
         case "mv" =>
           val paths = seg.tail.filterNot(_.startsWith("-"))
           java.nio.file.Files.move(
@@ -275,6 +306,25 @@ object MdtestHarness {
           }.mkString
         case "sort" =>
           stdin.getOrElse("").linesIterator.toSeq.sorted.map(_ + "\n").mkString
+        case "sed" =>
+          // minimal `sed [-e] 's<d>pat<d>rep<d>[g]'` over stdin (scripts
+          // mask run-dependent ids/timestamps)
+          val progs = seg.tail.filterNot(_ == "-e")
+          var text = stdin.getOrElse("")
+          for (prog <- progs if prog.startsWith("s") && prog.length > 2) {
+            val d = prog.charAt(1)
+            val parts = prog.drop(2).split(java.util.regex.Pattern.quote(d.toString), -1)
+            if (parts.length >= 2) {
+              val (pat, rep) = (parts(0), parts(1))
+              val global = parts.lift(2).exists(_.contains("g"))
+              val repl = java.util.regex.Matcher.quoteReplacement(rep)
+              text = text.linesIterator.map { l =>
+                if (global) l.replaceAll(pat, repl)
+                else java.util.regex.Pattern.compile(pat).matcher(l).replaceFirst(repl)
+              }.mkString("", "\n", if (text.endsWith("\n")) "\n" else "")
+            }
+          }
+          text
         case "tee" =>
           val text = stdin.getOrElse("")
           seg.tail.filter(_ == "/dev/stderr").foreach(_ => stderrSink.append(text))
@@ -315,6 +365,20 @@ object MdtestHarness {
             case _ => (1L, 0L)
           }
           (from to to).map(_.toString + "\n").mkString
+        case "source" if seg.lift(1).exists(_.endsWith("service.sh")) =>
+          // service/ztests prologue: start an in-process REST service
+          // backed by a scratch lake; SUPER_DB_LAKE becomes its URL
+          val rootDir = filePath(seg.lift(2).getOrElse("lakeroot"))
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rootDir))
+          val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir))
+          val port = svc.start()
+          service = Some(svc)
+          serviceRoot = Some(rootDir)
+          env("SUPER_DB_LAKE") = s"http://localhost:$port"
+          env("LAKE_PATH") = rootDir
+          ""
+        case "curl" =>
+          runCurl(seg.tail, stdin)
         case "super" =>
           seg(1) match {
             case "query" => superQuery(seg.drop(2), stdin)
@@ -331,7 +395,7 @@ object MdtestHarness {
       includes: Seq[String], files: Seq[String], useStdin: Boolean,
       outFile: Option[String], quiet: Boolean,
       split: Option[String] = None, splitSize: Option[Long] = None,
-      canonical: Boolean = false)
+      canonical: Boolean = false, noStop: Boolean = false)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
       var format = "zson"
@@ -347,6 +411,7 @@ object MdtestHarness {
       var explicitFmt = false
       var jFlag = false
       var canonical = false
+      var noStop = false
       var i = 0
       def sizeOf(v: String): Long =
         """(\d+)([KMG]?)B?""".r.findFirstMatchIn(v).map { m =>
@@ -376,16 +441,25 @@ object MdtestHarness {
               throw new RuntimeException(
                 s"${f.stripPrefix("-")} value must be greater than zero")
             i += 2
-          case "-e=false" | "-e" => i += 1
+          case "-e=false" => noStop = true; i += 1
+          case "-e" => i += 1
           case "-pretty" => format = "zson-pretty"; explicitFmt = true; i += 2
           case "-C" => canonical = true; i += 1
+          case "-version" =>
+            throw new VersionRequested
           case "-" => useStdin = true; i += 1
           case f if f.startsWith("-") => throw new Unsupported(s"flag $f")
           case word =>
             // first bare word: query text if none yet AND it's not an
             // existing file (or file glob); later words are input files
+            // a glob is a FILE argument only when it can't be the query
+            // (`-c` given) or it's filename-shaped (`out-*.parquet`) —
+            // a bare `*` in query position is the match-all filter
+            val fileShaped = word.exists("*?[".contains(_)) &&
+              (query.isDefined || includes.nonEmpty ||
+                word.contains(".") || word.contains("/"))
             val globMatches: Seq[String] =
-              if (word.exists("*?[".contains(_))) {
+              if (fileShaped) {
                 val dir = java.nio.file.Paths.get(filePath(".")).normalize
                 val m = java.nio.file.FileSystems.getDefault
                   .getPathMatcher("glob:" + word)
@@ -406,18 +480,39 @@ object MdtestHarness {
       if (jFlag && explicitFmt)
         throw new RuntimeException("cannot use -j or -J with -f, -z, or -Z")
       QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet,
-        split, splitSize, canonical)
+        split, splitSize, canonical, noStop)
     }
 
     private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame =
       try buildStdinFrame0(text, inFmt)
       catch {
+        case e: Exception if Option(e.getMessage)
+            .exists(_.contains("no such type name")) =>
+          // typed parse errors surface verbatim with the stdio source
+          // name, not as detection failures (zson/parser error texts)
+          val m = e.getMessage
+          throw new RuntimeException(
+            "stdio:stdin: " + m.substring(m.indexOf("no such type name")))
         case e: Exception if inFmt.isEmpty =>
           throw new RuntimeException(
             s"stdin: format detection error: ${e.getMessage}")
       }
 
+    /** Could this stdin text be ANY known format? (anyio detection) */
+    private def plausibleStdin(text: String): Boolean = {
+      val t = text.dropWhile(_.isWhitespace)
+      if (t.isEmpty) return true
+      val c = t.head
+      c == '{' || c == '[' || c == '|' || c == '<' || c == '"' || c == '-' ||
+        c == '+' || c == '(' || c == '#' || c.isDigit ||
+        t.startsWith("true") || t.startsWith("false") || t.startsWith("null") ||
+        t.startsWith("NaN") || t.startsWith("Inf") || t.startsWith("error(") ||
+        t.startsWith("0x") || looksLikeCsv(text)
+    }
+
     private def buildStdinFrame0(text: String, inFmt: Option[String]): DataFrame = {
+      if (inFmt.isEmpty && !isBinaryText(text) && !plausibleStdin(text))
+        throw new RuntimeException("stdin: format detection error")
       // binary zng on stdin (cat a.zng | …): bytes ride the string as
       // ISO-8859-1 — round-trip to a temp file and scan it as zng
       if (inFmt.contains("zng") ||
@@ -454,11 +549,68 @@ object MdtestHarness {
       else graft.operators.ZedOps.combine(dfs: _*)
 
     private def superQuery(args: Seq[String], stdin: Option[String]): String = {
-      val f = parseQueryFlags(args)
+      val f = try parseQueryFlags(args)
+              catch { case _: VersionRequested => return versionLine }
       val inc = f.includes.map(readFile)
       val queryText = (inc ++ f.query.toSeq).mkString("\n").trim
       if (f.canonical)
         return graft.lang.Canon.format(queryText) + "\n"
+      // parse errors surface in the reference's caret format
+      // (cmd/super: "error parsing SuperPipe at line L, column C")
+      if (queryText.nonEmpty) try graft.lang.Parser.parse(queryText)
+      catch {
+        case e: IllegalArgumentException if Option(e.getMessage)
+            .exists(_.startsWith("parse error at ")) =>
+          val off = "parse error at (\\d+)".r.findFirstMatchIn(e.getMessage)
+            .map(_.group(1).toInt).getOrElse(0)
+          val upTo = queryText.take(off)
+          val lineNo = upTo.count(_ == '\n') + 1
+          val colNo = off - upTo.lastIndexOf('\n')
+          val lineText = queryText.linesWithSeparators.toSeq
+            .lift(lineNo - 1).getOrElse(queryText).stripLineEnd
+          throw new RuntimeException(
+            s"super query: error parsing SuperPipe at line $lineNo, column $colNo:\n" +
+              lineText + "\n" + (" " * math.max(0, colNo - 5)) + "=== ^ ===")
+        case _: Exception => // other shapes fall through to the engine
+      }
+      // `from ( pool … )` without a lake is a compile error (cmd/super)
+      if (spark.conf.getOption("graft.lake.root").isEmpty) {
+        val m = java.util.regex.Pattern.compile("pool\\s+\\w+")
+          .matcher(queryText)
+        if (queryText.matches("(?s).*from\\s*\\(\\s*pool\\s+.*") && m.find()) {
+          val col = queryText.indexOf("pool") + 1
+          throw new RuntimeException(
+            "super query: \"from pool\" cannot be used without a lake" +
+              s" at line 1, column $col:\n$queryText\n" +
+              (" " * (col - 1)) + ("~" * (m.end - m.start)))
+        }
+      }
+      // -e=false: process each file independently, keep going on errors,
+      // report them at the end (stop-on-error semantics)
+      if (f.noStop && f.files.nonEmpty) {
+        val outs = new StringBuilder
+        val errs = Vector.newBuilder[String]
+        def fileErr(p: String, e: Throwable): String = {
+          var t: Throwable = e
+          while (t.getCause != null && t.getCause != t) t = t.getCause
+          val m = Option(t.getMessage).getOrElse(e.toString)
+          val ix = m.indexOf("no such type name")
+          if (ix >= 0) s"$p: ${m.substring(ix)}"
+          else if (m.contains("format detection error")) m.linesIterator.next()
+          else s"$p: ${m.linesIterator.next()}"
+        }
+        for (p <- f.files) {
+          try {
+            val df = Formats.read(spark, filePath(p))
+            val res = if (queryText.isEmpty) df
+                      else withCwd(Graft.queryOn(df, queryText))
+            outs.append(renderOut(res, f))
+          } catch { case e: Exception => errs += fileErr(p, e) }
+        }
+        val es = errs.result()
+        if (es.isEmpty) return outs.toString
+        throw new PartialOutput(outs.toString, es.mkString("\n"))
+      }
       val frames =
         f.files.map(p => Formats.read(spark, filePath(p))) ++
           (if (f.useStdin || (f.files.isEmpty && stdin.isDefined))
@@ -521,8 +673,26 @@ object MdtestHarness {
           }
         case "lake" =>
           // lakeio text rendering of pools.Config values:
-          // `NAME <ksuid> key <k> order <o>` (zio/lakeio/writer.go)
+          // `NAME <ksuid> key <k> order <o>` (zio/lakeio/writer.go);
+          // data.Object values render `<id> <size>B bytes <n> records`
+          // with an indented min/max line (formatDataObject)
           import org.apache.spark.sql.functions.{col, expr => sexpr}
+          if (Seq("id", "min", "max", "count", "size").forall(res.columns.contains))
+            return res.select(col("id"), col("min"), col("max"),
+                col("count"), col("size")).collect().map { r =>
+              val idTxt = r.get(0) match {
+                case b: Array[Byte] => graft.functions.Ksuid.base62(b)
+                case s: String => s
+                case other => String.valueOf(other)
+              }
+              def v(x: Any): String = x match {
+                case null => "null"
+                case s: String => s
+                case other => String.valueOf(other)
+              }
+              s"$idTxt ${r.get(4)}B bytes ${r.get(3)} records\n" +
+                s"   min ${v(r.get(1))} max ${v(r.get(2))}\n"
+            }.mkString
           val need = Seq("name", "id", "layout")
           if (!need.forall(res.columns.contains))
             throw new Unsupported("format lake on non-pool values")
@@ -620,22 +790,122 @@ object MdtestHarness {
 
     /** Point relative `from <file>` resolution at this shell's cwd. */
     private def withCwd[A](body: => A): A = {
-      spark.conf.set("graft.cwd", workDir.toString)
+      spark.conf.set("graft.cwd", cwd.toString)
       try body finally spark.conf.unset("graft.cwd")
     }
 
     // ---- super db -----------------------------------------------------------
 
     private def lakeRoot(explicit: Option[String]): String = {
-      val raw = explicit.filter(_.nonEmpty)
-        .orElse(env.get("SUPER_DB_LAKE").filter(_.nonEmpty)).getOrElse(
-          throw new RuntimeException("lake location must be set (either with " +
-            "the -lake flag or SUPER_DB_LAKE environment variable)"))
-      filePath(raw)
+      // an EXPLICIT empty -lake is the error case; an unset location
+      // falls back to $XDG_DATA_HOME/zed then a per-shell default
+      if (explicit.contains(""))
+        throw new RuntimeException("lake location must be set (either with " +
+          "the -lake flag or SUPER_DB_LAKE environment variable)")
+      val raw = explicit
+        .orElse(env.get("SUPER_DB_LAKE").filter(_.nonEmpty))
+        .orElse(env.get("XDG_DATA_HOME").filter(_.nonEmpty).map(_ + "/zed"))
+        .getOrElse(workDir.resolve(".lake-default").toString)
+      // an http lake (the in-process service) resolves to its backing
+      // root — the CLI and the REST surface share the same lake state
+      if (raw.startsWith("http"))
+        serviceRoot.getOrElse(
+          throw new RuntimeException(s"$raw: no service running"))
+      else filePath(raw)
     }
 
     // `super db use` state: the default pool@branch (HEAD) for load/query
     private var useHead: Option[(String, String)] = None
+
+    /** Minimal curl against the in-process service: -H headers, -d /
+      * --data-binary bodies (@file, @- = stdin), -X method, -w
+      * 'code %{response_code}', -sD - (dump headers), -o sink.
+      */
+    private def runCurl(args: Seq[String], stdin: Option[String]): String = {
+      var method: Option[String] = None
+      var data: Option[Array[Byte]] = None
+      var headers = Vector.empty[(String, String)]
+      var url = ""
+      var writeOut: Option[String] = None
+      var dumpHeaders = false
+      var outSink: Option[String] = None
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "-X" => method = Some(args(i + 1)); i += 2
+          case "-H" =>
+            val h = args(i + 1)
+            val ix = h.indexOf(':')
+            headers :+= (h.take(ix).trim -> h.drop(ix + 1).trim); i += 2
+          case "-d" | "--data-binary" | "--data" =>
+            val v = args(i + 1)
+            data = Some(
+              if (v == "@-") stdin.getOrElse("").getBytes("ISO-8859-1")
+              else if (v.startsWith("@"))
+                java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(filePath(v.drop(1))))
+              else v.getBytes("UTF-8"))
+            i += 2
+          case "-w" => writeOut = Some(args(i + 1)); i += 2
+          case "-o" => outSink = Some(args(i + 1)); i += 2
+          case "-sD" => dumpHeaders = args.lift(i + 1).contains("-")
+            i += (if (dumpHeaders) 2 else 1)
+          case "-s" | "-sS" | "--silent" => i += 1
+          case u if !u.startsWith("-") => url = u; i += 1
+          case _ => i += 1
+        }
+      }
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method.getOrElse(
+        if (data.isDefined) "POST" else "GET"))
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      data.foreach { d =>
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(d)
+        conn.getOutputStream.close()
+      }
+      val code = conn.getResponseCode
+      val bodyStream =
+        if (code >= 400) Option(conn.getErrorStream) else Option(conn.getInputStream)
+      val body = bodyStream.map(s =>
+        new String(s.readAllBytes(), "ISO-8859-1")).getOrElse("")
+      val sb = new StringBuilder
+      if (dumpHeaders) {
+        sb.append(s"HTTP/1.1 $code ${
+          if (code == 200) "OK" else if (code == 204) "No Content" else "Error"}\n")
+        sb.append("\n")
+      }
+      outSink match {
+        case Some("/dev/null") =>
+        case Some(f) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
+            body.getBytes("ISO-8859-1"))
+        case None => sb.append(body)
+      }
+      writeOut.foreach(w =>
+        sb.append(w.replace("%{response_code}", code.toString))
+          .append(if (w.endsWith("\\n")) "" else "\n"))
+      sb.toString.replace("\\n", "\n")
+    }
+
+    /** A pool's pools.Config value as decorated ZSON (lake/pools). */
+    private def poolConfigZson(root: String, pn: String): String = {
+      val lk = graft.sources.Lake
+      val k = lk.poolKey(root, pn).getOrElse("ts")
+      val order = lk.poolOrder(root, pn)
+      val idHex = try graft.functions.Ksuid.decodeHex(lk.poolId(root, pn))
+                  catch { case _: Exception => "00" * 20 }
+      val ts = java.time.Instant.now().toString
+      s"""{ts:$ts,name:"$pn",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:65536,threshold:524288000}(=pools.Config)"""
+    }
+
+    /** `db use` persists HEAD to $ZED_HEAD_DIR/.zed_head (cmd/super/db). */
+    private def persistHead(): Unit =
+      for ((p, b) <- useHead; dir <- env.get("ZED_HEAD_DIR").filter(_.nonEmpty))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(filePath(dir)).resolve(".zed_head"),
+          s"$p@$b\n".getBytes("UTF-8"))
 
     private def headTarget(explicit: String): (String, String) =
       if (explicit.nonEmpty) explicit.indexOf('@') match {
@@ -646,14 +916,24 @@ object MdtestHarness {
 
     private def superDb(args0: Seq[String], stdin: Option[String]): String = {
       var args = args0
+      if (args.isEmpty)
+        return "run SuperDB data lake commands\n\nUsage:\n  super db [command]\n"
+      if (args.contains("-version")) return versionLine
       var lake: Option[String] = None
       var quiet = false
-      // global flags may precede the subcommand
+      // global flags may appear before OR after the subcommand
+      // (`super db use -lake ../test -q POOL`)
+      val lakeIx = args.indexOf("-lake")
+      if (lakeIx >= 0 && lakeIx + 1 < args.length) {
+        lake = Some(args(lakeIx + 1))
+        args = args.take(lakeIx) ++ args.drop(lakeIx + 2)
+      }
+      args.find(_.startsWith("-lake=")).foreach { f =>
+        lake = Some(f.stripPrefix("-lake="))
+        args = args.filterNot(_ == f)
+      }
       var parsing = true
       while (parsing && args.nonEmpty) args.head match {
-        case "-lake" => lake = Some(args(1)); args = args.drop(2)
-        case f if f.startsWith("-lake=") =>
-          lake = Some(f.stripPrefix("-lake=")); args = args.drop(1)
         case "-q" => quiet = true; args = args.drop(1)
         case _ => parsing = false
       }
@@ -668,7 +948,17 @@ object MdtestHarness {
       args.head match {
         case "init" =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-          if (quiet || args.contains("-q")) "" else s"lake created: $root\n"
+          // the lake's version FILE (lake/root.go): {version:3} as zng
+          val vdf = ZsonReader.fromText(spark, "{version:3}")
+            .drop(graft.operators.Het.typeTag)
+          val tmp = java.nio.file.Files.createTempDirectory("lakever")
+          Formats.write(vdf.coalesce(1), tmp.resolve("v.zng").toString, "zng")
+          val part = java.nio.file.Files.list(tmp.resolve("v.zng")).iterator.asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(root).resolve("lake.zng"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          if (quiet || args.contains("-q")) "" else s"lake created: file://$root\n"
         case "create" =>
           var rest = args.tail
           var key: Option[String] = None
@@ -707,6 +997,7 @@ object MdtestHarness {
               if (!lk.branches(root, p).contains(b) && b != "main")
                 throw new RuntimeException("\"" + b + "\": branch not found")
               useHead = Some((p, b))
+              persistHead()
               emit(s"Switched to branch \"$b\" on pool \"$p\"\n")
             case Seq(t) =>
               val (p, b) = t.indexOf('@') match {
@@ -717,6 +1008,7 @@ object MdtestHarness {
               if (b != "main" && !lk.branches(root, p).contains(b))
                 throw new RuntimeException("\"" + b + "\": branch not found")
               useHead = Some((p, b))
+              persistHead()
               emit(s"Switched to branch \"$b\" on pool \"$p\"\n")
             case _ => throw new Unsupported("db use args")
           }
@@ -753,15 +1045,26 @@ object MdtestHarness {
           if (useHead.exists(_._1 == rest.head)) useHead = None
           if (quiet) "" else s"pool deleted: ${rest.head}\n"
         case "ls" =>
-          // `NAME <id> key <k> order <o>` per pool (cmd/super/db/ls)
+          // `NAME <id> key <k> order <o>` per pool (cmd/super/db/ls);
+          // with -f, the pools.Config RECORDS in that format
           val pools = Option(new java.io.File(root).listFiles())
             .getOrElse(Array.empty).toSeq
             .filter(f => f.isDirectory && lk.exists(root, f.getName))
             .map(_.getName).sorted
-          pools.map { pn =>
-            val k = lk.poolKey(root, pn).getOrElse("ts")
-            s"$pn ${lk.poolId(root, pn)} key $k order ${lk.poolOrder(root, pn)}\n"
-          }.mkString
+          val lsFmt = args.tail.sliding(2).collectFirst {
+            case Seq("-f", fmt) => fmt }
+          lsFmt match {
+            case Some(fmt) if pools.nonEmpty =>
+              val zson = pools.map(pn => poolConfigZson(root, pn)).mkString("\n")
+              val df = graft.sources.ZsonReader.fromText(spark, zson)
+              renderOut(df, QFlags(fmt, None, None, Seq.empty, Seq.empty,
+                useStdin = false, None, quiet = false))
+            case _ =>
+              pools.map { pn =>
+                val k = lk.poolKey(root, pn).getOrElse("ts")
+                s"$pn ${lk.poolId(root, pn)} key $k order ${lk.poolOrder(root, pn)}\n"
+              }.mkString
+          }
         case "log" =>
           var rest = args.tail
           var target = ""
@@ -866,15 +1169,42 @@ object MdtestHarness {
         case "vacuum" =>
           var rest = args.tail
           var target = ""
+          var dryrun = false
           while (rest.nonEmpty && rest.head.startsWith("-")) rest.head match {
             case "-f" | "-q" => quiet = rest.head == "-q" || quiet; rest = rest.tail
             case "-use" => target = rest(1); rest = rest.drop(2)
+            case "-dryrun" => dryrun = true; rest = rest.tail
             case f => throw new Unsupported(s"db vacuum flag $f")
           }
           val (pool, _) = headTarget(target)
           requirePool(pool)
-          val removed = lk.vacuum(root, pool)
-          if (quiet) "" else s"vacuumed ${removed.length} objects\n"
+          def obj(n: Int): String = if (n == 1) "object" else "objects"
+          if (dryrun) {
+            val would = lk.vacuumable(root, pool)
+            if (quiet) "" else s"would vacuum ${would.length} ${obj(would.length)}\n"
+          } else {
+            val removed = lk.vacuum(root, pool)
+            if (quiet) "" else s"vacuumed ${removed.length} ${obj(removed.length)}\n"
+          }
+        case "serve" =>
+          // minimal serve surface: validate the lake's version file
+          // before refusing (lake/root.go loadConfig)
+          val vp = java.nio.file.Paths.get(root).resolve("lake.zng")
+          if (java.nio.file.Files.exists(vp)) {
+            val v =
+              try {
+                val df = try Formats.read(spark, vp.toString)
+                         catch { case _: Exception =>
+                           ZsonReader.fromText(spark,
+                             new String(java.nio.file.Files.readAllBytes(vp), "UTF-8")) }
+                df.select("version").collect().headOption
+                  .map(_.get(0).toString.toLong).getOrElse(3L)
+              } catch { case _: Exception => 3L }
+            if (v != 3)
+              throw new RuntimeException(
+                s"unsupported lake version: found version $v while expecting 3")
+          }
+          throw new Unsupported("db serve")
         case "rename" =>
           val rest = args.tail.filterNot(_ == "-q")
           requirePool(rest.head)
@@ -910,8 +1240,66 @@ object MdtestHarness {
             author = author, message = message, branch = branch, meta = meta)
           if (quiet) "" else s"$id committed\n"
         case "query" =>
-          val f = parseQueryFlags(args.tail)
+          // `-use <pool[@branch]>` scopes THIS query's default source
+          var qArgs = args.tail
+          val useIx = qArgs.indexOf("-use")
+          val queryHead: Option[(String, String)] =
+            if (useIx >= 0 && useIx + 1 < qArgs.length) {
+              val t = qArgs(useIx + 1)
+              qArgs = qArgs.take(useIx) ++ qArgs.drop(useIx + 2)
+              Some(t.indexOf('@') match {
+                case -1 => (t, "main")
+                case ix => (t.take(ix), t.drop(ix + 1))
+              })
+            } else None
+          val savedHead = useHead
+          queryHead.foreach(h => useHead = Some(h))
+          try superDbQuery(qArgs, root)
+          finally useHead = savedHead
+        case other => throw new Unsupported(s"db $other")
+      }
+    }
+
+    /** `<msg> at line 1, column <col>` + the query line + a ~~~ caret. */
+    private def caretErr(msg: String, line: String, col: Int, len: Int): Nothing =
+      throw new RuntimeException(
+        s"$msg at line 1, column $col:\n$line\n" +
+          (" " * (col - 1)) + ("~" * len))
+
+    private def superDbQuery(qArgs: Seq[String], root: String): String = {
+      {
+          val f = parseQueryFlags(qArgs)
           var q = (f.includes.map(readFile) ++ f.query.toSeq).mkString("\n").trim
+          // the reference's scan-target errors (cmd/super/db/query)
+          if (q.isEmpty)
+            throw new RuntimeException("query must include a 'from' operator")
+          val knownMeta = Set("pools", "branches", "log", "objects", "partitions")
+          val firstFrom: Option[String] =
+            try graft.lang.Parser.parse(q).stages.headOption.collect {
+              case graft.lang.Stage.From(t, _) => t
+            } catch { case _: Exception =>
+              if (q.startsWith("from ")) Some(q.stripPrefix("from ").split("\\s|\\|")(0))
+              else None
+            }
+          firstFrom.foreach {
+            case "HEAD" if useHead.isEmpty =>
+              caretErr("cannot scan from unknown HEAD", q, 6, 4)
+            case t if t.startsWith(":") && !knownMeta(t.drop(1)) =>
+              caretErr(s"""unknown lake metadata type "${t.drop(1)}" in from operator""",
+                q, 1, q.length)
+            case t if !t.startsWith(":") &&
+                !t.contains("/") && !t.contains(".") &&
+                !t.contains("*") && q.startsWith("from ") => {
+              val pool = t.takeWhile(c => c != '@' && c != ':')
+              if (!graft.sources.Lake.exists(root, pool) &&
+                  !java.nio.file.Files.exists(java.nio.file.Paths.get(filePath(t))))
+                caretErr(s"$pool: pool not found", q, 6,
+                  if (t.length > pool.length) pool.length else t.length)
+            }
+            case _ =>
+          }
+          if (firstFrom.contains("HEAD"))
+            useHead.foreach { case (p, b) => q = q.replaceFirst("HEAD", s"$p@$b") }
           // a query without a source reads HEAD (`super db use` state);
           // the source may hide behind a statement prologue or a user-op
           // call (CountPool("example")), so check the PARSED first stage
@@ -932,7 +1320,6 @@ object MdtestHarness {
           try withCwd {
             renderOut(Graft.query(spark, workDir.toString, q), f)
           } finally spark.conf.unset("graft.lake.root")
-        case other => throw new Unsupported(s"db $other")
       }
     }
   }

@@ -70,7 +70,13 @@ object ScriptHarness {
           l.trim.startsWith("source:")) {
         val src = l.trim.stripPrefix("source:").trim
         val resolved = path.getParent.resolve(src).normalize()
-        val text = new String(java.nio.file.Files.readAllBytes(resolved), "UTF-8")
+        val bytes = java.nio.file.Files.readAllBytes(resolved)
+        // binary fixtures (parquet/vng/zng) ride as ISO-8859-1 strings
+        val text =
+          try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch { case _: java.nio.charset.CharacterCodingException =>
+            new String(bytes, "ISO-8859-1") }
         if (section == "inputs") inputs += curName.get -> text
         else outputs += Output(curName.get, text, isRegex = false)
         i += 1
@@ -108,8 +114,13 @@ object ScriptHarness {
 
   def run(spark: SparkSession, c: ScriptCase): Result = {
     val wd = java.nio.file.Files.createTempDirectory("scriptzt")
-    for ((name, text) <- c.inputs)
-      java.nio.file.Files.write(wd.resolve(name), text.getBytes("UTF-8"))
+    for ((name, text) <- c.inputs) {
+      val binary = text.exists(ch =>
+        ch < 0x09 || (ch > 0x0d && ch < 0x20) || ch == 0x7f) &&
+        text.forall(_ <= 0xff)
+      java.nio.file.Files.write(wd.resolve(name),
+        text.getBytes(if (binary) "ISO-8859-1" else "UTF-8"))
+    }
     val sh = new MdtestHarness.Shell(spark, wd)
     // ztest scripts receive an input named `stdin` on their stdin —
     // commands reading `-` without a pipe see it (ztest.go)
@@ -122,12 +133,16 @@ object ScriptHarness {
     // join continuation lines (trailing backslash or pipe)
     val logical = Vector.newBuilder[String]
     var acc = ""
+    var joinWithSpace = false
     for (raw <- c.script.linesIterator) {
       val line = raw
-      if (acc.nonEmpty) acc = acc + "\n" + line
+      if (acc.nonEmpty) acc = acc + (if (joinWithSpace) " " else "\n") + line.trim
       else acc = line
+      joinWithSpace = false
       val t = acc.trim
-      if (t.endsWith("\\")) acc = acc.stripSuffix("\\")
+      // join backslash continuations with a SPACE — a surviving newline
+      // would split the command again at lex time
+      if (t.endsWith("\\")) { acc = acc.stripSuffix("\\"); joinWithSpace = true }
       else if (t.endsWith("|") || unbalanced(t)) () // keep accumulating
       else { logical += acc; acc = "" }
     }
@@ -148,7 +163,23 @@ object ScriptHarness {
             if (b.trim == "done") going = false else body += b
           }
           val bodyLines = body.result()
-          for (item <- items.split("\\s+").filter(_.nonEmpty)) {
+          // quote-aware item split ("a b" is ONE item)
+          val itemList = {
+            val out = Vector.newBuilder[String]
+            val cur = new StringBuilder
+            var inQ = false
+            var qch = ' '
+            for (ch <- items) {
+              if (inQ) { if (ch == qch) inQ = false else cur.append(ch) }
+              else if (ch == '"' || ch == '\'') { inQ = true; qch = ch }
+              else if (ch.isWhitespace) {
+                if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+              } else cur.append(ch)
+            }
+            if (cur.nonEmpty) out += cur.toString
+            out.result()
+          }
+          for (item <- itemList) {
             for (b <- bodyLines)
               expanded += b.replace("${" + name + "}", item).replace("$" + name, item)
           }
@@ -158,8 +189,8 @@ object ScriptHarness {
 
     def substitute(line: String): String = {
       // $VAR expansion FIRST (a $(...) body may reference earlier vars),
-      // then command substitution
-      var s = vars.foldLeft(line) { case (acc2, (k, v)) =>
+      // then command substitution; shell env (export …) expands too
+      var s = (vars ++ sh.envSnapshot).foldLeft(line) { case (acc2, (k, v)) =>
         acc2.replace("${" + k + "}", v).replace("$" + k, v)
       }
       var idx = s.indexOf("$(")
@@ -206,6 +237,11 @@ object ScriptHarness {
             } catch {
               case e: AssertionError => throw e
               case e: MdtestHarness.Unsupported => throw e
+              case e: MdtestHarness.PartialOutput =>
+                // -e=false: partial stdout + collected errors on stderr;
+                // the nonzero exit satisfies a `!` negation
+                stdout.append(e.stdout)
+                sh.stderrSink.append(e.getMessage).append('\n')
               case e: Exception =>
                 val msg = rootMessage(e)
                 if (negated) sh.stderrSink.append(msg).append('\n')
@@ -214,6 +250,7 @@ object ScriptHarness {
         }
       }
     }
+    sh.stopService()
     Result(stdout.toString, sh.stderrSink.toString + stderr.toString, wd)
   }
 

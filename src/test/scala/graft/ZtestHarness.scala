@@ -119,12 +119,24 @@ object ZtestHarness {
       // fallback keeps cases our parser can't handle running
       try ZsonReader.fromText(spark, c.input)
       catch {
+        case e: Exception if Option(e.getMessage).exists(m =>
+            m.contains("no such type name") ||
+            m.contains("record decorator fields")) =>
+          // typed parse errors are REAL errors (ztests pin the message),
+          // not candidates for the JSON fallback
+          throw e
         case _: Exception =>
           val json = c.input.linesIterator.map(_.trim).filter(_.nonEmpty)
             .map(ZsonIO.zsonLineToJson)
             .map(j => if (j.startsWith("{")) j else s"""{"this":$j}""")
             .toSeq
-          spark.read.json(spark.createDataset(json))
+          val df = spark.read.json(spark.createDataset(json))
+          // the fallback parsing GARBAGE means no format matched at all
+          if (df.columns.isEmpty ||
+              df.columns.forall(_.startsWith("_corrupt")))
+            throw new IllegalArgumentException(
+              s"${c.file}: format detection error")
+          df
       }
     }
   }
