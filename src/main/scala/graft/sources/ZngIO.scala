@@ -240,12 +240,277 @@ object ZngIO {
     * Tungsten memory to the wire.
     */
   def write(df: DataFrame, path: String): Unit = {
+    // TAGGED frames write per-row TYPED values: each row re-types against
+    // its shape so zed types (ip/time/named, per-row shapes) hit the wire
+    // — and the engine's tag column itself never leaks into the file
+    if (df.columns.contains(graft.operators.Het.typeTag)) {
+      writeTagged(df, path)
+      return
+    }
     val schema = df.schema
     HadoopFs.prepareDir(df.sparkSession, path)
     val confMap = HadoopFs.confMap(df.sparkSession)
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
       try encodeInternalStreamTo(out, rows, schema) finally out.close()
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  /** Typed-shape field encoder over INTERNAL rows: the zed type from the
+    * shape drives the wire form (ips as address bytes, ns-long carriers
+    * as time, named types via the type table), the Spark type drives the
+    * access. None = this (shape, carrier) pair needs the slow row path.
+    */
+  private def shapeFieldEncoder(zt: ZType, dt: DataType)
+      : Option[(ByteBuf, SpecializedGetters, Int) => Unit] = ZType.strip(zt) match {
+    case ZType.Prim("ip") if dt == StringType => Some { (out, g, i) =>
+      val s = g.getUTF8String(i).toString
+      try {
+        val b = java.net.InetAddress.getByName(s).getAddress
+        out.writeUvarint(b.length + 1L); out.writeBytes(b)
+      } catch { case _: Exception =>
+        val b = s.getBytes("UTF-8"); out.writeUvarint(b.length + 1L); out.writeBytes(b) }
+    }
+    case ZType.Prim("net") if dt == StringType => Some { (out, g, i) =>
+      val s = g.getUTF8String(i).toString
+      try {
+        val Array(addr, bits) = s.split("/", 2)
+        val ab = java.net.InetAddress.getByName(addr).getAddress
+        val mask = new Array[Byte](ab.length)
+        val nbits = bits.toInt
+        for (k <- mask.indices) {
+          val keep = math.max(0, math.min(8, nbits - k * 8))
+          mask(k) = (if (keep == 0) 0 else (0xff << (8 - keep)) & 0xff).toByte
+        }
+        out.writeUvarint(ab.length * 2 + 1L)
+        out.writeBytes(ab); out.writeBytes(mask)
+      } catch { case _: Exception =>
+        val b = s.getBytes("UTF-8"); out.writeUvarint(b.length + 1L); out.writeBytes(b) }
+    }
+    case ZType.Prim("time") if dt == LongType =>
+      Some((out, g, i) => out.writeTaggedSigned(g.getLong(i))) // ns carrier
+    case ZType.Prim("duration") if dt == LongType =>
+      Some((out, g, i) => out.writeTaggedSigned(g.getLong(i)))
+    case ZType.Prim("uint64") if dt == LongType =>
+      Some((out, g, i) => out.writeTaggedSigned(g.getLong(i)))
+    case ZType.Prim(p) if Set("int8", "int16", "int32", "int64", "uint8",
+        "uint16", "uint32", "float16", "float32", "float64", "string",
+        "bool", "bytes", "time", "duration", "null")(p) &&
+        sparkPrimMatches(p, dt) =>
+      Some(internalFieldEncoder(dt))
+    case ZType.Rec(fs) => dt match {
+      case st: StructType if !ZsonIO.isVariantType(st) &&
+          fs.length == st.fields.length =>
+        val subs = fs.zip(st.fields).map { case ((_, ft), sf) =>
+          shapeFieldEncoder(ft, sf.dataType)
+        }
+        if (subs.exists(_.isEmpty)) None
+        else {
+          val encs = subs.map(_.get)
+          val inner = new ByteBuf(256)
+          Some { (out, g, i) =>
+            val row = g.getStruct(i, encs.length)
+            inner.reset()
+            var k = 0
+            while (k < encs.length) {
+              if (row.isNullAt(k)) inner.writeNullTag() else encs(k)(inner, row, k)
+              k += 1
+            }
+            out.writeUvarint(inner.size + 1L)
+            inner.writeTo(out)
+          }
+        }
+      case _ => None
+    }
+    case ZType.Arr(et) => dt match {
+      case ArrayType(edt, _) =>
+        shapeFieldEncoder(et, edt).map { enc =>
+          val inner = new ByteBuf(256)
+          (out: ByteBuf, g: SpecializedGetters, i: Int) => {
+            val arr = g.getArray(i)
+            inner.reset()
+            var k = 0
+            while (k < arr.numElements()) {
+              if (arr.isNullAt(k)) inner.writeNullTag() else enc(inner, arr, k)
+              k += 1
+            }
+            out.writeUvarint(inner.size + 1L)
+            inner.writeTo(out)
+          }
+        }
+      case _ => None
+    }
+    case ZType.SetT(et) => dt match {
+      // set values are already normalized (read/construction order) —
+      // the wire form matches the array encoding
+      case ArrayType(edt, _) =>
+        shapeFieldEncoder(et, edt).map { enc =>
+          val inner = new ByteBuf(256)
+          (out: ByteBuf, g: SpecializedGetters, i: Int) => {
+            val arr = g.getArray(i)
+            inner.reset()
+            var k = 0
+            while (k < arr.numElements()) {
+              if (arr.isNullAt(k)) inner.writeNullTag() else enc(inner, arr, k)
+              k += 1
+            }
+            out.writeUvarint(inner.size + 1L)
+            inner.writeTo(out)
+          }
+        }
+      case _ => None
+    }
+    case ZType.EnumT(symbols) if dt == StringType =>
+      // enums encode as the SYMBOL INDEX (unsigned)
+      val index = symbols.zipWithIndex.toMap
+      Some { (out, g, i) =>
+        index.get(g.getUTF8String(i).toString) match {
+          case Some(ix) =>
+            var x = ix.toLong
+            val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+            while (x != 0) { bytes += (x & 0xff).toByte; x >>= 8 }
+            out.writeUvarint(bytes.length + 1L); out.writeBytes(bytes.toArray)
+          case None => out.writeNullTag()
+        }
+      }
+    case ZType.Named(_, innerT) => shapeFieldEncoder(innerT, dt)
+    case _ => None
+  }
+
+  private def sparkPrimMatches(p: String, dt: DataType): Boolean = (p, dt) match {
+    case ("int8", ByteType) | ("int16", ShortType) | ("int32", IntegerType) |
+         ("int64", LongType) | ("uint8", ShortType) | ("uint8", IntegerType) |
+         ("uint16", IntegerType) | ("uint32", LongType) |
+         ("float16", FloatType) | ("float32", FloatType) |
+         ("float64", DoubleType) | ("string", StringType) |
+         ("bool", BooleanType) | ("bytes", BinaryType) |
+         ("time", TimestampType) | ("time", TimestampNTZType) |
+         ("null", NullType) => true
+    case ("uint64", _: DecimalType) => true
+    case _ => false
+  }
+
+  private def writeTagged(df: DataFrame, path: String): Unit = {
+    val het = graft.operators.Het
+    val schema = df.schema
+    val dataF = StructType(schema.fields.filter(f =>
+      f.name != het.typeTag && !f.metadata.contains("graft.scopeVar")))
+    val tagIdx = schema.fieldIndex(het.typeTag)
+    val shapes: Seq[String] = {
+      val f = schema.fields(tagIdx)
+      if (f.metadata.contains("shapes")) f.metadata.getStringArray("shapes").toSeq
+      else Seq.empty
+    }
+    // FAST path: every shape compiles to a typed internal-row encoder —
+    // one pass over internal rows, zero external-Row materialization
+    val fastEncoders: Option[Map[String, (ZT, Array[(Int, (ByteBuf, SpecializedGetters, Int) => Unit)])]] =
+      if (shapes.isEmpty) None
+      else {
+        val built = shapes.map { tag =>
+          try {
+            val zt0 = ZsonParser.parseType(ZType.stripNullWrap(tag))
+            ZType.strip(zt0) match {
+              case ZType.Rec(fs) =>
+                val colEncs = fs.map { case (n, ft) =>
+                  val ci = schema.fieldNames.indexOf(n)
+                  if (ci < 0) None
+                  else shapeFieldEncoder(ft, schema.fields(ci).dataType).map(ci -> _)
+                }
+                if (colEncs.exists(_.isEmpty)) None
+                else Some(tag -> (toZT(zt0), colEncs.map(_.get).toArray))
+              case _ => None
+            }
+          } catch { case _: Exception => None }
+        }
+        if (built.exists(_.isEmpty)) None else Some(built.map(_.get).toMap)
+      }
+    HadoopFs.prepareDir(df.sparkSession, path)
+    val confMap = HadoopFs.confMap(df.sparkSession)
+    fastEncoders match {
+      case Some(encMap) =>
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
+          val table = new ZtTable
+          val ids = encMap.map { case (tag, (t, _)) => tag -> table.idOf(t) }
+          val body = new ByteArrayOutputStream()
+          val buf = new ByteBuf(1 << 12)
+          try {
+            rows.foreach { r =>
+              val tag = r.getUTF8String(tagIdx).toString
+              val (_, encs) = encMap(tag)
+              uvarint(body, ids(tag).toLong)
+              buf.reset()
+              var k = 0
+              while (k < encs.length) {
+                val (ci, enc) = encs(k)
+                if (r.isNullAt(ci)) buf.writeNullTag() else enc(buf, r, ci)
+                k += 1
+              }
+              uvarint(body, buf.size + 1L)
+              buf.writeTo(body)
+              if (body.size > (1 << 20)) {
+                if (table.defs.size() > 0) {
+                  out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
+                }
+                out.write(frame(1, body.toByteArray)); body.reset()
+              }
+            }
+            if (table.defs.size() > 0) out.write(frame(0, table.defs.toByteArray))
+            if (body.size() > 0) out.write(frame(1, body.toByteArray))
+            out.write(0xff)
+          } finally out.close()
+          Iterator.empty
+        }.count(): Unit
+      case None =>
+        writeTaggedSlow(df, path, dataF, tagIdx)
+    }
+  }
+
+  private def writeTaggedSlow(df: DataFrame, path: String,
+      dataF: StructType, tagIdx: Int): Unit = {
+    val het = graft.operators.Het
+    val dataIdxs = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != het.typeTag &&
+        !f.metadata.contains("graft.scopeVar") => i
+    }
+    val confMap = HadoopFs.confMap(df.sparkSession)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val fn = ZFormat.rowValueFn(dataF)
+      val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
+      val table = new ZtTable
+      val body = new ByteArrayOutputStream()
+      try {
+        rows.foreach { row =>
+          val tag = row.getString(tagIdx)
+          val base = fn(org.apache.spark.sql.Row.fromSeq(dataIdxs.toIndexedSeq.map(row.get)))
+          // re-type against the row's shape; non-record shapes unwrap
+          // their `this` carrier
+          val v =
+            try {
+              val zt0 = ZsonParser.parseType(ZType.stripNullWrap(tag))
+              val subject = (ZType.strip(zt0), base) match {
+                case (_: ZType.Rec, _) => base
+                case (_, ZValue.VRec(Seq(("this", inner)))) => inner
+                case _ => base
+              }
+              ZsonParser.retype(subject, zt0)
+            } catch { case _: Exception => base }
+          val t = toZT(ZValue.typeOf(v))
+          val id = table.idOf(t)
+          uvarint(body, id.toLong)
+          encodeZTagged(body, v, t)
+          if (body.size > (1 << 20)) {
+            if (table.defs.size() > 0) {
+              out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
+            }
+            out.write(frame(1, body.toByteArray)); body.reset()
+          }
+        }
+        if (table.defs.size() > 0) out.write(frame(0, table.defs.toByteArray))
+        if (body.size() > 0) out.write(frame(1, body.toByteArray))
+        out.write(0xff)
+      } finally out.close()
       Iterator.empty
     }.count(): Unit
   }

@@ -968,6 +968,8 @@ object MdtestHarness {
           while (rest.head.startsWith("-")) rest.head match {
             case "-q" => quiet = true; rest = rest.tail
             case "-use" => use = true; rest = rest.tail
+            case f if f.startsWith("-seekstride=") || f.startsWith("-S=") =>
+              rest = rest.tail
             case "-seekstride" | "-S" => rest = rest.drop(2)
             case "-orderby" =>
               key = Some(rest(1).split(':').head)
