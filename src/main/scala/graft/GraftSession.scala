@@ -32,6 +32,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // wide (zeek-width, ~100-col) projections: the per-operator consume
+      // split passes every column as a JVM method parameter — 94 cols ×
+      // (value, isNull) with doubles exceeds the 255-slot JVM limit and
+      // Janino fails, silently dropping the stage to interpreted
+      // execution. Inlining the consume keeps whole-stage codegen on
+      // wide scans (PlanSpec pins a 100-column projection compiling).
+      .config("spark.sql.codegen.splitConsumeFuncByOperator", "false")
       .config("spark.ui.enabled", "false")
 
   /** Post-create setup shared by every entry point: the engine's own

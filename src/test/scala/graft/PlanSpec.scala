@@ -206,4 +206,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = graft.sources.ZsonIO.toZson(Graft.queryOn(in, "sort this")).collect()
     assert(out.length == 4)
   }
+
+  test("a 100-column (zeek-width) projection COMPILES under whole-stage " +
+      "codegen — no Janino failure, no silent interpreted fallback") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // zeek conn-log width with mixed types: the per-operator consume split
+    // would pass ~200 JVM method parameters and fail Janino (the
+    // splitConsumeFuncByOperator=false session default prevents it)
+    val base = spark.range(1000).toDF("id")
+    val wide = base.select((0 until 100).map { i =>
+      val c = i % 3 match {
+        case 0 => (col("id") * i).cast("double")
+        case 1 => (col("id") * i).cast("string")
+        case _ => (col("id") % 2 === 0)
+      }
+      c.as(s"c$i")
+    }: _*)
+    val proj = wide.filter(col("c1").isNotNull).select((0 until 100).map { i =>
+      val c = col(s"c$i")
+      (i % 3 match {
+        case 0 => c.cast("double") + lit(1.0)
+        case 1 => concat(c.cast("string"), lit("x"))
+        case _ => !c.cast("boolean")
+      }).as(s"d$i")
+    }: _*)
+    val wsc = proj.queryExecution.executedPlan.collectFirst {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(wsc.isDefined, "wide projection lost whole-stage codegen entirely")
+    // compile the generated source EXPLICITLY — a Janino failure here is
+    // the silent-interpreted-fallback the session config must prevent
+    val (_, source) = wsc.get.doCodeGen()
+    org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .compile(source)
+    assert(proj.count() == 1000)
+  }
 }
