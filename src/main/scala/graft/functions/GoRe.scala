@@ -41,41 +41,24 @@ object GoRe {
   }
 
   /** regexp(re, s) with reference semantics: submatch array, null on no
-    * match, error value on a bad pattern. Returns a variant row.
+    * match, error value on a bad pattern. Codegen'd (GoReExpr) — no
+    * ScalaUDF on the search hot path.
     */
-  private val regexpU = udf((re: String, s: String) => {
-    if (re == null || s == null) Option.empty[ZvOps.ZV]
-    else goError(re) match {
-      case Some(msg) => ZvOps.zvOf(ZValue.VErr(ZValue.VStr(s"regexp: $msg")))
-      case None =>
-        val m = java.util.regex.Pattern.compile(toJavaPattern(re)).matcher(s)
-        if (!m.find()) Option.empty[ZvOps.ZV]
-        else ZvOps.zvOf(ZValue.VArr(
-          (0 to m.groupCount).toVector.map(g =>
-            ZValue.VStr(Option(m.group(g)).getOrElse(""))),
-          isSet = false))
-    }
-  })
-
-  def regexpMatch(re: Column, s: Column): Column = regexpU(re, s)
+  def regexpMatch(re: Column, s: Column): Column = {
+    import org.apache.spark.sql.types.StringType
+    Bridge.column(GoReMatch(
+      Bridge.expression(re.cast(StringType)),
+      Bridge.expression(s.cast(StringType))))
+  }
 
   /** regexp_replace(s, re, new) with reference error semantics. Null re /
     * new → error("…cannot be null"); bad pattern → Go-worded error.
     */
-  private val replaceU = udf((s: String, re: String, nw: String) => {
-    if (re == null || nw == null)
-      ZvOps.zvOf(ZValue.VErr(ZValue.VStr("regexp_replace: 2nd and 3rd args cannot be null")))
-    else if (s == null) Option.empty[ZvOps.ZV]
-    else goError(re) match {
-      case Some(msg) => ZvOps.zvOf(ZValue.VErr(ZValue.VStr(s"regexp_replace: $msg")))
-      case None =>
-        try ZvOps.zvOf(ZValue.VStr(
-          s.replaceAll(toJavaPattern(re), toJavaReplacement(nw))))
-        catch { case _: Exception =>
-          ZvOps.zvOf(ZValue.VErr(ZValue.VStr(s"regexp_replace: bad replacement: `$nw`")))
-        }
-    }
-  })
-
-  def regexpReplace(s: Column, re: Column, nw: Column): Column = replaceU(s, re, nw)
+  def regexpReplace(s: Column, re: Column, nw: Column): Column = {
+    import org.apache.spark.sql.types.StringType
+    Bridge.column(GoReReplace(
+      Bridge.expression(s.cast(StringType)),
+      Bridge.expression(re.cast(StringType)),
+      Bridge.expression(nw.cast(StringType))))
+  }
 }
