@@ -63,7 +63,7 @@ object Bench {
     het.fuseVariant(strs, arrs, recs)
   }
 
-  private def hetRows(dir: String): Long = {
+  private[graft] def hetRows(dir: String): Long = {
     // sf0.1 → 2M variant rows; scale linearly with the SF dir name
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.1)
     math.max(100000L, (20000000L * sf).toLong)
@@ -106,7 +106,7 @@ object Bench {
     }
   }
 
-  private def nestedQuery(s: SparkSession, dir: String, flat: Boolean): DataFrame = {
+  private[graft] def nestedQuery(s: SparkSession, dir: String, flat: Boolean): DataFrame = {
     val zv = graft.functions.ZvOps
     val mixed = s.read.parquet(nestedFixturePath(s, dir))
     val picked =
@@ -117,7 +117,7 @@ object Bench {
       .agg(count(lit(1)).as("count"), sum(col("n")).as("total"))
   }
 
-  private def hetQuery(s: SparkSession, dir: String, udfPath: Boolean): DataFrame = {
+  private[graft] def hetQuery(s: SparkSession, dir: String, udfPath: Boolean): DataFrame = {
     val het = graft.operators.Het
     val zv = graft.functions.ZvOps
     val mixed = s.read.parquet(hetFixturePath(s, dir))
@@ -144,7 +144,7 @@ object Bench {
     * distributed) and both full-stream format copies are timed end-to-end
     * (read + typed decode + encode + write).
     */
-  private def ingestFixture(s: SparkSession, dir: String, tmp: String): (String, String, String) = {
+  private[graft] def ingestFixture(s: SparkSession, dir: String, tmp: String): (String, String, String) = {
     val n = hetRows(dir) // ~2M rows at sf0.1 — comparable to the 1.46M-row sample
     val conn = s.range(n).select(
       (lit(1.521912491E9) + col("id") * 0.001).as("ts"),
@@ -171,7 +171,7 @@ object Bench {
     (zeekDir, zngDir, vngDir)
   }
 
-  private def runOnce(df: DataFrame): Unit =
+  private[graft] def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {

@@ -32,13 +32,6 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // wide (zeek-width, ~100-col) projections: the per-operator consume
-      // split passes every column as a JVM method parameter — 94 cols ×
-      // (value, isNull) with doubles exceeds the 255-slot JVM limit and
-      // Janino fails, silently dropping the stage to interpreted
-      // execution. Inlining the consume keeps whole-stage codegen on
-      // wide scans (PlanSpec pins a 100-column projection compiling).
-      .config("spark.sql.codegen.splitConsumeFuncByOperator", "false")
       .config("spark.ui.enabled", "false")
 
   /** Post-create setup shared by every entry point: the engine's own
@@ -49,6 +42,39 @@ object GraftSession {
     if (!s.experimental.extraOptimizations.contains(rule))
       s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
     s
+  }
+
+  /** Width threshold above which the per-operator consume split is turned
+    * off for the next-executed query (see tuneWideCodegen).
+    */
+  val wideSchemaCols = 60
+
+  /** Wide-row codegen guard, applied per compiled query. Spark's default
+    * per-operator consume split packs every column of an operator's output
+    * into ONE generated JVM method — at zeek width (~94 columns) that
+    * method's body exceeds the 64 KB bytecode limit, Janino fails ("Code
+    * grows beyond 64 KB"), and the whole stage silently drops to
+    * interpreted execution. Inlining the consume (split=false) avoids the
+    * cliff for wide plans but taxes every narrow decode-heavy path with
+    * huge un-JIT-able methods (r9 bench: ingest_zng +53%). So: keep
+    * Spark's default for narrow plans, flip the split off only when the
+    * compiled plan carries wide rows anywhere. The conf is read at
+    * whole-stage codegen time — each query's compile happens right before
+    * its execution in every engine surface, so setting it here scopes it
+    * to the query (worst case under concurrency is a perf fallback, never
+    * wrong results).
+    */
+  def tuneWideCodegen(df: DataFrame): DataFrame = {
+    // the OPTIMIZED plan: column pruning has run, so a narrow projection
+    // over a wide table doesn't trip the guard
+    val wide =
+      try df.queryExecution.optimizedPlan.collectFirst {
+        case p if p.output.size > wideSchemaCols => p
+      }.isDefined
+      catch { case _: Exception => false }
+    df.sparkSession.conf.set(
+      "spark.sql.codegen.splitConsumeFuncByOperator", (!wide).toString)
+    df
   }
 
   def local(cores: Int = 32): SparkSession = {

@@ -264,7 +264,10 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     val path = ex.getRequestURI.getPath
     val segs = path.split("/").filter(_.nonEmpty).toSeq
       .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // raw bytes once: binary uploads (zng/vng/parquet/arrows) must not
+    // round-trip through UTF-8 (invalid sequences → U+FFFD corruption)
+    val bodyBytes = ex.getRequestBody.readAllBytes()
+    lazy val body = new String(bodyBytes, StandardCharsets.UTF_8)
     val root = lakeRootOpt.getOrElse("/tmp/graft_lake")
     (ex.getRequestMethod, segs) match {
       case _ if lakeRootOpt.isEmpty =>
@@ -333,8 +336,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         }
         val d = java.nio.file.Files.createTempDirectory("svcload")
         val p = d.resolve(s"in.$ext")
-        java.nio.file.Files.write(p, body.getBytes(
-          if (Set("zng", "vng", "parquet", "arrows")(ext)) "ISO-8859-1" else "UTF-8"))
+        java.nio.file.Files.write(p, bodyBytes)
         val df = Formats.read(spark, p.toString)
         val id = Lake.load(df, root, pool, author = "service", branch = branch)
         event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
@@ -436,12 +438,20 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           respond(ex, 200,
             graft.sources.ZFormat.csvLines(df).mkString("", "\n", "\n"), "text/csv")
         case "text/tab-separated-values" =>
-          val lines = graft.sources.ZFormat.csvLines(df).map(_.replace(",", "\t"))
+          val lines = graft.sources.ZFormat.csvLines(df, "\t")
           respond(ex, 200, lines.mkString("", "\n", "\n"), "text/tab-separated-values")
         case _ =>
-          respond(ex, 200,
-            ZsonIO.toZson(df).collect().mkString("", "\n", "\n"),
-            "application/x-zson")
+          // stream (chunked) like the main /query path — a large x-zson
+          // response must never buffer whole on the driver
+          val it = ZsonIO.toZson(df).toLocalIterator()
+          ex.getResponseHeaders.add("Content-Type", "application/x-zson")
+          ex.sendResponseHeaders(200, 0)
+          val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+          while (it.hasNext) {
+            os.write(it.next().getBytes(StandardCharsets.UTF_8)); os.write('\n')
+          }
+          os.flush()
+          ex.getResponseBody.close()
       }
     } catch {
       case e: Exception =>

@@ -24,12 +24,12 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   def run(p: Pipeline): DataFrame = {
     val frames = compilePipeline(None, p)
-    combineAll(frames ++ namedOut.map(_._2))
+    GraftSession.tuneWideCodegen(combineAll(frames ++ namedOut.map(_._2)))
   }
 
   def runOn(input: DataFrame, p: Pipeline): DataFrame = {
     val frames = compilePipeline(Some(input), p)
-    combineAll(frames ++ namedOut.map(_._2))
+    GraftSession.tuneWideCodegen(combineAll(frames ++ namedOut.map(_._2)))
   }
 
   /** Compile to NAMED outputs (mux.go labeled paths): every `output x`
@@ -41,8 +41,11 @@ final class Compiler(spark: SparkSession, dir: String) {
     val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[DataFrame]]
     namedOut.foreach { case (n, f) =>
       grouped(n) = grouped.getOrElse(n, Vector.empty) :+ f }
-    val named = grouped.toSeq.map { case (n, fs) => n -> combineAll(fs) }
-    if (frames.nonEmpty) named :+ ("main" -> combineAll(frames)) else named
+    val named = grouped.toSeq.map { case (n, fs) =>
+      n -> GraftSession.tuneWideCodegen(combineAll(fs)) }
+    if (frames.nonEmpty)
+      named :+ ("main" -> GraftSession.tuneWideCodegen(combineAll(frames)))
+    else named
   }
 
   /** Does the expression contain an UNGUARDED running-agg call? */
@@ -1598,7 +1601,7 @@ final class Compiler(spark: SparkSession, dir: String) {
                      catch { case _: Exception => StringType }
             graft.sources.ZsonIO.zsonOf(c, dt)
           }
-        Compiler.debugSink ++= df.select(text).collect().map(_.getString(0))
+        Compiler.addDebug(() => df.select(text).collect().map(_.getString(0)).toSeq)
         Seq(df)
 
       case Stage.Assert(e, text) =>
@@ -4950,8 +4953,24 @@ object Compiler {
   val rowIdCol = "__row"
   val posCol = "__pos"
 
-  /** `debug` operator output (drained to stderr by the CLI surface). */
-  val debugSink = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** `debug` operator output: DEFERRED renderers, scoped per thread so
+    * concurrent queries don't interleave. Registered at compile time,
+    * materialized only when the surface drains after running the query —
+    * compiling a query never executes its pipeline.
+    */
+  private val debugThunks =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[() => Seq[String]]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[() => Seq[String]]
+    }
+  def addDebug(t: () => Seq[String]): Unit = debugThunks.get() += t
+  def drainDebug(): Seq[String] = {
+    val ts = debugThunks.get()
+    val out = ts.toList.flatMap(t =>
+      try t() catch { case _: Exception => Nil })
+    ts.clear()
+    out
+  }
   /** reserved column-name prefix for lateral `with` scope vars */
   val varPrefix = "__var_"
 }

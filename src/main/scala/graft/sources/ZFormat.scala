@@ -188,12 +188,13 @@ object ZFormat {
     else sign + "0." + "0" * (-exp - 1) + digits
   }
 
-  /** Round a double through IEEE half precision (for float16 columns):
-    * float → half (round to nearest even) → float.
+  /** IEEE half-precision bits of a double (round to nearest even) — the
+    * 2-byte wire form for float16 columns.
     */
-  def toFloat16(d: Double): Double = {
+  def toHalfBits(d: Double): Int = {
     val f = d.toFloat
-    if (f.isNaN || f.isInfinite) return f.toDouble
+    if (f.isNaN) return 0x7e00
+    if (f.isInfinite) return if (f > 0) 0x7c00 else 0xfc00
     val bits = java.lang.Float.floatToIntBits(f)
     val sign = (bits >>> 16) & 0x8000
     var e = ((bits >>> 23) & 0xff) - 127 + 15
@@ -221,6 +222,15 @@ object ZFormat {
           if (e + 1 >= 0x1f) sign | 0x7c00 else sign | ((e + 1) << 10)
         } else sign | (e << 10) | q2
       }
+    h
+  }
+
+  /** Round a double through IEEE half precision (for float16 columns):
+    * float → half (round to nearest even) → float.
+    */
+  def toFloat16(d: Double): Double = {
+    if (d.isNaN || d.isInfinite) return d.toFloat.toDouble
+    val h = toHalfBits(d)
     // expand half back to float
     val hs = h & 0x8000; val he = (h >>> 10) & 0x1f; val hm = h & 0x3ff
     val fbits =
@@ -580,7 +590,7 @@ object ZFormat {
 
   // ---- csv writer (zio/csvio/writer.go) ------------------------------------
 
-  def csvLines(df: DataFrame): Seq[String] = {
+  def csvLines(df: DataFrame, sep: String = ","): Seq[String] = {
     val fn = rowValueFn(df.schema)
     def cell(v: ZValue): String = unwrap(v) match {
       case VNull(_) => ""
@@ -602,7 +612,7 @@ object ZFormat {
       case other => zsonText(other) // complex values as zson (FormatValue)
     }
     def csvQuote(s: String): String =
-      if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+      if (s.contains(sep) || s.contains("\"") || s.contains("\n") || s.contains("\r"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -614,17 +624,17 @@ object ZFormat {
           val leaves = flatten(rec)
           if (header == null) {
             header = leaves.map(_._1)
-            out += header.map(csvQuote).mkString(",")
+            out += header.map(csvQuote).mkString(sep)
           }
           if (leaves.map(_._1) == header)
-            out += leaves.map(f => csvQuote(cell(f._2))).mkString(",")
+            out += leaves.map(f => csvQuote(cell(f._2))).mkString(sep)
         case _ => // non-record: reference raises an error (stderr); skipped
       }
     }
     if (header == null && df.schema.fields.nonEmpty) {
       // header even for empty inputs with a static schema
       val names = df.schema.fieldNames.filterNot(_ == graft.operators.Het.typeTag)
-      out += names.mkString(",")
+      out += names.mkString(sep)
     }
     out.toSeq
   }

@@ -262,7 +262,7 @@ object ZngIO {
     * as time, named types via the type table), the Spark type drives the
     * access. None = this (shape, carrier) pair needs the slow row path.
     */
-  private def shapeFieldEncoder(zt: ZType, dt: DataType)
+  private[graft] def shapeFieldEncoder(zt: ZType, dt: DataType)
       : Option[(ByteBuf, SpecializedGetters, Int) => Unit] = ZType.strip(zt) match {
     case ZType.Prim("ip") if dt == StringType => Some { (out, g, i) =>
       val s = g.getUTF8String(i).toString
@@ -292,10 +292,28 @@ object ZngIO {
       Some((out, g, i) => out.writeTaggedSigned(g.getLong(i))) // ns carrier
     case ZType.Prim("duration") if dt == LongType =>
       Some((out, g, i) => out.writeTaggedSigned(g.getLong(i)))
+    // uintN are UNSIGNED minimal-LE on the wire (no zigzag) — the signed
+    // internalFieldEncoder would round-trip v as 2v
     case ZType.Prim("uint64") if dt == LongType =>
-      Some((out, g, i) => out.writeTaggedSigned(g.getLong(i)))
-    case ZType.Prim(p) if Set("int8", "int16", "int32", "int64", "uint8",
-        "uint16", "uint32", "float16", "float32", "float64", "string",
+      Some((out, g, i) => out.writeTaggedUnsigned(g.getLong(i)))
+    case ZType.Prim("uint8") if dt == ShortType =>
+      Some((out, g, i) => out.writeTaggedUnsigned(g.getShort(i).toLong & 0xffL))
+    case ZType.Prim("uint8") if dt == IntegerType =>
+      Some((out, g, i) => out.writeTaggedUnsigned(g.getInt(i).toLong & 0xffL))
+    case ZType.Prim("uint16") if dt == IntegerType =>
+      Some((out, g, i) => out.writeTaggedUnsigned(g.getInt(i).toLong & 0xffffL))
+    case ZType.Prim("uint32") if dt == LongType =>
+      Some((out, g, i) => out.writeTaggedUnsigned(g.getLong(i) & 0xffffffffL))
+    case ZType.Prim("uint64") if dt == DecimalType(20, 0) =>
+      Some(internalFieldEncoder(dt)) // Decimal(20,0) case is already unsigned-LE
+    // float16 is 2-byte IEEE half on the wire, not float32 bits
+    case ZType.Prim("float16") if dt == FloatType || dt == DoubleType =>
+      Some { (out, g, i) =>
+        val d = if (dt == FloatType) g.getFloat(i).toDouble else g.getDouble(i)
+        out.writeTaggedFixedLE(ZFormat.toHalfBits(d).toLong & 0xffffL, 2)
+      }
+    case ZType.Prim(p) if Set("int8", "int16", "int32", "int64",
+        "float32", "float64", "string",
         "bool", "bytes", "time", "duration", "null")(p) &&
         sparkPrimMatches(p, dt) =>
       Some(internalFieldEncoder(dt))
@@ -380,14 +398,11 @@ object ZngIO {
 
   private def sparkPrimMatches(p: String, dt: DataType): Boolean = (p, dt) match {
     case ("int8", ByteType) | ("int16", ShortType) | ("int32", IntegerType) |
-         ("int64", LongType) | ("uint8", ShortType) | ("uint8", IntegerType) |
-         ("uint16", IntegerType) | ("uint32", LongType) |
-         ("float16", FloatType) | ("float32", FloatType) |
+         ("int64", LongType) | ("float32", FloatType) |
          ("float64", DoubleType) | ("string", StringType) |
          ("bool", BooleanType) | ("bytes", BinaryType) |
          ("time", TimestampType) | ("time", TimestampNTZType) |
          ("null", NullType) => true
-    case ("uint64", _: DecimalType) => true
     case _ => false
   }
 
@@ -690,7 +705,7 @@ object ZngIO {
     * ByteArrayOutputStream's per-write monitor is real cost on JDK 17
     * (no biased locking) at tens of millions of field writes.
     */
-  private[sources] final class ByteBuf(initial: Int = 1 << 12) {
+  private[graft] final class ByteBuf(initial: Int = 1 << 12) {
     private var buf = new Array[Byte](initial)
     private var len = 0
     def size: Int = len
@@ -716,6 +731,17 @@ object ZngIO {
       */
     def writeTaggedSigned(n: Long): Unit = {
       var u = if (n >= 0) n << 1 else ((-n) << 1) | 1L // MinValue → reserved 0x01
+      val nb = if (u == 0) 0 else (71 - java.lang.Long.numberOfLeadingZeros(u)) / 8
+      writeUvarint(nb + 1L)
+      ensure(nb)
+      var i = 0
+      while (i < nb) { buf(len) = (u & 0xff).toByte; u >>>= 8; len += 1; i += 1 }
+    }
+    /** Counted UNSIGNED minimal little-endian bytes — the wire form for
+      * uintN (reference zcode: EncodeUint). No zigzag.
+      */
+    def writeTaggedUnsigned(n: Long): Unit = {
+      var u = n
       val nb = if (u == 0) 0 else (71 - java.lang.Long.numberOfLeadingZeros(u)) / 8
       writeUvarint(nb + 1L)
       ensure(nb)

@@ -227,10 +227,7 @@ object MdtestHarness {
         stdin = Some(outText)
       }
       // drain the `debug` operator's channel to this shell's stderr
-      if (graft.lang.Compiler.debugSink.nonEmpty) {
-        graft.lang.Compiler.debugSink.foreach(l => stderrSink.append(l).append('\n'))
-        graft.lang.Compiler.debugSink.clear()
-      }
+      graft.lang.Compiler.drainDebug().foreach(l => stderrSink.append(l).append('\n'))
       redirect match {
         case Some("/dev/null") => ""
         case Some(f) =>

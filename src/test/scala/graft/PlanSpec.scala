@@ -211,9 +211,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "codegen — no Janino failure, no silent interpreted fallback") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.WholeStageCodegenExec
-    // zeek conn-log width with mixed types: the per-operator consume split
-    // would pass ~200 JVM method parameters and fail Janino (the
-    // splitConsumeFuncByOperator=false session default prevents it)
+    // zeek conn-log width with mixed types: with the per-operator consume
+    // split on, all columns land in ONE generated method whose body can
+    // exceed the 64 KB bytecode limit ("Code grows beyond 64 KB" — the
+    // r8 ZtestExecSpec failure). tuneWideCodegen flips the split off for
+    // wide plans and keeps Spark's default for narrow ones.
     val base = spark.range(1000).toDF("id")
     val wide = base.select((0 until 100).map { i =>
       val c = i % 3 match {
@@ -231,15 +233,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ => !c.cast("boolean")
       }).as(s"d$i")
     }: _*)
+    // the guard flips the consume split off for this wide plan …
+    GraftSession.tuneWideCodegen(proj)
+    assert(spark.conf.get("spark.sql.codegen.splitConsumeFuncByOperator") == "false")
     val wsc = proj.queryExecution.executedPlan.collectFirst {
       case w: WholeStageCodegenExec => w
     }
     assert(wsc.isDefined, "wide projection lost whole-stage codegen entirely")
     // compile the generated source EXPLICITLY — a Janino failure here is
-    // the silent-interpreted-fallback the session config must prevent
+    // the silent-interpreted-fallback the width guard must prevent
     val (_, source) = wsc.get.doCodeGen()
     org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
       .compile(source)
     assert(proj.count() == 1000)
+    // … and restores Spark's default (small JIT-able methods) for the
+    // next narrow plan — the r9 regression was leaving it off globally
+    GraftSession.tuneWideCodegen(base.select((col("id") + 1).as("x")))
+    assert(spark.conf.get("spark.sql.codegen.splitConsumeFuncByOperator") == "true")
+    // a lang-frontend query over a wide record flips it too (the original
+    // failure was a 94-col zeek projection through Graft.query)
+    val wideRow = spark.range(10).select((0 until 70).map(i =>
+      (col("id") + i).as(s"f$i")): _*)
+    graft.lang.Graft.queryOn(wideRow, "put g:=f0+1")
+    assert(spark.conf.get("spark.sql.codegen.splitConsumeFuncByOperator") == "false")
+    graft.lang.Graft.queryOn(wideRow.select("f0"), "put g:=f0+1")
+    assert(spark.conf.get("spark.sql.codegen.splitConsumeFuncByOperator") == "true")
   }
 }

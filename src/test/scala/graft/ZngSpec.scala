@@ -434,6 +434,43 @@ class ZngSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.zng.prefilter")
   }
 
+  test("tagged fast writer emits UNSIGNED minimal-LE bytes for uintN and " +
+       "IEEE half bits for float16 (zcode EncodeUint — no zigzag)") {
+    import graft.sources.ZType
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def bytesOf(zt: ZType, dt: DataType, v: Any): Seq[Byte] = {
+      val enc = ZngIO.shapeFieldEncoder(zt, dt)
+        .getOrElse(fail(s"no fast encoder for ($zt, $dt)"))
+      val buf = new ZngIO.ByteBuf(16)
+      enc(buf, new GenericInternalRow(Array[Any](v)), 0)
+      buf.toByteArray.toSeq
+    }
+    // uint 1 → counted tag 2, byte 0x01 (zigzag would write 0x02)
+    assert(bytesOf(ZType.Prim("uint64"), LongType, 1L) == Seq[Byte](2, 1))
+    assert(bytesOf(ZType.Prim("uint32"), LongType, 1L) == Seq[Byte](2, 1))
+    assert(bytesOf(ZType.Prim("uint16"), IntegerType, 300) == Seq[Byte](3, 0x2c, 1))
+    assert(bytesOf(ZType.Prim("uint8"), ShortType, 200.toShort) ==
+      Seq[Byte](2, 200.toByte))
+    assert(bytesOf(ZType.Prim("uint64"), LongType, 0L) == Seq[Byte](1)) // minimal
+    // float16 1.5 → half bits 0x3e00, 2-byte LE
+    assert(bytesOf(ZType.Prim("float16"), FloatType, 1.5f) ==
+      Seq[Byte](3, 0x00, 0x3e))
+    assert(bytesOf(ZType.Prim("float16"), DoubleType, 1.5d) ==
+      Seq[Byte](3, 0x00, 0x3e))
+    // e2e: tagged frame with uint shapes round-trips values exactly
+    val vals = Seq("{a:200(uint8),b:70000(uint32),c:5(uint64)}",
+                   "{a:17(uint8),b:1(uint32),c:18446744073709551615(uint64)}")
+      .map(l => new graft.sources.ZsonParser(l).parseOne())
+    val df = graft.sources.ZsonReader.fromValues(spark, vals, tag = true)
+    val path = tmp("tagged-uint")
+    ZngIO.write(df, s"$path/u.zng")
+    val back = graft.sources.ZsonIO.toZson(ZngIO.read(spark, s"$path/u.zng"))
+      .collect().toSeq.sorted
+    assert(back == Seq(
+      "{a:17(uint8),b:1(uint32),c:18446744073709551615(uint64)}",
+      "{a:200(uint8),b:70000(uint32),c:5(uint64)}"))
+  }
+
   test("uint64 above 2^63-1 keeps its exact value through the Decimal " +
        "carrier: zson render, zng round-trip, and sums (value.go uint64)") {
     val spark = GraftSession.local(4)
