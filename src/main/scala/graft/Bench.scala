@@ -336,9 +336,45 @@ object Bench {
     val vngResults = Seq(
       timeVngCut("cut_vng", prune = true),
       timeVngCut("cut_vng_noprune", prune = false))
+
+    // HETEROGENEOUS VNG projection — per-member pruned readers
+    // interleaved by the Dynamic tags stream vs the full-decode fallback:
+    // the multi-shape analog of cut_vng (conn + dns shapes in one stream)
+    val hetVngDir = {
+      val d = s"$tmp/het.vng"
+      val dns = spark.range(hetRows(sfDir) / 20).select(
+        (lit(1.521912491E9) + col("id") * 0.02).as("ts"),
+        concat(lit("host"), (col("id") % 5000).cast("string"),
+          lit(".example.com")).as("query"),
+        (col("id") % 17).as("rcode"))
+      val conn = graft.sources.VngIO.read(spark, vngDir)
+        .drop(graft.operators.Het.typeTag)
+      graft.sources.VngIO.write(
+        graft.operators.Het.fuseTagged(conn, dns), d)
+      d
+    }
+    def timeVngHetCut(name: String, prune: Boolean): (String, Double) = {
+      spark.conf.set("graft.vng.prune", prune.toString)
+      try {
+        def run(): Unit = runOnce(
+          graft.sources.VngIO.read(spark, hetVngDir)
+            .agg(count(col("ts")).as("n")))
+        run() // warm
+        val dt = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.gc()
+        name -> dt
+      } finally spark.conf.unset("graft.vng.prune")
+    }
+    val hetVngResults = Seq(
+      timeVngHetCut("cut_vng_het", prune = true),
+      timeVngHetCut("cut_vng_het_noprune", prune = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults
+    val results = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults ++ hetVngResults
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

@@ -80,7 +80,10 @@ private class VngScanBuilder(full: StructType, options: CaseInsensitiveStringMap
         countAggs, HadoopFs.confMap(SparkSession.active))
     else new VngScan(
       files = files,
-      shape = options.get("shape"),
+      shapes = Option(options.get("shapes"))
+        .map(_.split('\n').toIndexedSeq.filter(_.nonEmpty))
+        .orElse(Option(options.get("shape")).map(Seq(_)))
+        .getOrElse(Seq.empty),
       required = required,
       confMap = HadoopFs.confMap(SparkSession.active),
       stats = ZngDataSource.statsOf(options, files))
@@ -126,7 +129,7 @@ private class VngCountScan(files: Seq[String], counts: Option[Seq[Long]], nAggs:
 
 private case class VngPartition(file: String) extends InputPartition
 
-private class VngScan(files: Seq[String], shape: String, required: StructType,
+private class VngScan(files: Seq[String], shapes: Seq[String], required: StructType,
     confMap: Map[String, String], stats: (Option[Long], Option[Long]))
     extends Scan with Batch with SupportsReportStatistics {
   override def estimateStatistics(): Statistics = new Statistics {
@@ -137,16 +140,18 @@ private class VngScan(files: Seq[String], shape: String, required: StructType,
   }
   override def readSchema(): StructType = required
 
-  // vectorized when every projected field is a vectorizable primitive in
-  // the stream's shape (decided from the shape TEXT — no file I/O):
-  // the reader then fills column vectors straight from the segments and
-  // Spark's codegen'd ColumnarToRow takes over, like the parquet path
+  // vectorized when the stream is HOMOGENEOUS and every projected field
+  // is a vectorizable primitive in its shape (decided from the shape
+  // TEXT — no file I/O): the reader then fills column vectors straight
+  // from the segments and Spark's codegen'd ColumnarToRow takes over,
+  // like the parquet path. Heterogeneous streams use the pruned row
+  // reader (per-member readers interleaved by the Dynamic tags).
   private val columnarOk: Boolean = {
     val enabled = SparkSession.active.conf
       .getOption("graft.vng.vectorized").forall(_.toBoolean)
-    enabled && (try {
+    enabled && shapes.length == 1 && (try {
       val fieldTypes: Map[String, ZType] =
-        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(shape))) match {
+        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(shapes.head))) match {
           case ZType.Rec(fs) => fs.toMap
           case _ => Map.empty
         }
@@ -159,12 +164,13 @@ private class VngScan(files: Seq[String], shape: String, required: StructType,
 
   override def toBatch: Batch = this
   override def description(): String =
-    s"vng files=${files.length} columns=${required.fieldNames.mkString(",")}" +
+    s"vng files=${files.length} shapes=${shapes.length} " +
+      s"columns=${required.fieldNames.mkString(",")}" +
       (if (columnarOk) " vectorized" else "")
   override def planInputPartitions(): Array[InputPartition] =
     files.map(VngPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new VngReaderFactory(shape, required, confMap, columnarOk)
+    new VngReaderFactory(shapes.headOption.getOrElse(""), required, confMap, columnarOk)
 }
 
 private class VngReaderFactory(shape: String, required: StructType,
@@ -173,7 +179,7 @@ private class VngReaderFactory(shape: String, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[VngPartition].file
-    val (it, closeFn) = VngIO.prunedRows(confMap, file, required, shape)
+    val (it, closeFn) = VngIO.prunedRows(confMap, file, required)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) row = it.next(); h }

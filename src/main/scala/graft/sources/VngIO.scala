@@ -664,12 +664,14 @@ object VngIO {
 
   /** Per-file discovery result, derived from header + metadata section
     * only (the data section is untouched except for time columns' ns
-    * probe). `shape` is Some(text) iff the file is pruned-scan eligible:
-    * ONE root member that is a plain non-empty record (no top-level
-    * nulls, no bare-primitive stream).
+    * probe). `shapes` is Some(texts) iff the file is pruned-scan
+    * eligible: EVERY root member is a plain non-empty record (no
+    * top-level nulls, no bare-primitive stream) — one member for a
+    * homogeneous stream, several for a Dynamic (heterogeneous) root, in
+    * the stream's first-appearance order.
     */
   private[sources] final case class FileMeta(len: Long, mtime: Long,
-      shape: Option[String], count: Long, ns: Boolean)
+      shapes: Option[Vector[String]], count: Long, ns: Boolean)
 
   private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, FileMeta]()
 
@@ -678,12 +680,13 @@ object VngIO {
     val h = new Handle(conf, path)
     try {
       val members = rootMembers(h.meta)
-      val shape = members match {
-        case Vector(r @ MRecord(_, fs)) if fs.nonEmpty => Some(ZType.fullText(metaType(r)))
-        case _ => None
+      val texts = members.map {
+        case r @ MRecord(_, fs) if fs.nonEmpty => ZType.fullText(metaType(r))
+        case _ => null
       }
+      val shapes = if (texts.contains(null)) None else Some(texts)
       val ns = members.exists(hasSubMicroTimeMeta(_, h.fetch))
-      FileMeta(len, mtime, shape, metaLen(h.meta), ns)
+      FileMeta(len, mtime, shapes, metaLen(h.meta), ns)
     } finally h.close()
   }
 
@@ -691,45 +694,61 @@ object VngIO {
     * ONLY for the requested top-level fields, so unrequested columns'
     * segments are never fetched, decompressed, or decoded — and a
     * count()-class scan (empty required schema) reads nothing but the
-    * metadata section. Returns the row iterator plus a close handle.
+    * metadata section. Heterogeneous (Dynamic-root) files build one
+    * per-member reader set and interleave rows by the Dynamic tags
+    * stream (reference runtime/vcache/object.go fetches per-type
+    * projections the same way), so a one-column projection over a
+    * multi-shape stream still reads only that column's segments of each
+    * member. Returns the row iterator plus a close handle.
     */
   private[sources] def prunedRows(conf: Map[String, String], path: String,
-      required: org.apache.spark.sql.types.StructType,
-      shapeText: String): (Iterator[org.apache.spark.sql.catalyst.InternalRow], () => Unit) = {
+      required: org.apache.spark.sql.types.StructType)
+      : (Iterator[org.apache.spark.sql.catalyst.InternalRow], () => Unit) = {
     val h = new Handle(conf, path)
     try {
-      val rec = rootMembers(h.meta) match {
-        case Vector(r: MRecord) => r
-        case other => throw new IllegalStateException(
-          s"vng pruned scan expects one record root, got ${other.map(_.getClass.getSimpleName).mkString(",")}")
-      }
-      val count = rec.length
-      val byName = rec.fields.toMap
       // per-field ZValue→Catalyst-internal conversion (no external Row,
-      // no whole-row converter pass)
-      val cols: Array[() => Any] = required.fields.map { f =>
-        if (f.name == graft.operators.Het.typeTag) {
-          val tag = org.apache.spark.unsafe.types.UTF8String.fromString(shapeText)
-          () => tag
-        } else byName.get(f.name) match {
-          case Some(m) =>
-            val rd = newRd(m, h.fetch)
-            val dt = f.dataType
-            val conv = ZngIO.extToInternal(dt)
-            () => {
-              val ext = ZValue.toExternal(rd.next(), dt)
-              if (ext == null) null else conv(ext)
-            }
-          case None => () => null
+      // no whole-row converter pass); merged-frame variant columns box
+      // per value exactly like the full-decode path (same toExternal)
+      def colsFor(rec: MRecord): Array[() => Any] = {
+        val shapeText = ZType.fullText(metaType(rec))
+        val byName = rec.fields.toMap
+        required.fields.map { f =>
+          if (f.name == graft.operators.Het.typeTag) {
+            val tag = org.apache.spark.unsafe.types.UTF8String.fromString(shapeText)
+            () => tag
+          } else byName.get(f.name) match {
+            case Some(m) =>
+              val rd = newRd(m, h.fetch)
+              val dt = f.dataType
+              val conv = ZngIO.extToInternal(dt)
+              () => {
+                val ext = ZValue.toExternal(rd.next(), dt)
+                if (ext == null) null else conv(ext)
+              }
+            case None => () => null
+          }
         }
       }
-      val width = cols.length
-      val it = Iterator.range(0L, count).map { _ =>
+      val width = required.fields.length
+      def rowFrom(cols: Array[() => Any]): org.apache.spark.sql.catalyst.InternalRow = {
         val arr = new Array[Any](width)
         var i = 0
         while (i < width) { arr(i) = cols(i)(); i += 1 }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
-          : org.apache.spark.sql.catalyst.InternalRow
+      }
+      def recOf(m: Meta): MRecord = m match {
+        case r: MRecord => r
+        case other => throw new IllegalStateException(
+          s"vng pruned scan expects record roots, got ${other.getClass.getSimpleName}")
+      }
+      val it = h.meta match {
+        case MDynamic(tags, members, length) =>
+          val memberCols = members.map(m => colsFor(recOf(m)))
+          val tagRd = new Int64Rd(h.fetch(tags))
+          Iterator.range(0L, length).map(_ => rowFrom(memberCols(tagRd.next().toInt)))
+        case single =>
+          val cols = colsFor(recOf(single))
+          Iterator.range(0L, recOf(single).length).map(_ => rowFrom(cols))
       }
       (it, () => h.close())
     } catch { case e: Throwable => h.close(); throw e }
@@ -1049,9 +1068,9 @@ object VngIO {
   private[sources] def inferSingleShape(spark: SparkSession, files: Seq[String]): org.apache.spark.sql.types.StructType = {
     val conf = HadoopFs.confMap(spark)
     val metas = files.map(f => scanFileMeta(conf, f, -1L, -1L))
-    val shapes = metas.flatMap(_.shape).distinct
-    require(shapes.size == 1,
-      s"vng data source handles single-record-shape streams (found ${shapes.size}); use VngIO.read")
+    require(metas.forall(_.shapes.isDefined),
+      "vng data source handles record-shape streams; use VngIO.read")
+    val shapes = metas.flatMap(_.shapes.get).distinct
     ZsonReader.frameSchema(shapes, tag = true, metas.exists(_.ns))._2
   }
 
@@ -1122,14 +1141,24 @@ object VngIO {
       scanned.foreach { case (p, m) => metaCache.put(p, m) }
     }
     val metas = statuses.map { case (p, _, _) => metaCache.get(p) }
-    val single = metas.headOption.flatMap(_.shape)
-      .filter(s => metas.forall(_.shape.contains(s)))
-    single match {
-      case Some(shape) if prune =>
-        val (_, full) = ZsonReader.frameSchema(Seq(shape), tag = true, metas.exists(_.ns))
+    // pruned DSv2 scan whenever every root member of every file is a
+    // plain record — homogeneous OR heterogeneous; shape texts keep
+    // first-appearance order (file order, then member order within the
+    // file's Dynamic root). The full-decode fallback remains only for
+    // streams with non-record top-level values (bare primitives, typed
+    // nulls) — by construction those have no columns to prune.
+    val shapeTexts: Option[Vector[String]] =
+      if (metas.forall(_.shapes.isDefined)) {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        metas.foreach(_.shapes.get.foreach(seen.add))
+        Some(seen.toVector)
+      } else None
+    shapeTexts match {
+      case Some(shapes) if prune =>
+        val (_, full) = ZsonReader.frameSchema(shapes, tag = true, metas.exists(_.ns))
         spark.read.format(classOf[VngDataSource].getName)
           .schema(full)
-          .option("shape", shape)
+          .option("shapes", shapes.mkString("\n"))
           .option("files", dataFiles.mkString("\n"))
           // per-file row counts from discovery: count(*) answers from
           // these without touching the files again (VngCountScan), and

@@ -222,7 +222,7 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tss.head % 1000L == 1L) // the sub-µs nanosecond survived
   }
 
-  test("heterogeneous VNG directories fall back to full decode and fuse") {
+  test("heterogeneous VNG with bare values falls back to full decode and fuses") {
     val path = tmp("vng-het")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     val bytes = VngIO.encodeObject(vals("{a:1}\n\"bare\"\n{a:2,b:\"x\"}"))
@@ -230,6 +230,39 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = VngIO.read(spark, path)
     assert(back.count() == 3)
     assert(back.columns.contains("a"))
+  }
+
+  test("heterogeneous all-record VNG takes the PRUNED DSv2 scan, matches " +
+       "the full-decode fallback, and interleaves by the Dynamic tags") {
+    val path = tmp("vng-het-rec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // three shapes incl. a type-conflicting column (n: int64 vs string →
+    // variant in the merged frame) and a shape-local column
+    val input = "{a:1,n:10}\n{a:2,n:\"twenty\"}\n{a:3,n:30,extra:1.5}\n" +
+      "{a:4,n:40}\n{a:5,n:\"fifty\"}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "part-0.vng"),
+      VngIO.encodeObject(vals(input)))
+    val fast = VngIO.read(spark, path)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("vng files=1 shapes=3"), plan.take(500))
+    spark.conf.set("graft.vng.prune", "false")
+    val slow =
+      try VngIO.read(spark, path)
+      finally spark.conf.unset("graft.vng.prune")
+    assert(fast.schema == slow.schema)
+    val a = graft.sources.ZsonIO.toZson(fast).collect().toSeq
+    val b = graft.sources.ZsonIO.toZson(slow).collect().toSeq
+    assert(a == b)
+    // stream order survives the tag interleave
+    assert(a == input.linesIterator.toSeq)
+    // projection of one column still prunes (description lists only it)
+    val cut = fast.select("a")
+    val cutPlan = cut.queryExecution.executedPlan.toString
+    assert(cutPlan.contains("columns=a"), cutPlan.take(500))
+    assert(!cutPlan.contains("extra"), cutPlan.take(500))
+    assert(cut.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // count(*) still answers from metadata
+    assert(fast.count() == 5)
   }
 
   test("empty directory reads as an empty frame; a truncated file is " +
