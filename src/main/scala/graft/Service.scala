@@ -256,6 +256,20 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
 
   private val json = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** api.CommitResponse in the negotiated format (service default zson,
+    * service/core.go:31): the commit ksuid marshals as named bytes, the
+    * empty warnings list keeps its `[string]` decorator; JSON flattens
+    * both (zson marshal → jsonio).
+    */
+  private def commitResponse(ex: HttpExchange, id: String): String = {
+    val hex = try graft.functions.Ksuid.decodeHex(id)
+              catch { case _: Exception => "00" * 20 }
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    if (accept.contains("application/json"))
+      s"""{"commit":"0x$hex","warnings":[]}""" + "\n"
+    else s"""{commit:0x$hex(=ksuid.KSUID),warnings:[]([string])}""" + "\n"
+  }
+
   /** /pool routes: the base create (JSON body), /pool/<name> delete /
     * rename, /pool/<pool>/branch/<branch> load, …/delete (delete-where).
     * Param-style requests fall back to the legacy surface.
@@ -285,7 +299,10 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         Lake.create(root, name, key.orElse(Some("ts")),
           order.getOrElse("desc"), explicitOrder = order.isDefined)
         event(s"""{kind:"pool-create",pool:"${Service.esc(name)}"}""")
-        respond(ex, 200, poolJson(root, name) + "\n")
+        val accept0 = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        respond(ex, 200,
+          (if (accept0.contains("application/json")) poolJson(root, name)
+           else poolZson(root, name)) + "\n")
       case ("POST", Seq("pool")) => legacyPool.handle(ex)
       case ("DELETE", Seq("pool", name)) =>
         if (!Lake.exists(root, name))
@@ -310,15 +327,25 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           val id = Lake.load(kept.drop(graft.operators.Het.typeTag), root, pool,
             branch = branch, message = s"delete where $where")
           old.foreach(cid => Lake.delete(root, pool, cid, branch))
-          respond(ex, 200, s"""{"commit":"$id","warnings":[]}""" + "\n")
+          respond(ex, 200, commitResponse(ex, id))
         } finally spark.conf.unset("graft.lake.root")
-      case ("POST", Seq("pool", pool, "branch", branch)) =>
-        if (!Lake.exists(root, pool)) {
-          jerr(ex, 404, "item does not exist", s"$pool: pool not found")
-          return
-        }
+      case ("POST", Seq("pool", pool0, "branch", branch)) =>
+        // the pool segment accepts a name OR its ksuid id (lakeparse)
+        val pool =
+          if (Lake.exists(root, pool0)) pool0
+          else {
+            val byId = Option(new java.io.File(root).listFiles())
+              .getOrElse(Array.empty).toSeq.map(_.getName)
+              .find(n => Lake.exists(root, n) &&
+                (try Lake.poolId(root, n) == pool0
+                 catch { case _: Exception => false }))
+            byId.getOrElse {
+              jerr(ex, 404, "item does not exist", s"$pool0: pool not found")
+              return
+            }
+          }
         val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
-          .getOrElse("application/x-zson")
+          .getOrElse("")
         val ext = ctype.takeWhile(_ != ';') match {
           case "text/csv" => "csv"
           case "text/tab-separated-values" => "tsv"
@@ -329,18 +356,45 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           case "application/vnd.apache.arrow.stream" => "arrows"
           case "application/json" => "json"
           case "text/plain" | "application/x-line" => "line"
-          case "application/x-zson" | "" => "zson"
+          case "application/x-zson" => "zson"
+          // curl's default form type means "unset": the reference loads
+          // with anyio auto-detection (service/request.go format)
+          case "application/x-www-form-urlencoded" | "*/*" | "" => "auto"
           case other =>
             jerr(ex, 400, "invalid operation", s"unsupported MIME type: $other")
             return
         }
+        // request bodies are transparently gunzipped (anyio.GzipReader)
+        val raw = graft.sources.Gzip.maybeGunzip(bodyBytes)
+        if (new String(raw, StandardCharsets.ISO_8859_1).trim.isEmpty) {
+          jerr(ex, 400, "invalid operation", "no records in request")
+          return
+        }
+        if (ext == "auto") {
+          // line is not auto-detectable (anyio): undetectable text is a
+          // full per-reader detection report, not a line load
+          val sniffed = Formats.sniffBytes(raw)
+          if (sniffed == "line") {
+            jerr(ex, 400, "invalid operation", Formats.detectionError("",
+              new String(raw, StandardCharsets.ISO_8859_1)))
+            return
+          }
+        }
         val d = java.nio.file.Files.createTempDirectory("svcload")
-        val p = d.resolve(s"in.$ext")
-        java.nio.file.Files.write(p, bodyBytes)
-        val df = Formats.read(spark, p.toString)
+        val p = if (ext == "auto") d.resolve("in") else d.resolve(s"in.$ext")
+        java.nio.file.Files.write(p, raw)
+        val params = query(ex)
+        val df =
+          if (ext == "csv")
+            Formats.readCsv(spark, p.toString, params.getOrElse("csv.delim", ","))
+          else Formats.read(spark, p.toString)
+        if (df.isEmpty) {
+          jerr(ex, 400, "invalid operation", "no records in request")
+          return
+        }
         val id = Lake.load(df, root, pool, author = "service", branch = branch)
         event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
-        respond(ex, 200, s"""{"commit":"$id","warnings":[]}""" + "\n")
+        respond(ex, 200, commitResponse(ex, id))
       case _ => legacyPool.handle(ex)
     }
   }
@@ -369,7 +423,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       s""","compilation_errors":[{"Msg":"${jq(m)}","Pos":$pos,"End":$end}]"""
     }.getOrElse("")
     respond(ex, code,
-      s"""{"type":"Error","kind":"$kind","error":"${jq(msg)}"$extra}""")
+      s"""{"type":"Error","kind":"$kind","error":"${jq(msg)}"$extra}""" + "\n")
   }
 
   /** POST /query with {"query": …} (reference API). */
@@ -460,6 +514,19 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
   }
 
   /** A pool's config + main branch as the reference's JSON (POST /pool). */
+  /** The create response in the default zson format: {pool,branch} with
+    * the reference marshaler's package-style named types (lake/pools).
+    */
+  private def poolZson(root: String, name: String): String = {
+    val k = Lake.poolKey(root, name).getOrElse("ts")
+    val order = Lake.poolOrder(root, name)
+    val ts = java.time.Instant.now().toString
+    val idHex = try graft.functions.Ksuid.decodeHex(Lake.poolId(root, name))
+                catch { case _: Exception => "00" * 20 }
+    val zero = "00" * 20
+    s"""{pool:{ts:$ts,name:"$name",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:65536,threshold:524288000}(=pools.Config),branch:{ts:$ts,name:"main",commit:0x$zero(=ksuid.KSUID)}(=branches.Config)}"""
+  }
+
   private def poolJson(root: String, name: String): String = {
     val lk = Lake
     val k = lk.poolKey(root, name).getOrElse("ts")

@@ -2590,6 +2590,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       // (divide-by-zero is a VALUE) — the static prediction would lie
       if ((op == "/" || op == "%") && isTagged(df)) None
       else (dtypeOf(df, l), dtypeOf(df, r)) match {
+        // time - time is a duration in ns (expr/eval.go coerceTime)
+        case (Some(a), Some(b)) if op == "-" && F.isTimeDt(a) && F.isTimeDt(b) =>
+          Some(LongType)
         case (Some(a), Some(b)) if a == b => Some(a)
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (a, _) => a

@@ -18,6 +18,51 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
+  /** CSV/TSV read: header + inference, then every numeric column widens
+    * to float64 — csv carries no integer type, so the reference's csvio
+    * reader types all numbers float64 (zio/csvio/reader.go).
+    */
+  private[graft] def readCsv(spark: SparkSession, path: String,
+      sep: String = ","): DataFrame = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .option("sep", sep).csv(path)
+    import org.apache.spark.sql.types._
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
+          col(s"`${f.name}`").cast(DoubleType).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }: _*)
+  }
+
+  /** anyio auto-detection failure: every reader's error, in the
+    * reference's wording and order (zio/anyio/reader.go). `source` is the
+    * reporting prefix ("stdio:stdin") or empty for a bare message.
+    */
+  def detectionError(source: String, text: String): String = {
+    val firstLine = text.linesIterator.find(_ => true).getOrElse("")
+    val c = text.dropWhile(_.isWhitespace).headOption.getOrElse(' ')
+    // Go's csv reader hits EOF on a final line with no terminator,
+    // "delimiter not found" otherwise
+    val csvErr = if (text.contains("\n")) "delimiter ',' not found" else "EOF"
+    val tsvErr = if (text.contains("\n")) "delimiter '\\t' not found" else "EOF"
+    val prefix = if (source.isEmpty) "" else source + ": "
+    s"${prefix}format detection error\n" +
+      "\tarrows: schema message length exceeds 1 MiB\n" +
+      s"\tcsv: line 1: $csvErr\n" +
+      s"\tjson: invalid character '$c' looking for beginning of value\n" +
+      "\tline: auto-detection not supported\n" +
+      "\tparquet: auto-detection requires seekable input\n" +
+      s"\ttsv: line 1: $tsvErr\n" +
+      "\tvng: auto-detection requires seekable input\n" +
+      "\tzeek: line 1: bad types/fields definition in zeek header\n" +
+      "\tzjson: line 1: malformed ZJSON: bad type object: \"" + firstLine +
+      s"\": unpacker error parsing JSON: invalid character '$c' looking for beginning of value\n" +
+      "\tzng: malformed zng record\n" +
+      "\tzson: ZSON syntax error"
+  }
+
   /** Read any supported file/directory/URI, auto-detecting the format.
     * http(s) URIs fetch to a local spool first (zio/anyio/file.go: the
     * reference's `from`/`get` accept URIs). Extensions route directly;
@@ -43,11 +88,8 @@ object Formats {
           case "zjson" => ZjsonIO.read(spark, path)
           case "json" => JsonIO.read(spark, path)
           case "zson" => ZsonIO.read(spark, path)
-          case "csv" =>
-            spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-          case "tsv" =>
-            spark.read.option("header", "true").option("inferSchema", "true")
-              .option("sep", "\t").csv(path)
+          case "csv" => readCsv(spark, path)
+          case "tsv" => readCsv(spark, path, "\t")
           case "line" | "text" =>
             spark.read.text(path).withColumnRenamed("value", "this")
           case other =>
@@ -66,11 +108,8 @@ object Formats {
     val lower0 = path.toLowerCase
     val lower = if (lower0.endsWith(".gz")) lower0.dropRight(3) else lower0
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
-    else if (lower.endsWith(".csv"))
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else if (lower.endsWith(".tsv"))
-      spark.read.option("header", "true").option("inferSchema", "true")
-        .option("sep", "\t").csv(path)
+    else if (lower.endsWith(".csv")) readCsv(spark, path)
+    else if (lower.endsWith(".tsv")) readCsv(spark, path, "\t")
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       JsonIO.read(spark, path) // zed-typed: field order kept, array = one value
     else if (lower.endsWith(".zson")) ZsonIO.read(spark, path)
@@ -81,7 +120,8 @@ object Formats {
     else if (lower.endsWith(".arrow") || lower.endsWith(".arrows"))
       ArrowIO.read(spark, path)
     else if (lower.endsWith(".txt") || lower.endsWith(".line"))
-      spark.read.text(path) // `line` format: one string value per line
+      // `line` format: one top-level STRING value per line (zio/lineio)
+      spark.read.text(path).withColumnRenamed("value", "this")
     else sniff(spark, path) match {
       case "parquet" => spark.read.parquet(path)
       case "vng" => VngIO.read(spark, path)
@@ -91,9 +131,8 @@ object Formats {
       case "zjson" => ZjsonIO.read(spark, path)
       case "json" => JsonIO.read(spark, path)
       case "zson" => ZsonIO.read(spark, path)
-      case "csv" =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-      case _ => spark.read.text(path)
+      case "csv" => readCsv(spark, path)
+      case _ => spark.read.text(path).withColumnRenamed("value", "this")
     }
   }
 

@@ -731,4 +731,97 @@ object ZFormat {
     while (it.hasNext) out += jsonText(fn(it.next()))
     out.toSeq
   }
+
+  /** Pretty-print one compact ZSON value with the reference's `-Z` layout
+    * (zson/formatter.go, pretty=tab): containers expand one element per
+    * line, record fields as `name: value`, decorators inline with a
+    * leading space, `error(...)` as a constructor. Colons inside time/ip
+    * literals are preserved — only the first colon after a record key is
+    * a separator. Type values `<...>` and decorators stay inline.
+    */
+  def prettyZson(line: String, tab: Int = 4): String = {
+    val sb = new StringBuilder
+    val n = line.length
+    var i = 0
+    var depth = 0
+    var inStr = false
+    var parenDepth = 0
+    var angleDepth = 0
+    // container stack: 'r' record (with key/value state), 'm' map, 'v' vector/set
+    val kinds = scala.collection.mutable.Stack[Char]()
+    val atKey = scala.collection.mutable.Stack[Boolean]()
+    def pad(d: Int): Unit = { var k = 0; while (k < d * tab) { sb.append(' '); k += 1 } }
+    def isErrorCtor(j: Int): Boolean =
+      j >= 5 && line.substring(j - 5, j) == "error" &&
+        (j == 5 || { val p = line.charAt(j - 6); !p.isLetterOrDigit && p != '_' && p != '.' })
+    while (i < n) {
+      val c = line.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < n) { sb.append(line.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+        i += 1
+      } else if (parenDepth > 0 || angleDepth > 0) {
+        c match {
+          case '"' => inStr = true
+          case '(' => parenDepth += 1
+          case ')' => parenDepth -= 1
+          case '<' => angleDepth += 1
+          case '>' => if (angleDepth > 0) angleDepth -= 1
+          case _ =>
+        }
+        sb.append(c); i += 1
+      } else c match {
+        case '"' => inStr = true; sb.append(c); i += 1
+        case '<' => angleDepth += 1; sb.append(c); i += 1
+        case '(' =>
+          if (isErrorCtor(i)) sb.append(c)
+          else {
+            if (sb.nonEmpty && sb.last != ' ') sb.append(' ')
+            parenDepth += 1; sb.append(c)
+          }
+          i += 1
+        case ')' => sb.append(c); i += 1 // closes an error(...) constructor
+        case '{' =>
+          if (i + 1 < n && line.charAt(i + 1) == '}') { sb.append("{}"); i += 2 }
+          else {
+            sb.append('{'); depth += 1; kinds.push('r'); atKey.push(true)
+            sb.append('\n'); pad(depth); i += 1
+          }
+        case '[' =>
+          if (i + 1 < n && line.charAt(i + 1) == ']') { sb.append("[]"); i += 2 }
+          else {
+            sb.append('['); depth += 1; kinds.push('v')
+            sb.append('\n'); pad(depth); i += 1
+          }
+        case '|' if i + 1 < n && (line.charAt(i + 1) == '[' || line.charAt(i + 1) == '{') =>
+          val oc = line.charAt(i + 1)
+          if (oc == '[' && line.startsWith("]|", i + 2)) { sb.append("|[]|"); i += 4 }
+          else if (oc == '{' && line.startsWith("}|", i + 2)) {
+            // empty map renders `|{` newline `}|` (formatter.go formatMap)
+            sb.append("|{"); sb.append('\n'); pad(depth); sb.append("}|"); i += 4
+          } else {
+            sb.append('|').append(oc); depth += 1
+            kinds.push(if (oc == '{') 'm' else 'v')
+            sb.append('\n'); pad(depth); i += 2
+          }
+        case '}' | ']' =>
+          depth -= 1
+          if (kinds.nonEmpty) { if (kinds.pop() == 'r') atKey.pop(): Unit }
+          sb.append('\n'); pad(depth)
+          if (i + 1 < n && line.charAt(i + 1) == '|') { sb.append(c).append('|'); i += 2 }
+          else { sb.append(c); i += 1 }
+        case ',' =>
+          if (kinds.nonEmpty && kinds.top == 'r') { atKey.pop(); atKey.push(true) }
+          sb.append(','); sb.append('\n'); pad(depth); i += 1
+        case ':' =>
+          if (kinds.nonEmpty && kinds.top == 'r' && atKey.top) {
+            atKey.pop(); atKey.push(false); sb.append(": ")
+          } else sb.append(':')
+          i += 1
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 }

@@ -56,6 +56,27 @@ object ZType {
 
   def strip(t: ZType): ZType = t match { case Named(_, i) => strip(i); case other => other }
 
+  /** zson/zson.go Implied: types whose values never need a decorator. */
+  def implied(t: ZType): Boolean = t match {
+    case Prim("int64" | "duration" | "time" | "float64" | "bool" | "bytes" |
+         "string" | "ip" | "net" | "type" | "null") => true
+    case Rec(fs) => fs.forall(f => implied(f._2))
+    case Arr(e) => implied(e)
+    case SetT(e) => implied(e)
+    case MapT(k, v) => implied(k) && implied(v)
+    case ErrT(i) => implied(i)
+    case _ => false
+  }
+
+  /** zson/zson.go SelfDescribing: the named-type decorator can use the
+    * abbreviated `(=name)` form because the value alone implies the type.
+    */
+  def selfDescribing(t: ZType): Boolean = implied(t) || (t match {
+    case Rec(_) | Arr(_) | SetT(_) | MapT(_, _) => true
+    case Named(_, i) => selfDescribing(i)
+    case _ => false
+  })
+
   /** A TOP-LEVEL typed-null record's shape text is "null(<rec>)": the
     * relational row is all-null (indistinguishable from {a:null}); the
     * wrapper in the shape tag is what lets writers re-emit `null` and

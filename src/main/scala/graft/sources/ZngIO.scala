@@ -418,8 +418,11 @@ object ZngIO {
       else Seq.empty
     }
     // FAST path: every shape compiles to a typed internal-row encoder —
-    // one pass over internal rows, zero external-Row materialization
-    val fastEncoders: Option[Map[String, (ZT, Array[(Int, (ByteBuf, SpecializedGetters, Int) => Unit)])]] =
+    // one pass over internal rows, zero external-Row materialization.
+    // Encoder lambdas hold scratch ByteBufs, so the map is rebuilt inside
+    // each partition; the driver only validates that every shape compiles.
+    def buildEncoders(sch: StructType)
+        : Option[Map[String, (ZT, Array[(Int, (ByteBuf, SpecializedGetters, Int) => Unit)])]] =
       if (shapes.isEmpty) None
       else {
         val built = shapes.map { tag =>
@@ -428,9 +431,9 @@ object ZngIO {
             ZType.strip(zt0) match {
               case ZType.Rec(fs) =>
                 val colEncs = fs.map { case (n, ft) =>
-                  val ci = schema.fieldNames.indexOf(n)
+                  val ci = sch.fieldNames.indexOf(n)
                   if (ci < 0) None
-                  else shapeFieldEncoder(ft, schema.fields(ci).dataType).map(ci -> _)
+                  else shapeFieldEncoder(ft, sch.fields(ci).dataType).map(ci -> _)
                 }
                 if (colEncs.exists(_.isEmpty)) None
                 else Some(tag -> (toZT(zt0), colEncs.map(_.get).toArray))
@@ -442,9 +445,10 @@ object ZngIO {
       }
     HadoopFs.prepareDir(df.sparkSession, path)
     val confMap = HadoopFs.confMap(df.sparkSession)
-    fastEncoders match {
-      case Some(encMap) =>
+    buildEncoders(schema) match {
+      case Some(_) =>
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          val encMap = buildEncoders(schema).get
           val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
           val table = new ZtTable
           val ids = encMap.map { case (tag, (t, _)) => tag -> table.idOf(t) }

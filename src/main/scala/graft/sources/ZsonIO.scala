@@ -143,12 +143,34 @@ object ZsonIO {
             case ZType.Prim(_) => true
             case _ => false
           })
-          if (nonImplied || named)
-            when(c.isNull, lit(s"null($txt)")).otherwise(concat(base, lit(s"($txt)")))
-          else stripped match {
-            case ZType.Prim("null") => base
-            case _: ZType.EnumT => base // %sym form carries no null deco
-            case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
+          // a named type over a self-describing value uses the abbreviated
+          // `(=name)` typedef (zson/formatter.go decorate / SelfDescribing)
+          val namedSelf = t match {
+            case ZType.Named(n, _) if ZType.selfDescribing(t) => Some(n)
+            case _ => None
+          }
+          namedSelf match {
+            case Some(n) =>
+              when(c.isNull, lit(s"null($txt)"))
+                .otherwise(concat(base, lit(s"(=$n)")))
+            case None =>
+              if (nonImplied || named)
+                when(c.isNull, lit(s"null($txt)")).otherwise(concat(base, lit(s"($txt)")))
+              else stripped match {
+                case ZType.Prim("null") => base
+                case _: ZType.EnumT => base // %sym form carries no null deco
+                // an EMPTY container cannot imply its type — it decorates
+                // like a null (zson/formatter.go formatVector null return)
+                case (ZType.Arr(_) | ZType.SetT(_)) if dt.isInstanceOf[ArrayType] =>
+                  when(c.isNull, lit(s"null($txt)"))
+                    .when(size(c) === 0, concat(base, lit(s"($txt)")))
+                    .otherwise(base)
+                case ZType.MapT(_, _) if dt.isInstanceOf[MapType] =>
+                  when(c.isNull, lit(s"null($txt)"))
+                    .when(size(map_keys(c)) === 0, concat(base, lit(s"($txt)")))
+                    .otherwise(base)
+                case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
+              }
           }
         case _ => base
       }

@@ -421,7 +421,14 @@ object MdtestHarness {
         args(i) match {
           case "-z" => format = "zson"; explicitFmt = true; i += 1
           case "-Z" => format = "zson-pretty"; explicitFmt = true; i += 1
-          case "-f" => format = args(i + 1); explicitFmt = true; i += 2
+          case "-f" =>
+            // reference -f zson defaults to pretty=4 (cli/outputflags); the
+            // compact line form is the -z shortcut
+            format = args(i + 1) match {
+              case "zson" => "zson-pretty"
+              case v => v
+            }
+            explicitFmt = true; i += 2
           case "-j" | "-J" => format = "json"; jFlag = true; i += 1
           case "-i" => inFmt = Some(args(i + 1)); i += 2
           case "-c" => query = Some(args(i + 1)); i += 2
@@ -494,6 +501,9 @@ object MdtestHarness {
           throw new RuntimeException(
             s"stdin: format detection error: ${e.getMessage}")
       }
+
+    private def goDetectionError(source: String, text: String): String =
+      Formats.detectionError(source, text)
 
     /** Could this stdin text be ANY known format? (anyio detection) */
     private def plausibleStdin(text: String): Boolean = {
@@ -641,14 +651,17 @@ object MdtestHarness {
     private def renderOut(res: DataFrame, f: QFlags): String = {
       f.split.foreach { dir => return renderSplit(res, f, dir) }
       val lines: Seq[String] = f.format match {
-        case "zson" | "zson-pretty" => ZsonIO.toZson(res).collect().toSeq
+        case "zson" => ZsonIO.toZson(res).collect().toSeq
+        case "zson-pretty" =>
+          ZsonIO.toZson(res).collect().toSeq
+            .map(graft.sources.ZFormat.prettyZson(_))
         case "csv" => graft.sources.ZFormat.csvLines(res)
         case "zeek" => graft.sources.ZFormat.zeekLines(res).collect().toSeq
         case "zjson" => graft.sources.ZjsonIO.typedLines(res)
         case "json" => graft.sources.ZFormat.jsonLines(res)
         case "table" => Formats.tableLines(res).collect().toSeq
         case "text" => Formats.textLines(res).collect().toSeq
-        case "parquet" | "zng" | "vng" | "zst" =>
+        case "parquet" | "zng" | "vng" | "zst" | "arrows" | "arrow" =>
           f.outFile match {
             case Some(out) =>
               Formats.write(res, filePath(out), f.format)
@@ -804,10 +817,31 @@ object MdtestHarness {
         .orElse(env.get("XDG_DATA_HOME").filter(_.nonEmpty).map(_ + "/zed"))
         .getOrElse(workDir.resolve(".lake-default").toString)
       // an http lake (the in-process service) resolves to its backing
-      // root — the CLI and the REST surface share the same lake state
-      if (raw.startsWith("http"))
-        serviceRoot.getOrElse(
-          throw new RuntimeException(s"$raw: no service running"))
+      // root — the CLI and the REST surface share the same lake state.
+      // Any OTHER http url is dialed for real so connection failures
+      // surface with Go's net/http wording (api/client/connection.go)
+      if (raw.startsWith("http")) {
+        if (env.get("SUPER_DB_LAKE").contains(raw) && serviceRoot.isDefined)
+          serviceRoot.get
+        else {
+          val u = new java.net.URI(raw)
+          val port = if (u.getPort >= 0) u.getPort else 80
+          try {
+            val s = new java.net.Socket()
+            s.connect(new java.net.InetSocketAddress(u.getHost, port), 2000)
+            s.close()
+            serviceRoot.getOrElse(
+              throw new RuntimeException(s"$raw: no service running"))
+          } catch {
+            case _: java.io.IOException =>
+              val hostIp =
+                if (u.getHost == "localhost") "127.0.0.1" else u.getHost
+              throw new RuntimeException(
+                s"""Post "$raw/query?ctrl=T": dial tcp $hostIp:$port: """ +
+                  "connect: connection refused")
+          }
+        }
+      }
       else filePath(raw)
     }
 
@@ -834,14 +868,19 @@ object MdtestHarness {
             val h = args(i + 1)
             val ix = h.indexOf(':')
             headers :+= (h.take(ix).trim -> h.drop(ix + 1).trim); i += 2
-          case "-d" | "--data-binary" | "--data" =>
+          case d @ ("-d" | "--data-binary" | "--data") =>
             val v = args(i + 1)
-            data = Some(
+            val bytes =
               if (v == "@-") stdin.getOrElse("").getBytes("ISO-8859-1")
               else if (v.startsWith("@"))
                 java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(filePath(v.drop(1))))
-              else v.getBytes("UTF-8"))
+              else v.getBytes("UTF-8")
+            // curl -d/--data strips CR/LF from the input; --data-binary
+            // sends it verbatim
+            data = Some(
+              if (d == "--data-binary") bytes
+              else bytes.filter(b => b != '\n' && b != '\r'))
             i += 2
           case "-w" => writeOut = Some(args(i + 1)); i += 2
           case "-o" => outSink = Some(args(i + 1)); i += 2
@@ -880,10 +919,15 @@ object MdtestHarness {
             body.getBytes("ISO-8859-1"))
         case None => sb.append(body)
       }
-      writeOut.foreach(w =>
-        sb.append(w.replace("%{response_code}", code.toString))
-          .append(if (w.endsWith("\\n")) "" else "\n"))
-      sb.toString.replace("\\n", "\n")
+      writeOut.foreach { w =>
+        // the \n unescape belongs to the -w FORMAT only — response
+        // bodies may legitimately contain literal \n escapes (JSON)
+        val rendered = w.replace("%{response_code}", code.toString)
+          .replace("\\n", "\n")
+        sb.append(rendered)
+        if (!rendered.endsWith("\n")) sb.append("\n")
+      }
+      sb.toString
     }
 
     /** A pool's pools.Config value as decorated ZSON (lake/pools). */
@@ -934,6 +978,11 @@ object MdtestHarness {
         case "-q" => quiet = true; args = args.drop(1)
         case _ => parsing = false
       }
+      // name lookups through the api client quote the pool (%q —
+      // lake/api/api.go:68); the local CLI path reports it bare
+      val viaHttp =
+        lake.orElse(env.get("SUPER_DB_LAKE").filter(_.nonEmpty))
+          .exists(_.startsWith("http"))
       val root = lakeRoot(lake)
       val lk = graft.sources.Lake
       if (args.head != "init" && !java.nio.file.Files.isDirectory(
@@ -941,7 +990,10 @@ object MdtestHarness {
         throw new RuntimeException(s"$root: lake does not exist\n" +
           "(hint: run 'zed init' to initialize lake at this location)")
       def requirePool(p: String): Unit =
-        if (!lk.exists(root, p)) throw new RuntimeException(s"$p: pool not found")
+        if (!lk.exists(root, p)) {
+          val shown = if (viaHttp) "\"" + p + "\"" else p
+          throw new RuntimeException(s"$shown: pool not found")
+        }
       args.head match {
         case "init" =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -1056,7 +1108,8 @@ object MdtestHarness {
             case Some(fmt) if pools.nonEmpty =>
               val zson = pools.map(pn => poolConfigZson(root, pn)).mkString("\n")
               val df = graft.sources.ZsonReader.fromText(spark, zson)
-              renderOut(df, QFlags(fmt, None, None, Seq.empty, Seq.empty,
+              val outFmt = if (fmt == "zson") "zson-pretty" else fmt
+              renderOut(df, QFlags(outFmt, None, None, Seq.empty, Seq.empty,
                 useStdin = false, None, quiet = false))
             case _ =>
               pools.map { pn =>
@@ -1231,7 +1284,23 @@ object MdtestHarness {
           val (pool, branch) = headTarget(target)
           requirePool(pool)
           val frames = rest.map {
-            case "-" => buildStdinFrame(stdin.getOrElse(""), None)
+            case "-" =>
+              val text = stdin.getOrElse("")
+              if (viaHttp && text.trim.isEmpty)
+                // the server rejects an empty load (handlers.go:473) and
+                // the client reports its status line
+                throw new RuntimeException(
+                  "status code 400: no records in request")
+              if (!isBinaryText(text) && !plausibleStdin(text)) {
+                // over http the server ALSO rejects the empty load after
+                // the client's detection report
+                val tail =
+                  if (viaHttp) "\nstatus code 400: no records in request"
+                  else ""
+                throw new RuntimeException(
+                  goDetectionError("stdio:stdin", text) + tail)
+              }
+              buildStdinFrame(text, None)
             case fn => Formats.read(spark, filePath(fn))
           }
           val df = combineFrames(frames)

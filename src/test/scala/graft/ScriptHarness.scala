@@ -288,8 +288,15 @@ object ScriptHarness {
           else ""
       }
       if (o.isRegex)
-        java.util.regex.Pattern.compile(o.text.trim, java.util.regex.Pattern.DOTALL)
+        java.util.regex.Pattern.compile(lenientBraces(o.text.trim),
+            java.util.regex.Pattern.DOTALL)
           .matcher(actual).find()
       else o.text == actual || o.text.trim == actual.trim
     }
+
+  /** Go's RE2 treats a `{` that does not begin a valid repetition as a
+    * literal; Java throws. Escape those so reference patterns compile.
+    */
+  private def lenientBraces(re: String): String =
+    re.replaceAll("""(?<!\\)\{(?!\d+(,\d*)?\})""", """\\{""")
 }

@@ -16,7 +16,7 @@ class SvcOne extends AnyFunSuite {
           println("--- stderr ---"); println(r.stderr)
           println("match=" + ScriptHarness.matches(c, r))
           c.outputs.foreach(o => { println(s"--- want ${o.name} (re=${o.isRegex}) ---"); println(o.text) })
-        } catch { case e: Throwable => println("ERR: " + e) }
+        } catch { case e: Throwable => println("ERR: " + e); e.printStackTrace() }
       }
     }
   }
