@@ -261,13 +261,18 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     * empty warnings list keeps its `[string]` decorator; JSON flattens
     * both (zson marshal → jsonio).
     */
-  private def commitResponse(ex: HttpExchange, id: String): String = {
+  private def commitResponse(ex: HttpExchange, id: String,
+      warningsEmpty: Boolean = true): String = {
     val hex = try graft.functions.Ksuid.decodeHex(id)
               catch { case _: Exception => "00" * 20 }
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    // load initializes warnings to an EMPTY slice; other commit paths
+    // leave it nil → null([string]) (service/handlers.go warningsReader)
     if (accept.contains("application/json"))
-      s"""{"commit":"0x$hex","warnings":[]}""" + "\n"
-    else s"""{commit:0x$hex(=ksuid.KSUID),warnings:[]([string])}""" + "\n"
+      s"""{"commit":"0x$hex","warnings":${if (warningsEmpty) "[]" else "null"}}""" + "\n"
+    else
+      s"""{commit:0x$hex(=ksuid.KSUID),warnings:${
+        if (warningsEmpty) "[]" else "null"}([string])}(=api.CommitResponse)""" + "\n"
   }
 
   /** /pool routes: the base create (JSON body), /pool/<name> delete /
@@ -322,12 +327,18 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         try {
           val scanDf = Lake.scan(spark, root, pool, Some(branch))
           val kept = Graft.queryOn(scanDf, s"where !($where)")
+          // nothing matched → the commit would be empty (commits.go
+          // ErrEmptyTransaction surfaces as a 400)
+          if (kept.count() == scanDf.count()) {
+            jerr(ex, 400, "invalid operation", "empty transaction")
+            return
+          }
           val old = Lake.commitsOn(root, pool, branch)
             .filter(_.kind == "commit").map(_.id)
           val id = Lake.load(kept.drop(graft.operators.Het.typeTag), root, pool,
             branch = branch, message = s"delete where $where")
           old.foreach(cid => Lake.delete(root, pool, cid, branch))
-          respond(ex, 200, commitResponse(ex, id))
+          respond(ex, 200, commitResponse(ex, id, warningsEmpty = false))
         } finally spark.conf.unset("graft.lake.root")
       case ("POST", Seq("pool", pool0, "branch", branch)) =>
         // the pool segment accepts a name OR its ksuid id (lakeparse)
@@ -401,7 +412,13 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
 
   private def jsonField(body: String, name: String): Option[String] =
     try {
-      val node = json.readTree(body)
+      // request bodies are ZSON (the service default format) — a superset
+      // of JSON with unquoted field names; jackson in lenient mode covers
+      // the record-of-primitives shape these requests use
+      val lenient = json.reader()
+        .`with`(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
+        .`with`(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+      val node = lenient.readTree(body)
       Option(node.get(name)).map(n =>
         if (n.isTextual) n.asText() else n.toString)
     } catch { case _: Exception => None }
@@ -432,6 +449,8 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     val accepted = Seq("application/json", "application/x-zson", "text/plain",
       "text/tab-separated-values", "text/csv", "application/x-zng",
+      "application/x-ndjson", "application/x-zeek", "application/x-zjson",
+      "application/x-vng",
       "application/x-parquet", "application/vnd.apache.arrow.stream", "*/*")
     val chosen = accept.split(",").map(_.trim.takeWhile(_ != ';'))
       .find(a => a.isEmpty || accepted.contains(a))
@@ -484,8 +503,18 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       val df = try Graft.query(spark, root, q)
                finally spark.conf.unset("graft.lake.root")
       val fmt = chosen.getOrElse("application/json")
+      // ?ctrl= parses with Go's strconv.ParseBool semantics
+      val ctrlRaw = query(ex).get("ctrl")
+      val boolTrue = Set("1", "t", "T", "TRUE", "true", "True")
+      val boolFalse = Set("0", "f", "F", "FALSE", "false", "False")
+      ctrlRaw.filterNot(v => boolTrue(v) || boolFalse(v)).foreach { v =>
+        jerr(ex, 400, "invalid operation",
+          s"""invalid query param "$v": strconv.ParseBool: parsing "$v": invalid syntax""")
+        return
+      }
+      val ctrl = ctrlRaw.exists(boolTrue)
       fmt match {
-        case "application/json" | "*/*" | "" | "text/plain" =>
+        case "application/json" | "text/plain" =>
           val rows = graft.sources.ZFormat.jsonLines(df)
           respond(ex, 200, rows.mkString("[", ",", "]") + "\n")
         case "text/csv" =>
@@ -494,6 +523,63 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         case "text/tab-separated-values" =>
           val lines = graft.sources.ZFormat.csvLines(df, "\t")
           respond(ex, 200, lines.mkString("", "\n", "\n"), "text/tab-separated-values")
+        case "application/x-ndjson" =>
+          respond(ex, 200,
+            graft.sources.ZFormat.jsonLines(df).mkString("", "\n", "\n"),
+            "application/x-ndjson")
+        case "application/x-zeek" =>
+          respond(ex, 200,
+            graft.sources.ZFormat.zeekLines(df).collect()
+              .mkString("", "\n", "\n"), "application/x-zeek")
+        case "application/x-zjson" =>
+          // the control-capable format: channel framing + end-of-query
+          // stats ride as typed control messages (api.go QueryChannelSet/
+          // QueryChannelEnd/QueryStats) when ctrl is requested; a fork
+          // with named outputs frames each leg as its own channel
+          val legs: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+            val outs =
+              try Graft.queryOutputs(spark, root, q)
+              catch { case _: Exception => Seq.empty }
+            if (outs.length > 1) outs else Seq("main" -> df)
+          }
+          val sb = new StringBuilder
+          for ((name, leg) <- legs) {
+            if (ctrl)
+              sb.append(s"""{"type":"QueryChannelSet","value":{"channel":"${Service.esc(name)}"}}""" + "\n")
+            graft.sources.ZjsonIO.typedLines(leg).foreach(l => sb.append(l).append('\n'))
+            if (ctrl)
+              sb.append(s"""{"type":"QueryChannelEnd","value":{"channel":"${Service.esc(name)}"}}""" + "\n")
+          }
+          if (ctrl) {
+            val (n, vb) = firstFrom.map(_.takeWhile(c => c != '@' && c != ':')) match {
+              case Some(p) if Lake.exists(root, p) => Lake.scanStats(root, p)
+              case _ => (0L, 0L)
+            }
+            val sec = System.currentTimeMillis() / 1000
+            sb.append(s"""{"type":"QueryStats","value":{"start_time":{"sec":$sec,"ns":123456789},"update_time":{"sec":$sec,"ns":123456789},"bytes_read":$vb,"bytes_matched":$vb,"records_read":$n,"records_matched":$n}}""" + "\n")
+          }
+          respond(ex, 200, sb.toString, "application/x-zjson")
+        case "application/x-parquet" | "application/x-vng" |
+             "application/vnd.apache.arrow.stream" | "application/x-zng" =>
+          val wfmt = fmt match {
+            case "application/x-parquet" => "parquet"
+            case "application/x-vng" => "vng"
+            case "application/x-zng" => "zng"
+            case _ => "arrows"
+          }
+          val d = java.nio.file.Files.createTempDirectory("svcresp")
+          val p = d.resolve(s"out.$wfmt")
+          Formats.write(df.coalesce(1), p.toString, wfmt)
+          val bos = new java.io.ByteArrayOutputStream()
+          java.nio.file.Files.list(p).iterator().forEachRemaining { pp =>
+            if (pp.getFileName.toString.startsWith("part-"))
+              bos.write(java.nio.file.Files.readAllBytes(pp))
+          }
+          val bytes = bos.toByteArray
+          ex.getResponseHeaders.add("Content-Type", fmt)
+          ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+          ex.getResponseBody.close()
         case _ =>
           // stream (chunked) like the main /query path — a large x-zson
           // response must never buffer whole on the driver

@@ -85,14 +85,17 @@ case class GoReReplace(first: Expression, second: Expression, third: Expression)
       t: Expression): GoReReplace = copy(first = f, second = s, third = t)
 }
 
-object GoReExpr {
+object GoReExpr extends Serializable {
 
   private val STRING = UTF8String.fromString("string")
   private val ARR_STRING = UTF8String.fromString("[string]")
   private val ERR_STRING = UTF8String.fromString("error(string)")
 
-  /** Per-thread compiled-pattern cache (search loops reuse one regex). */
-  private val cache = new ThreadLocal[java.util.LinkedHashMap[String, AnyRef]] {
+  /** Per-thread compiled-pattern cache (search loops reuse one regex).
+    * Transient: ThreadLocal is not serializable, and the module's
+    * readResolve restores the singleton (with its cache) on the far side.
+    */
+  @transient private lazy val cache = new ThreadLocal[java.util.LinkedHashMap[String, AnyRef]] {
     override def initialValue() =
       new java.util.LinkedHashMap[String, AnyRef](64, 0.75f, true) {
         override def removeEldestEntry(

@@ -110,8 +110,15 @@ object Formats {
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
     else if (lower.endsWith(".csv")) readCsv(spark, path)
     else if (lower.endsWith(".tsv")) readCsv(spark, path, "\t")
-    else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
-      JsonIO.read(spark, path) // zed-typed: field order kept, array = one value
+    else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) {
+      // a .json name does not guarantee strict JSON — the reference
+      // detects by content (anyio), and zson-in-.json is common (service
+      // responses piped to files). Sniff to pick the typed reader.
+      sniff(spark, path) match {
+        case "zson" => ZsonIO.read(spark, path)
+        case _ => JsonIO.read(spark, path) // zed-typed: field order kept
+      }
+    }
     else if (lower.endsWith(".zson")) ZsonIO.read(spark, path)
     else if (lower.endsWith(".zng")) ZngIO.read(spark, path)
     else if (lower.endsWith(".vng")) VngIO.read(spark, path)

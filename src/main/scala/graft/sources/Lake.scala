@@ -24,7 +24,7 @@ object Lake {
                           keyMin: Option[String] = None,
                           keyMax: Option[String] = None,
                           meta: String = "", rows: Long = -1L, bytes: Long = -1L,
-                          shapes: Seq[String] = Seq.empty)
+                          shapes: Seq[String] = Seq.empty, vbytes: Long = -1L)
 
   private def poolDir(root: String, pool: String) = Paths.get(root, pool)
   private def journal(root: String, pool: String) = poolDir(root, pool).resolve("commits.jsonl")
@@ -166,17 +166,24 @@ object Lake {
     // ztest pins it); computed exactly for small objects, approximated by
     // the parquet footprint for big ones (a second serialization pass at
     // scale would double the write cost)
-    val bytes =
+    val (bytes, vbytes) =
       if (rows >= 0 && rows <= 100000) {
         try {
           val tmp = Files.createTempDirectory("zngsize")
           try {
-            ZngIO.write(df.sparkSession.read.parquet(dataDir.toString), tmp.toString)
-            Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+            // serialize the ORIGINAL tagged frame (shape metadata intact)
+            // as ONE stream — matches the reference's single-object zng
+            // byte count exactly (writer framing is byte-identical); the
+            // value-body sum is the scanner's bytes_read statistic
+            ZngIO.write(df.coalesce(1), tmp.toString)
+            val sz = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
               .filter(_.isFile).map(_.length()).sum
+            val vb = try ZngIO.valueByteSum(tmp.toString)
+                     catch { case _: Exception => -1L }
+            (sz, vb)
           } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
-        } catch { case _: Exception => files.map(_.length()).sum }
-      } else files.map(_.length()).sum
+        } catch { case _: Exception => (files.map(_.length()).sum, -1L) }
+      } else (files.map(_.length()).sum, -1L)
     val metaJson =
       if (meta.isEmpty) "" else s""","meta":"${meta.replace("\\", "\\\\").replace("\"", "\\\"")}""""
     // a TAGGED frame keeps per-row shapes through the lake: the tag
@@ -192,7 +199,7 @@ object Lake {
         .mkString(""","shapes":[""", ",", "]")
     }
     appendRec(root, pool,
-      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson$metaJson$shapesJson,"rows":$rows,"bytes":$bytes,"ts":${System.currentTimeMillis()}}""")
+      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson$metaJson$shapesJson,"rows":$rows,"bytes":$bytes,"vbytes":$vbytes,"ts":${System.currentTimeMillis()}}""")
     id
   }
 
@@ -214,7 +221,7 @@ object Lake {
     val shapesJ =
       if (c.shapes.isEmpty) ""
       else c.shapes.map(t => "\"" + esc(t) + "\"").mkString(""","shapes":[""", ",", "]")
-    s"""{"id":"${c.id}","kind":"commit","branch":"$branch","author":"${esc(c.author)}","message":"${esc(message)}"$range$metaJ$shapesJ,"rows":${c.rows},"bytes":${c.bytes},"ts":${System.currentTimeMillis()}}"""
+    s"""{"id":"${c.id}","kind":"commit","branch":"$branch","author":"${esc(c.author)}","message":"${esc(message)}"$range$metaJ$shapesJ,"rows":${c.rows},"bytes":${c.bytes},"vbytes":${c.vbytes},"ts":${System.currentTimeMillis()}}"""
   }
 
   private def appendRec(root: String, pool: String, rec: String): Unit =
@@ -270,6 +277,7 @@ object Lake {
     val rowsRe = """"rows":(-?\d+)""".r
     val shapesRe = """"shapes":\[(.*?)\]""".r
     val bytesRe = """"bytes":(-?\d+)""".r
+    val vbytesRe = """"vbytes":(-?\d+)""".r
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(journal(root, pool))).asScala.toSeq
       .filter(_.nonEmpty)
@@ -291,7 +299,8 @@ object Lake {
           shapesRe.findFirstMatchIn(l).map(_.group(1)).map { arr =>
             """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)
               .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-          }.getOrElse(Seq.empty))
+          }.getOrElse(Seq.empty),
+          vbytesRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(-1L))
       }
   }
 
@@ -324,6 +333,18 @@ object Lake {
     * AFTER a delete (revert-of-delete) restores the object, and a delete
     * after a commit removes it, exactly like the reference's journal replay.
     */
+  /** (records, value-body bytes) over a branch's LIVE objects — the
+    * scanner's records_read / bytes_read statistics for a full pool scan
+    * (runtime progress counters; bytes count val.Bytes() sizes).
+    */
+  def scanStats(root: String, pool: String, branch: String = "main"): (Long, Long) = {
+    val vis = visibleOn(commits(root, pool), branch)
+    val live = liveIds(vis).toSet
+    val cs = vis.filter(c => c.kind == "commit" && live.contains(c.id))
+    (cs.map(c => math.max(0L, c.rows)).sum,
+      cs.map(c => math.max(0L, c.vbytes)).sum)
+  }
+
   private def liveIds(visible: Seq[Commit]): Seq[String] =
     visible.foldLeft(Vector.empty[String]) { (live, c) =>
       c.kind match {

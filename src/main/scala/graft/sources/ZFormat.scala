@@ -24,6 +24,10 @@ object ZFormat {
   import ZValue._
   import ZType._
 
+  /** Multi-shape input to the single-type csv writer (zio/csvio). */
+  final class CsvShapeError(val partial: Seq[String]) extends RuntimeException(
+    "CSV output requires uniform records but multiple types encountered (consider 'fuse')")
+
   // ---- per-row typed-value reconstruction ----------------------------------
 
   /** Build a serializable Row => ZValue for df's schema: per-row shape from
@@ -628,6 +632,11 @@ object ZFormat {
           }
           if (leaves.map(_._1) == header)
             out += leaves.map(f => csvQuote(cell(f._2))).mkString(sep)
+          else
+            // the reference csv writer takes the FIRST record's type and
+            // fails on any other (zio/csvio/writer.go) — partial output
+            // already rendered rides the error
+            throw new CsvShapeError(out.toSeq)
         case _ => // non-record: reference raises an error (stderr); skipped
       }
     }

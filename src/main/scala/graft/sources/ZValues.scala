@@ -24,7 +24,7 @@ import graft.operators.Het
   *     remaining plain string comparisons Catalyst can codegen.
   */
 sealed trait ZType
-object ZType {
+object ZType extends Serializable {
   final case class Prim(name: String) extends ZType
   final case class Rec(fields: Vector[(String, ZType)]) extends ZType
   final case class Arr(elem: ZType) extends ZType
@@ -1778,7 +1778,12 @@ object ZsonReader {
     val nsTime = values0.exists(hasSubMicroTime)
     val (cleaned, full) = frameSchema(shapeTexts, tag, nsTime)
     val rows = values0.map(rowOf(_, cleaned, tag))
+    // one partition: createDataFrame's default parallelism split makes
+    // downstream writes multi-part, and Spark orders read splits by SIZE
+    // — a 2-row stdin frame would come back reordered after a lake
+    // round-trip. Driver-materialized values are small by construction.
     spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), full)
+      .coalesce(1)
   }
 
   /** Distributed typed frame: two passes over the value RDD (shape

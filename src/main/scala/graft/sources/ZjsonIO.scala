@@ -418,9 +418,15 @@ object ZjsonIO extends Serializable {
       it.map { line =>
         val node = mapper.readTree(line)
         var t = node.get("type")
-        if (t.get("kind").asText() == "ref") t = typesById(t.get("id").asInt())
-        else register(t)
-        toZson(t, node.get("value"), typesById)
+        if (t != null && t.isTextual)
+          // control message ({"type":"QueryChannelEnd",...}): surfaces as
+          // a plain record value, like reading the json as data
+          JsonIO.parse(line).map(ZValue.zsonText).mkString(" ")
+        else {
+          if (t.get("kind").asText() == "ref") t = typesById(t.get("id").asInt())
+          else register(t)
+          toZson(t, node.get("value"), typesById)
+        }
       }
     }
     // typed decode (unions → variants, shape tags), fully distributed:

@@ -187,9 +187,38 @@ object ZngIO {
     }
   }
 
+  private lazy val lz4Comp =
+    net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+
+  private def sizeOfUvarint(v: Long): Int = {
+    var n = 1; var x = v >>> 7
+    while (x != 0) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** One block with the reference writer's framing (zngio/writer.go
+    * writeBlock): LZ4-compress, keep the compressed form only when it is
+    * smaller than the raw payload (pierrec CompressBlock into a buffer of
+    * the payload's size), else raw.
+    */
   private[sources] def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val len = payload.length
+    if (len > 0) {
+      val zbuf = new Array[Byte](len) // must beat the raw size to be kept
+      val zlen =
+        try lz4Comp.compress(payload, 0, len, zbuf, 0, len)
+        catch { case _: Exception => -1 }
+      if (zlen > 0 && zlen < len) {
+        val total = zlen + 1 + sizeOfUvarint(len.toLong)
+        out.write((t << 4) | (total & 0xf) | 0x40)
+        uvarint(out, (total >> 4).toLong)
+        out.write(0x00) // CompressionFormatLZ4
+        uvarint(out, len.toLong)
+        out.write(zbuf, 0, zlen)
+        return out.toByteArray
+      }
+    }
     out.write((t << 4) | (len & 0xf)) // V=0, C=0, T, L
     uvarint(out, (len >> 4).toLong)
     out.write(payload, 0, payload.length)
@@ -640,13 +669,11 @@ object ZngIO {
     val tf = frame(0, table.defs.toByteArray) // types frame
     out.write(tf, 0, tf.length)
     val values = new ByteBuf(1 << 20)
-    val header = new ByteBuf(16)
     def flush(): Unit = {
-      header.reset()
-      header.writeByte((1 << 4) | (values.size & 0xf)) // V=0, C=0, T=1, L
-      header.writeUvarint((values.size >> 4).toLong)
-      header.writeTo(out)
-      values.writeTo(out)
+      // shared frame writer: LZ4-compresses when smaller, like the
+      // external encoder — the two paths stay byte-identical
+      val vf = frame(1, values.toByteArray)
+      out.write(vf, 0, vf.length)
       values.reset()
     }
     val encs = schema.fields.map(f => internalFieldEncoder(f.dataType))
@@ -680,6 +707,56 @@ object ZngIO {
   private[sources] case class ZEnum(symbols: Seq[String]) extends ZT
   private[sources] case class ZError(inner: ZT) extends ZT
   private[sources] case class ZNamed(name: String, inner: ZT) extends ZT
+
+  /** Σ value-body byte lengths over a written zng file/dir — the
+    * reference's scan statistic (bytes_read counts val.Bytes() sizes,
+    * runtime scanner progress) — compression-independent.
+    */
+  def valueByteSum(path: String): Long = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(p => p.isFile && !p.getName.startsWith("_") &&
+            !p.getName.startsWith("."))
+          .sortBy(_.getName)
+      else Seq(f)
+    var sum = 0L
+    for (file <- files) {
+      val buf = java.nio.file.Files.readAllBytes(file.toPath)
+      val c = new Cursor(buf, 0)
+      while (!c.done) {
+        val code = c.u8()
+        if (code != 0xff) {
+          val compressed = (code & 0x40) != 0
+          val t = (code >> 4) & 0x3
+          val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+          val raw = c.bytes(len)
+          if (t == 1) { // values frame
+            val payload =
+              if (!compressed) raw
+              else {
+                val pc = new Cursor(raw, 0)
+                pc.u8() // format
+                val usize = pc.uvarint().toInt
+                val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+                val out = new Array[Byte](usize)
+                net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+                  .decompress(comp, 0, out, 0, usize)
+                out
+              }
+            val vc = new Cursor(payload, 0)
+            while (!vc.done) {
+              vc.uvarint() // type id
+              val tag = vc.uvarint()
+              if (tag > 0) { val n = (tag - 1).toInt; vc.pos += n; sum += n }
+            }
+          }
+        }
+      }
+    }
+    sum
+  }
 
   private[sources] final class Cursor(val buf: Array[Byte], var pos: Int) {
     def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }

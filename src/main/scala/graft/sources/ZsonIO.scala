@@ -197,10 +197,23 @@ object ZsonIO {
         case (StringType, Some(ZType.EnumT(_))) =>
           when(c.isNull, lit("null")).otherwise(concat(lit("%"), c))
         case (st: StructType, Some(ZType.Rec(zfs))) if !isVariantType(st) =>
-          val inner = concat_ws(",", st.fields.toIndexedSeq.map { f =>
-            concat(lit(zsonName(f.name) + ":"),
-              zsonOfZ(c.getField(f.name), f.dataType, zfs.find(_._1 == f.name).map(_._2)))
-          }: _*)
+          // render the SHAPE's fields (in shape order): the Spark struct
+          // may be a union of several nested shapes' fields, and fields
+          // outside this row's shape must not surface as nulls. Fields an
+          // operator added under this record (absent from the shape tag)
+          // append when NON-null — concat_ws drops null legs
+          val shapeNames = zfs.map(_._1).toSet
+          val legs: Seq[Column] =
+            zfs.collect { case (n, ft) if st.fieldNames.contains(n) =>
+              concat(lit(zsonName(n) + ":"),
+                zsonOfZ(c.getField(n), st(n).dataType, Some(ft)))
+            } ++ st.fields.toIndexedSeq.collect {
+              case f if !shapeNames.contains(f.name) =>
+                when(c.getField(f.name).isNotNull,
+                  concat(lit(zsonName(f.name) + ":"),
+                    zsonOfZ(c.getField(f.name), f.dataType, None)))
+            }
+          val inner = concat_ws(",", legs: _*)
           when(c.isNull, lit("null")).otherwise(concat(lit("{"), inner, lit("}")))
         case (ArrayType(et, _), Some(ZType.Arr(zet))) =>
           when(c.isNull, lit("null")).otherwise(concat(lit("["),

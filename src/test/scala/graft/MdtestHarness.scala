@@ -308,17 +308,28 @@ object MdtestHarness {
           // mask run-dependent ids/timestamps)
           val progs = seg.tail.filterNot(_ == "-e")
           var text = stdin.getOrElse("")
-          for (prog <- progs if prog.startsWith("s") && prog.length > 2) {
-            val d = prog.charAt(1)
-            val parts = prog.drop(2).split(java.util.regex.Pattern.quote(d.toString), -1)
-            if (parts.length >= 2) {
-              val (pat, rep) = (parts(0), parts(1))
-              val global = parts.lift(2).exists(_.contains("g"))
-              val repl = java.util.regex.Matcher.quoteReplacement(rep)
-              text = text.linesIterator.map { l =>
-                if (global) l.replaceAll(pat, repl)
-                else java.util.regex.Pattern.compile(pat).matcher(l).replaceFirst(repl)
-              }.mkString("", "\n", if (text.endsWith("\n")) "\n" else "")
+          for (prog0 <- progs) {
+            // optional line address: /regex/s<d>pat<d>rep<d>[g]
+            val (addr, prog) =
+              if (prog0.startsWith("/")) {
+                val close = prog0.indexOf('/', 1)
+                if (close > 0) (Some(prog0.substring(1, close)), prog0.drop(close + 1))
+                else (None, prog0)
+              } else (None, prog0)
+            if (prog.startsWith("s") && prog.length > 2) {
+              val d = prog.charAt(1)
+              val parts = prog.drop(2).split(java.util.regex.Pattern.quote(d.toString), -1)
+              if (parts.length >= 2) {
+                val (pat, rep) = (parts(0), parts(1))
+                val global = parts.lift(2).exists(_.contains("g"))
+                val repl = java.util.regex.Matcher.quoteReplacement(rep)
+                val addrRe = addr.map(java.util.regex.Pattern.compile(_))
+                text = text.linesIterator.map { l =>
+                  if (addrRe.exists(r => !r.matcher(l).find())) l
+                  else if (global) l.replaceAll(pat, repl)
+                  else java.util.regex.Pattern.compile(pat).matcher(l).replaceFirst(repl)
+                }.mkString("", "\n", if (text.endsWith("\n")) "\n" else "")
+              }
             }
           }
           text
@@ -392,7 +403,8 @@ object MdtestHarness {
       includes: Seq[String], files: Seq[String], useStdin: Boolean,
       outFile: Option[String], quiet: Boolean,
       split: Option[String] = None, splitSize: Option[Long] = None,
-      canonical: Boolean = false, noStop: Boolean = false)
+      canonical: Boolean = false, noStop: Boolean = false,
+      stats: Boolean = false)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
       var format = "zson"
@@ -409,6 +421,7 @@ object MdtestHarness {
       var jFlag = false
       var canonical = false
       var noStop = false
+      var stats = false
       var i = 0
       def sizeOf(v: String): Long =
         """(\d+)([KMG]?)B?""".r.findFirstMatchIn(v).map { m =>
@@ -435,7 +448,7 @@ object MdtestHarness {
           case "-I" => includes :+= args(i + 1); i += 2
           case "-o" => outFile = Some(args(i + 1)); i += 2
           case "-q" => quiet = true; i += 1
-          case "-s" => i += 1
+          case "-s" => stats = true; i += 1
           case "-split" => split = Some(args(i + 1)); i += 2
           case "-splitsize" => splitSize = Some(sizeOf(args(i + 1))); i += 2
           case f @ ("-aggmem" | "-sortmem") =>
@@ -484,7 +497,7 @@ object MdtestHarness {
       if (jFlag && explicitFmt)
         throw new RuntimeException("cannot use -j or -J with -f, -z, or -Z")
       QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet,
-        split, splitSize, canonical, noStop)
+        split, splitSize, canonical, noStop, stats)
     }
 
     private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame =
@@ -520,12 +533,14 @@ object MdtestHarness {
     private def buildStdinFrame0(text: String, inFmt: Option[String]): DataFrame = {
       if (inFmt.isEmpty && !isBinaryText(text) && !plausibleStdin(text))
         throw new RuntimeException("stdin: format detection error")
-      // binary zng on stdin (cat a.zng | …): bytes ride the string as
-      // ISO-8859-1 — round-trip to a temp file and scan it as zng
-      if (inFmt.contains("zng") ||
+      // binary formats on stdin (cat a.zng | …, curl | super -i arrows -):
+      // bytes ride the string as ISO-8859-1 — round-trip to a temp file
+      val binFmt = inFmt.filter(Set("zng", "vng", "parquet", "arrows", "arrow"))
+      if (binFmt.isDefined ||
           (inFmt.isEmpty && isBinaryText(text) && text.forall(_ <= 0xff))) {
         val d = java.nio.file.Files.createTempDirectory("mdstdin")
-        val p = d.resolve("stdin.zng")
+        val ext = binFmt.getOrElse("zng")
+        val p = d.resolve(s"stdin.$ext")
         java.nio.file.Files.write(p, text.getBytes("ISO-8859-1"))
         return Formats.read(spark, p.toString)
       }
@@ -655,7 +670,14 @@ object MdtestHarness {
         case "zson-pretty" =>
           ZsonIO.toZson(res).collect().toSeq
             .map(graft.sources.ZFormat.prettyZson(_))
-        case "csv" => graft.sources.ZFormat.csvLines(res)
+        case "csv" =>
+          try graft.sources.ZFormat.csvLines(res)
+          catch {
+            case e: graft.sources.ZFormat.CsvShapeError =>
+              throw new MdtestHarness.PartialOutput(
+                e.partial.mkString("", "\n", if (e.partial.isEmpty) "" else "\n"),
+                e.getMessage)
+          }
         case "zeek" => graft.sources.ZFormat.zeekLines(res).collect().toSeq
         case "zjson" => graft.sources.ZjsonIO.typedLines(res)
         case "json" => graft.sources.ZFormat.jsonLines(res)
@@ -887,7 +909,8 @@ object MdtestHarness {
           case "-sD" => dumpHeaders = args.lift(i + 1).contains("-")
             i += (if (dumpHeaders) 2 else 1)
           case "-s" | "-sS" | "--silent" => i += 1
-          case u if !u.startsWith("-") => url = u; i += 1
+          // the shell's \? escape (url\?a=b) reaches us verbatim
+          case u if !u.startsWith("-") => url = u.replace("\\?", "?"); i += 1
           case _ => i += 1
         }
       }
@@ -1363,6 +1386,15 @@ object MdtestHarness {
                   !java.nio.file.Files.exists(java.nio.file.Paths.get(filePath(t))))
                 caretErr(s"$pool: pool not found", q, 6,
                   if (t.length > pool.length) pool.length else t.length)
+              // `pool@ref` must name a branch or a commit (lakeparse)
+              if (t.contains("@") && graft.sources.Lake.exists(root, pool)) {
+                // pool@ref[:meta] — the meta suffix is not part of the ref
+                val ref = t.dropWhile(_ != '@').drop(1).takeWhile(_ != ':')
+                val lk = graft.sources.Lake
+                if (ref.nonEmpty && !lk.branches(root, pool).contains(ref) &&
+                    !lk.commits(root, pool).exists(_.id == ref))
+                  caretErr(s""""$ref": branch not found""", q, 1, q.length)
+              }
             }
             case _ =>
           }
@@ -1386,7 +1418,25 @@ object MdtestHarness {
           }
           spark.conf.set("graft.lake.root", root)
           try withCwd {
-            renderOut(Graft.query(spark, workDir.toString, q), f)
+            val out = renderOut(Graft.query(spark, workDir.toString, q), f)
+            if (f.stats) {
+              // -s: scanner progress counters on stderr (bytes count
+              // val.Bytes() sizes — the journal's vbytes stat)
+              val target = firstFrom.map {
+                case "HEAD" => useHead.map(_._1).getOrElse("")
+                case t => t.takeWhile(c => c != '@' && c != ':')
+              }.orElse(useHead.map(_._1)).getOrElse("")
+              if (target.nonEmpty && graft.sources.Lake.exists(root, target)) {
+                val br = firstFrom.filter(_.contains("@"))
+                  .map(_.dropWhile(_ != '@').drop(1))
+                  .orElse(useHead.map(_._2)).getOrElse("main")
+                val (n, vb) = graft.sources.Lake.scanStats(root, target, br)
+                stderrSink.append(
+                  s"{bytes_read:$vb,bytes_matched:$vb," +
+                  s"records_read:$n,records_matched:$n}").append('\n')
+              }
+            }
+            out
           } finally spark.conf.unset("graft.lake.root")
       }
     }

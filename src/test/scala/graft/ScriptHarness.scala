@@ -81,12 +81,20 @@ object ScriptHarness {
         else outputs += Output(curName.get, text, isRegex = false)
         i += 1
       } else if (section.nonEmpty && curName.isDefined &&
-          l.trim.matches("(data|regexp):( &\\S+)? \\|")) {
+          l.trim.matches("(data|regexp):( &\\S+)?( !!binary)? \\|")) {
         val isRe = l.trim.startsWith("regexp:")
+        val isBinary = l.trim.contains("!!binary")
         // yaml anchor: `data: &name |` registers the block for *name refs
         val anchor = "&(\\S+)".r.findFirstMatchIn(l.trim).map(_.group(1))
         val indent = l.indexOf(l.trim.head) + 2
-        val (b, j) = blockAt(i + 1, indent)
+        val (b0, j) = blockAt(i + 1, indent)
+        // !!binary: the block is base64 of raw bytes, which ride the
+        // harness as an ISO-8859-1 string like other binary fixtures
+        val b =
+          if (isBinary)
+            new String(java.util.Base64.getMimeDecoder.decode(
+              b0.replaceAll("\\s", "")), "ISO-8859-1")
+          else b0
         anchor.foreach(a => anchors(a) = b)
         if (section == "inputs") inputs += curName.get -> b
         else outputs += Output(curName.get, b, isRe)
@@ -163,21 +171,35 @@ object ScriptHarness {
             if (b.trim == "done") going = false else body += b
           }
           val bodyLines = body.result()
-          // quote-aware item split ("a b" is ONE item)
+          // quote-aware item split ("a b" is ONE item; "" is an EMPTY
+          // item) + single-level bash brace expansion (a{x,y}b)
+          def braceExpand(w: String): Seq[String] = {
+            val i = w.indexOf('{')
+            val j = if (i < 0) -1 else w.indexOf('}', i)
+            if (i < 0 || j < 0) Seq(w)
+            else {
+              val pre = w.take(i); val post = w.drop(j + 1)
+              w.substring(i + 1, j).split(",", -1).toSeq
+                .flatMap(m => braceExpand(pre + m + post))
+            }
+          }
           val itemList = {
             val out = Vector.newBuilder[String]
             val cur = new StringBuilder
             var inQ = false
+            var sawQ = false
             var qch = ' '
             for (ch <- items) {
               if (inQ) { if (ch == qch) inQ = false else cur.append(ch) }
-              else if (ch == '"' || ch == '\'') { inQ = true; qch = ch }
+              else if (ch == '"' || ch == '\'') { inQ = true; sawQ = true; qch = ch }
               else if (ch.isWhitespace) {
-                if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+                if (cur.nonEmpty || sawQ) { out += cur.toString; cur.clear() }
+                sawQ = false
               } else cur.append(ch)
             }
-            if (cur.nonEmpty) out += cur.toString
-            out.result()
+            if (cur.nonEmpty || sawQ) out += cur.toString
+            out.result().flatMap(w =>
+              if (w.contains('{') && w.contains('}')) braceExpand(w) else Seq(w))
           }
           for (item <- itemList) {
             for (b <- bodyLines)
@@ -229,8 +251,11 @@ object ScriptHarness {
             vars(n2) = v
           case _ =>
             val line = substitute(t1)
+            if (sys.env.contains("SCRIPT_TRACE")) println(s"+ $line")
             try {
               val out = sh.runBlock(line)
+              if (sys.env.contains("SCRIPT_TRACE"))
+                println(out.linesIterator.take(6).map("  | " + _).mkString("\n"))
               if (negated)
                 throw new AssertionError(s"expected failure: $line")
               stdout.append(out)
