@@ -231,6 +231,13 @@ object Formats {
     val conn = new java.net.URL(uri).openConnection()
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(60000)
+    conn match {
+      case h: java.net.HttpURLConnection if h.getResponseCode == 404 =>
+        // the reference surfaces remote 404s as the file error
+        // (zio/anyio: "<uri>: file does not exist")
+        throw new RuntimeException(s"$uri: file does not exist")
+      case _ =>
+    }
     val in = conn.getInputStream
     try java.nio.file.Files.copy(in, spool,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -24,7 +24,25 @@ object Lake {
                           keyMin: Option[String] = None,
                           keyMax: Option[String] = None,
                           meta: String = "", rows: Long = -1L, bytes: Long = -1L,
-                          shapes: Seq[String] = Seq.empty, vbytes: Long = -1L)
+                          shapes: Seq[String] = Seq.empty, vbytes: Long = -1L,
+                          wins: Seq[(Long, Long, String, String)] = Seq.empty)
+
+  /** Encode/decode the per-object seek windows `(count, vbytes, min,
+    * max)` as a journal-safe string (key texts URL-encoded).
+    */
+  private def winsEncode(ws: Seq[(Long, Long, String, String)]): String =
+    ws.map { case (c, v, mn, mx) =>
+      s"$c,$v,${java.net.URLEncoder.encode(mn, "UTF-8")},${java.net.URLEncoder.encode(mx, "UTF-8")}"
+    }.mkString(";")
+
+  private def winsDecode(s: String): Seq[(Long, Long, String, String)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(";", -1).toSeq.map { w =>
+      val p = w.split(",", -1)
+      (p(0).toLong, p(1).toLong,
+        java.net.URLDecoder.decode(p(2), "UTF-8"),
+        java.net.URLDecoder.decode(p(3), "UTF-8"))
+    }
 
   private def poolDir(root: String, pool: String) = Paths.get(root, pool)
   private def journal(root: String, pool: String) = poolDir(root, pool).resolve("commits.jsonl")
@@ -39,15 +57,39 @@ object Lake {
     * from parquet stats via the pushed predicate.
     */
   def create(root: String, pool: String, key: Option[String] = None,
-             order: String = "desc", explicitOrder: Boolean = false): String = {
+             order: String = "desc", explicitOrder: Boolean = false,
+             seekStride: Long = 65536L): String = {
     Files.createDirectories(poolDir(root, pool).resolve("data"))
     val id = graft.functions.Ksuid.newId()
     val keyJson = key.map(k => s""","key":"$k"""").getOrElse("")
     Files.write(poolDir(root, pool).resolve("pool.json"),
-      (s"""{"id":"$id"$keyJson,"order":"$order","explicit":$explicitOrder}""" + "\n").getBytes(StandardCharsets.UTF_8))
+      (s"""{"id":"$id"$keyJson,"order":"$order","explicit":$explicitOrder,"seekstride":$seekStride}""" + "\n").getBytes(StandardCharsets.UTF_8))
     val j = journal(root, pool)
     if (!Files.exists(j)) Files.createFile(j)
     id
+  }
+
+  /** The pool's seek-index stride in key bytes (lake/data/object.go
+    * DefaultSeekStride; `create -seekstride`).
+    */
+  def seekStride(root: String, pool: String): Long = {
+    val f = poolDir(root, pool).resolve("pool.json")
+    if (!Files.exists(f)) 65536L
+    else """"seekstride":(\d+)""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong).getOrElse(65536L)
+  }
+
+  /** The pool's pools.Config value as decorated ZSON (lake/pools.go) —
+    * the record `db ls -f` and `from :pools` surface.
+    */
+  def poolConfigZson(root: String, pool: String): String = {
+    val k = poolKey(root, pool).getOrElse("ts")
+    val order = poolOrder(root, pool)
+    val idHex = try graft.functions.Ksuid.decodeHex(poolId(root, pool))
+                catch { case _: Exception => "00" * 20 }
+    val ts = java.time.Instant.now().toString
+    s"""{ts:$ts,name:"$pool",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:${seekStride(root, pool)},threshold:524288000}(=pools.Config)"""
   }
 
   /** The pool's id (assigned at create; older pools get one lazily). */
@@ -85,6 +127,75 @@ object Lake {
 
   def exists(root: String, pool: String): Boolean = Files.exists(journal(root, pool))
 
+  /** Zed text rendering of a pool-key column (journal [min,max], seek
+    * entries): TIME keys in zed's ISO ns form with trailing zeros
+    * trimmed, others via plain string cast.
+    */
+  private def keyTextOf(df: DataFrame, k: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    (c: org.apache.spark.sql.Column) =>
+      df.schema(k).dataType match {
+        case TimestampType | TimestampNTZType =>
+          regexp_replace(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            "\\.?0*Z$", "Z")
+        case LongType if (df.schema(k).metadata.contains("graft.zedType") &&
+            df.schema(k).metadata.getString("graft.zedType") == "time") ||
+            // ns-long time carriers may carry the time type only in
+            // the frame's shape texts (zson reads with sub-µs times)
+            df.schema.fields.find(_.name == graft.operators.Het.typeTag)
+              .filter(_.metadata.contains("shapes"))
+              .map(_.metadata.getStringArray("shapes").toSeq)
+              .exists(shp => shp.nonEmpty && shp.forall(t =>
+                t.contains(s"$k:time"))) =>
+          // ns-domain long carrier → seconds + trimmed 9-digit fraction
+          val secs = (c / 1000000000L).cast(LongType)
+          val frac = regexp_replace(
+            lpad((c % 1000000000L).cast("string"), 9, "0"), "0+$", "")
+          concat(date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+            when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
+            lit("Z"))
+        case _ => c.cast("string")
+      }
+  }
+
+  /** ZNG body length in bytes of a pool-key value — the seek-index
+    * stream-cut trigger counts key bytes (lake/data/writer.go
+    * writeIndex). Ints/times are zigzag minimal little-endian counted
+    * bytes (zcode/counted.go: zero encodes empty); strings are UTF-8.
+    */
+  private def zngBodyLen(v: Any, dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    def counted(u: Long): Int = {
+      var n = 0; var x = u
+      while (x != 0) { n += 1; x >>>= 8 }
+      n
+    }
+    def zig(i: Long): Long = if (i >= 0) i << 1 else (-i << 1) | 1
+    v match {
+      case null => 0
+      case l: java.lang.Long =>
+        dt match {
+          case LongType => counted(zig(l))
+          case _ => counted(zig(l))
+        }
+      case i: java.lang.Integer => counted(zig(i.toLong))
+      case s: java.lang.Short => counted(zig(s.toLong))
+      case b: java.lang.Byte => counted(zig(b.toLong))
+      case t: java.sql.Timestamp =>
+        counted(zig(math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos))
+      case i: java.time.Instant =>
+        counted(zig(i.getEpochSecond * 1000000000L + i.getNano))
+      case s: String => s.getBytes("UTF-8").length
+      case _: java.lang.Double | _: java.lang.Float => 8
+      case _: java.lang.Boolean => 1
+      case b: Array[Byte] => b.length
+      case d: java.math.BigDecimal => counted(d.unscaledValue().longValue())
+      case x => x.toString.getBytes("UTF-8").length
+    }
+  }
+
   /** `load` — commit a query result into a pool (load.go:11-30). The data
     * write is a distributed parquet write; only the tiny journal append is
     * driver-side, mirroring zed's commit-journal design.
@@ -114,29 +225,7 @@ object Lake {
         // TIME keys record their range in zed's ISO form (ns precision,
         // trailing zeros trimmed) so :objects min/max render like the
         // reference and range pruning compares consistently
-        def keyText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          df.schema(k).dataType match {
-            case TimestampType | TimestampNTZType =>
-              regexp_replace(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-                "\\.?0*Z$", "Z")
-            case LongType if (df.schema(k).metadata.contains("graft.zedType") &&
-                df.schema(k).metadata.getString("graft.zedType") == "time") ||
-                // ns-long time carriers may carry the time type only in
-                // the frame's shape texts (zson reads with sub-µs times)
-                df.schema.fields.find(_.name == graft.operators.Het.typeTag)
-                  .filter(_.metadata.contains("shapes"))
-                  .map(_.metadata.getStringArray("shapes").toSeq)
-                  .exists(shp => shp.nonEmpty && shp.forall(t =>
-                    t.contains(s"$k:time"))) =>
-              // ns-domain long carrier → seconds + trimmed 9-digit fraction
-              val secs = (c / 1000000000L).cast(LongType)
-              val frac = regexp_replace(
-                lpad((c % 1000000000L).cast("string"), 9, "0"), "0+$", "")
-              concat(date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
-                when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
-                lit("Z"))
-            case _ => c.cast("string")
-          }
+        val keyText = keyTextOf(df, k)
         // observe ABOVE the range exchange: the boundary-sampling pass
         // re-executes the subtree below it, which would double-count or
         // short-circuit metrics placed before the exchange
@@ -166,24 +255,98 @@ object Lake {
     // ztest pins it); computed exactly for small objects, approximated by
     // the parquet footprint for big ones (a second serialization pass at
     // scale would double the write cost)
-    val (bytes, vbytes) =
+    val (bytes, vbytes, windows) =
       if (rows >= 0 && rows <= 100000) {
         try {
           val tmp = Files.createTempDirectory("zngsize")
           try {
-            // serialize the ORIGINAL tagged frame (shape metadata intact)
-            // as ONE stream — matches the reference's single-object zng
-            // byte count exactly (writer framing is byte-identical); the
-            // value-body sum is the scanner's bytes_read statistic
-            ZngIO.write(df.coalesce(1), tmp.toString)
-            val sz = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-              .filter(_.isFile).map(_.length()).sum
-            val vb = try ZngIO.valueByteSum(tmp.toString)
-                     catch { case _: Exception => -1L }
-            (sz, vb)
+            // serialize the ORIGINAL tagged frame (shape metadata intact),
+            // pool-key sorted, then RE-frame it into seek-index streams:
+            // the reference cuts a stream (EndStream + seek entry) when the
+            // cumulative KEY body bytes reach the pool's stride
+            // (lake/data/writer.go writeIndex); each stream re-emits its
+            // types frame and ends with EOS, so per-stream byte lengths —
+            // and the object's total "data bytes" — are byte-exact.
+            import org.apache.spark.sql.functions.{col, asc_nulls_last, desc_nulls_first}
+            val desc = poolOrder(root, pool) == "desc"
+            val sortedOne = key match {
+              case Some(k) =>
+                df.coalesce(1).sortWithinPartitions(
+                  if (desc) desc_nulls_first(k) else asc_nulls_last(k))
+              case None => df.coalesce(1)
+            }
+            ZngIO.write(sortedOne, tmp.toString)
+            val (typesPayload, values) = ZngIO.parseStream(tmp.toString)
+            val keyInfo: Seq[(String, Int)] = key match {
+              case Some(k) =>
+                val kc = col(k)
+                sortedOne.select(keyTextOf(df, k)(kc).as("t"), kc.as("r"))
+                  .collect().toSeq.map { r =>
+                    (Option(r.get(0)).map(_.toString).getOrElse(""),
+                      zngBodyLen(r.get(1), df.schema(k).dataType))
+                  }
+              case None => values.map(_ => ("", 0))
+            }
+            val stride = seekStride(root, pool)
+            // windows: (count, vbytes, minText, maxText, offset, length)
+            val wins = Vector.newBuilder[(Long, Long, String, String, Long, Long)]
+            var off = 0L; var valOff = 0L
+            var i = 0
+            while (i < values.length) {
+              var trigger = 0L; var cnt = 0L; var vb = 0L
+              val first = keyInfo(i)._1
+              var last = first
+              val raw = new java.io.ByteArrayOutputStream()
+              while (i < values.length && (cnt == 0L || trigger < stride)) {
+                trigger += keyInfo(i)._2
+                vb += values(i)._2
+                raw.write(values(i)._1)
+                last = keyInfo(i)._1
+                cnt += 1; i += 1
+              }
+              val tf = ZngIO.frame(0, typesPayload)
+              val vf = ZngIO.frame(1, raw.toByteArray)
+              val len = tf.length + vf.length + 1L // + EOS
+              val (mn, mx) = if (desc) (last, first) else (first, last)
+              wins += ((cnt, vb, mn, mx, off, len))
+              off += len; valOff += cnt
+            }
+            val ws = wins.result()
+            // the physical seek index (<id>-seek.zng, lake/seekindex):
+            // readable with plain `super query` like the reference's
+            if (key.isDefined && ws.nonEmpty) {
+              try {
+                val isStr = df.schema(key.get).dataType ==
+                  org.apache.spark.sql.types.StringType
+                def kv(s: String): String =
+                  if (s.isEmpty) "null"
+                  else if (isStr) "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+                  else s
+                var vo = 0L
+                val zson = ws.map { case (cnt, _, mn, mx, o, len) =>
+                  val line = s"{min:${kv(mn)},max:${kv(mx)},val_off:$vo(uint64),val_cnt:$cnt(uint64),offset:$o(uint64),length:$len(uint64)}"
+                  vo += cnt; line
+                }.mkString("\n")
+                val seekTmp = Files.createTempDirectory("seekzng")
+                try {
+                  ZngIO.write(ZsonReader.fromText(df.sparkSession, zson,
+                    tag = false), seekTmp.toString)
+                  Option(seekTmp.toFile.listFiles()).getOrElse(Array.empty)
+                    .find(f => f.isFile && f.getName.startsWith("part-"))
+                    .foreach { p =>
+                      Files.copy(p.toPath,
+                        poolDir(root, pool).resolve("data").resolve(s"$id-seek.zng"),
+                        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+                    }
+                } finally org.apache.commons.io.FileUtils.deleteQuietly(seekTmp.toFile): Unit
+              } catch { case _: Exception => () }
+            }
+            (ws.map(_._6).sum, ws.map(_._2).sum, ws)
           } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
-        } catch { case _: Exception => (files.map(_.length()).sum, -1L) }
-      } else (files.map(_.length()).sum, -1L)
+        } catch { case _: Exception =>
+          (files.map(_.length()).sum, -1L, Seq.empty[(Long, Long, String, String, Long, Long)]) }
+      } else (files.map(_.length()).sum, -1L,
+        Seq.empty[(Long, Long, String, String, Long, Long)])
     val metaJson =
       if (meta.isEmpty) "" else s""","meta":"${meta.replace("\\", "\\\\").replace("\"", "\\\"")}""""
     // a TAGGED frame keeps per-row shapes through the lake: the tag
@@ -198,8 +361,11 @@ object Lake {
       else shp.map(t => "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString(""","shapes":[""", ",", "]")
     }
+    val winsJson =
+      if (windows.isEmpty) ""
+      else s""","wins":"${winsEncode(windows.map(w => (w._1, w._2, w._3, w._4)))}""""
     appendRec(root, pool,
-      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson$metaJson$shapesJson,"rows":$rows,"bytes":$bytes,"vbytes":$vbytes,"ts":${System.currentTimeMillis()}}""")
+      s"""{"id":"$id","kind":"commit","branch":"$branch","author":"${author.replace("\"", "'")}","message":"${message.replace("\"", "'")}"$rangeJson$metaJson$shapesJson,"rows":$rows,"bytes":$bytes,"vbytes":$vbytes$winsJson,"ts":${System.currentTimeMillis()}}""")
     id
   }
 
@@ -221,7 +387,8 @@ object Lake {
     val shapesJ =
       if (c.shapes.isEmpty) ""
       else c.shapes.map(t => "\"" + esc(t) + "\"").mkString(""","shapes":[""", ",", "]")
-    s"""{"id":"${c.id}","kind":"commit","branch":"$branch","author":"${esc(c.author)}","message":"${esc(message)}"$range$metaJ$shapesJ,"rows":${c.rows},"bytes":${c.bytes},"vbytes":${c.vbytes},"ts":${System.currentTimeMillis()}}"""
+    val winsJ = if (c.wins.isEmpty) "" else s""","wins":"${winsEncode(c.wins)}""""
+    s"""{"id":"${c.id}","kind":"commit","branch":"$branch","author":"${esc(c.author)}","message":"${esc(message)}"$range$metaJ$shapesJ,"rows":${c.rows},"bytes":${c.bytes},"vbytes":${c.vbytes}$winsJ,"ts":${System.currentTimeMillis()}}"""
   }
 
   private def appendRec(root: String, pool: String, rec: String): Unit =
@@ -300,7 +467,9 @@ object Lake {
             """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(arr).map(_.group(1)
               .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
           }.getOrElse(Seq.empty),
-          vbytesRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(-1L))
+          vbytesRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(-1L),
+          """"wins":"([^"]*)"""".r.findFirstMatchIn(l).map(m => winsDecode(m.group(1)))
+            .getOrElse(Seq.empty))
       }
   }
 
@@ -337,12 +506,55 @@ object Lake {
     * scanner's records_read / bytes_read statistics for a full pool scan
     * (runtime progress counters; bytes count val.Bytes() sizes).
     */
-  def scanStats(root: String, pool: String, branch: String = "main"): (Long, Long) = {
+  /** (records, value-body bytes) of a frame — the scanner's MATCHED
+    * statistics for a filtered scan (progress counts val.Bytes() per
+    * record passing the filter). Serializes through the byte-exact zng
+    * writer; ztest-scale only (the caller bounds input size).
+    */
+  def bodyStats(df: DataFrame): (Long, Long) = {
+    val tmp = Files.createTempDirectory("zstats")
+    try {
+      ZngIO.write(df.coalesce(1), tmp.toString)
+      val vals = ZngIO.parseStream(tmp.toString)._2
+      (vals.length.toLong, vals.map(_._2.toLong).sum)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+  }
+
+  def scanStats(root: String, pool: String, branch: String = "main",
+                lo: Option[String] = None, hi: Option[String] = None,
+                loInc: Boolean = true, hiInc: Boolean = true): (Long, Long) = {
     val vis = visibleOn(commits(root, pool), branch)
     val live = liveIds(vis).toSet
     val cs = vis.filter(c => c.kind == "commit" && live.contains(c.id))
-    (cs.map(c => math.max(0L, c.rows)).sum,
-      cs.map(c => math.max(0L, c.vbytes)).sum)
+    // bounded key range + per-object seek windows → the scanner reads
+    // only the streams whose [min,max] overlap the range (seekindex
+    // lookup, lake/data/reader.go); everything else → whole objects
+    // keys compare numerically when both sides are numeric, with ISO
+    // time texts normalized to epoch ns (fraction lengths vary, so
+    // lexicographic ISO comparison is unsafe)
+    def num(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s)).toOption.orElse(
+        scala.util.Try(java.time.Instant.parse(s)).toOption.map(i =>
+          BigDecimal(i.getEpochSecond) * 1000000000L + i.getNano))
+    def cmp(a: String, b: String): Int =
+      (num(a), num(b)) match {
+        case (Some(x), Some(y)) => x.compare(y)
+        case _ => a.compareTo(b)
+      }
+    if ((lo.isDefined || hi.isDefined) && cs.forall(_.wins.nonEmpty)) {
+      val picked = cs.flatMap(_.wins).filter { case (_, _, mn, mx) =>
+        // empty min/max = null key bound; null sorts as the MAXIMUM in
+        // zed's total order, so a null bound is an open top end
+        if (mn.isEmpty && mx.isEmpty) hi.isEmpty
+        else (mx.isEmpty || lo.forall(l =>
+            if (loInc) cmp(mx, l) >= 0 else cmp(mx, l) > 0)) &&
+          (mn.isEmpty || hi.forall(h =>
+            if (hiInc) cmp(mn, h) <= 0 else cmp(mn, h) < 0))
+      }
+      (picked.map(_._1).sum, picked.map(_._2).sum)
+    } else
+      (cs.map(c => math.max(0L, c.rows)).sum,
+        cs.map(c => math.max(0L, c.vbytes)).sum)
   }
 
   private def liveIds(visible: Seq[Commit]): Seq[String] =

@@ -204,7 +204,11 @@ object ZngIO {
   private[sources] def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val len = payload.length
-    if (len > 0) {
+    // tiny frames stay RAW: LZ4's end-of-block rules (last 12 bytes
+    // cannot start a match, last 5 are literals) leave no winnable gain
+    // below a few dozen bytes, and the reference writer observably keeps
+    // such frames uncompressed (lake/ztests/consecutive-ts stream lengths)
+    if (len >= 64) {
       val zbuf = new Array[Byte](len) // must beat the raw size to be kept
       val zlen =
         try lz4Comp.compress(payload, 0, len, zbuf, 0, len)
@@ -756,6 +760,64 @@ object ZngIO {
       }
     }
     sum
+  }
+
+  /** Decode a (single-stream) zng file into its typedef payload and the
+    * raw per-value slices (`type-id uvarint + tag + body`, exactly as they
+    * sit in the values frames) plus each value's body length. Used by the
+    * lake's seek-index builder to RE-frame an object into per-stride
+    * streams with byte-exact lengths (reference lake/data/writer.go cuts
+    * streams with zngio EndStream; each stream re-emits its types frame).
+    */
+  private[graft] def parseStream(path: String): (Array[Byte], Seq[(Array[Byte], Int)]) = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(p => p.isFile && !p.getName.startsWith("_") &&
+            !p.getName.startsWith("."))
+          .sortBy(_.getName)
+      else Seq(f)
+    val types = new ByteArrayOutputStream()
+    val values = Vector.newBuilder[(Array[Byte], Int)]
+    for (file <- files) {
+      val buf = java.nio.file.Files.readAllBytes(file.toPath)
+      val c = new Cursor(buf, 0)
+      while (!c.done) {
+        val code = c.u8()
+        if (code != 0xff) {
+          val compressed = (code & 0x40) != 0
+          val t = (code >> 4) & 0x3
+          val len = ((c.uvarint() << 4) | (code & 0xf).toLong).toInt
+          val raw = c.bytes(len)
+          val payload =
+            if (!compressed) raw
+            else {
+              val pc = new Cursor(raw, 0)
+              pc.u8() // format
+              val usize = pc.uvarint().toInt
+              val comp = java.util.Arrays.copyOfRange(raw, pc.pos, raw.length)
+              val out = new Array[Byte](usize)
+              net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+                .decompress(comp, 0, out, 0, usize)
+              out
+            }
+          if (t == 0) types.write(payload, 0, payload.length)
+          else if (t == 1) {
+            val vc = new Cursor(payload, 0)
+            while (!vc.done) {
+              val start = vc.pos
+              vc.uvarint() // type id
+              val tag = vc.uvarint()
+              val bodyLen = if (tag > 0) (tag - 1).toInt else 0
+              vc.pos += bodyLen
+              values += java.util.Arrays.copyOfRange(payload, start, vc.pos) -> bodyLen
+            }
+          }
+        }
+      }
+    }
+    (types.toByteArray, values.result())
   }
 
   private[sources] final class Cursor(val buf: Array[Byte], var pos: Int) {

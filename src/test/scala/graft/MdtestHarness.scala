@@ -118,7 +118,9 @@ object MdtestHarness {
           endToken(); i += 1
         case '|' if !started || cur.isEmpty =>
           endToken(); tokens += "|"; nTokens += 1; lastWasPipe = true; i += 1
-        case '>' if !started =>
+        case '>' if !started &&
+            !(i + 1 < n && body.charAt(i + 1) == '=') =>
+          // `>=` inside an unquoted word is a comparison, not a redirect
           endToken(); tokens += ">"; nTokens += 1; lastWasPipe = false; i += 1
         case c =>
           started = true; cur.append(c); i += 1
@@ -171,7 +173,8 @@ object MdtestHarness {
     def envSnapshot: Map[String, String] = env.toMap
 
     private def filePath(name: String): String =
-      if (name.startsWith("/")) name
+      if (name.startsWith("/") || name.startsWith("http://") ||
+          name.startsWith("https://")) name
       else cwd.resolve(name).normalize().toString
 
     /** Binary content (zng artifacts piped through cat / redirects) rides
@@ -480,15 +483,24 @@ object MdtestHarness {
                 val dir = java.nio.file.Paths.get(filePath(".")).normalize
                 val m = java.nio.file.FileSystems.getDefault
                   .getPathMatcher("glob:" + word)
-                if (java.nio.file.Files.isDirectory(dir))
+                if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+                else if (word.contains("/"))
+                  // multi-level glob (test/*/data/*-seek.zng): match the
+                  // path relative to the working directory
+                  java.nio.file.Files.walk(dir).iterator.asScala
+                    .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                      m.matches(dir.relativize(p)))
+                    .map(p => dir.relativize(p).toString).toSeq.sorted
+                else
                   java.nio.file.Files.list(dir).iterator.asScala
                     .filter(p => m.matches(p.getFileName)).map(_.getFileName.toString)
                     .toSeq.sorted
-                else Seq.empty
               } else Seq.empty
-            val isFile = java.nio.file.Files.exists(
+            val isUrl = word.startsWith("http://") || word.startsWith("https://")
+            val isFile = isUrl || java.nio.file.Files.exists(
               java.nio.file.Paths.get(filePath(word)))
-            if (globMatches.nonEmpty) files ++= globMatches
+            if (isUrl) files :+= word
+            else if (globMatches.nonEmpty) files ++= globMatches
             else if (query.isEmpty && includes.isEmpty && !isFile) query = Some(word)
             else files :+= word
             i += 1
@@ -954,14 +966,67 @@ object MdtestHarness {
     }
 
     /** A pool's pools.Config value as decorated ZSON (lake/pools). */
-    private def poolConfigZson(root: String, pn: String): String = {
-      val lk = graft.sources.Lake
-      val k = lk.poolKey(root, pn).getOrElse("ts")
-      val order = lk.poolOrder(root, pn)
-      val idHex = try graft.functions.Ksuid.decodeHex(lk.poolId(root, pn))
-                  catch { case _: Exception => "00" * 20 }
-      val ts = java.time.Instant.now().toString
-      s"""{ts:$ts,name:"$pn",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:65536,threshold:524288000}(=pools.Config)"""
+    private def poolConfigZson(root: String, pn: String): String =
+      graft.sources.Lake.poolConfigZson(root, pn)
+
+    /** Key bounds (lo, loInclusive, hi, hiInclusive) implied by a scan
+      * filter's top-level AND-conjuncts — the seek-index lookup range
+      * (lake/seekindex/range.go). OR or non-literal forms → None (no
+      * pruning), matching the reference's conservative planner.
+      */
+    private def statsKeyRange(e: graft.lang.Expr, key: String)
+        : Option[(Option[String], Boolean, Option[String], Boolean)] = {
+      import graft.lang.Expr
+      def lit(x: Expr): Option[String] = x match {
+        case Expr.IntLit(v) => Some(v.toString)
+        case Expr.FloatLit(v) => Some(v.toString)
+        case Expr.StringLit(v) => Some(v)
+        case Expr.TimeLit(ns, _) => Some(ns.toString)
+        case _ => None
+      }
+      def isKey(x: Expr): Boolean = x match {
+        case Expr.Path(Seq(k)) => k == key
+        case _ => false
+      }
+      var lo: Option[String] = None; var loInc = true
+      var hi: Option[String] = None; var hiInc = true
+      def walk(x: Expr): Unit = x match {
+        case Expr.Binary("and", l, r) => walk(l); walk(r)
+        case Expr.Binary("==", l, r) if isKey(l) && lit(r).isDefined =>
+          lo = lo.orElse(lit(r)); hi = hi.orElse(lit(r))
+        case Expr.Binary("==", l, r) if isKey(r) && lit(l).isDefined =>
+          lo = lo.orElse(lit(l)); hi = hi.orElse(lit(l))
+        case Expr.Binary(op @ (">=" | ">"), l, r) if isKey(l) && lit(r).isDefined =>
+          if (lo.isEmpty) { lo = lit(r); loInc = op == ">=" }
+        case Expr.Binary(op @ ("<=" | "<"), l, r) if isKey(l) && lit(r).isDefined =>
+          if (hi.isEmpty) { hi = lit(r); hiInc = op == "<=" }
+        case Expr.Binary(op @ (">=" | ">"), l, r) if isKey(r) && lit(l).isDefined =>
+          if (hi.isEmpty) { hi = lit(l); hiInc = op == ">=" }
+        case Expr.Binary(op @ ("<=" | "<"), l, r) if isKey(r) && lit(l).isDefined =>
+          if (lo.isEmpty) { lo = lit(l); loInc = op == "<=" }
+        case _ =>
+      }
+      walk(e)
+      if (lo.isEmpty && hi.isEmpty) None else Some((lo, loInc, hi, hiInc))
+    }
+
+    /** Go units.Bytes syntax: 1B, 1KB (=1000), 2KiB (=1024), 5MB… */
+    private def parseBytesUnit(s: String): Long = {
+      val m = "^(\\d+(?:\\.\\d+)?)\\s*([KMGTkmgt]?i?)[Bb]?$".r
+        .findFirstMatchIn(s.trim)
+        .getOrElse(throw new RuntimeException(s"invalid byte size: $s"))
+      val n = BigDecimal(m.group(1))
+      val mult = m.group(2).toLowerCase match {
+        case "" => BigDecimal(1)
+        case "k" => BigDecimal(1000)
+        case "ki" => BigDecimal(1024)
+        case "m" => BigDecimal(1000000)
+        case "mi" => BigDecimal(1 << 20)
+        case "g" => BigDecimal(1000000000L)
+        case "gi" => BigDecimal(1 << 30)
+        case _ => BigDecimal(1)
+      }
+      (n * mult).toLong
     }
 
     /** `db use` persists HEAD to $ZED_HEAD_DIR/.zed_head (cmd/super/db). */
@@ -1037,12 +1102,15 @@ object MdtestHarness {
           var order = "desc"
           var explicitOrder = false
           var use = false
+          var stride = 65536L
           while (rest.head.startsWith("-")) rest.head match {
             case "-q" => quiet = true; rest = rest.tail
             case "-use" => use = true; rest = rest.tail
             case f if f.startsWith("-seekstride=") || f.startsWith("-S=") =>
+              stride = parseBytesUnit(f.dropWhile(_ != '=').tail)
               rest = rest.tail
-            case "-seekstride" | "-S" => rest = rest.drop(2)
+            case "-seekstride" | "-S" =>
+              stride = parseBytesUnit(rest(1)); rest = rest.drop(2)
             case "-orderby" =>
               key = Some(rest(1).split(':').head)
               order = rest(1).split(':').lift(1).getOrElse("asc")
@@ -1052,7 +1120,7 @@ object MdtestHarness {
           }
           // the reference's default pool layout is ts:desc
           val poolId = lk.create(root, rest.head, key.orElse(Some("ts")), order,
-            explicitOrder)
+            explicitOrder, stride)
           if (use) useHead = Some((rest.head, "main"))
           if (quiet) "" else s"pool created: ${rest.head} $poolId\n"
         case "use" =>
@@ -1326,7 +1394,22 @@ object MdtestHarness {
               buildStdinFrame(text, None)
             case fn => Formats.read(spark, filePath(fn))
           }
-          val df = combineFrames(frames)
+          // several text files of one format load as ONE concatenated
+          // stream (the reference cli concatenates its inputs), so type
+          // inference (ns-time carriers, shapes) sees the whole corpus
+          val df =
+            if (rest.length > 1 && rest.forall(f => f != "-" &&
+                (f.endsWith(".zson") || f.endsWith(".json")))) {
+              val cat = java.nio.file.Files.createTempFile("loadcat", ".zson")
+              val bos = new java.io.ByteArrayOutputStream()
+              rest.foreach { f =>
+                bos.write(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(filePath(f))))
+                bos.write('\n')
+              }
+              java.nio.file.Files.write(cat, bos.toByteArray)
+              graft.sources.ZsonIO.read(spark, cat.toString)
+            } else combineFrames(frames)
           val id = lk.load(df, root, pool,
             author = author, message = message, branch = branch, meta = meta)
           if (quiet) "" else s"$id committed\n"
@@ -1430,10 +1513,36 @@ object MdtestHarness {
                 val br = firstFrom.filter(_.contains("@"))
                   .map(_.dropWhile(_ != '@').drop(1))
                   .orElse(useHead.map(_._2)).getOrElse("main")
-                val (n, vb) = graft.sources.Lake.scanStats(root, target, br)
+                val lk = graft.sources.Lake
+                // a leading filter prunes the scan through the seek-index
+                // windows (records/bytes_read) and bounds the matched
+                // counters to the rows it passes
+                val stages =
+                  try graft.lang.Parser.parse(q).stages
+                  catch { case _: Exception => Seq.empty[graft.lang.Stage] }
+                val whereE = stages match {
+                  case Seq(graft.lang.Stage.From(_, _),
+                           graft.lang.Stage.Where(w), _*) => Some(w)
+                  case _ => None
+                }
+                val range = for {
+                  k <- lk.poolKey(root, target)
+                  w <- whereE
+                  r <- statsKeyRange(w, k)
+                } yield r
+                val (n, vb) = range match {
+                  case Some((lo, loInc, hi, hiInc)) =>
+                    lk.scanStats(root, target, br, lo, hi, loInc, hiInc)
+                  case None => lk.scanStats(root, target, br)
+                }
+                val (nm, vbm) =
+                  if (whereE.isDefined && stages.length == 2)
+                    try lk.bodyStats(Graft.query(spark, workDir.toString, q))
+                    catch { case _: Exception => (n, vb) }
+                  else (n, vb)
                 stderrSink.append(
-                  s"{bytes_read:$vb,bytes_matched:$vb," +
-                  s"records_read:$n,records_matched:$n}").append('\n')
+                  s"{bytes_read:$vb,bytes_matched:$vbm," +
+                  s"records_read:$n,records_matched:$nm}").append('\n')
               }
             }
             out

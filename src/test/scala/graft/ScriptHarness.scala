@@ -54,7 +54,17 @@ object ScriptHarness {
     var section = "" // inputs / outputs
     var curName: Option[String] = None
     var curSource: Option[String] = None
-    def flushItem(): Unit = { curName = None; curSource = None }
+    var curSection = ""
+    def flushItem(): Unit = {
+      // an input with no data/source is a file that sits in the ztest
+      // directory itself (ztest.go copies it into the work dir)
+      for (n <- curName if curSection == "inputs") {
+        val f = path.getParent.resolve(n)
+        if (java.nio.file.Files.isRegularFile(f))
+          inputs += n -> new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      }
+      curName = None; curSource = None
+    }
     while (i < lines.length) {
       val l = lines(i)
       if (l.startsWith("script: |")) {
@@ -65,6 +75,7 @@ object ScriptHarness {
       else if (section.nonEmpty && l.trim.startsWith("- name:")) {
         flushItem()
         curName = Some(l.trim.stripPrefix("- name:").trim)
+        curSection = section
         i += 1
       } else if (section.nonEmpty && curName.isDefined &&
           l.trim.startsWith("source:")) {
@@ -79,6 +90,7 @@ object ScriptHarness {
             new String(bytes, "ISO-8859-1") }
         if (section == "inputs") inputs += curName.get -> text
         else outputs += Output(curName.get, text, isRegex = false)
+        curName = None
         i += 1
       } else if (section.nonEmpty && curName.isDefined &&
           l.trim.matches("(data|regexp):( &\\S+)?( !!binary)? \\|")) {
@@ -98,6 +110,7 @@ object ScriptHarness {
         anchor.foreach(a => anchors(a) = b)
         if (section == "inputs") inputs += curName.get -> b
         else outputs += Output(curName.get, b, isRe)
+        curName = None
         i = j
       } else if (section.nonEmpty && curName.isDefined &&
           l.trim.startsWith("data:")) {
@@ -108,6 +121,7 @@ object ScriptHarness {
           v = v.substring(1, v.length - 1)
         if (section == "inputs") inputs += curName.get -> v
         else outputs += Output(curName.get, v, isRegex = false)
+        curName = None
         i += 1
       } else i += 1
     }
@@ -215,6 +229,26 @@ object ScriptHarness {
       var s = (vars ++ sh.envSnapshot).foldLeft(line) { case (acc2, (k, v)) =>
         acc2.replace("${" + k + "}", v).replace("$" + k, v)
       }
+      // $((arith)) BEFORE $(...) — the doubled parens would otherwise
+      // read as command substitution of a subshell
+      val arithRe = """\$\(\(([^()]*)\)\)""".r
+      s = arithRe.replaceAllIn(s, m => {
+        val expr = m.group(1).replace("RANDOM",
+          (scala.util.Random.nextInt(32768)).toString)
+        def evalA(t: String): Long = {
+          val add = t.split("(?=[+-])").filter(_.nonEmpty)
+          if (add.length > 1) add.map(evalA).sum
+          else {
+            val x = t.trim
+            if (x.startsWith("+")) evalA(x.tail)
+            else if (x.startsWith("-")) -evalA(x.tail)
+            else if (x.contains("*")) x.split("\\*").map(evalA).product
+            else x.toLong
+          }
+        }
+        try evalA(expr).toString
+        catch { case _: Exception => "0" }
+      })
       var idx = s.indexOf("$(")
       while (idx >= 0) {
         var depth = 1
@@ -236,9 +270,78 @@ object ScriptHarness {
     }
 
 
-    for (line0 <- expanded.result()) {
+    val queue = scala.collection.mutable.Queue(expanded.result(): _*)
+    val httpServers = scala.collection.mutable.ArrayBuffer
+      .empty[com.sun.net.httpserver.HttpServer]
+    var skippingWhile = false
+    try {
+    while (queue.nonEmpty) {
+      val line0 = queue.dequeue()
       val t0 = line0.trim
-      if (t0.nonEmpty && !t0.startsWith("#")) {
+      if (skippingWhile) {
+        if (t0 == "done") skippingWhile = false
+      } else if (t0.startsWith("while ") || t0 == "while :; do") {
+        // probe loops (wait-for-server / wait-for-file): our in-process
+        // servers are up synchronously, so the poll body is a no-op
+        skippingWhile = !t0.contains("done")
+      } else if (t0.startsWith("trap ") || t0.startsWith("exec ")) {
+        () // signal traps / fd redirection: nothing to clean up in-process
+      } else if ((t0.startsWith("source ") || t0.startsWith(". ")) &&
+          !t0.contains("service.sh")) {
+        // (`source service.sh` stays with the Shell: it boots the
+        // in-process graft.Service, not a text inline)
+        // `source f [args…]`: inline the file with $1..$n substituted
+        val words = shellWords(substitute(
+          t0.stripPrefix("source ").stripPrefix(". ")))
+        val f = wd.resolve(words.head)
+        var body = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        for ((a, ix) <- words.tail.zipWithIndex) {
+          val n = ix + 1
+          // `"$1"`: the value lands inside double quotes — plain splice.
+          // Bare `$1`: bash does NO quote processing on expansion
+          // results, but our tokenizer re-lexes the line, so protect
+          // literal single quotes from quote removal
+          body = body.replace("\"${" + n + "}\"", "\"" + a + "\"")
+            .replace("\"$" + n + "\"", "\"" + a + "\"")
+          val esc = a.replace("'", "\"'\"")
+          body = body.replace("${" + n + "}", esc).replace("$" + n, esc)
+        }
+        // served scripts may start a static http server (http.bash):
+        // python3 -m http.server → an in-JVM file server over the workdir
+        val bodyLines = Vector.newBuilder[String]
+        var accS = ""
+        for (raw <- body.linesIterator) {
+          accS = if (accS.isEmpty) raw else accS + " " + raw.trim
+          if (accS.trim.endsWith("\\")) accS = accS.trim.stripSuffix("\\")
+          else if (accS.trim.endsWith("|")) ()
+          else { bodyLines += accS; accS = "" }
+        }
+        if (accS.trim.nonEmpty) bodyLines += accS
+        bodyLines.result().reverse.foreach(l => queue.prepend(l))
+      } else if (t0.matches(""".*python3 -m http\.server.*&\s*$""")) {
+        val portTxt = substitute(t0).split("\\s+")
+          .dropWhile(_ != "http.server").drop(1)
+          .filterNot(w => w == "-b" || w.contains(".") && !w.forall(_.isDigit))
+          .find(_.forall(_.isDigit)).getOrElse("0")
+        val srv = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", portTxt.toInt), 0)
+        srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val rel = ex.getRequestURI.getPath.stripPrefix("/")
+          val p = wd.resolve(rel)
+          if (rel.nonEmpty && java.nio.file.Files.isRegularFile(p)) {
+            val b = java.nio.file.Files.readAllBytes(p)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else {
+            val b = "File not found".getBytes("UTF-8")
+            ex.sendResponseHeaders(404, b.length)
+            ex.getResponseBody.write(b)
+          }
+          ex.getResponseBody.close()
+        })
+        srv.start()
+        httpServers += srv
+      } else if (t0.nonEmpty && !t0.startsWith("#")) {
         val negated = t0.startsWith("! ")
         val t1 = if (negated) t0.stripPrefix("! ") else t0
         val assignRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)=(.*)$".r
@@ -275,8 +378,28 @@ object ScriptHarness {
         }
       }
     }
-    sh.stopService()
+    } finally {
+      httpServers.foreach(s => try s.stop(0) catch { case _: Exception => () })
+      sh.stopService()
+    }
     Result(stdout.toString, sh.stderrSink.toString + stderr.toString, wd)
+  }
+
+  /** Quote-aware word split (bash-style, single level). */
+  private def shellWords(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false; var sawQ = false; var qch = ' '
+    for (ch <- s) {
+      if (inQ) { if (ch == qch) inQ = false else cur.append(ch) }
+      else if (ch == '"' || ch == '\'') { inQ = true; sawQ = true; qch = ch }
+      else if (ch.isWhitespace) {
+        if (cur.nonEmpty || sawQ) { out += cur.toString; cur.clear() }
+        sawQ = false
+      } else cur.append(ch)
+    }
+    if (cur.nonEmpty || sawQ) out += cur.toString
+    out.result()
   }
 
   private def unbalanced(t: String): Boolean = {
