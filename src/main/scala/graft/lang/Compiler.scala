@@ -227,24 +227,32 @@ final class Compiler(spark: SparkSession, dir: String) {
       }
       meta match {
         case "log" if poolName.exists(p => lk.exists(root, p)) =>
-          // commit journal view (lake/commits): author/date/message/meta
-          val schema = StructType(Seq(
-            StructField("kind", StringType),
-            StructField("id", StringType),
-            StructField("author", StringType),
-            StructField("date", TimestampType),
-            StructField("message", StringType),
-            StructField("meta", StringType)))
-          val rows = lk.commitsOn(root, poolName.get, branchName)
+          // branch tips then the commit journal, as NAMED record types —
+          // nameof(this) distinguishes lake.BranchTip from Commit
+          // (runtime/sam/op/meta/scanner.go "log": BatchifyBranchTips +
+          // OpenCommitLog; lake/commits/actions.go Commit fields)
+          def hex(id: String): String =
+            try graft.functions.Ksuid.decodeHex(id)
+            catch { case _: Exception => "00" * 40 }
+          val cs = lk.commitsOn(root, poolName.get, branchName)
             .filter(_.kind == "commit")
-            .reverse // newest first, like git log
-            .map(c => Row("Commit", c.id, c.author,
-              new java.sql.Timestamp(c.ts), c.message,
-              // -meta stores a zson VALUE; surface strings bare
-              if (c.meta.startsWith("\"") && c.meta.endsWith("\"") && c.meta.length >= 2)
-                c.meta.substring(1, c.meta.length - 1)
-              else if (c.meta.isEmpty) null else c.meta))
-          Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+          val tips = lk.branches(root, poolName.get).map { b =>
+            val tip = lk.commitsOn(root, poolName.get, b)
+              .filter(_.kind == "commit").lastOption.map(_.id)
+            s"""{name:"$b",commit:0x${tip.map(hex).getOrElse("00" * 40)}(=ksuid.KSUID)}(=lake.BranchTip)"""
+          }
+          val commits = cs.reverse.zipWithIndex.map { case (c, ix) =>
+            val parent = cs.reverse.lift(ix + 1).map(p => hex(p.id)).getOrElse("00" * 40)
+            val date = java.time.Instant.ofEpochMilli(c.ts).toString
+            val metaV = if (c.meta.isEmpty) "null" else c.meta
+            s"""{id:0x${hex(c.id)}(=ksuid.KSUID),parent:0x$parent(=ksuid.KSUID),retries:0(uint8),author:"${c.author.replace("\"", "'")}",date:$date,message:"${c.message.replace("\"", "'")}",meta:$metaV}(=Commit)"""
+          }
+          val zson = (tips ++ commits).mkString("\n")
+          if (zson.isEmpty)
+            Some(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("this", StringType)))))
+          else Some(graft.sources.ZsonReader.fromText(spark, zson))
         case "objects" | "partitions" if poolName.exists(p => lk.exists(root, p)) =>
           // ids surface as KSUID BYTES like the reference's object ids —
           // `cut id:=ksuid(id)` then encodes them to the 27-char form.
@@ -258,29 +266,24 @@ final class Compiler(spark: SparkSession, dir: String) {
           val allNum = vals.nonEmpty &&
             vals.forall(v => try { BigDecimal(v); true } catch { case _: Exception => false })
           val isTime = vals.nonEmpty && vals.forall(_.matches("""\d{4}-\d{2}-\d{2}T.*Z"""))
-          val keyDt: DataType =
-            if (allLong) LongType else if (allNum) DoubleType else StringType
-          val keyMd =
-            if (isTime) new MetadataBuilder().putString("graft.zedType", "time").build()
-            else org.apache.spark.sql.types.Metadata.empty
-          val schema = StructType(Seq(
-            StructField("id", BinaryType),
-            StructField("min", keyDt, nullable = true, metadata = keyMd),
-            StructField("max", keyDt, nullable = true, metadata = keyMd),
-            StructField("count", LongType,
-              metadata = new MetadataBuilder()
-                .putString("graft.zedType", "uint64").build()),
-            StructField("size", LongType)))
-          def idBytes(id: String): Array[Byte] =
+          // data.Object records as typed ZSON (named record type →
+          // nameof(this); id bytes named ksuid.KSUID → ksuid()/hex())
+          def kv(v: Option[String]): String = v.filter(_.nonEmpty).map { x =>
+            if (allLong || isTime) x
+            else if (allNum) { if (x.contains(".") || x.contains("e")) x else x + "." }
+            else "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }.getOrElse("null")
+          def hex(id: String): String =
             try graft.functions.Ksuid.decodeHex(id)
-              .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
-            catch { case _: Exception => id.getBytes("UTF-8") }
-          def conv(v: Option[String]): Any = v.filter(_.nonEmpty).map { x =>
-            if (allLong) x.toLong else if (allNum) x.toDouble else x
-          }.orNull
-          val rows = cs.map(c => Row(idBytes(c.id), conv(c.keyMin), conv(c.keyMax),
-            c.rows, c.bytes))
-          Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+            catch { case _: Exception => "00" * 40 }
+          val zson = cs.map { c =>
+            s"""{id:0x${hex(c.id)}(=ksuid.KSUID),min:${kv(c.keyMin)},max:${kv(c.keyMax)},count:${math.max(0L, c.rows)}(uint64),size:${math.max(0L, c.bytes)}}(=data.Object)"""
+          }.mkString("\n")
+          if (zson.isEmpty)
+            Some(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("this", StringType)))))
+          else Some(graft.sources.ZsonReader.fromText(spark, zson))
         case "partitions" | "rawlog" | "vectors"
             if poolName.exists(p => lk.exists(root, p)) =>
           // unimplemented meta views scan as empty (meta-empty-pool)
@@ -288,9 +291,14 @@ final class Compiler(spark: SparkSession, dir: String) {
             spark.sparkContext.emptyRDD[Row],
             StructType(Seq(StructField("this", StringType)))))
         case "pools" if poolFilter.isEmpty =>
-          val schema = StructType(Seq(StructField("name", StringType)))
-          Some(spark.createDataFrame(
-            java.util.Arrays.asList(pools.map(Row(_)): _*), schema))
+          // full pools.Config records (ts/name/id/layout/seek_stride/
+          // threshold), same rendering the CLI's `db ls -f` uses
+          val zson = pools.map(p => lk.poolConfigZson(root, p)).mkString("\n")
+          if (zson.isEmpty)
+            Some(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("name", StringType)))))
+          else Some(graft.sources.ZsonReader.fromText(spark, zson))
         case "branches" =>
           val schema = StructType(Seq(
             StructField("pool", StructType(Seq(StructField("name", StringType)))),
@@ -2026,6 +2034,27 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   // ---- aggregates (reference runtime/sam/expr/agg) ---------------------------
 
+  /** `-aggmem` cap (agg.MaxValueSize, runtime/sam/expr/agg/collect.go):
+    * when the per-aggregate value budget is set, discard OLDEST entries
+    * until the collected value fits. Size proxy is the JSON encoding —
+    * close enough to the reference's zng body sizes for budget purposes
+    * (exact only at the pinned extremes: tiny caps drop everything).
+    */
+  private def aggMemTrim(arr: Column): Column =
+    spark.conf.getOption("graft.agg.maxValueSize").map(_.toLong) match {
+      case Some(max) =>
+        val sizes = reverse(transform(arr, x =>
+          octet_length(to_json(struct(x.as("v")))).cast("long")))
+        val cum = aggregate(sizes,
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+          (acc, x) => concat(acc,
+            array(coalesce(element_at(acc, -1), lit(0L)) + x)))
+        val keep = size(filter(cum, c => c <= lit(max)))
+        slice(arr, size(arr) - keep + 1, keep)
+      case None => arr
+    }
+
   private def aggColumn(df: DataFrame, a: AggCall): Column = {
     // an arg that resolves nowhere aggregates nothing — typed null keeps
     // avg/sum analyzable (zed: missing inputs are ignored by aggs)
@@ -2087,7 +2116,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         case "count_distinct" => return count_distinct(guarded(c))
         // an agg that never fired yields null, not [] (agg.go: no state)
         case "collect" =>
-          val l = collect_list(guarded(value))
+          val l = aggMemTrim(collect_list(guarded(value)))
           return when(size(l) === 0, lit(null)).otherwise(l)
         case "union" =>
           val u = sort_array(collect_set(guarded(value)))
@@ -2108,7 +2137,7 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "count_distinct" => count_distinct(guarded(base.get))
       case "collect" =>
         // an agg that never fired yields null, not [] (agg.go: no state)
-        val l = collect_list(guarded(base.get))
+        val l = aggMemTrim(collect_list(guarded(base.get)))
         when(size(l) === 0, lit(null)).otherwise(l)
       case "union" =>
         // set semantics: normalized on construction, in zed's CANONICAL
@@ -4325,7 +4354,10 @@ final class Compiler(spark: SparkSession, dir: String) {
         val het = graft.operators.Het
         def nameOfTag(t: String): Option[String] = {
           val eq = t.indexOf('=')
-          if (eq > 0 && t.take(eq).forall(c => c.isLetterOrDigit || c == '_')) Some(t.take(eq))
+          // named-type names may be package-qualified (data.Object,
+          // lake.BranchTip — zson type names admit dots)
+          if (eq > 0 && t.take(eq).forall(c =>
+              c.isLetterOrDigit || c == '_' || c == '.')) Some(t.take(eq))
           else None
         }
         // a TYPE VALUE's name comes from ITS OWN text (<foo={x:int64}>);

@@ -410,6 +410,7 @@ object MdtestHarness {
       stats: Boolean = false)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
+      spark.conf.unset("graft.agg.maxValueSize") // per-command flag
       var format = "zson"
       var inFmt: Option[String] = None
       var query: Option[String] = None
@@ -455,11 +456,14 @@ object MdtestHarness {
           case "-split" => split = Some(args(i + 1)); i += 2
           case "-splitsize" => splitSize = Some(sizeOf(args(i + 1))); i += 2
           case f @ ("-aggmem" | "-sortmem") =>
-            // memory caps: validated, then ignored — Spark spills on its
-            // own (the reference's spill machinery analog)
-            if (sizeOf(args(i + 1)) <= 0)
+            // sortmem: validated, then ignored — Spark spills on its own.
+            // aggmem caps the per-aggregate VALUE size (agg.MaxValueSize:
+            // collect/union discard oldest entries over budget)
+            val v = sizeOf(args(i + 1))
+            if (v <= 0)
               throw new RuntimeException(
                 s"${f.stripPrefix("-")} value must be greater than zero")
+            if (f == "-aggmem") spark.conf.set("graft.agg.maxValueSize", v)
             i += 2
           case "-e=false" => noStop = true; i += 1
           case "-e" => i += 1
@@ -969,6 +973,58 @@ object MdtestHarness {
     private def poolConfigZson(root: String, pn: String): String =
       graft.sources.Lake.poolConfigZson(root, pn)
 
+    /** Parse the concatenation of query segments; on a parse error,
+      * throw the reference's caret-formatted message attributing the
+      * segment the offset falls in (`-I file` → "in <file>"; the query
+      * argument → unattributed), with line/column relative to it
+      * (cmd/super parse error rendering).
+      */
+    private def caretParseCheck(segments: Seq[(Option[String], String)]): Unit = {
+      val joined = segments.map(_._2).mkString("\n").trim
+      if (joined.isEmpty) return
+      def offOf(text: String): Option[Int] =
+        try { graft.lang.Parser.parse(text); None }
+        catch {
+          case e: IllegalArgumentException if Option(e.getMessage)
+              .exists(_.startsWith("parse error at ")) =>
+            Some("parse error at (\\d+)".r.findFirstMatchIn(e.getMessage)
+              .map(_.group(1).toInt).getOrElse(0))
+          case _: Exception => None
+        }
+      if (offOf(joined).isEmpty) return
+      // blame the FIRST segment whose accumulated prefix fails to parse;
+      // position offsets relative to it (prologue declarations from -I
+      // files are context for later segments, not culprits)
+      var base = 0
+      var blamed: Option[((Option[String], String), Int)] = None
+      var k = 0
+      while (k < segments.length && blamed.isEmpty) {
+        val prefix = segments.take(k + 1).map(_._2).mkString("\n").trim
+        offOf(prefix).foreach { off =>
+          val segOff =
+            if (off >= base) off - base
+            // the parser blamed an earlier position: re-derive against
+            // the failing segment alone
+            else offOf(segments(k)._2.stripLineEnd).getOrElse(0)
+          blamed = Some((segments(k), segOff))
+        }
+        base += segments(k)._2.length + 1 // the joining newline
+        k += 1
+      }
+      for (((name, segText), segOff) <- blamed) {
+        val text = segText.stripLineEnd
+        val upTo = text.take(math.min(segOff, text.length))
+        val lineNo = upTo.count(_ == '\n') + 1
+        val colNo = upTo.length - upTo.lastIndexOf('\n')
+        val lineText = text.linesWithSeparators.toSeq
+          .lift(lineNo - 1).getOrElse(text).stripLineEnd
+        val where = name.map(n => s"in $n ").getOrElse("")
+        throw new RuntimeException(
+          s"error parsing SuperPipe ${where}at line $lineNo, column $colNo:\n" +
+            lineText + "\n" + (" " * math.max(0, colNo - 5)) + "=== ^ ===")
+      }
+    }
+
     /** Key bounds (lo, loInclusive, hi, hiInclusive) implied by a scan
       * filter's top-level AND-conjuncts — the seek-index lookup range
       * (lake/seekindex/range.go). OR or non-literal forms → None (no
@@ -1447,6 +1503,11 @@ object MdtestHarness {
           // the reference's scan-target errors (cmd/super/db/query)
           if (q.isEmpty)
             throw new RuntimeException("query must include a 'from' operator")
+          // parse errors in the reference's caret format, attributing the
+          // failing segment (-I file vs the query argument) by offset
+          caretParseCheck(
+            f.includes.map(n => Some(n) -> readFile(n)) ++
+              f.query.toSeq.map(t => None -> t))
           val knownMeta = Set("pools", "branches", "log", "objects", "partitions")
           val firstFrom: Option[String] =
             try graft.lang.Parser.parse(q).stages.headOption.collect {

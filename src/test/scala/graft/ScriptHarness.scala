@@ -259,8 +259,11 @@ object ScriptHarness {
           j += 1
         }
         val inner = s.substring(idx + 2, j - 1)
-        // bash word-splits $(...) output: newlines become spaces
-        val res = sh.runBlock(inner).trim.replace('\n', ' ')
+        // bash word-splits UNQUOTED $(...) output (newlines → spaces);
+        // inside double quotes the output is preserved verbatim
+        val inQuotes = s.take(idx).count(_ == '"') % 2 == 1
+        val res0 = sh.runBlock(inner).trim
+        val res = if (inQuotes) res0 else res0.replace('\n', ' ')
         s = s.substring(0, idx) + res + s.substring(j)
         idx = s.indexOf("$(")
       }
