@@ -1,244 +1,286 @@
-"""Python client for the graft REST service.
+"""Python client library for a graft lake service.
 
-Mirrors the reference client's API surface (reference
-python/superdb/superdb.py: Client.create_pool/load/query/query_raw,
-decode_zjson) using only the Python standard library so it runs in
-minimal environments: urllib instead of requests, datetime.fromisoformat
-instead of dateutil, and a small zed-duration parser instead of
-durationpy.
+Speaks the service's REST surface (POST /pool, /pool/<p>/branch/<b>,
+/query) over the standard library's urllib, and decodes
+application/x-zjson responses into native Python values (ints, floats,
+datetimes, timedeltas, ip addresses, sets, dicts, ...).
+
+The zjson decoder compiles each type definition the stream announces
+into a converter closure once, then applies that closure to every value
+carrying the type — rather than re-walking the type tree per record.
 """
 
 import binascii
 import datetime
 import decimal
-import getpass
 import ipaddress
 import json
 import os
-import os.path
 import re
 import urllib.error
 import urllib.parse
 import urllib.request
 
+__all__ = [
+    'Client', 'RequestError', 'QueryError',
+    'decode_zjson', 'parse_duration', 'parse_time',
+]
 
-class Client():
-    def __init__(self,
-                 base_url=os.environ.get('GRAFT_LAKE', 'http://localhost:9867'),
-                 config_dir=os.path.expanduser('~/.graft')):
-        self.base_url = base_url.rstrip('/')
-        self.headers = {'Accept': 'application/x-zjson'}
-        token = self.__get_auth_token(config_dir)
-        if token is not None:
-            self.headers['Authorization'] = 'Bearer ' + token
-
-    def __get_auth_token(self, config_dir):
-        creds_path = os.path.join(config_dir, 'credentials.json')
-        try:
-            with open(creds_path) as f:
-                creds = json.load(f)
-        except (FileNotFoundError, ValueError):
-            return None
-        services = creds.get('services', {})
-        if self.base_url in services:
-            return services[self.base_url].get('access')
-        return None
-
-    def __post(self, path, data, headers=None, content_type='application/json'):
-        hdrs = dict(self.headers)
-        if headers:
-            hdrs.update(headers)
-        hdrs.setdefault('Content-Type', content_type)
-        if isinstance(data, str):
-            data = data.encode('utf-8')
-        req = urllib.request.Request(self.base_url + path, data=data,
-                                     headers=hdrs, method='POST')
-        try:
-            return urllib.request.urlopen(req)
-        except urllib.error.HTTPError as e:
-            body = e.read()
-            try:
-                message = json.loads(body)['error']
-            except Exception:
-                raise RequestError(body.decode('utf-8', 'replace'), e) from None
-            raise RequestError(message, e) from None
-
-    def create_pool(self, name, layout={'order': 'desc', 'keys': [['ts']]},
-                    thresh=0):
-        r = self.__post('/pool', json.dumps({
-            'name': name,
-            'layout': layout,
-            'thresh': thresh,
-        }))
-        r.read()
-        r.close()
-
-    def load(self, pool_name_or_id, data, branch_name='main',
-             commit_author=None, commit_body=''):
-        if commit_author is None:
-            try:
-                commit_author = getpass.getuser()
-            except Exception:
-                commit_author = 'graft-python'
-        pool = urllib.parse.quote(pool_name_or_id, safe='')
-        branch = urllib.parse.quote(branch_name, safe='')
-        path = '/pool/' + pool + '/branch/' + branch
-        commit_message = {'author': commit_author, 'body': commit_body}
-        r = self.__post(path, data,
-                        headers={'Zed-Commit': json.dumps(commit_message)},
-                        content_type='application/x-zson')
-        r.read()
-        r.close()
-
-    def query(self, query):
-        r = self.query_raw(query)
-        zjson = (json.loads(line) for line in r if line.strip())
-        return decode_zjson(zjson)
-
-    def query_raw(self, query, headers=None):
-        return self.__post('/query', json.dumps({'query': query}),
-                           headers=headers)
+_ENV_URL = 'GRAFT_LAKE'
+_ENV_TOKEN = 'GRAFT_TOKEN'
+_DEFAULT_URL = 'http://localhost:9867'
+_DEFAULT_LAYOUT = {'order': 'desc', 'keys': [['ts']]}
 
 
 class RequestError(Exception):
-    """Raised by Client methods when an HTTP request fails."""
-    def __init__(self, message, response):
-        super(RequestError, self).__init__(message)
+    """An HTTP request to the service failed."""
+
+    def __init__(self, message, status=None, response=None):
+        super().__init__(message)
+        self.status = status
         self.response = response
 
 
 class QueryError(Exception):
-    """Raised by Client.query() when a query fails."""
-    pass
+    """The service reported a query failure in the response stream."""
 
 
-_DURATION_UNITS = {'ns': 1, 'us': 1000, 'µs': 1000, 'ms': 10**6,
-                   's': 10**9, 'm': 60 * 10**9, 'h': 3600 * 10**9,
-                   'd': 86400 * 10**9, 'w': 7 * 86400 * 10**9,
-                   'y': 31536000 * 10**9}
+def _bearer_token(base_url, config_dir):
+    """Locate a bearer token for base_url.
 
-
-def parse_duration(s):
-    """zed duration literal ("1h2m3.5s", "-150ms") -> datetime.timedelta."""
-    if s in ('0', '0s'):
-        return datetime.timedelta(0)
-    sign = 1
-    if s.startswith('-'):
-        sign, s = -1, s[1:]
-    ns = 0
-    for num, unit in re.findall(r'(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w|y)', s):
-        ns += int(round(float(num) * _DURATION_UNITS[unit]))
-    return datetime.timedelta(microseconds=sign * ns / 1000)
-
-
-def _parse_time(s):
-    # fromisoformat pre-3.11 rejects 'Z' and >6 fractional digits
-    s = s.replace('Z', '+00:00')
-    m = re.match(r'(.*\.\d{6})\d+([+-].*)?$', s)
-    if m:
-        s = m.group(1) + (m.group(2) or '')
-    return datetime.datetime.fromisoformat(s)
-
-
-def decode_zjson(zjson):
-    types = {}
-    for msg in zjson:
-        typ, value = msg['type'], msg['value']
-        if isinstance(typ, dict):
-            yield _decode_value(_decode_type(types, typ), value)
-        elif typ == 'QueryError':
-            raise QueryError(value['error'])
-
-
-def _decode_type(types, typ):
-    kind = typ['kind']
-    if kind == 'ref':
-        return types[typ['id']]
-    if kind == 'primitive':
-        return typ
-    elif kind == 'record':
-        for f in typ['fields']:
-            f['type'] = _decode_type(types, f['type'])
-    elif kind in ['array', 'set']:
-        typ['type'] = _decode_type(types, typ['type'])
-    elif kind == 'map':
-        typ['key_type'] = _decode_type(types, typ['key_type'])
-        typ['val_type'] = _decode_type(types, typ['val_type'])
-    elif kind == 'union':
-        typ['types'] = [_decode_type(types, t) for t in typ['types']]
-    elif kind == 'enum':
-        pass
-    elif kind in ['error', 'named']:
-        typ['type'] = _decode_type(types, typ['type'])
-    else:
-        raise Exception(f'unknown type kind {kind}')
-    types[typ['id']] = typ
-    return typ
-
-
-def _decode_value(typ, value):
-    if value is None:
+    $GRAFT_TOKEN wins; otherwise look for a per-service entry in
+    <config_dir>/credentials.json. Returns None when unauthenticated.
+    """
+    token = os.environ.get(_ENV_TOKEN)
+    if token:
+        return token
+    directory = config_dir or os.path.expanduser('~/.graft')
+    path = os.path.join(directory, 'credentials.json')
+    if not os.path.exists(path):
         return None
-    kind = typ['kind']
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    entry = doc.get('services', {}).get(base_url)
+    if isinstance(entry, dict):
+        return entry.get('access')
+    return None
+
+
+def _http_error_message(err):
+    """Best error text out of an HTTPError: the service's JSON 'error'
+    field when present, the raw body otherwise."""
+    body = err.read()
+    try:
+        return json.loads(body)['error']
+    except Exception:
+        return body.decode('utf-8', 'replace') or str(err)
+
+
+class Client:
+    """A connection to one graft lake service."""
+
+    def __init__(self, base_url=None, config_dir=None):
+        if base_url is None:
+            base_url = os.environ.get(_ENV_URL, _DEFAULT_URL)
+        self.base_url = base_url.rstrip('/')
+        self._token = _bearer_token(self.base_url, config_dir)
+
+    def _post(self, path, body, content_type, extra_headers=None):
+        headers = {
+            'Accept': 'application/x-zjson',
+            'Content-Type': content_type,
+        }
+        if self._token:
+            headers['Authorization'] = 'Bearer ' + self._token
+        if extra_headers:
+            headers.update(extra_headers)
+        if isinstance(body, str):
+            body = body.encode('utf-8')
+        request = urllib.request.Request(
+            self.base_url + path, data=body, headers=headers, method='POST')
+        try:
+            return urllib.request.urlopen(request)
+        except urllib.error.HTTPError as err:
+            raise RequestError(_http_error_message(err), status=err.code,
+                               response=err) from None
+
+    def create_pool(self, name, layout=None, thresh=0):
+        """Create a pool; layout defaults to ts-descending."""
+        body = json.dumps({
+            'name': name,
+            'layout': _DEFAULT_LAYOUT if layout is None else layout,
+            'thresh': thresh,
+        })
+        with self._post('/pool', body, 'application/json') as response:
+            response.read()
+
+    def load(self, pool, data, branch_name='main',
+             commit_author=None, commit_body=''):
+        """Commit ZSON text (or bytes in any self-describing format) to
+        a pool branch."""
+        if commit_author is None:
+            commit_author = os.environ.get('USER') or 'graft-python'
+        target = '/pool/{}/branch/{}'.format(
+            urllib.parse.quote(pool, safe=''),
+            urllib.parse.quote(branch_name, safe=''))
+        commit = json.dumps({'author': commit_author, 'body': commit_body})
+        with self._post(target, data, 'application/x-zson',
+                        extra_headers={'Zed-Commit': commit}) as response:
+            response.read()
+
+    def query_raw(self, query, headers=None):
+        """POST a query; return the raw HTTP response object."""
+        return self._post('/query', json.dumps({'query': query}),
+                          'application/json', extra_headers=headers)
+
+    def query(self, query):
+        """Run a query and yield decoded Python values."""
+        response = self.query_raw(query)
+        messages = (json.loads(line) for line in response if line.strip())
+        return decode_zjson(messages)
+
+
+# --------------------------------------------------------------------
+# zjson decoding
+
+_NS_PER = (
+    ('y', 31536000 * 10**9), ('w', 7 * 86400 * 10**9), ('d', 86400 * 10**9),
+    ('h', 3600 * 10**9), ('m', 60 * 10**9), ('s', 10**9),
+    ('ms', 10**6), ('us', 10**3), ('µs', 10**3), ('ns', 1),
+)
+_DURATION_RE = re.compile(r'(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w|y)')
+
+
+def parse_duration(text):
+    """A zed duration literal ("1h2m3.5s", "-150ms") as a timedelta."""
+    if text in ('0', '0s'):
+        return datetime.timedelta(0)
+    negative = text.startswith('-')
+    if negative:
+        text = text[1:]
+    units = dict(_NS_PER)
+    total_ns = sum(int(round(float(num) * units[unit]))
+                   for num, unit in _DURATION_RE.findall(text))
+    if negative:
+        total_ns = -total_ns
+    return datetime.timedelta(microseconds=total_ns / 1000)
+
+
+def parse_time(text):
+    """An RFC 3339 timestamp as an aware datetime (ns truncated to µs)."""
+    text = text.replace('Z', '+00:00')
+    overflow = re.match(r'(.*\.\d{6})\d+([+-].*)?$', text)
+    if overflow:
+        text = overflow.group(1) + (overflow.group(2) or '')
+    return datetime.datetime.fromisoformat(text)
+
+
+_PRIMITIVE_CONVERTERS = {
+    'uint8': int, 'uint16': int, 'uint32': int, 'uint64': int,
+    'int8': int, 'int16': int, 'int32': int, 'int64': int,
+    'float16': float, 'float32': float, 'float64': float,
+    'decimal': decimal.Decimal,
+    'bool': 'true'.__eq__,
+    'bytes': lambda text: binascii.a2b_hex(text[2:]),
+    'string': str,
+    'type': str,
+    'ip': ipaddress.ip_address,
+    'net': ipaddress.ip_network,
+    'duration': parse_duration,
+    'time': parse_time,
+    'null': lambda text: None,
+}
+
+
+def _apply(converter, value):
+    return None if value is None else converter(value)
+
+
+def _compile_type(table, spec):
+    """Compile a zjson type description into a converter closure and
+    register it in `table` under the type's id (when it has one)."""
+    kind = spec['kind']
+    if kind == 'ref':
+        return table[spec['id']]
     if kind == 'primitive':
-        name = typ['name']
-        if name in ['uint8', 'uint16', 'uint32', 'uint64',
-                    'int8', 'int16', 'int32', 'int64']:
-            return int(value)
-        if name == 'duration':
-            return parse_duration(value)
-        if name == 'time':
-            return _parse_time(value)
-        if name in ['float16', 'float32', 'float64']:
-            return float(value)
-        if name == 'decimal':
-            return decimal.Decimal(value)
-        if name == 'bool':
-            return value == 'true'
-        if name == 'bytes':
-            return binascii.a2b_hex(value[2:])
-        if name == 'string':
-            return value
-        if name == 'ip':
-            return ipaddress.ip_address(value)
-        if name == 'net':
-            return ipaddress.ip_network(value)
-        if name == 'type':
-            return value
-        if name == 'null':
-            return None
-        raise Exception(f'unknown primitive name {name}')
-    if kind == 'record':
-        return {f['name']: _decode_value(f['type'], v)
-                for f, v in zip(typ['fields'], value)}
-    if kind == 'array':
-        return [_decode_value(typ['type'], v) for v in value]
-    if kind == 'set':
-        return {_decode_value(typ['type'], v) for v in value}
-    if kind == 'map':
-        key_type, val_type = typ['key_type'], typ['val_type']
-        return {_decode_value(key_type, v[0]): _decode_value(val_type, v[1])
-                for v in value}
-    if kind == 'union':
-        type_index, val = value
-        return _decode_value(typ['types'][int(type_index)], val)
-    if kind == 'enum':
-        return typ['symbols'][int(value)]
-    if kind in ['error', 'named']:
-        return _decode_value(typ['type'], value)
-    raise Exception(f'unknown type kind {kind}')
+        converter = _PRIMITIVE_CONVERTERS.get(spec['name'])
+        if converter is None:
+            raise ValueError('unknown zjson primitive: ' + spec['name'])
+    elif kind == 'record':
+        fields = [(f['name'], _compile_type(table, f['type']))
+                  for f in spec['fields']]
+
+        def converter(items, fields=fields):
+            return {name: _apply(conv, item)
+                    for (name, conv), item in zip(fields, items)}
+    elif kind == 'array':
+        inner = _compile_type(table, spec['type'])
+
+        def converter(items, inner=inner):
+            return [_apply(inner, item) for item in items]
+    elif kind == 'set':
+        inner = _compile_type(table, spec['type'])
+
+        def converter(items, inner=inner):
+            return {_apply(inner, item) for item in items}
+    elif kind == 'map':
+        key_conv = _compile_type(table, spec['key_type'])
+        val_conv = _compile_type(table, spec['val_type'])
+
+        def converter(entries, kc=key_conv, vc=val_conv):
+            return {_apply(kc, key): _apply(vc, val)
+                    for key, val in entries}
+    elif kind == 'union':
+        arms = [_compile_type(table, arm) for arm in spec['types']]
+
+        def converter(tagged, arms=arms):
+            return _apply(arms[int(tagged[0])], tagged[1])
+    elif kind == 'enum':
+        def converter(index, symbols=spec['symbols']):
+            return symbols[int(index)]
+    elif kind in ('error', 'named'):
+        converter = _compile_type(table, spec['type'])
+    else:
+        raise ValueError('unknown zjson type kind: ' + kind)
+    type_id = spec.get('id')
+    if type_id is not None:
+        table[type_id] = converter
+    return converter
+
+
+def decode_zjson(messages):
+    """Yield Python values from an iterable of parsed zjson messages.
+
+    Raises QueryError when the stream carries a QueryError control
+    message.
+    """
+    table = {}
+    for message in messages:
+        spec = message.get('type')
+        if isinstance(spec, dict):
+            converter = _compile_type(table, spec)
+            yield _apply(converter, message['value'])
+        elif spec == 'QueryError':
+            raise QueryError(message['value']['error'])
+
+
+def _main(argv=None):
+    import sys
+    args = sys.argv[1:] if argv is None else argv
+    if not args or args[0] in ('-h', '--help'):
+        print('usage: python -m graft [-u BASE_URL] QUERY', file=sys.stderr)
+        return 2
+    url = None
+    if args[0] == '-u':
+        url, args = args[1], args[2:]
+    client = Client(base_url=url)
+    for record in client.query(' '.join(args)):
+        print(record)
+    return 0
 
 
 if __name__ == '__main__':
-    import argparse
-    import pprint
-
-    parser = argparse.ArgumentParser(
-        description='Query a graft lake service and print results.',
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument('query')
-    args = parser.parse_args()
-
-    c = Client()
-    for record in c.query(args.query):
-        pprint.pprint(record)
+    raise SystemExit(_main())

@@ -403,7 +403,20 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           jerr(ex, 400, "invalid operation", "no records in request")
           return
         }
-        val id = Lake.load(df, root, pool, author = "service", branch = branch)
+        // the reference's branch-load endpoint reads the commit message
+        // from a Zed-Commit header (api/queryio, service/handlers.go)
+        val (author, message) =
+          Option(ex.getRequestHeaders.getFirst("Zed-Commit")) match {
+            case Some(js) =>
+              val a = "\"author\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(js)
+                .map(_.group(1)).getOrElse("service")
+              val b = "\"body\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(js)
+                .map(_.group(1)).getOrElse("")
+              (a, b)
+            case None => ("service", "")
+          }
+        val id = Lake.load(df, root, pool, author = author,
+          message = message, branch = branch)
         event(s"""{kind:"commit",pool:"${Service.esc(pool)}",commit:"$id"}""")
         respond(ex, 200, commitResponse(ex, id))
       case _ => legacyPool.handle(ex)

@@ -71,7 +71,7 @@ class PythonClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         |assert r['d'] == datetime.timedelta(seconds=90), r
         |assert r['tags'] == {'a', 'b'}, r
         |assert r['ts'].year == 2026 and r['ts'].second == 5, r
-        |agg = list(c.query('from py_pool | sum(n) as total'))
+        |agg = list(c.query('from py_pool | total:=sum(n)'))
         |assert agg[0]['total'] == 15, agg
         |print('PY_OK', json.dumps(sorted(r.keys())))
         |""".stripMargin)
