@@ -70,6 +70,8 @@ object Cli {
           }
           lines.foreach(println)
       }
+      // `debug` operator output goes to stderr after the run (zq surface)
+      graft.lang.Compiler.drainDebug().foreach(System.err.println)
     } finally spark.stop()
   }
 }

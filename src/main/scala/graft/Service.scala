@@ -102,7 +102,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
               ex.getResponseBody.write(msg)
             } catch { case _: Exception => } // headers already sent mid-stream
             finally ex.getResponseBody.close()
-        }
+        } finally graft.lang.Compiler.clearDebug()
       }
     })
     server.createContext("/pools", handler { ex =>
@@ -445,6 +445,31 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     ex.getResponseBody.close()
   }
 
+  /** Begin a 200 chunked response; caller writes + closes the body. */
+  private def openChunked(ex: HttpExchange,
+      ctype: String): java.io.BufferedOutputStream = {
+    ex.getResponseHeaders.add("Content-Type", ctype)
+    ex.sendResponseHeaders(200, 0)
+    new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+  }
+
+  /** Stream text lines chunked, each followed by '\n'. `emptyNewline`
+    * preserves the mkString("", "\n", "\n") quirk of the formerly
+    * buffered formats: an empty result is a single newline.
+    */
+  private def streamLines(ex: HttpExchange, ctype: String,
+      lines: Iterator[String], emptyNewline: Boolean = false): Unit = {
+    val os = openChunked(ex, ctype)
+    var any = false
+    while (lines.hasNext) {
+      any = true
+      os.write(lines.next().getBytes(StandardCharsets.UTF_8)); os.write('\n')
+    }
+    if (!any && emptyNewline) os.write('\n')
+    os.flush()
+    ex.getResponseBody.close()
+  }
+
   private def jerr(ex: HttpExchange, code: Int, kind: String, msg: String,
       compileErrs: Option[(String, Int, Int)] = None): Unit = {
     def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -526,10 +551,23 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         return
       }
       val ctrl = ctrlRaw.exists(boolTrue)
+      // every format streams chunked off toLocalIterator (or part files
+      // on disk) — driver memory stays one partition regardless of
+      // result size, like the reference's paged ZNG-over-HTTP. csv/tsv
+      // stay buffered: their single-shape error must be known up front.
       fmt match {
         case "application/json" | "text/plain" =>
-          val rows = graft.sources.ZFormat.jsonLines(df)
-          respond(ex, 200, rows.mkString("[", ",", "]") + "\n")
+          val itr = graft.sources.ZFormat.jsonIter(df)
+          val os = openChunked(ex, "application/json")
+          os.write('[')
+          var first = true
+          while (itr.hasNext) {
+            if (!first) os.write(',')
+            os.write(itr.next().getBytes(StandardCharsets.UTF_8))
+            first = false
+          }
+          os.write(']'); os.write('\n')
+          os.flush(); ex.getResponseBody.close()
         case "text/csv" =>
           respond(ex, 200,
             graft.sources.ZFormat.csvLines(df).mkString("", "\n", "\n"), "text/csv")
@@ -537,13 +575,15 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           val lines = graft.sources.ZFormat.csvLines(df, "\t")
           respond(ex, 200, lines.mkString("", "\n", "\n"), "text/tab-separated-values")
         case "application/x-ndjson" =>
-          respond(ex, 200,
-            graft.sources.ZFormat.jsonLines(df).mkString("", "\n", "\n"),
-            "application/x-ndjson")
+          streamLines(ex, "application/x-ndjson",
+            graft.sources.ZFormat.jsonIter(df), emptyNewline = true)
         case "application/x-zeek" =>
-          respond(ex, 200,
-            graft.sources.ZFormat.zeekLines(df).collect()
-              .mkString("", "\n", "\n"), "application/x-zeek")
+          val it = graft.sources.ZFormat.zeekLines(df).toLocalIterator()
+          streamLines(ex, "application/x-zeek",
+            new Iterator[String] {
+              def hasNext: Boolean = it.hasNext
+              def next(): String = it.next()
+            }, emptyNewline = true)
         case "application/x-zjson" =>
           // the control-capable format: channel framing + end-of-query
           // stats ride as typed control messages (api.go QueryChannelSet/
@@ -555,23 +595,34 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
               catch { case _: Exception => Seq.empty }
             if (outs.length > 1) outs else Seq("main" -> df)
           }
-          val sb = new StringBuilder
+          // matched stats describe the FILTERED result (the reference's
+          // progress counts records passing the filter); read stats stay
+          // the whole-pool scan counters. Computed before streaming
+          // starts so a stats failure can still 400.
+          val stats: Option[String] = if (!ctrl) None else Some {
+            val (nRead, bRead) =
+              firstFrom.map(_.takeWhile(c => c != '@' && c != ':')) match {
+                case Some(p) if Lake.exists(root, p) => Lake.scanStats(root, p)
+                case _ => (0L, 0L)
+              }
+            val (nMatch, bMatch) =
+              try Lake.bodyStats(df) catch { case _: Exception => (nRead, bRead) }
+            val sec = System.currentTimeMillis() / 1000
+            s"""{"type":"QueryStats","value":{"start_time":{"sec":$sec,"ns":123456789},"update_time":{"sec":$sec,"ns":123456789},"bytes_read":$bRead,"bytes_matched":$bMatch,"records_read":$nRead,"records_matched":$nMatch}}"""
+          }
+          val os = openChunked(ex, "application/x-zjson")
+          def line(s: String): Unit = {
+            os.write(s.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+          }
           for ((name, leg) <- legs) {
             if (ctrl)
-              sb.append(s"""{"type":"QueryChannelSet","value":{"channel":"${Service.esc(name)}"}}""" + "\n")
-            graft.sources.ZjsonIO.typedLines(leg).foreach(l => sb.append(l).append('\n'))
+              line(s"""{"type":"QueryChannelSet","value":{"channel":"${Service.esc(name)}"}}""")
+            graft.sources.ZjsonIO.typedIter(leg).foreach(line)
             if (ctrl)
-              sb.append(s"""{"type":"QueryChannelEnd","value":{"channel":"${Service.esc(name)}"}}""" + "\n")
+              line(s"""{"type":"QueryChannelEnd","value":{"channel":"${Service.esc(name)}"}}""")
           }
-          if (ctrl) {
-            val (n, vb) = firstFrom.map(_.takeWhile(c => c != '@' && c != ':')) match {
-              case Some(p) if Lake.exists(root, p) => Lake.scanStats(root, p)
-              case _ => (0L, 0L)
-            }
-            val sec = System.currentTimeMillis() / 1000
-            sb.append(s"""{"type":"QueryStats","value":{"start_time":{"sec":$sec,"ns":123456789},"update_time":{"sec":$sec,"ns":123456789},"bytes_read":$vb,"bytes_matched":$vb,"records_read":$n,"records_matched":$n}}""" + "\n")
-          }
-          respond(ex, 200, sb.toString, "application/x-zjson")
+          stats.foreach(line)
+          os.flush(); ex.getResponseBody.close()
         case "application/x-parquet" | "application/x-vng" |
              "application/vnd.apache.arrow.stream" | "application/x-zng" =>
           val wfmt = fmt match {
@@ -581,34 +632,49 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
             case _ => "arrows"
           }
           val d = java.nio.file.Files.createTempDirectory("svcresp")
-          val p = d.resolve(s"out.$wfmt")
-          Formats.write(df.coalesce(1), p.toString, wfmt)
-          val bos = new java.io.ByteArrayOutputStream()
-          java.nio.file.Files.list(p).iterator().forEachRemaining { pp =>
-            if (pp.getFileName.toString.startsWith("part-"))
-              bos.write(java.nio.file.Files.readAllBytes(pp))
-          }
-          val bytes = bos.toByteArray
-          ex.getResponseHeaders.add("Content-Type", fmt)
-          ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
-          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-          ex.getResponseBody.close()
+          try {
+            // zng streams concatenate, so the write stays distributed and
+            // part files stream to the body in order; parquet/arrow/vng
+            // are single-stream formats → one output task
+            val p = d.resolve(s"out.$wfmt")
+            Formats.write(if (wfmt == "zng") df else df.coalesce(1),
+              p.toString, wfmt)
+            val parts = {
+              val s = java.nio.file.Files.list(p)
+              try {
+                val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+                s.iterator().forEachRemaining { pp =>
+                  if (pp.getFileName.toString.startsWith("part-")) buf += pp
+                }
+                buf.sortBy(_.getFileName.toString).toSeq
+              } finally s.close()
+            }
+            val os = openChunked(ex, fmt)
+            for (pp <- parts) {
+              val in = java.nio.file.Files.newInputStream(pp)
+              try { in.transferTo(os): Unit } finally in.close()
+            }
+            os.flush(); ex.getResponseBody.close()
+          } finally
+            org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit
         case _ =>
-          // stream (chunked) like the main /query path — a large x-zson
-          // response must never buffer whole on the driver
+          // a large x-zson response must never buffer whole on the driver
           val it = ZsonIO.toZson(df).toLocalIterator()
-          ex.getResponseHeaders.add("Content-Type", "application/x-zson")
-          ex.sendResponseHeaders(200, 0)
-          val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
-          while (it.hasNext) {
-            os.write(it.next().getBytes(StandardCharsets.UTF_8)); os.write('\n')
-          }
-          os.flush()
-          ex.getResponseBody.close()
+          streamLines(ex, "application/x-zson",
+            new Iterator[String] {
+              def hasNext: Boolean = it.hasNext
+              def next(): String = it.next()
+            })
       }
     } catch {
       case e: Exception =>
-        jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage))
+        // once a chunked response has begun the headers are gone — all
+        // we can do is truncate the stream (the client sees a broken
+        // chunked body, like the reference on a mid-stream error)
+        if (ex.getResponseCode == -1)
+          jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage))
+        else
+          try ex.getResponseBody.close() catch { case _: Exception => }
     }
   }
 
@@ -647,6 +713,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         try f(ex)
         catch { case e: Exception =>
           (400, s"""{error:"${Service.esc(String.valueOf(e.getMessage))}"}""" + "\n") }
+        finally graft.lang.Compiler.clearDebug()
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/x-zson")
       ex.sendResponseHeaders(code, bytes.length)

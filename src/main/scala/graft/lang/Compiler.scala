@@ -233,16 +233,16 @@ final class Compiler(spark: SparkSession, dir: String) {
           // OpenCommitLog; lake/commits/actions.go Commit fields)
           def hex(id: String): String =
             try graft.functions.Ksuid.decodeHex(id)
-            catch { case _: Exception => "00" * 40 }
+            catch { case _: Exception => "00" * 20 }
           val cs = lk.commitsOn(root, poolName.get, branchName)
             .filter(_.kind == "commit")
           val tips = lk.branches(root, poolName.get).map { b =>
             val tip = lk.commitsOn(root, poolName.get, b)
               .filter(_.kind == "commit").lastOption.map(_.id)
-            s"""{name:"$b",commit:0x${tip.map(hex).getOrElse("00" * 40)}(=ksuid.KSUID)}(=lake.BranchTip)"""
+            s"""{name:"$b",commit:0x${tip.map(hex).getOrElse("00" * 20)}(=ksuid.KSUID)}(=lake.BranchTip)"""
           }
           val commits = cs.reverse.zipWithIndex.map { case (c, ix) =>
-            val parent = cs.reverse.lift(ix + 1).map(p => hex(p.id)).getOrElse("00" * 40)
+            val parent = cs.reverse.lift(ix + 1).map(p => hex(p.id)).getOrElse("00" * 20)
             val date = java.time.Instant.ofEpochMilli(c.ts).toString
             val metaV = if (c.meta.isEmpty) "null" else c.meta
             s"""{id:0x${hex(c.id)}(=ksuid.KSUID),parent:0x$parent(=ksuid.KSUID),retries:0(uint8),author:"${c.author.replace("\"", "'")}",date:$date,message:"${c.message.replace("\"", "'")}",meta:$metaV}(=Commit)"""
@@ -275,7 +275,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           }.getOrElse("null")
           def hex(id: String): String =
             try graft.functions.Ksuid.decodeHex(id)
-            catch { case _: Exception => "00" * 40 }
+            catch { case _: Exception => "00" * 20 }
           val zson = cs.map { c =>
             s"""{id:0x${hex(c.id)}(=ksuid.KSUID),min:${kv(c.keyMin)},max:${kv(c.keyMax)},count:${math.max(0L, c.rows)}(uint64),size:${math.max(0L, c.bytes)}}(=data.Object)"""
           }.mkString("\n")
@@ -1609,7 +1609,11 @@ final class Compiler(spark: SparkSession, dir: String) {
                      catch { case _: Exception => StringType }
             graft.sources.ZsonIO.zsonOf(c, dt)
           }
-        Compiler.addDebug(() => df.select(text).collect().map(_.getString(0)).toSeq)
+        // row-capped: the debug channel is a diagnostic, not a data path —
+        // an unbounded collect here would mirror the input size
+        Compiler.addDebug(() =>
+          df.select(text).limit(Compiler.debugRowCap).collect()
+            .map(_.getString(0)).toSeq)
         Seq(df)
 
       case Stage.Assert(e, text) =>
@@ -4998,6 +5002,8 @@ object Compiler {
       override def initialValue() =
         scala.collection.mutable.ArrayBuffer.empty[() => Seq[String]]
     }
+  /** debug-channel row cap (diagnostics, not a data path) */
+  val debugRowCap = 1024
   def addDebug(t: () => Seq[String]): Unit = debugThunks.get() += t
   def drainDebug(): Seq[String] = {
     val ts = debugThunks.get()
@@ -5006,6 +5012,11 @@ object Compiler {
     ts.clear()
     out
   }
+  /** Discard any registered debug thunks without running them — pooled
+    * server threads must not accumulate DataFrame-capturing closures
+    * across requests.
+    */
+  def clearDebug(): Unit = debugThunks.get().clear()
   /** reserved column-name prefix for lateral `with` scope vars */
   val varPrefix = "__var_"
 }

@@ -269,12 +269,16 @@ object Lake {
             // and the object's total "data bytes" — are byte-exact.
             import org.apache.spark.sql.functions.{col, asc_nulls_last, desc_nulls_first}
             val desc = poolOrder(root, pool) == "desc"
-            val sortedOne = key match {
+            // cached: the zng write and the key-text collect below must
+            // see ONE ordering — rows with equal pool keys have no stable
+            // tiebreak, so two executions could misalign the per-stream
+            // min/max/vbytes
+            val sortedOne = (key match {
               case Some(k) =>
                 df.coalesce(1).sortWithinPartitions(
                   if (desc) desc_nulls_first(k) else asc_nulls_last(k))
               case None => df.coalesce(1)
-            }
+            }).cache()
             ZngIO.write(sortedOne, tmp.toString)
             val (typesPayload, values) = ZngIO.parseStream(tmp.toString)
             val keyInfo: Seq[(String, Int)] = key match {
@@ -341,6 +345,7 @@ object Lake {
                 } finally org.apache.commons.io.FileUtils.deleteQuietly(seekTmp.toFile): Unit
               } catch { case _: Exception => () }
             }
+            sortedOne.unpersist(blocking = false): Unit
             (ws.map(_._6).sum, ws.map(_._2).sum, ws)
           } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
         } catch { case _: Exception =>

@@ -733,12 +733,19 @@ object ZFormat {
     }
   }
 
-  def jsonLines(df: DataFrame): Seq[String] = {
+  def jsonLines(df: DataFrame): Seq[String] = jsonIter(df).toSeq
+
+  /** Incremental form of [[jsonLines]]: one partition on the driver at a
+    * time (toLocalIterator), so a large response can stream chunked
+    * instead of materializing on the driver.
+    */
+  def jsonIter(df: DataFrame): Iterator[String] = {
     val fn = rowValueFn(df.schema)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = df.toLocalIterator()
-    while (it.hasNext) out += jsonText(fn(it.next()))
-    out.toSeq
+    new Iterator[String] {
+      def hasNext: Boolean = it.hasNext
+      def next(): String = jsonText(fn(it.next()))
+    }
   }
 
   /** Pretty-print one compact ZSON value with the reference's `-Z` layout

@@ -276,13 +276,20 @@ object ZjsonIO extends Serializable {
   }
 
   /** Single-stream typed zjson lines (driver-side; golden harness/CLI). */
-  def typedLines(df: DataFrame): Seq[String] = {
+  def typedLines(df: DataFrame): Seq[String] = typedIter(df).toSeq
+
+  /** Incremental form of [[typedLines]] (toLocalIterator): lets the
+    * service stream a large zjson response chunked instead of building
+    * the whole body on the driver.
+    */
+  def typedIter(df: DataFrame): Iterator[String] = {
     val fn = ZFormat.rowValueFn(df.schema)
     val enc = new TypeEncoder
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = df.toLocalIterator()
-    while (it.hasNext) out += lineOf(fn(it.next()), enc)
-    out.toSeq
+    new Iterator[String] {
+      def hasNext: Boolean = it.hasNext
+      def next(): String = lineOf(fn(it.next()), enc)
+    }
   }
 
   // ---- reader ----------------------------------------------------------------
