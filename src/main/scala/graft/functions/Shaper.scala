@@ -84,7 +84,15 @@ object Shaper {
         case _ => None
       })
     }
-    go(schema, parts)
+    go(schema, parts).orElse {
+      // a bare-value frame carries the row as a single `this` struct —
+      // paths address its fields implicitly (over-a-record output)
+      schema.fields.find(_.name == "this").map(_.dataType) match {
+        case Some(st: StructType) if !parts.headOption.contains("this") =>
+          go(st, parts)
+        case _ => None
+      }
+    }
   }
 
   private def fieldType(schema: StructType, path: String): DataType =

@@ -306,7 +306,10 @@ object ZShaper {
         var items = items0.map(x => conv(it, ot, x))
         if (isSetT(outU)) items = ZValue.normSet(items)
         val arr = VArr(items, isSetT(outU))
-        if (typeOf(arr) == under(out)) retype(arr, out) else arr
+        // an EMPTY container adopts the target type outright — its own
+        // inferred type ([null]) can't witness the element type
+        if (typeOf(arr) == under(out) || items.isEmpty) retype(arr, out)
+        else arr
       case (Union(_), _) =>
         conv(typeOf(unwrap(v)), out, unwrap(v))
       case _ =>

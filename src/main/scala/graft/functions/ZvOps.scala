@@ -415,6 +415,18 @@ object ZvOps extends Serializable {
     if (text == null) Option.empty[Seq[Option[ZV]]]
     else parse(text).flatMap(v => ZValue.unwrap(v) match {
       case ZValue.VArr(items, _) => Some(items.map(zvOf))
+      case ZValue.VRec(fields) =>
+        // over a record: one {key:[name],value} entry per field
+        // (traverse/over.go records)
+        Some(fields.map { case (n, fv) =>
+          zvOf(ZValue.VRec(Vector(
+            "key" -> ZValue.VArr(Vector(ZValue.VStr(n)), isSet = false),
+            "value" -> fv)))
+        })
+      case ZValue.VMap(entries) =>
+        Some(entries.map { case (k, mv) =>
+          zvOf(ZValue.VRec(Vector("key" -> k, "value" -> mv)))
+        })
       case _ => Option.empty[Seq[Option[ZV]]]
     })
   })
@@ -504,6 +516,19 @@ object ZvOps extends Serializable {
       case TimeLit(ns, _) => VTime(ns)
       case Path(Seq(n)) if env.contains(n) => env(n)
       case Path(Seq()) => env.getOrElse("this", ZValue.errMissing)
+      case Path(parts0) =>
+        // descend `this` (or a bound var) through record fields
+        val (root, rest) = parts0.headOption match {
+          case Some(h) if env.contains(h) => (env(h), parts0.tail)
+          case Some("this") =>
+            (env.getOrElse("this", ZValue.errMissing), parts0.tail)
+          case _ => (env.getOrElse("this", ZValue.errMissing), parts0)
+        }
+        rest.foldLeft(root)((acc, f) => unwrap(acc) match {
+          case VRec(fs) => fs.find(_._1 == f).map(_._2)
+            .getOrElse(ZValue.errMissing)
+          case _ => ZValue.errMissing
+        })
       case Unary("-", x) => ev(x) match {
         case v => num(v) match {
           case Some(Left(n)) => VInt(-n, "int64")
@@ -1051,6 +1076,59 @@ object ZvOps extends Serializable {
   /** Compile a recursive-func call: args travel as ZSON text, the result
     * comes back as a variant value.
     */
+  // ---- boxed lateral subqueries ---------------------------------------------
+  // `(over x | …)` on a runtime-typed source: the element array is boxed
+  // variants; each stage maps/filters through the row-level interpreter.
+  // These run per element of ONE row — no distribution concern.
+
+  private def evalOne(body: graft.lang.Expr, text: String): ZValue = {
+    val v: ZValue =
+      if (text == null) ZValue.VNull(ZType.nullT)
+      else parse(text).getOrElse(ZValue.VStr(text))
+    interp(Map.empty, body, Map("this" -> v), 0)
+  }
+
+  /** transform: each boxed element through `body` with `this` bound. */
+  def mapBoxed(body: graft.lang.Expr, elems: Column): Column = {
+    val u = udf((xs: Seq[String]) =>
+      if (xs == null) Option.empty[Seq[Option[ZV]]]
+      else Some(xs.map(x => zvOf(evalOne(body, x)))))
+    u(transform(elems, x => Het.render(x)))
+  }
+
+  /** filter: keep boxed elements where `pred` evaluates to true. */
+  def filterBoxed(pred: graft.lang.Expr, elems: Column): Column = {
+    val u = udf((xs: Seq[String]) =>
+      if (xs == null) Option.empty[Seq[Option[ZV]]]
+      else Some(xs.flatMap { x =>
+        ZValue.unwrap(evalOne(pred, x)) match {
+          case ZValue.VBool(true) =>
+            Some(zvOf(if (x == null) ZValue.VNull(ZType.nullT)
+                      else parse(x).getOrElse(ZValue.VStr(x))))
+          case _ => None
+        }
+      }))
+    u(transform(elems, x => Het.render(x)))
+  }
+
+  /** collect: the boxed elements as ONE array value. */
+  def collectBoxed(elems: Column): Column = {
+    val u = udf((xs: Seq[String]) =>
+      if (xs == null) Option.empty[ZV]
+      else zvOf(ZValue.VArr(xs.toVector.map(x =>
+        if (x == null) ZValue.VNull(ZType.nullT): ZValue
+        else parse(x).getOrElse(ZValue.VStr(x))), isSet = false)))
+    u(transform(elems, x => Het.render(x)))
+  }
+
+  /** subquery result: one element unwraps to the value, several form an
+    * array value (expr-position over semantics).
+    */
+  def unwrapSingle(elems: Column): Column =
+    when(org.apache.spark.sql.functions.size(elems) === 1,
+      org.apache.spark.sql.functions.element_at(elems, 1))
+      .otherwise(collectBoxed(elems))
+
   def recCall(name: String, table: Map[String, (Seq[String], graft.lang.Expr)],
       args: Seq[Column]): Column = {
     val u = udf((xs: Seq[String]) => {

@@ -985,6 +985,16 @@ final class Compiler(spark: SparkSession, dir: String) {
                         df.schema.fields.find(_.name == ps.head)
                           .filter(_.metadata.contains("graft.zedType"))
                           .map(_.metadata.getString("graft.zedType"))
+                      case Expr.Path(Seq()) if shapesOf(df).nonEmpty =>
+                        // union(this) over a variant stream: the element
+                        // type is the canonical zed union of the stream's
+                        // shapes ((int64,string), LookupTypeUnion order)
+                        val zt = graft.sources.ZType
+                        val distinct = shapesOf(df).map(_._2).distinct
+                          .sortWith(graft.sources.ZValue.compareZTypes(_, _) < 0)
+                        Some(
+                          if (distinct.length == 1) zt.fullText(distinct.head)
+                          else distinct.map(zt.fullText).mkString("(", ",", ")"))
                     }.flatten
                 }.flatten
                 Some(new org.apache.spark.sql.types.MetadataBuilder()
@@ -1456,8 +1466,15 @@ final class Compiler(spark: SparkSession, dir: String) {
             // it is carried as `this` so downstream stages address it.
             // error("quiet") values vanish from the stream (writers drop
             // them in the reference; the quiet ztests pin this)
+            val thisMd = e match {
+              // typeof yields a TYPE VALUE — writers re-emit <…>
+              case Expr.Call("typeof" | "typeunder", _) =>
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("graft.zedType", "type").build()
+              case _ => org.apache.spark.sql.types.Metadata.empty
+            }
             val out = df.select(ctxCols(Set("this")) :+
-              outExpr(df, e).as("this", org.apache.spark.sql.types.Metadata.empty): _*)
+              outExpr(df, e).as("this", thisMd): _*)
             val isVar = isVariant(out.schema("this").dataType)
             val filtered =
               if (isVar) out.filter(col("this").isNull ||
@@ -1549,6 +1566,38 @@ final class Compiler(spark: SparkSession, dir: String) {
         // writers emit every field on every row
         val df = single(state)
         val shapes = shapesOf(df)
+        // a runtime-typed variant stream (`over <array> | fuse`): the
+        // distinct types are DATA, not schema — collect them (small: one
+        // text per distinct type), fuse, and reshape every boxed value
+        if (shapes.isEmpty && df.columns.contains("this") &&
+            isVariant(df.schema("this").dataType)) {
+          val het = graft.operators.Het
+          val zt = graft.sources.ZType
+          val texts = df.select(het.variantTypeOf(col("this")).as("t"))
+            .distinct().collect().map(_.getString(0)).filter(_ != null)
+          val parsed = texts.flatMap(t =>
+            try Some(graft.sources.ZsonParser.parseType(t))
+            catch { case _: Exception => None })
+          if (parsed.length >= 2 && parsed.length == texts.length &&
+              parsed.forall(t => zt.strip(t).isInstanceOf[zt.Rec])) {
+            val fusedText = zt.fullText(parsed.reduce(zt.fuse))
+            val tf = graft.functions.ZShaper.flagsOf("shape")
+            val reshapeU = udf((text: String) =>
+              if (text == null) Option.empty[graft.functions.ZvOps.ZV]
+              else (try Some(new graft.sources.ZsonParser(text).parseOne())
+                    catch { case _: Exception => None }).flatMap { v =>
+                val target = graft.sources.ZsonParser.parseType(fusedText)
+                graft.functions.ZvOps.zvOf(
+                  graft.functions.ZShaper.reshape(tf, v, target))
+              })
+            return Seq(df.select(df.schema.fields.toIndexedSeq.map { f =>
+              if (f.name == "this")
+                reshapeU(het.render(col("this"))).as("this", f.metadata)
+              else col(s"`${f.name}`")
+            }: _*))
+          }
+          return Seq(df)
+        }
         // record and NON-record shapes can't merge into one record type —
         // zed forms a union and every value keeps its own shape (fuse.go)
         if (shapes.length <= 1 ||
@@ -2013,7 +2062,12 @@ final class Compiler(spark: SparkSession, dir: String) {
       else resolveType(df.schema, parts))
     val shapeTs = shapesOf(df).flatMap(s => pathIn(s._2, parts))
       .map(graft.sources.ZType.strip)
-    if (shapeTs.nonEmpty && shapeTs.forall(_ == graft.sources.ZType.Prim("type")))
+    // a typeof()-produced column carries its type-valueness as metadata
+    val metaTypeValued = parts.length == 1 && df.schema.fields.exists(f =>
+      f.name == parts.head && f.metadata.contains("graft.zedType") &&
+        f.metadata.getString("graft.zedType") == "type")
+    if (metaTypeValued ||
+        (shapeTs.nonEmpty && shapeTs.forall(_ == graft.sources.ZType.Prim("type"))))
       Seq(typeKeyUdf(c))
     else if (dt.contains(DoubleType) || dt.contains(FloatType))
       Seq(when(isnan(c), lit(0)).otherwise(lit(1)), c)
@@ -2173,26 +2227,60 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "collect_map" =>
         map_from_entries(flatten(collect_list(map_entries(guarded(base.get)))))
       case "fuse" =>
-        // type-fusing agg (agg/fuse.go): with a relational frame the fused
-        // type is static — fold at plan time like zed's semantic pass
+        // type-fusing agg (agg/fuse.go). With a static relational frame
+        // the fused type is a plan-time constant; a tagged heterogeneous
+        // frame fuses the DISTINCT PER-GROUP shapes at runtime — group
+        // "bar" of `fuse(this) by b` sees only bar's row types
+        // (docs/language/aggregates/fuse.md group-by example)
         val dataSchema = StructType(df.schema.fields.filterNot(f =>
           f.name == graft.operators.Het.typeTag || f.metadata.contains("graft.scopeVar")))
         val shapes = shapesOf(df)
         val zt = graft.sources.ZType
-        val t = a.arg match {
-          case Some(Expr.Path(Seq())) | None =>
-            // exact per-row types when the shape tag is live (keeps int32
-            // etc. that the relational mapping widens)
-            if (shapes.nonEmpty) zt.fullText(shapes.map(_._2).reduce(zt.fuse))
-            else Shaper.zedTypeOf(dataSchema)
-          case Some(Expr.Path(parts)) =>
-            if (shapes.nonEmpty)
-              zt.fullText(shapes.flatMap(s => pathIn(s._2, parts)).reduceOption(zt.fuse)
-                .getOrElse(zt.nullT))
-            else Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
-          case Some(other) => Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType)
+        // per-row type TEXT when shapes are live (null when the arg path
+        // is absent from a row's shape — collect_set drops those)
+        val rowTypeText: Option[Column] = a.arg match {
+          case Some(Expr.Path(Seq())) | None if shapes.nonEmpty =>
+            Some(col(graft.operators.Het.typeTag))
+          case Some(Expr.Path(parts)) if shapes.nonEmpty =>
+            Some(shapes.foldLeft(lit(null).cast(StringType)) {
+              case (acc, (tagText, st)) => pathIn(st, parts) match {
+                case Some(ft) =>
+                  when(col(graft.operators.Het.typeTag) === tagText,
+                    lit(zt.fullText(ft))).otherwise(acc)
+                case None => acc
+              }
+            })
+          case _ => None
         }
-        first(lit(t))
+        rowTypeText match {
+          case Some(rt) =>
+            // fuse folds in STREAM order (field order of the fused record
+            // follows first appearance) — collect_set is unordered, so
+            // sort the group's texts by the frame's shape-list order
+            val orderOf: Map[String, Int] = shapes.map(_._1).zipWithIndex.toMap ++
+              shapes.flatMap { case (tagText, st) =>
+                pathIn(st, a.arg match {
+                  case Some(Expr.Path(parts)) => parts
+                  case _ => Seq.empty
+                }).map(ft => zt.fullText(ft))
+              }.zipWithIndex.toMap
+            val fuseFinish = org.apache.spark.sql.functions.udf(
+              (texts: scala.collection.mutable.ArraySeq[String]) =>
+                texts.iterator.filter(_ != null).toSeq
+                  .sortBy(t => orderOf.getOrElse(t, Int.MaxValue))
+                  .map(graft.sources.ZsonParser.parseType)
+                  .reduceOption(zt.fuse).map(zt.fullText).getOrElse("null"))
+            fuseFinish(collect_set(rt))
+          case None =>
+            val t = a.arg match {
+              case Some(Expr.Path(Seq())) | None => Shaper.zedTypeOf(dataSchema)
+              case Some(Expr.Path(parts)) =>
+                Shaper.zedTypeOf(df.select(parts.mkString(".")).schema.head.dataType)
+              case Some(other) =>
+                Shaper.zedTypeOf(df.select(expr(df, other)).schema.head.dataType)
+            }
+            first(lit(t))
+        }
       case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
   }
@@ -2418,14 +2506,57 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def subqueryExpr(df: DataFrame, p: Pipeline): Column =
     p.stages.head match {
       case Stage.Over(srcs, vars, body) if vars.isEmpty =>
-        val arr0 =
-          if (srcs.length == 1) expr(df, srcs.head)
-          else concat(srcs.map(e => expr(df, e)): _*)
         val tail = body.map(_.stages).getOrElse(Seq.empty) ++ p.stages.tail
-        tail.foldLeft(arr0)((arr, s) => arrayStage(df, arr, s))
+        if (srcs.exists(e => isVariantExpr(df, e))) {
+          // runtime-typed source (`over x` where x's type varies per
+          // shape): elements are BOXED and each stage maps through the
+          // row-level ZValue interpreter — still per-row, no shuffles
+          val het = graft.operators.Het
+          val zv = graft.functions.ZvOps
+          val arrs = srcs.map { e =>
+            if (isVariantExpr(df, e)) {
+              val c = outExpr(df, e)
+              coalesce(zv.elems(c), array(c))
+            } else {
+              val c = expr(df, e)
+              val dt = dtypeOf(df, e).getOrElse(
+                try df.select(c).schema.head.dataType
+                catch { case _: Exception => StringType })
+              dt match {
+                case ArrayType(et, _) => transform(c, x => het.variant(x, et))
+                case other => array(het.variant(c, other))
+              }
+            }
+          }
+          val arr0 = if (arrs.length == 1) arrs.head else concat(arrs: _*)
+          val res = tail.foldLeft(arr0)((arr, s) => boxedArrayStage(df, arr, s))
+          zv.unwrapSingle(res)
+        } else {
+          val arr0 =
+            if (srcs.length == 1) expr(df, srcs.head)
+            else concat(srcs.map(e => expr(df, e)): _*)
+          tail.foldLeft(arr0)((arr, s) => arrayStage(df, arr, s))
+        }
       case _ => throw new IllegalArgumentException(
         "expression subquery must start with `over`")
     }
+
+  /** Stages of a BOXED expression subquery (runtime-typed elements). */
+  private def boxedArrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
+    case Stage.Yield(Seq(e)) => graft.functions.ZvOps.mapBoxed(e, arr)
+    case Stage.Where(e) => graft.functions.ZvOps.filterBoxed(e, arr)
+    case Stage.Head(n) => slice(arr, 1, n)
+    case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
+    case Stage.Summarize(Seq((_, AggCall("collect", arg, None, false))), Seq()) =>
+      val mapped = arg match {
+        case None | Some(Expr.Path(Seq())) => arr
+        case Some(e) => graft.functions.ZvOps.mapBoxed(e, arr)
+      }
+      // collect yields ONE value — a single-element list so the final
+      // unwrap produces the array value itself
+      array(graft.functions.ZvOps.collectBoxed(mapped))
+    case other => throw new IllegalArgumentException(s"subquery stage (boxed) $other")
+  }
 
   private def elemType(df: DataFrame, arr: Column): DataType =
     try df.select(arr).schema.head.dataType match {
@@ -4028,7 +4159,18 @@ final class Compiler(spark: SparkSession, dir: String) {
       // network (function/ip.go)
       case "cidr_match" =>
         // matches when ANY ip inside the value lies in the net; non-ip
-        // values are false, never null (function/ip.go CIDRMatch walk)
+        // values are false, never null (function/ip.go CIDRMatch walk).
+        // A statically non-net first arg is the reference's error value
+        // ({message:"cidr_match: not a net",on:<arg>}), not a crash
+        val netDt0 = dtypeOf(df, args(0)).getOrElse(
+          try df.select(a(0)).schema.head.dataType
+          catch { case _: Exception => StringType })
+        if (netDt0 != StringType && !isVariant(netDt0)) {
+          val onText = graft.sources.ZsonIO.zsonOf(a(0), netDt0)
+          return graft.operators.Het.errorValue(
+            concat(lit("{message:\"cidr_match: not a net\",on:"), onText, lit("}")),
+            "error({message:string,on:" + Shaper.zedTypeOf(netDt0) + "})")
+        }
         val net = a(0)
         def hit(c: Column): Column = coalesce(F.cidrMatch(net, c), lit(false))
         if (isVariantExpr(df, args(1))) {
@@ -4087,7 +4229,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         case Expr.Path(parts) =>
           val shapes = shapesOf(df)
           if (dtypeOf(df, args.head).exists(isVariant))
-            graft.operators.Het.variantTypeOf(col(parts.mkString(".")))
+            graft.operators.Het.variantTypeOf(expr(df, args.head))
           else if (shapes.nonEmpty &&
               shapes.exists(s => pathIn(s._2, parts).isDefined)) {
             val perShape = shapes.map { case (t, st) =>
@@ -4171,6 +4313,11 @@ final class Compiler(spark: SparkSession, dir: String) {
               }
               when(col(graft.operators.Het.typeTag) === tag, k).otherwise(acc)
             }
+          case p @ Expr.Path(parts) if parts.nonEmpty &&
+              (dtypeOf(df, p).exists(isVariant) || isVariantExpr(df, p)) =>
+            // a variant field (e.g. over-a-record's boxed `value`)
+            // classifies row-level from its runtime type
+            variantKind(expr(df, p))
           case Expr.Path(parts) if parts.nonEmpty => Shaper.kind(df, parts.mkString("."))
           case Expr.Path(_) => lit("record")
           case e if isVariantExpr(df, e) => variantKind(expr(df, e))

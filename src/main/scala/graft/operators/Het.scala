@@ -47,7 +47,19 @@ object Het {
   def typeofRow(df: DataFrame): Column =
     if (df.columns.contains(typeTag))
       regexp_replace(col(typeTag), "^null\\((.*)\\)$", "$1")
-    else lit(Shaper.zedTypeOf(StructType(df.schema.filterNot(_.name == typeTag))))
+    else {
+      val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+        f.name == typeTag || f.metadata.contains("graft.scopeVar"))
+      dataFields.map(_.name) match {
+        case Seq("this") if graft.sources.ZsonIO.isVariantType(dataFields.head.dataType) =>
+          variantTypeOf(col("this"))
+        case Seq("this") =>
+          // an untagged bare-value stream (yield <expr> dropped the tag):
+          // typeof(this) is the VALUE's type, not a {this:…} wrapper
+          lit(Shaper.zedTypeOf(dataFields.head.dataType))
+        case _ => lit(Shaper.zedTypeOf(StructType(dataFields)))
+      }
+    }
 
   /** zed `sample` over a mixed stream: one representative value per
     * distinct type (shape/shaper.go; sample = `any(this) by typeof(this)`).
@@ -352,7 +364,11 @@ object Het {
     StructField("z", StringType)))
 
   /** zed `typeof` of a variant value. */
-  def variantTypeOf(v: Column): Column = v.getField("t")
+  /** typeof a boxed value: the t slot, with a NULL value typing as the
+    * zed null type (typeof(null) = <null>, function/typeof.go).
+    */
+  def variantTypeOf(v: Column): Column =
+    coalesce(v.getField("t"), lit("null"))
 
   /** zed `under`-style accessors (null when the member kind differs). */
   def asNumber(v: Column): Column = v.getField("n")

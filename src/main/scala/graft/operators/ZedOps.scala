@@ -50,7 +50,18 @@ object ZedOps {
     val dropped = df.drop(topLevel: _*)
     nested.foldLeft(dropped) { (d, p) =>
       val root = p.takeWhile(_ != '.')
-      d.withColumn(root, col(root).dropFields(p.drop(root.length + 1)))
+      val rest = p.drop(root.length + 1)
+      // dropping a struct's ONLY remaining field drops the struct itself
+      // (zed records have no empty type at a field position; the cut/drop
+      // ztests and schools.md pin this)
+      val dropsAll = !rest.contains(".") &&
+        d.schema.fields.find(_.name == root).map(_.dataType).exists {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.length == 1 && st.fields.head.name == rest
+          case _ => false
+        }
+      if (dropsAll) d.drop(root)
+      else d.withColumn(root, col(root).dropFields(rest))
     }
   }
 

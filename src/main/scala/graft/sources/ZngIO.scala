@@ -2027,6 +2027,24 @@ object ZngIO {
           new GenericArrayData(es.map(e => ks(e._1)).toArray),
           new GenericArrayData(es.map(e => if (e._2 == null) null else vs(e._2)).toArray))
       }
+    // narrow numerics: the value tree carries Longs/Doubles — convert to
+    // the slot's exact width (GenericInternalRow.getInt casts, not coerces)
+    case IntegerType => {
+      case n: java.lang.Number => java.lang.Integer.valueOf(n.intValue)
+      case v => v
+    }
+    case ShortType => {
+      case n: java.lang.Number => java.lang.Short.valueOf(n.shortValue)
+      case v => v
+    }
+    case ByteType => {
+      case n: java.lang.Number => java.lang.Byte.valueOf(n.byteValue)
+      case v => v
+    }
+    case FloatType => {
+      case n: java.lang.Number => java.lang.Float.valueOf(n.floatValue)
+      case v => v
+    }
     case _ => identity // Long, Double, Boolean, Array[Byte] ride unchanged
   }
 

@@ -21,7 +21,8 @@ object MdtestHarness {
   final case class MdCase(file: String, ord: Int, cmdInfo: String,
                           command: String, outInfo: String, output: String)
   final case class MdFile(path: String, inputs: Map[String, String],
-                          cases: Seq[MdCase])
+                          cases: Seq[MdCase],
+                          downloads: Seq[String] = Seq.empty)
 
   // ---- extraction -----------------------------------------------------------
 
@@ -64,7 +65,15 @@ object MdtestHarness {
         i += 1
       }
       val cs = cases.result()
-      if (cs.nonEmpty) Some(MdFile(p.toString, inputs.toMap, cs)) else None
+      // files the doc tells readers to DOWNLOAD before running (plain
+      // ``` blocks with `curl <url> > <file>`) — when absent from the
+      // checkout the examples' data prerequisites are unmet
+      val downloads = lines.collect {
+        case l if l.trim.matches("curl\\s+https?://\\S+\\s*>\\s*\\S+") =>
+          l.trim.split(">").last.trim
+      }
+      if (cs.nonEmpty) Some(MdFile(p.toString, inputs.toMap, cs, downloads))
+      else None
     }
   }
 

@@ -30,7 +30,11 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (c <- cases) {
       try {
         if (ZtestHarness.matches(c, ZtestHarness.run(spark, c))) pass += 1
-      } catch { case _: Exception => }
+        else if (sys.env.contains("ZTEST_VERBOSE")) info(s"FAIL ${c.file}")
+      } catch { case e: Exception =>
+        if (sys.env.contains("ZTEST_VERBOSE"))
+          info(s"FAIL ${c.file} :: ${String.valueOf(e.getMessage).take(150)}")
+      }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
     assert(pass >= 468, s"golden-test pass count regressed to $pass")
