@@ -723,6 +723,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           else c.cast(StringType)
         }
         val valueCols = assigns.map { case (_, ve) => outExpr(df, ve) }
+        dynAssignFast(df, op, assigns, nameCols, valueCols) match {
+          case Some(res) => return Seq(res)
+          case None => // data-dependent tail: the row-model path below
+        }
         val origSchema = df.schema
         val withTemps = df.select(
           (df.columns.toIndexedSeq.map(n => col(s"`$n`")) ++
@@ -2339,6 +2343,112 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
       else Seq.empty
     }
+
+  /** Fast path for computed-field-name put/cut: the DISTINCT set of
+    * resolved name tuples is almost always tiny (a handful of strings per
+    * dataset), so resolve it with one distributed distinct (map-side
+    * combined, KB-scale result), then emit one static Catalyst branch per
+    * tuple — plain Project/Filter nodes that stay in whole-stage codegen
+    * and keep pushdown alive, instead of the whole-row RDD value model.
+    * Returns None (→ row-model fallback) for rename, boxed/multi-shape
+    * frames, null/duplicate names (per-row error values), empty input, or
+    * more than 16 distinct tuples.
+    */
+  private def dynAssignFast(df: DataFrame, op: String,
+      assigns: Seq[(Expr, Expr)], nameCols: Seq[Column],
+      valueCols: Seq[Column]): Option[DataFrame] = try {
+    if (op != "put" && op != "cut") return None
+    val het = graft.operators.Het
+    val zt = graft.sources.ZType
+    val shapes = shapesOf(df)
+    if (shapes.length > 1) return None
+    val metaNames = df.schema.fields.filter(f =>
+      f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+      .map(_.name).toSet
+    val dataF = df.schema.fields.toIndexedSeq.filterNot(f => metaNames(f.name))
+    // boxed frames (single variant `this`) aren't flat records here
+    if (dataF.exists(f => isVariant(f.dataType))) return None
+    val k = assigns.length
+    val ord = "__dynord"
+    val withTemps = df.select(
+      df.columns.toIndexedSeq.map(n => col(s"`$n`")) ++
+        nameCols.zipWithIndex.map { case (c, i) => c.as(s"__dynN$i") } ++
+        valueCols.zipWithIndex.map { case (c, i) => c.as(s"__dynV$i") } :+
+        monotonically_increasing_id().as(ord): _*)
+    if (withTemps.schema.fields.slice(df.columns.length,
+        df.columns.length + 2 * k).exists(f => isVariant(f.dataType)))
+      return None // runtime-typed values: shape texts aren't static
+    val tuples = withTemps
+      .select((0 until k).map(i => col(s"__dynN$i")): _*).distinct()
+      .limit(17).collect()
+    if (tuples.isEmpty || tuples.length > 16) return None
+    val tupleSets: Seq[Seq[String]] = tuples.toIndexedSeq.map(r =>
+      (0 until k).map(i => if (r.isNullAt(i)) null else r.getString(i)))
+    if (tupleSets.exists(t => t.contains(null) || t.distinct.length != t.length))
+      return None
+    import graft.sources.ZsonParser
+    // zed type per original field (from the shape if tagged, else derived)
+    val baseFieldTypes: Seq[(String, graft.sources.ZType)] = shapes.headOption match {
+      case Some((_, t)) => zt.strip(t) match {
+        case zt.Rec(fs) => fs
+        case _ => return None
+      }
+      case None => dataF.map(f =>
+        f.name -> ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType)))
+    }
+    val baseTypeMap = baseFieldTypes.toMap
+    val valT: Seq[graft.sources.ZType] = (0 until k).map { i =>
+      ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(
+        withTemps.schema(s"__dynV$i").dataType))
+    }
+    def branchCols(ts: Seq[String]): (Seq[Column], Seq[(String, graft.sources.ZType)]) = {
+      val nameIdx = ts.zipWithIndex.toMap
+      op match {
+        case "put" =>
+          val kept = dataF.map { f =>
+            nameIdx.get(f.name) match {
+              case Some(i) => (col(s"`__dynV$i`").as(f.name), f.name -> valT(i))
+              case None => (col(s"`${f.name}`").as(f.name, f.metadata),
+                f.name -> baseTypeMap.getOrElse(f.name,
+                  ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))))
+            }
+          }
+          val added = ts.zipWithIndex
+            .filter { case (n, _) => !dataF.exists(_.name == n) }
+            .map { case (n, i) => (col(s"`__dynV$i`").as(n), n -> valT(i)) }
+          ((kept ++ added).map(_._1), (kept ++ added).map(_._2))
+        case _ => // cut: exactly the named fields, in assign order
+          (ts.zipWithIndex.map { case (n, i) => col(s"`__dynV$i`").as(n) },
+            ts.zipWithIndex.map { case (n, i) => n -> valT(i) })
+      }
+    }
+    val scopeCols = df.schema.fields.toIndexedSeq
+      .filter(f => f.metadata.contains("graft.scopeVar"))
+      .map(f => col(s"`${f.name}`").as(f.name, f.metadata))
+    if (tupleSets.length == 1) {
+      val (cols, fields) = branchCols(tupleSets.head)
+      if (!isTagged(df)) Some(withTemps.select(cols ++ scopeCols: _*))
+      else {
+        val tagText = zt.fullText(zt.Rec(fields.toVector))
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array(tagText)).build()
+        Some(withTemps.select(cols ++ scopeCols :+
+          lit(tagText).as(het.typeTag, md): _*))
+      }
+    } else {
+      val parts = tupleSets.map { ts =>
+        val (cols, fields) = branchCols(ts)
+        val tagText = zt.fullText(zt.Rec(fields.toVector))
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array(tagText)).build()
+        val pred = (0 until k).map(i =>
+          col(s"__dynN$i") === lit(ts(i))).reduce(_ && _)
+        withTemps.filter(pred).select(cols ++ scopeCols :+
+          lit(tagText).as(het.typeTag, md) :+ col(ord): _*)
+      }
+      Some(combineOrdered(parts, ord))
+    }
+  } catch { case _: Exception => None }
 
   /** Walk a zed type along a field path (union alternatives searched). */
   private def pathIn(t: graft.sources.ZType, parts: Seq[String]): Option[graft.sources.ZType] = {

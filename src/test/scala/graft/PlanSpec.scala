@@ -259,4 +259,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.lang.Graft.queryOn(wideRow.select("f0"), "put g:=f0+1")
     assert(spark.conf.get("spark.sql.codegen.splitConsumeFuncByOperator") == "true")
   }
+
+  test("computed-field-name put stays on the Catalyst fast path (no RDD scan)") {
+    import org.apache.spark.sql.functions._
+    // names resolve to a small distinct set → static branches, not the
+    // whole-row RDD value model (the r8–r10 scale-killer)
+    val df = GraftSession.table(spark, dir, "nation")
+      .select(col("n_name"), lit("score").as("k"), col("n_nationkey"))
+    val out = Graft.queryOn(df, "this[k] := n_nationkey * 2")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan ExistingRDD"),
+      s"dynamic put fell back to the RDD row model:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 25)
+    assert(out.columns.contains("score"))
+    // two distinct name tuples → per-tuple branches, unioned in order
+    val df2 = GraftSession.table(spark, dir, "nation")
+      .select(col("n_name"), when(col("n_nationkey") % 2 === 0, "even")
+        .otherwise("odd").as("k"), col("n_nationkey"))
+    val out2 = Graft.queryOn(df2, "this[k] := n_nationkey")
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("ExistingRDD"),
+      s"multi-tuple dynamic put fell back to the RDD row model:\n$plan2")
+    assert(out2.collect().length == 25)
+  }
 }
