@@ -104,6 +104,15 @@ object HadoopFs {
     def close(): Unit = in.close()
   }
 
+  /** Executor-side STREAMING open — constant memory regardless of file
+    * size (text scans must never materialize a whole object; a 100 TB
+    * store has multi-GB log files).
+    */
+  def open(conf: Map[String, String], path: String): java.io.InputStream = {
+    val p = new Path(path)
+    p.getFileSystem(confOf(conf)).open(p)
+  }
+
   /** Executor-side: read a file fully (zng streams decode from a byte
     * array; part files are bounded by the writing partition's size).
     */

@@ -284,13 +284,32 @@ object ZeekIO {
     * cumulative directive state is per-FILE (parser.go), so a file is the
     * parallelism unit; runs on the executor that holds the file bytes.
     */
-  private[sources] def interleavedValues(text: String): Iterator[ZValue] = {
+  private[sources] def interleavedValues(text: String): Iterator[ZValue] =
+    interleavedValues(text.linesIterator)
+
+  private[sources] def interleavedValues(lines: Iterator[String]): Iterator[ZValue] = {
     val st = new DirectiveState
-    text.linesIterator.flatMap { l =>
+    lines.flatMap { l =>
       if (l.startsWith("#")) { st.update(l); Iterator.empty }
       else if (l.isEmpty) Iterator.empty
       else Iterator.single(lineValue(l, st.header))
     }
+  }
+
+  /** Executor-side buffered line reader with gzip auto-detection —
+    * streaming, never a whole-file buffer.
+    */
+  private def lineReader(conf: Map[String, String],
+      file: String): java.io.BufferedReader = {
+    val raw = new java.io.BufferedInputStream(HadoopFs.open(conf, file), 1 << 16)
+    raw.mark(2)
+    val m0 = raw.read(); val m1 = raw.read()
+    raw.reset()
+    val in =
+      if (m0 == 0x1f && m1 == 0x8b) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    new java.io.BufferedReader(new java.io.InputStreamReader(in,
+      java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
   }
 
   /** Structured-Streaming source tailing a growing directory of zeek
@@ -326,30 +345,29 @@ object ZeekIO {
     // decode runs fully native in codegen (split + typed casts), one
     // pass, no value-model detour. Only genuinely interleaved or
     // mixed-header inputs take the two-pass typed route.
-    val statsRdd = HadoopFs.binaryFiles(spark, path)
-      .select("content").as[Array[Byte]].rdd
-      .map { bytes0 =>
-        // byte-level scan — no whole-file String, no per-line allocation
-        val bytes = Gzip.maybeGunzip(bytes0)
+    val statFiles = HadoopFs.listDataFiles(spark, path)
+    val statsConf = HadoopFs.confMap(spark)
+    // one STREAMING pass per file — constant memory per task (never a
+    // whole-file byte array: multi-GB rotated logs are normal)
+    val statsRdd = spark.sparkContext
+      .parallelize(statFiles, math.max(1, statFiles.length))
+      .map { f =>
+        val rdr = lineReader(statsConf, f)
         var leading = true
         val lead = Vector.newBuilder[String]
         var total = 0
-        var i = 0
-        while (i < bytes.length) {
-          var j = i
-          while (j < bytes.length && bytes(j) != '\n') j += 1
-          if (i < j) {
-            if (bytes(i) == '#') {
-              total += 1
-              if (leading) {
-                val e = if (j > i && bytes(j - 1) == '\r') j - 1 else j
-                lead += new String(bytes, i, e - i,
-                  java.nio.charset.StandardCharsets.UTF_8)
-              }
-            } else if (bytes(i) != '\r') leading = false
+        try {
+          var line = rdr.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              if (line.charAt(0) == '#') {
+                total += 1
+                if (leading) lead += line
+              } else leading = false
+            }
+            line = rdr.readLine()
           }
-          i = j + 1
-        }
+        } finally rdr.close()
         (lead.result(), total)
       }
     val stats = statsRdd.collect()
@@ -366,10 +384,16 @@ object ZeekIO {
       // model, one task per file, fused by the two-pass shape discovery —
       // no driver materialization (concatenated multi-schema zeek streams
       // are common in the wild).
-      val rdd = HadoopFs.binaryFiles(spark, path)
-        .select("content").as[Array[Byte]].rdd
-        .flatMap(bytes => interleavedValues(
-          new String(Gzip.maybeGunzip(bytes), java.nio.charset.StandardCharsets.UTF_8)))
+      val rdd = spark.sparkContext
+        .parallelize(statFiles, math.max(1, statFiles.length))
+        .flatMap { f =>
+          // streamed per line: the reader closes when the iterator drains
+          val rdr = lineReader(statsConf, f)
+          val lines = Iterator.continually(rdr.readLine()).takeWhile { l =>
+            if (l == null) rdr.close(); l != null
+          }
+          interleavedValues(lines)
+        }
       ZsonReader.fromRDD(spark, rdd)
     }
   }

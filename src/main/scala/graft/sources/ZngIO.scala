@@ -280,6 +280,21 @@ object ZngIO {
       writeTagged(df, path)
       return
     }
+    // Untagged frames carrying RUNTIME-typed (variant) columns — e.g. a
+    // boxed het scalar stream (`yield 1,[1,2,3]`) — must write each row's
+    // runtime value with its own type; the internal encoders below would
+    // leak the engine's union carrier onto the wire. And a this-only
+    // frame is the BARE-VALUE carrier: the wire sees the value itself,
+    // never a {this:…} wrapper (zq.md's concat + hexdump doc examples
+    // pin both).
+    val dataNames = df.schema.fields.toIndexedSeq
+      .filterNot(f => f.metadata.contains("graft.scopeVar")).map(_.name)
+    if (dataNames == Seq("this") ||
+        df.schema.fields.exists(f => !f.metadata.contains("graft.scopeVar") &&
+          ZsonIO.isVariantType(f.dataType))) {
+      writeRuntimeSlow(df, path)
+      return
+    }
     val schema = df.schema
     HadoopFs.prepareDir(df.sparkSession, path)
     val confMap = HadoopFs.confMap(df.sparkSession)
@@ -517,6 +532,64 @@ object ZngIO {
       case None =>
         writeTaggedSlow(df, path, dataF, tagIdx)
     }
+  }
+
+  /** Untagged frame with variant columns: rebuild each row's runtime value
+    * and write it with its own type (the same per-value typed encoding the
+    * tagged slow path uses, minus the tag).
+    */
+  private def writeRuntimeSlow(df: DataFrame, path: String): Unit = {
+    val dataF = StructType(df.schema.fields.filter(f =>
+      !f.metadata.contains("graft.scopeVar")))
+    val dataIdxs = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if !f.metadata.contains("graft.scopeVar") => i
+    }
+    HadoopFs.prepareDir(df.sparkSession, path)
+    val confMap = HadoopFs.confMap(df.sparkSession)
+    // this-only frames unwrap the bare-value carrier: convert the single
+    // column directly (variant columns carry their runtime type; static
+    // ones use the column's zed type, honoring type-valued metadata)
+    val thisOnly: Option[(Int, DataType, ZType)] =
+      if (dataF.fields.map(_.name).toSeq == Seq("this")) {
+        val f = dataF.fields.head
+        val zt =
+          if (f.metadata.contains("graft.zedType"))
+            ZType.Prim(f.metadata.getString("graft.zedType"))
+          else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
+          catch { case _: Exception => ZType.Prim("string") }
+        Some((dataIdxs.head, f.dataType, zt))
+      } else None
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val fn = ZFormat.rowValueFn(dataF)
+      val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
+      val table = new ZtTable
+      val body = new ByteArrayOutputStream()
+      try {
+        rows.foreach { row =>
+          val v = thisOnly match {
+            case Some((i, dt, zt)) =>
+              if (row.isNullAt(i)) ZValue.VNull(zt)
+              else ZValue.fromExternal(row.get(i), dt, zt)
+            case None =>
+              fn(org.apache.spark.sql.Row.fromSeq(dataIdxs.toIndexedSeq.map(row.get)))
+          }
+          val t = toZT(ZValue.typeOf(v))
+          val id = table.idOf(t)
+          uvarint(body, id.toLong)
+          encodeZTagged(body, v, t)
+          if (body.size > (1 << 20)) {
+            if (table.defs.size() > 0) {
+              out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
+            }
+            out.write(frame(1, body.toByteArray)); body.reset()
+          }
+        }
+        if (table.defs.size() > 0) out.write(frame(0, table.defs.toByteArray))
+        if (body.size() > 0) out.write(frame(1, body.toByteArray))
+        out.write(0xff)
+      } finally out.close()
+      Iterator.empty
+    }.count(): Unit
   }
 
   private def writeTaggedSlow(df: DataFrame, path: String,
