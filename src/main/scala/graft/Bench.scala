@@ -190,6 +190,7 @@ object Bench {
     // churns gigabytes of short-lived strings, and a warm-ALL-then-time-ALL
     // loop leaves that GC debt on the relational headline timings.
     val headlineResults = qs.map { case (name, q) =>
+      System.err.println(s"[bench] class $name")
       runOnce(q(spark)) // warm this class
       // drain the warm pass's garbage BEFORE timing — for the het classes
       // the warm pass writes a 2M-row fixture whose string churn otherwise
@@ -209,6 +210,7 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     val (zeekDir, zngDir, vngDir) = ingestFixture(spark, sfDir, tmp)
     def timeIngest(name: String, run: String => Unit): (String, Double) = {
+      System.err.println(s"[bench] class $name")
       run(s"$tmp/warm-$name") // warm: JIT + codegen for the decode/encode paths
       val dt = (1 to 3).map { i =>
         val t0 = System.nanoTime()
@@ -239,6 +241,7 @@ object Bench {
         .map(b => f"$b%02x").mkString.substring(0, 16)
     }
     def timeSearch(name: String, enabled: Boolean): (String, Double) = {
+      System.err.println(s"[bench] class $name")
       spark.conf.set("graft.zng.prefilter", enabled.toString)
       try {
         def run(): Unit = runOnce(
@@ -318,6 +321,7 @@ object Bench {
     // reads); the _noprune twin is the full-decode fallback reading and
     // decoding every vector. The ratio is the columnar win of the format.
     def timeVngCut(name: String, prune: Boolean): (String, Double) = {
+      System.err.println(s"[bench] class $name")
       spark.conf.set("graft.vng.prune", prune.toString)
       try {
         def run(): Unit = runOnce(
@@ -354,6 +358,7 @@ object Bench {
       d
     }
     def timeVngHetCut(name: String, prune: Boolean): (String, Double) = {
+      System.err.println(s"[bench] class $name")
       spark.conf.set("graft.vng.prune", prune.toString)
       try {
         def run(): Unit = runOnce(

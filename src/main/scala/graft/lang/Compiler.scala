@@ -1507,12 +1507,40 @@ final class Compiler(spark: SparkSession, dir: String) {
             val dts = cols.map(c =>
               try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
             val anyTyped = many.exists(isTypeValued)
+            // `this` over a frame whose columns carry zed-type markers
+            // (set-ness, uint64, type values): box with the marked record
+            // type so the value renders |[…]| etc. (aggregates/union.md)
+            def markedRecType(e: Expr): Option[graft.sources.ZType] = e match {
+              case Expr.Path(Seq()) | Expr.Path(Seq("this"))
+                  if !isTagged(df) && df.schema.fields.exists(f =>
+                    f.metadata.contains("graft.zedType") &&
+                    !f.metadata.contains("graft.scopeVar")) =>
+                try {
+                  val fs = df.schema.fields.toIndexedSeq
+                    .filterNot(f => f.metadata.contains("graft.scopeVar"))
+                    .map { f =>
+                      f.name -> (
+                        if (f.metadata.contains("graft.zedType"))
+                          graft.sources.ZsonParser.parseType(
+                            f.metadata.getString("graft.zedType"))
+                        else graft.sources.ZsonParser.parseType(
+                          Shaper.zedTypeOf(f.dataType)))
+                    }
+                  Some(graft.sources.ZType.Rec(fs.toVector))
+                } catch { case _: Exception => None }
+              case _ => None
+            }
             val boxed =
               if (dts.distinct.length <= 1 && !anyTyped) cols
               else cols.zip(dts).zip(many).map {
                 case ((c, _), e) if isTypeValued(e) =>
                   graft.operators.Het.typeValueVariant(c)
-                case ((c, dt), _) => graft.operators.Het.variant(c, dt)
+                case ((c, dt), e) => markedRecType(e) match {
+                  case Some(zt) => graft.operators.Het.variant(c, dt,
+                    Some(lit(graft.sources.ZType.fullText(zt))),
+                    Some(graft.sources.ZsonIO.zsonOfTyped(c, dt, Some(zt))))
+                  case None => graft.operators.Het.variant(c, dt)
+                }
               }
             Seq(df.select(ctxCols(Set("this")) :+ explode(array(boxed: _*))
               .as("this", org.apache.spark.sql.types.Metadata.empty): _*))
@@ -2533,12 +2561,21 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def typedShaperCol(
       df: DataFrame, fname: String, args: Seq[Expr]): Option[Column] = {
     val shapes = shapesOf(df)
-    if (shapes.isEmpty) return None
     val het = graft.operators.Het
+    // an UNTAGGED boxed frame (shape()'s own output) is also runtime-typed:
+    // the variant's per-row type drives the shaper, same as a shape tag
+    val boxedThis = {
+      val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+        f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+      dataFields.map(_.name) == Seq("this") && isVariant(dataFields.head.dataType)
+    }
+    if (shapes.isEmpty && !boxedThis) return None
     val tf = graft.functions.ZShaper.flagsOf(fname)
     val subjectE: Expr =
       if (args.length > 1) args.head else Expr.Path(Seq.empty)
     val (subjText, inTypeCol) = subjectE match {
+      case Expr.Path(Seq()) if boxedThis =>
+        (het.render(col("this")), het.variantTypeOf(col("this")))
       case Expr.Path(Seq()) =>
         val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
           f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
@@ -2548,18 +2585,21 @@ final class Compiler(spark: SparkSession, dir: String) {
         val c = expr(df, e)
         val dt = dtypeOf(df, e).getOrElse(
           try df.select(c).schema.head.dataType catch { case _: Exception => StringType })
-        val fallback: Column = lit(Shaper.zedTypeOf(dt))
-        val tcol = e match {
-          case Expr.Path(parts) if parts.nonEmpty =>
-            shapes.foldLeft(fallback) { case (acc, (t, st)) =>
-              pathIn(st, parts).map(ft =>
-                when(col(het.typeTag) === t,
-                  lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
-              ).getOrElse(acc)
-            }
-          case _ => fallback
+        if (isVariant(dt)) (het.render(c), het.variantTypeOf(c))
+        else {
+          val fallback: Column = lit(Shaper.zedTypeOf(dt))
+          val tcol = e match {
+            case Expr.Path(parts) if parts.nonEmpty && shapes.nonEmpty =>
+              shapes.foldLeft(fallback) { case (acc, (t, st)) =>
+                pathIn(st, parts).map(ft =>
+                  when(col(het.typeTag) === t,
+                    lit(graft.sources.ZType.fullText(ft))).otherwise(acc)
+                ).getOrElse(acc)
+              }
+            case _ => fallback
+          }
+          (graft.sources.ZsonIO.zsonOf(c, dt), tcol)
         }
-        (graft.sources.ZsonIO.zsonOf(c, dt), tcol)
     }
     // named types defined only by the DATA (input typedefs like `(=person)`)
     // resolve from the shape tags — the program's own typedefs were already
@@ -3131,6 +3171,12 @@ final class Compiler(spark: SparkSession, dir: String) {
             !(a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType]) =>
           when(condC, graft.operators.Het.variant(tc, a))
             .otherwise(graft.operators.Het.variant(fc, b))
+        // one branch already a union value (e.g. `… ? original : error(…)`,
+        // shaping.md error handling): box the plain side to match
+        case (Some(a), Some(b)) if isVariant(a) != isVariant(b) &&
+            a != NullType && b != NullType =>
+          when(condC, if (isVariant(a)) tc else graft.operators.Het.variant(tc, a))
+            .otherwise(if (isVariant(b)) fc else graft.operators.Het.variant(fc, b))
         case _ =>
           when(condC, tc).otherwise(fc)
       }

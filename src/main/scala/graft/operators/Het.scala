@@ -244,7 +244,8 @@ object Het {
     * native leaf members in a/m so index/len/get stay inside codegen;
     * errors are kind 5 with the payload text in `z`.
     */
-  def variant(c: Column, dt: DataType): Column = {
+  def variant(c: Column, dt: DataType, tOverride: Option[Column] = None,
+      zOverride: Option[Column] = None): Column = {
     if (dt == variantType) return c // already variant — idempotent
     val container = dt.isInstanceOf[StructType] || dt.isInstanceOf[ArrayType] ||
       dt.isInstanceOf[MapType]
@@ -257,8 +258,11 @@ object Het {
     // skip building the eager text shadow entirely — no per-row string
     // assembly at construction, no text bytes in storage or shuffles;
     // render/canonical/compareKey re-derive it at the boundaries
-    val z = if (container && !dropSafeZ(dt)) graft.sources.ZsonIO.zsonOf(c, dt)
-            else lit(null).cast(StringType)
+    // an explicit zed-typed text shadow (set-ness, uint64, …) is always
+    // eager — the caches can't reconstruct what the Spark type can't say
+    val z = zOverride.getOrElse(
+      if (container && !dropSafeZ(dt)) graft.sources.ZsonIO.zsonOf(c, dt)
+      else lit(null).cast(StringType))
     val a = dt match {
       case ArrayType(et, _) => transform(c, x => leafOf(x, et))
       case _ => nullElems
@@ -303,7 +307,8 @@ object Het {
       case _ => nullFields
     }
     when(c.isNull, lit(null).cast(variantType)).otherwise(
-      mkVariant(lit(kindRank(dt)), n, s, b, lit(zedPrimName(dt)), z, a, m, d))
+      mkVariant(lit(kindRank(dt)), n, s, b,
+        tOverride.getOrElse(lit(zedPrimName(dt))), z, a, m, d))
   }
 
   /** A TYPE VALUE as a variant: kind 4 with the type text in `s` and

@@ -105,6 +105,121 @@ object ZsonIO {
   private def zsonName(n: String): String =
     if (identRe.matches(n)) n else "\"" + n.replace("\"", "\\\"") + "\""
 
+  /** zed-type-aware zson rendering: the optional ZType refines the
+    * Spark carrier (sets vs arrays, durations/time on longs, type
+    * values, decorators). Public: boxing and writers reuse it.
+    */
+  def zsonOfTyped(c: Column, dt: DataType, zt: Option[ZType]): Column = {
+    val base = zsonOfTyped0(c, dt, zt)
+    zt match {
+      case Some(t) if !isVariantType(dt) =>
+        val stripped = ZType.strip(t)
+        val txt = ZType.fullText(t)
+        // non-implied primitives carry their decorator (zson spec:
+        // 371(uint16)); every typed null is decorated (null(string))
+        val nonImplied = stripped match {
+          // uint64 on the exact decimal carrier self-decorates in zsonOf
+          case ZType.Prim("uint64") => !dt.isInstanceOf[DecimalType]
+          case ZType.Prim(p) => Set("uint8", "uint16", "uint32",
+            "int8", "int16", "int32", "float16", "float32")(p)
+          case _ => false
+        }
+        val named = txt.contains('=') && (stripped match {
+          case ZType.Prim(_) => true
+          case _ => false
+        })
+        // a named type over a self-describing value uses the abbreviated
+        // `(=name)` typedef (zson/formatter.go decorate / SelfDescribing)
+        val namedSelf = t match {
+          case ZType.Named(n, _) if ZType.selfDescribing(t) => Some(n)
+          case _ => None
+        }
+        namedSelf match {
+          case Some(n) =>
+            when(c.isNull, lit(s"null($txt)"))
+              .otherwise(concat(base, lit(s"(=$n)")))
+          case None =>
+            if (nonImplied || named)
+              when(c.isNull, lit(s"null($txt)")).otherwise(concat(base, lit(s"($txt)")))
+            else stripped match {
+              case ZType.Prim("null") => base
+              case _: ZType.EnumT => base // %sym form carries no null deco
+              // an EMPTY container cannot imply its type — it decorates
+              // like a null (zson/formatter.go formatVector null return)
+              case (ZType.Arr(_) | ZType.SetT(_)) if dt.isInstanceOf[ArrayType] =>
+                when(c.isNull, lit(s"null($txt)"))
+                  .when(size(c) === 0, concat(base, lit(s"($txt)")))
+                  .otherwise(base)
+              case ZType.MapT(_, _) if dt.isInstanceOf[MapType] =>
+                when(c.isNull, lit(s"null($txt)"))
+                  .when(size(map_keys(c)) === 0, concat(base, lit(s"($txt)")))
+                  .otherwise(base)
+              case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
+            }
+        }
+      case _ => base
+    }
+  }
+
+  private def zsonOfTyped0(c: Column, dt: DataType, zt: Option[ZType]): Column =
+    (dt, zt.map(ZType.strip)) match {
+      case (LongType, Some(ZType.Prim("duration"))) =>
+        when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
+      case (LongType, Some(ZType.Prim("time"))) =>
+        // ns-domain long carrier → ISO with trailing zeros trimmed
+        val secs = graft.functions.Bridge.intDiv(c, lit(1000000000L))
+        val frac = regexp_replace(
+          lpad((c % 1000000000L).cast(StringType), 9, "0"), "0+$", "")
+        when(c.isNull, lit("null")).otherwise(concat(
+          date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+          when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
+          lit("Z")))
+      case (StringType, Some(ZType.Prim("ip" | "net" | "time"))) =>
+        // ip/net (and ISO-text time carriers, e.g. lake :objects
+        // ranges) are bare in zson (no quotes)
+        when(c.isNull, lit("null")).otherwise(c)
+      case (StringType, Some(ZType.Prim("type"))) =>
+        when(c.isNull, lit("null")).otherwise(concat(lit("<"), c, lit(">")))
+      case (StringType, Some(ZType.EnumT(_))) =>
+        when(c.isNull, lit("null")).otherwise(concat(lit("%"), c))
+      case (st: StructType, Some(ZType.Rec(zfs))) if !isVariantType(st) =>
+        // render the SHAPE's fields (in shape order): the Spark struct
+        // may be a union of several nested shapes' fields, and fields
+        // outside this row's shape must not surface as nulls. Fields an
+        // operator added under this record (absent from the shape tag)
+        // append when NON-null — concat_ws drops null legs
+        val shapeNames = zfs.map(_._1).toSet
+        val legs: Seq[Column] =
+          zfs.collect { case (n, ft) if st.fieldNames.contains(n) =>
+            concat(lit(zsonName(n) + ":"),
+              zsonOfTyped(c.getField(n), st(n).dataType, Some(ft)))
+          } ++ st.fields.toIndexedSeq.collect {
+            case f if !shapeNames.contains(f.name) =>
+              when(c.getField(f.name).isNotNull,
+                concat(lit(zsonName(f.name) + ":"),
+                  zsonOfTyped(c.getField(f.name), f.dataType, None)))
+          }
+        val inner = concat_ws(",", legs: _*)
+        when(c.isNull, lit("null")).otherwise(concat(lit("{"), inner, lit("}")))
+      case (ArrayType(et, _), Some(ZType.Arr(zet))) =>
+        when(c.isNull, lit("null")).otherwise(concat(lit("["),
+          array_join(transform(c, x => zsonOfTyped(x, et, Some(zet))), ","), lit("]")))
+      case (ArrayType(et, _), Some(ZType.SetT(zet))) =>
+        when(c.isNull, lit("null")).otherwise(concat(lit("|["),
+          array_join(transform(c, x => zsonOfTyped(x, et, Some(zet))), ","), lit("]|")))
+      case (MapType(kt, vt, _), Some(ZType.MapT(zk, zv))) =>
+        // a key ending in ':' (e.g. the ip ::) needs a space before the
+        // map separator (zsonio writer)
+        when(c.isNull, lit("null")).otherwise(concat(lit("|{"),
+          array_join(transform(map_entries(c), e => {
+            val k = zsonOfTyped(e.getField("key"), kt, Some(zk))
+            concat(k, when(k.endsWith(":"), lit(" ")).otherwise(lit("")),
+              lit(":"), zsonOfTyped(e.getField("value"), vt, Some(zv)))
+          }), ","),
+          lit("}|")))
+      case _ => zsonOf(c, dt)
+    }
+
   /** Whole row → one ZSON record line (the `__type` shape tag is engine
     * metadata, not data — excluded; a bare `this` column unwraps to the
     * top-level value, zed's non-record stream form).
@@ -124,115 +239,8 @@ object ZsonIO {
     import df.sparkSession.implicits._
     // zed-type-aware formatting: durations travel as ns longs — the
     // shape tag says which longs are durations (emitted as `<ns>ns`)
-    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column = {
-      val base = zsonOfZ0(c, dt, zt)
-      zt match {
-        case Some(t) if !isVariantType(dt) =>
-          val stripped = ZType.strip(t)
-          val txt = ZType.fullText(t)
-          // non-implied primitives carry their decorator (zson spec:
-          // 371(uint16)); every typed null is decorated (null(string))
-          val nonImplied = stripped match {
-            // uint64 on the exact decimal carrier self-decorates in zsonOf
-            case ZType.Prim("uint64") => !dt.isInstanceOf[DecimalType]
-            case ZType.Prim(p) => Set("uint8", "uint16", "uint32",
-              "int8", "int16", "int32", "float16", "float32")(p)
-            case _ => false
-          }
-          val named = txt.contains('=') && (stripped match {
-            case ZType.Prim(_) => true
-            case _ => false
-          })
-          // a named type over a self-describing value uses the abbreviated
-          // `(=name)` typedef (zson/formatter.go decorate / SelfDescribing)
-          val namedSelf = t match {
-            case ZType.Named(n, _) if ZType.selfDescribing(t) => Some(n)
-            case _ => None
-          }
-          namedSelf match {
-            case Some(n) =>
-              when(c.isNull, lit(s"null($txt)"))
-                .otherwise(concat(base, lit(s"(=$n)")))
-            case None =>
-              if (nonImplied || named)
-                when(c.isNull, lit(s"null($txt)")).otherwise(concat(base, lit(s"($txt)")))
-              else stripped match {
-                case ZType.Prim("null") => base
-                case _: ZType.EnumT => base // %sym form carries no null deco
-                // an EMPTY container cannot imply its type — it decorates
-                // like a null (zson/formatter.go formatVector null return)
-                case (ZType.Arr(_) | ZType.SetT(_)) if dt.isInstanceOf[ArrayType] =>
-                  when(c.isNull, lit(s"null($txt)"))
-                    .when(size(c) === 0, concat(base, lit(s"($txt)")))
-                    .otherwise(base)
-                case ZType.MapT(_, _) if dt.isInstanceOf[MapType] =>
-                  when(c.isNull, lit(s"null($txt)"))
-                    .when(size(map_keys(c)) === 0, concat(base, lit(s"($txt)")))
-                    .otherwise(base)
-                case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
-              }
-          }
-        case _ => base
-      }
-    }
-    def zsonOfZ0(c: Column, dt: DataType, zt: Option[ZType]): Column =
-      (dt, zt.map(ZType.strip)) match {
-        case (LongType, Some(ZType.Prim("duration"))) =>
-          when(c.isNull, lit("null")).otherwise(concat(c.cast(StringType), lit("ns")))
-        case (LongType, Some(ZType.Prim("time"))) =>
-          // ns-domain long carrier → ISO with trailing zeros trimmed
-          val secs = graft.functions.Bridge.intDiv(c, lit(1000000000L))
-          val frac = regexp_replace(
-            lpad((c % 1000000000L).cast(StringType), 9, "0"), "0+$", "")
-          when(c.isNull, lit("null")).otherwise(concat(
-            date_format(timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
-            when(frac === "", lit("")).otherwise(concat(lit("."), frac)),
-            lit("Z")))
-        case (StringType, Some(ZType.Prim("ip" | "net" | "time"))) =>
-          // ip/net (and ISO-text time carriers, e.g. lake :objects
-          // ranges) are bare in zson (no quotes)
-          when(c.isNull, lit("null")).otherwise(c)
-        case (StringType, Some(ZType.Prim("type"))) =>
-          when(c.isNull, lit("null")).otherwise(concat(lit("<"), c, lit(">")))
-        case (StringType, Some(ZType.EnumT(_))) =>
-          when(c.isNull, lit("null")).otherwise(concat(lit("%"), c))
-        case (st: StructType, Some(ZType.Rec(zfs))) if !isVariantType(st) =>
-          // render the SHAPE's fields (in shape order): the Spark struct
-          // may be a union of several nested shapes' fields, and fields
-          // outside this row's shape must not surface as nulls. Fields an
-          // operator added under this record (absent from the shape tag)
-          // append when NON-null — concat_ws drops null legs
-          val shapeNames = zfs.map(_._1).toSet
-          val legs: Seq[Column] =
-            zfs.collect { case (n, ft) if st.fieldNames.contains(n) =>
-              concat(lit(zsonName(n) + ":"),
-                zsonOfZ(c.getField(n), st(n).dataType, Some(ft)))
-            } ++ st.fields.toIndexedSeq.collect {
-              case f if !shapeNames.contains(f.name) =>
-                when(c.getField(f.name).isNotNull,
-                  concat(lit(zsonName(f.name) + ":"),
-                    zsonOfZ(c.getField(f.name), f.dataType, None)))
-            }
-          val inner = concat_ws(",", legs: _*)
-          when(c.isNull, lit("null")).otherwise(concat(lit("{"), inner, lit("}")))
-        case (ArrayType(et, _), Some(ZType.Arr(zet))) =>
-          when(c.isNull, lit("null")).otherwise(concat(lit("["),
-            array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]")))
-        case (ArrayType(et, _), Some(ZType.SetT(zet))) =>
-          when(c.isNull, lit("null")).otherwise(concat(lit("|["),
-            array_join(transform(c, x => zsonOfZ(x, et, Some(zet))), ","), lit("]|")))
-        case (MapType(kt, vt, _), Some(ZType.MapT(zk, zv))) =>
-          // a key ending in ':' (e.g. the ip ::) needs a space before the
-          // map separator (zsonio writer)
-          when(c.isNull, lit("null")).otherwise(concat(lit("|{"),
-            array_join(transform(map_entries(c), e => {
-              val k = zsonOfZ(e.getField("key"), kt, Some(zk))
-              concat(k, when(k.endsWith(":"), lit(" ")).otherwise(lit("")),
-                lit(":"), zsonOfZ(e.getField("value"), vt, Some(zv)))
-            }), ","),
-            lit("}|")))
-        case _ => zsonOf(c, dt)
-      }
+    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column =
+      ZsonIO.zsonOfTyped(c, dt, zt)
     def fieldFmt(f: StructField, zt: Option[ZType] = None): Column = {
       // zed types relational columns can't express (uint64 counts, sets,
       // type values) ride as field metadata from the compiler
