@@ -23,17 +23,78 @@ import graft.sources.{Formats, Lake, ZsonIO}
   *   GET  /status                         liveness
   */
 final class Service(spark: SparkSession, defaultDir: String, port: Int,
-                    lakeRootOpt: Option[String] = None) {
+                    lakeRootOpt: Option[String] = None,
+                    corsOrigins: Seq[String] = Nil,
+                    rootContentFile: Option[String] = None) {
 
   @volatile private var server: HttpServer = _
 
+  /** CORS per the reference's rs/cors defaults (service/core.go): allowed
+    * origins may carry one `*` wildcard segment; allowed responses echo
+    * the origin + credentials; preflights echo the requested method and
+    * canonicalized header names.
+    */
+  private def corsAllowed(origin: String): Boolean =
+    corsOrigins.exists { pat =>
+      if (!pat.contains("*")) pat == origin
+      else {
+        val re = java.util.regex.Pattern.quote(pat).replace("*", "\\E.*\\Q")
+        origin.matches(re)
+      }
+    }
+
+  private def canonicalHeader(h: String): String =
+    h.trim.split("-").map(s =>
+      if (s.isEmpty) s else s.head.toUpper + s.tail.toLowerCase).mkString("-")
+
+  /** Apply CORS headers; returns true when this was a preflight that has
+    * been fully answered.
+    */
+  private def cors(ex: HttpExchange): Boolean = {
+    val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
+    val preflight = ex.getRequestMethod == "OPTIONS" &&
+      ex.getRequestHeaders.containsKey("Access-control-request-method")
+    origin.filter(corsAllowed).foreach { o =>
+      val h = ex.getResponseHeaders
+      h.add("Access-Control-Allow-Origin", o)
+      h.add("Access-Control-Allow-Credentials", "true")
+      if (preflight) {
+        h.add("Access-Control-Allow-Methods",
+          ex.getRequestHeaders.getFirst("Access-control-request-method"))
+        Option(ex.getRequestHeaders.getFirst("Access-control-request-headers"))
+          .foreach(hs => h.add("Access-Control-Allow-Headers",
+            hs.split(",").map(canonicalHeader).mkString(", ")))
+      }
+    }
+    if (ex.getRequestMethod == "OPTIONS") {
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      true
+    } else false
+  }
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // `-rootcontentfile`: static content served at GET / (service/core.go)
+    rootContentFile.foreach { f =>
+      server.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          if (cors(ex)) return
+          if (ex.getRequestURI.getPath == "/") {
+            val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else ex.sendResponseHeaders(404, -1)
+          ex.close()
+        }
+      })
+    }
     // streaming response: chunked transfer + toLocalIterator — driver
     // memory stays one partition regardless of result size (the
     // reference's paged ZNG-over-HTTP); `limit` is a guard, 0 = unlimited
     server.createContext("/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
         try {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           // the reference's API form: a JSON body {"query": "..."} with

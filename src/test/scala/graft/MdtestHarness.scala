@@ -18,6 +18,12 @@ import graft.sources.{Formats, ZsonIO, ZsonReader}
   */
 object MdtestHarness {
 
+  // shared across shells: connection pooling; sends restricted headers
+  // (Origin) that HttpURLConnection drops
+  lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .version(java.net.http.HttpClient.Version.HTTP_1_1).build()
+
   final case class MdCase(file: String, ord: Int, cmdInfo: String,
                           command: String, outInfo: String, output: String)
   final case class MdFile(path: String, inputs: Map[String, String],
@@ -180,6 +186,7 @@ object MdtestHarness {
 
     /** Shell env (export …) for the script harness's $VAR substitution. */
     def envSnapshot: Map[String, String] = env.toMap
+    def exportVar(k: String, v: String): Unit = env(k) = v
 
     private def filePath(name: String): String =
       if (name.startsWith("/") || name.startsWith("http://") ||
@@ -208,7 +215,10 @@ object MdtestHarness {
     /** Run a whole block; returns combined stdout. Throws on error. */
     def runBlock(body: String): String = {
       val out = new StringBuilder
-      for (cmd <- lexCommands(body)) out.append(runCommand(cmd))
+      // `tee >(cat >&2)` process substitution = duplicate to stderr; the
+      // lexer can't carry the nested form, so normalize before lexing
+      val norm = body.replace("tee >(cat >&2)", "tee /dev/stderr")
+      for (cmd <- lexCommands(norm)) out.append(runCommand(cmd))
       out.toString
     }
 
@@ -242,6 +252,10 @@ object MdtestHarness {
       graft.lang.Compiler.drainDebug().foreach(l => stderrSink.append(l).append('\n'))
       redirect match {
         case Some("/dev/null") => ""
+        // `… >&2` / `… > /dev/stderr`: route to the shell's stderr sink
+        case Some("&2") | Some("/dev/stderr") =>
+          stderrSink.append(outText); ""
+        case Some("&1") => outText
         case Some(f) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
             encodeOut(outText))
@@ -345,6 +359,33 @@ object MdtestHarness {
             }
           }
           text
+        case "grep" =>
+          // minimal grep: regex filter over stdin lines; -v inverts;
+          // no match → nonzero exit (drives `! … | grep …` negations)
+          val inv = seg.contains("-v")
+          val pat = seg.tail.filterNot(_.startsWith("-")).headOption.getOrElse("")
+          val re = try java.util.regex.Pattern.compile(pat)
+                   catch { case _: Exception =>
+                     java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(pat)) }
+          val hits = stdin.getOrElse("").linesIterator
+            .filter(l => re.matcher(l).find() != inv).toSeq
+          if (hits.isEmpty) throw new RuntimeException("grep: no match")
+          hits.mkString("", "\n", "\n")
+        case "tr" =>
+          // `tr -d SET` (delete) and `tr A B` (translate) over stdin
+          val text = stdin.getOrElse("")
+          def setOf(s: String): Set[Char] =
+            s.replace("\\015", "\r").replace("\\r", "\r").replace("\\n", "\n")
+              .replace("\\t", "\t").toSet
+          if (seg.lift(1).contains("-d")) {
+            val del = setOf(seg.lift(2).getOrElse(""))
+            text.filterNot(del)
+          } else {
+            val from = seg.lift(1).getOrElse("")
+            val to = seg.lift(2).getOrElse("")
+            text.map(c => { val i = from.indexOf(c)
+              if (i >= 0 && to.nonEmpty) to(math.min(i, to.length - 1)) else c })
+          }
         case "tee" =>
           val text = stdin.getOrElse("")
           seg.tail.filter(_ == "/dev/stderr").foreach(_ => stderrSink.append(text))
@@ -387,10 +428,21 @@ object MdtestHarness {
           (from to to).map(_.toString + "\n").mkString
         case "source" if seg.lift(1).exists(_.endsWith("service.sh")) =>
           // service/ztests prologue: start an in-process REST service
-          // backed by a scratch lake; SUPER_DB_LAKE becomes its URL
+          // backed by a scratch lake; SUPER_DB_LAKE becomes its URL.
+          // LAKE_EXTRA_FLAGS (env prefix form) carries service options.
           val rootDir = filePath(seg.lift(2).getOrElse("lakeroot"))
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rootDir))
-          val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir))
+          val extraFlags = env.getOrElse("LAKE_EXTRA_FLAGS", "")
+            .split("\\s+").filter(_.nonEmpty).toSeq
+          val corsOrigins = extraFlags.collect {
+            case f if f.startsWith("-cors.origin=") => f.stripPrefix("-cors.origin=")
+          }
+          val rootContent = extraFlags.collectFirst {
+            case f if f.startsWith("-rootcontentfile=") =>
+              filePath(f.stripPrefix("-rootcontentfile="))
+          }
+          val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir),
+            corsOrigins, rootContent)
           val port = svc.start()
           service = Some(svc)
           serviceRoot = Some(rootDir)
@@ -939,26 +991,32 @@ object MdtestHarness {
           case _ => i += 1
         }
       }
-      val conn = new java.net.URL(url).openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod(method.getOrElse(
-        if (data.isDefined) "POST" else "GET"))
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      data.foreach { d =>
-        conn.setDoOutput(true)
-        conn.getOutputStream.write(d)
-        conn.getOutputStream.close()
-      }
-      val code = conn.getResponseCode
-      val bodyStream =
-        if (code >= 400) Option(conn.getErrorStream) else Option(conn.getInputStream)
-      val body = bodyStream.map(s =>
-        new String(s.readAllBytes(), "ISO-8859-1")).getOrElse("")
+      // java.net.http client: unlike HttpURLConnection it sends
+      // "restricted" request headers (Origin — needed for CORS flows)
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val rb = HttpRequest.newBuilder(java.net.URI.create(url))
+      headers.foreach { case (k, v) => rb.header(k, v) }
+      val bp = data.map(HttpRequest.BodyPublishers.ofByteArray)
+        .getOrElse(HttpRequest.BodyPublishers.noBody())
+      rb.method(method.getOrElse(if (data.isDefined) "POST" else "GET"), bp)
+      val resp = MdtestHarness.httpClient.send(rb.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val code = resp.statusCode()
+      val body = new String(resp.body(), "ISO-8859-1")
       val sb = new StringBuilder
       if (dumpHeaders) {
         sb.append(s"HTTP/1.1 $code ${
-          if (code == 200) "OK" else if (code == 204) "No Content" else "Error"}\n")
-        sb.append("\n")
+          if (code == 200) "OK" else if (code == 204) "No Content" else "Error"}\r\n")
+        // response headers, name-sorted (curl shows wire order; our
+        // in-process server emits sorted — deterministic either way)
+        import scala.jdk.CollectionConverters._
+        resp.headers().map().asScala.toSeq
+          .filter(_._1 != null).sortBy(_._1.toLowerCase)
+          .foreach { case (k, vs) =>
+            val kk = k.split("-").map(s =>
+              if (s.isEmpty) s else s.head.toUpper + s.tail).mkString("-")
+            vs.asScala.foreach(v => sb.append(s"$kk: $v\r\n")) }
+        sb.append("\r\n")
       }
       outSink match {
         case Some("/dev/null") =>
@@ -1000,25 +1058,21 @@ object MdtestHarness {
               .map(_.group(1).toInt).getOrElse(0))
           case _: Exception => None
         }
-      if (offOf(joined).isEmpty) return
-      // blame the FIRST segment whose accumulated prefix fails to parse;
-      // position offsets relative to it (prologue declarations from -I
-      // files are context for later segments, not culprits)
-      var base = 0
+      // parse the FULL concatenation once and attribute the segment the
+      // global offset falls in — a types-only include is not standalone-
+      // parseable but is never the culprit when the main query follows
+      val joined0 = segments.map(_._2).mkString("\n")
       var blamed: Option[((Option[String], String), Int)] = None
-      var k = 0
-      while (k < segments.length && blamed.isEmpty) {
-        val prefix = segments.take(k + 1).map(_._2).mkString("\n").trim
-        offOf(prefix).foreach { off =>
-          val segOff =
-            if (off >= base) off - base
-            // the parser blamed an earlier position: re-derive against
-            // the failing segment alone
-            else offOf(segments(k)._2.stripLineEnd).getOrElse(0)
-          blamed = Some((segments(k), segOff))
-        }
-        base += segments(k)._2.length + 1 // the joining newline
-        k += 1
+      offOf(joined0).orElse(offOf(joined)) match {
+        case None => return
+        case Some(off) =>
+          var base = 0
+          for (seg <- segments if blamed.isEmpty) {
+            val len = seg._2.length
+            if (off < base + len + 1 || seg == segments.last)
+              blamed = Some((seg, math.max(0, math.min(off - base, len))))
+            base += len + 1 // the joining newline
+          }
       }
       for (((name, segText), segOff) <- blamed) {
         val text = segText.stripLineEnd
@@ -1310,6 +1364,12 @@ object MdtestHarness {
           }
           val (pool, branch) = headTarget(target)
           requirePool(pool)
+          // the reference's api client prefixes UNSTRUCTURED error
+          // responses with the HTTP status (lake/api/client); these
+          // delete errors are exactly that shape
+          def svcErr(code: Int, msg: String): Nothing =
+            throw new RuntimeException(
+              if (viaHttp) s"status code $code: $msg" else msg)
           whereExpr match {
             case Some(w) =>
               // must be a SINGLE filter expression (cmd/super/db/delete)
@@ -1319,7 +1379,7 @@ object MdtestHarness {
                   case _ => false
                 } catch { case _: Exception => false }
               if (!singleFilter)
-                throw new RuntimeException(
+                svcErr(400,
                   "invalid delete where query: must be a single filter operation")
               // delete-where: rewrite the branch's live rows minus the
               // matches as ONE new object, then delete the old objects
@@ -1329,7 +1389,7 @@ object MdtestHarness {
               try {
                 val scanDf = lk.scan(spark, root, pool, Some(branch))
                 if (Graft.queryOn(scanDf, s"where $w").isEmpty)
-                  throw new RuntimeException("empty transaction")
+                  svcErr(400, "empty transaction")
                 val kept = Graft.queryOn(scanDf, s"where !($w)")
                 val old = lk.commitsOn(root, pool, branch)
                   .filter(_.kind == "commit").map(_.id)
@@ -1339,7 +1399,14 @@ object MdtestHarness {
                 ""
               } finally spark.conf.unset("graft.lake.root")
             case None =>
-              rest.foreach(id => lk.delete(root, pool, id, branch))
+              rest.foreach { id =>
+                try lk.delete(root, pool, id, branch)
+                catch {
+                  case e: IllegalArgumentException if viaHttp &&
+                      Option(e.getMessage).exists(_.endsWith("commit object not found")) =>
+                    svcErr(404, e.getMessage)
+                }
+              }
               if (quiet) "" else rest.map(id => s"$id deleted\n").mkString
           }
         case "revert" =>
@@ -1508,7 +1575,11 @@ object MdtestHarness {
     private def superDbQuery(qArgs: Seq[String], root: String): String = {
       {
           val f = parseQueryFlags(qArgs)
-          var q = (f.includes.map(readFile) ++ f.query.toSeq).mkString("\n").trim
+          // db query takes NO file inputs: any positional that the shared
+          // flag parser classified as a file is the query argument
+          // (cmd/super/db/query — `-I incl.spq "from …"`)
+          val queryArg = f.query.orElse(f.files.headOption)
+          var q = (f.includes.map(readFile) ++ queryArg.toSeq).mkString("\n").trim
           // the reference's scan-target errors (cmd/super/db/query)
           if (q.isEmpty)
             throw new RuntimeException("query must include a 'from' operator")
@@ -1516,7 +1587,7 @@ object MdtestHarness {
           // failing segment (-I file vs the query argument) by offset
           caretParseCheck(
             f.includes.map(n => Some(n) -> readFile(n)) ++
-              f.query.toSeq.map(t => None -> t))
+              queryArg.toSeq.map(t => None -> t))
           val knownMeta = Set("pools", "branches", "log", "objects", "partitions")
           val firstFrom: Option[String] =
             try graft.lang.Parser.parse(q).stages.headOption.collect {

@@ -348,7 +348,27 @@ object ScriptHarness {
         val negated = t0.startsWith("! ")
         val t1 = if (negated) t0.stripPrefix("! ") else t0
         val assignRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)=(.*)$".r
+        // `VAR=value command …`: env prefix scoping the var to one command
+        // (bash); split the value (quoted or bare word) from the command
+        def prefixSplit(rhs: String): Option[(String, String)] =
+          if (rhs.startsWith("$(")) None
+          else if (rhs.startsWith("'") || rhs.startsWith("\"")) {
+            val q = rhs.head
+            val end = rhs.indexOf(q, 1)
+            if (end > 0 && rhs.drop(end + 1).trim.nonEmpty)
+              Some((rhs.substring(1, end), rhs.drop(end + 1).trim))
+            else None
+          } else {
+            val sp = rhs.indexOf(' ')
+            if (sp > 0 && rhs.drop(sp + 1).trim.nonEmpty)
+              Some((rhs.take(sp), rhs.drop(sp + 1).trim))
+            else None
+          }
         t1 match {
+          case assignRe(n2, rhs2) if prefixSplit(rhs2).isDefined =>
+            val (v, cmd) = prefixSplit(rhs2).get
+            sh.exportVar(n2, substitute(v))
+            queue.prepend(cmd)
           case assignRe(n2, rhs2) if rhs2.startsWith("$(") ||
               !rhs2.takeWhile(_ != '=').contains(' ') =>
             val v =
