@@ -25,7 +25,8 @@ import graft.sources.{Formats, Lake, ZsonIO}
 final class Service(spark: SparkSession, defaultDir: String, port: Int,
                     lakeRootOpt: Option[String] = None,
                     corsOrigins: Seq[String] = Nil,
-                    rootContentFile: Option[String] = None) {
+                    rootContentFile: Option[String] = None,
+                    defaultFmt: String = "zson") {
 
   @volatile private var server: HttpServer = _
 
@@ -191,6 +192,15 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       (200, s"""{commit:"$id",pool:"$pool"}""" + "\n")
     })
     server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
+    // runtime errors of a finished /query request, by X-Request-Id
+    server.createContext("/query/status", handler { ex =>
+      val rid = ex.getRequestURI.getPath.stripPrefix("/query/status").stripPrefix("/")
+      val msg = queryStatus.synchronized { Option(queryStatus.get(rid)) }
+      msg match {
+        case Some(m) => (200, s"""{"error":"${Service.esc(m)}"}""" + "\n")
+        case None => (200, "{}\n")
+      }
+    })
     // pool/branch CRUD (service/core.go:171-206 pool-create/-delete,
     // branch-create endpoints)
     server.createContext("/pool", new HttpHandler {
@@ -341,7 +351,8 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     * Param-style requests fall back to the legacy surface.
     */
   private def refPoolRoutes(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath
+    // RAW path: %2F inside a pool name must not split the segment
+    val path = ex.getRequestURI.getRawPath
     val segs = path.split("/").filter(_.nonEmpty).toSeq
       .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
     // raw bytes once: binary uploads (zng/vng/parquet/arrows) must not
@@ -401,21 +412,40 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           old.foreach(cid => Lake.delete(root, pool, cid, branch))
           respond(ex, 200, commitResponse(ex, id, warningsEmpty = false))
         } finally spark.conf.unset("graft.lake.root")
+      case ("GET", Seq("pool", pool0, "stats")) =>
+        // exec.PoolStats: total object data bytes + the pool-key span
+        // (service/handlers.go handlePoolStats)
+        val pool = poolByNameOrId(root, pool0).getOrElse {
+          jerr(ex, 404, "item does not exist", s"$pool0: pool not found")
+          return
+        }
+        val live = Lake.commitsOn(root, pool, "main").filter(_.kind == "commit")
+        val size = live.map(_.bytes).filter(_ >= 0).sum
+        val times = live.flatMap(c => c.keyMin.toSeq ++ c.keyMax.toSeq)
+          .flatMap(t => try Some(java.time.Instant.parse(t))
+                        catch { case _: Exception => None })
+        val body2 =
+          if (times.isEmpty) s"{size:$size}(=exec.PoolStats)"
+          else {
+            def ns(i: java.time.Instant): Long =
+              i.getEpochSecond * 1000000000L + i.getNano.toLong
+            val (lo, hi) = (times.min, times.max)
+            // span durations are EXCLUSIVE of the last ns (nano.Span)
+            val dur = ns(hi) - ns(lo) + 1
+            val frac = f"${lo.getNano}%09d".reverse.dropWhile(_ == '0').reverse
+            val tsText = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+              .withZone(java.time.ZoneOffset.UTC).format(lo) +
+              (if (frac.isEmpty) "" else s".$frac") + "Z"
+            s"{size:$size,span:{ts:$tsText,dur:$dur(=nano.Duration)}(=nano.Span)}(=exec.PoolStats)"
+          }
+        respond(ex, 200, body2 + "\n")
       case ("POST", Seq("pool", pool0, "branch", branch)) =>
         // the pool segment accepts a name OR its ksuid id (lakeparse)
-        val pool =
-          if (Lake.exists(root, pool0)) pool0
-          else {
-            val byId = Option(new java.io.File(root).listFiles())
-              .getOrElse(Array.empty).toSeq.map(_.getName)
-              .find(n => Lake.exists(root, n) &&
-                (try Lake.poolId(root, n) == pool0
-                 catch { case _: Exception => false }))
-            byId.getOrElse {
-              jerr(ex, 404, "item does not exist", s"$pool0: pool not found")
-              return
-            }
-          }
+        val pool = poolByNameOrId(root, pool0).getOrElse {
+          jerr(ex, 404, "item does not exist", s"$pool0: pool not found")
+          return
+        }
         val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .getOrElse("")
         val ext = ctype.takeWhile(_ != ';') match {
@@ -597,11 +627,30 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       }
       case _ =>
     }
+    // per-request id: echoed as X-Request-Id; runtime errors during the
+    // response are retrievable at /query/status/<id> (service/request.go)
+    val rid = graft.functions.Ksuid.newId()
     try {
+      ex.getResponseHeaders.add("X-Request-Id", rid)
       spark.conf.set("graft.lake.root", root)
       val df = try Graft.query(spark, root, q)
                finally spark.conf.unset("graft.lake.root")
-      val fmt = chosen.getOrElse("application/json")
+      // no Accept (or */*): the service's configured default format
+      // (service/core.go -defaultfmt)
+      val defMime = defaultFmt match {
+        case "ndjson" => "application/x-ndjson"
+        case "json" => "application/json"
+        case "csv" => "text/csv"
+        case "zeek" => "application/x-zeek"
+        case "zjson" => "application/x-zjson"
+        case "zng" => "application/x-zng"
+        case "parquet" => "application/x-parquet"
+        case _ => "application/x-zson"
+      }
+      val fmt = chosen match {
+        case Some("") | Some("*/*") | None => defMime
+        case Some(a) => a
+      }
       // ?ctrl= parses with Go's strconv.ParseBool semantics
       val ctrlRaw = query(ex).get("ctrl")
       val boolTrue = Set("1", "t", "T", "TRUE", "true", "True")
@@ -652,8 +701,11 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
           // with named outputs frames each leg as its own channel
           val legs: Seq[(String, org.apache.spark.sql.DataFrame)] = {
             val outs =
-              try Graft.queryOutputs(spark, root, q)
-              catch { case _: Exception => Seq.empty }
+              try {
+                spark.conf.set("graft.lake.root", root)
+                try Graft.queryOutputs(spark, root, q)
+                finally spark.conf.unset("graft.lake.root")
+              } catch { case _: Exception => Seq.empty }
             if (outs.length > 1) outs else Seq("main" -> df)
           }
           // matched stats describe the FILTERED result (the reference's
@@ -729,15 +781,35 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       }
     } catch {
       case e: Exception =>
+        val raw = String.valueOf(e.getMessage)
+        val fmt0 = chosen.getOrElse("")
+        // the reference's writer errors use its own io-package names
+        val msg =
+          if (raw.contains("EMPTY_SCHEMA_NOT_SUPPORTED") &&
+              fmt0 == "application/x-parquet")
+            "parquetio: unsupported type: empty record"
+          else raw
+        queryStatus.synchronized { queryStatus.put(rid, msg): Unit }
+        val binary = Set("application/x-parquet", "application/x-vng",
+          "application/x-zng", "application/vnd.apache.arrow.stream")
         // once a chunked response has begun the headers are gone — all
         // we can do is truncate the stream (the client sees a broken
-        // chunked body, like the reference on a mid-stream error)
-        if (ex.getResponseCode == -1)
-          jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage))
-        else
+        // chunked body, like the reference on a mid-stream error).
+        // Binary formats report runtime errors ONLY via /query/status.
+        if (ex.getResponseCode == -1) {
+          if (binary(fmt0)) { ex.sendResponseHeaders(200, -1); ex.close() }
+          else jerr(ex, 400, "invalid operation", msg)
+        } else
           try ex.getResponseBody.close() catch { case _: Exception => }
     }
   }
+
+  // bounded per-request error store backing /query/status/<rid>
+  private val queryStatus =
+    new java.util.LinkedHashMap[String, String](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean = size() > 128
+    }
 
   /** A pool's config + main branch as the reference's JSON (POST /pool). */
   /** The create response in the default zson format: {pool,branch} with
@@ -761,6 +833,15 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     val idHex = try lk.poolId(root, name) catch { case _: Exception => "" }
     s"""{"pool":{"ts":"$ts","name":"$name","id":"$idHex","layout":{"order":"$order","keys":[["$k"]]},"seek_stride":65536,"threshold":524288000},"branch":{"ts":"$ts","name":"main","commit":"0x0000000000000000000000000000000000000000"}}"""
   }
+
+  /** Resolve a path segment that names a pool directly or by ksuid id. */
+  private def poolByNameOrId(root: String, seg: String): Option[String] =
+    if (Lake.exists(root, seg)) Some(seg)
+    else Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).toSeq.map(_.getName)
+      .find(n => Lake.exists(root, n) &&
+        (try Lake.poolId(root, n) == seg
+         catch { case _: Exception => false }))
 
   private def query(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split("&")

@@ -480,6 +480,25 @@ final class Compiler(spark: SparkSession, dir: String) {
 
       case Stage.Put(assigns) =>
         val df = single(state)
+        // an untagged bare-record carrier (this-only struct frame, e.g.
+        // `yield this[0]` over records): `this` IS the record — unwrap it
+        // so puts write inside (putter.go semantics)
+        locally {
+          val dataCols = df.schema.fields.toIndexedSeq.filterNot(f =>
+            f.name == graft.operators.Het.typeTag ||
+              f.metadata.contains("graft.scopeVar"))
+          if (!isTagged(df) && dataCols.map(_.name) == Seq("this") &&
+              dataCols.head.dataType.isInstanceOf[StructType] &&
+              !isVariant(dataCols.head.dataType)) {
+            val st = dataCols.head.dataType.asInstanceOf[StructType]
+            val inner = df.select(
+              (st.fields.toIndexedSeq.map(f => col(s"this.`${f.name}`").as(f.name)) ++
+                df.schema.fields.toIndexedSeq
+                  .filter(_.metadata.contains("graft.scopeVar"))
+                  .map(f => col(s"`${f.name}`").as(f.name, f.metadata))): _*)
+            return compileStage(Seq(inner), Stage.Put(assigns))
+          }
+        }
         // a column produced by typeof/typeunder is TYPE-VALUED: record it
         // in field metadata so a later typeof(field) answers <type>
         def marked(e: Expr, c: Column): Column = e match {

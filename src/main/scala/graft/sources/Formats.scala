@@ -187,7 +187,18 @@ object Formats {
           } catch { case _: Exception => return "zson" }
         }
         return "zson"
-      } catch { case _: Exception => }
+      } catch { case _: Exception =>
+        // a long single-line stream is TRUNCATED mid-value by the head
+        // window: if the FIRST value alone parses, it's still zson/json
+        // (curl -d strips newlines from multi-value uploads)
+        if (isJsonish) try {
+          new ZsonParser(firstLine).parseOne(): Unit
+          try {
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
+            return "json"
+          } catch { case _: Exception => return "zson" }
+        } catch { case _: Exception => }
+      }
       if (firstLine.contains(",")) return "csv"
     }
     "line"
@@ -261,7 +272,12 @@ object Formats {
         throw new IllegalArgumentException(
           s"parquetio: encountered multiple types (consider 'fuse'): " +
             shapes.take(2).mkString(" and "))
-      df.write.mode("overwrite").parquet(path)
+      // the shape tag is engine metadata, never user data
+      val dataDf = df.drop(graft.operators.Het.typeTag)
+      if (dataDf.schema.isEmpty)
+        throw new IllegalArgumentException(
+          "parquetio: unsupported type: empty record")
+      dataDf.write.mode("overwrite").parquet(path)
     case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
     case "tsv" => df.write.mode("overwrite").option("header", "true")
       .option("sep", "\t").csv(path)

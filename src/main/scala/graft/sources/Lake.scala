@@ -209,7 +209,29 @@ object Lake {
     // through ksuid()
     val id = graft.functions.Ksuid.newId()
     val dataDir = poolDir(root, pool).resolve("data").resolve(id)
-    val key = poolKey(root, pool).filter(df.columns.contains)
+    // parquet cannot store zero-field structs (`{}` rows); their value is
+    // fully implied by the shape tag riding the journal, so strip them
+    // for the write — scans re-attach the shape
+    def emptyStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.isEmpty || st.fields.forall(f => emptyStruct(f.dataType))
+      case _ => false
+    }
+    val dfW0 =
+      if (df.schema.fields.exists(f => emptyStruct(f.dataType)))
+        df.drop(df.schema.fields.filter(f => emptyStruct(f.dataType))
+          .map(_.name).toIndexedSeq: _*)
+      else df
+    val dfW =
+      if (dfW0.columns.nonEmpty) dfW0
+      else {
+        // nothing storable left: carry row count via the tag column
+        import org.apache.spark.sql.functions.lit
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", Array("{}")).build()
+        df.select(lit("{}").as(graft.operators.Het.typeTag, md))
+      }
+    val key = poolKey(root, pool).filter(dfW.columns.contains)
     // the object's key range rides the WRITE job itself (Observation
     // metrics over the flowing rows) — exact, no second pass over the
     // input, and no re-read of a just-written directory (a listing
@@ -225,14 +247,14 @@ object Lake {
         // TIME keys record their range in zed's ISO form (ns precision,
         // trailing zeros trimmed) so :objects min/max render like the
         // reference and range pruning compares consistently
-        val keyText = keyTextOf(df, k)
+        val keyText = keyTextOf(dfW, k)
         // observe ABOVE the range exchange: the boundary-sampling pass
         // re-executes the subtree below it, which would double-count or
         // short-circuit metrics placed before the exchange
-        df.repartitionByRange(col(k)).sortWithinPartitions(col(k))
+        dfW.repartitionByRange(col(k)).sortWithinPartitions(col(k))
           .observe(o, min(keyText(col(k))).as("kmin"),
             max(keyText(col(k))).as("kmax"))
-      case _ => df
+      case _ => dfW
     }
     sorted.write.mode("errorifexists").parquet(dataDir.toString)
     val range = obs.map { o =>

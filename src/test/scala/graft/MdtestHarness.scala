@@ -330,11 +330,31 @@ object MdtestHarness {
         case "sort" =>
           stdin.getOrElse("").linesIterator.toSeq.sorted.map(_ + "\n").mkString
         case "sed" =>
-          // minimal `sed [-e] 's<d>pat<d>rep<d>[g]'` over stdin (scripts
-          // mask run-dependent ids/timestamps)
-          val progs = seg.tail.filterNot(_ == "-e")
-          var text = stdin.getOrElse("")
-          for (prog0 <- progs) {
+          // minimal `sed [-n] [-e] 's<d>pat<d>rep<d>[gp]' [file]` over
+          // stdin or a file (scripts mask run-dependent ids/timestamps);
+          // BRE groups \(...\) \{n\} convert to Java regex
+          val quiet = seg.contains("-n")
+          val rest = seg.tail.filterNot(f => f == "-e" || f == "-n")
+          // a trailing arg that is not an s/// program is the input file
+          val (progs, fileArg) =
+            if (rest.length > 1 && !rest.last.matches("(?s)^(/.*?/)?[sy].*") &&
+                java.nio.file.Files.exists(java.nio.file.Paths.get(filePath(rest.last))))
+              (rest.init, Some(rest.last))
+            else (rest, None)
+          var text = fileArg match {
+            case Some(f) => readFile(f)
+            case None => stdin.getOrElse("")
+          }
+          var anyP = false
+          val pLines = Vector.newBuilder[String]
+          for (prog1 <- progs) {
+            // BRE -> Java: swap escaped/literal parens and braces
+            val prog0 = prog1
+              .replace("\\(", "\u0001").replace("\\)", "\u0002")
+              .replace("\\{", "\u0003").replace("\\}", "\u0004")
+              .replace("(", "\\(").replace(")", "\\)")
+              .replace("\u0001", "(").replace("\u0002", ")")
+              .replace("\u0003", "{").replace("\u0004", "}")
             // optional line address: /regex/s<d>pat<d>rep<d>[g]
             val (addr, prog) =
               if (prog0.startsWith("/")) {
@@ -346,19 +366,36 @@ object MdtestHarness {
               val d = prog.charAt(1)
               val parts = prog.drop(2).split(java.util.regex.Pattern.quote(d.toString), -1)
               if (parts.length >= 2) {
-                val (pat, rep) = (parts(0), parts(1))
-                val global = parts.lift(2).exists(_.contains("g"))
-                val repl = java.util.regex.Matcher.quoteReplacement(rep)
+                val (pat, rep0) = (parts(0), parts(1))
+                val flags = parts.lift(2).getOrElse("")
+                val global = flags.contains("g")
+                val pFlag = flags.contains("p")
+                if (pFlag) anyP = true
+                // escape literal $, then turn \1..\9 backrefs into $1..$9
+                val rep = rep0.replace("$", "\\$")
+                  .replaceAll("\\\\([0-9])", "\\$$1")
+                val re = java.util.regex.Pattern.compile(pat)
                 val addrRe = addr.map(java.util.regex.Pattern.compile(_))
                 text = text.linesIterator.map { l =>
                   if (addrRe.exists(r => !r.matcher(l).find())) l
-                  else if (global) l.replaceAll(pat, repl)
-                  else java.util.regex.Pattern.compile(pat).matcher(l).replaceFirst(repl)
+                  else {
+                    val m = re.matcher(l)
+                    val changed = m.find()
+                    val out =
+                      if (!changed) l
+                      else if (global) m.replaceAll(rep)
+                      else m.replaceFirst(rep)
+                    if (changed && pFlag) pLines += out
+                    out
+                  }
                 }.mkString("", "\n", if (text.endsWith("\n")) "\n" else "")
               }
             }
           }
-          text
+          if (quiet) {
+            val ls = pLines.result()
+            if (ls.isEmpty) "" else ls.mkString("", "\n", "\n")
+          } else text
         case "grep" =>
           // minimal grep: regex filter over stdin lines; -v inverts;
           // no match → nonzero exit (drives `! … | grep …` negations)
@@ -441,8 +478,11 @@ object MdtestHarness {
             case f if f.startsWith("-rootcontentfile=") =>
               filePath(f.stripPrefix("-rootcontentfile="))
           }
+          val defFmt = extraFlags.collectFirst {
+            case f if f.startsWith("-defaultfmt=") => f.stripPrefix("-defaultfmt=")
+          }.getOrElse("zson")
           val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir),
-            corsOrigins, rootContent)
+            corsOrigins, rootContent, defFmt)
           val port = svc.start()
           service = Some(svc)
           serviceRoot = Some(rootDir)
@@ -958,6 +998,7 @@ object MdtestHarness {
       var url = ""
       var writeOut: Option[String] = None
       var dumpHeaders = false
+      var headerFile: Option[String] = None
       var outSink: Option[String] = None
       var i = 0
       while (i < args.length) {
@@ -985,6 +1026,10 @@ object MdtestHarness {
           case "-o" => outSink = Some(args(i + 1)); i += 2
           case "-sD" => dumpHeaders = args.lift(i + 1).contains("-")
             i += (if (dumpHeaders) 2 else 1)
+          case "-D" =>
+            if (args.lift(i + 1).contains("-")) dumpHeaders = true
+            else headerFile = args.lift(i + 1)
+            i += 2
           case "-s" | "-sS" | "--silent" => i += 1
           // the shell's \? escape (url\?a=b) reaches us verbatim
           case u if !u.startsWith("-") => url = u.replace("\\?", "?"); i += 1
@@ -1004,8 +1049,9 @@ object MdtestHarness {
       val code = resp.statusCode()
       val body = new String(resp.body(), "ISO-8859-1")
       val sb = new StringBuilder
-      if (dumpHeaders) {
-        sb.append(s"HTTP/1.1 $code ${
+      val headerText = {
+        val hb = new StringBuilder
+        hb.append(s"HTTP/1.1 $code ${
           if (code == 200) "OK" else if (code == 204) "No Content" else "Error"}\r\n")
         // response headers, name-sorted (curl shows wire order; our
         // in-process server emits sorted — deterministic either way)
@@ -1015,9 +1061,13 @@ object MdtestHarness {
           .foreach { case (k, vs) =>
             val kk = k.split("-").map(s =>
               if (s.isEmpty) s else s.head.toUpper + s.tail).mkString("-")
-            vs.asScala.foreach(v => sb.append(s"$kk: $v\r\n")) }
-        sb.append("\r\n")
+            vs.asScala.foreach(v => hb.append(s"$kk: $v\r\n")) }
+        hb.append("\r\n")
+        hb.toString
       }
+      if (dumpHeaders) sb.append(headerText)
+      headerFile.foreach(f => java.nio.file.Files.write(
+        java.nio.file.Paths.get(filePath(f)), headerText.getBytes("UTF-8")))
       outSink match {
         case Some("/dev/null") =>
         case Some(f) =>
@@ -1580,9 +1630,15 @@ object MdtestHarness {
           // (cmd/super/db/query — `-I incl.spq "from …"`)
           val queryArg = f.query.orElse(f.files.headOption)
           var q = (f.includes.map(readFile) ++ queryArg.toSeq).mkString("\n").trim
-          // the reference's scan-target errors (cmd/super/db/query)
+          // the reference's scan-target errors differ between the local
+          // CLI (cmd/super/db/query) and the service path (handlers.go):
+          // the api client surfaces the service's texts, with the status
+          // prefix on UNSTRUCTURED errors only
+          val viaSvc = env.get("SUPER_DB_LAKE").exists(_.startsWith("http"))
           if (q.isEmpty)
-            throw new RuntimeException("query must include a 'from' operator")
+            throw new RuntimeException(
+              if (viaSvc) "status code 400: no pool name given"
+              else "query must include a 'from' operator")
           // parse errors in the reference's caret format, attributing the
           // failing segment (-I file vs the query argument) by offset
           caretParseCheck(
@@ -1598,7 +1654,8 @@ object MdtestHarness {
             }
           firstFrom.foreach {
             case "HEAD" if useHead.isEmpty =>
-              caretErr("cannot scan from unknown HEAD", q, 6, 4)
+              if (viaSvc) caretErr("pool name missing", q, 1, q.length)
+              else caretErr("cannot scan from unknown HEAD", q, 6, 4)
             case t if t.startsWith(":") && !knownMeta(t.drop(1)) =>
               caretErr(s"""unknown lake metadata type "${t.drop(1)}" in from operator""",
                 q, 1, q.length)
