@@ -465,18 +465,28 @@ object VngIO {
     def next(): ZValue = VRec(fields.map { case (n, r) => n -> r.next() })
   }
 
-  private final class ArrayRd(lengths: Int64Rd, child: Rd, isSet: Boolean) extends Rd {
+  private final class ArrayRd(lengths: Int64Rd, child: Rd, isSet: Boolean,
+      elemT: ZType) extends Rd {
     def next(): ZValue = {
       val n = lengths.next().toInt
       val items = Vector.fill(n)(child.next())
-      VArr(if (isSet) ZValue.normSet(items) else items, isSet)
+      val arr = VArr(if (isSet) ZValue.normSet(items) else items, isSet)
+      // an EMPTY container cannot imply its element type — keep the
+      // metadata's declared type via the typed wrapper (fuzz round-trip)
+      if (n == 0 && elemT != Prim("null"))
+        VTyped(arr, if (isSet) SetT(elemT) else Arr(elemT))
+      else arr
     }
   }
 
-  private final class MapRd(lengths: Int64Rd, keys: Rd, values: Rd) extends Rd {
+  private final class MapRd(lengths: Int64Rd, keys: Rd, values: Rd,
+      kT: ZType, vT: ZType) extends Rd {
     def next(): ZValue = {
       val n = lengths.next().toInt
-      VMap(ZValue.normMap(Vector.fill(n)(keys.next() -> values.next())))
+      val m = VMap(ZValue.normMap(Vector.fill(n)(keys.next() -> values.next())))
+      if (n == 0 && (kT != Prim("null") || vT != Prim("null")))
+        VTyped(m, MapT(kT, vT))
+      else m
     }
   }
 
@@ -509,9 +519,10 @@ object VngIO {
       new NullsRd(new Int64Rd(fetch(runs)), metaType(values), newRd(values, fetch))
     case MRecord(_, fs) => new RecordRd(fs.map { case (n, f) => n -> newRd(f, fetch) })
     case MArray(_, lens, v, isSet) =>
-      new ArrayRd(new Int64Rd(fetch(lens)), newRd(v, fetch), isSet)
+      new ArrayRd(new Int64Rd(fetch(lens)), newRd(v, fetch), isSet, metaType(v))
     case MMap(_, lens, k, v) =>
-      new MapRd(new Int64Rd(fetch(lens)), newRd(k, fetch), newRd(v, fetch))
+      new MapRd(new Int64Rd(fetch(lens)), newRd(k, fetch), newRd(v, fetch),
+        metaType(k), metaType(v))
     case MUnion(_, tags, vs) =>
       new UnionRd(Union(vs.map(metaType)), new Int64Rd(fetch(tags)), vs.map(newRd(_, fetch)))
     case MNamed(n, v) => new NamedRd(n, metaType(v), newRd(v, fetch))

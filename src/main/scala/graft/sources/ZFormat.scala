@@ -59,7 +59,12 @@ object ZFormat {
           else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
           catch { case _: Exception => Prim("string") })
       }
-      if (fields.map(_._1.name) == Seq("this")) fs.head._2 else Rec(fs.toVector)
+      if (fields.map(_._1.name) == Seq("this")) {
+        // a boxed carrier decodes from its OWN runtime type — the Spark
+        // struct is the engine's union carrier, never a record shape
+        if (ZsonIO.isVariantType(fields.head._1.dataType)) Prim("null")
+        else fs.head._2
+      } else Rec(fs.toVector)
     }
 
     (row: Row) => {

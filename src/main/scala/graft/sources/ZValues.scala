@@ -817,7 +817,10 @@ object ZValue {
     * 5 error — the cross-type total order (type.go CompareTypes).
     */
   def leafRow(v0: ZValue): Row = {
-    val tText = ZType.text(typeOf(v0))
+    // the t slot must be a COMPLETE, parseable type: named components
+    // render their name=inner form so runtime consumers (fromVariantRow,
+    // shapers) can reconstruct the zed type exactly
+    val tText = ZType.fullText(typeOf(v0))
     unwrap(v0) match {
       // typed nulls keep their kind + type with all payloads null, so
       // string functions see k=2 and emit null rather than a type error
@@ -1004,7 +1007,17 @@ object ZValue {
             // leaf t restores widths/named types the text couldn't carry
             val items = aCache.map(l =>
               if (l == null) VNull(ZType.Prim("null")) else fromVariantRow(l)).toVector
-            val arr = VArr(items, isSet = tName.startsWith("|["))
+            // set-ness comes from the runtime type; a union t resolves to
+            // its container member
+            def containerOf(ty: ZType): Option[ZType] = ZType.strip(ty) match {
+              case a: ZType.Arr => Some(a)
+              case st: ZType.SetT => Some(st)
+              case ZType.Union(alts) => alts.flatMap(a => containerOf(a)).headOption
+              case _ => None
+            }
+            val declaredC = parsedT.flatMap(containerOf)
+            val arr = VArr(items, isSet = tName.startsWith("|[") ||
+              declaredC.exists(_.isInstanceOf[ZType.SetT]))
             parsedT match {
               case Some(ty) if ZType.text(typeOf(arr)) != ZType.text(ty) => VTyped(arr, ty)
               case _ => arr
@@ -1627,8 +1640,19 @@ final class ZsonParser(s: String,
       case (VStr(sv), Prim("bytes")) => VStr(sv)
       case (VStr(sv), EnumT(_)) => VTyped(VEnum(sv), t)
       case (VEnum(sv), EnumT(_)) => VTyped(VEnum(sv), t)
-      case (inner, Union(_)) => VTyped(inner, t)
-      case (inner, _) if t0.isInstanceOf[Named] => VTyped(inner, t)
+      case (inner, Union(alts)) =>
+        // fit the value to a MEMBER: exact type first, then the implied-
+        // decorator coercions in member order (zson parser convertValue) —
+        // an int64 literal under (bool,int32) lands on int32, not bool
+        val innerT = ZValue.typeOf(inner)
+        val fitted =
+          if (alts.contains(innerT)) inner
+          else alts.iterator.flatMap { a =>
+            val out = try applyType(inner, a) catch { case _: Exception => inner }
+            if (ZType.fullText(ZValue.typeOf(out)) == ZType.fullText(a)) Some(out)
+            else None
+          }.nextOption().getOrElse(inner)
+        VTyped(fitted, t)
       case (VRec(fs), Rec(tfs)) =>
         // push field types down (e.g. {a:1}({a:int32}))
         VRec(fs.map { case (n, fv) =>

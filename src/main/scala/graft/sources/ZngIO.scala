@@ -1459,6 +1459,39 @@ object ZngIO {
     val v = v0 match { case VTyped(i, _) => i; case other => other }
     (v, t) match {
       case (_, ZNamed(_, inner)) => encodeZBody(out, v0, inner)
+      // union slots FIRST: every member kind needs its selector, so the
+      // generic primitive cases below must not swallow them
+      case (_, ZUnion(alts)) =>
+        // member tag + tagged member value (§2.2.5); the member type is
+        // the ORIGINAL value's type unless that is the union itself
+        // (possibly under a name)
+        val declared = toZT(ZValue.typeOf(v0))
+        val isSelf = declared == t ||
+          (declared match { case ZNamed(_, i) => i == t; case _ => false })
+        val memberT = if (isSelf) toZT(ZValue.typeOf(v)) else declared
+        val which = {
+          val exact = alts.indexWhere(_ == memberT)
+          if (exact >= 0) exact
+          else {
+            // inexact member (empty container / unwidened literal): match
+            // by container kind, and for primitives by VALUE CLASS so an
+            // int never lands on a bool member
+            def primClass(z: ZT): Int = zTypeOf(z) match {
+              case ZType.Prim(p)
+                  if p.startsWith("int") || p.startsWith("uint") ||
+                    p.startsWith("float") || p == "decimal" => 1
+              case ZType.Prim("bool") => 2
+              case ZType.Prim("string") => 3
+              case ZType.Prim("time") | ZType.Prim("duration") => 4
+              case _ => 5
+            }
+            val byKind = alts.indexWhere(a => a.getClass == memberT.getClass &&
+              (!memberT.isInstanceOf[ZPrim] || primClass(a) == primClass(memberT)))
+            math.max(0, byKind)
+          }
+        }
+        encodeZTagged(out, VInt(which.toLong, "int64"), ZPrim(9))
+        encodeZTagged(out, v, alts(which))
       case (VInt(n, _), ZPrim(id)) =>
         if (id <= 3) { // unsigned: little-endian minimal bytes
           var x = n
@@ -1503,14 +1536,6 @@ object ZngIO {
       case (VMap(es), ZMap(kt, vt)) =>
         es.foreach { case (k, x) => encodeZTagged(out, k, kt); encodeZTagged(out, x, vt) }
       case (VErr(inner), ZError(it)) => encodeZTagged(out, inner, it)
-      case (_, ZUnion(alts)) =>
-        // member tag + tagged member value (§2.2.5); the member type is
-        // the ORIGINAL value's type unless that is the union itself
-        val declared = toZT(ZValue.typeOf(v0))
-        val memberT = if (declared == t) toZT(ZValue.typeOf(v)) else declared
-        val which = math.max(0, alts.indexWhere(_ == memberT))
-        encodeZTagged(out, VInt(which.toLong, "int64"), ZPrim(9))
-        encodeZTagged(out, v, alts(which))
       case (other, _) =>
         val b = ZValue.zsonText(other).getBytes("UTF-8"); out.write(b, 0, b.length)
     }
