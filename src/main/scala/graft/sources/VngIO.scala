@@ -212,14 +212,27 @@ object VngIO {
       val memberT = ZValue.typeOf(ZValue.unwrap(v))
       // Exact match first so unions of distinct NAMED types over the same
       // base keep their member identity (matches ZngIO.encodeZBody);
-      // stripped comparison only as a fallback, and no silent tag-0 default.
+      // stripped comparison as a fallback; then FIT an unwidened literal
+      // to its member (int64 literal under (bool,int32) → int32).
       val idx = t.alts.indexWhere(_ == memberT) match {
         case -1 => t.alts.indexWhere(a => ZType.strip(a) == ZType.strip(memberT))
         case i  => i
       }
-      require(idx >= 0, s"vng: value of type $memberT matches no member of union $t")
-      tags.write(VInt(idx.toLong, "int64"))
-      members(idx).write(ZValue.unwrap(v))
+      val (idx2, fitted) =
+        if (idx >= 0) (idx, ZValue.unwrap(v))
+        else {
+          val fit = t.alts.iterator.zipWithIndex.flatMap { case (a, i) =>
+            val out = try ZsonParser.retype(ZValue.unwrap(v), a)
+                      catch { case _: Exception => ZValue.unwrap(v) }
+            if (ZType.fullText(ZValue.typeOf(out)) == ZType.fullText(a))
+              Some((i, ZValue.unwrap(out)))
+            else None
+          }.nextOption()
+          fit.getOrElse(throw new IllegalArgumentException(
+            s"vng: value of type $memberT matches no member of union $t"))
+        }
+      tags.write(VInt(idx2.toLong, "int64"))
+      members(idx2).write(fitted)
     }
     def finish(off: Long, data: ByteArrayOutputStream): (Long, Meta) = {
       val (o1, tm) = tags.finish(off, data)

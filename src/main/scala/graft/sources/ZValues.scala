@@ -1051,7 +1051,13 @@ object ZValue {
     namedT match {
       case Some(nt) if !core.isInstanceOf[VTyped] && !core.isInstanceOf[VNull] =>
         VTyped(core, nt)
-      case _ => core
+      case _ => parsedT match {
+        // a union t re-wraps so the member identity survives the decode
+        case Some(u: ZType.Union)
+            if !core.isInstanceOf[VTyped] && !core.isInstanceOf[VNull] =>
+          VTyped(core, u)
+        case _ => core
+      }
     }
   }
 
@@ -1069,7 +1075,18 @@ object ZValue {
     if (v == null) return VNull(zt)
     dt match {
       case st: StructType if ZsonIO.isVariantType(st) =>
-        return fromVariantRow(v.asInstanceOf[Row])
+        // re-apply the DECLARED type: a union/named member's identity is
+        // not in the carrier (the t slot holds the member's own type)
+        val dec = fromVariantRow(v.asInstanceOf[Row])
+        return ZType.strip(zt) match {
+          case _: ZType.Union if !typeOf(dec).isInstanceOf[ZType.Union] &&
+              !(typeOf(dec) match {
+                case ZType.Named(_, i) => i.isInstanceOf[ZType.Union]
+                case _ => false
+              }) =>
+            try ZsonParser.retype(dec, zt) catch { case _: Exception => dec }
+          case _ => dec
+        }
       case _ =>
     }
     val out: ZValue = (dt, stripped) match {

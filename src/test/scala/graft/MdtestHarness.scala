@@ -396,6 +396,47 @@ object MdtestHarness {
             val ls = pLines.result()
             if (ls.isEmpty) "" else ls.mkString("", "\n", "\n")
           } else text
+        case "jq" =>
+          // minimal jq: `.` identity (stream pretty-print, jq's 2-space
+          // style) and `-Rsa .` (raw slurp → one JSON string)
+          val text = stdin.getOrElse("")
+          val flags = seg.tail.filter(_.startsWith("-")).mkString
+          if (flags.contains("R") && flags.contains("s") && flags.contains("a")) {
+            val sb = new StringBuilder("\"")
+            text.foreach {
+              case '"' => sb.append("\\\"")
+              case '\\' => sb.append("\\\\")
+              case '\n' => sb.append("\\n")
+              case '\t' => sb.append("\\t")
+              case '\r' => sb.append("\\r")
+              case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+              case c => sb.append(c)
+            }
+            sb.append("\"\n").toString
+          } else {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            def pp(n: com.fasterxml.jackson.databind.JsonNode, ind: String): String = {
+              import scala.jdk.CollectionConverters._
+              if (n.isObject) {
+                val fs = n.properties().asScala.toSeq
+                if (fs.isEmpty) "{}"
+                else fs.map { e =>
+                  s"""$ind  "${e.getKey}": ${pp(e.getValue, ind + "  ")}"""
+                }.mkString("{\n", ",\n", s"\n$ind}")
+              } else if (n.isArray) {
+                val es = n.elements().asScala.toSeq
+                if (es.isEmpty) "[]"
+                else es.map(e => s"$ind  ${pp(e, ind + "  ")}")
+                  .mkString("[\n", ",\n", s"\n$ind]")
+              } else n.toString
+            }
+            val out = new StringBuilder
+            val parser = mapper.createParser(text)
+            val it = mapper.readValues(parser,
+              classOf[com.fasterxml.jackson.databind.JsonNode])
+            while (it.hasNext) { out.append(pp(it.next(), "")).append('\n') }
+            out.toString
+          }
         case "grep" =>
           // minimal grep: regex filter over stdin lines; -v inverts;
           // no match → nonzero exit (drives `! … | grep …` negations)

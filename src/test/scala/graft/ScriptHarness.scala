@@ -369,6 +369,10 @@ object ScriptHarness {
             val (v, cmd) = prefixSplit(rhs2).get
             sh.exportVar(n2, substitute(v))
             queue.prepend(cmd)
+          case assignRe(n2, rhs2) if rhs2.startsWith("\"$(") && rhs2.endsWith("\"") =>
+            // VAR="$(cmd …)" — quoted command substitution
+            vars(n2) = substitute(rhs2.stripPrefix("\"").stripSuffix("\""))
+              .stripLineEnd
           case assignRe(n2, rhs2) if rhs2.startsWith("$(") ||
               !rhs2.takeWhile(_ != '=').contains(' ') =>
             val v =
