@@ -1769,7 +1769,9 @@ final class Compiler(spark: SparkSession, dir: String) {
       forceBranches: Boolean = false
   ): Seq[DataFrame] = {
     def rawPred(c: Expr): Column = subject match {
-      case Some(s) => expr(df, s) === expr(df, c)
+      // the == machinery handles union-typed/boxed subjects (error
+      // propagation, total null semantics, leaf widening)
+      case Some(s) => expr(df, Expr.Binary("==", s, c))
       case None => expr(df, c)
     }
     def predDt(c: Expr): DataType =
@@ -2588,7 +2590,15 @@ final class Compiler(spark: SparkSession, dir: String) {
         f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
       dataFields.map(_.name) == Seq("this") && isVariant(dataFields.head.dataType)
     }
-    if (shapes.isEmpty && !boxedThis) return None
+    // a RUNTIME type target (e.g. shape(types_map[_path])) engages the
+    // row-level shaper even on a plain untagged record frame — the static
+    // schema supplies the input type
+    val runtimeTarget = args.last match {
+      case Expr.StringLit(_) => false
+      case Expr.Call("__typename", _) => false
+      case _ => true
+    }
+    if (shapes.isEmpty && !boxedThis && !runtimeTarget) return None
     val tf = graft.functions.ZShaper.flagsOf(fname)
     val subjectE: Expr =
       if (args.length > 1) args.head else Expr.Path(Seq.empty)
@@ -2599,7 +2609,17 @@ final class Compiler(spark: SparkSession, dir: String) {
         val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
           f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
         val stc = struct(dataFields.map(f => col(s"`${f.name}`").as(f.name)): _*)
-        (graft.sources.ZsonIO.zsonOf(stc, StructType(dataFields)), col(het.typeTag))
+        val tcol =
+          if (isTagged(df)) col(het.typeTag)
+          else lit(graft.sources.ZType.fullText(graft.sources.ZType.Rec(
+            dataFields.map { f =>
+              f.name -> (try graft.sources.ZsonParser.parseType(
+                if (f.metadata.contains("graft.zedType"))
+                  f.metadata.getString("graft.zedType")
+                else Shaper.zedTypeOf(f.dataType))
+              catch { case _: Exception => graft.sources.ZType.Prim("string") })
+            }.toVector)))
+        (graft.sources.ZsonIO.zsonOf(stc, StructType(dataFields)), tcol)
       case e =>
         val c = expr(df, e)
         val dt = dtypeOf(df, e).getOrElse(
@@ -2652,7 +2672,12 @@ final class Compiler(spark: SparkSession, dir: String) {
           when(c.getField("t") === "type", c.getField("s"))
             .when(c.getField("k") === 2, concat(lit("="), c.getField("s")))
             .otherwise(lit(null).cast(StringType))
-        else concat(lit("="), c.cast(StringType)) // plain string: named-type cast
+        else {
+          // a TYPE-VALUED string (map-of-types lookup) is already the
+          // type text; a bare name is a named-type cast
+          val s = c.cast(StringType)
+          when(s.rlike("[{\\[|<=(]"), s).otherwise(concat(lit("="), s))
+        }
     }
     Some(graft.functions.ZShaper.shaperUdf(tf)(subjText, inTypeCol, targetCol))
   }
@@ -3123,7 +3148,21 @@ final class Compiler(spark: SparkSession, dir: String) {
               try df.select(idxC).schema.head.dataType
               catch { case _: Exception => StringType })
             element_at(arr, graft.operators.Het.variant(idxC, idxDt))
-          case _: MapType => element_at(arr, expr(df, idx)) // map KEY lookup, no 0-base shift
+          case MapType(kt, _, _) =>
+            // map KEY lookup (no 0-base shift); a VARIANT key (field of a
+            // boxed value) unboxes to the map's key type first
+            val idxC = expr(df, idx)
+            val idxDt = try df.select(idxC).schema.head.dataType
+                        catch { case _: Exception => NullType }
+            if (isVariant(idxDt)) {
+              val k = kt match {
+                case StringType => idxC.getField("s")
+                case _: NumericType => idxC.getField("n").cast(kt)
+                case BooleanType => idxC.getField("b")
+                case _ => idxC.getField("s").cast(kt)
+              }
+              element_at(arr, k)
+            } else element_at(arr, idxC)
           case st: StructType if !isVariant(st) =>
             // dynamic record index: the index VALUE names the field
             // (expr/eval.go indexRecord); non-string index is an error
@@ -3412,8 +3451,23 @@ final class Compiler(spark: SparkSession, dir: String) {
       // result keeps predicate contexts working (searchify reads `b`,
       // which is NULL on errors, so and/or partials still skip —
       // logical-partials ztest)
+      // operands may be 6-slot LEAF carriers (values plucked from a/m
+      // caches) — widen to the canonical variant so the CASE branches
+      // share one type
+      def widen(v: Column, dt: DataType): Column =
+        if (dt == het.variantType) v
+        else struct((het.variantType.fields.map { f =>
+          (if (dt.isInstanceOf[StructType] &&
+               dt.asInstanceOf[StructType].fieldNames.contains(f.name))
+             v.getField(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }).toIndexedSeq: _*)
+      def dtOfQ(c: Column): DataType =
+        try df.select(c).schema.head.dataType catch { case _: Exception => NullType }
+      val lvW = widen(lv, dtOfQ(lv))
+      val rvW = widen(rv, dtOfQ(rv))
       def boxed(b: Column): Column =
-        when(het.isError(lv), lv).when(het.isError(rv), rv)
+        when(het.isError(lvW), lvW).when(het.isError(rvW), rvW)
           .otherwise(het.variant(b, BooleanType))
       return op match {
         case "==" =>

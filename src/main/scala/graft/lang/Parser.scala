@@ -991,13 +991,46 @@ final class Parser(tokens: Vector[Token], source: String) {
   }
 
   private def parseSwitch(): Stage = {
-    // `switch x (case …` — an ID subject followed by the case block must not
-    // lex as a call `x(…)`; disambiguate with one token of lookahead
+    // locate the CASES-open "(" (the depth-0 paren whose next token is
+    // case/default): the subject may itself contain parens or end in a
+    // call-like shape (`switch (e) (…)`, `switch x in tbl (…)`) that
+    // plain expression parsing would swallow as a call
+    val casesAt: Int = {
+      var k = 0; var depth = 0; var found = -1; var stop = false
+      while (!stop && found < 0) {
+        val t = peekAt(k)
+        if (t.kind == EOF) stop = true
+        else if (depth == 0 && t.text == "(" &&
+                 (peekAt(k + 1).text == "case" || peekAt(k + 1).text == "default"))
+          found = k
+        else {
+          t.text match {
+            case "(" | "[" | "{" => depth += 1
+            case ")" | "]" | "}" =>
+              if (depth == 0) stop = true else depth -= 1
+            case "|" if depth == 0 => stop = true
+            case _ =>
+          }
+          k += 1
+        }
+      }
+      found
+    }
     val subject =
-      if (at("(")) None
-      else if (peek.kind == ID && peekAt(1).text == "(" &&
-               (peekAt(2).text == "case" || peekAt(2).text == "default"))
-        Some(Expr.Path(Seq(next().text)))
+      if (casesAt == 0) None
+      else if (casesAt > 0) {
+        val slice = tokens.slice(pos, pos + casesAt) :+
+          Token(EOF, "", peekAt(casesAt).pos)
+        val sub = new Parser(slice, source)
+        // the subject shares this scope's symbol tables (consts/funcs/
+        // typedefs resolve at parse time)
+        sub.consts ++= consts; sub.funcs ++= funcs
+        sub.typeDefs ++= typeDefs; sub.opDefs ++= opDefs
+        val e = sub.parseExpr()
+        pos += casesAt
+        Some(e)
+      }
+      else if (at("(")) None
       else Some(parseExpr())
     expect("(")
     val cases = Vector.newBuilder[(Expr, Pipeline)]

@@ -169,6 +169,7 @@ object ZeekIO {
     case "count" => "uint64"
     case "int" => "int64"
     case "port" => "port=uint16"
+    case "enum" => "zenum=string" // zeekio named-type convention
     case "double" => "float64"
     case "bool" => "bool"
     case t if t.startsWith("set[") =>
