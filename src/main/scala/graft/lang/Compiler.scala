@@ -284,7 +284,32 @@ final class Compiler(spark: SparkSession, dir: String) {
               spark.sparkContext.emptyRDD[Row],
               StructType(Seq(StructField("this", StringType)))))
           else Some(graft.sources.ZsonReader.fromText(spark, zson))
-        case "partitions" | "rawlog" | "vectors"
+        case "vectors" if poolName.exists(p => lk.exists(root, p)) =>
+          // objects with a VNG twin (db vector add), as data.Object rows
+          // whose size is the twin's byte size
+          val vs = lk.vectors(root, poolName.get, branchName)
+          val vals2 = vs.flatMap(v => v._1.keyMin ++ v._1.keyMax).filter(_.nonEmpty)
+          val allLong2 = vals2.nonEmpty && vals2.forall(_.matches("-?\\d+"))
+          val isTime2 = vals2.nonEmpty &&
+            vals2.forall(_.matches("""\d{4}-\d{2}-\d{2}T.*Z"""))
+          def kv2(v: Option[String]): String = v.filter(_.nonEmpty).map { x =>
+            if (allLong2 || isTime2) x
+            else "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }.getOrElse("null")
+          def hex2(id: String): String =
+            try graft.functions.Ksuid.decodeHex(id)
+            catch { case _: Exception => "00" * 20 }
+          val zson2 = vs.map { case (c, _) =>
+            // size is the object's DATA size, same as :objects (the twin's
+            // file size is an implementation detail)
+            s"""{id:0x${hex2(c.id)}(=ksuid.KSUID),min:${kv2(c.keyMin)},max:${kv2(c.keyMax)},count:${math.max(0L, c.rows)}(uint64),size:${math.max(0L, c.bytes)}}(=data.Object)"""
+          }.mkString("\n")
+          if (zson2.isEmpty)
+            Some(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("this", StringType)))))
+          else Some(graft.sources.ZsonReader.fromText(spark, zson2))
+        case "partitions" | "rawlog"
             if poolName.exists(p => lk.exists(root, p)) =>
           // unimplemented meta views scan as empty (meta-empty-pool)
           Some(spark.createDataFrame(

@@ -784,6 +784,52 @@ object Lake {
     * objects leave the live set (still reachable by time travel until
     * vacuum).
     */
+  /** `db vector add/delete` — a VNG twin of one data object
+    * (lake/api vector endpoints): columnar reads of that object skip the
+    * row decode entirely, like the reference's vector cache.
+    */
+  def vectorAdd(spark: SparkSession, root: String, pool: String, id: String): Unit = {
+    val c = commits(root, pool).find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"$id: commit object not found"))
+    val dataDir = poolDir(root, pool).resolve("data").resolve(id)
+    val df0 = spark.read.parquet(dataDir.toString)
+    val tagName = graft.operators.Het.typeTag
+    val df =
+      if (c.shapes.nonEmpty && df0.columns.contains(tagName)) {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", c.shapes.toArray).build()
+        import org.apache.spark.sql.functions.col
+        df0.select(df0.schema.fields.toIndexedSeq.map { f =>
+          if (f.name == tagName) col(s"`${f.name}`").as(f.name, md)
+          else col(s"`${f.name}`")
+        }: _*)
+      } else df0
+    val tmp = Files.createTempDirectory("vecvng")
+    try {
+      VngIO.write(df.coalesce(1), tmp.toString)
+      Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach { p =>
+          Files.copy(p.toPath,
+            poolDir(root, pool).resolve("data").resolve(s"$id-vector.vng"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit
+  }
+
+  def vectorDelete(root: String, pool: String, id: String): Unit = {
+    val p = poolDir(root, pool).resolve("data").resolve(s"$id-vector.vng")
+    if (!Files.deleteIfExists(p))
+      throw new IllegalArgumentException(s"$id: vector object not found")
+  }
+
+  /** Objects on the branch that have a vector twin, with the twin's size. */
+  def vectors(root: String, pool: String, branch: String): Seq[(Commit, Long)] =
+    commitsOn(root, pool, branch).filter(_.kind == "commit").flatMap { c =>
+      val p = poolDir(root, pool).resolve("data").resolve(s"${c.id}-vector.vng")
+      if (Files.exists(p)) Some((c, Files.size(p))) else None
+    }
+
   def compact(spark: SparkSession, root: String, pool: String,
               branch: String = "main"): String = {
     val df = scan(spark, root, pool, Some(branch))

@@ -1530,7 +1530,23 @@ object MdtestHarness {
           val (pool, branch) = headTarget(
             args.tail.sliding(2).collectFirst { case Seq("-use", t) => t }.getOrElse(""))
           requirePool(pool)
-          lk.compact(spark, root, pool, branch = branch)
+          val cid = lk.compact(spark, root, pool, branch = branch)
+          // -vectors: also build the compacted object's VNG twin
+          if (args.contains("-vectors")) lk.vectorAdd(spark, root, pool, cid)
+          ""
+        case "vector" =>
+          // `db vector add|delete [-q] <id>…` (cmd/super/db/vector)
+          val sub = args.lift(1).getOrElse("")
+          val rest = args.drop(2).filterNot(_.startsWith("-"))
+          val (pool, _) = headTarget("")
+          requirePool(pool)
+          rest.foreach { id =>
+            sub match {
+              case "add" => lk.vectorAdd(spark, root, pool, id)
+              case "delete" => lk.vectorDelete(root, pool, id)
+              case other => throw new Unsupported(s"db vector $other")
+            }
+          }
           ""
         case "vacuum" =>
           var rest = args.tail
