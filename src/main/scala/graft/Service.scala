@@ -68,7 +68,9 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       }
     }
     if (ex.getRequestMethod == "OPTIONS") {
-      ex.sendResponseHeaders(204, -1)
+      // unconfigured CORS answers preflights like any other unsupported
+      // method (the reference only mounts rs/cors when -cors.origin set)
+      ex.sendResponseHeaders(if (corsOrigins.isEmpty) 405 else 204, -1)
       ex.close()
       true
     } else false
@@ -204,13 +206,16 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     // pool/branch CRUD (service/core.go:171-206 pool-create/-delete,
     // branch-create endpoints)
     server.createContext("/pool", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
+      override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
         try refPoolRoutes(ex)
         catch { case e: Exception =>
           jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage)) }
+      }
     })
     server.createContext("/compile", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
         // POST /compile {"query": …} → parse diagnostics (service API)
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val q = jsonField(body, "query").getOrElse("")
@@ -293,6 +298,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     // `since` and closes; a long-poll client re-connects with its last id.
     server.createContext("/events", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
         val since = query(ex).getOrElse("since", "0").toLong
         ex.getResponseHeaders.add("Content-Type", "text/event-stream")
         ex.sendResponseHeaders(200, 0)
@@ -851,6 +857,9 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
 
   private def handler(f: HttpExchange => (Int, String)): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      // the reference wraps the ENTIRE mux in rs/cors (service/core.go) —
+      // every endpoint gets origin headers and answers preflights
+      if (cors(ex)) return
       val (code, body) =
         try f(ex)
         catch { case e: Exception =>

@@ -256,9 +256,12 @@ object VngIO {
       val (bytes, format) =
         if (raw.isEmpty) (raw, 0)
         else {
-          val comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
-            .fastCompressor().compress(raw)
-          if (comp.length < raw.length) (comp, 1) else (raw, 0)
+          // byte-exact reference compressor; dst is inLen-1 so compression
+          // "fails" (returns 0) unless strictly smaller, per compressBuffer
+          val zbuf = new Array[Byte](raw.length - 1)
+          val zlen = Lz4Block.compress(raw, raw.length, zbuf)
+          if (zlen > 0) (java.util.Arrays.copyOfRange(zbuf, 0, zlen), 1)
+          else (raw, 0)
         }
       data.write(bytes, 0, bytes.length)
       (off + bytes.length, MPrim(t, Seg(off, bytes.length.toLong, memLen, format),

@@ -388,10 +388,16 @@ object ZeekIO {
       val rdd = spark.sparkContext
         .parallelize(statFiles, math.max(1, statFiles.length))
         .flatMap { f =>
-          // streamed per line: the reader closes when the iterator drains
+          // streamed per line; close on drain AND on task completion so an
+          // early-terminating consumer (limit/take) or a decode exception
+          // can't leak the Hadoop stream + GZIP buffer
           val rdr = lineReader(statsConf, f)
+          var closed = false
+          def closeOnce(): Unit = if (!closed) { closed = true; rdr.close() }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeOnce()))
           val lines = Iterator.continually(rdr.readLine()).takeWhile { l =>
-            if (l == null) rdr.close(); l != null
+            if (l == null) closeOnce(); l != null
           }
           interleavedValues(lines)
         }

@@ -187,9 +187,6 @@ object ZngIO {
     }
   }
 
-  private lazy val lz4Comp =
-    net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
-
   private def sizeOfUvarint(v: Long): Int = {
     var n = 1; var x = v >>> 7
     while (x != 0) { n += 1; x >>>= 7 }
@@ -204,16 +201,13 @@ object ZngIO {
   private[sources] def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val len = payload.length
-    // tiny frames stay RAW: LZ4's end-of-block rules (last 12 bytes
-    // cannot start a match, last 5 are literals) leave no winnable gain
-    // below a few dozen bytes, and the reference writer observably keeps
-    // such frames uncompressed (lake/ztests/consecutive-ts stream lengths)
-    if (len >= 64) {
-      val zbuf = new Array[Byte](len) // must beat the raw size to be kept
-      val zlen =
-        try lz4Comp.compress(payload, 0, len, zbuf, 0, len)
-        catch { case _: Exception => -1 }
-      if (zlen > 0 && zlen < len) {
+    if (len > 0) {
+      // byte-exact reference compressor (Lz4Block): returns 0 when the
+      // compressed form wouldn't beat the raw payload, exactly like the
+      // reference writer's CompressBlock-into-len(b) fallback
+      val zbuf = new Array[Byte](len)
+      val zlen = Lz4Block.compress(payload, len, zbuf)
+      if (zlen > 0) {
         val total = zlen + 1 + sizeOfUvarint(len.toLong)
         out.write((t << 4) | (total & 0xf) | 0x40)
         uvarint(out, (total >> 4).toLong)
@@ -252,7 +246,7 @@ object ZngIO {
       val b = body.toByteArray
       uvarint(values, b.length + 1L)
       values.write(b, 0, b.length)
-      if (values.size() > (1 << 20)) flush() // bounded frames, like zngio's framing
+      if (values.size() >= 512 * 1024) flush() // reference FrameThresh (zngio DefaultFrameThresh)
     }
     if (values.size() > 0) flush()
     out.write(0xff) // end of stream
@@ -516,7 +510,7 @@ object ZngIO {
               }
               uvarint(body, buf.size + 1L)
               buf.writeTo(body)
-              if (body.size > (1 << 20)) {
+              if (body.size >= 512 * 1024 || table.defs.size() >= 512 * 1024) { // reference FrameThresh
                 if (table.defs.size() > 0) {
                   out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
                 }
@@ -555,6 +549,10 @@ object ZngIO {
         val zt =
           if (f.metadata.contains("graft.zedType"))
             ZType.Prim(f.metadata.getString("graft.zedType"))
+          // a boxed variant carrier has no static zed type — its Spark
+          // struct is the engine's union carrier ({k,n,s,...}), never a
+          // record shape; null rows must be null(null), not the carrier
+          else if (ZsonIO.isVariantType(f.dataType)) ZType.Prim("null")
           else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
           catch { case _: Exception => ZType.Prim("string") }
         Some((dataIdxs.head, f.dataType, zt))
@@ -577,7 +575,7 @@ object ZngIO {
           val id = table.idOf(t)
           uvarint(body, id.toLong)
           encodeZTagged(body, v, t)
-          if (body.size > (1 << 20)) {
+          if (body.size >= 512 * 1024 || table.defs.size() >= 512 * 1024) { // reference FrameThresh
             if (table.defs.size() > 0) {
               out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
             }
@@ -625,7 +623,7 @@ object ZngIO {
           val id = table.idOf(t)
           uvarint(body, id.toLong)
           encodeZTagged(body, v, t)
-          if (body.size > (1 << 20)) {
+          if (body.size >= 512 * 1024 || table.defs.size() >= 512 * 1024) { // reference FrameThresh
             if (table.defs.size() > 0) {
               out.write(frame(0, table.defs.toByteArray)); table.defs.reset()
             }
@@ -766,7 +764,7 @@ object ZngIO {
       }
       values.writeUvarint(body.size + 1L)
       body.writeTo(values)
-      if (values.size > (1 << 20)) flush() // bounded frames, like zngio's framing
+      if (values.size >= 512 * 1024) flush() // reference FrameThresh (zngio DefaultFrameThresh)
     }
     if (values.size > 0) flush()
     out.write(0xff) // end of stream
@@ -1487,7 +1485,12 @@ object ZngIO {
             }
             val byKind = alts.indexWhere(a => a.getClass == memberT.getClass &&
               (!memberT.isInstanceOf[ZPrim] || primClass(a) == primClass(memberT)))
-            math.max(0, byKind)
+            // no silent tag-0 default: encoding under a wrong member
+            // produces undetectable wire corruption (VngIO's twin throws)
+            if (byKind < 0)
+              throw new IllegalStateException(
+                s"zng union encode: no member of $t fits value type $memberT")
+            byKind
           }
         }
         encodeZTagged(out, VInt(which.toLong, "int64"), ZPrim(9))
