@@ -26,9 +26,55 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
                     lakeRootOpt: Option[String] = None,
                     corsOrigins: Seq[String] = Nil,
                     rootContentFile: Option[String] = None,
-                    defaultFmt: String = "zson") {
+                    defaultFmt: String = "zson",
+                    authConfig: Option[Auth.Config] = None,
+                    logPath: Option[String] = None) {
+
+  /** `-log.path`: structured warn/error log as JSON lines (the reference
+    * runs a zap JSON logger; queries read the file back as data).
+    */
+  private def logWarn(msg: String, err: String): Unit = logPath.foreach { p =>
+    def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line = s"""{"level":"warn","msg":"${jq(msg)}","error":"${jq(err)}"}""" + "\n"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      line.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+    catch { case _: Exception => }
+  }
 
   @volatile private var server: HttpServer = _
+
+  /** Bearer-token middleware (service/auth.go Middleware): when auth is
+    * enabled, every API endpoint except /auth/method requires a valid
+    * RS256 JWT; failures answer 401 with the validator's message.
+    */
+  private val validator = authConfig.map(new Auth.Validator(_))
+
+  def authEnabled: Boolean = validator.isDefined
+
+  /** Validate the request's bearer token; answers 401 and returns true
+    * when the request has been rejected.
+    */
+  private def unauthorized(ex: HttpExchange): Boolean = validator match {
+    case None => false
+    case Some(v) =>
+      v.validateRequest(Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+        case Right(_) => false
+        case Left(msg) =>
+          jerr(ex, 401, "missing authentication credentials", msg)
+          true
+      }
+  }
+
+  /** Identity claims of the request's token (anonymous when auth is off
+    * or the token carries no tenant/user claims).
+    */
+  private def identityOf(ex: HttpExchange): Auth.Identity =
+    validator.flatMap(
+      _.validateRequest(Option(ex.getRequestHeaders.getFirst("Authorization")))
+        .toOption)
+      .getOrElse(Auth.Identity(Auth.AnonymousTenantID, Auth.AnonymousUserID))
 
   /** CORS per the reference's rs/cors defaults (service/core.go): allowed
     * origins may carry one `*` wildcard segment; allowed responses echo
@@ -98,6 +144,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     server.createContext("/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (cors(ex)) return
+        if (unauthorized(ex)) return
         try {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           // the reference's API form: a JSON body {"query": "..."} with
@@ -194,6 +241,52 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       (200, s"""{commit:"$id",pool:"$pool"}""" + "\n")
     })
     server.createContext("/status", handler { _ => (200, "{status:\"ok\"}\n") })
+    // /auth/method intentionally requires no authentication — clients use
+    // it to discover HOW to authenticate (service/core.go:171,
+    // handlers.go handleAuthMethodGet)
+    server.createContext("/auth/method", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
+        def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        val body = authConfig match {
+          case None => """{"kind":""}"""
+          case Some(c) =>
+            s"""{"kind":"auth0","auth0":{"audience":"${jq(c.audience)}",""" +
+              s""""client_id":"${jq(c.clientId)}","domain":"${jq(c.domain)}"}}"""
+        }
+        respond(ex, 200, body + "\n")
+      }
+    })
+    // /auth/identity echoes the validated token's tenant/user claims
+    // (handlers.go handleAuthIdentityGet)
+    server.createContext("/auth/identity", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
+        if (unauthorized(ex)) return
+        val id = identityOf(ex)
+        def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        respond(ex, 200,
+          s"""{"tenant_id":"${jq(id.tenantId)}","user_id":"${jq(id.userId)}"}""" + "\n")
+      }
+    })
+    // POST /query/describe {"query":…, "head":{"pool":…}} — source and
+    // channel analysis (compiler/describe, handlers.go handleQueryDescribe)
+    server.createContext("/query/describe", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (cors(ex)) return
+        if (unauthorized(ex)) return
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val q = jsonField(body, "query").getOrElse("")
+          val headPool = Option(json.readTree(body).get("head"))
+            .flatMap(h => Option(h.get("pool")).map(_.asText))
+          val root = lakeRootOpt.getOrElse("/tmp/graft_lake")
+          respond(ex, 200,
+            graft.lang.Describe.analyze(q, root, headPool) + "\n")
+        } catch { case e: Exception =>
+          jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage)) }
+      }
+    })
     // runtime errors of a finished /query request, by X-Request-Id
     server.createContext("/query/status", handler { ex =>
       val rid = ex.getRequestURI.getPath.stripPrefix("/query/status").stripPrefix("/")
@@ -208,6 +301,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     server.createContext("/pool", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (cors(ex)) return
+        if (unauthorized(ex)) return
         try refPoolRoutes(ex)
         catch { case e: Exception =>
           jerr(ex, 400, "invalid operation", String.valueOf(e.getMessage)) }
@@ -216,6 +310,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     server.createContext("/compile", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (cors(ex)) return
+        if (unauthorized(ex)) return
         // POST /compile {"query": …} → parse diagnostics (service API)
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val q = jsonField(body, "query").getOrElse("")
@@ -299,6 +394,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
     server.createContext("/events", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (cors(ex)) return
+        if (unauthorized(ex)) return
         val since = query(ex).getOrElse("since", "0").toLong
         ex.getResponseHeaders.add("Content-Type", "text/event-stream")
         ex.sendResponseHeaders(200, 0)
@@ -796,6 +892,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
             "parquetio: unsupported type: empty record"
           else raw
         queryStatus.synchronized { queryStatus.put(rid, msg): Unit }
+        logWarn("Error writing batch", msg)
         val binary = Set("application/x-parquet", "application/x-vng",
           "application/x-zng", "application/vnd.apache.arrow.stream")
         // once a chunked response has begun the headers are gone — all
@@ -860,6 +957,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       // the reference wraps the ENTIRE mux in rs/cors (service/core.go) —
       // every endpoint gets origin headers and answers preflights
       if (cors(ex)) return
+      if (unauthorized(ex)) return
       val (code, body) =
         try f(ex)
         catch { case e: Exception =>

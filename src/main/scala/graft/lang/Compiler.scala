@@ -2754,7 +2754,20 @@ final class Compiler(spark: SparkSession, dir: String) {
           val arr0 =
             if (srcs.length == 1) expr(df, srcs.head)
             else concat(srcs.map(e => expr(df, e)): _*)
-          tail.foldLeft(arr0)((arr, s) => arrayStage(df, arr, s))
+          val res = tail.foldLeft(arr0)((arr, s) => arrayStage(df, arr, s))
+          // a subquery yielding exactly ONE value IS that value (the
+          // reference's expression-subquery unwrap). With static Spark
+          // types the two branches (element vs array) can't share a
+          // column type, so RECORD elements box both sides as variants;
+          // scalar subqueries keep their static array type (their
+          // downstream consumers — sum(), sort — are length-agnostic).
+          elemType(df, res) match {
+            case et: StructType if tail.nonEmpty =>
+              val het = graft.operators.Het
+              when(size(res) === 1, het.variant(element_at(res, 1), et))
+                .otherwise(het.variant(res, ArrayType(et)))
+            case _ => res
+          }
         }
       case _ => throw new IllegalArgumentException(
         "expression subquery must start with `over`")
@@ -2846,6 +2859,13 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def arrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
     case Stage.Where(e) => filter(arr, x => lambdaExpr(df, e, x))
     case Stage.Yield(Seq(e)) => transform(arr, x => lambdaExpr(df, e, x))
+    case Stage.Put(assigns) =>
+      // set/replace fields on each (record) element: withField handles
+      // both add and overwrite, dotted names reach nested fields
+      transform(arr, x =>
+        assigns.foldLeft(x) { case (acc, (n, e)) =>
+          acc.withField(n, lambdaExpr(df, e, x))
+        })
     case Stage.Over(Seq(Expr.Path(Seq())), vars, None) if vars.isEmpty =>
       // over this: arrays-of-arrays flatten; scalar elements yield
       // themselves (traverse/over.go non-container values)

@@ -180,6 +180,89 @@ object MdtestHarness {
     private var serviceRoot: Option[String] = None
     def stopService(): Unit = { service.foreach(_.stop()); service = None }
 
+    // per-configdir bearer tokens (`super db auth store -configdir X`);
+    // the reference keeps these in <configdir>/credentials.json
+    private val authTokens = scala.collection.mutable.Map.empty[String, String]
+
+    /** GET a service URL with an optional bearer token; returns
+      * (status, body).
+      */
+    private def httpGet(url: String, token: Option[String]): (Int, String) = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (is == null) ""
+        else new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      conn.disconnect()
+      (code, body)
+    }
+
+    private def jsonErrField(body: String): String =
+      "\"error\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse(body.trim)
+
+    /** Throw the client-visible "status code 401: …" error when the
+      * in-process service has auth enabled and the command targets it
+      * without a valid stored token (api/client formats HTTP errors this
+      * way).
+      */
+    private def requireServiceAuth(lake: Option[String], configDir: String): Unit = {
+      val viaHttp = lake.orElse(env.get("SUPER_DB_LAKE").filter(_.nonEmpty))
+        .exists(_.startsWith("http"))
+      if (!viaHttp || !service.exists(_.authEnabled)) return
+      val base = lake.filter(_.startsWith("http"))
+        .orElse(env.get("SUPER_DB_LAKE")).getOrElse("")
+      authTokens.get(configDir) match {
+        case None =>
+          throw new RuntimeException("status code 401: no token present in request")
+        case Some(tok) =>
+          val (code, body) = httpGet(s"$base/auth/identity", Some(tok))
+          if (code != 200)
+            throw new RuntimeException(s"status code $code: ${jsonErrField(body)}")
+      }
+    }
+
+    /** `super db auth store|verify|method` (cmd/super/db/auth). */
+    private def superDbAuth(args: Seq[String], configDir: String): String = {
+      val base = env.getOrElse("SUPER_DB_LAKE", "")
+      args.headOption.getOrElse("") match {
+        case "store" =>
+          var tok = ""
+          var i = 1
+          while (i < args.length) args(i) match {
+            case "-access" => tok = args(i + 1); i += 2
+            case other => throw new Unsupported(s"db auth store flag $other")
+          }
+          authTokens(configDir) = tok
+          ""
+        case "verify" =>
+          val tok = authTokens.get(configDir)
+          val (code, body) = httpGet(s"$base/auth/identity", tok)
+          if (code != 200)
+            throw new RuntimeException(s"status code $code: ${jsonErrField(body)}")
+          // json.MarshalIndent(res, "", "\t") layout
+          def field(n: String): String =
+            ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(body)
+              .map(_.group(1)).getOrElse("")
+          s"{\n\t\"tenant_id\": \"${field("tenant_id")}\",\n\t\"user_id\": \"${field("user_id")}\"\n}\n"
+        case "method" =>
+          val (code, body) = httpGet(s"$base/auth/method", None)
+          if (code != 200)
+            throw new RuntimeException(s"status code $code: ${jsonErrField(body)}")
+          def field(n: String): String =
+            ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(body)
+              .map(_.group(1)).getOrElse("")
+          if (!body.contains("auth0")) s"{\n\t\"kind\": \"${field("kind")}\"\n}\n"
+          else
+            s"{\n\t\"kind\": \"auth0\",\n\t\"auth0\": {\n\t\t\"audience\": \"${field("audience")}\"," +
+              s"\n\t\t\"client_id\": \"${field("client_id")}\",\n\t\t\"domain\": \"${field("domain")}\"\n\t}\n}\n"
+        case other => throw new Unsupported(s"db auth $other")
+      }
+    }
+
     // `tee /dev/stderr` and friends write here; the script harness reads
     // it back as the script's stderr
     val stderrSink = new StringBuilder
@@ -522,14 +605,86 @@ object MdtestHarness {
           val defFmt = extraFlags.collectFirst {
             case f if f.startsWith("-defaultfmt=") => f.stripPrefix("-defaultfmt=")
           }.getOrElse("zson")
+          // -auth.* flags (service/auth.go AuthConfig.SetFlags); values may
+          // be bare ("-auth.enabled=true" / "=t") and paths are workdir-relative
+          def flagVal(name: String): Option[String] = extraFlags.collectFirst {
+            case f if f.startsWith(s"-$name=") => f.stripPrefix(s"-$name=")
+          }
+          val authCfg =
+            if (flagVal("auth.enabled").exists(v => v == "true" || v == "t" || v == "1"))
+              Some(graft.Auth.Config(
+                flagVal("auth.audience").getOrElse(""),
+                flagVal("auth.clientid").getOrElse(""),
+                flagVal("auth.domain").getOrElse(""),
+                filePath(flagVal("auth.jwkspath").getOrElse(""))))
+            else None
+          val logPath = flagVal("log.path").map(filePath)
           val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir),
-            corsOrigins, rootContent, defFmt)
+            corsOrigins, rootContent, defFmt, authCfg, logPath)
           val port = svc.start()
           service = Some(svc)
           serviceRoot = Some(rootDir)
           env("SUPER_DB_LAKE") = s"http://localhost:$port"
           env("LAKE_PATH") = rootDir
           ""
+        case "source" if seg.lift(1).exists(_.endsWith("mockzui.sh")) =>
+          // service/ztests/mockzui.sh: a desktop-app stand-in forks the
+          // lake service and exports its pid; the in-process equivalent
+          // starts graft.Service against ./lakeroot and models the pids
+          val rootDir = filePath("lakeroot")
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rootDir))
+          val svc = new graft.Service(spark, workDir.toString, 0, Some(rootDir))
+          val port = svc.start()
+          service = Some(svc)
+          serviceRoot = Some(rootDir)
+          env("SUPER_DB_LAKE") = s"http://localhost:$port"
+          env("LAKE_PATH") = rootDir
+          env("LAKE_PID") = "99998"
+          env("MOCKZUI_PID") = "99999"
+          ""
+        case "kill" =>
+          // pid checks/signals against the mock service pids: -0 probes
+          // liveness (nonzero exit when dead), -9 stops the service
+          val args2 = seg.tail.filterNot(_.startsWith("2>"))
+          val sig = args2.find(_.startsWith("-")).getOrElse("-15")
+          val pids = args2.filterNot(_.startsWith("-"))
+          val ours = pids.exists(p =>
+            env.get("LAKE_PID").contains(p) || env.get("MOCKZUI_PID").contains(p))
+          if (!ours) throw new Unsupported("kill on a real pid")
+          if (sig == "-0") {
+            if (service.isEmpty) throw new RuntimeException("no such process")
+            ""
+          } else { stopService(); "" }
+        case "awaitdeadservice" =>
+          // mockzui.sh helper: poll until the forked service exits — the
+          // in-process stop is synchronous, so only assert it happened
+          if (service.isDefined)
+            throw new RuntimeException("timed out waiting for service to exit")
+          ""
+        case "gentoken" =>
+          // test-harness token generator (reference cmd/gentoken): RS256
+          // JWT with audience/issuer/tenant/user claims
+          var aud = ""; var dom = ""; var keyFile = ""; var kid = ""
+          var tenant = ""; var user = ""; var expSec = 4L * 3600
+          var i2 = 1
+          while (i2 < seg.length) seg(i2) match {
+            case "-audience" => aud = seg(i2 + 1); i2 += 2
+            case "-domain" => dom = seg(i2 + 1); i2 += 2
+            case "-privatekeyfile" => keyFile = filePath(seg(i2 + 1)); i2 += 2
+            case "-keyid" => kid = seg(i2 + 1); i2 += 2
+            case "-tenantid" => tenant = seg(i2 + 1); i2 += 2
+            case "-userid" => user = seg(i2 + 1); i2 += 2
+            case "-expiration" =>
+              val v = seg(i2 + 1)
+              expSec =
+                if (v.endsWith("h")) v.stripSuffix("h").toLong * 3600
+                else if (v.endsWith("m")) v.stripSuffix("m").toLong * 60
+                else if (v.endsWith("s")) v.stripSuffix("s").toLong
+                else v.toLong
+              i2 += 2
+            case other => throw new Unsupported(s"gentoken flag $other")
+          }
+          graft.Auth.generateToken(kid, keyFile, expSec, aud, dom, tenant, user) + "\n"
         case "curl" =>
           runCurl(seg.tail, stdin)
         case "super" =>
@@ -588,7 +743,8 @@ object MdtestHarness {
               case v => v
             }
             explicitFmt = true; i += 2
-          case "-j" | "-J" => format = "json"; jFlag = true; i += 1
+          case "-j" => format = "json"; jFlag = true; i += 1
+          case "-J" => format = "json-pretty"; jFlag = true; i += 1
           case "-i" => inFmt = Some(args(i + 1)); i += 2
           case "-c" => query = Some(args(i + 1)); i += 2
           case "-I" => includes :+= args(i + 1); i += 2
@@ -839,6 +995,25 @@ object MdtestHarness {
         case "zeek" => graft.sources.ZFormat.zeekLines(res).collect().toSeq
         case "zjson" => graft.sources.ZjsonIO.typedLines(res)
         case "json" => graft.sources.ZFormat.jsonLines(res)
+        case "json-pretty" =>
+          // `-J`: the reference's 4-space pretty JSON (zio/jsonio indent)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          def pp(n: com.fasterxml.jackson.databind.JsonNode, ind: String): String = {
+            import scala.jdk.CollectionConverters._
+            if (n.isObject) {
+              val fs = n.properties().asScala.toSeq
+              if (fs.isEmpty) "{}"
+              else fs.map { e =>
+                s"""$ind    "${e.getKey}": ${pp(e.getValue, ind + "    ")}"""
+              }.mkString("{\n", ",\n", s"\n$ind}")
+            } else if (n.isArray) {
+              val es = n.elements().asScala.toSeq
+              if (es.isEmpty) "[]"
+              else es.map(e => s"$ind    ${pp(e, ind + "    ")}")
+                .mkString("[\n", ",\n", s"\n$ind]")
+            } else n.toString
+          }
+          graft.sources.ZFormat.jsonLines(res).map(l => pp(mapper.readTree(l), ""))
         case "table" => Formats.tableLines(res).collect().toSeq
         case "text" => Formats.textLines(res).collect().toSeq
         case "parquet" | "zng" | "vng" | "zst" | "arrows" | "arrow" =>
@@ -1271,6 +1446,24 @@ object MdtestHarness {
         lake = Some(f.stripPrefix("-lake="))
         args = args.filterNot(_ == f)
       }
+      // -configdir selects the per-user credential store (LakeFlags);
+      // tokens are stored per configdir by `super db auth store`
+      var configDir = ""
+      val cdIx = args.indexOf("-configdir")
+      if (cdIx >= 0 && cdIx + 1 < args.length) {
+        configDir = args(cdIx + 1)
+        args = args.take(cdIx) ++ args.drop(cdIx + 2)
+      }
+      args.find(_.startsWith("-configdir=")).foreach { f =>
+        configDir = f.stripPrefix("-configdir=")
+        args = args.filterNot(_ == f)
+      }
+      if (args.headOption.contains("auth"))
+        return superDbAuth(args.tail, configDir)
+      // bearer-token gate: with auth enabled on the in-process service,
+      // every db command against the HTTP lake needs a valid stored token
+      // (the reference authhandles the whole mux — service/core.go)
+      requireServiceAuth(lake, configDir)
       var parsing = true
       while (parsing && args.nonEmpty) args.head match {
         case "-q" => quiet = true; args = args.drop(1)

@@ -223,11 +223,42 @@ object ScriptHarness {
       }
     }
 
+    // splice value for every $key occurrence, escaping `\` and `"` when
+    // the occurrence sits inside a double-quoted region: the spliced text
+    // is re-LEXED (unlike bash, which never re-reads expansion results),
+    // so content quotes would otherwise terminate the surrounding word
+    def spliceVar(s0: String, name: String, value: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      var dq = false
+      val braced = "${" + name + "}"
+      val bare = "$" + name
+      while (i < s0.length) {
+        val c = s0.charAt(i)
+        val hit =
+          if (s0.startsWith(braced, i)) braced.length
+          else if (s0.startsWith(bare, i) &&
+              (i + bare.length >= s0.length ||
+                !(s0.charAt(i + bare.length).isLetterOrDigit ||
+                  s0.charAt(i + bare.length) == '_'))) bare.length
+          else 0
+        if (hit > 0) {
+          sb.append(if (dq) value.replace("\\", "\\\\").replace("\"", "\\\"")
+                    else value)
+          i += hit
+        } else {
+          if (c == '"' && (i == 0 || s0.charAt(i - 1) != '\\')) dq = !dq
+          sb.append(c); i += 1
+        }
+      }
+      sb.toString
+    }
+
     def substitute(line: String): String = {
       // $VAR expansion FIRST (a $(...) body may reference earlier vars),
       // then command substitution; shell env (export …) expands too
       var s = (vars ++ sh.envSnapshot).foldLeft(line) { case (acc2, (k, v)) =>
-        acc2.replace("${" + k + "}", v).replace("$" + k, v)
+        spliceVar(acc2, k, v)
       }
       // $((arith)) BEFORE $(...) — the doubled parens would otherwise
       // read as command substitution of a subshell
@@ -263,7 +294,10 @@ object ScriptHarness {
         // inside double quotes the output is preserved verbatim
         val inQuotes = s.take(idx).count(_ == '"') % 2 == 1
         val res0 = sh.runBlock(inner).trim
-        val res = if (inQuotes) res0 else res0.replace('\n', ' ')
+        // inside quotes: escape for the re-lex (see spliceVar)
+        val res =
+          if (inQuotes) res0.replace("\\", "\\\\").replace("\"", "\\\"")
+          else res0.replace('\n', ' ')
         s = s.substring(0, idx) + res + s.substring(j)
         idx = s.indexOf("$(")
       }
@@ -290,7 +324,7 @@ object ScriptHarness {
       } else if (t0.startsWith("trap ") || t0.startsWith("exec ")) {
         () // signal traps / fd redirection: nothing to clean up in-process
       } else if ((t0.startsWith("source ") || t0.startsWith(". ")) &&
-          !t0.contains("service.sh")) {
+          !t0.contains("service.sh") && !t0.contains("mockzui.sh")) {
         // (`source service.sh` stays with the Shell: it boots the
         // in-process graft.Service, not a text inline)
         // `source f [args…]`: inline the file with $1..$n substituted
