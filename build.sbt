@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// single-case debug drivers (MdOne, SvcOne, …) live OUT of src/test so
+// the test tree holds only real specs; they stay on the test classpath
+Test / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

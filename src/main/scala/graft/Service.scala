@@ -979,12 +979,32 @@ object Service {
     s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
 
-  /** `runMain graft.Service [port] [dir]` — serve until killed. */
+  /** `runMain graft.Service [port] [dir] [flags…]` — serve until killed.
+    * Flags mirror the reference service's (`-lake=`, `-auth.*`,
+    * `-cors.origin=`, `-log.path=`, `-defaultfmt=`).
+    */
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(9867) // zed's default port
-    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val positional = args.filterNot(_.startsWith("-"))
+    val port = positional.headOption.map(_.toInt).getOrElse(9867) // zed's default port
+    val dir = positional.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    def flag(name: String): Option[String] = args.collectFirst {
+      case f if f.startsWith(s"-$name=") => f.stripPrefix(s"-$name=")
+    }
+    val auth =
+      if (flag("auth.enabled").exists(v => v == "true" || v == "t" || v == "1"))
+        Some(Auth.Config(flag("auth.audience").getOrElse(""),
+          flag("auth.clientid").getOrElse(""),
+          flag("auth.domain").getOrElse(""),
+          flag("auth.jwkspath").getOrElse("")))
+      else None
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    val svc = new Service(spark, dir, port)
+    val svc = new Service(spark, dir, port,
+      lakeRootOpt = flag("lake"),
+      corsOrigins = args.toSeq.collect {
+        case f if f.startsWith("-cors.origin=") => f.stripPrefix("-cors.origin=") },
+      defaultFmt = flag("defaultfmt").getOrElse("zson"),
+      authConfig = auth,
+      logPath = flag("log.path"))
     val actual = svc.start()
     println(s"graft service listening on 127.0.0.1:$actual")
     Thread.currentThread().join()

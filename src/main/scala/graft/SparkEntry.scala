@@ -437,13 +437,14 @@ object SparkEntry {
              |WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
 
-    // SimHash near-dup (banded 16-bit chunks; hash fn differs from DuckDB's
-    // so no SQL oracle — exactness covered by PipelineSpec)
+    // SimHash near-dup (banded 16-bit chunks). The per-token hash is
+    // md5-based (engine-portable), so the oracle recomputes the full
+    // signature + banding + Hamming filter in SQL — exact pairs.
     ("q_dedup_simhash", (s, dir) =>
       ZedOps.sort(
         DedupOps.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text")),
         col("d1") -> true, col("d2") -> true),
-      None),
+      Some(simhashOracleSql)),
 
     // exact cosine top-k over embeddings (pipeline/VectorOps.knnBruteForce)
     ("q_knn_brute", (s, dir) => {
@@ -462,14 +463,16 @@ object SparkEntry {
              |  FROM scored) t WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin)),
 
-    // LSH-bucketed ANN (scale path; recall vs brute checked in PipelineSpec)
+    // LSH-bucketed ANN (scale path; recall vs brute checked in
+    // PipelineSpec). Seeded hyperplanes are deterministic, so the oracle
+    // re-runs the same buckets/probes in SQL with the planes inlined.
     ("q_knn_lsh", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       ZedOps.sort(
         VectorOps.knnLsh(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, dim = 64),
         col("qid") -> true, col("rank") -> true)
-    }, None),
+    }, Some(knnLshOracleSql)),
 
     // IVF inverted-list ANN (k-means coarse quantizer + nprobe bucket
     // join; recall vs brute checked in PipelineSpec)
@@ -607,14 +610,16 @@ object SparkEntry {
              |  CAST(sum(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))) AS BIGINT) AS total_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // language-ID heuristic (predictions deterministic; accuracy is pinned
-    // on real-language fixtures in PipelineSpec, not the synthetic corpus)
+    // language-ID heuristic: the stopword-profile argmax is pure
+    // deterministic math, so the DuckDB oracle RECOMPUTES it (same
+    // normalize/tokenize/profile tables); accuracy on real-language
+    // fixtures is pinned separately in PipelineSpec
     ("q_langid", (s, dir) =>
       ZedOps.sort(
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred")),
         col("doc_id") -> true),
-      None),
+      Some(langIdOracleSql)),
 
     // multimodal plumbing: binary media column → frame-sampled features
     // REAL payload decode (JDK-only): even doc_ids carry a solid-gray
@@ -971,14 +976,22 @@ object SparkEntry {
              |UNION ALL SELECT o_orderpriority FROM orders
              |ORDER BY v""".stripMargin)),
 
-    // ---- shape/sample (op/shape/shaper.go) — representative per shape;
-    // representative choice is arbitrary (any-semantics) ⇒ rows-only
+    // ---- shape/sample (op/shape/shaper.go) — one representative per
+    // shape, DETERMINIZED to the min-event_id row so the choice (the
+    // reference's `any`) is oracle-comparable and cluster-size stable
     ("q_shape_sample", (s, dir) =>
-      ZedOps.sampleByShape(
-        t(s, dir, "events").select(
-          col("event_id"),
-          when(col("value") > 50.0, col("value")).as("v"))),
-      None),
+      ZedOps.sort(
+        ZedOps.sampleByShapeMin(
+          t(s, dir, "events").select(
+            col("event_id"),
+            when(col("value") > 50.0, col("value")).as("v")),
+          col("event_id")),
+        col("event_id") -> true),
+      Some("""SELECT event_id, v FROM (
+             |  SELECT event_id, v,
+             |         row_number() OVER (PARTITION BY (v IS NULL) ORDER BY event_id) AS rn
+             |  FROM (SELECT event_id, CASE WHEN value > 50.0 THEN value END AS v FROM events)
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
     // ---- heterogeneity: runtime type values over a mixed stream ----
     // (complex.go TypeUnion, type.go:479 type values; Het.fuseTagged)
@@ -1541,6 +1554,108 @@ object SparkEntry {
              |  upper(c_mktsegment) AS seg3, round(c_acctbal*2.0,2) AS bal2
              |FROM customer ORDER BY c_custkey""".stripMargin))
   )
+
+  /** DuckDB twin of TextOps.langId, GENERATED from the same profile
+    * tables so the two can't drift: normalize → whitespace tokens →
+    * per-language stopword hits → argmax in profile order, with the CJK
+    * short-circuit and the no-hits "und" fallback.
+    */
+  private def langIdOracleSql: String = {
+    val profs = graft.pipeline.TextOps.profiles
+    val scoreCols = profs.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = s"greatest(${profs.map(p => "s_" + p._1).mkString(", ")})"
+    val caseChain = profs.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+       |    len(regexp_extract_all(text, '\\p{Han}')) AS cjk
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang, cjk, len(toks) AS ntok,
+       |    $scoreCols
+       |  FROM t
+       |), b AS (SELECT *, $best AS best FROM s)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0 AND cjk >= ntok THEN 'zh'
+       |       WHEN best <= 0 THEN 'und'
+       |       $caseChain
+       |  END AS lang_pred
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of DedupOps.simhash/simhashPairs: the md5-based 60-bit
+    * per-token hash is identical across engines, so the oracle rebuilds
+    * the full signature (per-bit majority), the 16-bit band candidates,
+    * and the Hamming filter — exact pair-for-pair comparison.
+    */
+  private def simhashOracleSql: String = {
+    val bits = graft.pipeline.DedupOps.SimhashBits
+    val bitSums = (0 until bits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val sig = (0 until bits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+       |), bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $sig AS simhash FROM bs
+       |), banded AS (
+       |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c*16)) & 65535 AS ch
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS c)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+       |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming FROM cand
+       |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB twin of VectorOps.knnLsh: the seed-42 hyperplanes are
+    * INLINED as literals (Double.toString round-trips exactly), then the
+    * same sign-bit buckets, 1-bit-flip multi-probe, bucket equi-join,
+    * and per-query cosine top-k run in SQL.
+    */
+  private def knnLshOracleSql: String = {
+    val planes = graft.pipeline.VectorOps.hyperplanes(64, 4, 42L)
+    def planeArr(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e::DOUBLE[], ${planeArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT vec_id AS nid, embedding,
+       |         ($bucketExpr) AS bucket
+       |  FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings)
+       |), q0 AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |         ($bucketExpr) AS b0
+       |  FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings WHERE vec_id < 5)
+       |), q AS (
+       |  SELECT qid, qe, unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+       |  FROM q0
+       |), scored AS (
+       |  SELECT qid, nid, list_cosine_similarity(qe, c.embedding) AS cos
+       |  FROM q JOIN c USING (bucket) WHERE nid <> qid
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) t WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

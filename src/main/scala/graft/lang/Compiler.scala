@@ -769,7 +769,14 @@ final class Compiler(spark: SparkSession, dir: String) {
         val valueCols = assigns.map { case (_, ve) => outExpr(df, ve) }
         dynAssignFast(df, op, assigns, nameCols, valueCols) match {
           case Some(res) => return Seq(res)
-          case None => // data-dependent tail: the row-model path below
+          case None =>
+            // data-dependent tail: the static branch plan declined (>16
+            // distinct name tuples or runtime-typed values) — surface the
+            // cliff so users see why this stage runs on the row model
+            Compiler.log.warn(
+              s"computed-name `$op` fell back to the per-row value model: " +
+                "names are data-dependent beyond the static branch plan " +
+                "(>16 shapes or runtime-typed values); expect a slower stage")
         }
         val origSchema = df.schema
         val withTemps = df.select(
@@ -2760,9 +2767,12 @@ final class Compiler(spark: SparkSession, dir: String) {
           // types the two branches (element vs array) can't share a
           // column type, so RECORD elements box both sides as variants;
           // scalar subqueries keep their static array type (their
-          // downstream consumers — sum(), sort — are length-agnostic).
+          // downstream consumers — sum(), sort — are length-agnostic),
+          // and aggregation tails already yield exactly-one semantics
+          // that spread/record consumers handle in their array form.
+          val hasAgg = tail.exists(_.isInstanceOf[Stage.Summarize])
           elemType(df, res) match {
-            case et: StructType if tail.nonEmpty =>
+            case et: StructType if tail.nonEmpty && !hasAgg =>
               val het = graft.operators.Het
               when(size(res) === 1, het.variant(element_at(res, 1), et))
                 .otherwise(het.variant(res, ArrayType(et)))
@@ -5397,6 +5407,9 @@ final class Compiler(spark: SparkSession, dir: String) {
 
 /** Public API: compile+run a Zed query string against an sf directory. */
 object Compiler {
+  private[lang] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.lang.Compiler")
+
   /** single-arg builtins usable inside array lambdas (map(v, f), map.md) */
   private[lang] val lambdaUnary: Map[String, Column => Column] = Map(
     "upper" -> upper, "lower" -> lower, "trim" -> trim, "abs" -> abs,

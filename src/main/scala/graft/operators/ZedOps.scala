@@ -484,6 +484,18 @@ object ZedOps {
       .select("sample.*")
   }
 
+  /** Deterministic `sample`: the representative of each shape is the row
+    * with the smallest `key` (the reference's `any` picks an arbitrary
+    * one; min-by-key fixes the choice so results are oracle-comparable
+    * and stable across cluster sizes).
+    */
+  def sampleByShapeMin(df: DataFrame, key: Column): DataFrame = {
+    val shapeKey = concat_ws(",", df.columns.map(c => col(c).isNull.cast("int")): _*)
+    df.groupBy(shapeKey.as("__shape"))
+      .agg(min_by(struct(df.columns.map(col): _*), key).as("sample"))
+      .select("sample.*")
+  }
+
   /** `assert <expr>` — pass rows through; rows failing the predicate get a
     * structured error column (semantic/op.go:753 desugaring).
     */

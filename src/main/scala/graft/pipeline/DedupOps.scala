@@ -204,16 +204,23 @@ object DedupOps {
     * sign of Σ over tokens of ±1 by bit i of xxhash64(token). One exploded
     * group-by — fully distributed, partial-agg friendly.
     */
+  /** SimHash bit width: 60 bits = 15 hex chars of md5, chosen so the
+    * per-token hash is ENGINE-PORTABLE (md5 is identical everywhere, and
+    * 60 bits stays positive in a signed int64) — the signatures and every
+    * downstream pair are then exactly reproducible by a SQL oracle.
+    */
+  final val SimhashBits = 60
+
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs
       .select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"__b$i")
     }
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until SimhashBits)
       .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), sig.as("simhash"))

@@ -88,7 +88,7 @@ object TextOps {
   // The profile approach mirrors n-gram language detectors (score text
   // against per-language frequency profiles, argmax) scaled down to the
   // highest-signal tokens so it compiles to pure Catalyst expressions.
-  private[pipeline] val profiles: Seq[(String, Seq[String])] = Seq(
+  private[graft] val profiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "sich",
       "des", "auf", "ist", "im", "nicht", "ein", "eine", "als", "auch", "es"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",

@@ -52,7 +52,7 @@ object VectorOps {
   }
 
   /** Deterministic gaussian hyperplanes (seeded) for sign-bit bucketing. */
-  private[pipeline] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -37,6 +37,6 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     info(s"end-to-end golden-test passes: $pass / ${cases.length}")
-    assert(pass >= 468, s"golden-test pass count regressed to $pass")
+    assert(pass >= 472, s"golden-test pass count regressed to $pass")
   }
 }
