@@ -138,9 +138,9 @@ object SparkEntry {
         ZedOps.summarize(t(s, dir, "events"),
           Seq("event_type" -> col("event_type")),
           Seq(
-            // rsd 0.01: the default 0.05 is BORDERLINE against the 5%%
-            // contract at larger cardinalities (sf0.1 regressed it)
-            "dusers" -> approx_count_distinct(col("user_id"), 0.01),
+            // the reference's sketch (metro-hashed loglog-beta HLL) —
+            // documented estimates reproduce exactly (dcount.md)
+            "dusers" -> graft.lang.Compiler.zdcount(col("user_id")),
             "exact" -> countDistinct(col("user_id"))))
           .select(
             col("event_type"),

@@ -1,0 +1,310 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `dcount` with the REFERENCE's exact sketch semantics
+  * (runtime/sam/expr/agg/dcount.go): each value hashes as
+  * `countedVarint(typeID) ++ valueBytes` (the zed primitive body
+  * encoding) through MetroHash64(seed=1337) into a 2^14-register
+  * HyperLogLog estimated with the loglog-beta bias correction — so the
+  * approximate COUNTS the reference documents (e.g. 9987 for seq 10000)
+  * reproduce exactly, and partials merge as register maxima just like
+  * the reference's sketch-merge partials.
+  */
+object ZDCount {
+
+  final val P = 14
+  final val M = 1 << P // 16384
+
+  // ---- MetroHash64 (public algorithm; the sketch's 64-bit hash) ----------
+
+  private final val K0 = 0xD6D018F5L
+  private final val K1 = 0xA2AA033BL
+  private final val K2 = 0x62992FC1L
+  private final val K3 = 0x30BC5B29L
+
+  @inline private def rotr(x: Long, r: Int): Long =
+    java.lang.Long.rotateRight(x, r)
+
+  @inline private def le64(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) | ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  @inline private def le16(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+
+  def metroHash64(buf: Array[Byte], len: Int, seed: Long): Long = {
+    var hash = (seed + K2) * K0
+    var p = 0
+    if (len >= 32) {
+      var v0 = hash; var v1 = hash; var v2 = hash; var v3 = hash
+      while (len - p >= 32) {
+        v0 += le64(buf, p) * K0; v0 = rotr(v0, 29) + v2
+        v1 += le64(buf, p + 8) * K1; v1 = rotr(v1, 29) + v3
+        v2 += le64(buf, p + 16) * K2; v2 = rotr(v2, 29) + v0
+        v3 += le64(buf, p + 24) * K3; v3 = rotr(v3, 29) + v1
+        p += 32
+      }
+      v2 ^= rotr(((v0 + v3) * K0) + v1, 37) * K1
+      v3 ^= rotr(((v1 + v2) * K1) + v0, 37) * K0
+      v0 ^= rotr(((v0 + v2) * K0) + v3, 37) * K1
+      v1 ^= rotr(((v1 + v3) * K1) + v2, 37) * K0
+      hash += v0 ^ v1
+    }
+    if (len - p >= 16) {
+      var v0 = hash + le64(buf, p) * K2; v0 = rotr(v0, 29) * K3
+      var v1 = hash + le64(buf, p + 8) * K2; v1 = rotr(v1, 29) * K3
+      v0 ^= rotr(v0 * K0, 21) + v1
+      v1 ^= rotr(v1 * K3, 21) + v0
+      hash += v1
+      p += 16
+    }
+    if (len - p >= 8) {
+      hash += le64(buf, p) * K3; p += 8
+      hash ^= rotr(hash, 55) * K1
+    }
+    if (len - p >= 4) {
+      hash += le32(buf, p) * K3; p += 4
+      hash ^= rotr(hash, 26) * K1
+    }
+    if (len - p >= 2) {
+      hash += le16(buf, p) * K3; p += 2
+      hash ^= rotr(hash, 48) * K1
+    }
+    if (len - p >= 1) {
+      hash += (buf(p) & 0xffL) * K3
+      hash ^= rotr(hash, 37) * K1
+    }
+    hash ^= rotr(hash, 28)
+    hash *= K0
+    hash ^= rotr(hash, 29)
+    hash
+  }
+
+  // ---- HLL registers ------------------------------------------------------
+
+  /** Insert one 64-bit hash: register = top P bits, rho = leading zeros
+    * of the remaining bits (sentinel-capped) + 1.
+    */
+  def insertHash(regs: Array[Byte], x: Long): Unit = {
+    val i = (x >>> (64 - P)).toInt
+    val w = (x << P) | (1L << (P - 1))
+    val rho = (java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+    if (rho > regs(i)) regs(i) = rho
+  }
+
+  def mergeInto(dst: Array[Byte], src: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (src(i) > dst(i)) dst(i) = src(i); i += 1 }
+  }
+
+  /** loglog-beta estimate for p=14 (the reference sketch's estimator). */
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var ez = 0.0
+    var i = 0
+    while (i < M) {
+      val r = regs(i)
+      if (r == 0) ez += 1
+      sum += 1.0 / java.lang.Double.longBitsToDouble((1023L + r) << 52)
+      i += 1
+    }
+    val m = M.toDouble
+    val zl = math.log(ez + 1)
+    val beta = -0.370393911 * ez + 0.070471823 * zl + 0.17393686 * math.pow(zl, 2) +
+      0.16339839 * math.pow(zl, 3) + -0.09237745 * math.pow(zl, 4) +
+      0.03738027 * math.pow(zl, 5) + -0.005384159 * math.pow(zl, 6) +
+      0.00042419 * math.pow(zl, 7)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val est = alpha * m * (m - ez) / (beta + sum)
+    (est + 0.5).toLong
+  }
+
+  // ---- zed value encoding (primitive.go / zcode/counted.go) ---------------
+
+  /** zed type ID for a Spark-typed dcount input (type.go Primary IDs). */
+  def typeIdOf(dt: DataType, meta: Option[String]): Int = meta match {
+    case Some("uint64") => 3
+    case Some("time") => 13
+    case Some("duration") => 12
+    case Some("ip") => 26
+    case _ =>
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => 9 // widened int64
+        case _: DecimalType => 3 // uint64 carrier
+        case DoubleType => 16
+        case FloatType => 15
+        case StringType => 25
+        case BooleanType => 23
+        case BinaryType => 24
+        case TimestampType | TimestampNTZType => 13
+        case NullType => 29
+        case _ => 25
+      }
+  }
+
+  /** zed primitive-name → type ID (type.go Primary IDs). */
+  val primIds: Map[String, Int] = Map(
+    "uint8" -> 0, "uint16" -> 1, "uint32" -> 2, "uint64" -> 3,
+    "int8" -> 6, "int16" -> 7, "int32" -> 8, "int64" -> 9,
+    "duration" -> 12, "time" -> 13,
+    "float16" -> 14, "float32" -> 15, "float64" -> 16,
+    "bool" -> 23, "bytes" -> 24, "string" -> 25, "ip" -> 26, "net" -> 27,
+    "type" -> 28, "null" -> 29)
+
+  /** Encode a VARIANT (runtime-typed) value from its carrier slots:
+    * t names the runtime type, n/s/b carry the payload (z holds exact
+    * text when the double carrier can't).
+    */
+  def encodeVariant(row: InternalRow): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(24)
+    val t = if (row.isNullAt(4)) "null" else row.getUTF8String(4).toString
+    val z = if (row.isNullAt(5)) null else row.getUTF8String(5).toString
+    val id = primIds.getOrElse(t, 30)
+    appendCountedVarint(out, id.toLong)
+    def longVal: Long =
+      if (z != null && z.matches("-?\\d+")) z.toLong
+      else if (!row.isNullAt(1)) row.getDouble(1).toLong
+      else 0L
+    t match {
+      case _ if row.isNullAt(0) => () // null value: empty body
+      case "int8" | "int16" | "int32" | "int64" => appendCountedVarint(out, longVal)
+      case "uint8" | "uint16" | "uint32" | "uint64" =>
+        appendCountedUvarint(out, longVal)
+      case "duration" | "time" => appendCountedVarint(out, longVal)
+      case "float16" | "float32" =>
+        var bits = java.lang.Float.floatToIntBits(
+          if (row.isNullAt(1)) 0f else row.getDouble(1).toFloat).toLong
+        var k = 0
+        while (k < 4) { out.write((bits & 0xff).toInt); bits >>>= 8; k += 1 }
+      case "float64" =>
+        var bits = java.lang.Double.doubleToLongBits(
+          if (row.isNullAt(1)) 0d else row.getDouble(1))
+        var k = 0
+        while (k < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; k += 1 }
+      case "string" =>
+        if (!row.isNullAt(2)) {
+          val b = row.getUTF8String(2).getBytes; out.write(b, 0, b.length)
+        }
+      case "bool" => out.write(if (!row.isNullAt(3) && row.getBoolean(3)) 1 else 0)
+      case "ip" =>
+        val text = if (!row.isNullAt(2)) row.getUTF8String(2).toString
+                   else if (z != null) z else ""
+        try {
+          val b = java.net.InetAddress.getByName(text).getAddress
+          out.write(b, 0, b.length)
+        } catch { case _: Exception =>
+          val b = text.getBytes("UTF-8"); out.write(b, 0, b.length) }
+      case _ =>
+        // containers / named types: canonical text is a deterministic
+        // stand-in (the reference's context-relative complex IDs aren't
+        // reproducible engine-side)
+        val text = if (z != null) z
+          else if (!row.isNullAt(2)) row.getUTF8String(2).toString else ""
+        val b = text.getBytes("UTF-8"); out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+
+  private def appendCountedUvarint(out: java.io.ByteArrayOutputStream, u0: Long): Unit = {
+    var u = u0
+    while (u != 0) { out.write((u & 0xff).toInt); u >>>= 8 }
+  }
+
+  private def appendCountedVarint(out: java.io.ByteArrayOutputStream, i: Long): Unit =
+    appendCountedUvarint(out, if (i >= 0) i << 1 else (-i << 1) | 1)
+
+  /** scratch = countedVarint(typeID) ++ value body (dcount.go Consume). */
+  def encode(v: Any, dt: DataType, meta: Option[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(24)
+    appendCountedVarint(out, typeIdOf(dt, meta).toLong)
+    v match {
+      case null => ()
+      case s: UTF8String =>
+        val b = s.getBytes; out.write(b, 0, b.length)
+      case s: String =>
+        val b = s.getBytes("UTF-8"); out.write(b, 0, b.length)
+      case b: Boolean => out.write(if (b) 1 else 0)
+      case d: Double =>
+        var bits = java.lang.Double.doubleToLongBits(d)
+        var k = 0
+        while (k < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; k += 1 }
+      case f: Float =>
+        var bits = java.lang.Float.floatToIntBits(f).toLong
+        var k = 0
+        while (k < 4) { out.write((bits & 0xff).toInt); bits >>>= 8; k += 1 }
+      case n: Number if meta.contains("uint64") =>
+        appendCountedUvarint(out, n.longValue())
+      case d: java.math.BigDecimal => // uint64 carrier
+        appendCountedUvarint(out, d.longValueExact())
+      case d: org.apache.spark.sql.types.Decimal =>
+        appendCountedUvarint(out, d.toLong)
+      case n: Number => appendCountedVarint(out, n.longValue())
+      case b: Array[Byte] => out.write(b, 0, b.length)
+      case other =>
+        val b = String.valueOf(other).getBytes("UTF-8"); out.write(b, 0, b.length)
+    }
+    out.toByteArray
+  }
+}
+
+/** Spark aggregate wrapping the reference sketch: buffer = the 16384
+  * registers; update inserts the encoded value's metro hash; merge takes
+  * register maxima (exactly the reference's partial semantics); eval is
+  * the loglog-beta estimate.
+  */
+case class ZDCountAgg(child: Expression,
+                      typeMeta: Option[String] = None,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zdcount"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](ZDCount.M)
+
+  private lazy val isVariant =
+    graft.sources.ZsonIO.isVariantType(child.dataType)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val b =
+        if (isVariant) ZDCount.encodeVariant(v.asInstanceOf[InternalRow])
+        else ZDCount.encode(v, child.dataType, typeMeta)
+      ZDCount.insertHash(buffer, ZDCount.metroHash64(b, b.length, 1337L))
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    ZDCount.mergeInto(buffer, other)
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = ZDCount.estimate(buffer)
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ZDCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ZDCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZDCountAgg =
+    copy(child = newChildren.head)
+}

@@ -2255,7 +2255,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         case "min" => return het.minVariant(guarded(value))
         case "max" => return het.maxVariant(guarded(value))
         case "any" => return first(guarded(c), ignoreNulls = true)
-        case "dcount" => return approx_count_distinct(guarded(c), 0.01)
+        case "dcount" => return Compiler.zdcount(guarded(c))
         case "count_distinct" => return count_distinct(guarded(c))
         // an agg that never fired yields null, not [] (agg.go: no state)
         case "collect" =>
@@ -2276,7 +2276,7 @@ final class Compiler(spark: SparkSession, dir: String) {
       case "min" => min(guarded(base.get))
       case "max" => max(guarded(base.get))
       case "any" => first(guarded(base.get), ignoreNulls = true)
-      case "dcount" => approx_count_distinct(guarded(base.get), 0.01)
+      case "dcount" => Compiler.zdcount(guarded(base.get))
       case "count_distinct" => count_distinct(guarded(base.get))
       case "collect" =>
         // an agg that never fired yields null, not [] (agg.go: no state)
@@ -5409,6 +5409,14 @@ final class Compiler(spark: SparkSession, dir: String) {
 object Compiler {
   private[lang] val log =
     org.slf4j.LoggerFactory.getLogger("graft.lang.Compiler")
+
+  /** The reference's dcount sketch (metro-hashed loglog-beta HLL) as a
+    * Spark aggregate — documented estimates reproduce exactly.
+    */
+  private[graft] def zdcount(c: Column): Column =
+    graft.functions.Bridge.column(
+      graft.functions.ZDCountAgg(graft.functions.Bridge.expression(c))
+        .toAggregateExpression())
 
   /** single-arg builtins usable inside array lambdas (map(v, f), map.md) */
   private[lang] val lambdaUnary: Map[String, Column => Column] = Map(
