@@ -3332,6 +3332,32 @@ final class Compiler(spark: SparkSession, dir: String) {
       // `...expr` spreads a record's fields in place; later names override
       // earlier ones at the original position (record-spread semantics)
       val expanded = fields.flatMap {
+        case (n, Expr.Path(Seq()) | Expr.Path(Seq("this")))
+            if n != "..." && isTagged(df) && shapesOf(df).count(s =>
+              graft.sources.ZType.strip(s._2)
+                .isInstanceOf[graft.sources.ZType.Rec]) > 1 =>
+          // `this` embedded in a record on a MULTI-SHAPE frame: box each
+          // row's OWN shape (the unified het columns would leak nulls
+          // from sibling shapes into the value). Scoped here — predicate
+          // positions keep the cheap struct form (len/sort subjects)
+          val zt = graft.sources.ZType
+          val dataCols = df.schema.fields
+            .filterNot(f => f.name == graft.operators.Het.typeTag ||
+              f.metadata.contains("graft.scopeVar")).map(_.name).toSet
+          val chain = shapesOf(df).foldLeft(
+            lit(null).cast(graft.operators.Het.variantType)) {
+            case (acc, (t, st)) =>
+              zt.strip(st) match {
+                case zt.Rec(fs) if fs.forall(f => dataCols.contains(f._1)) =>
+                  val stc = struct(fs.map { case (fn, _) => col(s"`$fn`").as(fn) }: _*)
+                  val sdt = StructType(fs.map { case (fn, _) =>
+                    df.schema.fields.find(_.name == fn).get })
+                  when(col(graft.operators.Het.typeTag) === t,
+                    graft.operators.Het.variant(stc, sdt)).otherwise(acc)
+                case _ => acc
+              }
+          }
+          Seq(n -> chain)
         case ("...", se) =>
           val base = expr(df, se)
           dtypeOf(df, se).orElse(

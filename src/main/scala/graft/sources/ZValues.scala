@@ -577,6 +577,27 @@ object ZValue {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     .withZone(java.time.ZoneOffset.UTC)
 
+  // bounded type-text → union-typed-field cache for renderVariantStr
+  private val unionFieldsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private def unionFieldsOf(t: String): Map[String, String] = {
+    val cached = unionFieldsCache.get(t)
+    if (cached != null) return cached
+    val computed =
+      try ZType.strip(ZsonParser.parseType(t)) match {
+        case ZType.Rec(fs) =>
+          fs.collect {
+            case (n, ft) if ZType.strip(ft).isInstanceOf[ZType.Union] =>
+              n -> ZType.fullText(ZType.strip(ft))
+          }.toMap
+        case _ => Map.empty[String, String]
+      } catch { case _: Exception => Map.empty[String, String] }
+    if (unionFieldsCache.size() > 4096) unionFieldsCache.clear()
+    unionFieldsCache.put(t, computed)
+    computed
+  }
+
   def renderVariantStr(r: org.apache.spark.sql.catalyst.InternalRow): String = {
     if (r == null) return "null"
     val w = r.numFields
@@ -625,6 +646,12 @@ object ZValue {
           sb.append(close).toString
         } else if (m != null) {
           val isMap = t != null && t.startsWith("|{")
+          // union-typed record fields need their member DECORATED in the
+          // text (x:"foo"((int64,string))) — the leaf caches alone can't
+          // witness the union; resolved from the variant's own t
+          val unions =
+            if (!isMap && t != null && t.contains("(")) unionFieldsOf(t)
+            else Map.empty[String, String]
           val sb = new StringBuilder(if (isMap) "|{" else "{")
           var i = 0
           val ne = m.numElements()
@@ -634,7 +661,14 @@ object ZValue {
             val name = if (e.isNullAt(0)) "" else e.getUTF8String(0).toString
             sb.append(if (isMap) "\"" + escape(name) + "\"" else ZType.fieldName(name))
             sb.append(':')
-            sb.append(if (e.isNullAt(1)) "null" else renderVariantStr(e.getStruct(1, 6)))
+            if (e.isNullAt(1)) sb.append("null")
+            else {
+              val vText = renderVariantStr(e.getStruct(1, 6))
+              sb.append(vText)
+              if (vText != "null") unions.get(name).foreach { ut =>
+                sb.append('(').append(ut).append(')')
+              }
+            }
             i += 1
           }
           sb.append(if (isMap) "}|" else "}").toString

@@ -303,7 +303,24 @@ object ZsonIO {
       return df.select(line.as("value")).as[String]
     }
 
-    val default = recordFmt(fields)
+    // mixed static/boxed frames (branch combines): a row whose value
+    // lives in a variant `this` carrier renders FROM the carrier — but
+    // ONLY when every sibling column is null on that row (carrier rows'
+    // statics are union artifacts; a record FIELD named "this" always
+    // has live siblings and keeps the record form)
+    val carrier: Option[Column] = fields.find(f =>
+      f.name == "this" && isVariantType(f.dataType) && fields.length > 1)
+      .map(_ => col("this"))
+    def carrierWins(c: Column): Column = carrier match {
+      case Some(th) =>
+        val othersNull = fields.filter(_.name != "this")
+          .map(f => col(s"`${f.name}`").isNull).reduce(_ && _)
+        when(th.isNotNull && othersNull, graft.operators.Het.render(th))
+          .otherwise(c)
+      case None => c
+    }
+
+    val default = carrierWins(recordFmt(fields))
     if (shapes.isEmpty)
       return df.select(default.as("value")).as[String]
 
@@ -333,7 +350,8 @@ object ZsonIO {
           // is the empty-record carrier on record shapes, never data)
           val added = fields.filterNot(f => inAnyShape(f.name) || f.name == "this")
             .map { f => when(col(s"`${f.name}`").isNotNull, fieldFmt(f)) }
-          Some(concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}")))
+          Some(carrierWins(
+            concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}"))))
         case Some(_) if fields.exists(_.name == "this") =>
           // bare (non-record) value stream row; operator-added columns
           // (e.g. a sibling branch's put) wrap into a record ONLY when
