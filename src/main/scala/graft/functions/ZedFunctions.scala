@@ -645,10 +645,12 @@ object ZedFunctions {
   // coalesce is the built-in; len: use size() for arrays/maps and length()
   // for strings (dispatch at plan time by the column's type).
 
-  /** zed `compare(a, b[, nullsMax])` → -1/0/1 (nullsMax defaults true). */
+  /** zed `compare(a, b[, nullsMax])` → -1/0/1 as int64 (compare.go:35
+    * NewInt64; nullsMax defaults true).
+    */
   def compareVals(a: Column, b: Column, nullsMax: Boolean = true): Column =
-    when(a.isNull && b.isNull, 0)
-      .when(a.isNull, if (nullsMax) 1 else -1)
-      .when(b.isNull, if (nullsMax) -1 else 1)
-      .when(a < b, -1).when(a > b, 1).otherwise(0)
+    when(a.isNull && b.isNull, 0L)
+      .when(a.isNull, if (nullsMax) 1L else -1L)
+      .when(b.isNull, if (nullsMax) -1L else 1L)
+      .when(a < b, -1L).when(a > b, 1L).otherwise(0L)
 }

@@ -2637,6 +2637,22 @@ final class Compiler(spark: SparkSession, dir: String) {
     val (subjText, inTypeCol) = subjectE match {
       case Expr.Path(Seq()) if boxedThis =>
         (het.render(col("this")), het.variantTypeOf(col("this")))
+      case Expr.Path(Seq())
+          if !isTagged(df) && {
+            val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+              f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
+            dataFields.map(_.name) == Seq("this") &&
+              dataFields.head.dataType.isInstanceOf[StructType]
+          } =>
+        // an untagged bare-record CARRIER (this-only struct frame, e.g.
+        // `yield nest_dotted(this)`'s output): `this` IS the value — do
+        // NOT wrap it as {this: …} (shaping the wrapper adds null target
+        // fields and keeps `this` as an extra field; shaping-zeek-ndjson)
+        val f = df.schema("this")
+        val zt =
+          if (f.metadata.contains("graft.zedType")) f.metadata.getString("graft.zedType")
+          else Shaper.zedTypeOf(f.dataType)
+        (graft.sources.ZsonIO.zsonOf(col("this"), f.dataType), lit(zt))
       case Expr.Path(Seq()) =>
         val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
           f.name == het.typeTag || f.metadata.contains("graft.scopeVar"))
@@ -4947,9 +4963,19 @@ final class Compiler(spark: SparkSession, dir: String) {
               case other => throw new IllegalArgumentException(
                 s"$f: first argument must be a record, got $other")
             }
-          } else (StructType(df.schema.filterNot(f =>
-            f.name == graft.operators.Het.typeTag ||
-              f.metadata.contains("graft.scopeVar"))), None)
+          } else {
+            val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+              f.name == graft.operators.Het.typeTag ||
+                f.metadata.contains("graft.scopeVar"))
+            dataFields match {
+              // untagged bare-record carrier: `this` IS the subject — do
+              // not shape the {this: …} wrapper (shaping-zeek-ndjson)
+              case Seq(f) if f.name == "this" && !isTagged(df) &&
+                  f.dataType.isInstanceOf[StructType] =>
+                (f.dataType.asInstanceOf[StructType], Some(col("this")))
+              case _ => (StructType(dataFields), None)
+            }
+          }
         val shaped = struct(Shaper.reshapeCols(parent, srcType, target, flags): _*)
         // set-typed target fields re-normalize after shaping (zed set
         // values are ordered — zson.md §2.5.2); the Spark mapping loses

@@ -246,7 +246,9 @@ object Het {
     */
   def variant(c: Column, dt: DataType, tOverride: Option[Column] = None,
       zOverride: Option[Column] = None): Column = {
-    if (dt == variantType) return c // already variant — idempotent
+    // already variant — idempotent (name-based: nullability/metadata of a
+    // computed variant column may differ from the canonical variantType)
+    if (graft.sources.ZsonIO.isVariantType(dt)) return c
     val container = dt.isInstanceOf[StructType] || dt.isInstanceOf[ArrayType] ||
       dt.isInstanceOf[MapType]
     val n = if (dt.isInstanceOf[NumericType]) c.cast(DoubleType)

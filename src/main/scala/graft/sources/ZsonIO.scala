@@ -277,8 +277,14 @@ object ZsonIO {
       val v = col("this")
       val quiet = coalesce(graft.operators.Het.isError(v) &&
         v.getField("z") === lit("\"quiet\""), lit(false))
+      // output boundary: re-render DECORATED from the boxed value's own
+      // type (zson/formatter.go — named typedefs at first use, non-implied
+      // primitives, typed nulls); canonical render is the fallback
+      val decor = udf((text: String, t: String) => ZsonFormatter.formatText(text, t))
       return df.filter(v.isNull || !quiet)
-        .select(zsonOf(v, fields.head.dataType).as("value")).as[String]
+        .select(when(v.isNull, lit("null"))
+          .otherwise(decor(graft.operators.Het.render(v), v.getField("t")))
+          .as("value")).as[String]
     }
     if (fields.map(_.name) == Seq("this") && shapes.forall(!_.startsWith("{"))) {
       // bare (non-record) value stream: the shape tag carries each row's

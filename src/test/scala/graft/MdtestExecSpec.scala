@@ -107,7 +107,7 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 85% is the coverage target; the absolute floor pins the measured
     // count (454/478 in round 9) so semantic regressions fail CI
     if (!sys.env.contains("MDTEST_ONLY"))
-      assert(pass >= math.max((runnable * 85) / 100, 472),
+      assert(pass >= math.max((runnable * 85) / 100, 473),
         s"doc-example pass rate regressed: $pass/$runnable")
   }
 }

@@ -5,10 +5,11 @@ package graft
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val zed = if (args.nonEmpty) args(0) else "yield len(ksuid())"
-    val input = if (args.length > 1) args(1) else "null"
-    val inFlags = if (args.length > 2) args(2) else ""
-    val outFlags = if (args.length > 3) args(3) else ""
+    def env(k: String, d: String) = sys.env.getOrElse(k, d)
+    val zed = if (args.nonEmpty) args(0) else env("SCRZ", "yield len(ksuid())")
+    val input = if (args.length > 1) args(1) else env("SCRIN", "null")
+    val inFlags = if (args.length > 2) args(2) else env("SCRINF", "")
+    val outFlags = if (args.length > 3) args(3) else env("SCROUTF", "")
     val spark = GraftSession.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val c = ZtestHarness.ZCase("scratch", zed, input, inFlags, "", outFlags)
