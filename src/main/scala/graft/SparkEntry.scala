@@ -482,7 +482,7 @@ object SparkEntry {
         VectorOps.knnIvf(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4),
         col("qid") -> true, col("rank") -> true)
-    }, None),
+    }, Some(knnIvfOracleSql)),
 
     // deterministic hash-bucket sampling (pipeline/CorpusOps): stable
     // membership under repartitioning; md5 buckets are engine-portable,
@@ -1650,6 +1650,81 @@ object SparkEntry {
        |), scored AS (
        |  SELECT qid, nid, list_cosine_similarity(qe, c.embedding) AS cos
        |  FROM q JOIN c USING (bucket) WHERE nid <> qid
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored) t WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** SQL twin of VectorOps.knnIvf: the k-means training itself runs in
+    * SQL — portable md5 init hash, three unrolled Lloyd iterations, and
+    * float32 rounding of centroids/scores at every step so the two
+    * engines' different summation orders collapse to identical bits
+    * (verified row-identical vs Spark at sf0.01).
+    */
+  private def knnIvfOracleSql: String = {
+    def iteration(k: Int): String = s"""
+      |a$k AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY CAST(list_dot_product(v.e, c.cent) AS REAL) DESC, c.cid) AS rn
+      |    FROM corpus v CROSS JOIN c$k c) WHERE rn = 1
+      |),
+      |l$k AS (
+      |  SELECT cid, list(m ORDER BY pos) AS mean FROM (
+      |    SELECT cid, pos, avg(val) AS m FROM (
+      |      SELECT cid, unnest(e) AS val, generate_subscripts(e,1) AS pos FROM a$k)
+      |    GROUP BY cid, pos)
+      |  GROUP BY cid
+      |),
+      |c${k + 1} AS (
+      |  SELECT c$k.cid,
+      |         CASE WHEN l$k.mean IS NULL THEN c$k.cent
+      |              ELSE list_transform(l$k.mean,
+      |                x -> CAST(CAST(x / sqrt(list_dot_product(l$k.mean, l$k.mean)) AS REAL) AS DOUBLE)) END AS cent
+      |  FROM c$k LEFT JOIN l$k ON c$k.cid = l$k.cid
+      |)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+       |),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, e FROM (
+       |    SELECT vec_id, e,
+       |           ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':42'),1,8))::BIGINT AS h
+       |    FROM corpus)
+       |  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 16
+       |),
+       |c0 AS (
+       |  SELECT cid, list_transform(e,
+       |    x -> CAST(CAST(x / sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE)) AS cent
+       |  FROM init
+       |),${iteration(0)},${iteration(1)},${iteration(2)},
+       |assign AS (
+       |  SELECT vec_id AS nid, e AS ne, cid AS list FROM (
+       |    SELECT v.vec_id, v.e, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.e, c.cent) AS REAL) DESC, c.cid) AS rn
+       |    FROM corpus v CROSS JOIN c3 c) WHERE rn = 1
+       |),
+       |qd AS (
+       |  SELECT q.vec_id AS qid, q.e AS qe, c.cid,
+       |         CAST(list_dot_product(q.e, c.cent) AS REAL) AS d
+       |  FROM corpus q CROSS JOIN c3 c WHERE q.vec_id < 5
+       |),
+       |probes AS (
+       |  SELECT DISTINCT qid, qe, cid AS list FROM (
+       |    SELECT qid, qe, cid, d,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn,
+       |           min(cid) OVER (PARTITION BY qid, d) AS mcid
+       |    FROM qd) WHERE rn <= 4 AND cid = mcid
+       |),
+       |scored AS (
+       |  SELECT p.qid, a.nid,
+       |         CAST(list_cosine_similarity(p.qe, a.ne) AS REAL) AS cos
+       |  FROM probes p JOIN assign a USING (list)
+       |  WHERE a.nid <> p.qid
        |)
        |SELECT qid, nid, rank FROM (
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank

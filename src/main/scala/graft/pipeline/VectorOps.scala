@@ -158,8 +158,14 @@ object VectorOps {
     * analyzer drops struct field names when the struct wraps
     * higher-order-function lambdas like `aggregate`.
     */
+  /** Centroid scores round to float32: the oracle twin recomputes the
+    * same dots in another engine (different summation order → last-ulp
+    * differences); rounding collapses near-ties into EXACT ties that both
+    * engines break identically (lowest centroid id). Costs ~1e-7 score
+    * resolution — irrelevant for list routing.
+    */
   private def centScores(e: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map(c => dot(e, centLit(c))): _*)
+    array(cents.map(c => dot(e, centLit(c)).cast("float").cast("double")): _*)
 
   /** The inverted-list id of a vector: argmax dot over the centroid set
     * (ties break to the lowest id — deterministic).
@@ -189,13 +195,20 @@ object VectorOps {
     */
   def ivfCentroids(corpus: DataFrame, id: String, vec: String, nlist: Int,
       iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    // unit-normalize, then round each component to float32: an oracle
+    // re-training in another engine averages in a different order; the
+    // rounding makes the trained centroids BIT-IDENTICAL across engines
     def unit(c: Array[Double]): Array[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
-      if (n == 0) c else c.map(_ / n)
+      (if (n == 0) c else c.map(_ / n)).map(_.toFloat.toDouble)
     }
+    // portable init hash (md5 prefix, the CorpusOps pattern) — the same
+    // expression is expressible in ANSI SQL, unlike xxhash64
+    val h = conv(substring(md5(concat(col(id).cast("string"),
+      lit(":" + seed))), 1, 8), 16, 10).cast("long")
     var cents: Array[Array[Double]] = corpus
-      .select(asDouble(col(vec)).as("__e"), xxhash64(col(id), lit(seed)).as("__h"))
-      .orderBy(col("__h")).limit(nlist)
+      .select(asDouble(col(vec)).as("__e"), h.as("__h"), col(id).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(nlist)
       .collect().map(r => unit(r.getSeq[Double](0).toArray))
     require(cents.nonEmpty, "ivfCentroids: empty corpus")
     val dim = cents(0).length
@@ -246,7 +259,9 @@ object VectorOps {
     // appears at most once — no dedup needed before ranking
     val scored = q.join(c, "list")
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", cosine(col("__qe"), col("__ne")))
+      // float32-rounded score: rank order agrees bit-for-bit with the
+      // SQL oracle twin (near-ulp ties collapse, nid breaks them)
+      .withColumn("cos", cosine(col("__qe"), col("__ne")).cast("float"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))
