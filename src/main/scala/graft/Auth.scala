@@ -157,6 +157,17 @@ object Auth {
           sig.verify(unb64url(parts(2)))
         } catch { case _: Exception => false }
       if (!ok) return Left("invalid token")
+      // jwt.Parse validates present exp/nbf/iat DURING parsing (jwt-go
+      // MapClaims.Valid, req=false) — an expired or not-yet-valid token is
+      // "invalid token"; "invalid expiration" below is only for a MISSING
+      // exp (validator.go:87 VerifyExpiresAt req=true)
+      val now = System.currentTimeMillis() / 1000
+      if (Option(claims.get("exp")).exists(_.asLong(0) <= now))
+        return Left("invalid token")
+      if (Option(claims.get("nbf")).exists(_.asLong(0) > now))
+        return Left("invalid token")
+      if (Option(claims.get("iat")).exists(_.asLong(0) > now))
+        return Left("invalid token")
       if (Option(header.get("alg")).map(_.asText).getOrElse("") != "RS256")
         return Left("invalid signing method")
       val aud = Option(claims.get("aud"))
@@ -168,9 +179,9 @@ object Auth {
         } else a.asText == cfg.audience
       }
       if (!audOk) return Left("invalid audience")
-      val expOk = Option(claims.get("exp")).exists(e =>
-        e.asLong(0) > System.currentTimeMillis() / 1000)
-      if (!expOk) return Left("invalid expiration")
+      // present-and-expired was already rejected above as "invalid token";
+      // this req=true check rejects a MISSING exp claim
+      if (Option(claims.get("exp")).isEmpty) return Left("invalid expiration")
       if (!Option(claims.get("iss")).exists(_.asText == expectedIssuer))
         return Left("invalid issuer")
       var ident = Identity(AnonymousTenantID, AnonymousUserID)

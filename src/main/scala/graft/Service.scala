@@ -33,14 +33,19 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
   /** `-log.path`: structured warn/error log as JSON lines (the reference
     * runs a zap JSON logger; queries read the file back as data).
     */
+  private val logWarnLock = new Object
   private def logWarn(msg: String, err: String): Unit = logPath.foreach { p =>
     def jq(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val line = s"""{"level":"warn","msg":"${jq(msg)}","error":"${jq(err)}"}""" + "\n"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      line.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND): Unit
-    catch { case _: Exception => }
+    // serialized: concurrent handler threads must not interleave bytes —
+    // the JSON-lines log is read back as data by ztests
+    logWarnLock.synchronized {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+      catch { case _: Exception => }
+    }
   }
 
   @volatile private var server: HttpServer = _

@@ -14,6 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * approximate COUNTS the reference documents (e.g. 9987 for seq 10000)
   * reproduce exactly, and partials merge as register maxima just like
   * the reference's sketch-merge partials.
+  *
+  * Known divergence — SPARSE range. The reference's axiomhq sketch starts
+  * in a sparse mode (HLL++ 25-bit encoded entries, linear-counting
+  * estimate — near-exact) and converts to these dense registers when the
+  * varint-compressed sparse list outgrows 16 KiB (~4-5k distinct values;
+  * the documented 10k case is already dense, which is why 9987 matches).
+  * This implementation is dense-only: for cardinalities roughly between a
+  * few hundred and ~4k the estimate can differ from the reference by the
+  * dense ±0.8% stddev where the reference is exact. A bit-faithful sparse
+  * port needs the exact HLL++ entry encoding and conversion cadence, whose
+  * collision behavior can only be validated against reference-generated
+  * fixtures — not producible in this environment (no Go toolchain); the
+  * divergence is documented in COVERAGE.md instead.
   */
 object ZDCount {
 
@@ -173,7 +186,18 @@ object ZDCount {
     val id = primIds.getOrElse(t, 30)
     appendCountedVarint(out, id.toLong)
     def longVal: Long =
-      if (z != null && z.matches("-?\\d+")) z.toLong
+      if (z != null && z.matches("-?\\d+")) {
+        // full uint64 range: values above Long.MaxValue parse unsigned to
+        // the same 64-bit pattern the reference encodes (2^53..2^63 would
+        // also lose precision through the double carrier)
+        try z.toLong
+        catch {
+          case _: NumberFormatException =>
+            try java.lang.Long.parseUnsignedLong(z)
+            catch { case _: NumberFormatException =>
+              if (!row.isNullAt(1)) row.getDouble(1).toLong else 0L }
+        }
+      }
       else if (!row.isNullAt(1)) row.getDouble(1).toLong
       else 0L
     t match {
@@ -224,6 +248,19 @@ object ZDCount {
   private def appendCountedVarint(out: java.io.ByteArrayOutputStream, i: Long): Unit =
     appendCountedUvarint(out, if (i >= 0) i << 1 else (-i << 1) | 1)
 
+  /** A null input: type id + EMPTY body (dcount.go Consume hashes nulls
+    * as distinct values; only `missing` is skipped upstream). A null
+    * VARIANT cell has no runtime type — the null type id stands in.
+    */
+  def encodeNull(dt: DataType, meta: Option[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8)
+    val id =
+      if (graft.sources.ZsonIO.isVariantType(dt)) 29
+      else typeIdOf(dt, meta)
+    appendCountedVarint(out, id.toLong)
+    out.toByteArray
+  }
+
   /** scratch = countedVarint(typeID) ++ value body (dcount.go Consume). */
   def encode(v: Any, dt: DataType, meta: Option[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(24)
@@ -245,10 +282,12 @@ object ZDCount {
         while (k < 4) { out.write((bits & 0xff).toInt); bits >>>= 8; k += 1 }
       case n: Number if meta.contains("uint64") =>
         appendCountedUvarint(out, n.longValue())
+      // uint64 carriers above Long.MaxValue: the two's-complement low 64
+      // bits ARE the unsigned bit pattern (the uvarint shifts unsigned)
       case d: java.math.BigDecimal => // uint64 carrier
-        appendCountedUvarint(out, d.longValueExact())
+        appendCountedUvarint(out, d.toBigInteger.longValue())
       case d: org.apache.spark.sql.types.Decimal =>
-        appendCountedUvarint(out, d.toLong)
+        appendCountedUvarint(out, d.toJavaBigDecimal.toBigInteger.longValue())
       case n: Number => appendCountedVarint(out, n.longValue())
       case b: Array[Byte] => out.write(b, 0, b.length)
       case other =>
@@ -281,12 +320,14 @@ case class ZDCountAgg(child: Expression,
 
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val b =
-        if (isVariant) ZDCount.encodeVariant(v.asInstanceOf[InternalRow])
-        else ZDCount.encode(v, child.dataType, typeMeta)
-      ZDCount.insertHash(buffer, ZDCount.metroHash64(b, b.length, 1337L))
-    }
+    // the reference skips only `missing` (expr/agg.go Apply); dcount.go
+    // Consume hashes a null as its type id + EMPTY body — null IS a
+    // distinct counted value
+    val b =
+      if (v == null) ZDCount.encodeNull(child.dataType, typeMeta)
+      else if (isVariant) ZDCount.encodeVariant(v.asInstanceOf[InternalRow])
+      else ZDCount.encode(v, child.dataType, typeMeta)
+    ZDCount.insertHash(buffer, ZDCount.metroHash64(b, b.length, 1337L))
     buffer
   }
 
