@@ -174,6 +174,26 @@ object Bench {
   private[graft] def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Warm once, then time 3 runs (GC drained after): the class value is
+    * the MEDIAN (robust to one-off scheduler/GC spikes on the shared VM;
+    * a min hides real regressions, a mean amplifies spikes) and the
+    * min/max spread is reported alongside so round-over-round deltas can
+    * be read against the run's own noise band.
+    */
+  private def time3(run: () => Unit): Seq[Double] = {
+    run() // warm: JIT + codegen + file listing
+    System.gc() // drain the warm pass's garbage before timing
+    val ds = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc() // drain this class's garbage before the next one
+    ds
+  }
+
+  private def median(ds: Seq[Double]): Double = ds.sorted.apply(ds.length / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -191,34 +211,17 @@ object Bench {
     // loop leaves that GC debt on the relational headline timings.
     val headlineResults = qs.map { case (name, q) =>
       System.err.println(s"[bench] class $name")
-      runOnce(q(spark)) // warm this class
-      // drain the warm pass's garbage BEFORE timing — for the het classes
-      // the warm pass writes a 2M-row fixture whose string churn otherwise
-      // lands as GC pauses inside the timed runs
-      System.gc()
-      val dt = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        runOnce(q(spark))
-        (System.nanoTime() - t0) / 1e9
-      }.min // min-of-3: the host is a shared VM, single runs swing 2-9x
-      System.gc() // drain this class's garbage before the next one
-      name -> dt
+      name -> time3(() => runOnce(q(spark)))
     }
 
     // ingest classes: full-stream format copies (read + typed decode +
     // encode + write), BASELINE's own benchmark axis
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     val (zeekDir, zngDir, vngDir) = ingestFixture(spark, sfDir, tmp)
-    def timeIngest(name: String, run: String => Unit): (String, Double) = {
+    def timeIngest(name: String, run: String => Unit): (String, Seq[Double]) = {
       System.err.println(s"[bench] class $name")
-      run(s"$tmp/warm-$name") // warm: JIT + codegen for the decode/encode paths
-      val dt = (1 to 3).map { i =>
-        val t0 = System.nanoTime()
-        run(s"$tmp/out-$name-$i")
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      System.gc()
-      name -> dt
+      var i = 0
+      name -> time3(() => { run(s"$tmp/out-$name-$i"); i += 1 })
     }
     val ingestResults = Seq(
       timeIngest("ingest_zeek", out =>
@@ -240,21 +243,13 @@ object Bench {
       "C" + md.digest("42424".getBytes("UTF-8")) // id 42424 < hetRows at every sf
         .map(b => f"$b%02x").mkString.substring(0, 16)
     }
-    def timeSearch(name: String, enabled: Boolean): (String, Double) = {
+    def timeSearch(name: String, enabled: Boolean): (String, Seq[Double]) = {
       System.err.println(s"[bench] class $name")
       spark.conf.set("graft.zng.prefilter", enabled.toString)
-      try {
-        def run(): Unit = runOnce(
-          graft.sources.ZngIO.read(spark, zngDir).filter(col("uid") === needle))
-        run() // warm
-        val dt = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          run()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        System.gc()
-        name -> dt
-      } finally spark.conf.unset("graft.zng.prefilter")
+      try
+        name -> time3(() => runOnce(
+          graft.sources.ZngIO.read(spark, zngDir).filter(col("uid") === needle)))
+      finally spark.conf.unset("graft.zng.prefilter")
     }
     val searchResults = Seq(
       timeSearch("search_zng", enabled = true),
@@ -281,21 +276,14 @@ object Bench {
           java.nio.file.Paths.get(het, d.split('/').last + "-" + f.getName))
       het
     }
-    def timeFieldSearch(name: String, enabled: Boolean): (String, Double) = {
+    def timeFieldSearch(name: String, enabled: Boolean): (String, Seq[Double]) = {
+      System.err.println(s"[bench] class $name")
       spark.conf.set("graft.zng.prefilter", enabled.toString)
-      try {
-        def run(): Unit = runOnce(
+      try
+        name -> time3(() => runOnce(
           graft.sources.ZngIO.read(spark, hetSearchDir)
-            .filter(col("rcode") === 13L && col("ts") > 1.5219E9))
-        run() // warm
-        val dt = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          run()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        System.gc()
-        name -> dt
-      } finally spark.conf.unset("graft.zng.prefilter")
+            .filter(col("rcode") === 13L && col("ts") > 1.5219E9)))
+      finally spark.conf.unset("graft.zng.prefilter")
     }
     val fieldSearchResults = Seq(
       timeFieldSearch("search_zng_field", enabled = true),
@@ -305,37 +293,23 @@ object Bench {
     // scan_all (zq reads zng): read + typed decode of every row/column
     // through the vectorized DSv2 scan, no write-side cost (noop sink)
     val scanZng = {
-      def run(): Unit = runOnce(graft.sources.ZngIO.read(spark, zngDir))
-      run() // warm
-      val dt = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      System.gc()
-      Seq("scan_zng" -> dt)
+      System.err.println(s"[bench] class scan_zng")
+      Seq("scan_zng" ->
+        time3(() => runOnce(graft.sources.ZngIO.read(spark, zngDir))))
     }
 
     // columnar projection over VNG — the segment-pruning axis: the DSv2
     // scan fetches only the projected column's segments (positioned
     // reads); the _noprune twin is the full-decode fallback reading and
     // decoding every vector. The ratio is the columnar win of the format.
-    def timeVngCut(name: String, prune: Boolean): (String, Double) = {
+    def timeVngCut(name: String, prune: Boolean): (String, Seq[Double]) = {
       System.err.println(s"[bench] class $name")
       spark.conf.set("graft.vng.prune", prune.toString)
-      try {
-        def run(): Unit = runOnce(
+      try
+        name -> time3(() => runOnce(
           graft.sources.VngIO.read(spark, vngDir)
-            .agg(count(col("uid")).as("n")))
-        run() // warm
-        val dt = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          run()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        System.gc()
-        name -> dt
-      } finally spark.conf.unset("graft.vng.prune")
+            .agg(count(col("uid")).as("n"))))
+      finally spark.conf.unset("graft.vng.prune")
     }
     val vngResults = Seq(
       timeVngCut("cut_vng", prune = true),
@@ -357,35 +331,32 @@ object Bench {
         graft.operators.Het.fuseTagged(conn, dns), d)
       d
     }
-    def timeVngHetCut(name: String, prune: Boolean): (String, Double) = {
+    def timeVngHetCut(name: String, prune: Boolean): (String, Seq[Double]) = {
       System.err.println(s"[bench] class $name")
       spark.conf.set("graft.vng.prune", prune.toString)
-      try {
-        def run(): Unit = runOnce(
+      try
+        name -> time3(() => runOnce(
           graft.sources.VngIO.read(spark, hetVngDir)
-            .agg(count(col("ts")).as("n")))
-        run() // warm
-        val dt = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          run()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        System.gc()
-        name -> dt
-      } finally spark.conf.unset("graft.vng.prune")
+            .agg(count(col("ts")).as("n"))))
+      finally spark.conf.unset("graft.vng.prune")
     }
     val hetVngResults = Seq(
       timeVngHetCut("cut_vng_het", prune = true),
       timeVngHetCut("cut_vng_het_noprune", prune = false))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
-    val results = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults ++ hetVngResults
+    val samples = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults ++ hetVngResults
+    val results = samples.map { case (k, ds) => k -> median(ds) }
     val qjson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    // per-class [min, max] of the 3 timed runs — the run's own noise band
+    val spreadJson = samples
+      .map { case (k, ds) => "\"" + k + "\":[" + f"${ds.min}%.4f" + "," + f"${ds.max}%.4f" + "]" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"spread":$spreadJson,"sf":"$sfDir"}"""
     println(line)
     // also land the JSON in a file: the stdout line gets buried in sbt log
     // tail and the driver recorded "parsed": null in r1
