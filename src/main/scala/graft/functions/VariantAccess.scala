@@ -364,6 +364,63 @@ object RenderVariant {
   def render(r: InternalRow): UTF8String = graft.sources.ZValue.renderVariantRow(r)
 }
 
+/** Reshape a boxed (variant) value to a FUSED record type — the native
+  * expression behind `over <array> | fuse` on runtime-typed streams
+  * (fuse.go retypes every value to the unified record type). Rides the
+  * variant runtime end-to-end: renderVariantRow → ZsonParser →
+  * ZShaper.reshape → variantRow, no ScalaUDF in the plan (the row-level
+  * twin of the typed shaper, pinned by PlanSpec).
+  */
+case class FuseReshape(v: Expression, fusedText: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = v
+  override def dataType: DataType = Het.variantType
+  override def nullable: Boolean = true
+  override def prettyName: String = "variant_fuse_reshape"
+
+  override def eval(input: InternalRow): Any =
+    FuseReshape.reshape(v.eval(input).asInstanceOf[InternalRow], fusedText)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val helper = ctx.addReferenceObj("fuseReshape", FuseReshape,
+      "graft.functions.FuseReshape$")
+    val target = ctx.addReferenceObj("fusedText", fusedText, "java.lang.String")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code = code"""
+      ${vCode.code}
+      $rowCls ${ev.value} = $helper.reshape(
+        ${vCode.isNull} ? null : ($rowCls) ${vCode.value}, $target);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FuseReshape =
+    copy(v = newChild)
+}
+
+object FuseReshape {
+  import graft.sources.{ZValue, ZsonParser}
+
+  private val toCatalyst =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(Het.variantType)
+
+  def reshape(r: InternalRow, fusedText: String): InternalRow = {
+    if (r == null) return null
+    val text = ZValue.renderVariantStr(r)
+    val parsed =
+      try new ZsonParser(text).parseOne()
+      catch { case _: Exception => return r } // unparseable: keep the value
+    val target =
+      try ZsonParser.parseType(fusedText)
+      catch { case _: Exception => return r }
+    val out = ZShaper.reshape(ZShaper.flagsOf("shape"), parsed, target)
+    val row = ZValue.variantRow(out)
+    if (row == null) null else toCatalyst(row).asInstanceOf[InternalRow]
+  }
+}
+
 object VariantAccess {
 
   private val W = Het.variantType.fields.length // 9: k,n,s,b,t,z,a,m,d

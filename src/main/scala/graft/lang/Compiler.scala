@@ -1664,18 +1664,13 @@ final class Compiler(spark: SparkSession, dir: String) {
           if (parsed.length >= 2 && parsed.length == texts.length &&
               parsed.forall(t => zt.strip(t).isInstanceOf[zt.Rec])) {
             val fusedText = zt.fullText(parsed.reduce(zt.fuse))
-            val tf = graft.functions.ZShaper.flagsOf("shape")
-            val reshapeU = udf((text: String) =>
-              if (text == null) Option.empty[graft.functions.ZvOps.ZV]
-              else (try Some(new graft.sources.ZsonParser(text).parseOne())
-                    catch { case _: Exception => None }).flatMap { v =>
-                val target = graft.sources.ZsonParser.parseType(fusedText)
-                graft.functions.ZvOps.zvOf(
-                  graft.functions.ZShaper.reshape(tf, v, target))
-              })
+            // native row-level reshape (FuseReshape expression) — the
+            // boxed-stream fuse stays off ScalaUDF (PlanSpec pins this)
             return Seq(df.select(df.schema.fields.toIndexedSeq.map { f =>
               if (f.name == "this")
-                reshapeU(het.render(col("this"))).as("this", f.metadata)
+                graft.functions.Bridge.column(graft.functions.FuseReshape(
+                  graft.functions.Bridge.expression(col("this")), fusedText))
+                  .as("this", f.metadata)
               else col(s"`${f.name}`")
             }: _*))
           }

@@ -207,6 +207,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 4)
   }
 
+  test("boxed-stream fuse reshapes via the native FuseReshape expression, no ScalaUDF") {
+    import graft.sources.ZsonReader
+    // `over <array> | fuse` retypes runtime-typed (variant) values to the
+    // fused record type — a native row-level expression, not a text UDF
+    val in = ZsonReader.fromText(spark, """{l:[{a:1},{b:"x"}]}""")
+    val q = Graft.queryOn(in, "over l | fuse")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"boxed fuse fell back to a ScalaUDF:\n$plan")
+    assert(plan.contains("variant_fuse_reshape"),
+      s"expected native fuse reshape in plan:\n$plan")
+    val out = graft.sources.ZsonIO.toZson(q).collect()
+    assert(out.toSeq == Seq(
+      """{a:1,b:null(string)}""",
+      """{a:null(int64),b:"x"}"""))
+  }
+
   test("a 100-column (zeek-width) projection COMPILES under whole-stage " +
       "codegen — no Janino failure, no silent interpreted fallback") {
     import org.apache.spark.sql.functions._
