@@ -371,12 +371,16 @@ object ZeekIO {
         } finally rdr.close()
         (lead.result(), total)
       }
-    val stats = statsRdd.collect()
-    val uniform = stats.nonEmpty &&
-      stats.forall { case (lead, total) => total == lead.length } &&
-      stats.map(_._1).distinct.length == 1
+    // distributive uniformity fold: the driver receives ONE
+    // (header, flag) pair — O(header size) regardless of file count
+    // (a collect of every file's leading block scales with the lake)
+    val (headLead, uniform) =
+      if (statFiles.isEmpty) (Vector.empty[String], false)
+      else statsRdd
+        .map { case (lead, total) => (lead, total == lead.length) }
+        .reduce { case ((la, ua), (lb, ub)) => (la, ua && ub && la == lb) }
     if (uniform) {
-      val h = parseHeader(stats.head._1)
+      val h = parseHeader(headLead)
       decodeBlockNative(spark, h, lines)
     } else {
       // directives interleave with data (schema/path changes mid-stream —
