@@ -203,7 +203,14 @@ object Bench {
     ).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = headline(sfDir)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those classes —
+    // the sf5/sf10 scale smokes time the worst scalers without paying
+    // for the whole matrix at 100x data. Absent → all classes.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
+    val qs = headline(sfDir).filter { case (name, _) => wanted(name) }
     // Warm + time each class back-to-back (JIT + codegen + file listing on
     // the warm pass; BASELINE measures steady-state single-process
     // throughput). Per-class isolation matters: the het UDF-fallback class
@@ -217,12 +224,17 @@ object Bench {
     // ingest classes: full-stream format copies (read + typed decode +
     // encode + write), BASELINE's own benchmark axis
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
-    val (zeekDir, zngDir, vngDir) = ingestFixture(spark, sfDir, tmp)
-    def timeIngest(name: String, run: String => Unit): (String, Seq[Double]) = {
-      System.err.println(s"[bench] class $name")
-      var i = 0
-      name -> time3(() => { run(s"$tmp/out-$name-$i"); i += 1 })
-    }
+    lazy val fixture = ingestFixture(spark, sfDir, tmp)
+    def zeekDir = fixture._1
+    def zngDir = fixture._2
+    def vngDir = fixture._3
+    def timeIngest(name: String, run: String => Unit): Seq[(String, Seq[Double])] =
+      if (!wanted(name)) Seq.empty
+      else {
+        System.err.println(s"[bench] class $name")
+        var i = 0
+        Seq(name -> time3(() => { run(s"$tmp/out-$name-$i"); i += 1 }))
+      }
     val ingestResults = Seq(
       timeIngest("ingest_zeek", out =>
         graft.sources.ZngIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)),
@@ -231,7 +243,7 @@ object Bench {
       // zeek WRITE path: multi-task since the per-part-header change —
       // scales with cores instead of serializing behind one task
       timeIngest("write_zeek", out =>
-        graft.sources.ZeekIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out)))
+        graft.sources.ZeekIO.write(graft.sources.ZeekIO.read(spark, zeekDir), out))).flatten
 
     // selective search over the zng stream — the BufferFilter pre-decode
     // frame pruning axis (ref runtime/sam/expr/bufferfilter.go). The
@@ -243,23 +255,25 @@ object Bench {
       "C" + md.digest("42424".getBytes("UTF-8")) // id 42424 < hetRows at every sf
         .map(b => f"$b%02x").mkString.substring(0, 16)
     }
-    def timeSearch(name: String, enabled: Boolean): (String, Seq[Double]) = {
-      System.err.println(s"[bench] class $name")
-      spark.conf.set("graft.zng.prefilter", enabled.toString)
-      try
-        name -> time3(() => runOnce(
-          graft.sources.ZngIO.read(spark, zngDir).filter(col("uid") === needle)))
-      finally spark.conf.unset("graft.zng.prefilter")
-    }
+    def timeSearch(name: String, enabled: Boolean): Seq[(String, Seq[Double])] =
+      if (!wanted(name)) Seq.empty
+      else {
+        System.err.println(s"[bench] class $name")
+        spark.conf.set("graft.zng.prefilter", enabled.toString)
+        try
+          Seq(name -> time3(() => runOnce(
+            graft.sources.ZngIO.read(spark, zngDir).filter(col("uid") === needle))))
+        finally spark.conf.unset("graft.zng.prefilter")
+      }
     val searchResults = Seq(
       timeSearch("search_zng", enabled = true),
-      timeSearch("search_zng_nofilter", enabled = false))
+      timeSearch("search_zng_nofilter", enabled = false)).flatten
 
     // field-NAME frame pruning (fieldnamefinder.go analog): a NUMERIC
     // predicate on a field only the minority shape has — no string
     // literal for the byte prefilter, so only the field finder can skip
     // the majority shape's frames
-    val hetSearchDir = {
+    lazy val hetSearchDir = {
       val dnsDir = s"$tmp/dns.zng"
       val dns = spark.range(hetRows(sfDir) / 20).select(
         (lit(1.521912491E9) + col("id") * 0.02).as("ts"),
@@ -276,49 +290,55 @@ object Bench {
           java.nio.file.Paths.get(het, d.split('/').last + "-" + f.getName))
       het
     }
-    def timeFieldSearch(name: String, enabled: Boolean): (String, Seq[Double]) = {
-      System.err.println(s"[bench] class $name")
-      spark.conf.set("graft.zng.prefilter", enabled.toString)
-      try
-        name -> time3(() => runOnce(
-          graft.sources.ZngIO.read(spark, hetSearchDir)
-            .filter(col("rcode") === 13L && col("ts") > 1.5219E9)))
-      finally spark.conf.unset("graft.zng.prefilter")
-    }
+    def timeFieldSearch(name: String, enabled: Boolean): Seq[(String, Seq[Double])] =
+      if (!wanted(name)) Seq.empty
+      else {
+        System.err.println(s"[bench] class $name")
+        spark.conf.set("graft.zng.prefilter", enabled.toString)
+        try
+          Seq(name -> time3(() => runOnce(
+            graft.sources.ZngIO.read(spark, hetSearchDir)
+              .filter(col("rcode") === 13L && col("ts") > 1.5219E9))))
+        finally spark.conf.unset("graft.zng.prefilter")
+      }
     val fieldSearchResults = Seq(
       timeFieldSearch("search_zng_field", enabled = true),
-      timeFieldSearch("search_zng_field_nofilter", enabled = false))
+      timeFieldSearch("search_zng_field_nofilter", enabled = false)).flatten
 
     // full scan over ZNG input — the apples-to-apples twin of BASELINE's
     // scan_all (zq reads zng): read + typed decode of every row/column
     // through the vectorized DSv2 scan, no write-side cost (noop sink)
-    val scanZng = {
-      System.err.println(s"[bench] class scan_zng")
-      Seq("scan_zng" ->
-        time3(() => runOnce(graft.sources.ZngIO.read(spark, zngDir))))
-    }
+    val scanZng =
+      if (!wanted("scan_zng")) Seq.empty
+      else {
+        System.err.println(s"[bench] class scan_zng")
+        Seq("scan_zng" ->
+          time3(() => runOnce(graft.sources.ZngIO.read(spark, zngDir))))
+      }
 
     // columnar projection over VNG — the segment-pruning axis: the DSv2
     // scan fetches only the projected column's segments (positioned
     // reads); the _noprune twin is the full-decode fallback reading and
     // decoding every vector. The ratio is the columnar win of the format.
-    def timeVngCut(name: String, prune: Boolean): (String, Seq[Double]) = {
-      System.err.println(s"[bench] class $name")
-      spark.conf.set("graft.vng.prune", prune.toString)
-      try
-        name -> time3(() => runOnce(
-          graft.sources.VngIO.read(spark, vngDir)
-            .agg(count(col("uid")).as("n"))))
-      finally spark.conf.unset("graft.vng.prune")
-    }
+    def timeVngCut(name: String, prune: Boolean): Seq[(String, Seq[Double])] =
+      if (!wanted(name)) Seq.empty
+      else {
+        System.err.println(s"[bench] class $name")
+        spark.conf.set("graft.vng.prune", prune.toString)
+        try
+          Seq(name -> time3(() => runOnce(
+            graft.sources.VngIO.read(spark, vngDir)
+              .agg(count(col("uid")).as("n")))))
+        finally spark.conf.unset("graft.vng.prune")
+      }
     val vngResults = Seq(
       timeVngCut("cut_vng", prune = true),
-      timeVngCut("cut_vng_noprune", prune = false))
+      timeVngCut("cut_vng_noprune", prune = false)).flatten
 
     // HETEROGENEOUS VNG projection — per-member pruned readers
     // interleaved by the Dynamic tags stream vs the full-decode fallback:
     // the multi-shape analog of cut_vng (conn + dns shapes in one stream)
-    val hetVngDir = {
+    lazy val hetVngDir = {
       val d = s"$tmp/het.vng"
       val dns = spark.range(hetRows(sfDir) / 20).select(
         (lit(1.521912491E9) + col("id") * 0.02).as("ts"),
@@ -331,18 +351,20 @@ object Bench {
         graft.operators.Het.fuseTagged(conn, dns), d)
       d
     }
-    def timeVngHetCut(name: String, prune: Boolean): (String, Seq[Double]) = {
-      System.err.println(s"[bench] class $name")
-      spark.conf.set("graft.vng.prune", prune.toString)
-      try
-        name -> time3(() => runOnce(
-          graft.sources.VngIO.read(spark, hetVngDir)
-            .agg(count(col("ts")).as("n"))))
-      finally spark.conf.unset("graft.vng.prune")
-    }
+    def timeVngHetCut(name: String, prune: Boolean): Seq[(String, Seq[Double])] =
+      if (!wanted(name)) Seq.empty
+      else {
+        System.err.println(s"[bench] class $name")
+        spark.conf.set("graft.vng.prune", prune.toString)
+        try
+          Seq(name -> time3(() => runOnce(
+            graft.sources.VngIO.read(spark, hetVngDir)
+              .agg(count(col("ts")).as("n")))))
+        finally spark.conf.unset("graft.vng.prune")
+      }
     val hetVngResults = Seq(
       timeVngHetCut("cut_vng_het", prune = true),
-      timeVngHetCut("cut_vng_het_noprune", prune = false))
+      timeVngHetCut("cut_vng_het_noprune", prune = false)).flatten
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
     val samples = headlineResults ++ ingestResults ++ searchResults ++ fieldSearchResults ++ scanZng ++ vngResults ++ hetVngResults

@@ -473,6 +473,12 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
       case ("POST", Seq("pool")) if body.trim.startsWith("{") =>
         val name = jsonField(body, "name").getOrElse(
           throw new IllegalArgumentException("name required"))
+        // duplicate create is a 409 (service handlers_test.go:120
+        // "status code 409: test: pool already exists")
+        if (Lake.exists(root, name)) {
+          jerr(ex, 409, "conflict", s"$name: pool already exists")
+          return
+        }
         // layout.keys[0][0] / layout.order (PoolPostRequest)
         val node = json.readTree(body)
         val layout = Option(node.get("layout"))

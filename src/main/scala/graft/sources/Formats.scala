@@ -77,8 +77,10 @@ object Formats {
     format match {
       case None => read(spark, path0)
       case Some(f) =>
-        val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
-          fetchUri(path0) else path0
+        val path = fetchable(path0) match {
+          case Some((url, disp)) => fetchUri(url, disp)
+          case None => path0
+        }
         f match {
           case "parquet" => spark.read.parquet(path)
           case "vng" => VngIO.read(spark, path)
@@ -98,8 +100,10 @@ object Formats {
     }
 
   def read(spark: SparkSession, path0: String): DataFrame = {
-    val path = if (path0.startsWith("http://") || path0.startsWith("https://"))
-      fetchUri(path0) else path0
+    val path = fetchable(path0) match {
+      case Some((url, disp)) => fetchUri(url, disp)
+      case None => path0
+    }
     // a plain local path that doesn't exist fails with the reference's
     // message (from-file-error ztest: "a.zson: file does not exist")
     if (!path.contains("://") && !path.contains("*") &&
@@ -188,13 +192,19 @@ object Formats {
         }
         return "zson"
       } catch { case _: Exception =>
-        // a long single-line stream is TRUNCATED mid-value by the head
-        // window: if the FIRST value alone parses, it's still zson/json
-        // (curl -d strips newlines from multi-value uploads)
+        // two legitimate shapes the first LINE can't decide:
+        // - a long single-line stream TRUNCATED mid-value by the head
+        //   window (curl -d strips newlines from multi-value uploads)
+        // - a PRETTY-PRINTED value spanning many lines (`super -Z` output
+        //   re-loaded; python client ztests ship one)
+        // either way: if one complete value parses from the head, it's
+        // zson/json
         if (isJsonish) try {
-          new ZsonParser(firstLine).parseOne(): Unit
+          val probe = if (firstLine.trim == "{" || firstLine.trim == "[")
+            text else firstLine
+          new ZsonParser(probe).parseOne(): Unit
           try {
-            new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(probe)
             return "json"
           } catch { case _: Exception => return "zson" }
         } catch { case _: Exception => }
@@ -228,11 +238,35 @@ object Formats {
     } finally in.close()
   }
 
+  /** Map a remote URI to the http(s) URL to fetch plus the display name
+    * for errors. s3:// URIs resolve like the reference's zio/s3io (which
+    * honors AWS_S3_ENDPOINT for s3-compatible stores, path-style);
+    * without an endpoint override the standard virtual-hosted AWS URL
+    * applies. Errors keep the s3 URI the user wrote.
+    */
+  private def fetchable(path: String): Option[(String, String)] =
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      Some((path, path))
+    else if (path.startsWith("s3://")) {
+      val rest = path.stripPrefix("s3://")
+      val url = sys.env.get("AWS_S3_ENDPOINT").filter(_.nonEmpty)
+        .orElse(Option(System.getProperty("graft.s3.endpoint"))
+          .filter(_.nonEmpty)) match {
+        case Some(ep) => ep.stripSuffix("/") + "/" + rest
+        case None =>
+          val (bucket, key) = rest.span(_ != '/')
+          val region = sys.env.getOrElse("AWS_REGION", "us-east-1")
+          s"https://$bucket.s3.$region.amazonaws.com$key"
+      }
+      Some((url, path))
+    } else None
+
   /** Fetch an http(s) URI to a local spool file (driver-side; the file
     * then distributes through the normal readers). The spool name keeps
     * the URI's extension so direct routing still applies.
     */
-  private def fetchUri(uri: String): String = {
+  private def fetchUri(uri: String, display: String = null): String = {
+    val disp = Option(display).getOrElse(uri)
     val name = uri.substring(uri.lastIndexOf('/') + 1)
     val ext = name.lastIndexOf('.') match {
       case i if i >= 0 => name.substring(i)
@@ -246,7 +280,7 @@ object Formats {
       case h: java.net.HttpURLConnection if h.getResponseCode == 404 =>
         // the reference surfaces remote 404s as the file error
         // (zio/anyio: "<uri>: file does not exist")
-        throw new RuntimeException(s"$uri: file does not exist")
+        throw new RuntimeException(s"$disp: file does not exist")
       case _ =>
     }
     val in = conn.getInputStream

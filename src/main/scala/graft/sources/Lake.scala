@@ -682,6 +682,20 @@ object Lake {
           } else col(k)
         if (poolOrder(root, pool) == "asc") df1.orderBy(sortC.asc_nulls_last)
         else df1.orderBy(sortC.desc_nulls_last)
+      case Some(_) =>
+        // keyed pool whose loaded data lacks the key column entirely:
+        // every key is missing, yet the reference still pins the output
+        // order via its comparator's record-body-bytes tiebreak in the
+        // pool's direction (zbuf/merger.go NewComparatorNullsMax
+        // valueAsBytes; the python client ztest observes it). Cost is
+        // confined to this all-missing case — keyed scans never compute
+        // the tiebreak.
+        ZngBody.tiebreak(df1) match {
+          case Some(tb) =>
+            if (poolOrder(root, pool) == "asc") df1.orderBy(tb.asc_nulls_last)
+            else df1.orderBy(tb.desc_nulls_last)
+          case None => df1
+        }
       case _ => df1
     }
     // in-object pruning: the key predicate pushes to parquet, where the

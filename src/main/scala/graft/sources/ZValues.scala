@@ -1593,7 +1593,12 @@ final class ZsonParser(s: String,
         while (peek == ',') { i += 1; alts += typ(); ws() }
         expect(')')
         val as = alts.result()
-        if (as.length == 1) as.head else Union(as)
+        // member order is CANONICAL at type creation — the reference's
+        // LookupTypeUnion sorts members on lookup (context.go:200;
+        // zson/ztests/container-types.yaml pins `(string,int32)` text
+        // reading back as `(int32,string)`), so a declared union in any
+        // order resolves to the same type with the same selector space
+        if (as.length == 1) as.head else ZType.canon(Union(as))
       case c if c.isDigit =>
         // inline typedef ids are bare integers ((2=[null]), 1(3) — zson.md
         // abbreviated type definitions)

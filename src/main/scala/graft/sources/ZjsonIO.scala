@@ -223,9 +223,24 @@ object ZjsonIO extends Serializable {
       case ZType.Union(alts) =>
         val sorted = alts.sortWith((a, b) => ZValue.compareZTypes(a, b) < 0)
         val vt = typeOf(v)
-        val sel = sorted.indexWhere(a => ZValue.compareZTypes(a, vt) == 0)
+        var sel = sorted.indexWhere(a => ZValue.compareZTypes(a, vt) == 0)
+        var mv: ZValue = v
+        if (sel < 0) {
+          // no direct member: fit into a coercible/nested member the way
+          // the reference's analyzer does (zson/analyzer.go convertUnion
+          // — e.g. 123(int32)((int32,string))((…)) reaches the nested
+          // union member, selector pair ["3",["0","123"]])
+          val fitter = new ZsonParser("")
+          val fits = sorted.indexWhere { a =>
+            try {
+              val out = fitter.applyTypePublic(v, a)
+              ZType.fullText(ZValue.typeOf(out)) == ZType.fullText(a)
+            } catch { case _: Exception => false }
+          }
+          if (fits >= 0) { sel = fits; mv = fitter.applyTypePublic(v, sorted(fits)) }
+        }
         val (idx, mt) = if (sel >= 0) (sel, sorted(sel)) else (0, sorted.head)
-        s"""["$idx",${valueJson(v, mt, enc)}]"""
+        s"""["$idx",${valueJson(mv, mt, enc)}]"""
       case ZType.EnumT(symbols) => v match {
         case VEnum(s) =>
           val idx = symbols.indexOf(s)

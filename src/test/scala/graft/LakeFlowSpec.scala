@@ -44,6 +44,6 @@ class LakeFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       failures.result().foreach { case (f, why) =>
         info(s"FAIL $f :: ${why.linesIterator.take(2).mkString(" | ").take(200)}")
       }
-    assert(pass >= 80, s"lake flow pass count regressed: $pass")
+    assert(pass >= 85, s"lake flow pass count regressed: $pass")
   }
 }

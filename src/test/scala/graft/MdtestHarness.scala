@@ -178,11 +178,177 @@ object MdtestHarness {
     // commands resolve the URL back to the backing root
     private var service: Option[graft.Service] = None
     private var serviceRoot: Option[String] = None
-    def stopService(): Unit = { service.foreach(_.stop()); service = None }
+    // in-process minio twin (`source minio.sh`)
+    private var s3Server: Option[com.sun.net.httpserver.HttpServer] = None
+    def stopService(): Unit = {
+      service.foreach(_.stop()); service = None
+      s3Server.foreach(_.stop(0)); s3Server = None
+      System.clearProperty("graft.s3.endpoint")
+    }
 
     // per-configdir bearer tokens (`super db auth store -configdir X`);
     // the reference keeps these in <configdir>/credentials.json
     private val authTokens = scala.collection.mutable.Map.empty[String, String]
+
+    /** In-memory named pipes (`mkfifo`): writers append under the
+      * monitor; a backgrounded reader drains complete lines as they
+      * arrive. The reference uses a fifo to prove `-unbuffered` emits
+      * values before the input reaches EOF
+      * (cmd/super/query/ztests/unbuffered.yaml).
+      */
+    private final class Fifo {
+      val buf = new StringBuilder
+      var readPos = 0
+      var closed = false
+    }
+    private val fifos = mutable.Map.empty[String, Fifo]
+    private val bgReaders = mutable.ArrayBuffer.empty[Thread]
+    def fifoNames: Set[String] = fifos.keySet.toSet
+
+    /** Close every pipe (EOF for readers) and join background readers. */
+    def closeFifos(): Unit = {
+      fifos.values.foreach { f =>
+        f.synchronized { f.closed = true; f.notifyAll() }
+      }
+      bgReaders.foreach(_.join(2000))
+      bgReaders.clear()
+      fifos.clear()
+    }
+
+    /** `python <<EOF … EOF`: run the script's embedded python (the
+      * reference's own client, mv'ed into the workdir) against the
+      * in-process service with a REAL interpreter. The preceding
+      * venv/pip lines are no-ops — every workdir subdirectory rides
+      * PYTHONPATH instead, plus a minimal durationpy stand-in (the one
+      * client dependency absent from the offline container: Go-style
+      * duration strings → timedelta).
+      */
+    def runHeredoc(cmd: String, body: String): String = {
+      val word = cmd.split("\\s+").head
+      if (word != "python" && word != "python3")
+        throw new Unsupported(s"heredoc command $word")
+      val exe = Seq("python3", "python").find { p =>
+        try new ProcessBuilder(p, "--version").start().waitFor() == 0
+        catch { case _: Exception => false }
+      }.getOrElse(throw new Unsupported("python3 not on PATH"))
+      val script = java.nio.file.Files.createTempFile("heredoc", ".py")
+      java.nio.file.Files.writeString(script, body)
+      val shims = java.nio.file.Files.createTempDirectory("pyshims")
+      java.nio.file.Files.writeString(shims.resolve("durationpy.py"),
+        """import re
+          |from datetime import timedelta
+          |
+          |_UNITS = {'ns': 1e-9, 'us': 1e-6, 'µs': 1e-6, 'ms': 1e-3,
+          |          's': 1.0, 'm': 60.0, 'h': 3600.0}
+          |
+          |def from_str(s):
+          |    neg = s.startswith('-')
+          |    if s and s[0] in '+-':
+          |        s = s[1:]
+          |    if s == '0':
+          |        return timedelta()
+          |    total = 0.0
+          |    for num, unit in re.findall(
+          |            r'(\d+(?:\.\d*)?)(ns|us|µs|ms|s|m|h)', s):
+          |        total += float(num) * _UNITS[unit]
+          |    return timedelta(seconds=-total if neg else total)
+          |
+          |def to_str(td):
+          |    secs = td.total_seconds()
+          |    if secs == 0:
+          |        return '0s'
+          |    sign = '-' if secs < 0 else ''
+          |    secs = abs(secs)
+          |    out = []
+          |    for unit, size in (('h', 3600), ('m', 60)):
+          |        n = int(secs // size)
+          |        if n:
+          |            out.append('%d%s' % (n, unit))
+          |            secs -= n * size
+          |    if secs:
+          |        out.append(('%f' % secs).rstrip('0').rstrip('.') + 's')
+          |    return sign + ''.join(out)
+          |""".stripMargin)
+      val errFile = java.nio.file.Files.createTempFile("heredoc", ".err")
+      val pb = new ProcessBuilder(exe, script.toString)
+      pb.directory(cwd.toFile)
+      pb.redirectError(errFile.toFile)
+      val pe = pb.environment()
+      pe.put("HOME", workDir.toString) // ~/.zed = the workdir's credentials
+      env.foreach { case (k, v) => pe.put(k, v) }
+      val pkgDirs = java.nio.file.Files.list(cwd).iterator.asScala
+        .filter(java.nio.file.Files.isDirectory(_)).map(_.toString).toSeq.sorted
+      pe.put("PYTHONPATH",
+        (pkgDirs :+ shims.toString).mkString(java.io.File.pathSeparator))
+      val pr = pb.start()
+      val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+      val code = pr.waitFor()
+      val err = new String(java.nio.file.Files.readAllBytes(errFile), "UTF-8")
+      if (err.nonEmpty) stderrSink.append(err)
+      if (code != 0)
+        throw new RuntimeException(s"python exited $code: " +
+          err.linesIterator.mkString(" | ").take(800))
+      out
+    }
+
+    /** `cmd … fifo > out &`: run a super command reading a named pipe on
+      * a background thread. Each complete line that lands in the pipe is
+      * processed immediately and APPENDED to the redirect target — the
+      * `-unbuffered` contract (values appear in the output file before
+      * the pipe sees EOF).
+      */
+    def runBackground(line: String): Unit = {
+      val cmds = lexCommands(line)
+      if (cmds.length != 1)
+        throw new Unsupported(s"background pipeline: $line")
+      var tokens = cmds.head
+      var redirect: Option[String] = None
+      val gt = tokens.indexOf(">")
+      if (gt >= 0 && gt == tokens.length - 2) {
+        redirect = Some(tokens.last); tokens = tokens.take(gt)
+      }
+      val fifoName = tokens.find(fifos.contains).getOrElse(
+        throw new Unsupported(s"background command without a fifo: $line"))
+      val fifo = fifos(fifoName)
+      // the reader consumes the pipe as stdin (`-`), chunk by chunk
+      val args = tokens.map(t => if (t == fifoName) "-" else t)
+      val target = redirect.map(f => java.nio.file.Paths.get(filePath(f)))
+      target.foreach(java.nio.file.Files.deleteIfExists)
+      val t = new Thread(() => {
+        var done = false
+        while (!done) {
+          val chunk = fifo.synchronized {
+            while (!fifo.closed && fifo.buf.lastIndexOf("\n") < fifo.readPos)
+              fifo.wait(100)
+            val nl = fifo.buf.lastIndexOf("\n")
+            val end = if (nl >= fifo.readPos) nl + 1
+                      else if (fifo.closed) fifo.buf.length // trailing partial
+                      else fifo.readPos
+            if (end > fifo.readPos) {
+              val c = fifo.buf.substring(fifo.readPos, end)
+              fifo.readPos = end
+              if (fifo.closed && fifo.readPos == fifo.buf.length) done = true
+              c
+            } else { done = true; "" }
+          }
+          if (chunk.nonEmpty) {
+            val out =
+              try runSimple(args, Some(chunk))
+              catch { case e: Exception =>
+                stderrSink.append(e.getMessage).append('\n'); "" }
+            target match {
+              case Some(p) => java.nio.file.Files.write(p, encodeOut(out),
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+              case None => () // background stdout is dropped
+            }
+          }
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      bgReaders += t
+    }
 
     /** GET a service URL with an optional bearer token; returns
       * (status, body).
@@ -237,6 +403,16 @@ object MdtestHarness {
             case other => throw new Unsupported(s"db auth store flag $other")
           }
           authTokens(configDir) = tok
+          // the reference persists to <configdir>/credentials.json
+          // (default ~/.zed) keyed by service URL — the python client
+          // reads creds['services'][base_url]['access']
+          val credDir = java.nio.file.Paths.get(
+            if (configDir.nonEmpty) filePath(configDir)
+            else workDir.resolve(".zed").toString)
+          java.nio.file.Files.createDirectories(credDir)
+          val baseQ = base.replace("\\", "\\\\").replace("\"", "\\\"")
+          java.nio.file.Files.writeString(credDir.resolve("credentials.json"),
+            s"""{"version":"v1","services":{"$baseQ":{"access":"$tok"}}}""")
           ""
         case "verify" =>
           val tok = authTokens.get(configDir)
@@ -273,7 +449,7 @@ object MdtestHarness {
 
     private def filePath(name: String): String =
       if (name.startsWith("/") || name.startsWith("http://") ||
-          name.startsWith("https://")) name
+          name.startsWith("https://") || name.startsWith("s3://")) name
       else cwd.resolve(name).normalize().toString
 
     /** Binary content (zng artifacts piped through cat / redirects) rides
@@ -339,6 +515,10 @@ object MdtestHarness {
         case Some("&2") | Some("/dev/stderr") =>
           stderrSink.append(outText); ""
         case Some("&1") => outText
+        case Some(f) if fifos.contains(f) =>
+          val fifo = fifos(f)
+          fifo.synchronized { fifo.buf.append(outText); fifo.notifyAll() }
+          ""
         case Some(f) =>
           java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
             encodeOut(outText))
@@ -385,6 +565,13 @@ object MdtestHarness {
           val ls = text.linesIterator.toSeq
           (if (seg.head == "head") ls.take(n) else ls.takeRight(n))
             .map(_ + "\n").mkString
+        // `python3 -m venv v` / `pip install ./pkg`: the heredoc runner
+        // provides the package via PYTHONPATH instead of a real venv
+        case "python3" | "python" if seg.contains("venv") => ""
+        case "pip" => ""
+        case "mkfifo" =>
+          seg.tail.foreach(n => fifos(n) = new Fifo)
+          ""
         case "mkdir" =>
           seg.tail.filterNot(_.startsWith("-")).foreach { d =>
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filePath(d)))
@@ -394,10 +581,23 @@ object MdtestHarness {
           cwd = java.nio.file.Paths.get(filePath(seg(1))).normalize()
           ""
         case "mv" =>
+          // supports glob sources and a directory target (mv *.zson dir)
           val paths = seg.tail.filterNot(_.startsWith("-"))
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(filePath(paths(0))),
-            java.nio.file.Paths.get(filePath(paths(1))))
+          val dst = java.nio.file.Paths.get(filePath(paths.last))
+          val srcs = paths.init.flatMap { s =>
+            if (s.exists("*?[".contains(_))) {
+              val m = java.nio.file.FileSystems.getDefault
+                .getPathMatcher("glob:" + s)
+              java.nio.file.Files.list(cwd).iterator.asScala
+                .filter(p => m.matches(p.getFileName)).toSeq.sortBy(_.toString)
+            } else Seq(java.nio.file.Paths.get(filePath(s)))
+          }
+          for (src <- srcs) {
+            val d = if (java.nio.file.Files.isDirectory(dst))
+              dst.resolve(src.getFileName) else dst
+            java.nio.file.Files.move(src, d,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           ""
         case "awk" =>
           // minimal awk: '{print $N}' over stdin (ztest scripts capture
@@ -587,6 +787,34 @@ object MdtestHarness {
             case _ => (1L, 0L)
           }
           (from to to).map(_.toString + "\n").mkString
+        case "source" if seg.lift(1).exists(_.endsWith("minio.sh")) =>
+          // testdata/minio.sh boots MinIO over ./data and exports AWS_*
+          // vars; in-process twin: a path-style S3 GET server over the
+          // workdir's data/ directory, plus the same env exports. The
+          // engine resolves s3:// through AWS_S3_ENDPOINT (Formats).
+          val root = cwd.resolve("data")
+          java.nio.file.Files.createDirectories(root.resolve("bucket"))
+          val srv = com.sun.net.httpserver.HttpServer.create(
+            new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+          srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+            val rel = ex.getRequestURI.getPath.stripPrefix("/")
+            val p = root.resolve(rel)
+            if (rel.nonEmpty && java.nio.file.Files.isRegularFile(p)) {
+              val b = java.nio.file.Files.readAllBytes(p)
+              ex.sendResponseHeaders(200, b.length)
+              ex.getResponseBody.write(b)
+            } else ex.sendResponseHeaders(404, -1)
+            ex.getResponseBody.close()
+          })
+          srv.start()
+          s3Server = Some(srv)
+          val url = s"http://localhost:${srv.getAddress.getPort}"
+          env("AWS_REGION") = "does-not-matter"
+          env("AWS_ACCESS_KEY_ID") = "minioadmin"
+          env("AWS_SECRET_ACCESS_KEY") = "minioadmin"
+          env("AWS_S3_ENDPOINT") = url
+          System.setProperty("graft.s3.endpoint", url)
+          ""
         case "source" if seg.lift(1).exists(_.endsWith("service.sh")) =>
           // service/ztests prologue: start an in-process REST service
           // backed by a scratch lake; SUPER_DB_LAKE becomes its URL.
@@ -765,6 +993,9 @@ object MdtestHarness {
             i += 2
           case "-e=false" => noStop = true; i += 1
           case "-e" => i += 1
+          // per-value flush: realized by the fifo background reader's
+          // chunk-at-a-time processing (runBackground)
+          case "-unbuffered" => i += 1
           case "-pretty" => format = "zson-pretty"; explicitFmt = true; i += 2
           case "-C" => canonical = true; i += 1
           case "-version" =>
@@ -798,7 +1029,8 @@ object MdtestHarness {
                     .filter(p => m.matches(p.getFileName)).map(_.getFileName.toString)
                     .toSeq.sorted
               } else Seq.empty
-            val isUrl = word.startsWith("http://") || word.startsWith("https://")
+            val isUrl = word.startsWith("http://") ||
+              word.startsWith("https://") || word.startsWith("s3://")
             val isFile = isUrl || java.nio.file.Files.exists(
               java.nio.file.Paths.get(filePath(word)))
             if (isUrl) files :+= word

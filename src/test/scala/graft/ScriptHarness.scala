@@ -318,13 +318,46 @@ object ScriptHarness {
       if (skippingWhile) {
         if (t0 == "done") skippingWhile = false
       } else if (t0.startsWith("while ") || t0 == "while :; do") {
-        // probe loops (wait-for-server / wait-for-file): our in-process
-        // servers are up synchronously, so the poll body is a no-op
+        // wait-for-file loops poll a background writer — wait for real
+        // (`[ ! -s f … ]` = loop until f is non-empty, capped like the
+        // script's own iteration bound); wait-for-server loops are no-ops
+        // (in-process servers are up synchronously)
+        """!\s+-s\s+(\S+)""".r.findFirstMatchIn(t0).foreach { m =>
+          val p = wd.resolve(m.group(1))
+          val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+          while (System.nanoTime < deadline &&
+              (!java.nio.file.Files.exists(p) ||
+                java.nio.file.Files.size(p) == 0L))
+            Thread.sleep(20)
+        }
         skippingWhile = !t0.contains("done")
+      } else if (t0.endsWith("&") &&
+          sh.fifoNames.exists(shellWords(t0).contains)) {
+        // `cmd … fifo > out &`: background reader over a named pipe
+        sh.runBackground(substitute(t0.dropRight(1).trim))
       } else if (t0.startsWith("trap ") || t0.startsWith("exec ")) {
         () // signal traps / fd redirection: nothing to clean up in-process
+      } else if (t0.matches("""(\.|source)\s+\S*/bin/activate\s*""")) {
+        () // venv activation: the heredoc runner sets PYTHONPATH instead
+      } else if (t0.matches(""".*<<-?\s*['"]?\w+['"]?\s*$""")) {
+        // heredoc: gather body lines up to the delimiter; an unquoted
+        // delimiter means the body is variable-expanded (bash)
+        val m = """^(.*?)<<-?\s*(['"]?)(\w+)['"]?\s*$""".r.findFirstMatchIn(t0).get
+        val cmd = m.group(1).trim
+        val quoted = m.group(2).nonEmpty
+        val delim = m.group(3)
+        val body = new StringBuilder
+        var going = true
+        while (going && queue.nonEmpty) {
+          val b = queue.dequeue()
+          if (b.trim == delim) going = false
+          else body.append(b).append('\n')
+        }
+        val text = if (quoted) body.toString else substitute(body.toString)
+        stdout.append(sh.runHeredoc(cmd, text))
       } else if ((t0.startsWith("source ") || t0.startsWith(". ")) &&
-          !t0.contains("service.sh") && !t0.contains("mockzui.sh")) {
+          !t0.contains("service.sh") && !t0.contains("mockzui.sh") &&
+          !t0.contains("minio.sh")) {
         // (`source service.sh` stays with the Shell: it boots the
         // in-process graft.Service, not a text inline)
         // `source f [args…]`: inline the file with $1..$n substituted
@@ -441,6 +474,7 @@ object ScriptHarness {
     }
     } finally {
       httpServers.foreach(s => try s.stop(0) catch { case _: Exception => () })
+      sh.closeFifos()
       sh.stopService()
     }
     Result(stdout.toString, sh.stderrSink.toString + stderr.toString, wd)

@@ -41,6 +41,6 @@ class ServiceFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       failures.result().foreach { case (f, why) =>
         info(s"FAIL $f :: ${why.linesIterator.take(2).mkString(" | ").take(200)}")
       }
-    assert(pass >= 68, s"service flow pass count regressed: $pass")
+    assert(pass >= 70, s"service flow pass count regressed: $pass")
   }
 }
