@@ -334,4 +334,32 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaLang.collect()(0).getLong(0) == 6L)
     } finally server.stop(0)
   }
+
+  test("s3:// resolves through the AWS_S3_ENDPOINT override (zio/s3io)") {
+    // path-style GET against the s3-compatible endpoint; a 404 keeps the
+    // s3 URI the user wrote in the error (s3-notexist ztest)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "{n:1}\n{n:2}\n".getBytes("UTF-8")
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (ex.getRequestURI.getPath == "/bucket/data.zson") {
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      } else ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
+    server.start()
+    System.setProperty("graft.s3.endpoint",
+      s"http://127.0.0.1:${server.getAddress.getPort}")
+    try {
+      assert(Formats.read(spark, "s3://bucket/data.zson").count() == 2)
+      val e = intercept[Exception] {
+        Formats.read(spark, "s3://bucket/does/not/exist")
+      }
+      assert(e.getMessage == "s3://bucket/does/not/exist: file does not exist")
+    } finally {
+      System.clearProperty("graft.s3.endpoint")
+      server.stop(0)
+    }
+  }
 }

@@ -51,6 +51,29 @@ class TypedZsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains("{v:error(\"missing\")}"))
   }
 
+  test("union member order is canonical at type creation (LookupTypeUnion)") {
+    // context.go:200 sorts members with CompareTypes on every lookup, so
+    // declared (string,int32) IS (int32,string) — same type, same
+    // selector space (zson/ztests/container-types.yaml pins the text)
+    val a = ZsonParser.parseType("(string,int32)")
+    val b = ZsonParser.parseType("(int32,string)")
+    assert(a == b)
+    assert(ZType.text(a) == "(int32,string)")
+  }
+
+  test("zjson fits a doubly-decorated value into its nested union member") {
+    // 123(int32)((string,int32))((…)) is NOT a direct member of the outer
+    // union — the analyzer fits it into the nested (int32,string) member
+    // (zson/analyzer.go convertUnion), selector pair ["3",["0","123"]];
+    // the reference python client then decodes it as int 123
+    val df = ZsonReader.fromText(spark,
+      """{union:"hello"((string,[int32],[string],(string,int32)))}
+        |{union:123(int32)((string,int32))((string,[int32],[string],(string,int32)))}""".stripMargin)
+    val lines = graft.sources.ZjsonIO.typedLines(df)
+    val l123 = lines.find(_.contains("123")).getOrElse(fail("123 row missing"))
+    assert(l123.contains("""["3",["0","123"]]"""), l123)
+  }
+
   test("per-shape output: each row re-emits in its own shape") {
     val df = ZsonReader.fromText(spark, "\"bare\"\n{s:\"rec\"}")
     val out = ZsonIO.toZson(df).collect().toSet
