@@ -209,7 +209,14 @@ object VngIO {
     private var count = 0L
     def write(v: ZValue): Unit = {
       count += 1
-      val memberT = ZValue.typeOf(ZValue.unwrap(v))
+      // ONE-level unwrap of this union's own wrapper: the member may
+      // itself be a typed (named / nested-union) value whose identity a
+      // full unwrap would discard (matches ZngIO.encodeZBody)
+      val one = v match {
+        case ZValue.VTyped(i, tv) if ZType.strip(tv) == (t: ZType) => i
+        case other => other
+      }
+      val memberT = ZValue.typeOf(one)
       // Exact match first so unions of distinct NAMED types over the same
       // base keep their member identity (matches ZngIO.encodeZBody);
       // stripped comparison as a fallback; then FIT an unwidened literal
@@ -219,7 +226,7 @@ object VngIO {
         case i  => i
       }
       val (idx2, fitted) =
-        if (idx >= 0) (idx, ZValue.unwrap(v))
+        if (idx >= 0) (idx, one)
         else {
           val fit = t.alts.iterator.zipWithIndex.flatMap { case (a, i) =>
             val out = try ZsonParser.retype(ZValue.unwrap(v), a)
@@ -509,7 +516,10 @@ object VngIO {
   private final class UnionRd(t: Union, tags: Int64Rd, members: Vector[Rd]) extends Rd {
     def next(): ZValue = {
       val which = tags.next().toInt
-      VTyped(ZValue.unwrap(members(which).next()), t)
+      // keep the member VALUE intact under the union wrapper (unwrap
+      // would strip a named/nested-union member's identity, which the
+      // carrier payload slots cannot re-derive — container/union fuzz)
+      VTyped(members(which).next(), t)
     }
   }
 

@@ -598,6 +598,7 @@ object ZValue {
     computed
   }
 
+
   def renderVariantStr(r: org.apache.spark.sql.catalyst.InternalRow): String = {
     if (r == null) return "null"
     val w = r.numFields
@@ -853,8 +854,18 @@ object ZValue {
   def leafRow(v0: ZValue): Row = {
     // the t slot must be a COMPLETE, parseable type: named components
     // render their name=inner form so runtime consumers (fromVariantRow,
-    // shapers) can reconstruct the zed type exactly
-    val tText = ZType.fullText(typeOf(v0))
+    // shapers) can reconstruct the zed type exactly. For a value carrying
+    // a UNION decorator, t holds the MEMBER's own type (fromVariantRow's
+    // stated contract): the union itself is re-established by the frame/
+    // shape type at the boundaries, while the member identity — which the
+    // k/n/s payload slots alone cannot witness (an int32 under a nested
+    // (int32,string) member would otherwise coerce to a float64 member on
+    // rebuild; union-decoration fuzz) — survives only here.
+    val tText = v0 match {
+      case VTyped(inner, t0) if ZType.strip(t0).isInstanceOf[ZType.Union] =>
+        ZType.fullText(typeOf(inner))
+      case _ => ZType.fullText(typeOf(v0))
+    }
     unwrap(v0) match {
       // typed nulls keep their kind + type with all payloads null, so
       // string functions see k=2 and emit null rather than a type error
@@ -1697,17 +1708,41 @@ final class ZsonParser(s: String,
       case (VStr(sv), EnumT(_)) => VTyped(VEnum(sv), t)
       case (VEnum(sv), EnumT(_)) => VTyped(VEnum(sv), t)
       case (inner, Union(alts)) =>
-        // fit the value to a MEMBER: exact type first, then the implied-
-        // decorator coercions in member order (zson parser convertValue) —
-        // an int64 literal under (bool,int32) lands on int32, not bool
-        val innerT = ZValue.typeOf(inner)
-        val fitted =
-          if (alts.contains(innerT)) inner
-          else alts.iterator.flatMap { a =>
-            val out = try applyType(inner, a) catch { case _: Exception => inner }
-            if (ZType.fullText(ZValue.typeOf(out)) == ZType.fullText(a)) Some(out)
-            else None
-          }.nextOption().getOrElse(inner)
+        // fit the value to a MEMBER: the value's OWN type first — checked
+        // on v BEFORE unwrap, so a nested-union/named member keeps its
+        // identity (convertUnion matches v.TypeOf(), analyzer.go:451) —
+        // then coercion attempts in member order (an int64 literal under
+        // (bool,int32) lands on int32, not bool). A coercion only claims
+        // the member when the STRIPPED type actually represents the value
+        // (a bare named wrapper must not swallow foreign values), and a
+        // union member fits by recursive membership, never by wrapping.
+        // two passes: EXACT membership first — including exact membership
+        // of a NESTED union member (an int32 from the carrier must reach
+        // (int32,string) before any lossy coercion) — then the coercion
+        // pass in member order.
+        def memberFit(cand: ZValue, m: ZType, coerce: Boolean): Option[ZValue] =
+          if (ZValue.typeOf(cand) == m) Some(cand)
+          else ZType.strip(m) match {
+            case Union(alts2) => unionFit(cand, alts2, coerce).map(f => VTyped(f, m))
+            case bare if coerce =>
+              val probe = try applyType(cand, bare) catch { case _: Exception => cand }
+              if (ZType.fullText(ZValue.typeOf(probe)) == ZType.fullText(bare))
+                Some(m match {
+                  case n: Named => VTyped(ZValue.unwrap(probe), n)
+                  case _ => probe
+                })
+              else None
+            case _ => None
+          }
+        def unionFit(cand: ZValue, as: Vector[ZType], coerce: Boolean): Option[ZValue] =
+          if (as.contains(ZValue.typeOf(cand))) Some(cand)
+          else as.iterator.flatMap(m => memberFit(cand, m, coerce)).nextOption()
+        def fitOf(cand: ZValue): Option[ZValue] =
+          unionFit(cand, alts, coerce = false)
+            .orElse(unionFit(cand, alts, coerce = true))
+        val fitted = fitOf(v)
+          .orElse(if (inner eq v) None else fitOf(inner))
+          .getOrElse(inner)
         VTyped(fitted, t)
       case (VRec(fs), Rec(tfs)) =>
         // push field types down (e.g. {a:1}({a:int32}))

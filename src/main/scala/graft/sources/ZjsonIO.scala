@@ -226,18 +226,18 @@ object ZjsonIO extends Serializable {
         var sel = sorted.indexWhere(a => ZValue.compareZTypes(a, vt) == 0)
         var mv: ZValue = v
         if (sel < 0) {
-          // no direct member: fit into a coercible/nested member the way
-          // the reference's analyzer does (zson/analyzer.go convertUnion
-          // — e.g. 123(int32)((int32,string))((…)) reaches the nested
-          // union member, selector pair ["3",["0","123"]])
+          // no direct member: fit via the parser's union application (the
+          // analyzer's convertUnion rules — exact/nested membership before
+          // lossy coercion; e.g. 123(int32)((int32,string))((…)) reaches
+          // the nested union member, selector pair ["3",["0","123"]])
           val fitter = new ZsonParser("")
-          val fits = sorted.indexWhere { a =>
-            try {
-              val out = fitter.applyTypePublic(v, a)
-              ZType.fullText(ZValue.typeOf(out)) == ZType.fullText(a)
-            } catch { case _: Exception => false }
-          }
-          if (fits >= 0) { sel = fits; mv = fitter.applyTypePublic(v, sorted(fits)) }
+          try fitter.applyTypePublic(v, ZType.Union(sorted.toVector)) match {
+            case ZValue.VTyped(fitted, _) =>
+              val ft = typeOf(fitted)
+              val k = sorted.indexWhere(a => ZValue.compareZTypes(a, ft) == 0)
+              if (k >= 0) { sel = k; mv = fitted }
+            case _ =>
+          } catch { case _: Exception => }
         }
         val (idx, mt) = if (sel >= 0) (sel, sorted(sel)) else (0, sorted.head)
         s"""["$idx",${valueJson(mv, mt, enc)}]"""

@@ -1672,7 +1672,10 @@ object ZngIO {
         }
         val member = decodeZValue(inner, alts(which), unionKeepsMember)
         if (unionKeepsMember) member
-        else VTyped(ZValue.unwrap(member), ZType.Union(alts.iterator.map(zTypeOf).toVector))
+        // keep the member VALUE intact under the union wrapper: unwrap
+        // here would strip a named/nested-union member's identity, which
+        // the k/n/s payload slots cannot re-derive (container/union fuzz)
+        else VTyped(member, ZType.Union(alts.iterator.map(zTypeOf).toVector))
       case ZEnum(symbols) =>
         val idx = unsignedOf(c.bytes(n)).toInt
         VTyped(VEnum(symbols(idx)), ZType.EnumT(symbols.toVector))

@@ -253,6 +253,75 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("union-decoration fuzz: non-canonical declared member order and " +
+       "nested decorations round-trip zson <-> zjson <-> zng") {
+    // union types canonicalize member order at creation (context.go:200
+    // LookupTypeUnion), so a union declared in ANY order must resolve to
+    // the same selectors; doubly-decorated values must land on nested
+    // members (analyzer.go convertUnion). Each seed declares the members
+    // in a random shuffle and round-trips through all three formats.
+    val spark = GraftSession.local(4)
+    try {
+      for (seed <- 0 until 20) {
+        val rnd = new scala.util.Random(7000L + seed)
+        // member pool: (type text, value generator in decorated form)
+        val pool: Seq[(String, () => String)] = Seq(
+          "int32" -> (() => s"${rnd.nextInt(1000)}(int32)"),
+          "string" -> (() => "\"u" + rnd.nextInt(100) + "\""),
+          "[int32]" -> (() => (1 to 1 + rnd.nextInt(2))
+            .map(_ => s"${rnd.nextInt(50)}(int32)").mkString("[", ",", "]")),
+          "[string]" -> (() => (1 to 1 + rnd.nextInt(2))
+            .map(_ => "\"a" + rnd.nextInt(9) + "\"").mkString("[", ",", "]")),
+          "{a:int64}" -> (() => s"{a:${rnd.nextInt(100)}}"),
+          "(int32,string)" -> (() =>
+            // nested union member: decorate into the inner union first
+            if (rnd.nextBoolean()) s"${rnd.nextInt(99)}(int32)((string,int32))"
+            else "\"n" + rnd.nextInt(9) + "\"((string,int32))"),
+          "|{string:int64}|" -> (() =>
+            s"""|{"k${rnd.nextInt(9)}":${rnd.nextInt(50)}}|"""),
+          "nm=float64" -> (() => s"${rnd.nextInt(40)}.5(nm=float64)")
+        )
+        val members = rnd.shuffle(pool).take(2 + rnd.nextInt(3))
+        val declared = members.map(_._1).mkString("(", ",", ")")
+        val lines = (0 until 6).map { i =>
+          val (t, gen) = members(i % members.length)
+          // 1-in-6 lines: a typed NULL under the union keeps its member
+          // identity (zson/ztests/container-types.yaml: null(string) under
+          // (string,int32) reads back as null(string)((int32,string)))
+          if (i == 5 && !t.startsWith("nm="))
+            s"{u:null($t)(($declared))}"
+          else s"{u:${gen()}(($declared))}" // doubly/triply decorated included
+        }
+        val frame =
+          try graft.sources.ZsonReader.fromText(spark, lines.mkString("\n"), tag = true)
+            .coalesce(1)
+          catch { case e: Exception =>
+            fail(s"seed $seed: parse failed for $declared: $e") }
+        val base = ZsonIO.toZson(frame).collect().toSeq
+        assert(base.length == 6, s"seed $seed $declared: frame lost rows")
+        val dir = java.nio.file.Files.createTempDirectory(s"ufuzz$seed")
+        try {
+          // zng leg
+          ZngIO.write(frame, s"$dir/a.zng")
+          val zback = ZsonIO.toZson(
+            ZngIO.read(spark, s"$dir/a.zng").coalesce(1)).collect().toSeq
+          assert(zback.sorted == base.sorted,
+            s"seed $seed $declared zng:\n  base=$base\n  back=$zback")
+          // zjson leg (the service wire format — selector space must match)
+          val zjPath = java.nio.file.Paths.get(s"$dir/a.zjson")
+          java.nio.file.Files.write(zjPath,
+            graft.sources.ZjsonIO.typedLines(frame)
+              .mkString("", "\n", "\n").getBytes("UTF-8"))
+          val jback = ZsonIO.toZson(
+            graft.sources.ZjsonIO.read(spark, zjPath.toString).coalesce(1))
+            .collect().toSeq
+          assert(jback.sorted == base.sorted,
+            s"seed $seed $declared zjson:\n  base=$base\n  back=$jback")
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
+      }
+    } finally spark.stop()
+  }
+
   test("parser never hangs or crashes the JVM on malformed inputs") {
     val junk = Seq(
       "from", "from |", "| where", "from t | cut", "from t | summarize by",
