@@ -262,7 +262,7 @@ class PropertySpec extends AnyFunSuite {
     // in a random shuffle and round-trips through all three formats.
     val spark = GraftSession.local(4)
     try {
-      for (seed <- 0 until 20) {
+      for (seed <- 0 until 30) {
         val rnd = new scala.util.Random(7000L + seed)
         // member pool: (type text, value generator in decorated form)
         val pool: Seq[(String, () => String)] = Seq(
@@ -279,18 +279,27 @@ class PropertySpec extends AnyFunSuite {
             else "\"n" + rnd.nextInt(9) + "\"((string,int32))"),
           "|{string:int64}|" -> (() =>
             s"""|{"k${rnd.nextInt(9)}":${rnd.nextInt(50)}}|"""),
-          "nm=float64" -> (() => s"${rnd.nextInt(40)}.5(nm=float64)")
+          "nm=float64" -> (() => s"${rnd.nextInt(40)}.5(nm=float64)"),
+          "{s:string}" -> (() => "{s:\"r" + rnd.nextInt(9) + "\"}")
         )
         val members = rnd.shuffle(pool).take(2 + rnd.nextInt(3))
         val declared = members.map(_._1).mkString("(", ",", ")")
+        // three frame positions for the union value: a top-level field, an
+        // array element, and a nested sub-record field (deep-path carriers)
+        val pos = seed % 3
+        def line(uv: String): String = pos match {
+          case 0 => s"{u:$uv}"
+          case 1 => s"{u:[$uv]}"
+          case _ => s"{o:{u:$uv},top:${rnd.nextInt(9)}}"
+        }
         val lines = (0 until 6).map { i =>
           val (t, gen) = members(i % members.length)
           // 1-in-6 lines: a typed NULL under the union keeps its member
           // identity (zson/ztests/container-types.yaml: null(string) under
           // (string,int32) reads back as null(string)((int32,string)))
           if (i == 5 && !t.startsWith("nm="))
-            s"{u:null($t)(($declared))}"
-          else s"{u:${gen()}(($declared))}" // doubly/triply decorated included
+            line(s"null($t)(($declared))")
+          else line(s"${gen()}(($declared))") // doubly/triply decorated included
         }
         val frame =
           try graft.sources.ZsonReader.fromText(spark, lines.mkString("\n"), tag = true)
@@ -317,6 +326,13 @@ class PropertySpec extends AnyFunSuite {
             .collect().toSeq
           assert(jback.sorted == base.sorted,
             s"seed $seed $declared zjson:\n  base=$base\n  back=$jback")
+          // vng leg (columnar union tag vectors)
+          graft.sources.VngIO.write(frame, s"$dir/a.vng")
+          val vback = ZsonIO.toZson(
+            graft.sources.VngIO.read(spark, s"$dir/a.vng").coalesce(1))
+            .collect().toSeq
+          assert(vback.sorted == base.sorted,
+            s"seed $seed $declared vng:\n  base=$base\n  back=$vback")
         } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
       }
     } finally spark.stop()
