@@ -4549,9 +4549,13 @@ final class Compiler(spark: SparkSession, dir: String) {
           lit(df.schema.fields.find(_.name == n).get.metadata.getString("graft.zedType"))
         case Expr.Path(parts) =>
           val shapes = shapesOf(df)
-          if (dtypeOf(df, args.head).exists(isVariant))
-            graft.operators.Het.variantTypeOf(expr(df, args.head))
-          else if (shapes.nonEmpty &&
+          // the SHAPE answers first: a field deref keeps its declared type
+          // — in particular a union-typed field reports the UNION, not the
+          // row's member (dot.go:50 NewValue(fieldType, …); only indexing
+          // and under() deunion). The runtime carrier t — which holds the
+          // member — answers only when no shape covers the path (boxed
+          // streams without tags).
+          if (shapes.nonEmpty &&
               shapes.exists(s => pathIn(s._2, parts).isDefined)) {
             val perShape = shapes.map { case (t, st) =>
               t -> pathIn(st, parts).map(graft.sources.ZType.text).getOrElse("missing")
@@ -4560,7 +4564,9 @@ final class Compiler(spark: SparkSession, dir: String) {
             else perShape.foldLeft(lit(null).cast(StringType)) { case (acc, (tag, ty)) =>
               when(col(graft.operators.Het.typeTag) === tag, lit(ty)).otherwise(acc)
             }
-          } else Shaper.typeof(df, parts.mkString("."))
+          } else if (dtypeOf(df, args.head).exists(isVariant))
+            graft.operators.Het.variantTypeOf(expr(df, args.head))
+          else Shaper.typeof(df, parts.mkString("."))
         // typeof of a type value is <type> (typeof.md)
         case Expr.Call("typeof" | "typeunder" | "__typeval" | "__typename" |
             "typename", _) => lit("type")
