@@ -259,8 +259,34 @@ final class Compiler(spark: SparkSession, dir: String) {
           // min/max take the pool KEY's domain: numeric keys surface as
           // longs/doubles (meta-optimized-filter compares max > 20), time
           // keys keep their ISO text rendered bare.
-          val cs = lk.commitsOn(root, poolName.get, branchName)
+          val cs0 = lk.commitsOn(root, poolName.get, branchName)
             .filter(_.kind == "commit")
+          // the lister emits objects STABLE-sorted by (min, max) in the
+          // pool's key direction, nulls last, commit order kept on ties
+          // (runtime/sam/op/meta/lister.go sortObjects)
+          val descPool = lk.poolOrder(root, poolName.get) == "desc"
+          def kv0(o: Option[String]): Option[String] = o.filter(_.nonEmpty)
+          def cmpO(a: Option[String], b: Option[String]): Int = (a, b) match {
+            case (Some(x), Some(y)) =>
+              val c = lk.keyCompare(x, y)
+              if (descPool) -c else c
+            case (None, None) => 0
+            case (None, _) => 1 // null keys sort last in either direction
+            case (_, None) => -1
+          }
+          val cs = cs0.sortWith { (a, b) =>
+            val (aFrom, aTo) =
+              if (descPool) (kv0(a.keyMax), kv0(a.keyMin))
+              else (kv0(a.keyMin), kv0(a.keyMax))
+            val (bFrom, bTo) =
+              if (descPool) (kv0(b.keyMax), kv0(b.keyMin))
+              else (kv0(b.keyMin), kv0(b.keyMax))
+            val c1 = cmpO(aFrom, bFrom)
+            if (c1 < 0) true
+            else if (c1 > 0 || aFrom != bFrom) false
+            else if (aTo == bTo) false
+            else cmpO(aTo, bTo) < 0
+          }
           val vals = cs.flatMap(c => c.keyMin ++ c.keyMax).filter(_.nonEmpty)
           val allLong = vals.nonEmpty && vals.forall(v => v.matches("-?\\d+"))
           val allNum = vals.nonEmpty &&

@@ -58,12 +58,13 @@ object Lake {
     */
   def create(root: String, pool: String, key: Option[String] = None,
              order: String = "desc", explicitOrder: Boolean = false,
-             seekStride: Long = 65536L): String = {
+             seekStride: Long = 65536L,
+             threshold: Long = 524288000L): String = {
     Files.createDirectories(poolDir(root, pool).resolve("data"))
     val id = graft.functions.Ksuid.newId()
     val keyJson = key.map(k => s""","key":"$k"""").getOrElse("")
     Files.write(poolDir(root, pool).resolve("pool.json"),
-      (s"""{"id":"$id"$keyJson,"order":"$order","explicit":$explicitOrder,"seekstride":$seekStride}""" + "\n").getBytes(StandardCharsets.UTF_8))
+      (s"""{"id":"$id"$keyJson,"order":"$order","explicit":$explicitOrder,"seekstride":$seekStride,"threshold":$threshold}""" + "\n").getBytes(StandardCharsets.UTF_8))
     val j = journal(root, pool)
     if (!Files.exists(j)) Files.createFile(j)
     id
@@ -80,6 +81,18 @@ object Lake {
       .map(_.group(1).toLong).getOrElse(65536L)
   }
 
+  /** The pool's target object size (`create -S`; pools.Config.Threshold,
+    * lake/data.DefaultThreshold 500MiB) — `db manage` merges adjacent
+    * objects while a run stays under it.
+    */
+  def threshold(root: String, pool: String): Long = {
+    val f = poolDir(root, pool).resolve("pool.json")
+    if (!Files.exists(f)) 524288000L
+    else """"threshold":(\d+)""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong).getOrElse(524288000L)
+  }
+
   /** The pool's pools.Config value as decorated ZSON (lake/pools.go) —
     * the record `db ls -f` and `from :pools` surface.
     */
@@ -89,7 +102,7 @@ object Lake {
     val idHex = try graft.functions.Ksuid.decodeHex(poolId(root, pool))
                 catch { case _: Exception => "00" * 20 }
     val ts = java.time.Instant.now().toString
-    s"""{ts:$ts,name:"$pool",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:${seekStride(root, pool)},threshold:524288000}(=pools.Config)"""
+    s"""{ts:$ts,name:"$pool",id:0x$idHex(=ksuid.KSUID),layout:{order:"$order"(=order.Which),keys:[["$k"](=field.Path)](=field.List)}(=order.SortKey),seek_stride:${seekStride(root, pool)},threshold:${threshold(root, pool)}}(=pools.Config)"""
   }
 
   /** The pool's id (assigned at create; older pools get one lazily). */
@@ -202,7 +215,8 @@ object Lake {
     */
   def load(df: DataFrame, root: String, pool: String,
            author: String = "graft", message: String = "",
-           branch: String = "main", meta: String = ""): String = {
+           branch: String = "main", meta: String = "",
+           bodyTiebreak: Boolean = false): String = {
     if (!exists(root, pool)) create(root, pool): Unit
     // object ids are KSUIDs like the reference's (27-char base62,
     // k-sortable) — scripts pattern-match \w{27} and round-trip them
@@ -251,9 +265,24 @@ object Lake {
         // observe ABOVE the range exchange: the boundary-sampling pass
         // re-executes the subtree below it, which would double-count or
         // short-circuit metrics placed before the exchange
-        dfW.repartitionByRange(col(k)).sortWithinPartitions(col(k))
-          .observe(o, min(keyText(col(k))).as("kmin"),
-            max(keyText(col(k))).as("kmax"))
+        // min_by/max_by: the RANGE comes from the key's native order
+        // (an int64 key's "150" is above "99"; text min/max would
+        // compare lexicographically) while the recorded value stays in
+        // zed text form
+        // compaction merges tiebreak equal keys by the record's zng body
+        // bytes (zbuf NewComparatorNullsMax valueAsBytes) — that row
+        // order is what makes the rewritten object's compressed size
+        // byte-exact; plain loads skip the cost
+        val sortCols =
+          if (bodyTiebreak) {
+            val tb = ZngBody.tiebreak(dfW)
+            if (tb.isEmpty && sys.env.contains("SCRIPT_TRACE"))
+              System.err.println(s"[lake] bodyTiebreak requested but no tag/shapes on ${dfW.columns.mkString(",")}")
+            Seq(col(k)) ++ tb.toSeq
+          } else Seq(col(k))
+        dfW.repartitionByRange(col(k)).sortWithinPartitions(sortCols: _*)
+          .observe(o, min_by(keyText(col(k)), col(k)).as("kmin"),
+            max_by(keyText(col(k)), col(k)).as("kmax"))
       case _ => dfW
     }
     sorted.write.mode("errorifexists").parquet(dataDir.toString)
@@ -297,8 +326,15 @@ object Lake {
             // min/max/vbytes
             val sortedOne = (key match {
               case Some(k) =>
-                df.coalesce(1).sortWithinPartitions(
-                  if (desc) desc_nulls_first(k) else asc_nulls_last(k))
+                // compaction's merge order: equal keys tiebreak by zng
+                // body bytes (zbuf comparator valueAsBytes)
+                val tb =
+                  if (bodyTiebreak) ZngBody.tiebreak(df).toSeq
+                  else Seq.empty
+                val cols =
+                  (if (desc) Seq(desc_nulls_first(k)) else Seq(asc_nulls_last(k))) ++
+                    (if (desc) tb.map(_.desc) else tb.map(_.asc))
+                df.coalesce(1).sortWithinPartitions(cols: _*)
               case None => df.coalesce(1)
             }).cache()
             ZngIO.write(sortedOne, tmp.toString)
@@ -718,6 +754,13 @@ object Lake {
     * MIXED classes are incomparable (None) — pruning must keep the
     * object rather than guess.
     */
+  /** Total-ish compare of two recorded key texts (numeric-aware; ISO
+    * times compare as text, which is order-correct at fixed precision) —
+    * the meta listers sort objects with it.
+    */
+  def keyCompare(a: String, b: String): Int =
+    cmpKey(a, b).getOrElse(a.compareTo(b))
+
   private def cmpKey(a: String, b: String): Option[Int] = {
     val na = try Some(BigDecimal(a)) catch { case _: NumberFormatException => None }
     val nb = try Some(BigDecimal(b)) catch { case _: NumberFormatException => None }
@@ -843,6 +886,93 @@ object Lake {
       val p = poolDir(root, pool).resolve("data").resolve(s"${c.id}-vector.vng")
       if (Files.exists(p)) Some((c, Files.size(p))) else None
     }
+
+  /** Compact a specific RUN of objects into one (`db manage`'s unit of
+    * work; lake/api Compact with an explicit id list): read just those
+    * objects, rewrite them as a single key-sorted object, then the run
+    * leaves the live set.
+    */
+  def compactIds(spark: SparkSession, root: String, pool: String,
+                 ids: Seq[String], branch: String = "main",
+                 vectors: Boolean = false): String = {
+    val byId = commits(root, pool).filter(_.kind == "commit")
+      .map(c => c.id -> c).toMap
+    val dirs = ids.map(id => poolDir(root, pool).resolve("data").resolve(id).toString)
+    val df0 = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val tagName = graft.operators.Het.typeTag
+    val allShapes = ids.flatMap(byId.get).flatMap(_.shapes).distinct
+    val df =
+      if (!df0.columns.contains(tagName) || allShapes.isEmpty) df0
+      else {
+        import org.apache.spark.sql.functions.col
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("shapes", allShapes.toArray).build()
+        df0.select(df0.schema.fields.toIndexedSeq.map { f =>
+          if (f.name == tagName) col(s"`${f.name}`").as(f.name, md)
+          else col(s"`${f.name}`")
+        }: _*)
+      }
+    val id = load(df, root, pool, "compact", s"compact ${ids.length} objects",
+      branch, bodyTiebreak = true)
+    ids.foreach(cid => delete(root, pool, cid, branch))
+    if (vectors) vectorAdd(spark, root, pool, id)
+    id
+  }
+
+  /** One `db manage` compaction pass over a branch
+    * (cmd/super/internal/lakemanage/scan.go): walk the live objects in
+    * ascending key-min order; a run grows while the next object's range
+    * overlaps the run's span OR the run's combined size stays under the
+    * pool threshold; runs of two-plus compact into one object, and with
+    * vectors enabled single objects missing a vector twin get one.
+    */
+  def manage(spark: SparkSession, root: String, pool: String,
+             branch: String = "main", vectors: Boolean = false): Unit = {
+    val thresh = threshold(root, pool)
+    val objs0 = commitsOn(root, pool, branch).filter(_.kind == "commit")
+    // sort by min ascending in the zed value order, nulls (no recorded
+    // range) last — the reference's iterator runs `:objects | sort min`
+    def minKey(c: Commit): Option[String] = c.keyMin.filter(_.nonEmpty)
+    val objs = objs0.sortWith { (a, b) =>
+      (minKey(a), minKey(b)) match {
+        case (Some(x), Some(y)) => cmpKey(x, y).exists(_ < 0)
+        case (Some(_), None) => true
+        case _ => false
+      }
+    }
+    def hasVector(id: String): Boolean =
+      Files.exists(poolDir(root, pool).resolve("data").resolve(s"$id-vector.vng"))
+    var runIds = Vector.empty[String]
+    var runSize = 0L
+    var spanMin: Option[String] = None
+    var spanMax: Option[String] = None
+    def leq(a: String, b: String) = cmpKey(a, b).forall(_ <= 0)
+    def flush(): Unit = {
+      if (runIds.length >= 2) compactIds(spark, root, pool, runIds, branch, vectors): Unit
+      else if (runIds.length == 1 && vectors && !hasVector(runIds.head))
+        vectorAdd(spark, root, pool, runIds.head)
+      runIds = Vector.empty; runSize = 0L; spanMin = None; spanMax = None
+    }
+    for (o <- objs) {
+      val oMin = o.keyMin.filter(_.nonEmpty)
+      val oMax = o.keyMax.filter(_.nonEmpty)
+      val overlaps = (spanMin, spanMax, oMin, oMax) match {
+        case (Some(smn), Some(smx), Some(mn), Some(mx)) =>
+          leq(mn, smx) && leq(smn, mx)
+        case _ => false
+      }
+      val size = math.max(0L, o.bytes)
+      if (runIds.isEmpty || overlaps || runSize + size < thresh) {
+        runIds :+= o.id; runSize += size
+        for (mn <- oMin) if (spanMin.forall(s => !leq(s, mn))) spanMin = Some(mn)
+        for (mx <- oMax) if (spanMax.forall(s => !leq(mx, s))) spanMax = Some(mx)
+      } else {
+        flush()
+        runIds = Vector(o.id); runSize = size; spanMin = oMin; spanMax = oMax
+      }
+    }
+    flush()
+  }
 
   def compact(spark: SparkSession, root: String, pool: String,
               branch: String = "main"): String = {

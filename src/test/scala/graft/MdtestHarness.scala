@@ -173,6 +173,15 @@ object MdtestHarness {
     private var defaultStdin: Option[String] = None
     def setDefaultStdin(text: String): Unit = defaultStdin = Some(text)
 
+    /** Run one command line with an explicit stdin (brace-group pipes:
+      * `{ cmd; cmd; } | tail` feeds the group's concatenated output).
+      */
+    def runPiped(line: String, stdinText: String): String = {
+      val saved = defaultStdin
+      defaultStdin = Some(stdinText)
+      try runBlock(line) finally defaultStdin = saved
+    }
+
     // `source service.sh` (service/ztests): an in-process graft.Service
     // bound to a scratch lake; SUPER_DB_LAKE becomes its http URL and db
     // commands resolve the URL back to the backing root
@@ -780,13 +789,34 @@ object MdtestHarness {
           sb.append(f"${bytes.length}%08x\n")
           sb.toString
         case "seq" =>
-          val ns = seg.tail.map(_.toLong)
+          // supports `seq [-f FORMAT] [first] last` with C-printf %g /
+          // %.Nf / %d conversions (the manage/vam ztests build typed rows
+          // with it)
+          var fmt: Option[String] = None
+          var nums = Vector.empty[String]
+          var i2 = 1
+          while (i2 < seg.length) seg(i2) match {
+            case "-f" => fmt = Some(seg(i2 + 1)); i2 += 2
+            case n => nums :+= n; i2 += 1
+          }
+          val ns = nums.map(_.toLong)
           val (from, to) = ns match {
             case Seq(n) => (1L, n)
             case Seq(a, b) => (a, b)
             case _ => (1L, 0L)
           }
-          (from to to).map(_.toString + "\n").mkString
+          def render(n: Long): String = fmt match {
+            case None => n.toString
+            case Some(f) =>
+              val spec = """%(\.\d+)?([gdf])""".r
+              spec.replaceAllIn(f, m => m.group(2) match {
+                case "g" | "d" => n.toString // C %g prints integers bare
+                case "f" =>
+                  val prec = Option(m.group(1)).map(_.tail.toInt).getOrElse(6)
+                  String.format(s"%.${prec}f", Double.box(n.toDouble))
+              })
+          }
+          (from to to).map(render(_) + "\n").mkString
         case "source" if seg.lift(1).exists(_.endsWith("minio.sh")) =>
           // testdata/minio.sh boots MinIO over ./data and exports AWS_*
           // vars; in-process twin: a path-style S3 GET server over the
@@ -919,6 +949,7 @@ object MdtestHarness {
           seg(1) match {
             case "query" => superQuery(seg.drop(2), stdin)
             case "db" => superDb(seg.drop(2), stdin)
+            case "dev" => superDev(seg.drop(2), stdin)
             case _ => superQuery(seg.drop(1), stdin) // bare `super -c …`
           }
         case other => throw new Unsupported(s"command $other")
@@ -1250,6 +1281,12 @@ object MdtestHarness {
         case "text" => Formats.textLines(res).collect().toSeq
         case "parquet" | "zng" | "vng" | "zst" | "arrows" | "arrow" =>
           f.outFile match {
+            case Some("/dev/null") =>
+              // NEVER hand /dev/null to a Spark writer (it would replace
+              // the device node with a part-file directory); evaluate the
+              // plan so errors still surface, then discard
+              res.foreach(_ => ())
+              return ""
             case Some(out) =>
               Formats.write(res, filePath(out), f.format)
               return ""
@@ -1660,6 +1697,101 @@ object MdtestHarness {
       } else useHead.getOrElse(
         throw new RuntimeException("default pool and branch unset"))
 
+    /** `super dev …` developer subcommands (cmd/super/dev): compile
+      * prints the canonical form (zfmt), `vector` drives the columnar
+      * read path (vcache), `dig frames` dumps low-level zng framing.
+      */
+    private def superDev(args: Seq[String], stdin: Option[String]): String =
+      args.headOption.getOrElse("") match {
+        case "compile" =>
+          var rest = args.tail
+          var includes = Vector.empty[String]
+          var q: Option[String] = None
+          while (rest.nonEmpty) rest.head match {
+            case "-C" | "-s" => rest = rest.tail
+            case "-I" => includes :+= rest(1); rest = rest.drop(2)
+            // -dag/-O/-P print the REFERENCE's internal DAG after its
+            // optimizer/parallelizer; this engine's physical plan is
+            // Catalyst (PlanSpec pins it) — no equivalent text exists
+            case f @ ("-dag" | "-O" | "-P") =>
+              throw new Unsupported(s"dev compile flag $f")
+            case f if f.startsWith("-lake") =>
+              throw new Unsupported(s"flag $f")
+            case w => q = Some(q.map(_ + " " + w).getOrElse(w)); rest = rest.tail
+          }
+          val text = (includes.map(readFile) ++ q.toSeq).mkString("\n").trim
+          graft.lang.Canon.format(text) + "\n"
+        case "vector" =>
+          // copy/query/project: the vng columnar read path through the
+          // query engine; search: a filtered scan of the use-head pool's
+          // vectored objects (cmd/super/dev/vector)
+          val sub = args.lift(1).getOrElse("")
+          val rest = args.drop(2)
+          val flags = rest.takeWhile(_.startsWith("-"))
+          val pos = rest.dropWhile(_.startsWith("-"))
+          sub match {
+            case "copy" => superQuery(rest, stdin)
+            case "query" =>
+              superQuery(flags ++ Seq("-c", pos.head) ++ pos.tail, stdin)
+            case "project" =>
+              superQuery(flags ++ Seq("-c", "cut " + pos.tail.mkString(",") ,
+                pos.head), stdin)
+            case "search" =>
+              val pool = useHead.map(_._1).getOrElse(
+                throw new RuntimeException("default pool and branch unset"))
+              superDb(Seq("query") ++ flags ++
+                Seq(s"from $pool | where (${pos.mkString(" ")})"), stdin)
+            case other => throw new Unsupported(s"dev vector $other")
+          }
+        case "dig" =>
+          val sub = args.lift(1).getOrElse("")
+          if (sub != "frames") throw new Unsupported(s"dev dig $sub")
+          val file = args.drop(2).filterNot(_.startsWith("-")).headOption
+            .getOrElse(throw new RuntimeException("a single file required"))
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(filePath(file)))
+          val sb = new StringBuilder
+          var pos = 0
+          def uv(): Long = { // uvarint at pos
+            var shift = 0; var v = 0L; var going = true
+            while (going) {
+              val b = bytes(pos) & 0xff; pos += 1
+              v |= (b & 0x7fL) << shift; shift += 7
+              going = (b & 0x80) != 0
+            }
+            v
+          }
+          while (pos < bytes.length) {
+            val off = pos
+            val code = bytes(pos) & 0xff; pos += 1
+            if (code == 0xff) sb.append(s"{type:\"EOS\",offset:$off,block:null}\n")
+            else {
+              require((code & 0x80) == 0, "wrong version bit in ZNG framing")
+              val zlen = ((uv() << 4) | (code & 0xf)).toInt
+              val t = (code >> 4) & 3
+              val tn = t match {
+                case 0 => "types"; case 1 => "values"; case 2 => "control"
+                case _ => throw new RuntimeException(s"bad frame type: $t")
+              }
+              val block =
+                if ((code & 0x40) != 0) {
+                  val fStart = pos
+                  val fmt = bytes(pos) & 0xff; pos += 1
+                  val size = uv()
+                  val adj = zlen - (pos - fStart)
+                  pos += adj
+                  s"{type:\"compressed\",length:$adj,format:$fmt(int8),size:$size}"
+                } else {
+                  pos += zlen
+                  s"{type:\"uncompressed\",length:$zlen}"
+                }
+              sb.append(s"{type:\"$tn\",offset:$off,block:$block}\n")
+            }
+          }
+          sb.toString
+        case other => throw new Unsupported(s"super dev $other")
+      }
+
     private def superDb(args0: Seq[String], stdin: Option[String]): String = {
       var args = args0
       if (args.isEmpty)
@@ -1738,14 +1870,21 @@ object MdtestHarness {
           var explicitOrder = false
           var use = false
           var stride = 65536L
+          var thresh = 524288000L
           while (rest.head.startsWith("-")) rest.head match {
             case "-q" => quiet = true; rest = rest.tail
             case "-use" => use = true; rest = rest.tail
-            case f if f.startsWith("-seekstride=") || f.startsWith("-S=") =>
+            case f if f.startsWith("-seekstride=") =>
               stride = parseBytesUnit(f.dropWhile(_ != '=').tail)
               rest = rest.tail
-            case "-seekstride" | "-S" =>
+            case "-seekstride" =>
               stride = parseBytesUnit(rest(1)); rest = rest.drop(2)
+            // `-S` is the pool THRESHOLD (target object size; `db manage`
+            // merges runs under it) — a different knob than -seekstride
+            case f if f.startsWith("-S=") =>
+              thresh = parseBytesUnit(f.drop(3)); rest = rest.tail
+            case "-S" =>
+              thresh = parseBytesUnit(rest(1)); rest = rest.drop(2)
             case "-orderby" =>
               key = Some(rest(1).split(':').head)
               order = rest(1).split(':').lift(1).getOrElse("asc")
@@ -1755,7 +1894,7 @@ object MdtestHarness {
           }
           // the reference's default pool layout is ts:desc
           val poolId = lk.create(root, rest.head, key.orElse(Some("ts")), order,
-            explicitOrder, stride)
+            explicitOrder, stride, thresh)
           if (use) useHead = Some((rest.head, "main"))
           if (quiet) "" else s"pool created: ${rest.head} $poolId\n"
         case "use" =>
@@ -1951,6 +2090,77 @@ object MdtestHarness {
           val into = rest.headOption.getOrElse("main")
           lk.merge(root, pool, cur, parent = into)
           if (quiet) "" else "merged\n"
+        case "manage" =>
+          // one compaction pass per pool (cmd/super/db/manage; the
+          // scan/run rules live in Lake.manage). Pool selection: -pool
+          // flags, a -config yaml (pool + optional branch), else all.
+          var rest = args.tail
+          var vectors = false
+          var logPath: Option[String] = None
+          var logLevel = "info"
+          var selected = Vector.empty[(String, String)]
+          var configFile: Option[String] = None
+          while (rest.nonEmpty) rest.head match {
+            case "-q" => quiet = true; rest = rest.tail
+            case "-vectors" => vectors = true; rest = rest.tail
+            case "-pool" => selected :+= ((rest(1), "main")); rest = rest.drop(2)
+            case f if f.startsWith("-pool=") =>
+              selected :+= ((f.stripPrefix("-pool="), "main")); rest = rest.tail
+            case f if f.startsWith("-config=") =>
+              configFile = Some(f.stripPrefix("-config=")); rest = rest.tail
+            case "-config" => configFile = Some(rest(1)); rest = rest.drop(2)
+            case f if f.startsWith("-log.path=") =>
+              logPath = Some(f.stripPrefix("-log.path=")); rest = rest.tail
+            case "-log.path" => logPath = Some(rest(1)); rest = rest.drop(2)
+            case f if f.startsWith("-log.level=") =>
+              logLevel = f.stripPrefix("-log.level="); rest = rest.tail
+            case "-log.level" => logLevel = rest(1); rest = rest.drop(2)
+            case "-monitor" => throw new Unsupported("db manage -monitor")
+            case f => throw new Unsupported(s"db manage flag $f")
+          }
+          for (cf <- configFile) {
+            // minimal yaml: `pools:` items of `- pool: NAME` with an
+            // optional `branch: "B"` continuation (lakemanage/config.go)
+            var curPool: Option[String] = None
+            var curBranch = "main"
+            def flushP(): Unit = {
+              curPool.foreach(p => selected :+= ((p, curBranch)))
+              curPool = None; curBranch = "main"
+            }
+            for (l <- readFile(cf).linesIterator.map(_.trim)) {
+              if (l.startsWith("- pool:")) {
+                flushP()
+                curPool = Some(l.stripPrefix("- pool:").trim
+                  .stripPrefix("\"").stripSuffix("\""))
+              } else if (l.startsWith("branch:"))
+                curBranch = l.stripPrefix("branch:").trim
+                  .stripPrefix("\"").stripSuffix("\"")
+            }
+            flushP()
+          }
+          if (selected.isEmpty)
+            selected = Option(new java.io.File(root).listFiles())
+              .getOrElse(Array.empty).toSeq
+              .filter(f => f.isDirectory && lk.exists(root, f.getName))
+              .map(f => (f.getName, "main")).sorted.toVector
+          val logSb = new StringBuilder
+          for ((p, b) <- selected) {
+            requirePool(p)
+            if (logLevel == "info" || logLevel == "debug") {
+              val pid = try lk.poolId(root, p) catch { case _: Exception => "" }
+              logSb.append(
+                s"""{"level":"info","ts":${System.currentTimeMillis() / 1000.0},"logger":"pool","msg":"updating pool","name":"$p","id":"$pid","branch":"$b","vectors":$vectors}""")
+                .append('\n')
+            }
+            lk.manage(spark, root, p, b, vectors)
+          }
+          logPath match {
+            case Some("/dev/null") | None => ()
+            case Some(f) => java.nio.file.Files.write(
+              java.nio.file.Paths.get(filePath(f)),
+              logSb.toString.getBytes("UTF-8"))
+          }
+          ""
         case "compact" =>
           val (pool, branch) = headTarget(
             args.tail.sliding(2).collectFirst { case Seq("-use", t) => t }.getOrElse(""))

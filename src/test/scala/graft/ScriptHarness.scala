@@ -69,6 +69,13 @@ object ScriptHarness {
       val l = lines(i)
       if (l.startsWith("script: |")) {
         val (b, j) = blockAt(i + 1, 2); script = b; i = j
+      } else if (l.startsWith("script:") && l.drop(7).trim.nonEmpty) {
+        // inline one-liner form: `script: super query -z -I src.zed`
+        var s = l.drop(7).trim
+        if (s.length > 1 && (s.head == '"' || s.head == '\'') && s.last == s.head)
+          s = s.substring(1, s.length - 1)
+        script = s + "\n"
+        i += 1
       } else if (l.startsWith("inputs:")) { section = "inputs"; flushItem(); i += 1 }
       else if (l.startsWith("outputs:")) { section = "outputs"; flushItem(); i += 1 }
       else if (l.matches("\\S.*")) { section = ""; i += 1 }
@@ -81,6 +88,9 @@ object ScriptHarness {
           l.trim.startsWith("source:")) {
         val src = l.trim.stripPrefix("source:").trim
         val resolved = path.getParent.resolve(src).normalize()
+        // a source the checkout doesn't ship (e.g. the edu dataset built
+        // by a network download) makes the whole case unrunnable: skip it
+        if (!java.nio.file.Files.isRegularFile(resolved)) return None
         val bytes = java.nio.file.Files.readAllBytes(resolved)
         // binary fixtures (parquet/vng/zng) ride as ISO-8859-1 strings
         val text =
@@ -170,57 +180,46 @@ object ScriptHarness {
     }
     if (acc.trim.nonEmpty) logical += acc
 
-    // expand single-level `for NAME in ITEMS; do ... done` loops
-    val expanded = Vector.newBuilder[String]
-    val it0 = logical.result().iterator
-    while (it0.hasNext) {
-      val l = it0.next()
-      val forRe = "^for\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+(.*?);?\\s*do\\s*$".r
-      l.trim match {
-        case forRe(name, items) =>
-          val body = Vector.newBuilder[String]
-          var going = true
-          while (going && it0.hasNext) {
-            val b = it0.next()
-            if (b.trim == "done") going = false else body += b
-          }
-          val bodyLines = body.result()
-          // quote-aware item split ("a b" is ONE item; "" is an EMPTY
-          // item) + single-level bash brace expansion (a{x,y}b)
-          def braceExpand(w: String): Seq[String] = {
-            val i = w.indexOf('{')
-            val j = if (i < 0) -1 else w.indexOf('}', i)
-            if (i < 0 || j < 0) Seq(w)
-            else {
-              val pre = w.take(i); val post = w.drop(j + 1)
-              w.substring(i + 1, j).split(",", -1).toSeq
-                .flatMap(m => braceExpand(pre + m + post))
-            }
-          }
-          val itemList = {
-            val out = Vector.newBuilder[String]
-            val cur = new StringBuilder
-            var inQ = false
-            var sawQ = false
-            var qch = ' '
-            for (ch <- items) {
-              if (inQ) { if (ch == qch) inQ = false else cur.append(ch) }
-              else if (ch == '"' || ch == '\'') { inQ = true; sawQ = true; qch = ch }
-              else if (ch.isWhitespace) {
-                if (cur.nonEmpty || sawQ) { out += cur.toString; cur.clear() }
-                sawQ = false
-              } else cur.append(ch)
-            }
-            if (cur.nonEmpty || sawQ) out += cur.toString
-            out.result().flatMap(w =>
-              if (w.contains('{') && w.contains('}')) braceExpand(w) else Seq(w))
-          }
-          for (item <- itemList) {
-            for (b <- bodyLines)
-              expanded += b.replace("${" + name + "}", item).replace("$" + name, item)
-          }
-        case _ => expanded += l
+    // `for NAME in ITEMS; do … done` loops expand at DEQUEUE time (below)
+    // so item lists may use $(...)/vars and loops nest naturally
+    val expanded = logical
+
+    // quote-aware item split ("a b" is ONE item; "" is an EMPTY item) +
+    // bash brace expansion: {a,b} lists and {N..M} numeric ranges
+    def braceExpand(w: String): Seq[String] = {
+      val i = w.indexOf('{')
+      val j = if (i < 0) -1 else w.indexOf('}', i)
+      if (i < 0 || j < 0) Seq(w)
+      else {
+        val pre = w.take(i); val post = w.drop(j + 1)
+        val body = w.substring(i + 1, j)
+        val rangeRe = "^(-?\\d+)\\.\\.(-?\\d+)$".r
+        val members = body match {
+          case rangeRe(lo, hi) =>
+            val (l, h) = (lo.toLong, hi.toLong)
+            (if (l <= h) l to h else l to h by -1).map(_.toString)
+          case _ => body.split(",", -1).toSeq
+        }
+        members.flatMap(m => braceExpand(pre + m + post))
       }
+    }
+    def splitItems(items: String): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var inQ = false
+      var sawQ = false
+      var qch = ' '
+      for (ch <- items) {
+        if (inQ) { if (ch == qch) inQ = false else cur.append(ch) }
+        else if (ch == '"' || ch == '\'') { inQ = true; sawQ = true; qch = ch }
+        else if (ch.isWhitespace) {
+          if (cur.nonEmpty || sawQ) { out += cur.toString; cur.clear() }
+          sawQ = false
+        } else cur.append(ch)
+      }
+      if (cur.nonEmpty || sawQ) out += cur.toString
+      out.result().flatMap(w =>
+        if (w.contains('{') && w.contains('}')) braceExpand(w) else Seq(w))
     }
 
     // splice value for every $key occurrence, escaping `\` and `"` when
@@ -335,6 +334,42 @@ object ScriptHarness {
           sh.fifoNames.exists(shellWords(t0).contains)) {
         // `cmd … fifo > out &`: background reader over a named pipe
         sh.runBackground(substitute(t0.dropRight(1).trim))
+      } else if (t0.matches("^for\\s+[A-Za-z_][A-Za-z0-9_]*\\s+in\\s+.*;?\\s*do\\s*$")) {
+        // gather the body up to the MATCHING done (loops nest), resolve
+        // the item list (vars + $(...) + brace forms), prepend the
+        // expanded body — inner `for` lines re-enter this case later
+        val m = "^for\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+(.*?);?\\s*do\\s*$"
+          .r.findFirstMatchIn(t0).get
+        val (name, items) = (m.group(1), m.group(2))
+        val body = Vector.newBuilder[String]
+        var depth = 1
+        while (depth > 0 && queue.nonEmpty) {
+          val b = queue.dequeue()
+          val bt = b.trim
+          if (bt == "done") depth -= 1
+          else if (bt.matches("^for\\s+.*\\bdo\\s*$")) depth += 1
+          if (depth > 0) body += b
+        }
+        val bodyLines = body.result()
+        val resolved = splitItems(substitute(items))
+        queue.prependAll(resolved.flatMap(item => bodyLines.map(b =>
+          b.replace("${" + name + "}", item).replace("$" + name, item))))
+      } else if (t0 == "{") {
+        // brace group: run the body, concatenate outputs, pipe into the
+        // trailing `} | cmd` (or emit directly for a bare `}`)
+        val body = Vector.newBuilder[String]
+        var tail = ""
+        var going = true
+        while (going && queue.nonEmpty) {
+          val b = queue.dequeue().trim
+          if (b.startsWith("}")) { tail = b.stripPrefix("}").trim; going = false }
+          else body += b
+        }
+        val combined = body.result().filter(_.nonEmpty)
+          .map(l => sh.runBlock(substitute(l))).mkString
+        if (tail.startsWith("|"))
+          stdout.append(sh.runPiped(substitute(tail.stripPrefix("|").trim), combined))
+        else stdout.append(combined)
       } else if (t0.startsWith("trap ") || t0.startsWith("exec ")) {
         () // signal traps / fd redirection: nothing to clean up in-process
       } else if (t0.matches("""(\.|source)\s+\S*/bin/activate\s*""")) {
