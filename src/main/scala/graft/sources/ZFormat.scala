@@ -103,7 +103,12 @@ object ZFormat {
                 else try ZsonParser.parseType(graft.functions.Shaper.zedTypeOf(f.dataType))
                 catch { case _: Exception => Prim("string") }))
             }
-          VRec(own ++ added)
+          // a NAMED record type keeps its name on the value (vng/zng
+          // writers group and encode by the value's own type)
+          rowT match {
+            case nm @ Named(_, _) => VTyped(VRec(own ++ added), nm)
+            case _ => VRec(own ++ added)
+          }
         case _ =>
           // bare (non-record) value row: the payload travels in `this`
           fields.find(_._1.name == "this") match {
@@ -561,7 +566,7 @@ object ZFormat {
     var curSig: Vector[(String, String)] = null
     val it = df.toLocalIterator()
     while (it.hasNext) {
-      fn(it.next()) match {
+      unwrap(fn(it.next())) match {
         case rec @ VRec(_) =>
           val leaves = flatten(rec)
           val path = leaves.find(_._1 == "_path").map(f => unwrap(f._2) match {
@@ -628,7 +633,7 @@ object ZFormat {
     var header: Vector[String] = null
     val it = df.toLocalIterator()
     while (it.hasNext) {
-      fn(it.next()) match {
+      unwrap(fn(it.next())) match {
         case rec @ VRec(_) =>
           val leaves = flatten(rec)
           if (header == null) {

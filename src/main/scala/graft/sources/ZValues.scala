@@ -82,7 +82,8 @@ object ZType extends Serializable {
     * wrapper in the shape tag is what lets writers re-emit `null` and
     * keeps typeof() reporting the record type (container-types ztest).
     */
-  def nullWrap(t: String): String = "null(" + t + ")"
+  def nullWrap(t: String): String =
+    if (t == "null") t else "null(" + t + ")" // null(null) is just null
   def isNullWrap(t: String): Boolean = t.startsWith("null(") && t.endsWith(")")
   def stripNullWrap(t: String): String =
     if (isNullWrap(t)) t.substring(5, t.length - 1) else t
@@ -1153,11 +1154,18 @@ object ZValue {
         })
       case (ArrayType(et, _), ZType.Arr(e)) =>
         val items = v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e))
-        // empty arrays keep the declared element type via a typed wrapper
-        if (items.isEmpty) VTyped(VArr(items, false), stripped) else VArr(items, false)
+        // empty and all-null arrays keep the declared element type via a
+        // typed wrapper (the derived element type would collapse to null)
+        if (items.isEmpty || items.forall(i => unwrap(i) match {
+            case VNull(_) => true; case _ => false }))
+          VTyped(VArr(items, false), stripped)
+        else VArr(items, false)
       case (ArrayType(et, _), ZType.SetT(e)) =>
         val items = v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x => fromExternal(x, et, e))
-        if (items.isEmpty) VTyped(VArr(items, true), stripped) else VArr(items, true)
+        if (items.isEmpty || items.forall(i => unwrap(i) match {
+            case VNull(_) => true; case _ => false }))
+          VTyped(VArr(items, true), stripped)
+        else VArr(items, true)
       case (ArrayType(et, _), _) =>
         VArr(v.asInstanceOf[scala.collection.Seq[Any]].toVector.map(x =>
           fromExternal(x, et, ZType.Prim("string"))), false)

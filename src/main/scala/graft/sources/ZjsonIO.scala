@@ -340,13 +340,12 @@ object ZjsonIO extends Serializable {
   private def toZson(t0: JsonNode, v: JsonNode, types: TypeMap): String = {
     val t = deref(t0, types)
     if (v == null || v.isNull) {
-      // typed nulls keep their type via a decorator when not implied
+      // typed nulls ALWAYS keep their type via a decorator (the zjson
+      // stream carries complete types; the zson re-parse must too)
       val kind = t.get("kind").asText()
       return kind match {
-        case "primitive" if nonImplied(t.get("name").asText()) =>
-          s"null(${t.get("name").asText()})"
-        case "named" => s"null(${typeText(t, types)})"
-        case _ => "null"
+        case "primitive" if t.get("name").asText() == "null" => "null"
+        case _ => s"null(${typeText(t, types)})"
       }
     }
     t.get("kind").asText() match {
@@ -358,13 +357,23 @@ object ZjsonIO extends Serializable {
         }
         parts.mkString("{", ",", "}")
       case "array" | "set" =>
-        (0 until v.size()).map(i => toZson(t.get("type"), v.get(i), types))
+        val body = (0 until v.size()).map(i => toZson(t.get("type"), v.get(i), types))
           .mkString("[", ",", "]")
+        // null/empty elements can't imply the element type — decorate the
+        // container so the re-parse keeps it (formatter.go elemHelper)
+        val anyNull = (0 until v.size()).exists(i =>
+          v.get(i) == null || v.get(i).isNull)
+        if (v.size() == 0 || anyNull) s"$body(${typeText(t, types)})" else body
       case "map" =>
-        (0 until v.size()).map { i =>
+        val body = (0 until v.size()).map { i =>
           val kv = v.get(i)
           s"${toZson(t.get("key_type"), kv.get(0), types)}:${toZson(t.get("val_type"), kv.get(1), types)}"
         }.mkString("|{", ",", "}|")
+        val anyNull = (0 until v.size()).exists { i =>
+          val kv = v.get(i)
+          kv.get(0) == null || kv.get(0).isNull || kv.get(1) == null || kv.get(1).isNull
+        }
+        if (v.size() == 0 || anyNull) s"$body(${typeText(t, types)})" else body
       case "primitive" =>
         val s = v.asText()
         t.get("name").asText() match {

@@ -612,12 +612,27 @@ object ZngIO {
           val v =
             try {
               val zt0 = ZsonParser.parseType(ZType.stripNullWrap(tag))
-              val subject = (ZType.strip(zt0), base) match {
-                case (_: ZType.Rec, _) => base
-                case (_, ZValue.VRec(Seq(("this", inner)))) => inner
-                case _ => base
+              // a null(<type>) tag means the whole row IS a typed null —
+              // the physical columns are merge artifacts
+              if (ZType.isNullWrap(tag)) ZValue.VNull(zt0)
+              else {
+                val subject = (ZType.strip(zt0), base) match {
+                  // record shape in a MERGED frame: restrict to the shape's
+                  // own fields — sibling columns are other shapes' nulls
+                  // (the fast-path encoders read only the shape's columns)
+                  case (rec: ZType.Rec, ZValue.VRec(fs)) =>
+                    val byName = fs.toMap
+                    ZValue.VRec(rec.fields.flatMap { case (n, _) =>
+                      byName.get(n).map(n -> _) })
+                  case (_: ZType.Rec, _) => base
+                  // non-record shape in a MERGED frame: the value rides the
+                  // `this` carrier; sibling columns are other shapes' nulls
+                  case (_, ZValue.VRec(fs)) if fs.exists(_._1 == "this") =>
+                    fs.collectFirst { case ("this", inner) => inner }.get
+                  case _ => base
+                }
+                ZsonParser.retype(subject, zt0)
               }
-              ZsonParser.retype(subject, zt0)
             } catch { case _: Exception => base }
           val t = toZT(ZValue.typeOf(v))
           val id = table.idOf(t)

@@ -227,7 +227,7 @@ final class ZsonFormatter {
     // union back and recurse forever
     val v = unwrapUnionTyped(v0)
     val memberT = unionMember(u, v)
-    if (ZType.strip(memberT).isInstanceOf[Union])
+    if (ZType.strip(memberT) == u)
       sb.append(ZValue.zsonText(v)) // unresolvable: canonical, undecorated
     else
       formatValue(memberT, v, parentKnown = false, parentImplied = true, dec = true)
@@ -252,6 +252,14 @@ final class ZsonFormatter {
     val vtText = ZType.fullText(vt)
     u.alts.find(a => ZType.fullText(a) == vtText)
       .orElse(u.alts.find(a => ZType.fullText(ZType.strip(a)) == vtText))
+      // a NESTED union member that can represent the value claims it
+      // (formatter.go formats by tag; the canonical text lost the tag, so
+      // exact nested membership is the faithful reconstruction)
+      .orElse(u.alts.find(a => ZType.strip(a) match {
+        case inner: Union => inner.alts.exists(m =>
+          ZType.fullText(ZType.strip(m)) == vtText)
+        case _ => false
+      }))
       .getOrElse(vt)
   }
 

@@ -109,10 +109,35 @@ object ZsonIO {
     * Spark carrier (sets vs arrays, durations/time on longs, type
     * values, decorators). Public: boxing and writers reuse it.
     */
+  /** Does a type need the per-value ZsonFormatter at the output boundary?
+    * Unions (member resolution) and named types (per-value typedef state)
+    * can't decorate through the codegen'd column renderer.
+    */
+  private[sources] def needsFormatter(t: ZType): Boolean = t match {
+    case ZType.Named(_, _) => true
+    case ZType.Union(_) => true
+    case ZType.Rec(fs) => fs.exists { case (_, ft) => needsFormatter(ft) }
+    case ZType.Arr(e) => needsFormatter(e)
+    case ZType.SetT(e) => needsFormatter(e)
+    case ZType.MapT(k, v) => needsFormatter(k) || needsFormatter(v)
+    case ZType.ErrT(i) => needsFormatter(i)
+    case _ => false
+  }
+
   def zsonOfTyped(c: Column, dt: DataType, zt: Option[ZType]): Column = {
     val base = zsonOfTyped0(c, dt, zt)
     zt match {
-      case Some(t) if !isVariantType(dt) =>
+      // a typed NULL riding a variant carrier still decorates (null(int64));
+      // non-null variant values render canonically (decorWrap re-formats
+      // union/named shapes at the output boundary)
+      case Some(t) if isVariantType(dt) =>
+        val stripped = ZType.strip(t)
+        if (stripped == ZType.Prim("null")) base
+        // a null variant may be a present carrier with empty slots — test
+        // the rendered text, not just column nullness
+        else when(c.isNull || base.isNull || base === lit("null"),
+          lit(s"null(${ZType.fullText(t)})")).otherwise(base)
+      case Some(t) =>
         val stripped = ZType.strip(t)
         val txt = ZType.fullText(t)
         // non-implied primitives carry their decorator (zson spec:
@@ -262,6 +287,18 @@ object ZsonIO {
     def recordFmt(fs: Seq[StructField]): Column =
       concat(lit("{"), concat_ws(",", fs.map(f => fieldFmt(f)): _*), lit("}"))
 
+    // output-boundary decorated re-format: shapes containing unions or
+    // named types can't decorate through the codegen'd per-field renderer
+    // (member resolution + per-value typedef state, zson/formatter.go) —
+    // those rows re-format their canonical text against the shape's type
+    val decorU = udf((text: String, t: String) => ZsonFormatter.formatText(text, t))
+    def decorWrap(rowCol: Column, shapeText: String): Column =
+      (try Some(ZsonParser.parseType(ZType.stripNullWrap(shapeText)))
+       catch { case _: Exception => None }) match {
+        case Some(zt) if ZsonIO.needsFormatter(zt) => decorU(rowCol, lit(shapeText))
+        case _ => rowCol
+      }
+
     val tagF = st.fields.find(_.name == het.typeTag)
     val shapes: Seq[String] = tagF
       .filter(_.metadata.contains("shapes"))
@@ -300,9 +337,13 @@ object ZsonIO {
         case None => zsonOf(col("this"), dt)
       }
       val line = shapes.foldLeft(base) { (acc, t) =>
-        (try Some(ZsonParser.parseType(t)) catch { case _: Exception => None }) match {
+        if (ZType.isNullWrap(t))
+          // typed top-level null: the tag text IS zed's output (null(int64))
+          when(col(het.typeTag) === t, lit(t)).otherwise(acc)
+        else (try Some(ZsonParser.parseType(t)) catch { case _: Exception => None }) match {
           case Some(z) =>
-            when(col(het.typeTag) === t, zsonOfZ(col("this"), dt, Some(z))).otherwise(acc)
+            when(col(het.typeTag) === t,
+              decorWrap(zsonOfZ(col("this"), dt, Some(z)), t)).otherwise(acc)
           case None => acc
         }
       }
@@ -356,21 +397,29 @@ object ZsonIO {
           // is the empty-record carrier on record shapes, never data)
           val added = fields.filterNot(f => inAnyShape(f.name) || f.name == "this")
             .map { f => when(col(s"`${f.name}`").isNotNull, fieldFmt(f)) }
+          val row = concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}"))
+          // STALE shape tags (an operator renamed/dropped columns without
+          // rewriting tags) must not reach the formatter — its positional
+          // fallback would mislabel fields; engage only when the shape's
+          // fields all exist physically and nothing was added beside them
+          val shapeMatches =
+            own.length == shapeFields.length && added.isEmpty
           Some(carrierWins(
-            concat(lit("{"), concat_ws(",", own ++ added: _*), lit("}"))))
-        case Some(_) if fields.exists(_.name == "this") =>
+            if (shapeMatches) decorWrap(row, t) else row))
+        case Some(z) if fields.exists(_.name == "this") =>
           // bare (non-record) value stream row; operator-added columns
           // (e.g. a sibling branch's put) wrap into a record ONLY when
           // one is non-null on this row — else the value stays bare
           val thisF = fields.find(_.name == "this").get
+          val bare = decorWrap(zsonOfZ(col("this"), thisF.dataType, Some(z)), t)
           val extras = fields.filterNot(f => f.name == "this" || inAnyShape(f.name))
-          if (extras.isEmpty) Some(zsonOf(col("this"), thisF.dataType))
+          if (extras.isEmpty) Some(bare)
           else {
             val anyExtra = extras.map(f => col(s"`${f.name}`").isNotNull).reduce(_ || _)
             val withExtras = concat(lit("{"), concat_ws(",",
               fieldFmt(thisF) +: extras.map(f =>
                 when(col(s"`${f.name}`").isNotNull, fieldFmt(f))): _*), lit("}"))
-            Some(when(anyExtra, withExtras).otherwise(zsonOf(col("this"), thisF.dataType)))
+            Some(when(anyExtra, withExtras).otherwise(bare))
           }
         case _ => None
       }

@@ -173,6 +173,15 @@ object MdtestHarness {
     private var defaultStdin: Option[String] = None
     def setDefaultStdin(text: String): Unit = defaultStdin = Some(text)
 
+    /** Default `super query` output format when no -f/-z/... flag is
+      * given. The reference's outputflags default to binary zng (bsup)
+      * whenever stdout is NOT a terminal — which is always true in
+      * ztest scripts (ztest/ztest.go runs via exec pipes), so the
+      * script harness sets "zng"; the doc-example harness keeps "zson"
+      * (docs show terminal sessions).
+      */
+    var defaultOutFormat: String = "zson"
+
     /** Run one command line with an explicit stdin (brace-group pipes:
       * `{ cmd; cmd; } | tail` feeds the group's concatenated output).
       */
@@ -967,7 +976,7 @@ object MdtestHarness {
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
       spark.conf.unset("graft.agg.maxValueSize") // per-command flag
-      var format = "zson"
+      var format = defaultOutFormat
       var inFmt: Option[String] = None
       var query: Option[String] = None
       var includes = Vector.empty[String]
@@ -1294,7 +1303,10 @@ object MdtestHarness {
               // binary to (non-tty) stdout: bytes ride back as ISO-8859-1
               // so a shell `>` redirect or pipe stays byte-exact. Writers
               // emit a DIRECTORY of parts; concatenated parts are a valid
-              // stream for these formats
+              // stream for these formats. An EMPTY result emits zero
+              // bytes (the reference writer only closes streams it
+              // opened — no lone EOS marker)
+              if (res.isEmpty) return ""
               val d = java.nio.file.Files.createTempDirectory("mdbin")
               val p = d.resolve("out." + f.format)
               Formats.write(res.coalesce(1), p.toString, f.format)

@@ -154,6 +154,9 @@ object ScriptHarness {
         text.getBytes(if (binary) "ISO-8859-1" else "UTF-8"))
     }
     val sh = new MdtestHarness.Shell(spark, wd)
+    // ztest scripts run with a non-tty stdout: the reference's default
+    // output format there is binary zng (cli/outputflags.go)
+    sh.defaultOutFormat = "zng"
     // ztest scripts receive an input named `stdin` on their stdin —
     // commands reading `-` without a pipe see it (ztest.go)
     c.inputs.collectFirst { case ("stdin", text) => text }
@@ -565,11 +568,20 @@ object ScriptHarness {
             new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           else ""
       }
-      if (o.isRegex)
-        java.util.regex.Pattern.compile(lenientBraces(o.text.trim),
-            java.util.regex.Pattern.DOTALL)
-          .matcher(actual).find()
-      else o.text == actual || o.text.trim == actual.trim
+      val ok =
+        if (o.isRegex)
+          java.util.regex.Pattern.compile(lenientBraces(o.text.trim),
+              java.util.regex.Pattern.DOTALL)
+            .matcher(actual).find()
+        else o.text == actual || o.text.trim == actual.trim
+      if (!ok && sys.env.contains("MISCFLOW_DIFF")) {
+        System.err.println(s"==== ${c.file} [${o.name}]")
+        System.err.println("---- expected:")
+        System.err.println(o.text.linesIterator.take(12).mkString("\n"))
+        System.err.println("---- actual:")
+        System.err.println(actual.linesIterator.take(12).mkString("\n"))
+      }
+      ok
     }
 
   /** Go's RE2 treats a `{` that does not begin a valid repetition as a

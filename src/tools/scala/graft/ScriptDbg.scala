@@ -3,9 +3,15 @@ object ScriptDbg {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
-    val cases = ScriptHarness.extract(Seq(
-      "/root/reference/lake/ztests", "/root/reference/cmd/super/db/ztests",
-      "/root/reference/cmd/super/query/ztests"))
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get("/root/reference"))
+      .iterator()
+    val b = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString == "ztests") b += p.toString
+    }
+    val cases = ScriptHarness.extract(b.result())
     for (sub <- args; c <- cases.filter(_.file.contains(sub))) {
       println("##### " + c.file)
       try {
