@@ -357,8 +357,41 @@ object ZedOps {
   }
 
   /** `combine` — unordered union of branches (runtime/sam/op/combine). */
+  /** Give an UNTAGGED single-shape frame its shape tag so a het union
+    * keeps per-branch type identity (two parquet files of different
+    * schemas stay two record types, reference zio/parquetio combine).
+    */
+  private def ensureTagged(df: DataFrame): DataFrame = {
+    val het = graft.operators.Het
+    if (df.columns.contains(het.typeTag)) return df
+    val fieldTexts = df.schema.fields.toIndexedSeq
+      .filterNot(_.metadata.contains("graft.scopeVar"))
+      .map { f =>
+        val t =
+          if (f.metadata.contains("graft.zedType")) f.metadata.getString("graft.zedType")
+          else try graft.functions.Shaper.zedTypeOf(f.dataType)
+          catch { case _: Exception => "string" }
+        graft.sources.ZType.fieldName(f.name) + ":" + t
+      }
+    val shapeText = fieldTexts.mkString("{", ",", "}")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray("shapes", Array(shapeText)).build()
+    df.withColumn(het.typeTag, lit(shapeText))
+      .select((df.schema.fields.toIndexedSeq.map(f =>
+        col(s"`${f.name}`").as(f.name, f.metadata)) :+
+        col(het.typeTag).as(het.typeTag, md)): _*)
+  }
+
   def combine(branches: DataFrame*): DataFrame = {
     if (branches.length == 1) return branches.head
+    // distinct static schemas merge as DISTINCT record types: tag each
+    // untagged branch with its own shape before the union
+    if (branches.map(_.schema.fieldNames.toSeq).distinct.length > 1)
+      return combineTagged(branches.map(ensureTagged): _*)
+    combineTagged(branches: _*)
+  }
+
+  private def combineTagged(branches: DataFrame*): DataFrame = {
     // zed forms a UNION TYPE when branches disagree on a column's type
     // (switch/fork semantics): box the incompatible sides into variants
     // instead of failing the Spark union. Numeric-only disagreements are

@@ -643,7 +643,9 @@ object VngIO {
           case _: java.io.EOFException =>
             // shorter than the fixed header — not VNG, not a read error
             r.close()
-            throw new IllegalArgumentException(s"not a VNG file (too short): $path")
+            // shorter than the fixed header: the reference reader surfaces
+            // the raw io EOF (vng/object.go ReadHeader)
+            throw new IllegalArgumentException(s"$path: EOF")
           case e: Throwable => r.close(); throw e
         }
       if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {

@@ -560,7 +560,12 @@ object ZValue {
     else if (d.isPosInfinity) "+Inf"
     else if (d.isNegInfinity) "-Inf"
     else if (d == Math.floor(d) && Math.abs(d) < 1e15) s"${d.toLong}."
-    else d.toString
+    else {
+      // Go strconv 'g' shortest (zson/formatter.go FormatFloat) — the
+      // implied-float dot appends only when no '.'/'e' marks it float
+      val s = ZFormat.goG(d, 64)
+      if (s.exists(c => c == '.' || c == 'e')) s else s + "."
+    }
 
   /** Render a VARIANT ROW (Het.variantType or a 6-slot leaf) to canonical
     * ZSON text — the row-level twin of zsonText, used to reconstruct a

@@ -198,10 +198,35 @@ object ZngIO {
     * smaller than the raw payload (pierrec CompressBlock into a buffer of
     * the payload's size), else raw.
     */
+  /** Diagnostic CLI knobs (-zng.compress=false / -zng.readmax): frames
+    * write raw / reads cap the frame length. Set by the test harness in
+    * local mode; cluster data paths keep the defaults.
+    */
+  @volatile private[graft] var compressFrames: Boolean = true
+  @volatile private[graft] var readMaxFrame: Long = Long.MaxValue
+
+  /** Walk the stream's frame headers; fail like the reference reader when
+    * one exceeds the -zng.readmax cap (zngio/reader.go ReadPayload).
+    */
+  private[graft] def checkReadMax(name: String, bytes: Array[Byte]): Unit = {
+    if (readMaxFrame == Long.MaxValue) return
+    val c = new Cursor(bytes, 0)
+    while (!c.done) {
+      val code = c.u8()
+      if (code != 0xff) {
+        val len = ((c.uvarint() << 4) | (code & 0xf).toLong)
+        if (len > readMaxFrame)
+          throw new IllegalArgumentException(
+            s"$name: zngio: frame length ($len) exceeds maximum allowed ($readMaxFrame)")
+        c.pos += len.toInt
+      }
+    }
+  }
+
   private[sources] def frame(t: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val len = payload.length
-    if (len > 0) {
+    if (len > 0 && compressFrames) {
       // byte-exact reference compressor (Lz4Block): returns 0 when the
       // compressed form wouldn't beat the raw payload, exactly like the
       // reference writer's CompressBlock-into-len(b) fallback
@@ -2952,6 +2977,7 @@ object ZngIO {
           val raw = HadoopFs.readAll(conf, p)
           val gz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b
           val bytes = Gzip.maybeGunzip(raw)
+          checkReadMax(p.substring(p.lastIndexOf('/') + 1), bytes)
           val (shapes, count, fileNs) = scanMeta(bytes, 0L)
           // gzip can't be range-read — such a file stays one split
           val streams = if (gz) Vector(0L) else streamOffsets(bytes)

@@ -45,6 +45,19 @@ final class ZsonFormatter {
 
   def result: String = sb.toString
 
+  /** Cross-value typedef persistence (zson writer -persist): drop the
+    * typedefs whose names do NOT match, keep the rest for the next value.
+    */
+  def resetExcept(keep: String => Boolean): Unit =
+    typedefs.filterInPlace((n, _) => keep(n))
+
+  /** Format one top-level value, reusing this formatter's typedef state. */
+  def formatNext(typ: ZType, v: ZValue): String = {
+    sb.clear()
+    formatValueAndDecorate(typ, v)
+    result
+  }
+
   def formatValueAndDecorate(typ: ZType, v: ZValue): Unit = {
     val known = hasName(typ)
     formatValue(typ, v, known, ZType.implied(typ), dec = false)

@@ -46,20 +46,21 @@ object ZsonIO {
       case DoubleType =>
         // float64 is implied by a decimal point (zson.md §2.3.1): integral
         // doubles print with a trailing dot; non-finite as zed's
-        // NaN/+Inf/-Inf spellings (not Java's Infinity)
+        // NaN/+Inf/-Inf spellings; the rest in Go strconv 'g' form
+        // (1.52e+09, not Java's 1.52E9)
         when(isnan(c), lit("NaN"))
           .when(c === lit(Double.PositiveInfinity), lit("+Inf"))
           .when(c === lit(Double.NegativeInfinity), lit("-Inf"))
           .when(c === floor(c) && abs(c) < 1e15,
             concat(c.cast(LongType).cast(StringType), lit(".")))
-          .otherwise(c.cast(StringType))
+          .otherwise(graft.functions.Bridge.column(graft.functions.GoFloatText(graft.functions.Bridge.expression(c))))
       case FloatType =>
         concat(when(isnan(c), lit("NaN"))
           .when(c === lit(Float.PositiveInfinity), lit("+Inf"))
           .when(c === lit(Float.NegativeInfinity), lit("-Inf"))
           .when(c.cast(DoubleType) === floor(c.cast(DoubleType)) && abs(c) < 1e7,
             concat(c.cast(LongType).cast(StringType), lit(".")))
-          .otherwise(c.cast(StringType)), lit(" (float32)"))
+          .otherwise(graft.functions.Bridge.column(graft.functions.GoFloatText(graft.functions.Bridge.expression(c)))), lit(" (float32)"))
       case dt: DecimalType if dt.precision == 20 && dt.scale == 0 =>
         // the full-range uint64 carrier: exact digits + its zed decorator
         concat(c.cast(StringType), lit("(uint64)"))
@@ -124,7 +125,14 @@ object ZsonIO {
     case _ => false
   }
 
-  def zsonOfTyped(c: Column, dt: DataType, zt: Option[ZType]): Column = {
+  def zsonOfTyped(c: Column, dt: DataType, zt: Option[ZType]): Column =
+    zsonOfTyped(c, dt, zt, top = false)
+
+  /** `top`: a TOP-LEVEL value decorates like formatter.go FormatValue —
+    * empty containers of an implied type stay bare (`[]`), while nested
+    * fields decorate them like nulls (formatVector's nullish rule).
+    */
+  def zsonOfTyped(c: Column, dt: DataType, zt: Option[ZType], top: Boolean): Column = {
     val base = zsonOfTyped0(c, dt, zt)
     zt match {
       // a typed NULL riding a variant carrier still decorates (null(int64));
@@ -172,11 +180,15 @@ object ZsonIO {
               // an EMPTY container cannot imply its type — it decorates
               // like a null (zson/formatter.go formatVector null return)
               case (ZType.Arr(_) | ZType.SetT(_)) if dt.isInstanceOf[ArrayType] =>
-                when(c.isNull, lit(s"null($txt)"))
+                if (top && ZType.implied(stripped))
+                  when(c.isNull, lit(s"null($txt)")).otherwise(base)
+                else when(c.isNull, lit(s"null($txt)"))
                   .when(size(c) === 0, concat(base, lit(s"($txt)")))
                   .otherwise(base)
               case ZType.MapT(_, _) if dt.isInstanceOf[MapType] =>
-                when(c.isNull, lit(s"null($txt)"))
+                if (top && ZType.implied(stripped))
+                  when(c.isNull, lit(s"null($txt)")).otherwise(base)
+                else when(c.isNull, lit(s"null($txt)"))
                   .when(size(map_keys(c)) === 0, concat(base, lit(s"($txt)")))
                   .otherwise(base)
               case _ => when(c.isNull, lit(s"null($txt)")).otherwise(base)
@@ -264,8 +276,9 @@ object ZsonIO {
     import df.sparkSession.implicits._
     // zed-type-aware formatting: durations travel as ns longs — the
     // shape tag says which longs are durations (emitted as `<ns>ns`)
-    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType]): Column =
-      ZsonIO.zsonOfTyped(c, dt, zt)
+    def zsonOfZ(c: Column, dt: DataType, zt: Option[ZType],
+        top: Boolean = false): Column =
+      ZsonIO.zsonOfTyped(c, dt, zt, top)
     def fieldFmt(f: StructField, zt: Option[ZType] = None): Column = {
       // zed types relational columns can't express (uint64 counts, sets,
       // type values) ride as field metadata from the compiler
@@ -333,7 +346,7 @@ object ZsonIO {
           catch { case _: Exception => None }
         else None
       val base = metaZt match {
-        case Some(z) => zsonOfZ(col("this"), dt, Some(z))
+        case Some(z) => zsonOfZ(col("this"), dt, Some(z), top = true)
         case None => zsonOf(col("this"), dt)
       }
       val line = shapes.foldLeft(base) { (acc, t) =>
@@ -343,7 +356,7 @@ object ZsonIO {
         else (try Some(ZsonParser.parseType(t)) catch { case _: Exception => None }) match {
           case Some(z) =>
             when(col(het.typeTag) === t,
-              decorWrap(zsonOfZ(col("this"), dt, Some(z)), t)).otherwise(acc)
+              decorWrap(zsonOfZ(col("this"), dt, Some(z), top = true), t)).otherwise(acc)
           case None => acc
         }
       }
@@ -411,7 +424,7 @@ object ZsonIO {
           // (e.g. a sibling branch's put) wrap into a record ONLY when
           // one is non-null on this row — else the value stays bare
           val thisF = fields.find(_.name == "this").get
-          val bare = decorWrap(zsonOfZ(col("this"), thisF.dataType, Some(z)), t)
+          val bare = decorWrap(zsonOfZ(col("this"), thisF.dataType, Some(z), top = true), t)
           val extras = fields.filterNot(f => f.name == "this" || inAnyShape(f.name))
           if (extras.isEmpty) Some(bare)
           else {

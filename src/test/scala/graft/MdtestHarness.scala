@@ -133,6 +133,8 @@ object MdtestHarness {
           endToken(); i += 1
         case '|' if !started || cur.isEmpty =>
           endToken(); tokens += "|"; nTokens += 1; lastWasPipe = true; i += 1
+        case '>' if !started && i + 1 < n && body.charAt(i + 1) == '>' =>
+          endToken(); tokens += ">>"; nTokens += 1; lastWasPipe = false; i += 2
         case '>' if !started &&
             !(i + 1 < n && body.charAt(i + 1) == '=') =>
           // `>=` inside an unquoted word is a comparison, not a redirect
@@ -500,12 +502,16 @@ object MdtestHarness {
     }
 
     private def runCommand(tokens0: Seq[String]): String = {
-      // strip a trailing `> file` redirect
+      // strip a trailing `> file` / `>> file` redirect
       var tokens = tokens0
       var redirect: Option[String] = None
+      var append = false
       val gt = tokens.indexOf(">")
+      val gtgt = tokens.indexOf(">>")
       if (gt >= 0 && gt == tokens.length - 2) {
         redirect = Some(tokens.last); tokens = tokens.take(gt)
+      } else if (gtgt >= 0 && gtgt == tokens.length - 2) {
+        redirect = Some(tokens.last); append = true; tokens = tokens.take(gtgt)
       }
       // split into pipeline segments
       val segs = {
@@ -538,8 +544,12 @@ object MdtestHarness {
           fifo.synchronized { fifo.buf.append(outText); fifo.notifyAll() }
           ""
         case Some(f) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(filePath(f)),
-            encodeOut(outText))
+          val tgt = java.nio.file.Paths.get(filePath(f))
+          if (append && java.nio.file.Files.exists(tgt))
+            java.nio.file.Files.write(tgt, encodeOut(outText),
+              java.nio.file.StandardOpenOption.APPEND)
+          else
+            java.nio.file.Files.write(tgt, encodeOut(outText))
           ""
         case None => outText
       }
@@ -972,10 +982,13 @@ object MdtestHarness {
       outFile: Option[String], quiet: Boolean,
       split: Option[String] = None, splitSize: Option[Long] = None,
       canonical: Boolean = false, noStop: Boolean = false,
-      stats: Boolean = false)
+      stats: Boolean = false, persist: Option[String] = None)
 
     private def parseQueryFlags(args: Seq[String]): QFlags = {
-      spark.conf.unset("graft.agg.maxValueSize") // per-command flag
+      spark.conf.unset("graft.agg.maxValueSize") // per-command flags
+      graft.sources.ZngIO.compressFrames = true
+      graft.sources.ZngIO.readMaxFrame = Long.MaxValue
+      var persist: Option[String] = None
       var format = defaultOutFormat
       var inFmt: Option[String] = None
       var query: Option[String] = None
@@ -993,9 +1006,12 @@ object MdtestHarness {
       var stats = false
       var i = 0
       def sizeOf(v: String): Long =
-        """(\d+)([KMG]?)B?""".r.findFirstMatchIn(v).map { m =>
+        """(\d+)(KiB|MiB|GiB|KB|MB|GB|[KMG]?B?)""".r.findFirstMatchIn(v).map { m =>
           m.group(1).toLong * (m.group(2) match {
-            case "K" => 1024L; case "M" => 1024L * 1024; case "G" => 1024L * 1024 * 1024
+            // go-units: KB/MB/GB are SI (1000), K/KiB binary (1024)
+            case "KB" => 1000L; case "MB" => 1000L * 1000; case "GB" => 1000L * 1000 * 1000
+            case "K" | "KiB" => 1024L; case "M" | "MiB" => 1024L * 1024
+            case "G" | "GiB" => 1024L * 1024 * 1024
             case _ => 1L
           })
         }.getOrElse(0L)
@@ -1036,7 +1052,18 @@ object MdtestHarness {
           // per-value flush: realized by the fifo background reader's
           // chunk-at-a-time processing (runBackground)
           case "-unbuffered" => i += 1
+          // legacy zq -B: force binary zng even on a terminal
+          case "-B" => format = "zng"; explicitFmt = true; i += 1
+          case "-pretty=0" => format = "zson"; explicitFmt = true; i += 1
+          case p if p.startsWith("-pretty=") =>
+            format = "zson-pretty"; explicitFmt = true; i += 1
           case "-pretty" => format = "zson-pretty"; explicitFmt = true; i += 2
+          case "-zng.compress=false" =>
+            graft.sources.ZngIO.compressFrames = false; i += 1
+          case "-zng.readmax" =>
+            graft.sources.ZngIO.readMaxFrame = sizeOf(args(i + 1)); i += 2
+          case "-zng.threads" => i += 2
+          case "-persist" => persist = Some(args(i + 1)); i += 2
           case "-C" => canonical = true; i += 1
           case "-version" =>
             throw new VersionRequested
@@ -1083,7 +1110,7 @@ object MdtestHarness {
       if (jFlag && explicitFmt)
         throw new RuntimeException("cannot use -j or -J with -f, -z, or -Z")
       QFlags(format, inFmt, query, includes, files, useStdin, outFile, quiet,
-        split, splitSize, canonical, noStop, stats)
+        split, splitSize, canonical, noStop, stats, persist)
     }
 
     private def buildStdinFrame(text: String, inFmt: Option[String]): DataFrame =
@@ -1133,6 +1160,7 @@ object MdtestHarness {
       val flags = inFmt.map(f => s"-i $f").getOrElse {
         if (text.startsWith("#separator") || text.startsWith("#fields") ||
             text.startsWith("#path")) "-i zeek"
+        else if (looksLikeSv(text, '\t')) "-i tsv"
         else if (looksLikeCsv(text)) "-i csv"
         else ""
       }
@@ -1143,11 +1171,13 @@ object MdtestHarness {
     /** anyio-style stdin sniff: a comma-regular header plus rows that do
       * NOT parse as zson (bare `a,b` words aren't zson values).
       */
-    private def looksLikeCsv(text: String): Boolean = {
+    private def looksLikeCsv(text: String): Boolean = looksLikeSv(text, ',')
+
+    private def looksLikeSv(text: String, sep: Char): Boolean = {
       val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-      if (lines.length < 2 || !lines.head.contains(',')) return false
-      val n = lines.head.count(_ == ',')
-      if (!lines.forall(l => l.count(_ == ',') == n)) return false
+      if (lines.length < 2 || !lines.head.contains(sep)) return false
+      val n = lines.head.count(_ == sep)
+      if (n == 0 || !lines.forall(l => l.count(_ == sep) == n)) return false
       try { graft.sources.ZsonParser.parseAll(text); false }
       catch { case _: Exception => true }
     }
@@ -1219,6 +1249,11 @@ object MdtestHarness {
         if (es.isEmpty) return outs.toString
         throw new PartialOutput(outs.toString, es.mkString("\n"))
       }
+      // an explicit `-` with EMPTY/absent stdin reads zero values (the
+      // reference CLI emits nothing, it does not error)
+      if (f.useStdin && f.files.isEmpty && queryText.isEmpty &&
+          stdin.forall(_.isEmpty))
+        return ""
       val frames =
         f.files.map(p => Formats.read(spark, filePath(p))) ++
           (if (f.useStdin || (f.files.isEmpty && stdin.isDefined))
@@ -1252,10 +1287,31 @@ object MdtestHarness {
     private def renderOut(res: DataFrame, f: QFlags): String = {
       f.split.foreach { dir => return renderSplit(res, f, dir) }
       val lines: Seq[String] = f.format match {
+        case "zson" if f.persist.isDefined =>
+          // -persist <regex>: typedefs whose NAME matches persist across
+          // top-level values instead of resetting per value — re-render
+          // the decorated stream through one shared formatter
+          val re = java.util.regex.Pattern.compile(f.persist.get)
+          val fmt = new graft.sources.ZsonFormatter
+          ZsonIO.toZson(res).collect().toSeq.map { line =>
+            fmt.resetExcept(n => re.matcher(n).find())
+            try {
+              val v = new graft.sources.ZsonParser(line).parseOne()
+              fmt.formatNext(graft.sources.ZValue.typeOf(v), v)
+            } catch { case _: Exception => line }
+          }
         case "zson" => ZsonIO.toZson(res).collect().toSeq
         case "zson-pretty" =>
           ZsonIO.toZson(res).collect().toSeq
             .map(graft.sources.ZFormat.prettyZson(_))
+        case "tsv" =>
+          try graft.sources.ZFormat.csvLines(res, "\t")
+          catch {
+            case e: graft.sources.ZFormat.CsvShapeError =>
+              throw new MdtestHarness.PartialOutput(
+                e.partial.mkString("", "\n", if (e.partial.isEmpty) "" else "\n"),
+                e.getMessage)
+          }
         case "csv" =>
           try graft.sources.ZFormat.csvLines(res)
           catch {
@@ -1297,7 +1353,18 @@ object MdtestHarness {
               res.foreach(_ => ())
               return ""
             case Some(out) =>
-              Formats.write(res, filePath(out), f.format)
+              // the reference CLI writes a single FILE — scripts cat/read
+              // it directly, so concatenate the part files into one
+              val d = java.nio.file.Files.createTempDirectory("mdbin")
+              val p = d.resolve("out." + f.format)
+              Formats.write(res.coalesce(1), p.toString, f.format)
+              val parts = java.nio.file.Files.list(p).iterator.asScala
+                .filter(_.getFileName.toString.startsWith("part-"))
+                .toSeq.sortBy(_.getFileName.toString)
+              val bos = new java.io.ByteArrayOutputStream()
+              parts.foreach(pp => bos.write(java.nio.file.Files.readAllBytes(pp)))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(filePath(out)), bos.toByteArray)
               return ""
             case None =>
               // binary to (non-tty) stdout: bytes ride back as ISO-8859-1

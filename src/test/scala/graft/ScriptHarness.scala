@@ -60,8 +60,16 @@ object ScriptHarness {
       // directory itself (ztest.go copies it into the work dir)
       for (n <- curName if curSection == "inputs") {
         val f = path.getParent.resolve(n)
-        if (java.nio.file.Files.isRegularFile(f))
-          inputs += n -> new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          // binary fixtures (parquet/vng/zng) ride as ISO-8859-1 strings
+          val text =
+            try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            catch { case _: java.nio.charset.CharacterCodingException =>
+              new String(bytes, "ISO-8859-1") }
+          inputs += n -> text
+        }
       }
       curName = None; curSource = None
     }

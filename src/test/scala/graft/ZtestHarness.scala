@@ -69,8 +69,9 @@ object ZtestHarness {
   def buildInput(spark: SparkSession, c: ZCase): DataFrame = {
     import spark.implicits._
     val fl = c.inputFlags
-    if (fl.contains("-i csv")) {
-      val delim = if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
+    if (fl.contains("-i csv") || fl.contains("-i tsv")) {
+      val delim = if (fl.contains("-i tsv")) "\t"
+        else if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
       import org.apache.spark.sql.functions._
       val het = graft.operators.Het
       val df = spark.read
