@@ -708,7 +708,7 @@ final class Service(spark: SparkSession, defaultDir: String, port: Int,
         (" " * (col - 1)) + ("~" * len)
     val firstFrom: Option[String] =
       try graft.lang.Parser.parse(q).stages.headOption.collect {
-        case graft.lang.Stage.From(t, _) => t
+        case graft.lang.Stage.From(t, _, _, _) => t
       } catch { case _: Exception =>
         if (q.startsWith("from ")) Some(q.stripPrefix("from ").split("\\s|\\|")(0))
         else None

@@ -31,6 +31,11 @@ object Expr {
     */
   final case class SubQuery(p: Pipeline) extends Expr
 
+  /** f-string kept structurally for canonical printing (preserve mode
+    * only; the compiler sees the lowered __concat form).
+    */
+  final case class FString(elems: Seq[Either[String, Expr]]) extends Expr
+
   /** Call to a self- or mutually-recursive user `func` — macro expansion
     * cannot terminate, so the call carries the whole func table and
     * evaluates row-level in a small interpreter (the reference evaluates
@@ -63,7 +68,10 @@ final case class AggCall(fn: String, arg: Option[Expr], where: Option[Expr],
 sealed trait Stage
 
 object Stage {
-  final case class From(table: String, format: Option[String] = None) extends Stage
+  final case class From(table: String, format: Option[String] = None,
+      kind: String = "from", // from | file | get | pool
+      extras: Seq[(String, Expr)] = Seq.empty // get method/headers/body
+  ) extends Stage
   final case class Where(e: Expr) extends Stage
   final case class Cut(fields: Seq[(String, Option[Expr])]) extends Stage
   final case class Put(assigns: Seq[(String, Expr)]) extends Stage
@@ -86,8 +94,8 @@ object Stage {
   final case class Sort(
       keys: Seq[(Expr, Boolean)], // (expr, ascending)
       nullsFirst: Boolean) extends Stage
-  final case class Head(n: Int) extends Stage
-  final case class Tail(n: Int) extends Stage
+  final case class Head(n: Int, explicit: Boolean = true) extends Stage
+  final case class Tail(n: Int, explicit: Boolean = true) extends Stage
   final case class Top(n: Int, keys: Seq[Expr]) extends Stage
   final case class Uniq(withCount: Boolean) extends Stage
   final case class Summarize(
@@ -127,6 +135,17 @@ object Stage {
   final case class Assert(e: Expr, text: String) extends Stage
   /** inlined user-defined operator body (semantic/op.go:853-860) */
   final case class Block(p: Pipeline) extends Stage
+
+  // ---- preserve-mode nodes (zfmt canonical printing only; the compiler
+  // never sees these — Parser.parsePreserve keeps declarations and user-op
+  // calls unexpanded so `dev compile -C` can print them verbatim) ----
+  final case class ConstDecl(name: String, e: Expr) extends Stage
+  final case class FuncDecl(name: String, params: Seq[String], body: Expr) extends Stage
+  final case class OpDecl(name: String, params: Seq[String], body: Pipeline) extends Stage
+  final case class TypeDecl(name: String, text: String) extends Stage
+  final case class OpCall(name: String, args: Seq[Expr]) extends Stage
+  /** `from ( <trunk> ... )` kept structurally for canonical printing */
+  final case class FromTrunks(trunks: Seq[(From, Option[Pipeline])]) extends Stage
 }
 
 final case class Pipeline(stages: Seq[Stage])

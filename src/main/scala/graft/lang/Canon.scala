@@ -26,8 +26,8 @@ object Canon {
     case Stage.Rename(rs) =>
       "rename " + rs.map { case (to, from) => s"$to:=$from" }.mkString(",")
     case Stage.Yield(es) => "yield " + es.map(expr).mkString(",")
-    case Stage.Head(n) => s"head $n"
-    case Stage.Tail(n) => s"tail $n"
+    case Stage.Head(n, _) => s"head $n"
+    case Stage.Tail(n, _) => s"tail $n"
     case Stage.Uniq(c) => if (c) "uniq -c" else "uniq"
     case Stage.Sort(keys, _) =>
       "sort " + keys.map { case (e, asc) =>
@@ -46,7 +46,7 @@ object Canon {
           if (n == Expr.inferName(e)) t else s"$n:=$t"
         }.mkString(",")
       s"summarize\n    $aggText$byText"
-    case Stage.From(t, _) => s"from $t"
+    case Stage.From(t, _, _, _) => s"from $t"
     case Stage.Pass => "pass"
     case Stage.Block(p) => pipeline(p)
     case other =>

@@ -142,7 +142,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         // meta scans (`from pool@branch:objects` / `:log` / `:branches`)
         // dispatch BEFORE the data scan — an `@ref:meta` suffix is not a
         // commit ref
-        case (Stage.From(t, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
+        case (Stage.From(t, _, _, _), _) if t.contains(":") && lakeMetaFrame(t).isDefined =>
           state = Seq(lakeMetaFrame(t).get)
         // `from <pool>[@branch|@commit]` under graft.lake.root: a
         // merge-on-read lake scan. A following `where` on the pool key
@@ -160,7 +160,7 @@ final class Compiler(spark: SparkSession, dir: String) {
             r <- keyRangeOf(e, key)
           } yield r
           state = Seq(graft.sources.Lake.scan(spark, root, pool, at, range))
-        case (Stage.From(t0, _), _)
+        case (Stage.From(t0, _, _, _), _)
             if (t0 == "*" || t0.matches("[A-Za-z0-9_.*-]*\\*[A-Za-z0-9_.*-]*") ||
               (t0.length > 2 && t0.startsWith("/") && t0.endsWith("/"))) &&
               spark.conf.getOption("graft.lake.root").isDefined =>
@@ -368,7 +368,7 @@ final class Compiler(spark: SparkSession, dir: String) {
     */
   private def lakePoolOf(stage: Stage): Option[(String, String, Option[String])] =
     stage match {
-      case Stage.From(t, _) =>
+      case Stage.From(t, _, _, _) =>
         spark.conf.getOption("graft.lake.root").flatMap { root =>
           val (pool, at) = t.indexOf('@') match {
             case -1 => (t, None)
@@ -423,7 +423,7 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   private def compileStage(state: Seq[DataFrame], stage: Stage): Seq[DataFrame] =
     stage match {
-      case Stage.From(table, fmt) =>
+      case Stage.From(table, fmt, _, _) =>
         // a new source mid-pipeline replaces the stream (CLI `from` form);
         // a path-looking name reads any supported format (zio/anyio
         // detect), `format <f>` forces one. Relative paths resolve
@@ -942,11 +942,11 @@ final class Compiler(spark: SparkSession, dir: String) {
             .drop(ord))
         }
 
-      case Stage.Head(n) =>
+      case Stage.Head(n, _) =>
         val df = single(state)
         Seq(lateralLimit(df, n, fromEnd = false).getOrElse(ZedOps.head(df, n)))
 
-      case Stage.Tail(n) =>
+      case Stage.Tail(n, _) =>
         val df = single(state)
         Seq(lateralLimit(df, n, fromEnd = true).getOrElse {
           // tail takes the last N in STREAM order (tail.go), not by a
@@ -2824,8 +2824,8 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def boxedArrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
     case Stage.Yield(Seq(e)) => graft.functions.ZvOps.mapBoxed(e, arr)
     case Stage.Where(e) => graft.functions.ZvOps.filterBoxed(e, arr)
-    case Stage.Head(n) => slice(arr, 1, n)
-    case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
+    case Stage.Head(n, _) => slice(arr, 1, n)
+    case Stage.Tail(n, _) => reverse(slice(reverse(arr), 1, n))
     case Stage.Summarize(Seq((_, AggCall("collect", arg, None, false))), Seq()) =>
       val mapped = arg match {
         case None | Some(Expr.Path(Seq())) => arr
@@ -2920,8 +2920,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         case _: ArrayType => flatten(arr)
         case _ => arr
       }
-    case Stage.Head(n) => slice(arr, 1, n)
-    case Stage.Tail(n) => reverse(slice(reverse(arr), 1, n))
+    case Stage.Head(n, _) => slice(arr, 1, n)
+    case Stage.Tail(n, _) => reverse(slice(reverse(arr), 1, n))
     case Stage.Sort(Seq(), _) => array_sort(arr)
     // `sort this` inside a subquery sorts the elements themselves
     case Stage.Sort(Seq((Expr.Path(Seq() | Seq("this")), asc)), _) =>

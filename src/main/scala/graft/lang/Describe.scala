@@ -38,7 +38,7 @@ object Describe {
 
     // ---- sources ----
     def sourcesOf(s: Stage, inferred: Boolean): Seq[String] = s match {
-      case Stage.From(t, _) =>
+      case Stage.From(t, _, _, _) =>
         if (Lake.exists(lakeRoot, t))
           Seq(s"""{"kind":"Pool","name":"${esc(t)}","id":"${Lake.poolId(lakeRoot, t)}","inferred":$inferred}""")
         else
@@ -53,9 +53,9 @@ object Describe {
     // the layout sort of the scanned pools: propagates when every scanned
     // pool sorts the same way, else unknown
     def layoutOf(s: Stage): Seq[Option[(String, String)]] = s match {
-      case Stage.From(t, _) if Lake.exists(lakeRoot, t) =>
+      case Stage.From(t, _, _, _) if Lake.exists(lakeRoot, t) =>
         Seq(Lake.poolKey(lakeRoot, t).map(k => (Lake.poolOrder(lakeRoot, t), k)))
-      case Stage.From(_, _) => Seq(None)
+      case Stage.From(_, _, _, _) => Seq(None)
       case Stage.Fork(bs) =>
         bs.flatMap(_.stages.headOption.toSeq.flatMap(layoutOf))
       case _ => Seq(None)

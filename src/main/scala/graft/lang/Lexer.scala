@@ -49,7 +49,9 @@ object Lexer {
     sofar.lastOption match {
       case None => true
       case Some(t) if t.kind == PUNCT =>
-        !Set(")", "]", "}", "]|", "}|").contains(t.text)
+        // ':' or '/' directly before '/' is a URL (http://host/path),
+        // never a regex
+        !Set(")", "]", "}", "]|", "}|", ":", "/").contains(t.text)
       case Some(t) if t.kind == ID =>
         // keywords that precede a value-position regex
         Set("not", "and", "or", "where", "case", "yield", "search",
@@ -93,7 +95,9 @@ object Lexer {
         out += Token(STR, ip6.get, i); i += ip6.get.length
       }
       else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
-      else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/') {
+      else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/' &&
+          !(i > 0 && input.charAt(i - 1) == ':')) {
+        // `//` is a comment EXCEPT inside a URL (http://…)
         while (i < n && input.charAt(i) != '\n') i += 1
       } else if (c == '"' || c == '\'') {
         val quote = c

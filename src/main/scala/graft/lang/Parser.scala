@@ -10,7 +10,15 @@ import Lexer._
   * `agg(...) by k` is summarize, `f:=e` is put, a boolean-shaped bare
   * expression is where, and any other bare expression is yield.
   */
-final class Parser(tokens: Vector[Token], source: String) {
+/** A compile-time diagnostic already formatted with the reference's
+  * caret/tilde layout — the CLI surfaces the message verbatim.
+  */
+final class CompileDiag(msg: String) extends IllegalArgumentException(msg)
+
+final class Parser(tokens: Vector[Token], source: String,
+    keepDecls: Boolean = false, expand: Boolean = true) {
+  private def preserve: Boolean = keepDecls // decl emission
+  private def noExpand: Boolean = !expand
   private var pos = 0
 
   private def peek: Token = tokens(pos)
@@ -58,9 +66,16 @@ final class Parser(tokens: Vector[Token], source: String) {
         (peekAt(1).text == "type" && peekAt(3).text == "=") ||
         (peekAt(1).text == "op" && peekAt(3).text == "("))
     if (stmtBlock) next()
+    // decls pending from an OUTER scope stay with that scope — this
+    // (sub-)pipeline keeps only the decls its own statements produce
+    val savedPending = pendingDecls
+    pendingDecls = Vector.empty
     parseStatements()
+    val ownDecls = pendingDecls
+    pendingDecls = savedPending
     try {
       val stages = Vector.newBuilder[Stage]
+      if (preserve) stages ++= ownDecls
       stages += parseStage()
       while (eat("|")) {
         if (!atPipelineEnd) stages += parseStage()
@@ -83,10 +98,14 @@ final class Parser(tokens: Vector[Token], source: String) {
 
   def parseQuery(): Pipeline = {
     parseStatements()
+    val decls = if (preserve) { val d = pendingDecls; pendingDecls = Vector.empty; d }
+                else Vector.empty
     val p = parsePipeline()
     if (peek.kind != EOF) fail("trailing input")
-    p
+    if (decls.nonEmpty) Pipeline(decls ++ p.stages) else p
   }
+
+  private var pendingDecls: Vector[Stage] = Vector.empty
 
   /** `const <id> = <expr>` / `func <id>(<params>) : ( <expr> )` at the
     * start of the scope (statements.md).
@@ -97,7 +116,9 @@ final class Parser(tokens: Vector[Token], source: String) {
       if (atId("const") && peekAt(1).kind == ID && peekAt(2).text == "=") {
         next()
         val name = next().text; expect("=")
-        consts(name) = parseExpr()
+        val ce = parseExpr()
+        consts(name) = ce
+        if (preserve) pendingDecls :+= Stage.ConstDecl(name, ce)
       } else if (atId("func") && peekAt(1).kind == ID && peekAt(2).text == "(") {
         next()
         val name = next().text; expect("(")
@@ -109,6 +130,7 @@ final class Parser(tokens: Vector[Token], source: String) {
           if (eat("(")) { val b = parseExpr(); expect(")"); b }
           else parseExpr()
         funcs(name) = (params.result(), body)
+        if (preserve) pendingDecls :+= Stage.FuncDecl(name, params.result(), body)
       } else if (atId("op") && peekAt(1).kind == ID && peekAt(2).text == "(") {
         // user-defined operator with params (semantic/op.go:853-860):
         // `op name(p,…): ( <pipeline> )` — inlined at call sites
@@ -120,6 +142,7 @@ final class Parser(tokens: Vector[Token], source: String) {
         val p = parsePipeline()
         expect(")")
         opDefs(name) = (params.result(), p)
+        if (preserve) pendingDecls :+= Stage.OpDecl(name, params.result(), p)
       } else if (atId("type") && peekAt(1).kind == ID && peekAt(2).text == "=") {
         // `type <id> = <type>` (statements.md named types); the name then
         // acts as a cast constructor like the primitive type names
@@ -159,6 +182,7 @@ final class Parser(tokens: Vector[Token], source: String) {
         // store the NAMED form (`name=def`) so references keep the
         // name binding — is(<rec>) compares named types by name+structure
         typeDefs(name) = s"$name=${base.toString}"
+        if (preserve) pendingDecls :+= Stage.TypeDecl(name, base.toString)
       } else going = false
     }
   }
@@ -236,11 +260,11 @@ final class Parser(tokens: Vector[Token], source: String) {
       // bodies parsed — substitute THROUGH them or inner params stay
       // unbound (statements.md nested add4/add2/add1)
       case Stage.Block(p) => Stage.Block(Pipeline(p.stages.map(substStage(_, env))))
-      case Stage.From(t, fmt) =>
+      case Stage.From(t, fmt, k, _) =>
         // `from <param>` takes the argument as the source name
         env.get(t) match {
-          case Some(Expr.StringLit(v)) => Stage.From(v, fmt)
-          case Some(Expr.Path(ps)) => Stage.From(ps.mkString("."), fmt)
+          case Some(Expr.StringLit(v)) => Stage.From(v, fmt, k)
+          case Some(Expr.Path(ps)) => Stage.From(ps.mkString("."), fmt, k)
           case _ => s
         }
       case Stage.Fork(bs) =>
@@ -307,6 +331,37 @@ final class Parser(tokens: Vector[Token], source: String) {
     else Expr.Call("__concat", ps)
   }
 
+  /** Structural f-string parse for canonical printing (noExpand mode). */
+  private def parseFStringKeep(raw: String): Expr = {
+    val elems = Vector.newBuilder[Either[String, Expr]]
+    val lit = new StringBuilder
+    var i = 0
+    def flush(): Unit =
+      if (lit.nonEmpty) { elems += Left(lit.toString); lit.clear() }
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length && raw.charAt(i + 1) == '{') {
+        lit.append("\\{"); i += 2
+      } else if (c == '{') {
+        flush()
+        var depth = 1; val start = i + 1; var j = i + 1
+        while (j < raw.length && depth > 0) {
+          raw.charAt(j) match {
+            case '{' => depth += 1; case '}' => depth -= 1; case _ =>
+          }
+          if (depth > 0) j += 1
+        }
+        if (depth != 0) fail("unterminated { in f-string")
+        val inner = raw.substring(start, j)
+        elems += Right(new Parser(Lexer.lex(inner), inner,
+          keepDecls = false, expand = false).parseExpr())
+        i = j + 1
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    Expr.FString(elems.result())
+  }
+
   // ---- stages ---------------------------------------------------------------
 
   private def parseStage(): Stage = {
@@ -317,9 +372,11 @@ final class Parser(tokens: Vector[Token], source: String) {
     if (peek.kind != ID) return parseImplied()
     if (opDefs.contains(peek.text) && peekAt(1).text == "(") {
       val (params, body) = opDefs(peek.text)
+      val opName = peek.text
       next(); expect("(")
       val args = if (at(")")) Seq.empty else parseExprList()
       expect(")")
+      if (noExpand) return Stage.OpCall(opName, args)
       val env = params.zip(args).toMap
       return Stage.Block(Pipeline(body.stages.map(substStage(_, env))))
     }
@@ -334,7 +391,7 @@ final class Parser(tokens: Vector[Token], source: String) {
           val b = Vector.newBuilder[Stage]
           if (atId("pass")) { next(); b += Stage.Pass }
           else if (Set("file", "from", "get")(peek.text)) b += parseStage()
-          else if (atId("pool")) { next(); b += Stage.From(parseFromTarget()) }
+          else if (atId("pool")) { next(); b += Stage.From(parseFromTarget(), None, "pool") }
           else fail("expected a source (pass/file/from/get/pool) in from(...)")
           if (at("=>")) {
             next()
@@ -344,15 +401,37 @@ final class Parser(tokens: Vector[Token], source: String) {
           branches += Pipeline(b.result())
         }
         expect(")")
-        Stage.Fork(branches.result())
+        if (noExpand) {
+          // canonical printing keeps the from(...) trunk structure
+          Stage.FromTrunks(branches.result().map { p =>
+            val src = p.stages.head.asInstanceOf[Stage.From]
+            val rest = p.stages.tail
+            src -> (if (rest.isEmpty) None else Some(Pipeline(rest)))
+          })
+        } else Stage.Fork(branches.result())
       case "from" | "file" | "get" =>
-        next()
+        val kind = next().text
         val text = parseFromTarget()
         // optional `format <f>` forces the input format (from.md)
         val fmt =
           if (atId("format") && peekAt(1).kind == ID) { next(); Some(next().text) }
           else None
-        Stage.From(text, fmt)
+        // http sources take method/headers/body options (from.md get)
+        val extras = Vector.newBuilder[(String, Expr)]
+        var more = true
+        while (more) {
+          if (atId("method") || atId("body")) {
+            val k2 = next().text
+            val v =
+              if (peek.kind == STR) Expr.StringLit(next().text)
+              else Expr.Path(Seq(next().text))
+            extras += k2 -> v
+          } else if (atId("headers")) {
+            next()
+            extras += "headers" -> parseExpr()
+          } else more = false
+        }
+        Stage.From(text, fmt, kind, extras.result())
       case "where" | "filter" => next(); Stage.Where(parseExpr())
       case "search" =>
         // search takes SEARCH TERMS: adjacency is implicit AND
@@ -369,8 +448,8 @@ final class Parser(tokens: Vector[Token], source: String) {
       case "drop" => next(); Stage.Drop(parsePathList())
       case "rename" => next(); parseRenameStage()
       case "sort" => next(); parseSort()
-      case "head" => next(); Stage.Head(parseOptionalInt(1))
-      case "tail" => next(); Stage.Tail(parseOptionalInt(1))
+      case "head" => next(); parseCount(head = true)
+      case "tail" => next(); parseCount(head = false)
       case "top" => next(); parseTop()
       case "uniq" =>
         next()
@@ -621,7 +700,9 @@ final class Parser(tokens: Vector[Token], source: String) {
   private def searchTermStart: Boolean =
     (peek.kind == ID && !Set("by", "where", "with", "as", "and", "or", "not",
       "AND", "OR", "NOT", "in", "on", "case", "default")(peek.text)) ||
-      peek.kind == STR || peek.kind == REGEX || at("*") || at("!")
+      peek.kind == STR || peek.kind == REGEX || at("*") || at("!") ||
+      // numeric search terms: `is(<(uint16,ip)>) 80` is an implicit AND
+      peek.kind == INT || peek.kind == FLOAT
 
   private def parseImplied(): Stage = {
     // assignment-led: f:=... (put or summarize)
@@ -843,6 +924,45 @@ final class Parser(tokens: Vector[Token], source: String) {
       out += ((e, asc))
     } while (eat(","))
     out.result()
+  }
+
+  /** `head [expr]` / `tail [expr]`: the argument is any CONSTANT integer
+    * expression (semantic/op.go evalPositiveInteger); a non-integer value
+    * errors with the reference's caret diagnostic.
+    */
+  private def parseCount(head: Boolean): Stage = {
+    // a following SOURCE keyword starts the next from(...) trunk, not a
+    // count expression (`from ( file path => head get http://… )`)
+    if (at("|") || atPipelineEnd ||
+        (peek.kind == ID && Set("get", "file", "pool", "pass")(peek.text)))
+      return if (head) Stage.Head(1, explicit = false)
+      else Stage.Tail(1, explicit = false)
+    val startTok = peek
+    val e = parseExpr()
+    val endPos = tokens(math.max(0, pos - 1)).end
+    constFold(e) match {
+      case Some(n) => if (head) Stage.Head(n.toInt) else Stage.Tail(n.toInt)
+      case None =>
+        val valueText = e match {
+          case Expr.FloatLit(d) =>
+            if (d == Math.floor(d) && Math.abs(d) < 1e15) s"${d.toLong}." else d.toString
+          case Expr.StringLit(s) => "\"" + s + "\""
+          case Expr.BoolLit(b) => b.toString
+          case _ => "error(\"missing\")"
+        }
+        // "expression value must be an integer value: 1. at line 1, column 6:"
+        // + source line + tilde span (the reference's compile diagnostics;
+        // string values carry NO period before `at`, matching head.yaml)
+        val upTo = source.take(startTok.pos)
+        val lineNo = upTo.count(_ == '\n') + 1
+        val colNo = startTok.pos - (upTo.lastIndexOf('\n') + 1) + 1
+        val lineText = source.linesWithSeparators.toSeq
+          .lift(lineNo - 1).getOrElse(source).stripLineEnd
+        val span = math.max(1, endPos - startTok.pos)
+        throw new CompileDiag(
+          s"expression value must be an integer value: $valueText at line $lineNo, column $colNo:\n" +
+            lineText + "\n" + (" " * (colNo - 1)) + ("~" * span))
+    }
   }
 
   private def parseOptionalInt(default: Int): Int =
@@ -1186,7 +1306,9 @@ final class Parser(tokens: Vector[Token], source: String) {
       case INT => next(); Expr.IntLit(t.text.toLong)
       case FLOAT => next(); Expr.FloatLit(t.text.toDouble)
       case STR => next(); Expr.StringLit(t.text)
-      case FSTR => next(); parseFString(t.text)
+      case FSTR =>
+        next()
+        if (noExpand) parseFStringKeep(t.text) else parseFString(t.text)
       case REGEX =>
         // bare /re/ is a regexp search over the record (search-expressions)
         next(); Expr.Call("__regexsearch", Seq(Expr.StringLit(t.text)))
@@ -1231,6 +1353,7 @@ final class Parser(tokens: Vector[Token], source: String) {
               return Expr.Call("__mapf", Seq(args(0), bodyE))
             }
             funcs.get(name) match {
+              case Some(_) if noExpand => Expr.Call(name, args)
               case Some((params, body)) => // user-defined func: expand inline
                 if (params.length != args.length)
                   fail(s"func $name expects ${params.length} args, got ${args.length}")
@@ -1242,7 +1365,9 @@ final class Parser(tokens: Vector[Token], source: String) {
                 Expr.Call("cast", args :+ Expr.StringLit(typeDefs(name)))
               case None => Expr.Call(name, args)
             }
-          case name if consts.contains(name) => next(); consts(name)
+          case name if consts.contains(name) =>
+            next()
+            if (noExpand) Expr.Path(Seq(name)) else consts(name)
           case name if typeDefs.contains(name) && peekAt(1).text != ":" =>
             // a declared type name in VALUE position is a type value
             // (semantic ID resolution: consts, then types, then fields)
@@ -1283,6 +1408,9 @@ final class Parser(tokens: Vector[Token], source: String) {
                 !typeDefs.contains(text) &&
                 !graft.functions.ZShaper.primTypeNames(text))
               Expr.Call("__typename", Seq(Expr.StringLit(text)))
+            else if (noExpand)
+              // keep type-value identity for canonical printing
+              Expr.Call("__typeval", Seq(Expr.StringLit(text)))
             else Expr.StringLit(text)
           case "(" =>
             next()

@@ -1786,20 +1786,28 @@ object MdtestHarness {
           var rest = args.tail
           var includes = Vector.empty[String]
           var q: Option[String] = None
+          var sem = false
+          var opt = false
+          var par = 0
           while (rest.nonEmpty) rest.head match {
-            case "-C" | "-s" => rest = rest.tail
+            case "-C" => rest = rest.tail
+            case "-s" => sem = true; rest = rest.tail
             case "-I" => includes :+= rest(1); rest = rest.drop(2)
-            // -dag/-O/-P print the REFERENCE's internal DAG after its
-            // optimizer/parallelizer; this engine's physical plan is
-            // Catalyst (PlanSpec pins it) — no equivalent text exists
-            case f @ ("-dag" | "-O" | "-P") =>
-              throw new Unsupported(s"dev compile flag $f")
-            case f if f.startsWith("-lake") =>
-              throw new Unsupported(s"flag $f")
+            case "-O" => opt = true; rest = rest.tail
+            case "-P" => par = rest(1).toInt; rest = rest.drop(2)
+            case "-dag" =>
+              throw new Unsupported("dev compile flag -dag")
+            case "-lake=''" | "-lake=" => // explicitly no lake for this compile
+              spark.conf.unset("graft.lake.root"); rest = rest.tail
+            case f if f.startsWith("-lake=") =>
+              spark.conf.set("graft.lake.root", filePath(f.stripPrefix("-lake=")))
+              rest = rest.tail
             case w => q = Some(q.map(_ + " " + w).getOrElse(w)); rest = rest.tail
           }
           val text = (includes.map(readFile) ++ q.toSeq).mkString("\n").trim
-          graft.lang.Canon.format(text) + "\n"
+          if (sem || opt || par > 0)
+            graft.lang.Zfmt.semantic(spark, text, opt, par) + "\n"
+          else graft.lang.Zfmt.canonical(text) + "\n"
         case "vector" =>
           // copy/query/project: the vng columnar read path through the
           // query engine; search: a filtered scan of the use-head pool's
@@ -2418,7 +2426,7 @@ object MdtestHarness {
           val knownMeta = Set("pools", "branches", "log", "objects", "partitions")
           val firstFrom: Option[String] =
             try graft.lang.Parser.parse(q).stages.headOption.collect {
-              case graft.lang.Stage.From(t, _) => t
+              case graft.lang.Stage.From(t, _, _, _) => t
             } catch { case _: Exception =>
               if (q.startsWith("from ")) Some(q.stripPrefix("from ").split("\\s|\\|")(0))
               else None
@@ -2457,7 +2465,7 @@ object MdtestHarness {
           // call (CountPool("example")), so check the PARSED first stage
           def startsWithFrom(p: graft.lang.Pipeline): Boolean =
             p.stages.headOption.exists {
-              case graft.lang.Stage.From(_, _) => true
+              case graft.lang.Stage.From(_, _, _, _) => true
               case graft.lang.Stage.Block(inner) => startsWithFrom(inner)
               case _ => false
             }
@@ -2490,7 +2498,7 @@ object MdtestHarness {
                   try graft.lang.Parser.parse(q).stages
                   catch { case _: Exception => Seq.empty[graft.lang.Stage] }
                 val whereE = stages match {
-                  case Seq(graft.lang.Stage.From(_, _),
+                  case Seq(graft.lang.Stage.From(_, _, _, _),
                            graft.lang.Stage.Where(w), _*) => Some(w)
                   case _ => None
                 }
