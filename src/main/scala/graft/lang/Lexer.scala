@@ -118,7 +118,7 @@ object Lexer {
           else { sb.append(d); j += 1 }
         }
         if (!closed) throw new IllegalArgumentException(s"unterminated string at $i")
-        out += Token(STR, sb.toString, i)
+        out += Token(STR, sb.toString, i, j)
         i = j
       } else if (c.isDigit) {
         val rest = input.substring(i)

@@ -16,7 +16,8 @@ import Lexer._
 final class CompileDiag(msg: String) extends IllegalArgumentException(msg)
 
 final class Parser(tokens: Vector[Token], source: String,
-    keepDecls: Boolean = false, expand: Boolean = true) {
+    keepDecls: Boolean = false, expand: Boolean = true,
+    expandFuncs: Boolean = true) {
   private def preserve: Boolean = keepDecls // decl emission
   private def noExpand: Boolean = !expand
   private var pos = 0
@@ -45,7 +46,7 @@ final class Parser(tokens: Vector[Token], source: String,
 
   private val aggFns = Set(
     "count", "sum", "avg", "min", "max", "any", "dcount", "count_distinct",
-    "collect", "union", "and", "or", "collect_map", "fuse")
+    "countdistinct", "collect", "union", "and", "or", "collect_map", "fuse")
 
   // tokens that terminate a (sub-)pipeline
   private def atPipelineEnd: Boolean =
@@ -275,6 +276,11 @@ final class Parser(tokens: Vector[Token], source: String,
           default.map(p => Pipeline(p.stages.map(substStage(_, env)))))
       case Stage.Rename(rs) =>
         Stage.Rename(rs.map { case (to, from) => (target(to), target(from)) })
+      case Stage.Join(style, right, lk, rk, graftAs) =>
+        Stage.Join(style,
+          right.map(p => Pipeline(p.stages.map(substStage(_, env)))),
+          subst(lk, env), subst(rk, env),
+          graftAs.map { case (n, e) => (target(n), subst(e, env)) })
       case Stage.Drop(ps) => Stage.Drop(ps.map(target))
       case Stage.Top(n, ks) => Stage.Top(n, ks.map(subst(_, env)))
       case Stage.Merge(ks) =>
@@ -391,7 +397,25 @@ final class Parser(tokens: Vector[Token], source: String,
           val b = Vector.newBuilder[Stage]
           if (atId("pass")) { next(); b += Stage.Pass }
           else if (Set("file", "from", "get")(peek.text)) b += parseStage()
-          else if (atId("pool")) { next(); b += Stage.From(parseFromTarget(), None, "pool") }
+          else if (atId("pool")) {
+            val poolTok = peek
+            next()
+            val target = parseFromTarget()
+            b += Stage.From(target, None, "pool")
+            if (target.exists("*?/".contains(_)) && at("=>")) {
+              val upTo = source.take(poolTok.pos)
+              val lineNo = upTo.count(_ == '\n') + 1
+              val colNo = poolTok.pos - (upTo.lastIndexOf('\n') + 1) + 1
+              val lineText = source.linesWithSeparators.toSeq
+                .lift(lineNo - 1).getOrElse(source).stripLineEnd
+              val close = source.indexOf(")", poolTok.pos)
+              val span = if (close > poolTok.pos) close - poolTok.pos + 1
+                         else lineText.length - colNo + 1
+              throw new CompileDiag(
+                s"=> not allowed after pool pattern in 'from' operator at line $lineNo, column $colNo:\n" +
+                  lineText + "\n" + (" " * (colNo - 1)) + ("~" * span))
+            }
+          }
           else fail("expected a source (pass/file/from/get/pool) in from(...)")
           if (at("=>")) {
             next()
@@ -410,8 +434,27 @@ final class Parser(tokens: Vector[Token], source: String,
           })
         } else Stage.Fork(branches.result())
       case "from" | "file" | "get" =>
+        val kindTok = peek
         val kind = next().text
-        val text = parseFromTarget()
+        val targetTok = peek
+        val text0 = parseFromTarget()
+        // a const NAME as the source resolves to its STRING value
+        // (semantic/op.go: source names are compile-time constants)
+        val text =
+          if (!noExpand && consts.contains(text0)) consts(text0) match {
+            // an UNQUOTED ip literal is an ip value, not a string
+            case Expr.StringLit(v)
+                if !v.matches("""\d{1,3}(\.\d{1,3}){3}(/\d+)?""") => v
+            case _ =>
+              val upTo = source.take(targetTok.pos)
+              val lineNo = upTo.count(_ == '\n') + 1
+              val colNo = targetTok.pos - (upTo.lastIndexOf('\n') + 1) + 1
+              val lineText = source.linesWithSeparators.toSeq
+                .lift(lineNo - 1).getOrElse(source).stripLineEnd
+              throw new CompileDiag(
+                s"$text0: string value required at line $lineNo, column $colNo:\n" +
+                  lineText + "\n" + (" " * (colNo - 1)) + ("~" * text0.length))
+          } else text0
         // optional `format <f>` forces the input format (from.md)
         val fmt =
           if (atId("format") && peekAt(1).kind == ID) { next(); Some(next().text) }
@@ -439,7 +482,7 @@ final class Parser(tokens: Vector[Token], source: String,
         next()
         var acc = parseSearchTerm()
         while (searchTermStart && !at(",")) acc = Expr.Binary("and", acc, parseSearchTerm())
-        Stage.Where(acc)
+        Stage.Where(markSearch(acc))
       case "by" => parseSummarize()
       case "output" if peekAt(1).kind == ID =>
         next(); Stage.Output(next().text)
@@ -704,6 +747,13 @@ final class Parser(tokens: Vector[Token], source: String,
       // numeric search terms: `is(<(uint16,ip)>) 80` is an implicit AND
       peek.kind == INT || peek.kind == FLOAT
 
+  /** In zfmt parses (keepDecls), implied-search exprs carry a marker so
+    * the printers can tell `a` (keyword search) from `where a` (boolean
+    * field test) — the reference ASTs are distinct nodes.
+    */
+  private def markSearch(e: Expr): Expr =
+    if (keepDecls) Expr.Call("__impliedsearch", Seq(e)) else e
+
   private def parseImplied(): Stage = {
     // assignment-led: f:=... (put or summarize)
     if (assignAhead) {
@@ -737,17 +787,17 @@ final class Parser(tokens: Vector[Token], source: String,
       if (searchTermStart && !at(",")) {
         var acc = e
         while (searchTermStart) acc = Expr.Binary("and", acc, parseSearchTerm())
-        return Stage.Where(acc)
+        return Stage.Where(markSearch(acc))
       }
       e match {
-        case Expr.Call("__glob", _) => Stage.Where(e)
+        case Expr.Call("__glob", _) => Stage.Where(markSearch(e))
         // a lone bare word or string literal is a keyword search, not a
         // yield (search-expressions.md; semantic/op.go implied search)
-        case Expr.Path(Seq(_)) => Stage.Where(e)
-        case Expr.StringLit(_) => Stage.Where(e)
+        case Expr.Path(Seq(_)) => Stage.Where(markSearch(e))
+        case Expr.StringLit(_) => Stage.Where(markSearch(e))
         // a lone number is a value search, not a yield (zq '2' matches
         // records containing the value 2 — semantic/op.go implied search)
-        case Expr.IntLit(_) | Expr.FloatLit(_) => Stage.Where(e)
+        case Expr.IntLit(_) | Expr.FloatLit(_) => Stage.Where(markSearch(e))
         case _ if isBooleanShaped(e) => Stage.Where(e)
         case _ =>
           val exprs = Vector.newBuilder[Expr]
@@ -1353,7 +1403,7 @@ final class Parser(tokens: Vector[Token], source: String,
               return Expr.Call("__mapf", Seq(args(0), bodyE))
             }
             funcs.get(name) match {
-              case Some(_) if noExpand => Expr.Call(name, args)
+              case Some(_) if noExpand || !expandFuncs => Expr.Call(name, args)
               case Some((params, body)) => // user-defined func: expand inline
                 if (params.length != args.length)
                   fail(s"func $name expects ${params.length} args, got ${args.length}")

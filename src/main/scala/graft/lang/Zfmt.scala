@@ -385,6 +385,7 @@ object Zfmt {
           expr(kv(0), ""); f.write(":"); expr(kv(1), "")
         }
         f.write("}|")
+      case Expr.Call("__impliedsearch", Seq(inner)) => expr(inner, parent)
       case Expr.Call("__search", Seq(Expr.StringLit(t))) => f.write(t)
       case Expr.Call("__glob", Seq(Expr.StringLit(t))) => f.write(t)
       case Expr.Call("__regex", Seq(Expr.StringLit(t))) => f.write(s"/$t/")
@@ -525,6 +526,7 @@ object Zfmt {
 
   /** zfmt/ast.go IsSearch over this AST. */
   private def isSearch(e: Expr): Boolean = e match {
+    case Expr.Call("__impliedsearch", _) => true
     case Expr.Call("__search" | "__glob" | "__regex", _) => true
     case Expr.Path(Seq(_)) => true
     case Expr.Binary(("and" | "or"), l, r) => isSearch(l) || isSearch(r)
@@ -540,7 +542,8 @@ object Zfmt {
   private case class DFile(path: String, format: Option[String],
       filter: Option[Expr]) extends DOp
   private case class DGet(url: String) extends DOp
-  private case class DPool(id: String) extends DOp
+  private case class DPool(id: String, key: String = "ts",
+      order: String = "asc") extends DOp
   private case class DLister(pool: String, commit: String,
       pruner: Option[Expr]) extends DOp
   private case object DSlicer extends DOp
@@ -578,9 +581,9 @@ object Zfmt {
     * reference's semantic pass does and print the DAG form.
     */
   def semantic(spark: org.apache.spark.sql.SparkSession, q: String,
-      opt: Boolean = false, par: Int = 0): String = {
-    val p0 = new Parser(Lexer.lex(q), q, keepDecls = true, expand = true)
-      .parseQuery()
+      opt: Boolean, par: Int, lakeRootOpt: Option[String]): String = {
+    val p0 = new Parser(Lexer.lex(q), q, keepDecls = true, expand = true,
+      expandFuncs = false).parseQuery()
     val (declsRaw, bodyRaw) = p0.stages.partition {
       case _: Stage.ConstDecl | _: Stage.FuncDecl | _: Stage.OpDecl |
            _: Stage.TypeDecl => true
@@ -588,8 +591,7 @@ object Zfmt {
     }
     val consts = declsRaw.collect { case d: Stage.ConstDecl => d }
     val funcs = declsRaw.collect { case d: Stage.FuncDecl => d }
-    val lakeRoot = spark.conf.getOption("graft.lake.root")
-    val sem = new Sem(q, lakeRoot)
+    val sem = new Sem(q, lakeRootOpt)
     var ops = sem.lowerSeq(splice(bodyRaw))
     // entry: an explicit source op or the implicit reader
     if (!ops.headOption.exists(isSource)) ops = DReader(None) +: ops
@@ -598,24 +600,38 @@ object Zfmt {
     if (par > 1) ops = parallelize(ops, par, sem)
     val d = new Dag(sem)
     if (consts.nonEmpty || funcs.nonEmpty) {
+      // the IMPLICIT reader attaches above the scope; explicit sources
+      // stay inside it (semantic builds Scope{body} under the DefaultScan)
+      var body = ops
+      ops.headOption match {
+        case Some(r @ DReader(None)) =>
+          d.op(r)
+          body = ops.tail
+        case _ =>
+      }
+      d.next()
       d.f.open("(")
       d.f.ret(); d.f.flush()
+      var firstDecl = true
       consts.foreach { c =>
+        if (!firstDecl) { d.f.ret(); d.f.flush() }
+        firstDecl = false
         d.f.write(s"const ${c.name} = ")
         d.expr(c.e, "")
-        d.f.ret(); d.f.flush()
       }
       funcs.foreach { fn =>
+        if (!firstDecl) { d.f.ret(); d.f.flush() }
+        firstDecl = false
         d.f.write(s"func ${fn.name}(" + fn.params.mkString(", "))
         d.f.open("): (")
         d.f.ret()
         d.expr(fn.body, fn.name)
         d.f.close(); d.f.ret(); d.f.flush()
         d.f.write(")")
-        d.f.ret(); d.f.flush()
       }
+      d.f.ret() // the blank separator line: pending ret + the op's newline
       d.head = true
-      d.seq(ops)
+      d.seq(body)
       d.f.close(); d.f.ret(); d.f.flush()
       d.f.write(")")
     } else d.seq(ops)
@@ -629,6 +645,7 @@ object Zfmt {
 
   private def isSource(op: DOp): Boolean = op match {
     case _: DReader | _: DFile | _: DGet | _: DPool | _: DLister => true
+    case DFork(paths) => paths.forall(_.headOption.exists(isSource))
     case _ => false
   }
 
@@ -661,7 +678,9 @@ object Zfmt {
 
     def lower(s: Stage): Seq[DOp] = s match {
       case Stage.From(t, fmt, kind, _) => Seq(lowerSource(t, fmt, kind))
-      case Stage.Where(e) => Seq(DFilter(termify(e)))
+      case Stage.Where(Expr.Call("__impliedsearch", Seq(e))) =>
+        Seq(DFilter(termify(e)))
+      case Stage.Where(e) => Seq(DFilter(searchify(e)))
       case Stage.Yield(Seq(Expr.Call(fn, args)))
           if isAggName(fn) =>
         // lone agg-call expression: summarize + yield of the field
@@ -723,8 +742,10 @@ object Zfmt {
           s"semantic form: unsupported ${other.getClass.getSimpleName}")
     }
 
-    private def poolNotFound(name: String, what: String): Nothing = {
-      val ix = source.indexOf(name)
+    private def poolNotFound(name: String, what: String,
+        spanText: String = ""): Nothing = {
+      val span = if (spanText.nonEmpty) spanText else name
+      val ix = source.indexOf(span)
       val (lineNo, colNo, lineText) =
         if (ix < 0) (1, 1, source.linesIterator.toSeq.headOption.getOrElse(source))
         else {
@@ -736,7 +757,7 @@ object Zfmt {
         }
       throw new CompileDiag(
         s"$name: $what at line $lineNo, column $colNo:\n" +
-          lineText + "\n" + (" " * (colNo - 1)) + ("~" * name.length))
+          lineText + "\n" + (" " * (colNo - 1)) + ("~" * span.length))
     }
 
     def lowerSource(t: String, fmt: Option[String], kind: String): DOp =
@@ -766,15 +787,22 @@ object Zfmt {
                   t.replace(".", "\\.").replace("*", ".*").replace("?", "."))
                 val names = poolNames(root).filter(n => re.matcher(n).matches())
                 if (names.isEmpty) poolNotFound(t, "pool matching glob not found")
-                DPool(graft.sources.Lake.poolId(root, names.head))
+                DPool(graft.sources.Lake.poolId(root, names.head),
+                  graft.sources.Lake.poolKey(root, names.head).getOrElse("ts"),
+                  graft.sources.Lake.poolOrder(root, names.head))
               } else if (t.startsWith("/") && t.endsWith("/") && t.length > 1) {
                 val re = java.util.regex.Pattern.compile(t.drop(1).dropRight(1))
                 val names = poolNames(root).filter(n => re.matcher(n).find())
                 if (names.isEmpty)
-                  poolNotFound(t.drop(1).dropRight(1), "pool matching regexp not found")
-                DPool(graft.sources.Lake.poolId(root, names.head))
+                  poolNotFound(t.drop(1).dropRight(1),
+                    "pool matching regexp not found", spanText = t)
+                DPool(graft.sources.Lake.poolId(root, names.head),
+                  graft.sources.Lake.poolKey(root, names.head).getOrElse("ts"),
+                  graft.sources.Lake.poolOrder(root, names.head))
               } else if (graft.sources.Lake.exists(root, t))
-                DPool(graft.sources.Lake.poolId(root, t))
+                DPool(graft.sources.Lake.poolId(root, t),
+                  graft.sources.Lake.poolKey(root, t).getOrElse("ts"),
+                  graft.sources.Lake.poolOrder(root, t))
               else poolNotFound(t, "pool not found")
           }
       }
@@ -798,6 +826,7 @@ object Zfmt {
       * cast(x, <type>), f-string concat stays as + with casts.
       */
     def searchify(e: Expr): Expr = e match {
+      case Expr.Call("__impliedsearch", Seq(inner)) => termify(inner)
       case Expr.Call("__search", Seq(Expr.StringLit(t))) =>
         Expr.Call("__dagsearch", Seq(Expr.StringLit(quoteTerm(t))))
       case Expr.Call("__glob", Seq(Expr.StringLit(t))) =>
@@ -879,26 +908,73 @@ object Zfmt {
         DFork(paths2) +: push(rest2)
       case (o @ DOver(es, wv, Some(body))) +: rest =>
         DOver(es, wv, Some(push(mergeFilters(body)))) +: push(rest)
-      case DPool(id) +: rest =>
+      case DPool(id, poolKey, _) +: rest =>
         // pool scans expand to lister | slicer | seqscan, filters push in
         val (filt, rest2) = rest match {
           case DFilter(e) +: tl => (Some(e), tl)
           case _ => (None, rest)
         }
-        Vector(DLister(id, "", None), DSlicer, DSeqScan(id, None, filt)) ++ push(rest2)
+        // a summarize keyed by the pool key runs input-sorted (sort-dir 1)
+        val rest3 = rest2 match {
+          case (sm @ DSummarize(_, keys, _, _, 0)) +: tl
+              if keys.exists { case (kn, ke) => kn == "ts" || (ke match {
+                case Expr.Call("every", _) => true
+                case Expr.Path(Seq("ts")) => true
+                case _ => false
+              })} =>
+            sm.copy(sortDir = 1) +: tl
+          case other => other
+        }
+        val pruner = filt.flatMap(prunerOf(_, poolKey))
+        Vector(DLister(id, "", pruner), DSlicer,
+          DSeqScan(id, pruner, filt)) ++ push(rest3)
       case op +: rest => op +: push(rest)
       case _ => v
     }
     push(mergeFilters(ops))
   }
 
+  /** Key-range terms over the pool key derive the metadata PRUNER
+    * (compiler/optimizer: compare(bound, max/min, true) over the
+    * object's key range — objects wholly outside the range are skipped).
+    */
+  private def prunerOf(filter: Expr, key: String): Option[Expr] = {
+    def terms(e: Expr): Seq[Expr] = e match {
+      case Expr.Binary("and", l, r) => terms(l) ++ terms(r)
+      case other => Seq(other)
+    }
+    val conds = terms(filter).flatMap {
+      case Expr.Binary(">=", Expr.Path(Seq(k)), bound) if k == key =>
+        Some(Expr.Binary(">", Expr.Call("compare",
+          Seq(bound, Expr.Path(Seq("max")), Expr.BoolLit(true))), Expr.IntLit(0)))
+      case Expr.Binary("<=", Expr.Path(Seq(k)), bound) if k == key =>
+        Some(Expr.Binary("<", Expr.Call("compare",
+          Seq(bound, Expr.Path(Seq("min")), Expr.BoolLit(true))), Expr.IntLit(0)))
+      case Expr.Binary(">", Expr.Path(Seq(k)), bound) if k == key =>
+        Some(Expr.Binary(">=", Expr.Call("compare",
+          Seq(bound, Expr.Path(Seq("max")), Expr.BoolLit(true))), Expr.IntLit(0)))
+      case Expr.Binary("<", Expr.Path(Seq(k)), bound) if k == key =>
+        Some(Expr.Binary("<=", Expr.Call("compare",
+          Seq(bound, Expr.Path(Seq("min")), Expr.BoolLit(true))), Expr.IntLit(0)))
+      case _ => None
+    }
+    conds.reduceOption((a, b) => Expr.Binary("or", a, b))
+  }
+
   /** -P n: the reference parallelizer (compiler/optimizer/parallelize.go)
     * over pool scans — implemented for the op classes its ztests pin.
     */
   private def parallelize(ops: Vector[DOp], n: Int, sem: Sem): Vector[DOp] = {
+    // recurse into fork legs first (a join's right input is its own scan)
+    val rec: Vector[DOp] = ops.map {
+      case DFork(paths) => DFork(paths.map(p => parallelize(p, n, sem)))
+      case DSwitch(subj, cases) =>
+        DSwitch(subj, cases.map { case (e, p) => e -> parallelize(p, n, sem) })
+      case other => other
+    }
     // only pool sources parallelize in these tests
-    ops match {
-      case DPool(id) +: rest0 =>
+    rec match {
+      case DPool(id, poolKey0, poolOrder) +: rest0 =>
         val (rest, outs) = rest0.span(!_.isInstanceOf[DOutput])
         // splittable prefix: ops that can run per-branch
         val branchable = rest.takeWhile {
@@ -906,6 +982,24 @@ object Zfmt {
           case _ => false
         }
         val after = rest.drop(branchable.length)
+        // track the pool key through the branch ops (cut x:=ts moves the
+        // key into x; rename follows; clobbering loses the order)
+        var curKey: Option[String] = Some(poolKey0)
+        branchable.foreach {
+          case DCut(as) => curKey = curKey.flatMap { k =>
+            as.collectFirst { case (f2, Expr.Path(Seq(`k`))) => f2 }
+              .orElse(if (as.exists(_._1 == k)) None else Some(k))
+          }
+          case DPut(as) => curKey = curKey.flatMap { k =>
+            as.collectFirst { case (f2, Expr.Path(Seq(`k`))) => f2 }
+              .orElse(if (as.exists(_._1 == k)) None else Some(k))
+          }
+          case DRename(rs) => curKey = curKey.map { k =>
+            rs.collectFirst { case (to, `k`) => to }.getOrElse(k) }
+          case DDrop(ps) => curKey = curKey.filterNot(ps.contains)
+          case _ =>
+        }
+        val mergeKey = curKey.getOrElse(poolKey0)
         // decide the branch tail + downstream by the next op
         var branchTail = Vector.empty[DOp]
         var downstream = Vector.empty[DOp]
@@ -913,20 +1007,18 @@ object Zfmt {
         after.headOption match {
           case Some(DSummarize(aggs, keys, _, _, _)) =>
             val keyed = keys.exists { case (kn, ke) =>
-              kn == "ts" || (ke match {
+              kn == poolKey0 || (ke match {
                 case Expr.Call("every", _) => true
-                case Expr.Path(Seq("ts")) => true
+                case Expr.Path(Seq(k2)) => k2 == poolKey0
                 case _ => false
               })
             }
             val dir = if (keyed) 1 else 0
             ordered = keyed
             branchTail = Vector(DSummarize(aggs, keys, partialsOut = true, sortDir = dir))
-            // partials-in keys reference the OUT keys by name
-            val inKeys = keys.map { case (kn, ke) => kn -> (ke match {
-              case Expr.Call("every", _) => Expr.Path(Seq(kn))
-              case other => other
-            })}
+            // partials-in keys reference the OUT keys by their names
+            val inKeys = keys.map { case (kn, _) =>
+              kn -> (Expr.Path(Seq(kn)): Expr) }
             downstream = Vector(DSummarize(aggs, inKeys, partialsIn = true, sortDir = dir)) ++
               after.tail
             // lone unnamed agg already has its yield in `after.tail`
@@ -945,13 +1037,19 @@ object Zfmt {
           case _ =>
             downstream = after
         }
-        val branch = Vector(DSeqScan(id, None, None)) ++ branchable ++ branchTail
+        // leading filters push into the seqscan (the -P pass runs after
+        // the optimizer's pushdown)
+        val leadF = branchable.takeWhile(_.isInstanceOf[DFilter])
+          .collect { case DFilter(e) => e }
+        val branchable2 = branchable.dropWhile(_.isInstanceOf[DFilter])
+        val scanFilter = leadF.reduceOption(Expr.Binary("and", _, _))
+        val branch = Vector(DSeqScan(id, None, scanFilter)) ++ branchable2 ++ branchTail
         val scatter = DScatter(Vector.fill(n)(branch))
         val headOps: Vector[DOp] =
           if (ordered && !downstream.headOption.exists(_ == DCombine) &&
               !downstream.headOption.exists(_.isInstanceOf[DMerge]))
             Vector(DLister(id, "", None), DSlicer, scatter,
-              DMerge(Expr.Path(Seq("ts")), "asc"))
+              DMerge(Expr.Path(Seq(mergeKey)), poolOrder))
           else if (downstream.headOption.exists(_.isInstanceOf[DMerge]))
             Vector(DLister(id, "", None), scatter)
           else
@@ -988,7 +1086,7 @@ object Zfmt {
         fm.foreach(x => f.write(s" format $x"))
         filt.foreach { e => f.write(" filter ("); expr(e, ""); f.write(")") }
       case DGet(url) => next(); f.write(s"get $url")
-      case DPool(id) => next(); f.write(s"pool $id")
+      case DPool(id, _, _) => next(); f.write(s"pool $id")
       case DLister(pool, _, pruner) =>
         next(); f.open("lister")
         f.write(s" pool $pool commit main")
@@ -1204,7 +1302,8 @@ object Zfmt {
         fieldpath(parts :+ k2)
       case Expr.Index(a, i) =>
         expr(a, ""); f.write("["); expr(i, ""); f.write("]")
-      case Expr.Unary(op2, x) => f.write(op2); expr(x, "not")
+      case Expr.Unary(op2, x) =>
+        f.write(if (op2 == "not") "!" else op2); expr(x, "not")
       case Expr.Binary(op2, l, r) =>
         op2 match {
           case "and" | "or" | "in" =>
@@ -1232,6 +1331,8 @@ object Zfmt {
           if (!firstF) f.write(",")
           firstF = false
           x match {
+            case _ if n == "..." =>
+              f.write("..."); expr(x, "")
             case Expr.Path(parts) if parts.lastOption.contains(n) && parts.length == 1 =>
               f.write(quotedName(n))
             case Expr.Call("__spread", Seq(inner)) =>

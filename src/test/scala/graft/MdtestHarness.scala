@@ -131,7 +131,9 @@ object MdtestHarness {
           i += 1
         case c if c == ' ' || c == '\t' =>
           endToken(); i += 1
-        case '|' if !started || cur.isEmpty =>
+        case '|' =>
+          // an unquoted | is always a pipe control operator (quoted spans
+          // never reach this case — the quote handlers consume them)
           endToken(); tokens += "|"; nTokens += 1; lastWasPipe = true; i += 1
         case '>' if !started && i + 1 < n && body.charAt(i + 1) == '>' =>
           endToken(); tokens += ">>"; nTokens += 1; lastWasPipe = false; i += 2
@@ -1789,6 +1791,7 @@ object MdtestHarness {
           var sem = false
           var opt = false
           var par = 0
+          var lakeFlag: Option[String] = None
           while (rest.nonEmpty) rest.head match {
             case "-C" => rest = rest.tail
             case "-s" => sem = true; rest = rest.tail
@@ -1798,16 +1801,22 @@ object MdtestHarness {
             case "-dag" =>
               throw new Unsupported("dev compile flag -dag")
             case "-lake=''" | "-lake=" => // explicitly no lake for this compile
-              spark.conf.unset("graft.lake.root"); rest = rest.tail
+              lakeFlag = Some(""); rest = rest.tail
             case f if f.startsWith("-lake=") =>
-              spark.conf.set("graft.lake.root", filePath(f.stripPrefix("-lake=")))
-              rest = rest.tail
+              lakeFlag = Some(f.stripPrefix("-lake=")); rest = rest.tail
             case w => q = Some(q.map(_ + " " + w).getOrElse(w)); rest = rest.tail
           }
           val text = (includes.map(readFile) ++ q.toSeq).mkString("\n").trim
-          if (sem || opt || par > 0)
-            graft.lang.Zfmt.semantic(spark, text, opt, par) + "\n"
-          else graft.lang.Zfmt.canonical(text) + "\n"
+          if (sem || opt || par > 0) {
+            val root: Option[String] =
+              if (lakeFlag.contains("")) None
+              else try {
+                val r = lakeRoot(lakeFlag.filter(_.nonEmpty))
+                if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r)))
+                  Some(r) else None
+              } catch { case _: Exception => None }
+            graft.lang.Zfmt.semantic(spark, text, opt, par, root) + "\n"
+          } else graft.lang.Zfmt.canonical(text) + "\n"
         case "vector" =>
           // copy/query/project: the vng columnar read path through the
           // query engine; search: a filtered scan of the use-head pool's

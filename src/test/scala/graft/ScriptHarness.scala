@@ -35,6 +35,8 @@ object ScriptHarness {
   private def parse(path: java.nio.file.Path): Option[ScriptCase] = {
     val lines = java.nio.file.Files.readAllLines(path).asScala.toVector
     if (!lines.exists(_.startsWith("script:"))) return None
+    // ztest.go skips cases carrying a `skip:` reason
+    if (lines.exists(_.startsWith("skip:"))) return None
     def blockAt(start: Int, indent: Int): (String, Int) = {
       val b = new StringBuilder
       var i = start

@@ -19,7 +19,7 @@ object ScriptDbg {
         println("--- stdout got\n" + r.stdout + "--- stderr got\n" + r.stderr)
         c.outputs.foreach(o => println(s"--- want ${o.name} (re=${o.isRegex})\n${o.text}"))
         println("MATCH=" + ScriptHarness.matches(c, r))
-      } catch { case e: Throwable => println("EXC " + e) }
+      } catch { case e: Throwable => println("EXC " + e); e.printStackTrace() }
     }
     spark.stop()
   }
