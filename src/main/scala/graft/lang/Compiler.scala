@@ -197,6 +197,11 @@ final class Compiler(spark: SparkSession, dir: String) {
     state
   }
 
+  /** The most recent upstream single-key sort direction — join
+    * auto-sort direction detection (sam/op/join sortDir).
+    */
+  private var lastSortAsc: Option[Boolean] = None
+
   /** Lake meta-query frames (`from :pools`, `from :branches`,
     * `from <pool>:branches`) when `graft.lake.root` is set — the subset
     * of the reference's lake meta records the language surface uses
@@ -879,6 +884,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         Seq(ZsonReader.fromRDD(df.sparkSession, rdd))
 
       case Stage.Sort(keys, nullsFirst) =>
+        lastSortAsc = keys match {
+          case Seq((_, asc1)) => Some(asc1)
+          case _ => None
+        }
+
         val df = single(state)
         val het = graft.operators.Het
         // `sort this` over a stream mixing BARE values (a `this` column)
@@ -1039,6 +1049,39 @@ final class Compiler(spark: SparkSession, dir: String) {
             n -> new org.apache.spark.sql.types.MetadataBuilder()
               .putString("graft.zedType", "uint64").build()
           } ++
+          aggs.collect { case (n, a) if a.fn == "any" =>
+            // any() keeps the argument's exact zed type (agg math ztest:
+            // any(n) over int32 renders 0(int32))
+            val narrow = Set("int8", "int16", "int32",
+              "uint8", "uint16", "uint32", "float16", "float32")
+            val zt = a.arg.flatMap {
+              case Expr.Path(Seq(cn)) =>
+                df.schema.fields.find(_.name == cn).flatMap { f =>
+                  if (f.metadata.contains("graft.zedType"))
+                    Some(f.metadata.getString("graft.zedType"))
+                  else f.dataType match {
+                    case org.apache.spark.sql.types.IntegerType => Some("int32")
+                    case org.apache.spark.sql.types.ShortType => Some("int16")
+                    case org.apache.spark.sql.types.ByteType => Some("int8")
+                    case org.apache.spark.sql.types.FloatType => Some("float32")
+                    case _ =>
+                      // physical columns widen; the SHAPE text holds the
+                      // exact width for text-decoded inputs
+                      shapesOf(df).headOption.flatMap { case (_, zt0) =>
+                        graft.sources.ZType.strip(zt0) match {
+                          case graft.sources.ZType.Rec(fs) =>
+                            fs.collectFirst { case (`cn`, ft) =>
+                              graft.sources.ZType.fullText(ft) }
+                          case _ => None
+                        }
+                      }.filter(narrow)
+                  }
+                }
+              case _ => None
+            }
+            zt.map(t => n -> new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.zedType", t).build())
+          }.flatten ++
           aggs.collect { case (n, a) if a.fn == "avg" =>
             // avg is float64 — null results render null(float64)
             n -> new org.apache.spark.sql.types.MetadataBuilder()
@@ -1155,7 +1198,16 @@ final class Compiler(spark: SparkSession, dir: String) {
                 else col(s"`${f.name}`")
               }: _*)
             else out
-          Seq(nestIfDotted(markZedTypes(if (lateral) {
+          // the reference's groupby emits KEY-SORTED output (sam/op/
+          // groupby sorts its table on emit) — order by the group keys;
+          // post-agg cardinality makes this cheap at any input scale
+          val keyNames = keys.map(_._1).filter(restored.columns.contains)
+          def keySorted(d: DataFrame): DataFrame =
+            if (lateral || keyNames.isEmpty ||
+                keyNames.exists(n => graft.sources.ZsonIO.isVariantType(
+                  d.schema(n).dataType))) d
+            else d.orderBy(keyNames.map(n => col(s"`$n`")): _*)
+          Seq(nestIfDotted(markZedTypes(keySorted(if (lateral) {
             // re-mark the scope vars and the surviving row id (metadata
             // does not survive groupBy); per-OUTER-ROW results come back
             // in input order (traverse/over.go emits per outer value)
@@ -1165,10 +1217,13 @@ final class Compiler(spark: SparkSession, dir: String) {
                 col(f.name).as(f.name, Compiler.scopeVarMeta)
               else col(f.name)
             }: _*)
-          } else restored)))
+          } else restored))))
         }
 
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
+        // the LEFT side's sort direction must be read before the right
+        // pipeline compiles (its sorts would clobber the tracker)
+        val leftSortAsc = lastSortAsc
         // with no right sub-pipeline the upstream's LAST branch is the
         // right side and the rest the left (fork | join on k=k)
         val (left, right0) = rightPipe match {
@@ -1191,11 +1246,21 @@ final class Compiler(spark: SparkSession, dir: String) {
           case _ => false
         }
         val renameOk = simplePath(rk) && graftFields.forall(g => simplePath(g._2))
+        // rows whose key path is MISSING per shape never participate
+        // (join kinds ztest: the merge join skips error("missing") keys
+        // on both sides; explicit null keys still match null-safely)
+        def presentOnly(df0: DataFrame, k: Expr): DataFrame = k match {
+          case p: Expr.Path if p.parts.nonEmpty && isTagged(df0) &&
+              shapesOf(df0).length > 1 =>
+            df0.filter(hasPath(df0, p.parts))
+          case _ => df0
+        }
+        val right0f = presentOnly(right0, rk)
         val rjPre = if (renameOk) "__rj_" else ""
         val right = if (renameOk)
-          right0.select(right0.columns.toIndexedSeq.map(n =>
+          right0f.select(right0f.columns.toIndexedSeq.map(n =>
             col(s"`$n`").as(rjPre + n)): _*)
-        else right0
+        else right0f
         // DATAFRAME-qualified columns for simple paths: both sides often
         // share names (join on name=name, eater:=name) and an unqualified
         // col() is ambiguous after the join
@@ -1227,8 +1292,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         // (join.md right-join: fruit:=name takes the fruit's name)
         val graftSide: Expr => Column =
           if (style == "right") leftExpr else rightExpr
+        val leftIn = presentOnly(left, lk)
         val joined = ZedOps.join(
-          left, right,
+          leftIn, right,
           leftExpr(lk), rightExpr(rk), style,
           graftFields.map { case (n, e) => n -> graftSide(e) })
         // un-prefix anything that survived from the right (right joins
@@ -1259,18 +1325,57 @@ final class Compiler(spark: SparkSession, dir: String) {
               tagF.metadata.getStringArray("shapes").toSeq
             else Seq.empty
           val newShapes = oldShapes.map(extend)
+          val hasMarker = unPrefixed.columns.contains(ZedOps.matchedCol)
+          // unmatched OUTER rows keep their pre-join shape (the grafted
+          // fields exist only on matched rows, join.md)
           val md = new org.apache.spark.sql.types.MetadataBuilder()
-            .putStringArray("shapes", newShapes.distinct.toArray).build()
-          val tagC = oldShapes.zip(newShapes).foldLeft(
+            .putStringArray("shapes",
+              (if (hasMarker) newShapes ++ oldShapes else newShapes)
+                .distinct.toArray).build()
+          val tagC0 = oldShapes.zip(newShapes).foldLeft(
             col(s"`${graft.operators.Het.typeTag}`")) { case (acc, (o, nw)) =>
             when(col(s"`${graft.operators.Het.typeTag}`") === o, lit(nw)).otherwise(acc)
           }
-          unPrefixed.select(unPrefixed.schema.fields.toIndexedSeq.map { f =>
-            if (f.name == graft.operators.Het.typeTag) tagC.as(f.name, md)
-            else col(s"`${f.name}`").as(f.name, f.metadata)
+          val tagC = if (hasMarker)
+            when(col(s"`${ZedOps.matchedCol}`"), tagC0)
+              .otherwise(col(s"`${graft.operators.Het.typeTag}`"))
+          else tagC0
+          unPrefixed.select(unPrefixed.schema.fields.toIndexedSeq.flatMap { f =>
+            if (f.name == ZedOps.matchedCol) None
+            else if (f.name == graft.operators.Het.typeTag) Some(tagC.as(f.name, md))
+            else Some(col(s"`${f.name}`").as(f.name, f.metadata))
           }: _*)
-        } else unPrefixed
-        Seq(out)
+        } else if (unPrefixed.columns.contains(ZedOps.matchedCol))
+          unPrefixed.drop(ZedOps.matchedCol)
+        else unPrefixed
+        // the reference's join MERGES key-sorted inputs, so its output is
+        // KEY-ORDERED: ascending unless an input arrives pre-sorted
+        // descending (join auto-sort ztest; the left side's order wins)
+        val dirAsc: Boolean = leftSortAsc.orElse(
+          rightPipe.flatMap(_.stages.reverse.collectFirst {
+            case Stage.Sort(Seq((_, asc2)), _) => asc2
+          })).getOrElse(true)
+        val keyOut: Option[Column] =
+          (if (style == "right") rk else lk) match {
+            case Expr.Path(parts0) =>
+              val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+              if (parts.nonEmpty && out.columns.contains(parts.head))
+                Some(parts.tail.foldLeft(col(s"`${parts.head}`"))(_.getField(_)))
+              else None
+            case _ => None
+          }
+        val ordTie =
+          if (out.columns.contains(ZedOps.orderCol))
+            Seq(col(s"`${ZedOps.orderCol}`").asc_nulls_first)
+          else Seq.empty
+        val sorted = keyOut match {
+          case Some(k) =>
+            out.orderBy(Seq(k.isNull.asc,
+              if (dirAsc) k.asc else k.desc) ++ ordTie: _*)
+          case None => out
+        }
+        Seq(if (sorted.columns.contains(ZedOps.orderCol))
+          sorted.drop(ZedOps.orderCol) else sorted)
 
       case Stage.Output(name) =>
         namedOut += name -> single(state)
@@ -2807,7 +2912,11 @@ final class Compiler(spark: SparkSession, dir: String) {
           // downstream consumers — sum(), sort — are length-agnostic),
           // and aggregation tails already yield exactly-one semantics
           // that spread/record consumers handle in their array form.
-          val hasAgg = tail.exists(_.isInstanceOf[Stage.Summarize])
+          val hasAgg = tail.exists {
+            case _: Stage.Summarize => true
+            case Stage.Block(p) => p.stages.exists(_.isInstanceOf[Stage.Summarize])
+            case _ => false
+          }
           elemType(df, res) match {
             case et: StructType if tail.nonEmpty && !hasAgg =>
               val het = graft.operators.Het
@@ -2822,6 +2931,11 @@ final class Compiler(spark: SparkSession, dir: String) {
 
   /** Stages of a BOXED expression subquery (runtime-typed elements). */
   private def boxedArrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
+    case Stage.Block(Pipeline(Seq(sm: Stage.Summarize,
+        Stage.Yield(Seq(Expr.Path(Seq(_))))))) =>
+      boxedArrayStage(df, arr, sm)
+    case Stage.Block(p) =>
+      p.stages.foldLeft(arr)((acc, st) => boxedArrayStage(df, acc, st))
     case Stage.Yield(Seq(e)) => graft.functions.ZvOps.mapBoxed(e, arr)
     case Stage.Where(e) => graft.functions.ZvOps.filterBoxed(e, arr)
     case Stage.Head(n, _) => slice(arr, 1, n)
@@ -2904,6 +3018,13 @@ final class Compiler(spark: SparkSession, dir: String) {
   }
 
   private def arrayStage(df: DataFrame, arr: Column, s: Stage): Column = s match {
+    // lone-agg yield (parser Block([summarize, yield <field>])): the
+    // array form already produces the bare value
+    case Stage.Block(Pipeline(Seq(sm: Stage.Summarize,
+        Stage.Yield(Seq(Expr.Path(Seq(_))))))) =>
+      arrayStage(df, arr, sm)
+    case Stage.Block(p) =>
+      p.stages.foldLeft(arr)((acc, st) => arrayStage(df, acc, st))
     case Stage.Where(e) => filter(arr, x => lambdaExpr(df, e, x))
     case Stage.Yield(Seq(e)) => transform(arr, x => lambdaExpr(df, e, x))
     case Stage.Put(assigns) =>

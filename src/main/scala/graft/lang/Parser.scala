@@ -769,17 +769,17 @@ final class Parser(tokens: Vector[Token], source: String,
           if (assigns.exists(_._1.isRight))
             fail("aggregate output field must be static")
           pos = save
-          parseSummarize()
+          parseSummarize(implied = true)
         case Some(assigns) if assigns.forall(_._1.isLeft) =>
           Stage.Put(assigns.map { case (t, e) => (t.swap.getOrElse(""), e) })
         case Some(assigns) => Stage.DynAssign("put", assigns.map {
           case (Left(n), e) => (Expr.StringLit(n): Expr, e)
           case (Right(ne), e) => (ne, e)
         })
-        case None => parseSummarize()
+        case None => parseSummarize(implied = true)
       }
     } else if (peek.kind == ID && aggFns(peek.text) && peekAt(1).text == "(") {
-      parseSummarize()
+      parseSummarize(implied = true)
     } else {
       val e = parseSearchTerm()
       // adjacent search terms AND together (search-expressions.md):
@@ -1050,7 +1050,7 @@ final class Parser(tokens: Vector[Token], source: String,
     Stage.Top(n, keys)
   }
 
-  private def parseSummarize(): Stage = {
+  private def parseSummarize(implied: Boolean = false): Stage = {
     if (eat("summarize")) ()
     // `by`-only form: every key, no aggs
     if (atId("by")) { next(); return Stage.Summarize(Seq.empty, parseKeyList()) }

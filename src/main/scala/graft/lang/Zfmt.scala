@@ -681,12 +681,6 @@ object Zfmt {
       case Stage.Where(Expr.Call("__impliedsearch", Seq(e))) =>
         Seq(DFilter(termify(e)))
       case Stage.Where(e) => Seq(DFilter(searchify(e)))
-      case Stage.Yield(Seq(Expr.Call(fn, args)))
-          if isAggName(fn) =>
-        // lone agg-call expression: summarize + yield of the field
-        Seq(DSummarize(Seq(fn -> AggCall(fn, args.headOption.map(searchify),
-            None, named = false)), Seq.empty),
-          DYield(Seq(Expr.Path(Seq(fn)))))
       case Stage.Yield(es) => Seq(DYield(es.map(searchify)))
       case Stage.Put(as) => Seq(DPut(as.map { case (n, e) => n -> searchify(e) }))
       case Stage.Rename(rs) => Seq(DRename(rs))
@@ -708,7 +702,7 @@ object Zfmt {
           aggs.map { case (n, a) =>
             n -> a.copy(arg = a.arg.map(searchify), where = a.where.map(searchify)) },
           keys.map { case (n, e) => n -> searchify(e) })
-        // single UNNAMED agg without keys yields its value (semantic op.go)
+        // the DAG prints the singleton-agg unwrap as an explicit yield
         if (aggs.length == 1 && keys.isEmpty && !aggs.head._2.named)
           Seq(low, DYield(Seq(Expr.Path(Seq(aggs.head._1)))))
         else Seq(low)

@@ -558,13 +558,39 @@ object ZedOps {
       case "anti"  => "left_anti"
       case s       => s
     }
-    val joined = left.join(right, leftKey === rightKey, sparkStyle)
+    // zed's merge join matches NULL keys as equal (join auto-sort ztest:
+    // {a:null} joins {b:null}) — null-safe equality. The non-output side
+    // carries a constant hit marker (null-key matches can't be told from
+    // misses by key nullness) and an input-order ordinal so duplicate
+    // matches keep the side's arrival order through the key sort.
+    val outputLeft = sparkStyle != "right_outer"
+    val decorate = graft.nonEmpty && sparkStyle != "left_anti"
+    val hitC = "__hit_marker"
+    val ordC = "__rord"
+    val (l2, r2) =
+      if (!decorate) (left, right)
+      else if (outputLeft)
+        (left, right.withColumn(hitC, lit(true))
+          .withColumn(ordC, monotonically_increasing_id()))
+      else
+        (left.withColumn(hitC, lit(true))
+          .withColumn(ordC, monotonically_increasing_id()), right)
+    val joined = l2.join(r2, leftKey <=> rightKey, sparkStyle)
     if (style == "anti") joined
     else {
       val base =
         if (style == "right") right.columns.map(right(_))
         else left.columns.map(left(_))
-      joined.select(base ++ graft.map { case (n, c) => c.as(n) }: _*)
+      val extras =
+        if (!decorate) Seq.empty
+        else Seq(col(hitC).isNotNull.as(matchedCol), col(ordC).as(orderCol))
+      joined.select(base ++ graft.map { case (n, c) => c.as(n) } ++ extras: _*)
     }
   }
+
+  /** Join match marker column (internal; stripped by the compiler). */
+  val matchedCol = "__joined"
+
+  /** Non-output-side arrival ordinal (internal; sort tiebreak). */
+  val orderCol = "__rord"
 }

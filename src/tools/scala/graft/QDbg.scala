@@ -14,6 +14,8 @@ object QDbg {
     df.schema.fields.foreach { f =>
       if (f.metadata.contains("shapes"))
         println("   shapes: " + f.metadata.getStringArray("shapes").mkString(" | "))
+      if (f.metadata.contains("graft.zedType"))
+        println(s"   zedType(${f.name}): " + f.metadata.getString("graft.zedType"))
     }
     println("== out:")
     graft.sources.ZsonIO.toZson(df).collect().foreach(println)
