@@ -1545,6 +1545,8 @@ object ZngIO {
         while (x != 0) { out.write((x & 0xff).toInt); x >>= 8 }
       case (VDur(ns), _) => out.write(signedBytes(ns), 0, signedBytes(ns).length)
       case (VTime(ns), _) => out.write(signedBytes(ns), 0, signedBytes(ns).length)
+      case (VFloat(d, _), ZPrim(14)) => // float16: 2-byte IEEE half
+        out.write(leBytes(ZFormat.toHalfBits(d).toLong & 0xffffL, 2), 0, 2)
       case (VFloat(d, _), ZPrim(ID_FLOAT32)) =>
         out.write(leBytes(java.lang.Float.floatToIntBits(d.toFloat).toLong & 0xffffffffL, 4), 0, 4)
       case (VFloat(d, _), _) =>
