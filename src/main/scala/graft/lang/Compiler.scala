@@ -1309,10 +1309,33 @@ final class Compiler(spark: SparkSession, dir: String) {
         // real output shape
         val out = if (graftFields.nonEmpty && unPrefixed.columns.contains(
             graft.operators.Het.typeTag)) {
-          val graftTypes: Seq[(String, String)] = graftFields.map { case (n, _) =>
+          val graftTypes: Seq[(String, String)] = graftFields.map { case (n, ge) =>
+            // a simple-path graft keeps the SOURCE side's exact zed type
+            // (its shape text) — physical columns widen int32 to long
+            val srcDf = if (style == "right") left else right0
+            val fromShape = ge match {
+              case Expr.Path(parts0) =>
+                val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+                parts.headOption.flatMap { pn =>
+                  shapesOf(srcDf).headOption.flatMap { case (_, zt0) =>
+                    graft.sources.ZType.strip(zt0) match {
+                      case graft.sources.ZType.Rec(fs) =>
+                        fs.collectFirst { case (`pn`, ft) =>
+                          parts.tail.foldLeft(Option(ft)) {
+                            case (Some(graft.sources.ZType.Rec(fs2)), leaf) =>
+                              fs2.collectFirst { case (`leaf`, ft2) => ft2 }
+                            case _ => None
+                          }
+                        }.flatten.map(graft.sources.ZType.fullText)
+                      case _ => None
+                    }
+                  }
+                }
+              case _ => None
+            }
             val dt = unPrefixed.schema.fields.find(_.name == n)
               .map(_.dataType).getOrElse(StringType)
-            n -> Shaper.zedTypeOf(dt)
+            n -> fromShape.getOrElse(Shaper.zedTypeOf(dt))
           }
           def extend(t: String): String =
             if (t.endsWith("}"))

@@ -28,6 +28,21 @@ final class Parser(tokens: Vector[Token], source: String,
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"parse error at ${peek.pos} ('${peek.text}'): $msg")
 
+  /** Reference-style caret diagnostic: msg at line/col + source line +
+    * tilde span (compiler/semantic error rendering).
+    */
+  private def diag(msg: String, startPos: Int, endPos: Int): Nothing = {
+    val upTo = source.take(startPos)
+    val lineNo = upTo.count(_ == '\n') + 1
+    val colNo = startPos - (upTo.lastIndexOf('\n') + 1) + 1
+    val lineText = source.linesWithSeparators.toSeq
+      .lift(lineNo - 1).getOrElse(source).stripLineEnd
+    val span = math.max(1, endPos - startPos)
+    throw new CompileDiag(
+      s"$msg at line $lineNo, column $colNo:\n" +
+        lineText + "\n" + (" " * (colNo - 1)) + ("~" * span))
+  }
+
   private def expect(text: String): Token = {
     val t = next()
     if (t.text != text) throw new IllegalArgumentException(
@@ -96,6 +111,7 @@ final class Parser(tokens: Vector[Token], source: String,
   private val funcs = scala.collection.mutable.Map.empty[String, (Seq[String], Expr)]
   private val typeDefs = scala.collection.mutable.Map.empty[String, String]
   private val opDefs = scala.collection.mutable.Map.empty[String, (Seq[String], Pipeline)]
+  private val opDefSpans = scala.collection.mutable.Map.empty[String, (Int, Int)]
 
   def parseQuery(): Pipeline = {
     parseStatements()
@@ -122,7 +138,10 @@ final class Parser(tokens: Vector[Token], source: String,
         if (preserve) pendingDecls :+= Stage.ConstDecl(name, ce)
       } else if (atId("func") && peekAt(1).kind == ID && peekAt(2).text == "(") {
         next()
+        val nameTok = peek
         val name = next().text; expect("(")
+        if (funcs.contains(name))
+          diag(s"symbol \"$name\" redefined", nameTok.pos, nameTok.end)
         val params = Vector.newBuilder[String]
         if (!at(")")) { do params += next().text while (eat(",")) }
         expect(")"); expect(":")
@@ -138,11 +157,22 @@ final class Parser(tokens: Vector[Token], source: String,
         next()
         val name = next().text; expect("(")
         val params = Vector.newBuilder[String]
-        if (!at(")")) { do params += next().text while (eat(",")) }
+        if (!at(")")) {
+          do {
+            val ptok = peek
+            val pn = next().text
+            if (params.result().contains(pn))
+              diag(s"duplicate parameter \"$pn\"", ptok.pos, ptok.end)
+            params += pn
+          } while (eat(","))
+        }
         expect(")"); expect(":"); expect("(")
+        val bodyStart = peek.pos
         val p = parsePipeline()
+        val bodyEnd = tokens(math.max(0, pos - 1)).pos
         expect(")")
         opDefs(name) = (params.result(), p)
+        opDefSpans(name) = (bodyStart, bodyEnd)
         if (preserve) pendingDecls :+= Stage.OpDecl(name, params.result(), p)
       } else if (atId("type") && peekAt(1).kind == ID && peekAt(2).text == "=") {
         // `type <id> = <type>` (statements.md named types); the name then
@@ -153,8 +183,33 @@ final class Parser(tokens: Vector[Token], source: String,
         // complex type text ({...} record, [..] array, (..) union) —
         // consumed balanced and stored as text
         val base = new StringBuilder
+        val typeStart = peek.pos
         def appendTok(): Unit = {
           val t = next()
+          // a QUOTED word in type position must name a known type
+          // (shaping ztest badshaper: testfield:"null" is an error)
+          if (t.kind == Lexer.STR && peek.text != ":") {
+            // a QUOTED name never matches a primitive (badshaper ztest:
+            // testfield:"null" is an unknown named type)
+            if (!typeDefs.contains(t.text)) {
+              // the span covers the whole type text; find its end lazily
+              var depth2 = 0
+              var j = pos
+              var end = t.end
+              while (j < tokens.length && tokens(j).kind != EOF && {
+                  tokens(j).text match {
+                    case "{" | "[" | "(" | "|[" | "|{" => depth2 += 1
+                    case "}" | "]" | ")" | "]|" | "}|" => depth2 -= 1
+                    case _ =>
+                  }
+                  end = tokens(j).end
+                  depth2 >= 0
+                }) j += 1
+              diag(s"no such type name: \"${t.text}\"", typeStart, end)
+            }
+            base.append(typeDefs.getOrElse(t.text, t.text))
+            return
+          }
           // resolve previously defined names so stored texts are closed
           base.append(
             // a field NAME (followed by ':') must not resolve as a type ref
@@ -384,7 +439,21 @@ final class Parser(tokens: Vector[Token], source: String,
       expect(")")
       if (noExpand) return Stage.OpCall(opName, args)
       val env = params.zip(args).toMap
-      return Stage.Block(Pipeline(body.stages.map(substStage(_, env))))
+      return try Stage.Block(Pipeline(body.stages.map(substStage(_, env))))
+      catch {
+        case e: IllegalArgumentException if Option(e.getMessage)
+            .exists(_.startsWith("illegal left-hand side of assignment")) =>
+          // point at the assignment inside the op body (user-errors ztest)
+          val root = e.getMessage.split(": ").last
+          val (bs, be) = opDefSpans.getOrElse(opName, (0, source.length))
+          val m = java.util.regex.Pattern.compile(
+            "\\b" + java.util.regex.Pattern.quote(root) + "\\s*:=[^\\n)|]*")
+            .matcher(source)
+          if (m.find(bs) && m.start < be)
+            diag("illegal left-hand side of assignment",
+              m.start, m.start + m.group.trim.length)
+          else throw new CompileDiag("illegal left-hand side of assignment")
+      }
     }
     peek.text match {
       case "from" if peekAt(1).text == "(" =>
@@ -766,8 +835,16 @@ final class Parser(tokens: Vector[Token], source: String,
         case Some(assigns) if atId("by") || assigns.exists(a => isAggTop(a._2)) =>
           // dynamic lhs over an aggregate is the reference's static-only
           // error (summarize-lhs-error ztest)
-          if (assigns.exists(_._1.isRight))
-            fail("aggregate output field must be static")
+          if (assigns.exists(_._1.isRight)) {
+            val msg =
+              if (!atId("by") && assigns.exists(a => isAggTop(a._2)))
+                "aggregate output field must be static"
+              else "output field must be static"
+            val ix = source.indexOf("this[", 0)
+            val close = if (ix >= 0) source.indexOf("]", ix) else -1
+            if (ix >= 0 && close > ix) diag(msg, ix, close + 1)
+            else throw new CompileDiag(msg)
+          }
           pos = save
           parseSummarize(implied = true)
         case Some(assigns) if assigns.forall(_._1.isLeft) =>
@@ -854,9 +931,42 @@ final class Parser(tokens: Vector[Token], source: String,
     * row rewrite (cut-dynamic-field ztest).
     */
   private def parseCutStage(): Stage = {
+    val startPos = peek.pos
     val fs = parseFieldListE()
-    if (fs.forall(_._1.isLeft))
+    val endPos = tokens(math.max(0, pos - 1)).end
+    if (fs.forall(_._1.isLeft)) {
+      // nested cut targets must keep each record's fields ADJACENT
+      // (runtime/sam/expr/cutter.go: records build in field order and
+      // cannot reopen — cut-not-adjacent ztest)
+      val names = fs.collect { case (Left(n), _) => n }
+      // duplicate targets (exact or prefix-overlapping) are compile
+      // errors (cutter.go cut-dup-fields): the LATER path is reported,
+      // except an extension of an earlier path reports the extension
+      val prior = scala.collection.mutable.ArrayBuffer.empty[String]
+      names.foreach { n =>
+        prior.find(p0 => p0 == n || p0.startsWith(n + ".") ||
+            n.startsWith(p0 + ".")) match {
+          case Some(p0) =>
+            val dup = if (n.length >= p0.length) n else n
+            diag(s"""duplicate field: "$dup"""", startPos, endPos)
+          case None =>
+        }
+        prior += n
+      }
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var active = Set.empty[String]
+      names.foreach { n =>
+        val parts = n.split("\\.").toSeq
+        val prefixes = (1 until parts.length).map(k => parts.take(k).mkString("."))
+        prefixes.foreach { pre =>
+          if (seen(pre) && !active(pre))
+            diag(s"fields in record $pre must be adjacent", startPos, endPos)
+          seen += pre
+        }
+        active = prefixes.toSet
+      }
       Stage.Cut(fs.map { case (t, e) => (t.swap.getOrElse(""), e) })
+    }
     else Stage.DynAssign("cut", fs.map {
       case (Left(n), Some(e)) => (Expr.StringLit(n): Expr, e)
       case (Left(n), None) => (Expr.StringLit(n): Expr, Expr.Path(n.split('.').toSeq): Expr)
@@ -1065,6 +1175,8 @@ final class Parser(tokens: Vector[Token], source: String,
       expect("(")
       val arg = if (at(")")) None else Some(parseExpr())
       expect(")")
+      if (arg.isEmpty && fn != "count")
+        throw new CompileDiag(s"$fn: argument required")
       val where = if (atId("where")) { next(); Some(parseExpr()) } else None
       aggs += ((name.getOrElse(fn), AggCall(fn, arg, where, named = name.isDefined)))
       done = !eat(",")
@@ -1085,6 +1197,14 @@ final class Parser(tokens: Vector[Token], source: String,
   private def parseKeyList(): Seq[(String, Expr)] = {
     val out = Vector.newBuilder[(String, Expr)]
     do {
+      // a dynamic key NAME (by this[e] := k) is a compile error
+      // (summarize-lhs-error ztest)
+      if (atId("this") && peekAt(1).text == "[") {
+        val ix = peek.pos
+        val close = source.indexOf("]", ix)
+        if (close > ix && source.substring(close).contains(":="))
+          diag("output field must be static", ix, close + 1)
+      }
       if (assignAhead) {
         val n = parseDottedName(); next()
         out += ((n, parseExpr()))
@@ -1403,6 +1523,10 @@ final class Parser(tokens: Vector[Token], source: String,
               return Expr.Call("__mapf", Seq(args(0), bodyE))
             }
             funcs.get(name) match {
+              case Some((params, _)) if params.length != args.length =>
+                // "call expects N argument(s)" spans the whole call
+                diag(s"call expects ${params.length} argument(s)",
+                  t.pos, tokens(math.max(0, pos - 1)).end)
               case Some(_) if noExpand || !expandFuncs => Expr.Call(name, args)
               case Some((params, body)) => // user-defined func: expand inline
                 if (params.length != args.length)
@@ -1413,6 +1537,8 @@ final class Parser(tokens: Vector[Token], source: String,
                 else subst(body, params.zip(args).toMap)
               case None if typeDefs.contains(name) => // named type as cast
                 Expr.Call("cast", args :+ Expr.StringLit(typeDefs(name)))
+              case None if consts.contains(name) =>
+                diag("not a function", t.pos, t.end)
               case None => Expr.Call(name, args)
             }
           case name if consts.contains(name) =>

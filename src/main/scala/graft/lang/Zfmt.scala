@@ -1261,6 +1261,22 @@ object Zfmt {
     def expr(e: Expr, parent: String): Unit = e match {
       case Expr.Call("__dagsearch", Seq(Expr.StringLit(t))) =>
         f.write(s"search($t)")
+      case Expr.Call("__setlit", items) =>
+        f.write("|[")
+        var firstI = true
+        items.foreach { x =>
+          if (!firstI) f.write(",")
+          firstI = false
+          expr(x, "")
+        }
+        f.write("]|")
+      case Expr.Call("__maplit", kvs) =>
+        f.write("|{")
+        kvs.grouped(2).zipWithIndex.foreach { case (kv, ix) =>
+          if (ix != 0) f.write(",")
+          expr(kv(0), ""); f.write(":"); expr(kv(1), "")
+        }
+        f.write("}|")
       case Expr.Call("__typeval", Seq(Expr.StringLit(t))) => f.write(s"<$t>")
       case Expr.Call("__typename", Seq(Expr.StringLit(t))) => f.write(s"<$t>")
       case Expr.Call(fn @ ("is" | "kind" | "typeunder"), Seq(Expr.StringLit(t)))

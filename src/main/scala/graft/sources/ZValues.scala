@@ -1718,8 +1718,16 @@ final class ZsonParser(s: String,
       case (VStr(sv), Prim("ip")) => VIp(sv)
       case (VStr(sv), Prim("net")) => ZValue.netOf(sv)
       case (VStr(sv), Prim("bytes")) => VStr(sv)
-      case (VStr(sv), EnumT(_)) => VTyped(VEnum(sv), t)
-      case (VEnum(sv), EnumT(_)) => VTyped(VEnum(sv), t)
+      case (VStr(sv), EnumT(syms)) =>
+        if (!syms.contains(sv))
+          throw new IllegalArgumentException(
+            s"""symbol "$sv" not a member of type "${ZType.fullText(t0)}"""")
+        VTyped(VEnum(sv), t)
+      case (VEnum(sv), EnumT(syms)) =>
+        if (!syms.contains(sv))
+          throw new IllegalArgumentException(
+            s"""symbol "$sv" not a member of type "${ZType.fullText(t0)}"""")
+        VTyped(VEnum(sv), t)
       case (inner, Union(alts)) =>
         // fit the value to a MEMBER: the value's OWN type first — checked
         // on v BEFORE unwrap, so a nested-union/named member keeps its

@@ -1039,7 +1039,7 @@ object MdtestHarness {
           case "-s" => stats = true; i += 1
           case "-split" => split = Some(args(i + 1)); i += 2
           case "-splitsize" => splitSize = Some(sizeOf(args(i + 1))); i += 2
-          case f @ ("-aggmem" | "-sortmem") =>
+          case f @ ("-aggmem" | "-sortmem" | "-fusemem") =>
             // sortmem: validated, then ignored — Spark spills on its own.
             // aggmem caps the per-aggregate VALUE size (agg.MaxValueSize:
             // collect/union discard oldest entries over budget)
@@ -1119,6 +1119,11 @@ object MdtestHarness {
       try buildStdinFrame0(text, inFmt)
       catch {
         case e: Exception if Option(e.getMessage)
+            .exists(_.contains("not a member of type")) =>
+          val m = e.getMessage
+          throw new RuntimeException(
+            "stdio:stdin: " + m.substring(m.indexOf("symbol")))
+        case e: Exception if Option(e.getMessage)
             .exists(_.contains("no such type name")) =>
           // typed parse errors surface verbatim with the stdio source
           // name, not as detection failures (zson/parser error texts)
@@ -1188,6 +1193,33 @@ object MdtestHarness {
       if (dfs.length == 1) dfs.head
       else graft.operators.ZedOps.combine(dfs: _*)
 
+    /** Rewrite a compile diagnostic's "at line L" to "in <file> at line
+      * L'" when the offending line came from a -I include (the reference
+      * attributes errors to their source file).
+      */
+    private def attributeDiag(msg: String, includes: Seq[(String, String)],
+        queryLines: Int): String = {
+      if (includes.isEmpty) return msg
+      val re = "at line (\\d+), column (\\d+)".r
+      re.findFirstMatchIn(msg) match {
+        case Some(m) =>
+          val line = m.group(1).toInt
+          var off = 0
+          for ((f, text) <- includes) {
+            val n = text.stripLineEnd.linesIterator.length
+            if (line > off && line <= off + n) {
+              val local = line - off
+              return msg.replaceFirst("at line \\d+,",
+                java.util.regex.Matcher.quoteReplacement(
+                  s"in $f at line $local,"))
+            }
+            off += n
+          }
+          msg
+        case None => msg
+      }
+    }
+
     private def superQuery(args: Seq[String], stdin: Option[String]): String = {
       val f = try parseQueryFlags(args)
               catch { case _: VersionRequested => return versionLine }
@@ -1199,6 +1231,10 @@ object MdtestHarness {
       // (cmd/super: "error parsing SuperPipe at line L, column C")
       if (queryText.nonEmpty) try graft.lang.Parser.parse(queryText)
       catch {
+        case e: graft.lang.CompileDiag =>
+          throw new RuntimeException(attributeDiag(e.getMessage,
+            f.includes.map(i => i -> readFile(i)),
+            f.query.map(_.linesIterator.length).getOrElse(0)))
         case e: IllegalArgumentException if Option(e.getMessage)
             .exists(_.startsWith("parse error at ")) =>
           val off = "parse error at (\\d+)".r.findFirstMatchIn(e.getMessage)
@@ -1807,6 +1843,13 @@ object MdtestHarness {
             case w => q = Some(q.map(_ + " " + w).getOrElse(w)); rest = rest.tail
           }
           val text = (includes.map(readFile) ++ q.toSeq).mkString("\n").trim
+          def attributed[T](body: => T): T =
+            try body catch {
+              case e: graft.lang.CompileDiag =>
+                throw new RuntimeException(attributeDiag(e.getMessage,
+                  includes.map(i => i -> readFile(i)),
+                  q.map(_.linesIterator.length).getOrElse(0)))
+            }
           if (sem || opt || par > 0) {
             val root: Option[String] =
               if (lakeFlag.contains("")) None
@@ -1815,8 +1858,8 @@ object MdtestHarness {
                 if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r)))
                   Some(r) else None
               } catch { case _: Exception => None }
-            graft.lang.Zfmt.semantic(spark, text, opt, par, root) + "\n"
-          } else graft.lang.Zfmt.canonical(text) + "\n"
+            attributed(graft.lang.Zfmt.semantic(spark, text, opt, par, root)) + "\n"
+          } else attributed(graft.lang.Zfmt.canonical(text)) + "\n"
         case "vector" =>
           // copy/query/project: the vng columnar read path through the
           // query engine; search: a filtered scan of the use-head pool's

@@ -122,6 +122,7 @@ object ZtestHarness {
       catch {
         case e: Exception if Option(e.getMessage).exists(m =>
             m.contains("no such type name") ||
+            m.contains("not a member of type") ||
             m.contains("record decorator fields")) =>
           // typed parse errors are REAL errors (ztests pin the message),
           // not candidates for the JSON fallback
