@@ -2148,6 +2148,42 @@ final class Compiler(spark: SparkSession, dir: String) {
     valueHit || fieldNameHit(df, inner)
   }
 
+  /** keywordSearch with a RUNTIME pattern column: substring over every
+    * string leaf / container text, plus field names (via the shape tag
+    * text for tagged frames, static schema names otherwise).
+    */
+  private def keywordSearchDyn(df: DataFrame, p: Column): Column = {
+    // lateral scope vars are context, not data — never search targets
+    val scopeVars = df.schema.fields
+      .filter(_.metadata.contains("graft.scopeVar")).map(_.name)
+    val df2 = if (scopeVars.isEmpty) df else df.drop(scopeVars.toIndexedSeq: _*)
+    // BOXED values (lateral elements) hold strings and names in their
+    // native caches — search their rendered text
+    val variantTexts = df2.schema.fields.toIndexedSeq
+      .filter(f => graft.sources.ZsonIO.isVariantType(f.dataType))
+      .map(f => graft.operators.Het.render(col(s"`${f.name}`")))
+    val strCols = stringLeaves(df2) ++ containerTexts(df2) ++ variantTexts
+    val valueHit = strCols.map(c => coalesce(c.contains(p), lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val nameHit =
+      if (isTagged(df2))
+        coalesce(col(graft.operators.Het.typeTag).contains(p), lit(false))
+      else {
+        def names(prefix: String, dt: DataType): Seq[String] = dt match {
+          case st: StructType if !isVariant(st) =>
+            st.fields.toIndexedSeq.flatMap(f =>
+              f.name +: names(s"$prefix.${f.name}", f.dataType))
+          case _ => Seq.empty
+        }
+        val all = df2.schema.fields.toIndexedSeq
+          .filterNot(_.name == graft.operators.Het.typeTag)
+          .flatMap(f => f.name +: names(f.name, f.dataType))
+        all.map(n => coalesce(lit(n).contains(p), lit(false)))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      }
+    valueHit || nameHit
+  }
+
   private def keywordSearch(df: DataFrame, word: String): Column = {
     val strCols = stringLeaves(df) ++ containerTexts(df)
     val valueHit =
@@ -3433,7 +3469,7 @@ final class Compiler(spark: SparkSession, dir: String) {
         // member, propagate error values (eval.go Not)
         when(graft.operators.Het.isError(c), c)
           .otherwise(graft.operators.Het.variant(!coalesce(c.getField("b"), lit(false)), BooleanType))
-      else !c
+      else !coalesce(c, lit(false)) // a null boolean negates to TRUE (eval.go Not)
     case Expr.Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
 
     case Expr.Binary(op, l, r) => binary(df, op, l, r)
@@ -3949,11 +3985,43 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (crossType) lit(false)
         else if (isTagged(df)) coalesce(lc >= rc, lit(false)) else lc >= rc
       case "and" | "or" =>
-        // operands may be BOXED booleans (comparisons over union-typed
-        // operands); read the member — error values are not-true
-        def tb(c: Column): Column =
-          if (isVariant(dtQ(c))) coalesce(c.getField("b"), lit(false)) else c
-        if (op == "and") tb(lc) && tb(rc) else tb(lc) || tb(rc)
+        // zed logic (sam/expr boolean): a null boolean is FALSE; a false
+        // (true for or) operand SHORT-CIRCUITS even past errors; an
+        // error (missing) otherwise propagates
+        val het = graft.operators.Het
+        val lVar = isVariant(dtQ(lc))
+        val rVar = isVariant(dtQ(rc))
+        def tb(c: Column, isVar: Boolean): Column =
+          if (isVar) coalesce(c.getField("b"), lit(false))
+          else coalesce(c, lit(false))
+        def te(c: Column, isVar: Boolean): Column =
+          if (isVar) coalesce(het.isError(c), lit(false)) else lit(false)
+        val (lb, rb) = (tb(lc, lVar), tb(rc, rVar))
+        val (le, re2) = (te(lc, lVar), te(rc, rVar))
+        if (!lVar && !rVar) {
+          if (op == "and") lb && rb else lb || rb
+        } else {
+          def bv(c: Column): Column = het.variant(c, BooleanType)
+          def isMissing(c: Column): Column =
+            coalesce(het.isError(c) &&
+              c.getField("z") === lit("\"missing\""), lit(false))
+          if (op == "and") {
+            // eval.go And: lhs error wins, then lhs false, then rhs error,
+            // then rhs false
+            var res = when(lit(false), bv(lit(false)))
+            if (lVar) res = res.when(le, lc)
+            res = res.when(!lb, bv(lit(false)))
+            if (rVar) res = res.when(re2, rc)
+            res.when(!rb, bv(lit(false))).otherwise(bv(lit(true)))
+          } else {
+            // eval.go Or: lhs true wins; a NON-missing lhs error wins; a
+            // missing lhs defers entirely to the rhs
+            var res = when(!le && lb, bv(lit(true)))
+            if (lVar) res = res.when(le && !isMissing(lc), lc)
+            if (rVar) res = res.when(re2, rc)
+            res.otherwise(bv(rb))
+          }
+        }
       case "=~" =>
         r match {
           case Expr.StringLit(re) => lc.cast(StringType).rlike(re)
@@ -4391,12 +4459,40 @@ final class Compiler(spark: SparkSession, dir: String) {
         if (args.length > 1) valueHit
         else valueHit || fieldNameHit(df, re.stripPrefix("^").stripSuffix("$"))
       case "grep" =>
-        if (args.length > 1)
-          F.grep(litStr(0), args.drop(1).map(expr(df, _)): _*)
-        // default subject is `this` — FULL keyword-search semantics:
-        // every string inside the value plus field names (grep.go
-        // NewSearchString; grep.md "foo" hits {foo:10})
-        else keywordSearch(df, litStr(0))
+        val dynPattern: Option[Column] = args.head match {
+          case Expr.StringLit(_) => None
+          case Expr.Binary("+", _, _) | Expr.Call("__concat", _) => None
+          case Expr.Call("__typename", _) => None
+          case e0 =>
+            // a RUNTIME pattern (field ref, func param): per-row deep
+            // search with the pattern column (function/grep.go dynamic)
+            Some(expr(df, e0) match { case c => c.cast(StringType) })
+        }
+        dynPattern match {
+          case Some(pc) =>
+            val subjectIsThis = args.length <= 1 ||
+              args(1) == Expr.Path(Seq.empty) || args(1) == Expr.Path(Seq("this"))
+            if (subjectIsThis) keywordSearchDyn(df, pc)
+            else {
+              val subj = args(1)
+              val sc = expr(df, subj)
+              val text =
+                if (isVariantExpr(df, subj)) graft.operators.Het.render(sc)
+                else sc.cast(StringType)
+              coalesce(text.contains(pc), lit(false))
+            }
+          case None =>
+            if (args.length > 1 && (args(1) == Expr.Path(Seq.empty) ||
+                args(1) == Expr.Path(Seq("this"))) && args.length == 2)
+              // grep(pat, this) is the full search form
+              keywordSearch(df, litStr(0))
+            else if (args.length > 1)
+              F.grep(litStr(0), args.drop(1).map(expr(df, _)): _*)
+            // default subject is `this` — FULL keyword-search semantics:
+            // every string inside the value plus field names (grep.go
+            // NewSearchString; grep.md "foo" hits {foo:10})
+            else keywordSearch(df, litStr(0))
+        }
 
       // time (function/time.go)
       case "now" => current_timestamp()

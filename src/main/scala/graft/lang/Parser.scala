@@ -915,7 +915,10 @@ final class Parser(tokens: Vector[Token], source: String,
           next(); e = Expr.Call("__aggwhere", Seq(e, parseExpr()))
         }
         out += ((path, Some(e)))
-      } else if (peek.kind == ID && peekAt(1).text != "(" && peekAt(1).text != "[") {
+      } else if (peek.kind == ID && peekAt(1).text != "(" &&
+          (peekAt(1).text != "[" ||
+            (peekAt(2).kind == Lexer.STR && peekAt(3).text == "]"))) {
+        // a constant string index is a dotted step (cut rec['bar'])
         out += ((Left(parseDottedName()), None))
       } else {
         // bare expression — field name inferred (cutter.go deriveAs)
@@ -1042,10 +1045,19 @@ final class Parser(tokens: Vector[Token], source: String,
   private def parseDottedName(): String = {
     if (peek.kind != ID) fail("expected a field name")
     val sb = new StringBuilder(next().text)
-    while (at(".")) {
-      next()
-      if (peek.kind != ID) fail("expected a field name after '.'")
-      sb.append('.').append(next().text)
+    var going = true
+    while (going) {
+      if (at(".")) {
+        next()
+        if (peek.kind != ID) fail("expected a field name after '.'")
+        sb.append('.').append(next().text)
+      } else if (at("[") && peekAt(1).kind == Lexer.STR &&
+          peekAt(2).text == "]") {
+        // a constant string index is a dotted step (cut rec['bar'])
+        next()
+        sb.append('.').append(next().text)
+        expect("]")
+      } else going = false
     }
     sb.toString
   }
