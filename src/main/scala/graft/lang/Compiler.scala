@@ -1243,6 +1243,8 @@ final class Compiler(spark: SparkSession, dir: String) {
             // `this` (the whole right record, eaterinfo:=this) is simple:
             // it becomes a struct over the renamed columns
             parts.isEmpty || right0.columns.contains(parts.head)
+          // quiet(path) grafts resolve through the rename too (cut-like)
+          case Expr.Call("quiet", Seq(p: Expr.Path)) => simplePath(p)
           case _ => false
         }
         val renameOk = simplePath(rk) && graftFields.forall(g => simplePath(g._2))
@@ -1285,6 +1287,15 @@ final class Compiler(spark: SparkSession, dir: String) {
             } else if (right0.columns.contains(parts.head))
               parts.tail.foldLeft(col(s"`$rjPre${parts.head}`"))(_.getField(_))
             else expr(right0, e) // non-path exprs compile against the original
+          case Expr.Call("quiet", Seq(p: Expr.Path)) if rjPre.nonEmpty =>
+            // quiet over a renamed right column: the value when present,
+            // error("quiet") when null/absent — the boxed quiet error
+            // drops the field at output (cut.md quiet)
+            val het = graft.operators.Het
+            val inner = rightExpr(p)
+            val idt = try right.select(inner).schema.head.dataType
+                      catch { case _: Exception => StringType }
+            when(inner.isNull, het.errQuiet).otherwise(het.variant(inner, idt))
           case _ => expr(right0, e)
         }
         // field assignments draw from the NON-OUTPUT side: a right join

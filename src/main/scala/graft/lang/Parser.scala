@@ -1242,6 +1242,8 @@ final class Parser(tokens: Vector[Token], source: String,
       val cond = parseExpr()
       val (lk, rk) = cond match {
         case Expr.Binary("==", l, r) => (l, r)
+        // `on <k>` names the SHARED key (join expr ztest: on s b)
+        case other if !at("=") => (other, other)
         case other => expect("="); (other, parseExpr())
       }
       val graft =
@@ -1257,6 +1259,8 @@ final class Parser(tokens: Vector[Token], source: String,
     val cond = parseExpr()
     val (lk, rk) = cond match {
       case Expr.Binary("==", l, r) => (l, r)
+      // `on <k>` names the SHARED key on both sides
+      case other if !at("=") => (other, other)
       case other =>
         // `on <lk>=<rk>` with single '=': parseExpr stops before '='
         expect("=")
