@@ -194,6 +194,34 @@ object Bench {
 
   private def median(ds: Seq[Double]): Double = ds.sorted.apply(ds.length / 2)
 
+  /** Fixed CPU-bound host calibration: sort 10M deterministically-seeded
+    * longs in-memory, single-threaded, median of 3. Pure JVM work — no
+    * Spark, no I/O — so the number tracks ONLY host speed. Cross-round
+    * class deltas divide by this to separate engine changes from host
+    * noise (the r13 window ran the shared VM ~1.7x slower than r12's and
+    * the raw deltas were unreadable without it).
+    */
+  private def calibrate(): Double = {
+    def fill(): Array[Long] = {
+      val a = new Array[Long](10000000)
+      var x = 0x9E3779B97F4A7C15L // fixed seed: same work every round
+      var i = 0
+      while (i < a.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x; i += 1
+      }
+      a
+    }
+    java.util.Arrays.sort(fill()) // warm JIT
+    val ds = (1 to 3).map { _ =>
+      val a = fill()
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      (System.nanoTime() - t0) / 1e9
+    }
+    median(ds)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -377,8 +405,15 @@ object Bench {
       .map { case (k, ds) => "\"" + k + "\":[" + f"${ds.min}%.4f" + "," + f"${ds.max}%.4f" + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // host calibration + calibration-normalized per-class numbers: a
+    // cross-round delta in queries_norm is an ENGINE delta; one only in
+    // queries is the host
+    val cal = calibrate()
+    val normJson = results
+      .map { case (k, v) => "\"" + k + "\":" + f"${v / cal}%.4f" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qjson,"spread":$spreadJson,"calibration":${f"$cal%.4f"},"queries_norm":$normJson,"sf":"$sfDir"}"""
     println(line)
     // also land the JSON in a file: the stdout line gets buried in sbt log
     // tail and the driver recorded "parsed": null in r1

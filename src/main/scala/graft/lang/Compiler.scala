@@ -197,10 +197,24 @@ final class Compiler(spark: SparkSession, dir: String) {
     state
   }
 
-  /** The most recent upstream single-key sort direction — join
-    * auto-sort direction detection (sam/op/join sortDir).
+  /** The most recent upstream single-key sort (key path + direction) —
+    * join auto-sort direction detection. The reference only adopts the
+    * upstream direction when the sorted key EQUALS the join key
+    * (optimizer.go propagateSortKeyOp: fieldOf(LeftKey).Equal(
+    * parents[0].Primary().Key)), so we track the key too and reset on
+    * sources and order-destroying stages.
     */
-  private var lastSortAsc: Option[Boolean] = None
+  private var lastSort: Option[(Seq[String], Boolean)] = None
+
+  /** Normalized field path of a simple-path expression (leading `this`
+    * stripped), if it is one — the compiler-side fieldOf (dag/expr.go).
+    */
+  private def fieldPathOf(e: Expr): Option[Seq[String]] = e match {
+    case Expr.Path(parts0) =>
+      val parts = if (parts0.headOption.contains("this")) parts0.tail else parts0
+      if (parts.nonEmpty) Some(parts) else None
+    case _ => None
+  }
 
   /** Lake meta-query frames (`from :pools`, `from :branches`,
     * `from <pool>:branches`) when `graft.lake.root` is set — the subset
@@ -429,6 +443,8 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def compileStage(state: Seq[DataFrame], stage: Stage): Seq[DataFrame] =
     stage match {
       case Stage.From(table, fmt, _, _) =>
+        // a new source has no carried sort order
+        lastSort = None
         // a new source mid-pipeline replaces the stream (CLI `from` form);
         // a path-looking name reads any supported format (zio/anyio
         // detect), `format <f>` forces one. Relative paths resolve
@@ -884,8 +900,8 @@ final class Compiler(spark: SparkSession, dir: String) {
         Seq(ZsonReader.fromRDD(df.sparkSession, rdd))
 
       case Stage.Sort(keys, nullsFirst) =>
-        lastSortAsc = keys match {
-          case Seq((_, asc1)) => Some(asc1)
+        lastSort = keys match {
+          case Seq((e, asc1)) => fieldPathOf(e).map(_ -> asc1)
           case _ => None
         }
 
@@ -1009,6 +1025,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         } else Seq(if (withCount) ZedOps.uniqCount(df) else ZedOps.uniq(df))
 
       case Stage.Summarize(aggs, keys) =>
+        // groupby scrambles any upstream sort (the reference propagates
+        // nil unless the group key equals the sort key — optimizer.go)
+        lastSort = None
         val df0 = single(state)
         // a `quiet(path)` group key drops rows where the path is missing
         // (groupby.go quiet-key semantics)
@@ -1206,7 +1225,10 @@ final class Compiler(spark: SparkSession, dir: String) {
             if (lateral || keyNames.isEmpty ||
                 keyNames.exists(n => graft.sources.ZsonIO.isVariantType(
                   d.schema(n).dataType))) d
-            else d.orderBy(keyNames.map(n => col(s"`$n`")): _*)
+            // nulls LAST: the groupby emit comparator is nullsMax
+            // (sam/op/groupby NewComparator(true, ...)), matching the
+            // sort stage's asc_nulls_last convention
+            else d.orderBy(keyNames.map(n => col(s"`$n`").asc_nulls_last): _*)
           Seq(nestIfDotted(markZedTypes(keySorted(if (lateral) {
             // re-mark the scope vars and the surviving row id (metadata
             // does not survive groupBy); per-OUTER-ROW results come back
@@ -1223,7 +1245,11 @@ final class Compiler(spark: SparkSession, dir: String) {
       case Stage.Join(style, rightPipe, lk, rk, graftFields) =>
         // the LEFT side's sort direction must be read before the right
         // pipeline compiles (its sorts would clobber the tracker)
-        val leftSortAsc = lastSortAsc
+        // only adopt the upstream direction when the sorted key IS the
+        // left join key (optimizer.go propagateSortKeyOp)
+        val leftSortAsc: Option[Boolean] = lastSort.collect {
+          case (p, asc1) if fieldPathOf(lk).contains(p) => asc1
+        }
         // with no right sub-pipeline the upstream's LAST branch is the
         // right side and the rest the left (fork | join on k=k)
         val (left, right0) = rightPipe match {
@@ -1387,7 +1413,9 @@ final class Compiler(spark: SparkSession, dir: String) {
         // descending (join auto-sort ztest; the left side's order wins)
         val dirAsc: Boolean = leftSortAsc.orElse(
           rightPipe.flatMap(_.stages.reverse.collectFirst {
-            case Stage.Sort(Seq((_, asc2)), _) => asc2
+            case Stage.Sort(Seq((e2, asc2)), _)
+                if fieldPathOf(e2).nonEmpty &&
+                   fieldPathOf(e2) == fieldPathOf(rk) => asc2
           })).getOrElse(true)
         val keyOut: Option[Column] =
           (if (style == "right") rk else lk) match {
@@ -1408,6 +1436,10 @@ final class Compiler(spark: SparkSession, dir: String) {
               if (dirAsc) k.asc else k.desc) ++ ordTie: _*)
           case None => out
         }
+        // post-join sort order is unspecified downstream (optimizer.go
+        // returns nil sort keys after a join); also drops any tracker
+        // state the right pipeline's own sorts left behind
+        lastSort = None
         Seq(if (sorted.columns.contains(ZedOps.orderCol))
           sorted.drop(ZedOps.orderCol) else sorted)
 

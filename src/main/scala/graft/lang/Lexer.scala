@@ -83,6 +83,17 @@ object Lexer {
     Some(cand)
   }
 
+  /** True when position `i` (at a `//`) sits inside a URL-like bare
+    * word: either directly after the scheme colon, or anywhere in a word
+    * that already contains `scheme://` since the last whitespace.
+    */
+  private def insideUrlWord(input: String, i: Int): Boolean = {
+    if (i > 0 && input.charAt(i - 1) == ':') return true
+    var j = i - 1
+    while (j >= 0 && !input.charAt(j).isWhitespace) j -= 1
+    input.substring(j + 1, i).contains("://")
+  }
+
   def lex(input: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
     var i = 0
@@ -96,8 +107,10 @@ object Lexer {
       }
       else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
       else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/' &&
-          !(i > 0 && input.charAt(i - 1) == ':')) {
-        // `//` is a comment EXCEPT inside a URL (http://…)
+          !insideUrlWord(input, i)) {
+        // `//` is a comment EXCEPT inside a URL-like bare word — not just
+        // directly after the scheme colon but anywhere past `scheme://`
+        // (http://host/a//b must survive intact)
         while (i < n && input.charAt(i) != '\n') i += 1
       } else if (c == '"' || c == '\'') {
         val quote = c

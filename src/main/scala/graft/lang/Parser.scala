@@ -316,11 +316,12 @@ final class Parser(tokens: Vector[Token], source: String,
       // bodies parsed — substitute THROUGH them or inner params stay
       // unbound (statements.md nested add4/add2/add1)
       case Stage.Block(p) => Stage.Block(Pipeline(p.stages.map(substStage(_, env))))
-      case Stage.From(t, fmt, k, _) =>
-        // `from <param>` takes the argument as the source name
+      case Stage.From(t, fmt, k, extras) =>
+        // `from <param>` takes the argument as the source name; keep the
+        // method/headers/body extras through the substitution
         env.get(t) match {
-          case Some(Expr.StringLit(v)) => Stage.From(v, fmt, k)
-          case Some(Expr.Path(ps)) => Stage.From(ps.mkString("."), fmt, k)
+          case Some(Expr.StringLit(v)) => Stage.From(v, fmt, k, extras)
+          case Some(Expr.Path(ps)) => Stage.From(ps.mkString("."), fmt, k, extras)
           case _ => s
         }
       case Stage.Fork(bs) =>
@@ -950,7 +951,7 @@ final class Parser(tokens: Vector[Token], source: String,
         prior.find(p0 => p0 == n || p0.startsWith(n + ".") ||
             n.startsWith(p0 + ".")) match {
           case Some(p0) =>
-            val dup = if (n.length >= p0.length) n else n
+            val dup = if (n.length >= p0.length) n else p0
             diag(s"""duplicate field: "$dup"""", startPos, endPos)
           case None =>
         }

@@ -402,4 +402,44 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(branchCount == ev.filter(col("event_id") < 300).count())
     } finally spark.conf.unset("graft.lake.root")
   }
+
+  // ---- round-14 advice regressions -----------------------------------------
+
+  test("join auto-sort direction only follows a sort ON the join key " +
+       "(optimizer.go propagateSortKeyOp fieldOf(LeftKey) equality)") {
+    // sorted on a NON-key column: join output stays ascending by key
+    val asc = run(
+      "from nation | sort n_name desc | join (from region) on n_regionkey=r_regionkey rname:=r_name | cut n_regionkey")
+      .collect().map(r => r.get(0).toString.toLong).toSeq
+    assert(asc == asc.sorted, asc.mkString(","))
+    // sorted on THE key descending: direction is adopted
+    val desc = run(
+      "from nation | sort n_regionkey desc | join (from region) on n_regionkey=r_regionkey rname:=r_name | cut n_regionkey")
+      .collect().map(r => r.get(0).toString.toLong).toSeq
+    assert(desc == desc.sorted.reverse, desc.mkString(","))
+  }
+
+  test("groupby emits null group keys LAST (sam/op/groupby nullsMax)") {
+    val keys = run(
+      "from nation | put k := n_regionkey==2 ? null : n_regionkey | count() by k | cut k")
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(keys.last == null, keys.mkString(","))
+    assert(keys.dropRight(1).forall(_ != null), keys.mkString(","))
+  }
+
+  test("double slash later in a URL path is not a comment") {
+    val p = Parser.parse("from http://host/a//b")
+    p.stages.head match {
+      case Stage.From(t, _, _, _) => assert(t == "http://host/a//b", t)
+      case other => fail(s"unexpected stage: $other")
+    }
+    // while a genuine trailing comment still strips
+    val q = Parser.parse("from nation // trailing comment")
+    assert(q.stages.head.asInstanceOf[Stage.From].table == "nation")
+  }
+
+  test("cut duplicate diagnostic reports the extension path") {
+    val e = intercept[Exception](run("from nation | cut n_name.x, n_name"))
+    assert(e.getMessage.contains("\"n_name.x\""), e.getMessage)
+  }
 }

@@ -45,10 +45,13 @@ class TypedZsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{v:1((int64,string))}
         |{v:"x"((int64,string))}
         |{v:error("missing")((int64,string,error(string)))}""".stripMargin)
+    // the writer decorates union values on output, matching the reference
+    // (runtime/ztests/expr/dot.yaml: `1((int64,string))`)
     val out = ZsonIO.toZson(df).collect().toSet
-    assert(out.contains("{v:1}"))
-    assert(out.contains("{v:\"x\"}"))
-    assert(out.contains("{v:error(\"missing\")}"))
+    assert(out.contains("{v:1((int64,string))}"), out.mkString(" | "))
+    assert(out.contains("{v:\"x\"((int64,string))}"), out.mkString(" | "))
+    assert(out.exists(s => s.startsWith("{v:error(\"missing\")((") &&
+      s.contains("error(string)")), out.mkString(" | "))
   }
 
   test("union member order is canonical at type creation (LookupTypeUnion)") {

@@ -66,82 +66,10 @@ object ZtestHarness {
     p.toString
   }
 
-  def buildInput(spark: SparkSession, c: ZCase): DataFrame = {
-    import spark.implicits._
-    val fl = c.inputFlags
-    if (fl.contains("-i csv") || fl.contains("-i tsv")) {
-      val delim = if (fl.contains("-i tsv")) "\t"
-        else if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
-      import org.apache.spark.sql.functions._
-      val het = graft.operators.Het
-      val df = spark.read
-        .option("header", "true")
-        .option("delimiter", delim)
-        .option("multiLine", "true") // quoted cells may span lines (read-big)
-        .option("escape", "\"") // RFC 4180 doubled-quote escaping
-        .option("ignoreLeadingWhiteSpace", "true").option("ignoreTrailingWhiteSpace", "true")
-        .csv(writeTemp(c.input, "in.csv")) // all strings; typed per CELL below
-      val numRe = """-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"""
-      val boolRe = """true|false"""
-      // zed's CSV reader types each cell independently: numbers are
-      // float64, true/false bools, the rest strings (zio/csvio/reader.go)
-      // — a column with several kinds becomes a union
-      val typed = df.select(df.schema.fields.toIndexedSeq.map { f =>
-        val cRaw = col(s"`${f.name}`")
-        val kinds = df.select(
-          count(when(cRaw.rlike(s"^$numRe$$"), 1)).as("n"),
-          count(when(cRaw.rlike(s"^$boolRe$$"), 1)).as("b"),
-          count(when(cRaw.isNotNull && !cRaw.rlike(s"^($numRe|$boolRe)$$"), 1)).as("s")).collect()(0)
-        val (nNum, nBool, nStr) = (kinds.getLong(0), kinds.getLong(1), kinds.getLong(2))
-        if (nStr == 0 && nBool == 0 && nNum > 0) cRaw.cast("double").as(f.name)
-        else if (nStr == 0 && nNum == 0 && nBool > 0) cRaw.cast("boolean").as(f.name)
-        else if (nNum == 0 && nBool == 0) cRaw.as(f.name)
-        else when(cRaw.rlike(s"^$numRe$$"), het.variant(cRaw.cast("double"),
-            org.apache.spark.sql.types.DoubleType))
-          .when(cRaw.rlike(s"^$boolRe$$"), het.variant(cRaw.cast("boolean"),
-            org.apache.spark.sql.types.BooleanType))
-          .otherwise(het.variant(cRaw, org.apache.spark.sql.types.StringType))
-          .as(f.name)
-      }: _*)
-      typed
-    } else if (fl.contains("-i json")) {
-      try graft.sources.JsonIO.fromText(spark, c.input)
-      catch { case _: Exception =>
-        spark.read.json(spark.createDataset(c.input.linesIterator.toSeq)) }
-    } else if (fl.contains("-i line")) {
-      spark.createDataset(c.input.linesIterator.toSeq).toDF("this")
-    } else if (c.input.startsWith("#separator") || c.input.startsWith("#fields") ||
-               c.input.startsWith("#path") || fl.contains("-i zeek")) {
-      ZeekIO.read(spark, writeTemp(c.input, "in.log"))
-    } else if (c.input.startsWith("{\"type\":")) {
-      graft.sources.ZjsonIO.read(spark, writeTemp(c.input, "in.zjson"))
-    } else {
-      // default: typed ZSON (tagged heterogeneous frame); a JSON-ish
-      // fallback keeps cases our parser can't handle running
-      try ZsonReader.fromText(spark, c.input)
-      catch {
-        case e: Exception if Option(e.getMessage).exists(m =>
-            m.contains("no such type name") ||
-            m.contains("not a member of type") ||
-            m.contains("record decorator fields")) =>
-          // typed parse errors are REAL errors (ztests pin the message),
-          // not candidates for the JSON fallback
-          throw e
-        case _: Exception =>
-          val json = c.input.linesIterator.map(_.trim).filter(_.nonEmpty)
-            .map(ZsonIO.zsonLineToJson)
-            .map(j => if (j.startsWith("{")) j else s"""{"this":$j}""")
-            .toSeq
-          val df = spark.read.json(spark.createDataset(json))
-          // the fallback parsing GARBAGE means no format matched at all
-          if (df.columns.isEmpty ||
-              df.columns.forall(_.startsWith("_corrupt")))
-            throw new IllegalArgumentException(
-              s"${c.file}: format detection error")
-          df
-      }
-    }
-  }
+  // the text-ingestion path ships in main (graft.sources.TextInput) —
+  // it serves the CLI's stdin reads as well as these golden tests
+  def buildInput(spark: SparkSession, c: ZCase): DataFrame =
+    graft.sources.TextInput.build(spark, c.input, c.inputFlags, c.file)
 
   // ---- output --------------------------------------------------------------
 
