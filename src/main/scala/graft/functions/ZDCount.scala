@@ -15,23 +15,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * reproduce exactly, and partials merge as register maxima just like
   * the reference's sketch-merge partials.
   *
-  * Known divergence — SPARSE range. The reference's axiomhq sketch starts
-  * in a sparse mode (HLL++ 25-bit encoded entries, linear-counting
-  * estimate — near-exact) and converts to these dense registers when the
-  * varint-compressed sparse list outgrows 16 KiB (~4-5k distinct values;
-  * the documented 10k case is already dense, which is why 9987 matches).
-  * This implementation is dense-only: for cardinalities roughly between a
-  * few hundred and ~4k the estimate can differ from the reference by the
-  * dense ±0.8% stddev where the reference is exact. A bit-faithful sparse
-  * port needs the exact HLL++ entry encoding and conversion cadence, whose
-  * collision behavior can only be validated against reference-generated
-  * fixtures — not producible in this environment (no Go toolchain); the
-  * divergence is documented in COVERAGE.md instead.
+  * SPARSE mode. Like the reference's axiomhq sketch, the aggregate starts
+  * sparse: each hash is kept as an HLL++ 25-bit-precision encoded entry
+  * (top 25 bits, plus an explicit 6-bit rho when the 11 bits between
+  * precisions are zero — the paper's EncodeHash) and estimated by linear
+  * counting over 2^25 virtual registers, which is EXACT for every
+  * cardinality the sparse phase can hold. The sketch converts to the
+  * dense 2^14 registers when the varint-delta-compressed entry list
+  * outgrows 16 KiB (~7-8k distinct values — flag-0 entries are < 2^26 so
+  * deltas run ~2 bytes; the documented 10k case is past it and dense,
+  * which is why 9987 matches). Conversion is LOSSLESS —
+  * the dense registers derived from sparse entries equal direct dense
+  * insertion — so the estimate does not depend on when the threshold
+  * fires, only on which side of it the final cardinality lands; the
+  * reference checks its threshold every ~164 inserts rather than every
+  * insert, so within that sliver of the boundary the two engines can
+  * disagree on the final mode (≤0.05% of the domain; documented here).
   */
 object ZDCount {
 
   final val P = 14
   final val M = 1 << P // 16384
+  final val PP = 25 // sparse precision (HLL++ p'; axiomhq pp)
+  final val MP = 1 << PP
 
   // ---- MetroHash64 (public algorithm; the sketch's 64-bit hash) ----------
 
@@ -119,6 +125,135 @@ object ZDCount {
   def mergeInto(dst: Array[Byte], src: Array[Byte]): Unit = {
     var i = 0
     while (i < M) { if (src(i) > dst(i)) dst(i) = src(i); i += 1 }
+  }
+
+  // ---- sparse mode (HLL++ EncodeHash at p'=25; axiomhq sparse.go) ----------
+
+  /** Encode a 64-bit hash as a sparse entry (uint32 carried in a Long):
+    * top-25-bit index, flag 0 — unless the 11 bits between the dense and
+    * sparse precisions are all zero, in which case the rho of the low 39
+    * bits is stored explicitly (6 bits, sentinel-capped at 40), flag 1.
+    */
+  def encodeSparse(x: Long): Long = {
+    val idx25 = x >>> (64 - PP)
+    if ((idx25 & ((1L << (PP - P)) - 1)) == 0) {
+      val w = (x << PP) | ((1L << PP) - 1)
+      val zeros = java.lang.Long.numberOfLeadingZeros(w) + 1 // 1..40
+      (idx25 << 7) | (zeros.toLong << 1) | 1L
+    } else idx25 << 1
+  }
+
+  /** Dense register index of a sparse entry. */
+  def sparseIdx(k: Long): Int =
+    (if ((k & 1) == 1) k >>> (7 + (PP - P)) else k >>> (1 + (PP - P))).toInt
+
+  /** Dense rho of a sparse entry (DecodeHash). */
+  def sparseRho(k: Long): Int =
+    if ((k & 1) == 1) ((k >>> 1) & 0x3F).toInt + (PP - P)
+    else {
+      val extra = ((k >>> 1) & ((1L << (PP - P)) - 1)).toInt // nonzero
+      java.lang.Integer.numberOfLeadingZeros(extra) - (32 - (PP - P)) + 1
+    }
+
+  /** Byte length of one varint-encoded delta in the compressed list. */
+  @inline def vlen(d: Long): Int =
+    if (d < (1L << 7)) 1 else if (d < (1L << 14)) 2
+    else if (d < (1L << 21)) 3 else if (d < (1L << 28)) 4 else 5
+
+  /** Sparse-or-dense sketch buffer. `entries` holds the DISTINCT encoded
+    * sparse entries (sorted, unsigned) with `listBytes` tracking the
+    * varint-delta-compressed size the reference's compressedList would
+    * occupy; crossing 16 KiB converts (losslessly) to dense registers.
+    */
+  final class Sketch {
+    var dense: Array[Byte] = null
+    var entries: java.util.TreeSet[java.lang.Long] = new java.util.TreeSet[java.lang.Long]()
+    var listBytes: Int = 0
+
+    def insertHash(x: Long): Unit =
+      if (dense != null) ZDCount.insertHash(dense, x)
+      else insertEntry(encodeSparse(x))
+
+    def insertEntry(k: Long): Unit = {
+      if (dense != null) {
+        val rho = sparseRho(k)
+        val i = sparseIdx(k)
+        if (rho > dense(i)) dense(i) = rho.toByte
+        return
+      }
+      val kk = java.lang.Long.valueOf(k)
+      if (entries.contains(kk)) return
+      val lo = entries.floor(kk)
+      val hi = entries.ceiling(kk)
+      val loV = if (lo == null) 0L else lo.longValue() // first delta is absolute
+      listBytes += vlen(k - loV)
+      if (hi != null) listBytes += vlen(hi.longValue() - k) - vlen(hi.longValue() - loV)
+      entries.add(kk)
+      if (listBytes > M) toDense() // list outgrew 16 KiB (axiomhq toNormal)
+    }
+
+    def toDense(): Unit = if (dense == null) {
+      val regs = new Array[Byte](M)
+      val it = entries.iterator()
+      while (it.hasNext) {
+        val k = it.next().longValue()
+        val i = sparseIdx(k)
+        val rho = sparseRho(k)
+        if (rho > regs(i)) regs(i) = rho.toByte
+      }
+      dense = regs
+      entries = null
+      listBytes = 0
+    }
+
+    def merge(other: Sketch): Unit =
+      if (dense == null && other.dense == null) {
+        val it = other.entries.iterator()
+        while (it.hasNext) insertEntry(it.next().longValue())
+      } else {
+        toDense(); other.toDense()
+        mergeInto(dense, other.dense)
+      }
+
+    /** Sparse: linear counting over 2^25 virtual registers (exact until
+      * conversion); dense: loglog-beta. Go's float→uint conversion
+      * truncates, so the sparse path floors like the reference.
+      */
+    def estimate(): Long =
+      if (dense != null) ZDCount.estimate(dense)
+      else {
+        val m = MP.toDouble
+        val n = entries.size
+        if (n == 0) 0L else (m * math.log(m / (m - n))).toLong
+      }
+
+    def serialized: Array[Byte] =
+      if (dense != null) {
+        val out = new Array[Byte](1 + M)
+        out(0) = 1
+        System.arraycopy(dense, 0, out, 1, M)
+        out
+      } else {
+        val out = java.nio.ByteBuffer.allocate(1 + 4 + entries.size * 4)
+        out.put(0.toByte).putInt(entries.size)
+        val it = entries.iterator()
+        while (it.hasNext) out.putInt(it.next().intValue())
+        out.array()
+      }
+  }
+
+  def deserializeSketch(bytes: Array[Byte]): Sketch = {
+    val sk = new Sketch
+    if (bytes(0) == 1) {
+      sk.dense = java.util.Arrays.copyOfRange(bytes, 1, 1 + M)
+      sk.entries = null
+    } else {
+      val in = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+      val n = in.getInt()
+      var i = 0
+      while (i < n) { sk.insertEntry(in.getInt().toLong & 0xFFFFFFFFL); i += 1 }
+    }
+    sk
   }
 
   /** loglog-beta estimate for p=14 (the reference sketch's estimator). */
@@ -297,28 +432,30 @@ object ZDCount {
   }
 }
 
-/** Spark aggregate wrapping the reference sketch: buffer = the 16384
-  * registers; update inserts the encoded value's metro hash; merge takes
-  * register maxima (exactly the reference's partial semantics); eval is
-  * the loglog-beta estimate.
+/** Spark aggregate wrapping the reference sketch: buffer = a sparse-or-
+  * dense [[ZDCount.Sketch]]; update inserts the encoded value's metro
+  * hash; merge unions sparse entry sets or takes dense register maxima
+  * (the reference's partial semantics — order-independent because the
+  * sparse→dense conversion is lossless); eval linear-counts while sparse
+  * and loglog-beta estimates once dense.
   */
 case class ZDCountAgg(child: Expression,
                       typeMeta: Option[String] = None,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+    extends TypedImperativeAggregate[ZDCount.Sketch] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "zdcount"
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](ZDCount.M)
+  override def createAggregationBuffer(): ZDCount.Sketch = new ZDCount.Sketch
 
   private lazy val isVariant =
     graft.sources.ZsonIO.isVariantType(child.dataType)
 
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+  override def update(buffer: ZDCount.Sketch, input: InternalRow): ZDCount.Sketch = {
     val v = child.eval(input)
     // the reference skips only `missing` (expr/agg.go Apply); dcount.go
     // Consume hashes a null as its type id + EMPTY body — null IS a
@@ -327,19 +464,20 @@ case class ZDCountAgg(child: Expression,
       if (v == null) ZDCount.encodeNull(child.dataType, typeMeta)
       else if (isVariant) ZDCount.encodeVariant(v.asInstanceOf[InternalRow])
       else ZDCount.encode(v, child.dataType, typeMeta)
-    ZDCount.insertHash(buffer, ZDCount.metroHash64(b, b.length, 1337L))
+    buffer.insertHash(ZDCount.metroHash64(b, b.length, 1337L))
     buffer
   }
 
-  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    ZDCount.mergeInto(buffer, other)
+  override def merge(buffer: ZDCount.Sketch, other: ZDCount.Sketch): ZDCount.Sketch = {
+    buffer.merge(other)
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = ZDCount.estimate(buffer)
+  override def eval(buffer: ZDCount.Sketch): Any = buffer.estimate()
 
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(buffer: ZDCount.Sketch): Array[Byte] = buffer.serialized
+  override def deserialize(bytes: Array[Byte]): ZDCount.Sketch =
+    ZDCount.deserializeSketch(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ZDCountAgg =
     copy(mutableAggBufferOffset = newOffset)

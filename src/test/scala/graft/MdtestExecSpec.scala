@@ -37,6 +37,13 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     var failOk = 0
     var unrunnable = 0
     val failures = Vector.newBuilder[(String, String)]
+    // MDTEST_AUDIT=1: log every unrunnable case with its reason so the
+    // environmental-skip list can be adjudicated case by case
+    val audit = Vector.newBuilder[(String, String)]
+    def skipCase(id: String, reason: String): Unit = {
+      unrunnable += 1
+      audit += ((id, reason))
+    }
     for (f <- files) {
       val sharedDir = MdtestHarness.workDirFor(f, None)
       val shell = new MdtestHarness.Shell(spark, sharedDir)
@@ -63,7 +70,7 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
           catch { case e: Throwable => Left(e) }
         if (MdtestHarness.expectsFailure(c.cmdInfo)) {
           if (result.isLeft) failOk += 1
-          else if (missingData) unrunnable += 1
+          else if (missingData) skipCase(s"${c.file}#${c.ord}", "missing download (doc's own curl pre-step; no network)")
           else failures += ((s"${c.file}#${c.ord}", "expected failure, got success"))
         } else result match {
           case Right(got) => MdtestHarness.compare(c, got) match {
@@ -72,7 +79,8 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
             // a mismatch while reading a declared-but-missing download
             // (doc's own `curl … > f` pre-step; no network here) is an
             // unmet data prerequisite, not an engine failure
-            case _ if missingData => unrunnable += 1
+            case _ if missingData => skipCase(s"${c.file}#${c.ord}",
+              "missing download (doc's own curl pre-step; no network)")
             case _ => failures += ((s"${c.file}#${c.ord}",
               s"mismatch\n--- got ---\n${got.take(400)}\n--- want ---\n${c.output.take(400)}"))
           }
@@ -85,8 +93,10 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
             // (schools.zson is built by downloading an SQLite db —
             // testdata/edu/README.md — and this environment has no
             // network); environmentally unrunnable, not an engine failure
-            unrunnable += 1
-          case Left(_) if missingData => unrunnable += 1
+            skipCase(s"${c.file}#${c.ord}",
+              "dir= data the reference checkout doesn't ship (downloaded corpus)")
+          case Left(_) if missingData => skipCase(s"${c.file}#${c.ord}",
+            "missing download (doc's own curl pre-step; no network)")
           case Left(e) => failures += ((s"${c.file}#${c.ord}",
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"))
         }
@@ -97,6 +107,8 @@ class MdtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"doc-example passes: $pass / $runnable runnable " +
       s"(exact $exact, canonical $canon, fails-ok $failOk; $unrunnable unrunnable of $total)")
     val fs = failures.result()
+    if (sys.env.contains("MDTEST_AUDIT"))
+      audit.result().foreach { case (id, why) => info(s"SKIP $id :: $why") }
     if (sys.env.contains("MDTEST_VERBOSE")) {
       fs.foreach { case (id, why) => info(s"FAIL $id :: ${why.linesIterator.mkString(" | ").take(500)}") }
     } else {

@@ -76,4 +76,87 @@ class ZDCountSpec extends AnyFunSuite {
     ZDCount.insertHash(regs, ZDCount.metroHash64(b, b.length, 1337L))
     assert(ZDCount.estimate(regs) == 2L)
   }
+
+  // ---- sparse mode (HLL++ p'=25; axiomhq sparse behavior) ------------------
+
+  private def insertIntSk(sk: ZDCount.Sketch, i: Long): Unit = {
+    val b = ZDCount.encode(java.lang.Long.valueOf(i),
+      org.apache.spark.sql.types.LongType, None)
+    sk.insertHash(ZDCount.metroHash64(b, b.length, 1337L))
+  }
+
+  test("sparse estimates are EXACT through the mid-range the dense sketch misses") {
+    // the reference stays sparse (linear counting over 2^25) until the
+    // compressed entry list outgrows 16 KiB — counts up to ~4k are exact
+    for (n <- Seq(100, 500, 1000, 2000, 3000)) {
+      val sk = new ZDCount.Sketch
+      for (i <- 1L to n.toLong) insertIntSk(sk, i)
+      assert(sk.dense == null, s"n=$n should still be sparse")
+      assert(sk.estimate() == n.toLong, s"n=$n")
+    }
+  }
+
+  test("sketch converts to dense past 16KiB and lands the documented 9987") {
+    val sk = new ZDCount.Sketch
+    for (i <- 1L to 10000L) insertIntSk(sk, i)
+    assert(sk.dense != null, "10k distinct must have converted to dense")
+    assert(sk.estimate() == 9987L)
+  }
+
+  test("conversion is lossless: dense-from-sparse equals direct dense insertion") {
+    // most entries are flag-0 (< 2^26), so deltas compress to ~2 bytes and
+    // the 16 KiB conversion fires around ~8k distinct — 9000 is past it
+    val sk = new ZDCount.Sketch
+    val direct = new Array[Byte](ZDCount.M)
+    for (i <- 1L to 9000L) { insertIntSk(sk, i); insertInt(direct, i) }
+    assert(sk.dense != null)
+    assert(java.util.Arrays.equals(sk.dense, direct))
+  }
+
+  test("merge semantics are order-independent across sparse/dense partials") {
+    // two sparse halves == sequential (exact)
+    val a = new ZDCount.Sketch; val b = new ZDCount.Sketch
+    for (i <- 1L to 1000L) insertIntSk(a, i)
+    for (i <- 800L to 1800L) insertIntSk(b, i)
+    a.merge(b)
+    assert(a.dense == null && a.estimate() == 1800L)
+    // sparse + dense == sequential dense
+    val c = new ZDCount.Sketch; val d = new ZDCount.Sketch
+    for (i <- 1L to 700L) insertIntSk(c, i)
+    for (i <- 500L to 10000L) insertIntSk(d, i)
+    val seq = new ZDCount.Sketch
+    for (i <- 1L to 10000L) insertIntSk(seq, i)
+    c.merge(d)
+    assert(c.estimate() == seq.estimate())
+  }
+
+  test("sketch serialization round-trips both modes") {
+    val sp = new ZDCount.Sketch
+    for (i <- 1L to 1500L) insertIntSk(sp, i)
+    val sp2 = ZDCount.deserializeSketch(sp.serialized)
+    assert(sp2.dense == null && sp2.estimate() == 1500L)
+    assert(sp2.listBytes == sp.listBytes)
+    val dn = new ZDCount.Sketch
+    for (i <- 1L to 10000L) insertIntSk(dn, i)
+    val dn2 = ZDCount.deserializeSketch(dn.serialized)
+    assert(dn2.estimate() == 9987L)
+  }
+
+  test("sparse entry encode/decode matches the HLL++ paper layout") {
+    // flag-0: 11 between-precision bits nonzero, rho derivable
+    val x0 = 3L << 39 // idx14=0, extra bits 0b00000000011
+    val k0 = ZDCount.encodeSparse(x0)
+    assert((k0 & 1) == 0)
+    assert(ZDCount.sparseIdx(k0) == 0)
+    assert(ZDCount.sparseRho(k0) == 10) // 9 leading zeros in the 11 + 1
+    // flag-1: between-precision bits zero → stored rho over low 39 + 11
+    val x1 = 0x0000000000000001L
+    val k1 = ZDCount.encodeSparse(x1)
+    assert((k1 & 1) == 1)
+    assert(ZDCount.sparseIdx(k1) == 0)
+    assert(ZDCount.sparseRho(k1) == 11 + 39) // 38 zeros + 1, plus pp-p
+    // sentinel: all-zero low bits cap rho at 40 + 11 (matches dense cap 51)
+    val k2 = ZDCount.encodeSparse(0L)
+    assert(ZDCount.sparseRho(k2) == 51)
+  }
 }
