@@ -287,16 +287,24 @@ case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
   override def nullable: Boolean = true
   override def prettyName: String = s"variant_deep_$ordinal"
 
+  // one-slot inline cache for the interpreted path (codegen allocates
+  // its own mutable slot per generated class instance)
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+
   override def eval(input: InternalRow): Any =
     VariantAccess.deepFieldAt(
       v.eval(input).asInstanceOf[InternalRow],
-      path.eval(input).asInstanceOf[UTF8String], ordinal)
+      path.eval(input).asInstanceOf[UTF8String], ordinal, evalHint)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vCode = v.genCode(ctx)
     val pCode = path.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
+    // per-instance inline cache: the last hit's index in the deep cache
+    // (monomorphic streams verify one entry instead of scanning)
+    val hint = ctx.addMutableState("int[]", "deepHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
     val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
     val boxed = cg.boxedType(dataType)
     val javaType = cg.javaType(dataType)
@@ -313,7 +321,7 @@ case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
       {
         Object r = $helper.deepFieldAt(
           ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
-          (UTF8String) ${pCode.value}, $ordinal);
+          (UTF8String) ${pCode.value}, $ordinal, $hint);
         if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
       }""")
   }
@@ -655,28 +663,54 @@ object VariantAccess {
     * back to folding the chain through getFull (maps and text-only
     * carriers keep their exact semantics).
     */
-  def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int): Any = {
+  def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int): Any =
+    deepFieldAt(row, path, ordinal, null)
+
+  @inline private def deepPluck(d: ArrayData, e: InternalRow,
+      path: UTF8String, ordinal: Int): Any = {
+    if (e.isNullAt(1)) return null // present-but-null child
+    if (ordinal == 7) return childCaches(d, path)._1
+    if (ordinal == 8) return childCaches(d, path)._2
+    if (ordinal == 6) return null
+    val leaf = e.getStruct(1, 6)
+    if (leaf.isNullAt(ordinal)) null
+    else ordinal match {
+      case 0 => Integer.valueOf(leaf.getInt(0))
+      case 1 => java.lang.Double.valueOf(leaf.getDouble(1))
+      case 2 => leaf.getUTF8String(2)
+      case 3 => java.lang.Boolean.valueOf(leaf.getBoolean(3))
+      case _ => leaf.getUTF8String(ordinal)
+    }
+  }
+
+  /** `hint` is a one-slot inline cache per expression instance: rows of
+    * one shape list the same paths at the same positions in `d`, so
+    * after the first hit a monomorphic stream pays ONE entry equality
+    * instead of a scan of the whole deep cache (the r13 profile's
+    * per-row floor was exactly these scans). The hit is verified by
+    * name equality, so a polymorphic stream merely re-scans — never a
+    * wrong answer. Null hint = interpreted fallback, plain scan.
+    */
+  def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int,
+      hint: Array[Int]): Any = {
     if (row != null && !row.isNullAt(8)) {
       val d = row.getArray(8)
       val n = d.numElements()
+      if (hint != null) {
+        val ci = hint(0)
+        if (ci >= 0 && ci < n && !d.isNullAt(ci)) {
+          val e = d.getStruct(ci, 2)
+          if (!e.isNullAt(0) && e.getUTF8String(0).equals(path))
+            return deepPluck(d, e, path, ordinal)
+        }
+      }
       var i = 0
       while (i < n) {
         if (!d.isNullAt(i)) {
           val e = d.getStruct(i, 2)
           if (!e.isNullAt(0) && e.getUTF8String(0).equals(path)) {
-            if (e.isNullAt(1)) return null // present-but-null child
-            if (ordinal == 7) return childCaches(d, path)._1
-            if (ordinal == 8) return childCaches(d, path)._2
-            if (ordinal == 6) return null
-            val leaf = e.getStruct(1, 6)
-            return if (leaf.isNullAt(ordinal)) null
-            else ordinal match {
-              case 0 => Integer.valueOf(leaf.getInt(0))
-              case 1 => java.lang.Double.valueOf(leaf.getDouble(1))
-              case 2 => leaf.getUTF8String(2)
-              case 3 => java.lang.Boolean.valueOf(leaf.getBoolean(3))
-              case _ => leaf.getUTF8String(ordinal)
-            }
+            if (hint != null) hint(0) = i
+            return deepPluck(d, e, path, ordinal)
           }
         }
         i += 1
