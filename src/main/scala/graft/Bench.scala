@@ -165,7 +165,14 @@ object Bench {
     val zeekDir = s"$tmp/conn.zeek"
     val zngDir = s"$tmp/conn.zng"
     val vngDir = s"$tmp/conn.vng"
-    graft.sources.ZeekIO.write(conn, zeekDir)
+    // SPARK_GRAFT_INGEST_GZIP=1: write the zeek TEXT fixture gzipped
+    // (~10x smaller — the sf10 smoke's 30 GB text otherwise exceeds the
+    // sandbox disk). The reader auto-detects gzip per file, and the
+    // 32-part write keeps 32-way read parallelism despite non-splittable
+    // gzip members.
+    if (sys.env.get("SPARK_GRAFT_INGEST_GZIP").exists(_.nonEmpty))
+      graft.sources.ZeekIO.writeGzip(conn, zeekDir)
+    else graft.sources.ZeekIO.write(conn, zeekDir)
     graft.sources.ZngIO.write(conn, zngDir)
     graft.sources.VngIO.write(conn, vngDir)
     (zeekDir, zngDir, vngDir)
@@ -256,12 +263,21 @@ object Bench {
     def zeekDir = fixture._1
     def zngDir = fixture._2
     def vngDir = fixture._3
+    // in the big-scale mode (SPARK_GRAFT_INGEST_GZIP) each run's output is
+    // deleted as consumed — four sf10 write_zeek outputs would otherwise
+    // stack 120 GB; the in-timing delete is a fraction of the write cost
+    val cleanOutputs = sys.env.get("SPARK_GRAFT_INGEST_GZIP").exists(_.nonEmpty)
     def timeIngest(name: String, run: String => Unit): Seq[(String, Seq[Double])] =
       if (!wanted(name)) Seq.empty
       else {
         System.err.println(s"[bench] class $name")
         var i = 0
-        Seq(name -> time3(() => { run(s"$tmp/out-$name-$i"); i += 1 }))
+        Seq(name -> time3(() => {
+          run(s"$tmp/out-$name-$i")
+          if (cleanOutputs) org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$tmp/out-$name-$i"))
+          i += 1
+        }))
       }
     val ingestResults = Seq(
       timeIngest("ingest_zeek", out =>

@@ -631,7 +631,16 @@ object ZeekIO {
       case _ => Seq((prefix, c, dt))
     }
 
-  def write(df: DataFrame, path: String): Unit = {
+  /** Gzip-compressed twin of [[write]] — the reader auto-detects gzip
+    * per file (lineReader), so a compressed log set reads back through
+    * the same path. Used where the text form would exceed disk (the
+    * sf10 scale smoke's 30 GB fixture).
+    */
+  def writeGzip(df: DataFrame, path: String): Unit = write(df, path, gzip = true)
+
+  def write(df: DataFrame, path: String): Unit = write(df, path, gzip = false)
+
+  private def write(df: DataFrame, path: String, gzip: Boolean): Unit = {
     import df.sparkSession.implicits._
     val het = graft.operators.Het
     val hasPath = df.columns.contains("_path")
@@ -686,7 +695,9 @@ object ZeekIO {
     val rdd = body.rdd.mapPartitions { it =>
       if (it.hasNext) header.iterator ++ it else it
     }
-    df.sparkSession.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
-      .write.mode("overwrite").text(path)
+    val writer = df.sparkSession
+      .createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite")
+    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
   }
 }

@@ -133,6 +133,25 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       events.agg(sum("value")).collect()(0).getDouble(0))
   }
 
+  test("gzip-compressed zeek writes read back through the same path") {
+    val events = GraftSession.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(100)
+    val path = tmp("zeek-gz") + ".zeek"
+    graft.sources.ZeekIO.writeGzip(events, path)
+    // the parts really are gzip members
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .iterator().asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
+    assert(parts.nonEmpty && parts.forall(_.getFileName.toString.endsWith(".gz")))
+    val back = graft.sources.ZeekIO.read(spark, path)
+    assert(back.count() == 100)
+    assert(back.agg(sum("value")).collect()(0).getDouble(0) ==
+      events.agg(sum("value")).collect()(0).getDouble(0))
+  }
+
   test("zjson emits typedef-then-ref lines and round-trips") {
     import org.apache.spark.sql.functions.{struct => fstruct}
     val df = GraftSession.table(spark, dir, "nation")
