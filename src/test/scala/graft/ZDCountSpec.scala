@@ -142,6 +142,23 @@ class ZDCountSpec extends AnyFunSuite {
     assert(dn2.estimate() == 9987L)
   }
 
+  test("sparse estimates stay near-exact on random values (collisions " +
+       "are corrected statistically by linear counting)") {
+    // random inputs CAN collide in the 2^25 entry space (expected ~n²/2m
+    // collisions); linear counting corrects in expectation, so the bar
+    // is ±0.2% — far inside the dense sketch's ±0.8% stddev
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1000, 4000)) {
+      val sk = new ZDCount.Sketch
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      while (seen.size < n) seen += rnd.nextLong()
+      seen.foreach(insertIntSk(sk, _))
+      assert(sk.dense == null)
+      val est = sk.estimate()
+      assert(math.abs(est - n) <= math.max(1, n / 500), s"n=$n est=$est")
+    }
+  }
+
   test("sparse entry encode/decode matches the HLL++ paper layout") {
     // flag-0: 11 between-precision bits nonzero, rho derivable
     val x0 = 3L << 39 // idx14=0, extra bits 0b00000000011
