@@ -87,8 +87,26 @@ object ZvOps extends Serializable {
 
   val errMissing: Option[ZV] = zvOf(ZValue.errMissing)
 
-  private def parse(text: String): Option[ZValue] =
-    try Some(new ZsonParser(text).parseOne()) catch { case _: Exception => None }
+  /** One-entry per-thread parse memo: a row's variant text is typically
+    * consumed by SEVERAL ops in the same projection (t, len, index, get
+    * each re-read the z slot), and the fallback parsed it once per op.
+    * The memo makes it once per ROW — ~4x less parse garbage on the
+    * text-fallback path (the het_variant_udf bench class's GC churn).
+    * Values are immutable, so sharing the parse result is safe.
+    */
+  private val lastParse =
+    new ThreadLocal[(String, Option[ZValue])] {
+      override def initialValue(): (String, Option[ZValue]) = (null, None)
+    }
+
+  private def parse(text: String): Option[ZValue] = {
+    val memo = lastParse.get()
+    if (memo._1 != null && memo._1 == text) return memo._2
+    val out =
+      try Some(new ZsonParser(text).parseOne()) catch { case _: Exception => None }
+    lastParse.set((text, out))
+    out
+  }
 
   /** Field access into a boxed value: a.b where a is a variant. Missing
     * field / non-record → error("missing") (reference expr/eval.go
