@@ -512,6 +512,38 @@ object SparkEntry {
 
     // token-window chunking: 64-token windows overlapping by 16
     // (pipeline/TextOps.chunk) — the context-length splitter
+    // winnowing fingerprints (pipeline/TextOps.winnowFingerprints) with
+    // the engine-portable md5 token hash so DuckDB recomputes the exact
+    // fingerprint sets (window mins + dedup are pure logic)
+    ("q_text_winnow", (s, dir) =>
+      ZedOps.sort(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          array_join(array_sort(TextOps.winnowFingerprints(col("text"), 5,
+            tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))),
+            ",").as("fps")),
+        col("doc_id") -> true),
+      Some(winnowOracleSql)),
+
+    // embedding-cosine near-dup pairs (pipeline/VectorOps
+    // .cosineNearDupPairs): random embeddings have no near pairs, so the
+    // query PLANTS deterministic scaled copies of the first 20 vectors;
+    // LSH buckets must surface each planted pair and the verify stage
+    // must pass them at the 0.9 threshold
+    ("q_dedup_cosine", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        // x2 scaling: exact in binary fp on BOTH engines, preserves the
+        // direction exactly (same sign bits -> same bucket; cos == 1)
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      ZedOps.sort(
+        VectorOps.cosineNearDupPairs(emb.select("vec_id", "embedding")
+            .unionAll(planted), "vec_id", "embedding", 0.9, dim = 64)
+          .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos4")),
+        col("d1") -> true, col("d2") -> true)
+    }, Some(cosineNearDupOracleSql)),
+
     ("q_text_chunk", (s, dir) =>
       ZedOps.sort(
         TextOps.chunk(t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -1593,6 +1625,62 @@ object SparkEntry {
     * the full signature (per-bit majority), the 16-bit band candidates,
     * and the Hamming filter — exact pair-for-pair comparison.
     */
+  /** DuckDB twin of TextOps.winnowFingerprints with the md5 token hash:
+    * same tokenizer as the simhash oracle, per-window minima over w=5,
+    * dedup + sort, joined to one string for the hash compare.
+    */
+  private def winnowOracleSql: String =
+    raw"""WITH tok AS (
+       |  SELECT doc_id, t, ord FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t,
+       |      generate_subscripts(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), 1) AS ord
+       |    FROM documents)
+       |), h AS (
+       |  SELECT doc_id, ord, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+       |), hl AS (
+       |  SELECT doc_id, list(h ORDER BY ord) AS hs FROM h GROUP BY doc_id
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= 5 THEN
+       |      list_sort(list_distinct(list_transform(range(1, len(hs) - 3), i -> list_min(hs[i:i+4]))))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE [] END AS fps
+       |  FROM hl
+       |)
+       |SELECT doc_id, array_to_string(fps, ',') AS fps FROM fp ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of VectorOps.cosineNearDupPairs over the planted-copy
+    * corpus: the seed-42 hyperplanes inlined, sign-bit buckets, 1-bit
+    * multi-probe on the query side, bucket equi-join, cosine >= 0.9.
+    */
+  private def cosineNearDupOracleSql: String = {
+    val planes = graft.pipeline.VectorOps.hyperplanes(64, 4, 42L)
+    def planeArr(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e::DOUBLE[], ${planeArr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0::FLOAT)
+       |  FROM embeddings WHERE vec_id < 20
+       |), b AS (
+       |  SELECT vec_id, e, $bucketExpr AS b0 FROM corpus
+       |), probes AS (
+       |  SELECT vec_id AS d1, e AS e1,
+       |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+       |  FROM b
+       |), cand AS (
+       |  SELECT DISTINCT p.d1, b.vec_id AS d2, p.e1, b.e AS e2
+       |  FROM probes p JOIN b ON p.bucket = b.b0 AND p.d1 < b.vec_id
+       |)
+       |SELECT d1, d2, round(list_cosine_similarity(e1::DOUBLE[], e2::DOUBLE[]), 4) AS cos4
+       |FROM cand WHERE list_cosine_similarity(e1::DOUBLE[], e2::DOUBLE[]) >= 0.9
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   private def simhashOracleSql: String = {
     val bits = graft.pipeline.DedupOps.SimhashBits
     val bitSums = (0 until bits).map(i =>

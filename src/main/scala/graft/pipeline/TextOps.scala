@@ -73,10 +73,14 @@ object TextOps {
 
   /** Winnowing-style robust fingerprints: minimum token-hash per sliding
     * window of `w` tokens, deduped. Two documents sharing a long run of
-    * tokens share fingerprints even when the rest differs.
+    * tokens share fingerprints even when the rest differs. `tokenHash`
+    * defaults to xxhash64 (fastest); the oracle row passes an
+    * engine-portable md5-derived hash so DuckDB can recompute the exact
+    * fingerprint sets (same trick as the simhash oracle).
     */
-  def winnowFingerprints(text: Column, w: Int = 5): Column =
-    bind(transform(tokens(text), t => xxhash64(t))) { hs =>
+  def winnowFingerprints(text: Column, w: Int = 5,
+      tokenHash: Column => Column = (t: Column) => xxhash64(t)): Column =
+    bind(transform(tokens(text), t => tokenHash(t))) { hs =>
       when(size(hs) >= w,
         array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
           array_min(slice(hs, i, lit(w))))))
