@@ -45,6 +45,8 @@ case class VariantAccess(container: Expression, deep: Expression, key: Expressio
   override def nullable: Boolean = true
   override def prettyName: String = if (byName) "variant_get" else "variant_index"
 
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+
   override def eval(input: InternalRow): Any = {
     val arr = container.eval(input)
     if (arr == null) null // callers guard on cache presence; stay safe
@@ -53,7 +55,7 @@ case class VariantAccess(container: Expression, deep: Expression, key: Expressio
       val k = key.eval(input)
       if (byName)
         VariantAccess.getField(arr.asInstanceOf[ArrayData],
-          d.asInstanceOf[ArrayData], k)
+          d.asInstanceOf[ArrayData], k, evalHint)
       else VariantAccess.indexOf(arr.asInstanceOf[ArrayData], k)
     }
   }
@@ -66,11 +68,13 @@ case class VariantAccess(container: Expression, deep: Expression, key: Expressio
       "graft.functions.VariantAccess$")
     val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
     val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val hint = ctx.addMutableState("int[]", "mHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
     val call =
       if (byName)
         s"""$helper.getField(${cCode.value},
           ${dCode.isNull} ? null : ($arrCls) ${dCode.value},
-          ${kCode.isNull} ? null : (Object) ${kCode.value})"""
+          ${kCode.isNull} ? null : (Object) ${kCode.value}, $hint)"""
       else
         s"""$helper.indexOf(${cCode.value},
           ${kCode.isNull} ? null : (Object) ${kCode.value})"""
@@ -105,11 +109,14 @@ case class VariantAccessField(container: Expression, deep: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = s"variant_field_$ordinal"
 
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+
   override def eval(input: InternalRow): Any = {
     val arr = container.eval(input)
     if (arr == null) null
     else VariantAccess.fieldAt(arr.asInstanceOf[ArrayData],
-      deep.eval(input).asInstanceOf[ArrayData], key.eval(input), byName, ordinal)
+      deep.eval(input).asInstanceOf[ArrayData], key.eval(input), byName, ordinal,
+      evalHint)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -118,6 +125,8 @@ case class VariantAccessField(container: Expression, deep: Expression,
     val kCode = key.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
+    val hint = ctx.addMutableState("int[]", "mHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
     val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
       .boxedType(dataType)
     val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
@@ -139,7 +148,8 @@ case class VariantAccessField(container: Expression, deep: Expression,
       if (!${cCode.isNull}) {
         Object r = $helper.fieldAt(${cCode.value},
           ${dCode.isNull} ? null : ($arrCls) ${dCode.value},
-          ${kCode.isNull} ? null : (Object) ${kCode.value}, $byName, $ordinal);
+          ${kCode.isNull} ? null : (Object) ${kCode.value}, $byName, $ordinal,
+          $hint);
         if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
       }""")
   }
@@ -167,21 +177,26 @@ case class VariantGet(v: Expression, key: Expression)
   override def nullable: Boolean = true // a present-but-null field is a null variant
   override def prettyName: String = "variant_get"
 
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+
   override def eval(input: InternalRow): Any =
-    VariantAccess.getFull(v.eval(input).asInstanceOf[InternalRow], key.eval(input))
+    VariantAccess.getFull(v.eval(input).asInstanceOf[InternalRow], key.eval(input),
+      evalHint)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vCode = v.genCode(ctx)
     val kCode = key.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
+    val hint = ctx.addMutableState("int[]", "mHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
     val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
     ev.copy(code = code"""
       ${vCode.code}
       ${kCode.code}
       $rowCls ${ev.value} = $helper.getFull(
         ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
-        ${kCode.isNull} ? null : (Object) ${kCode.value});
+        ${kCode.isNull} ? null : (Object) ${kCode.value}, $hint);
       boolean ${ev.isNull} = (${ev.value} == null);""")
   }
 
@@ -237,9 +252,11 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
   override def nullable: Boolean = true
   override def prettyName: String = s"variant_get_$ordinal"
 
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+
   override def eval(input: InternalRow): Any =
     VariantAccess.fullFieldAt(
-      v.eval(input).asInstanceOf[InternalRow], key.eval(input), ordinal)
+      v.eval(input).asInstanceOf[InternalRow], key.eval(input), ordinal, evalHint)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vCode = v.genCode(ctx)
@@ -254,6 +271,8 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
     val unbox =
       if (cg.isPrimitiveType(dataType)) s"(($boxed) r).${javaType}Value()"
       else s"($boxed) r"
+    val hint = ctx.addMutableState("int[]", "mHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
     ev.copy(code = code"""
       ${vCode.code}
       ${kCode.code}
@@ -262,7 +281,7 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
       {
         Object r = $helper.fullFieldAt(
           ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
-          ${kCode.isNull} ? null : (Object) ${kCode.value}, $ordinal);
+          ${kCode.isNull} ? null : (Object) ${kCode.value}, $ordinal, $hint);
         if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
       }""")
   }
@@ -449,16 +468,34 @@ object VariantAccess {
     * field is absent, null when present-but-null, else the leaf row
     * (zero-copy — a view into the entries array).
     */
-  def findLeaf(m: ArrayData, key: Any): InternalRow = {
+  def findLeaf(m: ArrayData, key: Any): InternalRow = findLeaf(m, key, null)
+
+  /** `hint` is the deep-path lookup's one-slot inline cache applied to
+    * the FLAT field scan: rows of one shape list fields at the same
+    * positions, so a monomorphic stream verifies one entry by name
+    * instead of scanning the record width (wide fused records at scale
+    * list hundreds of fields). Verified on hit — never a wrong answer.
+    */
+  def findLeaf(m: ArrayData, key: Any, hint: Array[Int]): InternalRow = {
     if (key == null) return MISS
     val k = key.asInstanceOf[UTF8String]
     val n = m.numElements()
+    if (hint != null) {
+      val ci = hint(0)
+      if (ci >= 0 && ci < n && !m.isNullAt(ci)) {
+        val e = m.getStruct(ci, 2)
+        if (!e.isNullAt(0) && e.getUTF8String(0).equals(k))
+          return if (e.isNullAt(1)) null else e.getStruct(1, 6)
+      }
+    }
     var i = 0
     while (i < n) {
       if (!m.isNullAt(i)) {
         val e = m.getStruct(i, 2)
-        if (!e.isNullAt(0) && e.getUTF8String(0).equals(k))
+        if (!e.isNullAt(0) && e.getUTF8String(0).equals(k)) {
+          if (hint != null) hint(0) = i
           return if (e.isNullAt(1)) null else e.getStruct(1, 6)
+        }
       }
       i += 1
     }
@@ -524,8 +561,11 @@ object VariantAccess {
     * `get(get(v,f),g)` to two scans with no variant row in between.
     */
   def fieldAt(container: ArrayData, deep: ArrayData, key: Any, byName: Boolean,
-      ordinal: Int): Any = {
-    val leaf = if (byName) findLeaf(container, key) else pickLeaf(container, key)
+      ordinal: Int): Any = fieldAt(container, deep, key, byName, ordinal, null)
+
+  def fieldAt(container: ArrayData, deep: ArrayData, key: Any, byName: Boolean,
+      ordinal: Int, hint: Array[Int]): Any = {
+    val leaf = if (byName) findLeaf(container, key, hint) else pickLeaf(container, key)
     if (leaf == null) null
     else if (leaf eq MISS) ordinal match {
       case 0 => Integer.valueOf(5)
@@ -566,8 +606,12 @@ object VariantAccess {
     * gets its m/d re-derived from the parent's `deep` so the next access
     * in a chain stays native.
     */
-  def getField(m: ArrayData, deep: ArrayData, key: Any): InternalRow = {
-    val leaf = findLeaf(m, key)
+  def getField(m: ArrayData, deep: ArrayData, key: Any): InternalRow =
+    getField(m, deep, key, null)
+
+  def getField(m: ArrayData, deep: ArrayData, key: Any,
+      hint: Array[Int]): InternalRow = {
+    val leaf = findLeaf(m, key, hint)
     if (leaf eq MISS) errMissingRow
     else if (leaf == null) null
     else {
@@ -607,11 +651,13 @@ object VariantAccess {
     * (cache-stripped or beyond-cache-depth values), error("missing") for
     * scalars/absent fields. A present-but-null field is a null variant.
     */
-  def getFull(row: InternalRow, key: Any): InternalRow = {
+  def getFull(row: InternalRow, key: Any): InternalRow = getFull(row, key, null)
+
+  def getFull(row: InternalRow, key: Any, hint: Array[Int]): InternalRow = {
     if (row == null) return errMissingRow
     val m = if (row.isNullAt(7)) null else row.getArray(7)
     if (m != null)
-      return getField(m, if (row.isNullAt(8)) null else row.getArray(8), key)
+      return getField(m, if (row.isNullAt(8)) null else row.getArray(8), key, hint)
     if (key == null || row.isNullAt(5)) return errMissingRow
     val field = key.toString
     parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
@@ -732,10 +778,14 @@ object VariantAccess {
     * native path is taken; the text path materializes then extracts
     * (already off the hot path).
     */
-  def fullFieldAt(row: InternalRow, key: Any, ordinal: Int): Any = {
+  def fullFieldAt(row: InternalRow, key: Any, ordinal: Int): Any =
+    fullFieldAt(row, key, ordinal, null)
+
+  def fullFieldAt(row: InternalRow, key: Any, ordinal: Int,
+      hint: Array[Int]): Any = {
     if (row != null && !row.isNullAt(7))
       return fieldAt(row.getArray(7),
-        if (row.isNullAt(8)) null else row.getArray(8), key, true, ordinal)
+        if (row.isNullAt(8)) null else row.getArray(8), key, true, ordinal, hint)
     val full = getFull(row, key)
     if (full == null || full.isNullAt(ordinal)) null
     else ordinal match {
