@@ -42,12 +42,32 @@ object Cli {
   private def serve(spark: SparkSession, args: Seq[String]): Unit = {
     var root: Option[String] = None
     var port = 9867 // the reference's default service port
+    var cors = Vector.empty[String]
+    var rootContent: Option[String] = None
+    var defaultFmt = "zson"
+    var logPath: Option[String] = None
+    val authVals = scala.collection.mutable.Map.empty[String, String]
+    def flagVal(f: String, name: String): Option[String] =
+      if (f.startsWith(s"-$name=")) Some(f.stripPrefix(s"-$name=")) else None
     var i = 0
     while (i < args.length) args(i) match {
       case "-lake" => root = Some(args(i + 1)); i += 2
-      case f if f.startsWith("-lake=") => root = Some(f.stripPrefix("-lake=")); i += 2
+      case f if f.startsWith("-lake=") => root = Some(f.stripPrefix("-lake=")); i += 1
       case "-l" | "-listen" =>
         port = args(i + 1).dropWhile(_ == ':').toInt; i += 2
+      case f if flagVal(f, "cors.origin").isDefined =>
+        cors :+= flagVal(f, "cors.origin").get; i += 1
+      case "-cors.origin" => cors :+= args(i + 1); i += 2
+      case f if flagVal(f, "rootcontentfile").isDefined =>
+        rootContent = flagVal(f, "rootcontentfile"); i += 1
+      case f if flagVal(f, "defaultfmt").isDefined =>
+        defaultFmt = flagVal(f, "defaultfmt").get; i += 1
+      case f if flagVal(f, "log.path").isDefined =>
+        logPath = flagVal(f, "log.path"); i += 1
+      case f if f.startsWith("-auth.") && f.contains("=") =>
+        val body = f.stripPrefix("-auth.")
+        authVals(body.takeWhile(_ != '=')) = body.dropWhile(_ != '=').tail
+        i += 1
       case _ => i += 1
     }
     val lakeRoot = root.orElse(sys.env.get("SUPER_DB_LAKE").filter(!_.startsWith("http")))
@@ -55,9 +75,15 @@ object Cli {
         System.err.println("db serve: lake location must be set (-lake or SUPER_DB_LAKE)")
         sys.exit(2)
       }
+    val authCfg =
+      if (authVals.get("enabled").exists(v => v == "true" || v == "t" || v == "1"))
+        Some(graft.Auth.Config(
+          authVals.getOrElse("audience", ""), authVals.getOrElse("clientid", ""),
+          authVals.getOrElse("domain", ""), authVals.getOrElse("jwkspath", "")))
+      else None
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lakeRoot))
     val svc = new graft.Service(spark, System.getProperty("user.dir"), port,
-      Some(lakeRoot))
+      Some(lakeRoot), cors, rootContent, defaultFmt, authCfg, logPath)
     val bound = svc.start()
     System.err.println(s"lake service listening on :$bound (root $lakeRoot)")
     Thread.currentThread().join() // serve until killed
