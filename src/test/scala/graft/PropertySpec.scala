@@ -338,6 +338,49 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("inline-cache fuzz: POLYMORPHIC streams (alternating shapes per " +
+       "row) answer chained/flat variant access identically to the " +
+       "cache-stripped text path") {
+    // the one-slot hints remember the last hit's position per generated
+    // class instance; a stream whose shapes ALTERNATE row to row defeats
+    // the cache every row — the verify-on-hit contract says answers must
+    // still match the text fallback exactly
+    val spark = GraftSession.local(4)
+    try {
+      import org.apache.spark.sql.functions.col
+      val zv = graft.functions.ZvOps
+      val het = graft.operators.Het
+      for (seed <- 1 to 6) {
+        val rnd = new scala.util.Random(seed)
+        // record shapes listing the SAME leaf paths at DIFFERENT
+        // positions (a stale unverified hint would pick the wrong
+        // field), plus a string shape so `o` boxes as a variant
+        val lines = (0 until 200).map { i =>
+          rnd.nextInt(3) match {
+            case 0 => s"""{o:{a:{b:{n:$i,k:"a$i"}}},x:1}"""
+            case 1 => s"""{o:"plain$i",x:2}"""
+            case _ => s"""{o:{pad:true,a:{w:0,b:{k:"c$i",n:${i * 3}}}},x:3}"""
+          }
+        }
+        val df = graft.sources.ZsonReader.fromText(spark, lines.mkString("\n"))
+        def pluck(v: org.apache.spark.sql.Column) = Seq(
+          // chained access collapses to the deep-path cache ("a\0b\0n")
+          zv.get(zv.get(zv.get(v, "a"), "b"), "n").getField("n").as("n"),
+          zv.get(zv.get(zv.get(v, "a"), "b"), "k").getField("s").as("s"),
+          // flat access exercises the m-scan hint
+          zv.get(v, "a").getField("t").as("t"))
+        val cachedRows = df.select(pluck(col("o")) :+ col(het.typeTag): _*).collect()
+        // not vacuous: the record shapes must actually deliver leaf hits
+        assert(cachedRows.count(r => !r.isNullAt(0)) > 50, s"seed $seed all-null")
+        val cached = cachedRows.map(_.toString).sorted.toSeq
+        val stripped = df.select(pluck(het.canonical(col("o"))) :+ col(het.typeTag): _*)
+          .collect().map(_.toString).sorted.toSeq
+        assert(cached == stripped,
+          s"seed $seed:\n cached=${cached.take(5)}\n text=${stripped.take(5)}")
+      }
+    } finally spark.stop()
+  }
+
   test("parser never hangs or crashes the JVM on malformed inputs") {
     val junk = Seq(
       "from", "from |", "| where", "from t | cut", "from t | summarize by",

@@ -22,7 +22,7 @@ class ZtestExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("at least 468 reference golden tests pass end-to-end") {
+  test("at least 472 reference golden tests pass end-to-end") {
     spark.sparkContext.setLogLevel("ERROR")
     val cases = ZtestHarness.extractCases()
     assert(cases.length > 450, s"corpus extraction looks broken: ${cases.length}")
