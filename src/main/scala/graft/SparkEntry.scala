@@ -38,6 +38,16 @@ object SparkEntry {
     */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Spark's file stream source requires a DIRECTORY; the testdata tables
+    * are single parquet files — stage one into a temp dir to stream it.
+    */
+  private def stageStreamDir(src: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      d.resolve("part-0.parquet")): Unit
+    d.toString
+  }
+
   private def q1Agg(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     ZedOps.sort(
@@ -1300,6 +1310,93 @@ object SparkEntry {
              |UNION ALL
              |SELECT o_orderkey, o_orderstatus, 'dev' FROM orders WHERE o_orderstatus IN ('F','P')
              |ORDER BY ref, o_orderkey""".stripMargin)),
+
+    // lake VECTOR twin read (db vector add; lake/api vector endpoints):
+    // load → vectorAdd writes the object's VNG columnar twin → the PRUNED
+    // VNG read of the twin must reproduce the rows exactly. This is the
+    // vector-lake surface under the same DuckDB oracle as any table scan.
+    ("q_vector_lake", (s, dir) => {
+      val root = "/tmp/graft_io_lake"
+      val pool = "vec_" + System.nanoTime()
+      val lk = graft.sources.Lake
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val id = lk.load(docs, root, pool)
+      lk.vectorAdd(s, root, pool, id)
+      val back = graft.sources.VngIO.read(s, s"$root/$pool/data/$id-vector.vng")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      ZedOps.sort(back, col("doc_id") -> true)
+    },
+      Some("""SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")),
+
+    // `mirror` — batch output mux (runtime/sam/op/mirror/mirror.go): the
+    // mirror leg lands in a real sink while the main leg flows on; both
+    // legs must carry every row exactly once.
+    ("q_mirror", (s, dir) => {
+      val sink = "/tmp/graft_io_mirror_" + System.nanoTime()
+      val nat = t(s, dir, "nation")
+      val main = graft.sources.Lake.mirror(nat,
+        _.write.mode("overwrite").parquet(sink))
+      val side = s.read.parquet(sink)
+      ZedOps.sort(
+        main.withColumn("leg", lit("main"))
+          .unionByName(side.withColumn("leg", lit("mirror"))),
+        col("leg") -> true, col("n_nationkey") -> true)
+    },
+      Some("""SELECT *, 'main' AS leg FROM nation
+             |UNION ALL
+             |SELECT *, 'mirror' AS leg FROM nation
+             |ORDER BY leg, n_nationkey""".stripMargin)),
+
+    // STREAMING tumbling-window aggregation (Structured Streaming:
+    // readStream → watermark → window → memory sink, AvailableNow) — the
+    // stream answer must equal the batch GROUP BY date_trunc oracle.
+    ("q_stream_window", (s, dir) => {
+      val path = stageStreamDir(s"$dir/events.parquet")
+      val schema = s.read.parquet(path).schema
+      val ev = s.readStream.schema(schema).parquet(path)
+        .withColumn("event_time", F.asTs(col("ts"), schema("ts").dataType))
+        .withWatermark("event_time", "10 minutes")
+      val agg = graft.streaming.StreamOps.everyCounts(ev, "1 hour")
+      val sinkName = "q_stream_window_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ZedOps.sort(
+        s.table(sinkName).select(col("bucket"), col("count"),
+          round(col("sum_value"), 2).as("sum_value")),
+        col("bucket") -> true)
+    },
+      Some("""SELECT date_trunc('hour', ts) AS bucket, count(*) AS count,
+             |  round(sum("value"), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAMING exact dedup (state-store dropDuplicates under a
+    // watermark) — the kept key set is deterministic, so the stream
+    // answer equals DISTINCT in batch.
+    ("q_stream_dedup", (s, dir) => {
+      val path = stageStreamDir(s"$dir/events.parquet")
+      val schema = s.read.parquet(path).schema
+      val ev = s.readStream.schema(schema).parquet(path)
+        .withColumn("event_time", F.asTs(col("ts"), schema("ts").dataType))
+        .withWatermark("event_time", "10 minutes")
+      val dd = graft.streaming.StreamOps.dedupStream(ev, Seq("user_id", "event_type"))
+        .select(col("event_time"), col("user_id"), col("event_type"))
+      val sinkName = "q_stream_dedup_" + System.nanoTime()
+      val q = dd.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ZedOps.sort(s.table(sinkName),
+        col("event_time") -> true, col("user_id") -> true,
+        col("event_type") -> true)
+    },
+      Some("""SELECT DISTINCT ts AS event_time, user_id, event_type
+             |FROM events ORDER BY event_time, user_id, event_type""".stripMargin)),
 
     // misc family (coalesce.go, len.go, compare.go)
     ("q_fn_misc", (s, dir) =>
