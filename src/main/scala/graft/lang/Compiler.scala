@@ -668,8 +668,17 @@ final class Compiler(spark: SparkSession, dir: String) {
                 flatPuts.isEmpty) out
         else {
           val zt = graft.sources.ZType
-          val newTypes = flatPuts.map(n =>
-            n -> Shaper.zedTypeOf(out.schema(n).dataType)).toMap
+          // a VARIANT-valued put whose zed type is statically derivable
+          // (promoted-lattice arithmetic over typed operands) records that
+          // type in the shape — not the carrier struct (port-math: x:int32)
+          val exprOf = assigns.toMap
+          val newTypes = flatPuts.map { n =>
+            val dt = out.schema(n).dataType
+            val static =
+              if (isVariant(dt)) exprOf.get(n).flatMap(e => staticZedName(df, e))
+              else None
+            n -> static.getOrElse(Shaper.zedTypeOf(dt))
+          }.toMap
           val updates = putShapes.flatMap { case (t, ty) =>
             zt.strip(ty) match {
               case zt.Rec(fs) =>
@@ -1713,6 +1722,13 @@ final class Compiler(spark: SparkSession, dir: String) {
             Seq(df.select(ctxCols(fields.map(_._1).toSet) ++ fields.map { case (n, e) =>
               outExpr(df, e).as(n, mdFor(e))
             }: _*))
+          case Seq(Expr.Path(Seq()) | Expr.Path(Seq("this")))
+              if !df.columns.contains("this") =>
+            // `yield this` over a FRAME is the identity (yield.go emits
+            // the input value unchanged): the frame — tag column, shape
+            // metadata, zed-type markers — passes through untouched, so
+            // per-shape union decoration survives to the writer
+            Seq(df)
           case Seq(e) =>
             // a single non-record yield emits the bare VALUE (yield.go);
             // it is carried as `this` so downstream stages address it.
@@ -1783,6 +1799,21 @@ final class Compiler(spark: SparkSession, dir: String) {
               else cols.zip(dts).zip(many).map {
                 case ((c, _), e) if isTypeValued(e) =>
                   graft.operators.Het.typeValueVariant(c)
+                case ((c, dt), Expr.Path(Seq()) | Expr.Path(Seq("this")))
+                    if isTagged(df) && shapesOf(df).nonEmpty =>
+                  // box `this` with its PER-ROW shape type: t rides the
+                  // tag and z renders per shape, so union-typed record
+                  // members keep their decoration in the boxed value
+                  // ({a:1,b:2((int64,float64))} — vam arith/compare)
+                  val het2 = graft.operators.Het
+                  val zOv = shapesOf(df).foldRight(
+                      lit(null).cast(StringType): Column) {
+                    case ((t, st), acc) =>
+                      when(col(het2.typeTag) === t,
+                        graft.sources.ZsonIO.zsonOfTyped(c, dt, Some(st)))
+                        .otherwise(acc)
+                  }
+                  het2.variant(c, dt, Some(col(het2.typeTag)), Some(zOv))
                 case ((c, dt), e) => markedRecType(e) match {
                   case Some(zt) => graft.operators.Het.variant(c, dt,
                     Some(lit(graft.sources.ZType.fullText(zt))),
@@ -2132,7 +2163,11 @@ final class Compiler(spark: SparkSession, dir: String) {
         // an error-valued condition filters nothing (filter.go: errors
         // are not true) — read the boolean member
         coalesce(c.getField("b"), lit(false))
-      else c.cast(BooleanType)
+      else
+        // a statically non-boolean condition is never true (filter.go:
+        // only bool true passes; `where this` over ints yields nothing —
+        // vam/op/ztests/where.yaml)
+        lit(false)
   }
 
   private def stringLeaves(df: DataFrame): Seq[Column] = {
@@ -3262,6 +3297,8 @@ final class Compiler(spark: SparkSession, dir: String) {
       // on TAGGED frames / and % may box into error-carrying variants
       // (divide-by-zero is a VALUE) — the static prediction would lie
       if ((op == "/" || op == "%") && isTagged(df)) None
+      else if (staticPromotedName(df, op, l, r).isDefined)
+        Some(graft.operators.Het.variantType) // promoted-type arithmetic boxes
       else (dtypeOf(df, l), dtypeOf(df, r)) match {
         // time - time is a duration in ns (expr/eval.go coerceTime)
         case (Some(a), Some(b)) if op == "-" && F.isTimeDt(a) && F.isTimeDt(b) =>
@@ -3740,6 +3777,58 @@ final class Compiler(spark: SparkSession, dir: String) {
   private def resolveNamedType(df: DataFrame, name: String): Option[String] =
     namedTypesOf(df).collectFirst { case (n, text) if n == name => text }
 
+  /** The STATIC zed type text of an operand, when the tagged stream's
+    * shapes agree on one (full text keeps named forms — "port=uint16" —
+    * which PromoteTypeName resolves to their underlying primitive).
+    */
+  private def staticZedName(df: DataFrame, e: Expr): Option[String] = e match {
+    case Expr.IntLit(_) => Some("int64")
+    case Expr.FloatLit(_) => Some("float64")
+    case Expr.Binary(op2, l2, r2) if Set("+", "-", "*", "/", "%")(op2) =>
+      // promoted-lattice arithmetic yields a statically-known type when
+      // both operand types are static (chains fold: (a+p1)+p2 → int32)
+      for {
+        a <- staticZedName(df, l2)
+        b <- staticZedName(df, r2)
+        p <- Option(graft.functions.PromoteTypeName.promote(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+        n = p.toString
+        if n.matches("^(u?int|float)(8|16|32|64)$")
+      } yield n
+    case Expr.Path(ps0) =>
+      val ps = if (ps0.headOption.contains("this")) ps0.tail else ps0
+      if (ps.isEmpty) None
+      else {
+        val ts = shapesOf(df).flatMap(s => pathIn(s._2, ps))
+          .map(graft.sources.ZType.fullText).distinct
+        if (ts.size == 1) Some(ts.head) else None
+      }
+    case _ => None
+  }
+
+  /** Non-plain STATIC numeric operands (uint8..uint64, int8..int32,
+    * float16/32, incl. named forms) promote under the reference lattice
+    * and must carry the promoted type — such arithmetic takes the
+    * variant path (math-coerce ztest). Plain int64/float64 pairs stay
+    * static (the carrier is exact and renders bare).
+    */
+  private def staticPromotedName(df: DataFrame, op: String, l: Expr,
+      r: Expr): Option[String] =
+    if (!Set("+", "-", "*", "/", "%")(op)) None
+    else (staticZedName(df, l), staticZedName(df, r)) match {
+      case (Some(a), Some(b)) =>
+        def under(t: String) = t.substring(t.lastIndexOf('=') + 1)
+        val plain = Set("int64", "float64")
+        if (plain(under(a)) && plain(under(b))) None // static path is exact
+        else Option(graft.functions.PromoteTypeName.promote(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+          .map(_.toString)
+          .filter(_.matches("^(u?int|float)(8|16|32|64)$"))
+      case _ => None
+    }
+
   private def pathMixed(df: DataFrame, e: Expr): Boolean = e match {
     case Expr.Path(parts) if parts.nonEmpty =>
       val shapes = shapesOf(df)
@@ -3773,11 +3862,20 @@ final class Compiler(spark: SparkSession, dir: String) {
     // (complex.go Under + coercion lattice; error propagation complex.go:28)
     val lVar = isVariantExpr(df, l) || pathMixed(df, l) || missingStatic(df, l)
     val rVar = isVariantExpr(df, r) || pathMixed(df, r) || missingStatic(df, r)
-    if ((lVar || rVar) && Set("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")(op)) {
+    // STATIC operands whose zed types promote to a non-plain numeric
+    // (uint8..uint64, int8..int32, float16/float32 — coerce/promote.go)
+    // also take the variant path: the result must carry its promoted
+    // type so writers decorate it (math-coerce ztest: uint8-uint16 →
+    // 1(uint16)). Plain int64/float64 results stay on the static path.
+    val staticPromoted: Option[String] =
+      if (!lVar && !rVar) staticPromotedName(df, op, l, r) else None
+    if ((lVar || rVar || staticPromoted.isDefined) &&
+        Set("==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")(op)) {
       val het = graft.operators.Het
       def asVar(e: Expr, isVar: Boolean): Column =
         if (isVar) outExpr(df, e)
-        else het.variant(expr(df, e), dtypeOf(df, e).getOrElse(StringType))
+        else het.variant(expr(df, e), dtypeOf(df, e).getOrElse(StringType),
+          staticZedName(df, e).map(n => lit(n)))
       val (lv, rv) = (asVar(l, lVar), asVar(r, rVar))
       val (lk, rk) = (het.compareKey(lv), het.compareKey(rv))
       // null values (untyped or typed — all payload members null) compare
@@ -3826,36 +3924,60 @@ final class Compiler(spark: SparkSession, dir: String) {
           }
           boxed(coalesce(cmp, lit(false)))
         case _ =>
-          // arithmetic in the numeric domain; an error operand IS the
-          // result; containers are incompatible (expr/eval.go: "type <t>
-          // incompatible with '<op>' operator"); float %, and a zero
-          // divisor, are the reference's error values too
-          val n = op match {
-            case "+" => lv.getField("n") + rv.getField("n")
-            case "-" => lv.getField("n") - rv.getField("n")
-            case "*" => lv.getField("n") * rv.getField("n")
-            case "/" => lv.getField("n") / rv.getField("n")
-            case "%" => lv.getField("n") % rv.getField("n")
+          // arithmetic under the reference's RUNTIME promotion lattice
+          // (coerce/promote.go, applied per row by PromoteTypeName): the
+          // result type follows the operand types — int+int stays int,
+          // either-float floats (vam/op/ztests/arith.yaml), named types
+          // strip to their underlying primitive (port-math.yaml),
+          // string+string concatenates (eval.go Add), a failed promote is
+          // error("incompatible types"), and a promote to a
+          // non-arithmetic type is the reference's "type <t> incompatible
+          // with '<op>' operator" (eval.go Add/Subtract/.../Modulo)
+          val resT0 = Bridge.column(graft.functions.PromoteTypeName(
+            Bridge.expression(lv.getField("t")),
+            Bridge.expression(rv.getField("t"))))
+          // time - time is a duration (eval.go Subtract)
+          val resT =
+            if (op == "-") when(resT0 === "time", lit("duration")).otherwise(resT0)
+            else resT0
+          val isFloatRes = resT.startsWith("float")
+          val isNumRes = resT.rlike("^(u?int|float)(8|16|32|64|128|256)$") ||
+            resT === "duration" || resT === "time"
+          // null payloads act as zero (coerce.ToNumeric returns 0 on null)
+          val ln = coalesce(lv.getField("n"), lit(0.0))
+          val rn = coalesce(rv.getField("n"), lit(0.0))
+          val raw = op match {
+            case "+" => ln + rn
+            case "-" => ln - rn
+            case "*" => ln * rn
+            case "/" => ln / rn
+            case "%" => ln % rn
           }
-          def containerErr(v: Column) = het.errorValue(concat(
-            lit("\"type "), v.getField("t"),
-            lit(s" incompatible with '$op' operator\"")))
-          def floaty(v: Column) =
-            v.getField("t").startsWith("float") || v.getField("t") === "decimal"
+          // integer ops truncate toward zero like Go int division (the
+          // double carrier is exact through 2^53)
+          val n = op match {
+            case "/" => when(isFloatRes, raw)
+              .otherwise(raw.cast(LongType).cast(DoubleType))
+            case "%" => (ln.cast(LongType) % rn.cast(LongType)).cast(DoubleType)
+            case _ => raw
+          }
           val divZero = Set("/", "%")(op)
-          val modFloat = op == "%"
+          val typeIncompat = het.errorValue(concat(
+            lit("\"type "), resT, lit(s" incompatible with '$op' operator\"")))
           when(het.isError(lv), lv)
             .when(het.isError(rv), rv)
-            .when(lv.getField("k") === 4, containerErr(lv))
-            .when(rv.getField("k") === 4, containerErr(rv))
-            .when(if (modFloat) floaty(lv) || floaty(rv) else lit(false),
-              het.errorValue(lit("\"type float64 incompatible with '%' operator\"")))
-            .when(if (divZero) rv.getField("n") === 0 else lit(false),
+            .when(resT.isNull, het.errorValue(lit("\"incompatible types\"")))
+            .when(if (op == "+") resT === "string" else lit(false),
+              het.variant(concat(coalesce(lv.getField("s"), lit("")),
+                coalesce(rv.getField("s"), lit(""))), StringType))
+            .when(if (op == "%") isFloatRes || !isNumRes else !isNumRes,
+              typeIncompat)
+            .when(if (divZero) rn === 0 else lit(false),
               het.errorValue(lit("\"divide by zero\"")))
-            .when(if (op == "%") lit(true) else lit(false),
-              het.variant(lv.getField("n").cast(LongType) % rv.getField("n").cast(LongType),
-                LongType))
-            .otherwise(het.variant(n, DoubleType))
+            .otherwise(het.mkVariant(
+              when(resT === "time", lit(1)).otherwise(lit(0)), n,
+              lit(null).cast(StringType), lit(null).cast(BooleanType),
+              resT, lit(null).cast(StringType)))
       }
     }
     // an enum operand in arithmetic/comparison coerces to its ordinal

@@ -587,9 +587,9 @@ object ScriptHarness {
       if (!ok && sys.env.contains("MISCFLOW_DIFF")) {
         System.err.println(s"==== ${c.file} [${o.name}]")
         System.err.println("---- expected:")
-        System.err.println(o.text.linesIterator.take(12).mkString("\n"))
+        System.err.println(o.text.linesIterator.take(sys.env.get("MISCFLOW_DIFF").flatMap(_.toIntOption).getOrElse(12)).mkString("\n"))
         System.err.println("---- actual:")
-        System.err.println(actual.linesIterator.take(12).mkString("\n"))
+        System.err.println(actual.linesIterator.take(sys.env.get("MISCFLOW_DIFF").flatMap(_.toIntOption).getOrElse(12)).mkString("\n"))
       }
       ok
     }
