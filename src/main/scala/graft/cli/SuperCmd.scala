@@ -351,6 +351,10 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
       // binary formats on stdin (cat a.zng | …, curl | super -i arrows -):
       // bytes ride the string as ISO-8859-1 — round-trip to a temp file
       val binFmt = inFmt.filter(Set("zng", "vng", "parquet", "arrows", "arrow"))
+      // VNG layout needs random access (vng/object.go NewObject reads the
+      // trailer first) — a pipe cannot provide it
+      if (binFmt.contains("vng"))
+        throw new RuntimeException("stdio:stdin: VNG requires a seekable input")
       if (binFmt.isDefined ||
           (inFmt.isEmpty && isBinaryText(text) && text.forall(_ <= 0xff))) {
         val d = java.nio.file.Files.createTempDirectory("mdstdin")
@@ -414,6 +418,55 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
       }
     }
 
+    /** The reference's columnar-writer type checks (zio/parquetio,
+      * zio/arrowio): one record type per file, no empty records, and
+      * parquet lacks DURATION/FLOAT16 — each surfaced with the writer's
+      * exact error text (writer-errors ztests).
+      */
+    private def validateColumnarOut(res: org.apache.spark.sql.DataFrame,
+        fmt: String): Unit = {
+      val prefix = if (fmt == "parquet") "parquetio" else "arrowio"
+      val zt = graft.sources.ZType
+      val shapes: Seq[String] = res.schema.fields
+        .find(_.name == graft.operators.Het.typeTag)
+        .filter(_.metadata.contains("shapes"))
+        .map(_.metadata.getStringArray("shapes").toSeq.distinct)
+        .getOrElse(Seq.empty)
+      if (shapes.length > 1)
+        throw new RuntimeException(s"$prefix: encountered multiple types " +
+          s"(consider 'fuse'): ${shapes(0)} and ${shapes(1)}")
+      shapes.headOption.foreach { t =>
+        val parsed =
+          try Some(graft.sources.ZsonParser.parseType(zt.stripNullWrap(t)))
+          catch { case _: Exception => None }
+        parsed.foreach { ty =>
+          zt.strip(ty) match {
+            case zt.Rec(fs) =>
+              if (fs.isEmpty)
+                throw new RuntimeException(
+                  s"$prefix: unsupported type: empty record")
+              if (fmt == "parquet") {
+                def walk(x: graft.sources.ZType): Unit = zt.strip(x) match {
+                  case zt.Prim("duration") => throw new RuntimeException(
+                    "parquetio: unsupported type: not implemented: support for DURATION")
+                  case zt.Prim("float16") => throw new RuntimeException(
+                    "parquetio: unsupported type: not implemented: support for FLOAT16")
+                  case zt.Rec(sub) => sub.foreach(f => walk(f._2))
+                  case zt.Arr(e) => walk(e)
+                  case zt.SetT(e) => walk(e)
+                  case _ => ()
+                }
+                walk(ty)
+              }
+            case _ =>
+              val v = graft.sources.ZsonIO.toZson(res.limit(1))
+                .collect().headOption.getOrElse("null")
+              throw new RuntimeException(s"$prefix: not a record: $v")
+          }
+        }
+      }
+    }
+
     private def superQuery(args: Seq[String], stdin: Option[String]): String = {
       val f = try parseQueryFlags(args)
               catch { case _: VersionRequested => return versionLine }
@@ -471,7 +524,7 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
         }
         for (p <- f.files) {
           try {
-            val df = Formats.read(spark, filePath(p))
+            val df = Formats.read(spark, filePath(p), f.inFmt)
             val res = if (queryText.isEmpty) df
                       else withCwd(Graft.queryOn(df, queryText))
             outs.append(renderOut(res, f))
@@ -487,7 +540,7 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
           stdin.forall(_.isEmpty))
         return ""
       val frames =
-        f.files.map(p => Formats.read(spark, filePath(p))) ++
+        f.files.map(p => Formats.read(spark, filePath(p), f.inFmt)) ++
           (if (f.useStdin || (f.files.isEmpty && stdin.isDefined))
              stdin.map(buildStdinFrame(_, f.inFmt)).toSeq
            else Seq.empty)
@@ -577,6 +630,8 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
         case "table" => Formats.tableLines(res).collect().toSeq
         case "text" => Formats.textLines(res).collect().toSeq
         case "parquet" | "zng" | "vng" | "zst" | "arrows" | "arrow" =>
+          if (f.format != "zng" && f.format != "vng" && f.format != "zst")
+            validateColumnarOut(res, f.format)
           f.outFile match {
             case Some("/dev/null") =>
               // NEVER hand /dev/null to a Spark writer (it would replace
@@ -977,6 +1032,33 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
                 Seq(s"from $pool | where (${pos.mkString(" ")})"), stdin)
             case other => throw new Unsupported(s"dev vector $other")
           }
+        case "vng" =>
+          // dump VNG metadata (cmd/super/dev/vng): the header record
+          // {Version,MetaSize,DataSize} followed by the metadata section's
+          // values decoded from their zng stream
+          val file = args.drop(1).filterNot(_.startsWith("-")).headOption
+            .getOrElse(throw new RuntimeException("a single file is required"))
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(filePath(file)))
+          require(bytes.length >= 24 && bytes(0) == 'V' && bytes(1) == 'N' &&
+            bytes(2) == 'G' && bytes(3) == 0, "not a VNG file")
+          def leLong(off: Int, n: Int): Long =
+            (0 until n).map(i => (bytes(off + i) & 0xffL) << (8 * i)).sum
+          val ver = leLong(4, 4)
+          val metaSize = leLong(8, 8)
+          val dataSize = leLong(16, 8)
+          val zv = graft.sources.ZValue
+          val header: graft.sources.ZValue = zv.VRec(Vector(
+            "Version" -> zv.VInt(ver, "uint32"),
+            "MetaSize" -> zv.VUint64(BigDecimal(metaSize)),
+            "DataSize" -> zv.VUint64(BigDecimal(dataSize))))
+          val metaBytes = java.util.Arrays.copyOfRange(bytes, 24,
+            24 + metaSize.toInt)
+          val metaVals = graft.sources.ZngIO
+            .decodeToZValues(metaBytes).toSeq
+          val fmt2 = new graft.sources.ZsonFormatter
+          (header +: metaVals).map(v =>
+            fmt2.formatNext(zv.typeOf(v), v)).mkString("", "\n", "\n")
         case "dig" =>
           val sub = args.lift(1).getOrElse("")
           if (sub != "frames") throw new Unsupported(s"dev dig $sub")

@@ -1537,7 +1537,36 @@ final class Compiler(spark: SparkSession, dir: String) {
           expr(df, e).as(Compiler.varPrefix + n, Compiler.scopeVarMeta) }
         body match {
           case None =>
-            Seq(df.select(kept :+ elem.as("this"): _*))
+            // when the source path's ELEMENT zed type says more than the
+            // Spark carrier (named records, decorated containers), tag the
+            // exploded stream with it so downstream paths keep fidelity
+            // (vng no-dict: over Fields preserves Field={...Dict:[DictEntry…]})
+            val elemZt: Option[String] = exprs match {
+              case Seq(p: Expr.Path) =>
+                staticZedName(df, p).flatMap { t =>
+                  val zt = graft.sources.ZType
+                  try zt.strip(graft.sources.ZsonParser.parseType(t)) match {
+                    case zt.Arr(e2) => Some(zt.fullText(e2))
+                    case zt.SetT(e2) => Some(zt.fullText(e2))
+                    case _ => None
+                  } catch { case _: Exception => None }
+                }.filter { t =>
+                  dtypeOf(df, p) match {
+                    case Some(ArrayType(et, _)) => Shaper.zedTypeOf(et) != t
+                    case _ => false
+                  }
+                }
+              case _ => None
+            }
+            elemZt match {
+              case Some(t) =>
+                val het2 = graft.operators.Het
+                val md = new org.apache.spark.sql.types.MetadataBuilder()
+                  .putStringArray("shapes", Array(t)).build()
+                Seq(df.select(kept ++ Seq(elem.as("this"),
+                  lit(t).as(het2.typeTag, md)): _*))
+              case None => Seq(df.select(kept :+ elem.as("this"): _*))
+            }
           case Some(p) =>
             // the outer-row id must bind BEFORE the explode generator runs
             // (inside the same projection it would number the elements);
@@ -1739,6 +1768,16 @@ final class Compiler(spark: SparkSession, dir: String) {
               case Expr.Call("typeof" | "typeunder", _) =>
                 new org.apache.spark.sql.types.MetadataBuilder()
                   .putString("graft.zedType", "type").build()
+              case p: Expr.Path =>
+                // a path whose zed type says more than the Spark carrier
+                // (named/decorated containers) marks the bare value so the
+                // writer decorates it (vng no-dict: Dict's typed null)
+                staticZedName(df, p)
+                  .filter(t => dtypeOf(df, p)
+                    .forall(dt2 => Shaper.zedTypeOf(dt2) != t))
+                  .map(t => new org.apache.spark.sql.types.MetadataBuilder()
+                    .putString("graft.zedType", t).build())
+                  .getOrElse(org.apache.spark.sql.types.Metadata.empty)
               case _ => org.apache.spark.sql.types.Metadata.empty
             }
             val out = df.select(ctxCols(Set("this")) :+

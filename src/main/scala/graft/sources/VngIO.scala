@@ -91,7 +91,7 @@ object VngIO {
     case SetT(e) => new NullsEnc(new ArrayEnc(e, isSet = true))
     case MapT(k, v) => new NullsEnc(new MapEnc(k, v))
     case u: Union => new NullsEnc(new UnionEnc(u))
-    case prim => new NullsEnc(new PrimEnc(prim))
+    case prim => new NullsEnc(new PrimEnc(prim, useDict = true))
   }
 
   private final class NamedEnc(name: String, inner: Enc) extends Enc {
@@ -249,17 +249,76 @@ object VngIO {
     }
   }
 
-  private final class PrimEnc(t: ZType) extends Enc {
+  private final class PrimEnc(t: ZType, useDict: Boolean = false) extends Enc {
     private val buf = new ByteArrayOutputStream()
     private val zt = ZngIO.toZT(ZType.strip(t))
     private var count = 0L
-    def write(v: ZValue): Unit = { count += 1; ZngIO.encodeZTagged(buf, v, zt) }
+    // dictionary tracking (vng/primitive.go): all primitive types except
+    // the already-8-bit uint8/int8/bool; abandoned past MaxDictSize=256
+    // distinct values. One distinct value collapses to a Const vector
+    // (no data bytes), 2..256 become a byte-per-row index into the
+    // value-sorted dict.
+    private var ids: mutable.HashMap[String, Int] =
+      if (!useDict) null
+      else ZType.strip(t) match {
+        case Prim("uint8") | Prim("int8") | Prim("bool") => null
+        case _ => mutable.HashMap.empty
+      }
+    private val dvals = mutable.ArrayBuffer.empty[ZValue]
+    private val dcounts = mutable.ArrayBuffer.empty[Long]
+    private val rowIds = mutable.ArrayBuffer.empty[Int]
+    private val scratch = new ByteArrayOutputStream()
+    def write(v: ZValue): Unit = {
+      count += 1
+      scratch.reset()
+      ZngIO.encodeZTagged(scratch, v, zt)
+      val b = scratch.toByteArray
+      buf.write(b, 0, b.length)
+      if (ids != null) {
+        val key = new String(b, "ISO-8859-1")
+        val id = ids.getOrElseUpdate(key,
+          { dvals += v; dcounts += 0L; dvals.length - 1 })
+        dcounts(id) += 1
+        rowIds += id
+        if (ids.size > 256) { ids = null; rowIds.clear(); dvals.clear() }
+      }
+    }
+    // the reference dict sorts ascending by VALUE (sortDict with
+    // NewValueCompareFn(order.Asc)) — primitive same-type compare
+    private def cmpPrim(a0: ZValue, b0: ZValue): Int = {
+      import ZValue._
+      (unwrap(a0), unwrap(b0)) match {
+        case (VNull(_), VNull(_)) => 0
+        case (VNull(_), _) => -1 // nullsMax=false: nulls first
+        case (_, VNull(_)) => 1
+        case (VInt(x, _), VInt(y, _)) => java.lang.Long.compare(x, y)
+        case (VUint64(x), VUint64(y)) => x.compare(y)
+        case (VFloat(x, _), VFloat(y, _)) => java.lang.Double.compare(x, y)
+        case (VBool(x), VBool(y)) => java.lang.Boolean.compare(x, y)
+        case (VTime(x), VTime(y)) => java.lang.Long.compare(x, y)
+        case (VDur(x), VDur(y)) => java.lang.Long.compare(x, y)
+        case (VStr(x), VStr(y)) => x.compareTo(y)
+        case (a, b) => ZValue.zsonText(a).compareTo(ZValue.zsonText(b))
+      }
+    }
     def finish(off: Long, data: ByteArrayOutputStream): (Long, Meta) = {
+      if (ids != null && ids.size == 1 && count > 0)
+        return (off, MConst(dvals(0), count)) // no data bytes at all
+      val (raw, dict) =
+        if (ids != null && ids.size >= 2) {
+          val order = dvals.indices.sortBy(dvals(_))(Ordering.fromLessThan(
+            (a, b) => cmpPrim(a, b) < 0))
+          val pos = new Array[Int](dvals.length)
+          order.zipWithIndex.foreach { case (old, nw) => pos(old) = nw }
+          val vec = new Array[Byte](rowIds.length)
+          var i = 0
+          while (i < vec.length) { vec(i) = pos(rowIds(i)).toByte; i += 1 }
+          (vec, order.map(o => (dvals(o), dcounts(o))).toVector)
+        } else (buf.toByteArray, Vector.empty[(ZValue, Long)])
+      val memLen = raw.length.toLong
       // LZ4-compress the segment like the reference writer, keeping the
       // compressed form only when it actually shrinks (segment.go
       // compressBuffer: format 1 = LZ4 block, 0 = raw)
-      val raw = buf.toByteArray
-      val memLen = raw.length.toLong
       val (bytes, format) =
         if (raw.isEmpty) (raw, 0)
         else {
@@ -272,7 +331,7 @@ object VngIO {
         }
       data.write(bytes, 0, bytes.length)
       (off + bytes.length, MPrim(t, Seg(off, bytes.length.toLong, memLen, format),
-        Vector.empty, count))
+        dict, count))
     }
   }
 
@@ -308,6 +367,12 @@ object VngIO {
 
   private def u32(n: Long): ZValue = VInt(n, "uint32")
   private def u64(n: Long): ZValue = VUint64(BigDecimal(n))
+
+  /** Type of a nil Dict: Go's zson marshal reflects []DictEntry where
+    * DictEntry.Value is the raw zed.Value struct (vng no-dict ztest).
+    */
+  private lazy val dictNullType: ZType = ZsonParser.parseType(
+    "[DictEntry={Value:{typ:null,base:uint8,len:uint64},Count:uint32}]")
 
   private def namedRec(name: String, fs: Vector[(String, ZValue)]): ZValue = {
     val rec = VRec(fs)
@@ -346,10 +411,15 @@ object VngIO {
     case MUnion(n, tags, vs) => namedRec("Union", Vector(
       "Length" -> u32(n), "Tags" -> segV(tags),
       "Values" -> typedArr(vs.map(metaV))))
-    case MPrim(t, loc, _, n) => namedRec("Primitive", Vector(
+    case MPrim(t, loc, dict, n) => namedRec("Primitive", Vector(
       "Type" -> VTypeVal(ZType.fullText(t)),
       "Location" -> segV(loc),
-      "Dict" -> VNull(nullT), "Min" -> VNull(nullT), "Max" -> VNull(nullT),
+      // a dict-less primitive's Dict is a TYPED null — the Go marshal of
+      // a nil []DictEntry reflects the zed.Value struct (no-dict ztest)
+      "Dict" -> (if (dict.isEmpty) VNull(dictNullType)
+        else typedArr(dict.map { case (v, c) =>
+          namedRec("DictEntry", Vector("Value" -> v, "Count" -> u32(c))) })),
+      "Min" -> VNull(nullT), "Max" -> VNull(nullT),
       "Count" -> u32(n)))
     case MNamed(n, v) => namedRec("Named", Vector(
       "Name" -> VStr(n), "Values" -> metaV(v)))

@@ -346,7 +346,9 @@ object ZFormat {
     case Prim("string") => "string"
     case Prim("time") => "time"
     case EnumT(_) => "enum"
-    case other => ZType.text(other) // incompatible — surfaced as-is
+    case other => // unions, nested containers, maps (zeekio/writer.go)
+      throw new RuntimeException(
+        s"type ${ZType.text(other)} cannot be represented in zeek format")
   }
 
   /** Named-type zeek header names: port stays port, zenum stays enum. */

@@ -38,11 +38,21 @@ object ScriptHarness {
     // ztest.go skips cases carrying a `skip:` reason
     if (lines.exists(_.startsWith("skip:"))) return None
     def blockAt(start: Int, indent: Int): (String, Int) = {
+      // YAML block scalars strip the FIRST content line's indentation,
+      // which may exceed the mapping level (parquetio writer-errors
+      // indents its stderr block two extra spaces)
+      val actual = (start until lines.length)
+        .find(j => lines(j).trim.nonEmpty)
+        .filter(j => lines(j).startsWith(" " * indent))
+        .map(j => lines(j).takeWhile(_ == ' ').length)
+        .getOrElse(indent)
       val b = new StringBuilder
       var i = start
       while (i < lines.length &&
           (lines(i).trim.isEmpty || lines(i).startsWith(" " * indent))) {
-        b.append(if (lines(i).length >= indent) lines(i).drop(indent) else "")
+        val own = lines(i).takeWhile(_ == ' ').length
+        b.append(if (lines(i).trim.isEmpty) ""
+                 else lines(i).drop(math.min(actual, own)))
           .append('\n')
         i += 1
       }

@@ -41,7 +41,9 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vng/metadata.go + zson/marshal.go StyleSimple: the metadata section
     // is ONE ZNG value whose record types are named Record/Field/Primitive/
     // Segment — the layout a reference-written file carries
-    val bytes = VngIO.encodeObject(vals("{a:1,s:\"x\"}"))
+    // two distinct values per column → dict-encoded Primitive vectors
+    // (a single distinct value would collapse to Const, vng/primitive.go)
+    val bytes = VngIO.encodeObject(vals("{a:1,s:\"x\"}\n{a:2,s:\"y\"}"))
     def leLong(off: Int, n: Int): Long =
       (0 until n).map(i => (bytes(off + i) & 0xffL) << (8 * i)).sum
     val metaBytes = java.util.Arrays.copyOfRange(bytes, 24, 24 + leLong(8, 8).toInt)
@@ -50,6 +52,20 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.startsWith("Record="), t)
     assert(t.contains("Field=") && t.contains("Primitive=") && t.contains("Segment="), t)
     assert(t.contains("Offset:uint64") && t.contains("CompressionFormat:uint8"), t)
+    assert(t.contains("DictEntry="), t) // dict vectors like the reference
+  }
+
+  test("single-distinct columns collapse to Const; dicts round-trip") {
+    // vng/primitive.go: one distinct value → Const (no data bytes);
+    // 2..256 distinct → byte-per-row dict vector
+    val const = VngIO.decodeToZValues(
+      VngIO.encodeObject(vals("{k:\"c\"}\n{k:\"c\"}\n{k:\"c\"}")))
+      .map(ZValue.zsonText).toSeq
+    assert(const == Seq("{k:\"c\"}", "{k:\"c\"}", "{k:\"c\"}"))
+    val dicted = VngIO.decodeToZValues(
+      VngIO.encodeObject(vals("{k:\"b\"}\n{k:\"a\"}\n{k:\"b\"}\n{k:\"a\"}")))
+      .map(ZValue.zsonText).toSeq
+    assert(dicted == Seq("{k:\"b\"}", "{k:\"a\"}", "{k:\"b\"}", "{k:\"a\"}"))
   }
 
   test("null runs RLE-encode and round-trip") {
