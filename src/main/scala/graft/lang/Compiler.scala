@@ -806,6 +806,15 @@ final class Compiler(spark: SparkSession, dir: String) {
           case None => Seq(ZedOps.rename(df, renames: _*))
         }
 
+      case Stage.DynAssign(op, assigns)
+          if assigns.exists(a =>
+            a._1.isInstanceOf[Expr.Call] &&
+              a._1.asInstanceOf[Expr.Call].fn == "__lval" ||
+            op == "rename" && a._2.isInstanceOf[Expr.Call] &&
+              a._2.asInstanceOf[Expr.Call].fn == "__lval") =>
+        // multi-element lvals (this[a][b] :=): per-row PATHS, not names
+        Seq(dynAssignMulti(single(state), op, assigns))
+
       case Stage.DynAssign(op, assigns) =>
         // Computed field names (this[<expr>] :=, lval.go ExprLvalElem):
         // names evaluate PER ROW, so output shapes are data-dependent —
@@ -2737,6 +2746,190 @@ final class Compiler(spark: SparkSession, dir: String) {
     * frames, null/duplicate names (per-row error values), empty input, or
     * more than 16 distinct tuples.
     */
+  /** Multi-element computed lvals (lval.go Lval over ExprLvalElem chains):
+    * `this[a][b] := v` assigns at the per-row PATH [<a>,<b>]. Field
+    * checks per putter.go CheckPutFields / renamer.go CheckRenameField /
+    * the type-context duplicate-field rule; rewrite runs in the value
+    * model and re-frames through shape discovery.
+    */
+  private def dynAssignMulti(df: DataFrame, op: String,
+      assigns: Seq[(Expr, Expr)]): DataFrame = {
+    val het = graft.operators.Het
+    import graft.sources.{ZValue, ZType, ZsonParser, ZFormat, ZsonReader}
+    def elemsOf(e: Expr): Seq[Expr] = e match {
+      case Expr.Call("__lval", es) => es
+      case other => Seq(other)
+    }
+    def asTextC(ne: Expr): Column = ne match {
+      case Expr.StringLit(s) => lit(s)
+      case _ =>
+        val c = expr(df, ne)
+        if (isVariantExpr(df, ne))
+          when(het.isError(c), lit(null).cast(StringType))
+            .otherwise(graft.functions.ZvOps.asText(c))
+        else c.cast(StringType)
+    }
+    val lhsChains = assigns.map(a => elemsOf(a._1))
+    val lhsCols = lhsChains.map(ch => array(ch.map(asTextC): _*))
+    val isRename = op == "rename"
+    val rhsPathCols =
+      if (isRename) assigns.map(a => array(elemsOf(a._2).map(asTextC): _*))
+      else Seq.empty
+    val valueCols = if (isRename) Seq.empty
+                    else assigns.map { case (_, ve) => outExpr(df, ve) }
+    val origSchema = df.schema
+    val withTemps = df.select(
+      (df.columns.toIndexedSeq.map(n => col(s"`$n`")) ++
+        lhsCols.zipWithIndex.map { case (c, i) => c.as(s"__dynP$i") } ++
+        (if (isRename) rhsPathCols.zipWithIndex.map { case (c, i) => c.as(s"__dynS$i") }
+         else valueCols.zipWithIndex.map { case (c, i) => c.as(s"__dynV$i") })): _*)
+    val vTypes: Seq[(DataType, ZType)] =
+      if (isRename) Seq.empty
+      else withTemps.schema.fields.toIndexedSeq.takeRight(assigns.length).map { f =>
+        (f.dataType,
+          try ZsonParser.parseType(Shaper.zedTypeOf(f.dataType))
+          catch { case _: Exception => ZType.Prim("string") })
+      }
+    val fn = ZFormat.rowValueFn(origSchema)
+    val w = origSchema.fields.length
+    val k = assigns.length
+    val opName = op
+    val rdd = withTemps.rdd.map { row =>
+      import ZValue._
+      val base = fn(row)
+      def errRow(msg: String): ZValue =
+        VErr(VRec(Vector("message" -> VStr(msg), "on" -> base)))
+      def pathAt(ix: Int): Seq[String] =
+        if (row.isNullAt(ix)) Seq(null)
+        else row.getSeq[String](ix)
+      val paths = (0 until k).map(i => pathAt(w + i))
+      if (paths.exists(p => p == null || p.contains(null))) errRow(s"$opName: missing")
+      else {
+        def dotted(p: Seq[String]) = p.mkString(".")
+        def extendsStrict(long: Seq[String], short: Seq[String]): Boolean =
+          long.length > short.length && long.startsWith(short)
+        // field-list check violation, if any (putter.go CheckPutFields)
+        def putFieldErr: Option[String] = {
+          for (i <- 0 until k; j <- i + 1 until k) {
+            val (f, c) = (paths(i), paths(j))
+            if (f == c)
+              return Some(s"multiple assignments to ${dotted(f)}")
+            if (extendsStrict(c, f))
+              return Some(s"conflicting nested assignments to ${dotted(f)} and ${dotted(c)}")
+            if (extendsStrict(f, c))
+              return Some(s"conflicting nested assignments to ${dotted(c)} and ${dotted(f)}")
+          }
+          None
+        }
+        def setPath(fs: Vector[(String, ZValue)], path: Seq[String],
+            v: ZValue): Vector[(String, ZValue)] = path match {
+          case Seq(last) =>
+            if (fs.exists(_._1 == last))
+              fs.map { case (n, fv) => if (n == last) n -> v else n -> fv }
+            else fs :+ (last -> v)
+          case head +: rest =>
+            val sub = fs.find(_._1 == head).map(x => ZValue.unwrap(x._2)) match {
+              case Some(VRec(sfs)) => sfs
+              case _ => Vector.empty[(String, ZValue)]
+            }
+            val updated = VRec(setPath(sub, rest, v))
+            if (fs.exists(_._1 == head))
+              fs.map { case (n, fv) => if (n == head) n -> (updated: ZValue) else n -> fv }
+            else fs :+ (head -> (updated: ZValue))
+        }
+        // duplicate-aware nested insert (context.go duplicate-field rule)
+        def insert(fs: Vector[(String, ZValue)], path: Seq[String],
+            v: ZValue): Either[String, Vector[(String, ZValue)]] = path match {
+          case Seq(last) =>
+            if (fs.exists(_._1 == last)) Left(last)
+            else Right(fs :+ (last -> v))
+          case head +: rest =>
+            fs.indexWhere(_._1 == head) match {
+              case -1 => insert(Vector.empty, rest, v)
+                .map(sub => fs :+ (head -> (VRec(sub): ZValue)))
+              case ix => ZValue.unwrap(fs(ix)._2) match {
+                case VRec(sub) => insert(sub, rest, v)
+                  .map(s2 => fs.updated(ix, head -> (VRec(s2): ZValue)))
+                case _ => Left(head)
+              }
+            }
+        }
+        def valueAt(i: Int): ZValue = {
+          val (dt, zt2) = vTypes(i)
+          if (row.isNullAt(w + k + i)) VNull(zt2)
+          else ZValue.fromExternal(row.get(w + k + i), dt, zt2)
+        }
+        opName match {
+          case "put" =>
+            putFieldErr match {
+              case Some(msg) => errRow(s"put: $msg")
+              case None => ZValue.unwrap(base) match {
+                case VRec(fs) =>
+                  var out = fs
+                  paths.zipWithIndex.foreach { case (p, i) =>
+                    out = setPath(out, p, valueAt(i)) }
+                  VRec(out)
+                case _ => errRow("put: not a record")
+              }
+            }
+          case "cut" =>
+            var out = Vector.empty[(String, ZValue)]
+            var err: String = null
+            paths.zipWithIndex.foreach { case (p, i) =>
+              if (err == null) insert(out, p, valueAt(i)) match {
+                case Right(next) => out = next
+                case Left(seg) => err = seg
+              }
+            }
+            if (err != null) errRow(s"""cut: duplicate field: "$err"""")
+            else VRec(out)
+          case _ => // rename: LHS (dst) paths with RHS (src) paths
+            val srcs = (0 until k).map(i => pathAt(w + k + i))
+            if (srcs.exists(p => p == null || p.contains(null)))
+              errRow("rename: missing")
+            else {
+              var err: String = null
+              (0 until k).foreach { i =>
+                if (err == null) {
+                  val (dst, src) = (paths(i), srcs(i))
+                  if (src.length != dst.length)
+                    err = "left-hand side and right-hand side must have " +
+                      s"the same depth (${dotted(src)} vs ${dotted(dst)})"
+                  else (0 until src.length - 1).foreach { x =>
+                    if (err == null && src(x) != dst(x))
+                      err = s"cannot rename ${dotted(src)} to ${dotted(dst)} " +
+                        s"(differ in ${src(x)} vs ${dst(x)})"
+                  }
+                }
+              }
+              if (err != null) errRow(s"rename: $err")
+              else ZValue.unwrap(base) match {
+                case VRec(fs) =>
+                  def renameAt(fs0: Vector[(String, ZValue)], src: Seq[String],
+                      dstLast: String): Vector[(String, ZValue)] = src match {
+                    case Seq(last) => fs0.map { case (n, v) =>
+                      if (n == last) dstLast -> v else n -> v }
+                    case head +: rest => fs0.map { case (n, v) =>
+                      if (n == head) ZValue.unwrap(v) match {
+                        case VRec(sub) =>
+                          n -> (VRec(renameAt(sub, rest, dstLast)): ZValue)
+                        case _ => n -> v
+                      } else n -> v
+                    }
+                  }
+                  var out = fs
+                  (0 until k).foreach { i =>
+                    out = renameAt(out, srcs(i), paths(i).last) }
+                  VRec(out)
+                case _ => base
+              }
+            }
+        }
+      }
+    }
+    ZsonReader.fromRDD(df.sparkSession, rdd)
+  }
+
   private def dynAssignFast(df: DataFrame, op: String,
       assigns: Seq[(Expr, Expr)], nameCols: Seq[Column],
       valueCols: Seq[Column]): Option[DataFrame] = try {

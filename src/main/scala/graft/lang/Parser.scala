@@ -659,20 +659,20 @@ final class Parser(tokens: Vector[Token], source: String,
   /** Is the cursor at `name(.name)* :=` (a dotted assignment)? */
   private def assignAhead: Boolean = {
     if (peek.kind != ID) return false
-    // `this[<name>]:=` — index-named target; scan to the matching `]`
-    // so a computed index reaches parseAssignTarget's clear error
-    // instead of a generic parse failure
-    if (peek.text == "this" && peekAt(1).text == "[") {
-      var k = 2; var depth = 1
+    // leading `this` or dotted name, then ANY chain of balanced [..]
+    // groups (this[a][b] :=, a[b] := — lval.go Lval element chains),
+    // then `:=`
+    var k = 1
+    while (peekAt(k).text == "." && peekAt(k + 1).kind == ID) k += 2
+    while (peekAt(k).text == "[") {
+      var depth = 1; k += 1
       while (depth > 0 && peekAt(k).kind != EOF) {
         if (peekAt(k).text == "[") depth += 1
         else if (peekAt(k).text == "]") depth -= 1
         k += 1
       }
-      return depth == 0 && peekAt(k).text == ":="
+      if (depth != 0) return false
     }
-    var k = 1
-    while (peekAt(k).text == "." && peekAt(k + 1).kind == ID) k += 2
     peekAt(k).text == ":="
   }
 
@@ -690,29 +690,49 @@ final class Parser(tokens: Vector[Token], source: String,
     * the field at RUNTIME (lval.go ExprLvalElem) — put/cut/rename accept
     * the dynamic form, summarize requires static (summarize-lhs-error).
     */
-  private def parseAssignTargetE(): Either[String, Expr] =
-    if (peek.text == "this" && peekAt(1).text == "[") {
-      next(); next()
-      val res: Either[String, Expr] =
-        if (peek.kind == Lexer.STR && peekAt(1).text == "]") Left(next().text)
+  /** An assignment TARGET (lval.go Lval): a chain of static dotted
+    * segments and dynamic `[<expr>]` elements — `this[a][b]`, `a[b]`,
+    * `this[a]["lit"]`. All-static chains collapse to a dotted name;
+    * single-dynamic stays a bare expr; multi-element chains encode as
+    * `__lval(e1, e2, …)` for the compiler's path rewrite.
+    */
+  private def parseAssignTargetE(): Either[String, Expr] = {
+    val elems = Vector.newBuilder[Expr]
+    if (peek.text == "this" && peekAt(1).text == "[") next() // this
+    else elems ++= parseDottedName().split('.').toSeq.map(Expr.StringLit(_): Expr)
+    while (at("[")) {
+      next()
+      val e0: Expr =
+        if (peek.kind == Lexer.STR && peekAt(1).text == "]") Expr.StringLit(next().text)
         else {
-          val e0 = parseExpr()
-          (e0 match {
+          val start = peek.pos
+          val e1 = parseExpr()
+          val end = tokens(math.max(0, pos - 1)).end
+          // a bare symbol naming a user OP is not an expression
+          // (semantic/analyzer: put-dynamic-field ztest error case)
+          e1 match {
+            case Expr.Path(Seq(n)) if opDefs.contains(n) =>
+              diag(s"""symbol "$n" is not bound to an expression""", start, end)
+            case _ =>
+          }
+          (e1 match {
             case Expr.Path(Seq(n)) => consts.get(n)
             case _ => None
           }) match {
-            case Some(Expr.StringLit(s)) => Left(s)
-            case _ => e0 match {
-              case Expr.StringLit(s) => Left(s)
-              case other => Right(other)
-            }
+            case Some(lit @ Expr.StringLit(_)) => lit
+            case _ => e1
           }
         }
       expect("]")
-      if (peek.text == "[")
-        fail("nested this[<expr>][<expr>] := targets are not supported")
-      res
-    } else Left(parseDottedName())
+      elems += e0
+    }
+    val all = elems.result()
+    if (all.isEmpty) fail("expected a field name")
+    else if (all.forall(_.isInstanceOf[Expr.StringLit]))
+      Left(all.map { case Expr.StringLit(s) => s; case _ => "" }.mkString("."))
+    else if (all.length == 1) Right(all.head)
+    else Right(Expr.Call("__lval", all))
+  }
 
   private def adjacent(a: Token, b: Token): Boolean =
     b.pos == a.end && (a.kind == ID || a.kind == INT || a.kind == PUNCT) &&

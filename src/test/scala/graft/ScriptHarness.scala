@@ -51,9 +51,9 @@ object ScriptHarness {
       while (i < lines.length &&
           (lines(i).trim.isEmpty || lines(i).startsWith(" " * indent))) {
         val own = lines(i).takeWhile(_ == ' ').length
-        b.append(if (lines(i).trim.isEmpty) ""
-                 else lines(i).drop(math.min(actual, own)))
-          .append('\n')
+        // whitespace-only lines keep their beyond-indent spaces (zfmt
+        // blocks pin a "  " line inside parens — head/tail ztests)
+        b.append(lines(i).drop(math.min(actual, own))).append('\n')
         i += 1
       }
       (b.toString.reverse.dropWhile(_ == '\n').reverse + "\n", i)
