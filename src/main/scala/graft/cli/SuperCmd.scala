@@ -217,10 +217,11 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
           case "-z" => format = "zson"; explicitFmt = true; i += 1
           case "-Z" => format = "zson-pretty"; explicitFmt = true; i += 1
           case "-f" =>
-            // reference -f zson defaults to pretty=4 (cli/outputflags); the
-            // compact line form is the -z shortcut
+            // reference -f zson/json default to pretty=4 (cli/outputflags
+            // -pretty); the compact line forms are the -z / -j shortcuts
             format = args(i + 1) match {
               case "zson" => "zson-pretty"
+              case "json" => "json-pretty"
               case v => v
             }
             explicitFmt = true; i += 2
@@ -251,10 +252,16 @@ final class SuperCmd(spark: SparkSession, host: SuperCmd.Host) {
           case "-unbuffered" => i += 1
           // legacy zq -B: force binary zng even on a terminal
           case "-B" => format = "zng"; explicitFmt = true; i += 1
-          case "-pretty=0" => format = "zson"; explicitFmt = true; i += 1
+          case "-pretty=0" =>
+            format = if (format.startsWith("json")) "json" else "zson"
+            explicitFmt = true; i += 1
           case p if p.startsWith("-pretty=") =>
-            format = "zson-pretty"; explicitFmt = true; i += 1
-          case "-pretty" => format = "zson-pretty"; explicitFmt = true; i += 2
+            format = if (format.startsWith("json")) "json-pretty" else "zson-pretty"
+            explicitFmt = true; i += 1
+          case "-pretty" =>
+            val fam = if (format.startsWith("json")) "json" else "zson"
+            format = if (args(i + 1) == "0") fam else fam + "-pretty"
+            explicitFmt = true; i += 2
           case "-zng.compress=false" =>
             graft.sources.ZngIO.compressFrames = false; i += 1
           case "-zng.readmax" =>

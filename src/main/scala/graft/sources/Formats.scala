@@ -22,10 +22,63 @@ object Formats {
     * to float64 — csv carries no integer type, so the reference's csvio
     * reader types all numbers float64 (zio/csvio/reader.go).
     */
+  /** The reference csv reader's quote PREPROCESS (zio/csvio/preprocess.go):
+    * quotes that do not span a whole field are stripped and the field —
+    * trimmed — is re-wrapped, so `"value"2,field"3"` parses as value2 and
+    * field3; doubled quotes inside a string run stay escapes.
+    */
+  private[graft] def csvCleanLine(text: String, delim: Char): String = {
+    if (text.indexOf('"') < 0) return text
+    val sb = new StringBuilder
+    var i = 0; val n = text.length
+    var eof = false
+    while (!eof) {
+      val scratch = new StringBuilder
+      var hasstr = false
+      var ending = ""
+      var fieldDone = false
+      while (!fieldDone) {
+        if (i >= n) { fieldDone = true; eof = true }
+        else {
+          val c = text.charAt(i); i += 1
+          if (c == '"') {
+            hasstr = true
+            // a quoted run consumes embedded newlines (read-big's
+            // multi-line cells); "" stays an escape
+            var strDone = false
+            while (!strDone) {
+              if (i >= n) strDone = true
+              else {
+                val d = text.charAt(i); i += 1
+                if (d == '"') {
+                  if (i < n && text.charAt(i) == '"') { scratch.append("\"\""); i += 1 }
+                  else strDone = true
+                } else scratch.append(d)
+              }
+            }
+          } else if (c == delim || c == '\n') { ending = c.toString; fieldDone = true }
+          else scratch.append(c)
+        }
+      }
+      var content = scratch.toString
+      if (hasstr) {
+        if (content.nonEmpty && content.last == '\r' && ending == "\n") {
+          content = content.dropRight(1); ending = "\r\n"
+        }
+        sb.append('"').append(content.trim).append('"')
+      } else sb.append(content)
+      sb.append(ending)
+    }
+    sb.toString
+  }
+
   private[graft] def readCsv(spark: SparkSession, path: String,
       sep: String = ","): DataFrame = {
+    import spark.implicits._
+    val delim = sep.charAt(0)
+    val cleaned = spark.read.textFile(path).map(csvCleanLine(_, delim))
     val df = spark.read.option("header", "true").option("inferSchema", "true")
-      .option("sep", sep).csv(path)
+      .option("sep", sep).csv(cleaned)
     import org.apache.spark.sql.types._
     df.select(df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {

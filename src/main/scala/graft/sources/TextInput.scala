@@ -8,6 +8,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextInput {
 
+  /** Go's encoding/json returns "unexpected end of JSON input" for any
+    * value truncated at EOF (zio/jsonio unexpected-input-end ztest) —
+    * detect it with a streaming parse before the lenient readers run.
+    */
+  private def validateJsonComplete(input: String): Unit = {
+    val t = input.trim
+    if (t.isEmpty) return
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(t)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      while (p.nextToken() != null)
+        m.readTree[com.fasterxml.jackson.databind.JsonNode](p): Unit
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        val msg = String.valueOf(e.getOriginalMessage)
+        // a bare prefix of true/false/null is truncation too (Go json)
+        val truncLit = "Unrecognized token '([A-Za-z]+)'".r
+          .findFirstMatchIn(msg).exists(m =>
+            Seq("true", "false", "null").exists(l =>
+              l.startsWith(m.group(1)) && m.group(1).length < l.length))
+        if (msg.startsWith("Unexpected end-of-input") || truncLit)
+          throw new RuntimeException("stdio:stdin: unexpected end of JSON input")
+    } finally p.close()
+  }
+
   private def writeTemp(text: String, name: String): String = {
     val d = java.nio.file.Files.createTempDirectory("graft-textin")
     val p = d.resolve(name)
@@ -28,13 +53,16 @@ object TextInput {
         else if (fl.contains("-csv.delim")) fl.split("-csv.delim").last.trim.take(1) else ","
       import org.apache.spark.sql.functions._
       val het = graft.operators.Het
+      // the reference's quote preprocess (csvio/preprocess.go): quotes
+      // not spanning a whole field strip, the field re-wraps trimmed
+      val cleaned = Formats.csvCleanLine(input, delim.charAt(0))
       val df = spark.read
         .option("header", "true")
         .option("delimiter", delim)
         .option("multiLine", "true") // quoted cells may span lines (read-big)
         .option("escape", "\"") // RFC 4180 doubled-quote escaping
         .option("ignoreLeadingWhiteSpace", "true").option("ignoreTrailingWhiteSpace", "true")
-        .csv(writeTemp(input, "in.csv")) // all strings; typed per CELL below
+        .csv(writeTemp(cleaned, "in.csv")) // all strings; typed per CELL below
       val numRe = """-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"""
       val boolRe = """true|false"""
       // zed's CSV reader types each cell independently: numbers are
@@ -59,6 +87,7 @@ object TextInput {
       }: _*)
       typed
     } else if (fl.contains("-i json")) {
+      validateJsonComplete(input)
       try graft.sources.JsonIO.fromText(spark, input)
       catch { case _: Exception =>
         spark.read.json(spark.createDataset(input.linesIterator.toSeq)) }

@@ -356,9 +356,10 @@ object ZjsonIO extends Serializable {
           s"${f.get("name").asText()}:${toZson(f.get("type"), v.get(i), types)}"
         }
         parts.mkString("{", ",", "}")
-      case "array" | "set" =>
+      case kind @ ("array" | "set") =>
+        val (open, close) = if (kind == "set") ("|[", "]|") else ("[", "]")
         val body = (0 until v.size()).map(i => toZson(t.get("type"), v.get(i), types))
-          .mkString("[", ",", "]")
+          .mkString(open, ",", close)
         // null/empty elements can't imply the element type — decorate the
         // container so the re-parse keeps it (formatter.go elemHelper)
         val anyNull = (0 until v.size()).exists(i =>
@@ -375,11 +376,14 @@ object ZjsonIO extends Serializable {
         }
         if (v.size() == 0 || anyNull) s"$body(${typeText(t, types)})" else body
       case "primitive" =>
-        val s = v.asText()
         t.get("name").asText() match {
-          case "string" => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-          case p if nonImplied(p) => s"$s($p)" // keep exact width
-          case _ => s // int64/float64, bools, times are already ZSON-formed
+          case "type" if v.isObject =>
+            // a TYPE VALUE embeds its type tree as the value (zjson.md)
+            s"<${typeText(v, types)}>"
+          case "string" =>
+            "\"" + v.asText().replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case p if nonImplied(p) => s"${v.asText()}($p)" // keep exact width
+          case _ => v.asText() // int64/float64, bools, times are ZSON-formed
         }
       case "union" =>
         // value is ["<member index>", <member value>] (zjson.md unions);
@@ -391,11 +395,12 @@ object ZjsonIO extends Serializable {
         s"${toZson(t.get("type"), v, types)}(${typeText(t, types)})"
       case "error" => s"error(${toZson(t.get("type"), v, types)})"
       case "enum" =>
-        // the value is the symbol INDEX in zson primitive form
+        // the value is the symbol INDEX in zson primitive form; an enum's
+        // symbol never implies the full type — always decorate
         val ss = t.get("symbols")
         val idx = try v.asText().toInt catch { case _: Exception => -1 }
-        if (idx >= 0 && idx < ss.size()) "%" + ss.get(idx).asText()
-        else "%" + v.asText()
+        val sym = if (idx >= 0 && idx < ss.size()) ss.get(idx).asText() else v.asText()
+        s"%$sym(${typeText(t, types)})"
       case other => throw new IllegalArgumentException(s"zjson: kind $other")
     }
   }

@@ -117,6 +117,7 @@ object ZsonIO {
   private[sources] def needsFormatter(t: ZType): Boolean = t match {
     case ZType.Named(_, _) => true
     case ZType.Union(_) => true
+    case ZType.EnumT(_) => true // %sym never implies the symbol list
     case ZType.Rec(fs) => fs.exists { case (_, ft) => needsFormatter(ft) }
     case ZType.Arr(e) => needsFormatter(e)
     case ZType.SetT(e) => needsFormatter(e)

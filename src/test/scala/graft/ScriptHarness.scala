@@ -339,6 +339,39 @@ object ScriptHarness {
       val t0 = line0.trim
       if (skippingWhile) {
         if (t0 == "done") skippingWhile = false
+      } else if (t0.matches(
+          """^while\s+(IFS=\s*)?read\s+-r\s+[A-Za-z_][A-Za-z0-9_]*\s*;?\s*do\s*$""")) {
+        // `while read -r x; do … done < file`: expand the body once per
+        // line of the redirected file (jsonio unexpected-input-end)
+        val name = """read\s+-r\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+          .findFirstMatchIn(t0).get.group(1)
+        val body = Vector.newBuilder[String]
+        var redirect = ""
+        var going = true
+        while (going && queue.nonEmpty) {
+          val b = queue.dequeue(); val bt = b.trim
+          if (bt.startsWith("done")) { redirect = bt.stripPrefix("done").trim; going = false }
+          else body += b
+        }
+        val file = redirect.stripPrefix("<").trim
+        val p = wd.resolve(substitute(file))
+        val items =
+          if (file.nonEmpty && java.nio.file.Files.exists(p))
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              .linesIterator.toSeq
+          else Seq.empty
+        val bodyLines = body.result()
+        queue.prependAll(items.flatMap(item => bodyLines.map { b =>
+          // a QUOTED use ("$line") must stay one word even when the line
+          // itself contains quotes — re-quote with singles when possible
+          val quotedForm =
+            if (item.contains("'")) "\"" + item.replace("\"", "\\\"") + "\""
+            else "'" + item + "'"
+          b.replace("\"${" + name + "}\"", quotedForm)
+            .replace("\"$" + name + "\"", quotedForm)
+            .replace("${" + name + "}", item)
+            .replace("$" + name, item)
+        }))
       } else if (t0.startsWith("while ") || t0 == "while :; do") {
         // wait-for-file loops poll a background writer — wait for real
         // (`[ ! -s f … ]` = loop until f is non-empty, capped like the
