@@ -408,7 +408,9 @@ object ZedFunctions {
             throw new IllegalArgumentException(s"grok: unknown pattern %{$name}"))
           field match {
             case Some(f) =>
-              names += f
+              // a :type annotation after the field name is IGNORED
+              // (grok.yaml: %{INT:int:int64} captures plain string "int")
+              names += f.takeWhile(_ != ':')
               sb.append("(").append(compileText(base)).append(")")
             case None =>
               sb.append("(?:").append(compileText(base)).append(")")

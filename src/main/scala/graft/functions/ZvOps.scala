@@ -655,6 +655,51 @@ object ZvOps extends Serializable {
 
   def bytesZed(v: Column): Column = bytesU(Het.render(v), v.getField("t"))
 
+  /** grok(pattern, s[, defs]) with the full reference semantics
+    * (function/grok.go): the pattern/defs may be RUNTIME values (per-row
+    * compile behind a per-thread one-entry memo); captures land in a
+    * boxed record with non-participating groups OMITTED and duplicate
+    * names squashed last-wins; no match is the reference's error payload.
+    */
+  private val grokMemo =
+    new ThreadLocal[(String, String, java.util.regex.Pattern, Seq[String])]
+
+  private val grokU = udf((pattern: String, in: String, defs: String) => {
+    import ZValue._
+    def err(msg: String, on: ZValue) =
+      zvOf(VErr(VRec(Vector("message" -> VStr(msg), "on" -> on))))
+    if (pattern == null || in == null) None
+    else try {
+      val d = Option(defs).getOrElse("")
+      val memo = grokMemo.get()
+      val (p, names) =
+        if (memo != null && memo._1 == pattern && memo._2 == d) (memo._3, memo._4)
+        else {
+          val (re, ns) = graft.functions.ZedFunctions.grokCompile(pattern, d)
+          val pc = java.util.regex.Pattern.compile(re)
+          grokMemo.set((pattern, d, pc, ns))
+          (pc, ns)
+        }
+      val m = p.matcher(in)
+      if (!m.find()) err("grok(): value does not match pattern", VStr(in))
+      else {
+        val pairs = names.zipWithIndex.flatMap { case (nm, i) =>
+          Option(m.group(i + 1)).map(nm -> _) }
+        val squashed = pairs.foldLeft(Vector.empty[(String, String)]) {
+          case (acc, (n2, v)) =>
+            if (acc.exists(_._1 == n2))
+              acc.map { case (an, av) => if (an == n2) (an, v) else (an, av) }
+            else acc :+ (n2 -> v)
+        }
+        zvOf(VRec(squashed.map { case (n2, v) => n2 -> (VStr(v): ZValue) }))
+      }
+    } catch { case e: Exception =>
+      err("grok(): " + String.valueOf(e.getMessage), VStr(in)) }
+  })
+
+  def grokZed(pattern: Column, subject: Column, defs: Column): Column =
+    grokU(pattern, subject, defs)
+
   /** parse_zson(s): the string parses to its own boxed value; non-string
     * input and bad syntax are the reference's error payloads
     * (function/parsezson.go).

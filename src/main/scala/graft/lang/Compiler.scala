@@ -636,6 +636,32 @@ final class Compiler(spark: SparkSession, dir: String) {
               text, lit("}")), errT).as("this") +:
             lit(errT).as(het.typeTag, md) +: scopeCols: _*))
         }
+        // NESTED targets the native withField path can't express
+        // faithfully — missing/non-struct roots (creation order), depth
+        // ≥3, or per-shape roots — run on the value model, which merges
+        // at the path with the reference's keep-position/append-new
+        // order (putter.go deriveSteps; put-nested ztest)
+        locally {
+          val rowModel = assigns.map(_._1)
+            .filter(n => n.contains('.') && !df.columns.contains(n))
+            .exists { n =>
+              val root = n.takeWhile(_ != '.')
+              val rest = n.drop(root.length + 1)
+              val rootDt = df.schema.fields.find(_.name == root).map(_.dataType)
+              rootDt.isEmpty ||
+                !rootDt.exists(d => d.isInstanceOf[StructType] && !isVariant(d)) ||
+                rest.contains('.') || shapesOf(df).length > 1
+            }
+          if (rowModel)
+            return compileStage(Seq(df), Stage.DynAssign("put",
+              assigns.map { case (n, e) =>
+                val segs = n.split('.').toIndexedSeq
+                val ne: Expr =
+                  if (segs.length == 1) Expr.StringLit(n)
+                  else Expr.Call("__lval", segs.map(Expr.StringLit(_): Expr))
+                (ne, e)
+              }))
+        }
         // `x := quiet(p)` with p missing is a NO-OP on that field
         // (put-quiet ztest: the old value survives, nothing nulls out)
         val resolved = assigns.flatMap {
@@ -5026,7 +5052,14 @@ final class Compiler(spark: SparkSession, dir: String) {
         }
         graft.functions.ZvOps.parseUriZed(text, shapeC)
       case "grok" =>
-        F.grok(litStr(0), a(1), if (args.length > 2) litStr(2) else "")
+        // full reference semantics — runtime patterns, omitted groups,
+        // dup squash, error payloads — via the row-level ZvOps form
+        def strArg(i: Int): Column = {
+          val c = expr(df, args(i))
+          if (isVariantExpr(df, args(i))) c.getField("s") else c.cast(StringType)
+        }
+        graft.functions.ZvOps.grokZed(strArg(0), strArg(1),
+          if (args.length > 2) strArg(2) else lit(null).cast(StringType))
       case "parse_zson" if args.length == 1 =>
         // one-arg form: per-row parse into a boxed value (zed infers the
         // type per value — function/parsezson.go); non-string input and
@@ -5933,9 +5966,7 @@ final class Compiler(spark: SparkSession, dir: String) {
           }
         graft.functions.ZvOps.unflattenZed(text)
       case "unflatten" =>
-        // dotted top-level names nest into records (function/unflatten.go)
-        val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
-          f.name == graft.operators.Het.typeTag || f.metadata.contains("graft.scopeVar"))
+        // dotted names nest into records (function/unflatten.go)
         def build(entries: Seq[(List[String], Column)]): Seq[Column] =
           entries.groupBy(_._1.head).toSeq.sortBy { case (k, _) =>
             entries.indexWhere(_._1.head == k)
@@ -5945,8 +5976,25 @@ final class Compiler(spark: SparkSession, dir: String) {
             if (deeper.isEmpty) leaves.head._2.as(head)
             else struct(build(deeper.map { case (p, c) => (p.tail, c) }): _*).as(head)
           }
-        struct(build(dataFields.map(f =>
-          (f.name.split('.').toList, col(s"`${f.name}`")))): _*)
+        // a STATIC record argument nests its own fields (nest_dotted(nest))
+        val argStruct: Option[(Column, StructType)] = args.headOption.flatMap {
+          case Expr.Path(Seq()) | Expr.Path(Seq("this")) => None
+          case e => dtypeOf(df, e) match {
+            case Some(st: StructType) if !isVariant(st) => Some((expr(df, e), st))
+            case _ => None
+          }
+        }
+        argStruct match {
+          case Some((c, st)) =>
+            struct(build(st.fields.toIndexedSeq.map(f =>
+              (f.name.split('.').toList, c.getField(f.name)))): _*)
+          case None =>
+            val dataFields = df.schema.fields.toIndexedSeq.filterNot(f =>
+              f.name == graft.operators.Het.typeTag ||
+                f.metadata.contains("graft.scopeVar"))
+            struct(build(dataFields.map(f =>
+              (f.name.split('.').toList, col(s"`${f.name}`")))): _*)
+        }
 
       case "__getfield" =>
         // field access after an index/call: a variant base resolves

@@ -971,7 +971,10 @@ final class Parser(tokens: Vector[Token], source: String,
         prior.find(p0 => p0 == n || p0.startsWith(n + ".") ||
             n.startsWith(p0 + ".")) match {
           case Some(p0) =>
-            val dup = if (n.length >= p0.length) n else p0
+            // the LATER path is always the reported duplicate — whether
+            // it extends or is extended by the earlier (cut-dup-fields:
+            // `cut rec.sub.sub,rec.sub` reports rec.sub)
+            val dup = n
             diag(s"""duplicate field: "$dup"""", startPos, endPos)
           case None =>
         }

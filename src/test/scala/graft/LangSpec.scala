@@ -438,8 +438,12 @@ class LangSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.stages.head.asInstanceOf[Stage.From].table == "nation")
   }
 
-  test("cut duplicate diagnostic reports the extension path") {
+  test("cut duplicate diagnostic reports the LATER path") {
+    // cut-dup-fields ztest: `cut rec.sub.sub,rec.sub` reports rec.sub —
+    // the later target, whether it extends or is extended by the earlier
     val e = intercept[Exception](run("from nation | cut n_name.x, n_name"))
-    assert(e.getMessage.contains("\"n_name.x\""), e.getMessage)
+    assert(e.getMessage.contains("\"n_name\""), e.getMessage)
+    val e2 = intercept[Exception](run("from nation | cut n_name, n_name.x"))
+    assert(e2.getMessage.contains("\"n_name.x\""), e2.getMessage)
   }
 }
