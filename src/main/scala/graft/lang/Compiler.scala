@@ -1214,8 +1214,10 @@ final class Compiler(spark: SparkSession, dir: String) {
           else d
         val bareAgg = keys.isEmpty && aggs.length == 1 && !aggs.head._2.named
         if (aggs.isEmpty)
-          Seq(nestIfDotted(graft.operators.Het.canonicalRows(
-            df.select(keyCols0.map { case (n, c) => c.as(n) }: _*)).distinct()))
+          // keys-only `by` keeps the zed-type markers too (typeof keys
+          // are TYPE values — union-cast ztest renders {typeof:<…>})
+          Seq(nestIfDotted(markZedTypes(graft.operators.Het.canonicalRows(
+            df.select(keyCols0.map { case (n, c) => c.as(n) }: _*)).distinct())))
         else if (bareAgg && !lateral) {
           // a lone unnamed aggregate emits the bare value (summarize.md:
           // `count()` → 3, not {count:3})
@@ -4862,8 +4864,20 @@ final class Compiler(spark: SparkSession, dir: String) {
         val Expr.Call("__glob", Seq(Expr.StringLit(p))) = args.head: @unchecked
         val re = "^" + p.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
         if (args.length > 1)
-          args.drop(1).map(c => coalesce(expr(df, c).rlike(re), lit(false)))
-            .reduce(_ || _)
+          args.drop(1).map { e2 =>
+            // globs match STRING values only: variants read their s slot,
+            // static non-strings never match (glob-mul: grep(a*b,s) over
+            // {s:7(int32)} is false, not a type error)
+            val c = expr(df, e2)
+            val t =
+              if (isVariantExpr(df, e2)) c.getField("s")
+              else {
+                val dt = try df.select(c).schema.head.dataType
+                         catch { case _: Exception => StringType }
+                if (dt == StringType) c else lit(null).cast(StringType)
+              }
+            coalesce(t.rlike(re), lit(false))
+          }.reduce(_ || _)
         else globSearch(df, p) // full search semantics incl. field names
       case "grep" if (args.headOption match {
           case Some(Expr.Call("__regexsearch", Seq(Expr.StringLit(_)))) => true

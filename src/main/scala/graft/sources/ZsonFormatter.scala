@@ -332,8 +332,23 @@ final class ZsonFormatter {
       case None => (elemT, v0)
       case Some(u) =>
         val v = unwrapUnionTyped(v0)
-        if (isNullV(v)) (ZType.nullT, v)
-        else {
+        if (isNullV(v)) {
+          // a null TAGGED with a member type witnesses that member and
+          // decorates (null(string)); a null of the union itself renders
+          // bare (elemHelper.add: nil bytes → TypeNull)
+          val member = (v match {
+            case ZValue.VNull(t0) => Some(t0)
+            case ZValue.VTyped(_, t0) => Some(t0)
+            case _ => None
+          }).filter(t0 => ZType.strip(t0) != ZType.nullT)
+            .flatMap(t0 => u.alts.find(a =>
+              a == t0 || ZType.strip(a) == ZType.strip(t0)))
+          member match {
+            case Some(m) if ZType.strip(m) != ZType.nullT =>
+              seen += m; (m, v)
+            case _ => (ZType.nullT, v)
+          }
+        } else {
           val t = unionMember(u, v)
           seen += t
           (t, v)

@@ -142,10 +142,23 @@ object ZsonIO {
       case Some(t) if isVariantType(dt) =>
         val stripped = ZType.strip(t)
         if (stripped == ZType.Prim("null")) base
-        // a null variant may be a present carrier with empty slots — test
-        // the rendered text, not just column nullness
-        else when(c.isNull || base.isNull || base === lit("null"),
-          lit(s"null(${ZType.fullText(t)})")).otherwise(base)
+        else {
+          // a non-implied primitive keeps its width decorator even on the
+          // variant carrier (glob-mul: {s:7(int32)} after a variant
+          // filter); null variants decorate with the full type
+          val primDecor = stripped match {
+            case ZType.Prim(p) => Set("uint8", "uint16", "uint32", "uint64",
+              "int8", "int16", "int32", "float16", "float32")(p)
+            case _ => false
+          }
+          // a null variant may be a present carrier with empty slots —
+          // test the rendered text, not just column nullness
+          val nullCase = when(c.isNull || base.isNull || base === lit("null"),
+            lit(s"null(${ZType.fullText(t)})"))
+          if (primDecor)
+            nullCase.otherwise(concat(base, lit(s"(${ZType.fullText(t)})")))
+          else nullCase.otherwise(base)
+        }
       case Some(t) =>
         val stripped = ZType.strip(t)
         val txt = ZType.fullText(t)

@@ -123,13 +123,17 @@ object ScriptHarness {
         curName = None
         i += 1
       } else if (section.nonEmpty && curName.isDefined &&
-          l.trim.matches("(data|regexp):( &\\S+)?( !!binary)? \\|")) {
+          l.trim.matches("(data|regexp):( &\\S+)?( !!binary)? \\|-?( #.*)?")) {
         val isRe = l.trim.startsWith("regexp:")
         val isBinary = l.trim.contains("!!binary")
+        // `|-` chomps the trailing newline (no-trailing-newline ztest);
+        // a trailing ` # comment` after the marker is noise
+        val chomp = l.trim.replaceAll(" #.*$", "").endsWith("|-")
         // yaml anchor: `data: &name |` registers the block for *name refs
         val anchor = "&(\\S+)".r.findFirstMatchIn(l.trim).map(_.group(1))
         val indent = l.indexOf(l.trim.head) + 2
-        val (b0, j) = blockAt(i + 1, indent)
+        val (b00, j) = blockAt(i + 1, indent)
+        val b0 = if (chomp) b00.stripSuffix("\n") else b00
         // !!binary: the block is base64 of raw bytes, which ride the
         // harness as an ISO-8859-1 string like other binary fixtures
         val b =
