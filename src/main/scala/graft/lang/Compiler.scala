@@ -1954,31 +1954,46 @@ final class Compiler(spark: SparkSession, dir: String) {
         val df = single(state)
         val shapes = shapesOf(df)
         // a runtime-typed variant stream (`over <array> | fuse`): the
-        // distinct types are DATA, not schema — collect them (small: one
-        // text per distinct type), fuse, and reshape every boxed value
-        if (shapes.isEmpty && df.columns.contains("this") &&
-            isVariant(df.schema("this").dataType)) {
+        // distinct types are DATA, not schema — read them from the static
+        // union tag when the over-stage boxing recorded one (no data
+        // pass), else collect them (small: one text per distinct type),
+        // fuse, and reshape every boxed value
+        if (df.columns.contains("this") &&
+            isVariant(df.schema("this").dataType) && shapes.length <= 1) {
           val het = graft.operators.Het
           val zt = graft.sources.ZType
-          val texts = df.select(het.variantTypeOf(col("this")).as("t"))
-            .distinct().collect().map(_.getString(0)).filter(_ != null)
-          val parsed = texts.flatMap(t =>
-            try Some(graft.sources.ZsonParser.parseType(t))
-            catch { case _: Exception => None })
-          if (parsed.length >= 2 && parsed.length == texts.length &&
+          val parsed: Seq[graft.sources.ZType] = shapes match {
+            case Seq((_, u)) => zt.strip(u) match {
+              case zt.Union(alts) => alts
+              case _ => Seq(u)
+            }
+            case _ =>
+              val texts = df.select(het.variantTypeOf(col("this")).as("t"))
+                .distinct().collect().map(_.getString(0)).filter(_ != null)
+              val p = texts.flatMap(t =>
+                try Some(graft.sources.ZsonParser.parseType(t))
+                catch { case _: Exception => None })
+              if (p.length == texts.length) p.toIndexedSeq else Seq.empty
+          }
+          if (parsed.length >= 2 &&
               parsed.forall(t => zt.strip(t).isInstanceOf[zt.Rec])) {
             val fusedText = zt.fullText(parsed.reduce(zt.fuse))
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("shapes", Array(fusedText)).build()
             // native row-level reshape (FuseReshape expression) — the
-            // boxed-stream fuse stays off ScalaUDF (PlanSpec pins this)
+            // boxed-stream fuse stays off ScalaUDF (PlanSpec pins this);
+            // the tag (when present) collapses to the fused record type
             return Seq(df.select(df.schema.fields.toIndexedSeq.map { f =>
               if (f.name == "this")
                 graft.functions.Bridge.column(graft.functions.FuseReshape(
                   graft.functions.Bridge.expression(col("this")), fusedText))
                   .as("this", f.metadata)
+              else if (f.name == het.typeTag)
+                lit(fusedText).as(het.typeTag, md)
               else col(s"`${f.name}`")
             }: _*))
           }
-          return Seq(df)
+          if (shapes.isEmpty) return Seq(df)
         }
         // record and NON-record shapes can't merge into one record type —
         // zed forms a union and every value keeps its own shape (fuse.go)

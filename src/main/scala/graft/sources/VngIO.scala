@@ -276,8 +276,16 @@ object VngIO {
       buf.write(b, 0, b.length)
       if (ids != null) {
         val key = new String(b, "ISO-8859-1")
-        val id = ids.getOrElseUpdate(key,
-          { dvals += v; dcounts += 0L; dvals.length - 1 })
+        // the dict/Const entry value carries the PRIMITIVE VECTOR's own
+        // type (primitive.go: zed.NewValue(p.typ, bytes)) — an incoming
+        // value may be wrapped in a Named type the enclosing MNamed node
+        // already records; storing it verbatim would double the wrapper
+        // in metaType (nm=nm=float64)
+        val id = ids.getOrElseUpdate(key, {
+          dvals += (if (ZValue.typeOf(v) == t) v
+                    else ZngIO.decodeZValue(new ZngIO.Cursor(b, 0), zt))
+          dcounts += 0L; dvals.length - 1
+        })
         dcounts(id) += 1
         rowIds += id
         if (ids.size > 256) { ids = null; rowIds.clear(); dvals.clear() }
