@@ -310,16 +310,27 @@ case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
   // its own mutable slot per generated class instance)
   @transient private lazy val evalHint: Array[Int] = Array(-1)
 
+  // the path is a literal (planted by CollapseVariantAccess): pre-split
+  // its segments once so a per-row miss-fold never re-splits the text
+  @transient private lazy val presplit: Array[UTF8String] = path match {
+    case Literal(p: UTF8String, StringType) if p != null =>
+      p.toString.split(Het.pathSep).map(UTF8String.fromString)
+    case _ => null
+  }
+
   override def eval(input: InternalRow): Any =
     VariantAccess.deepFieldAt(
       v.eval(input).asInstanceOf[InternalRow],
-      path.eval(input).asInstanceOf[UTF8String], ordinal, evalHint)
+      path.eval(input).asInstanceOf[UTF8String], ordinal, evalHint, presplit)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val vCode = v.genCode(ctx)
     val pCode = path.genCode(ctx)
     val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
       "graft.functions.VariantAccess$")
+    val segsRef =
+      if (presplit == null) "null"
+      else ctx.addReferenceObj("deepSegs", presplit, "UTF8String[]")
     // per-instance inline cache: the last hit's index in the deep cache
     // (monomorphic streams verify one entry instead of scanning)
     val hint = ctx.addMutableState("int[]", "deepHint",
@@ -340,7 +351,7 @@ case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
       {
         Object r = $helper.deepFieldAt(
           ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
-          (UTF8String) ${pCode.value}, $ordinal, $hint);
+          (UTF8String) ${pCode.value}, $ordinal, $hint, $segsRef);
         if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
       }""")
   }
@@ -738,7 +749,21 @@ object VariantAccess {
     * wrong answer. Null hint = interpreted fallback, plain scan.
     */
   def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int,
-      hint: Array[Int]): Any = {
+      hint: Array[Int]): Any =
+    deepFieldAt(row, path, ordinal, hint, null)
+
+  /** Per-ordinal pluck of the constant error("missing") fold result — the
+    * answer for any deep path over a value with NO caches and NO text
+    * (scalar variants). Precomputed so the per-row miss on mixed streams
+    * (e.g. 1-in-8 string rows of a record stream) costs one branch, not a
+    * path split + chain fold with per-row allocations.
+    */
+  private lazy val errMissPluck: Array[Any] = Array.tabulate(9) { ord =>
+    fullFieldAt(errMissingRow, UTF8String.fromString("x"), ord)
+  }
+
+  def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int,
+      hint: Array[Int], presplit: Array[UTF8String]): Any = {
     if (row != null && !row.isNullAt(8)) {
       val d = row.getArray(8)
       val n = d.numElements()
@@ -762,16 +787,23 @@ object VariantAccess {
         i += 1
       }
     }
+    // no m cache and no text: every step of the fold below yields
+    // error("missing") — constant per ordinal, no split, no allocation
+    if (row == null || (row.isNullAt(7) && row.isNullAt(5)))
+      return errMissPluck(ordinal)
     // miss: fold the original chain (record path absent, or the access
-    // goes through a map / text-only carrier)
-    val segs = path.toString.split(Het.pathSep)
+    // goes through a map / text-only carrier); the path literal's split
+    // is precomputed per expression instance
+    val segs =
+      if (presplit != null) presplit
+      else path.toString.split(Het.pathSep).map(UTF8String.fromString)
     var cur = row
     var i = 0
     while (i < segs.length - 1) {
-      cur = getFull(cur, UTF8String.fromString(segs(i)))
+      cur = getFull(cur, segs(i))
       i += 1
     }
-    fullFieldAt(cur, UTF8String.fromString(segs(segs.length - 1)), ordinal)
+    fullFieldAt(cur, segs(segs.length - 1), ordinal)
   }
 
   /** One field of getFull's result without materializing it when the

@@ -313,6 +313,59 @@ object ZeekIO {
       java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
   }
 
+  /** One buffered BYTE scan of a file for (leading directive block, total
+    * directive-line count) — the uniform-header check's input. Data lines
+    * are skipped byte-by-byte without materializing a String per line;
+    * only directive lines in the leading block build text. Semantics match
+    * the readLine form exactly: empty lines are ignored (they neither end
+    * the leading block nor count), a line "is a directive" iff its first
+    * byte is '#', and \r, \n, \r\n all terminate a line.
+    */
+  private def directiveStats(conf: Map[String, String],
+      file: String): (Vector[String], Int) = {
+    val raw = new java.io.BufferedInputStream(HadoopFs.open(conf, file), 1 << 16)
+    raw.mark(2)
+    val m0 = raw.read(); val m1 = raw.read()
+    raw.reset()
+    val in: java.io.InputStream =
+      if (m0 == 0x1f && m1 == 0x8b) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    val lead = Vector.newBuilder[String]
+    var total = 0
+    var leading = true
+    var started = false    // current line has seen its first byte
+    var collecting = false // current line is a leading directive
+    val line = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    def endLine(): Unit = {
+      if (collecting)
+        lead += new String(line.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      started = false; collecting = false; line.reset()
+    }
+    try {
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          if (b == '\n' || b == '\r') { if (started) endLine() }
+          else {
+            if (!started) {
+              started = true
+              if (b == '#') { total += 1; collecting = leading }
+              else leading = false
+            }
+            if (collecting) line.write(b.toInt)
+          }
+          i += 1
+        }
+        n = in.read(buf)
+      }
+      if (started) endLine()
+    } finally in.close()
+    (lead.result(), total)
+  }
+
   /** Structured-Streaming source tailing a growing directory of zeek
     * logs — the canonical zeek deployment (a live zeek writes and
     * rotates log files into one directory). Schema locks from the files
@@ -349,28 +402,13 @@ object ZeekIO {
     val statFiles = HadoopFs.listDataFiles(spark, path)
     val statsConf = HadoopFs.confMap(spark)
     // one STREAMING pass per file — constant memory per task (never a
-    // whole-file byte array: multi-GB rotated logs are normal)
+    // whole-file byte array: multi-GB rotated logs are normal), and
+    // byte-level: only directive lines materialize as Strings (a
+    // readLine-per-row pass built 2M throwaway Strings at sf0.1 and was
+    // ~40% of a uniform read's cost)
     val statsRdd = spark.sparkContext
       .parallelize(statFiles, math.max(1, statFiles.length))
-      .map { f =>
-        val rdr = lineReader(statsConf, f)
-        var leading = true
-        val lead = Vector.newBuilder[String]
-        var total = 0
-        try {
-          var line = rdr.readLine()
-          while (line != null) {
-            if (line.nonEmpty) {
-              if (line.charAt(0) == '#') {
-                total += 1
-                if (leading) lead += line
-              } else leading = false
-            }
-            line = rdr.readLine()
-          }
-        } finally rdr.close()
-        (lead.result(), total)
-      }
+      .map(f => directiveStats(statsConf, f))
     // distributive uniformity fold: the driver receives ONE
     // (header, flag) pair — O(header size) regardless of file count
     // (a collect of every file's leading block scales with the lake)
