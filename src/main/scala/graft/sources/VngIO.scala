@@ -1287,7 +1287,21 @@ object VngIO {
         val rdd = spark.read.format("binaryFile").load(dataFiles: _*)
           .select("content").as[Array[Byte]].rdd
           .flatMap(bytes => decodeToZValues(Gzip.maybeGunzip(bytes)))
-        ZsonReader.fromRDD(spark, rdd)
+        shapeTexts match {
+          case Some(shapes) =>
+            // full-decode requested (graft.vng.prune=false) but the shapes
+            // are already known from the metadata discovery — skip
+            // fromRDD's extra shape-discovery pass (it would decode the
+            // whole stream a second time just to learn what the metadata
+            // section said for kilobytes)
+            val discovered = shapes.zipWithIndex
+              .map { case (t, i) => (t, i.toLong) } ++
+              (if (metas.exists(_.ns))
+                 Seq(ZsonReader.nsSentinelKey -> Long.MaxValue)
+               else Seq.empty)
+            ZsonReader.fromShapes(spark, rdd, discovered.toArray)
+          case None => ZsonReader.fromRDD(spark, rdd)
+        }
     }
   }
 }
