@@ -140,24 +140,28 @@ private class VngScan(files: Seq[String], shapes: Seq[String], required: StructT
   }
   override def readSchema(): StructType = required
 
-  // vectorized when the stream is HOMOGENEOUS and every projected field
-  // is a vectorizable primitive in its shape (decided from the shape
-  // TEXT — no file I/O): the reader then fills column vectors straight
-  // from the segments and Spark's codegen'd ColumnarToRow takes over,
-  // like the parquet path. Heterogeneous streams use the pruned row
-  // reader (per-member readers interleaved by the Dynamic tags).
+  // vectorized when every projected field is a vectorizable primitive in
+  // every shape that carries it AND the merged frame gave it a plain
+  // (non-variant) type (decided from the shape TEXTS — no file I/O): the
+  // reader then fills column vectors straight from the segments and
+  // Spark's codegen'd ColumnarToRow takes over, like the parquet path.
+  // Heterogeneous streams interleave per-member fill sets by the Dynamic
+  // tags; cross-shape TYPE CONFLICTS (variant columns) keep the pruned
+  // row reader, whose per-value boxing builds the variant carrier.
   private val columnarOk: Boolean = {
     val enabled = SparkSession.active.conf
       .getOption("graft.vng.vectorized").forall(_.toBoolean)
-    enabled && shapes.length == 1 && (try {
-      val fieldTypes: Map[String, ZType] =
-        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(shapes.head))) match {
+    enabled && shapes.nonEmpty && (try {
+      val perShape: Seq[Map[String, ZType]] = shapes.map { s =>
+        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(s))) match {
           case ZType.Rec(fs) => fs.toMap
-          case _ => Map.empty
+          case _ => throw new IllegalArgumentException("non-record shape")
         }
+      }
       required.fields.forall { f =>
         f.name == graft.operators.Het.typeTag ||
-        fieldTypes.get(f.name).forall(VngIO.vectorizableType)
+        (!ZsonIO.isVariantType(f.dataType) &&
+          perShape.forall(_.get(f.name).forall(VngIO.vectorizableType)))
       }
     } catch { case _: Exception => false })
   }

@@ -1123,6 +1123,13 @@ object VngIO {
     * projected columns' segments and emits ColumnarBatches — the scan
     * stays columnar end-to-end (Spark's ColumnarToRow is codegen'd), the
     * parquet-class path for analytic scans over VNG.
+    *
+    * Heterogeneous (Dynamic-root) files vectorize too: one fill set per
+    * member, rows interleaved by the Dynamic tags stream into the same
+    * column vectors — a member lacking a projected column appends nulls,
+    * and the shape-tag column appends the row's member type text (the
+    * columnar twin of prunedRows' per-member readers; reference
+    * runtime/vcache/object.go fetches per-type projections the same way).
     */
   private[sources] def columnarBatches(conf: Map[String, String], path: String,
       required: org.apache.spark.sql.types.StructType, shapeText: String,
@@ -1131,41 +1138,72 @@ object VngIO {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     val h = new Handle(conf, path)
     try {
-      val rec = rootMembers(h.meta) match {
-        case Vector(r: MRecord) => r
+      val members: Vector[MRecord] = rootMembers(h.meta).map {
+        case r: MRecord => r
         case other => throw new IllegalStateException(
-          s"vng vectorized scan expects one record root, got ${other.map(_.getClass.getSimpleName).mkString(",")}")
+          s"vng vectorized scan expects record roots, got ${other.getClass.getSimpleName}")
       }
-      val total = rec.length
-      val byName = rec.fields.toMap
+      val total = metaLen(h.meta)
       val vectors = required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
-      val tagBytes = shapeText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val fills: Array[VFill] = required.fields.zipWithIndex.map { case (f, _) =>
-        if (f.name == graft.operators.Het.typeTag)
-          new ConstVFill(v => { v.appendByteArray(tagBytes, 0, tagBytes.length); () })
-        else byName.get(f.name) match {
-          case Some(m) => vecFill(m, h.fetch, f.dataType)
-          case None => new ConstVFill(v => { v.appendNull(); () })
+      def fillsFor(rec: MRecord): Array[VFill] = {
+        val byName = rec.fields.toMap
+        val tagBytes = ZType.fullText(metaType(rec))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        required.fields.map { f =>
+          if (f.name == graft.operators.Het.typeTag)
+            new ConstVFill(v => { v.appendByteArray(tagBytes, 0, tagBytes.length); () })
+          else byName.get(f.name) match {
+            case Some(m) => vecFill(m, h.fetch, f.dataType)
+            case None =>
+              val dt = f.dataType
+              new ConstVFill(v => appendNullFor(v, dt))
+          }
         }
       }
       val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
         vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
       var emitted = 0L
-      val it = new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
-        def hasNext: Boolean = emitted < total
-        def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {
-          val n = math.min(batchSize.toLong, total - emitted).toInt
-          var j = 0
-          while (j < fills.length) {
-            vectors(j).reset()
-            var i = 0
-            while (i < n) { fills(j).append(vectors(j)); i += 1 }
-            j += 1
+      val it = h.meta match {
+        case MDynamic(tags, _, _) =>
+          val memberFills = members.toArray.map(fillsFor)
+          val tagRd = new Int64Rd(h.fetch(tags))
+          val width = required.fields.length
+          new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
+            def hasNext: Boolean = emitted < total
+            def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+              val n = math.min(batchSize.toLong, total - emitted).toInt
+              var j = 0
+              while (j < width) { vectors(j).reset(); j += 1 }
+              var i = 0
+              while (i < n) {
+                val fills = memberFills(tagRd.next().toInt)
+                j = 0
+                while (j < width) { fills(j).append(vectors(j)); j += 1 }
+                i += 1
+              }
+              batch.setNumRows(n)
+              emitted += n
+              batch
+            }
           }
-          batch.setNumRows(n)
-          emitted += n
-          batch
-        }
+        case _ =>
+          val fills = fillsFor(members.head)
+          new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
+            def hasNext: Boolean = emitted < total
+            def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+              val n = math.min(batchSize.toLong, total - emitted).toInt
+              var j = 0
+              while (j < fills.length) {
+                vectors(j).reset()
+                var i = 0
+                while (i < n) { fills(j).append(vectors(j)); i += 1 }
+                j += 1
+              }
+              batch.setNumRows(n)
+              emitted += n
+              batch
+            }
+          }
       }
       (it, () => { batch.close(); h.close() })
     } catch { case e: Throwable => h.close(); throw e }

@@ -171,6 +171,43 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("HETEROGENEOUS (Dynamic-root) streams vectorize: per-member fills " +
+       "interleaved by the tags stream match the row reader exactly") {
+    import graft.operators.Het
+    // two shapes sharing ts, each with its own extra column; interleaved
+    // writes produce Dynamic roots with non-trivial tag runs
+    val conn = spark.range(0, 900).select(
+      (col("id") * 3).as("ts"), concat(lit("u"), col("id")).as("uid"),
+      (col("id") % 7).as("rcode"))
+    val dns = spark.range(0, 300).select(
+      (col("id") * 5 + 1).as("ts"), concat(lit("q"), col("id")).as("query"))
+    val path = tmp("vng-vec-het")
+    VngIO.write(Het.fuseTagged(conn, dns).coalesce(2), path)
+    def q() = VngIO.read(spark, path)
+      .select(col("ts"), col("uid"), col("query"), col(Het.typeTag))
+    val vec = q()
+    assert(vec.queryExecution.executedPlan.toString.contains("vectorized"),
+      vec.queryExecution.executedPlan.toString.take(600))
+    spark.conf.set("graft.vng.vectorized", "false")
+    val rowData =
+      try {
+        val row = q()
+        assert(!row.queryExecution.executedPlan.toString.contains("vectorized"))
+        row.orderBy("ts").collect().toSeq
+      } finally spark.conf.unset("graft.vng.vectorized")
+    assert(vec.orderBy("ts").collect().toSeq == rowData)
+    // missing-in-shape columns are null per member, tags carry shape text
+    assert(vec.filter(col("query").isNotNull && col("uid").isNotNull).count() == 0)
+    assert(vec.select(col(Het.typeTag)).distinct().count() == 2)
+    // a variant (cross-shape conflict) column keeps the row reader
+    val confl = spark.range(0, 50).select(col("id").as("ts"),
+      concat(lit("s"), col("id")).as("rcode"))
+    val path2 = tmp("vng-vec-het-confl")
+    VngIO.write(Het.fuseTagged(conn, confl), path2)
+    val v2 = VngIO.read(spark, path2).select(col("ts"), col("rcode"))
+    assert(!v2.queryExecution.executedPlan.toString.contains("vectorized"))
+  }
+
   test("vectorized scan covers nested structs; maps/unions fall back") {
     val df = GraftSession.table(spark, dir, "orders").limit(100)
       .select(col("o_orderkey"),
