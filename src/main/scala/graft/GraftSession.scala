@@ -18,6 +18,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // joins too big to broadcast: prefer shuffled-hash over sort-merge
+      // when the planner's size conditions hold (no sort of either side),
+      // and let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
+      // partition is small (guide: shuffled hash beats sort-merge when a
+      // build side fits per-partition; AQE coalescing bounds partition
+      // size, so the OOM risk SHJ trades for the sort is capped)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // zed NEVER throws per-row — failed casts/arithmetic yield error
       // values (complex.go error("…")); non-ANSI evaluation maps them to

@@ -48,6 +48,27 @@ object PlanDump {
     dump("het_nested", Bench.nestedQuery(spark, sfDir, flat = false))
     dump("het_nested_flat", Bench.nestedQuery(spark, sfDir, flat = true))
 
+    // zng/vng scan classes (same fixtures as graft.Bench)
+    if (only.isDefined) {
+      val tmp = java.nio.file.Files.createTempDirectory("plandump-ingest").toString
+      lazy val fixture = Bench.ingestFixture(spark, sfDir, tmp)
+      dump("scan_zng", graft.sources.ZngIO.read(spark, fixture._2))
+      dump("cut_vng", graft.sources.VngIO.read(spark, fixture._3)
+        .agg(count(col("uid")).as("n")))
+      dump("cut_vng_het", {
+        val dns = spark.range(1000).select(
+          (lit(1.5E9) + col("id") * 0.02).as("ts"),
+          concat(lit("host"), (col("id") % 50).cast("string")).as("query"),
+          (col("id") % 17).as("rcode"))
+        val conn = graft.sources.VngIO.read(spark, fixture._3)
+          .drop(graft.operators.Het.typeTag)
+        val d = s"$tmp/het.vng"
+        graft.sources.VngIO.write(graft.operators.Het.fuseTagged(conn, dns), d)
+        graft.sources.VngIO.read(spark, d).agg(count(col("ts")).as("n"))
+      })
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+
     // every declared query
     SparkEntry.queries.foreach { case (name, q) =>
       dump(name, q(spark, sfDir))
