@@ -1452,62 +1452,68 @@ final class ZsonParser(s: String,
     VTypeVal(s.substring(start + 1, i - 1))
   }
 
-  private val timeRe =
-    """^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})""".r
-  private val dateRe = """^\d{4}-\d{2}-\d{2}""".r
-  private val durRe = """^-?(\d+(\.\d+)?(ns|us|ms|s|m|h|d|w|y))+""".r
-  private val ip4Re = """^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""".r
-  private val ip6Re = """^[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""".r
-  private val numRe = """^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?""".r
-  private val hexRe = """^0x[0-9a-fA-F]*""".r
+  // one Matcher per pattern per parser, anchored at the cursor with
+  // region(i, len).lookingAt() — the previous form substring'd the whole
+  // remaining input per scalar AND compiled the seven patterns per parser
+  // instance (a per-row cost on the variant text-fallback path, which
+  // builds one parser per row)
+  private var scalarMs: Array[java.util.regex.Matcher] = _
+  private def look(idx: Int): String = {
+    if (scalarMs == null)
+      scalarMs = ZsonParser.scalarPatterns.map(_.matcher(s))
+    val m = scalarMs(idx)
+    m.region(i, s.length)
+    if (m.lookingAt()) m.group() else null
+  }
 
   private def scalar(): ZValue = {
-    val rest = s.substring(i)
     def take(m: String): String = { i += m.length; m }
-    timeRe.findFirstIn(rest) match {
-      case Some(m) => return VTime(parseTimeNs(take(m)))
-      case None =>
-    }
-    ip6Re.findFirstIn(rest).filter(m => m.contains("::") || m.count(_ == ':') == 7) match {
-      case Some(m) =>
-        take(m)
-        return if (m.contains('/')) netOf(m) else VIp(m)
-      case None =>
-    }
-    ip4Re.findFirstIn(rest) match {
-      case Some(m) =>
-        take(m)
-        return if (m.contains('/')) netOf(m) else VIp(m)
-      case None =>
-    }
-    durRe.findFirstIn(rest).filter(m => m.exists(_.isLetter) && !m.matches("""^-?\d+[eE].*""")) match {
-      case Some(m) => take(m); return VDur(parseDurNs(m))
-      case None =>
-    }
-    hexRe.findFirstIn(rest).filter(_.length > 2) match {
-      case Some(m) =>
-        take(m)
-        val hex = m.drop(2)
+    // first-char gate: every regex-recognized scalar form starts with a
+    // digit, sign, dot, colon, or hex letter — plain words skip all seven
+    val c0 = peek
+    val regexable = (c0 >= '0' && c0 <= '9') || c0 == '-' || c0 == '+' ||
+      c0 == '.' || c0 == ':' ||
+      (c0 >= 'a' && c0 <= 'f') || (c0 >= 'A' && c0 <= 'F')
+    if (regexable) {
+      val tm = look(ZsonParser.TimeP)
+      if (tm != null) return VTime(parseTimeNs(take(tm)))
+      val i6 = look(ZsonParser.Ip6P)
+      if (i6 != null && (i6.contains("::") || i6.count(_ == ':') == 7)) {
+        take(i6)
+        return if (i6.contains('/')) netOf(i6) else VIp(i6)
+      }
+      val i4 = look(ZsonParser.Ip4P)
+      if (i4 != null) {
+        take(i4)
+        return if (i4.contains('/')) netOf(i4) else VIp(i4)
+      }
+      val du = look(ZsonParser.DurP)
+      if (du != null && du.exists(_.isLetter) &&
+          !ZsonParser.durSciP.matcher(du).lookingAt())
+        return VDur(parseDurNs(take(du)))
+      val hx = look(ZsonParser.HexP)
+      if (hx != null && hx.length > 2) {
+        take(hx)
+        val hex = hx.drop(2)
         return VBytes(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
-      case None =>
-    }
-    if (rest.startsWith("0x")) { i += 2; return VBytes(Array.emptyByteArray) }
-    dateRe.findFirstIn(rest) match {
-      case Some(m) if !rest.drop(m.length).startsWith(".") =>
-        take(m)
-        return VTime(java.time.LocalDate.parse(m).toEpochDay * 86400L * 1000000000L)
-      case _ =>
-    }
-    if (rest.startsWith("+Inf")) { take("+Inf"); return VFloat(Double.PositiveInfinity, "float64") }
-    if (rest.startsWith("-Inf")) { take("-Inf"); return VFloat(Double.NegativeInfinity, "float64") }
-    numRe.findFirstIn(rest) match {
-      case Some(m) =>
-        take(m)
-        return if (m.contains('.') || m.contains('e') || m.contains('E'))
-          VFloat(java.lang.Double.parseDouble(if (m.endsWith(".")) m + "0" else m), "float64")
-        else try VInt(m.toLong, "int64")
-        catch { case _: NumberFormatException => VUint64(BigDecimal(m)) }
-      case None =>
+      }
+      if (s.startsWith("0x", i)) { i += 2; return VBytes(Array.emptyByteArray) }
+      val dt = look(ZsonParser.DateP)
+      if (dt != null &&
+          (i + dt.length >= s.length || s.charAt(i + dt.length) != '.')) {
+        take(dt)
+        return VTime(java.time.LocalDate.parse(dt).toEpochDay * 86400L * 1000000000L)
+      }
+      if (s.startsWith("+Inf", i)) { take("+Inf"); return VFloat(Double.PositiveInfinity, "float64") }
+      if (s.startsWith("-Inf", i)) { take("-Inf"); return VFloat(Double.NegativeInfinity, "float64") }
+      val nm = look(ZsonParser.NumP)
+      if (nm != null) {
+        take(nm)
+        return if (nm.contains('.') || nm.contains('e') || nm.contains('E'))
+          VFloat(java.lang.Double.parseDouble(if (nm.endsWith(".")) nm + "0" else nm), "float64")
+        else try VInt(nm.toLong, "int64")
+        catch { case _: NumberFormatException => VUint64(BigDecimal(nm)) }
+      }
     }
     // words: null/true/false/NaN/Inf/error(...), else lenient bare string
     val start = i
@@ -1550,14 +1556,14 @@ final class ZsonParser(s: String,
       "w" -> 604800000000000L, "y" -> 31536000000000000L)
     val neg = text.startsWith("-")
     val body = if (neg) text.drop(1) else text
-    val partRe = """(\d+)(?:\.(\d+))?(ns|us|ms|s|m|h|d|w|y)""".r
     // integer ns accumulation in BigInt: ns-exact fractions (16.854775808s)
     // and Long.MinValue (-292y…808s) survive, unlike double math
     var total = BigInt(0)
-    for (m <- partRe.findAllMatchIn(body)) {
-      val unit = unitNs(m.group(3))
-      total += BigInt(m.group(1)) * unit
-      Option(m.group(2)).foreach { frac =>
+    val pm = ZsonParser.durPartP.matcher(body)
+    while (pm.find()) {
+      val unit = unitNs(pm.group(3))
+      total += BigInt(pm.group(1)) * unit
+      Option(pm.group(2)).foreach { frac =>
         // fractional part scaled to ns: digits beyond the unit's ns
         // resolution truncate (the reference parses via float but all
         // golden fixtures are ns-exact)
@@ -1798,6 +1804,30 @@ object ZsonParser {
     "uint8", "uint16", "uint32", "uint64", "int8", "int16", "int32", "int64",
     "duration", "time", "float16", "float32", "float64", "decimal",
     "bool", "bytes", "string", "ip", "net", "type", "null")
+
+  // scalar-form patterns, compiled ONCE (a per-parser compile was a
+  // per-row cost on paths that build one parser per value); matched with
+  // region(cursor).lookingAt(), so no '^' anchor and no substring
+  private[sources] final val TimeP = 0
+  private[sources] final val Ip6P = 1
+  private[sources] final val Ip4P = 2
+  private[sources] final val DurP = 3
+  private[sources] final val HexP = 4
+  private[sources] final val DateP = 5
+  private[sources] final val NumP = 6
+  private[sources] val scalarPatterns: Array[java.util.regex.Pattern] = Array(
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})""",
+    """[0-9a-fA-F]{0,4}(:[0-9a-fA-F]{0,4}){2,7}(/\d{1,3})?""",
+    """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(/\d{1,2})?""",
+    """-?(\d+(\.\d+)?(ns|us|ms|s|m|h|d|w|y))+""",
+    """0x[0-9a-fA-F]*""",
+    """\d{4}-\d{2}-\d{2}""",
+    """[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?"""
+  ).map(java.util.regex.Pattern.compile)
+  private[sources] val durSciP =
+    java.util.regex.Pattern.compile("""-?\d+[eE].*""")
+  private[sources] val durPartP =
+    java.util.regex.Pattern.compile("""(\d+)(?:\.(\d+))?(ns|us|ms|s|m|h|d|w|y)""")
 
   def parseAll(text: String): Vector[ZValue] = new ZsonParser(text).parseAll()
 
