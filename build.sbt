@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: `sbt "runMain graft.Bench"` must end its stdout with the
+// bench's ONE JSON line, nothing after it. Two sbt behaviors broke that:
+// the forked process's stdout is re-logged with an "[info] " prefix, and a
+// "[success] Total time…" trailer follows it. Inherit stdout directly and
+// drop the success trailer so the bare JSON line is the last stdout act.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // single-case debug drivers (MdOne, SvcOne, …) live OUT of src/test so
 // the test tree holds only real specs; they stay on the test classpath
 Test / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
