@@ -291,6 +291,56 @@ case class VariantGetField(v: Expression, key: Expression, ordinal: Int)
     copy(v = newLeft, key = newRight)
 }
 
+/** One field of a [[VariantIndex]] result without materializing the row —
+  * planted by [[CollapseVariantAccess]] for `index(v,i).n`-style
+  * consumption. On the native `a`-cache path this skips the promoted
+  * variant row entirely; on the text fallback it skips the
+  * ZValue→external→Catalyst conversion of the picked element.
+  */
+case class VariantIndexField(v: Expression, key: Expression, ordinal: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = v
+  override def right: Expression = key
+  override def dataType: DataType = Het.variantType.fields(ordinal).dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"variant_idx_$ordinal"
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.indexFullFieldAt(
+      v.eval(input).asInstanceOf[InternalRow], key.eval(input), ordinal)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vCode = v.genCode(ctx)
+    val kCode = key.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val boxed = cg.boxedType(dataType)
+    val javaType = cg.javaType(dataType)
+    val default = cg.defaultValue(dataType)
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val unbox =
+      if (cg.isPrimitiveType(dataType)) s"(($boxed) r).${javaType}Value()"
+      else s"($boxed) r"
+    ev.copy(code = code"""
+      ${vCode.code}
+      ${kCode.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = $default;
+      {
+        Object r = $helper.indexFullFieldAt(
+          ${vCode.isNull} ? null : ($rowCls) ${vCode.value},
+          ${kCode.isNull} ? null : (Object) ${kCode.value}, $ordinal);
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VariantIndexField =
+    copy(v = newLeft, key = newRight)
+}
+
 /** Chained field access collapsed to one deep-path lookup:
   * `get(get(v,"o"),"a").<ord>` becomes a single scan of v's `d` cache
   * for "o␀a" (see VariantAccess.deepFieldAt — misses fall back to the
@@ -653,9 +703,11 @@ object VariantAccess {
     if (r == null) null else toCatalyst(r).asInstanceOf[InternalRow]
   }
 
-  private def parseZ(z: UTF8String): Option[ZValue] =
-    try Some(new ZsonParser(z.toString).parseOne())
-    catch { case _: Exception => None }
+  /** Memoized per-thread (ZsonParser.memoParse): several ops of one
+    * projection fall back on the SAME row text — first op parses, the
+    * rest hit by byte equality with no UTF8String→String copy.
+    */
+  private def parseZ(z: UTF8String): Option[ZValue] = ZsonParser.memoParse(z)
 
   /** Field access with the variant's own dispatch inside: native m/d when
     * the caches are populated, single-pass ZSON parse of `z` otherwise
@@ -758,8 +810,17 @@ object VariantAccess {
     * (e.g. 1-in-8 string rows of a record stream) costs one branch, not a
     * path split + chain fold with per-row allocations.
     */
+  // == field `ord` of errMissingRow (a deep get over a scalar/missing
+  // carrier always folds to error("missing")); defined from the row's own
+  // slots — fullFieldAt's text path consults this array, so deriving it
+  // THROUGH fullFieldAt would recurse into the lazy initializer
   private lazy val errMissPluck: Array[Any] = Array.tabulate(9) { ord =>
-    fullFieldAt(errMissingRow, UTF8String.fromString("x"), ord)
+    if (ord >= errMissingRow.numFields || errMissingRow.isNullAt(ord)) null
+    else ord match {
+      case 0 => Integer.valueOf(errMissingRow.getInt(0))
+      case 4 | 5 => errMissingRow.getUTF8String(ord)
+      case _ => null
+    }
   }
 
   def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int,
@@ -806,6 +867,74 @@ object VariantAccess {
     fullFieldAt(cur, segs(segs.length - 1), ordinal)
   }
 
+  /** One leaf field of a parsed ZValue, matching what GetStructField over
+    * internalVariant(v) yields for ordinals 0-5 — including variantRow's
+    * lazy-z rule (the z slot is dropped when the value carries a/m caches).
+    */
+  private def zvalueFieldAt(v: ZValue, ordinal: Int): Any = {
+    val l = ZValue.leafRow(v)
+    if (l == null) return null
+    if (ordinal == 5) ZValue.unwrap(v) match {
+      case ZValue.VArr(_, _) | ZValue.VRec(_) => return null
+      case ZValue.VMap(es) if es.forall(e =>
+          ZValue.unwrap(e._1).isInstanceOf[ZValue.VStr]) => return null
+      case _ => ()
+    }
+    val x = l.get(ordinal)
+    if (x == null) null
+    else ordinal match {
+      case 2 | 4 | 5 => UTF8String.fromString(x.asInstanceOf[String])
+      case _ => x
+    }
+  }
+
+  /** One field of indexFull's result without materializing it: native
+    * `a`-cache hits pluck straight from the leaf (no promoted row); the
+    * text fallback plucks from the parsed ZValue (no ZValue→external→
+    * Catalyst conversion). Cache-derivation ordinals (6-8) keep the exact
+    * materialize-then-extract semantics.
+    */
+  def indexFullFieldAt(row: InternalRow, key: Any, ordinal: Int): Any = {
+    if (row == null) return errMissPluck(ordinal)
+    val a = if (row.isNullAt(6)) null else row.getArray(6)
+    if (a != null) {
+      val leaf = pickLeaf(a, key)
+      if (leaf eq MISS) return errMissPluck(ordinal)
+      if (leaf == null || ordinal >= 6 || leaf.isNullAt(ordinal)) return null
+      return ordinal match {
+        case 0 => Integer.valueOf(leaf.getInt(0))
+        case 1 => java.lang.Double.valueOf(leaf.getDouble(1))
+        case 2 => leaf.getUTF8String(2)
+        case 3 => java.lang.Boolean.valueOf(leaf.getBoolean(3))
+        case _ => leaf.getUTF8String(ordinal)
+      }
+    }
+    if (ordinal >= 6) { // rare: cache ordinals keep the full-row semantics
+      val full = indexFull(row, key)
+      return if (full == null || full.isNullAt(ordinal)) null
+             else full.getArray(ordinal)
+    }
+    if (key == null || row.isNullAt(5)) return errMissPluck(ordinal)
+    val idx = key.asInstanceOf[Number].intValue
+    parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+      case Some(ZValue.VArr(items, _)) =>
+        val i = if (idx < 0) items.length + idx else idx
+        if (i >= 0 && i < items.length) zvalueFieldAt(items(i), ordinal)
+        else errMissPluck(ordinal)
+      case Some(ZValue.VMap(es)) =>
+        es.find(e => ZValue.unwrap(e._1) match {
+          case ZValue.VInt(n, _) => n == idx
+          case ZValue.VUint64(n) => n == BigDecimal(idx)
+          case ZValue.VFloat(d, _) => d == idx
+          case _ => false
+        }) match {
+          case Some((_, mv)) => zvalueFieldAt(mv, ordinal)
+          case None => errMissPluck(ordinal)
+        }
+      case _ => errMissPluck(ordinal)
+    }
+  }
+
   /** One field of getFull's result without materializing it when the
     * native path is taken; the text path materializes then extracts
     * (already off the hot path).
@@ -818,6 +947,25 @@ object VariantAccess {
     if (row != null && !row.isNullAt(7))
       return fieldAt(row.getArray(7),
         if (row.isNullAt(8)) null else row.getArray(8), key, true, ordinal, hint)
+    // text fallback for leaf ordinals: pluck from the parsed ZValue
+    // directly — no ZValue→external→Catalyst row per access (the hot
+    // per-row cost on cache-stripped record streams)
+    if (ordinal < 6 && row != null) {
+      if (key == null || row.isNullAt(5)) return errMissPluck(ordinal)
+      val field = key.toString
+      return parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+        case Some(ZValue.VRec(fs)) => fs.find(_._1 == field) match {
+          case Some((_, fv)) => zvalueFieldAt(fv, ordinal)
+          case None => errMissPluck(ordinal)
+        }
+        case Some(ZValue.VMap(es)) =>
+          es.find(e => ZValue.unwrap(e._1) == ZValue.VStr(field)) match {
+            case Some((_, mv)) => zvalueFieldAt(mv, ordinal)
+            case None => errMissPluck(ordinal)
+          }
+        case _ => errMissPluck(ordinal)
+      }
+    }
     val full = getFull(row, key)
     if (full == null || full.isNullAt(ordinal)) null
     else ordinal match {
@@ -872,6 +1020,8 @@ object CollapseVariantAccess extends Rule[LogicalPlan] {
       VariantAccessField(va.container, va.deep, va.key, va.byName, ord)
     case GetStructField(vg: VariantGet, ord, _) =>
       VariantGetField(vg.v, vg.key, ord)
+    case GetStructField(vi: VariantIndex, ord, _) =>
+      VariantIndexField(vi.v, vi.key, ord)
     // literal-keyed CHAINS collapse to one deep-path lookup against the
     // root's d cache (any depth — the batch runs to fixpoint)
     case VariantGetField(VariantGet(x, Literal(k1: UTF8String, StringType)),

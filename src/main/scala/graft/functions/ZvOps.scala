@@ -87,26 +87,13 @@ object ZvOps extends Serializable {
 
   val errMissing: Option[ZV] = zvOf(ZValue.errMissing)
 
-  /** One-entry per-thread parse memo: a row's variant text is typically
-    * consumed by SEVERAL ops in the same projection (t, len, index, get
-    * each re-read the z slot), and the fallback parsed it once per op.
-    * The memo makes it once per ROW — ~4x less parse garbage on the
-    * text-fallback path (the het_variant_udf bench class's GC churn).
-    * Values are immutable, so sharing the parse result is safe.
+  /** Per-thread parse memo shared with the native-Expression fallbacks
+    * (ZsonParser.memoParse): a row's variant text is typically consumed by
+    * SEVERAL ops in the same projection (t, len, index, get each re-read
+    * the z slot) arriving as String here and as UTF8String in
+    * VariantAccess — one parse per ROW across both boundaries.
     */
-  private val lastParse =
-    new ThreadLocal[(String, Option[ZValue])] {
-      override def initialValue(): (String, Option[ZValue]) = (null, None)
-    }
-
-  private def parse(text: String): Option[ZValue] = {
-    val memo = lastParse.get()
-    if (memo._1 != null && memo._1 == text) return memo._2
-    val out =
-      try Some(new ZsonParser(text).parseOne()) catch { case _: Exception => None }
-    lastParse.set((text, out))
-    out
-  }
+  private def parse(text: String): Option[ZValue] = ZsonParser.memoParse(text)
 
   /** Field access into a boxed value: a.b where a is a variant. Missing
     * field / non-record → error("missing") (reference expr/eval.go

@@ -141,27 +141,74 @@ object ZFormat {
     * given width (Go strconv shortest). Returns (digits, exp10, negative)
     * where value = 0.digits * 10^exp10.
     */
+  /** Digits and decimal exponent of the JDK shortest form: value =
+    * 0.digits × 10^exp10, digits with no leading zero. This is the SAME
+    * FloatingDecimal digit string java.util.Formatter's %.Ne rounds from
+    * (it rounds the shortest string HALF_UP, not the exact binary
+    * expansion — verified: %.0e of 0.15 is 2e-01 though the exact value
+    * is 0.1499…), so string-rounding these digits reproduces the former
+    * String.format probe byte-for-byte.
+    */
+  private def toStringDigits(a: Double): (String, Int) = {
+    val s = java.lang.Double.toString(a)
+    val eIdx = s.indexOf('E')
+    val ex = if (eIdx < 0) 0 else s.substring(eIdx + 1).toInt
+    val mant = if (eIdx < 0) s else s.substring(0, eIdx)
+    val dot = mant.indexOf('.')
+    val m = if (dot < 0) mant else mant.substring(0, dot) + mant.substring(dot + 1)
+    val intLen = if (dot < 0) mant.length else dot
+    var lead = 0
+    while (lead < m.length - 1 && m.charAt(lead) == '0') lead += 1
+    var end = m.length
+    while (end > lead + 1 && m.charAt(end - 1) == '0') end -= 1
+    (m.substring(lead, end), intLen - lead + ex)
+  }
+
+  /** Round the digit string to p digits HALF_UP (Formatter's rule);
+    * returns (digits, exp10 bump) — an all-9s carry becomes "1"/+1.
+    */
+  private def roundDigits(dd: String, p: Int): (String, Int) = {
+    if (p >= dd.length) return (dd, 0)
+    val up = dd.charAt(p) >= '5'
+    if (!up) return (dd.substring(0, p), 0)
+    val cs = dd.substring(0, p).toCharArray
+    var i = p - 1
+    var carry = true
+    while (carry && i >= 0) {
+      if (cs(i) == '9') cs(i) = '0'
+      else { cs(i) = (cs(i) + 1).toChar; carry = false }
+      i -= 1
+    }
+    if (carry) ("1" + new String(cs, 0, p - 1), 1) else (new String(cs), 0)
+  }
+
   private def shortestDigits(d: Double, bits: Int): (String, Int, Boolean) = {
     val neg = d < 0 || (d == 0.0 && 1.0 / d < 0)
     val a = math.abs(d)
     if (a == 0.0) return ("0", 1, neg)
-    var p = 1
-    while (p <= 17) {
-      val s = String.format("%." + (p - 1) + "e", Double.box(a))
-      val ok = if (bits == 32) java.lang.Float.parseFloat(s) == a.toFloat
-               else java.lang.Double.parseDouble(s) == a
-      if (ok) {
-        val Array(mant, ex) = s.split("[eE]")
-        val digits = mant.replace(".", "").reverse.dropWhile(_ == '0').reverse match {
-          case "" => "0"
-          case x => x
-        }
-        return (digits, ex.toInt + 1, neg)
-      }
-      p += 1
+    val (dd, e10) = toStringDigits(a)
+    // minimal p whose HALF_UP rounding still round-trips; the predicate is
+    // monotone in p, and p = dd.length always passes (the JDK string
+    // parses back exactly), so binary search [1, len] replaces the former
+    // 1..17 linear scan of String.format+parse probes — the probe itself
+    // is now a small string rounding + one parse
+    def ok(p: Int): Boolean = {
+      if (p >= dd.length) return true
+      val (cand, bump) = roundDigits(dd, p)
+      val text = cand + "E" + (e10 + bump - cand.length)
+      if (bits == 32) java.lang.Float.parseFloat(text) == a.toFloat
+      else java.lang.Double.parseDouble(text) == a
     }
-    val s = a.toString
-    (s.replaceAll("[.eE+-]", ""), 1, neg)
+    var lo = 1
+    var hi = dd.length
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (ok(mid)) hi = mid else lo = mid + 1
+    }
+    val (cand, bump) = roundDigits(dd, hi)
+    var end = cand.length
+    while (end > 1 && cand.charAt(end - 1) == '0') end -= 1
+    (cand.substring(0, end), e10 + bump, neg)
   }
 
   /** Go strconv.FormatFloat(d, 'g', -1, bits): shortest round-trip digits,

@@ -529,6 +529,12 @@ object ZValue {
     * control codes, everything printable verbatim.
     */
   private def escape(s: String): String = {
+    // fast path: nothing to escape (the overwhelmingly common case on
+    // per-row render paths) — no StringBuilder, no copy
+    var j = 0
+    while (j < s.length && { val c = s.charAt(j)
+        c != '\\' && c != '"' && c >= ' ' }) j += 1
+    if (j == s.length) return s
     val sb = new StringBuilder
     s.foreach {
       case '\\' => sb.append("\\\\")
@@ -576,8 +582,27 @@ object ZValue {
     * with nested-container members falling back to their own leaf `z`
     * (kept eager one level down).
     */
-  def renderVariantRow(r: org.apache.spark.sql.catalyst.InternalRow): org.apache.spark.unsafe.types.UTF8String =
+  // cheap byte-level probes for the verbatim-z fast path below
+  private val enumPrefixU = org.apache.spark.unsafe.types.UTF8String.fromString("enum")
+  private val typeTextU = org.apache.spark.unsafe.types.UTF8String.fromString("type")
+
+  def renderVariantRow(r: org.apache.spark.sql.catalyst.InternalRow): org.apache.spark.unsafe.types.UTF8String = {
+    // verbatim-z fast path: when the stored text IS the canonical render
+    // (numbers/times with exact text, containers that kept their eager
+    // shadow), return the UTF8String slot directly — the generic path
+    // paid a full UTF8String→String→UTF8String round trip per row on
+    // render-heavy paths (canonical equality, writers, text fallbacks)
+    if (r != null && !r.isNullAt(5)) {
+      val k = if (r.isNullAt(0)) -1 else r.getInt(0)
+      if (k == 0 || k == 1) return r.getUTF8String(5)
+      if (k != 2 && k != 3 && k != 5) {
+        val t = if (r.isNullAt(4)) null else r.getUTF8String(4)
+        if (t == null || (!t.startsWith(enumPrefixU) && !t.equals(typeTextU)))
+          return r.getUTF8String(5)
+      }
+    }
     org.apache.spark.unsafe.types.UTF8String.fromString(renderVariantStr(r))
+  }
 
   private val fixedMicroFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
@@ -607,80 +632,146 @@ object ZValue {
 
   def renderVariantStr(r: org.apache.spark.sql.catalyst.InternalRow): String = {
     if (r == null) return "null"
+    val sb = new java.lang.StringBuilder
+    renderVariantInto(sb, r)
+    sb.toString
+  }
+
+  /** Escape-append without the intermediate escaped-copy String. */
+  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  private val floatPrefixU = org.apache.spark.unsafe.types.UTF8String.fromString("float")
+  private val decimalTextU = org.apache.spark.unsafe.types.UTF8String.fromString("decimal")
+  private val setOpenU = org.apache.spark.unsafe.types.UTF8String.fromString("|[")
+  private val mapOpenU = org.apache.spark.unsafe.types.UTF8String.fromString("|{")
+  private val parenU = org.apache.spark.unsafe.types.UTF8String.fromString("(")
+
+  /** Append the canonical text of a variant/leaf row; returns true iff the
+    * appended text was exactly "null" (drives the union-decorator rule).
+    * Threading one builder through the tree replaces the previous
+    * String-per-member recursion — on render-heavy per-row paths members'
+    * s/t/z slots were each materialized as Strings even when unused.
+    */
+  private def renderVariantInto(
+      sb: java.lang.StringBuilder,
+      r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (r == null) { sb.append("null"); return true }
     val w = r.numFields
     val k = if (r.isNullAt(0)) -1 else r.getInt(0)
-    val nNull = r.isNullAt(1)
-    val s = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
-    val bNull = r.isNullAt(3)
-    val t = if (r.isNullAt(4)) null else r.getUTF8String(4).toString
-    val z = if (r.isNullAt(5)) null else r.getUTF8String(5).toString
+    val zU = if (r.isNullAt(5)) null else r.getUTF8String(5)
     val a = if (w < 7 || r.isNullAt(6)) null else r.getArray(6)
     val m = if (w < 8 || r.isNullAt(7)) null else r.getArray(7)
-    if (nNull && s == null && bNull && z == null && a == null && m == null)
-      return "null" // typed null: kind set, every payload absent
+    val sNull = r.isNullAt(2)
+    if (r.isNullAt(1) && sNull && r.isNullAt(3) && zU == null && a == null && m == null) {
+      sb.append("null") // typed null: kind set, every payload absent
+      return true
+    }
     k match {
-      case 5 => "error(" + (if (z == null) "null" else z) + ")"
+      case 5 =>
+        sb.append("error(")
+        if (zU == null) sb.append("null") else sb.append(zU.toString)
+        sb.append(')')
+        false
       case 0 =>
-        if (z != null) z
-        else if (t != null && (t.startsWith("float") || t == "decimal"))
-          floatText(r.getDouble(1))
-        else r.getDouble(1).toLong.toString
+        if (zU != null) sb.append(zU.toString)
+        else {
+          val t = if (r.isNullAt(4)) null else r.getUTF8String(4)
+          if (t != null && (t.startsWith(floatPrefixU) || t.equals(decimalTextU)))
+            sb.append(floatText(r.getDouble(1)))
+          else sb.append(r.getDouble(1).toLong)
+        }
+        false
       case 1 =>
-        if (z != null) z
+        if (zU != null) sb.append(zU.toString)
         else {
           // fixed 6-digit fraction — the format the Column render always
           // used for cache-era time variants (ns-exact times carry z)
           val micros = Math.round(r.getDouble(1) * 1e6)
-          fixedMicroFmt.format(java.time.Instant.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+          sb.append(fixedMicroFmt.format(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
         }
-      case 2 => "\"" + escape(s) + "\""
-      case 3 => r.getBoolean(3).toString
+        false
+      case 2 =>
+        sb.append('"'); appendEscaped(sb, r.getUTF8String(2).toString); sb.append('"')
+        false
+      case 3 =>
+        sb.append(r.getBoolean(3))
+        false
       case _ =>
-        if (t != null && t.startsWith("enum")) "%" + s
-        else if (t == "type") "<" + s + ">"
-        else if (z != null) z
-        else if (a != null) {
-          val (open, close) = if (t != null && t.startsWith("|[")) ("|[", "]|") else ("[", "]")
-          val sb = new StringBuilder(open)
+        val t = if (r.isNullAt(4)) null else r.getUTF8String(4)
+        if (t != null && t.startsWith(enumPrefixU)) {
+          sb.append('%').append(if (sNull) "" else r.getUTF8String(2).toString)
+          false
+        } else if (t != null && t.equals(typeTextU)) {
+          sb.append('<').append(if (sNull) "" else r.getUTF8String(2).toString).append('>')
+          false
+        } else if (zU != null) {
+          val z = zU.toString
+          sb.append(z)
+          z == "null"
+        } else if (a != null) {
+          val isSet = t != null && t.startsWith(setOpenU)
+          sb.append(if (isSet) "|[" else "[")
           var i = 0
           val ne = a.numElements()
           while (i < ne) {
             if (i > 0) sb.append(',')
-            sb.append(if (a.isNullAt(i)) "null" else renderVariantStr(a.getStruct(i, 6)))
+            if (a.isNullAt(i)) sb.append("null")
+            else renderVariantInto(sb, a.getStruct(i, 6))
             i += 1
           }
-          sb.append(close).toString
+          sb.append(if (isSet) "]|" else "]")
+          false
         } else if (m != null) {
-          val isMap = t != null && t.startsWith("|{")
+          val isMap = t != null && t.startsWith(mapOpenU)
           // union-typed record fields need their member DECORATED in the
           // text (x:"foo"((int64,string))) — the leaf caches alone can't
           // witness the union; resolved from the variant's own t
           val unions =
-            if (!isMap && t != null && t.contains("(")) unionFieldsOf(t)
+            if (!isMap && t != null && t.contains(parenU)) unionFieldsOf(t.toString)
             else Map.empty[String, String]
-          val sb = new StringBuilder(if (isMap) "|{" else "{")
+          sb.append(if (isMap) "|{" else "{")
           var i = 0
           val ne = m.numElements()
           while (i < ne) {
             val e = m.getStruct(i, 2)
             if (i > 0) sb.append(',')
             val name = if (e.isNullAt(0)) "" else e.getUTF8String(0).toString
-            sb.append(if (isMap) "\"" + escape(name) + "\"" else ZType.fieldName(name))
+            if (isMap) { sb.append('"'); appendEscaped(sb, name); sb.append('"') }
+            else sb.append(ZType.fieldName(name))
             sb.append(':')
             if (e.isNullAt(1)) sb.append("null")
             else {
-              val vText = renderVariantStr(e.getStruct(1, 6))
-              sb.append(vText)
-              if (vText != "null") unions.get(name).foreach { ut =>
+              val wasNull = renderVariantInto(sb, e.getStruct(1, 6))
+              if (!wasNull) unions.get(name).foreach { ut =>
                 sb.append('(').append(ut).append(')')
               }
             }
             i += 1
           }
-          sb.append(if (isMap) "}|" else "}").toString
-        } else if (s != null) s
-        else "null"
+          sb.append(if (isMap) "}|" else "}")
+          false
+        } else if (!sNull) {
+          val s = r.getUTF8String(2).toString
+          sb.append(s)
+          s == "null"
+        } else { sb.append("null"); true }
     }
   }
 
@@ -1330,6 +1421,15 @@ final class ZsonParser(s: String,
 
   private def quoted(): String = {
     expect('"')
+    // fast path: no escapes before the closing quote (the common case on
+    // per-row parse paths) — one substring, no StringBuilder
+    var j = i
+    while (j < s.length && s.charAt(j) != '"' && s.charAt(j) != '\\') j += 1
+    if (j < s.length && s.charAt(j) == '"') {
+      val out = s.substring(i, j)
+      i = j + 1
+      return out
+    }
     val sb = new StringBuilder
     while (i < s.length && s.charAt(i) != '"') {
       val c = s.charAt(i)
@@ -1466,6 +1566,18 @@ final class ZsonParser(s: String,
     if (m.lookingAt()) m.group() else null
   }
 
+  /** Is the char at idx a clean token terminator — one that no scalar
+    * regex form can extend a plain number across? (',' ']' '}' ')' '('
+    * '|' whitespace or end-of-input; NOT ':' '-' '/' '.' 'e' letters,
+    * which could continue an ip/time/duration/net/scientific form.)
+    */
+  private def termAt(idx: Int): Boolean = {
+    if (idx >= s.length) return true
+    val c = s.charAt(idx)
+    c == ',' || c == ']' || c == '}' || c == ')' || c == '(' || c == '|' ||
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+  }
+
   private def scalar(): ZValue = {
     def take(m: String): String = { i += m.length; m }
     // first-char gate: every regex-recognized scalar form starts with a
@@ -1475,6 +1587,50 @@ final class ZsonParser(s: String,
       c0 == '.' || c0 == ':' ||
       (c0 >= 'a' && c0 <= 'f') || (c0 >= 'A' && c0 <= 'F')
     if (regexable) {
+      // plain int/float fast path: [+-]?digits[.digits]? up to a clean
+      // terminator can only be NumP's match (time/ip/date need '-' ':'
+      // or more dots, durations/hex/sci need letters) — recognize it
+      // directly instead of running 6 failing regexes first. Conservative:
+      // any other continuation falls through to the regex path unchanged.
+      if (c0 != ':' && !((c0 >= 'a' && c0 <= 'f') || (c0 >= 'A' && c0 <= 'F'))) {
+        var j = i
+        if (j < s.length && (s.charAt(j) == '-' || s.charAt(j) == '+')) j += 1
+        val d0 = j
+        while (j < s.length && { val c = s.charAt(j); c >= '0' && c <= '9' }) j += 1
+        if (j > d0) {
+          var dot = -1
+          if (j < s.length && s.charAt(j) == '.') {
+            dot = j; j += 1
+            while (j < s.length && { val c = s.charAt(j); c >= '0' && c <= '9' }) j += 1
+          }
+          if (termAt(j)) {
+            val start = i
+            if (dot < 0) {
+              // integer: zero-alloc parse for in-range widths
+              i = j
+              if (j - start <= 18)
+                return VInt(java.lang.Long.parseLong(s, start, j, 10), "int64")
+              val nm = s.substring(start, j)
+              return try VInt(nm.toLong, "int64")
+                     catch { case _: NumberFormatException => VUint64(BigDecimal(nm)) }
+            } else if (dot > d0 || j > dot + 1) { // NumP needs a digit on some side
+              i = j
+              val nm = s.substring(start, j)
+              return VFloat(java.lang.Double.parseDouble(
+                if (nm.endsWith(".")) nm + "0" else nm), "float64")
+            }
+          }
+        }
+      } else if (c0 != ':') {
+        // hex-letter start (a-f): of the seven forms only an IPv6 literal
+        // can match, and its first ':' must appear within the first 5
+        // chars — no early colon means the word path (e.g. "false",
+        // "abc") skips all seven regexes
+        var j = i
+        val lim = math.min(s.length, i + 5)
+        while (j < lim && s.charAt(j) != ':') j += 1
+        if (j == lim) return wordScalar()
+      }
       val tm = look(ZsonParser.TimeP)
       if (tm != null) return VTime(parseTimeNs(take(tm)))
       val i6 = look(ZsonParser.Ip6P)
@@ -1515,7 +1671,11 @@ final class ZsonParser(s: String,
         catch { case _: NumberFormatException => VUint64(BigDecimal(nm)) }
       }
     }
-    // words: null/true/false/NaN/Inf/error(...), else lenient bare string
+    wordScalar()
+  }
+
+  // words: null/true/false/NaN/Inf/error(...), else lenient bare string
+  private def wordScalar(): ZValue = {
     val start = i
     while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
     val w = s.substring(start, i)
@@ -1830,6 +1990,50 @@ object ZsonParser {
     java.util.regex.Pattern.compile("""(\d+)(?:\.(\d+))?(ns|us|ms|s|m|h|d|w|y)""")
 
   def parseAll(text: String): Vector[ZValue] = new ZsonParser(text).parseAll()
+
+  /** One-entry per-thread VALUE-parse memo, keyed on both text forms.
+    *
+    * On the variant text-fallback path a row's z text is consumed by
+    * SEVERAL ops in one projection (typeof, len, index, get …), some
+    * reaching the parser with a String (ScalaUDF boundary), some with the
+    * raw UTF8String (native Expression fallbacks). Before this memo each
+    * op re-parsed the same text — and the Expression side additionally
+    * paid a UTF8String→String copy per op. Now the FIRST op parses and
+    * every subsequent op of the same row hits by byte/char equality:
+    * one parse and at most one toString per row. Values are immutable, so
+    * sharing the parse result across ops is safe; the UTF8String key is
+    * CLONED on store because callers' buffers are scan-owned and reused.
+    */
+  private final class ParseMemo {
+    var str: String = null
+    var utf: org.apache.spark.unsafe.types.UTF8String = null
+    var value: Option[ZValue] = None
+  }
+  private val parseMemo = new ThreadLocal[ParseMemo] {
+    override def initialValue(): ParseMemo = new ParseMemo
+  }
+
+  def memoParse(text: String): Option[ZValue] = {
+    if (text == null) return None
+    val m = parseMemo.get()
+    if (m.str != null && m.str == text) return m.value
+    val out = try Some(new ZsonParser(text).parseOne())
+              catch { case _: Exception => None }
+    m.str = text; m.utf = null; m.value = out
+    out
+  }
+
+  def memoParse(z: org.apache.spark.unsafe.types.UTF8String): Option[ZValue] = {
+    if (z == null) return None
+    val m = parseMemo.get()
+    if (m.utf != null && m.utf.equals(z)) return m.value
+    val text = z.toString
+    if (m.str != null && m.str == text) { m.utf = z.clone(); return m.value }
+    val out = try Some(new ZsonParser(text).parseOne())
+              catch { case _: Exception => None }
+    m.str = text; m.utf = z.clone(); m.value = out
+    out
+  }
 
   private val typeCache = new java.util.concurrent.ConcurrentHashMap[String, ZType]()
   def parseType(text: String): ZType =

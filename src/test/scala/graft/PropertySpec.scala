@@ -381,6 +381,70 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("goG string-rounded shortest digits match the String.format probe reference") {
+    // reference: the former implementation — linear scan of
+    // String.format("%.{p-1}e") probes with a round-trip parse check
+    def refShortest(d: Double, bits: Int): (String, Int, Boolean) = {
+      val neg = d < 0 || (d == 0.0 && 1.0 / d < 0)
+      val a = math.abs(d)
+      if (a == 0.0) return ("0", 1, neg)
+      var p = 1
+      while (p <= 17) {
+        val s = String.format("%." + (p - 1) + "e", Double.box(a))
+        val ok = if (bits == 32) java.lang.Float.parseFloat(s) == a.toFloat
+                 else java.lang.Double.parseDouble(s) == a
+        if (ok) {
+          val Array(mant, ex) = s.split("[eE]")
+          val digits = mant.replace(".", "").reverse.dropWhile(_ == '0').reverse match {
+            case "" => "0"
+            case x => x
+          }
+          return (digits, ex.toInt + 1, neg)
+        }
+        p += 1
+      }
+      val s = a.toString
+      (s.replaceAll("[.eE+-]", ""), 1, neg)
+    }
+    def refGoG(d: Double, bits: Int): String = {
+      if (d.isNaN) return "NaN"
+      if (d.isPosInfinity) return "+Inf"
+      if (d.isNegInfinity) return "-Inf"
+      val (digits, exp10, neg) = refShortest(d, bits)
+      val exp = exp10 - 1
+      val sign = if (neg) "-" else ""
+      if (exp < -4 || exp >= 6) {
+        val mant = if (digits.length == 1) digits else digits.head + "." + digits.tail
+        val es = if (exp < 0) "-" else "+"
+        val ea = math.abs(exp)
+        sign + mant + "e" + es + (if (ea < 10) "0" + ea else ea.toString)
+      } else if (exp >= digits.length - 1) {
+        sign + digits + "0" * (exp - digits.length + 1)
+      } else if (exp >= 0) {
+        sign + digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+      } else {
+        sign + "0." + "0" * (-exp - 1) + digits
+      }
+    }
+    val edge = Seq(0.0, -0.0, 0.1, 0.15, 0.125, 1.25, 2.0 / 3.0, 1e23, -1e23,
+      1.0e-323, 4.9e-324, Double.MinPositiveValue, Double.MaxValue,
+      Double.MinValue, 1.7976931348623157e308, 701891.3333333334, 0.9995,
+      999999999999999.9, 1e15, 1e16, 123456.789, 1.0, -1.0, 3.0, 1e6, 1e-4,
+      0.0001, 0.00001, 2.5, 0.5, 1e100, 1e-100, math.Pi, math.E,
+      Float.MaxValue.toDouble, Float.MinPositiveValue.toDouble)
+    val rnd = new scala.util.Random(7)
+    val randoms = (0 until 20000).map { _ =>
+      java.lang.Double.longBitsToDouble(rnd.nextLong())
+    }.filterNot(d => d.isNaN)
+    val fracs = (0 until 5000).map(_ => rnd.nextDouble() * math.pow(10, rnd.nextInt(30) - 15))
+    for (d <- edge ++ randoms ++ fracs; bits <- Seq(64, 32)) {
+      val v = if (bits == 32) d.toFloat.toDouble else d
+      if (!v.isNaN)
+        assert(graft.sources.ZFormat.goG(v, bits) == refGoG(v, bits),
+          s"goG($v, $bits): ${graft.sources.ZFormat.goG(v, bits)} != ${refGoG(v, bits)}")
+    }
+  }
+
   test("parser never hangs or crashes the JVM on malformed inputs") {
     val junk = Seq(
       "from", "from |", "| where", "from t | cut", "from t | summarize by",
