@@ -9,11 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shuffle partitions sized by the driver env, parquet vectorized reads.
   * Local tests just shrink the numbers; the plan shapes stay identical.
   */
+/** Injects the engine's optimizer rules into the OPERATOR OPTIMIZATION
+  * batches (via spark.sql.extensions), which run BEFORE SchemaPruning —
+  * required so CollapseVariantAccess's parts rewrites are visible when
+  * nested-column pruning decides the parquet ReadSchema. The
+  * experimental.extraOptimizations registration in [[GraftSession.ready]]
+  * runs in the LAST batch and stays as the idempotent safety net for
+  * sessions created without this config.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => graft.functions.CollapseVariantAccess)
+}
+
 object GraftSession {
 
   /** Shared config applied to every session the engine creates. */
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cores)
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -411,6 +411,78 @@ case class VariantDeepField(v: Expression, path: Expression, ordinal: Int)
     copy(v = newLeft, path = newRight)
 }
 
+/** [[VariantDeepField]] re-expressed over the PARTS of the variant it
+  * actually reads — m (ordinal 7), d (8), z (5) as separate child
+  * expressions instead of the whole struct. Planted by
+  * [[CollapseVariantAccess]] once a chain has fully collapsed: with the
+  * variant consumed only through GetStructField children, Spark's
+  * SchemaPruning can narrow the parquet ReadSchema to the three used
+  * subfields (a deep-path query previously read the full
+  * struct<k,n,s,b,t,z,a,m,d> — guide §6, read less).
+  */
+case class VariantDeepFieldP(m: Expression, d: Expression, z: Expression,
+    pathStr: String, ordinal: Int) extends TernaryExpression {
+
+  override def first: Expression = m
+  override def second: Expression = d
+  override def third: Expression = z
+  override def dataType: DataType = Het.variantType.fields(ordinal).dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"variant_deep_p_$ordinal"
+
+  @transient private lazy val evalHint: Array[Int] = Array(-1)
+  @transient private lazy val pathU: UTF8String = UTF8String.fromString(pathStr)
+  @transient private lazy val presplit: Array[UTF8String] =
+    pathStr.split(Het.pathSep).map(UTF8String.fromString)
+
+  override def eval(input: InternalRow): Any =
+    VariantAccess.deepFieldAtParts(
+      m.eval(input).asInstanceOf[ArrayData],
+      d.eval(input).asInstanceOf[ArrayData],
+      z.eval(input).asInstanceOf[UTF8String],
+      pathU, ordinal, evalHint, presplit)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mCode = m.genCode(ctx)
+    val dCode = d.genCode(ctx)
+    val zCode = z.genCode(ctx)
+    val helper = ctx.addReferenceObj("variantAccess", VariantAccess,
+      "graft.functions.VariantAccess$")
+    val pathRef = ctx.addReferenceObj("deepPath",
+      UTF8String.fromString(pathStr), "UTF8String")
+    val segsRef = ctx.addReferenceObj("deepSegs",
+      pathStr.split(Het.pathSep).map(UTF8String.fromString), "UTF8String[]")
+    val hint = ctx.addMutableState("int[]", "deepHint",
+      v0 => s"$v0 = new int[]{-1};", forceInline = false, useFreshName = true)
+    val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val boxed = cg.boxedType(dataType)
+    val javaType = cg.javaType(dataType)
+    val default = cg.defaultValue(dataType)
+    val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val unbox =
+      if (cg.isPrimitiveType(dataType)) s"(($boxed) r).${javaType}Value()"
+      else s"($boxed) r"
+    ev.copy(code = code"""
+      ${mCode.code}
+      ${dCode.code}
+      ${zCode.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = $default;
+      {
+        Object r = $helper.deepFieldAtParts(
+          ${mCode.isNull} ? null : ($arrCls) ${mCode.value},
+          ${dCode.isNull} ? null : ($arrCls) ${dCode.value},
+          ${zCode.isNull} ? null : (UTF8String) ${zCode.value},
+          $pathRef, $ordinal, $hint, $segsRef);
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = $unbox; }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): VariantDeepFieldP =
+    copy(m = newFirst, d = newSecond, z = newThird)
+}
+
 /** Canonical ZSON text of a variant value — the native render boundary.
   * Scalars format from their leaf payloads; containers whose eager `z`
   * shadow was dropped at construction (the lazy-z carrier) reconstruct
@@ -718,12 +790,19 @@ object VariantAccess {
 
   def getFull(row: InternalRow, key: Any, hint: Array[Int]): InternalRow = {
     if (row == null) return errMissingRow
-    val m = if (row.isNullAt(7)) null else row.getArray(7)
-    if (m != null)
-      return getField(m, if (row.isNullAt(8)) null else row.getArray(8), key, hint)
-    if (key == null || row.isNullAt(5)) return errMissingRow
+    getFullParts(
+      if (row.isNullAt(7)) null else row.getArray(7),
+      if (row.isNullAt(8)) null else row.getArray(8),
+      if (row.isNullAt(5)) null else row.getUTF8String(5), key, hint)
+  }
+
+  /** getFull over the variant's m/d/z parts (the only slots it reads). */
+  def getFullParts(m: ArrayData, d: ArrayData, z: UTF8String, key: Any,
+      hint: Array[Int]): InternalRow = {
+    if (m != null) return getField(m, d, key, hint)
+    if (key == null || z == null) return errMissingRow
     val field = key.toString
-    parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+    parseZ(z).map(ZValue.unwrap) match {
       case Some(ZValue.VRec(fs)) =>
         fs.find(_._1 == field) match {
           case Some((_, fv)) => internalVariant(fv)
@@ -825,8 +904,21 @@ object VariantAccess {
 
   def deepFieldAt(row: InternalRow, path: UTF8String, ordinal: Int,
       hint: Array[Int], presplit: Array[UTF8String]): Any = {
-    if (row != null && !row.isNullAt(8)) {
-      val d = row.getArray(8)
+    if (row == null) return errMissPluck(ordinal)
+    deepFieldAtParts(
+      if (row.isNullAt(7)) null else row.getArray(7),
+      if (row.isNullAt(8)) null else row.getArray(8),
+      if (row.isNullAt(5)) null else row.getUTF8String(5),
+      path, ordinal, hint, presplit)
+  }
+
+  /** deepFieldAt over the variant's m/d/z parts — the slots it reads;
+    * [[VariantDeepFieldP]] feeds them as separate pruned columns.
+    */
+  def deepFieldAtParts(m: ArrayData, d: ArrayData, z: UTF8String,
+      path: UTF8String, ordinal: Int, hint: Array[Int],
+      presplit: Array[UTF8String]): Any = {
+    if (d != null) {
       val n = d.numElements()
       if (hint != null) {
         val ci = hint(0)
@@ -850,16 +942,16 @@ object VariantAccess {
     }
     // no m cache and no text: every step of the fold below yields
     // error("missing") — constant per ordinal, no split, no allocation
-    if (row == null || (row.isNullAt(7) && row.isNullAt(5)))
-      return errMissPluck(ordinal)
+    if (m == null && z == null) return errMissPluck(ordinal)
     // miss: fold the original chain (record path absent, or the access
     // goes through a map / text-only carrier); the path literal's split
     // is precomputed per expression instance
     val segs =
       if (presplit != null) presplit
       else path.toString.split(Het.pathSep).map(UTF8String.fromString)
-    var cur = row
-    var i = 0
+    if (segs.length == 1) return fullFieldAtParts(m, d, z, segs(0), ordinal)
+    var cur = getFullParts(m, d, z, segs(0), null)
+    var i = 1
     while (i < segs.length - 1) {
       cur = getFull(cur, segs(i))
       i += 1
@@ -944,16 +1036,26 @@ object VariantAccess {
 
   def fullFieldAt(row: InternalRow, key: Any, ordinal: Int,
       hint: Array[Int]): Any = {
-    if (row != null && !row.isNullAt(7))
-      return fieldAt(row.getArray(7),
-        if (row.isNullAt(8)) null else row.getArray(8), key, true, ordinal, hint)
+    if (row == null) return errMissPluck(ordinal)
+    fullFieldAtParts(
+      if (row.isNullAt(7)) null else row.getArray(7),
+      if (row.isNullAt(8)) null else row.getArray(8),
+      if (row.isNullAt(5)) null else row.getUTF8String(5), key, ordinal, hint)
+  }
+
+  def fullFieldAtParts(m: ArrayData, d: ArrayData, z: UTF8String, key: Any,
+      ordinal: Int): Any = fullFieldAtParts(m, d, z, key, ordinal, null)
+
+  def fullFieldAtParts(m: ArrayData, d: ArrayData, z: UTF8String, key: Any,
+      ordinal: Int, hint: Array[Int]): Any = {
+    if (m != null) return fieldAt(m, d, key, true, ordinal, hint)
     // text fallback for leaf ordinals: pluck from the parsed ZValue
     // directly — no ZValue→external→Catalyst row per access (the hot
     // per-row cost on cache-stripped record streams)
-    if (ordinal < 6 && row != null) {
-      if (key == null || row.isNullAt(5)) return errMissPluck(ordinal)
+    if (ordinal < 6) {
+      if (key == null || z == null) return errMissPluck(ordinal)
       val field = key.toString
-      return parseZ(row.getUTF8String(5)).map(ZValue.unwrap) match {
+      return parseZ(z).map(ZValue.unwrap) match {
         case Some(ZValue.VRec(fs)) => fs.find(_._1 == field) match {
           case Some((_, fv)) => zvalueFieldAt(fv, ordinal)
           case None => errMissPluck(ordinal)
@@ -966,7 +1068,7 @@ object VariantAccess {
         case _ => errMissPluck(ordinal)
       }
     }
-    val full = getFull(row, key)
+    val full = getFullParts(m, d, z, key, null)
     if (full == null || full.isNullAt(ordinal)) null
     else ordinal match {
       case 0 => Integer.valueOf(full.getInt(0))
@@ -1034,6 +1136,16 @@ object CollapseVariantAccess extends Rule[LogicalPlan] {
       VariantDeepField(x, Literal.create(
         UTF8String.fromString(k1.toString + Het.pathSep + p.toString),
         StringType), ord)
+    // fully-collapsed chain over a plain variant: re-express over the m/d/z
+    // PARTS so SchemaPruning narrows the scan to the three used subfields
+    // (the whole-struct child hid the field usage and forced a full
+    // struct<k,n,s,b,t,z,a,m,d> ReadSchema on deep-path queries)
+    case VariantDeepField(v, Literal(p: UTF8String, StringType), ord)
+        if p != null && !v.isInstanceOf[VariantGet] &&
+          graft.sources.ZsonIO.isVariantType(v.dataType) =>
+      VariantDeepFieldP(
+        GetStructField(v, 7, Some("m")), GetStructField(v, 8, Some("d")),
+        GetStructField(v, 5, Some("z")), p.toString, ord)
     // the two collapses SimplifyExtractValueOps would do if it re-ran
     // after the push above (the user-rule batch is the last one)
     case GetStructField(cns: CreateNamedStruct, ord, _) => cns.valExprs(ord)
