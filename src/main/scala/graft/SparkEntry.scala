@@ -53,6 +53,16 @@ object SparkEntry {
     org.apache.spark.sql.catalyst.expressions.UnscaledValue(
       graft.functions.Bridge.expression(dec(c))))
 
+  /** Exact 128-bit cents sum (SumInt128): plain-long codegen inner loop,
+    * no 2^63 wrap at any group size; the decimal result divides once in
+    * the decimal domain and casts to double LAST, so the single-rounding
+    * guarantee vs the oracle's decimal sum holds at any scale (a long sum
+    * implicitly cast to double would double-round past 2^53).
+    */
+  private def sumCents128(c: Column): Column = graft.functions.Bridge.column(
+    graft.functions.SumInt128(graft.functions.Bridge.expression(c))
+      .toAggregateExpression())
+
   /** Spark's file stream source requires a DIRECTORY; the testdata tables
     * are single parquet files — stage one into a temp dir to stream it.
     */
@@ -73,13 +83,20 @@ object SparkEntry {
           "l_linestatus" -> col("l_linestatus")
         ),
         aggs = Seq(
+          // qty cents ≤ 5000/row: the plain long sum wraps only past
+          // ~1.8e15 rows per group — orders beyond the 100 TB posture
           "sum_qty" -> (sum(cents(col("l_quantity"))) / 100.0),
-          "sum_base_price" -> (sum(cents(col("l_extendedprice"))) / 100.0),
+          "sum_base_price" ->
+            (sumCents128(cents(col("l_extendedprice")))
+              / lit(100).cast(DecimalType(3, 0))).cast(DoubleType),
           // product of two 2-decimal values is exact at 4 decimals — no
           // rounding anywhere, so no engine tie-breaking can diverge; in
           // the cents domain that is an exact long product summed exactly
-          "sum_disc_price" -> (sum(cents(col("l_extendedprice")) *
-            (lit(100L) - cents(col("l_discount")))) / 10000.0),
+          // (int128 accumulator: no wrap at any group size)
+          "sum_disc_price" ->
+            (sumCents128(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount"))))
+              / lit(10000).cast(DecimalType(5, 0))).cast(DoubleType),
           "avg_qty" -> round(avg(col("l_quantity")), 4),
           "count_order" -> count(lit(1))
         )

@@ -1962,9 +1962,32 @@ final class Compiler(spark: SparkSession, dir: String) {
             isVariant(df.schema("this").dataType) && shapes.length <= 1) {
           val het = graft.operators.Het
           val zt = graft.sources.ZType
+          // data-driven fidelity (fuse.go fuses only types actually SEEN):
+          // a row-dropping stage between the boxing and the fuse can
+          // eliminate a whole alt, and the static union tag cannot see
+          // that. Only then pay a tag-only distinct (column-pruned,
+          // partial-agg — not a full-value pass) and intersect; a plan
+          // with no row-dropping operator keeps the zero-pass static path.
+          def mayDropRows: Boolean = {
+            import org.apache.spark.sql.catalyst.plans.logical._
+            df.queryExecution.logical.exists {
+              case _: Filter | _: LocalLimit | _: GlobalLimit | _: Sample |
+                   _: Join | _: Except | _: Intersect | _: Deduplicate => true
+              case _ => false
+            }
+          }
+          def observedTags(): Set[String] =
+            df.select(het.variantTypeOf(col("this")).as("t"))
+              .distinct().collect().map(_.getString(0)).filter(_ != null).toSet
           val parsed: Seq[graft.sources.ZType] = shapes match {
             case Seq((_, u)) => zt.strip(u) match {
-              case zt.Union(alts) => alts
+              case zt.Union(alts) =>
+                if (!mayDropRows) alts
+                else {
+                  val seen = observedTags()
+                  val kept = alts.filter(a => seen.contains(zt.fullText(a)))
+                  if (kept.nonEmpty) kept else alts
+                }
               case _ => Seq(u)
             }
             case _ =>

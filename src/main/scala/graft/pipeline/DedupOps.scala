@@ -129,12 +129,18 @@ object DedupOps {
       .select(id.as("doc_id"), shingleHashes(text, k).as("sh"))
       .filter(size(col("sh")) > 0)
       // joined from BOTH sides of the verify join — materialize once
-      // (per-executor memory: one id + ~n_shingles longs per doc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (per-executor memory: one id + ~n_shingles longs per doc).
+      // localCheckpoint, NOT Dataset.persist: persist registers in the SQL
+      // CacheManager, which holds the entry strongly until an explicit
+      // unpersist that no caller can issue (the action happens downstream),
+      // so a long-lived session leaked storage per dedup query. The
+      // checkpoint's RDD blocks are weak-referenced by the context cleaner
+      // and freed once the query's RDDs are unreachable.
+      .localCheckpoint(false)
     // banded feeds the bucket-size guard AND the self-join: without a
-    // persist the whole minhash pipeline re-runs three times
+    // materialization the whole minhash pipeline re-runs three times
     val banded = minhashBands(docs, id, text, k, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // skew guard: drop buckets larger than maxBucket (boilerplate content);
     // at 100 TB an uncapped bucket is a quadratic blow-up in one task
     val keep = banded.groupBy("band", "bh").count()
@@ -173,7 +179,7 @@ object DedupOps {
     val base = docs
       .select(id.as("doc_id"), shingleHashes(text, k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // see nearDupPairs — no CacheManager leak
     val postings = base.select(col("doc_id"), explode(col("sh")).as("s"))
     val keep = postings.groupBy("s").count()
       .filter(col("count") <= maxPosting).drop("count")

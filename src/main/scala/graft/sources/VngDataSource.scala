@@ -153,7 +153,11 @@ private class VngScan(files: Seq[String], shapes: Seq[String], required: StructT
       .getOption("graft.vng.vectorized").forall(_.toBoolean)
     enabled && shapes.nonEmpty && (try {
       val perShape: Seq[Map[String, ZType]] = shapes.map { s =>
-        ZType.strip(ZsonParser.parseType(ZType.stripNullWrap(s))) match {
+        // a null-WRAPPED shape (typed-null record rows) must keep the row
+        // reader: the meta root is MNulls-wrapped there and the vectorized
+        // member fills cannot represent top-level null rows
+        if (ZType.isNullWrap(s)) throw new IllegalArgumentException("null-wrapped shape")
+        ZType.strip(ZsonParser.parseType(s)) match {
           case ZType.Rec(fs) => fs.toMap
           case _ => throw new IllegalArgumentException("non-record shape")
         }

@@ -527,8 +527,17 @@ object VngIO {
   }
 
   private def segBytes(data: Array[Byte], s: Seg): Array[Byte] =
+    segBytesAt(data, 0, s)
+
+  /** Segment slice at a base offset — lets the full-decode path fetch
+    * straight from the file buffer instead of first duplicating the whole
+    * data section (one near-file-size array per task, pure GC pressure on
+    * the 32-way concurrent fallback scan).
+    */
+  private def segBytesAt(data: Array[Byte], base: Int, s: Seg): Array[Byte] =
     decompressSeg(
-      java.util.Arrays.copyOfRange(data, s.offset.toInt, (s.offset + s.length).toInt), s)
+      java.util.Arrays.copyOfRange(data, base + s.offset.toInt,
+        base + (s.offset + s.length).toInt), s)
 
   private sealed trait Rd { def next(): ZValue }
 
@@ -661,10 +670,12 @@ object VngIO {
       (0 until n).map(i => (bytes(off + i) & 0xffL) << (8 * i)).sum
     val metaSize = leLong(8, 8).toInt
     val metaBytes = java.util.Arrays.copyOfRange(bytes, 24, 24 + metaSize)
-    val data = java.util.Arrays.copyOfRange(bytes, 24 + metaSize, bytes.length)
     val metaVal = ZngIO.decodeToZValues(metaBytes, unionKeepsMember = true).toSeq.headOption.getOrElse(
       throw new IllegalArgumentException("vng: empty metadata section"))
-    val fetch: Seg => Array[Byte] = s => segBytes(data, s)
+    // segments fetch straight from the file buffer (no whole-data-section
+    // duplicate per task)
+    val dataOff = 24 + metaSize
+    val fetch: Seg => Array[Byte] = s => segBytesAt(bytes, dataOff, s)
     parseMeta(metaVal) match {
       case MDynamic(tags, values, length) =>
         val tagRd = new Int64Rd(fetch(tags))
@@ -797,9 +808,19 @@ object VngIO {
     val h = new Handle(conf, path)
     try {
       val members = rootMembers(h.meta)
-      val texts = members.map {
-        case r @ MRecord(_, fs) if fs.nonEmpty => ZType.fullText(metaType(r))
-        case _ => null
+      // Named-wrapped records are shaped too (the text keeps the name, the
+      // readers unwrap to the record) — they previously fell all the way
+      // to the full-decode scan
+      def recUnder(x: Meta): Option[MRecord] = x match {
+        case r: MRecord => Some(r)
+        case MNamed(_, v) => recUnder(v)
+        case _ => None
+      }
+      val texts = members.map { m =>
+        recUnder(m) match {
+          case Some(MRecord(_, fs)) if fs.nonEmpty => ZType.fullText(metaType(m))
+          case _ => null
+        }
       }
       val shapes = if (texts.contains(null)) None else Some(texts)
       val ns = members.exists(hasSubMicroTimeMeta(_, h.fetch))
@@ -826,8 +847,8 @@ object VngIO {
       // per-field ZValue→Catalyst-internal conversion (no external Row,
       // no whole-row converter pass); merged-frame variant columns box
       // per value exactly like the full-decode path (same toExternal)
-      def colsFor(rec: MRecord): Array[() => Any] = {
-        val shapeText = ZType.fullText(metaType(rec))
+      def colsFor(orig: Meta, rec: MRecord): Array[() => Any] = {
+        val shapeText = ZType.fullText(metaType(orig))
         val byName = rec.fields.toMap
         required.fields.map { f =>
           if (f.name == graft.operators.Het.typeTag) {
@@ -855,16 +876,17 @@ object VngIO {
       }
       def recOf(m: Meta): MRecord = m match {
         case r: MRecord => r
+        case MNamed(_, v) => recOf(v) // named record roots unwrap; tag keeps the name
         case other => throw new IllegalStateException(
           s"vng pruned scan expects record roots, got ${other.getClass.getSimpleName}")
       }
       val it = h.meta match {
         case MDynamic(tags, members, length) =>
-          val memberCols = members.map(m => colsFor(recOf(m)))
+          val memberCols = members.map(m => colsFor(m, recOf(m)))
           val tagRd = new Int64Rd(h.fetch(tags))
           Iterator.range(0L, length).map(_ => rowFrom(memberCols(tagRd.next().toInt)))
         case single =>
-          val cols = colsFor(recOf(single))
+          val cols = colsFor(single, recOf(single))
           Iterator.range(0L, recOf(single).length).map(_ => rowFrom(cols))
       }
       (it, () => h.close())
@@ -1138,16 +1160,23 @@ object VngIO {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     val h = new Handle(conf, path)
     try {
-      val members: Vector[MRecord] = rootMembers(h.meta).map {
+      // a Named-wrapped record root vectorizes like the record it wraps
+      // (the name only changes the type TAG text, kept from the original
+      // meta below); MNulls-wrapped roots (typed-null record rows) cannot
+      // — columnarOk rejects their shape texts so they take the row reader
+      def unwrapRec(m: Meta): MRecord = m match {
         case r: MRecord => r
+        case MNamed(_, v) => unwrapRec(v)
         case other => throw new IllegalStateException(
           s"vng vectorized scan expects record roots, got ${other.getClass.getSimpleName}")
       }
+      val members: Vector[(Meta, MRecord)] =
+        rootMembers(h.meta).map(m => m -> unwrapRec(m))
       val total = metaLen(h.meta)
       val vectors = required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
-      def fillsFor(rec: MRecord): Array[VFill] = {
+      def fillsFor(orig: Meta, rec: MRecord): Array[VFill] = {
         val byName = rec.fields.toMap
-        val tagBytes = ZType.fullText(metaType(rec))
+        val tagBytes = ZType.fullText(metaType(orig))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         required.fields.map { f =>
           if (f.name == graft.operators.Het.typeTag)
@@ -1165,7 +1194,7 @@ object VngIO {
       var emitted = 0L
       val it = h.meta match {
         case MDynamic(tags, _, _) =>
-          val memberFills = members.toArray.map(fillsFor)
+          val memberFills = members.toArray.map { case (o, r) => fillsFor(o, r) }
           val tagRd = new Int64Rd(h.fetch(tags))
           val width = required.fields.length
           new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -1187,7 +1216,7 @@ object VngIO {
             }
           }
         case _ =>
-          val fills = fillsFor(members.head)
+          val fills = (fillsFor _).tupled(members.head)
           new Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] {
             def hasNext: Boolean = emitted < total
             def next(): org.apache.spark.sql.vectorized.ColumnarBatch = {

@@ -10,6 +10,37 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
   import spark.implicits._
 
+  test("SumInt128 sums past the long boundary exactly (update + merge)") {
+    import org.apache.spark.sql.functions._
+    def s128(c: org.apache.spark.sql.Column) = graft.functions.Bridge.column(
+      graft.functions.SumInt128(graft.functions.Bridge.expression(c))
+        .toAggregateExpression())
+    // 40 addends of ~0.46*2^63 across 7 partitions: the plain long sum
+    // wraps many times over; the int128 buffer must carry exactly
+    val big = Long.MaxValue / 2 - 12345L
+    val n = 40
+    val df = spark.range(n).repartition(7).select(lit(big).as("v"))
+    val got = df.agg(s128(col("v")).as("s")).collect()(0).getDecimal(0)
+    assert(BigDecimal(got) == BigDecimal(BigInt(big) * n))
+    // negative values and sign-extension through the carry
+    val mixed = spark.createDataFrame(Seq(
+      (1L, Long.MaxValue), (1L, Long.MaxValue), (1L, -7L), (1L, Long.MinValue)
+    )).toDF("k", "v").repartition(3)
+    val got2 = mixed.agg(s128(col("v")).as("s")).collect()(0).getDecimal(0)
+    assert(BigDecimal(got2) ==
+      BigDecimal(BigInt(Long.MaxValue) * 2 - 7 + BigInt(Long.MinValue)))
+    // nulls skipped; all-null/empty group is null (Spark sum semantics)
+    val withNulls = spark.createDataFrame(Seq(
+      (1L, Some(5L)), (1L, None), (2L, None)
+    )).toDF("k", "v")
+    val byK = withNulls.groupBy("k").agg(s128(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getDecimal(1))).toMap
+    assert(byK(1L).map(BigDecimal(_)) == Some(BigDecimal(5)))
+    assert(byK(2L).isEmpty)
+    assert(spark.emptyDataFrame.select(lit(1L).as("v")).filter(lit(false))
+      .agg(s128(col("v"))).collect()(0).isNullAt(0))
+  }
+
   test("strftimeToJava converts the C codes zed supports") {
     // literals are single-quoted for DateTimeFormatter safety
     assert(F.strftimeToJava("%Y-%m-%d") == "yyyy'-'MM'-'dd")

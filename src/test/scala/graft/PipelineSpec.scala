@@ -47,6 +47,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == truth, s"LSH=${got.size} truth=${truth.size}; missed=${truth -- got}; extra=${got -- truth}")
   }
 
+  test("dedup queries leave no lingering SQL-cache entries (storage leak pin)") {
+    // the intra-query materializations are localCheckpoints, not
+    // CacheManager persists — a service session running dedup queries
+    // repeatedly must not accumulate storage entries nobody unpersists
+    spark.catalog.clearCache() // drop the suite fixtures' caches first
+    DedupOps.nearDupPairs(docs, col("doc_id"), col("text")).collect()
+    DedupOps.jaccardPairs(docs, col("doc_id"), col("text")).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup left entries in the SQL CacheManager")
+  }
+
   test("simhash pairs cover the high-jaccard planted near-dups") {
     val truth = bruteJaccardPairs(0.9)
     val got = DedupOps.simhashPairs(docs, col("doc_id"), col("text"))

@@ -223,6 +223,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{a:null(int64),b:"x"}"""))
   }
 
+  test("fuse after a filter is data-driven: a dropped alt does not fuse in") {
+    import graft.sources.ZsonReader
+    // reference fuse.go fuses only types actually SEEN: when a where drops
+    // every value of one alt, the fused record must not carry its fields.
+    // The static union tag alone cannot witness the drop — the compiler
+    // intersects the alts with the observed tags when a row-dropping
+    // operator precedes the fuse.
+    val in = ZsonReader.fromText(spark, """{l:[{a:1},{b:"x"},{a:3}]}""")
+    val q = Graft.queryOn(in, "over l | where has(a) | fuse")
+    val out = graft.sources.ZsonIO.toZson(q).collect()
+    assert(out.toSeq == Seq("{a:1}", "{a:3}"),
+      s"dropped alt leaked into the fused type: ${out.toSeq}")
+    // and with no filter the static-tag (zero-pass) fuse still applies
+    val all = graft.sources.ZsonIO.toZson(Graft.queryOn(in, "over l | fuse")).collect()
+    assert(all.toSeq == Seq(
+      """{a:1,b:null(string)}""",
+      """{a:null(int64),b:"x"}""",
+      """{a:3,b:null(string)}"""))
+  }
+
   test("a 100-column (zeek-width) projection COMPILES under whole-stage " +
       "codegen — no Janino failure, no silent interpreted fallback") {
     import org.apache.spark.sql.functions._

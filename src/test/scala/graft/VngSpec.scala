@@ -208,6 +208,40 @@ class VngSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!v2.queryExecution.executedPlan.toString.contains("vectorized"))
   }
 
+  test("NAMED record roots vectorize (unwrap to the record, keep the named tag)") {
+    import graft.sources.{ZType, ZValue}
+    val recT = ZType.Rec(Vector("a" -> ZType.Prim("int64"), "s" -> ZType.Prim("string")))
+    val vals: Iterator[ZValue] = (0 until 500).iterator.map { i =>
+      ZValue.VTyped(ZValue.VRec(Vector(
+        "a" -> ZValue.VInt(i.toLong, "int64"),
+        "s" -> ZValue.VStr("x" + i))), ZType.Named("conn", recT))
+    }
+    val bytes = VngIO.encodeObject(vals)
+    val dir = tmp("vng-named")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-00000.vng"), bytes)
+    def q() = VngIO.read(spark, dir).select(col("a"), col("s"))
+    val vec = q()
+    // previously columnarOk accepted the Named-wrapped shape text but the
+    // member match threw IllegalStateException at runtime
+    assert(vec.queryExecution.executedPlan.toString.contains("vectorized"),
+      vec.queryExecution.executedPlan.toString.take(600))
+    val vecData = vec.orderBy("a").collect().toSeq
+    spark.conf.set("graft.vng.vectorized", "false")
+    val rowData =
+      try q().orderBy("a").collect().toSeq
+      finally spark.conf.unset("graft.vng.vectorized")
+    assert(vecData == rowData)
+    assert(vecData.length == 500)
+    // and both match the pre-change semantics (the full-decode fallback,
+    // which named-record streams always took before)
+    spark.conf.set("graft.vng.prune", "false")
+    val fullData =
+      try q().orderBy("a").collect().toSeq
+      finally spark.conf.unset("graft.vng.prune")
+    assert(vecData == fullData)
+  }
+
   test("vectorized scan covers nested structs; maps/unions fall back") {
     val df = GraftSession.table(spark, dir, "orders").limit(100)
       .select(col("o_orderkey"),
