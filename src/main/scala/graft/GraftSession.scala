@@ -32,13 +32,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      // joins too big to broadcast: prefer shuffled-hash over sort-merge
-      // when the planner's size conditions hold (no sort of either side),
-      // and let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
-      // partition is small (guide: shuffled hash beats sort-merge when a
-      // build side fits per-partition; AQE coalescing bounds partition
-      // size, so the OOM risk SHJ trades for the sort is capped)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // joins too big to broadcast: let AQE rewrite SMJ→SHJ at RUNTIME
+      // when every post-shuffle partition is under 64 MB (guide: shuffled
+      // hash beats sort-merge when a build side fits per-partition). The
+      // static preferSortMergeJoin=false form was removed: it decides from
+      // plan-time size ESTIMATES, and the custom DSv2 sources feed
+      // discovery-time stats a misestimate of which would pick an
+      // unspillable hash build statically; the AQE rewrite instead sees
+      // the REAL post-shuffle partition sizes, so its SHJ choice is
+      // bounded by measured data. Pinned by PlanSpec's beyond-broadcast
+      // regime test.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")

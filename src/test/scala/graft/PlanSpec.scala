@@ -223,6 +223,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{a:null(int64),b:"x"}"""))
   }
 
+  test("beyond-broadcast joins: AQE rewrites sort-merge to shuffled-hash " +
+      "when post-shuffle partitions fit the local-map threshold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // force the beyond-broadcast regime (tiny threshold) — the session's
+    // maxShuffledHashJoinLocalMapThreshold=64m must then convert the
+    // static SortMergeJoin to ShuffledHashJoin from the REAL post-shuffle
+    // sizes; this is the config's only executed-path coverage
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(200000).select(col("id").as("k"), (col("id") * 2).as("x"))
+      val b = spark.range(100000).select(col("id").as("k"), (col("id") * 3).as("y"))
+      val j = a.join(b, "k")
+      // execute THIS QueryExecution (df.write/count plan their own) so
+      // the adaptive plan below is the final, re-optimized one
+      assert(j.collect().length == 100000)
+      val finalPlan = j.queryExecution.executedPlan match {
+        case ap: AdaptiveSparkPlanExec => ap.executedPlan.toString
+        case other => other.toString
+      }
+      assert(finalPlan.contains("ShuffledHashJoin"),
+        s"AQE did not rewrite SMJ to shuffled-hash:\n$finalPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("fuse after a filter is data-driven: a dropped alt does not fuse in") {
     import graft.sources.ZsonReader
     // reference fuse.go fuses only types actually SEEN: when a where drops

@@ -109,6 +109,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("scale smoke: 10x events through windowed counts keeps per-batch " +
+      "time flat and the state store bounded (watermark expiry works)") {
+    import org.apache.spark.sql.functions._
+    // 10x the sf0.1 events fixture (1M rows), event time advancing ~6 min
+    // per file chunk across 10 chunks >> the 10-minute watermark, so old
+    // window state must expire as batches progress
+    val n = 1000000L
+    val chunks = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-scale").toString
+    val base = spark.range(n).select(
+      // event time: i-th row at (i / n * 60) minutes — chunk k spans
+      // ~6 minutes, well past the watermark after two chunks
+      (col("id") * (60L * 60L * 1000000L / n)).as("ts_us"),
+      (col("id") % 50000).as("user_id"),
+      (col("id") % 17).cast("double").as("value"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    (0 until chunks).foreach { k =>
+      base.filter(col("id") >= k * n / chunks && col("id") < (k + 1) * n / chunks)
+        .coalesce(1).write.parquet(s"$dir/chunk=$k")
+    }
+    val schema = spark.read.parquet(s"$dir/chunk=0").schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/chunk=*")
+      .withWatermark("event_time", "10 minutes")
+    val agg = StreamOps.everyCounts(ev, "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("scale_smoke_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 5, s"expected several micro-batches, got ${progress.length}")
+    // state store must be BOUNDED: the watermark expires closed windows,
+    // so total state rows never approach the all-windows total (144
+    // five-minute windows over the hour; live state is the open tail)
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(stateRows.max <= 60,
+      s"state store grew unboundedly: per-batch numRowsTotal=${stateRows.mkString(",")}")
+    // per-batch time flat: the LAST batches (most accumulated state) must
+    // not blow up vs the early ones — generous 5x bound over the median
+    // absorbs CI noise while still catching linear state-scan growth
+    val durs = progress.map(_.durationMs.get("triggerExecution").toLong)
+    val median = durs.sorted.apply(durs.length / 2).max(1L)
+    assert(durs.takeRight(2).max <= 5L * median,
+      s"late batches slowed down: durations=${durs.mkString(",")} median=$median")
+  }
+
   test("dedupStream drops exact duplicates within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
