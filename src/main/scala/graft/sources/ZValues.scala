@@ -91,7 +91,23 @@ object ZType extends Serializable {
   /** Round-trippable type text: named types print their definition
     * (`port=uint16`) so shape tags can be re-parsed with full structure.
     */
-  def fullText(t: ZType): String = t match {
+  // fullText is called PER ROW on the typed-decode paths (recordify's
+  // shape tag, leafRow's t slot): a homogeneous 2M-row stream rebuilt the
+  // same text 2M times — string assembly plus a fieldName regex per field.
+  // The memo keys on the ZType tree (structural equality, far cheaper than
+  // the rebuild); bounded for exotic type-churn workloads.
+  private val fullTextCache = new java.util.concurrent.ConcurrentHashMap[ZType, String]()
+
+  def fullText(t: ZType): String = {
+    val cached = fullTextCache.get(t)
+    if (cached != null) return cached
+    val s = fullTextUncached(t)
+    if (fullTextCache.size > 8192) fullTextCache.clear()
+    fullTextCache.put(t, s)
+    s
+  }
+
+  private def fullTextUncached(t: ZType): String = t match {
     case Named(n, i) => s"$n=${fullText(i)}"
     case Prim(n) => n
     case Rec(fs) => fs.map { case (n, ft) => s"${fieldName(n)}:${fullText(ft)}" }.mkString("{", ",", "}")
