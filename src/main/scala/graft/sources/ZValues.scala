@@ -2218,9 +2218,168 @@ object ZsonReader {
     }
     val (cleaned, full) = frameSchema(shapeTexts, tag, nsTime)
     val bcSchema = spark.sparkContext.broadcast(cleaned)
-    // pass 2: per-partition typed decode straight to the merged schema
-    val rows = rdd.map(v => rowOf(v, bcSchema.value, tag))
-    spark.createDataFrame(rows, full)
+    // pass 2: per-partition typed decode straight to Catalyst InternalRows
+    // (RowBridge — the same contract the zeek line decoder uses). The
+    // external-Row + row-encoder pass this replaces re-dispatched on every
+    // field of every row and re-found each column by name; the decoder
+    // compiles the name→ordinal map once per shape per partition.
+    val rows = rdd.mapPartitions { it =>
+      val dec = new InternalDecoder(bcSchema.value, tag)
+      it.map(dec.decode)
+    }
+    org.apache.spark.sql.graftshim.RowBridge.toDF(spark, rows, full)
+  }
+
+  /** Per-partition ZValue → InternalRow decoder: the typed-decode twin of
+    * rowOf/toExternal that lands Catalyst values directly — no external Row
+    * materialization, no encoder pass. Semantics mirror toExternal followed
+    * by the row encoder exactly: shape-missing fields are null, variant
+    * columns box via variantRow, the ns-carrier escalation is decided by
+    * the target type, map entries keep the scala-Map iteration order (the
+    * generic fallback routes through toExternal itself).
+    */
+  private final class InternalDecoder(schema: StructType, tag: Boolean) {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val n = schema.length
+    private val fields = schema.fields
+    // shape text → (schema ordinal → record field ordinal, -1 when absent);
+    // one entry per distinct shape seen in the partition
+    private val shapeIdx = new java.util.HashMap[String, Array[Int]]()
+    private val extConv = new java.util.HashMap[DataType, Any => Any]()
+
+    // exact pre-rewrite behavior for combinations with conversion subtleties
+    // (maps, decorated unions, type mismatches): external decode + Catalyst
+    // converter — the converter iterates the same scala collections the row
+    // encoder did, so values and entry order are unchanged
+    private def generic(v0: ZValue, target: DataType): Any = {
+      val ext = toExternal(v0, target)
+      if (ext == null) return null
+      var c = extConv.get(target)
+      if (c == null) {
+        c = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(target)
+        extConv.put(target, c)
+      }
+      c(ext)
+    }
+
+    def decode(v: ZValue): InternalRow = {
+      val (r, t) = recordify(v)
+      var idx = shapeIdx.get(t)
+      if (idx == null) {
+        idx = Array.tabulate(n) { i =>
+          val name = fields(i).name
+          r.fields.indexWhere(_._1 == name)
+        }
+        shapeIdx.put(t, idx)
+      }
+      val out = new GenericInternalRow(if (tag) n + 1 else n)
+      var i = 0
+      while (i < n) {
+        val fi = idx(i)
+        if (fi >= 0) out.update(i, internalOf(r.fields(fi)._2, fields(i).dataType))
+        i += 1
+      }
+      if (tag) out.update(n, UTF8String.fromString(t))
+      out
+    }
+
+    private def toDecimal(bd: java.math.BigDecimal, dt: DecimalType): Any = {
+      // non-ANSI row-encoder semantics: null on precision overflow
+      val d = Decimal(bd)
+      if (d.changePrecision(dt.precision, dt.scale)) d else null
+    }
+
+    private def internalOf(v0: ZValue, target: DataType): Any = {
+      if (target == Het.variantType) return generic(v0, target)
+      unwrap(v0) match {
+        case VNull(_) => null
+        case VInt(x, _) => target match {
+          case LongType => x
+          case DoubleType => x.toDouble
+          case dt: DecimalType => toDecimal(new java.math.BigDecimal(x), dt)
+          case StringType => UTF8String.fromString(x.toString)
+          case _ => generic(v0, target)
+        }
+        case VUint64(x) => target match {
+          case dt: DecimalType => toDecimal(x.bigDecimal, dt)
+          case LongType => x.toLong
+          case DoubleType => x.toDouble
+          case _ => generic(v0, target)
+        }
+        case VFloat(d, _) => target match {
+          case DoubleType => d
+          case LongType => d.toLong
+          case dt: DecimalType => toDecimal(java.math.BigDecimal.valueOf(d), dt)
+          case _ => generic(v0, target)
+        }
+        case VStr(s) => target match {
+          case StringType => UTF8String.fromString(s)
+          case _ => generic(v0, target)
+        }
+        case VBool(b) => target match {
+          case BooleanType => b
+          case _ => generic(v0, target)
+        }
+        case VBytes(b) => target match {
+          case BinaryType => b
+          case _ => generic(v0, target)
+        }
+        case VTime(ns) => target match {
+          case LongType => ns // ns carrier (sub-µs-precision frames)
+          case TimestampType => Math.floorDiv(ns, 1000L) // µs, = encoder's fromJavaTimestamp
+          case _ => generic(v0, target)
+        }
+        case VDur(ns) => target match {
+          case LongType => ns
+          case DoubleType => ns.toDouble
+          case _ => generic(v0, target)
+        }
+        case VIp(s) => target match {
+          case StringType => UTF8String.fromString(s)
+          case _ => generic(v0, target)
+        }
+        case VNet(s) => target match {
+          case StringType => UTF8String.fromString(s)
+          case _ => generic(v0, target)
+        }
+        case VTypeVal(t) => target match {
+          case StringType => UTF8String.fromString(t)
+          case _ => generic(v0, target)
+        }
+        case VEnum(s) => target match {
+          case StringType => UTF8String.fromString(s)
+          case _ => generic(v0, target)
+        }
+        case VRec(fs) => target match {
+          case st: StructType =>
+            val row = new GenericInternalRow(st.length)
+            var i = 0
+            while (i < st.length) {
+              val f = st.fields(i)
+              val m = fs.find(_._1 == f.name)
+              if (m.isDefined) row.update(i, internalOf(m.get._2, f.dataType))
+              i += 1
+            }
+            row
+          case _ => generic(v0, target)
+        }
+        case VArr(items, _) => target match {
+          case ArrayType(et, _) =>
+            val arr = new Array[Any](items.length)
+            var i = 0
+            while (i < items.length) { arr(i) = internalOf(items(i), et); i += 1 }
+            new GenericArrayData(arr)
+          case _ => generic(v0, target)
+        }
+        // maps, errors, decorated leftovers: exact pre-rewrite path
+        case _ => generic(v0, target)
+      }
+    }
   }
 
   private def deNull(dt: DataType): DataType = dt match {
