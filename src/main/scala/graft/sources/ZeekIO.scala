@@ -645,10 +645,32 @@ object ZeekIO {
     case _ => "string"
   }
 
+  /** "%.6f" of `us` microseconds as seconds, integer-rendered: sign,
+    * seconds, '.', zero-padded 6-digit µs — no java.util.Formatter in the
+    * per-row path (it was ~40% of write_zeek's samples). Byte-equal to
+    * `format_string("%.6f", us/1e6)` while |us| < 4e15: the exact value
+    * sits ON the 1e-6 grid and the double's representation error there is
+    * under half a grid step, so the Formatter's rounded rendering IS the
+    * grid point. Beyond the guard the Formatter fallback keeps parity.
+    */
+  private def micros6(us: Column): Column = {
+    def pos(u: Column): Column = {
+      val frac = pmod(u, lit(1000000L))
+      // u - frac is an exact multiple of 1e6 within the guard, so the
+      // double division is exact and the long cast loses nothing
+      concat(((u - frac) / lit(1e6)).cast(LongType).cast(StringType),
+        lit("."), lpad(frac.cast(StringType), 6, "0"))
+    }
+    val safe = abs(us) < lit(4000000000000000L)
+    when(safe && us >= 0, pos(us))
+      .when(safe, concat(lit("-"), pos(-us)))
+      .otherwise(format_string("%.6f", us.cast(DoubleType) / 1e6))
+  }
+
   private def encodeCol(c: Column, dt: DataType): Column = {
     val enc = dt match {
       case TimestampType | TimestampNTZType =>
-        format_string("%.6f", unix_micros(c).cast(DoubleType) / 1e6)
+        micros6(unix_micros(c))
       case BooleanType => when(c, "T").otherwise("F")
       case ArrayType(_, _) =>
         when(size(c) === 0, lit("(empty)")).otherwise(array_join(c.cast(ArrayType(StringType)), ","))
@@ -707,9 +729,19 @@ object ZeekIO {
     def typeName(name: String, dt: DataType): String =
       zedTypes.get(name).map(zeekTypeOfZ).getOrElse(zeekTypeOf(dt))
     def encode(name: String, c: Column, dt: DataType): Column =
-      if (zedTypes.get(name).map(ZType.strip).contains(ZType.Prim("duration")) && dt == LongType)
-        coalesce(format_string("%.6f", c.cast(DoubleType) / 1e9), lit("-")) // ns → interval secs
-      else encodeCol(c, dt)
+      if (zedTypes.get(name).map(ZType.strip).contains(ZType.Prim("duration")) && dt == LongType) {
+        // ns → interval seconds. µs-aligned ns (the common case) render on
+        // the exact integer path; sub-µs ns keep the Formatter so its
+        // double-rounding of the 7th-9th decimals stays byte-identical
+        val sub = pmod(c, lit(1000L))
+        // 9e15 < 2^53: ns values beyond that lose integer exactness in the
+        // double division, so they stay on the Formatter path
+        val intOk = sub === 0 && abs(c) < lit(9000000000000000L)
+        coalesce(
+          when(intOk, micros6(((c - sub) / lit(1e3)).cast(LongType)))
+            .otherwise(format_string("%.6f", c.cast(DoubleType) / 1e9)),
+          lit("-"))
+      } else encodeCol(c, dt)
     val pathVal: Option[String] =
       if (hasPath)
         try Option(df.select(col("_path")).limit(1).collect()).flatMap(_.headOption)
