@@ -505,7 +505,125 @@ object ZeekIO {
     val pathStr = if (withPath) h.path.get else null
     val nFields = fieldsArr.length
 
-    val rdd = lines.rdd.mapPartitions { iter =>
+    // Byte-level decode (the normal case: single-ASCII separators): lines
+    // stay UTF8String end-to-end — no whole-line UTF-16 decode, no String
+    // substring per cell, no fromString re-encode for string columns. Cells
+    // are zero-copy VIEWS into the scan buffer; only stored strings clone
+    // their bytes (the scan's UnsafeRow buffer is reused across rows).
+    val fastBytes = sep.length == 1 && sep.charAt(0) < 0x80 &&
+      setSep.length == 1 && setSep.charAt(0) < 0x80
+    val rdd = if (fastBytes) lines.queryExecution.toRdd.mapPartitions { iter =>
+      val tagU = UTF8String.fromString(tagText)
+      val pathU = if (pathStr != null) UTF8String.fromString(pathStr) else null
+      val base = if (pathU != null) 1 else 0
+      val width = base + nFields + 1
+      val longWrap = new UTF8String.LongWrapper
+      val unsetU = UTF8String.fromString(unset)
+      val emptyU = UTF8String.fromString(emptyMark)
+      val tU = UTF8String.fromString("T")
+      val fU = UTF8String.fromString("F")
+      val sepB = sep.charAt(0).toByte
+      val setSepB = setSep.charAt(0).toByte
+
+      def view(u: UTF8String, s: Int, e: Int): UTF8String =
+        UTF8String.fromAddress(u.getBaseObject, u.getBaseOffset + s, e - s)
+
+      def toLongOrNull(cu: UTF8String): Any =
+        if (cu.toLong(longWrap)) java.lang.Long.valueOf(longWrap.value) else null
+      // Spark's castToDouble: scala toDouble, then the special literals
+      def toDoubleOrNull(s: String): Any =
+        try java.lang.Double.valueOf(s.trim.toDouble)
+        catch {
+          case _: NumberFormatException =>
+            s.trim.toLowerCase match {
+              case "inf" | "+inf" | "infinity" | "+infinity" =>
+                java.lang.Double.valueOf(Double.PositiveInfinity)
+              case "-inf" | "-infinity" => java.lang.Double.valueOf(Double.NegativeInfinity)
+              case "nan" => java.lang.Double.valueOf(Double.NaN)
+              case _ => null
+            }
+        }
+      def toEpoch(s: String, unitPerSec: Double): Any = toDoubleOrNull(s) match {
+        case d: java.lang.Double => java.lang.Long.valueOf((d.doubleValue() * unitPerSec).toLong)
+        case _ => null
+      }
+      def stringCell(cu: UTF8String): UTF8String =
+        if (cu.equals(emptyU)) UTF8String.EMPTY_UTF8
+        else {
+          var i = 0; val nb = cu.numBytes; var esc = false
+          while (i < nb && !esc) { if (cu.getByte(i) == '\\') esc = true; i += 1 }
+          if (esc) UTF8String.fromString(unescapeZeek(cu.toString)) else cu.clone()
+        }
+      def containerDecoder(inner: String, isSet: Boolean): UTF8String => Any = {
+        val elem: UTF8String => Any =
+          if (inner == "count" || inner == "int" || inner == "port") toLongOrNull
+          else if (inner == "double") cu => toDoubleOrNull(cu.toString)
+          else cu => cu.clone() // raw: elements don't unescape
+        cu => {
+          if (cu.equals(emptyU)) new GenericArrayData(Array.empty[Any])
+          else {
+            val nb = cu.numBytes
+            var n = 1; var i = 0
+            while (i < nb) { if (cu.getByte(i) == setSepB) n += 1; i += 1 }
+            val items = new Array[Any](n)
+            var start = 0; var k = 0; i = 0
+            while (k < n) {
+              var e = start
+              while (e < nb && cu.getByte(e) != setSepB) e += 1
+              val p = view(cu, start, e)
+              items(k) = if (p.equals(unsetU)) null else elem(p)
+              k += 1; start = e + 1
+            }
+            if (isSet) {
+              // zed set values are deduped + ordered (zson.md §2.5.2):
+              // array_distinct keeps one null, array_sort puts it last
+              val seen = new java.util.LinkedHashSet[Any]
+              var hasNull = false
+              items.foreach(v => if (v == null) hasNull = true else seen.add(v))
+              val sorted = seen.toArray.sortWith { (a, b) =>
+                a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+              }
+              new GenericArrayData(if (hasNull) sorted :+ (null: Any) else sorted)
+            } else new GenericArrayData(items)
+          }
+        }
+      }
+      // per-column decoders compiled once — no per-cell type-string match
+      val decoders: Array[UTF8String => Any] = typesArr.map {
+        case "time" => cu => toEpoch(cu.toString, 1e6)
+        case "interval" => cu => toEpoch(cu.toString, 1e9)
+        case "count" | "int" | "port" => toLongOrNull _
+        case "double" => cu => toDoubleOrNull(cu.toString)
+        case "bool" => cu =>
+          if (cu.equals(tU)) java.lang.Boolean.TRUE
+          else if (cu.equals(fU)) java.lang.Boolean.FALSE else null
+        case c if c.startsWith("set[") => containerDecoder(innerOf(c), isSet = true)
+        case c if c.startsWith("vector[") => containerDecoder(innerOf(c), isSet = false)
+        case _ => stringCell _
+      }
+
+      iter.flatMap { row =>
+        val u = row.getUTF8String(0)
+        val nb = u.numBytes
+        if (nb == 0 || u.getByte(0) == '#') None
+        else {
+          val values = new Array[Any](width)
+          if (pathU != null) values(0) = pathU
+          var start = 0; var ci = 0
+          // split-with-trailing-empties semantics: cells = separators + 1;
+          // columns past the line's last cell stay null (as before)
+          while (ci < nFields && start <= nb) {
+            var e = start
+            while (e < nb && u.getByte(e) != sepB) e += 1
+            val cu = view(u, start, e)
+            values(base + ci) = if (cu.equals(unsetU)) null else decoders(ci)(cu)
+            ci += 1; start = e + 1
+          }
+          values(width - 1) = tagU
+          Some(new GenericInternalRow(values): InternalRow)
+        }
+      }
+    } else lines.rdd.mapPartitions { iter =>
       val tagU = UTF8String.fromString(tagText)
       val pathU = if (pathStr != null) UTF8String.fromString(pathStr) else null
       val base = if (pathU != null) 1 else 0
