@@ -37,9 +37,24 @@ object ZType extends Serializable {
 
   val nullT: ZType = Prim("null")
 
-  private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  // ^[A-Za-z_][A-Za-z0-9_]*$ as a char scan — fieldName runs per FIELD on
+  // the render/type-text paths (a regex engine pass per call showed up in
+  // het-fallback profiles)
+  private def isIdent(n: String): Boolean = {
+    val len = n.length
+    if (len == 0) return false
+    var i = 0
+    while (i < len) {
+      val c = n.charAt(i)
+      val ok = c == '_' || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (i > 0 && c >= '0' && c <= '9')
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
   def fieldName(n: String): String =
-    if (identRe.matches(n)) n else "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    if (isIdent(n)) n else "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Canonical zed type text (matches Shaper.zedTypeOf conventions). */
   def text(t: ZType): String = t match {
