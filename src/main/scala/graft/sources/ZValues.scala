@@ -632,7 +632,12 @@ object ZValue {
           return r.getUTF8String(5)
       }
     }
-    org.apache.spark.unsafe.types.UTF8String.fromString(renderVariantStr(r))
+    if (r == null) return org.apache.spark.unsafe.types.UTF8String.fromString("null")
+    // byte-domain render straight to UTF8String — no String round trip
+    val sb = renderSb.get()
+    sb.reset()
+    renderVariantInto(sb, r)
+    sb.toUTF8
   }
 
   private val fixedMicroFmt = java.time.format.DateTimeFormatter
@@ -661,31 +666,113 @@ object ZValue {
   }
 
 
+  /** Growable byte buffer for the render path: variant slots are
+    * UTF8String, so rendering in the BYTE domain appends them verbatim —
+    * no UTF-16 decode per slot and no final re-encode when the consumer
+    * wants a UTF8String (the hot VariantAccess.render case). One instance
+    * per thread (render is not reentrant); outputs copy out of the buffer.
+    */
+  private final class ByteSb {
+    private var buf = new Array[Byte](256)
+    var len = 0
+    def reset(): Unit = {
+      len = 0
+      if (buf.length > (1 << 20)) buf = new Array[Byte](256)
+    }
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length << 1
+        while (cap < len + n) cap <<= 1
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def byte(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
+    /** ASCII-only input (digits, punctuation, keywords, float/time texts). */
+    def ascii(s: String): Unit = {
+      val n = s.length; ensure(n); var i = 0
+      while (i < n) { buf(len + i) = s.charAt(i).toByte; i += 1 }
+      len += n
+    }
+    def str(s: String): Unit = { // general UTF-8 encode (decorator texts)
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ensure(b.length); System.arraycopy(b, 0, buf, len, b.length); len += b.length
+    }
+    def utf8(u: org.apache.spark.unsafe.types.UTF8String): Unit = {
+      val n = u.numBytes; ensure(n)
+      u.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+      len += n
+    }
+    def toUTF8: org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOf(buf, len))
+    override def toString: String =
+      new String(buf, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private val renderSb = new ThreadLocal[ByteSb] {
+    override def initialValue(): ByteSb = new ByteSb
+  }
+
   def renderVariantStr(r: org.apache.spark.sql.catalyst.InternalRow): String = {
     if (r == null) return "null"
-    val sb = new java.lang.StringBuilder
+    val sb = renderSb.get()
+    sb.reset()
     renderVariantInto(sb, r)
     sb.toString
   }
 
-  /** Escape-append without the intermediate escaped-copy String. */
-  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+  /** Escape-append (zson string escapes) in the byte domain: the escaped
+    * characters are all ASCII and bytes < 0x20 are standalone code points
+    * in valid UTF-8, so byte-level escaping equals the char-level form;
+    * multi-byte sequences pass through verbatim.
+    */
+  private def appendEscaped(sb: ByteSb, u: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val n = u.numBytes
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\\' => sb.append("\\\\")
-        case '"' => sb.append("\\\"")
-        case '\b' => sb.append("\\b")
-        case '\f' => sb.append("\\f")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
+    while (i < n) {
+      val b = u.getByte(i)
+      if (b == '\\') sb.ascii("\\\\")
+      else if (b == '"') sb.ascii("\\\"")
+      else if (b == '\b') sb.ascii("\\b")
+      else if (b == '\f') sb.ascii("\\f")
+      else if (b == '\n') sb.ascii("\\n")
+      else if (b == '\r') sb.ascii("\\r")
+      else if (b == '\t') sb.ascii("\\t")
+      else if (b >= 0 && b < ' ') sb.ascii(f"\\u${b.toInt}%04x")
+      else sb.byte(b)
       i += 1
     }
   }
+
+  /** fieldName in the byte domain: same ^[A-Za-z_][A-Za-z0-9_]*$ predicate
+    * (non-ASCII bytes fail it, as non-ASCII chars did), and the quoted form
+    * escapes ONLY backslash and quote, as ZType.fieldName does.
+    */
+  private def appendFieldName(sb: ByteSb, u: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val n = u.numBytes
+    var ident = n > 0
+    var i = 0
+    while (ident && i < n) {
+      val b = u.getByte(i)
+      ident = b == '_' || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (i > 0 && b >= '0' && b <= '9')
+      i += 1
+    }
+    if (ident) sb.utf8(u)
+    else {
+      sb.byte('"')
+      i = 0
+      while (i < n) {
+        val b = u.getByte(i)
+        if (b == '\\') sb.ascii("\\\\")
+        else if (b == '"') sb.ascii("\\\"")
+        else sb.byte(b)
+        i += 1
+      }
+      sb.byte('"')
+    }
+  }
+
+  private val nullTextU = org.apache.spark.unsafe.types.UTF8String.fromString("null")
 
   private val floatPrefixU = org.apache.spark.unsafe.types.UTF8String.fromString("float")
   private val decimalTextU = org.apache.spark.unsafe.types.UTF8String.fromString("decimal")
@@ -700,9 +787,9 @@ object ZValue {
     * s/t/z slots were each materialized as Strings even when unused.
     */
   private def renderVariantInto(
-      sb: java.lang.StringBuilder,
+      sb: ByteSb,
       r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
-    if (r == null) { sb.append("null"); return true }
+    if (r == null) { sb.ascii("null"); return true }
     val w = r.numFields
     val k = if (r.isNullAt(0)) -1 else r.getInt(0)
     val zU = if (r.isNullAt(5)) null else r.getUTF8String(5)
@@ -710,64 +797,63 @@ object ZValue {
     val m = if (w < 8 || r.isNullAt(7)) null else r.getArray(7)
     val sNull = r.isNullAt(2)
     if (r.isNullAt(1) && sNull && r.isNullAt(3) && zU == null && a == null && m == null) {
-      sb.append("null") // typed null: kind set, every payload absent
+      sb.ascii("null") // typed null: kind set, every payload absent
       return true
     }
     k match {
       case 5 =>
-        sb.append("error(")
-        if (zU == null) sb.append("null") else sb.append(zU.toString)
-        sb.append(')')
+        sb.ascii("error(")
+        if (zU == null) sb.ascii("null") else sb.utf8(zU)
+        sb.byte(')')
         false
       case 0 =>
-        if (zU != null) sb.append(zU.toString)
+        if (zU != null) sb.utf8(zU)
         else {
           val t = if (r.isNullAt(4)) null else r.getUTF8String(4)
           if (t != null && (t.startsWith(floatPrefixU) || t.equals(decimalTextU)))
-            sb.append(floatText(r.getDouble(1)))
-          else sb.append(r.getDouble(1).toLong)
+            sb.ascii(floatText(r.getDouble(1)))
+          else sb.ascii(java.lang.Long.toString(r.getDouble(1).toLong))
         }
         false
       case 1 =>
-        if (zU != null) sb.append(zU.toString)
+        if (zU != null) sb.utf8(zU)
         else {
           // fixed 6-digit fraction — the format the Column render always
           // used for cache-era time variants (ns-exact times carry z)
           val micros = Math.round(r.getDouble(1) * 1e6)
-          sb.append(fixedMicroFmt.format(java.time.Instant.ofEpochSecond(
+          sb.ascii(fixedMicroFmt.format(java.time.Instant.ofEpochSecond(
             Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
         }
         false
       case 2 =>
-        sb.append('"'); appendEscaped(sb, r.getUTF8String(2).toString); sb.append('"')
+        sb.byte('"'); appendEscaped(sb, r.getUTF8String(2)); sb.byte('"')
         false
       case 3 =>
-        sb.append(r.getBoolean(3))
+        sb.ascii(if (r.getBoolean(3)) "true" else "false")
         false
       case _ =>
         val t = if (r.isNullAt(4)) null else r.getUTF8String(4)
         if (t != null && t.startsWith(enumPrefixU)) {
-          sb.append('%').append(if (sNull) "" else r.getUTF8String(2).toString)
+          sb.byte('%'); if (!sNull) sb.utf8(r.getUTF8String(2))
           false
         } else if (t != null && t.equals(typeTextU)) {
-          sb.append('<').append(if (sNull) "" else r.getUTF8String(2).toString).append('>')
+          sb.byte('<'); if (!sNull) sb.utf8(r.getUTF8String(2)); sb.byte('>')
           false
         } else if (zU != null) {
-          val z = zU.toString
-          sb.append(z)
-          z == "null"
+          sb.utf8(zU)
+          zU.equals(nullTextU)
         } else if (a != null) {
           val isSet = t != null && t.startsWith(setOpenU)
-          sb.append(if (isSet) "|[" else "[")
+          sb.ascii(if (isSet) "|[" else "[")
           var i = 0
           val ne = a.numElements()
           while (i < ne) {
-            if (i > 0) sb.append(',')
-            if (a.isNullAt(i)) sb.append("null")
+            if (i > 0) sb.byte(',')
+            if (a.isNullAt(i)) sb.ascii("null")
             else renderVariantInto(sb, a.getStruct(i, 6))
             i += 1
           }
-          sb.append(if (isSet) "]|" else "]")
+          sb.ascii(if (isSet) "]|" else "]")
           false
         } else if (m != null) {
           val isMap = t != null && t.startsWith(mapOpenU)
@@ -777,32 +863,33 @@ object ZValue {
           val unions =
             if (!isMap && t != null && t.contains(parenU)) unionFieldsOf(t.toString)
             else Map.empty[String, String]
-          sb.append(if (isMap) "|{" else "{")
+          sb.ascii(if (isMap) "|{" else "{")
           var i = 0
           val ne = m.numElements()
           while (i < ne) {
             val e = m.getStruct(i, 2)
-            if (i > 0) sb.append(',')
-            val name = if (e.isNullAt(0)) "" else e.getUTF8String(0).toString
-            if (isMap) { sb.append('"'); appendEscaped(sb, name); sb.append('"') }
-            else sb.append(ZType.fieldName(name))
-            sb.append(':')
-            if (e.isNullAt(1)) sb.append("null")
+            if (i > 0) sb.byte(',')
+            val nameU = if (e.isNullAt(0)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+              else e.getUTF8String(0)
+            if (isMap) { sb.byte('"'); appendEscaped(sb, nameU); sb.byte('"') }
+            else appendFieldName(sb, nameU)
+            sb.byte(':')
+            if (e.isNullAt(1)) sb.ascii("null")
             else {
               val wasNull = renderVariantInto(sb, e.getStruct(1, 6))
-              if (!wasNull) unions.get(name).foreach { ut =>
-                sb.append('(').append(ut).append(')')
+              if (!wasNull && unions.nonEmpty) unions.get(nameU.toString).foreach { ut =>
+                sb.byte('('); sb.str(ut); sb.byte(')')
               }
             }
             i += 1
           }
-          sb.append(if (isMap) "}|" else "}")
+          sb.ascii(if (isMap) "}|" else "}")
           false
         } else if (!sNull) {
-          val s = r.getUTF8String(2).toString
-          sb.append(s)
-          s == "null"
-        } else { sb.append("null"); true }
+          val sU = r.getUTF8String(2)
+          sb.utf8(sU)
+          sU.equals(nullTextU)
+        } else { sb.ascii("null"); true }
     }
   }
 
