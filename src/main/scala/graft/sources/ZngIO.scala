@@ -518,14 +518,34 @@ object ZngIO {
           val encMap = buildEncoders(schema).get
           val out = HadoopFs.create(confMap, path, f"part-$pid%05d.zng")
           val table = new ZtTable
-          val ids = encMap.map { case (tag, (t, _)) => tag -> table.idOf(t) }
+          // tag dispatch stays in the byte domain: the String-keyed form
+          // re-decoded and re-hashed the tag text per ROW (toString + two
+          // map lookups). UTF8String keys hash the bytes, the id is folded
+          // into the entry, and a last-tag inline cache turns the
+          // homogeneous-stream case into one byte-equals per row.
+          // (idOf assignment iterates encMap exactly as before, so type
+          // ids and the defs-frame bytes are unchanged.)
+          type Encs = Array[(Int, (ByteBuf, SpecializedGetters, Int) => Unit)]
+          val encByTag = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, (Long, Encs)]()
+          encMap.foreach { case (tag, (t, encs)) =>
+            encByTag.put(org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+              (table.idOf(t).toLong, encs))
+          }
+          var lastTag: org.apache.spark.unsafe.types.UTF8String = null
+          var lastE: (Long, Encs) = null
           val body = new ByteArrayOutputStream()
           val buf = new ByteBuf(1 << 12)
           try {
             rows.foreach { r =>
-              val tag = r.getUTF8String(tagIdx).toString
-              val (_, encs) = encMap(tag)
-              uvarint(body, ids(tag).toLong)
+              val tagU = r.getUTF8String(tagIdx)
+              if (lastTag == null || !lastTag.equals(tagU)) {
+                val e = encByTag.get(tagU)
+                if (e == null) throw new NoSuchElementException(tagU.toString)
+                lastTag = tagU.clone() // the scan buffer behind tagU is reused
+                lastE = e
+              }
+              val encs = lastE._2
+              uvarint(body, lastE._1)
               buf.reset()
               var k = 0
               while (k < encs.length) {
