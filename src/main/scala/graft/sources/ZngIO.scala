@@ -2122,10 +2122,27 @@ object ZngIO {
     private var queue: Iterator[Row] = Iterator.empty
     private val memo = scala.collection.mutable.HashMap.empty[ZT, Option[Cursor => Row]]
     private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+    // id-indexed front cache over `memo` (tree hashing per row otherwise);
+    // ids append-only within a stream, cleared with `types` at EOS
+    private var decodersById = new Array[Option[Cursor => Row]](64)
+    private def decoderOfId(id: Int): (ZT, Option[Cursor => Row]) = {
+      if (id >= decodersById.length)
+        decodersById = java.util.Arrays.copyOf(decodersById, math.max(id + 1, decodersById.length << 1))
+      val t = typeOfId(id)
+      var d = decodersById(id)
+      if (d == null) {
+        d = memo.getOrElseUpdate(t, directTopDecoder(t, cleaned, shapeText, nsTime))
+        decodersById(id) = d
+      }
+      (t, d)
+    }
     private def fill(): Unit = {
       while (!queue.hasNext && !c.done) {
         val code = c.u8()
-        if (code == 0xff) types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+        if (code == 0xff) {
+          types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+          decodersById = new Array[Option[Cursor => Row]](64)
+        }
         else readFrame(c, code) match {
           case (0, payload) => parseTypedefs(payload, types)
           case (1, payload) =>
@@ -2133,10 +2150,9 @@ object ZngIO {
             val out = Vector.newBuilder[Row]
             while (!vc.done) {
               val tid = vc.uvarint().toInt
-              val t = typeOfId(tid)
-              memo.getOrElseUpdate(t, directTopDecoder(t, cleaned, shapeText, nsTime)) match {
-                case Some(d) => out += d(vc)
-                case None =>
+              decoderOfId(tid) match {
+                case (_, Some(d)) => out += d(vc)
+                case (t, None) =>
                   out += ZsonReader.rowOf(decodeZValue(vc, t, unionKeepsMember = false),
                     cleaned, tag = true)
               }
@@ -2394,6 +2410,20 @@ object ZngIO {
       private val width = required.fields.length
       private val tagIdx = required.fieldNames.indexOf(graft.operators.Het.typeTag)
       private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+      // id-indexed front cache over `memo` (tree hashing per row otherwise);
+      // ids append-only within a stream, cleared with `types` at EOS
+      private var buildersById = new Array[Cursor => InternalRow](64)
+      private def builderOfId(id: Int): Cursor => InternalRow = {
+        if (id >= buildersById.length)
+          buildersById = java.util.Arrays.copyOf(buildersById, math.max(id + 1, buildersById.length << 1))
+        var b = buildersById(id)
+        if (b == null) {
+          val t = typeOfId(id)
+          b = memo.getOrElseUpdate(t, builderOf(t))
+          buildersById(id) = b
+        }
+        b
+      }
 
       private def builderOf(t: ZT): Cursor => InternalRow = {
         def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
@@ -2512,6 +2542,7 @@ object ZngIO {
           val code = c.u8()
           if (code == 0xff) {
             types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+            buildersById = new Array[Cursor => InternalRow](64)
             fieldMemo = new java.util.HashMap[Int, java.util.Set[String]]()
             fieldCheckLen = -1
           }
@@ -2535,8 +2566,7 @@ object ZngIO {
                 val vc = new Cursor(payload, 0)
                 val out = Vector.newBuilder[InternalRow]
                 while (!vc.done) {
-                  val t = typeOfId(vc.uvarint().toInt)
-                  out += memo.getOrElseUpdate(t, builderOf(t))(vc)
+                  out += builderOfId(vc.uvarint().toInt)(vc)
                 }
                 queue = out.result().iterator
               }
@@ -2771,6 +2801,21 @@ object ZngIO {
       private var frame: Cursor = null // current values frame (null = need next)
       private val memo = scala.collection.mutable.HashMap.empty[ZT, Cursor => Unit]
       private def typeOfId(id: Int): ZT = if (id < 30) ZPrim(id) else types(id - 30)
+      // id-indexed front cache over `memo`: the tree-keyed lookup hashed
+      // the whole ZT per ROW. Ids are dense ints, append-only within a
+      // stream; cleared with `types` on the 0xff stream reset.
+      private var appsById = new Array[Cursor => Unit](64)
+      private def appenderOfId(id: Int): Cursor => Unit = {
+        if (id >= appsById.length)
+          appsById = java.util.Arrays.copyOf(appsById, math.max(id + 1, appsById.length << 1))
+        var app = appsById(id)
+        if (app == null) {
+          val t = typeOfId(id)
+          app = memo.getOrElseUpdate(t, appenderOf(t))
+          appsById(id) = app
+        }
+        app
+      }
 
       private def appenderOf(t: ZT): Cursor => Unit = {
         def stripNamed(x: ZT): ZT = x match { case ZNamed(_, i) => stripNamed(i); case o => o }
@@ -2864,6 +2909,7 @@ object ZngIO {
           val code = c.u8()
           if (code == 0xff) {
             types = scala.collection.mutable.ArrayBuffer.empty[ZT]
+            appsById = new Array[Cursor => Unit](64)
             fieldMemoV = new java.util.HashMap[Int, java.util.Set[String]]()
             fieldCheckLenV = -1
           }
@@ -2897,8 +2943,7 @@ object ZngIO {
         while (j < vectors.length) { vectors(j).reset(); j += 1 }
         var n = 0
         while (n < batchSize && advanceFrame()) {
-          val t = typeOfId(frame.uvarint().toInt)
-          memo.getOrElseUpdate(t, appenderOf(t))(frame)
+          appenderOfId(frame.uvarint().toInt)(frame)
           n += 1
         }
         batch.setNumRows(n)
